@@ -1,0 +1,53 @@
+"""Query registry: every engine capability exposed as a named query.
+
+Each :class:`Query` pairs a PySpark implementation with (when
+SQL-expressible) a DuckDB oracle — the driver's correctness gate runs
+both at sf0.01 and hash-compares values, so Spark and oracle must agree
+*bit-exactly* after column-name alignment. Parity rules used throughout:
+
+- Sums of doubles are order-dependent in IEEE arithmetic, so every
+  aggregated double goes through an exact DECIMAL(18,s) accumulation and
+  is cast back to DOUBLE (see :func:`optimus_any2any_spark.queries.util.dsum`).
+- Every top-k has a total deterministic ORDER BY (tie-broken by a key).
+- Timestamp semantics pinned to UTC on the Spark side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
+    """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc, bench=bench)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    # Import side-effect modules that populate REGISTRY.
+    from optimus_any2any_spark.queries import (  # noqa: F401
+        relational,
+        pipeline_semantics,
+        llm_ops,
+    )
+
+    return REGISTRY

@@ -1,0 +1,342 @@
+"""Relational query suite over the driver's TPC-H-ish tables.
+
+The reference delegates all SQL verbatim to MaxCompute/PostgreSQL
+(SURVEY.md §2.1: MC source = ``spark.sql`` in our engine); these queries
+are that surface executed natively by Catalyst. Written with the
+DataFrame API so Catalyst gets full pushdown/pruning freedom; dimension
+joins are explicitly broadcast where the dimension is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.queries import register
+from optimus_any2any_spark.queries.util import davg, dsum, load, o_davg, o_dsum
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity', 4)} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           {o_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {o_davg('l_quantity', 4)} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary; scan+partial-agg, no shuffle beyond 6-group agg.",
+    bench=True,
+)
+def q01_pricing_summary(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 4).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg(F.col("l_quantity"), 4).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective dim filter -> fact join -> top-k (deterministic tiebreak).",
+    bench=True,
+)
+def q03_shipping_priority(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_nation_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5-style 6-table join; nation/region broadcast, fact joins shuffled by key.",
+    bench=True,
+)
+def q05_nation_revenue(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "q06_revenue_forecast",
+    oracle=f"""
+    SELECT {o_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure pushdown filter + global agg (single-row result).",
+    bench=True,
+)
+def q06_revenue_forecast(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: returned-item revenue by customer, top 20.",
+    bench=True,
+)
+def q10_returned_items(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_events_daily",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {o_dsum('value')} AS total_value,
+           {o_davg('value')} AS avg_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    ORDER BY day, event_type
+    """,
+    doc="Event-stream daily rollup (count / distinct users / value sums).",
+    bench=True,
+)
+def q_events_daily(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "q_events_top_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Window function: per-user argmax event via row_number (deterministic tiebreak).",
+)
+def q_events_top_per_user(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_events_sessions",
+    oracle="""
+    SELECT user_id,
+           1 + SUM(CASE WHEN prev_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                        THEN 1 ELSE 0 END) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ) t
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Sessionization (30-min inactivity gap) via lag window + conditional count.",
+    bench=True,
+)
+def q_events_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("prev_ts").isNotNull()
+                        & (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_orders_priority_month",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           lower(o_orderpriority) AS priority,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY month, priority
+    ORDER BY month, priority
+    """,
+    doc="Scalar-function surface (date_format/lower — sprig-template equivalents, "
+    "SURVEY.md §2.4 'Template function library').",
+)
+def q_orders_priority_month(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.lower("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("month", "priority")
+    )

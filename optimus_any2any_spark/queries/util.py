@@ -1,0 +1,41 @@
+"""Shared helpers for oracle-parity query construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from optimus_any2any_spark.tables import read_table
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def dsum(col: Column, scale: int = 6) -> Column:
+    """Exact (order-independent) sum of a double column, as double.
+
+    ``SUM(double)`` is non-deterministic across partitionings because IEEE
+    addition is not associative; accumulating in DECIMAL is exact, so the
+    result is identical regardless of partition count and matches the
+    DuckDB oracle's ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``
+    bit-for-bit. The per-row double→decimal cast is deterministic on both
+    engines (round-half-up at scale ``s``).
+    """
+    return F.sum(col.cast(T.DecimalType(18, scale))).cast("double")
+
+
+def davg(col: Column, scale: int = 6) -> Column:
+    """Exact-sum-based average (double), matching
+    ``CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE) / COUNT(x)`` in the oracle."""
+    return dsum(col, scale) / F.count(col)
+
+
+def o_dsum(expr: str, scale: int = 6) -> str:
+    """Oracle-side SQL for :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def o_davg(expr: str, scale: int = 6) -> str:
+    return f"{o_dsum(expr, scale)} / COUNT({expr})"

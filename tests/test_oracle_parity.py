@@ -1,0 +1,72 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle at sf0.01,
+sorts columns by name and rows by value (the driver's order-insensitive
+value-hash), and requires exact equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from optimus_any2any_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        # unify datetime resolutions (spark: us, duckdb 1.0 may give us/ns)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), na_position="last", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def assert_frames_match(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
+    s, o = normalize(sdf), normalize(odf)
+    assert list(s.columns) == list(o.columns), (
+        f"{name}: column mismatch spark={list(s.columns)} oracle={list(o.columns)}"
+    )
+    assert len(s) == len(o), f"{name}: row count spark={len(s)} oracle={len(o)}"
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+            sv = sv.astype("float64")
+            ov = ov.astype("float64")
+            both_nan = np.isnan(sv) & np.isnan(ov)
+            eq = (sv == ov) | both_nan
+            if not eq.all():
+                i = int(np.argmax(~eq))
+                raise AssertionError(
+                    f"{name}: col {c} differs at row {i}: "
+                    f"spark={sv[i]!r} oracle={ov[i]!r} "
+                    f"(maxabs={np.nanmax(np.abs(sv - ov))})"
+                )
+        else:
+            eq = pd.Series(sv).eq(pd.Series(ov)) | (
+                pd.Series(sv).isna() & pd.Series(ov).isna()
+            )
+            if not eq.all():
+                i = int(np.argmax(~eq.to_numpy()))
+                raise AssertionError(
+                    f"{name}: col {c} differs at row {i}: "
+                    f"spark={sv[i]!r} oracle={ov[i]!r}"
+                )
+
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    q = QUERIES[name]
+    sdf = q.spark(spark, SF_DIR).toPandas()
+    assert len(sdf) >= 0  # materialized
+    if q.oracle is None:
+        assert len(sdf) > 0, f"{name}: rows-only check got empty result"
+        return
+    odf = duck.execute(q.oracle).df()
+    assert_frames_match(sdf, odf, name)
