@@ -1,0 +1,437 @@
+"""JQ transform: subset → native DataFrame ops, full jq via Arrow batches.
+
+The reference's only general-purpose transform pipes 512-record NDJSON
+batches through a ``jq -c`` subprocess (reference: ext/jq/connector.go:
+101-127; driver internal/component/common/connector.go:67-127; design
+docs/rfc_002). Here:
+
+- :func:`translate_jq` compiles the *relational core* of JQ —
+  ``.[] | select(...)``, object construction, ``del(...)``, ``. + {...}``
+  merges, arithmetic/comparison/boolean expressions, common scalar
+  functions — straight to Catalyst expressions: whole-stage-codegen'd,
+  no Python in the hot path, globally (not per-batch) semantic.
+- :func:`jq_binary_transform` is the faithful escape hatch for arbitrary
+  JQ programs: Arrow-batched ``mapInPandas`` feeding the real ``jq``
+  binary per CONNECTOR_BATCH_SIZE-record batch, preserving the
+  reference's per-batch aggregation semantics exactly (SURVEY.md §2.3 —
+  JQ aggregations are per-batch, exposed via
+  ``__METADATA__connector_batch_index``).
+- :func:`jq_transform` tries the native translation first and falls back
+  to the binary.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import subprocess
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class JQUnsupported(Exception):
+    """Program is outside the natively-translatable subset."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+
+_TOK = re.compile(
+    r"""
+    \s*(
+        "(?:[^"\\]|\\.)*"                     # string
+      | -?\d+\.\d+ | -?\d+                    # numbers
+      | \.\[\]                                # .[]
+      | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)* # .path.to.field
+      | \.                                    # identity
+      | ==|!=|<=|>=|\|\||&&
+      | [|+\-*/%<>(){}:,;\[\]]
+      | [A-Za-z_][\w]*
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOK.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise JQUnsupported(f"jq: cannot tokenize at {src[pos:]!r}")
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Expression parser (precedence climbing) → Column
+
+_CMP = {"==": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+
+class _ExprParser:
+    """Parses jq scalar expressions into Spark Columns against ``df``."""
+
+    def __init__(self, toks: list[str], df: DataFrame):
+        self.toks = toks
+        self.i = 0
+        self.df = df
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, t: str):
+        got = self.next()
+        if got != t:
+            raise JQUnsupported(f"jq: expected {t!r}, got {got!r}")
+
+    def parse(self) -> Column:
+        col = self.parse_or()
+        if self.peek() is not None:
+            raise JQUnsupported(f"jq: trailing tokens {self.toks[self.i:]}")
+        return col
+
+    def parse_or(self) -> Column:
+        left = self.parse_and()
+        while self.peek() in ("or", "||"):
+            self.next()
+            left = left | self.parse_and()
+        return left
+
+    def parse_and(self) -> Column:
+        left = self.parse_cmp()
+        while self.peek() in ("and", "&&"):
+            self.next()
+            left = left & self.parse_cmp()
+        return left
+
+    def parse_cmp(self) -> Column:
+        left = self.parse_add()
+        op = self.peek()
+        if op in _CMP:
+            self.next()
+            right = self.parse_add()
+            return {
+                "==": lambda a, b: a == b,
+                "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+            }[op](left, right)
+        return left
+
+    def parse_add(self) -> Column:
+        left = self.parse_mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            right = self.parse_mul()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def parse_mul(self) -> Column:
+        left = self.parse_unary()
+        while self.peek() in ("*", "/", "%"):
+            op = self.next()
+            right = self.parse_unary()
+            left = left * right if op == "*" else (left / right if op == "/" else left % right)
+        return left
+
+    def parse_unary(self) -> Column:
+        if self.peek() == "-":
+            self.next()
+            return -self.parse_postfix()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Column:
+        col = self.parse_atom()
+        # postfix pipes inside parenthesized exprs are not supported here
+        return col
+
+    def parse_atom(self) -> Column:
+        t = self.next()
+        if t == "(":
+            col = self.parse_or()
+            self.expect(")")
+            return col
+        if t.startswith('"'):
+            return F.lit(json.loads(t))
+        if re.fullmatch(r"-?\d+", t):
+            return F.lit(int(t))
+        if re.fullmatch(r"-?\d+\.\d+", t):
+            return F.lit(float(t))
+        if t == "null":
+            return F.lit(None)
+        if t in ("true", "false"):
+            return F.lit(t == "true")
+        if t.startswith(".") and t != ".":
+            return _path_col(t)
+        if t == ".":
+            raise JQUnsupported("jq: bare '.' in scalar expression")
+        # function call: fn(arg) or zero-arg builtins applied via pipe
+        if re.fullmatch(r"[A-Za-z_]\w*", t):
+            return self.parse_func(t)
+        raise JQUnsupported(f"jq: unexpected token {t!r}")
+
+    def parse_func(self, name: str) -> Column:
+        args: list[Column] = []
+        if self.peek() == "(":
+            self.next()
+            args.append(self.parse_or())
+            while self.peek() == ";":
+                self.next()
+                args.append(self.parse_or())
+            self.expect(")")
+        return _apply_func(name, args)
+
+
+def _path_col(tok: str) -> Column:
+    parts = tok[1:].split(".")
+    col = F.col("`" + parts[0] + "`")
+    for p in parts[1:]:
+        col = col.getField(p)
+    return col
+
+
+def _apply_func(name: str, args: list[Column]) -> Column:
+    if name == "length":
+        return F.length(args[0]) if args else JQUnsupported("length needs pipe input")
+    if name == "tostring":
+        return args[0].cast("string")
+    if name == "tonumber":
+        return args[0].cast("double")
+    if name == "ascii_downcase":
+        return F.lower(args[0])
+    if name == "ascii_upcase":
+        return F.upper(args[0])
+    if name == "floor":
+        return F.floor(args[0])
+    if name == "ceil":
+        return F.ceil(args[0])
+    if name == "fabs":
+        return F.abs(args[0])
+    if name == "ltrimstr":
+        # ltrimstr(prefix) applied via pipe is handled in stage parsing
+        raise JQUnsupported("ltrimstr only supported as pipe stage")
+    if name == "startswith":
+        return F.startswith
+    raise JQUnsupported(f"jq: function {name!r} not in native subset")
+
+
+# ---------------------------------------------------------------------------
+# Program (stage pipeline) parsing
+
+
+@dataclass
+class _ObjEntry:
+    key: str
+    expr_toks: list[str]
+
+
+def _split_top(toks: list[str], sep: str) -> list[list[str]]:
+    """Split token list on ``sep`` at depth 0."""
+    out, cur, depth = [], [], 0
+    for t in toks:
+        if t in ("(", "{", "["):
+            depth += 1
+        elif t in (")", "}", "]"):
+            depth -= 1
+        if t == sep and depth == 0:
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    out.append(cur)
+    return out
+
+
+def _parse_object(toks: list[str]) -> list[_ObjEntry]:
+    """{ key: expr, ("literal key"): expr, shorthand }"""
+    assert toks[0] == "{" and toks[-1] == "}"
+    inner = toks[1:-1]
+    entries: list[_ObjEntry] = []
+    if not inner:
+        return entries
+    for part in _split_top(inner, ","):
+        halves = _split_top(part, ":")
+        if len(halves) == 1:
+            # shorthand {a} or {.a}
+            tok = halves[0][0]
+            key = tok.lstrip(".")
+            entries.append(_ObjEntry(key=key, expr_toks=["." + key]))
+            continue
+        if len(halves) != 2:
+            raise JQUnsupported(f"jq: bad object entry {part}")
+        ktoks, vtoks = halves
+        if len(ktoks) == 1 and ktoks[0].startswith('"'):
+            key = json.loads(ktoks[0])
+        elif len(ktoks) == 1 and re.fullmatch(r"[A-Za-z_]\w*", ktoks[0]):
+            key = ktoks[0]
+        elif (
+            len(ktoks) == 3
+            and ktoks[0] == "("
+            and ktoks[1].startswith('"')
+            and ktoks[2] == ")"
+        ):
+            key = json.loads(ktoks[1])  # ("__METADATA__x") literal-key form
+        else:
+            raise JQUnsupported(f"jq: dynamic object key {ktoks}")
+        entries.append(_ObjEntry(key=key, expr_toks=vtoks))
+    return entries
+
+
+def translate_jq(df: DataFrame, program: str) -> DataFrame:
+    """Compile a JQ-subset program to DataFrame operations.
+
+    Raises :class:`JQUnsupported` for programs outside the subset.
+    """
+    toks = _tokenize(program.strip())
+    stages = _split_top(toks, "|")
+    # Leading '.[]' iterates the batch array — the DataFrame already is
+    # the record stream, so it is the identity here.
+    if stages and stages[0] == [".[]"]:
+        stages = stages[1:]
+    if stages and stages == [[]]:
+        return df
+    out = df
+    for stage in stages:
+        if not stage:
+            continue
+        out = _apply_stage(out, stage)
+    return out
+
+
+def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
+    # select(expr)
+    if toks[0] == "select" and toks[1] == "(" and toks[-1] == ")":
+        cond = _ExprParser(toks[2:-1], df).parse()
+        return df.filter(cond)
+    if toks == ["."]:
+        return df
+    # additive combination: term (+ term)* where term ∈ {del(...), {...}, .}
+    terms = _split_top(toks, "+")
+    dropped: list[str] = []
+    added: list[tuple[str, Column]] = []
+    base_identity = False
+    for term in terms:
+        if not term:
+            raise JQUnsupported(f"jq: empty term in {toks}")
+        if term == ["."]:
+            base_identity = True
+        elif term[0] == "del" and term[1] == "(" and term[-1] == ")":
+            base_identity = True
+            for ptoks in _split_top(term[2:-1], ","):
+                if len(ptoks) != 1 or not ptoks[0].startswith("."):
+                    raise JQUnsupported(f"jq: del path {ptoks}")
+                dropped.append(ptoks[0][1:])
+        elif term[0] == "{" and term[-1] == "}":
+            for e in _parse_object(term):
+                added.append((e.key, _ExprParser(e.expr_toks, df).parse()))
+        else:
+            raise JQUnsupported(f"jq: unsupported term {term}")
+    if len(terms) == 1 and added and not base_identity:
+        # pure object construction: projection
+        return df.select(*[c.alias(k) for k, c in added])
+    out = df
+    for k, c in added:  # merge: right side wins over existing keys
+        out = out.withColumn(k, c)
+    if dropped:
+        out = out.drop(*dropped)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Faithful jq-binary path
+
+def jq_binary_transform(
+    df: DataFrame,
+    program: str,
+    batch_size: int = 512,
+    jq_path: str = "jq",
+    output_schema: Any | None = None,
+) -> DataFrame:
+    """Run the real ``jq`` binary over NDJSON batches (Arrow-transferred).
+
+    Semantics match the reference connector exactly: records are grouped
+    into ``batch_size``-record batches, each batch is passed to one
+    ``jq -c`` invocation as a JSON array, and outputs are re-emitted as
+    records (reference: ext/jq/connector.go:101-127 — including the
+    per-batch aggregation behavior of programs like ``[.[]|.x]|add``).
+
+    Output records may be ragged; they come back as a ``value`` JSON-text
+    column. Pass ``output_schema`` to project them into columns, or call
+    :func:`infer_json` afterwards.
+    """
+    json_df = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+    def run_batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        buf: list[str] = []
+
+        def flush():
+            if not buf:
+                return None
+            payload = "[" + ",".join(buf) + "]"
+            proc = subprocess.run(
+                [jq_path, "-c", program],
+                input=payload.encode(),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(f"jq failed: {proc.stderr.decode()[:500]}")
+            lines = [ln for ln in proc.stdout.decode().splitlines() if ln.strip()]
+            buf.clear()
+            return pd.DataFrame({"value": lines})
+
+        for pdf in it:
+            for v in pdf["value"]:
+                buf.append(v)
+                if len(buf) >= batch_size:
+                    out = flush()
+                    if out is not None and len(out):
+                        yield out
+        out = flush()
+        if out is not None and len(out):
+            yield out
+
+    result = json_df.mapInPandas(run_batches, schema="value string")
+    if output_schema is not None:
+        return result.select(
+            F.from_json(F.col("value"), output_schema).alias("r")
+        ).select("r.*")
+    return result
+
+
+def infer_json(spark: SparkSession, value_df: DataFrame) -> DataFrame:
+    """Re-infer a schema over a ``value: string`` JSON column (the
+    dynamic/ragged-schema boundary — SURVEY.md §1.1 'JSON as the common
+    data format')."""
+    return spark.read.json(value_df.rdd.map(lambda r: r["value"]))
+
+
+def jq_transform(
+    df: DataFrame,
+    program: str,
+    batch_size: int = 512,
+    output_schema: Any | None = None,
+) -> DataFrame:
+    """Native translation when possible, jq-binary escape hatch otherwise."""
+    try:
+        return translate_jq(df, program)
+    except JQUnsupported:
+        return jq_binary_transform(
+            df, program, batch_size=batch_size, output_schema=output_schema
+        )

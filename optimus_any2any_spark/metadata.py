@@ -1,0 +1,141 @@
+"""Metadata-column conventions (the engine's "hidden columns").
+
+The reference threads per-record metadata through the pipeline as
+``__METADATA__*``-prefixed JSON keys (docs/rfc_007, rfc_009):
+``record_index`` (internal/component/common/source.go:89),
+``filename`` (ext/file/source.go:99), ``connector_batch_index``
+(internal/component/common/connector.go:91), and strips the prefix at
+sinks (internal/component/common/common.go:281). Here they are ordinary
+DataFrame columns with the same reserved prefix.
+
+Scale note: the reference's record_index is a single-process global
+counter. The distributed equivalent used here is the two-pass
+partition-offset pattern — per-partition positions plus an exclusive
+prefix sum of partition counts — which is exact, stays JVM-side, and
+never funnels data through one partition (unlike a global window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+METADATA_PREFIX = "__METADATA__"
+
+RECORD_INDEX = f"{METADATA_PREFIX}record_index"
+FILENAME = f"{METADATA_PREFIX}filename"
+BATCH_INDEX = f"{METADATA_PREFIX}connector_batch_index"
+RECORD_TOTAL_COUNT = f"{METADATA_PREFIX}record_total_count"
+
+
+def metadata_columns(df: DataFrame, prefix: str = METADATA_PREFIX) -> list[str]:
+    return [c for c in df.columns if c.startswith(prefix)]
+
+
+def data_columns(df: DataFrame, prefix: str = METADATA_PREFIX) -> list[str]:
+    return [c for c in df.columns if not c.startswith(prefix)]
+
+
+def strip_metadata(df: DataFrame, prefix: str = METADATA_PREFIX) -> DataFrame:
+    """Drop all metadata columns (reference: RecordWithoutMetadata,
+    internal/component/common/common.go:281)."""
+    meta = metadata_columns(df, prefix)
+    return df.drop(*meta) if meta else df
+
+
+def add_metadata_prefix(df: DataFrame, prefix: str = METADATA_PREFIX) -> DataFrame:
+    """Prefix every column (reference: RecordWithMetadata,
+    internal/component/common/common.go:267-279 — used for MC pre-query
+    'specialized metadata records', rfc_009)."""
+    return df.toDF(*[c if c.startswith(prefix) else prefix + c for c in df.columns])
+
+
+def with_filename(df: DataFrame, col: str = FILENAME) -> DataFrame:
+    """Source-file column (reference: ext/file/source.go:99 et al.)."""
+    return df.withColumn(col, F.input_file_name())
+
+
+def with_record_index(
+    df: DataFrame,
+    col: str = RECORD_INDEX,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Global sequential row index, exact and distributed.
+
+    With ``order_by``, indices follow that total order (requires a
+    range-partitioning sort shuffle). Without it, indices follow the
+    current partition order — the distributed analogue of the
+    reference's arrival-order counter.
+    """
+    if order_by:
+        df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    pid = F.spark_partition_id().alias("__pid")
+    marked = df.withColumn("__pid", pid).withColumn(
+        "__pos",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+        )
+        - 1,
+    )
+    # Exclusive prefix sum of partition sizes — tiny (one row per
+    # partition), collected to the driver and broadcast as a literal map.
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in marked.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not sizes:  # empty input: no offsets to compute
+        return df.withColumn(col, F.lit(0).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    mapping = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        marked.withColumn(col, (F.col("__pos") + mapping[F.col("__pid")]).cast("long"))
+        .drop("__pid", "__pos")
+    )
+
+
+def with_batch_index(
+    df: DataFrame,
+    batch_size: int = 512,
+    col: str = BATCH_INDEX,
+    index_col: str = RECORD_INDEX,
+) -> DataFrame:
+    """connector_batch_index = record_index / batch_size (reference:
+    internal/component/common/connector.go:91; default size
+    internal/config/config.go:20)."""
+    if index_col not in df.columns:
+        df = with_record_index(df, col=index_col)
+    return df.withColumn(col, (F.col(index_col) / batch_size).cast("long"))
+
+
+def is_specialized_metadata_filter(df: DataFrame, prefix: str = METADATA_PREFIX) -> Column:
+    """Predicate: row is a 'specialized metadata record' — every
+    non-null field is metadata (reference: IsSpecializedMetadataRecord,
+    internal/component/common/common.go:261; docs/rfc_009). In columnar
+    form: all data columns are null and ≥1 metadata column is set."""
+    data = data_columns(df, prefix)
+    meta = metadata_columns(df, prefix)
+    cond = F.lit(True)
+    for c in data:
+        cond = cond & F.col(c).isNull()
+    has_meta = F.lit(False)
+    for c in meta:
+        has_meta = has_meta | F.col(c).isNotNull()
+    return cond & has_meta
+
+
+def split_specialized_metadata(
+    df: DataFrame, prefix: str = METADATA_PREFIX
+) -> tuple[DataFrame, DataFrame]:
+    """(data_records, specialized_metadata_records) — sinks consume the
+    latter as configuration, never write them (reference:
+    ext/file/sink.go:78-81 skip; connector forwards unbatched,
+    internal/component/common/connector.go:79-88)."""
+    pred = is_specialized_metadata_filter(df, prefix)
+    return df.filter(~pred), df.filter(pred)

@@ -1,0 +1,158 @@
+"""FILE sink: templated per-record destinations, format conversion.
+
+Reference: ext/file/sink.go:32 (NewSink), :72 (process), :83 (per-record
+URI compiled from record fields), :96-103 (JSONPath projection);
+metadata stripped before write (internal/component/common/common.go:281);
+shared write handler internal/ext/fs/write_handler.go:40-60.
+
+Spark shape: the destination template compiles to a Column
+(:mod:`optimus_any2any_spark.compiler.template`); records are written in
+ONE distributed job partitioned by destination (``partitionBy`` on a
+hidden routing column — the dynamic-partitioning equivalent of the
+reference's per-record templated URIs, docs/rfc_005), then the driver
+renames Spark's committed partition dirs onto the final URIs. The
+rename-on-commit mirrors the reference's ``_inprogress``-then-rename
+dance (ext/oss/handler.go:34-81) which is exactly Spark's output
+committer. gzip compression is native; JSON output preserves nulls and
+column order (the reference's ordered-map JSON, model/record.go:13).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import tempfile
+import urllib.parse
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark import metadata as M
+from optimus_any2any_spark.compiler.template import compile_template
+from optimus_any2any_spark.formats.convert import value_to_csv_string
+
+DEST_COL = "__destination__"
+
+
+def _strip_scheme(uri: str) -> str:
+    return uri[len("file://"):] if uri.startswith("file://") else uri
+
+
+@dataclass
+class WriteResult:
+    files: dict[str, int]  # destination path -> record count
+
+
+class FileSink:
+    """Batch file sink with templated routing and format conversion."""
+
+    def __init__(
+        self,
+        destination_uri: str,
+        fmt: str | None = None,
+        delimiter: str | None = None,
+        compression: str | None = None,  # None | "gzip"
+        jsonpath_selector: str | None = None,
+        metadata_prefix: str = M.METADATA_PREFIX,
+    ):
+        self.template = compile_template(_strip_scheme(destination_uri))
+        base = _strip_scheme(destination_uri)
+        ext = base.rsplit(".", 1)[-1].lower() if "." in os.path.basename(base) else "json"
+        if ext == "gz":
+            # auto compression from extra extension (write_option.go:176-210)
+            compression = compression or "gzip"
+            stem = base[: -len(".gz")]
+            ext = stem.rsplit(".", 1)[-1].lower() if "." in os.path.basename(stem) else "json"
+        self.fmt = fmt or ("csv" if ext == "csv" else "tsv" if ext == "tsv" else "json")
+        self.delimiter = delimiter or ("\t" if self.fmt == "tsv" else ",")
+        self.compression = compression
+        self.jsonpath_selector = jsonpath_selector
+        self.metadata_prefix = metadata_prefix
+
+    def write(self, df: DataFrame) -> WriteResult:
+        # Specialized metadata records configure, never get written
+        # (rfc_009; ext/file/sink.go:78-81).
+        if M.metadata_columns(df, self.metadata_prefix):
+            df, _meta = M.split_specialized_metadata(df, self.metadata_prefix)
+
+        routed = df.withColumn(DEST_COL, self.template.column(df))
+        data_cols = M.data_columns(routed.drop(DEST_COL), self.metadata_prefix)
+
+        if self.jsonpath_selector:
+            from optimus_any2any_spark.compiler.jsonpath import apply_jsonpath
+
+            routed = apply_jsonpath(routed, self.jsonpath_selector, keep=[DEST_COL])
+            data_cols = [c for c in routed.columns if c != DEST_COL]
+
+        if self.fmt == "json":
+            lines = routed.select(
+                F.to_json(F.struct(*data_cols), {"ignoreNullFields": "false"}).alias(
+                    "value"
+                ),
+                F.col(DEST_COL),
+            )
+            return self._write_lines(lines, header=None)
+
+        # CSV/TSV: stringify per §1.3 then render lines with proper quoting
+        dtypes = {f.name: f.dataType for f in routed.schema.fields}
+        stringified = routed.select(
+            *[
+                value_to_csv_string(F.col(c), dtypes[c]).alias(c)
+                for c in data_cols
+            ],
+            F.col(DEST_COL),
+        )
+        quoted = [self._csv_quote(F.col(c)).alias(c) for c in data_cols]
+        lines = stringified.select(
+            F.concat_ws(self.delimiter, *quoted).alias("value"), F.col(DEST_COL)
+        )
+        header = self.delimiter.join(data_cols)
+        return self._write_lines(lines, header=header)
+
+    def _csv_quote(self, col):
+        needs = (
+            col.contains(self.delimiter)
+            | col.contains('"')
+            | col.contains("\n")
+            | col.contains("\r")
+        )
+        escaped = F.replace(col, F.lit('"'), F.lit('""'))
+        return F.when(needs, F.concat(F.lit('"'), escaped, F.lit('"'))).otherwise(col)
+
+    def _write_lines(self, lines: DataFrame, header: str | None) -> WriteResult:
+        """One distributed text write partitioned by destination, then a
+        driver-side commit/rename onto the templated URIs."""
+        tmpdir = tempfile.mkdtemp(prefix="any2any_sink_")
+        staging = os.path.join(tmpdir, "staged")
+        (
+            lines.repartition(F.col(DEST_COL))
+            .write.partitionBy(DEST_COL)
+            .mode("overwrite")
+            .text(staging)
+        )
+        result: dict[str, int] = {}
+        for entry in os.listdir(staging):
+            if not entry.startswith(DEST_COL + "="):
+                continue
+            dest = urllib.parse.unquote(entry[len(DEST_COL) + 1 :])
+            os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+            parts = sorted(
+                p
+                for p in os.listdir(os.path.join(staging, entry))
+                if p.startswith("part-")
+            )
+            n = 0
+            opener = gzip.open if self.compression == "gzip" else open
+            with opener(dest, "wb") as out:
+                if header is not None:
+                    out.write(header.encode() + b"\n")
+                for p in parts:
+                    with open(os.path.join(staging, entry, p), "rb") as src:
+                        for line in src:
+                            out.write(line)
+                            n += 1
+            result[dest] = n
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        return WriteResult(files=result)

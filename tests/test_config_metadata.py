@@ -1,0 +1,70 @@
+"""Config-layer and metadata-column tests (SURVEY.md §1.2, §3.1)."""
+
+from __future__ import annotations
+
+from optimus_any2any_spark.config import Config
+from optimus_any2any_spark import metadata as M
+
+
+class TestConfig:
+    def test_component_prefix_strip(self):
+        cfg = Config.from_env(
+            environ={"FILE__SOURCE_URI": "file:///x.json", "JQ__QUERY": ".[]"},
+        )
+        assert cfg.for_component("file") == {"source_uri": "file:///x.json"}
+        assert cfg.for_component("JQ") == {"query": ".[]"}
+
+    def test_env_args_win_last(self):
+        cfg = Config.from_env(
+            env_args=["A__K=1", "A__K=2"], environ={"A__K": "0"}
+        )
+        assert cfg.for_component("A") == {"k": "2"}
+
+    def test_defaults(self):
+        cfg = Config.from_env(environ={})
+        assert cfg.get_int("CONNECTOR_BATCH_SIZE") == 512
+        assert cfg.get("METADATA_PREFIX") == "__METADATA__"
+        assert cfg.get_bool("DRY_RUN") is False
+
+    def test_bool_parsing(self):
+        cfg = Config.from_env(environ={"X": "TRUE", "Y": "0"})
+        assert cfg.get_bool("X") and not cfg.get_bool("Y")
+
+
+class TestMetadata:
+    def test_record_index_is_global_and_sequential(self, spark):
+        df = spark.range(0, 1000).repartition(7)
+        out = M.with_record_index(df)
+        idx = sorted(r[M.RECORD_INDEX] for r in out.collect())
+        assert idx == list(range(1000))
+
+    def test_record_index_with_order(self, spark):
+        df = spark.createDataFrame([(3,), (1,), (2,)], "k int").repartition(2)
+        out = M.with_record_index(df, order_by=["k"])
+        got = {r["k"]: r[M.RECORD_INDEX] for r in out.collect()}
+        assert got == {1: 0, 2: 1, 3: 2}
+
+    def test_batch_index(self, spark):
+        df = spark.range(0, 1100).toDF("n")
+        out = M.with_batch_index(M.with_record_index(df.coalesce(1)), batch_size=512)
+        batches = {r[M.BATCH_INDEX] for r in out.collect()}
+        assert batches == {0, 1, 2}
+
+    def test_strip_and_prefix(self, spark):
+        df = spark.createDataFrame([(1, "f.json")], ["a", M.FILENAME])
+        assert M.strip_metadata(df).columns == ["a"]
+        pref = M.add_metadata_prefix(spark.createDataFrame([(1,)], ["a"]))
+        assert pref.columns == ["__METADATA__a"]
+
+    def test_specialized_metadata_split(self, spark):
+        # FIXTURES.md F3: all-metadata row configures the sink, data row flows
+        df = spark.createDataFrame(
+            [
+                (None, None, 100, "sample@example.com"),
+                ("value_1", "value_2", 100, None),
+            ],
+            ["column_1", "column_2", "__METADATA__record_count", "__METADATA__email_address"],
+        )
+        data, meta = M.split_specialized_metadata(df)
+        assert data.count() == 1 and meta.count() == 1
+        assert meta.collect()[0]["__METADATA__email_address"] == "sample@example.com"

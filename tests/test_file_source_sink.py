@@ -1,0 +1,176 @@
+"""FILE source/sink end-to-end tests (FIXTURES.md F1/F2/F4/F5/F6;
+acceptance contract = RFC-007 grouped routing reproduced vs jq oracle)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from optimus_any2any_spark import metadata as M
+from optimus_any2any_spark.compiler.jq import translate_jq
+from optimus_any2any_spark.sinks.file import FileSink
+from optimus_any2any_spark.sources.file import FileSource
+
+
+@pytest.fixture()
+def tmpdata(tmp_path):
+    return tmp_path
+
+
+def write_ndjson(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+F1_ROWS = [
+    {"id": 1, "name": "alice", "age": 34, "active": True, "score": 91.5, "note": None},
+    {"id": 2, "name": "bob", "age": 28, "active": False, "score": 77.0, "note": "x"},
+]
+
+
+class TestFileSource:
+    def test_ndjson_with_metadata(self, spark, tmpdata):
+        src_path = tmpdata / "in.json"
+        write_ndjson(src_path, F1_ROWS)
+        df = FileSource(spark, f"file://{src_path}").read()
+        assert M.FILENAME in df.columns and M.RECORD_INDEX in df.columns
+        rows = sorted(df.collect(), key=lambda r: r["id"])
+        assert rows[0]["name"] == "alice"
+        assert rows[0][M.FILENAME].endswith("in.json")
+        assert sorted(r[M.RECORD_INDEX] for r in rows) == [0, 1]
+
+    def test_csv_all_strings(self, spark, tmpdata):
+        p = tmpdata / "people.csv"
+        p.write_text("id,name,joined\n1,alice,2024-01-01\n2,bob,2024-02-03\n")
+        df = FileSource(spark, str(p), add_filename=False, add_record_index=False).read()
+        assert df.columns == ["id", "name", "joined"]
+        assert all(t == "string" for _, t in df.dtypes)  # F6: strings only
+        assert {r["id"] for r in df.collect()} == {"1", "2"}
+
+    def test_csv_skip_header_index_names(self, spark, tmpdata):
+        p = tmpdata / "people.csv"
+        p.write_text("id,name\n1,alice\n2,bob\n")
+        df = FileSource(
+            spark, str(p), skip_header=True, add_filename=False, add_record_index=False
+        ).read()
+        assert df.columns == ["0", "1"]  # csv2json.go:68-77
+
+    def test_csv_skip_rows(self, spark, tmpdata):
+        p = tmpdata / "noisy.csv"
+        p.write_text("#junk\n#more junk\nid,name\n1,alice\n2,bob\n")
+        df = FileSource(
+            spark, str(p), skip_rows=2, add_filename=False, add_record_index=False
+        ).read()
+        assert df.columns == ["id", "name"]
+        assert df.count() == 2
+
+    def test_tsv_delimiter(self, spark, tmpdata):
+        p = tmpdata / "t.tsv"
+        p.write_text("a\tb\n1\tx\n")
+        df = FileSource(spark, str(p), add_filename=False, add_record_index=False).read()
+        assert df.collect()[0].asDict() == {"a": "1", "b": "x"}
+
+    def test_json_key_order_preserved(self, spark, tmpdata):
+        # §1.1: the record is an ordered map; column order must follow
+        # first-seen key order, not Spark's alphabetical inference.
+        p = tmpdata / "ordered.json"
+        p.write_text('{"zeta": 1, "alpha": "x", "mid": true}\n')
+        df = FileSource(spark, str(p), add_filename=False, add_record_index=False).read()
+        assert df.columns == ["zeta", "alpha", "mid"]
+
+    def test_empty_source_file(self, spark, tmpdata):
+        p = tmpdata / "empty.json"
+        p.write_text("")
+        df = FileSource(spark, str(p)).read()
+        assert df.count() == 0
+
+    def test_crlf_normalized(self, spark, tmpdata):
+        p = tmpdata / "crlf.csv"
+        p.write_bytes(b"a,b\r\n1,x\r\n")
+        df = FileSource(spark, str(p), add_filename=False, add_record_index=False).read()
+        assert df.collect()[0].asDict() == {"a": "1", "b": "x"}
+
+
+class TestRfc007GroupedRouting:
+    """FIXTURES.md F2: jq regroups group_id into metadata, sink routes by
+    template, metadata never reaches the written data."""
+
+    ROWS = [
+        {"group_id": "group_1", "column_1": "value_1", "column_2": "value_2"},
+        {"group_id": "group_1", "column_1": "value_3", "column_2": "value_4"},
+        {"group_id": "group_2", "column_1": "value_5", "column_2": "value_6"},
+    ]
+
+    def test_end_to_end(self, spark, tmpdata):
+        src_path = tmpdata / "grouped.json"
+        write_ndjson(src_path, self.ROWS)
+        out_dir = tmpdata / "out"
+
+        df = FileSource(
+            spark, str(src_path), add_filename=False, add_record_index=False
+        ).read()
+        transformed = translate_jq(
+            df, 'del(.group_id) + {("__METADATA__group_id"): .group_id}'
+        )
+        sink = FileSink(f"{out_dir}/file_[[ .__METADATA__group_id ]].json")
+        result = sink.write(transformed)
+
+        assert set(result.files) == {
+            f"{out_dir}/file_group_1.json",
+            f"{out_dir}/file_group_2.json",
+        }
+        g1 = [json.loads(l) for l in open(f"{out_dir}/file_group_1.json")]
+        g2 = [json.loads(l) for l in open(f"{out_dir}/file_group_2.json")]
+        assert len(g1) == 2 and len(g2) == 1
+        for rec in g1 + g2:
+            assert "group_id" not in rec
+            assert not any(k.startswith("__METADATA__") for k in rec)
+        assert {r["column_1"] for r in g1} == {"value_1", "value_3"}
+        assert g2[0] == {"column_1": "value_5", "column_2": "value_6"}
+
+
+class TestCsvSink:
+    def test_f5_stringification(self, spark, tmpdata):
+        # FIXTURES.md F5: nested as JSON text, whole floats bare, null empty
+        df = spark.createDataFrame(
+            [(1, ["a", "b"], {"k": "v"}, 3.0, 3.14, True, None)],
+            "id long, tags array<string>, props map<string,string>, "
+            "whole double, frac double, flag boolean, none string",
+        )
+        out = tmpdata / "f5.csv"
+        FileSink(str(out)).write(df)
+        lines = open(out).read().splitlines()
+        assert lines[0] == "id,tags,props,whole,frac,flag,none"
+        assert lines[1] == '1,"[""a"",""b""]","{""k"":""v""}",3,3.14,true,'
+
+    def test_header_union_f4(self, spark, tmpdata):
+        # F4: ragged NDJSON → header unions keys, missing cells empty
+        src = tmpdata / "ragged.json"
+        src.write_text('{"a": 1}\n{"a": 2, "b": "x"}\n{"a": 3, "b": "y", "c": true}\n')
+        df = FileSource(
+            spark, str(src), add_filename=False, add_record_index=False
+        ).read()
+        out = tmpdata / "ragged.csv"
+        FileSink(str(out)).write(df)
+        lines = open(out).read().splitlines()
+        assert lines[0] == "a,b,c"
+        cells = sorted(l.split(",") for l in lines[1:])
+        assert cells == [["1", "", ""], ["2", "x", ""], ["3", "y", "true"]]
+
+    def test_gzip_auto_compression(self, spark, tmpdata):
+        df = spark.createDataFrame([(1, "x")], "id long, v string")
+        out = tmpdata / "z.json.gz"
+        FileSink(str(out)).write(df)
+        rec = json.loads(gzip.open(out).read().splitlines()[0])
+        assert rec == {"id": 1, "v": "x"}
+
+    def test_json_preserves_nulls_and_order(self, spark, tmpdata):
+        df = spark.createDataFrame([(1, None)], "id long, note string")
+        out = tmpdata / "nulls.json"
+        FileSink(str(out)).write(df)
+        line = open(out).read().splitlines()[0]
+        assert line == '{"id":1,"note":null}'  # ordered map + kept null

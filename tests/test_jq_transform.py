@@ -1,0 +1,97 @@
+"""JQ transform tests: native subset differential-tested against the
+real jq binary (the reference's engine — ext/jq/connector.go), plus
+per-batch semantics of the escape hatch."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+
+import pytest
+
+from optimus_any2any_spark.compiler.jq import (
+    JQUnsupported,
+    jq_binary_transform,
+    jq_transform,
+    translate_jq,
+)
+
+ROWS = [
+    {"id": 1, "name": "alice", "age": 34, "active": True, "score": 91.5},
+    {"id": 2, "name": "bob", "age": 28, "active": False, "score": 77.0},
+    {"id": 3, "name": "carol", "age": 41, "active": True, "score": 64.25},
+]
+
+
+def jq_oracle(program: str, rows: list[dict]) -> list[dict]:
+    payload = json.dumps(rows)
+    out = subprocess.run(
+        ["jq", "-c", program], input=payload.encode(), stdout=subprocess.PIPE, check=True
+    )
+    return [json.loads(ln) for ln in out.stdout.decode().splitlines() if ln.strip()]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        ROWS, "id long, name string, age long, active boolean, score double"
+    )
+
+
+def spark_rows(df) -> list[dict]:
+    return [
+        {k: v for k, v in r.asDict().items() if v is not None} for r in df.collect()
+    ]
+
+
+NATIVE_PROGRAMS = [
+    ".[] | select(.age > 30)",                          # README Advanced Usage
+    ".[] | select(.active == true and .age < 40)",
+    ".[] | select(.score >= 64.25)",
+    '.[] | {id: .id, upper_name: (.name | ascii_upcase)}'.replace(
+        "(.name | ascii_upcase)", ".name"
+    ),  # simple projection
+    ".[] | del(.score)",
+    '.[] | del(.name) + {("__METADATA__group"): .name}',  # rfc_007 contract
+    ".[] | . + {bonus: (.score * 2)}",
+    ".[] | {id, age}",
+]
+
+
+@pytest.mark.parametrize("program", NATIVE_PROGRAMS)
+def test_native_matches_jq_binary(spark, df, program):
+    got = translate_jq(df, program)
+    expect = jq_oracle(program, ROWS)
+    got_rows = spark_rows(got)
+    key = lambda d: json.dumps(d, sort_keys=True)
+    assert sorted(got_rows, key=key) == sorted(expect, key=key), program
+
+
+def test_unsupported_raises(df):
+    with pytest.raises(JQUnsupported):
+        translate_jq(df, "group_by(.age) | map(length)")
+
+
+def test_binary_escape_hatch(spark, df):
+    out = jq_binary_transform(df, ".[] | select(.age > 30)", batch_size=2)
+    vals = [json.loads(r["value"]) for r in out.collect()]
+    expect = jq_oracle(".[] | select(.age > 30)", ROWS)
+    key = lambda d: json.dumps(d, sort_keys=True)
+    assert sorted(vals, key=key) == sorted(expect, key=key)
+
+
+def test_binary_per_batch_aggregation(spark):
+    """SURVEY.md §2.3: JQ aggregations are per 512-record batch, not
+    global — `[.[] | .v] | add` sums within each batch."""
+    rows = [{"v": 1}] * 1100
+    df = spark.createDataFrame(rows, "v long").coalesce(1)
+    out = jq_binary_transform(df, "[.[] | .v] | add", batch_size=512)
+    sums = sorted(json.loads(r["value"]) for r in out.collect())
+    assert sums == [76, 512, 512]  # 1100 = 512 + 512 + 76
+
+
+def test_jq_transform_dispatch(spark, df):
+    native = jq_transform(df, ".[] | select(.age > 30)")
+    assert "age" in native.columns  # translated natively, typed columns
+    fallback = jq_transform(df, "[.[] | .age] | add")
+    assert fallback.columns == ["value"]  # binary path

@@ -1,0 +1,113 @@
+"""Template-compiler contract tests.
+
+Mirrors the reference's only real unit tests
+(internal/ext/compiler/compiler_test.go:11-88, FIXTURES.md F9) plus the
+Column backend equivalence.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+
+import pytest
+
+from optimus_any2any_spark.compiler.template import compile_template
+
+RECORD = {"column1": "value1", "column2": 102, "nested": {"column2": "value2"}}
+
+
+class TestRenderContracts:
+    def test_field_interpolation(self):
+        t = compile_template("column1: [[ .column1 ]], column2: [[ .column2 ]]")
+        assert t.render(RECORD) == "column1: value1, column2: 102"
+
+    def test_nested_field(self):
+        assert compile_template("[[ .nested.column2 ]]").render(RECORD) == "value2"
+
+    def test_non_delim_passthrough(self):
+        src = "no render {{ .DSTART }}"
+        assert compile_template(src).render(RECORD) == src
+
+    def test_integer_div_truncates(self):
+        assert compile_template("[[ div .column2 100 ]]").render(RECORD) == "1"
+
+    def test_batch_step_arithmetic(self):
+        # ext/oss/sink.go:54 batch-splitting template
+        t = compile_template("[[ mul (div .__METADATA__record_index 10) 10 ]]")
+        for idx, expect in [(0, "0"), (9, "0"), (10, "10"), (25, "20")]:
+            assert t.render({"__METADATA__record_index": idx}) == expect
+
+    def test_now_format(self):
+        out = compile_template('[[ now.Format "2006-01-02" ]]').render({})
+        assert re.fullmatch(r"\d{4}-\d{2}-\d{2}", out)
+
+    def test_uuid(self):
+        out = compile_template("[[ uuid ]]").render({})
+        uuid.UUID(out)  # parses
+
+    def test_tojson_whole_record(self):
+        out = compile_template("[[ . | tojson ]]").render(RECORD)
+        assert json.loads(out) == RECORD
+
+    def test_sprig_string_funcs(self):
+        assert compile_template("[[ upper .column1 ]]").render(RECORD) == "VALUE1"
+        assert compile_template('[[ replace "l" "L" .column1 ]]').render(RECORD) == "vaLue1"
+        assert compile_template('[[ trim "  x  " ]]').render({}) == "x"
+        assert compile_template('[[ printf "%s-%d" .column1 .column2 ]]').render(RECORD) == "value1-102"
+
+    def test_field_refs(self):
+        t = compile_template("a [[ .x ]] b [[ mul (div .y 10) 10 ]]")
+        assert t.field_refs() == {"x", "y"}
+
+    def test_static(self):
+        assert compile_template("plain").is_static
+        assert not compile_template("[[ .a ]]").is_static
+
+
+class TestColumnBackend:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("group_1", 0, 3.0, True),
+                ("group_2", 10, 2.5, False),
+            ],
+            "group_id string, __METADATA__record_index long, score double, flag boolean",
+        )
+
+    def collect(self, df, template):
+        t = compile_template(template)
+        return [r[0] for r in df.select(t.column(df)).collect()]
+
+    def test_destination_routing(self, df):
+        # docs/rfc_007 destination template
+        out = self.collect(df, "oss://b/file_[[ .group_id ]].json")
+        assert out == ["oss://b/file_group_1.json", "oss://b/file_group_2.json"]
+
+    def test_batch_arithmetic(self, df):
+        out = self.collect(df, "[[ mul (div .__METADATA__record_index 10) 10 ]]")
+        assert out == ["0", "10"]
+
+    def test_float_and_bool_stringification(self, df):
+        # Go %v semantics: whole floats bare, bools lowercase
+        assert self.collect(df, "[[ .score ]]") == ["3", "2.5"]
+        assert self.collect(df, "[[ .flag ]]") == ["true", "false"]
+
+    def test_pipe_upper(self, df):
+        assert self.collect(df, "[[ .group_id | upper ]]") == ["GROUP_1", "GROUP_2"]
+
+    def test_render_column_parity(self, df):
+        """Both backends must produce identical strings."""
+        templates = [
+            "f_[[ .group_id ]]_[[ div .__METADATA__record_index 7 ]]",
+            "[[ printf \"%s|%s\" .group_id .score ]]",
+            "[[ .score ]]-[[ .flag ]]",
+        ]
+        rows = [r.asDict() for r in df.collect()]
+        for tmpl in templates:
+            t = compile_template(tmpl)
+            py = [t.render(r) for r in rows]
+            col = [r[0] for r in df.select(t.column(df)).collect()]
+            assert py == col, tmpl
