@@ -1,0 +1,221 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each algorithm at 100 TB):
+
+- **Exact**: one hash-aggregate on a fingerprint — a single shuffle on
+  the fingerprint key; AQE handles skew.
+- **N-gram Jaccard**: candidate generation via an inverted shingle
+  index (explode → self-join on shingle) — never the O(n²) cross join;
+  the join key is the shingle, frequency-capped to bound hot keys.
+- **MinHash + LSH**: documents → k minhash signatures → banded buckets;
+  only same-bucket pairs are verified. Shuffle volume is O(docs × k),
+  independent of document length, and verification touches only
+  candidates. This is the scale path for corpus-level near-dedup.
+- **SimHash**: per-doc 32-bit signature via bit-vote aggregation;
+  near-dup lookup becomes a cheap equality/Hamming bucket join.
+
+Hashing discipline: all hashes derive from md5 hex strings (portable —
+identical in Spark, DuckDB, Python), not engine-specific hash().
+MinHash uses the lexicographic min of seeded md5 hex strings, a valid
+uniform permutation substitute that every engine reproduces exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.operators.text import tokens
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands × 4 rows: ~guaranteed catch at j≥0.8
+
+
+def exact_dedup_groups(
+    df: DataFrame, fingerprint_col: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by exact fingerprint (reference shape: hash
+    groupBy). Returns one row per fingerprint with >1 member."""
+    return (
+        df.groupBy(fingerprint_col.alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    # guard: sequence(1, 0) would DESCEND in Spark, so short docs get an
+    # explicitly empty shingle set
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.8, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs that share at
+    least one shingle. ``max_shingle_freq`` drops ultra-common shingles
+    (stopword boilerplate) to bound the hot-key blowup at scale."""
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle").drop("df_")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("set_size", "size_a")
+    sb = sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("set_size", "size_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _seeded_hash(seed: int, col: Column) -> Column:
+    """Portable uniform hash: md5 hex of ``seed|value`` (string min is a
+    valid minhash order)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), col).cast("binary"))
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(id, h0..h{k-1}) — one aggregate pass over the shingle table."""
+    return sh.groupBy("id").agg(
+        *[
+            F.min(_seeded_hash(i, F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signatures and emit same-bucket pairs (doc_a < doc_b)."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).cast(
+                "binary"
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    bucketed = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: shingle → sign → band → verify."""
+    sh = shingles(df, text_col, id_col, n)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    verified = jaccard_pairs(sh, threshold)  # exact jaccard on shingle sets
+    return cand.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over word tokens.
+
+    Each token's md5 contributes ±1 votes on 32 bit positions; the
+    signature sets bit b when the vote sum is positive. Bit extraction
+    works on md5 hex characters (4 bits each) so the arithmetic is
+    portable across engines.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    hashed = tok.select("id", F.md5(F.col("token").cast("binary")).alias("h"))
+    # one row per (doc, token, bit): bit value from hex char
+    bits = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("h"),
+    ).withColumn(
+        "bit",
+        (
+            F.conv(
+                F.expr("substring(h, CAST(b / 4 AS INT) + 1, 1)"), 16, 10
+            )
+            .cast("int")
+            .bitwiseAND(F.expr("shiftleft(1, 3 - CAST(b % 4 AS INT))"))
+            > 0
+        ).cast("int"),
+    )
+    votes = bits.groupBy("id", "b").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    )
+    return (
+        votes.withColumn(
+            "contrib",
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), 31 - CAST(b AS INT))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("simhash"))
+        .select(F.col("id").alias("doc_id"), F.col("simhash"))
+    )

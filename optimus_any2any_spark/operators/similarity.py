@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k via a self-join — correct at any
+recall, O(n²) pairs; usable for test scale and as the verification
+oracle for approximate variants.
+
+Scale path: random-hyperplane LSH bucketing — hyperplane signs derived
+from seeded md5 parity so buckets are deterministic and reproducible in
+any engine; candidate search is confined to same-bucket pairs, turning
+the O(n²) cross join into a bucket-local join. (IVF with learned
+centroids needs an iterative trainer; the LSH variant gives the same
+join shape without training state.)
+
+Numeric discipline: elements cast to double before multiply-accumulate;
+final similarity rounded to 6 decimals with id tie-breaks so ranking is
+deterministic and engine-portable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector (self-join).
+
+    Returns (vec_id, neighbor_id, cosine_sim, rank) with deterministic
+    ordering: rounded similarity desc, neighbor id asc.
+    """
+    a = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, num_planes: int, seed: str = "simsearch") -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — reproducible
+    anywhere (Python, Spark, SQL) without RNG state."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = bit-string of hyperplane sign tests."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(v) for v in row])
+        bits.append(F.when(F.round(_dot(vec, plane), 6) > 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: neighbors searched within the same LSH bucket.
+
+    Recall < 1 by construction (bucket boundaries); at scale this is the
+    join-shape win — each bucket joins only with itself, so the pair
+    count drops from n² to Σ bucket².
+    """
+    first = df.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    planes = hyperplanes(dim, num_planes)
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("vec_id"),
+        F.col("b.id").alias("neighbor_id"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

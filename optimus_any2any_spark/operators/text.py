@@ -1,0 +1,133 @@
+"""Text-analysis operators: tokenization, quality, language-ID,
+fingerprinting.
+
+All pure Column expressions (whole-stage codegen, no Python in the hot
+path); every function is deterministic so results are reproducible
+across partitionings and match the DuckDB oracles exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic stopword lists for the language-ID heuristic.
+# Order matters: tie-break picks the first language in LANGS.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "para", "con"],
+}
+LANGS = list(LANG_STOPWORDS)
+
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (regex, multi-space safe)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def avg_word_len(col: Column) -> Column:
+    """Mean token length: sum(len)/count as double (exact int sum)."""
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total.cast("double") / F.size(toks)
+
+
+def digit_ratio(col: Column) -> Column:
+    return (
+        F.length(F.regexp_replace(col, r"[^0-9]", "")).cast("double")
+        / F.length(col)
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    # char class kept simple so the SQL oracle mirrors it exactly
+    return (
+        F.length(F.regexp_replace(col, r"[^.,!?;:]", "")).cast("double")
+        / F.length(col)
+    )
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """Number of tokens that are stopwords (integer, exact)."""
+    toks = tokens(F.lower(col))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(col: Column, words: list[str] | None = None) -> Column:
+    return stopword_hits(col, words or QUALITY_STOPWORDS).cast(
+        "double"
+    ) / token_count(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document-quality score in [0,1].
+
+    Combines length saturation, stopword presence, and low digit/punct
+    noise — the standard cheap pre-filter shape for pretraining corpora
+    (cf. C4/Gopher rules). Per-row double arithmetic: deterministic.
+    """
+    n = token_count(col).cast("double")
+    length_term = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    noise_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - digit_ratio(col) * 5.0 - punct_ratio(col) * 5.0
+    )
+    return length_term * 0.3 + stop_term * 0.4 + noise_term * 0.3
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def predicted_lang(col: Column) -> Column:
+    """Argmax language by stopword hits; 'unknown' when all zero.
+
+    Deterministic tie-break: first language in LANGS order wins.
+    """
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANGS])
+    result = F.lit("unknown")
+    for lang in reversed(LANGS):  # earlier langs overwrite on tie
+        result = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column) -> Column:
+    """Whole-document fingerprint over whitespace-normalized lowercase
+    text (the md5-of-normalized analogue of a rolling hash)."""
+    return F.md5(
+        F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))).cast("binary")
+    )
+
+
+def prefix_fingerprint(col: Column, n: int = 80) -> Column:
+    """Fingerprint of the first ``n`` characters — catches documents
+    that share a head but diverge later (template boilerplate)."""
+    return F.md5(F.substring(col, 1, n).cast("binary"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        avg_word_len(c).alias("avg_word_len"),
+        digit_ratio(c).alias("digit_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality_score"),
+        predicted_lang(c).alias("predicted_lang"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,7 +1,366 @@
-"""LLM-training-data pipeline operators (dedup / similarity / text).
+"""LLM-training-data pipeline queries with DuckDB oracles.
 
-Populated incrementally; see optimus_any2any_spark.operators for the
-implementations.
+Every query wraps an operator from ``optimus_any2any_spark.operators``;
+the oracle re-expresses the same deterministic algorithm in DuckDB SQL
+(portable md5-based hashing, integer-exact set arithmetic, rounded
+double similarities with id tie-breaks) so values hash-match exactly.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.queries import register
+from optimus_any2any_spark.queries.util import load
+from optimus_any2any_spark.operators import dedup as D
+from optimus_any2any_spark.operators import similarity as S
+from optimus_any2any_spark.operators import text as TX
+from optimus_any2any_spark.operators.multimodal import attach_payload, extract_features
+
+# Shared DuckDB CTE fragments -------------------------------------------------
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+_SQL_SHINGLES = f"""
+  tok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id AS id, gram AS shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM tok WHERE len(t) >= 3
+    )
+  )
+"""
+
+_SQL_JACCARD = """
+  sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+  inter AS (
+    SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+  ),
+  verified AS (
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) /
+                 (sa.set_size + sb.set_size - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = doc_a
+    JOIN sizes sb ON sb.id = doc_b
+    WHERE round(CAST(n_common AS DOUBLE) /
+                (sa.set_size + sb.set_size - n_common), 4) >= 0.8
+  )
+"""
+
+_NUM_HASHES = D.DEFAULT_NUM_HASHES
+_BANDS = D.DEFAULT_BANDS
+_ROWS = _NUM_HASHES // _BANDS
+
+_SQL_MINHASH_SIG = (
+    "  sig AS (SELECT id, "
+    + ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES)
+    )
+    + " FROM sh GROUP BY id)"
+)
+
+_SQL_BANDS = (
+    "  bands AS ("
+    + " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    + ")"
+)
+
+
+# Dedup -----------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(substr(text, 1, 80)) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id,
+           MAX(doc_id) AS max_id
+    FROM documents
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+    doc="Exact dedup via hash-groupBy on a prefix fingerprint: one "
+    "shuffle on the fingerprint key, canonical = min id.",
+)
+def dedup_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(
+        d, TX.prefix_fingerprint(F.col("text"), 80)
+    ).orderBy("fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Near-dedup by exact 3-gram Jaccard >= 0.8 over an inverted "
+    "shingle index (shingle-key join, never the n^2 cross join).",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d)
+    return D.jaccard_pairs(sh, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD}, {_SQL_MINHASH_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.doc_a, c.doc_b, v.jaccard
+    FROM cand c JOIN verified v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    doc="MinHash(16)+LSH(4x4 bands) candidate generation, exact-Jaccard "
+    "verification: shuffle volume O(docs x hashes), independent of doc "
+    "length — the 100 TB near-dedup path.",
+    bench=True,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(d, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(token) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, bb.b,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, CAST(bb.b // 4 AS INT) + 1, 1)) - 1)
+                        & (1 << (3 - CAST(bb.b % 4 AS INT)))) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM hashed
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+    ),
+    votes AS (
+      SELECT doc_id, b, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0
+                         THEN CAST(1 AS BIGINT) << (31 - CAST(b AS INT))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="32-bit SimHash signatures via portable md5-hex bit votes; "
+    "near-dup lookup becomes an equality/Hamming bucket join.",
+)
+def dedup_simhash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.simhash32(d).orderBy("doc_id")
+
+
+# Similarity search -----------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim
+      FROM n a JOIN n b ON a.vec_id != b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) t
+    WHERE rank <= 5
+    ORDER BY vec_id, rank
+    """,
+    doc="Brute-force cosine top-5 neighbors (exact baseline; rounded "
+    "similarity + id tie-break for determinism).",
+)
+def ann_cosine_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, k=5).orderBy("vec_id", "rank")
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate variant: rows-only check (same algorithm
+    # is deterministic, but the oracle SQL with literal hyperplane
+    # arrays is deferred)
+    doc="LSH-bucketed cosine top-k: deterministic md5-derived "
+    "hyperplane signs; per-bucket joins replace the n^2 pair space.",
+    bench=True,
+)
+def ann_lsh_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, k=5).orderBy("vec_id", "rank")
+
+
+# Text analysis ---------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, n_chars, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           n_chars AS n_chars_declared,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) AS avg_word_len,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text) AS digit_ratio
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Token counting + basic text statistics, all JVM-side Column "
+    "expressions (no Python UDFs).",
+)
+def text_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(c).cast("long").alias("n_tokens"),
+        F.length(c).cast("long").alias("n_chars_actual"),
+        F.col("n_chars").alias("n_chars_declared"),
+        TX.avg_word_len(c).alias("avg_word_len"),
+        TX.digit_ratio(c).alias("digit_ratio"),
+    ).orderBy("doc_id")
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter({_SQL_TOKENS.replace('text', 'lower(text)')}, "
+        f"x -> list_contains([{words}], x)))"
+    )
+
+
+@register(
+    "text_lang_quality",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_declared, text,
+             {_sql_lang_hits('en')} AS s_en,
+             {_sql_lang_hits('de')} AS s_de,
+             {_sql_lang_hits('fr')} AS s_fr,
+             {_sql_lang_hits('es')} AS s_es,
+             CAST(len({_SQL_TOKENS}) AS DOUBLE) AS n_tok,
+             CAST({_sql_lang_hits('en')} AS DOUBLE)
+               / len({_SQL_TOKENS}) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / length(text) AS digit_r,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_r
+      FROM documents
+    )
+    SELECT doc_id, lang_declared,
+           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+                ELSE 'unknown' END AS predicted_lang,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(least(n_tok / 200.0, 1.0) * 0.3
+                 + least(stop_ratio * 4.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - digit_r * 5.0 - punct_r * 5.0) * 0.3,
+                 6) AS quality_score
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Language-ID (stopword-hit argmax heuristic) + quality scoring "
+    "(length/stopword/noise mix — C4/Gopher-style cheap prefilter).",
+)
+def text_lang_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        TX.predicted_lang(c).alias("predicted_lang"),
+        F.round(TX.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(TX.quality_score(c), 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           md5(substr(text, 1, 80)) AS prefix_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized "
+    "lowercase text + head fingerprint.",
+)
+def doc_fingerprints(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.fingerprint(c).alias("fingerprint"),
+        TX.prefix_fingerprint(c, 80).alias("prefix_fp"),
+    ).orderBy("doc_id")
+
+
+# Multimodal plumbing ---------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256,
+           64 + (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
+           64 + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Multimodal-column plumbing: opaque binary payload + "
+    "Arrow-batched mapInPandas feature extraction (decode stubbed "
+    "deterministically — no imaging libs in this environment; the "
+    "schema/batching/partitioning is the real scale path).",
+)
+def multimodal_features(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(d), fake_decode=True)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    ).orderBy("doc_id")

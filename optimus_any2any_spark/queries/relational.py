@@ -272,9 +272,9 @@ def q_events_top_per_user(spark, sf_dir):
     "q_events_sessions",
     oracle="""
     SELECT user_id,
-           1 + SUM(CASE WHEN prev_ts IS NOT NULL
-                         AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-                        THEN 1 ELSE 0 END) AS n_sessions,
+           CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL
+                              AND epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM (
       SELECT user_id, ts,
