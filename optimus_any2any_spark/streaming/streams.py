@@ -1,0 +1,110 @@
+"""Streaming pipelines: file/Kafka stream → windowed aggs → sinks.
+
+Shapes provided:
+
+- :func:`stream_source` — ``readStream`` over an NDJSON directory (the
+  streaming twin of the FILE source) or Kafka.
+- :func:`windowed_counts` — event-time tumbling windows with a
+  watermark for late data.
+- :func:`sessionized` — session windows per key.
+- :func:`run_to_memory` — drive a stream to completion against the
+  currently-available data (processingTime trigger availableNow), for
+  tests and backfills.
+
+At scale these run exactly like the batch operators (same Catalyst
+plans) with incremental state in the state store; watermark delay
+bounds state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format(fmt).load(path)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def sessionized(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (inactivity gap) per key — the streaming twin of
+    the batch sessionization query."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    result: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Process all currently-available input (availableNow trigger),
+    block until done, return the materialized result table."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def kafka_stream_sink(
+    df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str
+):
+    """Streaming Kafka producer (the reference's Kafka sink is batch
+    produce-only — ext/kafka/sink.go:21; this is the continuous twin)."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,161 @@
+"""Tests for xlsx/archive converters, policy layer, and streaming."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tarfile
+import time
+import zipfile
+
+import pytest
+
+from optimus_any2any_spark.formats.archive import (
+    archive_files,
+    nearest_common_parent,
+    split_archive_extension,
+)
+from optimus_any2any_spark.formats.xlsx import write_xlsx
+from optimus_any2any_spark.policy import check_connectivity, retry
+
+
+class TestXlsx:
+    def test_roundtrip_zip_structure(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "alice", 3.5, True, None), (2, "bob", 2.0, False, "x")],
+            "id long, name string, score double, flag boolean, note string",
+        )
+        out = tmp_path / "r.xlsx"
+        n = write_xlsx(df, str(out))
+        assert n == 2
+        with zipfile.ZipFile(out) as z:
+            names = set(z.namelist())
+            assert "xl/worksheets/sheet1.xml" in names
+            sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        assert "alice" in sheet and 'r="A1"' in sheet
+        # header row + 2 data rows
+        assert sheet.count("<row ") == 3
+
+
+class TestArchive:
+    def test_split_extension_auto(self):
+        assert split_archive_extension("f.json.gz") == ("f.json", "gz")
+        assert split_archive_extension("f.csv.zip") == ("f.csv", "zip")
+        assert split_archive_extension("d.json.tar.gz") == ("d.json", "tar.gz")
+        assert split_archive_extension("f.json") == ("f.json", None)
+
+    def test_zip_many_at_common_parent(self, tmp_path):
+        d = tmp_path / "out"
+        (d / "a").mkdir(parents=True)
+        f1 = d / "a" / "x.json"
+        f2 = d / "y.json"
+        f1.write_text("1")
+        f2.write_text("2")
+        arc = archive_files([str(f1), str(f2)], "zip")
+        assert os.path.dirname(arc) == str(d)  # nearest common parent
+        with zipfile.ZipFile(arc) as z:
+            assert set(z.namelist()) == {"a/x.json", "y.json"}
+        assert not f1.exists() and not f2.exists()  # sources removed
+
+    def test_targz(self, tmp_path):
+        f = tmp_path / "x.json"
+        f.write_text("data")
+        arc = archive_files([str(f)], "tar.gz")
+        with tarfile.open(arc) as t:
+            assert t.getnames() == ["x.json"]
+
+    def test_gz_single(self, tmp_path):
+        f = tmp_path / "x.json"
+        f.write_text("hello")
+        arc = archive_files([str(f)], "gz")
+        assert gzip.open(arc).read() == b"hello"
+
+    def test_password_zip_stubbed(self, tmp_path):
+        f = tmp_path / "x.json"
+        f.write_text("secret")
+        with pytest.raises(NotImplementedError):
+            archive_files([str(f)], "zip", password="pw")
+
+
+class TestPolicy:
+    def test_retry_backoff_sequence(self):
+        sleeps: list[float] = []
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("boom")
+            return "ok"
+
+        out = retry(flaky, max_attempts=3, backoff_ms=100, sleep=sleeps.append)
+        assert out == "ok"
+        assert sleeps == [0.1, 0.2]  # 2^i * backoff doubling
+
+    def test_retry_exhausts(self):
+        with pytest.raises(RuntimeError):
+            retry(lambda: (_ for _ in ()).throw(RuntimeError("x")), 2, 1, sleep=lambda s: None)
+
+    def test_connectivity_check(self):
+        import socket
+
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        assert check_connectivity("127.0.0.1", port)
+        srv.close()
+        assert not check_connectivity("127.0.0.1", 1)  # closed port
+
+
+class TestStreaming:
+    def test_windowed_counts_with_late_data(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.streams import (
+            run_to_memory,
+            stream_source,
+            windowed_counts,
+        )
+
+        src = tmp_path / "stream"
+        src.mkdir()
+        (src / "batch1.json").write_text(
+            '{"ts": "2024-01-01T00:10:00Z", "event_type": "click"}\n'
+            '{"ts": "2024-01-01T00:20:00Z", "event_type": "click"}\n'
+            '{"ts": "2024-01-01T01:05:00Z", "event_type": "view"}\n'
+        )
+        stream = stream_source(
+            spark, str(src), "ts timestamp, event_type string"
+        )
+        assert stream.isStreaming
+        result = windowed_counts(stream, window="1 hour", watermark="2 hours")
+        # with availableNow + append, windows would wait for the
+        # watermark to pass; complete mode emits the final state
+        table = run_to_memory(result, "win_counts", output_mode="complete")
+        got = {
+            (r["window_start"].hour, r["event_type"]): r["n_events"]
+            for r in table.collect()
+        }
+        assert got == {(0, "click"): 2, (1, "view"): 1}
+
+    def test_sessionized_stream(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.streams import (
+            run_to_memory,
+            sessionized,
+            stream_source,
+        )
+
+        src = tmp_path / "stream2"
+        src.mkdir()
+        (src / "b.json").write_text(
+            '{"ts": "2024-01-01T00:00:00Z", "user_id": 1}\n'
+            '{"ts": "2024-01-01T00:10:00Z", "user_id": 1}\n'
+            '{"ts": "2024-01-01T02:00:00Z", "user_id": 1}\n'
+        )
+        stream = stream_source(spark, str(src), "ts timestamp, user_id long")
+        table = run_to_memory(
+            sessionized(stream, gap="30 minutes"), "sessions",
+            output_mode="complete",
+        )
+        rows = sorted(table.collect(), key=lambda r: r["session_start"])
+        assert len(rows) == 2  # two sessions split by the 30-min gap
+        assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 1
