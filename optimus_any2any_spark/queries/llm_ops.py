@@ -210,11 +210,54 @@ def ann_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(e, k=5).orderBy("vec_id", "rank")
 
 
+def _lsh_oracle_sql(dim: int = 64, num_planes: int = 6) -> str:
+    """DuckDB mirror of lsh_topk — the hyperplanes are deterministic
+    md5-parity constants, so they embed as literals."""
+    planes = S.hyperplanes(dim, num_planes)
+    values = ", ".join(
+        "({p}, [{vals}])".format(
+            p=p, vals=", ".join(f"{v:.1f}" for v in row)
+        )
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    planes(p, plane) AS (VALUES {values}),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN round(list_dot_product(e, plane), 6) > 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v CROSS JOIN planes
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    n AS (
+      SELECT v.vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, bucket
+      FROM v JOIN buckets USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    ) t
+    WHERE rank <= 5
+    ORDER BY vec_id, rank
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate variant: rows-only check (same algorithm
-    # is deterministic, but the oracle SQL with literal hyperplane
-    # arrays is deferred)
+    oracle=_lsh_oracle_sql(),
     doc="LSH-bucketed cosine top-k: deterministic md5-derived "
     "hyperplane signs; per-bucket joins replace the n^2 pair space.",
     bench=True,
@@ -222,6 +265,68 @@ def ann_cosine_topk(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return S.lsh_topk(e, k=5).orderBy("vec_id", "rank")
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM verified)
+    ORDER BY d.doc_id
+    """,
+    doc="Dedup materialization: keep-first canonical selection via "
+    "anti-join against the near-dup pair set (the production shape: "
+    "corpus LEFT ANTI JOIN dup-ids).",
+)
+def dedup_keep_canonical(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d)
+    dups = D.jaccard_pairs(sh, threshold=0.8).select("doc_b").distinct()
+    return (
+        d.join(dups, d.doc_id == dups.doc_b, "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT label, CAST(i AS INT) AS pos,
+           CAST(SUM(CAST(e[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+             AS centroid
+    FROM v CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dims
+    GROUP BY label, i
+    ORDER BY label, pos
+    """,
+    doc="Per-label embedding centroids (the IVF-training primitive): "
+    "posexplode + exact decimal mean per dimension — array aggregation "
+    "without Python.",
+)
+def embedding_centroids(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    # embeddings are fixed 64-dim (oracle mirrors range(0,64))
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            (
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(18,9)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+        .orderBy("label", "pos")
+    )
 
 
 # Text analysis ---------------------------------------------------------------
