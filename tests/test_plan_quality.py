@@ -1,0 +1,60 @@
+"""Plan-shape regression tests: pushdown, pruning, and join strategy
+must hold — a silent plan regression is a 100 TB incident, so it fails
+here instead."""
+
+from __future__ import annotations
+
+import pytest
+
+from optimus_any2any_spark.plans import plan_report
+from optimus_any2any_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def report(spark, name):
+    return plan_report(QS[name].spark(spark, SF_DIR))
+
+
+class TestPushdownAndPruning:
+    def test_q01_filter_pushed_and_pruned(self, spark):
+        r = report(spark, "q01_pricing_summary")
+        assert r.has_pushdown, "shipdate filter must reach the parquet scan"
+        assert any("LessThanOrEqual(l_shipdate" in f for f in r.pushed_filters)
+        cols = r.scan_columns()[0]
+        # 11-column table, query needs 7 — pruning must drop the rest
+        assert "l_orderkey" not in cols and "l_partkey" not in cols
+
+    def test_q06_all_filters_pushed(self, spark):
+        r = report(spark, "q06_revenue_forecast")
+        joined = " ".join(r.pushed_filters)
+        for f in ("l_shipdate", "l_discount", "l_quantity"):
+            assert f in joined
+        assert set(r.scan_columns()[0]) == {
+            "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+        }
+
+    def test_documents_scan_pruned_for_dedup(self, spark):
+        r = report(spark, "dedup_ngram_jaccard")
+        for cols in r.scan_columns():
+            assert "lang" not in cols and "source" not in cols
+
+
+class TestJoinStrategy:
+    def test_q03_dims_broadcast(self, spark):
+        r = report(spark, "q03_shipping_priority")
+        assert r.num_broadcast_joins >= 2
+        assert r.num_nested_loop_joins == 0
+
+    def test_q05_no_cartesian(self, spark):
+        r = report(spark, "q05_nation_revenue")
+        assert r.num_nested_loop_joins == 0
+        assert r.num_broadcast_joins >= 3
+
+    def test_q01_shuffle_budget(self, spark):
+        # partial agg → final agg (1 exchange) + result sort (1 range
+        # exchange); anything beyond ~4 means a plan regression.
+        # (Codegen subtrees aren't visible pre-execution under AQE.)
+        r = report(spark, "q01_pricing_summary")
+        assert r.num_exchanges <= 4, r.text
