@@ -18,6 +18,35 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def _rfc008_bench(spark) -> float:
+    """1M-record (~50 MB) NDJSON file→file via the full pipeline
+    (source metadata + sink commit), the reference's rfc_008 workload."""
+    import random
+
+    path = "/tmp/spark_graft_rfc008_in.json"
+    if not os.path.exists(path):
+        random.seed(42)
+        with open(path, "w") as f:
+            for i in range(1_000_000):
+                f.write(
+                    '{"id": %d, "name": "user_%d", "value": %d}\n'
+                    % (i, i % 1000, i * 7 % 10000)
+                )
+    from optimus_any2any_spark.config import Config
+    from optimus_any2any_spark.pipeline import Pipeline
+
+    cfg = Config.from_env(
+        env_args=[
+            f"FILE__SOURCE_URI=file://{path}",
+            "FILE__DESTINATION_URI=file:///tmp/spark_graft_rfc008_out.json",
+        ],
+        environ={},
+    )
+    t0 = time.perf_counter()
+    Pipeline(spark, "FILE", ["FILE"], cfg).run()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -48,6 +77,15 @@ def main() -> None:
             n = df.count()
             times[name] = round(time.perf_counter() - t0, 4)
             print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+        # RFC-008 parity workload: the reference's only published E2E
+        # number is 1M NDJSON records file→file in 7.3 s (BASELINE.md).
+        times["rfc008_file_to_file_1m"] = round(_rfc008_bench(spark), 4)
+        print(
+            f"# rfc008_file_to_file_1m: {times['rfc008_file_to_file_1m']:.3f}s "
+            f"(reference: 7.319s)",
+            file=sys.stderr,
+        )
 
         total = round(sum(times.values()), 4)
         try:

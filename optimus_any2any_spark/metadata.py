@@ -100,6 +100,14 @@ def with_record_index(
     )
 
 
+def with_record_total_count(df: DataFrame, col: str = RECORD_TOTAL_COUNT) -> DataFrame:
+    """Total-row-count metadata column (reference: MC source injects
+    __METADATA__record_total_count, ext/maxcompute/client_reader.go:166).
+    One count job, then a literal column — no per-row window."""
+    total = df.count()
+    return df.withColumn(col, F.lit(total).cast("long"))
+
+
 def with_batch_index(
     df: DataFrame,
     batch_size: int = 512,

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark.operators.text import tokens
+from optimus_any2any_spark.operators.util import ensure_parallelism
 
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands × 4 rows: ~guaranteed catch at j≥0.8
@@ -49,6 +50,7 @@ def exact_dedup_groups(
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
+    df = ensure_parallelism(df, F.col(id_col))
     toks = tokens(F.col(text_col))
     # guard: sequence(1, 0) would DESCEND in Spark, so short docs get an
     # explicitly empty shingle set
@@ -220,6 +222,7 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     works on md5 hex characters (4 bits each) so the arithmetic is
     portable across engines.
     """
+    df = ensure_parallelism(df, F.col(id_col))
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("token"),

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from optimus_any2any_spark.operators.util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double dot product."""
@@ -53,6 +55,7 @@ def brute_force_topk(
     Returns (vec_id, neighbor_id, cosine_sim, rank) with deterministic
     ordering: rounded similarity desc, neighbor id asc.
     """
+    df = ensure_parallelism(df, F.col(id_col))
     a = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
@@ -108,6 +111,7 @@ def lsh_topk(
     first = df.select(vec_col).first()
     dim = len(first[0]) if first else 0
     planes = hyperplanes(dim, num_planes)
+    df = ensure_parallelism(df, F.col(id_col))
     with_bucket = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
