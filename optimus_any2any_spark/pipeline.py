@@ -58,6 +58,29 @@ def _load_builtin_components() -> None:
     from optimus_any2any_spark.sinks import builders as _kb  # noqa: F401
 
 
+def py_transform(df: DataFrame, script: str) -> DataFrame:
+    """PY processor — declared but never implemented in the reference
+    (internal/component/component.go:56, :261-262 'unimplemented').
+
+    The script defines ``def process(batch: pandas.DataFrame) ->
+    pandas.DataFrame`` and runs per Arrow batch on executors
+    (schema-preserving; for schema-changing transforms use the JQ
+    connector's re-inference path).
+    """
+    src = script
+
+    def run(batches):
+        ns: dict = {}
+        exec(src, ns)  # noqa: S102 — user-supplied processor, by design
+        process = ns["process"]
+        for pdf in batches:
+            out = process(pdf)
+            if out is not None and len(out):
+                yield out
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 @dataclass
 class PipelineResult:
     sink_results: dict[str, Any] = field(default_factory=dict)
@@ -99,6 +122,12 @@ class Pipeline:
 
             batch = self.config.get_int("CONNECTOR_BATCH_SIZE", 512)
             df = jq_transform(df, query, batch_size=batch)
+        py = self.config.get("PY__SCRIPT")
+        py_file = self.config.get("PY__SCRIPT_FILE_PATH")
+        if py_file and not py:
+            py = open(py_file).read()
+        if py:
+            df = py_transform(df, py)
         return df
 
     def run(self) -> PipelineResult:

@@ -314,6 +314,39 @@ def q_events_sessions(spark, sf_dir):
 
 
 @register(
+    "q_orders_rollup",
+    oracle=f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    doc="ROLLUP hierarchy totals (status -> priority -> grand total): a "
+    "capability the reference lacks entirely (SURVEY.md §2.8 'no "
+    "grouping-sets/cube/rollup') that Catalyst provides natively.",
+)
+def q_orders_rollup(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
     "q_orders_priority_month",
     oracle=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
