@@ -138,6 +138,99 @@ def q_csv_string_typing(spark, sf_dir):
 
 
 @register(
+    "q_salted_user_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Skew-mitigated aggregation: two-stage salted groupBy "
+    "(key,salt)->key spreads hot keys over N tasks; the oracle is the "
+    "PLAIN group-by — results are identical because the merges are "
+    "associative and the double sums are decimal-exact.",
+)
+def q_salted_user_counts(spark, sf_dir):
+    from optimus_any2any_spark.operators.skew import salted_agg
+
+    e = load(spark, sf_dir, "events")
+    return (
+        salted_agg(
+            e,
+            ["user_id"],
+            {
+                "n_events": ("sum", F.count(F.lit(1))),
+                "total_value": ("sum", F.sum(F.col("value").cast("decimal(18,6)"))),
+            },
+        )
+        .withColumn("total_value", F.col("total_value").cast("double"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_events_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Conditional aggregation / pivot: per-user event-type counts as "
+    "columns (one shuffle, no pivot-value scan thanks to explicit "
+    "category list).",
+)
+def q_events_pivot(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == k, 1)).alias(f"n_{k}")
+                for k in kinds
+            ]
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_customers_inactive_2001",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    ORDER BY c.c_custkey
+    """,
+    doc="Anti-join (NOT EXISTS): customers with no orders in 2001 — "
+    "left_anti against the filtered fact is the scalable shape (no "
+    "distinct-collect, null-safe, filter pushed before the join).",
+)
+def q_customers_inactive_2001(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "q_group_by_routing_hash",
     oracle="""
     SELECT md5(printf('mailto:%s@example.com|subject:%s report',
