@@ -326,7 +326,10 @@ def _col_str(c: Column, dtype: str | None) -> Column:
             c.isNotNull() & (c == as_long.cast(dtype)), as_long.cast("string")
         ).otherwise(c.cast("string"))
     if dtype == "boolean":
-        return F.when(c, "true").otherwise("false")
+        # NULL must stay NULL (not fall into the otherwise branch)
+        return F.when(c.isNull(), F.lit(None).cast("string")).when(
+            c, "true"
+        ).otherwise("false")
     return c.cast("string")
 
 
@@ -505,14 +508,21 @@ class Template:
         return "".join(out)
 
     def column(self, df: DataFrame) -> Column:
-        """Compile to a Spark Column producing the rendered string."""
+        """Compile to a Spark Column producing the rendered string.
+
+        NULL fields render as Go template's ``<no value>`` — critically,
+        they must NOT null-propagate through concat (a routing template
+        with one null field would otherwise send the record to a NULL
+        destination).
+        """
         cols: list[Column] = []
         for p in self.parts:
             if isinstance(p, Text):
                 cols.append(F.lit(p.value))
             else:
                 c, dt = _col_eval(p, df)
-                cols.append(_col_str(c, dt) if dt not in ("string", "json") else c)
+                rendered = _col_str(c, dt) if dt not in ("string", "json") else c
+                cols.append(F.coalesce(rendered, F.lit("<no value>")))
         if not cols:
             return F.lit("")
         return F.concat(*cols) if len(cols) > 1 else cols[0].cast("string")

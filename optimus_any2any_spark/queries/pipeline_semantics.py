@@ -9,7 +9,6 @@ checks the *semantics*, not just the relational surface.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from optimus_any2any_spark.queries import register
 from optimus_any2any_spark.queries.util import load
@@ -32,15 +31,20 @@ from optimus_any2any_spark.queries.util import load
     doc="__METADATA__record_index + connector_batch_index semantics "
     "(reference: internal/component/common/source.go:89 global counter; "
     "internal/component/common/connector.go:91 batch_index = index/512, "
-    "batch size default internal/config/config.go:20). A global sequential "
-    "index needs a total order; at scale use zipWithIndex on a sorted "
-    "DataFrame instead of a single-partition window.",
+    "batch size default internal/config/config.go:20). Uses the "
+    "distributed partition-offset index (range-partition sort + per-"
+    "partition positions + prefix-sum offsets) — same result as a "
+    "global row_number window without funneling data through one task.",
 )
 def q_record_index_batches(spark, sf_dir):
+    from optimus_any2any_spark import metadata as M
+
     l = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    indexed = M.with_record_index(
+        l, col="record_index", order_by=["l_orderkey", "l_linenumber"]
+    )
     return (
-        l.select((F.row_number().over(w) - 1).alias("record_index"))
+        indexed.select("record_index")
         .groupBy(
             F.floor(F.col("record_index") / 512).cast("long").alias("batch_index")
         )
