@@ -214,6 +214,59 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Label-propagation connected components over a dup-pair graph:
+    (doc_id, component_id) where component_id = min doc id reachable.
+
+    Iterative small-label propagation, fully distributed: each round
+    every node adopts the minimum label in its neighborhood; converges
+    in O(component diameter) rounds (near-dup clusters are tiny — pairs,
+    triples — so a handful of rounds suffices even at corpus scale).
+    The per-round work is one join + one aggregate on the (small,
+    post-LSH) pair set, never on the corpus.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over word tokens.
 

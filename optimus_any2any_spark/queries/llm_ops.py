@@ -178,6 +178,64 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash32(d).orderBy("doc_id")
 
 
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    )
+    SELECT a AS doc_id, least(a, MIN(b)) AS component_id
+    FROM reach GROUP BY a
+    ORDER BY doc_id
+    """,
+    doc="Connected components over the near-dup pair graph: iterative "
+    "label propagation in Spark (O(diameter) rounds of join+min on the "
+    "post-LSH pair set), recursive-CTE transitive closure as oracle.",
+)
+def dedup_components(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(d), threshold=0.8)
+    return D.connected_components(pairs).orderBy("doc_id")
+
+
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_number_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="BPE-ish regex token counting (word/number/symbol classes — the "
+    "pattern is ASCII-class-only so Java regex and RE2 agree exactly).",
+)
+def text_bpe_token_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_number_tokens"),
+    ).orderBy("doc_id")
+
+
 # Similarity search -----------------------------------------------------------
 
 
