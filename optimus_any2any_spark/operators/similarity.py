@@ -95,6 +95,107 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    num_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed).
+
+    Candidate pairs come from the same deterministic hyperplane bucket
+    (so the join is bucket-local, never the n² cross join); each
+    candidate is verified with the exact rounded cosine against the
+    threshold. Returns (doc_a, doc_b, cosine_sim) with doc_a < doc_b.
+    Recall < 1 by construction — the standard embedding near-dedup
+    trade; raise ``num_planes`` bands or OR multiple tables for recall.
+    """
+    first = df.select(vec_col).first()
+    dim = len(first[0]) if first else 0
+    planes = hyperplanes(dim, num_planes)
+    df = ensure_parallelism(df, F.col(id_col))
+    with_bucket = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k cosine neighbors.
+
+    Coarse quantizer: ``n_cells`` deterministic seed centroids (the
+    vectors with the smallest md5(id) — portable, no RNG/training
+    state). Every vector is assigned to its nearest centroid (one pass,
+    broadcast join against the tiny centroid table); a query probes its
+    ``nprobe`` nearest cells and ranks only the vectors in those cells.
+    At scale the assignment is the IVF index build (cells ≙ partition
+    pruning); probe-side work is n/cells · nprobe instead of n.
+    """
+    df = ensure_parallelism(df, F.col(id_col))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # top-k, unlike a global row_number window (single-partition sort).
+    centroids = (
+        base.withColumn("h", F.md5(F.col("id").cast("string").cast("binary")))
+        .orderBy("h", "id")
+        .limit(n_cells)
+        .select(F.col("id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "v",
+        "centroid_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    cw = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(cw))
+    assign = ranked.filter(F.col("crank") == 1).select(
+        F.col("id").alias("cand_id"),
+        F.col("centroid_id").alias("cell"),
+        F.col("v").alias("cand_v"),
+    )
+    probes = ranked.filter(F.col("crank") <= nprobe).select(
+        F.col("id").alias("vec_id"),
+        F.col("centroid_id").alias("cell"),
+        F.col("v").alias("qv"),
+    )
+    cand = probes.join(
+        assign,
+        (probes.cell == assign.cell) & (F.col("vec_id") != F.col("cand_id")),
+    ).select(
+        "vec_id",
+        F.col("cand_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("cand_v")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",

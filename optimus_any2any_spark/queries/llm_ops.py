@@ -325,6 +325,122 @@ def ann_lsh_topk(spark, sf_dir):
     return S.lsh_topk(e, k=5).orderBy("vec_id", "rank")
 
 
+def _cosine_pairs_oracle_sql(
+    threshold: float = 0.4, dim: int = 64, num_planes: int = 6
+) -> str:
+    """DuckDB mirror of cosine_pairs — same deterministic hyperplane
+    buckets, pair filter instead of top-k."""
+    planes = S.hyperplanes(dim, num_planes)
+    values = ", ".join(
+        "({p}, [{vals}])".format(p=p, vals=", ".join(f"{v:.1f}" for v in row))
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    planes(p, plane) AS (VALUES {values}),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN round(list_dot_product(e, plane), 6) > 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM v CROSS JOIN planes
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    n AS (
+      SELECT v.vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, bucket
+      FROM v JOIN buckets USING (vec_id)
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_cosine_pairs_oracle_sql(),
+    doc="Embedding-cosine near-dup pairs: deterministic hyperplane-LSH "
+    "buckets confine the candidate join, exact rounded cosine verifies "
+    "against the threshold — the semantic-dedup path for embedded "
+    "corpora (bucket-local join, never n²).",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(e, threshold=0.4).orderBy("doc_a", "doc_b")
+
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS centroid_id, e AS ce FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_IVF_CELLS}
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    cn AS (
+      SELECT centroid_id, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM seeds
+    ),
+    scored AS (
+      SELECT n.vec_id, cn.centroid_id, n.e, n.nrm,
+             round(list_dot_product(n.e, cn.ce) / (n.nrm * cn.cnrm), 6) AS sim
+      FROM n CROSS JOIN cn
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS crank
+      FROM scored
+    ),
+    assign AS (
+      SELECT vec_id AS cand_id, centroid_id AS cell, e AS cand_e,
+             nrm AS cand_nrm
+      FROM ranked WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id, centroid_id AS cell, e AS q_e, nrm AS q_nrm
+      FROM ranked WHERE crank <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.vec_id, a.cand_id AS neighbor_id,
+             round(list_dot_product(p.q_e, a.cand_e)
+                   / (p.q_nrm * a.cand_nrm), 6) AS cosine_sim
+      FROM probes p JOIN assign a ON a.cell = p.cell AND a.cand_id != p.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) t
+    WHERE rank <= 5
+    ORDER BY vec_id, rank
+    """,
+    doc="IVF-style ANN: deterministic md5-seeded coarse centroids, "
+    "one-pass cell assignment (broadcast join), nprobe-cell probing — "
+    "the learned-index scale path where probe cost is n/cells·nprobe.",
+    bench=True,
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e, k=5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+    ).orderBy("vec_id", "rank")
+
+
 @register(
     "dedup_keep_canonical",
     oracle=f"""
