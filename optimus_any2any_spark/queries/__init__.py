@@ -46,6 +46,7 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate REGISTRY.
     from optimus_any2any_spark.queries import (  # noqa: F401
         relational,
+        relational_ext,
         pipeline_semantics,
         llm_ops,
     )

@@ -58,3 +58,37 @@ class TestJoinStrategy:
         # (Codegen subtrees aren't visible pre-execution under AQE.)
         r = report(spark, "q01_pricing_summary")
         assert r.num_exchanges <= 4, r.text
+
+    def test_q04_semi_join_no_fact_agg(self, spark):
+        # EXISTS must compile to a semi join, never join+distinct.
+        r = report(spark, "q04_order_priority")
+        assert "LeftSemi" in r.text, r.text
+        assert r.num_nested_loop_joins == 0
+
+    def test_q07_all_dims_broadcast(self, spark):
+        r = report(spark, "q07_nation_volume")
+        assert r.num_broadcast_joins >= 3, r.text
+        assert r.num_nested_loop_joins == 0
+
+    def test_q16_anti_join(self, spark):
+        r = report(spark, "q16_supplier_counts")
+        assert "LeftAnti" in r.text, r.text
+
+    def test_q19_single_shuffle(self, spark):
+        # broadcast join + scalar agg: one broadcast + one final
+        # single-partition exchange (each counts twice in formatted
+        # text); a sort-merge fallback would push this past 4.
+        r = report(spark, "q19_disjunctive_revenue")
+        assert r.num_broadcast_joins >= 1
+        assert r.num_exchanges <= 4, r.text
+
+    def test_q18_top100_is_take_ordered(self, spark):
+        r = report(spark, "q18_large_orders")
+        assert "TakeOrderedAndProject" in r.text, r.text
+
+    def test_ivf_centroids_broadcast(self, spark):
+        # the centroid side must broadcast (16 rows) and the seed pick
+        # must be a distributed top-k, not a global window sort.
+        r = report(spark, "ann_ivf_topk")
+        assert "TakeOrderedAndProject" in r.text, r.text
+        assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
