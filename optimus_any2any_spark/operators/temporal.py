@@ -1,0 +1,132 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bucketed range join.
+
+Both are expressed as compositions of shuffle-friendly primitives
+(union + window, bucket equi-join) instead of the naive inequality
+join, which Spark would execute as a broadcast-nested-loop / cartesian
+— unusable at 100 TB.
+
+As-of join strategy (the kdb/Timescale/Flink temporal-join shape):
+tag both sides, union, sort within the key partition by (ts, side),
+and carry the last-seen right-side payload forward with
+``last(..., ignorenulls)``. One shuffle on the join key; cost is
+O(n log n_partition) regardless of time-range density, where a range
+join's candidate set explodes with density.
+
+Bucketed range join strategy: quantize timestamps to fixed-width
+buckets, equi-join on (key, bucket ± spill), then apply the exact
+range predicate. The inequality never reaches the join operator, so
+Catalyst plans a hash join; candidate fan-out is bounded by bucket
+width, not data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` and the same ``on`` key.
+
+    Returns every left column plus ``<right_ts><suffix>`` and
+    ``<payload><suffix>`` for each payload column (NULL when no prior
+    right row exists). Ties on timestamp resolve right-row-first, so a
+    right row at exactly ``left_ts`` matches (>= semantics, same as
+    DuckDB/pandas ASOF).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast("timestamp").alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+          for c in payload_cols],
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias("__l"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    # side 0 (right) sorts before side 1 (left) at equal ts → >= matching
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l.unionByName(r)
+        .withColumn("__last_rts", F.last("__rts", ignorenulls=True).over(w))
+        .withColumns(
+            {f"__last_{c}": F.last(f"__p_{c}", ignorenulls=True).over(w)
+             for c in payload_cols}
+        )
+        .filter(F.col("__side") == 1)
+    )
+    return carried.select(
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        F.col("__last_rts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__last_{c}").alias(f"{c}{suffix}") for c in payload_cols],
+    )
+
+
+def bucketed_range_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Count right rows with ``left_ts - window <= right_ts < left_ts``
+    per left row, as a bucket equi-join (never an inequality join).
+
+    Buckets are ``window_seconds`` wide; a right row can only match
+    left rows in its own or the next bucket, so the join key is
+    (key, bucket) with a 2-way bucket spill on the left side.
+    """
+    bucket = lambda ts: F.floor(F.unix_timestamp(F.col(ts)) / window_seconds)  # noqa: E731
+    l = left.withColumn("__b", bucket(left_ts))
+    # left probes its own bucket and the previous one
+    probes = l.select(
+        *left.columns, F.explode(F.array(F.col("__b"), F.col("__b") - 1)).alias("__jb")
+    )
+    r = right.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        bucket(right_ts).alias("__jb"),
+    )
+    # the exact range predicate lives IN the join condition: a left
+    # join keeps unmatched probes as NULL rows (count 0), whereas a
+    # post-join filter would drop left rows whose candidates all miss.
+    joined = probes.join(
+        r,
+        (probes[on] == r.__rk)
+        & (probes.__jb == r.__jb)
+        & (r.__rts < probes[left_ts])
+        & (
+            r.__rts
+            >= probes[left_ts] - F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+        "left",
+    )
+    return (
+        joined.groupBy(*left.columns)
+        .agg(F.count("__rts").alias(count_alias))
+    )

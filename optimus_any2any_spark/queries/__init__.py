@@ -48,6 +48,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational_ext,
         pipeline_semantics,
+        temporal_sketch,
         llm_ops,
     )
 

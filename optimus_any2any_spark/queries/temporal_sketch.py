@@ -1,0 +1,138 @@
+"""Temporal joins + sketches over the events stream.
+
+Operators Spark lacks as built-ins (SURVEY.md §7 step 8 "custom
+operators"): as-of join (union+window — never a range-join explosion),
+bucketed range join (inequality → bucket equi-join), and a KMV distinct
+sketch (engine-portable alternative to approx_count_distinct). DuckDB
+oracles use its native ASOF JOIN / inequality joins, so the gate
+cross-checks two independent algorithm shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.queries import register
+from optimus_any2any_spark.queries.util import load
+from optimus_any2any_spark.operators.sketch import kmv_distinct
+from optimus_any2any_spark.operators.temporal import asof_join, bucketed_range_count
+
+
+@register(
+    "asof_click_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS ts_asof,
+           c.event_id AS event_id_asof,
+           date_diff('microsecond', c.ts, p.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join: each purchase attributed to the user's latest "
+    "prior click. Spark side is union+window (one shuffle on user_id, "
+    "density-independent); oracle is DuckDB's native ASOF JOIN — two "
+    "independent algorithms, identical rows.",
+    bench=True,
+)
+def asof_click_attribution(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_asof",
+        F.col("event_id_asof"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))).alias(
+            "gap_us"
+        ),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, COUNT(c.ts) AS n_clicks_1h
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY p.event_id
+    """,
+    doc="Range join via bucket quantization: clicks in the hour before "
+    "each purchase. The inequality never reaches the join operator — "
+    "(user, bucket) equi-join with 2-bucket probe, exact range as a "
+    "post-filter — so Catalyst plans a hash join, not a nested loop.",
+)
+def range_clicks_before_purchase(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return bucketed_range_count(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=3600,
+        count_alias="n_clicks_1h",
+    ).orderBy("event_id")
+
+
+_KMV_K = 32
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) + 1.0) / 4294967296.0 AS h
+      FROM d
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY h, user_id) AS rn
+      FROM h
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type),
+    hk AS (
+      SELECT event_type, MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+      FROM r GROUP BY event_type
+    )
+    SELECT n.event_type, n.n_exact,
+           round(COALESCE(({_KMV_K} - 1) / hk, CAST(n_exact AS DOUBLE)), 4)
+             AS kmv_estimate
+    FROM n JOIN hk USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="KMV k-minimum-values distinct sketch (k=32): portable-md5 "
+    "unit hashes, estimate (k-1)/h_k — bit-deterministic across "
+    "engines unlike HLL, mergeable, O(k·groups) merge traffic.",
+)
+def kmv_distinct_users(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return kmv_distinct(e, "user_id", ["event_type"], k=_KMV_K).orderBy(
+        "event_type"
+    )

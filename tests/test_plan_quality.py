@@ -86,6 +86,22 @@ class TestJoinStrategy:
         r = report(spark, "q18_large_orders")
         assert "TakeOrderedAndProject" in r.text, r.text
 
+    def test_asof_join_is_union_window(self, spark):
+        # as-of must compile to union+window: NO join operator at all,
+        # one hash shuffle on the key — density-independent.
+        r = report(spark, "asof_click_attribution")
+        assert r.num_broadcast_joins == 0
+        assert r.num_sortmerge_joins == 0
+        assert r.num_nested_loop_joins == 0
+        assert "Window" in r.text
+
+    def test_range_join_is_hash_join(self, spark):
+        # the bucket trick must keep the inequality out of the join
+        # operator — a nested-loop plan here is the 100 TB failure mode.
+        r = report(spark, "range_clicks_before_purchase")
+        assert r.num_nested_loop_joins == 0, r.text
+        assert r.num_broadcast_joins + r.num_sortmerge_joins >= 1
+
     def test_ivf_centroids_broadcast(self, spark):
         # the centroid side must broadcast (16 rows) and the seed pick
         # must be a distributed top-k, not a global window sort.
