@@ -376,7 +376,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     return S.cosine_pairs(e, threshold=0.4).orderBy("doc_a", "doc_b")
 
 
-_IVF_CELLS = 16
+_IVF_CELLS = 64
 _IVF_NPROBE = 4
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark.queries import register
-from optimus_any2any_spark.queries.util import load
+from optimus_any2any_spark.queries.util import dsum, load
 from optimus_any2any_spark.operators.sketch import kmv_distinct
 from optimus_any2any_spark.operators.temporal import asof_join, bucketed_range_count
 
@@ -96,6 +96,103 @@ def range_clicks_before_purchase(spark, sf_dir):
         window_seconds=3600,
         count_alias="n_clicks_1h",
     ).orderBy("event_id")
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+    SELECT granularity, bucket, event_type, n_events, sum_value FROM (
+      SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+      GROUP BY bucket, event_type
+      UNION ALL
+      SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+      GROUP BY 2, 3
+      UNION ALL
+      SELECT 'month', date_trunc('month', ts), event_type, COUNT(*),
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+      GROUP BY 2, 3
+    ) ORDER BY granularity, bucket, event_type
+    """,
+    doc="Hypertable-style continuous-aggregate rollup: hour/day/month "
+    "time buckets in ONE scan via GROUPING SETS on pre-computed "
+    "truncations (Timescale's hypertable rollup re-expressed; the "
+    "oracle's 3-scan UNION is the naive shape we avoid).",
+)
+def hypertable_rollup(spark, sf_dir):
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    # one scan: grouping sets over the three truncations
+    base = e.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "event_type",
+        "value",
+    )
+    g = base.groupingSets(
+        [["h", "event_type"], ["d", "event_type"], ["m", "event_type"]],
+        "h", "d", "m", "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    return (
+        g.select(
+            F.when(F.col("h").isNotNull(), "hour")
+            .when(F.col("d").isNotNull(), "day")
+            .otherwise("month")
+            .alias("granularity"),
+            F.coalesce(F.col("h"), F.col("d"), F.col("m")).alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("granularity", "bucket", "event_type")
+    )
+
+
+@register(
+    "q_events_cube",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    ORDER BY event_type, day
+    """,
+    doc="CUBE over (type, day): all four grouping combinations in one "
+    "pass — absent from the reference (SURVEY.md §2.8), native in "
+    "Catalyst with partial aggregation per grouping set.",
+)
+def q_events_cube(spark, sf_dir):
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-05").cast("timestamp")
+    )
+    return (
+        e.select(F.col("event_type"), F.date_trunc("day", "ts").alias("d"), "value")
+        .cube("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.date_format("d", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )
 
 
 _KMV_K = 32
