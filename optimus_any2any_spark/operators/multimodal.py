@@ -113,3 +113,115 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
             yield out
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 224, target_h: int = 224,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Arrow-batched image resize (binary in → binary out).
+
+    STUB decode/encode (no imaging libs here): with ``fake_decode`` the
+    "resized" payload is a deterministic truncation/pad of the input
+    bytes to ``target_w*target_h//64`` — preserving the real contract
+    (payload→payload, 1:1 rows, bounded output size). The Spark shape is
+    exact: binary column through mapInPandas, output partitions inherit
+    input partitioning, no shuffle.
+    """
+    fake, tw, th = fake_decode, target_w, target_h
+
+    def run(batches):
+        import pandas as pd
+
+        n_bytes = tw * th // 64
+
+        def fake_resize(b: bytes) -> bytes:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires an imaging library not present "
+                    "in this environment"
+                )
+            b = bytes(b)
+            return (b * (n_bytes // max(len(b), 1) + 1))[:n_bytes]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "width": tw,
+                    "height": th,
+                }
+            )
+
+    out = df.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+    return out
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 4, max_frames: int = 8,
+    frame_bytes: int = 256, fake_decode: bool = True,
+) -> DataFrame:
+    """Video frame sampling: one binary payload → N frame rows (1:N).
+
+    STUB decode (no video libs here): frames are deterministic
+    ``frame_bytes`` slices at ``every_n``-spaced offsets. The contract
+    that matters at scale is real: fan-out happens INSIDE mapInPandas
+    (one Arrow batch in, multiple rows out), so a 10 GB video never
+    becomes a 10 GB shuffle row — and downstream per-frame work
+    repartitions on (doc_id, frame_index), not on payloads.
+    """
+    fake, n, mx, fb = fake_decode, every_n, max_frames, frame_bytes
+
+    def run(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "frame extraction requires a video library not "
+                        "present in this environment"
+                    )
+                b = bytes(payload)
+                for i in range(mx):
+                    off = i * n * fb
+                    if off >= len(b):
+                        break
+                    frame = b[off : off + fb]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame)
+                    hashes.append(_hl.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "frame_sha256": hashes,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -15,7 +15,12 @@ from optimus_any2any_spark.queries.util import load
 from optimus_any2any_spark.operators import dedup as D
 from optimus_any2any_spark.operators import similarity as S
 from optimus_any2any_spark.operators import text as TX
-from optimus_any2any_spark.operators.multimodal import attach_payload, extract_features
+from optimus_any2any_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
 
 # Shared DuckDB CTE fragments -------------------------------------------------
 
@@ -643,3 +648,65 @@ def multimodal_features(spark, sf_dir):
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, 224 AS width, 224 AS height,
+           CAST(length(substr(repeat(text, 784 // greatest(length(text), 1) + 1),
+                              1, 784)) AS BIGINT) AS byte_len,
+           sha256(substr(repeat(text, 784 // greatest(length(text), 1) + 1),
+                         1, 784)) AS payload_sha
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Multimodal resize plumbing: binary→binary mapInPandas with "
+    "bounded output size (decode stubbed as deterministic byte "
+    "tile/truncate — no imaging libs here); 1:1 rows, no shuffle, "
+    "payload hash verified against the oracle.",
+)
+def multimodal_resize(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    r = resize_images(attach_payload(d), target_w=224, target_h=224)
+    return r.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.length(F.col("payload")).cast("long").alias("byte_len"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_index,
+             substr(text, CAST(i AS INT) * 128 + 1, 128) AS frame_txt
+      FROM documents
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+      WHERE CAST(i AS INT) * 128 < length(text)
+    )
+    SELECT doc_id, frame_index,
+           sha256(frame_txt) AS frame_sha256,
+           CAST(length(frame_txt) AS BIGINT) AS frame_len
+    FROM f
+    ORDER BY doc_id, frame_index
+    """,
+    doc="Video frame-sample plumbing: 1:N fan-out INSIDE mapInPandas "
+    "(decode stubbed as deterministic byte slices) — a large payload "
+    "becomes per-frame rows before any shuffle, so downstream work "
+    "partitions on (doc_id, frame_index), never on whole payloads.",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    fr = sample_frames(
+        attach_payload(d), every_n=1, max_frames=8, frame_bytes=128
+    )
+    return fr.select(
+        "doc_id",
+        "frame_index",
+        "frame_sha256",
+        F.length(F.col("frame")).cast("long").alias("frame_len"),
+    ).orderBy("doc_id", "frame_index")
