@@ -233,3 +233,82 @@ def kmv_distinct_users(spark, sf_dir):
     return kmv_distinct(e, "user_id", ["event_type"], k=_KMV_K).orderBy(
         "event_type"
     )
+
+
+@register(
+    "q_events_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, revenue,
+           round(CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER w7 AS DOUBLE)
+                 / COUNT(*) OVER w7, 4) AS ma7,
+           round(revenue - lag(revenue) OVER (ORDER BY day), 4) AS dod_delta
+    FROM daily
+    WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    doc="Time-series windows: 7-day trailing moving average (exact "
+    "DECIMAL accumulation inside the frame) + day-over-day lag delta. "
+    "The global ORDER BY window runs over DAILY aggregates — rows = "
+    "days, not events, so the single-partition window is bounded by "
+    "calendar size at any data scale.",
+)
+def q_events_moving_avg(spark, sf_dir):
+    from pyspark.sql.window import Window
+    from pyspark.sql import types as T
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        dsum(F.col("value")).alias("revenue")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wlag = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "revenue",
+        F.round(
+            F.sum(F.col("revenue").cast(T.DecimalType(18, 6))).over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7),
+            4,
+        ).alias("ma7"),
+        F.round(F.col("revenue") - F.lag("revenue").over(wlag), 4).alias("dod_delta"),
+    ).orderBy("day")
+
+
+@register(
+    "q_events_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exact linear-interpolation percentiles per type (Spark "
+    "percentile == DuckDB quantile_cont bit-for-bit). Exact quantiles "
+    "sort within each group; at 100 TB swap to approx_percentile "
+    "(t-digest, mergeable partial aggregation) — kept exact here "
+    "because approximate sketches are engine-private state the oracle "
+    "gate cannot cross-check.",
+)
+def q_events_percentiles(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
