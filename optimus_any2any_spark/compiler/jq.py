@@ -206,7 +206,9 @@ def _path_col(tok: str) -> Column:
 
 def _apply_func(name: str, args: list[Column]) -> Column:
     if name == "length":
-        return F.length(args[0]) if args else JQUnsupported("length needs pipe input")
+        if not args:
+            raise JQUnsupported("length needs pipe input")
+        return F.length(args[0])
     if name == "tostring":
         return args[0].cast("string")
     if name == "tonumber":
@@ -225,7 +227,9 @@ def _apply_func(name: str, args: list[Column]) -> Column:
         # ltrimstr(prefix) applied via pipe is handled in stage parsing
         raise JQUnsupported("ltrimstr only supported as pipe stage")
     if name == "startswith":
-        return F.startswith
+        # jq's startswith takes its subject from the pipe; the pipe form
+        # isn't in the native subset, so route to the jq-binary fallback
+        raise JQUnsupported("startswith only supported via jq binary")
     raise JQUnsupported(f"jq: function {name!r} not in native subset")
 
 

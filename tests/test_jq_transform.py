@@ -72,6 +72,20 @@ def test_unsupported_raises(df):
         translate_jq(df, "group_by(.age) | map(length)")
 
 
+@pytest.mark.parametrize(
+    "program",
+    [
+        # pipe-subject builtins outside the native subset must RAISE
+        # JQUnsupported (→ jq-binary fallback), never return a non-Column
+        '.[] | select(startswith("a"))',
+        ".[] | {n: length}",
+    ],
+)
+def test_non_column_builtins_fall_back(df, program):
+    with pytest.raises(JQUnsupported):
+        translate_jq(df, program)
+
+
 def test_binary_escape_hatch(spark, df):
     out = jq_binary_transform(df, ".[] | select(.age > 30)", batch_size=2)
     vals = [json.loads(r["value"]) for r in out.collect()]
