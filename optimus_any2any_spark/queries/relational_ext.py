@@ -309,3 +309,109 @@ def q22_idle_rich_customers(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_set_ops_customers",
+    oracle="""
+    WITH buyers_1997 AS (
+      SELECT DISTINCT o_custkey AS c FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    buyers_1998 AS (
+      SELECT DISTINCT o_custkey AS c FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    )
+    SELECT 'both' AS cohort, c FROM (SELECT c FROM buyers_1997 INTERSECT SELECT c FROM buyers_1998)
+    UNION ALL
+    SELECT 'only_1997', c FROM (SELECT c FROM buyers_1997 EXCEPT SELECT c FROM buyers_1998)
+    ORDER BY cohort, c
+    """,
+    doc="Set operations (INTERSECT / EXCEPT) over yearly buyer cohorts — "
+    "implicit-union-only in the reference (SURVEY.md §2.8); Catalyst "
+    "plans both as shuffle semi/anti joins on the distinct key.",
+)
+def q_set_ops_customers(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+
+    def buyers(year):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("c"))
+            .distinct()
+        )
+
+    b97, b98 = buyers(1997), buyers(1998)
+    both = b97.intersect(b98).select(F.lit("both").alias("cohort"), "c")
+    only97 = b97.exceptAll(b98).distinct().select(
+        F.lit("only_1997").alias("cohort"), "c"
+    )
+    return both.unionByName(only97).orderBy("cohort", "c")
+
+
+@register(
+    "q_string_agg_nations",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="Deterministic ordered string aggregation: collect_list is "
+    "partition-order-dependent, so the portable form is "
+    "array_join(array_sort(collect_list())) — matching string_agg "
+    "(... ORDER BY) exactly on any partitioning.",
+)
+def q_string_agg_nations(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q_rank_family_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY rnk, s_suppkey
+    """,
+    doc="Rank-family window functions (rank / dense_rank / ntile / "
+    "percent_rank) over a total order — none exist in the reference "
+    "(SURVEY.md §2.8 'no window functions').",
+)
+def q_rank_family_suppliers(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).orderBy("rnk", "s_suppkey")
