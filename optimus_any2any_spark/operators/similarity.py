@@ -143,8 +143,15 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    persist_index: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k cosine neighbors.
+
+    ``persist_index=True`` caches the n·nprobe-row cell index so both
+    sides of the candidate self-join read one materialization (2× on
+    the dominant stage). The cache lives until Spark evicts it — a
+    long-lived session issuing many ivf_topk calls should either pass
+    ``persist_index=False`` or unpersist via ``spark.catalog.clearCache``.
 
     Coarse quantizer: ``n_cells`` deterministic seed centroids (the
     vectors with the smallest md5(id) — portable, no RNG/training
@@ -190,11 +197,11 @@ def ivf_topk(
     # materialization instead of re-running the quantizer cross join on
     # both sides of the candidate self-join (2× the dominant stage).
     # Size is n·nprobe rows — index-scale, not corpus-scale.
-    ranked = (
-        scored.withColumn("crank", F.row_number().over(cw))
-        .filter(F.col("crank") <= nprobe)
-        .persist()
+    ranked = scored.withColumn("crank", F.row_number().over(cw)).filter(
+        F.col("crank") <= nprobe
     )
+    if persist_index:
+        ranked = ranked.persist()
     assign = ranked.filter(F.col("crank") == 1).select(
         F.col("id").alias("cand_id"),
         F.col("centroid_id").alias("cell"),

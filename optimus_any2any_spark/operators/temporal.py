@@ -43,45 +43,54 @@ def asof_join(
     ``<payload><suffix>`` for each payload column (NULL when no prior
     right row exists). Ties on timestamp resolve right-row-first, so a
     right row at exactly ``left_ts`` matches (>= semantics, same as
-    DuckDB/pandas ASOF).
+    DuckDB/pandas ASOF). The matched right row is carried as ONE struct,
+    so all payload columns come from the SAME right row even when some
+    payload values are NULL. NULL join keys never match (join
+    semantics); among right rows tied on (key, ts) the greatest payload
+    tuple wins — deterministic on any partitioning.
     """
     lcols = left.columns
+    rstruct = F.struct(
+        F.col(right_ts).alias("rts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
     l = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None).cast("timestamp").alias("__rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-          for c in payload_cols],
+        F.lit(None).cast(
+            right.select(rstruct.alias("s")).schema["s"].dataType
+        ).alias("__r"),
     )
-    r = right.select(
+    # NULL-key right rows can never match any left row (NULL = NULL is
+    # not true in join semantics) — drop them; NULL-key left rows then
+    # share a partition containing no right rows and yield NULL.
+    r = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias("__l"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        rstruct.alias("__r"),
     )
-    # side 0 (right) sorts before side 1 (left) at equal ts → >= matching
+    # side 0 (right) sorts before side 1 (left) at equal ts → >= matching;
+    # __r as the final key makes right-side ties deterministic.
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
         l.unionByName(r)
-        .withColumn("__last_rts", F.last("__rts", ignorenulls=True).over(w))
-        .withColumns(
-            {f"__last_{c}": F.last(f"__p_{c}", ignorenulls=True).over(w)
-             for c in payload_cols}
-        )
+        .withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
     return carried.select(
         *[F.col("__l")[c].alias(c) for c in lcols],
-        F.col("__last_rts").alias(f"{right_ts}{suffix}"),
-        *[F.col(f"__last_{c}").alias(f"{c}{suffix}") for c in payload_cols],
+        F.col("__last_r")["rts"].alias(f"{right_ts}{suffix}"),
+        *[F.col("__last_r")[c].alias(f"{c}{suffix}") for c in payload_cols],
     )
 
 
@@ -102,10 +111,17 @@ def bucketed_range_count(
     (key, bucket) with a 2-way bucket spill on the left side.
     """
     bucket = lambda ts: F.floor(F.unix_timestamp(F.col(ts)) / window_seconds)  # noqa: E731
-    l = left.withColumn("__b", bucket(left_ts))
+    # a generated row id keeps duplicate left rows distinct through the
+    # groupBy (grouping on left columns alone would merge them and sum
+    # their counts); it is internal and dropped before returning.
+    l = left.withColumn("__rowid", F.monotonically_increasing_id()).withColumn(
+        "__b", bucket(left_ts)
+    )
     # left probes its own bucket and the previous one
     probes = l.select(
-        *left.columns, F.explode(F.array(F.col("__b"), F.col("__b") - 1)).alias("__jb")
+        "__rowid",
+        *left.columns,
+        F.explode(F.array(F.col("__b"), F.col("__b") - 1)).alias("__jb"),
     )
     r = right.select(
         F.col(on).alias("__rk"),
@@ -127,6 +143,7 @@ def bucketed_range_count(
         "left",
     )
     return (
-        joined.groupBy(*left.columns)
+        joined.groupBy("__rowid", *left.columns)
         .agg(F.count("__rts").alias(count_alias))
+        .drop("__rowid")
     )

@@ -348,9 +348,7 @@ def q_set_ops_customers(spark, sf_dir):
 
     b97, b98 = buyers(1997), buyers(1998)
     both = b97.intersect(b98).select(F.lit("both").alias("cohort"), "c")
-    only97 = b97.exceptAll(b98).distinct().select(
-        F.lit("only_1997").alias("cohort"), "c"
-    )
+    only97 = b97.subtract(b98).select(F.lit("only_1997").alias("cohort"), "c")
     return both.unionByName(only97).orderBy("cohort", "c")
 
 

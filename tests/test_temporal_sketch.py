@@ -58,6 +58,53 @@ class TestAsofJoin:
         ).collect()
         assert out[0]["rid_asof"] == 100
 
+    def test_null_payload_not_torn(self, spark):
+        # all payload columns must come from the SAME matched right row:
+        # a NULL payload in the latest right row must NOT fall back to
+        # an older row's value (per-column last(ignorenulls) bug)
+        left = make(spark, [(1, 10, ts("2024-01-01T10:00:00"))], ["id", "k", "ts"])
+        right = spark.createDataFrame(
+            [
+                (100, 10, ts("2024-01-01T09:00:00"), 5.0),
+                (101, 10, ts("2024-01-01T09:30:00"), None),
+            ],
+            "rid long, k long, rts timestamp, price double",
+        )
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            payload_cols=["rid", "price"],
+        ).collect()
+        assert out[0]["rid_asof"] == 101
+        assert out[0]["price_asof"] is None  # from rid=101, not rid=100
+
+    def test_null_keys_never_match(self, spark):
+        left = spark.createDataFrame(
+            [(1, None, ts("2024-01-01T10:00:00"))], "id long, k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(100, None, ts("2024-01-01T09:00:00"))],
+            "rid long, k long, rts timestamp",
+        )
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", payload_cols=["rid"]
+        ).collect()
+        assert len(out) == 1 and out[0]["rid_asof"] is None
+
+    def test_right_tie_is_deterministic(self, spark):
+        # two right rows at the identical (key, ts): the greatest
+        # payload tuple wins, on any partitioning
+        t = ts("2024-01-01T09:00:00")
+        left = make(spark, [(1, 10, ts("2024-01-01T10:00:00"))], ["id", "k", "ts"])
+        for n_parts in (1, 4):
+            right = make(
+                spark, [(100, 10, t), (101, 10, t)], ["rid", "k", "rts"]
+            ).repartition(n_parts)
+            out = asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                payload_cols=["rid"],
+            ).collect()
+            assert out[0]["rid_asof"] == 101, f"n_parts={n_parts}"
+
     def test_keys_do_not_leak(self, spark):
         left = make(spark, [(1, 10, ts("2024-01-01T10:00:00"))], ["id", "k", "ts"])
         right = make(spark, [(100, 99, ts("2024-01-01T09:00:00"))], ["rid", "k", "rts"])
@@ -93,6 +140,17 @@ class TestBucketedRangeCount:
             left, right, on="k", left_ts="ts", right_ts="rts", window_seconds=3600
         ).collect()
         assert len(out) == 1 and out[0]["n_in_range"] == 0
+
+    def test_duplicate_left_rows_stay_distinct(self, spark):
+        # two identical left rows must each get their own count row,
+        # not merge into one row with a doubled count
+        p = ts("2024-01-01T10:00:00")
+        left = make(spark, [(10, p), (10, p)], ["k", "ts"])
+        right = make(spark, [(10, p - dt.timedelta(seconds=30))], ["k", "rts"])
+        out = bucketed_range_count(
+            left, right, on="k", left_ts="ts", right_ts="rts", window_seconds=3600
+        ).collect()
+        assert sorted(r["n_in_range"] for r in out) == [1, 1]
 
     def test_cross_bucket_match(self, spark):
         # right row in the previous bucket must still be found
