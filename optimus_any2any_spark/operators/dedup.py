@@ -169,16 +169,22 @@ def minhash_dedup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.8,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: shingle → sign → band → verify.
 
     Exact Jaccard runs ONLY on LSH candidate pairs (the whole point of
     LSH): candidates are broadcast against the shingle table, so the
     verify cost is O(candidates × doc length), never the full
-    shingle-key self-join. The shingle table is persisted — it feeds
-    both signature generation and verification.
+    shingle-key self-join. The shingle table feeds both signature
+    generation and verification, so it is persisted by default; the
+    cache lives until Spark evicts it — long-lived sessions issuing
+    many dedup calls should pass ``persist_shingles=False`` or clear
+    via ``spark.catalog.clearCache``.
     """
-    sh = shingles(df, text_col, id_col, n).persist()
+    sh = shingles(df, text_col, id_col, n)
+    if persist_shingles:
+        sh = sh.persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")

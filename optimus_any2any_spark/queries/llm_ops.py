@@ -710,3 +710,77 @@ def multimodal_frame_sample(spark, sf_dir):
         "frame_sha256",
         F.length(F.col("frame")).cast("long").alias("frame_len"),
     ).orderBy("doc_id", "frame_index")
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, text,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    ),
+    canonical AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp
+    ),
+    kept AS (
+      SELECT doc_id, lang, source, text FROM canonical WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, lang, source,
+             CAST(len({_SQL_TOKENS}) AS DOUBLE) AS n_tok,
+             CAST({_sql_lang_hits('en')} AS DOUBLE)
+               / len({_SQL_TOKENS}) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / length(text) AS digit_r,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_r
+      FROM kept
+    ),
+    quality AS (
+      SELECT doc_id, lang, source,
+             round(least(n_tok / 200.0, 1.0) * 0.3
+                   + least(stop_ratio * 4.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0 - digit_r * 5.0 - punct_r * 5.0) * 0.3,
+                   6) AS q
+      FROM scored
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_quality
+    FROM quality
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    doc="Composite production shape: exact-dedup (keep-min-id canonical "
+    "per whitespace-normalized fingerprint) -> quality scoring -> "
+    "per-source/lang corpus accounting. One pipeline, three operator "
+    "families, still one Catalyst plan — the operators compose as "
+    "DataFrames, not as materialization steps.",
+    bench=True,
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    kept = (
+        d.withColumn("fingerprint", TX.fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    q = F.round(TX.quality_score(F.col("text")), 6)
+    return (
+        kept.select("source", "lang", q.alias("q"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_quality"),
+        )
+        .orderBy("source", "lang")
+    )
