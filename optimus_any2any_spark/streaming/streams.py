@@ -79,6 +79,23 @@ def sessionized(
     )
 
 
+def deduplicated(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``key_cols`` arriving
+    within the watermark delay — the streaming twin of the batch
+    exact-dedup operator (operators/dedup.py). State holds one entry
+    per key seen inside the watermark horizon, so state size is bounded
+    by key arrival rate × delay, not by stream length (the unbounded
+    ``dropDuplicates`` alternative grows forever)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -159,3 +159,28 @@ class TestStreaming:
         rows = sorted(table.collect(), key=lambda r: r["session_start"])
         assert len(rows) == 2  # two sessions split by the 30-min gap
         assert rows[0]["n_events"] == 2 and rows[1]["n_events"] == 1
+
+
+class TestStreamingDedup:
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.streams import (
+            deduplicated,
+            run_to_memory,
+            stream_source,
+        )
+
+        src = tmp_path / "dedup_stream"
+        src.mkdir()
+        (src / "batch1.json").write_text(
+            '{"ts": "2024-01-01T00:10:00Z", "k": "a", "v": 1}\n'
+            '{"ts": "2024-01-01T00:11:00Z", "k": "a", "v": 2}\n'  # dup key
+            '{"ts": "2024-01-01T00:12:00Z", "k": "b", "v": 3}\n'
+        )
+        stream = stream_source(
+            spark, str(src), "ts timestamp, k string, v long"
+        )
+        result = deduplicated(stream, ["k"], watermark="1 hour")
+        table = run_to_memory(result, "dedup_out", output_mode="append")
+        rows = {r["k"]: r["v"] for r in table.collect()}
+        assert set(rows) == {"a", "b"}
+        assert rows["a"] == 1  # first arrival wins
