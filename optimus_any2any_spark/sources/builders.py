@@ -131,6 +131,23 @@ def http_source(spark: SparkSession, cfg: Config) -> DataFrame:
     c = cfg.for_component("HTTP")
     fetcher: Callable[[str], str] | None = cfg.values.get("HTTP__FETCHER")  # type: ignore[assignment]
     endpoint = c.get("endpoint", "")
+    # paged mode: HTTP__PAGE_SIZE (+ optional HTTP__NUM_PAGES and
+    # required HTTP__SCHEMA) routes through the Spark 4 Python
+    # DataSource — pages fetched ON EXECUTORS in parallel, the upgrade
+    # over the reference's unpaginated driver-side GET
+    # (ext/http/source.go:104-106 TODO).
+    if c.get("page_size") and fetcher is None:
+        from optimus_any2any_spark.sources import paged_api
+
+        paged_api.register(spark)
+        return (
+            spark.read.format("paged_api")
+            .schema(c["schema"])
+            .option("url", endpoint)
+            .option("page_size", c["page_size"])
+            .option("num_pages", c.get("num_pages", "8"))
+            .load()
+        )
     if fetcher is None:
         import urllib.request
 

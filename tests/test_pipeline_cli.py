@@ -85,6 +85,22 @@ class TestPipeline:
         df = Pipeline(spark, "HTTP", ["IO"], cfg).dataframe()
         assert df.count() == 2
 
+    def test_http_source_paged_datasource(self, spark, tmp_path):
+        src = tmp_path / "api.ndjson"
+        src.write_text("".join(f'{{"id": {i}}}\n' for i in range(10)))
+        cfg = Config.from_env(
+            environ={
+                "HTTP__ENDPOINT": f"file://{src}",
+                "HTTP__SCHEMA": "id BIGINT",
+                "HTTP__PAGE_SIZE": "3",
+                "HTTP__NUM_PAGES": "4",
+            }
+        )
+        df = Pipeline(spark, "HTTP", ["IO"], cfg).dataframe()
+        # per-page partitions fetched on executors
+        assert df.rdd.getNumPartitions() == 4
+        assert sorted(r["id"] for r in df.collect()) == list(range(10))
+
     def test_redis_sink_grouped_mset(self, spark, tmp_path):
         src = tmp_path / "in.json"
         write_ndjson(src, ROWS)
