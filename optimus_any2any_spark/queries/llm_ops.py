@@ -784,3 +784,96 @@ def corpus_clean_pipeline(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked
+    WHERE sample_rank <= 20
+    ORDER BY lang, sample_rank
+    """,
+    doc="Deterministic stratified sampling: per-stratum uniform sample "
+    "by seeded-md5 order (content-addressed, so the SAME sample comes "
+    "out on any partitioning, any engine, any rerun — what "
+    "df.sample() cannot promise). The per-stratum top-k is a bounded "
+    "window; at scale swap rank for a hash-threshold cut "
+    "(md5 < k/N_stratum) to avoid the window entirely.",
+)
+def sample_stratified(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")).cast("binary")),
+        "doc_id",
+    )
+    return (
+        d.select(
+            "doc_id", "lang", "source",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 20)
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@register(
+    "mix_by_source_weights",
+    oracle="""
+    WITH weights(source, weight) AS (VALUES
+      ('src0', 3), ('src1', 2), ('src2', 1), ('src3', 1), ('src4', 1)
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source, w.weight,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mix|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rnk
+      FROM documents d JOIN weights w ON w.source = d.source
+    )
+    SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM ranked
+    WHERE rnk <= weight * 10
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Training-mixture construction: per-source quotas (weight x "
+    "base) filled by deterministic hash order — the data-mixing step "
+    "of corpus assembly as one broadcast join + bounded window, "
+    "reproducible across engines and partitionings.",
+)
+def mix_by_source_weights(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    weights = d.sparkSession.createDataFrame(
+        [("src0", 3), ("src1", 2), ("src2", 1), ("src3", 1), ("src4", 1)],
+        ["source", "weight"],
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")).cast("binary")),
+        "doc_id",
+    )
+    return (
+        d.join(F.broadcast(weights), "source")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.col("weight") * 10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
