@@ -60,3 +60,35 @@ def salted_agg(
         else:
             raise ValueError(f"non-associative merge: {merge}")
     return partial.groupBy(*key_cols).agg(*merges)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof inner equi-join: salt the big side, replicate the
+    small side across all salts, join on (key, salt).
+
+    AQE's skew-join splitting handles sort-merge skew at runtime, but
+    only after a skewed shuffle materializes and only for joins AQE can
+    split. This rewrite prevents the skew by construction: a hot key's
+    rows spread over ``salt_buckets`` tasks, each joining against its
+    own replica of the small side's matching row. Row multiplicity is
+    unchanged (each big row carries exactly one salt; each (key, salt)
+    matches exactly one replica), so results are identical to the plain
+    join on any partitioning.
+
+    Cost: the small side shuffles ``salt_buckets``× — use only when the
+    small side is modest and the big side's key histogram is pathological
+    (the 100 TB "one viral user" case).
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_big.join(replicated, [on, "__salt"])
+    return out.drop("__salt")

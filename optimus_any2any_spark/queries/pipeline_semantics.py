@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark.queries import register
-from optimus_any2any_spark.queries.util import load
+from optimus_any2any_spark.queries.util import dsum, load, o_dsum
 
 
 @register(
@@ -267,4 +267,36 @@ def q_group_by_routing_hash(spark, sf_dir):
             F.max("event_id").alias("last_event"),
         )
         .orderBy("group_hash")
+    )
+
+
+@register(
+    "q_salted_segment_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {o_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc="Skew-proof salted join (operators/skew.py::salted_join): the "
+    "fact side salted 16 ways, the dimension replicated per salt — a "
+    "hot customer's orders spread over 16 tasks by construction. The "
+    "oracle is the PLAIN join: row multiplicity is provably unchanged, "
+    "so results match bit-for-bit.",
+)
+def q_salted_segment_revenue(spark, sf_dir):
+    from optimus_any2any_spark.operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    joined = salted_join(o, c, on="custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
     )
