@@ -413,3 +413,63 @@ def q_rank_family_suppliers(spark, sf_dir):
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     ).orderBy("rnk", "s_suppkey")
+
+
+@register(
+    "q_orders_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o.o_orderkey
+    """,
+    doc="Correlated scalar subquery (each order vs 1.5x its customer's "
+    "average): the DataFrame form IS the decorrelated plan — one "
+    "per-customer aggregate joined back — which is exactly what "
+    "Catalyst's decorrelation rewrites the SQL form into; no "
+    "per-row re-execution ever happens.",
+)
+def q_orders_above_customer_avg(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        davg(F.col("o_totalprice")).alias("avg_price")
+    )
+    return (
+        o.join(per_cust, o.o_custkey == per_cust.ck)
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q_part_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             p_retailprice AS retailprice
+      FROM part WHERE p_partkey <= 200
+    )
+    UNPIVOT (val FOR metric IN (size, retailprice))
+    ORDER BY p_partkey, metric
+    """,
+    doc="UNPIVOT/melt (wide metrics -> long rows): Spark's unpivot is "
+    "a zero-shuffle projection (each row expands in place) — the "
+    "reshaping complement of q_events_pivot.",
+)
+def q_part_unpivot(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        "p_partkey", ["size", "retailprice"], "metric", "val"
+    ).orderBy("p_partkey", "metric")
