@@ -96,6 +96,32 @@ def deduplicated(
     )
 
 
+def interval_joined(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: right events at
+    most ``max_delay`` before each left event, same key.
+
+    Both sides carry watermarks so the state store can evict rows older
+    than watermark + interval — without them a stream-stream join
+    buffers forever. This is the streaming twin of the batch bucketed
+    range join (operators/temporal.py)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (F.col(right_ts) < F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond).drop(r[on])
+
+
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -184,3 +184,37 @@ class TestStreamingDedup:
         rows = {r["k"]: r["v"] for r in table.collect()}
         assert set(rows) == {"a", "b"}
         assert rows["a"] == 1  # first arrival wins
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_within_delay(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.streams import (
+            interval_joined,
+            run_to_memory,
+            stream_source,
+        )
+
+        lsrc = tmp_path / "purchases"
+        rsrc = tmp_path / "clicks"
+        lsrc.mkdir(); rsrc.mkdir()
+        (lsrc / "b1.json").write_text(
+            '{"ts": "2024-01-01T10:00:00Z", "user": "u1", "order": 1}\n'
+            '{"ts": "2024-01-01T12:00:00Z", "user": "u2", "order": 2}\n'
+        )
+        (rsrc / "b1.json").write_text(
+            '{"rts": "2024-01-01T09:30:00Z", "user": "u1", "click": 10}\n'  # in window
+            '{"rts": "2024-01-01T08:00:00Z", "user": "u1", "click": 11}\n'  # too old
+            '{"rts": "2024-01-01T11:30:00Z", "user": "u2", "click": 12}\n'  # in window
+        )
+        purchases = stream_source(
+            spark, str(lsrc), "ts timestamp, user string, order long"
+        )
+        clicks = stream_source(
+            spark, str(rsrc), "rts timestamp, user string, click long"
+        )
+        joined = interval_joined(
+            purchases, clicks, on="user", max_delay="1 hour"
+        )
+        table = run_to_memory(joined, "ssjoin", output_mode="append")
+        got = sorted((r["order"], r["click"]) for r in table.collect())
+        assert got == [(1, 10), (2, 12)]
