@@ -877,3 +877,99 @@ def mix_by_source_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS.replace("text", "lower(text)")})) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, 1 AS present FROM tok
+    ),
+    df AS (SELECT term, COUNT(*) AS n_docs_with FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(ln(CAST(n.n_docs AS DOUBLE) / df.n_docs_with), 6) AS idf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY idf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, idf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    doc="Per-document top-3 distinctive terms by IDF (set-of-terms "
+    "model): inverted term index joined back to docs — the shuffle is "
+    "on the term key (bounded by vocabulary), never doc x doc. Rounded "
+    "ln keeps Spark and DuckDB bit-identical.",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens(F.lower(F.col("text"))))).alias("term"),
+    )
+    df_counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    n_docs = d.count()
+    scored = tok.join(df_counts, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("n_docs_with")), 6).alias("idf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("idf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "idf", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_TOKENS.replace("text", "lower(text)")})) AS term
+      FROM documents
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok
+    GROUP BY term
+    HAVING COUNT(*) >= 100
+    ORDER BY term
+    """,
+    doc="Inverted-index construction (term -> ordered posting list): "
+    "one shuffle on the term key; postings assembled with "
+    "sorted-collect so the list is deterministic on any partitioning. "
+    "At 100 TB, posting lists for stopword-like terms are the skew "
+    "risk — the HAVING here models the common-term cut.",
+)
+def text_inverted_index(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens(F.lower(F.col("text"))))).alias("term"),
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id"))).cast("array<string>"),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 100)
+        .orderBy("term")
+    )
