@@ -9,6 +9,7 @@ checks the *semantics*, not just the relational surface.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from optimus_any2any_spark.queries import register
 from optimus_any2any_spark.queries.util import dsum, load, o_dsum
@@ -299,4 +300,67 @@ def q_salted_segment_revenue(spark, sf_dir):
             dsum(F.col("o_totalprice")).alias("revenue"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_pii_masked_customers",
+    oracle="""
+    SELECT c_custkey,
+           sha256('pepper|' || c_name) AS name_token,
+           concat(substr(c_name, 1, 2), repeat('*', 6)) AS name_redacted,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_bucket
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="PII handling for training pipelines: deterministic peppered "
+    "tokenization (joinable pseudonym), prefix redaction (human "
+    "debugging), and value bucketing (k-anonymity-style coarsening) — "
+    "all JVM-side expressions, no Python in the path.",
+)
+def q_pii_masked_customers(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(
+            F.concat(F.lit("pepper|"), F.col("c_name")).cast("binary"), 256
+        ).alias("name_token"),
+        F.concat(F.substring("c_name", 1, 2), F.lit("*" * 6)).alias(
+            "name_redacted"
+        ),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("acctbal_bucket"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "q_doc_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_len
+    FROM documents
+    GROUP BY bucket_lo
+    ORDER BY bucket_lo
+    """,
+    doc="Fixed-width histogram of document lengths (floor-bucketing — "
+    "the corpus length-distribution check before token-budget "
+    "planning); single shuffle on the bucket key.",
+)
+def q_doc_length_histogram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            (F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("n_chars").cast(T.DecimalType(18, 2))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_len"),
+        )
+        .orderBy("bucket_lo")
     )
