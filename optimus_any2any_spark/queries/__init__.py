@@ -47,6 +47,7 @@ def all_queries() -> dict[str, Query]:
     from optimus_any2any_spark.queries import (  # noqa: F401
         relational,
         relational_ext,
+        relational_tpch2,
         pipeline_semantics,
         temporal_sketch,
         llm_ops,
