@@ -119,6 +119,25 @@ def prefix_fingerprint(col: Column, n: int = 80) -> Column:
     return F.md5(F.substring(col, 1, n).cast("binary"))
 
 
+def ngram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """All word n-gram *occurrences* per document as (id, gram) rows —
+    duplicates preserved (unlike :func:`..dedup.shingles`, which
+    dedups within the doc). The gram expansion is a per-row array
+    transform (no shuffle); only downstream counting shuffles, on
+    (id, gram) — the repetition-statistics primitive behind
+    Gopher-style quality filters."""
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

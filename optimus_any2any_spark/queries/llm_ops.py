@@ -973,3 +973,121 @@ def text_inverted_index(spark, sf_dir):
         .filter(F.col("df") >= 100)
         .orderBy("term")
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS gram
+      FROM tok WHERE len(t) >= 2
+    ),
+    counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+    stats AS (
+      SELECT doc_id, SUM(c) AS total, COUNT(*) AS nd, MAX(c) AS mx
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS total_2grams,
+           CAST(nd AS BIGINT) AS distinct_2grams,
+           round(1 - CAST(nd AS DOUBLE) / total, 4) AS dup_frac,
+           round(CAST(mx AS DOUBLE) / total, 4) AS top_frac,
+           (1 - CAST(nd AS DOUBLE) / total) > 0.05 AS flagged
+    FROM stats
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality filter: per-document duplicate-"
+    "2-gram fraction and top-2-gram fraction. The gram expansion is a "
+    "per-row array transform; the only shuffles are the (doc, gram) "
+    "count and the per-doc rollup, both map-side combinable. The "
+    "flag comparison runs on the unrounded double, which both engines "
+    "derive from the same two integers — bit-identical.",
+)
+def text_repetition_filter(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    occ = TX.ngram_rows(d, n=2)
+    counts = occ.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("id").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("mx"),
+    )
+    dup = F.lit(1.0) - F.col("nd").cast("double") / F.col("total")
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        F.col("total").cast("long").alias("total_2grams"),
+        F.col("nd").cast("long").alias("distinct_2grams"),
+        F.round(dup, 4).alias("dup_frac"),
+        F.round(F.col("mx").cast("double") / F.col("total"), 4).alias("top_frac"),
+        (dup > 0.05).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "contamination_4gram",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source, gram FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 2),
+                                     i -> array_to_string(t[i:i+3], ' '))) AS gram
+        FROM tok WHERE len(t) >= 4
+      )
+    ),
+    ev AS (SELECT DISTINCT gram FROM sh WHERE source = 'src0'),
+    tr AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             COUNT(*) FILTER (gram IN (SELECT gram FROM ev)) AS n_hits
+      FROM sh WHERE source <> 'src0'
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_grams, 4) AS contamination_frac,
+           CAST(n_hits AS DOUBLE) / n_grams >= 0.8 AS flagged
+    FROM tr WHERE n_hits > 0
+    ORDER BY doc_id
+    """,
+    doc="Benchmark-decontamination check: distinct 4-gram overlap of "
+    "every training doc (source <> src0) against the eval set's "
+    "(source = src0) gram universe. The eval gram set joins as a "
+    "left-semi on the gram key — broadcast when the benchmark is "
+    "small, plain shuffle semi-join at 100 TB; per-doc gram counts "
+    "are map-side combinable. flagged >= 0.8 marks near-total "
+    "containment (train copies of eval docs).",
+)
+def contamination_4gram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    train = D.shingles(d.filter(F.col("source") != "src0"), n=4)
+    ev = (
+        D.shingles(d.filter(F.col("source") == "src0"), n=4)
+        .select("shingle")
+        .distinct()
+    )
+    per_doc = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(ev, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    frac = F.col("n_hits").cast("double") / F.col("n_grams")
+    return (
+        per_doc.join(hits, "id")
+        .filter(F.col("n_hits") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(frac, 4).alias("contamination_frac"),
+            (frac >= 0.8).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
