@@ -108,3 +108,61 @@ class TestJoinStrategy:
         r = report(spark, "ann_ivf_topk")
         assert "TakeOrderedAndProject" in r.text, r.text
         assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
+
+
+class TestSecondSuitePlans:
+    def test_q02_argmin_no_nested_loop(self, spark):
+        r = report(spark, "q02_min_cost_supplier")
+        assert r.num_nested_loop_joins == 0, r.text
+        assert r.num_broadcast_joins >= 2, r.text  # supplier + part filter
+
+    def test_q08_all_dims_broadcast(self, spark):
+        r = report(spark, "q08_market_share")
+        assert r.num_broadcast_joins >= 3, r.text
+        assert r.num_nested_loop_joins == 0, r.text
+
+    def test_q11_lineitem_scan_pruned(self, spark):
+        # the two-column aggregate must prune the 11-column fact scan
+        r = report(spark, "q11_important_parts")
+        assert any(
+            set(cols) <= {"l_partkey", "l_extendedprice"}
+            for cols in r.scan_columns()
+        ), r.text
+        assert r.num_sortmerge_joins == 0, r.text
+
+    def test_q13_outer_join_kept(self, spark):
+        # the priority filter must stay IN the join condition (an
+        # outer join that degraded to inner would drop 0-count rows)
+        r = report(spark, "q13_customer_distribution")
+        assert "LeftOuter" in r.text, r.text
+        assert r.num_nested_loop_joins == 0, r.text
+
+    def test_q15_scalar_max_broadcast(self, spark):
+        # the 1-row max joins via broadcast, never a shuffle
+        r = report(spark, "q15_top_supplier")
+        assert (
+            "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
+        ), r.text
+        assert r.num_sortmerge_joins <= 1, r.text
+
+    def test_q21_decorrelated_single_fact_pass(self, spark):
+        # EXISTS/NOT EXISTS must come from ONE per-order aggregate
+        # joined back — no nested-loop correlation artifacts
+        r = report(spark, "q21_waiting_suppliers")
+        assert r.num_nested_loop_joins == 0, r.text
+        assert r.num_broadcast_joins >= 1, r.text  # supplier dim
+
+    def test_contamination_semi_join(self, spark):
+        # the eval gram set must attach as a semi join (no fact-side
+        # duplication, no distinct-after-join)
+        r = report(spark, "contamination_4gram")
+        assert "LeftSemi" in r.text, r.text
+        assert r.num_nested_loop_joins == 0, r.text
+
+    def test_repetition_no_join(self, spark):
+        # pure two-level aggregation: gram expansion is per-row, so the
+        # plan must contain no join operator at all
+        r = report(spark, "text_repetition_filter")
+        assert r.num_broadcast_joins == 0, r.text
+        assert r.num_sortmerge_joins == 0, r.text
+        assert r.num_nested_loop_joins == 0, r.text
