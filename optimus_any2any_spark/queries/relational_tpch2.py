@@ -323,3 +323,41 @@ def q21_waiting_suppliers(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@register(
+    "scd2_customer_status",
+    oracle="""
+    SELECT o_custkey,
+           o_orderstatus AS status,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS effective_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current
+    FROM orders
+    WHERE o_custkey <= 300
+    ORDER BY o_custkey, effective_from, status
+    """,
+    doc="SCD type-2 history build (the lakehouse MERGE/dimension-"
+    "versioning shape): each customer's order stream becomes "
+    "validity intervals via lead() over (custkey, orderdate) — one "
+    "hash shuffle on the customer key, sort within partitions only; "
+    "is_current falls out as the NULL upper bound. Deterministic "
+    "via the orderkey tie-break.",
+)
+def scd2_customer_status(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("o_custkey", "effective_from", "status")
