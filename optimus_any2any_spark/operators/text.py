@@ -128,6 +128,9 @@ def ngram_rows(
     transform (no shuffle); only downstream counting shuffles, on
     (id, gram) — the repetition-statistics primitive behind
     Gopher-style quality filters."""
+    from optimus_any2any_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df, F.col(id_col))
     toks = tokens(F.col(text_col))
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))

@@ -1007,6 +1007,7 @@ def text_inverted_index(spark, sf_dir):
     "count and the per-doc rollup, both map-side combinable. The "
     "flag comparison runs on the unrounded double, which both engines "
     "derive from the same two integers — bit-identical.",
+    bench=True,
 )
 def text_repetition_filter(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
@@ -1063,6 +1064,7 @@ def text_repetition_filter(spark, sf_dir):
     "small, plain shuffle semi-join at 100 TB; per-doc gram counts "
     "are map-side combinable. flagged >= 0.8 marks near-total "
     "containment (train copies of eval docs).",
+    bench=True,
 )
 def contamination_4gram(spark, sf_dir):
     d = load(spark, sf_dir, "documents")

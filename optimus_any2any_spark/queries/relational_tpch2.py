@@ -102,6 +102,7 @@ def q02_min_cost_supplier(spark, sf_dir):
     "dimension chains (customer-nation-region restricts the market; "
     "supplier-nation tags the share numerator); all dims broadcast, "
     "ratio of two exact-decimal sums per year.",
+    bench=True,
 )
 def q08_market_share(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
@@ -290,6 +291,7 @@ def q15_top_supplier(spark, sf_dir):
     "computed in a single shuffle and joined back to the late rows; "
     "'late' is shipped >60 days after the order date (the lite "
     "schema has no commit/receipt dates).",
+    bench=True,
 )
 def q21_waiting_suppliers(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
