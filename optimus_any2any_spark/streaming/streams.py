@@ -138,6 +138,60 @@ def run_to_memory(
     return result.sparkSession.table(name)
 
 
+def upsert_to_parquet(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    ts_col: str,
+    checkpoint: str,
+):
+    """foreachBatch MERGE-style upsert into a keyed parquet snapshot —
+    the streaming twin of the batch SCD build (queries/relational_tpch2
+    ``scd2_customer_status``) and of the reference's MC REPLACE load
+    (ext/maxcompute/sink.go:52-59, temp-table + INSERT OVERWRITE ≙
+    atomic snapshot swap).
+
+    Each micro-batch reduces to its latest row per key (row_number over
+    ts desc), anti-joins the current snapshot to drop superseded rows,
+    and atomically rewrites the snapshot. ``localCheckpoint`` cuts the
+    lineage so the read side is materialized before the overwrite
+    touches the same path. foreachBatch gives at-least-once batch
+    delivery; the merge is idempotent (same batch re-applied yields the
+    same snapshot), which upgrades the sink to effectively-once.
+
+    At scale the snapshot rewrite is the cost — a real lakehouse table
+    format (Delta/Iceberg MERGE) turns it into a file-level upsert; the
+    plan shape (dedup-in-batch, anti-join, union) is identical.
+    """
+    from pyspark.sql.window import Window
+
+    def merge(batch: DataFrame, _batch_id: int):
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            current = spark.read.parquet(path)
+            merged = current.join(
+                latest.select(key_col), on=key_col, how="left_anti"
+            ).unionByName(latest)
+        except Exception:
+            merged = latest
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def kafka_stream_sink(
     df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str
 ):
