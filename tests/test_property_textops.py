@@ -1,0 +1,55 @@
+"""Property tests: n-gram repetition stats vs a naive Python
+implementation over generated token streams."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+token = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+docs = st.lists(doc, min_size=1, max_size=6)
+
+
+def naive_2gram_stats(text: str):
+    toks = text.split()
+    grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    if not grams:
+        return None
+    c = Counter(grams)
+    return (len(grams), len(c), max(c.values()))
+
+
+class TestNgramRowsProperties:
+    @given(ds=docs)
+    @settings(max_examples=15, deadline=None)
+    def test_occurrence_stats_match_naive(self, ds, spark):
+        from optimus_any2any_spark.operators.text import ngram_rows
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ds)], "doc_id long, text string"
+        )
+        occ = ngram_rows(df, n=2)
+        # same two-level aggregation path text_repetition_filter uses
+        stats = {
+            r["id"]: (r["total"], r["nd"], r["mx"])
+            for r in occ.groupBy("id", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("id")
+            .agg(
+                F.sum("c").alias("total"),
+                F.count(F.lit(1)).alias("nd"),
+                F.max("c").alias("mx"),
+            )
+            .collect()
+        }
+        for i, t in enumerate(ds):
+            expect = naive_2gram_stats(t)
+            if expect is None:
+                assert i not in stats
+            else:
+                assert stats[i] == expect
