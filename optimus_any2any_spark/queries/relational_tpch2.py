@@ -363,3 +363,45 @@ def scd2_customer_status(spark, sf_dir):
         nxt.alias("effective_to"),
         nxt.isNull().alias("is_current"),
     ).orderBy("o_custkey", "effective_from", "status")
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.w) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN first f ON f.user_id = a.user_id
+    GROUP BY f.cohort, week_offset
+    ORDER BY f.cohort, week_offset
+    """,
+    doc="Weekly cohort retention: per-user first-activity week "
+    "(cohort, Monday-truncated in both engines) joined back to the "
+    "user's distinct active weeks, counted by week offset. Two "
+    "aggregations + one equi-join, all keyed on user_id, so a "
+    "repartition on user_id serves every stage; the offset is an "
+    "exact multiple-of-7-days integer division, identical across "
+    "engines.",
+)
+def q_cohort_retention(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    offset = (F.datediff(F.col("w"), F.col("cohort")) / 7).cast("long")
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )
