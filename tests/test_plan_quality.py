@@ -166,3 +166,8 @@ class TestSecondSuitePlans:
         assert r.num_broadcast_joins == 0, r.text
         assert r.num_sortmerge_joins == 0, r.text
         assert r.num_nested_loop_joins == 0, r.text
+
+    def test_cohort_retention_equi_join_only(self, spark):
+        # cohort joins back on user_id — an equi-join, never nested-loop
+        r = report(spark, "q_cohort_retention")
+        assert r.num_nested_loop_joins == 0, r.text
