@@ -43,14 +43,18 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 
 
 def all_queries() -> dict[str, Query]:
-    # Import side-effect modules that populate REGISTRY.
+    # Import side-effect modules that populate REGISTRY.  Order matters:
+    # the driver's CORRECTNESS report records at most ~50 entries in
+    # registration order, so the modules least-verified by prior rounds
+    # (llm_ops was absent from CORRECTNESS_r01) register first and the
+    # TPC-H tail — already driver-verified green in round 1 — last.
     from optimus_any2any_spark.queries import (  # noqa: F401
+        llm_ops,
+        pipeline_semantics,
+        temporal_sketch,
         relational,
         relational_ext,
         relational_tpch2,
-        pipeline_semantics,
-        temporal_sketch,
-        llm_ops,
     )
 
     return REGISTRY
