@@ -123,15 +123,43 @@ class FileSink:
 
     def _write_lines(self, lines: DataFrame, header: str | None) -> WriteResult:
         """One distributed text write partitioned by destination, then a
-        driver-side commit/rename onto the templated URIs."""
+        driver-side commit/rename onto the templated URIs.
+
+        Scale shape: ``repartition(DEST_COL)`` lands every destination in a
+        single shuffle partition, so the staged dir holds exactly one part
+        file per destination and the commit is a *rename*, not a byte
+        stream through the driver. gzip output is compressed by Spark
+        executors (native codec); the only driver-side byte movement left
+        is the header prepend for CSV (buffered ``copyfileobj``, and for
+        gzip it appends *compressed* bytes — a valid gzip stream is a
+        concatenation of gzip members)."""
+        if self.template.is_static:
+            # Constant destination: no routing shuffle at all — a narrow
+            # parallel write (json/gzip encode on all cores, input order
+            # preserved by part-file numbering) followed by a driver
+            # concat of the parts. Producing ONE output file is inherently
+            # O(bytes) somewhere; this serializes only raw IO, never the
+            # encode, and never forces the 1-partition shuffle the
+            # templated path would.
+            return self._write_static(lines, header)
         tmpdir = tempfile.mkdtemp(prefix="any2any_sink_")
         staging = os.path.join(tmpdir, "staged")
-        (
-            lines.repartition(F.col(DEST_COL))
-            .write.partitionBy(DEST_COL)
-            .mode("overwrite")
-            .text(staging)
-        )
+        lines = lines.persist()
+        try:
+            counts = {
+                r[DEST_COL]: r["count"]
+                for r in lines.groupBy(DEST_COL).count().collect()
+            }
+            writer = (
+                lines.repartition(F.col(DEST_COL))
+                .write.partitionBy(DEST_COL)
+                .mode("overwrite")
+            )
+            if self.compression == "gzip":
+                writer = writer.option("compression", "gzip")
+            writer.text(staging)
+        finally:
+            lines.unpersist()
         result: dict[str, int] = {}
         for entry in os.listdir(staging):
             if not entry.startswith(DEST_COL + "="):
@@ -139,20 +167,72 @@ class FileSink:
             dest = urllib.parse.unquote(entry[len(DEST_COL) + 1 :])
             os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
             parts = sorted(
-                p
+                os.path.join(staging, entry, p)
                 for p in os.listdir(os.path.join(staging, entry))
                 if p.startswith("part-")
             )
-            n = 0
-            opener = gzip.open if self.compression == "gzip" else open
-            with opener(dest, "wb") as out:
-                if header is not None:
-                    out.write(header.encode() + b"\n")
-                for p in parts:
-                    with open(os.path.join(staging, entry, p), "rb") as src:
-                        for line in src:
-                            out.write(line)
-                            n += 1
-            result[dest] = n
+            self._commit_destination(dest, parts, header)
+            result[dest] = counts.get(dest, 0)
         shutil.rmtree(tmpdir, ignore_errors=True)
         return WriteResult(files=result)
+
+    def _write_static(self, lines: DataFrame, header: str | None) -> WriteResult:
+        """Single fixed destination: parallel narrow write, ordered concat."""
+        dest = self.template.render({})
+        tmpdir = tempfile.mkdtemp(prefix="any2any_sink_")
+        staging = os.path.join(tmpdir, "staged")
+        writer = lines.select("value").write.mode("overwrite")
+        if self.compression == "gzip":
+            writer = writer.option("compression", "gzip")
+        writer.text(staging)
+        parts = sorted(
+            os.path.join(staging, p)
+            for p in os.listdir(staging)
+            if p.startswith("part-")
+        )
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        n = 0
+        header_bytes = header.encode() + b"\n" if header is not None else None
+        if self.compression == "gzip":
+            # Parts are executor-compressed; concatenated gzip members form
+            # a valid stream, so only compressed bytes move through here.
+            n = lines.count()
+            with open(dest, "wb") as out:
+                if header_bytes is not None:
+                    out.write(gzip.compress(header_bytes))
+                for p in parts:
+                    with open(p, "rb") as src:
+                        shutil.copyfileobj(src, out, 1 << 20)
+        else:
+            with open(dest, "wb") as out:
+                if header_bytes is not None:
+                    out.write(header_bytes)
+                for p in parts:
+                    with open(p, "rb") as src:
+                        while chunk := src.read(1 << 20):
+                            out.write(chunk)
+                            n += chunk.count(b"\n")
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        return WriteResult(files={dest: n})
+
+    def _commit_destination(
+        self, dest: str, parts: list[str], header: str | None
+    ) -> None:
+        """Move the staged part(s) onto ``dest``; byte movement only when a
+        header must be prepended or >1 part must be concatenated."""
+        header_bytes = header.encode() + b"\n" if header is not None else None
+        if header_bytes is None and len(parts) == 1:
+            # Fast path: pure rename (copy fallback only across devices).
+            if os.path.exists(dest):
+                os.remove(dest)
+            shutil.move(parts[0], dest)
+            return
+        with open(dest, "wb") as out:
+            if header_bytes is not None:
+                if self.compression == "gzip":
+                    out.write(gzip.compress(header_bytes))
+                else:
+                    out.write(header_bytes)
+            for p in parts:
+                with open(p, "rb") as src:
+                    shutil.copyfileobj(src, out, 1 << 20)
