@@ -64,34 +64,68 @@ def warehouse_source(spark: SparkSession, cfg: Config) -> DataFrame:
     ``MC__PRE_QUERY_FILE_PATH`` → collected rows; each row renders
     ``MC__QUERY_FILE_PATH``'s ``[[ .field ]]`` template; results are
     unioned with pre-record fields merged in (source.go:226-232).
+
+    Script mode: a query containing multiple ``;``-terminated statements
+    decomposes into SET headers / ``@var`` + UDF declarations / DROPs /
+    body (query_helper.go:91-208) and executes statement-by-statement
+    against the catalog (:mod:`..compiler.mc_script`). A query
+    *directory* fans out to every file inside, with the file's basename
+    in ``MC__FILENAME_COLUMN`` (source.go:299-320, :234).
     """
+    import os
+
+    from optimus_any2any_spark.compiler.mc_script import run_script
     from optimus_any2any_spark.compiler.template import compile_template
 
     c = cfg.for_component("MC")
-    query = c.get("query")
-    if not query and c.get("query_file_path"):
-        query = open(c["query_file_path"]).read()
-    if not query:
+    fname_col = c.get("filename_column", M.FILENAME)
+
+    # filename → raw query text (getRawQueries, source.go:299-320).
+    raw_queries: dict[str, str] = {}
+    if c.get("query"):
+        raw_queries[""] = c["query"]
+    elif c.get("query_file_path"):
+        qpath = c["query_file_path"]
+        if os.path.isdir(qpath):
+            for entry in sorted(os.listdir(qpath)):
+                p = os.path.join(qpath, entry)
+                if os.path.isfile(p):
+                    raw_queries[entry] = open(p).read()
+        else:
+            raw_queries[os.path.basename(qpath)] = open(qpath).read()
+    if not raw_queries:
         raise ValueError("MC source requires MC__QUERY or MC__QUERY_FILE_PATH")
 
     pre_sql = c.get("pre_query")
     if not pre_sql and c.get("pre_query_file_path"):
         pre_sql = open(c["pre_query_file_path"]).read()
 
-    tmpl = compile_template(query)
-    if not pre_sql:
-        return spark.sql(query)
-    pre_rows = [r.asDict() for r in spark.sql(pre_sql).collect()]
-    if not pre_rows:
-        pre_rows = [{}]  # empty pre-query yields one empty record
-        # (client_reader.go:76-79)
+    if pre_sql:
+        pre_rows = [r.asDict() for r in spark.sql(pre_sql).collect()]
+        if not pre_rows:
+            pre_rows = [{}]  # empty pre-query yields one empty record
+            # (client_reader.go:76-79)
+    else:
+        pre_rows = [{}]
+
+    def run(sql: str) -> DataFrame:
+        # Scripts go through script mode — same trigger as the reference
+        # (client_reader.go:72-74 sets submit.mode=script on ';').
+        if ";" in sql:
+            return run_script(spark, sql)
+        return spark.sql(sql)
+
     parts: list[DataFrame] = []
     for row in pre_rows:
-        part = spark.sql(tmpl.render(row))
-        for k, v in row.items():  # merge pre-record fields into each row
-            if k not in part.columns:
-                part = part.withColumn(k, F.lit(v))
-        parts.append(part)
+        for filename, raw in raw_queries.items():
+            tmpl = compile_template(raw)
+            part = run(tmpl.render(row) if row else raw)
+            for k, v in row.items():  # merge pre-record fields into each row
+                if k not in part.columns:
+                    part = part.withColumn(k, F.lit(v))
+            if filename:
+                part = part.withColumn(fname_col, F.lit(filename))
+            parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
