@@ -217,7 +217,44 @@ def _py_div(a, b):
     return a / b
 
 
+def _go_truthy(v: Any) -> bool:
+    """Go template emptiness: nil/false/0/""/empty collection are false."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return v != 0
+    if hasattr(v, "__len__"):
+        return len(v) > 0
+    return True
+
+
+def _go_and(*xs: Any) -> Any:
+    for x in xs:
+        if not _go_truthy(x):
+            return x
+    return xs[-1]
+
+
+def _go_or(*xs: Any) -> Any:
+    for x in xs:
+        if _go_truthy(x):
+            return x
+    return xs[-1]
+
+
 _PY_FUNCS: dict[str, Any] = {
+    # Go template builtins (text/template/funcs.go): comparisons and
+    # boolean operators. eq accepts extra args as an any-of match; and/or
+    # return the deciding operand (Go semantics).
+    "eq": lambda a, *bs: any(a == b for b in bs),
+    "ne": lambda a, b: a != b,
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+    "and": _go_and,
+    "or": _go_or,
+    "not": lambda v: not _go_truthy(v),
     "add": lambda *xs: sum(xs),
     "sub": lambda a, b: a - b,
     "mul": lambda a, b: a * b,
@@ -370,6 +407,34 @@ def _col_call(node: Call, df: DataFrame) -> tuple[Column, str | None]:
         return F.date_format(F.current_timestamp(), go_layout_to_java(layout)), "string"
     if name == "uuid" or name == "uuidv4":
         return F.expr("uuid()"), "string"
+    if name in ("eq", "ne", "lt", "le", "gt", "ge"):
+        # Go template comparison builtins (text/template/funcs.go); eq
+        # accepts extra args as an any-of match.
+        a, b = args[0], args[1]
+        if name == "eq":
+            col = a == b
+            for extra in args[2:]:
+                col = col | (a == extra)
+        elif name == "ne":
+            col = a != b
+        elif name == "lt":
+            col = a < b
+        elif name == "le":
+            col = a <= b
+        elif name == "gt":
+            col = a > b
+        else:
+            col = a >= b
+        return col, "boolean"
+    if name in ("and", "or"):
+        # Go template and/or return the deciding *operand*; with boolean
+        # usage (the overwhelming template case) that is plain AND/OR.
+        col = args[0]
+        for extra in args[1:]:
+            col = (col & extra) if name == "and" else (col | extra)
+        return col, "boolean"
+    if name == "not":
+        return ~args[0], "boolean"
     if name in ("add", "sub", "mul", "div", "mod", "max", "min"):
         a, b = args[0], args[1] if len(args) > 1 else F.lit(0)
         dt = "bigint"

@@ -186,48 +186,104 @@ def redis_sink(df: DataFrame, cfg: Config):
 
 @register_sink("HTTP")
 def http_sink(df: DataFrame, cfg: Config):
-    """ext/http/sink.go:183 — per-record compiled method/endpoint/
-    headers; records grouped by the md5 of their compiled config
-    (:306-314) and sent in batches of HTTP__BATCH_SIZE rendered through
-    the body template (single map vs list of maps, :197-210). The
-    grouping/batching is a real distributed aggregate; the POST happens
-    per group partition via the injectable sender."""
+    """ext/http/sink.go:183 — method, endpoint AND headers are each
+    per-record compiled templates (:260-304); records group by the md5
+    of their compiled config (:306-314) and flush in batches of
+    HTTP__BATCH_SIZE through the body template — rendered against the
+    single record map when BATCH_SIZE=1, against the list of record
+    maps otherwise (:197-210), metadata stripped from the body context
+    but visible to the metadata templates. Grouping/batching/rendering
+    run distributed per partition; the send goes through the injectable
+    ``HTTP__SENDER(method, endpoint, headers, body)``.
+
+    Header config: HTTP__HEADER is a static ``k:v,k2:v2`` map;
+    HTTP__HEADERS_FILE_PATH is a per-record *template* whose rendered
+    ``Key: v1,v2`` lines parse into the header dict (:288-303).
+    Without a body template the payload defaults to the record JSON
+    (batch=1) or a JSON array of records (batch>1)."""
     c = cfg.for_component("HTTP")
-    method = c.get("method", "POST")
+    method_t = compile_template(c.get("method", "POST"))
     endpoint_t = compile_template(c["endpoint"])
-    data = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
-    data_cols = data.columns
-    routed = df.select(
-        endpoint_t.column(df).alias("__endpoint"),
-        F.to_json(F.struct(*data_cols), {"ignoreNullFields": "false"}).alias("v"),
-    ).withColumn("__group", F.md5(F.concat(F.lit(method + "|"), F.col("__endpoint"))))
-    batch_size = int(c.get("batch_size", "512"))
-    batch_mode = c.get("batch", "true").lower() == "true"
+    if c.get("headers_file_path"):
+        header_src = open(c["headers_file_path"]).read()
+    elif c.get("header"):
+        pairs = [p.split(":", 1) for p in c["header"].split(",")]
+        header_src = "".join(f"{k}: {v}\n" for k, v in pairs)
+    else:
+        header_src = ""
+    headers_t = compile_template(header_src)
+    body_src = c.get("body") or (
+        open(c["body_file_path"]).read() if c.get("body_file_path") else ""
+    )
+    batch_size = int(c.get("batch_size", "1"))
     sender = cfg.values.get("HTTP__SENDER")
     if sender is None:
         raise NotImplementedError(
-            "no HTTP client wired; inject HTTP__SENDER(method, endpoint, body)"
+            "no HTTP client wired; inject "
+            "HTTP__SENDER(method, endpoint, headers, body)"
         )
 
-    grouped = routed.repartition(F.col("__group")).sortWithinPartitions("__group")
+    data = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    data_cols = data.columns
+    compiled = df.select(
+        method_t.column(df).alias("__method"),
+        endpoint_t.column(df).alias("__endpoint"),
+        headers_t.column(df).alias("__headers"),
+        F.to_json(F.struct(*data_cols), {"ignoreNullFields": "false"}).alias("v"),
+    ).withColumn(
+        "__group",
+        F.md5(F.concat_ws("\n", "__method", "__endpoint", "__headers")),
+    )
+    grouped = compiled.repartition(F.col("__group")).sortWithinPartitions("__group")
+
+    # The flush closure renders Go-template bodies on executors; ship the
+    # template module by value so workers don't need the package on their
+    # PYTHONPATH (same pattern as sources/paged_api.py:118-128).
+    import optimus_any2any_spark.compiler.template as _template_mod
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(_template_mod)
+    body_t = compile_template(body_src) if body_src else None
+
+    def parse_headers(rendered: str) -> dict[str, list[str]]:
+        headers: dict[str, list[str]] = {}
+        for line in rendered.splitlines():
+            if not line.strip():
+                continue
+            key, _, vals = line.partition(":")
+            headers.setdefault(key.strip(), []).extend(
+                v.strip() for v in vals.split(",")
+            )
+        return headers
 
     def send(partition):
-        cur_key, cur_endpoint, buf = None, None, []
+        import json as _json
+
+        cur_key, meta, buf = None, None, []
 
         def flush():
             if not buf:
                 return
-            if batch_mode:
-                sender(method, cur_endpoint, "[" + ",".join(buf) + "]")
+            method, endpoint, headers = meta
+            if body_t is not None:
+                ctx = (
+                    _json.loads(buf[0])
+                    if batch_size == 1
+                    else [_json.loads(v) for v in buf]
+                )
+                body = body_t.render(ctx)
+            elif batch_size == 1:
+                body = buf[0]
             else:
-                for item in buf:
-                    sender(method, cur_endpoint, item)
+                body = "[" + ",".join(buf) + "]"
+            sender(method, endpoint, parse_headers(headers), body)
             buf.clear()
 
         for row in partition:
             if row["__group"] != cur_key:
                 flush()
-                cur_key, cur_endpoint = row["__group"], row["__endpoint"]
+                cur_key = row["__group"]
+                meta = (row["__method"], row["__endpoint"], row["__headers"])
             buf.append(row["v"])
             if len(buf) >= batch_size:
                 flush()

@@ -164,7 +164,7 @@ class TestPipeline:
         write_ndjson(src, [{"shard": i % 2, "v": i} for i in range(6)])
         capture = str(tmp_path / "posts.jsonl")
 
-        def sender(m, e, b, path=capture):
+        def sender(m, e, h, b, path=capture):
             with open(path, "a") as f:
                 f.write(json.dumps([m, e, len(json.loads(b))]) + "\n")
 
@@ -173,6 +173,7 @@ class TestPipeline:
                 f"FILE__SOURCE_URI=file://{src}",
                 "HTTP__ENDPOINT=http://svc/shard/[[ .shard ]]",
                 "HTTP__METHOD=POST",
+                "HTTP__BATCH_SIZE=512",
             ],
             environ={},
         )
@@ -182,6 +183,89 @@ class TestPipeline:
         assert calls == [
             ("POST", "http://svc/shard/0", 3),
             ("POST", "http://svc/shard/1", 3),
+        ]
+
+    def test_http_sink_per_record_method_headers(self, spark, tmp_path):
+        """ext/http/sink.go:260-304: method and headers compile per
+        record; distinct compiled configs land in distinct groups."""
+        src = tmp_path / "in.json"
+        write_ndjson(
+            src,
+            [
+                {"op": "create", "id": 1, "tok": "abc"},
+                {"op": "update", "id": 2, "tok": "abc"},
+            ],
+        )
+        hdr = tmp_path / "headers.tmpl"
+        hdr.write_text("Authorization: Bearer [[ .tok ]]\nX-Id: [[ .id ]]\n")
+        capture = str(tmp_path / "posts.jsonl")
+
+        def sender(m, e, h, b, path=capture):
+            with open(path, "a") as f:
+                f.write(json.dumps([m, e, h, json.loads(b)]) + "\n")
+
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "HTTP__ENDPOINT=http://svc/records",
+                'HTTP__METHOD=[[ ternary "POST" "PUT" (eq .op "create") ]]',
+                f"HTTP__HEADERS_FILE_PATH={hdr}",
+            ],
+            environ={},
+        )
+        cfg.values["HTTP__SENDER"] = sender
+        Pipeline(spark, "FILE", ["HTTP"], cfg).run()
+        calls = sorted(json.loads(l) for l in open(capture))
+        assert len(calls) == 2
+        post = next(c for c in calls if c[0] == "POST")
+        put = next(c for c in calls if c[0] == "PUT")
+        assert post[2] == {"Authorization": ["Bearer abc"], "X-Id": ["1"]}
+        assert put[2] == {"Authorization": ["Bearer abc"], "X-Id": ["2"]}
+        assert post[3]["op"] == "create" and put[3]["op"] == "update"
+
+    def test_http_sink_body_template_modes(self, spark, tmp_path):
+        """ext/http/sink.go:197-210: BATCH_SIZE=1 renders the body
+        template against the single record map; >1 against the list."""
+        src = tmp_path / "in.json"
+        write_ndjson(src, [{"name": "a"}, {"name": "b"}])
+        capture = str(tmp_path / "single.jsonl")
+
+        def sender(m, e, h, b, path=capture):
+            with open(path, "a") as f:
+                f.write(json.dumps(b) + "\n")
+
+        base = [
+            f"FILE__SOURCE_URI=file://{src}",
+            "HTTP__ENDPOINT=http://svc/x",
+        ]
+        # single-record mode: "." is the record map
+        cfg = Config.from_env(
+            env_args=base + ['HTTP__BODY={"payload": "[[ .name ]]"}'],
+            environ={},
+        )
+        cfg.values["HTTP__SENDER"] = sender
+        Pipeline(spark, "FILE", ["HTTP"], cfg).run()
+        bodies = sorted(json.loads(l) for l in open(capture))
+        assert bodies == ['{"payload": "a"}', '{"payload": "b"}']
+
+        # batch mode: "." is the list of record maps
+        capture2 = str(tmp_path / "batch.jsonl")
+
+        def sender2(m, e, h, b, path=capture2):
+            with open(path, "a") as f:
+                f.write(json.dumps(b) + "\n")
+
+        cfg2 = Config.from_env(
+            env_args=base
+            + ["HTTP__BODY=[[ . | tojson ]]", "HTTP__BATCH_SIZE=16"],
+            environ={},
+        )
+        cfg2.values["HTTP__SENDER"] = sender2
+        Pipeline(spark, "FILE", ["HTTP"], cfg2).run()
+        (body,) = [json.loads(l) for l in open(capture2)]
+        assert sorted(json.loads(body), key=lambda r: r["name"]) == [
+            {"name": "a"},
+            {"name": "b"},
         ]
 
     def test_kafka_sink_injected_producer(self, spark, tmp_path):

@@ -111,3 +111,19 @@ class TestColumnBackend:
             py = [t.render(r) for r in rows]
             col = [r[0] for r in df.select(t.column(df)).collect()]
             assert py == col, tmpl
+
+    def test_comparisons_and_booleans(self, df):
+        """Go template builtins eq/ne/lt/and/or/not in both backends."""
+        templates = [
+            '[[ ternary "yes" "no" (eq .group_id "group_1") ]]',
+            '[[ ternary 1 0 (and .flag (gt .score 2)) ]]',
+            '[[ ternary 1 0 (or .flag (lt .score 2.6)) ]]',
+            '[[ ternary 1 0 (not .flag) ]]',
+            '[[ ternary 1 0 (ne .__METADATA__record_index 0) ]]',
+        ]
+        rows = [r.asDict() for r in df.collect()]
+        for tmpl in templates:
+            t = compile_template(tmpl)
+            py = [t.render(r) for r in rows]
+            col = [r[0] for r in df.select(t.column(df)).collect()]
+            assert py == col, tmpl
