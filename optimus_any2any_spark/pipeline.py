@@ -135,16 +135,65 @@ class Pipeline:
         if self.no_pipeline:
             return self._run_direct()
         df = self.dataframe()
+        df, cfg = self._consume_specialized_metadata(df)
         if len(self.sinks) > 1:
             df = df.persist()
         result = PipelineResult()
         try:
             for sink in self.sinks:
-                result.sink_results[sink] = SINK_BUILDERS[sink](df, self.config)
+                result.sink_results[sink] = SINK_BUILDERS[sink](df, cfg)
         finally:
             if len(self.sinks) > 1:
                 df.unpersist()
         return result
+
+    def _consume_specialized_metadata(
+        self, df: DataFrame
+    ) -> tuple[DataFrame, Config]:
+        """Apply specialized metadata records as dynamic sink config
+        (docs/rfc_009): records carrying ONLY metadata fields are split
+        off the stream and their keys reconfigure the sinks —
+        ``__METADATA__<comp>__<key>`` overrides ``<COMP>__<KEY>``, and
+        the RFC's ``__METADATA__email_address`` example routes to
+        ``SMTP__ADDRESS_TO``. The reference sinks currently just skip
+        these records (ext/file/sink.go:78-81); consumption implements
+        the RFC's stated objective.
+
+        Scale: config records are emitted at the *head* of the stream
+        (the MC source sends the pre-record before any data,
+        ext/maxcompute/source.go:169-179), so the probe collects only
+        the first 64 rows — a single-partition head read, never a full
+        scan. The data-record filter itself is a lazy predicate that
+        fuses into each sink's scan.
+        """
+        prefix = self.config.get("METADATA_PREFIX", M.METADATA_PREFIX)
+        meta_cols = M.metadata_columns(df, prefix)
+        # Engine bookkeeping columns (filename/record_index/...) exist on
+        # every record and cannot mark a config record; only
+        # source-provided metadata keys can. Skipping here keeps plain
+        # pipelines free of the probe job and the extra predicate.
+        engine_cols = {M.FILENAME, M.RECORD_INDEX, M.BATCH_INDEX, M.RECORD_TOTAL_COUNT}
+        if not meta_cols or not (set(meta_cols) - engine_cols):
+            return df, self.config
+        data, _meta = M.split_specialized_metadata(df, prefix)
+        data_cols = [c for c in df.columns if c not in meta_cols]
+        overrides: dict[str, Any] = {}
+        for row in df.limit(64).collect():
+            d = row.asDict()
+            if any(d[c] is not None for c in data_cols):
+                continue  # a data record, not a pure-config record
+            for k, v in d.items():
+                if v is None or not k.startswith(prefix):
+                    continue
+                key = k[len(prefix):]
+                comp, sep, rest = key.partition("__")
+                if sep and rest:
+                    overrides[f"{comp.upper()}__{rest.upper()}"] = str(v)
+                elif key == "email_address":  # rfc_009's worked example
+                    overrides["SMTP__ADDRESS_TO"] = str(v)
+        if not overrides:
+            return data, self.config
+        return data, Config(values={**self.config.values, **overrides})
 
     def _run_direct(self) -> PipelineResult:
         """--no-pipeline: the whole transfer stays engine-side

@@ -68,3 +68,67 @@ class TestMetadata:
         data, meta = M.split_specialized_metadata(df)
         assert data.count() == 1 and meta.count() == 1
         assert meta.collect()[0]["__METADATA__email_address"] == "sample@example.com"
+
+
+class TestSpecializedMetadataConsumption:
+    """rfc_009: a pure-metadata record configures the sink and is never
+    written as data (FIXTURES.md F3)."""
+
+    def test_f3_email_address_configures_smtp(self, spark, tmp_path):
+        import json
+
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        src = tmp_path / "f3.json"
+        src.write_text(
+            '{"__METADATA__record_count": 100,'
+            ' "__METADATA__email_address": "sample@example.com"}\n'
+            '{"column_1": "value_1", "column_2": "value_2",'
+            ' "__METADATA__record_count": 100}\n'
+        )
+        sent = []
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=fallback@example.com",
+                "SMTP__SUBJECT=report",
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = sent.append
+        Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        assert len(sent) == 1
+        # line 1 reconfigured the recipient...
+        assert sent[0]["to"] == "sample@example.com"
+        # ...and was not written as data
+        records = [
+            json.loads(l) for l in sent[0]["attachment"].splitlines() if l
+        ]
+        assert records == [{"column_1": "value_1", "column_2": "value_2"}]
+
+    def test_component_scoped_override_configures_file_sink(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        src = tmp_path / "in.json"
+        dyn_out = tmp_path / "dynamic.json"
+        src.write_text(
+            '{"__METADATA__file__destination_uri": "%s"}\n'
+            '{"a": 1}\n' % dyn_out
+        )
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"FILE__DESTINATION_URI={tmp_path}/static.json",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["FILE"], cfg).run()
+        assert dyn_out.exists()
+        assert json.loads(dyn_out.read_text().splitlines()[0]) == {"a": 1}
+        assert not (tmp_path / "static.json").exists()
