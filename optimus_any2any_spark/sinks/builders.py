@@ -23,6 +23,15 @@ from optimus_any2any_spark.sinks.file import FileSink
 from optimus_any2any_spark.compiler.template import compile_template
 
 
+def _retry_conf(cfg: Config) -> tuple[int, int]:
+    """Global RETRY_MAX / RETRY_BACKOFF_MS (reference:
+    internal/config/config.go:12-13, defaults 3 / 1000)."""
+    return (
+        int(cfg.get("RETRY_MAX", "3")),
+        int(cfg.get("RETRY_BACKOFF_MS", "1000")),
+    )
+
+
 def _file_family(df: DataFrame, cfg: Config, comp: str):
     c = cfg.for_component(comp)
     sink = FileSink(
@@ -73,9 +82,13 @@ def sftp_sink(df: DataFrame, cfg: Config):
             "SFTP transport requires paramiko (not in this environment); "
             "inject SFTP__TRANSPORT(local_path, remote_path)"
         )
+    from optimus_any2any_spark.policy import retry
+
+    retry_max, backoff_ms = _retry_conf(cfg)
     for local in result.files:
         remote = local[len(staging):]
-        transport(local, remote)
+        # every flush retries with backoff (common/common.go:294-315)
+        retry(lambda: transport(local, remote), retry_max, backoff_ms)
     return result
 
 
@@ -136,9 +149,14 @@ def kafka_sink(df: DataFrame, cfg: Config):
     )
     producer = cfg.values.get("KAFKA__PRODUCER")
     if producer is not None:
+        # Test seam ONLY: collects the payload to the driver. Real data
+        # must use the native kafka writer below (distributed produce).
+        from optimus_any2any_spark.policy import retry
+
+        retry_max, backoff_ms = _retry_conf(cfg)
         rows = [r["value"] for r in payload.collect()]
         for v in rows:
-            producer(c.get("topic", ""), v)
+            retry(lambda: producer(c.get("topic", ""), v), retry_max, backoff_ms)
         return len(rows)
     return (
         payload.write.format("kafka")
@@ -162,6 +180,7 @@ def redis_sink(df: DataFrame, cfg: Config):
         val_t.column(data).alias("v"),
     )
     batch_size = int(c.get("batch_size", "512"))
+    retry_max, backoff_ms = _retry_conf(cfg)
     client_factory = cfg.values.get("REDIS__CLIENT")
     if client_factory is None:
         raise NotImplementedError(
@@ -170,15 +189,28 @@ def redis_sink(df: DataFrame, cfg: Config):
         )
 
     def send(partition):
+        import time as _time
+
         client = client_factory()
+
+        def mset_retry(payload):
+            # self-contained executor-side retry (common/common.go:294-315)
+            for attempt in range(retry_max):
+                try:
+                    return client.mset(payload)
+                except Exception:
+                    if attempt == retry_max - 1:
+                        raise
+                    _time.sleep((2**attempt) * backoff_ms / 1000.0)
+
         buf: dict[str, str] = {}
         for row in partition:
             buf[row["k"]] = row["v"]
             if len(buf) >= batch_size:
-                client.mset(dict(buf))
+                mset_retry(dict(buf))
                 buf.clear()
         if buf:
-            client.mset(dict(buf))
+            mset_retry(dict(buf))
 
     kv.foreachPartition(send)
     return True
@@ -256,8 +288,11 @@ def http_sink(df: DataFrame, cfg: Config):
             )
         return headers
 
+    retry_max, backoff_ms = _retry_conf(cfg)
+
     def send(partition):
         import json as _json
+        import time as _time
 
         cur_key, meta, buf = None, None, []
 
@@ -276,7 +311,16 @@ def http_sink(df: DataFrame, cfg: Config):
                 body = buf[0]
             else:
                 body = "[" + ",".join(buf) + "]"
-            sender(method, endpoint, parse_headers(headers), body)
+            # executor-side retry around the send (ext/http/sink.go:219,
+            # common/common.go:294-315)
+            for attempt in range(retry_max):
+                try:
+                    sender(method, endpoint, parse_headers(headers), body)
+                    break
+                except Exception:
+                    if attempt == retry_max - 1:
+                        raise
+                    _time.sleep((2**attempt) * backoff_ms / 1000.0)
             buf.clear()
 
         for row in partition:
@@ -330,14 +374,16 @@ def smtp_sink(df: DataFrame, cfg: Config):
         raise NotImplementedError(
             "no SMTP client wired; inject SMTP__TRANSPORT(email_dict)"
         )
+    from optimus_any2any_spark.policy import retry
+
+    retry_max, backoff_ms = _retry_conf(cfg)
     for e in emails:
-        transport(
-            {
-                "from": e["__from"],
-                "to": e["__to"],
-                "subject": e["__subject"],
-                "body": e["__body"],
-                "attachment": e["attachment"],
-            }
-        )
+        email = {
+            "from": e["__from"],
+            "to": e["__to"],
+            "subject": e["__subject"],
+            "body": e["__body"],
+            "attachment": e["attachment"],
+        }
+        retry(lambda: transport(email), retry_max, backoff_ms)
     return len(emails)

@@ -312,3 +312,78 @@ class TestWarehouseSink:
         write_table(df.limit(1), "wh_dest", "APPEND")
         assert spark.table("wh_dest").count() == 3
         spark.sql("DROP TABLE wh_dest")
+
+
+class TestTransportRetry:
+    """Every transport flush retries with backoff
+    (common/common.go:294-315; RETRY_MAX / RETRY_BACKOFF_MS)."""
+
+    def test_smtp_transport_retries_until_success(self, spark, tmp_path):
+        src = tmp_path / "in.json"
+        write_ndjson(src, [{"a": 1}])
+        attempts = []
+
+        def flaky(email):
+            attempts.append(1)
+            if len(attempts) < 3:
+                raise ConnectionError("boom")
+
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=x@example.com",
+                "RETRY_MAX=3",
+                "RETRY_BACKOFF_MS=1",
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = flaky
+        Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        assert len(attempts) == 3
+
+    def test_smtp_transport_exhausted_raises(self, spark, tmp_path):
+        src = tmp_path / "in.json"
+        write_ndjson(src, [{"a": 1}])
+
+        def always_fail(email):
+            raise ConnectionError("down")
+
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=x@example.com",
+                "RETRY_MAX=2",
+                "RETRY_BACKOFF_MS=1",
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = always_fail
+        import pytest as _pytest
+
+        with _pytest.raises(ConnectionError):
+            Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+
+    def test_http_sender_retries_on_executor(self, spark, tmp_path):
+        src = tmp_path / "in.json"
+        write_ndjson(src, [{"a": 1}])
+        # executor-side state must go through the filesystem
+        marker = str(tmp_path / "attempts")
+
+        def flaky_sender(m, e, h, b, path=marker):
+            with open(path, "a") as f:
+                f.write("x")
+            if len(open(path).read()) < 3:
+                raise ConnectionError("boom")
+
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "HTTP__ENDPOINT=http://svc/x",
+                "RETRY_MAX=3",
+                "RETRY_BACKOFF_MS=1",
+            ],
+            environ={},
+        )
+        cfg.values["HTTP__SENDER"] = flaky_sender
+        Pipeline(spark, "FILE", ["HTTP"], cfg).run()
+        assert len(open(marker).read()) == 3
