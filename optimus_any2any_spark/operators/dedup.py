@@ -68,12 +68,21 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def jaccard_pairs(
-    sh: DataFrame, threshold: float = 0.8, max_shingle_freq: int | None = None
+    sh: DataFrame,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs that share at
     least one shingle. ``max_shingle_freq`` drops ultra-common shingles
-    (stopword boilerplate) to bound the hot-key blowup at scale."""
+    (stopword boilerplate) to bound the hot-key blowup: a shingle shared
+    by f docs contributes f^2 candidate pairs, so one boilerplate
+    shingle at corpus scale is a quadratic block — the cap bounds every
+    shingle's block to cap^2 while set sizes shrink consistently on both
+    sides of the Jaccard. Pass ``None`` to disable."""
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle").drop("df_")

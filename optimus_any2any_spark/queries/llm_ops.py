@@ -38,11 +38,13 @@ _SQL_SHINGLES = f"""
   )
 """
 
-_SQL_JACCARD = """
-  sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+def _sql_jaccard(src: str = "sh") -> str:
+    """Jaccard verification CTEs over a (id, shingle) relation."""
+    return f"""
+  sizes AS (SELECT id, COUNT(*) AS set_size FROM {src} GROUP BY id),
   inter AS (
     SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.id < b.id
     GROUP BY 1, 2
   ),
   verified AS (
@@ -56,6 +58,22 @@ _SQL_JACCARD = """
                 (sa.set_size + sb.set_size - n_common), 4) >= 0.8
   )
 """
+
+
+def _sql_shingle_cap(cap: int, src: str = "sh") -> str:
+    """Hot-shingle cap CTE mirroring dedup.jaccard_pairs'
+    max_shingle_freq: shingles in more than ``cap`` docs are dropped
+    before sizes/intersections."""
+    return f"""
+  shc AS (
+    SELECT s.id, s.shingle FROM {src} s
+    JOIN (SELECT shingle, COUNT(*) AS df_ FROM {src} GROUP BY shingle) f
+      ON f.shingle = s.shingle AND f.df_ <= {cap}
+  )
+"""
+
+
+_SQL_JACCARD = _sql_jaccard("sh")
 
 _NUM_HASHES = D.DEFAULT_NUM_HASHES
 _BANDS = D.DEFAULT_BANDS
@@ -110,18 +128,57 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {_SQL_SHINGLES}, {_SQL_JACCARD}
+    WITH {_SQL_SHINGLES}, {_sql_shingle_cap(D.DEFAULT_MAX_SHINGLE_FREQ)},
+    {_sql_jaccard("shc")}
     SELECT doc_a, doc_b, jaccard FROM verified
     ORDER BY doc_a, doc_b
     """,
     doc="Near-dedup by exact 3-gram Jaccard >= 0.8 over an inverted "
-    "shingle index (shingle-key join, never the n^2 cross join).",
+    "shingle index (shingle-key join, never the n^2 cross join); "
+    "shingles hotter than the default freq cap are dropped so no "
+    "single key forms a quadratic block.",
     bench=True,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d)
     return D.jaccard_pairs(sh, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_jaccard_skewed",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text || ' end of transmission footer' AS text
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, gram AS shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS gram
+        FROM tok WHERE len(t) >= 3
+      )
+    ), {_sql_shingle_cap(100)},
+    {_sql_jaccard("shc")}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Adversarial hot-shingle corpus: every document shares a "
+    "boilerplate footer, so uncapped candidate generation is n^2; the "
+    "freq cap (100) drops the footer shingles and keeps the join "
+    "bounded while true near-dups still verify.",
+    bench=True,
+)
+def dedup_jaccard_skewed(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" end of transmission footer"))
+    )
+    sh = D.shingles(d)
+    return D.jaccard_pairs(sh, threshold=0.8, max_shingle_freq=100).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @register(

@@ -53,3 +53,29 @@ class TestNgramRowsProperties:
                 assert i not in stats
             else:
                 assert stats[i] == expect
+
+
+class TestShingleFreqCap:
+    def test_hot_shingle_capped_pairs_bounded(self, spark):
+        """A shingle shared by all docs creates n^2 candidates uncapped;
+        the freq cap drops it while true near-dups still verify."""
+        from optimus_any2any_spark.operators import dedup as D
+
+        docs = [(i, f"unique{i} alpha beta common tail end") for i in range(20)]
+        # every doc shares shingles from "alpha beta common tail end";
+        # docs 0/1 additionally share everything except the unique token.
+        docs[1] = (1, "unique0 alpha beta common tail end")  # exact dup of 0
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        sh = D.shingles(df)
+
+        uncapped = D.jaccard_pairs(sh, threshold=0.1, max_shingle_freq=None)
+        capped = D.jaccard_pairs(sh, threshold=0.1, max_shingle_freq=5)
+        n_uncapped, n_capped = uncapped.count(), capped.count()
+        # uncapped: every pair shares the common shingles -> full n^2/2
+        assert n_uncapped == 20 * 19 // 2
+        # capped: the >5-freq shingles vanish; only the exact-dup pair
+        # (sharing the unique0-prefixed low-freq shingles) survives
+        assert n_capped == 1
+        row = capped.collect()[0]
+        assert (row["doc_a"], row["doc_b"]) == (0, 1)
+        assert row["jaccard"] == 1.0
