@@ -241,6 +241,13 @@ def connected_components(
     triples — so a handful of rounds suffices even at corpus scale).
     The per-round work is one join + one aggregate on the (small,
     post-LSH) pair set, never on the corpus.
+
+    Each round materializes through ``localCheckpoint``: lineage (and
+    plan size) stays constant across iterations, and the convergence
+    check reads the materialized round — one job per round total,
+    instead of re-deriving an ever-growing plan for both the check and
+    the next round. (At cluster scale prefer a reliable checkpoint dir
+    if executor loss is a concern; the shape is identical.)
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -265,16 +272,16 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
+                ).alias("_changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        # the check runs on the materialized round — no lineage re-run;
+        # stale checkpoint blocks are released by the ContextCleaner
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     return labels.select(

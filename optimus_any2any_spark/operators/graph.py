@@ -28,6 +28,7 @@ def pagerank(
     weight_col: str | None = None,
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration budget.
 
@@ -37,6 +38,11 @@ def pagerank(
     simplification). Each iteration = one broadcast-friendly join on
     the edge list + one decimal-exact aggregate; the loop runs on the
     driver but every round's work is distributed.
+
+    Every ``checkpoint_interval`` rounds the rank frame materializes
+    through ``localCheckpoint``, so lineage/plan size stays bounded for
+    large iteration budgets instead of nesting one join+aggregate per
+    round into a single ever-deeper plan.
 
     Returns (node, rank) after ``iterations`` rounds.
     """
@@ -61,7 +67,7 @@ def pagerank(
     )
     base = (1.0 - damping) / n_nodes
     pr = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = norm.join(
             pr.withColumnRenamed("node", "src"), "src"
         ).select(
@@ -81,4 +87,6 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            pr = pr.localCheckpoint(eager=True)
     return pr

@@ -171,3 +171,38 @@ class TestSecondSuitePlans:
         # cohort joins back on user_id — an equi-join, never nested-loop
         r = report(spark, "q_cohort_retention")
         assert r.num_nested_loop_joins == 0, r.text
+
+
+class TestIterativeLoopLineage:
+    def test_connected_components_plan_constant_across_iterations(self, spark):
+        """localCheckpoint per round: the returned plan must not grow
+        with the iteration budget (unbounded lineage = driver OOM and
+        re-executed convergence checks at scale)."""
+        from optimus_any2any_spark.operators.dedup import connected_components
+
+        # a chain graph needs several propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(12)],
+            "doc_a long, doc_b long, jaccard double",
+        )
+        short = connected_components(pairs, max_iterations=2)
+        long = connected_components(pairs, max_iterations=12)
+        plan_short = short._jdf.queryExecution().optimizedPlan().toString()
+        plan_long = long._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan_long.splitlines()) == len(plan_short.splitlines())
+        # and the long run actually converged to one component
+        labels = {r["component_id"] for r in long.collect()}
+        assert labels == {0}
+
+    def test_pagerank_checkpoint_bounds_plan(self, spark):
+        from optimus_any2any_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+        )
+        p5 = pagerank(edges, iterations=5, checkpoint_interval=5)
+        p20 = pagerank(edges, iterations=20, checkpoint_interval=5)
+        n5 = len(p5._jdf.queryExecution().optimizedPlan().toString().splitlines())
+        n20 = len(p20._jdf.queryExecution().optimizedPlan().toString().splitlines())
+        # 4x the iterations must not mean 4x the plan
+        assert n20 <= n5 * 2
