@@ -11,6 +11,7 @@ code ships against real clients.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
@@ -337,20 +338,60 @@ def http_sink(df: DataFrame, cfg: Config):
     return True
 
 
+_ATTACHMENT_BLOCK = re.compile(
+    r"(?s)\[\[\s*range\s*\.Attachments\s*\]\](.*?)\[\[\s*end\s*\]\]"
+)
+_ATTACHMENT_PLACEHOLDER = "<!-- ATTACHMENTS_PLACEHOLDER -->"
+
+
+def _splice_attachment_links(
+    body: str, block_src: str, links: list[dict[str, str]]
+) -> str:
+    """Render the ``[[ range .Attachments ]]...[[ end ]]`` block once per
+    presigned link and splice it back over the placeholder
+    (ext/smtp/util.go:97-134)."""
+    block_t = compile_template(block_src)
+    rendered = "".join(block_t.render(link) for link in links)
+    return body.replace(_ATTACHMENT_PLACEHOLDER, rendered)
+
+
 @register_sink("SMTP")
 def smtp_sink(df: DataFrame, cfg: Config):
     """ext/smtp/sink.go:88 — records grouped by the md5 hash of their
     compiled email config (from/to/subject/body templates,
-    sink.go:210-246, util.go:229-233); each group becomes one email with
-    the group's records as an attachment. Grouping and attachment
-    rendering are distributed; the send is a driver-side action over the
-    (small) set of emails. bodyNoRecord covered by groups being
-    data-driven. Transport injectable (SMTP__TRANSPORT)."""
+    sink.go:210-246, util.go:229-233); within a group the compiled
+    attachment-filename template splits records into attachments. The
+    grouping and attachment rendering are distributed; the send is a
+    driver-side action over the (small) set of emails.
+
+    Storage modes (sink.go:246-334): ``attachment`` (default) passes
+    content inline; ``oss`` uploads each attachment through the
+    injectable ``SMTP__OSS_CLIENT`` (put/presign) and splices presigned
+    links into the body's ``[[ range .Attachments ]]`` block. When no
+    records produced any attachment, ``SMTP__BODY_NO_RECORD`` replaces
+    the body (sink.go:343-346). Transport injectable (SMTP__TRANSPORT)."""
     c = cfg.for_component("SMTP")
     from_t = compile_template(c.get("address_from", "noreply@example.com"))
     to_t = compile_template(c["address_to"])
     subject_t = compile_template(c.get("subject", "report"))
-    body_t = compile_template(c.get("body", ""))
+    body_src = c.get("body") or (
+        open(c["body_file_path"]).read() if c.get("body_file_path") else ""
+    )
+    body_no_record = c.get("body_no_record") or (
+        open(c["body_no_record_file_path"]).read()
+        if c.get("body_no_record_file_path")
+        else ""
+    )
+    # extract the attachments block before compiling: `range` is not a
+    # per-record construct — it renders at send time over the links
+    m_block = _ATTACHMENT_BLOCK.search(body_src)
+    block_src = m_block.group(1) if m_block else ""
+    body_t = compile_template(_ATTACHMENT_BLOCK.sub(_ATTACHMENT_PLACEHOLDER, body_src))
+    attach_t = compile_template(c.get("attachment_filename", "attachment.json"))
+    storage_mode = c.get("storage_mode", "attachment")
+    storage_dir = c.get("storage_destination_dir", "")
+    link_expiration = int(c.get("storage_link_expiration", "604800"))
+
     data = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
     data_cols = data.columns
 
@@ -359,14 +400,17 @@ def smtp_sink(df: DataFrame, cfg: Config):
         to_t.column(df).alias("__to"),
         subject_t.column(df).alias("__subject"),
         body_t.column(df).alias("__body"),
+        attach_t.column(df).alias("__attach"),
         F.to_json(F.struct(*data_cols), {"ignoreNullFields": "false"}).alias("v"),
     ).withColumn(
         "__group",
         F.md5(F.concat_ws("|", "__from", "__to", "__subject", "__body")),
     )
-    emails = (
-        compiled.groupBy("__group", "__from", "__to", "__subject", "__body")
-        .agg(F.concat_ws("\n", F.collect_list("v")).alias("attachment"))
+    rows = (
+        compiled.groupBy(
+            "__group", "__from", "__to", "__subject", "__body", "__attach"
+        )
+        .agg(F.concat_ws("\n", F.collect_list("v")).alias("content"))
         .collect()
     )
     transport = cfg.values.get("SMTP__TRANSPORT")
@@ -377,13 +421,61 @@ def smtp_sink(df: DataFrame, cfg: Config):
     from optimus_any2any_spark.policy import retry
 
     retry_max, backoff_ms = _retry_conf(cfg)
-    for e in emails:
+
+    groups: dict[str, dict[str, Any]] = {}
+    for r in rows:
+        g = groups.setdefault(
+            r["__group"],
+            {
+                "from": r["__from"],
+                "to": r["__to"],
+                "subject": r["__subject"],
+                "body": r["__body"],
+                "attachments": {},
+            },
+        )
+        g["attachments"][r["__attach"]] = r["content"]
+
+    if not groups and body_no_record:
+        # empty stream: one email, templates rendered statically, the
+        # no-record body instead of the (attachment-bearing) body
         email = {
-            "from": e["__from"],
-            "to": e["__to"],
-            "subject": e["__subject"],
-            "body": e["__body"],
-            "attachment": e["attachment"],
+            "from": from_t.render({}),
+            "to": to_t.render({}),
+            "subject": subject_t.render({}),
+            "body": body_no_record,
+            "attachment": "",
+            "attachments": {},
         }
         retry(lambda: transport(email), retry_max, backoff_ms)
-    return len(emails)
+        return 1
+
+    oss_client = cfg.values.get("SMTP__OSS_CLIENT")
+    sent = 0
+    for g in groups.values():
+        email = dict(g)
+        if storage_mode == "oss":
+            if oss_client is None:
+                raise NotImplementedError(
+                    "SMTP__STORAGE_MODE=oss requires an OSS client; inject "
+                    "SMTP__OSS_CLIENT with put(uri, data) and "
+                    "presign(uri, expiration_s) -> url"
+                )
+            links = []
+            for name, content in g["attachments"].items():
+                uri = f"{storage_dir.rstrip('/')}/{name}" if storage_dir else name
+                retry(lambda: oss_client.put(uri, content), retry_max, backoff_ms)
+                url = retry(
+                    lambda: oss_client.presign(uri, link_expiration),
+                    retry_max,
+                    backoff_ms,
+                )
+                links.append({"Filename": name, "URI": url})
+            email["body"] = _splice_attachment_links(g["body"], block_src, links)
+            email["attachments"] = {}
+            email["attachment"] = ""
+        else:
+            email["attachment"] = "\n".join(g["attachments"].values())
+        retry(lambda: transport(email), retry_max, backoff_ms)
+        sent += 1
+    return sent

@@ -387,3 +387,114 @@ class TestTransportRetry:
         cfg.values["HTTP__SENDER"] = flaky_sender
         Pipeline(spark, "FILE", ["HTTP"], cfg).run()
         assert len(open(marker).read()) == 3
+
+
+class TestSmtpStorageModes:
+    """ext/smtp/sink.go:246-346: OSS presign mode and bodyNoRecord."""
+
+    def test_oss_presign_links_in_body(self, spark, tmp_path):
+        src = tmp_path / "in.json"
+        write_ndjson(src, [{"team": "x", "v": 1}, {"team": "x", "v": 2}])
+        sent: list[dict] = []
+        uploads: dict[str, str] = {}
+
+        class FakeOss:
+            def put(self, uri, data):
+                uploads[uri] = data
+
+            def presign(self, uri, expiration_s):
+                assert expiration_s == 604800
+                return f"https://signed.example.com/{uri}?sig=abc"
+
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=[[ .team ]]@example.com",
+                "SMTP__SUBJECT=report",
+                "SMTP__BODY=Hi,<ul>[[ range .Attachments ]]<li><a href="
+                '"[[ .URI ]]">[[ .Filename ]]</a></li>[[ end ]]</ul>Bye',
+                "SMTP__ATTACHMENT_FILENAME=report_[[ .team ]].json",
+                "SMTP__STORAGE_MODE=oss",
+                "SMTP__STORAGE_DESTINATION_DIR=oss://bucket/reports",
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = sent.append
+        cfg.values["SMTP__OSS_CLIENT"] = FakeOss()
+        Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+
+        assert len(sent) == 1
+        (email,) = sent
+        # attachment content went to OSS, not the email
+        assert email["attachments"] == {} and email["attachment"] == ""
+        uri = "oss://bucket/reports/report_x.json"
+        assert sorted(
+            json.loads(l)["v"] for l in uploads[uri].splitlines()
+        ) == [1, 2]
+        # the range block rendered once per link and spliced into place
+        assert email["body"] == (
+            "Hi,<ul><li><a href="
+            '"https://signed.example.com/oss://bucket/reports/report_x.json'
+            '?sig=abc">report_x.json</a></li></ul>Bye'
+        )
+
+    def test_body_no_record_on_empty_stream(self, spark, tmp_path):
+        src = tmp_path / "empty.json"
+        src.write_text("")
+        sent: list[dict] = []
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=ops@example.com",
+                "SMTP__SUBJECT=daily report",
+                "SMTP__BODY=see attachment",
+                "SMTP__BODY_NO_RECORD=no records today",
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = sent.append
+        result = Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        assert result.sink_results["SMTP"] == 1
+        (email,) = sent
+        assert email["body"] == "no records today"
+        assert email["to"] == "ops@example.com"
+        assert email["attachments"] == {}
+
+    def test_empty_stream_without_body_no_record_sends_nothing(
+        self, spark, tmp_path
+    ):
+        src = tmp_path / "empty.json"
+        src.write_text("")
+        sent: list[dict] = []
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=ops@example.com",
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = sent.append
+        result = Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        assert result.sink_results["SMTP"] == 0 and sent == []
+
+    def test_per_record_attachment_split(self, spark, tmp_path):
+        """Distinct compiled attachment filenames within one email group
+        become separate attachments (sink.go:246-257)."""
+        src = tmp_path / "in.json"
+        write_ndjson(
+            src, [{"day": "mon", "v": 1}, {"day": "tue", "v": 2}]
+        )
+        sent: list[dict] = []
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=ops@example.com",
+                "SMTP__ATTACHMENT_FILENAME=[[ .day ]].json",
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = sent.append
+        Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        (email,) = sent
+        assert set(email["attachments"]) == {"mon.json", "tue.json"}
+        assert json.loads(email["attachments"]["mon.json"])["v"] == 1
