@@ -225,9 +225,41 @@ def _unimplemented(name: str, needs: str):
     return stub
 
 
+@register_source("SF")
+def salesforce_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Salesforce source (ext/salesforce/source.go:64-151): SOQL query,
+    then the NextRecordsURL token chain — one sequential discovery
+    request, remaining pages fetched concurrently (here: one Spark
+    partition per computed page URL via the ``sf_chain`` DataSource).
+    SF__HOST is the query endpoint (file:// = offline protocol fake);
+    SF__SCHEMA is required (no live describe call in this environment).
+    Falls back to the injectable SF__FETCHER stub without a host."""
+    c = cfg.for_component("SF")
+    if c.get("host"):
+        from optimus_any2any_spark.sources import paged_api
+
+        paged_api.register(spark)
+        soql = c.get("soql", "")
+        if not soql and c.get("soql_file_path"):
+            soql = open(c["soql_file_path"]).read()
+        return (
+            spark.read.format("sf_chain")
+            .schema(c["schema"])
+            .option("url", c["host"])
+            .option("soql", soql)
+            .load()
+        )
+    fetch = cfg.values.get("SF__FETCHER")
+    if fetch is not None:
+        return spark.createDataFrame(fetch())
+    raise NotImplementedError(
+        "SF source requires SF__HOST (live or file:// protocol fake) or an "
+        "injected SF__FETCHER returning records"
+    )
+
+
 # API-backed sources: driver-side fetch → createDataFrame (SURVEY.md
-# §2.1 rows SF/GMAIL/GA). Real clients need live credentials/services;
+# §2.1 rows GMAIL/GA). Real clients need live credentials/services;
 # the injectable fetcher keeps the pipeline shape testable.
-_unimplemented("SF", "a Salesforce REST session")
 _unimplemented("GMAIL", "a Gmail API client")
 _unimplemented("GA", "a Google Analytics Data API client")

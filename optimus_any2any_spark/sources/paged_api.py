@@ -30,9 +30,16 @@ Scale notes: one partition per page keeps executor memory at
 page-size; `num_pages` partitions give the scheduler its parallelism
 (SURVEY §2.1's "parallel pages = spark.range(npages).mapInPandas" —
 but as a first-class source with a schema, pushable into any pipeline).
-An unknown-total API (Salesforce's NextRecordsURL chain) degrades to
-sequential paging inside ONE partition; fixed-cursor APIs parallelize
-fully.
+The LAST planned partition chases subsequent pages until a short/empty
+page, so rows beyond ``num_pages*page_size`` are never silently dropped
+— matching the reference sources, which page until exhaustion.
+
+Salesforce's NextRecordsURL protocol (ext/salesforce/source.go:80-148)
+is the ``sf_chain`` source below: ONE sequential discovery query reads
+totalSize + the batch size encoded in the NextRecordsURL suffix, then
+every remaining page URL is *computable* (template-%d) and pages fetch
+concurrently on executors — the reference's sequential-discovery +
+concurrent-fetch shape, with Spark partitions as the concurrency.
 """
 
 from __future__ import annotations
@@ -48,10 +55,11 @@ DEFAULT_NUM_PAGES = 8
 
 
 class _Page(InputPartition):
-    def __init__(self, index: int, offset: int, limit: int):
+    def __init__(self, index: int, offset: int, limit: int, chase: bool = False):
         self.index = index
         self.offset = offset
         self.limit = limit
+        self.chase = chase  # last partition keeps paging until a short page
 
 
 def _fetch_page(url: str, offset: int, limit: int) -> list[str]:
@@ -85,15 +93,28 @@ class PagedApiReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         return [
-            _Page(i, i * self.page_size, self.page_size)
+            _Page(
+                i,
+                i * self.page_size,
+                self.page_size,
+                chase=(i == self.num_pages - 1),
+            )
             for i in range(self.num_pages)
         ]
 
     def read(self, partition: _Page) -> Iterator[tuple]:
         fields = [f.name for f in self.schema_.fields]
-        for line in _fetch_page(self.url, partition.offset, partition.limit):
-            rec = json.loads(line)
-            yield tuple(rec.get(f) for f in fields)
+        offset = partition.offset
+        while True:
+            lines = _fetch_page(self.url, offset, partition.limit)
+            for line in lines:
+                rec = json.loads(line)
+                yield tuple(rec.get(f) for f in fields)
+            # a full final page means more may follow: only the chasing
+            # partition continues, so planned pages stay disjoint
+            if not partition.chase or len(lines) < partition.limit:
+                break
+            offset += partition.limit
 
 
 class PagedApiDataSource(DataSource):
@@ -112,6 +133,83 @@ class PagedApiDataSource(DataSource):
         return PagedApiReader(schema, self.options)
 
 
+def _fetch_json(url: str) -> dict:
+    """GET a JSON document. file:// is the offline protocol stand-in
+    (tests); http(s):// is the live path. Self-contained for executors."""
+    if url.startswith("file://"):
+        with open(url[len("file://"):], "r", encoding="utf-8") as f:
+            return json.load(f)
+    import urllib.request
+
+    with urllib.request.urlopen(url) as resp:  # noqa: S310
+        return json.loads(resp.read().decode())
+
+
+class _ChainPage(InputPartition):
+    def __init__(self, url: str | None, records: list[dict] | None = None):
+        self.url = url
+        self.records = records  # page 0 ships the discovery result's rows
+
+
+class SalesforceChainReader(DataSourceReader):
+    """NextRecordsURL token-chain (ext/salesforce/source.go:80-148).
+
+    Discovery (driver, sequential): the initial query returns
+    ``totalSize``, the first batch of records, and a ``nextRecordsUrl``
+    whose trailing ``-<n>`` suffix IS the server's batch size; every
+    later page lives at ``<prefix>-<offset>``. Fetch (executors,
+    concurrent): one partition per computed page URL.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema_ = schema
+        self.url = options.get("url", "")
+        self.soql = options.get("soql", "")
+
+    def _initial_url(self) -> str:
+        if self.url.startswith("file://") or not self.soql:
+            return self.url
+        import urllib.parse
+
+        sep = "&" if urllib.parse.urlparse(self.url).query else "?"
+        return f"{self.url}{sep}q={urllib.parse.quote(self.soql)}"
+
+    def partitions(self) -> list[InputPartition]:
+        first = _fetch_json(self._initial_url())
+        records = first.get("records", [])
+        total = int(first.get("totalSize", len(records)))
+        next_url = first.get("nextRecordsUrl", "") or ""
+        parts: list[InputPartition] = [_ChainPage(None, records)]
+        if next_url and total > len(records):
+            prefix, _, batch_s = next_url.rpartition("-")
+            batch = int(batch_s)  # source.go:83-88: suffix = batch size
+            for offset in range(batch, total, batch):
+                parts.append(_ChainPage(f"{prefix}-{offset}"))
+        return parts
+
+    def read(self, partition: _ChainPage) -> Iterator[tuple]:
+        fields = [f.name for f in self.schema_.fields]
+        records = (
+            partition.records
+            if partition.url is None
+            else _fetch_json(partition.url).get("records", [])
+        )
+        for rec in records:
+            yield tuple(rec.get(f) for f in fields)
+
+
+class SalesforceChainDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sf_chain"
+
+    def schema(self) -> str:
+        raise NotImplementedError("sf_chain requires an explicit .schema(...)")
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SalesforceChainReader(schema, self.options)
+
+
 def register(spark) -> None:
     """Register the source on a session, shippable to ANY cluster.
 
@@ -127,3 +225,4 @@ def register(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(PagedApiDataSource)
+    spark.dataSource.register(SalesforceChainDataSource)
