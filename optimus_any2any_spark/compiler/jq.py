@@ -75,8 +75,31 @@ def _tokenize(src: str) -> list[str]:
 _CMP = {"==": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
 
+def _kind_of_dtype(dtype) -> str:
+    """Map a Spark DataType to a jq value kind for arithmetic checks."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.StringType,)):
+        return "string"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, T.NullType):
+        return "null"
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+        return "complex"
+    if isinstance(dtype, T.NumericType):
+        return "number"
+    return "unknown"
+
+
 class _ExprParser:
-    """Parses jq scalar expressions into Spark Columns against ``df``."""
+    """Parses jq scalar expressions into Spark Columns against ``df``.
+
+    Tracks a value *kind* per sub-expression so that jq's polymorphic
+    ``+``/``-`` (string/array concat, object merge, ``null + x = x``)
+    raises :class:`JQUnsupported` instead of silently compiling to
+    numeric arithmetic — those programs route to the faithful jq-binary
+    fallback (ADVICE: jq.py '+' semantics)."""
 
     def __init__(self, toks: list[str], df: DataFrame):
         self.toks = toks
@@ -97,31 +120,34 @@ class _ExprParser:
             raise JQUnsupported(f"jq: expected {t!r}, got {got!r}")
 
     def parse(self) -> Column:
-        col = self.parse_or()
+        col, _ = self.parse_or()
         if self.peek() is not None:
             raise JQUnsupported(f"jq: trailing tokens {self.toks[self.i:]}")
         return col
 
-    def parse_or(self) -> Column:
-        left = self.parse_and()
+    def parse_or(self) -> tuple[Column, str]:
+        left, _ = self.parse_and()
         while self.peek() in ("or", "||"):
             self.next()
-            left = left | self.parse_and()
-        return left
+            right, _ = self.parse_and()
+            left = left | right
+        return left, "boolean"
 
-    def parse_and(self) -> Column:
-        left = self.parse_cmp()
+    def parse_and(self) -> tuple[Column, str]:
+        left, kind = self.parse_cmp()
         while self.peek() in ("and", "&&"):
             self.next()
-            left = left & self.parse_cmp()
-        return left
+            right, _ = self.parse_cmp()
+            left = left & right
+            kind = "boolean"
+        return left, kind
 
-    def parse_cmp(self) -> Column:
-        left = self.parse_add()
+    def parse_cmp(self) -> tuple[Column, str]:
+        left, kind = self.parse_add()
         op = self.peek()
         if op in _CMP:
             self.next()
-            right = self.parse_add()
+            right, _ = self.parse_add()
             return {
                 "==": lambda a, b: a == b,
                 "!=": lambda a, b: a != b,
@@ -129,54 +155,72 @@ class _ExprParser:
                 "<=": lambda a, b: a <= b,
                 ">": lambda a, b: a > b,
                 ">=": lambda a, b: a >= b,
-            }[op](left, right)
-        return left
+            }[op](left, right), "boolean"
+        return left, kind
 
-    def parse_add(self) -> Column:
-        left = self.parse_mul()
+    def parse_add(self) -> tuple[Column, str]:
+        left, lkind = self.parse_mul()
         while self.peek() in ("+", "-"):
             op = self.next()
-            right = self.parse_mul()
+            right, rkind = self.parse_mul()
+            # jq '+' concatenates strings/arrays, merges objects, and
+            # treats null+x=x; '-' subtracts arrays. Only compile the
+            # numeric case natively — anything provably non-numeric (or
+            # null-sensitive) must go to the jq binary.
+            for k in (lkind, rkind):
+                if k in ("string", "complex", "null", "boolean"):
+                    raise JQUnsupported(
+                        f"jq: non-numeric {op!r} ({lkind} {op} {rkind}) "
+                        "outside the native subset"
+                    )
             left = left + right if op == "+" else left - right
-        return left
+            lkind = "number"
+        return left, lkind
 
-    def parse_mul(self) -> Column:
-        left = self.parse_unary()
+    def parse_mul(self) -> tuple[Column, str]:
+        left, lkind = self.parse_unary()
         while self.peek() in ("*", "/", "%"):
             op = self.next()
-            right = self.parse_unary()
+            right, rkind = self.parse_unary()
+            for k in (lkind, rkind):
+                if k in ("string", "complex", "null", "boolean"):
+                    raise JQUnsupported(
+                        f"jq: non-numeric {op!r} ({lkind} {op} {rkind}) "
+                        "outside the native subset"
+                    )
             left = left * right if op == "*" else (left / right if op == "/" else left % right)
-        return left
+            lkind = "number"
+        return left, lkind
 
-    def parse_unary(self) -> Column:
+    def parse_unary(self) -> tuple[Column, str]:
         if self.peek() == "-":
             self.next()
-            return -self.parse_postfix()
+            col, _ = self.parse_postfix()
+            return -col, "number"
         return self.parse_postfix()
 
-    def parse_postfix(self) -> Column:
-        col = self.parse_atom()
+    def parse_postfix(self) -> tuple[Column, str]:
         # postfix pipes inside parenthesized exprs are not supported here
-        return col
+        return self.parse_atom()
 
-    def parse_atom(self) -> Column:
+    def parse_atom(self) -> tuple[Column, str]:
         t = self.next()
         if t == "(":
-            col = self.parse_or()
+            col, kind = self.parse_or()
             self.expect(")")
-            return col
+            return col, kind
         if t.startswith('"'):
-            return F.lit(json.loads(t))
+            return F.lit(json.loads(t)), "string"
         if re.fullmatch(r"-?\d+", t):
-            return F.lit(int(t))
+            return F.lit(int(t)), "number"
         if re.fullmatch(r"-?\d+\.\d+", t):
-            return F.lit(float(t))
+            return F.lit(float(t)), "number"
         if t == "null":
-            return F.lit(None)
+            return F.lit(None), "null"
         if t in ("true", "false"):
-            return F.lit(t == "true")
+            return F.lit(t == "true"), "boolean"
         if t.startswith(".") and t != ".":
-            return _path_col(t)
+            return _path_col(t), self._path_kind(t)
         if t == ".":
             raise JQUnsupported("jq: bare '.' in scalar expression")
         # function call: fn(arg) or zero-arg builtins applied via pipe
@@ -184,16 +228,33 @@ class _ExprParser:
             return self.parse_func(t)
         raise JQUnsupported(f"jq: unexpected token {t!r}")
 
-    def parse_func(self, name: str) -> Column:
+    def _path_kind(self, tok: str) -> str:
+        """Resolve a ``.path.to.field`` token's kind from df.schema."""
+        from pyspark.sql import types as T
+
+        dtype = None
+        fields = {f.name: f.dataType for f in self.df.schema.fields}
+        for part in tok[1:].split("."):
+            if fields is None or part not in fields:
+                return "unknown"
+            dtype = fields[part]
+            fields = (
+                {f.name: f.dataType for f in dtype.fields}
+                if isinstance(dtype, T.StructType)
+                else None
+            )
+        return _kind_of_dtype(dtype)
+
+    def parse_func(self, name: str) -> tuple[Column, str]:
         args: list[Column] = []
         if self.peek() == "(":
             self.next()
-            args.append(self.parse_or())
+            args.append(self.parse_or()[0])
             while self.peek() == ";":
                 self.next()
-                args.append(self.parse_or())
+                args.append(self.parse_or()[0])
             self.expect(")")
-        return _apply_func(name, args)
+        return _apply_func(name, args), _FUNC_KINDS.get(name, "unknown")
 
 
 def _path_col(tok: str) -> Column:
@@ -202,6 +263,18 @@ def _path_col(tok: str) -> Column:
     for p in parts[1:]:
         col = col.getField(p)
     return col
+
+
+_FUNC_KINDS = {
+    "length": "number",
+    "tostring": "string",
+    "tonumber": "number",
+    "ascii_downcase": "string",
+    "ascii_upcase": "string",
+    "floor": "number",
+    "ceil": "number",
+    "fabs": "number",
+}
 
 
 def _apply_func(name: str, args: list[Column]) -> Column:
@@ -347,12 +420,28 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     if len(terms) == 1 and added and not base_identity:
         # pure object construction: projection
         return df.select(*[c.alias(k) for k, c in added])
-    out = df
-    for k, c in added:  # merge: right side wins over existing keys
-        out = out.withColumn(k, c)
-    if dropped:
-        out = out.drop(*dropped)
-    return out
+    # jq evaluates each term against the INPUT and merges right-biased:
+    # 'del(.a) + {a: expr}' re-adds a (the del term's output simply has
+    # no a to contribute), so drops must not remove re-added keys, and
+    # add expressions bind to the original df. One select builds the
+    # result: existing keys keep their position, new keys append.
+    added_by_key = {k: c for k, c in added}
+    drop_set = set(dropped)
+    cols: list[Column] = []
+    for name in df.columns:
+        if name in drop_set:
+            continue  # deleted; a re-add appends at the end (new key)
+        if name in added_by_key:
+            cols.append(added_by_key[name].alias(name))
+        else:
+            cols.append(F.col("`" + name + "`"))
+    kept = set(df.columns) - drop_set
+    emitted = set()
+    for k, _c in added:
+        if k not in kept and k not in emitted:
+            cols.append(added_by_key[k].alias(k))  # right-biased merge
+            emitted.add(k)
+    return df.select(*cols)
 
 
 # ---------------------------------------------------------------------------

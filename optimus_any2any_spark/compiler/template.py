@@ -497,8 +497,21 @@ def _col_call(node: Call, df: DataFrame) -> tuple[Column, str | None]:
     if name == "md5sum":
         return F.md5(str_args[0].cast("binary")), "string"
     if name == "default":
-        d, v = args[0], args[1]
-        return F.when(v.isNull() | (v.cast("string") == ""), d).otherwise(v), None
+        # sprig emptiness: nil, "", 0, and false are all empty — matches
+        # the driver evaluator (`_PY_FUNCS["default"]`), so render() and
+        # column() agree on 0/false inputs.
+        (d, ddt), (v, vdt) = argpairs[0], argpairs[1]
+        empty = v.isNull() | (v.cast("string") == "")
+        if vdt == "boolean":
+            empty = empty | ~v
+        elif vdt not in ("string", "json", None):
+            empty = empty | (v == F.lit(0))  # numeric zero is empty
+        # both branches stringified: ANSI would otherwise coerce the
+        # branches to a numeric common type and fail casting the default
+        return (
+            F.when(empty, _col_str(d, ddt)).otherwise(_col_str(v, vdt)),
+            "string",
+        )
     if name == "coalesce":
         return F.coalesce(*args), None
     if name == "ternary":

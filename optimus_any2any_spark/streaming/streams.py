@@ -175,12 +175,20 @@ def upsert_to_parquet(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
+        # Only a genuinely-absent snapshot may fall back to merged=latest:
+        # swallowing arbitrary read errors here would let one transient
+        # failure overwrite the snapshot with a single micro-batch,
+        # silently dropping every previously merged key. Any other error
+        # propagates so the batch retries against the intact snapshot.
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             current = spark.read.parquet(path)
             merged = current.join(
                 latest.select(key_col), on=key_col, how="left_anti"
             ).unionByName(latest)
-        except Exception:
+        else:
             merged = latest
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 

@@ -109,3 +109,47 @@ def test_jq_transform_dispatch(spark, df):
     assert "age" in native.columns  # translated natively, typed columns
     fallback = jq_transform(df, "[.[] | .age] | add")
     assert fallback.columns == ["value"]  # binary path
+
+
+class TestPolymorphicPlus:
+    """jq '+' on strings/arrays/null is NOT numeric addition — such
+    programs must leave the native subset (ADVICE jq.py:140)."""
+
+    def test_string_plus_routes_to_binary(self, spark, df):
+        from optimus_any2any_spark.compiler.jq import JQUnsupported
+
+        prog = '.[] | {full: (.name + "_x")}'
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, prog)
+        # dispatch falls back to the jq binary and matches it exactly
+        got = spark_rows(jq_transform(df, prog, output_schema="full string"))
+        assert got == jq_oracle(prog, ROWS)
+
+    def test_string_field_plus_field(self, spark, df):
+        from optimus_any2any_spark.compiler.jq import JQUnsupported
+
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, ".[] | {both: (.name + .name)}")
+
+    def test_null_plus_raises(self, spark, df):
+        from optimus_any2any_spark.compiler.jq import JQUnsupported
+
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, ".[] | {v: (null + .age)}")
+
+    def test_numeric_plus_still_native(self, spark, df):
+        prog = ".[] | {v: (.age + 1)}"
+        got = sorted(r["v"] for r in translate_jq(df, prog).collect())
+        assert got == [29, 35, 42]
+
+
+def test_del_then_readd_matches_jq(spark, df):
+    """'del(.a) + {a: expr}' keeps the re-added key (ADVICE jq.py:353);
+    jq appends it after the surviving keys."""
+    prog = ".[] | del(.age) + {age: (.id * 10)}"
+    got = translate_jq(df, prog)
+    assert got.columns == ["id", "name", "active", "score", "age"]
+    assert spark_rows(got.select("id", "age")) == [
+        {"id": r["id"], "age": r["id"] * 10} for r in ROWS
+    ]
+    assert spark_rows(got) == jq_oracle(prog, ROWS)

@@ -127,3 +127,26 @@ class TestColumnBackend:
             py = [t.render(r) for r in rows]
             col = [r[0] for r in df.select(t.column(df)).collect()]
             assert py == col, tmpl
+
+    def test_default_emptiness_parity(self, spark):
+        """sprig: nil/""/0/false are all empty — both backends must
+        substitute identically (ADVICE template.py:436)."""
+        df = spark.createDataFrame(
+            [(0, False, "", None, 7)],
+            "zero long, flag boolean, empty string, missing string, seven long",
+        )
+        templates = [
+            '[[ default "D" .zero ]]',
+            '[[ default "D" .flag ]]',
+            '[[ default "D" .empty ]]',
+            '[[ default "D" .missing ]]',
+            '[[ default "D" .seven ]]',
+        ]
+        rows = [r.asDict() for r in df.collect()]
+        for tmpl in templates:
+            t = compile_template(tmpl)
+            py = [t.render(r) for r in rows]
+            col = [r[0] for r in df.select(t.column(df)).collect()]
+            assert py == col, tmpl
+        assert compile_template('[[ default "D" .zero ]]').render(rows[0]) == "D"
+        assert compile_template('[[ default "D" .seven ]]').render(rows[0]) == "7"
