@@ -84,8 +84,17 @@ def jaccard_pairs(
     shingle's block to cap^2 while set sizes shrink consistently on both
     sides of the Jaccard. Pass ``None`` to disable."""
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle").drop("df_")
+        from pyspark.sql.window import Window
+
+        # window count over partitionBy(shingle): one shuffle that the
+        # downstream shingle-key self-join reuses, instead of a separate
+        # groupBy + join pair
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("df_", F.count(F.lit(1)).over(w))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .drop("df_")
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -101,6 +101,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     num_planes: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH-bucketed).
 
@@ -111,8 +112,10 @@ def cosine_pairs(
     Recall < 1 by construction — the standard embedding near-dedup
     trade; raise ``num_planes`` bands or OR multiple tables for recall.
     """
-    first = df.select(vec_col).first()
-    dim = len(first[0]) if first else 0
+    if dim is None:
+        # one-row probe; pass `dim` to skip the extra driver action
+        first = df.select(vec_col).first()
+        dim = len(first[0]) if first else 0
     planes = hyperplanes(dim, num_planes)
     df = ensure_parallelism(df, F.col(id_col))
     with_bucket = df.select(
@@ -238,6 +241,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: neighbors searched within the same LSH bucket.
 
@@ -245,8 +249,10 @@ def lsh_topk(
     join-shape win — each bucket joins only with itself, so the pair
     count drops from n² to Σ bucket².
     """
-    first = df.select(vec_col).first()
-    dim = len(first[0]) if first else 0
+    if dim is None:
+        # one-row probe; pass `dim` to skip the extra driver action
+        first = df.select(vec_col).first()
+        dim = len(first[0]) if first else 0
     planes = hyperplanes(dim, num_planes)
     df = ensure_parallelism(df, F.col(id_col))
     with_bucket = df.select(
