@@ -40,6 +40,14 @@ def _file_family(df: DataFrame, cfg: Config, comp: str):
         compression=c.get("compression_type"),
         jsonpath_selector=c.get("jsonpath_selector"),
         metadata_prefix=cfg.get("METADATA_PREFIX", M.METADATA_PREFIX),
+        # legacy per-N-records destination split (ext/oss/sink.go:54)
+        batch_size=int(c["batch_size"]) if c.get("batch_size") else None,
+        # OSS__MAX_TEMP_FILE_RECORD_NUMBER (README: 50k default staging cap)
+        max_records_per_file=(
+            int(c["max_temp_file_record_number"])
+            if c.get("max_temp_file_record_number")
+            else None
+        ),
     )
     return sink.write(df)
 

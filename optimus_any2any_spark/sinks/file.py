@@ -56,6 +56,8 @@ class FileSink:
         compression: str | None = None,  # None | "gzip"
         jsonpath_selector: str | None = None,
         metadata_prefix: str = M.METADATA_PREFIX,
+        batch_size: int | None = None,
+        max_records_per_file: int | None = None,
     ):
         self.template = compile_template(_strip_scheme(destination_uri))
         base = _strip_scheme(destination_uri)
@@ -70,6 +72,14 @@ class FileSink:
         self.compression = compression
         self.jsonpath_selector = jsonpath_selector
         self.metadata_prefix = metadata_prefix
+        # Legacy batch splitting (ext/oss/sink.go:54,117-124): with
+        # BATCH_SIZE=N the destination becomes <base>.<(idx//N)*N><ext>,
+        # one output file per N-record window of the global record_index.
+        self.batch_size = batch_size
+        # OSS__MAX_TEMP_FILE_RECORD_NUMBER (50k default in the reference):
+        # bounds records per staged part file; Spark's maxRecordsPerFile
+        # is the exact knob.
+        self.max_records_per_file = max_records_per_file
 
     def write(self, df: DataFrame) -> WriteResult:
         # Specialized metadata records configure, never get written
@@ -78,6 +88,18 @@ class FileSink:
             df, _meta = M.split_specialized_metadata(df, self.metadata_prefix)
 
         routed = df.withColumn(DEST_COL, self.template.column(df))
+        if self.batch_size:
+            if M.RECORD_INDEX not in routed.columns:
+                raise ValueError(
+                    "batch_size splitting needs the record_index metadata "
+                    "column (metadata.with_record_index)"
+                )
+            routed = routed.withColumn(
+                DEST_COL,
+                self._batch_split_dest(
+                    F.col(DEST_COL), F.col(M.RECORD_INDEX), self.batch_size
+                ),
+            )
         data_cols = M.data_columns(routed.drop(DEST_COL), self.metadata_prefix)
 
         if self.jsonpath_selector:
@@ -111,6 +133,28 @@ class FileSink:
         header = self.delimiter.join(data_cols)
         return self._write_lines(lines, header=header)
 
+    @staticmethod
+    def _batch_split_dest(dest, idx, n: int):
+        """Legacy batch-splitting destination rewrite
+        (ext/oss/sink.go:117-124): ``<base>.<(idx//n)*n><ext>`` where
+        ``<ext>`` is the supported-format extension plus any trailing
+        extras (fs.SplitExtension, internal/ext/fs/util.go:36-50 —
+        supported formats .csv/.json/.txt/.tsv/.xlsx). Pure Column
+        arithmetic, so the rewrite runs executor-side in codegen.
+
+        The reference strips the suffix with Go's ``strings.TrimRight``
+        *cutset* semantics (a character-set trim that can eat trailing
+        filename chars); we strip the exact suffix instead — the
+        documented intent of the deprecated feature, not its quirk."""
+        fmt_suffix = F.regexp_extract(
+            dest, r"(\.(?:csv|json|txt|tsv|xlsx)(?:\.[^./]+)*)$", 1
+        )
+        any_suffix = F.regexp_extract(dest, r"(\.[^./]+)$", 1)
+        suffix = F.when(fmt_suffix != "", fmt_suffix).otherwise(any_suffix)
+        base = dest.substr(F.lit(1), F.length(dest) - F.length(suffix))
+        start = (idx - (idx % F.lit(n))).cast("string")
+        return F.concat(base, F.lit("."), start, suffix)
+
     def _csv_quote(self, col):
         needs = (
             col.contains(self.delimiter)
@@ -133,7 +177,7 @@ class FileSink:
         is the header prepend for CSV (buffered ``copyfileobj``, and for
         gzip it appends *compressed* bytes — a valid gzip stream is a
         concatenation of gzip members)."""
-        if self.template.is_static:
+        if self.template.is_static and not self.batch_size:
             # Constant destination: no routing shuffle at all — a narrow
             # parallel write (json/gzip encode on all cores, input order
             # preserved by part-file numbering) followed by a driver
@@ -157,6 +201,12 @@ class FileSink:
             )
             if self.compression == "gzip":
                 writer = writer.option("compression", "gzip")
+            if self.max_records_per_file:
+                # OSS__MAX_TEMP_FILE_RECORD_NUMBER ≙ bounded staged files
+                # (50k default in the reference's chunk writer).
+                writer = writer.option(
+                    "maxRecordsPerFile", self.max_records_per_file
+                )
             writer.text(staging)
         finally:
             lines.unpersist()
@@ -184,6 +234,8 @@ class FileSink:
         writer = lines.select("value").write.mode("overwrite")
         if self.compression == "gzip":
             writer = writer.option("compression", "gzip")
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
         writer.text(staging)
         parts = sorted(
             os.path.join(staging, p)

@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from optimus_any2any_spark import metadata as M
 from optimus_any2any_spark.compiler.jq import translate_jq
@@ -174,3 +175,64 @@ class TestCsvSink:
         FileSink(str(out)).write(df)
         line = open(out).read().splitlines()[0]
         assert line == '{"id":1,"note":null}'  # ordered map + kept null
+
+
+class TestBatchSplit:
+    """Legacy batch-splitting (ext/oss/sink.go:54,117-124): BATCH_SIZE=N
+    rewrites each destination to <base>.<(record_index//N)*N><ext>."""
+
+    def test_static_destination_splits_per_batch(self, spark, tmpdata):
+        df = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(7)], "idx long, v string"
+        ).withColumn(M.RECORD_INDEX, F.col("idx")).drop("idx")
+        out = tmpdata / "batched.json"
+        res = FileSink(str(out), batch_size=3).write(df)
+        assert sorted(os.path.basename(p) for p in res.files) == [
+            "batched.0.json",
+            "batched.3.json",
+            "batched.6.json",
+        ]
+        # windows of exactly N records, last one the remainder
+        assert res.files[str(tmpdata / "batched.0.json")] == 3
+        assert res.files[str(tmpdata / "batched.6.json")] == 1
+        recs = [
+            json.loads(l)
+            for l in open(tmpdata / "batched.3.json").read().splitlines()
+        ]
+        assert sorted(r["v"] for r in recs) == ["r3", "r4", "r5"]
+        # metadata never written as data (common/common.go:281)
+        assert all(M.RECORD_INDEX not in r for r in recs)
+
+    def test_split_keeps_compound_extension(self, spark, tmpdata):
+        df = spark.createDataFrame([(0, "a"), (1, "b")], "i long, v string")
+        df = df.withColumn(M.RECORD_INDEX, F.col("i")).drop("i")
+        out = tmpdata / "c.json.gz"
+        res = FileSink(str(out), batch_size=1).write(df)
+        names = sorted(os.path.basename(p) for p in res.files)
+        assert names == ["c.0.json.gz", "c.1.json.gz"]
+        for p in res.files:
+            assert gzip.open(p).read().strip()  # valid gzip members
+
+    def test_templated_destination_with_batch_split(self, spark, tmpdata):
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 2)) for i in range(4)], "i long, g string"
+        ).withColumn(M.RECORD_INDEX, F.col("i")).drop("i")
+        out = tmpdata / "grp_[[ .g ]].json"
+        res = FileSink(str(out), batch_size=2).write(df)
+        names = sorted(os.path.basename(p) for p in res.files)
+        assert names == [
+            "grp_g0.0.json",
+            "grp_g0.2.json",
+            "grp_g1.0.json",
+            "grp_g1.2.json",
+        ]
+
+    def test_max_records_per_file_bounds_staged_parts(self, spark, tmpdata):
+        df = spark.createDataFrame(
+            [(i,) for i in range(100)], "v long"
+        ).coalesce(1)
+        out = tmpdata / "cap.json"
+        res = FileSink(str(out), max_records_per_file=10).write(df)
+        assert res.files[str(out)] == 100
+        lines = open(out).read().splitlines()
+        assert len(lines) == 100
