@@ -8,8 +8,9 @@ files into one* placed at the nearest common parent dir
 gzip-per-file is native in the sink (Spark writer compression); this
 module covers the many-files-into-one-archive step, which is inherently
 a driver-side post-commit action over the committed outputs.
-AES-password zip (yeka/zip in the reference) needs pyzipper —
-unavailable here, so password mode raises with a clear message.
+AES-password zip (yeka/zip's AES256Encryption in the reference) is
+provided by :mod:`optimus_any2any_spark.formats.zipsec`, a pure-stdlib
+WinZip-AES/ZipCrypto writer.
 """
 
 from __future__ import annotations
@@ -70,13 +71,18 @@ def archive_files(
                 tar.add(f, arcname=os.path.relpath(f, parent))
     elif archive_type == "zip":
         if password:
-            raise NotImplementedError(
-                "AES-password zip (reference: yeka/zip) requires pyzipper, "
-                "which is unavailable in this environment"
-            )
-        with zipfile.ZipFile(archive_path, "w", zipfile.ZIP_DEFLATED) as z:
-            for f in files:
-                z.write(f, arcname=os.path.relpath(f, parent))
+            # WinZip AES-256 like the reference (file_archiver.go:203
+            # zip.AES256Encryption) — pure-stdlib implementation.
+            from optimus_any2any_spark.formats.zipsec import write_encrypted_zip
+
+            entries = [
+                (os.path.relpath(f, parent), open(f, "rb").read()) for f in files
+            ]
+            write_encrypted_zip(archive_path, entries, password, "aes256")
+        else:
+            with zipfile.ZipFile(archive_path, "w", zipfile.ZIP_DEFLATED) as z:
+                for f in files:
+                    z.write(f, arcname=os.path.relpath(f, parent))
     else:
         raise ValueError(f"unknown archive type: {archive_type}")
 

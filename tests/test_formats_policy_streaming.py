@@ -70,11 +70,56 @@ class TestArchive:
         arc = archive_files([str(f)], "gz")
         assert gzip.open(arc).read() == b"hello"
 
-    def test_password_zip_stubbed(self, tmp_path):
+    def test_password_zip_aes256(self, tmp_path):
+        # WinZip AES-256 like the reference (file_archiver.go:203);
+        # round-trip through our own authenticated reader.
+        from optimus_any2any_spark.formats.zipsec import read_winzip_aes_entry
+
         f = tmp_path / "x.json"
         f.write_text("secret")
-        with pytest.raises(NotImplementedError):
-            archive_files([str(f)], "zip", password="pw")
+        arc = archive_files([str(f)], "zip", password="pw")
+        with zipfile.ZipFile(arc) as z:  # container readable by stdlib
+            info = z.getinfo("x.json")
+            assert info.compress_type == 99  # WinZip AES method
+            assert info.CRC == 0  # AE-2 zeroes the CRC
+        assert read_winzip_aes_entry(arc, "x.json", "pw") == b"secret"
+        with pytest.raises(ValueError, match="wrong password"):
+            read_winzip_aes_entry(arc, "x.json", "nope")
+
+    def test_password_zip_zipcrypto_stdlib_readable(self, tmp_path):
+        # ZipCrypto mode is independently decryptable by the STDLIB
+        # zipfile reader — a third-party oracle for the cipher.
+        from optimus_any2any_spark.formats.zipsec import write_encrypted_zip
+
+        arc = str(tmp_path / "t.zip")
+        write_encrypted_zip(
+            arc,
+            [("a.json", b'{"k":1}\n'), ("b.csv", b"x,y\n1,2\n" * 100)],
+            "hunter2",
+            encryption="zipcrypto",
+        )
+        with zipfile.ZipFile(arc) as z:
+            z.setpassword(b"hunter2")
+            assert z.read("a.json") == b'{"k":1}\n'
+            assert z.read("b.csv") == b"x,y\n1,2\n" * 100
+            with pytest.raises(RuntimeError):
+                zipfile.ZipFile(arc).read("a.json", pwd=b"wrong")
+
+    def test_aes_entry_tampering_detected(self, tmp_path):
+        from optimus_any2any_spark.formats.zipsec import (
+            read_winzip_aes_entry,
+            write_encrypted_zip,
+        )
+
+        arc = str(tmp_path / "t.zip")
+        write_encrypted_zip(arc, [("d.bin", b"A" * 1000)], "pw")
+        raw = bytearray(open(arc, "rb").read())
+        # ciphertext starts after local header(30) + name(5) + extra(11)
+        # + salt(16) + verify(2) = byte 64
+        raw[66] ^= 0xFF  # flip a ciphertext byte
+        open(arc, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="authentication failed"):
+            read_winzip_aes_entry(arc, "d.bin", "pw")
 
 
 class TestPolicy:
