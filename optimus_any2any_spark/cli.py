@@ -55,9 +55,18 @@ def main(argv: list[str] | None = None) -> int:
             # plan, skip all side effects.
             pipeline.dataframe().explain("formatted")
             return 0
+        if cfg.get_bool("ENABLE_METRICS"):
+            # per-component record counts/durations via Observation
+            # (reference: OTel meters, commonmetric.go:15-73)
+            from optimus_any2any_spark.policy import ActionMetrics
+
+            pipeline.metrics = ActionMetrics()
         result = pipeline.run()
         for sink, res in result.sink_results.items():
             print(f"{sink}: {res}", file=sys.stderr)
+        if pipeline.metrics is not None:
+            for rec in pipeline.metrics.records:
+                print(f"metric: {rec}", file=sys.stderr)
         return 0
     finally:
         spark.stop()

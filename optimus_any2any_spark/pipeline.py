@@ -97,6 +97,7 @@ class Pipeline:
         sinks: list[str],
         config: Config | None = None,
         no_pipeline: bool = False,
+        metrics: "Any | None" = None,  # policy.ActionMetrics
     ):
         _load_builtin_components()
         self.spark = spark
@@ -104,6 +105,7 @@ class Pipeline:
         self.sinks = [s.upper() for s in sinks]
         self.config = config or Config.from_env()
         self.no_pipeline = no_pipeline
+        self.metrics = metrics
         if self.source not in SOURCE_BUILDERS:
             raise UnknownComponent(f"unknown source: {self.source}")
         for s in self.sinks:
@@ -141,10 +143,19 @@ class Pipeline:
         result = PipelineResult()
         try:
             for sink in self.sinks:
-                result.sink_results[sink] = SINK_BUILDERS[sink](df, cfg)
+                # per-sink record count/duration via an Observation node
+                # (map-side CollectMetrics; reference commonmetric.go)
+                sink_df = (
+                    self.metrics.observe(df, f"sink_{sink.lower()}")
+                    if self.metrics is not None
+                    else df
+                )
+                result.sink_results[sink] = SINK_BUILDERS[sink](sink_df, cfg)
         finally:
             if len(self.sinks) > 1:
                 df.unpersist()
+        if self.metrics is not None:
+            self.metrics.harvest()
         return result
 
     def _consume_specialized_metadata(

@@ -64,11 +64,50 @@ def explain_validate(df) -> str:
 
 @dataclass
 class ActionMetrics:
-    """Per-action metrics collected from QueryExecutionListener events
-    (rows written, duration) — the Spark-native replacement for the
-    reference's per-component OTel counters."""
+    """Per-action metrics — the Spark-native replacement for the
+    reference's per-component OTel counters (record count / duration,
+    internal/component/common/commonmetric.go:15-73).
+
+    Two collection paths:
+
+    - ``observe()``/``harvest()`` — the primary path, built on
+      ``pyspark.sql.Observation`` (a JVM-side CollectMetrics node, so it
+      needs no Py4J callback server and costs one map-side count — no
+      extra job, no shuffle).
+    - ``attach()`` — QueryExecutionListener registration for
+      environments where the gateway callback server runs; a no-op
+      otherwise.
+    """
 
     records: list[dict[str, Any]] = field(default_factory=list)
+    _pending: list[tuple[str, float, Any]] = field(default_factory=list)
+
+    def observe(self, df, component: str):
+        """Instrument ``df`` with a row-count observation attributed to
+        ``component``; call :meth:`harvest` after the action runs."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        self._pending.append((component, time.monotonic(), obs))
+        return df.observe(
+            obs,
+            F.count(F.lit(1)).alias("records"),
+        )
+
+    def harvest(self) -> None:
+        """Collect every pending observation (blocks until the observed
+        actions have completed) into :attr:`records`."""
+        for component, t0, obs in self._pending:
+            row = obs.get
+            self.records.append(
+                {
+                    "action": component,
+                    "rows": row.get("records"),
+                    "duration_ms": (time.monotonic() - t0) * 1000.0,
+                }
+            )
+        self._pending.clear()
 
     def attach(self, spark) -> None:
         from pyspark.sql import DataFrame  # noqa: F401

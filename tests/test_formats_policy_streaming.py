@@ -141,6 +141,35 @@ class TestPolicy:
         with pytest.raises(RuntimeError):
             retry(lambda: (_ for _ in ()).throw(RuntimeError("x")), 2, 1, sleep=lambda s: None)
 
+    def test_observed_metrics_per_sink(self, spark, tmp_path):
+        # Observation-based per-component metrics (commonmetric.go ≙):
+        # JVM-side CollectMetrics, no Py4J callback server needed.
+        import json
+
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+        from optimus_any2any_spark.policy import ActionMetrics
+
+        src = tmp_path / "in.json"
+        src.write_text(
+            "".join(json.dumps({"id": i}) + "\n" for i in range(5))
+        )
+        out = tmp_path / "out.json"
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"FILE__DESTINATION_URI=file://{out}",
+            ],
+            environ={},
+        )
+        metrics = ActionMetrics()
+        Pipeline(spark, "FILE", ["FILE"], cfg, metrics=metrics).run()
+        assert len(metrics.records) == 1
+        rec = metrics.records[0]
+        assert rec["action"] == "sink_file"
+        assert rec["rows"] == 5
+        assert rec["duration_ms"] > 0
+
     def test_connectivity_check(self):
         import socket
 
