@@ -82,19 +82,42 @@ def jaccard_pairs(
     by f docs contributes f^2 candidate pairs, so one boilerplate
     shingle at corpus scale is a quadratic block — the cap bounds every
     shingle's block to cap^2 while set sizes shrink consistently on both
-    sides of the Jaccard. Pass ``None`` to disable."""
-    if max_shingle_freq is not None:
-        from pyspark.sql.window import Window
+    sides of the Jaccard. Pass ``None`` to disable.
 
-        # window count over partitionBy(shingle): one shuffle that the
-        # downstream shingle-key self-join reuses, instead of a separate
-        # groupBy + join pair
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("df_", F.count(F.lit(1)).over(w))
-            .filter(F.col("df_") <= max_shingle_freq)
-            .drop("df_")
+    Capped path: ONE shuffle builds a posting list per shingle
+    (``groupBy(shingle).collect_list``), the cap filters it, and pair
+    expansion is per-row array arithmetic — no shingle-key self-join,
+    no window. Per-task memory is bounded by cap^2 struct pairs.
+    Uncapped path: posting lists would be unbounded on a hot key, so it
+    keeps the streaming shingle-key self-join instead."""
+    if max_shingle_freq is not None:
+        posting = (
+            sh.groupBy("shingle")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") <= max_shingle_freq)
+            .select(F.array_sort("ids").alias("ids"))
         )
+        sizes = (
+            posting.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("set_size"))
+        )
+        ids = F.col("ids")
+        pair_arr = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        inter = (
+            posting.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return _jaccard_verify(inter, sizes, threshold)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -104,6 +127,12 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return _jaccard_verify(inter, sizes, threshold)
+
+
+def _jaccard_verify(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
     sa = sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("set_size", "size_a")
     sb = sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("set_size", "size_b")
     return (

@@ -17,6 +17,13 @@ def ensure_parallelism(df: DataFrame, key: Column | str | None = None) -> DataFr
     job is triggered.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        # JVM-side RDD handle: skips df.rdd's javaToPython conversion
+        # chain (a per-call Python-serializer plan build); no job runs
+        # either way, this just drops the wrapper cost.
+        nparts = df._jdf.rdd().getNumPartitions()
+    except Exception:
+        nparts = df.rdd.getNumPartitions()
+    if nparts >= target:
         return df
     return df.repartition(target, key) if key is not None else df.repartition(target)
