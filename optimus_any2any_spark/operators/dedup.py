@@ -232,10 +232,23 @@ def minhash_dedup_pairs(
     sh = shingles(df, text_col, id_col, n)
     if persist_shingles:
         sh = sh.persist()
-    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    # cand feeds three plans (two semi-filters + the verify join), so
+    # persist it — without this the signature+banding chain re-executes
+    # per consumer. It is small by construction (LSH already bounded it).
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes), num_hashes, bands
+    ).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    # The a side is filtered map-side by the broadcast(cand) join below;
+    # the b side would otherwise shuffle the WHOLE corpus shingle table
+    # into the (id, shingle) join, so semi-filter it to candidate docs
+    # first — broadcast, map-side, no extra shuffle.
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.join(
+        F.broadcast(cand.select(F.col("doc_b").alias("id")).distinct()),
+        "id",
+        "left_semi",
+    ).alias("b")
     inter = (
         F.broadcast(cand)
         .join(a, F.col("a.id") == F.col("doc_a"))

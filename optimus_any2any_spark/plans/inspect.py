@@ -28,6 +28,7 @@ class PlanReport:
     num_exchanges: int = 0
     num_broadcast_joins: int = 0
     num_sortmerge_joins: int = 0
+    num_shuffle_hash_joins: int = 0
     num_nested_loop_joins: int = 0
     num_codegen_stages: int = 0
     text: str = ""
@@ -65,6 +66,7 @@ def plan_report(df: DataFrame) -> PlanReport:
         num_exchanges=text.count("Exchange"),
         num_broadcast_joins=text.count("BroadcastHashJoin"),
         num_sortmerge_joins=text.count("SortMergeJoin"),
+        num_shuffle_hash_joins=text.count("ShuffledHashJoin"),
         num_nested_loop_joins=text.count("BroadcastNestedLoopJoin"),
         num_codegen_stages=len(
             set(re.findall(r"\*\((\d+)\)", text + simple))

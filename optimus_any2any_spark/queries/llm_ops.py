@@ -1116,11 +1116,12 @@ def text_repetition_filter(spark, sf_dir):
     """,
     doc="Benchmark-decontamination check: distinct 4-gram overlap of "
     "every training doc (source <> src0) against the eval set's "
-    "(source = src0) gram universe. The eval gram set joins as a "
-    "left-semi on the gram key — broadcast when the benchmark is "
-    "small, plain shuffle semi-join at 100 TB; per-doc gram counts "
-    "are map-side combinable. flagged >= 0.8 marks near-total "
-    "containment (train copies of eval docs).",
+    "(source = src0) gram universe. One gram expansion: the eval gram "
+    "set left-joins as a hit marker on the gram key — broadcast when "
+    "the benchmark is small, plain shuffle join at 100 TB — and a "
+    "single per-doc aggregate derives total and hit counts together. "
+    "flagged >= 0.8 marks near-total containment (train copies of "
+    "eval docs).",
     bench=True,
 )
 def contamination_4gram(spark, sf_dir):
@@ -1131,16 +1132,18 @@ def contamination_4gram(spark, sf_dir):
         .select("shingle")
         .distinct()
     )
-    per_doc = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        train.join(ev, "shingle", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    # one gram expansion + one per-doc shuffle: a left join against the
+    # (distinct) eval gram set marks hits per gram row, and a single
+    # aggregate derives both counts — instead of scanning/expanding the
+    # train grams twice for separate n_grams and n_hits aggregates
+    marked = train.join(ev.withColumn("_hit", F.lit(1)), "shingle", "left")
+    stats = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hits"),
     )
     frac = F.col("n_hits").cast("double") / F.col("n_grams")
     return (
-        per_doc.join(hits, "id")
-        .filter(F.col("n_hits") > 0)
+        stats.filter(F.col("n_hits") > 0)
         .select(
             F.col("id").alias("doc_id"),
             F.col("n_grams").cast("long").alias("n_grams"),

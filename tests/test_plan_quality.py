@@ -152,12 +152,21 @@ class TestSecondSuitePlans:
         assert r.num_nested_loop_joins == 0, r.text
         assert r.num_broadcast_joins >= 1, r.text  # supplier dim
 
-    def test_contamination_semi_join(self, spark):
-        # the eval gram set must attach as a semi join (no fact-side
-        # duplication, no distinct-after-join)
+    def test_contamination_single_pass_marker_join(self, spark):
+        # the eval gram set attaches as a LEFT OUTER hit-marker join on
+        # the gram key so ONE gram expansion feeds a single per-doc
+        # aggregate (n_grams + n_hits together) — not a semi join that
+        # would force a second expansion for the total count
         r = report(spark, "contamination_4gram")
-        assert "LeftSemi" in r.text, r.text
+        assert "LeftOuter" in r.text, r.text
         assert r.num_nested_loop_joins == 0, r.text
+        # exactly one join in the whole plan: the marker join (formatted
+        # explain lists every node twice — tree + detail — so one join
+        # node counts as 2)
+        assert (
+            r.num_broadcast_joins + r.num_sortmerge_joins + r.num_shuffle_hash_joins
+            == 2
+        ), r.text
 
     def test_repetition_no_join(self, spark):
         # pure two-level aggregation: gram expansion is per-row, so the
