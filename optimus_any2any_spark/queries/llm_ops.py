@@ -1153,3 +1153,92 @@ def contamination_4gram(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# Sequence packing & leakage accounting ---------------------------------------
+
+
+@register(
+    "seq_packing_4096",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gend
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(gend - n_tokens AS BIGINT) AS global_offset,
+           CAST((gend - n_tokens) // 4096 AS BIGINT) AS chunk_id,
+           CAST((gend - n_tokens) % 4096 AS BIGINT) AS offset_in_chunk,
+           (n_tokens > 0 AND (gend - n_tokens) // 4096 <> (gend - 1) // 4096)
+             AS spans_boundary
+    FROM c
+    ORDER BY doc_id
+    """,
+    doc="Concat-and-chunk sequence packing: documents laid end-to-end "
+    "in doc_id order and cut into 4096-token context windows; each doc "
+    "gets its window id, in-window offset, and a boundary-straddle "
+    "flag. The global running sum is a two-phase distributed prefix "
+    "sum (range-partition sort + per-partition cumsum + broadcast "
+    "partition offsets) — never a single-partition window, so the "
+    "layout of a 100 TB corpus distributes like any other shuffle.",
+)
+def seq_packing_4096(spark, sf_dir):
+    from optimus_any2any_spark.operators.packing import pack_concat_chunks
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_concat_chunks(
+        d, "n_tok", window_tokens=4096, order_by=["doc_id"]
+    ).orderBy("doc_id")
+
+
+@register(
+    "leakage_cross_source",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT source, md5(substr(text, 1, 80)) AS fingerprint
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_fingerprints
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.source < b.source
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Cross-source leakage matrix: how many exact content "
+    "fingerprints each pair of sources shares (train/eval overlap "
+    "accounting at the split level). Inverted-index self-join on the "
+    "fingerprint key after a per-source distinct — pair blowup per "
+    "fingerprint is bounded by the number of sources, never by corpus "
+    "size.",
+)
+def leakage_cross_source(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "source", TX.prefix_fingerprint(F.col("text"), 80).alias("fingerprint")
+    ).distinct()
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .orderBy("source_a", "source_b")
+    )

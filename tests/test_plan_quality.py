@@ -40,6 +40,15 @@ class TestPushdownAndPruning:
         for cols in r.scan_columns():
             assert "lang" not in cols and "source" not in cols
 
+    def test_minhash_verify_prefiltered_to_candidates(self, spark):
+        # the exact-Jaccard verification must not shuffle the whole
+        # corpus shingle table: the b side is semi-joined down to
+        # candidate docs (broadcast, map-side) before the shingle-key
+        # join
+        r = report(spark, "dedup_minhash_lsh")
+        assert "LeftSemi" in r.text, r.text
+        assert r.num_nested_loop_joins == 0, r.text
+
 
 class TestJoinStrategy:
     def test_q03_dims_broadcast(self, spark):
