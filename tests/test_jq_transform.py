@@ -55,6 +55,22 @@ NATIVE_PROGRAMS = [
     '.[] | del(.name) + {("__METADATA__group"): .name}',  # rfc_007 contract
     ".[] | . + {bonus: (.score * 2)}",
     ".[] | {id, age}",
+    # piped string builtins (native via kind-checked Column translation)
+    '.[] | select(.name | startswith("a"))',
+    '.[] | select(.name | endswith("b"))',
+    '.[] | select(.name | contains("aro"))',
+    '.[] | select(.name | test("^[ab]"))',
+    ".[] | {id: .id, n: (.name | length)}",
+    '.[] | {t: (.name | ltrimstr("a"))}',
+    '.[] | {t: (.name | rtrimstr("e"))}',
+    '.[] | {p: (.name | split("l") | length)}',
+    ".[] | {u: (.name | ascii_upcase | ascii_downcase)}",
+    '.[] | select((.name | endswith("b")) or .age > 40)',
+    '.[] | select(.active | not)',
+    # string '+' concatenation and the '//' alternative operator
+    '.[] | {full: (.name + "_x")}',
+    ".[] | {both: (.name + .name)}",
+    '.[] | {v: (.name // "anon")}',
 ]
 
 
@@ -112,24 +128,26 @@ def test_jq_transform_dispatch(spark, df):
 
 
 class TestPolymorphicPlus:
-    """jq '+' on strings/arrays/null is NOT numeric addition — such
-    programs must leave the native subset (ADVICE jq.py:140)."""
+    """jq '+' on null/arrays/mixed kinds is NOT numeric addition — such
+    programs must leave the native subset (ADVICE jq.py:140). Provable
+    string+string compiles natively with jq's exact null behavior."""
 
-    def test_string_plus_routes_to_binary(self, spark, df):
+    def test_string_plus_is_native_and_null_aware(self, spark):
+        # null + "x" = "x", "x" + null = "x", null + null = null — jq's
+        # rules, natively compiled (no binary fallback)
+        df = spark.createDataFrame(
+            [(1, "a", "b"), (2, None, "b"), (3, "a", None), (4, None, None)],
+            "id long, l string, r string",
+        )
+        out = translate_jq(df, ".[] | {id: .id, c: (.l + .r)}")
+        got = {r["id"]: r["c"] for r in out.collect()}
+        assert got == {1: "ab", 2: "b", 3: "a", 4: None}
+
+    def test_string_plus_number_raises(self, spark, df):
         from optimus_any2any_spark.compiler.jq import JQUnsupported
 
-        prog = '.[] | {full: (.name + "_x")}'
         with pytest.raises(JQUnsupported):
-            translate_jq(df, prog)
-        # dispatch falls back to the jq binary and matches it exactly
-        got = spark_rows(jq_transform(df, prog, output_schema="full string"))
-        assert got == jq_oracle(prog, ROWS)
-
-    def test_string_field_plus_field(self, spark, df):
-        from optimus_any2any_spark.compiler.jq import JQUnsupported
-
-        with pytest.raises(JQUnsupported):
-            translate_jq(df, ".[] | {both: (.name + .name)}")
+            translate_jq(df, ".[] | {v: (.name + .age)}")
 
     def test_null_plus_raises(self, spark, df):
         from optimus_any2any_spark.compiler.jq import JQUnsupported
@@ -141,6 +159,59 @@ class TestPolymorphicPlus:
         prog = ".[] | {v: (.age + 1)}"
         got = sorted(r["v"] for r in translate_jq(df, prog).collect())
         assert got == [29, 35, 42]
+
+
+class TestAlternativeOperator:
+    def test_alt_fills_null_with_default(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "id long, name string"
+        )
+        out = translate_jq(df, '.[] | {id: .id, v: (.name // "anon")}')
+        assert {r["id"]: r["v"] for r in out.collect()} == {1: "a", 2: "anon"}
+
+    def test_alt_boolean_false_takes_default(self, spark):
+        # false // x = x (null-OR-false semantics, not just coalesce)
+        df = spark.createDataFrame(
+            [(1, True), (2, False), (3, None)], "id long, f boolean"
+        )
+        out = translate_jq(df, ".[] | {id: .id, v: (.f // true)}")
+        assert {r["id"]: r["v"] for r in out.collect()} == {
+            1: True,
+            2: True,
+            3: True,
+        }
+        out2 = translate_jq(df, ".[] | {id: .id, v: (.f // false)}")
+        assert {r["id"]: r["v"] for r in out2.collect()} == {
+            1: True,
+            2: False,
+            3: False,
+        }
+
+    def test_alt_on_unknown_kind_raises(self, spark, df):
+        from optimus_any2any_spark.compiler.jq import JQUnsupported
+
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, ".[] | {v: (.missing // 1)}")
+
+
+class TestPipedFunctionGuards:
+    def test_dynamic_test_pattern_raises(self, spark, df):
+        from optimus_any2any_spark.compiler.jq import JQUnsupported
+
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, ".[] | select(.name | test(.name))")
+
+    def test_oniguruma_syntax_raises(self, spark, df):
+        from optimus_any2any_spark.compiler.jq import JQUnsupported
+
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, '.[] | select(.name | test("(?i)abc"))')
+
+    def test_piped_func_on_number_raises(self, spark, df):
+        from optimus_any2any_spark.compiler.jq import JQUnsupported
+
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, '.[] | select(.age | startswith("3"))')
 
 
 def test_del_then_readd_matches_jq(spark, df):
