@@ -1244,3 +1244,96 @@ def leakage_cross_source(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df_ FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / dfc.df_), 6) AS w
+      FROM tf JOIN dfc USING (term) CROSS JOIN n
+      WHERE dfc.df_ <= 1000
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(w * w AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.w * b.w AS DECIMAL(18,6))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Sparse TF-IDF cosine similarity pairs over the term inverted "
+    "index: candidate pairs come from shared terms (shuffle on the "
+    "term key, df-capped at 1000 so no stopword-grade term forms a "
+    "quadratic block), dot products and norms accumulate in DECIMAL "
+    "(order-independent — bit-identical on any partitioning), rounded "
+    "idf keeps ln() engine-agnostic. The weighted counterpart of the "
+    "Jaccard near-dedup path.",
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    n_docs = d.count()
+    w = (
+        tf.join(dfc.filter(F.col("df_") <= 1000), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.round(F.log(F.lit(float(n_docs)) / F.col("df_")), 6)
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(dsum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nrm", "na")
+    nb = norms.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nrm", "nb")
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.9)
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
