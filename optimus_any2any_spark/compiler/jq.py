@@ -330,7 +330,11 @@ class _ExprParser:
             s = lit_args[0]
             if s is None or s == "":
                 raise JQUnsupported("jq: split needs a non-empty literal")
-            return F.split(subject, re.escape(s), -1), "complex"
+            # jq: "" | split(s) == [] — Spark's split gives [""]
+            out = F.when(
+                F.length(subject) == 0, F.array().cast("array<string>")
+            ).otherwise(F.split(subject, re.escape(s), -1))
+            return out, "complex"
         if name == "not" and not args:
             need("boolean")
             return F.coalesce(subject == F.lit(False), F.lit(True)), "boolean"

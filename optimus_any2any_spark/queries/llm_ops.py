@@ -1337,3 +1337,47 @@ def tfidf_cosine_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", cos.alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(substr(text, 1, 80)) AS fingerprint
+      FROM documents WHERE source <> 'src1'
+    ),
+    batch AS (
+      SELECT doc_id, md5(substr(text, 1, 80)) AS fingerprint
+      FROM documents WHERE source = 'src1'
+    )
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b
+    WHERE b.fingerprint NOT IN (SELECT fingerprint FROM corpus)
+      AND b.doc_id = (
+        SELECT MIN(doc_id) FROM batch b2 WHERE b2.fingerprint = b.fingerprint
+      )
+    ORDER BY b.doc_id
+    """,
+    doc="Incremental-ingest dedup: an incoming batch (source = src1) is "
+    "admitted only where its content fingerprint is (a) absent from "
+    "the existing corpus — a left-anti join on the fingerprint key, "
+    "the streaming-ingest shape where the corpus side is a bloom/"
+    "fingerprint store — and (b) the first occurrence within the "
+    "batch itself (min-doc_id per fingerprint). Both steps shuffle "
+    "on the fingerprint only; document text never re-shuffles.",
+)
+def dedup_incremental(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    fp = TX.prefix_fingerprint(F.col("text"), 80)
+    corpus = d.filter(F.col("source") != "src1").select(fp.alias("fingerprint"))
+    batch = d.filter(F.col("source") == "src1").select(
+        "doc_id", fp.alias("fingerprint")
+    )
+    first_in_batch = batch.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        first_in_batch.join(corpus, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,134 @@
+"""Property-based differential testing of the native jq subset.
+
+Random records × random programs drawn from the natively-translatable
+grammar; every program's native Column translation must produce exactly
+the rows the real ``jq`` binary produces (the reference's engine —
+ext/jq/connector.go). Programs that leave the subset must raise
+JQUnsupported (→ faithful binary fallback), never silently mis-compile.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from optimus_any2any_spark.compiler.jq import JQUnsupported, translate_jq
+
+# Record space: fixed schema, varied values (incl. nulls and boundary
+# strings that exercise startswith/ltrimstr edge cases).
+_NAMES = st.one_of(
+    st.none(),
+    st.sampled_from(["", "a", "ab", "alice", "bob", "prefix_x", "x_suffix"]),
+)
+_RECORDS = st.lists(
+    st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-100, max_value=100),
+            "name": _NAMES,
+            "age": st.integers(min_value=0, max_value=99),
+            "flag": st.one_of(st.none(), st.booleans()),
+        }
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+# Program space: the native grammar's riskiest corners — piped string
+# builtins, '//', null-aware '+', boolean logic over nullable fields.
+_PROGRAMS = st.sampled_from(
+    [
+        ".[] | select(.age > 50)",
+        ".[] | select(.age >= 25 and .age < 75)",
+        ".[] | select(.id < 0 or .age > 90)",
+        ".[] | {id, age}",
+        ".[] | {id: .id, a2: (.age * 2 + 1)}",
+        ".[] | del(.flag)",
+        ".[] | . + {agesq: (.age * .age)}",
+        ".[] | del(.age) + {age: (.id % 7)}",
+        '.[] | {v: (.name // "anon")}',
+        ".[] | {f: (.flag // true)}",
+        ".[] | {f: (.flag // false)}",
+        '.[] | select(.flag // false) | {id}',
+        ".[] | select(.flag | not)",
+        ".[] | {c: (.name + .name)}",
+        '.[] | {c: (.name + "_t")}',
+        '.[] | {c: ("p_" + .name)}',
+    ]
+)
+
+# Programs whose builtins ERROR in jq on null input — valid to compare
+# only on records where name is non-null.
+_STRING_PROGRAMS = st.sampled_from(
+    [
+        '.[] | select(.name | startswith("a"))',
+        '.[] | select(.name | endswith("e"))',
+        '.[] | select(.name | contains("li"))',
+        '.[] | select(.name | test("^[ap]"))',
+        ".[] | {n: (.name | length)}",
+        '.[] | {t: (.name | ltrimstr("prefix_"))}',
+        '.[] | {t: (.name | rtrimstr("_suffix"))}',
+        '.[] | {p: (.name | split("l") | length)}',
+        ".[] | {u: (.name | ascii_upcase)}",
+    ]
+)
+
+_SCHEMA = "id long, name string, age long, flag boolean"
+
+
+def _jq(program: str, rows: list[dict]) -> list[dict]:
+    out = subprocess.run(
+        ["jq", "-c", program],
+        input=json.dumps(rows).encode(),
+        stdout=subprocess.PIPE,
+        check=True,
+    )
+    return [
+        json.loads(ln) for ln in out.stdout.decode().splitlines() if ln.strip()
+    ]
+
+
+def _norm(rows: list[dict]) -> list[str]:
+    # jq emits explicit nulls; Spark rows carry None — compare on the
+    # same null-stripped representation, order-insensitively
+    return sorted(
+        json.dumps(
+            {k: v for k, v in r.items() if v is not None}, sort_keys=True
+        )
+        for r in rows
+    )
+
+
+def _run_native(spark, rows: list[dict], program: str) -> list[dict]:
+    df = spark.createDataFrame(rows, _SCHEMA)
+    return [r.asDict() for r in translate_jq(df, program).collect()]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_RECORDS, program=_PROGRAMS)
+def test_native_equals_jq_binary(spark, rows, program):
+    got = _run_native(spark, rows, program)
+    expect = _jq(program, rows)
+    assert _norm(got) == _norm(expect), (program, rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_RECORDS, program=_STRING_PROGRAMS)
+def test_piped_string_builtins_equal_jq_binary(spark, rows, program):
+    rows = [r for r in rows if r["name"] is not None]
+    if not rows:
+        return
+    got = _run_native(spark, rows, program)
+    expect = _jq(program, rows)
+    assert _norm(got) == _norm(expect), (program, rows)
