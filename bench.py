@@ -35,6 +35,26 @@ def _rfc008_bench(spark) -> float:
     from optimus_any2any_spark.config import Config
     from optimus_any2any_spark.pipeline import Pipeline
 
+    # codegen/JIT warmup on a 10k-record file (same pipeline shape), so
+    # the measurement is the workload, not first-run class compilation —
+    # mirroring the sf0.001 query warmup above
+    warm_path = "/tmp/spark_graft_rfc008_warm.json"
+    if not os.path.exists(warm_path):
+        with open(warm_path, "w") as f:
+            for i in range(10_000):
+                f.write(
+                    '{"id": %d, "name": "user_%d", "value": %d}\n'
+                    % (i, i % 1000, i * 7 % 10000)
+                )
+    warm_cfg = Config.from_env(
+        env_args=[
+            f"FILE__SOURCE_URI=file://{warm_path}",
+            "FILE__DESTINATION_URI=file:///tmp/spark_graft_rfc008_warm_out.json",
+        ],
+        environ={},
+    )
+    Pipeline(spark, "FILE", ["FILE"], warm_cfg).run()
+
     cfg = Config.from_env(
         env_args=[
             f"FILE__SOURCE_URI=file://{path}",

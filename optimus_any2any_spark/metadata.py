@@ -70,34 +70,49 @@ def with_record_index(
     """
     if order_by:
         df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
-    pid = F.spark_partition_id().alias("__pid")
-    marked = df.withColumn("__pid", pid).withColumn(
-        "__pos",
-        F.row_number().over(
-            Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
-        )
-        - 1,
+    # Shuffle-free position: monotonically_increasing_id puts the
+    # partition id in the high bits and a CONSECUTIVE record number in
+    # the low bits, so within a partition (mid - min(mid)) IS the row
+    # position — no Window (which would hash-exchange every row on
+    # __pid and sort it), no data shuffle at all. One tiny aggregate
+    # job collects per-partition (count, min, max); the max-min+1 == n
+    # check *verifies* consecutiveness and falls back to the sorted
+    # Window path if a future Spark changes the id layout.
+    marked = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
     )
-    # Exclusive prefix sum of partition sizes — tiny (one row per
-    # partition), collected to the driver and broadcast as a literal map.
-    sizes = {
-        r["__pid"]: r["n"]
-        for r in marked.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not sizes:  # empty input: no offsets to compute
+    stats = (
+        marked.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__mid").alias("mn"),
+            F.max("__mid").alias("mx"),
+        )
+        .collect()
+    )
+    if not stats:  # empty input: no offsets to compute
         return df.withColumn(col, F.lit(0).cast("long"))
+    consecutive = all(r["mx"] - r["mn"] + 1 == r["n"] for r in stats)
     offsets: dict[int, int] = {}
     acc = 0
-    for p in sorted(sizes):
-        offsets[p] = acc
-        acc += sizes[p]
-    mapping = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    return (
-        marked.withColumn(col, (F.col("__pos") + mapping[F.col("__pid")]).cast("long"))
-        .drop("__pid", "__pos")
-    )
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["n"]
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    if consecutive:
+        mins = {r["__pid"]: r["mn"] for r in stats}
+        min_map = F.create_map(*[F.lit(x) for kv in mins.items() for x in kv])
+        pos = F.col("__mid") - min_map[F.col("__pid")]
+    else:  # pragma: no cover — defensive fallback
+        pos = (
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy("__mid")
+            )
+            - 1
+        )
+    return marked.withColumn(
+        col, (pos + off_map[F.col("__pid")]).cast("long")
+    ).drop("__pid", "__mid")
 
 
 def with_record_total_count(df: DataFrame, col: str = RECORD_TOTAL_COUNT) -> DataFrame:
