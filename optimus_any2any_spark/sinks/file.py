@@ -67,7 +67,15 @@ class FileSink:
             compression = compression or "gzip"
             stem = base[: -len(".gz")]
             ext = stem.rsplit(".", 1)[-1].lower() if "." in os.path.basename(stem) else "json"
-        self.fmt = fmt or ("csv" if ext == "csv" else "tsv" if ext == "tsv" else "json")
+        self.fmt = fmt or (
+            "csv"
+            if ext == "csv"
+            else "tsv"
+            if ext == "tsv"
+            else "parquet"
+            if ext in ("parquet", "pq")
+            else "json"
+        )
         self.delimiter = delimiter or ("\t" if self.fmt == "tsv" else ",")
         self.compression = compression
         self.jsonpath_selector = jsonpath_selector
@@ -107,6 +115,9 @@ class FileSink:
 
             routed = apply_jsonpath(routed, self.jsonpath_selector, keep=[DEST_COL])
             data_cols = [c for c in routed.columns if c != DEST_COL]
+
+        if self.fmt == "parquet":
+            return self._write_parquet(routed, data_cols)
 
         if self.fmt == "json":
             lines = routed.select(
@@ -222,6 +233,56 @@ class FileSink:
                 if p.startswith("part-")
             )
             self._commit_destination(dest, parts, header)
+            result[dest] = counts.get(dest, 0)
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        return WriteResult(files=result)
+
+    def _write_parquet(self, routed: DataFrame, data_cols: list[str]) -> WriteResult:
+        """Parquet destinations (beyond-reference; training pipelines are
+        parquet-first). The destination is a *directory* in Spark's
+        native layout — columnar parts + `_SUCCESS` — committed by
+        Spark's own output committer with zero driver byte movement
+        (unlike line formats, parquet parts cannot be concatenated, and
+        a single giant file would be an anti-goal anyway: per-part
+        parallel reads are the point). Templated URIs still fan out in
+        ONE job via ``partitionBy`` on the routing column; each staged
+        ``DEST_COL=<uri>`` dir is renamed onto its destination."""
+        typed = routed.select(*data_cols, F.col(DEST_COL))
+        writer_opts = {}
+        if self.max_records_per_file:
+            writer_opts["maxRecordsPerFile"] = str(self.max_records_per_file)
+        if self.template.is_static and not self.batch_size:
+            dest = self.template.render({})
+            df = typed.drop(DEST_COL)
+            n = df.count()
+            df.write.mode("overwrite").options(**writer_opts).parquet(dest)
+            return WriteResult(files={dest: n})
+        tmpdir = tempfile.mkdtemp(prefix="any2any_sink_")
+        staging = os.path.join(tmpdir, "staged")
+        typed = typed.persist()
+        try:
+            counts = {
+                r[DEST_COL]: r["count"]
+                for r in typed.groupBy(DEST_COL).count().collect()
+            }
+            (
+                typed.repartition(F.col(DEST_COL))
+                .write.partitionBy(DEST_COL)
+                .mode("overwrite")
+                .options(**writer_opts)
+                .parquet(staging)
+            )
+        finally:
+            typed.unpersist()
+        result: dict[str, int] = {}
+        for entry in os.listdir(staging):
+            if not entry.startswith(DEST_COL + "="):
+                continue
+            dest = urllib.parse.unquote(entry[len(DEST_COL) + 1 :])
+            if os.path.exists(dest):
+                shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+            shutil.move(os.path.join(staging, entry), dest)
             result[dest] = counts.get(dest, 0)
         shutil.rmtree(tmpdir, ignore_errors=True)
         return WriteResult(files=result)

@@ -36,6 +36,11 @@ def _format_of(uri: str, fmt: str | None) -> str:
         return "csv"
     if u.endswith(".tsv"):
         return "tsv"
+    if u.endswith(".parquet") or u.endswith(".pq"):
+        # beyond-reference: training-data pipelines are parquet-first;
+        # a parquet path (file or directory of parts) reads natively
+        # with full pushdown/pruning instead of NDJSON line parsing
+        return "parquet"
     return "json"
 
 
@@ -67,6 +72,11 @@ class FileSource:
     def read(self) -> DataFrame:
         if self.fmt == "json":
             df = self._read_json()
+        elif self.fmt == "parquet":
+            reader = self.spark.read.option("recursiveFileLookup", "true")
+            if self.schema is not None:
+                reader = reader.schema(self.schema)
+            df = reader.parquet(self.path)
         else:
             df = self._read_csv()
         if self.add_filename:
