@@ -9,12 +9,15 @@ straddles a window boundary. Downstream a packer shuffles on
 
 Scale shape: the global running sum is a **two-phase distributed prefix
 sum**, not a single-partition window. Documents are range-partitioned
-and sorted by the order key; each partition computes a local cumulative
-sum; per-partition totals (one row per partition) are collected and
-turned into exclusive offsets broadcast back as a literal map. The only
-wide operation is the range-partitioning sort — O(corpus) shuffle once,
-no global single-task bottleneck, same machinery as the engine's exact
-``record_index`` (metadata.py).
+by the order key; each partition computes a local cumulative sum
+(a window partitioned by ``spark_partition_id()`` — Catalyst cannot
+prove the pid distribution, so this costs one more linear hash
+exchange); per-partition totals (one row per partition) are collected
+and turned into exclusive offsets broadcast back as a literal map.
+Two O(corpus) linear shuffles total, zero single-task bottlenecks —
+vs. the naive global Window which serializes the corpus through one
+task. Same machinery as the engine's exact ``record_index``
+(metadata.py).
 """
 
 from __future__ import annotations
@@ -32,7 +35,10 @@ def with_global_cumsum(
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` over the total order
     ``order_by``, computed as a distributed two-phase prefix sum."""
-    df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    # no sortWithinPartitions here: the Window below sorts by
+    # (__pid, order_by) itself, so a pre-sort would just be a second
+    # local sort of the same data
+    df = df.repartitionByRange(*order_by)
     marked = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__csum",
         F.sum(value_col).over(
