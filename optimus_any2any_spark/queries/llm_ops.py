@@ -1381,3 +1381,58 @@ def dedup_incremental(spark, sf_dir):
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION
+      SELECT doc_b, doc_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, MIN(b)) AS component_id
+      FROM reach GROUP BY a
+    ),
+    csizes AS (
+      SELECT component_id, COUNT(*) AS cluster_size FROM comp
+      GROUP BY component_id
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_docs_removable
+    FROM csizes GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    doc="Near-dup cluster-size histogram + dedup savings: how many "
+    "duplicate clusters of each size exist and how many documents a "
+    "keep-one-per-cluster pass removes. Two tiny aggregates over the "
+    "post-LSH component labels — the accounting report that sizes a "
+    "dedup run before committing to it.",
+)
+def dedup_cluster_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(d), threshold=0.8)
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs_removable"),
+        )
+        .orderBy("cluster_size")
+    )
