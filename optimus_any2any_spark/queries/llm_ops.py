@@ -1436,3 +1436,44 @@ def dedup_cluster_stats(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(t, tk ->
+                 list_reduce(
+                   list_transform(range(1, 8),
+                     p -> CAST(strpos('0123456789abcdef',
+                                      substr(md5(tk), p, 1)) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b))),
+             (acc, th) -> (acc * 31 + th) % 2147483647) AS rolling_hash
+    FROM tok
+    ORDER BY doc_id
+    """,
+    doc="Polynomial rolling-hash document fingerprint (Rabin-Karp "
+    "shape): fold token hashes as (acc*31 + h) mod 2^31-1 over the "
+    "token stream. Token hash = first 7 md5 hex digits as int, so "
+    "every intermediate stays < 2^36 — safe under DuckDB's checked "
+    "int64 arithmetic AND Spark's wrapping int64, hence bit-identical. "
+    "Pure per-row Column fold: zero shuffles, zero Python.",
+)
+def doc_rolling_hash(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    th = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t.cast("binary")), 1, 7), 16, 10
+    ).cast("long")
+    h = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + th(t)) % 2147483647,
+    )
+    return d.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
