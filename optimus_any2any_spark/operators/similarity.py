@@ -235,6 +235,99 @@ def ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop
+    within-cluster near-duplicates, keeping the member of each
+    duplicate pair that sits FARTHEST from its centroid (the paper's
+    keep rule — extreme points carry more information than the cluster
+    core they duplicate).
+
+    Quantizer: ``n_cells`` deterministic seed centroids (smallest
+    md5(id) — portable, no RNG/training state, same trick as
+    :func:`ivf_topk`); assignment is one pass over a broadcast centroid
+    table. The near-dup check is the within-cluster self-join — pair
+    count is Σ cell², never n², which is exactly SemDeDup's scale
+    argument: the quadratic term is bounded by cluster size, and each
+    cell's join is hash-local after one shuffle on the cell key. At
+    corpus scale grow ``n_cells`` ~ √n to hold cell sizes flat.
+
+    Drop rule (pairwise, no transitive closure needed): a vector is
+    dropped iff some same-cell vector within ``tau`` cosine has
+    strictly lower centroid similarity (ties broken by smaller id).
+    Per duplicate group this keeps exactly the minimal element of that
+    ordering, deterministically in any engine.
+
+    Returns (vec_id, cell, centroid_sim, kept) for every input vector.
+    """
+    base = ensure_parallelism(df, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    centroids = (
+        base.withColumn("h", F.md5(F.col("id").cast("string").cast("binary")))
+        .orderBy("h", "id")
+        .limit(n_cells)
+        .select(
+            F.col("id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "v",
+        "nrm",
+        "centroid_id",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("sim"),
+    )
+    cw = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    # The assignment feeds both sides of the pair join AND the final
+    # projection — persist it so the quantizer cross join runs once.
+    assign = (
+        scored.withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") == 1)
+        .drop("crank")
+        .persist()
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (
+                (F.col("b.sim") < F.col("a.sim"))
+                | ((F.col("b.sim") == F.col("a.sim")) & (F.col("b.id") < F.col("a.id")))
+            ),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= tau)
+        .select(F.col("a.id").alias("dropped_id"))
+        .distinct()
+    )
+    return assign.join(
+        dropped, assign.id == dropped.dropped_id, "left"
+    ).select(
+        F.col("id").alias("vec_id"),
+        F.col("centroid_id").alias("cell"),
+        F.col("sim").alias("centroid_sim"),
+        F.when(F.col("dropped_id").isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",

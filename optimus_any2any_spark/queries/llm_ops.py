@@ -440,6 +440,60 @@ def dedup_embedding_cosine(spark, sf_dir):
     return S.cosine_pairs(e, threshold=0.4, dim=64).orderBy("doc_a", "doc_b")
 
 
+_SEM_CELLS = 16
+_SEM_TAU = 0.45
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS centroid_id, e AS ce FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_SEM_CELLS}
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    cn AS (
+      SELECT centroid_id, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM seeds
+    ),
+    scored AS (
+      SELECT n.vec_id, cn.centroid_id, n.e, n.nrm,
+             round(list_dot_product(n.e, cn.ce) / (n.nrm * cn.cnrm), 6) AS sim
+      FROM n CROSS JOIN cn
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id, e, nrm, sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS crank
+        FROM scored
+      ) t WHERE crank = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id AS dropped_id
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+       AND (b.sim < a.sim OR (b.sim = a.sim AND b.vec_id < a.vec_id))
+      WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {_SEM_TAU}
+    )
+    SELECT a.vec_id, a.centroid_id AS cell, a.sim AS centroid_sim,
+           CAST(CASE WHEN d.dropped_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.dropped_id
+    ORDER BY a.vec_id
+    """,
+    doc="SemDeDup semantic dedup (Abbas et al. 2023): deterministic "
+    "seed-centroid clustering, within-cluster cosine near-dup pairs, "
+    "keep the farthest-from-centroid representative. The quadratic "
+    "term is bounded by cell size (Σ cell², never n²).",
+)
+def dedup_semantic(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return S.semdedup(e, n_cells=_SEM_CELLS, tau=_SEM_TAU).orderBy("vec_id")
+
+
 _IVF_CELLS = 64
 _IVF_NPROBE = 4
 

@@ -118,6 +118,21 @@ class TestJoinStrategy:
         assert "TakeOrderedAndProject" in r.text, r.text
         assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
 
+    def test_semdedup_quantizer_broadcast_pairs_hash_local(self, spark):
+        # SemDeDup: centroid assignment broadcasts the 16-row seed
+        # table; the within-cell pair join must be an equi-join on the
+        # cell key (hash-local after one shuffle), never a nested loop
+        # over the corpus.
+        r = report(spark, "dedup_semantic")
+        assert "TakeOrderedAndProject" in r.text, r.text
+        assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
+        # the only NLJ is the 16-row quantizer broadcast; it reprints
+        # once per InMemoryTableScan of the persisted assignment (3
+        # cached subtrees + detail section = 4 textual hits, all the
+        # same node). The pair + kept joins must stay hash-based.
+        assert r.num_nested_loop_joins <= 4, r.text
+        assert "SortMergeJoin" in r.text or "ShuffledHashJoin" in r.text, r.text
+
 
 class TestSecondSuitePlans:
     def test_q02_argmin_no_nested_loop(self, spark):
