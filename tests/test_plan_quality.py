@@ -123,6 +123,13 @@ class TestJoinStrategy:
         # table; the within-cell pair join must be an equi-join on the
         # cell key (hash-local after one shuffle), never a nested loop
         # over the corpus.
+        #
+        # Clear the cache first: Spark's CacheManager matches persisted
+        # plans structurally, so a materialized assignment left over
+        # from an earlier run of the same query would make the cached
+        # AdaptiveSparkPlan print BOTH Initial and Final sections,
+        # doubling the textual NLJ reprints and breaking the count.
+        spark.catalog.clearCache()
         r = report(spark, "dedup_semantic")
         assert "TakeOrderedAndProject" in r.text, r.text
         assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
