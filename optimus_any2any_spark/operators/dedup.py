@@ -385,3 +385,67 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         .agg(F.sum("contrib").alias("simhash"))
         .select(F.col("id").alias("doc_id"), F.col("simhash"))
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Passage-level exact dedup: drop repeated ``chunk_words``-word
+    passages corpus-wide (keep the first occurrence by (doc, position))
+    and rebuild each document from its surviving passages.
+
+    The sub-document analogue of exact dedup (repeated boilerplate /
+    quoted passages appear across many crawled pages; reference scope
+    stops at whole-record handling — this extends it to spans, the
+    ExactSubstr idea restated for a shuffle-based engine):
+
+    1. chunking is per-row array math (``slice`` over the token array —
+       no explode of individual words, so the pre-shuffle width is one
+       row per passage, not per token);
+    2. global first-occurrence is one ``row_number`` window partitioned
+       by the passage text — a single shuffle keyed by passage, the
+       same key distribution as exact dedup at 100 TB (AQE splits hot
+       boilerplate passages);
+    3. document rebuild is one shuffle back on the doc id with an
+       in-memory ``array_sort`` by passage position.
+
+    Within-document repeats of a passage are deduplicated by the same
+    window (occurrence 2+ drops regardless of which doc holds it).
+    """
+    cw = chunk_words
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(cw)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * cw + 1, cw)),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    kept = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_chunks_kept"),
+        )
+        .select(id_col, "clean_text", "n_chunks_kept")
+    )

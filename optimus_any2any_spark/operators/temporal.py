@@ -110,7 +110,11 @@ def bucketed_range_count(
     left rows in its own or the next bucket, so the join key is
     (key, bucket) with a 2-way bucket spill on the left side.
     """
-    bucket = lambda ts: F.floor(F.unix_timestamp(F.col(ts)) / window_seconds)  # noqa: E731
+    # cast tolerates TIMESTAMP_NTZ parquet columns (session tz is UTC,
+    # so the cast is value-preserving); unix_timestamp rejects NTZ input.
+    bucket = lambda ts: F.floor(  # noqa: E731
+        F.unix_timestamp(F.col(ts).cast("timestamp")) / window_seconds
+    )
     # a generated row id keeps duplicate left rows distinct through the
     # groupBy (grouping on left columns alone would merge them and sum
     # their counts); it is internal and dropped before returning.

@@ -1531,3 +1531,135 @@ def doc_rolling_hash(spark, sf_dir):
         lambda acc, t: (acc * 31 + th(t)) % 2147483647,
     )
     return d.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
+
+
+@register(
+    "dedup_passage",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS i FROM tok
+    ),
+    chunks AS (
+      SELECT doc_id, i // 20 AS chunk_idx,
+             string_agg(w, ' ' ORDER BY i) AS chunk
+      FROM words GROUP BY doc_id, i // 20
+    ),
+    keep AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks_kept
+    FROM keep WHERE rn = 1
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Passage-level exact dedup (repeated-span removal): every "
+    "20-word passage is kept only at its first (doc, position) "
+    "occurrence corpus-wide and documents are rebuilt from surviving "
+    "passages. Chunking is per-row array math (no per-token explode); "
+    "the global first-occurrence is ONE shuffle keyed by passage text; "
+    "rebuild is one shuffle on doc_id.",
+    bench=True,
+)
+def dedup_passage(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.passage_dedup(d, chunk_words=20).orderBy("doc_id")
+
+
+@register(
+    "sample_temperature_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    alloc AS (
+      SELECT lang,
+             CAST(round(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS w
+      FROM toks GROUP BY lang
+    ),
+    budget AS (
+      SELECT lang,
+             CAST(floor(CAST(w AS DOUBLE) /
+                        (SELECT CAST(SUM(w) AS DOUBLE) FROM alloc)
+                        * 20000.0) AS BIGINT) AS budget_tok
+      FROM alloc
+    ),
+    ordered AS (
+      SELECT t.doc_id, t.lang, t.n_tok,
+             SUM(t.n_tok) OVER (
+               PARTITION BY t.lang
+               ORDER BY md5('t|' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM toks t
+    )
+    SELECT o.lang, b.budget_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(o.n_tok) AS BIGINT) AS tokens_kept
+    FROM ordered o JOIN budget b USING (lang)
+    WHERE o.cum_tok <= b.budget_tok
+    GROUP BY o.lang, b.budget_tok
+    ORDER BY o.lang
+    """,
+    doc="Temperature-scaled language-balanced sampling (the mC4/XLM-R "
+    "mixture step, alpha=0.5): per-language token budgets proportional "
+    "to sqrt(total tokens), filled in content-addressed md5 order via a "
+    "running-sum window. Weights are rounded to integers before the "
+    "share division so the allocation is bit-identical across engines. "
+    "Shuffles: one map-side-combined agg for stats, one window keyed by "
+    "lang; budgets broadcast. At 100 TB the exact prefix-sum order "
+    "would be swapped for hash-threshold selection (keep docs with "
+    "md5 < budget-derived cutoff) to avoid the per-language sort — the "
+    "budget allocation stage is identical.",
+)
+def sample_temperature_lang(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    alloc = toks.groupBy("lang").agg(
+        F.round(F.sqrt(F.sum("n_tok").cast("double"))).cast("long").alias("w")
+    )
+    sum_w = alloc.agg(F.sum("w").cast("double").alias("sum_w"))
+    budget = alloc.crossJoin(F.broadcast(sum_w)).select(
+        "lang",
+        F.floor(F.col("w").cast("double") / F.col("sum_w") * F.lit(20000.0))
+        .cast("long")
+        .alias("budget_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("t|"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            "doc_id",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        ordered.join(F.broadcast(budget), "lang")
+        .filter(F.col("cum_tok") <= F.col("budget_tok"))
+        .groupBy("lang", "budget_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .select("lang", "budget_tok", "n_docs_kept", "tokens_kept")
+        .orderBy("lang")
+    )

@@ -12,7 +12,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark.queries import register
-from optimus_any2any_spark.queries.util import davg, dsum, load, o_davg, o_dsum
+from optimus_any2any_spark.queries.util import (
+    davg,
+    dsum,
+    load,
+    o_davg,
+    o_dsum,
+    ts_micros,
+)
 
 
 @register(
@@ -302,7 +309,7 @@ def q_events_sessions(spark, sf_dir):
                 + F.sum(
                     F.when(
                         F.col("prev_ts").isNotNull()
-                        & (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+                        & (ts_micros("ts") - ts_micros("prev_ts") > gap_us),
                         1,
                     ).otherwise(0)
                 )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark.queries import register
-from optimus_any2any_spark.queries.util import dsum, load
+from optimus_any2any_spark.queries.util import dsum, load, ts_micros
 from optimus_any2any_spark.operators.sketch import kmv_distinct
 from optimus_any2any_spark.operators.temporal import asof_join, bucketed_range_count
 
@@ -58,7 +58,7 @@ def asof_click_attribution(spark, sf_dir):
         "ts",
         "ts_asof",
         F.col("event_id_asof"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))).alias(
+        (ts_micros("ts") - ts_micros("ts_asof")).alias(
             "gap_us"
         ),
     ).orderBy("event_id")

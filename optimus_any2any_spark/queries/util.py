@@ -13,6 +13,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def ts_micros(col: Column | str) -> Column:
+    """Microseconds-since-epoch of a timestamp column, tolerant of both
+    TIMESTAMP and TIMESTAMP_NTZ physical types.
+
+    Parquet files written without ``isAdjustedToUTC`` read back as
+    TIMESTAMP_NTZ under Spark 4's default inference, and ``unix_micros``
+    rejects that type. The session timezone is pinned to UTC
+    (session.SCALE_CONF), so casting NTZ→TIMESTAMP is value-preserving
+    and the cast is a no-op for already-TIMESTAMP inputs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def dsum(col: Column, scale: int = 6) -> Column:
     """Exact (order-independent) sum of a double column, as double.
 
