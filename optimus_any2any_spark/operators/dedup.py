@@ -449,3 +449,63 @@ def passage_dedup(
         )
         .select(id_col, "clean_text", "n_chunks_kept")
     )
+
+
+def simhash_hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    sig_bits: int = 32,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance via banded buckets.
+
+    Pigeonhole: two signatures within ``max_hamming`` (< num_bands)
+    bits of each other must agree exactly on at least one of the
+    ``num_bands`` disjoint bit-bands, so candidate generation is an
+    equi-join on (band index, band value) — a plain hash join, never a
+    signature cross-product. Verification is ``bit_count(a XOR b)`` on
+    the candidate set only.
+
+    Shuffle volume is O(docs x num_bands); bucket population is
+    n / 2^(sig_bits/num_bands) per band value, so at corpus scale the
+    signature must widen (64-bit sigs with 16-bit bands -> 65k buckets)
+    — band math below is width-agnostic.
+    """
+    width = sig_bits // num_bands
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(sig_col, b * width).bitwiseAND(F.lit(mask))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

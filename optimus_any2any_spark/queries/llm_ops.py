@@ -240,6 +240,67 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash32(d).orderBy("doc_id")
 
 
+_SQL_SIMHASH_SIG = """
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(token) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, bb.b,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, CAST(bb.b // 4 AS INT) + 1, 1)) - 1)
+                        & (1 << (3 - CAST(bb.b % 4 AS INT)))) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM hashed
+      CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+    ),
+    votes AS (
+      SELECT doc_id, b, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0
+                           THEN CAST(1 AS BIGINT) << (31 - CAST(b AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_SIG},
+    bands AS (
+      SELECT doc_id, simhash, bb.b AS band,
+             (simhash >> (8 * CAST(bb.b AS INT))) & 255 AS val
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.val = b.val
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-dup pairs at Hamming distance <= 3 via banded "
+    "bit-buckets: pigeonhole over 4 disjoint 8-bit bands means every "
+    "qualifying pair collides in at least one band, so candidates come "
+    "from a hash equi-join on (band, value) — never a signature "
+    "cross-product — and bit_count(XOR) verifies only candidates. "
+    "Integer-exact end to end, so Spark and DuckDB hash-match.",
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(D.simhash32(d)).orderBy("doc_a", "doc_b")
+
+
 @register(
     "dedup_components",
     oracle=f"""
@@ -1662,4 +1723,120 @@ def sample_temperature_lang(spark, sf_dir):
         )
         .select("lang", "budget_tok", "n_docs_kept", "tokens_kept")
         .orderBy("lang")
+    )
+
+
+_SQL_QUALITY_Q = f"""
+    q AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+             round(least(CAST(len({_SQL_TOKENS}) AS DOUBLE) / 200.0, 1.0) * 0.3
+                   + least(CAST({_sql_lang_hits('en')} AS DOUBLE)
+                           / len({_SQL_TOKENS}) * 4.0, 1.0) * 0.4
+                   + greatest(0.0, 1.0
+                       - CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                              AS DOUBLE) / length(text) * 5.0
+                       - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                              AS DOUBLE) / length(text) * 5.0) * 0.3,
+                   6) AS q
+      FROM documents
+    )
+"""
+
+
+@register(
+    "curriculum_quality_bins",
+    oracle=f"""
+    WITH {_SQL_QUALITY_Q},
+    binned AS (
+      SELECT doc_id, n_tok, q,
+             ntile(4) OVER (ORDER BY q, doc_id) AS bin
+      FROM q
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(q) AS min_score, MAX(q) AS max_score,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="Curriculum binning: quartile buckets over the heuristic "
+    "quality score (rounded to 6dp so Spark/DuckDB order ties "
+    "identically, tie-broken by doc_id). The correctness-gate form "
+    "uses one global ntile window; at 100 TB the same bins come from "
+    "broadcast approx-quantile cutpoints (no global sort) — binning "
+    "stats and downstream curriculum order are unchanged.",
+)
+def curriculum_quality_bins(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    scored = d.select(
+        "doc_id",
+        TX.token_count(c).cast("long").alias("n_tok"),
+        F.round(TX.quality_score(c), 6).alias("q"),
+    )
+    binned = scored.withColumn(
+        "bin", F.ntile(4).over(Window.orderBy("q", "doc_id")).cast("int")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_score"),
+            F.max("q").alias("max_score"),
+            F.sum("n_tok").alias("tokens"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "shard_balanced_assignment",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rn
+      FROM toks
+    )
+    SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           MIN(n_tok) AS min_doc_tokens,
+           MAX(n_tok) AS max_doc_tokens
+    FROM ranked GROUP BY shard ORDER BY shard
+    """,
+    doc="Training-shard assignment balanced by token count: docs "
+    "ranked by size descending and dealt round-robin across 8 shards "
+    "(the LPT greedy — shard token totals within one max-doc of each "
+    "other). Correctness-gate form uses one global row_number; at "
+    "100 TB the deal is done per-partition on sorted runs with shard "
+    "offsets from partition-level counts (same assignment, no global "
+    "sort).",
+)
+def shard_balanced_assignment(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    ranked = toks.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("n_tok"), "doc_id"))
+    )
+    return (
+        ranked.withColumn("shard", ((F.col("rn") - 1) % 8).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("shard_tokens"),
+            F.min("n_tok").alias("min_doc_tokens"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+        .orderBy("shard")
     )

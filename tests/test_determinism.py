@@ -24,6 +24,7 @@ PROBES = [
     "ann_ivf_topk",            # persisted index + rounded similarity ranking
     "sample_stratified",       # seeded-hash sampling
     "q_events_moving_avg",     # window frames over doubles
+    "dedup_passage",           # global first-occurrence window + rebuild
 ]
 
 

@@ -246,3 +246,35 @@ class TestIterativeLoopLineage:
         n20 = len(p20._jdf.queryExecution().optimizedPlan().toString().splitlines())
         # 4x the iterations must not mean 4x the plan
         assert n20 <= n5 * 2
+
+
+class TestPassageAndSampling:
+    def test_passage_dedup_two_hash_shuffles(self, spark):
+        # chunk window (1 hash exchange) + doc rebuild (1 hash
+        # exchange) + final sort (1 range exchange); each prints twice
+        # in formatted text. No joins anywhere in the plan.
+        r = report(spark, "dedup_passage")
+        assert r.num_nested_loop_joins == 0, r.text
+        assert r.num_exchanges <= 6, r.text
+        assert "Join" not in r.text, r.text
+
+    def test_passage_dedup_scan_pruned(self, spark):
+        r = report(spark, "dedup_passage")
+        for cols in r.scan_columns():
+            assert "lang" not in cols and "source" not in cols
+
+    def test_temperature_sampling_budget_broadcast(self, spark):
+        # the per-lang budget table must reach the corpus side as a
+        # broadcast (one 5-row table), never a shuffle join; the 1-row
+        # sum_w crossJoin is the only permissible nested-loop site
+        # (operators print twice in formatted text: tree + detail).
+        r = report(spark, "sample_temperature_lang")
+        assert r.num_broadcast_joins >= 1, r.text
+        assert r.num_nested_loop_joins <= 2, r.text
+
+    def test_simhash_hamming_is_hash_join(self, spark):
+        # candidate generation must be the (band, value) equi-join —
+        # a hash join with the a<b predicate as post-condition, never
+        # a nested-loop over signatures.
+        r = report(spark, "dedup_simhash_hamming")
+        assert r.num_nested_loop_joins == 0, r.text

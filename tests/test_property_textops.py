@@ -79,3 +79,26 @@ class TestShingleFreqCap:
         row = capped.collect()[0]
         assert (row["doc_a"], row["doc_b"]) == (0, 1)
         assert row["jaccard"] == 1.0
+
+
+class TestPassageDedupEdges:
+    def test_first_occurrence_and_rebuild(self, spark):
+        from optimus_any2any_spark.operators.dedup import passage_dedup
+
+        rows = [
+            (1, "a b c d e f"),    # two clean chunks at cw=3
+            (2, "a b c x y z"),    # chunk 0 duplicates doc 1's chunk 0
+            (3, "a b c d e f"),    # fully duplicate doc -> removed
+            (4, "a b c a b c g"),  # within-doc repeat + partial tail
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r for r in passage_dedup(df, chunk_words=3).collect()
+        }
+        assert out[1]["clean_text"] == "a b c d e f"
+        assert out[1]["n_chunks_kept"] == 2
+        assert out[2]["clean_text"] == "x y z"
+        assert 3 not in out, "fully-duplicated doc must vanish"
+        # both "a b c" occurrences in doc 4 lose to doc 1's chunk 0;
+        # the partial tail survives
+        assert out[4]["clean_text"] == "g"
