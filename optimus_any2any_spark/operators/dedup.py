@@ -16,8 +16,10 @@ Scale design (the point of each algorithm at 100 TB):
 
 Hashing discipline: all hashes derive from md5 hex strings (portable —
 identical in Spark, DuckDB, Python), not engine-specific hash().
-MinHash uses the lexicographic min of seeded md5 hex strings, a valid
-uniform permutation substitute that every engine reproduces exactly.
+MinHash folds one md5 prefix per shingle into a 28-bit integer and
+applies k affine permutations (a_i*h+b_i mod 2^31-1) — one digest per
+row instead of k, integer mins in the aggregate, and every engine
+reproduces the arithmetic exactly.
 """
 
 from __future__ import annotations
@@ -151,20 +153,49 @@ def _jaccard_verify(
     )
 
 
-def _seeded_hash(seed: int, col: Column) -> Column:
-    """Portable uniform hash: md5 hex of ``seed|value`` (string min is a
-    valid minhash order)."""
-    return F.md5(F.concat(F.lit(f"{seed}|"), col).cast("binary"))
+_MERSENNE31 = 2147483647
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod 2^31-1 (Knuth multiplicative constants
+    — fixed, no runtime randomness, reproducible in any engine)."""
+    params = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % _MERSENNE31 or 1
+        b = (40503 * (i + 1) * (i + 1) + 17) % _MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def _base_hash(col: Column) -> Column:
+    """28-bit integer hash: first 7 md5 hex digits (portable — the same
+    fold is expressible in DuckDB SQL digit-by-digit). 28 bits keeps
+    every a*h+b product under 2^59, safe in both Spark's wrapping and
+    DuckDB's checked int64 arithmetic. At corpus scale (shingle
+    universe >> 2^28) widen to more hex digits and a 61-bit Mersenne
+    modulus — the algebra is width-agnostic."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 7), 16, 10).cast(
+        "long"
+    )
 
 
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """(id, h0..h{k-1}) — one aggregate pass over the shingle table."""
-    return sh.groupBy("id").agg(
+    """(id, h0..h{k-1}) — one aggregate pass over the shingle table.
+
+    One md5 per shingle row + k integer affine mixes, instead of k md5
+    invocations per row: the signature aggregate is CPU-bound at scale
+    and integer min beats 32-char string min in the partial aggregate.
+    """
+    bh = sh.select("id", _base_hash(F.col("shingle")).alias("bh"))
+    return bh.groupBy("id").agg(
         *[
-            F.min(_seeded_hash(i, F.col("shingle"))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(
+                (F.lit(a) * F.col("bh") + F.lit(b)) % F.lit(_MERSENNE31)
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(_affine_params(num_hashes))
         ]
     )
 
@@ -174,11 +205,13 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and emit same-bucket pairs (doc_a < doc_b)."""
     rows = num_hashes // bands
+    # the bucket key is the raw row-hash tuple (joined as a string) —
+    # hashing it again (md5) would cost a digest per band for zero
+    # semantic difference, the equi-join buckets identically either way
     band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).cast(
-                "binary"
-            )
+        F.concat_ws(
+            "|",
+            *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
         ).alias(f"band{b}")
         for b in range(bands)
     ]

@@ -79,20 +79,32 @@ _NUM_HASHES = D.DEFAULT_NUM_HASHES
 _BANDS = D.DEFAULT_BANDS
 _ROWS = _NUM_HASHES // _BANDS
 
+# Mirror of dedup._base_hash: fold the first 7 md5 hex digits into an
+# integer, digit by digit (identical to Spark's conv(substr(md5,1,7))).
+_SQL_BASE_HASH = (
+    "list_reduce(list_transform(range(1, 8), "
+    "p -> CAST(strpos('0123456789abcdef', substr(md5(shingle), p, 1)) - 1 "
+    "AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
 _SQL_MINHASH_SIG = (
+    f"  bh AS (SELECT id, {_SQL_BASE_HASH} AS h FROM sh),\n"
     "  sig AS (SELECT id, "
     + ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES)
+        f"min(({a} * h + {b}) % 2147483647) AS h{i}"
+        for i, (a, b) in enumerate(D._affine_params(_NUM_HASHES))
     )
-    + " FROM sh GROUP BY id)"
+    + " FROM bh GROUP BY id)"
 )
 
 _SQL_BANDS = (
     "  bands AS ("
     + " UNION ALL ".join(
-        "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+        "SELECT id, {b} AS band, {expr} AS bucket FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"h{b * _ROWS + r}" for r in range(_ROWS)),
+            expr=" || '|' || ".join(
+                f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
         )
         for b in range(_BANDS)
     )
