@@ -405,3 +405,209 @@ def q_cohort_retention(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {o_dsum("l.l_extendedprice * (1 - l.l_discount)"
+                   " - 0.5 * p.p_retailprice * l.l_quantity", 4)} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year), "
+    "adapted to the lite schema: supply cost proxied as half retail "
+    "price (no partsupp table). Part filter + supplier + nation "
+    "broadcast; orders joins the fact on the order key; one fact "
+    "shuffle, profit summed in DECIMAL for cross-engine parity. "
+    "Reference scope: delegates all joins to its warehouse "
+    "(SURVEY.md 2.8).",
+)
+def q09_product_profit(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("profit"), 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 60
+                THEN 'late' ELSE 'ontime' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY ship_bucket
+    ORDER BY ship_bucket
+    """,
+    doc="TPC-H Q12 shape (shipping-delay priority split), adapted: no "
+    "ship modes / commit dates in the lite schema, so the bucket is "
+    "shipment lateness (> 60 days after order date). Conditional "
+    "CASE-sums fold to map-side partials; single fact-fact shuffle on "
+    "the order key.",
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60,
+                F.lit("late"),
+            )
+            .otherwise(F.lit("ontime"))
+            .alias("ship_bucket"),
+            high.cast("long").alias("is_high"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#17'
+    ),
+    part_avg AS (
+      SELECT l_partkey,
+             {o_dsum("l_quantity", 2)} / COUNT(l_quantity) AS avg_qty
+      FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
+      GROUP BY l_partkey
+    )
+    SELECT {o_dsum("l.l_extendedprice", 2)} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue): the correlated "
+    "per-part average decorrelates into one aggregate over the "
+    "brand-filtered lineitem (semi-joined via broadcast part list) "
+    "joined back to the fact — two scans, zero correlated probes. "
+    "Averages accumulate in DECIMAL so the 0.2x threshold compares "
+    "identically across engines.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    bp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#17")
+        .select("p_partkey")
+    )
+    part_avg = (
+        l.join(F.broadcast(bp), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            (dsum(F.col("l_quantity"), 2) / F.count("l_quantity")).alias(
+                "avg_qty"
+            )
+        )
+    )
+    return (
+        l.join(
+            F.broadcast(part_avg.withColumnRenamed("l_partkey", "pk")),
+            F.col("pk") == F.col("l_partkey"),
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle=f"""
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, {o_dsum("l_quantity", 2)} AS supp_qty
+      FROM lineitem JOIN red_parts ON p_partkey = l_partkey
+      WHERE year(l_shipdate) = 1998
+      GROUP BY l_partkey, l_suppkey
+    ),
+    totals AS (
+      SELECT l_partkey, {o_dsum("supp_qty", 2)} AS part_qty FROM shipped
+      GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name AS nation
+    FROM shipped sh
+    JOIN totals t ON t.l_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE sh.supp_qty > 0.5 * t.part_qty
+    ORDER BY s.s_name, nation
+    """,
+    doc="TPC-H Q20 shape (part-promotion supplier screen), adapted: "
+    "with no partsupp availability, a supplier qualifies by having "
+    "shipped more than half of a red part's 1998 volume. Nested "
+    "aggregate (per part-supplier, then per part) reuses the first "
+    "aggregate's partitioning — the second groupBy induces no extra "
+    "shuffle — then a distinct semi-screen into broadcast dims.",
+)
+def q20_dominant_suppliers(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    rp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    # one explicit exchange on l_partkey serves the (part, supplier)
+    # aggregate (hash(pk) clusters every (pk, sk) group), the per-part
+    # rollup, AND the shipped-totals self-join — without it each step
+    # would shuffle separately
+    shipped = (
+        l.filter(F.year("l_shipdate") == 1998)
+        .join(F.broadcast(rp), F.col("p_partkey") == F.col("l_partkey"))
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("supp_qty"))
+    )
+    totals = shipped.groupBy("l_partkey").agg(
+        dsum(F.col("supp_qty"), 2).alias("part_qty")
+    )
+    return (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("s_name", "nation")
+    )

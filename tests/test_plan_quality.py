@@ -278,3 +278,30 @@ class TestPassageAndSampling:
         # a nested-loop over signatures.
         r = report(spark, "dedup_simhash_hamming")
         assert r.num_nested_loop_joins == 0, r.text
+
+    def test_q09_dims_broadcast(self, spark):
+        r = report(spark, "q09_product_profit")
+        assert r.num_broadcast_joins >= 3, r.text
+        assert r.num_nested_loop_joins == 0, r.text
+
+    def test_q17_decorrelated_no_nested_loop(self, spark):
+        r = report(spark, "q17_small_quantity_revenue")
+        assert r.num_nested_loop_joins == 0, r.text
+        assert r.num_broadcast_joins >= 2, r.text
+
+    def test_q20_single_fact_partitioning(self, spark):
+        # the explicit repartition(l_partkey) must serve both aggregates
+        # and the self-join: no ENSURE_REQUIREMENTS hash exchange on
+        # l_partkey/l_suppkey may appear beyond the REPARTITION_BY_COL
+        # ones (AQE reuses the identical exchange subtree at runtime).
+        r = report(spark, "q20_dominant_suppliers")
+        assert "REPARTITION_BY_COL" in r.text, r.text
+        assert r.num_nested_loop_joins == 0, r.text
+        import re
+        ensure_on_fact = [
+            m for m in re.findall(
+                r"hashpartitioning\(([^)]*)\), ENSURE_REQUIREMENTS", r.text
+            )
+            if "l_partkey" in m or "l_suppkey" in m
+        ]
+        assert not ensure_on_fact, ensure_on_fact
