@@ -542,3 +542,93 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def minhash_estimate_vs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Sketch calibration: per LSH candidate pair, the MinHash-estimated
+    Jaccard (matching-hash fraction) next to the exact value.
+
+    The production knob-tuning query for the sketch: run it on a sample
+    to pick num_hashes/bands before a corpus-wide dedup. Same plan
+    skeleton as :func:`minhash_dedup_pairs` (signatures and exact
+    verification both touch only LSH candidates); estimates are k/16
+    binary fractions so the rounded values are engine-exact.
+    """
+    sh = shingles(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes, bands).persist()
+    sa = sig.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    est = (
+        F.broadcast(cand)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(num_hashes)), 4).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    # exact Jaccard over candidates only (same prefilter discipline as
+    # minhash_dedup_pairs: never the full shingle self-join)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    b_sh = sh.join(
+        F.broadcast(cand.select(F.col("doc_b").alias("id")).distinct()),
+        "id",
+        "left_semi",
+    ).alias("b")
+    a_sh = sh.alias("a")
+    inter = (
+        F.broadcast(cand)
+        .join(a_sh, F.col("a.id") == F.col("doc_a"))
+        .join(
+            b_sh,
+            (F.col("b.id") == F.col("doc_b"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sizes.select(F.col("id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    szb = sizes.select(F.col("id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    exact = (
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4),
+        )
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard", "abs_err")
+    )

@@ -1852,3 +1852,56 @@ def shard_balanced_assignment(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "minhash_estimate_vs_exact",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_MINHASH_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             round(({" + ".join(
+                 f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+                 for i in range(_NUM_HASHES)
+             )}) / {_NUM_HASHES}.0, 4) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.id = c.doc_a
+      JOIN sig sb ON sb.id = c.doc_b
+    ),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.doc_a
+      JOIN sh b ON b.id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    exact AS (
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(i.n_common AS DOUBLE)
+                   / (sa.set_size + sb.set_size - i.n_common), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.doc_a
+      JOIN sizes sb ON sb.id = i.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           coalesce(x.jaccard, 0.0) AS jaccard,
+           round(abs(e.est_jaccard - coalesce(x.jaccard, 0.0)), 4) AS abs_err
+    FROM est e
+    LEFT JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """,
+    doc="Sketch calibration: MinHash-estimated Jaccard (matching-hash "
+    "fraction, a k/16 binary fraction — engine-exact) against the "
+    "exact value for every LSH candidate pair. The knob-tuning query "
+    "you run on a sample before committing num_hashes/bands for a "
+    "corpus-wide dedup; exact verification touches candidates only.",
+)
+def minhash_estimate_vs_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_estimate_vs_exact(d).orderBy("doc_a", "doc_b")
