@@ -1905,3 +1905,69 @@ def shard_balanced_assignment(spark, sf_dir):
 def minhash_estimate_vs_exact(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return D.minhash_estimate_vs_exact(d).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "doc_char_entropy",
+    oracle=r"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, SUM(n) AS total FROM freq GROUP BY doc_id),
+    terms AS (
+      SELECT f.doc_id,
+             CAST(-(CAST(f.n AS DOUBLE) / t.total)
+                  * ln(CAST(f.n AS DOUBLE) / t.total) / ln(2)
+                  AS DECIMAL(18, 12)) AS term
+      FROM freq f JOIN tot t ON t.doc_id = f.doc_id
+    )
+    SELECT s.doc_id,
+           round(CAST(SUM(s.term) AS DOUBLE), 4) AS char_entropy_bits,
+           round(CAST(len(string_split_regex(trim(d.text), '\s+')) AS DOUBLE)
+                 / length(d.text), 4) AS tokens_per_char
+    FROM terms s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY s.doc_id, d.text
+    ORDER BY s.doc_id
+    """,
+    doc="Per-document Shannon character entropy (bits) + token density "
+    "— the cheap compressibility/noise signal used to screen boiler- "
+    "plate and binary junk in pretraining corpora. Each -p*log2(p) "
+    "term is cast to DECIMAL(18,12) before summing so the aggregate is "
+    "order-independent and engine-exact despite IEEE addition; the "
+    "distribution fits per-row (groupBy doc,char then doc — two "
+    "map-side-combinable aggregates, no Python).",
+)
+def doc_char_entropy(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    terms = freq.join(tot, "doc_id").select(
+        "doc_id",
+        (-p * F.log(p) / F.log(F.lit(2.0))).cast(T.DecimalType(18, 12)).alias("term"),
+    )
+    ent = terms.groupBy("doc_id").agg(
+        F.round(F.sum("term").cast("double"), 4).alias("char_entropy_bits")
+    )
+    density = d.select(
+        "doc_id",
+        F.round(
+            TX.token_count(F.col("text")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("tokens_per_char"),
+    )
+    return (
+        ent.join(density, "doc_id")
+        .select("doc_id", "char_entropy_bits", "tokens_per_char")
+        .orderBy("doc_id")
+    )

@@ -102,3 +102,45 @@ class TestPassageDedupEdges:
         # both "a b c" occurrences in doc 4 lose to doc 1's chunk 0;
         # the partial tail survives
         assert out[4]["clean_text"] == "g"
+
+
+def _passage_model(rows, cw):
+    """Pure-Python reference: global first-occurrence by (doc, pos),
+    docs rebuilt from surviving chunks, empty docs dropped."""
+    chunks_by_doc = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        chunks_by_doc[doc_id] = [
+            " ".join(toks[i : i + cw]) for i in range(0, len(toks), cw)
+        ]
+    first = {}
+    for doc_id in sorted(chunks_by_doc):
+        for idx, ch in enumerate(chunks_by_doc[doc_id]):
+            first.setdefault(ch, (doc_id, idx))
+    out = {}
+    for doc_id, chunks in chunks_by_doc.items():
+        kept = [
+            ch
+            for idx, ch in enumerate(chunks)
+            if first[ch] == (doc_id, idx)
+        ]
+        if kept:
+            out[doc_id] = (" ".join(kept), len(kept))
+    return out
+
+
+class TestPassageDedupProperties:
+    @given(ds=docs)
+    @settings(max_examples=15, deadline=None)
+    def test_matches_python_model(self, ds, spark):
+        from optimus_any2any_spark.operators.dedup import passage_dedup
+
+        rows = [(i, t) for i, t in enumerate(ds) if t.strip()]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_chunks_kept"])
+            for r in passage_dedup(df, chunk_words=3).collect()
+        }
+        assert got == _passage_model(rows, 3)
