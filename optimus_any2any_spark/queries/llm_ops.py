@@ -1971,3 +1971,101 @@ def doc_char_entropy(spark, sf_dir):
         .select("doc_id", "char_entropy_bits", "tokens_per_char")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS lang_declared,
+             {_sql_lang_hits('en')} AS s_en,
+             {_sql_lang_hits('de')} AS s_de,
+             {_sql_lang_hits('fr')} AS s_fr,
+             {_sql_lang_hits('es')} AS s_es
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang_declared,
+             CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+                  ELSE 'unknown' END AS predicted_lang
+      FROM scored
+    )
+    SELECT lang_declared, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY lang_declared, predicted_lang
+    ORDER BY lang_declared, predicted_lang
+    """,
+    doc="Language-ID evaluation: confusion matrix of declared vs "
+    "heuristic-predicted language — the accuracy accounting you run "
+    "before trusting a classifier to route a corpus. One map-side-"
+    "combinable aggregate over per-row Column scoring; zero Python.",
+)
+def lang_id_confusion(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("lang_declared"),
+            TX.predicted_lang(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("lang_declared", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_declared", "predicted_lang")
+    )
+
+
+@register(
+    "ann_mutual_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim
+      FROM n a JOIN n b ON a.vec_id != b.vec_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM pairs
+      ) t WHERE rank <= 5
+    )
+    SELECT t1.vec_id AS vec_a, t1.neighbor_id AS vec_b, t1.cosine_sim
+    FROM topk t1
+    JOIN topk t2 ON t2.vec_id = t1.neighbor_id
+               AND t2.neighbor_id = t1.vec_id
+    WHERE t1.vec_id < t1.neighbor_id
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Mutual-kNN graph: pairs where each vector appears in the "
+    "other's cosine top-5 — the edge set for SemDeDup-style semantic "
+    "clustering and diversity pruning. Composed over the exact top-k "
+    "baseline here (its oracle role); at corpus scale the identical "
+    "mutual join composes over the LSH/IVF top-k variants. The mutual "
+    "screen itself is one self-equi-join on the (vec, neighbor) key.",
+)
+def ann_mutual_topk(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    topk = S.brute_force_topk(e, k=5)
+    t1, t2 = topk.alias("t1"), topk.alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t2.vec_id") == F.col("t1.neighbor_id"))
+            & (F.col("t2.neighbor_id") == F.col("t1.vec_id")),
+        )
+        .filter(F.col("t1.vec_id") < F.col("t1.neighbor_id"))
+        .select(
+            F.col("t1.vec_id").alias("vec_a"),
+            F.col("t1.neighbor_id").alias("vec_b"),
+            F.col("t1.cosine_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
