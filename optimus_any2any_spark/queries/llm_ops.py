@@ -2069,3 +2069,108 @@ def ann_mutual_topk(spark, sf_dir):
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _hybrid_oracle_sql(dim: int = 64, num_planes: int = 6, tau: float = 0.4) -> str:
+    planes = S.hyperplanes(dim, num_planes)
+    values = ", ".join(
+        "({p}, [{vals}])".format(
+            p=p, vals=", ".join(f"{v:.1f}" for v in row)
+        )
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD}, {_SQL_MINHASH_SIG}, {_SQL_BANDS},
+    cand AS (
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    lex AS (
+      SELECT c.doc_a, c.doc_b, v.jaccard
+      FROM cand c JOIN verified v
+        ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+    ),
+    ve AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    planes(p, plane) AS (VALUES {values}),
+    bits AS (
+      SELECT vec_id, p,
+             CASE WHEN round(list_dot_product(e, plane), 6) > 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM ve CROSS JOIN planes
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    nv AS (
+      SELECT ve.vec_id, e, sqrt(list_dot_product(e, e)) AS nrm, bucket
+      FROM ve JOIN buckets USING (vec_id)
+    ),
+    sem AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim
+      FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {tau}
+    )
+    SELECT coalesce(l.doc_a, s.doc_a) AS doc_a,
+           coalesce(l.doc_b, s.doc_b) AS doc_b,
+           coalesce(l.jaccard, 0.0) AS jaccard,
+           coalesce(s.cosine_sim, 0.0) AS cosine_sim,
+           CASE WHEN l.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+                WHEN l.doc_a IS NOT NULL THEN 'lexical'
+                ELSE 'semantic' END AS signal
+    FROM lex l
+    FULL OUTER JOIN sem s ON s.doc_a = l.doc_a AND s.doc_b = l.doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_hybrid_consensus",
+    oracle=_hybrid_oracle_sql(),
+    doc="Multi-signal dedup consensus: the full-outer union of lexical "
+    "near-dup pairs (MinHash+LSH, exact-Jaccard verified at 0.8) and "
+    "semantic near-dup pairs (hyperplane-LSH cosine at 0.4), labeled "
+    "'both'/'lexical'/'semantic'. 'both' is the high-precision kill "
+    "set, the union the high-recall review set — the precision/recall "
+    "tuning step of a production dedup. Each arm keeps its own "
+    "bucketed candidate bound; the consensus join is pair-keyed "
+    "(bounded by the two candidate sets, never the corpus).",
+)
+def dedup_hybrid_consensus(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = D.minhash_dedup_pairs(d, threshold=0.8).select(
+        F.col("doc_a").alias("la"),
+        F.col("doc_b").alias("lb"),
+        "jaccard",
+    )
+    sem = S.cosine_pairs(emb, threshold=0.4, dim=64).select(
+        F.col("doc_a").alias("sa"),
+        F.col("doc_b").alias("sb"),
+        "cosine_sim",
+    )
+    return (
+        lex.join(
+            sem,
+            (F.col("sa") == F.col("la")) & (F.col("sb") == F.col("lb")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("la", "sa").alias("doc_a"),
+            F.coalesce("lb", "sb").alias("doc_b"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            F.coalesce("cosine_sim", F.lit(0.0)).alias("cosine_sim"),
+            F.when(
+                F.col("la").isNotNull() & F.col("sa").isNotNull(), "both"
+            )
+            .when(F.col("la").isNotNull(), "lexical")
+            .otherwise("semantic")
+            .alias("signal"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
