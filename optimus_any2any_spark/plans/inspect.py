@@ -43,6 +43,10 @@ class PlanReport:
             for s in self.read_schemas
         ]
 
+    def scan_locations(self) -> list[str]:
+        """File-scan locations (one entry per parquet/file scan node)."""
+        return re.findall(r"Location: \w+ \[([^\]]*)\]", self.text)
+
 
 def explain_formatted(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(

@@ -2174,3 +2174,101 @@ def dedup_hybrid_consensus(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "corpus_report_card",
+    oracle=f"""
+    WITH {_SQL_QUALITY_Q},
+    base AS (
+      SELECT d.doc_id, d.source, d.lang, q.n_tok, q.q,
+             md5(substr(d.text, 1, 80)) AS fp
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN row_number() OVER (
+               PARTITION BY fp ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM base
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+             round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_quality
+      FROM flagged GROUP BY source
+    ),
+    lang_counts AS (
+      SELECT source, lang, COUNT(*) AS n FROM base GROUP BY source, lang
+    ),
+    top_lang AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY n DESC, lang) AS rn
+        FROM lang_counts
+      ) t WHERE rn = 1
+    )
+    SELECT p.source, p.n_docs, p.total_tokens, p.n_dup_docs,
+           p.mean_quality, t.top_lang
+    FROM per_source p JOIN top_lang t USING (source)
+    ORDER BY p.source
+    """,
+    doc="Per-source corpus report card: doc/token counts, exact-dup "
+    "docs (fingerprint first-occurrence accounting), DECIMAL-exact "
+    "mean quality, and the dominant language — the single-pass "
+    "curation dashboard. Two aggregates over one scan lineage plus a "
+    "fingerprint window; every number engine-exact.",
+)
+def corpus_report_card(spark, sf_dir):
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        TX.token_count(c).cast("long").alias("n_tok"),
+        F.round(TX.quality_score(c), 6).alias("q"),
+        F.md5(F.substring(c, 1, 80).cast("binary")).alias("fp"),
+    )
+    flagged = base.withColumn(
+        "is_dup",
+        (
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+            > 1
+        ).cast("long"),
+    )
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("is_dup").alias("n_dup_docs"),
+        F.round(
+            F.sum(F.col("q").cast(T.DecimalType(18, 6))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top_lang = (
+        lang_counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_source.join(top_lang, "source")
+        .select(
+            "source", "n_docs", "total_tokens", "n_dup_docs",
+            "mean_quality", "top_lang",
+        )
+        .orderBy("source")
+    )

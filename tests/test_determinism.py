@@ -25,6 +25,8 @@ PROBES = [
     "sample_stratified",       # seeded-hash sampling
     "q_events_moving_avg",     # window frames over doubles
     "dedup_passage",           # global first-occurrence window + rebuild
+    "sample_temperature_lang", # per-lang running sum + fp budget alloc
+    "shard_balanced_assignment",  # global size-rank round-robin
 ]
 
 

@@ -305,3 +305,21 @@ class TestPassageAndSampling:
             if "l_partkey" in m or "l_suppkey" in m
         ]
         assert not ensure_on_fact, ensure_on_fact
+
+    def test_hybrid_consensus_no_corpus_nested_loop(self, spark):
+        # both arms stay bucket-bounded; the consensus join is a
+        # pair-keyed full-outer hash join. NLJ appears only via 1-row /
+        # broadcast-candidate seams, never between corpus-scale sides.
+        spark.catalog.clearCache()
+        r = report(spark, "dedup_hybrid_consensus")
+        assert "FullOuter" in r.text, r.text
+        assert r.num_sortmerge_joins + r.num_broadcast_joins >= 1, r.text
+
+    def test_report_card_single_scan_lineage(self, spark):
+        # every metric derives from one documents scan shape: only the
+        # documents table may appear among the file scans.
+        r = report(spark, "corpus_report_card")
+        assert r.num_nested_loop_joins == 0, r.text
+        assert all(
+            "documents.parquet" in loc for loc in r.scan_locations()
+        ), r.text
