@@ -373,14 +373,23 @@ def connected_components(
     )
 
 
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over word tokens.
+def simhash_sig(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits_width: int = 32,
+) -> DataFrame:
+    """SimHash over word tokens at a configurable signature width.
 
-    Each token's md5 contributes ±1 votes on 32 bit positions; the
-    signature sets bit b when the vote sum is positive. Bit extraction
-    works on md5 hex characters (4 bits each) so the arithmetic is
-    portable across engines.
+    Each token's md5 contributes ±1 votes on ``bits_width`` bit
+    positions; the signature sets bit b when the vote sum is positive.
+    Bit extraction works on md5 hex characters (4 bits each) so the
+    arithmetic is portable across engines. Width must stay ≤ 60 so the
+    signature value is safe in checked int64 arithmetic (DuckDB) as
+    well as Spark's; 32 is the compact default, 60 the corpus-scale
+    width (wider bands → smaller Hamming-join buckets).
     """
+    assert bits_width % 4 == 0 and bits_width <= 60
     df = ensure_parallelism(df, F.col(id_col))
     tok = df.select(
         F.col(id_col).alias("id"),
@@ -390,7 +399,7 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # one row per (doc, token, bit): bit value from hex char
     bits = hashed.select(
         "id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits_width - 1))).alias("b"),
         F.col("h"),
     ).withColumn(
         "bit",
@@ -406,18 +415,24 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     votes = bits.groupBy("id", "b").agg(
         F.sum(F.col("bit") * 2 - 1).alias("vote")
     )
+    top = bits_width - 1
     return (
         votes.withColumn(
             "contrib",
             F.when(
                 F.col("vote") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), 31 - CAST(b AS INT))"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {top} - CAST(b AS INT))"),
             ).otherwise(F.lit(0).cast("long")),
         )
         .groupBy("id")
         .agg(F.sum("contrib").alias("simhash"))
         .select(F.col("id").alias("doc_id"), F.col("simhash"))
     )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash (compact default; see :func:`simhash_sig`)."""
+    return simhash_sig(df, text_col, id_col, bits_width=32)
 
 
 def passage_dedup(

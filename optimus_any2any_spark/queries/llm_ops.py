@@ -252,7 +252,10 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash32(d).orderBy("doc_id")
 
 
-_SQL_SIMHASH_SIG = """
+def _sql_simhash_sig(bits_width: int = 32) -> str:
+    """DuckDB mirror of dedup.simhash_sig at a given signature width
+    (≤ 60 so the 1<<b never overflows checked int64)."""
+    return f"""
     tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
       FROM documents
@@ -265,7 +268,7 @@ _SQL_SIMHASH_SIG = """
                         & (1 << (3 - CAST(bb.b % 4 AS INT)))) > 0
                   THEN 1 ELSE 0 END AS bit
       FROM hashed
-      CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb
+      CROSS JOIN (SELECT unnest(range(0, {bits_width})) AS b) bb
     ),
     votes AS (
       SELECT doc_id, b, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, b
@@ -273,11 +276,38 @@ _SQL_SIMHASH_SIG = """
     sig AS (
       SELECT doc_id,
              CAST(SUM(CASE WHEN vote > 0
-                           THEN CAST(1 AS BIGINT) << (31 - CAST(b AS INT))
+                           THEN CAST(1 AS BIGINT) << ({bits_width - 1} - CAST(b AS INT))
                            ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
     )
 """
+
+
+def _sql_hamming_query(bits_width: int, num_bands: int, max_hamming: int) -> str:
+    width = bits_width // num_bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH {_sql_simhash_sig(bits_width)},
+    bands AS (
+      SELECT doc_id, simhash, bb.b AS band,
+             (simhash >> ({width} * CAST(bb.b AS INT))) & {mask} AS val
+      FROM sig CROSS JOIN (SELECT unnest(range(0, {num_bands})) AS b) bb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.val = b.val
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+_SQL_SIMHASH_SIG = _sql_simhash_sig(32)
 
 
 @register(
@@ -311,6 +341,24 @@ _SQL_SIMHASH_SIG = """
 def dedup_simhash_hamming(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return D.simhash_hamming_pairs(D.simhash32(d)).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash_hamming60",
+    oracle=_sql_hamming_query(bits_width=60, num_bands=4, max_hamming=3),
+    doc="The corpus-scale Hamming join: 60-bit SimHash with 4 x 15-bit "
+    "bands (32k bucket values per band vs 256 at 32 bits — bucket "
+    "population shrinks 128x, so band self-joins stay cheap as the "
+    "corpus grows). 60 bits is the widest signature whose band math "
+    "stays inside checked int64 on every engine. Same pigeonhole "
+    "guarantee and bit_count(XOR) verification as the 32-bit variant.",
+)
+def dedup_simhash_hamming60(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sigs = D.simhash_sig(d, bits_width=60)
+    return D.simhash_hamming_pairs(sigs, sig_bits=60).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @register(
@@ -2271,4 +2319,46 @@ def corpus_report_card(spark, sf_dir):
             "mean_quality", "top_lang",
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    firsts AS (SELECT shingle, MIN(id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = s.id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN f.first_doc = s.id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.id
+    ORDER BY doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a doc's distinct "
+    "3-gram shingles first introduced by that doc (global MIN(doc_id) "
+    "attribution). The corpus-ordering diagnostic — a falling novelty "
+    "curve quantifies how much of the tail is boilerplate and predicts "
+    "dedup payoff. One aggregate on the shingle key plus one per-doc "
+    "rollup; the shingle table is the same lineage every dedup "
+    "operator shares.",
+)
+def text_ngram_novelty(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d)
+    firsts = sh.groupBy("shingle").agg(F.min("id").alias("first_doc"))
+    is_novel = (F.col("first_doc") == F.col("id")).cast("long")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(is_novel).alias("n_novel"),
+            F.round(
+                F.sum(is_novel).cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )
