@@ -213,3 +213,49 @@ def kafka_stream_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def trending_topk_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 3,
+) -> "StreamingQuery":  # noqa: F821
+    """Per-window trending top-k keys, maintained incrementally.
+
+    Ranking inside a streaming aggregate needs the window's complete
+    counts, which append mode only finalizes at watermark expiry — so
+    the rank runs in ``foreachBatch`` over each batch's finalized
+    windows (tiny: one row per (window, key)), and results append to a
+    parquet log partitioned by window start. State stays bounded by the
+    watermark exactly as in :func:`windowed_counts`; the per-batch rank
+    is a window function over finalized rows only, never the stream.
+    """
+    from pyspark.sql.window import Window
+
+    counts = windowed_counts(stream, ts_col, key_col, window, watermark)
+
+    def rank_and_append(batch: DataFrame, _batch_id: int):
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), key_col
+        )
+        top = (
+            batch.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("rank", F.col("rank").cast("int"))
+        )
+        top.write.mode("append").parquet(path)
+
+    return (
+        counts.writeStream.foreachBatch(rank_and_append)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -374,3 +374,42 @@ class TestStreamingUpsert:
         merge(batch, 0)  # redelivery
         second = sorted(spark.read.parquet(str(out)).collect())
         assert first == second and len(second) == 2
+
+
+class TestTrendingTopK:
+    def test_trending_topk_finalized_windows(self, spark, tmp_path):
+        import json
+
+        from optimus_any2any_spark.streaming.streams import (
+            stream_source,
+            trending_topk_to_parquet,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        rows = []
+        # hour-1 window: a=3, b=2, c=1, d=1 -> top3 = a, b, c (tie c<d)
+        for i, et in enumerate(["a", "a", "a", "b", "b", "c", "d"]):
+            rows.append({"ts": f"2024-01-01T01:00:{i:02d}", "event_type": et})
+        # a late-hour event advances the watermark far enough to
+        # finalize the hour-1 window under the 2h delay
+        rows.append({"ts": "2024-01-01T09:00:00", "event_type": "zz"})
+        (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+        out = tmp_path / "out"
+        q = trending_topk_to_parquet(
+            stream_source(
+                spark, str(src), "ts timestamp, event_type string"
+            ),
+            path=str(out),
+            checkpoint=str(tmp_path / "ckpt"),
+            window="1 hour",
+            watermark="2 hours",
+            k=3,
+        )
+        q.awaitTermination()
+        got = {
+            (r["event_type"], r["rank"]): r["n_events"]
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        assert got == {("a", 1): 3, ("b", 2): 2, ("c", 3): 1}
