@@ -42,25 +42,34 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
     return deco
 
 
-# Queries added after round 1's CORRECTNESS report (which verified the
-# relational/pipeline/temporal set but cut off before llm_ops): these
-# must land inside the driver's ~50-entry report window, so they are
-# pulled ahead of the already-verified tail.
-_PRIORITY_AFTER_LLM = [
-    "q09_product_profit",
-    "q12_late_shipment_priority",
-    "q17_small_quantity_revenue",
-    "q20_dominant_suppliers",
-]
+def _driver_verified_names() -> set[str]:
+    """Query names with a fully-green row in any past driver
+    CORRECTNESS report (rows + schema + value-hash all matched)."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    names: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            report = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in report.items():
+            if isinstance(row, dict) and all(
+                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                names.add(name)
+    return names
 
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate REGISTRY.  Order matters:
     # the driver's CORRECTNESS report records at most ~50 entries in
-    # registration order, so the modules least-verified by prior rounds
-    # (llm_ops was absent from CORRECTNESS_r01) register first and the
-    # TPC-H tail — already driver-verified green in round 1 — last,
-    # with this round's brand-new relational queries promoted between.
+    # registration order, so queries never verified by a prior round's
+    # report are ordered first (rotating the report window across
+    # rounds automatically); within each group, registration order is
+    # preserved (llm_ops leads).
     from optimus_any2any_spark.queries import (  # noqa: F401
         llm_ops,
         pipeline_semantics,
@@ -70,7 +79,7 @@ def all_queries() -> dict[str, Query]:
         relational_tpch2,
     )
 
-    promoted = [n for n in _PRIORITY_AFTER_LLM if n in REGISTRY]
-    llm = [n for n in REGISTRY if REGISTRY[n].spark.__module__.endswith("llm_ops")]
-    rest = [n for n in REGISTRY if n not in promoted and n not in llm]
-    return {n: REGISTRY[n] for n in llm + promoted + rest}
+    verified = _driver_verified_names()
+    fresh = [n for n in REGISTRY if n not in verified]
+    prior = [n for n in REGISTRY if n in verified]
+    return {n: REGISTRY[n] for n in fresh + prior}

@@ -57,3 +57,25 @@ def test_entry_contract_with_bare_session(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "DRIVER-SIM-OK" in proc.stdout
+
+
+def test_report_window_orders_unverified_first():
+    """Names lacking a fully-green row in past CORRECTNESS reports must
+    precede all previously verified names, so the driver's bounded
+    report window rotates coverage across rounds."""
+    import json
+
+    from optimus_any2any_spark.queries import all_queries
+
+    reports = list(REPO.glob("CORRECTNESS_r*.json"))
+    if not reports:
+        return  # round 1: nothing to rotate
+    verified = set()
+    for p in reports:
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                verified.add(name)
+    ks = list(all_queries())
+    flags = [n in verified for n in ks]
+    # once the verified tail starts, it never flips back to fresh
+    assert flags == sorted(flags), "verified query precedes a fresh one"
