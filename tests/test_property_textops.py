@@ -144,3 +144,44 @@ class TestPassageDedupProperties:
             for r in passage_dedup(df, chunk_words=3).collect()
         }
         assert got == _passage_model(rows, 3)
+
+
+class TestHammingPigeonhole:
+    def test_full_recall_within_cutoff(self, spark):
+        """Pigeonhole guarantee is exact, not probabilistic: every pair
+        within Hamming<=3 of a 32-bit signature must be emitted, and no
+        pair beyond the cutoff may appear."""
+        from optimus_any2any_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        base = 0b1011_0010_1110_0001_0101_1100_0011_1010
+        rows = [(0, base)]
+        # ids 1..3: flip 1..3 scattered bits (within cutoff vs id 0)
+        flips = [
+            [3],
+            [1, 17],
+            [2, 9, 30],
+        ]
+        for i, bits in enumerate(flips, start=1):
+            v = base
+            for b in bits:
+                v ^= 1 << b
+            rows.append((i, v))
+        # id 4: flip 4 bits spread across all four 8-bit bands so no
+        # band matches id 0 (hamming 4 — must NOT pair with id 0)
+        v = base
+        for b in (0, 8, 16, 24):
+            v ^= 1 << b
+        rows.append((4, v))
+        sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_hamming_pairs(sigs, max_hamming=3).collect()
+        }
+        assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+        assert (0, 4) not in got
+        # pairs among the flipped variants are also within <=6 of each
+        # other; only those <=3 may appear — spot-check symmetry bound
+        for (a, b), h in got.items():
+            assert h <= 3 and a < b
