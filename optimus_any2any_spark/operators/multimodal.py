@@ -3,11 +3,17 @@
 Image/audio/video at pipeline scale are opaque ``binary`` columns with a
 typed metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
-The decode step itself is STUBBED here (no imaging/audio libraries in
-this environment — `_decode_image_stub` raises unless ``fake=True``,
-which derives deterministic pseudo-features from the payload hash), but
-the Spark-side plumbing — schema, batch shape, partition sizing — is
-real and tested.
+
+Decode support is split honestly by dependency weight:
+
+- **PPM (P6) payloads decode for real** — header parse + raw RGB24 via
+  numpy, including a real nearest-neighbor resize that emits a valid
+  P6 payload. No imaging library needed.
+- Compressed formats (JPEG/PNG/video containers) are STUBBED (PIL/
+  libvips/ffmpeg absent in this environment): the UDFs raise unless
+  ``fake=True``, which derives deterministic pseudo-features from the
+  payload hash so the full pipeline shape stays exercisable and
+  oracle-checkable.
 """
 
 from __future__ import annotations
@@ -50,6 +56,12 @@ def attach_payload(
     )
 
 
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Serialize raw RGB24 bytes as a binary PPM (P6) payload."""
+    assert len(rgb) == width * height * 3
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
 def _decode_image_stub(payload: bytes, fake: bool) -> tuple[int, int]:
     """STUB: real image decode needs PIL/libvips (absent here).
 
@@ -88,10 +100,15 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
         import pandas as pd
 
         def decode(payload: bytes) -> tuple[int, int]:
+            if payload.startswith(b"P6"):
+                # real decode: PPM header is "P6\n<w> <h>\n<maxval>\n"
+                parts = payload.split(b"\n", 3)
+                w, h = parts[1].split()
+                return int(w), int(h)
             if not fake:
                 raise NotImplementedError(
-                    "image decode requires an imaging library not present "
-                    "in this environment"
+                    "compressed-image decode requires an imaging library "
+                    "not present in this environment (PPM decodes natively)"
                 )
             h = _hl.md5(payload).hexdigest()
             return 64 + int(h[0], 16), 64 + int(h[1], 16)
@@ -140,27 +157,45 @@ def resize_images(
 ) -> DataFrame:
     """Arrow-batched image resize (binary in → binary out).
 
-    STUB decode/encode (no imaging libs here): with ``fake_decode`` the
-    "resized" payload is a deterministic truncation/pad of the input
-    bytes to ``target_w*target_h//64`` — preserving the real contract
-    (payload→payload, 1:1 rows, bounded output size). The Spark shape is
-    exact: binary column through mapInPandas, output partitions inherit
-    input partitioning, no shuffle.
+    PPM (P6) payloads resize for REAL: numpy nearest-neighbor over the
+    raw RGB24 plane, re-encoded as a valid P6 payload of the target
+    size. Compressed formats fall back to the stub (with
+    ``fake_decode`` the "resized" payload is a deterministic
+    truncation/pad — preserving the contract: payload→payload, 1:1
+    rows, bounded output size). The Spark shape is exact either way:
+    binary column through mapInPandas, output partitions inherit input
+    partitioning, no shuffle.
     """
     fake, tw, th = fake_decode, target_w, target_h
 
     def run(batches):
+        import numpy as np
         import pandas as pd
 
         n_bytes = tw * th // 64
 
+        def resize_ppm(b: bytes) -> bytes:
+            header, rest = b.split(b"\n", 1)
+            dims, rest = rest.split(b"\n", 1)
+            _maxval, raw = rest.split(b"\n", 1)
+            w, h = (int(x) for x in dims.split())
+            img = np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(
+                h, w, 3
+            )
+            ys = (np.arange(th) * h) // th
+            xs = (np.arange(tw) * w) // tw
+            out = img[ys][:, xs]
+            return b"P6\n%d %d\n255\n" % (tw, th) + out.tobytes()
+
         def fake_resize(b: bytes) -> bytes:
+            b = bytes(b)
+            if b.startswith(b"P6"):
+                return resize_ppm(b)
             if not fake:
                 raise NotImplementedError(
-                    "image resize requires an imaging library not present "
-                    "in this environment"
+                    "compressed-image resize requires an imaging library "
+                    "not present in this environment (PPM resizes natively)"
                 )
-            b = bytes(b)
             return (b * (n_bytes // max(len(b), 1) + 1))[:n_bytes]
 
         for pdf in batches:
