@@ -60,3 +60,55 @@ class TestPpmDecode:
         )
         with pytest.raises(Exception, match="imaging library"):
             extract_features(df, fake_decode=False).collect()
+
+
+def _sine_wav(sr: int, n: int, freq: float = 440.0, ch: int = 1) -> bytes:
+    import io
+    import wave
+
+    t = np.arange(n) / sr
+    pcm = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    if ch == 2:
+        pcm = np.column_stack([pcm, pcm]).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class TestWavDecode:
+    def test_audio_features_real_wav(self, spark):
+        from optimus_any2any_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        wav = _sine_wav(8000, 4000)  # 0.5s mono
+        df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+        r = extract_audio_features(df).collect()[0]
+        assert r["sample_rate"] == 8000
+        assert r["n_channels"] == 1
+        assert r["n_frames"] == 4000
+        assert r["duration_ms"] == 500
+        # RMS of a full-scale-ish sine ~ amplitude/sqrt(2)
+        assert abs(r["rms"] - 12000 / np.sqrt(2)) < 100
+
+    def test_resample_halves_frames_and_stays_valid_wav(self, spark):
+        import io
+        import wave
+
+        from optimus_any2any_spark.operators.multimodal import (
+            resample_audio,
+        )
+
+        wav = _sine_wav(16000, 16000, ch=2)  # 1s stereo
+        df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+        out = bytes(
+            resample_audio(df, target_hz=8000).collect()[0]["payload"]
+        )
+        with wave.open(io.BytesIO(out)) as w:
+            assert w.getframerate() == 8000
+            assert w.getnchannels() == 2
+            assert w.getnframes() == 8000
