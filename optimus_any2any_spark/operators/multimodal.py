@@ -221,12 +221,16 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one binary payload → N frame rows (1:N).
 
-    STUB decode (no video libs here): frames are deterministic
-    ``frame_bytes`` slices at ``every_n``-spaced offsets. The contract
-    that matters at scale is real: fan-out happens INSIDE mapInPandas
-    (one Arrow batch in, multiple rows out), so a 10 GB video never
-    becomes a 10 GB shuffle row — and downstream per-frame work
-    repartitions on (doc_id, frame_index), not on payloads.
+    Y4M (YUV4MPEG2) payloads sample for REAL: the container is a text
+    header (``W<w> H<h> ... C420``) followed by ``FRAME``-delimited raw
+    YUV planes, so every ``every_n``-th frame extracts with pure byte
+    math — no video library. Other containers (mp4/webm) fall back to
+    the deterministic slice stub under ``fake_decode`` or raise. Either
+    way the contract that matters at scale is real: fan-out happens
+    INSIDE mapInPandas (one Arrow batch in, multiple rows out), so a
+    10 GB video never becomes a 10 GB shuffle row — and downstream
+    per-frame work repartitions on (doc_id, frame_index), not on
+    payloads.
     """
     fake, n, mx, fb = fake_decode, every_n, max_frames, frame_bytes
 
@@ -235,15 +239,37 @@ def sample_frames(
 
         import pandas as pd
 
+        def y4m_frames(b: bytes):
+            header, _, body = b.partition(b"\n")
+            raw = body.split(b"FRAME")
+            # each chunk after the first starts with the frame's own
+            # parameter tail (usually empty) then "\n" then the planes
+            out = []
+            for chunk in raw[1:]:
+                _params, _, planes = chunk.partition(b"\n")
+                out.append(planes)
+            return out
+
         for pdf in batches:
             ids, idxs, frames, hashes = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b.startswith(b"YUV4MPEG2"):
+                    src = y4m_frames(b)
+                    for out_i, src_i in enumerate(range(0, len(src), n)):
+                        if out_i >= mx:
+                            break
+                        frame = src[src_i]
+                        ids.append(doc_id)
+                        idxs.append(src_i)
+                        frames.append(frame)
+                        hashes.append(_hl.sha256(frame).hexdigest())
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "frame extraction requires a video library not "
-                        "present in this environment"
+                        "compressed-video frame extraction requires a video "
+                        "library not present (Y4M samples natively)"
                     )
-                b = bytes(payload)
                 for i in range(mx):
                     off = i * n * fb
                     if off >= len(b):

@@ -112,3 +112,32 @@ class TestWavDecode:
             assert w.getframerate() == 8000
             assert w.getnchannels() == 2
             assert w.getnframes() == 8000
+
+
+class TestY4mFrames:
+    def test_real_y4m_frame_sampling(self, spark):
+        import hashlib
+
+        from optimus_any2any_spark.operators.multimodal import sample_frames
+
+        w, h = 4, 2
+        ysize, csize = w * h, (w // 2) * (h // 2)
+        planes = [
+            bytes([i]) * (ysize + 2 * csize) for i in range(5)
+        ]  # 5 distinguishable frames
+        y4m = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n" + b"".join(
+            b"FRAME\n" + p for p in planes
+        )
+        df = spark.createDataFrame([(7, y4m)], "doc_id long, payload binary")
+        rows = sorted(
+            sample_frames(df, every_n=2, max_frames=8).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        # frames 0, 2, 4 sampled
+        assert [r["frame_index"] for r in rows] == [0, 2, 4]
+        for r, src_i in zip(rows, (0, 2, 4)):
+            assert bytes(r["frame"]) == planes[src_i]
+            assert (
+                r["frame_sha256"]
+                == hashlib.sha256(planes[src_i]).hexdigest()
+            )
