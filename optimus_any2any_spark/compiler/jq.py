@@ -387,10 +387,44 @@ class _ExprParser:
             return _path_col(t), self._path_kind(t)
         if t == ".":
             raise JQUnsupported("jq: bare '.' in scalar expression")
+        if t == "if":
+            return self.parse_if()
         # function call: fn(arg) or zero-arg builtins applied via pipe
         if re.fullmatch(r"[A-Za-z_]\w*", t):
             return self.parse_func(t)
         raise JQUnsupported(f"jq: unexpected token {t!r}")
+
+    def parse_if(self) -> tuple[Column, str]:
+        """``if A then B (elif C then D)* else E end`` → chained
+        ``F.when``. jq truthiness (null and false are falsy) matches
+        ``F.when`` exactly for boolean/null condition kinds — a NULL
+        condition falls through to the next branch; non-boolean
+        condition kinds (always truthy in jq) stay on the binary path
+        rather than risk a wrong native compile."""
+        branches: list[tuple[Column, Column, str]] = []
+
+        def one_branch():
+            cond, ckind = self.parse_alt()
+            if ckind not in ("boolean", "null"):
+                raise JQUnsupported(
+                    f"jq: if-condition kind {ckind!r} (jq truthiness) "
+                    "outside the native subset"
+                )
+            self.expect("then")
+            val, vkind = self.parse_alt()
+            branches.append((cond, val, vkind))
+
+        one_branch()
+        while self.peek() == "elif":
+            self.next()
+            one_branch()
+        self.expect("else")
+        out, okind = self.parse_alt()
+        self.expect("end")
+        kinds = {okind} | {vk for _, _, vk in branches}
+        for cond, val, _vk in reversed(branches):
+            out = F.when(cond, val).otherwise(out)
+        return out, kinds.pop() if len(kinds) == 1 else "unknown"
 
     def _path_kind(self, tok: str) -> str:
         """Resolve a ``.path.to.field`` token's kind from df.schema."""
@@ -410,6 +444,20 @@ class _ExprParser:
         return _kind_of_dtype(dtype)
 
     def parse_func(self, name: str) -> tuple[Column, str]:
+        if name == "has":
+            # has("k") against a DataFrame resolves at compile time:
+            # the schema IS the record shape here (sources normalize
+            # ragged JSON into schema columns, absent → NULL), so key
+            # presence is a per-column constant.
+            self.expect("(")
+            key_tok = self.next()
+            if not key_tok.startswith('"'):
+                raise JQUnsupported("jq: has() needs a literal string key")
+            self.expect(")")
+            return (
+                F.lit(json.loads(key_tok) in self.df.columns),
+                "boolean",
+            )
         args: list[Column] = []
         if self.peek() == "(":
             self.next()

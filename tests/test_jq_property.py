@@ -57,6 +57,11 @@ _PROGRAMS = st.sampled_from(
         ".[] | {c: (.name + .name)}",
         '.[] | {c: (.name + "_t")}',
         '.[] | {c: ("p_" + .name)}',
+        '.[] | {status: (if .age > 50 then "old" else "young" end)}',
+        ".[] | {f: (if .flag then 1 else 0 end)}",
+        '.[] | {b: (if .age < 20 then "a" elif .age < 60 then "b" else "c" end)}',
+        '.[] | select(if .name == "alice" then true else .age > 90 end)',
+        '.[] | {h: has("name"), m: has("missing")}',
     ]
 )
 
