@@ -92,6 +92,10 @@ def main() -> None:
 
         times: dict[str, float] = {}
         for name, q in sorted(queries.items()):
+            # drop persisted lineages from prior queries (dedup ops cache
+            # shingle/candidate tables); accumulated caches add memory/GC
+            # pressure to later measurements without speeding them up
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             n = df.count()
