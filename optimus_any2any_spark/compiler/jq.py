@@ -45,6 +45,7 @@ _TOK = re.compile(
         "(?:[^"\\]|\\.)*"                     # string
       | -?\d+\.\d+ | -?\d+                    # numbers
       | \.\[\]                                # .[]
+      | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\[\d+\]  # .path[idx]
       | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)* # .path.to.field
       | \.                                    # identity
       | ==|!=|<=|>=|\|\||&&|//
@@ -85,6 +86,10 @@ def _kind_of_dtype(dtype) -> str:
         return "boolean"
     if isinstance(dtype, T.NullType):
         return "null"
+    if isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType, T.StringType
+    ):
+        return "complex_str"  # provably array<string>: join() is native
     if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
         return "complex"
     if isinstance(dtype, T.NumericType):
@@ -139,7 +144,7 @@ class _ExprParser:
         while self.peek() == "//":
             self.next()
             right, rkind = self.parse_or()
-            if lkind in ("string", "number", "complex"):
+            if lkind in ("string", "number", "complex", "complex_str"):
                 left = F.coalesce(left, right)
             elif lkind == "boolean":
                 left = F.when(left == F.lit(True), left).otherwise(right)
@@ -207,7 +212,7 @@ class _ExprParser:
                 )
                 continue
             for k in (lkind, rkind):
-                if k in ("string", "complex", "null", "boolean"):
+                if k in ("string", "complex", "complex_str", "null", "boolean"):
                     raise JQUnsupported(
                         f"jq: non-numeric {op!r} ({lkind} {op} {rkind}) "
                         "outside the native subset"
@@ -222,7 +227,7 @@ class _ExprParser:
             op = self.next()
             right, rkind = self.parse_unary()
             for k in (lkind, rkind):
-                if k in ("string", "complex", "null", "boolean"):
+                if k in ("string", "complex", "complex_str", "null", "boolean"):
                     raise JQUnsupported(
                         f"jq: non-numeric {op!r} ({lkind} {op} {rkind}) "
                         "outside the native subset"
@@ -334,16 +339,30 @@ class _ExprParser:
             out = F.when(
                 F.length(subject) == 0, F.array().cast("array<string>")
             ).otherwise(F.split(subject, re.escape(s), -1))
-            return out, "complex"
+            return out, "complex_str"
         if name == "not" and not args:
             need("boolean")
             return F.coalesce(subject == F.lit(False), F.lit(True)), "boolean"
         if name == "length" and not args:
             if kind == "string":
                 return F.length(subject), "number"
-            if kind == "complex":
-                return F.size(subject), "number"
+            if kind in ("complex", "complex_str"):
+                # jq: null | length == 0 (Spark size(null) is null)
+                return F.coalesce(F.size(subject), F.lit(0)), "number"
             raise JQUnsupported(f"jq: length on kind {kind!r}")
+        if name == "join" and len(args) == 1:
+            if kind != "complex_str":
+                raise JQUnsupported(
+                    "jq: join() native only on provable array<string> "
+                    "(numeric arrays stringify differently in jq)"
+                )
+            sep = lit_args[0]
+            if sep is None:
+                raise JQUnsupported("jq: join needs a literal separator")
+            # jq errors on a null input array; the native path is total
+            # and yields NULL for that record instead (documented
+            # relaxation — jq would abort the whole batch).
+            return F.concat_ws(sep, subject), "string"
         if name in ("ascii_downcase", "ascii_upcase") and not args:
             need("string")
             return (
@@ -431,6 +450,9 @@ class _ExprParser:
         from pyspark.sql import types as T
 
         dtype = None
+        idx = re.fullmatch(r"(.*)\[(\d+)\]", tok)
+        if idx:
+            tok = idx.group(1)
         fields = {f.name: f.dataType for f in self.df.schema.fields}
         for part in tok[1:].split("."):
             if fields is None or part not in fields:
@@ -441,6 +463,10 @@ class _ExprParser:
                 if isinstance(dtype, T.StructType)
                 else None
             )
+        if idx:
+            if not isinstance(dtype, T.ArrayType):
+                return "unknown"
+            dtype = dtype.elementType
         return _kind_of_dtype(dtype)
 
     def parse_func(self, name: str) -> tuple[Column, str]:
@@ -470,10 +496,19 @@ class _ExprParser:
 
 
 def _path_col(tok: str) -> Column:
+    idx = None
+    m = re.fullmatch(r"(.*)\[(\d+)\]", tok)
+    if m:
+        tok, idx = m.group(1), int(m.group(2))
     parts = tok[1:].split(".")
     col = F.col("`" + parts[0] + "`")
     for p in parts[1:]:
         col = col.getField(p)
+    if idx is not None:
+        # jq indexing is total: out-of-range and null arrays yield null.
+        # F.get is the 0-based NULL-on-invalid accessor (getItem/
+        # element_at throw under ANSI mode, Spark 4's default)
+        col = F.get(col, idx)
     return col
 
 

@@ -31,6 +31,9 @@ _RECORDS = st.lists(
             "name": _NAMES,
             "age": st.integers(min_value=0, max_value=99),
             "flag": st.one_of(st.none(), st.booleans()),
+            "tags": st.lists(
+                st.sampled_from(["x", "y", "zz", ""]), max_size=3
+            ),
         }
     ),
     min_size=1,
@@ -62,6 +65,10 @@ _PROGRAMS = st.sampled_from(
         '.[] | {b: (if .age < 20 then "a" elif .age < 60 then "b" else "c" end)}',
         '.[] | select(if .name == "alice" then true else .age > 90 end)',
         '.[] | {h: has("name"), m: has("missing")}',
+        ".[] | {t0: .tags[0]}",
+        ".[] | {n: (.tags | length)}",
+        '.[] | {j: (.tags | join("-"))}',
+        '.[] | select((.tags | length) > 1)',
     ]
 )
 
@@ -81,7 +88,7 @@ _STRING_PROGRAMS = st.sampled_from(
     ]
 )
 
-_SCHEMA = "id long, name string, age long, flag boolean"
+_SCHEMA = "id long, name string, age long, flag boolean, tags array<string>"
 
 
 def _jq(program: str, rows: list[dict]) -> list[dict]:
