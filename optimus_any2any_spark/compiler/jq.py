@@ -259,6 +259,31 @@ class _ExprParser:
         name = self.next()
         if not re.fullmatch(r"[A-Za-z_]\w*", name or ""):
             raise JQUnsupported(f"jq: pipe into non-function {name!r}")
+        if name == "map":
+            # map(builtin) over a provable array<string>: element-wise
+            # F.transform with the scalar builtin bound to the element.
+            # Only zero-arg string builtins compile (anything fancier —
+            # nested pipes, arithmetic on elements — routes to the
+            # binary).
+            if kind != "complex_str":
+                raise JQUnsupported(
+                    "jq: map() native only on provable array<string>"
+                )
+            self.expect("(")
+            inner = self.next()
+            self.expect(")")
+            elem_fns = {
+                "ascii_downcase": F.lower,
+                "ascii_upcase": F.upper,
+                "length": F.length,
+            }
+            if inner not in elem_fns:
+                raise JQUnsupported(
+                    f"jq: map({inner}) outside the native subset"
+                )
+            fn = elem_fns[inner]
+            out_kind = "complex" if inner == "length" else "complex_str"
+            return F.transform(subject, lambda x: fn(x)), out_kind
         lit_args: list[str | None] = []
         col_args: list[Column] = []
         if self.peek() == "(":

@@ -67,6 +67,8 @@ _PROGRAMS = st.sampled_from(
         '.[] | {h: has("name"), m: has("missing")}',
         ".[] | {t0: .tags[0]}",
         ".[] | {n: (.tags | length)}",
+        ".[] | {u: (.tags | map(ascii_upcase))}",
+        '.[] | {uj: (.tags | map(ascii_upcase) | join("+"))}',
         '.[] | {j: (.tags | join("-"))}',
         '.[] | select((.tags | length) > 1)',
     ]
