@@ -368,6 +368,25 @@ class _ExprParser:
         if name == "not" and not args:
             need("boolean")
             return F.coalesce(subject == F.lit(False), F.lit(True)), "boolean"
+        if name in ("sort", "unique", "reverse", "add") and not args:
+            if kind != "complex_str":
+                raise JQUnsupported(
+                    f"jq: {name} native only on provable array<string> "
+                    "(mixed-type jq ordering can't be proven from schema)"
+                )
+            if name == "sort":
+                # jq sorts strings lexicographically by codepoint —
+                # array_sort's string ordering is the same
+                return F.array_sort(subject), "complex_str"
+            if name == "unique":
+                return F.array_sort(F.array_distinct(subject)), "complex_str"
+            if name == "reverse":
+                return F.reverse(subject), "complex_str"
+            # add: string concat of all elements; jq: [] | add == null
+            return (
+                F.when(F.size(subject) > 0, F.concat_ws("", subject)),
+                "string",
+            )
         if name == "length" and not args:
             if kind == "string":
                 return F.length(subject), "number"

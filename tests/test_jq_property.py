@@ -69,6 +69,11 @@ _PROGRAMS = st.sampled_from(
         ".[] | {n: (.tags | length)}",
         ".[] | {u: (.tags | map(ascii_upcase))}",
         '.[] | {uj: (.tags | map(ascii_upcase) | join("+"))}',
+        ".[] | {s: (.tags | sort)}",
+        ".[] | {q: (.tags | unique)}",
+        ".[] | {r: (.tags | reverse)}",
+        ".[] | {a: (.tags | add)}",
+        '.[] | {su: (.tags | sort | join(","))}',
         '.[] | {j: (.tags | join("-"))}',
         '.[] | select((.tags | length) > 1)',
     ]
