@@ -164,6 +164,20 @@ def ivf_topk(
     At scale the assignment is the IVF index build (cells ≙ partition
     pruning); probe-side work is n/cells · nprobe instead of n.
     """
+    ranked = _ivf_ranked(df, id_col, vec_col, n_cells, nprobe)
+    if persist_index:
+        ranked = ranked.persist()
+    return _topk_from_ranked(ranked, k)
+
+
+def _ivf_ranked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    nprobe: int,
+) -> DataFrame:
+    """The n·nprobe IVF ranking table (quantizer + cell assignment)."""
     df = ensure_parallelism(df, F.col(id_col))
     # Norms are computed ONCE per vector and carried through the joins:
     # cosine per candidate pair is then one dot product + a divide, not
@@ -200,11 +214,15 @@ def ivf_topk(
     # materialization instead of re-running the quantizer cross join on
     # both sides of the candidate self-join (2× the dominant stage).
     # Size is n·nprobe rows — index-scale, not corpus-scale.
-    ranked = scored.withColumn("crank", F.row_number().over(cw)).filter(
+    return scored.withColumn("crank", F.row_number().over(cw)).filter(
         F.col("crank") <= nprobe
     )
-    if persist_index:
-        ranked = ranked.persist()
+
+
+def _topk_from_ranked(ranked: DataFrame, k: int) -> DataFrame:
+    """Top-k neighbors from an IVF ranking table
+    (id, centroid_id, v, nrm, crank<=nprobe) — shared by the in-session
+    and persisted-index paths."""
     assign = ranked.filter(F.col("crank") == 1).select(
         F.col("id").alias("cand_id"),
         F.col("centroid_id").alias("cell"),
@@ -233,6 +251,35 @@ def ivf_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> None:
+    """Materialize the IVF index to parquet, partitioned by cell.
+
+    Build once, query many times across sessions: the index is the
+    n·nprobe ranking table ``ivf_topk`` computes in-session, written
+    with ``partitionBy(centroid_id)`` so a probe of one cell is a
+    partition-pruned scan (the on-disk analogue of FAISS's inverted
+    lists). Rebuild when the corpus changes — the quantizer is
+    deterministic, so a rebuild over identical data is byte-stable.
+    """
+    ranked = _ivf_ranked(df, id_col, vec_col, n_cells, nprobe)
+    ranked.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_topk_from_index(spark, path: str, k: int = 5) -> DataFrame:
+    """Top-k neighbors served from a :func:`build_ivf_index` parquet
+    index — identical output to the in-session ``ivf_topk`` on the same
+    corpus, without re-running the quantizer."""
+    ranked = spark.read.parquet(path)
+    return _topk_from_ranked(ranked, k)
 
 
 def semdedup(
