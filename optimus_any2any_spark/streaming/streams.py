@@ -259,3 +259,100 @@ def trending_topk_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming near-dup detection: MinHash band buckets with a
+    cross-batch signature store.
+
+    Each micro-batch computes band buckets for its new documents (the
+    same md5-fold + affine-permutation signatures as the batch
+    operator), joins them against the accumulated bucket store to emit
+    candidate pairs — new-vs-old AND new-vs-new — then appends its own
+    buckets to the store. State lives in parquet keyed by (band,
+    bucket), so it survives restarts and scales as O(docs × bands)
+    rows, independent of document length; the per-batch join touches
+    only the new docs' buckets on the probe side. Candidates carry the
+    same guarantee as batch LSH (same-bucket collision); exact-Jaccard
+    verification composes downstream exactly as in
+    ``minhash_dedup_pairs``.
+    """
+    from optimus_any2any_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    def per_batch(batch: DataFrame, _batch_id: int):
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sig = minhash_signatures(
+            shingles(batch, text_col=text_col, id_col=id_col)
+        )
+        # reuse the banding inside lsh_candidate_pairs by exposing its
+        # bucketed form: band columns -> (id, band, bucket) rows
+        from optimus_any2any_spark.operators import dedup as D
+
+        rows = D.DEFAULT_NUM_HASHES // D.DEFAULT_BANDS
+        band_cols = [
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            ).alias(f"band{b}")
+            for b in range(D.DEFAULT_BANDS)
+        ]
+        new_buckets = (
+            sig.select("id", *band_cols)
+            .selectExpr(
+                "id",
+                "stack({n}, {args}) as (band, bucket)".format(
+                    n=D.DEFAULT_BANDS,
+                    args=", ".join(
+                        f"{b}, band{b}" for b in range(D.DEFAULT_BANDS)
+                    ),
+                ),
+            )
+            .localCheckpoint(eager=True)  # cut lineage; read twice below
+        )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            known = spark.read.parquet(store_path)
+            probe_universe = known.unionByName(new_buckets)
+        else:
+            probe_universe = new_buckets
+        a, b = new_buckets.alias("a"), probe_universe.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least("a.id", "b.id").alias("doc_a"),
+                F.greatest("a.id", "b.id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        new_buckets.write.mode("append").parquet(store_path)
+
+    return (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -413,3 +413,51 @@ class TestTrendingTopK:
             for r in spark.read.parquet(str(out)).collect()
         }
         assert got == {("a", 1): 3, ("b", 2): 2, ("c", 3): 1}
+
+
+class TestStreamingMinhashDedup:
+    def test_cross_batch_near_dups_detected(self, spark, tmp_path):
+        import json
+
+        from optimus_any2any_spark.streaming.streams import (
+            stream_source,
+            streaming_minhash_dedup,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        src = tmp_path / "in"
+        src.mkdir()
+        # batch 1 (file a): docs 1 and 2 are near-identical; doc 3 distinct
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": base + " one"},
+                    {"doc_id": 2, "text": base + " two"},
+                    {"doc_id": 3, "text": "totally different words here now"},
+                ]
+            )
+        )
+        # batch 2 (file b): doc 4 duplicates doc 1 across the batch gap
+        (src / "b.json").write_text(
+            json.dumps({"doc_id": 4, "text": base + " one"})
+        )
+        q = streaming_minhash_dedup(
+            stream_source(
+                spark,
+                str(src),
+                "doc_id long, text string",
+                max_files_per_trigger=1,
+            ),
+            store_path=str(tmp_path / "store"),
+            pairs_path=str(tmp_path / "pairs"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        }
+        assert (1, 2) in got, got          # within-batch pair
+        assert (1, 4) in got, got          # CROSS-batch pair
+        assert not any(3 in p for p in got), got
