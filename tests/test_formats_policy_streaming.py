@@ -461,3 +461,43 @@ class TestStreamingMinhashDedup:
         assert (1, 2) in got, got          # within-batch pair
         assert (1, 4) in got, got          # CROSS-batch pair
         assert not any(3 in p for p in got), got
+
+    def test_restart_is_idempotent(self, spark, tmp_path):
+        """Re-running the stream over the same source with the same
+        checkpoint must process nothing new: the pairs log is
+        unchanged (checkpointed offsets make the store effectively
+        append-once)."""
+        import json
+
+        from optimus_any2any_spark.streaming.streams import (
+            stream_source,
+            streaming_minhash_dedup,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": base + " one"},
+                    {"doc_id": 2, "text": base + " two"},
+                ]
+            )
+        )
+
+        def run():
+            q = streaming_minhash_dedup(
+                stream_source(spark, str(src), "doc_id long, text string"),
+                store_path=str(tmp_path / "store"),
+                pairs_path=str(tmp_path / "pairs"),
+                checkpoint=str(tmp_path / "ckpt"),
+            )
+            q.awaitTermination()
+
+        run()
+        first = spark.read.parquet(str(tmp_path / "pairs")).count()
+        run()  # same checkpoint: no new input -> no new pairs
+        second = spark.read.parquet(str(tmp_path / "pairs")).count()
+        assert first == second == 1
