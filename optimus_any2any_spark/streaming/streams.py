@@ -268,6 +268,7 @@ def streaming_minhash_dedup(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    verify_threshold: float | None = None,
 ) -> "StreamingQuery":  # noqa: F821
     """Streaming near-dup detection: MinHash band buckets with a
     cross-batch signature store.
@@ -280,15 +281,23 @@ def streaming_minhash_dedup(
     bucket), so it survives restarts and scales as O(docs × bands)
     rows, independent of document length; the per-batch join touches
     only the new docs' buckets on the probe side. Candidates carry the
-    same guarantee as batch LSH (same-bucket collision); exact-Jaccard
-    verification composes downstream exactly as in
-    ``minhash_dedup_pairs``.
+    same guarantee as batch LSH (same-bucket collision).
+
+    With ``verify_threshold`` set, each batch also maintains a text
+    store (``store_path + "_text"``) and verifies candidates with the
+    exact Jaccard before logging: only candidate-pair members' texts
+    are read back (id-pushdown on the parquet scan), so verification
+    stays candidate-bounded — the streaming form of
+    ``minhash_dedup_pairs``'s discipline. Output gains a ``jaccard``
+    column and drops sub-threshold band collisions.
     """
     from optimus_any2any_spark.operators.dedup import (
-        lsh_candidate_pairs,
+        _jaccard_verify,
         minhash_signatures,
         shingles,
     )
+
+    text_store = store_path + "_text"
 
     def per_batch(batch: DataFrame, _batch_id: int):
         if batch.isEmpty():
@@ -347,7 +356,45 @@ def streaming_minhash_dedup(
             )
             .distinct()
         )
-        pairs.write.mode("append").parquet(pairs_path)
+        if verify_threshold is not None:
+            pairs = pairs.localCheckpoint(eager=True)
+            new_texts = batch.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("text")
+            ).localCheckpoint(eager=True)
+            tpath = jvm.org.apache.hadoop.fs.Path(text_store)
+            if fs.exists(tpath):
+                corpus = spark.read.parquet(text_store).unionByName(new_texts)
+            else:
+                corpus = new_texts
+            # candidate-bounded verification: only pair members' texts
+            member_ids = (
+                pairs.select(F.col("doc_a").alias("id"))
+                .unionByName(pairs.select(F.col("doc_b").alias("id")))
+                .distinct()
+            )
+            sh = shingles(
+                corpus.join(F.broadcast(member_ids), "id", "left_semi"),
+                text_col="text",
+                id_col="id",
+            )
+            sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+            a_sh, b_sh = sh.alias("sa"), sh.alias("sb")
+            inter = (
+                F.broadcast(pairs)
+                .join(a_sh, F.col("sa.id") == F.col("doc_a"))
+                .join(
+                    b_sh,
+                    (F.col("sb.id") == F.col("doc_b"))
+                    & (F.col("sa.shingle") == F.col("sb.shingle")),
+                )
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+            )
+            verified = _jaccard_verify(inter, sizes, verify_threshold)
+            verified.write.mode("append").parquet(pairs_path)
+            new_texts.write.mode("append").parquet(text_store)
+        else:
+            pairs.write.mode("append").parquet(pairs_path)
         new_buckets.write.mode("append").parquet(store_path)
 
     return (

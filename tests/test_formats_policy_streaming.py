@@ -501,3 +501,39 @@ class TestStreamingMinhashDedup:
         run()  # same checkpoint: no new input -> no new pairs
         second = spark.read.parquet(str(tmp_path / "pairs")).count()
         assert first == second == 1
+
+    def test_verified_mode_emits_jaccard_and_filters(self, spark, tmp_path):
+        """verify_threshold: true near-dups pass with their exact
+        jaccard; unrelated docs never reach the log even when sharing
+        a coincidental bucket."""
+        import json
+
+        from optimus_any2any_spark.streaming.streams import (
+            stream_source,
+            streaming_minhash_dedup,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": base + " one"},
+                    {"doc_id": 2, "text": base + " one"},  # exact dup
+                    {"doc_id": 3, "text": "unrelated words entirely here"},
+                ]
+            )
+        )
+        q = streaming_minhash_dedup(
+            stream_source(spark, str(src), "doc_id long, text string"),
+            store_path=str(tmp_path / "store"),
+            pairs_path=str(tmp_path / "pairs"),
+            checkpoint=str(tmp_path / "ckpt"),
+            verify_threshold=0.8,
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(str(tmp_path / "pairs")).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+        assert rows[0]["jaccard"] == 1.0
