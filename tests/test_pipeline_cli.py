@@ -42,6 +42,37 @@ class TestPipeline:
         assert {r["name"] for r in got} == {"alice", "carol"}
         assert all(not k.startswith("__METADATA__") for r in got for k in r)
 
+    def test_jq_conditional_compiles_native(self, spark, tmp_path):
+        """if/then/else and has() run natively through the pipeline —
+        no jq subprocess (verified by asserting the native translation
+        accepts the program) and correct branch values end-to-end."""
+        from optimus_any2any_spark.compiler.jq import translate_jq
+
+        src = tmp_path / "in.json"
+        write_ndjson(src, ROWS)
+        out = tmp_path / "out.json"
+        program = (
+            '.[] | {name, bucket: (if .age > 35 then "senior" '
+            'elif .age > 30 then "mid" else "junior" end), '
+            'known: has("name")}'
+        )
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"FILE__DESTINATION_URI=file://{out}",
+                f"JQ__QUERY={program}",
+            ],
+            environ={},
+        )
+        # prove the native path accepts it (no JQUnsupported)
+        translate_jq(spark.createDataFrame(ROWS), program)
+        Pipeline(spark, "FILE", ["FILE"], cfg).run()
+        got = {r["name"]: r for r in (json.loads(l) for l in open(out))}
+        assert got["alice"]["bucket"] == "mid"
+        assert got["bob"]["bucket"] == "junior"
+        assert got["carol"]["bucket"] == "senior"
+        assert all(r["known"] is True for r in got.values())
+
     def test_multi_sink_fanout(self, spark, tmp_path, capsys):
         src = tmp_path / "in.json"
         write_ndjson(src, ROWS)
