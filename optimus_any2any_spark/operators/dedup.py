@@ -93,6 +93,11 @@ def jaccard_pairs(
     Uncapped path: posting lists would be unbounded on a hot key, so it
     keeps the streaming shingle-key self-join instead."""
     if max_shingle_freq is not None:
+        # posting feeds BOTH sizes and the pair expansion; no persist —
+        # the two consumers' exchange subtrees are identical, so AQE's
+        # ReusedExchange already shares the collect_list shuffle, and a
+        # persist was measured SLOWER (materialization cost for no
+        # saved work).
         posting = (
             sh.groupBy("shingle")
             .agg(F.collect_list("id").alias("ids"))
