@@ -323,3 +323,19 @@ class TestPassageAndSampling:
         assert all(
             "documents.parquet" in loc for loc in r.scan_locations()
         ), r.text
+
+    def test_curriculum_and_shard_single_global_window(self, spark):
+        # both gate-scale forms are one scan -> one window -> one
+        # aggregate: no joins may appear (the broadcast-cutpoint scale
+        # variant replaces the window, not with a join).
+        for name in ("curriculum_quality_bins", "shard_balanced_assignment"):
+            r = report(spark, name)
+            assert "Join" not in r.text, (name, r.text)
+            assert "Window" in r.text, (name, r.text)
+
+    def test_char_entropy_two_aggregates_no_python(self, spark):
+        # freq (doc, char) + entropy (doc) aggregates plus the density
+        # join back to documents; no Python evaluation nodes.
+        r = report(spark, "doc_char_entropy")
+        assert "Python" not in r.text, r.text
+        assert r.num_nested_loop_joins == 0, r.text
