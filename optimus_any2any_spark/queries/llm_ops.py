@@ -2362,3 +2362,54 @@ def text_ngram_novelty(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair, n
+      FROM wc WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    doc="BPE training's first merge step: corpus-wide adjacent-symbol "
+    "pair frequencies. The classic scale trick is in the plan: counts "
+    "aggregate over DISTINCT words first (vocabulary-sized, one "
+    "shuffle), then pairs expand per distinct word weighted by its "
+    "frequency — pair expansion work is O(vocabulary), not O(corpus "
+    "tokens). Top-20 compiles to TakeOrderedAndProject (distributed "
+    "top-k, no global sort).",
+)
+def bpe_pair_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    w = F.col("w")
+    pairs = (
+        wc.filter(F.length(w) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 1),
+                    lambda i: w.substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "n",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
