@@ -103,8 +103,8 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
         import pandas as pd
 
         def decode(payload: bytes) -> tuple[int, int]:
-            if payload.startswith(b"P6"):
-                # real decode: PPM header is "P6\n<w> <h>\n<maxval>\n"
+            if payload.startswith(b"P6") or payload.startswith(b"P5"):
+                # real decode: PPM/PGM header is "P6|P5\n<w> <h>\n<maxval>\n"
                 parts = payload.split(b"\n", 3)
                 w, h = parts[1].split()
                 return int(w), int(h)
@@ -182,17 +182,18 @@ def resize_images(
             dims, rest = rest.split(b"\n", 1)
             _maxval, raw = rest.split(b"\n", 1)
             w, h = (int(x) for x in dims.split())
-            img = np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(
-                h, w, 3
+            ch = 3 if header == b"P6" else 1  # P5 = grayscale PGM
+            img = np.frombuffer(raw[: w * h * ch], dtype=np.uint8).reshape(
+                h, w, ch
             )
             ys = (np.arange(th) * h) // th
             xs = (np.arange(tw) * w) // tw
             out = img[ys][:, xs]
-            return b"P6\n%d %d\n255\n" % (tw, th) + out.tobytes()
+            return header + b"\n%d %d\n255\n" % (tw, th) + out.tobytes()
 
         def fake_resize(b: bytes) -> bytes:
             b = bytes(b)
-            if b.startswith(b"P6"):
+            if b.startswith(b"P6") or b.startswith(b"P5"):
                 return resize_ppm(b)
             if not fake:
                 raise NotImplementedError(

@@ -141,3 +141,26 @@ class TestY4mFrames:
                 r["frame_sha256"]
                 == hashlib.sha256(planes[src_i]).hexdigest()
             )
+
+
+class TestPgmGrayscale:
+    def test_p5_decode_and_resize(self, spark):
+        from optimus_any2any_spark.operators.multimodal import (
+            extract_features,
+            resize_images,
+        )
+
+        w, h = 6, 4
+        gray = (np.arange(w * h) * 9 % 256).astype(np.uint8).reshape(h, w)
+        pgm = b"P5\n%d %d\n255\n" % (w, h) + gray.tobytes()
+        df = spark.createDataFrame([(1, pgm)], "doc_id long, payload binary")
+        feat = extract_features(df).collect()[0]
+        assert (feat["width"], feat["height"]) == (w, h)
+        out = bytes(
+            resize_images(df, target_w=3, target_h=2).collect()[0]["payload"]
+        )
+        header = b"P5\n3 2\n255\n"
+        assert out.startswith(header)
+        ys = (np.arange(2) * h) // 2
+        xs = (np.arange(3) * w) // 3
+        assert out[len(header):] == gray[ys][:, xs].tobytes()
