@@ -179,11 +179,35 @@ class _ExprParser:
         return left, kind
 
     def parse_cmp(self) -> tuple[Column, str]:
-        left, kind = self.parse_add()
+        left, lkind = self.parse_add()
         op = self.peek()
         if op in _CMP:
             self.next()
-            right, _ = self.parse_add()
+            right, rkind = self.parse_add()
+            # jq '.a == null' tests null-ness; SQL three-valued '=' would
+            # return NULL for every row (silently dropping all rows from
+            # a select). Compile the null comparisons to isNull checks —
+            # exactly jq — and order comparisons vs null to the binary.
+            if lkind == "null" or rkind == "null":
+                subj = right if lkind == "null" else left
+                if op == "==":
+                    return subj.isNull(), "boolean"
+                if op == "!=":
+                    return subj.isNotNull(), "boolean"
+                raise JQUnsupported(
+                    "jq: ordered comparison with null (jq type ordering) "
+                    "outside the native subset"
+                )
+            # jq compares across types by TYPE ORDER (a string never
+            # equals a number; every number sorts before every string);
+            # Spark would implicitly cast. Mismatched provable kinds
+            # route to the binary.
+            concrete = {"string", "number", "boolean", "complex", "complex_str"}
+            if lkind in concrete and rkind in concrete and lkind != rkind:
+                raise JQUnsupported(
+                    f"jq: cross-type comparison ({lkind} {op} {rkind}) "
+                    "outside the native subset"
+                )
             return {
                 "==": lambda a, b: a == b,
                 "!=": lambda a, b: a != b,
@@ -192,7 +216,7 @@ class _ExprParser:
                 ">": lambda a, b: a > b,
                 ">=": lambda a, b: a >= b,
             }[op](left, right), "boolean"
-        return left, kind
+        return left, lkind
 
     def parse_add(self) -> tuple[Column, str]:
         left, lkind = self.parse_mul()
@@ -293,6 +317,7 @@ class _ExprParser:
                 if (
                     tok is not None
                     and tok.startswith('"')
+                    and self.i + 1 < len(self.toks)
                     and self.toks[self.i + 1] in (")", ";")
                 ):
                     lit_args.append(json.loads(self.next()))
@@ -447,6 +472,11 @@ class _ExprParser:
         if t in ("true", "false"):
             return F.lit(t == "true"), "boolean"
         if t.startswith(".") and t != ".":
+            root = t[1:].split(".")[0].split("[")[0]
+            if root not in self.df.columns:
+                # jq: absent keys read as null. Compiling F.col would
+                # raise AnalysisException (crash, not fallback).
+                return F.lit(None), "null"
             return _path_col(t), self._path_kind(t)
         if t == ".":
             raise JQUnsupported("jq: bare '.' in scalar expression")
@@ -540,6 +570,9 @@ class _ExprParser:
 
 
 def _path_col(tok: str) -> Column:
+    """Path token to Column. Callers must ensure the ROOT field exists
+    (jq yields null for absent keys; an unresolved Column raises at
+    analysis time instead — see _ExprParser.parse_atom)."""
     idx = None
     m = re.fullmatch(r"(.*)\[(\d+)\]", tok)
     if m:
@@ -569,9 +602,11 @@ _FUNC_KINDS = {
 
 
 def _apply_func(name: str, args: list[Column]) -> Column:
+    if not args:
+        # bare builtin in expression position takes its input from the
+        # pipe — only the piped form is native; crash-free fallback
+        raise JQUnsupported(f"jq: {name} needs pipe input")
     if name == "length":
-        if not args:
-            raise JQUnsupported("length needs pipe input")
         return F.length(args[0])
     if name == "tostring":
         return args[0].cast("string")
@@ -702,7 +737,13 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
             for ptoks in _split_top(term[2:-1], ","):
                 if len(ptoks) != 1 or not ptoks[0].startswith("."):
                     raise JQUnsupported(f"jq: del path {ptoks}")
-                dropped.append(ptoks[0][1:])
+                p = ptoks[0][1:]
+                # a nested or indexed del path can never match a
+                # top-level column — compiling it would silently drop
+                # NOTHING while jq removes the nested field
+                if "." in p or "[" in p:
+                    raise JQUnsupported(f"jq: nested del path {ptoks}")
+                dropped.append(p)
         elif term[0] == "{" and term[-1] == "}":
             for e in _parse_object(term):
                 added.append((e.key, _ExprParser(e.expr_toks, df).parse()))

@@ -151,3 +151,44 @@ def test_piped_string_builtins_equal_jq_binary(spark, rows, program):
     got = _run_native(spark, rows, program)
     expect = _jq(program, rows)
     assert _norm(got) == _norm(expect), (program, rows)
+
+
+NULL_AND_EDGE_PROGRAMS = st.sampled_from(
+    [
+        ".[] | select(.name == null)",
+        ".[] | select(.name != null)",
+        ".[] | select(.flag == null)",
+        ".[] | {known: (.name != null)}",
+        ".[] | {y: .missing}",          # absent key reads as null in jq
+        '.[] | select(.missing == null)',
+    ]
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_RECORDS, program=NULL_AND_EDGE_PROGRAMS)
+def test_null_comparisons_equal_jq_binary(spark, rows, program):
+    got = _run_native(spark, rows, program)
+    expect = _jq(program, rows)
+    assert _norm(got) == _norm(expect), (program, rows)
+
+
+def test_miscompile_risks_route_to_binary(spark):
+    """Programs whose native compile would diverge from jq must raise
+    JQUnsupported (-> faithful fallback), never compile silently."""
+    df = spark.createDataFrame(
+        [(1, "alice", 30)], "id long, name string, age long"
+    )
+    for program in [
+        ".[] | del(.a.b)",                 # nested del would no-op
+        '.[] | select(.name == 123)',      # cross-type equality
+        '.[] | select(.age < "5")',        # cross-type ordering
+        ".[] | select(.name < null)",      # ordered null comparison
+        ".[] | {s: tostring}",             # bare builtin needs pipe input
+    ]:
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, program)

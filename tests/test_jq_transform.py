@@ -187,11 +187,12 @@ class TestAlternativeOperator:
             3: False,
         }
 
-    def test_alt_on_unknown_kind_raises(self, spark, df):
-        from optimus_any2any_spark.compiler.jq import JQUnsupported
-
-        with pytest.raises(JQUnsupported):
-            translate_jq(df, ".[] | {v: (.missing // 1)}")
+    def test_alt_on_absent_key_is_default(self, spark, df):
+        # jq: absent keys read as null, so '.missing // 1' is 1 —
+        # the native path now compiles this exactly (previously it
+        # raised because the unresolved column had no provable kind)
+        got = translate_jq(df, ".[] | {v: (.missing // 1)}").collect()
+        assert [r["v"] for r in got] == [1] * df.count()
 
 
 class TestPipedFunctionGuards:
