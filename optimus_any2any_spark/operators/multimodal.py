@@ -241,14 +241,38 @@ def sample_frames(
         import pandas as pd
 
         def y4m_frames(b: bytes):
+            # frame size is FIXED and computable from the header, so
+            # frames are sliced by size — never by searching for the
+            # b"FRAME" marker, which can legitimately occur inside raw
+            # plane bytes and would corrupt every boundary after it
             header, _, body = b.partition(b"\n")
-            raw = body.split(b"FRAME")
-            # each chunk after the first starts with the frame's own
-            # parameter tail (usually empty) then "\n" then the planes
-            out = []
-            for chunk in raw[1:]:
-                _params, _, planes = chunk.partition(b"\n")
-                out.append(planes)
+            w = h = None
+            colorspace = b"C420"
+            for p in header.split(b" ")[1:]:
+                if p.startswith(b"W"):
+                    w = int(p[1:])
+                elif p.startswith(b"H"):
+                    h = int(p[1:])
+                elif p.startswith(b"C"):
+                    colorspace = p
+            sizes = {
+                b"C420": lambda: w * h * 3 // 2,
+                b"C420jpeg": lambda: w * h * 3 // 2,
+                b"C420paldv": lambda: w * h * 3 // 2,
+                b"C422": lambda: w * h * 2,
+                b"C444": lambda: w * h * 3,
+                b"Cmono": lambda: w * h,
+            }
+            if w is None or h is None or colorspace not in sizes:
+                raise NotImplementedError(
+                    f"y4m: unsupported header {header!r}"
+                )
+            fsize = sizes[colorspace]()
+            out, pos = [], 0
+            while body.startswith(b"FRAME", pos):
+                nl = body.index(b"\n", pos)  # end of FRAME param line
+                out.append(body[nl + 1 : nl + 1 + fsize])
+                pos = nl + 1 + fsize
             return out
 
         for pdf in batches:
@@ -326,6 +350,11 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
         def decode(b: bytes):
             if b.startswith(b"RIFF"):
                 with _wave.open(io.BytesIO(b)) as w:
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError(
+                            "only 16-bit PCM WAV decodes natively "
+                            f"(got sampwidth={w.getsampwidth()})"
+                        )
                     sr, ch, nf = (
                         w.getframerate(),
                         w.getnchannels(),
@@ -396,6 +425,11 @@ def resample_audio(
                     )
                 return b
             with _wave.open(io.BytesIO(b)) as w:
+                if w.getsampwidth() != 2:
+                    raise NotImplementedError(
+                        "only 16-bit PCM WAV resamples natively "
+                        f"(got sampwidth={w.getsampwidth()})"
+                    )
                 sr, ch, nf = (
                     w.getframerate(),
                     w.getnchannels(),
@@ -403,9 +437,12 @@ def resample_audio(
                 )
                 pcm = np.frombuffer(w.readframes(nf), dtype=np.int16)
             frames = pcm.reshape(-1, ch)
-            n_out = max(1, (nf * hz) // max(sr, 1))
-            idx = (np.arange(n_out) * nf) // n_out
-            out = frames[idx]
+            if nf == 0:
+                out = frames  # zero-frame WAV: emit a valid empty WAV
+            else:
+                n_out = max(1, (nf * hz) // max(sr, 1))
+                idx = (np.arange(n_out) * nf) // n_out
+                out = frames[idx]
             buf = io.BytesIO()
             with _wave.open(buf, "wb") as w:
                 w.setnchannels(ch)

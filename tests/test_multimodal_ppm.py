@@ -164,3 +164,70 @@ class TestPgmGrayscale:
         ys = (np.arange(2) * h) // 2
         xs = (np.arange(3) * w) // 3
         assert out[len(header):] == gray[ys][:, xs].tobytes()
+
+
+class TestReviewEdgeCases:
+    def test_y4m_frame_marker_inside_plane_bytes(self, spark):
+        """Frame slicing must be size-based: plane bytes that happen to
+        contain b'FRAME' must not corrupt boundaries."""
+        from optimus_any2any_spark.operators.multimodal import sample_frames
+
+        w, h = 4, 2
+        fsize = w * h * 3 // 2  # C420: 12 bytes
+        f0 = b"ABCFRAMEXYZ!"        # contains the marker mid-plane
+        f1 = bytes(range(fsize))
+        assert len(f0) == fsize
+        y4m = (
+            b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+            + b"FRAME\n" + f0 + b"FRAME\n" + f1
+        )
+        df = spark.createDataFrame([(1, y4m)], "doc_id long, payload binary")
+        rows = sorted(
+            sample_frames(df, every_n=1, max_frames=8).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [bytes(r["frame"]) for r in rows] == [f0, f1]
+
+    def test_zero_frame_wav_resamples_to_valid_empty_wav(self, spark):
+        import io
+        import wave
+
+        from optimus_any2any_spark.operators.multimodal import resample_audio
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"")
+        df = spark.createDataFrame(
+            [(1, buf.getvalue())], "doc_id long, payload binary"
+        )
+        out = bytes(
+            resample_audio(df, target_hz=16000).collect()[0]["payload"]
+        )
+        with wave.open(io.BytesIO(out)) as w:
+            assert w.getnframes() == 0
+            assert w.getframerate() == 16000
+
+    def test_non_16bit_wav_raises(self, spark):
+        import io
+        import wave
+
+        import pytest
+
+        from optimus_any2any_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)  # 8-bit PCM
+            w.setframerate(8000)
+            w.writeframes(bytes(100))
+        df = spark.createDataFrame(
+            [(1, buf.getvalue())], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="16-bit"):
+            extract_audio_features(df).collect()
