@@ -438,8 +438,9 @@ class _ExprParser:
                 F.lower(subject) if name == "ascii_downcase" else F.upper(subject)
             ), "string"
         if name == "tonumber" and not args:
-            need("string")
-            return subject.cast("double"), "number"
+            # jq: tonumber("5") prints 5, a double cast prints 5.0 —
+            # integer-vs-float output divergence, so binary path only
+            raise JQUnsupported("jq: tonumber outside the native subset")
         if name == "tostring" and not args:
             if kind == "string":
                 return subject, "string"
@@ -592,7 +593,6 @@ def _path_col(tok: str) -> Column:
 _FUNC_KINDS = {
     "length": "number",
     "tostring": "string",
-    "tonumber": "number",
     "ascii_downcase": "string",
     "ascii_upcase": "string",
     "floor": "number",
@@ -610,8 +610,6 @@ def _apply_func(name: str, args: list[Column]) -> Column:
         return F.length(args[0])
     if name == "tostring":
         return args[0].cast("string")
-    if name == "tonumber":
-        return args[0].cast("double")
     if name == "ascii_downcase":
         return F.lower(args[0])
     if name == "ascii_upcase":

@@ -182,7 +182,13 @@ def upsert_to_parquet(
         # propagates so the batch retries against the intact snapshot.
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(path)
+        staging = jvm.org.apache.hadoop.fs.Path(path + "__staging")
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        # crash recovery: a missing snapshot with a completed staging dir
+        # means a previous batch died between delete and rename — the
+        # staging dir IS the snapshot, so finish the rename first
+        if not fs.exists(jpath) and fs.exists(staging):
+            fs.rename(staging, jpath)
         if fs.exists(jpath):
             current = spark.read.parquet(path)
             merged = current.join(
@@ -190,7 +196,19 @@ def upsert_to_parquet(
             ).unionByName(latest)
         else:
             merged = latest
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        # Writing mode("overwrite") directly on the snapshot path would
+        # DELETE it before the (long) write — a crash mid-write destroys
+        # every previously merged key. Stage the full write first, then
+        # swap with two metadata-only renames; the only remaining crash
+        # window (between delete and rename) is covered by the recovery
+        # above. A lakehouse table format would make this a true atomic
+        # commit.
+        if fs.exists(staging):
+            fs.delete(staging, True)
+        merged.localCheckpoint(eager=True).write.parquet(path + "__staging")
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        fs.rename(staging, jpath)
 
     return (
         stream.writeStream.foreachBatch(merge)
@@ -231,7 +249,7 @@ def trending_topk_to_parquet(
     counts, which append mode only finalizes at watermark expiry — so
     the rank runs in ``foreachBatch`` over each batch's finalized
     windows (tiny: one row per (window, key)), and results append to a
-    parquet log partitioned by window start. State stays bounded by the
+    parquet log carrying the window columns. State stays bounded by the
     watermark exactly as in :func:`windowed_counts`; the per-batch rank
     is a window function over finalized rows only, never the stream.
     """
@@ -299,7 +317,7 @@ def streaming_minhash_dedup(
 
     text_store = store_path + "_text"
 
-    def per_batch(batch: DataFrame, _batch_id: int):
+    def per_batch(batch: DataFrame, batch_id: int):
         if batch.isEmpty():
             return
         spark = batch.sparkSession
@@ -337,8 +355,13 @@ def streaming_minhash_dedup(
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(store_path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        # stores are laid out as batch=<id> partition dirs written with
+        # overwrite: foreachBatch is at-least-once, and a plain append
+        # would double this batch's rows on retry — doubling shingle
+        # rows inflates later Jaccard verification. Overwriting the
+        # deterministic per-batch dir makes the whole sink idempotent.
         if fs.exists(jpath):
-            known = spark.read.parquet(store_path)
+            known = spark.read.parquet(store_path).drop("batch")
             probe_universe = known.unionByName(new_buckets)
         else:
             probe_universe = new_buckets
@@ -363,7 +386,11 @@ def streaming_minhash_dedup(
             ).localCheckpoint(eager=True)
             tpath = jvm.org.apache.hadoop.fs.Path(text_store)
             if fs.exists(tpath):
-                corpus = spark.read.parquet(text_store).unionByName(new_texts)
+                corpus = (
+                    spark.read.parquet(text_store)
+                    .drop("batch")
+                    .unionByName(new_texts)
+                )
             else:
                 corpus = new_texts
             # candidate-bounded verification: only pair members' texts
@@ -391,11 +418,19 @@ def streaming_minhash_dedup(
                 .agg(F.count(F.lit(1)).alias("n_common"))
             )
             verified = _jaccard_verify(inter, sizes, verify_threshold)
-            verified.write.mode("append").parquet(pairs_path)
-            new_texts.write.mode("append").parquet(text_store)
+            verified.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch={batch_id}"
+            )
+            new_texts.write.mode("overwrite").parquet(
+                f"{text_store}/batch={batch_id}"
+            )
         else:
-            pairs.write.mode("append").parquet(pairs_path)
-        new_buckets.write.mode("append").parquet(store_path)
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/batch={batch_id}"
+            )
+        new_buckets.write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
 
     return (
         stream.writeStream.foreachBatch(per_batch)
