@@ -400,11 +400,14 @@ class _ExprParser:
                     "(mixed-type jq ordering can't be proven from schema)"
                 )
             if name == "sort":
-                # jq sorts strings lexicographically by codepoint —
-                # array_sort's string ordering is the same
-                return F.array_sort(subject), "complex_str"
+                # jq sorts strings lexicographically by codepoint and
+                # null sorts FIRST (null is the smallest jq type);
+                # sort_array places null elements at the beginning in
+                # ascending order — array_sort would put them last
+                # (ADVICE r2: null-element ordering parity)
+                return F.sort_array(subject), "complex_str"
             if name == "unique":
-                return F.array_sort(F.array_distinct(subject)), "complex_str"
+                return F.sort_array(F.array_distinct(subject)), "complex_str"
             if name == "reverse":
                 return F.reverse(subject), "complex_str"
             # add: string concat of all elements; jq: [] | add == null
@@ -430,8 +433,19 @@ class _ExprParser:
                 raise JQUnsupported("jq: join needs a literal separator")
             # jq errors on a null input array; the native path is total
             # and yields NULL for that record instead (documented
-            # relaxation — jq would abort the whole batch).
-            return F.concat_ws(sep, subject), "string"
+            # relaxation — jq would abort the whole batch). Null
+            # ELEMENTS become empty strings exactly as in jq
+            # (["a",null,"b"]|join("-") == "a--b"); bare concat_ws
+            # would SKIP them (ADVICE r2).
+            return (
+                F.when(
+                    subject.isNotNull(),
+                    F.concat_ws(
+                        sep, F.transform(subject, lambda x: F.coalesce(x, F.lit("")))
+                    ),
+                ),
+                "string",
+            )
         if name in ("ascii_downcase", "ascii_upcase") and not args:
             need("string")
             return (
@@ -546,19 +560,24 @@ class _ExprParser:
 
     def parse_func(self, name: str) -> tuple[Column, str]:
         if name == "has":
-            # has("k") against a DataFrame resolves at compile time:
-            # the schema IS the record shape here (sources normalize
-            # ragged JSON into schema columns, absent → NULL), so key
-            # presence is a per-column constant.
+            # has("k") against a DataFrame: sources normalize ragged
+            # JSON into schema columns with absent → NULL, and the
+            # jq-binary fallback serializes rows with to_json (which
+            # drops NULL fields), so through EITHER path a NULL value is
+            # indistinguishable from an absent key. Compile to
+            # isNotNull() so native and fallback agree row-by-row
+            # (ADVICE r2: a schema-constant lit(True) diverged from the
+            # fallback on nullable columns). Documented relaxation vs
+            # raw jq: a literal JSON null value reads as absent.
             self.expect("(")
             key_tok = self.next()
             if not key_tok.startswith('"'):
                 raise JQUnsupported("jq: has() needs a literal string key")
             self.expect(")")
-            return (
-                F.lit(json.loads(key_tok) in self.df.columns),
-                "boolean",
-            )
+            key = json.loads(key_tok)
+            if key not in self.df.columns:
+                return F.lit(False), "boolean"
+            return F.col("`" + key + "`").isNotNull(), "boolean"
         args: list[Column] = []
         if self.peek() == "(":
             self.next()

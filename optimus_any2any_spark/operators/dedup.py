@@ -526,6 +526,18 @@ def simhash_hamming_pairs(
     signature must widen (64-bit sigs with 16-bit bands -> 65k buckets)
     — band math below is width-agnostic.
     """
+    # pigeonhole soundness: at most (num_bands - 1) bits may differ for
+    # a pair to be guaranteed to agree on a full band — max_hamming >=
+    # num_bands silently LOSES pairs (one differing bit per band), and a
+    # non-dividing width leaves high bits out of every band. Enforced
+    # like simhash_sig's own width assert (ADVICE r2).
+    assert max_hamming < num_bands, (
+        f"pigeonhole requires max_hamming ({max_hamming}) < num_bands "
+        f"({num_bands}); recall would be silently incomplete"
+    )
+    assert sig_bits % num_bands == 0, (
+        f"sig_bits ({sig_bits}) must divide evenly into {num_bands} bands"
+    )
     width = sig_bits // num_bands
     mask = (1 << width) - 1
     bands = sigs.select(

@@ -184,11 +184,22 @@ def upsert_to_parquet(
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         staging = jvm.org.apache.hadoop.fs.Path(path + "__staging")
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        # crash recovery: a missing snapshot with a completed staging dir
+        # crash recovery: a missing snapshot with a COMPLETED staging dir
         # means a previous batch died between delete and rename — the
-        # staging dir IS the snapshot, so finish the rename first
+        # staging dir IS the snapshot, so finish the rename first.
+        # Completion is proven by the committer's _SUCCESS marker: on the
+        # first-ever batch a crash mid-staging-write leaves a partial
+        # staging dir (no snapshot has existed yet), and renaming THAT
+        # would wedge the sink on a permanently unreadable snapshot
+        # (ADVICE r2) — delete the incomplete dir instead and rebuild.
         if not fs.exists(jpath) and fs.exists(staging):
-            fs.rename(staging, jpath)
+            marker = jvm.org.apache.hadoop.fs.Path(
+                path + "__staging/_SUCCESS"
+            )
+            if fs.exists(marker):
+                fs.rename(staging, jpath)
+            else:
+                fs.delete(staging, True)
         if fs.exists(jpath):
             current = spark.read.parquet(path)
             merged = current.join(
@@ -257,7 +268,7 @@ def trending_topk_to_parquet(
 
     counts = windowed_counts(stream, ts_col, key_col, window, watermark)
 
-    def rank_and_append(batch: DataFrame, _batch_id: int):
+    def rank_and_append(batch: DataFrame, batch_id: int):
         if batch.isEmpty():
             return
         w = Window.partitionBy("window_start").orderBy(
@@ -268,7 +279,13 @@ def trending_topk_to_parquet(
             .filter(F.col("rank") <= k)
             .withColumn("rank", F.col("rank").cast("int"))
         )
-        top.write.mode("append").parquet(path)
+        # foreachBatch is at-least-once: a retry after a successful
+        # write but before checkpoint commit would duplicate this
+        # batch's rows under mode("append"). Overwriting a
+        # deterministic per-batch dir makes redelivery rewrite the same
+        # partition instead — the same idempotence discipline as
+        # streaming_minhash_dedup's stores (ADVICE r2).
+        top.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
 
     return (
         counts.writeStream.foreachBatch(rank_and_append)

@@ -502,6 +502,73 @@ class TestStreamingMinhashDedup:
         second = spark.read.parquet(str(tmp_path / "pairs")).count()
         assert first == second == 1
 
+    def test_cross_batch_subthreshold_collision_rejected(self, spark, tmp_path):
+        """VERDICT r2 item 8: a band collision across MICRO-BATCHES whose
+        true Jaccard is below the threshold must be rejected by the
+        exact verification, not trusted. Doc 4 (batch 2) shares 8 of 9
+        shingles with doc 1 (batch 1) — enough to collide in a band
+        (phase 1 proves it does), but J=0.8889 < 0.95 so verified mode
+        must drop it while keeping the exact cross-batch dup."""
+        import json
+
+        from optimus_any2any_spark.streaming.streams import (
+            stream_source,
+            streaming_minhash_dedup,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": base + " one"},
+                    {"doc_id": 2, "text": "totally different words here now"},
+                ]
+            )
+        )
+        (src / "b.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 4, "text": base},            # J(1,4)=8/9
+                    {"doc_id": 5, "text": base + " one"},   # J(1,5)=1.0
+                ]
+            )
+        )
+
+        def run(tag, threshold):
+            q = streaming_minhash_dedup(
+                stream_source(
+                    spark,
+                    str(src),
+                    "doc_id long, text string",
+                    max_files_per_trigger=1,
+                ),
+                store_path=str(tmp_path / f"store_{tag}"),
+                pairs_path=str(tmp_path / f"pairs_{tag}"),
+                checkpoint=str(tmp_path / f"ckpt_{tag}"),
+                verify_threshold=threshold,
+            )
+            q.awaitTermination()
+            return {
+                (r["doc_a"], r["doc_b"])
+                for r in spark.read.parquet(
+                    str(tmp_path / f"pairs_{tag}")
+                ).collect()
+            }
+
+        # phase 1: raw band collisions — (1,4) must actually collide
+        # across the batch gap, or phase 2 would pass vacuously
+        raw = run("raw", None)
+        assert (1, 4) in raw, raw
+        # phase 2: verified at 0.95 — the sub-threshold collision is
+        # rejected; the exact cross-batch dup survives
+        verified = run("verified", 0.95)
+        assert (1, 4) not in verified, verified
+        assert (1, 5) in verified, verified
+
     def test_verified_mode_emits_jaccard_and_filters(self, spark, tmp_path):
         """verify_threshold: true near-dups pass with their exact
         jaccard; unrelated docs never reach the log even when sharing

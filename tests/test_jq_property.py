@@ -99,9 +99,15 @@ _SCHEMA = "id long, name string, age long, flag boolean, tags array<string>"
 
 
 def _jq(program: str, rows: list[dict]) -> list[dict]:
+    # serialize records exactly as the pipeline boundary does: the
+    # jq-binary fallback feeds to_json(struct(*)) output, which DROPS
+    # null fields — so null and absent are indistinguishable through
+    # either path (the documented has() relaxation). The differential
+    # must feed jq those same bytes, not a null-keeping dump.
+    canonical = [{k: v for k, v in r.items() if v is not None} for r in rows]
     out = subprocess.run(
         ["jq", "-c", program],
-        input=json.dumps(rows).encode(),
+        input=json.dumps(canonical).encode(),
         stdout=subprocess.PIPE,
         check=True,
     )

@@ -88,6 +88,46 @@ def test_unsupported_raises(df):
         translate_jq(df, "group_by(.age) | map(length)")
 
 
+def test_null_array_elements_match_jq(spark):
+    """Null ELEMENTS survive to_json inside arrays (unlike null struct
+    fields), so jq genuinely sees them: join treats them as empty
+    strings ("a--b"), sort/unique order null FIRST. The native compile
+    must agree (ADVICE r2: concat_ws skipped nulls; array_sort put
+    them last)."""
+    rows = [
+        {"id": 1, "tags": ["a", None, "b"]},
+        {"id": 2, "tags": [None, "z"]},
+        {"id": 3, "tags": ["x"]},
+        {"id": 4, "tags": []},
+    ]
+    df = spark.createDataFrame(rows, "id long, tags array<string>")
+    for program in [
+        '.[] | {id: .id, j: (.tags | join("-"))}',
+        ".[] | {id: .id, s: (.tags | sort)}",
+        ".[] | {id: .id, q: (.tags | unique)}",
+    ]:
+        got = spark_rows(translate_jq(df, program))
+        expect = jq_oracle(program, rows)
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+
+def test_has_on_nullable_matches_fallback_serialization(spark):
+    """has("k") must agree between the native path and the jq-binary
+    fallback, whose to_json serialization DROPS null fields — so a
+    null value reads as absent through both (documented relaxation)."""
+    rows = [{"id": 1, "name": "alice"}, {"id": 2, "name": None}]
+    df = spark.createDataFrame(rows, "id long, name string")
+    program = '.[] | {id: .id, h: has("name"), m: has("missing")}'
+    got = spark_rows(translate_jq(df, program))
+    # canonical (null-stripped) serialization — what the fallback feeds jq
+    canonical = [{k: v for k, v in r.items() if v is not None} for r in rows]
+    expect = jq_oracle(program, canonical)
+    key = lambda d: json.dumps(d, sort_keys=True)
+    assert sorted(got, key=key) == sorted(expect, key=key)
+    assert {(r["id"], r["h"]) for r in got} == {(1, True), (2, False)}
+
+
 @pytest.mark.parametrize(
     "program",
     [
