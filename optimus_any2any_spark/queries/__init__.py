@@ -42,15 +42,20 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
     return deco
 
 
-def _driver_verified_names() -> set[str]:
-    """Query names with a fully-green row in any past driver
-    CORRECTNESS report (rows + schema + value-hash all matched)."""
+def _driver_verified_rounds() -> dict[str, int]:
+    """Latest driver round in which each query had a fully-green
+    CORRECTNESS row (rows + schema + value-hash all matched)."""
     import json
+    import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    names: set[str] = set()
+    latest: dict[str, int] = {}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             report = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -59,17 +64,29 @@ def _driver_verified_names() -> set[str]:
             if isinstance(row, dict) and all(
                 row.get(k) for k in ("rows_match", "schema_match", "hash_match")
             ):
-                names.add(name)
-    return names
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _rotation_order(
+    names: list[str], latest_verified: dict[str, int]
+) -> list[str]:
+    """Report-window rotation: never-verified queries first, then
+    ascending by the round they were LAST verified in — once every
+    query has been green at least once, the window re-checks the
+    stalest verifications (whose implementations may have churned
+    since) instead of pinning the same leading block forever.
+    Registration order breaks ties, and Python's stable sort keeps it.
+    """
+    return sorted(names, key=lambda n: latest_verified.get(n, 0))
 
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules that populate REGISTRY.  Order matters:
     # the driver's CORRECTNESS report records at most ~50 entries in
-    # registration order, so queries never verified by a prior round's
-    # report are ordered first (rotating the report window across
-    # rounds automatically); within each group, registration order is
-    # preserved (llm_ops leads).
+    # registration order, so the registry is emitted in rotation order
+    # (see _rotation_order) to spread driver verification across rounds
+    # by verification age.
     from optimus_any2any_spark.queries import (  # noqa: F401
         llm_ops,
         pipeline_semantics,
@@ -79,7 +96,5 @@ def all_queries() -> dict[str, Query]:
         relational_tpch2,
     )
 
-    verified = _driver_verified_names()
-    fresh = [n for n in REGISTRY if n not in verified]
-    prior = [n for n in REGISTRY if n in verified]
-    return {n: REGISTRY[n] for n in fresh + prior}
+    latest = _driver_verified_rounds()
+    return {n: REGISTRY[n] for n in _rotation_order(list(REGISTRY), latest)}

@@ -79,3 +79,28 @@ def test_report_window_orders_unverified_first():
     flags = [n in verified for n in ks]
     # once the verified tail starts, it never flips back to fresh
     assert flags == sorted(flags), "verified query precedes a fresh one"
+
+
+def test_rotation_orders_by_verification_age():
+    """VERDICT r2 item 2: within the verified set, the registry must
+    lead with the STALEST verifications (oldest report round) so the
+    driver's ~50-entry window re-checks queries whose implementations
+    may have churned since they were last verified — not the same
+    leading block every round."""
+    from optimus_any2any_spark.queries import (
+        _driver_verified_rounds,
+        _rotation_order,
+        all_queries,
+    )
+
+    # pure-function pin: never-verified first (reg order), then by
+    # ascending last-verified round, stable within each group
+    assert _rotation_order(
+        ["a", "b", "c", "d"], {"b": 2, "c": 1}
+    ) == ["a", "d", "c", "b"]
+
+    # the live registry must be emitted in exactly that order
+    latest = _driver_verified_rounds()
+    ks = list(all_queries())
+    ages = [latest.get(n, 0) for n in ks]
+    assert ages == sorted(ages), "registry not ordered by verification age"
