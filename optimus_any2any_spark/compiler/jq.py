@@ -8,8 +8,13 @@ docs/rfc_002). Here:
 - :func:`translate_jq` compiles the *relational core* of JQ —
   ``.[] | select(...)``, object construction, ``del(...)``, ``. + {...}``
   merges, arithmetic/comparison/boolean expressions, common scalar
-  functions — straight to Catalyst expressions: whole-stage-codegen'd,
-  no Python in the hot path, globally (not per-batch) semantic.
+  functions, polymorphic ``+``/``-`` (string/array concat, array
+  subtraction, null identity), string interpolation ``"\\(...)"``, and
+  per-record ``reduce``/``[foreach]`` over array paths (compiled to
+  ``F.aggregate`` folds/scans) — straight to Catalyst expressions:
+  whole-stage-codegen'd, no Python in the hot path, globally (not
+  per-batch) semantic. ``reduce .[]`` folds the whole batch, so it
+  stays on the binary path below.
 - :func:`jq_binary_transform` is the faithful escape hatch for arbitrary
   JQ programs: Arrow-batched ``mapInPandas`` feeding the real ``jq``
   binary per CONNECTOR_BATCH_SIZE-record batch, preserving the
@@ -50,6 +55,7 @@ _TOK = re.compile(
       | \.                                    # identity
       | ==|!=|<=|>=|\|\||&&|//
       | [|+\-*/%<>(){}:,;\[\]]
+      | \$[A-Za-z_][\w]*
       | [A-Za-z_][\w]*
     )
     """,
@@ -77,7 +83,13 @@ _CMP = {"==": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
 
 def _kind_of_dtype(dtype) -> str:
-    """Map a Spark DataType to a jq value kind for arithmetic checks."""
+    """Map a Spark DataType to a jq value kind for arithmetic checks.
+
+    ``int`` means provably-integral: its JSON serialization (``5``)
+    matches jq's number formatting exactly, so int values may be
+    interpolated into strings and accumulated in reduce/foreach.
+    Fractional ``number`` kinds cannot (Spark prints ``5.0`` where jq
+    prints ``5``), so those uses route to the jq binary."""
     from pyspark.sql import types as T
 
     if isinstance(dtype, (T.StringType,)):
@@ -90,8 +102,17 @@ def _kind_of_dtype(dtype) -> str:
         dtype.elementType, T.StringType
     ):
         return "complex_str"  # provably array<string>: join() is native
+    if isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        return "complex_num"  # provably integral array: sort/add/+ native
     if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
         return "complex"
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return "int"
     if isinstance(dtype, T.NumericType):
         return "number"
     return "unknown"
@@ -106,10 +127,18 @@ class _ExprParser:
     numeric arithmetic — those programs route to the faithful jq-binary
     fallback (ADVICE: jq.py '+' semantics)."""
 
-    def __init__(self, toks: list[str], df: DataFrame):
+    def __init__(
+        self,
+        toks: list[str],
+        df: DataFrame,
+        bindings: dict[str, tuple[Column, str]] | None = None,
+    ):
         self.toks = toks
         self.i = 0
         self.df = df
+        # jq variables in scope: "$name" → (Column, kind); "." rebinds
+        # the identity inside reduce/foreach update bodies (accumulator)
+        self.bindings = bindings or {}
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -125,6 +154,9 @@ class _ExprParser:
             raise JQUnsupported(f"jq: expected {t!r}, got {got!r}")
 
     def parse(self) -> Column:
+        return self.parse_full()[0]
+
+    def parse_full(self) -> tuple[Column, str]:
         col, kind = self.parse_alt()
         # top-level pipe chain: `.name | startswith("a")` etc.
         while self.peek() == "|":
@@ -132,7 +164,7 @@ class _ExprParser:
             col, kind = self.parse_piped(col, kind)
         if self.peek() is not None:
             raise JQUnsupported(f"jq: trailing tokens {self.toks[self.i:]}")
-        return col
+        return col, kind
 
     def parse_alt(self) -> tuple[Column, str]:
         """jq's ``//`` alternative operator (binds looser than ``or``):
@@ -144,7 +176,10 @@ class _ExprParser:
         while self.peek() == "//":
             self.next()
             right, rkind = self.parse_or()
-            if lkind in ("string", "number", "complex", "complex_str"):
+            if lkind in (
+                "string", "number", "int", "complex", "complex_str",
+                "complex_num",
+            ):
                 left = F.coalesce(left, right)
             elif lkind == "boolean":
                 left = F.when(left == F.lit(True), left).otherwise(right)
@@ -201,9 +236,17 @@ class _ExprParser:
             # jq compares across types by TYPE ORDER (a string never
             # equals a number; every number sorts before every string);
             # Spark would implicitly cast. Mismatched provable kinds
-            # route to the binary.
-            concrete = {"string", "number", "boolean", "complex", "complex_str"}
-            if lkind in concrete and rkind in concrete and lkind != rkind:
+            # route to the binary. int and number are ONE jq type.
+            concrete = {
+                "string", "number", "int", "boolean", "complex",
+                "complex_str", "complex_num",
+            }
+            _cls = lambda k: "number" if k in ("int", "number") else k
+            if (
+                lkind in concrete
+                and rkind in concrete
+                and _cls(lkind) != _cls(rkind)
+            ):
                 raise JQUnsupported(
                     f"jq: cross-type comparison ({lkind} {op} {rkind}) "
                     "outside the native subset"
@@ -223,11 +266,18 @@ class _ExprParser:
         while self.peek() in ("+", "-"):
             op = self.next()
             right, rkind = self.parse_mul()
-            # jq '+' concatenates strings/arrays, merges objects, and
-            # treats null+x=x; '-' subtracts arrays. Natively compiled:
-            # numbers (plain arithmetic) and provable string+string
-            # (null-aware concat: null+x=x, x+null=x, null+null=null —
-            # exactly jq). Everything else goes to the jq binary.
+            # jq '+' is polymorphic: numeric addition, string/array
+            # concatenation, object merge, and null as the identity
+            # (null + x == x + null == x). Natively compiled: numbers,
+            # provable string+string and array+array (null-aware: a
+            # null VALUE on either side yields the other — exactly jq),
+            # and null-kind identity. Object merge in expression
+            # position and mixed kinds go to the jq binary.
+            if op == "+" and lkind == "null":
+                left, lkind = right, rkind
+                continue
+            if op == "+" and rkind == "null":
+                continue
             if op == "+" and lkind == "string" and rkind == "string":
                 left = (
                     F.when(left.isNull(), right)
@@ -235,14 +285,51 @@ class _ExprParser:
                     .otherwise(F.concat(left, right))
                 )
                 continue
+            if (
+                op == "+"
+                and lkind == rkind
+                and lkind in ("complex_str", "complex_num")
+            ):
+                left = (
+                    F.when(left.isNull(), right)
+                    .when(right.isNull(), left)
+                    .otherwise(F.concat(left, right))
+                )
+                continue
+            if (
+                op == "-"
+                and lkind == rkind
+                and lkind in ("complex_str", "complex_num")
+            ):
+                # jq array subtraction removes ALL occurrences of
+                # right's elements while preserving left's order and
+                # duplicates — array_except would dedup the result, so
+                # filter with an exists probe (null-safe equality keeps
+                # null-element behavior aligned with jq). A null array
+                # on either side errors in jq; the total translation
+                # yields NULL (same relaxation as join()).
+                l_arr, r_arr = left, right
+                left = F.when(
+                    l_arr.isNotNull() & r_arr.isNotNull(),
+                    F.filter(
+                        l_arr,
+                        lambda x: ~F.exists(
+                            r_arr, lambda y: x.eqNullSafe(y)
+                        ),
+                    ),
+                )
+                continue
             for k in (lkind, rkind):
-                if k in ("string", "complex", "complex_str", "null", "boolean"):
+                if k in (
+                    "string", "complex", "complex_str", "complex_num",
+                    "null", "boolean",
+                ):
                     raise JQUnsupported(
                         f"jq: non-numeric {op!r} ({lkind} {op} {rkind}) "
                         "outside the native subset"
                     )
             left = left + right if op == "+" else left - right
-            lkind = "number"
+            lkind = "int" if lkind == rkind == "int" else "number"
         return left, lkind
 
     def parse_mul(self) -> tuple[Column, str]:
@@ -251,20 +338,40 @@ class _ExprParser:
             op = self.next()
             right, rkind = self.parse_unary()
             for k in (lkind, rkind):
-                if k in ("string", "complex", "complex_str", "null", "boolean"):
+                if k in (
+                    "string", "complex", "complex_str", "complex_num",
+                    "null", "boolean",
+                ):
                     raise JQUnsupported(
                         f"jq: non-numeric {op!r} ({lkind} {op} {rkind}) "
                         "outside the native subset"
                     )
+            if op == "%" and not (lkind == rkind == "int"):
+                # jq '%' truncates operands to integers (5.5 % 2 == 1);
+                # Spark's is fmod — only provably-integral operands agree
+                raise JQUnsupported(
+                    f"jq: '%' on non-integral kinds ({lkind}, {rkind}) "
+                    "outside the native subset"
+                )
             left = left * right if op == "*" else (left / right if op == "/" else left % right)
-            lkind = "number"
+            # jq division is always real (5 / 2 == 2.5) — Spark's '/'
+            # on longs likewise returns double, but the printed form of
+            # a whole-number double diverges (2.0 vs jq's 2), so '/'
+            # results are 'number', never 'int'
+            lkind = (
+                "int"
+                if op in ("*", "%") and lkind == rkind == "int"
+                else "number"
+            )
         return left, lkind
 
     def parse_unary(self) -> tuple[Column, str]:
         if self.peek() == "-":
             self.next()
-            col, _ = self.parse_postfix()
-            return -col, "number"
+            col, kind = self.parse_postfix()
+            if kind not in ("int", "number", "unknown"):
+                raise JQUnsupported(f"jq: negation of kind {kind!r}")
+            return -col, ("number" if kind == "unknown" else kind)
         return self.parse_postfix()
 
     def parse_postfix(self) -> tuple[Column, str]:
@@ -306,7 +413,7 @@ class _ExprParser:
                     f"jq: map({inner}) outside the native subset"
                 )
             fn = elem_fns[inner]
-            out_kind = "complex" if inner == "length" else "complex_str"
+            out_kind = "complex_num" if inner == "length" else "complex_str"
             return F.transform(subject, lambda x: fn(x)), out_kind
         lit_args: list[str | None] = []
         col_args: list[Column] = []
@@ -394,33 +501,48 @@ class _ExprParser:
             need("boolean")
             return F.coalesce(subject == F.lit(False), F.lit(True)), "boolean"
         if name in ("sort", "unique", "reverse", "add") and not args:
-            if kind != "complex_str":
+            if kind not in ("complex_str", "complex_num"):
                 raise JQUnsupported(
-                    f"jq: {name} native only on provable array<string> "
-                    "(mixed-type jq ordering can't be proven from schema)"
+                    f"jq: {name} native only on provable array<string>/"
+                    "array<integral> (mixed-type jq ordering can't be "
+                    "proven from schema)"
                 )
             if name == "sort":
-                # jq sorts strings lexicographically by codepoint and
+                # jq sorts by codepoint (strings) / numerically, and
                 # null sorts FIRST (null is the smallest jq type);
                 # sort_array places null elements at the beginning in
                 # ascending order — array_sort would put them last
                 # (ADVICE r2: null-element ordering parity)
-                return F.sort_array(subject), "complex_str"
+                return F.sort_array(subject), kind
             if name == "unique":
-                return F.sort_array(F.array_distinct(subject)), "complex_str"
+                return F.sort_array(F.array_distinct(subject)), kind
             if name == "reverse":
-                return F.reverse(subject), "complex_str"
-            # add: string concat of all elements; jq: [] | add == null
+                return F.reverse(subject), kind
+            # add == reduce .[] as $x (null; . + $x): null elements are
+            # the '+' identity, and an all-null/empty array adds to
+            # null — filter nulls out, then [] | add == null via the
+            # size guard
+            nn = F.filter(subject, lambda x: x.isNotNull())
+            if kind == "complex_num":
+                return (
+                    F.when(
+                        F.size(nn) > 0,
+                        F.aggregate(
+                            nn, F.lit(0).cast("long"), lambda a, x: a + x
+                        ),
+                    ),
+                    "int",
+                )
             return (
-                F.when(F.size(subject) > 0, F.concat_ws("", subject)),
+                F.when(F.size(nn) > 0, F.concat_ws("", subject)),
                 "string",
             )
         if name == "length" and not args:
             if kind == "string":
-                return F.length(subject), "number"
-            if kind in ("complex", "complex_str"):
+                return F.length(subject), "int"
+            if kind in ("complex", "complex_str", "complex_num"):
                 # jq: null | length == 0 (Spark size(null) is null)
-                return F.coalesce(F.size(subject), F.lit(0)), "number"
+                return F.coalesce(F.size(subject), F.lit(0)), "int"
             raise JQUnsupported(f"jq: length on kind {kind!r}")
         if name == "join" and len(args) == 1:
             if kind != "complex_str":
@@ -462,9 +584,15 @@ class _ExprParser:
             # "1.0"? no — jq normalizes); keep off the native path
             raise JQUnsupported("jq: tostring on non-string via pipe")
         if name in ("floor", "ceil", "fabs") and not args:
-            need("number")
+            if kind not in ("int", "number"):
+                raise JQUnsupported(
+                    f"jq: {name} on unprovable kind {kind!r} (need number)"
+                )
             fn = {"floor": F.floor, "ceil": F.ceil, "fabs": F.abs}[name]
-            return fn(subject), "number"
+            # floor/ceil return integral values (jq prints them as
+            # ints; Spark's floor/ceil return LongType); fabs keeps
+            # its operand's kind
+            return fn(subject), ("int" if name != "fabs" else kind)
         raise JQUnsupported(f"jq: piped function {name!r} not in native subset")
 
     def parse_atom(self) -> tuple[Column, str]:
@@ -477,15 +605,24 @@ class _ExprParser:
             self.expect(")")
             return col, kind
         if t.startswith('"'):
+            if "\\(" in t:
+                return self._interpolate(t)
             return F.lit(json.loads(t)), "string"
         if re.fullmatch(r"-?\d+", t):
-            return F.lit(int(t)), "number"
+            return F.lit(int(t)), "int"
         if re.fullmatch(r"-?\d+\.\d+", t):
             return F.lit(float(t)), "number"
         if t == "null":
             return F.lit(None), "null"
         if t in ("true", "false"):
             return F.lit(t == "true"), "boolean"
+        if t.startswith("$"):
+            if t in self.bindings:
+                return self.bindings[t]
+            raise JQUnsupported(f"jq: unbound variable {t}")
+        if t == "." and "." in self.bindings:
+            # inside a reduce/foreach body '.' is the accumulator
+            return self.bindings["."]
         if t.startswith(".") and t != ".":
             root = t[1:].split(".")[0].split("[")[0]
             if root not in self.df.columns:
@@ -497,10 +634,246 @@ class _ExprParser:
             raise JQUnsupported("jq: bare '.' in scalar expression")
         if t == "if":
             return self.parse_if()
+        if t == "reduce":
+            return self.parse_reduce_foreach("reduce")
+        if t == "foreach":
+            # a bare foreach emits one value PER ELEMENT — record
+            # fan-out, not expressible as a scalar Column; only the
+            # array-collected [foreach ...] form is native
+            raise JQUnsupported(
+                "jq: bare foreach emits a stream — binary path"
+            )
+        if t == "[":
+            return self.parse_bracket()
         # function call: fn(arg) or zero-arg builtins applied via pipe
         if re.fullmatch(r"[A-Za-z_]\w*", t):
             return self.parse_func(t)
         raise JQUnsupported(f"jq: unexpected token {t!r}")
+
+    def parse_bracket(self) -> tuple[Column, str]:
+        """``[ ... ]`` in expression position: the array-collected
+        ``[foreach ...]`` scan, or a literal array of same-kind scalar
+        expressions. ``[.[] | ...]`` stream collection is per-batch
+        semantics and stays on the jq binary."""
+        if self.peek() == "foreach":
+            self.next()
+            col, kind = self.parse_reduce_foreach("foreach")
+            self.expect("]")
+            return col, kind
+        if self.peek() == "]":
+            self.next()
+            return F.array().cast("array<string>"), "complex_str"
+
+        def parse_elem() -> tuple[Column, str]:
+            col, kind = self.parse_alt()
+            while self.peek() == "|":
+                self.next()
+                col, kind = self.parse_piped(col, kind)
+            return col, kind
+
+        elems = [parse_elem()]
+        while self.peek() == ",":
+            self.next()
+            elems.append(parse_elem())
+        self.expect("]")
+        kinds = {k for _, k in elems}
+        if kinds == {"string"}:
+            return F.array(*[c for c, _ in elems]), "complex_str"
+        if kinds == {"int"}:
+            return (
+                F.array(*[c.cast("long") for c, _ in elems]),
+                "complex_num",
+            )
+        raise JQUnsupported(
+            f"jq: array literal of kinds {sorted(kinds)} outside the "
+            "native subset"
+        )
+
+    def _capture_until(self, stops: tuple[str, ...]) -> tuple[list[str], str]:
+        """Consume tokens up to (and including) the first depth-0 stop
+        token; return (captured tokens, the stop that ended them)."""
+        out: list[str] = []
+        depth = 0
+        while True:
+            t = self.peek()
+            if t is None:
+                raise JQUnsupported("jq: unterminated reduce/foreach body")
+            if depth == 0 and t in stops:
+                self.next()
+                return out, t
+            if t in ("(", "{", "["):
+                depth += 1
+            elif t in (")", "}", "]"):
+                depth -= 1
+                if depth < 0:
+                    raise JQUnsupported(
+                        "jq: unbalanced parens in reduce/foreach"
+                    )
+            out.append(self.next())
+
+    def parse_reduce_foreach(self, which: str) -> tuple[Column, str]:
+        """``reduce .path[] as $x (INIT; UPDATE)`` → ``F.aggregate``;
+        ``[foreach .path[] as $x (INIT; UPDATE[; EXTRACT])]`` → an
+        aggregate over a ``(acc, out array)`` struct accumulator (a
+        scan), both fully native Catalyst (reference query language:
+        ext/jq/connector.go:101-127, docs/rfc_002).
+
+        Scope that keeps native == jq bit-for-bit: the source is a
+        per-RECORD array path (``reduce .[]`` folds the whole BATCH —
+        per-batch aggregation semantics stay on the jq-binary path),
+        and accumulators are provably string or integral (float
+        accumulation prints 5.0 where jq prints 5). A null source
+        array yields NULL where jq errors — the same total-function
+        relaxation as join()."""
+        ptok = self.next()
+        if ptok == ".[]":
+            raise JQUnsupported(
+                f"jq: {which} over .[] aggregates the batch — per-batch "
+                "semantics live on the jq-binary path"
+            )
+        if not (ptok.startswith(".") and ptok not in (".",)):
+            raise JQUnsupported(f"jq: {which} source {ptok!r}")
+        self.expect("[")
+        self.expect("]")
+        root = ptok[1:].split(".")[0]
+        if root not in self.df.columns:
+            raise JQUnsupported(
+                f"jq: {which} over absent column {root!r} (jq errors on "
+                "iterating null)"
+            )
+        arr_kind = self._path_kind(ptok)
+        if arr_kind == "complex_str":
+            elem_kind = "string"
+        elif arr_kind == "complex_num":
+            elem_kind = "int"
+        else:
+            raise JQUnsupported(
+                f"jq: {which} over array kind {arr_kind!r} outside the "
+                "native subset"
+            )
+        arr = _path_col(ptok)
+        if self.next() != "as":
+            raise JQUnsupported(f"jq: {which} missing 'as'")
+        var = self.next()
+        if not var.startswith("$"):
+            raise JQUnsupported(f"jq: {which} binds {var!r}, need $name")
+        self.expect("(")
+        init_toks, _ = self._capture_until((";",))
+        upd_toks, sep = self._capture_until((";", ")"))
+        ext_toks: list[str] | None = None
+        if sep == ";":
+            if which != "foreach":
+                raise JQUnsupported("jq: reduce takes (init; update)")
+            ext_toks, _ = self._capture_until((")",))
+
+        init_col, init_kind = _ExprParser(
+            init_toks, self.df, self.bindings
+        ).parse_full()
+        if init_kind == "int":
+            acc_type = "long"
+        elif init_kind == "string":
+            acc_type = "string"
+        else:
+            raise JQUnsupported(
+                f"jq: {which} accumulator kind {init_kind!r} outside "
+                "the native subset (float formatting diverges)"
+            )
+
+        def body(toks: list[str], acc: Column, x: Column) -> tuple[Column, str]:
+            return _ExprParser(
+                list(toks),
+                self.df,
+                {
+                    **self.bindings,
+                    ".": (acc, init_kind),
+                    var: (x, elem_kind),
+                },
+            ).parse_full()
+
+        def step(acc: Column, x: Column) -> Column:
+            col, k = body(upd_toks, acc, x)
+            if k not in (init_kind, "unknown"):
+                raise JQUnsupported(
+                    f"jq: {which} update kind {k!r} != accumulator "
+                    f"kind {init_kind!r}"
+                )
+            return col.cast(acc_type)
+
+        zero = init_col.cast(acc_type)
+        if which == "reduce":
+            return F.aggregate(arr, zero, step), init_kind
+
+        # foreach: per-element output is the updated accumulator (2-arg
+        # form) or EXTRACT evaluated against it (3-arg form)
+        def extract(acc_updated: Column, x: Column) -> tuple[Column, str]:
+            if ext_toks is None:
+                return acc_updated, init_kind
+            return body(ext_toks, acc_updated, x)
+
+        _, out_kind = extract(zero, F.get(arr, 0))
+        out_type = {
+            "int": "long",
+            "string": "string",
+            "boolean": "boolean",
+        }.get(out_kind)
+        if out_type is None:
+            raise JQUnsupported(
+                f"jq: foreach extract kind {out_kind!r} outside the "
+                "native subset"
+            )
+        res = F.aggregate(
+            arr,
+            F.struct(
+                zero.alias("a"),
+                F.array().cast(f"array<{out_type}>").alias("o"),
+            ),
+            lambda s, x: F.struct(
+                step(s["a"], x).alias("a"),
+                F.array_append(
+                    s["o"], extract(step(s["a"], x), x)[0].cast(out_type)
+                ).alias("o"),
+            ),
+            lambda s: s["o"],
+        )
+        out_arr_kind = {
+            "long": "complex_num",
+            "string": "complex_str",
+            "boolean": "complex",
+        }[out_type]
+        return res, out_arr_kind
+
+    def _interpolate(self, raw: str) -> tuple[Column, str]:
+        """String interpolation ``"a \\(expr) b"`` → ``F.concat`` of
+        literal and stringified expression pieces. jq stringifies an
+        interpolated null as "null" (Spark concat would null the whole
+        string), and prints integral numbers without a decimal point —
+        so only string/int/boolean/null kinds are native; fractional
+        kinds route to the jq binary."""
+        pieces: list[Column] = []
+        for tag, text in _split_interpolation(raw):
+            if tag == "lit":
+                if text:
+                    pieces.append(F.lit(json.loads('"' + text + '"')))
+                continue
+            col, k = _ExprParser(
+                _tokenize(text), self.df, self.bindings
+            ).parse_full()
+            if k == "string":
+                pieces.append(F.coalesce(col, F.lit("null")))
+            elif k in ("int", "boolean"):
+                pieces.append(
+                    F.coalesce(col.cast("string"), F.lit("null"))
+                )
+            elif k == "null":
+                pieces.append(F.lit("null"))
+            else:
+                raise JQUnsupported(
+                    f"jq: interpolation of kind {k!r} outside the "
+                    "native subset (float formatting diverges)"
+                )
+        if not pieces:
+            return F.lit(""), "string"
+        return F.concat(*pieces), "string"
 
     def parse_if(self) -> tuple[Column, str]:
         """``if A then B (elif C then D)* else E end`` → chained
@@ -589,6 +962,50 @@ class _ExprParser:
         return _apply_func(name, args), _FUNC_KINDS.get(name, "unknown")
 
 
+def _split_interpolation(raw: str) -> list[tuple[str, str]]:
+    """Split a raw string token (quotes included) into ``("lit", text)``
+    and ``("expr", source)`` segments on ``\\(...)`` boundaries with
+    paren balancing. Nested string literals inside an interpolation
+    can't be re-tokenized from a single string token, so they raise
+    (→ jq-binary fallback)."""
+    content = raw[1:-1]
+    parts: list[tuple[str, str]] = []
+    buf: list[str] = []
+    i = 0
+    while i < len(content):
+        c = content[i]
+        if c == "\\" and i + 1 < len(content) and content[i + 1] == "(":
+            if buf:
+                parts.append(("lit", "".join(buf)))
+                buf = []
+            depth = 1
+            j = i + 2
+            start = j
+            while j < len(content) and depth:
+                if content[j] == '"':
+                    raise JQUnsupported(
+                        "jq: nested string inside interpolation"
+                    )
+                if content[j] == "(":
+                    depth += 1
+                elif content[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise JQUnsupported("jq: unbalanced interpolation")
+            parts.append(("expr", content[start : j - 1]))
+            i = j
+        elif c == "\\":
+            buf.append(content[i : i + 2])
+            i += 2
+        else:
+            buf.append(c)
+            i += 1
+    if buf:
+        parts.append(("lit", "".join(buf)))
+    return parts
+
+
 def _path_col(tok: str) -> Column:
     """Path token to Column. Callers must ensure the ROOT field exists
     (jq yields null for absent keys; an unresolved Column raises at
@@ -610,12 +1027,12 @@ def _path_col(tok: str) -> Column:
 
 
 _FUNC_KINDS = {
-    "length": "number",
+    "length": "int",
     "tostring": "string",
     "ascii_downcase": "string",
     "ascii_upcase": "string",
-    "floor": "number",
-    "ceil": "number",
+    "floor": "int",
+    "ceil": "int",
     "fabs": "number",
 }
 

@@ -76,6 +76,23 @@ _PROGRAMS = st.sampled_from(
         '.[] | {su: (.tags | sort | join(","))}',
         '.[] | {j: (.tags | join("-"))}',
         '.[] | select((.tags | length) > 1)',
+        # reduce / foreach (native F.aggregate scans)
+        '.[] | {n: (reduce .tags[] as $t (0; . + ($t|length)))}',
+        '.[] | {c: (reduce .tags[] as $t (""; . + $t))}',
+        '.[] | {r: [foreach .tags[] as $t (0; . + ($t|length))]}',
+        '.[] | {e: [foreach .tags[] as $t (0; . + 1; . * 2)]}',
+        '.[] | select((reduce .tags[] as $t (0; . + 1)) > 1)',
+        # string interpolation (ints/strings/booleans/null)
+        '.[] | {lab: "u-\\(.id)"}',
+        '.[] | {m: "\\(.name)!"}',
+        '.[] | {b: "\\(.age > 50)-\\(.id + 1)"}',
+        # polymorphic '+'/'-' on arrays and null identity
+        '.[] | {t: (.tags + ["q"])}',
+        '.[] | {t2: (.tags + .tags)}',
+        '.[] | {d: (.tags - ["x", "zz"])}',
+        '.[] | {v: (null + .age)}',
+        '.[] | {v: (.missing + .age)}',
+        '.[] | {lit: ["k", .name // "d"]}',
     ]
 )
 
