@@ -618,11 +618,11 @@ def dedup_semantic(spark, sf_dir):
 _IVF_CELLS = 64
 _IVF_NPROBE = 4
 
-
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH v AS (
+# IVF top-k CTE chain (shared by ann_ivf_topk and ann_mutual_topk):
+# deterministic md5-seeded centroids → cell assignment → nprobe-cell
+# candidate join → per-query rank. `ivf_topk` CTE ends at rank <= 5.
+_SQL_IVF_TOPK = f"""
+    v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ),
@@ -659,13 +659,24 @@ _IVF_NPROBE = 4
              round(list_dot_product(p.q_e, a.cand_e)
                    / (p.q_nrm * a.cand_nrm), 6) AS cosine_sim
       FROM probes p JOIN assign a ON a.cell = p.cell AND a.cand_id != p.vec_id
+    ),
+    ivf_topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM cand
+      ) t
+      WHERE rank <= 5
     )
-    SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
-      FROM cand
-    ) t
-    WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_IVF_TOPK}
+    SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM ivf_topk
     ORDER BY vec_id, rank
     """,
     doc="IVF-style ANN: deterministic md5-seeded coarse centroids, "
@@ -2067,41 +2078,33 @@ def lang_id_confusion(spark, sf_dir):
 
 @register(
     "ann_mutual_topk",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ),
-    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-    pairs AS (
-      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-             round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine_sim
-      FROM n a JOIN n b ON a.vec_id != b.vec_id
-    ),
-    topk AS (
-      SELECT * FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
-        FROM pairs
-      ) t WHERE rank <= 5
-    )
+    oracle=f"""
+    WITH {_SQL_IVF_TOPK}
     SELECT t1.vec_id AS vec_a, t1.neighbor_id AS vec_b, t1.cosine_sim
-    FROM topk t1
-    JOIN topk t2 ON t2.vec_id = t1.neighbor_id
-               AND t2.neighbor_id = t1.vec_id
+    FROM ivf_topk t1
+    JOIN ivf_topk t2 ON t2.vec_id = t1.neighbor_id
+                    AND t2.neighbor_id = t1.vec_id
     WHERE t1.vec_id < t1.neighbor_id
     ORDER BY vec_a, vec_b
     """,
     doc="Mutual-kNN graph: pairs where each vector appears in the "
     "other's cosine top-5 — the edge set for SemDeDup-style semantic "
-    "clustering and diversity pruning. Composed over the exact top-k "
-    "baseline here (its oracle role); at corpus scale the identical "
-    "mutual join composes over the LSH/IVF top-k variants. The mutual "
-    "screen itself is one self-equi-join on the (vec, neighbor) key.",
+    "clustering and diversity pruning. Composed over the IVF top-k "
+    "(VERDICT r2: the brute-force inner top-k was the one O(n²) "
+    "headline operator; brute force remains available as the recall "
+    "oracle in tests). The mutual screen itself is one self-equi-join "
+    "on the (vec, neighbor) key over the n·k ranked table.",
 )
 def ann_mutual_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
-    topk = S.brute_force_topk(e, k=5)
+    topk = S.ivf_topk(e, k=5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE)
+    return mutual_edges(topk)
+
+
+def mutual_edges(topk) -> "DataFrame":  # noqa: F821
+    """Mutual screen over ANY (vec_id, neighbor_id, cosine_sim) top-k
+    table — one self-equi-join on the (vec, neighbor) key; pluggable
+    over the IVF/LSH scale paths or the brute-force oracle."""
     t1, t2 = topk.alias("t1"), topk.alias("t2")
     return (
         t1.join(

@@ -38,3 +38,74 @@ class TestIvfIndexPersistence:
         build_ivf_index(emb, path, n_cells=8)
         cells = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
         assert len(cells) == 8
+
+
+class TestMutualTopkComposition:
+    """The mutual-kNN screen composes over any top-k table; the
+    brute-force form is the recall ORACLE for the IVF-backed headline
+    query (VERDICT r2 item 3)."""
+
+    def test_ivf_mutual_scores_are_exact_cosines(self, spark):
+        # approximation changes WHICH edges appear, never their scores:
+        # every IVF-mutual edge must carry the exact pairwise cosine
+        from pyspark.sql import functions as F
+
+        from optimus_any2any_spark.operators.similarity import cosine
+        from optimus_any2any_spark.queries.llm_ops import (
+            _IVF_CELLS,
+            _IVF_NPROBE,
+            mutual_edges,
+        )
+
+        emb = load(spark, SF_DIR, "embeddings")
+        spark.catalog.clearCache()
+        edges = mutual_edges(
+            ivf_topk(emb, k=5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE)
+        )
+        ea = emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+        )
+        eb = emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+        )
+        checked = (
+            edges.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .withColumn(
+                "exact", F.round(cosine(F.col("va"), F.col("vb")), 6)
+            )
+        )
+        bad = checked.filter(F.col("cosine_sim") != F.col("exact")).count()
+        total = checked.count()
+        assert total > 0 and bad == 0
+
+    def test_ivf_mutual_recall_vs_brute_force_oracle(self, spark):
+        # synthetic uniform embeddings are IVF's ADVERSARIAL case (no
+        # cluster structure, so true neighbors scatter across cells) —
+        # measured recall ~0.27 at sf0.001 with 64 cells / nprobe 4.
+        # The floor catches gross regressions (a broken cell join or
+        # quantizer sends this to ~0), not approximation quality.
+        from optimus_any2any_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        from optimus_any2any_spark.queries.llm_ops import (
+            _IVF_CELLS,
+            _IVF_NPROBE,
+            mutual_edges,
+        )
+
+        emb = load(spark, SF_DIR, "embeddings")
+        spark.catalog.clearCache()
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in mutual_edges(brute_force_topk(emb, k=5)).collect()
+        }
+        approx = {
+            (r.vec_a, r.vec_b)
+            for r in mutual_edges(
+                ivf_topk(emb, k=5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE)
+            ).collect()
+        }
+        assert exact, "oracle produced no mutual edges"
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.15, f"recall collapsed: {recall:.3f}"

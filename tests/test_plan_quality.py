@@ -118,6 +118,18 @@ class TestJoinStrategy:
         assert "TakeOrderedAndProject" in r.text, r.text
         assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
 
+    def test_mutual_topk_no_corpus_self_join(self, spark):
+        # VERDICT r2 item 3: the mutual-kNN inner top-k is IVF now — the
+        # only nested loops allowed are the 64-row centroid broadcast
+        # cross joins (condition-free); a corpus-scale self-join would
+        # surface as a CartesianProduct or a conditioned (Inner) NLJ.
+        spark.catalog.clearCache()
+        r = report(spark, "ann_mutual_topk")
+        assert "CartesianProduct" not in r.text, r.text
+        assert "BroadcastNestedLoopJoin Inner" not in r.text, r.text
+        # the mutual screen + candidate joins are equi-joins
+        assert r.num_sortmerge_joins + r.num_broadcast_joins >= 2, r.text
+
     def test_semdedup_quantizer_broadcast_pairs_hash_local(self, spark):
         # SemDeDup: centroid assignment broadcasts the 16-row seed
         # table; the within-cell pair join must be an equi-join on the
