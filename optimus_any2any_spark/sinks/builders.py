@@ -263,6 +263,16 @@ def http_sink(df: DataFrame, cfg: Config):
             "no HTTP client wired; inject "
             "HTTP__SENDER(method, endpoint, headers, body)"
         )
+    # OAuth2 client-credentials (ext/http/sink.go:56,76-83 — the same
+    # custom_provider_a client as the source): the Bearer token is
+    # acquired ONCE on the driver and shipped into the send closure, so
+    # executors carry the short-lived token, never the client secret.
+    from optimus_any2any_spark.sources import oauth2 as _oauth2
+
+    _creds = _oauth2.from_component_config(
+        c, transport=cfg.values.get("HTTP__TOKEN_TRANSPORT")
+    )
+    bearer = _creds.token() if _creds is not None else None
 
     data = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
     data_cols = data.columns
@@ -309,6 +319,9 @@ def http_sink(df: DataFrame, cfg: Config):
             if not buf:
                 return
             method, endpoint, headers = meta
+            hdrs = parse_headers(headers)
+            if bearer is not None:
+                hdrs["Authorization"] = [f"Bearer {bearer}"]
             if body_t is not None:
                 ctx = (
                     _json.loads(buf[0])
@@ -324,7 +337,7 @@ def http_sink(df: DataFrame, cfg: Config):
             # common/common.go:294-315)
             for attempt in range(retry_max):
                 try:
-                    sender(method, endpoint, parse_headers(headers), body)
+                    sender(method, endpoint, hdrs, body)
                     break
                 except Exception:
                     if attempt == retry_max - 1:

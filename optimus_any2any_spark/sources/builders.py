@@ -161,15 +161,38 @@ def http_source(spark: SparkSession, cfg: Config) -> DataFrame:
     response as NDJSON records. The fetch is driver-side (the reference
     has no pagination either — source.go:104-106 TODO); records then
     parallelize into a DataFrame. ``fetcher`` injectable for tests via
-    HTTP__FETCHER in config values (callable)."""
+    HTTP__FETCHER in config values (callable taking ``url`` or
+    ``(url, headers)``).
+
+    Request headers come from HTTP__HEADERS_FILE_PATH ('Key: v1,v2'
+    lines — source.go:33-47; HTTP__HEADERS carries the same content
+    inline). With the four HTTP__CLIENT_CREDENTIALS_* values set, the
+    OAuth2 client-credentials flow (ext/http/source.go:53-60,
+    custom_provider_a) acquires a Bearer token and injects the
+    Authorization header on every request; the token endpoint is
+    injectable via HTTP__TOKEN_TRANSPORT (or a file:// token URL)."""
+    from optimus_any2any_spark.sources import oauth2
+
     c = cfg.for_component("HTTP")
-    fetcher: Callable[[str], str] | None = cfg.values.get("HTTP__FETCHER")  # type: ignore[assignment]
+    fetcher = cfg.values.get("HTTP__FETCHER")
     endpoint = c.get("endpoint", "")
+    header_content = c.get("headers", "")
+    if not header_content and c.get("headers_file_path"):
+        with open(c["headers_file_path"], "r", encoding="utf-8") as f:
+            header_content = f.read()
+    headers = oauth2.parse_headers(header_content)
+    creds = oauth2.from_component_config(
+        c, transport=cfg.values.get("HTTP__TOKEN_TRANSPORT")
+    )
+    if creds is not None:
+        headers.update(creds.auth_header())
     # paged mode: HTTP__PAGE_SIZE (+ optional HTTP__NUM_PAGES and
     # required HTTP__SCHEMA) routes through the Spark 4 Python
     # DataSource — pages fetched ON EXECUTORS in parallel, the upgrade
     # over the reference's unpaginated driver-side GET
-    # (ext/http/source.go:104-106 TODO).
+    # (ext/http/source.go:104-106 TODO). The Bearer token is acquired
+    # once on the driver and shipped in the plan, so executors never
+    # hold client secrets.
     if c.get("page_size") and fetcher is None:
         from optimus_any2any_spark.sources import paged_api
 
@@ -180,16 +203,22 @@ def http_source(spark: SparkSession, cfg: Config) -> DataFrame:
             .option("url", endpoint)
             .option("page_size", c["page_size"])
             .option("num_pages", c.get("num_pages", "8"))
+            .option("headers", json.dumps(headers))
             .load()
         )
     if fetcher is None:
         import urllib.request
 
-        def fetcher(url: str) -> str:
-            with urllib.request.urlopen(url) as resp:  # noqa: S310
+        def fetcher(url: str, hdrs: dict[str, str] | None = None) -> str:
+            req = urllib.request.Request(url, headers=hdrs or {})
+            with urllib.request.urlopen(req) as resp:  # noqa: S310
                 return resp.read().decode()
 
-    body = fetcher(endpoint)
+    try:
+        body = fetcher(endpoint, headers)
+    except TypeError:
+        # legacy single-arg fetcher seam (pre-OAuth2)
+        body = fetcher(endpoint)
     lines = [ln for ln in body.splitlines() if ln.strip()]
     if not lines:
         return spark.range(0).drop("id")

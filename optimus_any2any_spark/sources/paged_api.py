@@ -62,9 +62,13 @@ class _Page(InputPartition):
         self.chase = chase  # last partition keeps paging until a short page
 
 
-def _fetch_page(url: str, offset: int, limit: int) -> list[str]:
+def _fetch_page(
+    url: str, offset: int, limit: int, headers: dict | None = None
+) -> list[str]:
     """Fetch one page of NDJSON lines. Runs ON EXECUTORS — stdlib only,
-    self-contained (cloudpickle ships this function by value)."""
+    self-contained (cloudpickle ships this function by value).
+    ``headers`` carries auth (e.g. the OAuth2 Bearer token acquired
+    once on the driver — executors never see client secrets)."""
     if url.startswith("file://"):
         path = url[len("file://") :]
         out: list[str] = []
@@ -80,7 +84,8 @@ def _fetch_page(url: str, offset: int, limit: int) -> list[str]:
 
     sep = "&" if urllib.parse.urlparse(url).query else "?"
     page_url = f"{url}{sep}offset={offset}&limit={limit}"
-    with urllib.request.urlopen(page_url) as resp:  # noqa: S310
+    req = urllib.request.Request(page_url, headers=headers or {})
+    with urllib.request.urlopen(req) as resp:  # noqa: S310
         return [ln for ln in resp.read().decode().splitlines() if ln.strip()]
 
 
@@ -90,6 +95,7 @@ class PagedApiReader(DataSourceReader):
         self.url = options.get("url", "")
         self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
         self.num_pages = int(options.get("num_pages", DEFAULT_NUM_PAGES))
+        self.headers = json.loads(options.get("headers", "{}") or "{}")
 
     def partitions(self) -> list[InputPartition]:
         return [
@@ -106,7 +112,7 @@ class PagedApiReader(DataSourceReader):
         fields = [f.name for f in self.schema_.fields]
         offset = partition.offset
         while True:
-            lines = _fetch_page(self.url, offset, partition.limit)
+            lines = _fetch_page(self.url, offset, partition.limit, self.headers)
             for line in lines:
                 rec = json.loads(line)
                 yield tuple(rec.get(f) for f in fields)
