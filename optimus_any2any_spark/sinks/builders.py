@@ -129,9 +129,38 @@ def warehouse_sink(df: DataFrame, cfg: Config):
 def jdbc_sink(df: DataFrame, cfg: Config):
     """PostgreSQL sink (ext/postgresql/sink.go:45): pre-SQL then batched
     append over JDBC (the COPY bulk path maps to JDBC batch inserts;
-    reWriteBatchedInserts gives COPY-adjacent throughput)."""
+    reWriteBatchedInserts gives COPY-adjacent throughput).
+
+    Before any row is sent, record headers are validated against the
+    destination's information_schema columns (ext/postgresql/
+    util.go:15-37) so a mis-shaped frame fails fast with the
+    reference's message instead of a late JDBC batch error. Live mode
+    reads the column list through JDBC; tests inject
+    PSQL__TABLE_COLUMNS."""
+    from optimus_any2any_spark.sources import pg
+
     c = cfg.for_component("PSQL")
     df = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    table_columns = cfg.values.get("PSQL__TABLE_COLUMNS")
+    if table_columns is None and c.get("check_schema", "true").lower() != "false":
+        try:
+            table_columns = [
+                r[0]
+                for r in df.sparkSession.read.format("jdbc")
+                .option("url", c["connection_dsn"])
+                .option(
+                    "query", pg.table_columns_query(c["destination_table_id"])
+                )
+                .load()
+                .collect()
+            ]
+        except Exception:
+            # no reachable database (offline tests without an injected
+            # column list): skip the pre-check, the write itself will
+            # surface connectivity errors
+            table_columns = None
+    if table_columns is not None:
+        pg.check_schema_validity(list(table_columns), df.columns)
     pre_sql = c.get("pre_sql")
     writer = (
         df.write.format("jdbc")

@@ -135,7 +135,16 @@ def warehouse_source(spark: SparkSession, cfg: Config) -> DataFrame:
 @register_source("PSQL")
 def jdbc_source(spark: SparkSession, cfg: Config) -> DataFrame:
     """PostgreSQL source (ext/postgresql/source.go:34): SQL over JDBC.
-    Partitioned scans via PSQL__PARTITION_COLUMN / NUM_PARTITIONS."""
+    Partitioned scans via PSQL__PARTITION_COLUMN / NUM_PARTITIONS.
+
+    PSQL__PG_TYPES (JSON ``{"col": "uuid", ...}``, udt_name per
+    column) applies the reference's ``normalizePGValue`` matrix
+    (source.go:150-191) as a post-projection so UUID/BYTEA/TIME/
+    INTERVAL/XML/MACADDR reach records in the reference's string
+    forms — Spark's JDBC reader hides wire OIDs, so the map is
+    explicit config (from ``information_schema.columns``)."""
+    from optimus_any2any_spark.sources import pg
+
     c = cfg.for_component("PSQL")
     sql = c.get("query")
     if not sql and c.get("query_file_path"):
@@ -152,7 +161,10 @@ def jdbc_source(spark: SparkSession, cfg: Config) -> DataFrame:
             .option("lowerBound", c.get("lower_bound", "0"))
             .option("upperBound", c.get("upper_bound", "1000000"))
         )
-    return reader.load()
+    out = reader.load()
+    if c.get("pg_types"):
+        out = pg.normalize_pg_frame(out, json.loads(c["pg_types"]))
+    return out
 
 
 @register_source("HTTP")
