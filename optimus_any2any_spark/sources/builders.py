@@ -299,8 +299,44 @@ def salesforce_source(spark: SparkSession, cfg: Config) -> DataFrame:
     )
 
 
-# API-backed sources: driver-side fetch → createDataFrame (SURVEY.md
-# §2.1 rows GMAIL/GA). Real clients need live credentials/services;
-# the injectable fetcher keeps the pipeline shape testable.
-_unimplemented("GMAIL", "a Gmail API client")
+@register_source("GMAIL")
+def gmail_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Gmail source (ext/gmail/source.go:64-155): list messages by
+    GMAIL__FILTER, fetch each part's attachment, base64url-decode,
+    normalize line endings, convert csv/tsv to string-valued records
+    (first row = header) or read NDJSON, and stamp the attachment
+    filename into GMAIL__FILENAME_COLUMN. The decode chain is real
+    (sources/gmail.py); only the transport is injectable — pass
+    GMAIL__SERVICE implementing list/get/get_attachment (a live Google
+    client is unavailable in this environment). The legacy
+    GMAIL__FETCHER seam (pre-finished records) still works."""
+    from optimus_any2any_spark.sources import gmail as G
+
+    c = cfg.for_component("GMAIL")
+    service = cfg.values.get("GMAIL__SERVICE")
+    if service is None:
+        fetch = cfg.values.get("GMAIL__FETCHER")
+        if fetch is not None:
+            return spark.createDataFrame(fetch())
+        raise NotImplementedError(
+            "GMAIL source requires a Gmail API client; inject "
+            "GMAIL__SERVICE (list/get/get_attachment) to run the decode "
+            "chain, or GMAIL__FETCHER returning records"
+        )
+    records = G.gmail_records(
+        service,
+        query=c.get("filter", ""),
+        filename_column=c.get("filename_column", "__METADATA__filename"),
+        csv_delimiter=c.get("csv_delimiter", ","),
+    )
+    if not records:
+        return spark.range(0).drop("id")
+    return spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in records])
+    )
+
+
+# GA: driver-side fetch → createDataFrame (SURVEY.md §2.1). The Data
+# API RunReport is a flat fetch; the injectable fetcher keeps the
+# pipeline shape testable without live credentials.
 _unimplemented("GA", "a Google Analytics Data API client")
