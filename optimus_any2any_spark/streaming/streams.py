@@ -18,7 +18,7 @@ bounds state size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -220,6 +220,126 @@ def upsert_to_parquet(
         if fs.exists(jpath):
             fs.delete(jpath, True)
         fs.rename(staging, jpath)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def upsert_to_parquet_partitioned(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    ts_col: str,
+    checkpoint: str,
+    n_buckets: int = 64,
+):
+    """Partition-pruned MERGE upsert: the file-level refinement of
+    :func:`upsert_to_parquet` (VERDICT r2 item 6 — the documented
+    Delta/Iceberg MERGE seam, filled with plain parquet).
+
+    The snapshot lives as ``bucket=N`` partition dirs where
+    ``N = md5(key) % n_buckets`` — deterministic, so a key always lives
+    in exactly one partition. Each micro-batch reduces to its latest
+    row per key, computes the AFFECTED bucket set (≤ distinct keys in
+    the batch), reads ONLY those partitions back (partition-pruned
+    scan), anti-joins, unions, and swaps ONLY those bucket dirs.
+    Unchanged partitions are neither read nor written — per-batch IO is
+    proportional to the update footprint, not the table (at 100 TB,
+    raise ``n_buckets`` so bucket size stays near the write-task
+    sweet spot; the same layout serves as the MERGE target for a real
+    lakehouse format).
+
+    Crash-safety contract (same as the snapshot-swap sink): affected
+    buckets stage under ``path__staging`` and bucket swaps begin only
+    after the staging write's ``_SUCCESS`` marker exists. Recovery at
+    batch start: staging WITHOUT the marker is garbage (snapshot
+    intact) and is deleted; staging WITH the marker holds the
+    authoritative new content for its buckets — its swaps are
+    completed first, because a crash between delete and rename means a
+    bucket's only copy is the staged one. The merge itself is
+    idempotent (re-applying a batch to an already-merged bucket yields
+    identical content), so foreachBatch redelivery upgrades to
+    effectively-once.
+    """
+    from pyspark.sql.window import Window
+
+    staging = path + "__staging"
+
+    def bucket_of(col: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 7), 16, 10)
+            .cast("long") % n_buckets
+        ).cast("int")
+
+    def merge(batch: DataFrame, _batch_id: int):
+        spark = batch.sparkSession
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+        # --- recovery (see contract above) ---
+        if fs.exists(jstaging):
+            marker = jvm.org.apache.hadoop.fs.Path(staging + "/_SUCCESS")
+            if fs.exists(marker):
+                for st in fs.listStatus(jstaging):
+                    name = st.getPath().getName()
+                    if not name.startswith("bucket="):
+                        continue
+                    dst = jvm.org.apache.hadoop.fs.Path(path + "/" + name)
+                    if fs.exists(dst):
+                        fs.delete(dst, True)
+                    fs.mkdirs(jpath)
+                    fs.rename(st.getPath(), dst)
+            fs.delete(jstaging, True)
+
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("bucket", bucket_of(F.col(key_col)))
+            .localCheckpoint(eager=True)
+        )
+        affected = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
+        if fs.exists(jpath):
+            current = (
+                spark.read.option("basePath", path)
+                .parquet(*[f"{path}/bucket={b}" for b in affected if
+                           fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}"))])
+                if any(
+                    fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}"))
+                    for b in affected
+                )
+                else None
+            )
+        else:
+            current = None
+        if current is not None:
+            merged = current.join(
+                latest.select(key_col), on=key_col, how="left_anti"
+            ).unionByName(latest)
+        else:
+            merged = latest
+        # stage ONLY the affected buckets, then swap each dir; the
+        # metadata-only renames are the commit
+        merged.localCheckpoint(eager=True).write.partitionBy(
+            "bucket"
+        ).parquet(staging)
+        for b in affected:
+            src = jvm.org.apache.hadoop.fs.Path(f"{staging}/bucket={b}")
+            dst = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.mkdirs(jpath)
+            fs.rename(src, dst)
+        fs.delete(jstaging, True)
 
     return (
         stream.writeStream.foreachBatch(merge)

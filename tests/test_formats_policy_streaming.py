@@ -376,6 +376,136 @@ class TestStreamingUpsert:
         assert first == second and len(second) == 2
 
 
+class TestPartitionedUpsert:
+    """Partition-pruned MERGE upsert (VERDICT r2 item 6): only buckets
+    touched by a batch are rewritten; staged swaps keep the
+    staged-swap sink's crash guarantees."""
+
+    def _run(self, spark, tmp_path, rows, tag):
+        import json
+
+        from optimus_any2any_spark.streaming.streams import (
+            stream_source,
+            upsert_to_parquet_partitioned,
+        )
+
+        src = tmp_path / f"in_{tag}"
+        src.mkdir(exist_ok=True)
+        (src / f"{tag}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+        q = upsert_to_parquet_partitioned(
+            stream_source(
+                spark, str(src), "k string, v string, ts timestamp"
+            ),
+            path=str(tmp_path / "snap"),
+            key_col="k",
+            ts_col="ts",
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+            n_buckets=8,
+        )
+        q.awaitTermination()
+
+    @staticmethod
+    def _snapshot(spark, tmp_path):
+        return {
+            r["k"]: r["v"]
+            for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+        }
+
+    @staticmethod
+    def _bucket_state(tmp_path):
+        import os
+
+        snap = tmp_path / "snap"
+        state = {}
+        for d in sorted(os.listdir(snap)):
+            if not d.startswith("bucket="):
+                continue
+            files = sorted(os.listdir(snap / d))
+            state[d] = [
+                (f, os.stat(snap / d / f).st_mtime_ns) for f in files
+            ]
+        return state
+
+    def test_merge_and_unchanged_partitions_untouched(self, spark, tmp_path):
+        rows1 = [
+            {"k": f"key{i}", "v": "old", "ts": "2024-01-01T00:00:00"}
+            for i in range(16)
+        ]
+        self._run(spark, tmp_path, rows1, "b1")
+        assert self._snapshot(spark, tmp_path) == {
+            f"key{i}": "old" for i in range(16)
+        }
+        before = self._bucket_state(tmp_path)
+        assert len(before) > 2  # keys spread over several buckets
+
+        # batch 2 updates ONE key -> exactly one bucket may change
+        rows2 = [{"k": "key3", "v": "new", "ts": "2024-01-02T00:00:00"}]
+        self._run(spark, tmp_path, rows2, "b2")
+        snap = self._snapshot(spark, tmp_path)
+        assert snap["key3"] == "new"
+        assert sum(1 for v in snap.values() if v == "old") == 15
+
+        after = self._bucket_state(tmp_path)
+        changed = [d for d in before if after.get(d) != before[d]]
+        # the IO assertion: every bucket not holding key3 is untouched
+        # on disk (same files, same mtimes)
+        assert len(changed) == 1, changed
+
+    def test_restart_is_idempotent(self, spark, tmp_path):
+        rows = [
+            {"k": "a", "v": "1", "ts": "2024-01-01T00:00:00"},
+            {"k": "b", "v": "2", "ts": "2024-01-01T00:00:00"},
+        ]
+        self._run(spark, tmp_path, rows, "b1")
+        first = self._snapshot(spark, tmp_path)
+        # same source dir + same checkpoint -> no new input, no change
+        self._run(spark, tmp_path, rows, "b1")
+        second = self._snapshot(spark, tmp_path)
+        assert first == second == {"a": "1", "b": "2"}
+
+    def test_recovery_completes_marked_staging(self, spark, tmp_path):
+        # a crash between bucket delete and rename leaves the bucket's
+        # ONLY copy in a _SUCCESS-marked staging dir — the next batch
+        # must finish the swap before merging
+        import os
+
+        rows = [{"k": "a", "v": "committed", "ts": "2024-01-01T00:00:00"}]
+        self._run(spark, tmp_path, rows, "b1")
+        snap = tmp_path / "snap"
+        staging = tmp_path / "snap__staging"
+        bucket = next(d for d in os.listdir(snap) if d.startswith("bucket="))
+        # simulate the crash: staged new content, snapshot bucket gone
+        (staging / bucket).mkdir(parents=True)
+        for f in os.listdir(snap / bucket):
+            os.rename(snap / bucket / f, staging / bucket / f)
+        os.rmdir(snap / bucket)
+        (staging / "_SUCCESS").write_text("")
+
+        rows2 = [{"k": "zz", "v": "later", "ts": "2024-01-02T00:00:00"}]
+        self._run(spark, tmp_path, rows2, "b2")
+        got = self._snapshot(spark, tmp_path)
+        assert got["a"] == "committed"  # restored from staging
+        assert got["zz"] == "later"
+        assert not staging.exists()
+
+    def test_recovery_discards_unmarked_staging(self, spark, tmp_path):
+        # staging without _SUCCESS is a partial write: the snapshot is
+        # intact, so the garbage must be deleted, never swapped in
+        rows = [{"k": "a", "v": "good", "ts": "2024-01-01T00:00:00"}]
+        self._run(spark, tmp_path, rows, "b1")
+        staging = tmp_path / "snap__staging"
+        (staging / "bucket=0").mkdir(parents=True)
+        (staging / "bucket=0" / "part-junk.parquet").write_text("junk")
+
+        rows2 = [{"k": "b", "v": "2", "ts": "2024-01-02T00:00:00"}]
+        self._run(spark, tmp_path, rows2, "b2")
+        got = self._snapshot(spark, tmp_path)
+        assert got == {"a": "good", "b": "2"}
+        assert not staging.exists()
+
+
 class TestTrendingTopK:
     def test_trending_topk_finalized_windows(self, spark, tmp_path):
         import json
