@@ -116,6 +116,17 @@ def main() -> None:
             sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
         except ValueError:
             sf = None
+        # oracle-only exact baselines (scale_note set) are excluded
+        # from the headline set by construction; surface any that are
+        # registered so the bench output distinguishes scale-path
+        # operators from deliberate O(n²) verifiers
+        oracle_only = {
+            n: q.scale_note
+            for n, q in all_queries().items()
+            if q.scale_note
+        }
+        for n, note in oracle_only.items():
+            print(f"# oracle-only (not benched): {n} — {note}", file=sys.stderr)
         print(
             json.dumps(
                 {
@@ -124,6 +135,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": times,
                     "sf": sf,
+                    "oracle_only": sorted(oracle_only),
                 }
             )
         )

@@ -27,16 +27,33 @@ class Query:
     oracle: str | None = None
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    # non-empty marks a deliberate exact/oracle-only baseline that is
+    # NOT the scale path (e.g. an O(n²) verifier for an approximate
+    # operator) — bench output and the README inventory surface it
+    scale_note: str = ""
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    scale_note: str = "",
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc, bench=bench)
+        REGISTRY[name] = Query(
+            name=name,
+            spark=fn,
+            oracle=oracle,
+            doc=doc,
+            bench=bench,
+            scale_note=scale_note,
+        )
         return fn
 
     return deco

@@ -445,6 +445,8 @@ def text_bpe_token_counts(spark, sf_dir):
     """,
     doc="Brute-force cosine top-5 neighbors (exact baseline; rounded "
     "similarity + id tie-break for determinism).",
+    scale_note="oracle-only exact baseline: O(n²) self-join by design — "
+    "the recall oracle for ann_ivf_topk/ann_lsh_topk, not a scale path",
 )
 def ann_cosine_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
