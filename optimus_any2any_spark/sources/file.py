@@ -138,15 +138,17 @@ class FileSource:
 
     def _read_csv_skip_rows(self) -> DataFrame:
         """skip_rows drops N raw lines per file before parsing
-        (csv2json.go:32-57). Implemented as a per-file positional filter
-        over a text read, then from_csv parsing."""
+        (csv2json.go:32-57): a per-file positional filter over a text
+        read, then from_csv parsing. Positions come from
+        :meth:`_with_file_positions` — per-slice arithmetic, never a
+        per-file Window (VERDICT r2: the Window variant made one
+        multi-GB CSV file one task)."""
         text = (
             self.spark.read.option("recursiveFileLookup", "true")
             .text(self.path)
             .select(F.col("value"), F.input_file_name().alias("__file"))
         )
-        w = Window.partitionBy("__file").orderBy(F.monotonically_increasing_id())
-        text = text.withColumn("__pos", F.row_number().over(w) - 1).filter(
+        text = self._with_file_positions(text).filter(
             F.col("__pos") >= self.skip_rows
         )
         # header = first surviving line (assumed uniform across files)
@@ -170,3 +172,68 @@ class FileSource:
             F.from_csv(F.col("value"), schema_str, {"sep": self.delimiter}).alias("r")
         )
         return parsed.select("r.*")
+
+    @staticmethod
+    def _with_file_positions(text: DataFrame) -> DataFrame:
+        """``__pos`` = 0-based line position within each ``__file``,
+        computed without shuffling the data or funneling a file into
+        one task.
+
+        ``monotonically_increasing_id`` is consecutive within a scan
+        partition, so ``mid - min(mid)`` over each (partition, file)
+        slice is the row's offset inside that slice; slice row-counts
+        prefix-sum into per-file slice starts. Slices of one file are
+        ordered by partition id: Spark plans a file's splits in byte
+        order, and the stable size-descending bin packing keeps
+        equal-size splits in byte order with the smaller tail split
+        last — both preserve per-file pid order. One tiny aggregate
+        job (one row per scan slice) feeds two broadcast maps. If a
+        slice's ids are not consecutive (a future Spark re-packing),
+        the per-file Window fallback keeps correctness (same
+        defensive pattern as metadata.with_record_index)."""
+        marked = text.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__mid", F.monotonically_increasing_id()
+        )
+        stats = (
+            marked.groupBy("__pid", "__file")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("__mid").alias("mn"),
+                F.max("__mid").alias("mx"),
+            )
+            .collect()
+        )
+        consecutive = all(r["mx"] - r["mn"] + 1 == r["n"] for r in stats)
+        if not consecutive:  # pragma: no cover — defensive fallback
+            w = Window.partitionBy("__file").orderBy(
+                F.monotonically_increasing_id()
+            )
+            return text.withColumn("__pos", F.row_number().over(w) - 1)
+        starts: dict[tuple[int, str], int] = {}
+        by_file: dict[str, list] = {}
+        for r in stats:
+            by_file.setdefault(r["__file"], []).append(r)
+        for file, rows in by_file.items():
+            acc = 0
+            for r in sorted(rows, key=lambda r: r["__pid"]):
+                starts[(r["__pid"], file)] = acc
+                acc += r["n"]
+        key = F.concat_ws("|", F.col("__pid").cast("string"), F.col("__file"))
+        start_map = F.create_map(
+            *[
+                x
+                for (pid, file), s in starts.items()
+                for x in (F.lit(f"{pid}|{file}"), F.lit(s))
+            ]
+        )
+        min_map = F.create_map(
+            *[
+                x
+                for r in stats
+                for x in (F.lit(f"{r['__pid']}|{r['__file']}"), F.lit(r["mn"]))
+            ]
+        )
+        return marked.withColumn(
+            "__pos",
+            (start_map[key] + (F.col("__mid") - min_map[key])).cast("long"),
+        ).drop("__pid", "__mid")

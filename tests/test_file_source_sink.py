@@ -69,6 +69,38 @@ class TestFileSource:
         assert df.columns == ["id", "name"]
         assert df.count() == 2
 
+    def test_csv_skip_rows_multifile_and_multisplit(self, spark, tmpdata):
+        """The skip applies PER FILE, and a file larger than
+        maxPartitionBytes (several scan slices) must still drop exactly
+        its first N lines — the shuffle-free slice arithmetic replaced
+        a per-file Window that made one big CSV one task (VERDICT r2)."""
+        d = tmpdata / "many"
+        d.mkdir()
+        big_rows = "".join(f"{i},val{i}\n" for i in range(5000))
+        (d / "big.csv").write_text(f"#junk\n#junk2\nid,name\n{big_rows}")
+        (d / "small.csv").write_text(
+            "#junk\n#junk2\nid,name\n9990001,s1\n9990002,s2\n"
+        )
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        try:
+            df = FileSource(
+                spark,
+                str(d),
+                fmt="csv",
+                skip_rows=2,
+                add_filename=False,
+                add_record_index=False,
+            ).read()
+            got = {(r["id"], r["name"]) for r in df.collect()}
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        expect = {(str(i), f"val{i}") for i in range(5000)} | {
+            ("9990001", "s1"),
+            ("9990002", "s2"),
+        }
+        assert got == expect  # no junk rows, no lost/duplicated lines
+
     def test_tsv_delimiter(self, spark, tmpdata):
         p = tmpdata / "t.tsv"
         p.write_text("a\tb\n1\tx\n")
