@@ -250,22 +250,6 @@ def stdin_source(spark: SparkSession, cfg: Config) -> DataFrame:
     return spark.read.json(spark.sparkContext.parallelize(lines))
 
 
-def _unimplemented(name: str, needs: str):
-    @register_source(name)
-    def stub(spark: SparkSession, cfg: Config) -> DataFrame:  # noqa: ARG001
-        fetch = cfg.values.get(f"{name}__FETCHER")
-        if fetch is not None:
-            rows = fetch()
-            return spark.createDataFrame(rows)
-        raise NotImplementedError(
-            f"{name} source requires {needs}, which is unavailable in this "
-            f"environment; inject {name}__FETCHER returning records to use "
-            "the Spark-side plumbing"
-        )
-
-    return stub
-
-
 @register_source("SF")
 def salesforce_source(spark: SparkSession, cfg: Config) -> DataFrame:
     """Salesforce source (ext/salesforce/source.go:64-151): SOQL query,
@@ -336,7 +320,78 @@ def gmail_source(spark: SparkSession, cfg: Config) -> DataFrame:
     )
 
 
-# GA: driver-side fetch → createDataFrame (SURVEY.md §2.1). The Data
-# API RunReport is a flat fetch; the injectable fetcher keeps the
-# pipeline shape testable without live credentials.
-_unimplemented("GA", "a Google Analytics Data API client")
+def ga_records(client, property_id: str, start_date: str, end_date: str,
+               dimensions: list[str], metrics: list[str],
+               batch_size: int = 1000) -> list[dict]:
+    """Google Analytics RunReport paging loop
+    (ext/googleanalytics/source.go:55-105): limit/offset cursor,
+    rowCount captured from the FIRST response only, each row zipped
+    into {dimensionHeader: value, metricHeader: value} records — every
+    value a string, exactly the Data API's GetValue() shape.
+
+    ``client.run_report(request) -> response`` where request is a dict
+    with property/dateRanges/dimensions/metrics/limit/offset and the
+    response carries rowCount, dimensionHeaders, metricHeaders, rows
+    (each with dimensionValues/metricValues) — the RunReport JSON
+    wire shape, injectable offline."""
+    out: list[dict] = []
+    row_count = -1
+    offset = 0
+    while row_count < 0 or offset < row_count:
+        resp = client.run_report(
+            {
+                "property": f"properties/{property_id}",
+                "dateRanges": [{"startDate": start_date, "endDate": end_date}],
+                "dimensions": [{"name": d} for d in dimensions],
+                "metrics": [{"name": m} for m in metrics],
+                "limit": batch_size,
+                "offset": offset,
+            }
+        )
+        if row_count < 0:
+            row_count = int(resp.get("rowCount", 0))
+        dim_headers = [h["name"] for h in resp.get("dimensionHeaders", [])]
+        met_headers = [h["name"] for h in resp.get("metricHeaders", [])]
+        for row in resp.get("rows", []):
+            rec: dict = {}
+            for name, v in zip(dim_headers, row.get("dimensionValues", [])):
+                rec[name] = v.get("value")
+            for name, v in zip(met_headers, row.get("metricValues", [])):
+                rec[name] = v.get("value")
+            out.append(rec)
+        offset += batch_size
+    return out
+
+
+@register_source("GA")
+def ga_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Google Analytics source (ext/googleanalytics/source.go:55-105):
+    the RunReport limit/offset loop with header-zipped records is real
+    (:func:`ga_records`); only the API client is injectable
+    (GA__CLIENT with .run_report — no live Google service here). The
+    legacy GA__FETCHER seam (finished records) still works."""
+    c = cfg.for_component("GA")
+    client = cfg.values.get("GA__CLIENT")
+    if client is None:
+        fetch = cfg.values.get("GA__FETCHER")
+        if fetch is not None:
+            return spark.createDataFrame(fetch())
+        raise NotImplementedError(
+            "GA source requires a Data API client; inject GA__CLIENT "
+            "(run_report) to exercise the paging/record chain, or "
+            "GA__FETCHER returning records"
+        )
+    records = ga_records(
+        client,
+        property_id=c.get("property_id", ""),
+        start_date=c.get("start_date", ""),
+        end_date=c.get("end_date", ""),
+        dimensions=[d for d in c.get("dimensions", "").split(",") if d],
+        metrics=[m for m in c.get("metrics", "").split(",") if m],
+        batch_size=int(c.get("batch_size", "1000")),
+    )
+    if not records:
+        return spark.range(0).drop("id")
+    return spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in records])
+    )
