@@ -105,6 +105,32 @@ def predicted_lang(col: Column) -> Column:
     return result
 
 
+# PII scrubbing --------------------------------------------------------------
+# Patterns stay inside the RE2-compatible subset (no lookaround, ASCII
+# \b/\d classes) so the DuckDB oracle can run the IDENTICAL regexes —
+# the same portability discipline as the md5 hashing.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+\d{7,15}", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (before any redaction)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind][0]))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its placeholder. Application order
+    is the PII_PATTERNS insertion order (email before phone before
+    ipv4) — fixed, so engines agree when patterns could overlap."""
+    out = col
+    for pattern, placeholder in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
 def fingerprint(col: Column) -> Column:
     """Whole-document fingerprint over whitespace-normalized lowercase
     text (the md5-of-normalized analogue of a rolling hash)."""

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark.queries import register
-from optimus_any2any_spark.queries.util import load
+from optimus_any2any_spark.queries.util import dsum, load, o_dsum
 from optimus_any2any_spark.operators import dedup as D
 from optimus_any2any_spark.operators import similarity as S
 from optimus_any2any_spark.operators import text as TX
@@ -787,6 +787,119 @@ def text_stats(spark, sf_dir):
         TX.avg_word_len(c).alias("avg_word_len"),
         TX.digit_ratio(c).alias("digit_ratio"),
     ).orderBy("doc_id")
+
+
+_PII_EMAIL = TX.PII_PATTERNS["email"][0]
+_PII_PHONE = TX.PII_PATTERNS["phone"][0]
+_PII_IP = TX.PII_PATTERNS["ipv4"][0]
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call +628'
+                  || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                  || ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.' || CAST(doc_id % 250 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """,
+    doc="PII scrubbing: count + redact emails/phones/IPv4s with "
+    "RE2-compatible regexes identical on both engines (no lookaround). "
+    "The synthetic corpus carries no organic PII, so deterministic "
+    "doc_id-derived PII is injected first — counts and redacted text "
+    "are nonzero and oracle-checked. Pure Column regexp ops; at scale "
+    "this is a map-only stage, no shuffle at all.",
+)
+def text_pii_redact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +628"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        TX.pii_count(t, "email").cast("long").alias("n_emails"),
+        TX.pii_count(t, "phone").cast("long").alias("n_phones"),
+        TX.pii_count(t, "ipv4").cast("long").alias("n_ips"),
+        TX.redact_pii(t).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    w AS (
+      SELECT t.doc_id,
+             round(ln(CAST(tf.tf AS DOUBLE) / tot.n), 6) AS lp
+      FROM tok t JOIN tf USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round({o_dsum('lp')} / COUNT(*), 6) AS avg_logprob
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Corpus unigram LM surprisal: per-doc mean log-probability of "
+    "its tokens under the corpus unigram distribution — the classic "
+    "cheap quality/outlier signal (low avg logprob = rare-token-heavy "
+    "docs). The term-frequency table is vocabulary-sized, the total is "
+    "a 1-row broadcast, and the only corpus-scale shuffle is the "
+    "term-key join; per-term logprobs round at 6 and accumulate in "
+    "DECIMAL so the mean is order-independent (bit-exact vs oracle).",
+)
+def text_unigram_logprob(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("tf").cast("double") / F.col("n")), 6
+            ).alias("lp"),
+        )
+    )
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(dsum(F.col("lp")) / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _sql_lang_hits(lang: str) -> str:
