@@ -50,7 +50,7 @@ _TOK = re.compile(
         "(?:[^"\\]|\\.)*"                     # string
       | -?\d+\.\d+ | -?\d+                    # numbers
       | \.\[\]                                # .[]
-      | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\[\d+\]  # .path[idx]
+      | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\[-?\d+\]  # .path[idx]
       | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)* # .path.to.field
       | \.                                    # identity
       | ==|!=|<=|>=|\|\||&&|//
@@ -107,6 +107,10 @@ def _kind_of_dtype(dtype) -> str:
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     ):
         return "complex_num"  # provably integral array: sort/add/+ native
+    if isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType, T.BooleanType
+    ):
+        return "complex_bool"  # provably array<boolean>: any/all native
     if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
         return "complex"
     if isinstance(
@@ -540,10 +544,64 @@ class _ExprParser:
         if name == "length" and not args:
             if kind == "string":
                 return F.length(subject), "int"
-            if kind in ("complex", "complex_str", "complex_num"):
+            if kind in ("complex", "complex_str", "complex_num", "complex_bool"):
                 # jq: null | length == 0 (Spark size(null) is null)
                 return F.coalesce(F.size(subject), F.lit(0)), "int"
             raise JQUnsupported(f"jq: length on kind {kind!r}")
+        if name in ("min", "max") and not args:
+            if kind not in ("complex_str", "complex_num"):
+                raise JQUnsupported(
+                    f"jq: {name} native only on provable string/integral arrays"
+                )
+            elem_kind = "string" if kind == "complex_str" else "int"
+            if name == "max":
+                # null sorts smallest in jq, so max ignores null
+                # elements — exactly array_max's null handling
+                return F.array_max(subject), elem_kind
+            # min: a null ELEMENT is jq's smallest value, so any null
+            # makes the min null — array_min would skip it
+            return (
+                F.when(
+                    F.exists(subject, lambda x: x.isNull()),
+                    F.lit(None),
+                ).otherwise(F.array_min(subject)),
+                elem_kind,
+            )
+        if name in ("first", "last") and not args:
+            if kind not in ("complex_str", "complex_num", "complex_bool"):
+                raise JQUnsupported(
+                    f"jq: {name} native only on provable arrays"
+                )
+            elem_kind = {
+                "complex_str": "string",
+                "complex_num": "int",
+                "complex_bool": "boolean",
+            }[kind]
+            if name == "first":
+                # jq first == .[0]: null on empty — F.get is total
+                return F.get(subject, 0), elem_kind
+            return F.get(subject, F.size(subject) - 1), elem_kind
+        if name in ("any", "all") and not args:
+            if kind != "complex_bool":
+                raise JQUnsupported(
+                    f"jq: {name} native only on provable array<boolean>"
+                )
+            # jq truthiness: null elements are falsy ([true,null]|all is
+            # false, [null]|any is false) — coalesce each element so
+            # Spark's three-valued forall/exists can't yield NULL
+            if name == "any":
+                return (
+                    F.exists(subject, lambda x: F.coalesce(x, F.lit(False))),
+                    "boolean",
+                )
+            return (
+                F.forall(subject, lambda x: F.coalesce(x, F.lit(False))),
+                "boolean",
+            )
+        if name == "tostring" and not args and kind in ("int", "boolean"):
+            # integral and boolean serializations match jq exactly
+            # ("5", "true"); fractional kinds stay on the binary below
+            return subject.cast("string"), "string"
         if name == "join" and len(args) == 1:
             if kind != "complex_str":
                 raise JQUnsupported(
@@ -912,7 +970,7 @@ class _ExprParser:
         from pyspark.sql import types as T
 
         dtype = None
-        idx = re.fullmatch(r"(.*)\[(\d+)\]", tok)
+        idx = re.fullmatch(r"(.*)\[(-?\d+)\]", tok)
         if idx:
             tok = idx.group(1)
         fields = {f.name: f.dataType for f in self.df.schema.fields}
@@ -951,6 +1009,23 @@ class _ExprParser:
             if key not in self.df.columns:
                 return F.lit(False), "boolean"
             return F.col("`" + key + "`").isNotNull(), "boolean"
+        if name == "keys":
+            # keys of the record: sorted names of present fields.
+            # Through the canonical serialization (to_json drops NULL
+            # fields) a NULL value IS an absent key, so filter by
+            # isNotNull — the same relaxation as has().
+            name_or_null = [
+                F.when(F.col("`" + c + "`").isNotNull(), F.lit(c))
+                for c in self.df.columns
+            ]
+            return (
+                F.sort_array(
+                    F.filter(
+                        F.array(*name_or_null), lambda x: x.isNotNull()
+                    )
+                ),
+                "complex_str",
+            )
         args: list[Column] = []
         if self.peek() == "(":
             self.next()
@@ -1011,7 +1086,7 @@ def _path_col(tok: str) -> Column:
     (jq yields null for absent keys; an unresolved Column raises at
     analysis time instead — see _ExprParser.parse_atom)."""
     idx = None
-    m = re.fullmatch(r"(.*)\[(\d+)\]", tok)
+    m = re.fullmatch(r"(.*)\[(-?\d+)\]", tok)
     if m:
         tok, idx = m.group(1), int(m.group(2))
     parts = tok[1:].split(".")
@@ -1021,8 +1096,12 @@ def _path_col(tok: str) -> Column:
     if idx is not None:
         # jq indexing is total: out-of-range and null arrays yield null.
         # F.get is the 0-based NULL-on-invalid accessor (getItem/
-        # element_at throw under ANSI mode, Spark 4's default)
-        col = F.get(col, idx)
+        # element_at throw under ANSI mode, Spark 4's default); a
+        # negative index counts from the end, exactly jq
+        if idx < 0:
+            col = F.get(col, F.size(col) + idx)
+        else:
+            col = F.get(col, idx)
     return col
 
 

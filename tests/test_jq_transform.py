@@ -105,9 +105,18 @@ def test_null_array_elements_match_jq(spark):
         '.[] | {id: .id, j: (.tags | join("-"))}',
         ".[] | {id: .id, s: (.tags | sort)}",
         ".[] | {id: .id, q: (.tags | unique)}",
+        # null is jq's smallest value: min with a null element is null,
+        # max ignores it; first/last surface null elements as-is
+        ".[] | {id: .id, m: (.tags | min), x: (.tags | max)}",
+        ".[] | {id: .id, f: (.tags | first), l: (.tags | last)}",
     ]:
         got = spark_rows(translate_jq(df, program))
-        expect = jq_oracle(program, rows)
+        # strip TOP-LEVEL nulls on both sides (jq emits them, spark_rows
+        # drops them); nulls INSIDE arrays stay and must match
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, rows)
+        ]
         key = lambda d: json.dumps(d, sort_keys=True)
         assert sorted(got, key=key) == sorted(expect, key=key), program
 
@@ -209,11 +218,26 @@ class TestReduceForeachInterpolation:
     subprocess) and match the jq binary bit-for-bit."""
 
     ROWS2 = [
-        {"id": 1, "name": "alice", "tags": ["ab", "c"], "nums": [3, 1, 2]},
-        {"id": 2, "name": None, "tags": [], "nums": []},
-        {"id": 3, "name": "bob", "tags": ["zz", "", "zz"], "nums": [2, 2, 5]},
+        {
+            "id": 1,
+            "name": "alice",
+            "tags": ["ab", "c"],
+            "nums": [3, 1, 2],
+            "flags": [True, None],
+        },
+        {"id": 2, "name": None, "tags": [], "nums": [], "flags": []},
+        {
+            "id": 3,
+            "name": "bob",
+            "tags": ["zz", "", "zz"],
+            "nums": [2, 2, 5],
+            "flags": [False, False],
+        },
     ]
-    SCHEMA2 = "id long, name string, tags array<string>, nums array<long>"
+    SCHEMA2 = (
+        "id long, name string, tags array<string>, nums array<long>, "
+        "flags array<boolean>"
+    )
 
     NATIVE = [
         '.[] | {id: .id, n: (reduce .tags[] as $t (0; . + ($t|length)))}',
@@ -234,6 +258,17 @@ class TestReduceForeachInterpolation:
         '.[] | {id: .id, mi: (.missing + .id)}',
         '.[] | {id: .id, lit: ["x", .name // "y"]}',
         '.[] | select((reduce .nums[] as $x (0; . + $x)) > 5)',
+        # round-3 widening: tostring/min/max/first/last/keys/any/all
+        # and negative indexing
+        '.[] | {id: .id, t: (.id | tostring)}',
+        '.[] | {id: .id, m: (.nums | min), x: (.nums | max)}',
+        '.[] | {id: .id, ms: (.tags | min), xs: (.tags | max)}',
+        '.[] | {id: .id, f: (.tags | first), l: (.tags | last)}',
+        '.[] | {id: .id, fn: (.nums | first), ln: (.nums | last)}',
+        '.[] | {id: .id, k: keys}',
+        '.[] | {id: .id, neg: .tags[-1], neg2: .nums[-2]}',
+        '.[] | {id: .id, a: (.flags | any), al: (.flags | all)}',
+        '.[] | select(.flags | any)',
     ]
 
     @pytest.fixture(scope="class")
