@@ -600,8 +600,14 @@ class _ExprParser:
             )
         if name == "tostring" and not args and kind in ("int", "boolean"):
             # integral and boolean serializations match jq exactly
-            # ("5", "true"); fractional kinds stay on the binary below
-            return subject.cast("string"), "string"
+            # ("5", "true"); null input stringifies to "null" — the
+            # same coalesce as interpolation, keeping the native path
+            # row-identical to the binary fallback. Fractional kinds
+            # stay on the binary below.
+            return (
+                F.coalesce(subject.cast("string"), F.lit("null")),
+                "string",
+            )
         if name == "join" and len(args) == 1:
             if kind != "complex_str":
                 raise JQUnsupported(
@@ -637,7 +643,9 @@ class _ExprParser:
             raise JQUnsupported("jq: tonumber outside the native subset")
         if name == "tostring" and not args:
             if kind == "string":
-                return subject, "string"
+                # null | tostring == "null" in jq (and through the
+                # null-dropping fallback serialization)
+                return F.coalesce(subject, F.lit("null")), "string"
             # numeric tostring diverges on doubles (jq prints 1.0 as
             # "1.0"? no — jq normalizes); keep off the native path
             raise JQUnsupported("jq: tostring on non-string via pipe")
@@ -850,7 +858,11 @@ class _ExprParser:
 
         def step(acc: Column, x: Column) -> Column:
             col, k = body(upd_toks, acc, x)
-            if k not in (init_kind, "unknown"):
+            # an 'unknown' kind (e.g. mixed-kind if/else branches)
+            # must NOT be force-cast: jq would type-error where the
+            # cast silently coerces (or throws under ANSI) — route
+            # those programs to the faithful binary
+            if k != init_kind:
                 raise JQUnsupported(
                     f"jq: {which} update kind {k!r} != accumulator "
                     f"kind {init_kind!r}"
@@ -879,6 +891,10 @@ class _ExprParser:
                 f"jq: foreach extract kind {out_kind!r} outside the "
                 "native subset"
             )
+        # step(s["a"], x) appears twice (accumulator + extract input):
+        # SQL lambdas have no let-binding, but both references are the
+        # SAME expression tree, which Spark's subexpression
+        # elimination evaluates once per row in codegen
         res = F.aggregate(
             arr,
             F.struct(

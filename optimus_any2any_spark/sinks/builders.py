@@ -159,7 +159,11 @@ def jdbc_sink(df: DataFrame, cfg: Config):
             # column list): skip the pre-check, the write itself will
             # surface connectivity errors
             table_columns = None
-    if table_columns is not None:
+    # an EMPTY column list means the destination doesn't exist yet —
+    # typically created by pre_sql (sessionInitStatement), which runs
+    # at write time, AFTER this check; failing here would wedge
+    # create-on-first-run pipelines
+    if table_columns:
         pg.check_schema_validity(list(table_columns), df.columns)
     pre_sql = c.get("pre_sql")
     writer = (

@@ -226,9 +226,19 @@ def http_source(spark: SparkSession, cfg: Config) -> DataFrame:
             with urllib.request.urlopen(req) as resp:  # noqa: S310
                 return resp.read().decode()
 
+    # arity detection up front: wrapping the CALL in try/except
+    # TypeError would swallow TypeErrors raised inside the fetcher
+    # and re-issue the request against a possibly non-idempotent
+    # endpoint
+    import inspect
+
     try:
+        n_params = len(inspect.signature(fetcher).parameters)
+    except (TypeError, ValueError):  # builtins/C callables
+        n_params = 2
+    if n_params >= 2:
         body = fetcher(endpoint, headers)
-    except TypeError:
+    else:
         # legacy single-arg fetcher seam (pre-OAuth2)
         body = fetcher(endpoint)
     lines = [ln for ln in body.splitlines() if ln.strip()]

@@ -191,8 +191,18 @@ class FileSource:
         slice's ids are not consecutive (a future Spark re-packing),
         the per-file Window fallback keeps correctness (same
         defensive pattern as metadata.with_record_index)."""
-        marked = text.withColumn("__pid", F.spark_partition_id()).withColumn(
-            "__mid", F.monotonically_increasing_id()
+        # Pin ONE evaluation: the stats job, the header probe, and the
+        # final parse are separate jobs, and split planning can shift
+        # between jobs (maxSplitBytes derives from defaultParallelism,
+        # which moves under dynamic allocation) — drifted pid/mid
+        # assignments would miss the broadcast-map keys and silently
+        # null every position. localCheckpoint materializes the marked
+        # text (MEMORY_AND_DISK, spillable) so later jobs reuse these
+        # exact partitions.
+        marked = (
+            text.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
         )
         stats = (
             marked.groupBy("__pid", "__file")

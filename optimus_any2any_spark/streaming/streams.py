@@ -201,9 +201,14 @@ def upsert_to_parquet(
             else:
                 fs.delete(staging, True)
         if fs.exists(jpath):
-            current = spark.read.parquet(path)
+            current = spark.read.parquet(path).alias("cur")
+            new_keys = latest.select(key_col).alias("nk")
+            # null-safe key match: a plain equi-anti-join would never
+            # drop a superseded NULL-key row (NULL = NULL is NULL)
             merged = current.join(
-                latest.select(key_col), on=key_col, how="left_anti"
+                new_keys,
+                F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
+                "left_anti",
             ).unionByName(latest)
         else:
             merged = latest
@@ -270,8 +275,13 @@ def upsert_to_parquet_partitioned(
     staging = path + "__staging"
 
     def bucket_of(col: Column) -> Column:
+        # NULL keys hash through a sentinel so they land in a REAL
+        # bucket dir: md5(NULL) is NULL, which would stage rows under
+        # the Hive default-partition dir that the swap loop never
+        # renames — silently dropping every null-key row
+        keyed = F.coalesce(col.cast("string"), F.lit("\x00__NULL_KEY__"))
         return (
-            F.conv(F.substring(F.md5(col.cast("string").cast("binary")), 1, 7), 16, 10)
+            F.conv(F.substring(F.md5(keyed.cast("binary")), 1, 7), 16, 10)
             .cast("long") % n_buckets
         ).cast("int")
 
@@ -282,6 +292,16 @@ def upsert_to_parquet_partitioned(
         jstaging = jvm.org.apache.hadoop.fs.Path(staging)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
+        def swap(src, dst):
+            # Hadoop rename reports failure via its RETURN VALUE; an
+            # unchecked False here would be followed by deleting the
+            # staging dir — destroying the only copy of those rows
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.mkdirs(jpath)
+            if not fs.rename(src, dst):
+                raise IOError(f"bucket swap failed: {src} -> {dst}")
+
         # --- recovery (see contract above) ---
         if fs.exists(jstaging):
             marker = jvm.org.apache.hadoop.fs.Path(staging + "/_SUCCESS")
@@ -290,11 +310,10 @@ def upsert_to_parquet_partitioned(
                     name = st.getPath().getName()
                     if not name.startswith("bucket="):
                         continue
-                    dst = jvm.org.apache.hadoop.fs.Path(path + "/" + name)
-                    if fs.exists(dst):
-                        fs.delete(dst, True)
-                    fs.mkdirs(jpath)
-                    fs.rename(st.getPath(), dst)
+                    swap(
+                        st.getPath(),
+                        jvm.org.apache.hadoop.fs.Path(path + "/" + name),
+                    )
             fs.delete(jstaging, True)
 
         if batch.isEmpty():
@@ -322,8 +341,14 @@ def upsert_to_parquet_partitioned(
         else:
             current = None
         if current is not None:
-            merged = current.join(
-                latest.select(key_col), on=key_col, how="left_anti"
+            cur = current.alias("cur")
+            new_keys = latest.select(key_col).alias("nk")
+            # null-safe match, as in upsert_to_parquet: NULL keys must
+            # supersede like any other key
+            merged = cur.join(
+                new_keys,
+                F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
+                "left_anti",
             ).unionByName(latest)
         else:
             merged = latest
@@ -333,12 +358,10 @@ def upsert_to_parquet_partitioned(
             "bucket"
         ).parquet(staging)
         for b in affected:
-            src = jvm.org.apache.hadoop.fs.Path(f"{staging}/bucket={b}")
-            dst = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}")
-            if fs.exists(dst):
-                fs.delete(dst, True)
-            fs.mkdirs(jpath)
-            fs.rename(src, dst)
+            swap(
+                jvm.org.apache.hadoop.fs.Path(f"{staging}/bucket={b}"),
+                jvm.org.apache.hadoop.fs.Path(f"{path}/bucket={b}"),
+            )
         fs.delete(jstaging, True)
 
     return (
@@ -383,6 +406,14 @@ def trending_topk_to_parquet(
     parquet log carrying the window columns. State stays bounded by the
     watermark exactly as in :func:`windowed_counts`; the per-batch rank
     is a window function over finalized rows only, never the stream.
+
+    Output layout: ``path/batch=<id>`` partition dirs (idempotent
+    per-batch overwrite — at-least-once redelivery rewrites the same
+    dir). Readers of ``path`` therefore see an extra ``batch``
+    partition column; drop it (or read a single batch dir) if the
+    log's provenance isn't wanted. Don't point this sink at a
+    directory holding pre-partitioned flat parquet — partition
+    discovery would reject the mixed layout.
     """
     from pyspark.sql.window import Window
 

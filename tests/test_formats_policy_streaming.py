@@ -490,6 +490,30 @@ class TestPartitionedUpsert:
         assert got["zz"] == "later"
         assert not staging.exists()
 
+    def test_null_key_rows_survive(self, spark, tmp_path):
+        # md5(NULL) is NULL: without the sentinel, null-key rows stage
+        # under the Hive default-partition dir that the swap loop never
+        # renames — and the staging delete would destroy their only
+        # copy (code-review finding)
+        rows = [
+            {"k": None, "v": "nullkey", "ts": "2024-01-01T00:00:00"},
+            {"k": "a", "v": "1", "ts": "2024-01-01T00:00:00"},
+        ]
+        self._run(spark, tmp_path, rows, "b1")
+        snap = {
+            r["k"]: r["v"]
+            for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+        }
+        assert snap == {None: "nullkey", "a": "1"}
+        # and the null key upserts like any other key
+        rows2 = [{"k": None, "v": "updated", "ts": "2024-01-02T00:00:00"}]
+        self._run(spark, tmp_path, rows2, "b2")
+        snap2 = {
+            r["k"]: r["v"]
+            for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+        }
+        assert snap2 == {None: "updated", "a": "1"}
+
     def test_recovery_discards_unmarked_staging(self, spark, tmp_path):
         # staging without _SUCCESS is a partial write: the snapshot is
         # intact, so the garbage must be deleted, never swapped in

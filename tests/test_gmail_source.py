@@ -109,6 +109,14 @@ class TestDecodeChain:
         recs = G.attachment_records("r.csv", b64url("h\rv1\rv2\r"))
         assert recs == [{"h": "v1"}, {"h": "v2"}]
 
+    def test_ragged_csv_row_errors_like_go(self):
+        # encoding/csv returns ErrFieldCount; a silent zip-truncation
+        # would emit structurally valid but wrong records
+        with pytest.raises(ValueError, match="wrong number of fields"):
+            G.attachment_records("r.csv", b64url("a,b\n1,2,3\n"))
+        with pytest.raises(ValueError, match="wrong number of fields"):
+            G.attachment_records("r.csv", b64url("a,b\nonly-one\n"))
+
 
 class TestGmailSourceBuilder:
     def test_dataframe_shape(self, spark, service):

@@ -315,6 +315,33 @@ class TestReduceForeachInterpolation:
         with pytest.raises(JQUnsupported):
             translate_jq(df2, ".[] | {v: foreach .nums[] as $x (0; . + $x)}")
 
+    def test_tostring_null_matches_fallback(self, spark):
+        # null | tostring == "null" through jq AND the null-dropping
+        # fallback serialization — the native path must agree
+        # (code-review finding: NULL.cast(string) stayed NULL)
+        rows = [{"id": 1, "name": "x"}, {"id": None, "name": None}]
+        df = spark.createDataFrame(rows, "id long, name string")
+        program = '.[] | {t: (.id | tostring), s: (.name | tostring)}'
+        got = spark_rows(translate_jq(df, program))
+        canonical = [
+            {k: v for k, v in r.items() if v is not None} for r in rows
+        ]
+        expect = jq_oracle(program, canonical)
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key)
+        assert {"t": "null", "s": "null"} in got
+
+    def test_mixed_kind_update_routes_to_binary(self, spark):
+        # an 'unknown'-kind update body (mixed if/else branches) must
+        # NOT be force-cast — jq type-errors where a cast coerces
+        df = spark.createDataFrame([(1, [1, 2])], "id long, nums array<long>")
+        with pytest.raises(JQUnsupported):
+            translate_jq(
+                df,
+                '.[] | {v: (reduce .nums[] as $x (0; '
+                'if $x > 1 then . + 1 else "s" end))}',
+            )
+
     def test_float_accumulator_stays_on_binary(self, spark):
         # double accumulation prints 5.0 where jq prints 5 — not native
         df = spark.createDataFrame(
