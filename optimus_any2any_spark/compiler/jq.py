@@ -395,30 +395,48 @@ class _ExprParser:
         if not re.fullmatch(r"[A-Za-z_]\w*", name or ""):
             raise JQUnsupported(f"jq: pipe into non-function {name!r}")
         if name == "map":
-            # map(builtin) over a provable array<string>: element-wise
-            # F.transform with the scalar builtin bound to the element.
-            # Only zero-arg string builtins compile (anything fancier —
-            # nested pipes, arithmetic on elements — routes to the
-            # binary).
-            if kind != "complex_str":
+            # map(EXPR) over a provable array: element-wise F.transform
+            # with '.' (and therefore every piped builtin / arithmetic
+            # expression the scalar grammar supports) bound to the
+            # element. map(ascii_upcase)-style bare builtins parse as
+            # a piped application of the builtin to '.'.
+            elem_kind = {
+                "complex_str": "string",
+                "complex_num": "int",
+                "complex_bool": "boolean",
+            }.get(kind)
+            if elem_kind is None:
                 raise JQUnsupported(
-                    "jq: map() native only on provable array<string>"
+                    "jq: map() native only on provable scalar arrays"
                 )
             self.expect("(")
-            inner = self.next()
-            self.expect(")")
-            elem_fns = {
-                "ascii_downcase": F.lower,
-                "ascii_upcase": F.upper,
-                "length": F.length,
-            }
-            if inner not in elem_fns:
+            inner_toks, _ = self._capture_until((")",))
+
+            def elem(x: Column) -> tuple[Column, str]:
+                toks = list(inner_toks)
+                # bare builtin shorthand: map(length) == map(. | length)
+                if len(toks) == 1 and re.fullmatch(
+                    r"[A-Za-z_]\w*", toks[0]
+                ):
+                    toks = [".", "|", toks[0]]
+                return _ExprParser(
+                    toks,
+                    self.df,
+                    {**self.bindings, ".": (x, elem_kind)},
+                ).parse_full()
+
+            _, out_elem_kind = elem(F.get(subject, 0))
+            out_kind = {
+                "string": "complex_str",
+                "int": "complex_num",
+                "boolean": "complex_bool",
+            }.get(out_elem_kind)
+            if out_kind is None:
                 raise JQUnsupported(
-                    f"jq: map({inner}) outside the native subset"
+                    f"jq: map() element kind {out_elem_kind!r} outside "
+                    "the native subset"
                 )
-            fn = elem_fns[inner]
-            out_kind = "complex_num" if inner == "length" else "complex_str"
-            return F.transform(subject, lambda x: fn(x)), out_kind
+            return F.transform(subject, lambda x: elem(x)[0]), out_kind
         lit_args: list[str | None] = []
         col_args: list[Column] = []
         if self.peek() == "(":

@@ -269,6 +269,13 @@ class TestReduceForeachInterpolation:
         '.[] | {id: .id, neg: .tags[-1], neg2: .nums[-2]}',
         '.[] | {id: .id, a: (.flags | any), al: (.flags | all)}',
         '.[] | select(.flags | any)',
+        # map() with full element expressions ('.' bound per element)
+        '.[] | {id: .id, d: (.nums | map(. * 2))}',
+        '.[] | {id: .id, b: (.tags | map(. + "!"))}',
+        '.[] | {id: .id, ln: (.tags | map(length))}',
+        '.[] | {id: .id, ge: (.nums | map(. >= 2))}',
+        '.[] | {id: .id, mu: (.tags | map(ascii_upcase))}',
+        '.[] | {id: .id, mm: (.nums | map(. % 2 == 0))}',
     ]
 
     @pytest.fixture(scope="class")
