@@ -729,10 +729,30 @@ class _ExprParser:
             )
         if t == "[":
             return self.parse_bracket()
+        if t == "{":
+            return self.parse_object_expr()
         # function call: fn(arg) or zero-arg builtins applied via pipe
         if re.fullmatch(r"[A-Za-z_]\w*", t):
             return self.parse_func(t)
         raise JQUnsupported(f"jq: unexpected token {t!r}")
+
+    def parse_object_expr(self) -> tuple[Column, str]:
+        """Object construction in EXPRESSION position → ``F.struct``
+        (nested objects in output records). Field order follows source
+        order, as jq's does; to_json's default null-dropping keeps the
+        serialization consistent with top-level records. The opening
+        '{' is already consumed."""
+        toks, _ = self._capture_until(("}",))
+        entries = _parse_object(["{"] + toks + ["}"])
+        cols = []
+        for e in entries:
+            col, _k = _ExprParser(
+                list(e.expr_toks), self.df, self.bindings
+            ).parse_full()
+            cols.append(col.alias(e.key))
+        if not cols:
+            raise JQUnsupported("jq: empty object literal in expression")
+        return F.struct(*cols), "complex"
 
     def parse_bracket(self) -> tuple[Column, str]:
         """``[ ... ]`` in expression position: the array-collected

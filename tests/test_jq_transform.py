@@ -322,6 +322,24 @@ class TestReduceForeachInterpolation:
         with pytest.raises(JQUnsupported):
             translate_jq(df2, ".[] | {v: foreach .nums[] as $x (0; . + $x)}")
 
+    def test_nested_object_construction(self, spark, df2):
+        # objects in expression position compile to F.struct; nested
+        # null fields serialize explicitly, exactly as jq emits them
+        program = (
+            '.[] | {id: .id, n: {double: (.id * 2), tag0: .tags[0], '
+            'deep: {neg: (0 - .id)}}}'
+        )
+        out = translate_jq(df2, program)
+        got = [r.asDict(recursive=True) for r in out.collect()]
+        canonical = [
+            {k: v for k, v in r.items() if v is not None} for r in self.ROWS2
+        ]
+        expect = jq_oracle(program, canonical)
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key)
+        # field order inside the struct follows source order
+        assert out.schema["n"].dataType.names == ["double", "tag0", "deep"]
+
     def test_tostring_null_matches_fallback(self, spark):
         # null | tostring == "null" through jq AND the null-dropping
         # fallback serialization — the native path must agree
