@@ -53,8 +53,8 @@ _TOK = re.compile(
       | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\[-?\d+\]  # .path[idx]
       | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)* # .path.to.field
       | \.                                    # identity
-      | ==|!=|<=|>=|\|\||&&|//
-      | [|+\-*/%<>(){}:,;\[\]]
+      | ==|!=|<=|>=|\|\||&&|//=|//|\|=|\+=|-=|\*=|/=|%=
+      | [|+\-*/%<>(){}:,;=\[\]]
       | \$[A-Za-z_][\w]*
       | [A-Za-z_][\w]*
     )
@@ -1282,6 +1282,55 @@ def translate_jq(df: DataFrame, program: str) -> DataFrame:
     return out
 
 
+_ASSIGN_OPS = ("=", "|=", "+=", "-=", "*=", "/=", "%=", "//=")
+
+
+def _apply_assignment(df: DataFrame, toks: list[str]) -> DataFrame:
+    """``.field OP expr`` stage → column replacement (jq assignment,
+    the pervasive enrich-one-key idiom). Top-level paths only — a
+    nested path would need a struct rebuild and routes to the binary.
+
+    Semantics per jq: ``.a = E`` evaluates E against the WHOLE record;
+    ``.a |= F`` pipes the OLD value through F (``.a = (.a | F)``);
+    the arithmetic forms desugar to ``.a = .a OP (E)``. A replaced
+    key keeps its position, a new key appends — matching the merge
+    rules in the term path below."""
+    target_tok, op, rhs = toks[0], toks[1], toks[2:]
+    target = target_tok[1:]
+    if "." in target or "[" in target:
+        raise JQUnsupported(f"jq: nested assignment path {target_tok}")
+    if not rhs:
+        raise JQUnsupported("jq: assignment without a right-hand side")
+    if op == "=":
+        col = _ExprParser(list(rhs), df).parse()
+    elif op == "|=":
+        # the update filter is parsed with '.' bound to the OLD value;
+        # expression-shaped filters ('(. + 1)', 'length'-via-pipe
+        # inside parens) compile, bare-filter pipelines route to the
+        # binary through JQUnsupported as usual
+        probe = _ExprParser([], df)
+        if target in df.columns:
+            binding = {
+                ".": (_path_col(target_tok), probe._path_kind(target_tok))
+            }
+        else:
+            binding = {".": (F.lit(None), "null")}
+        col = _ExprParser(list(rhs), df, binding).parse()
+    else:
+        # arithmetic/alternative update: .a OP= E  ==  .a = .a op (E)
+        col = _ExprParser(
+            [target_tok, op[:-1], "("] + list(rhs) + [")"], df
+        ).parse()
+    if target in df.columns:
+        return df.select(
+            *[
+                col.alias(c) if c == target else F.col("`" + c + "`")
+                for c in df.columns
+            ]
+        )
+    return df.select("*", col.alias(target))
+
+
 def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     # select(expr)
     if toks[0] == "select" and toks[1] == "(" and toks[-1] == ")":
@@ -1289,6 +1338,15 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
         return df.filter(cond)
     if toks == ["."]:
         return df
+    # assignment: .field OP expr (never valid inside the additive-term
+    # grammar below, so detect it first)
+    if (
+        len(toks) >= 3
+        and toks[0].startswith(".")
+        and toks[0] != "."
+        and toks[1] in _ASSIGN_OPS
+    ):
+        return _apply_assignment(df, toks)
     # additive combination: term (+ term)* where term ∈ {del(...), {...}, .}
     terms = _split_top(toks, "+")
     dropped: list[str] = []

@@ -276,6 +276,15 @@ class TestReduceForeachInterpolation:
         '.[] | {id: .id, ge: (.nums | map(. >= 2))}',
         '.[] | {id: .id, mu: (.tags | map(ascii_upcase))}',
         '.[] | {id: .id, mm: (.nums | map(. % 2 == 0))}',
+        # assignment stages (jq's enrich-one-key idiom)
+        ".[] | .id = 99 | {id}",
+        ".[] | .id += 5 | {id}",
+        ".[] | .id *= 2 | {id}",
+        ".[] | .bonus = (.id * 3)",
+        '.[] | .name |= (. + "!")',
+        '.[] | .name //= "anon"',
+        '.[] | .marker = "u-\\(.id)" | {id, marker}',
+        ".[] | .total = (reduce .nums[] as $x (0; . + $x)) | {id, total}",
     ]
 
     @pytest.fixture(scope="class")
