@@ -529,3 +529,83 @@ class TestSmtpStorageModes:
         (email,) = sent
         assert set(email["attachments"]) == {"mon.json", "tue.json"}
         assert json.loads(email["attachments"]["mon.json"])["v"] == 1
+
+
+class TestApiSourcePipelines:
+    """End-to-end Pipeline runs over the round-3 API sources: the
+    decode chains feed the normal source → JQ → sink flow."""
+
+    def test_gmail_to_file_with_jq(self, spark, tmp_path):
+        import base64
+
+        class Store:
+            def list(self, query):
+                return ["m1"]
+
+            def get(self, msg_id):
+                return {
+                    "parts": [
+                        {"filename": "rows.csv", "attachment_id": "a1"}
+                    ]
+                }
+
+            def get_attachment(self, msg_id, attachment_id):
+                return base64.urlsafe_b64encode(
+                    b"id,grade\r\n1,good\r\n2,bad\r\n3,good\r\n"
+                ).decode()
+
+        out = tmp_path / "out.json"
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__DESTINATION_URI=file://{out}",
+                'JQ__QUERY=.[] | select(.grade == "good")',
+            ],
+            environ={},
+        )
+        cfg.values["GMAIL__SERVICE"] = Store()
+        Pipeline(spark, "GMAIL", ["FILE"], cfg).run()
+        rows = [json.loads(l) for l in open(out)]
+        assert {r["id"] for r in rows} == {"1", "3"}  # csv values: strings
+        # sinks strip metadata columns (reference: RecordWithoutMetadata)
+        assert all("__METADATA__filename" not in r for r in rows)
+
+    def test_ga_to_file(self, spark, tmp_path):
+        class Client:
+            def run_report(self, req):
+                return {
+                    "rowCount": 2,
+                    "dimensionHeaders": [{"name": "country"}],
+                    "metricHeaders": [{"name": "sessions"}],
+                    "rows": [
+                        {
+                            "dimensionValues": [{"value": "ID"}],
+                            "metricValues": [{"value": "7"}],
+                        },
+                        {
+                            "dimensionValues": [{"value": "SG"}],
+                            "metricValues": [{"value": "3"}],
+                        },
+                    ][req["offset"] : req["offset"] + req["limit"]],
+                }
+
+        out = tmp_path / "out.json"
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__DESTINATION_URI=file://{out}",
+                "GA__PROPERTY_ID=1",
+                "GA__START_DATE=2024-01-01",
+                "GA__END_DATE=2024-01-31",
+                "GA__DIMENSIONS=country",
+                "GA__METRICS=sessions",
+            ],
+            environ={},
+        )
+        cfg.values["GA__CLIENT"] = Client()
+        Pipeline(spark, "GA", ["FILE"], cfg).run()
+        rows = sorted(
+            (json.loads(l) for l in open(out)), key=lambda r: r["country"]
+        )
+        assert [(r["country"], r["sessions"]) for r in rows] == [
+            ("ID", "7"),
+            ("SG", "3"),
+        ]
