@@ -93,6 +93,15 @@ _PROGRAMS = st.sampled_from(
         '.[] | {v: (null + .age)}',
         '.[] | {v: (.missing + .age)}',
         '.[] | {lit: ["k", .name // "d"]}',
+        # assignment stages, map() expressions, nested objects
+        ".[] | .age += 1",
+        ".[] | .age = (.id * 2)",
+        '.[] | .name //= "anon"',
+        '.[] | {m: (.tags | map(. + "s"))}',
+        ".[] | {ml: (.tags | map(length))}",
+        ".[] | {o: {i: .id, t: .tags}}",
+        '.[] | {mn: (.tags | min), mx: (.tags | max)}',
+        '.[] | {k: keys}',
     ]
 )
 
@@ -146,7 +155,10 @@ def _norm(rows: list[dict]) -> list[str]:
 
 def _run_native(spark, rows: list[dict], program: str) -> list[dict]:
     df = spark.createDataFrame(rows, _SCHEMA)
-    return [r.asDict() for r in translate_jq(df, program).collect()]
+    # recursive: nested-object programs return struct columns
+    return [
+        r.asDict(recursive=True) for r in translate_jq(df, program).collect()
+    ]
 
 
 @settings(

@@ -118,6 +118,14 @@ class TestJoinStrategy:
         assert "TakeOrderedAndProject" in r.text, r.text
         assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
 
+    def test_unigram_logprob_total_broadcast(self, spark):
+        # the corpus token total must attach as a 1-row broadcast
+        # (constant-size, like q11's threshold), never a shuffle; the
+        # only corpus-scale exchange is the term-key join
+        r = report(spark, "text_unigram_logprob")
+        assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1, r.text
+        assert "CartesianProduct" not in r.text, r.text
+
     def test_mutual_topk_no_corpus_self_join(self, spark):
         # VERDICT r2 item 3: the mutual-kNN inner top-k is IVF now — the
         # only nested loops allowed are the 64-row centroid broadcast
