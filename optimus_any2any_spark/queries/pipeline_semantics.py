@@ -364,3 +364,44 @@ def q_doc_length_histogram(spark, sf_dir):
         )
         .orderBy("bucket_lo")
     )
+
+
+@register(
+    "q_jq_native_program",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    f AS (SELECT * FROM w WHERE len(words) >= 5)
+    SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS n,
+           upper(words[1]) AS caps,
+           CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+             AS total_len
+    FROM f
+    ORDER BY doc_id
+    """,
+    doc="The round-3 native jq constructs as ONE compiled program "
+    "through the oracle gate: assignment stages (.n = ..., an "
+    "interpolated .marker), select over the assigned field, map() "
+    "with a piped builtin, first, and a reduce fold — all Catalyst "
+    "(compiler/jq.py), no jq binary, verified value-exact against "
+    "the SQL re-expression.",
+)
+def q_jq_native_program(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+    from optimus_any2any_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens(F.col("text")).alias("words")
+    )
+    prog = (
+        '.[] | .n = (.words | length) '
+        '| .marker = "d-\\(.doc_id)" '
+        "| select(.n >= 5) "
+        "| {doc_id, lang, n, "
+        "caps: (.words | map(ascii_upcase) | first), "
+        "total_len: (reduce .words[] as $w (0; . + ($w | length)))}"
+    )
+    return translate_jq(d, prog).orderBy("doc_id")

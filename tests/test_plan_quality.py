@@ -118,6 +118,13 @@ class TestJoinStrategy:
         assert "TakeOrderedAndProject" in r.text, r.text
         assert "BroadcastNestedLoopJoin" in r.text or r.num_broadcast_joins >= 1
 
+    def test_jq_native_program_stays_jvm_side(self, spark):
+        # the composite jq program (assignment/interpolation/map/
+        # reduce) must compile to Catalyst — a Python batch operator
+        # in this plan means a construct silently fell back
+        r = report(spark, "q_jq_native_program")
+        assert "MapInPandas" not in r.text and "mapInPandas" not in r.text
+
     def test_unigram_logprob_total_broadcast(self, spark):
         # the corpus token total must attach as a 1-row broadcast
         # (constant-size, like q11's threshold), never a shuffle; the
