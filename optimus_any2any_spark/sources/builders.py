@@ -266,22 +266,50 @@ def salesforce_source(spark: SparkSession, cfg: Config) -> DataFrame:
     then the NextRecordsURL token chain — one sequential discovery
     request, remaining pages fetched concurrently (here: one Spark
     partition per computed page URL via the ``sf_chain`` DataSource).
-    SF__HOST is the query endpoint (file:// = offline protocol fake);
-    SF__SCHEMA is required (no live describe call in this environment).
-    Falls back to the injectable SF__FETCHER stub without a host."""
+
+    With SF__USER/SF__PASS (+ optional SF__TOKEN) set, the reference's
+    SOAP partner login runs first (ext/salesforce/client.go:29-38,
+    simpleforce LoginPassword: password+token concatenated, sessionId
+    from the response envelope) and every REST page carries
+    ``Authorization: Bearer <sessionId>``; the query endpoint derives
+    from SF__HOST + SF__API_VERSION, with SF__INCLUDE_DELETED
+    switching query→queryAll (source.go:67). Without credentials,
+    SF__HOST is used verbatim (file:// = offline protocol fake).
+    SF__SCHEMA is required (no live describe call in this
+    environment). Falls back to the injectable SF__FETCHER stub
+    without a host."""
     c = cfg.for_component("SF")
     if c.get("host"):
-        from optimus_any2any_spark.sources import paged_api
+        from optimus_any2any_spark.sources import paged_api, sf_auth
 
         paged_api.register(spark)
         soql = c.get("soql", "")
         if not soql and c.get("soql_file_path"):
             soql = open(c["soql_file_path"]).read()
+        headers: dict[str, str] = {}
+        url = c["host"]
+        if c.get("user"):
+            session_id = sf_auth.soap_login(
+                c["host"],
+                c["user"],
+                c.get("pass", ""),
+                c.get("token", ""),
+                api_version=c.get("api_version", sf_auth.DEFAULT_API_VERSION),
+                transport=cfg.values.get("SF__LOGIN_TRANSPORT"),
+            )
+            headers["Authorization"] = f"Bearer {session_id}"
+            url = sf_auth.query_url(
+                c["host"],
+                api_version=c.get("api_version", sf_auth.DEFAULT_API_VERSION),
+                include_deleted=c.get("include_deleted", "").lower()
+                in ("1", "true", "yes"),
+            )
         return (
             spark.read.format("sf_chain")
             .schema(c["schema"])
-            .option("url", c["host"])
+            .option("url", url)
             .option("soql", soql)
+            .option("headers", json.dumps(headers))
             .load()
         )
     fetch = cfg.values.get("SF__FETCHER")

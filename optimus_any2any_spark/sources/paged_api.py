@@ -139,15 +139,17 @@ class PagedApiDataSource(DataSource):
         return PagedApiReader(schema, self.options)
 
 
-def _fetch_json(url: str) -> dict:
+def _fetch_json(url: str, headers: dict | None = None) -> dict:
     """GET a JSON document. file:// is the offline protocol stand-in
-    (tests); http(s):// is the live path. Self-contained for executors."""
+    (tests); http(s):// is the live path. Self-contained for executors.
+    ``headers`` carries the Salesforce session Bearer token."""
     if url.startswith("file://"):
         with open(url[len("file://"):], "r", encoding="utf-8") as f:
             return json.load(f)
     import urllib.request
 
-    with urllib.request.urlopen(url) as resp:  # noqa: S310
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req) as resp:  # noqa: S310
         return json.loads(resp.read().decode())
 
 
@@ -171,6 +173,7 @@ class SalesforceChainReader(DataSourceReader):
         self.schema_ = schema
         self.url = options.get("url", "")
         self.soql = options.get("soql", "")
+        self.headers = json.loads(options.get("headers", "{}") or "{}")
 
     def _initial_url(self) -> str:
         if self.url.startswith("file://") or not self.soql:
@@ -181,7 +184,7 @@ class SalesforceChainReader(DataSourceReader):
         return f"{self.url}{sep}q={urllib.parse.quote(self.soql)}"
 
     def partitions(self) -> list[InputPartition]:
-        first = _fetch_json(self._initial_url())
+        first = _fetch_json(self._initial_url(), self.headers)
         records = first.get("records", [])
         total = int(first.get("totalSize", len(records)))
         next_url = first.get("nextRecordsUrl", "") or ""
@@ -198,7 +201,7 @@ class SalesforceChainReader(DataSourceReader):
         records = (
             partition.records
             if partition.url is None
-            else _fetch_json(partition.url).get("records", [])
+            else _fetch_json(partition.url, self.headers).get("records", [])
         )
         for rec in records:
             yield tuple(rec.get(f) for f in fields)
