@@ -1347,6 +1347,43 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
         and toks[1] in _ASSIGN_OPS
     ):
         return _apply_assignment(df, toks)
+    # fan-out: `.items[]` as a whole stage emits each ELEMENT as its
+    # own record (jq array iteration). Relationally: explode. Only
+    # array<struct> elements keep the record-as-object model (scalar
+    # elements would emit bare values — binary path); jq ERRORS on
+    # iterating null, and explode's drop-null/empty rows is the total
+    # relaxation consistent with the rest of the subset.
+    if len(toks) == 3 and toks[0].startswith(".") and toks[1:] == ["[", "]"]:
+        from pyspark.sql import types as T
+
+        ptok = toks[0]
+        root = ptok[1:].split(".")[0]
+        if root not in df.columns:
+            raise JQUnsupported(
+                f"jq: iterating absent column {root!r} (jq errors)"
+            )
+        dtype = None
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        for part in ptok[1:].split("."):
+            if fields is None or part not in fields:
+                raise JQUnsupported(f"jq: fan-out path {ptok} unresolvable")
+            dtype = fields[part]
+            fields = (
+                {f.name: f.dataType for f in dtype.fields}
+                if isinstance(dtype, T.StructType)
+                else None
+            )
+        if not (
+            isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)
+        ):
+            raise JQUnsupported(
+                f"jq: fan-out over non-object array {ptok} (bare scalar "
+                "records) outside the native subset"
+            )
+        return df.select(F.explode(_path_col(ptok)).alias("__e")).select(
+            "__e.*"
+        )
     # additive combination: term (+ term)* where term ∈ {del(...), {...}, .}
     terms = _split_top(toks, "+")
     dropped: list[str] = []

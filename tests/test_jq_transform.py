@@ -331,6 +331,33 @@ class TestReduceForeachInterpolation:
         with pytest.raises(JQUnsupported):
             translate_jq(df2, ".[] | {v: foreach .nums[] as $x (0; . + $x)}")
 
+    def test_array_fanout_stage(self, spark):
+        # `.items[]` as a stage emits each element object as a record
+        rows = [
+            {
+                "oid": 1,
+                "items": [
+                    {"sku": "a", "qty": 2},
+                    {"sku": "b", "qty": 1},
+                ],
+            },
+            {"oid": 2, "items": [{"sku": "c", "qty": 5}]},
+            {"oid": 3, "items": []},
+        ]
+        df = spark.createDataFrame(
+            rows, "oid long, items array<struct<sku:string,qty:long>>"
+        )
+        program = '.[] | .items[] | select(.qty > 1) | {sku, double: (.qty * 2)}'
+        got = spark_rows(translate_jq(df, program))
+        expect = jq_oracle(program, rows)
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key)
+        assert {r["sku"] for r in got} == {"a", "c"}
+        # scalar-element fan-out emits bare values: binary path
+        df2 = spark.createDataFrame([(1, ["x"])], "id long, t array<string>")
+        with pytest.raises(JQUnsupported):
+            translate_jq(df2, ".[] | .t[]")
+
     def test_nested_object_construction(self, spark, df2):
         # objects in expression position compile to F.struct; nested
         # null fields serialize explicitly, exactly as jq emits them
