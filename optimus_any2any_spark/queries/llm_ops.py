@@ -2531,3 +2531,142 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(20)
     )
+
+
+# Embedding-space clustering --------------------------------------------------
+
+_KM_K = 8
+
+# Lloyd-round CTE chain shared by the kmeans queries: deterministic
+# md5-seeded init -> assign (round 1) -> decimal-exact mean recompute ->
+# assign (round 2). Mirrors operators/clustering.py bit-for-bit: rounded
+# cosine with cluster tie-breaks, DECIMAL(38,12) element sums, one
+# double division.
+_SQL_KMEANS = f"""
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    seeds AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+               AS cluster,
+             e AS cv
+      FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_KM_K}
+    ),
+    c0 AS (SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM seeds),
+    s1 AS (
+      SELECT n.vec_id, n.e, c.cluster,
+             round(list_dot_product(n.e, c.cv) / (n.nrm * c.cnrm), 6) AS sim
+      FROM n CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, e, cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+        FROM s1
+      ) t WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cluster, p.pos,
+             CAST(SUM(CAST(e[p.pos] AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS mv
+      FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+      GROUP BY cluster, p.pos
+    ),
+    c1pre AS (
+      SELECT cluster, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY cluster
+    ),
+    c1 AS (
+      SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1pre
+    ),
+    s2 AS (
+      SELECT n.vec_id, c.cluster,
+             round(list_dot_product(n.e, c.cv) / (n.nrm * c.cnrm), 6) AS sim
+      FROM n CROSS JOIN c1 c
+    ),
+    a2 AS (
+      SELECT vec_id, cluster, sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+        FROM s2
+      ) t WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH {_SQL_KMEANS}
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, sim AS centroid_sim
+    FROM a2 ORDER BY vec_id
+    """,
+    doc="Distributed Lloyd's k-means (2 rounds, k=8) over the embedding "
+    "corpus — the trainer behind a real IVF coarse quantizer and the "
+    "bucketing step SemDeDup prescribes (Abbas et al. 2023 §3). "
+    "Assignment is map-only (broadcast k-row centroids); recompute "
+    "shuffles only k*dim DECIMAL partial-sum cells, so the corpus is "
+    "never exchanged. Exact-decimal means make the iteration "
+    "partition-layout-independent — verified here by a DuckDB oracle "
+    "running the identical rounds.",
+    bench=True,
+)
+def embedding_kmeans(spark, sf_dir):
+    from optimus_any2any_spark.operators.clustering import kmeans_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=_KM_K, iterations=2).orderBy("vec_id")
+
+
+@register(
+    "kmeans_cluster_profile",
+    oracle=f"""
+    WITH {_SQL_KMEANS},
+    lbl AS (
+      SELECT a2.cluster, a2.sim, emb.label
+      FROM a2 JOIN embeddings emb USING (vec_id)
+    ),
+    stats AS (
+      SELECT cluster,
+             CAST(COUNT(*) AS BIGINT) AS size,
+             round(CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_sim,
+             MIN(sim) AS min_sim
+      FROM lbl GROUP BY cluster
+    ),
+    lc AS (
+      SELECT cluster, label AS lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lbl GROUP BY cluster, label
+    ),
+    top AS (
+      SELECT cluster, lbl AS majority_label, cnt AS majority_count FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cluster ORDER BY cnt DESC, lbl) AS rn
+        FROM lc
+      ) t WHERE rn = 1
+    )
+    SELECT CAST(s.cluster AS INT) AS cluster, s.size, s.mean_sim, s.min_sim,
+           top.majority_label, top.majority_count
+    FROM stats s JOIN top USING (cluster)
+    ORDER BY cluster
+    """,
+    doc="Per-cluster curation report over the k-means assignment: size, "
+    "mean/min centroid similarity (cluster tightness — SemDeDup prunes "
+    "loose clusters first) and majority-label purity. One extra k-row "
+    "aggregate on top of embedding_kmeans; the corpus is read once.",
+)
+def kmeans_cluster_profile(spark, sf_dir):
+    from optimus_any2any_spark.operators.clustering import (
+        kmeans_cluster_profile as profile,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        profile(e, label_col="label", k=_KM_K, iterations=2)
+        .withColumn("cluster", F.col("cluster").cast("int"))
+        .orderBy("cluster")
+    )

@@ -1,0 +1,78 @@
+"""Distributed k-means (operators/clustering.py): semantics, partition
+invariance, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_cluster_profile,
+)
+from optimus_any2any_spark.plans import plan_report
+from optimus_any2any_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+
+def _blobs(spark):
+    """Two well-separated direction blobs on the unit circle axes."""
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 5) * 0.01, 0.1 * (i % 3)]))
+    for i in range(20, 40):
+        rows.append((i, [0.1 * (i % 3), 10.0 + (i % 5) * 0.01]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+class TestKMeansSemantics:
+    def test_separated_blobs_land_in_distinct_clusters(self, spark):
+        out = kmeans_assign(_blobs(spark), k=2, iterations=3).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        assert len(by_cluster) == 2
+        groups = sorted(by_cluster.values(), key=min)
+        assert groups[0] == set(range(20))
+        assert groups[1] == set(range(20, 40))
+
+    def test_assignment_total_and_unique(self, spark):
+        out = kmeans_assign(_blobs(spark), k=4, iterations=2)
+        assert out.count() == 40
+        assert out.select("vec_id").distinct().count() == 40
+
+    def test_partition_layout_invariance(self, spark):
+        """DECIMAL means + rounded sims: 1 partition and 7 partitions
+        must produce byte-identical assignments."""
+        df = _blobs(spark)
+        a = sorted(
+            kmeans_assign(df.repartition(1), k=3, iterations=2).collect()
+        )
+        b = sorted(
+            kmeans_assign(df.repartition(7), k=3, iterations=2).collect()
+        )
+        assert a == b
+
+    def test_profile_majority_label(self, spark):
+        df = _blobs(spark).withColumn(
+            "label",
+            F.when(F.col("vec_id") < 20, F.lit("x")).otherwise(F.lit("y")),
+        )
+        prof = kmeans_cluster_profile(
+            df, label_col="label", k=2, iterations=3
+        ).collect()
+        assert {r.majority_label for r in prof} == {"x", "y"}
+        for r in prof:
+            assert r.majority_count == 20 and r.size == 20
+            assert r.min_sim <= r.mean_sim
+
+
+class TestKMeansPlan:
+    def test_no_corpus_sortmerge_join_and_pruned_scan(self, spark):
+        """Assignment must stay a broadcast of the k-row centroid table;
+        a SortMergeJoin would mean the corpus is being shuffled to meet
+        the centroids. The embeddings scan must not read `label`."""
+        q = all_queries()["embedding_kmeans"]
+        r = plan_report(q.spark(spark, SF_DIR))
+        assert r.num_sortmerge_joins == 0, r.text
+        for cols in r.scan_columns():
+            assert "label" not in cols
