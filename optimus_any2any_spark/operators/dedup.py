@@ -664,3 +664,62 @@ def minhash_estimate_vs_exact(
         )
         .select("doc_a", "doc_b", "est_jaccard", "jaccard", "abs_err")
     )
+
+
+def span_exact_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact substring-span duplication statistics (the hash analogue of
+    Lee et al. 2022, arXiv:2107.06499 §3.1 ExactSubstr: spans repeated
+    anywhere in the corpus are training-data duplication even when whole
+    documents differ).
+
+    Every overlapping word ``n``-gram OCCURRENCE (multiplicity kept —
+    within-doc repeats count, unlike the shingle set ops above) maps to
+    a fixed-width md5 key; a span is *duplicated* when its corpus-wide
+    occurrence count exceeds 1. Per doc: total spans, duplicated-span
+    occurrences, duplicated fraction, and a flag at ``threshold``.
+
+    Scale shape: the gram expansion is a per-row transform (no
+    shuffle); the plan then shuffles twice on the 16-byte span key
+    (count, then the hit-marker join back — AQE broadcasts the
+    duplicated-key side when it is small) and once on ``id`` for the
+    per-doc aggregate. Key width is md5-fixed, so span length ``n``
+    changes compute, not shuffle bytes.
+    """
+    from optimus_any2any_spark.operators.text import ngram_rows
+
+    spans = ngram_rows(df, text_col, id_col, n=n).select(
+        "id", F.md5(F.col("gram").cast("binary")).alias("h")
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = counts.filter(F.col("cnt") > 1).select(
+        "h", F.lit(1).alias("_dup")
+    )
+    marked = spans.join(dup, "h", "left")
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(
+            F.when(F.col("_dup").isNotNull(), 1).otherwise(0)
+        ).alias("dup_spans"),
+    )
+    frac = F.round(
+        F.col("dup_spans").cast("double") / F.col("n_spans"), 4
+    )
+    return (
+        per_doc.filter(F.col("dup_spans") > 0)
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "dup_spans",
+            frac.alias("dup_frac"),
+            (
+                F.col("dup_spans").cast("double") / F.col("n_spans")
+                >= threshold
+            ).alias("flagged"),
+        )
+    )

@@ -2670,3 +2670,101 @@ def kmeans_cluster_profile(spark, sf_dir):
         .withColumn("cluster", F.col("cluster").cast("int"))
         .orderBy("cluster")
     )
+
+
+# Exact substring-span dedup + hashed linear quality ---------------------------
+
+_SPAN_N = 6
+_SPAN_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_span_exact",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, md5(gram) AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_SPAN_N - 2}),
+                      i -> array_to_string(t[i:i+{_SPAN_N - 1}], ' '))) AS gram
+        FROM tok WHERE len(t) >= {_SPAN_N}
+      )
+    ),
+    cnt AS (SELECT h, COUNT(*) AS c FROM sp GROUP BY h),
+    dup AS (SELECT h FROM cnt WHERE c > 1),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COUNT(*) FILTER (h IN (SELECT h FROM dup)) AS BIGINT)
+               AS dup_spans
+      FROM sp GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, dup_spans,
+           round(CAST(dup_spans AS DOUBLE) / n_spans, 4) AS dup_frac,
+           CAST(dup_spans AS DOUBLE) / n_spans >= {_SPAN_THRESHOLD} AS flagged
+    FROM per WHERE dup_spans > 0
+    ORDER BY doc_id
+    """,
+    doc="Exact substring-span duplication (Lee et al. 2022, "
+    "arXiv:2107.06499 ExactSubstr, hashed form): word 6-gram "
+    "occurrences (multiplicity kept) keyed by md5; a span repeated "
+    "anywhere in the corpus marks every occurrence. Per-doc duplicated "
+    "fraction + threshold flag. Two shuffles on the fixed-width span "
+    "key, one per-doc aggregate — span length changes compute, never "
+    "shuffle bytes.",
+    bench=True,
+)
+def dedup_span_exact(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.span_exact_stats(
+        d, n=_SPAN_N, threshold=_SPAN_THRESHOLD
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_linear",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(t, tk ->
+                   ((list_reduce(
+                       list_transform(range(1, 8),
+                         p -> CAST(strpos('0123456789abcdef',
+                                          substr(md5(tk), p, 1)) - 1
+                              AS BIGINT)),
+                       (a, b) -> a * 16 + b) % 512)
+                    * 2654435761) % 2001 - 1000)),
+               (a, b) -> a + b) AS weight_sum
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, weight_sum,
+           round(CAST(weight_sum AS DOUBLE) / (1000.0 * n_tokens), 6)
+             AS score
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="fastText-style linear quality classifier over hashed "
+    "bag-of-words features: token -> 28-bit md5 bucket (mod 512) -> "
+    "deterministic integer weight, doc score = mean weight. The "
+    "production shape (hash features + broadcast weights + in-row dot "
+    "product) with a stand-in weight table; pure Column fold — zero "
+    "shuffles, zero Python, linear in bytes scanned.",
+)
+def text_quality_linear(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    n_tokens, wsum, score = TX.hashed_linear_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        wsum.alias("weight_sum"),
+        score.alias("score"),
+    ).orderBy("doc_id")

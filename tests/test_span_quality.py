@@ -1,0 +1,67 @@
+"""Span-level exact dedup and hashed linear quality scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.operators.dedup import span_exact_stats
+from optimus_any2any_spark.operators.text import hashed_linear_score
+from optimus_any2any_spark.plans import plan_report
+from optimus_any2any_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+
+class TestSpanExact:
+    def test_cross_doc_span_marked_in_both(self, spark):
+        shared = "one two three four five six"
+        df = spark.createDataFrame(
+            [
+                (1, shared + " tail a b c"),
+                (2, "head x y z " + shared),
+                (3, "totally different words here seven eight nine ten"),
+            ],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in span_exact_stats(df, n=6).collect()}
+        assert set(out) == {1, 2}  # doc 3 has no duplicated span
+        assert out[1].dup_spans >= 1 and out[2].dup_spans >= 1
+
+    def test_within_doc_repeat_counts_occurrences(self, spark):
+        # the same 6-gram occurs twice INSIDE one doc: both occurrences
+        # are duplicated spans (multiplicity semantics, unlike shingles)
+        text = "a b c d e f " + "a b c d e f"
+        df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+        row = span_exact_stats(df, n=6).collect()[0]
+        # 12 tokens -> 7 positions; positions 1 and 7 share the gram
+        assert row.n_spans == 7 and row.dup_spans == 2
+        assert abs(row.dup_frac - round(2 / 7, 4)) < 1e-9
+        assert not row.flagged  # 2/7 < 0.5
+
+    def test_short_doc_yields_no_spans(self, spark):
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "also very short text")],
+            "doc_id int, text string",
+        )
+        assert span_exact_stats(df, n=6).count() == 0
+
+
+class TestHashedLinearScore:
+    def test_deterministic_and_bounded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+            "doc_id int, text string",
+        )
+        n, w, s = hashed_linear_score(F.col("text"))
+        rows = df.select("doc_id", n.alias("n"), w.alias("w"), s.alias("s")).collect()
+        assert rows[0].w == rows[1].w and rows[0].s == rows[1].s
+        assert -1.0 <= rows[0].s <= 1.0
+        assert rows[0].n == 3
+
+    def test_zero_shuffle_plan(self, spark):
+        q = all_queries()["text_quality_linear"]
+        r = plan_report(q.spark(spark, SF_DIR))
+        # pure per-row fold + global sort for the ORDER BY: no joins at
+        # all, and the only exchange is the output ordering
+        assert r.num_sortmerge_joins == 0
+        assert r.num_broadcast_joins == 0
+        assert "mapInPandas" not in r.text.lower()
