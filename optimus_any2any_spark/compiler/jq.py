@@ -7,10 +7,15 @@ docs/rfc_002). Here:
 
 - :func:`translate_jq` compiles the *relational core* of JQ —
   ``.[] | select(...)``, object construction, ``del(...)``, ``. + {...}``
-  merges, arithmetic/comparison/boolean expressions, common scalar
-  functions, polymorphic ``+``/``-`` (string/array concat, array
-  subtraction, null identity), string interpolation ``"\\(...)"``, and
-  per-record ``reduce``/``[foreach]`` over array paths (compiled to
+  merges, arithmetic/comparison/boolean expressions (comparisons are
+  TOTAL exactly as jq's: null is the smallest value, never SQL NULL),
+  common scalar functions, ``sub``/``gsub``/``test`` on the
+  Java≡Oniguruma-provable regex subset, array/string slices
+  ``.[a:b]`` and dynamic indexing, ``@text/@base64/@csv/@tsv`` format
+  strings, ``map(...)``/``map(select(...))``, ``tojson``, polymorphic
+  ``+``/``-`` (string/array concat, array subtraction, null identity),
+  string/container interpolation ``"\\(...)"``, and per-record
+  ``reduce``/``[foreach]`` over array paths (compiled to
   ``F.aggregate`` folds/scans) — straight to Catalyst expressions:
   whole-stage-codegen'd, no Python in the hot path, globally (not
   per-batch) semantic. ``reduce .[]`` folds the whole batch, so it
@@ -56,6 +61,7 @@ _TOK = re.compile(
       | ==|!=|<=|>=|\|\||&&|//=|//|\|=|\+=|-=|\*=|/=|%=
       | [|+\-*/%<>(){}:,;=\[\]]
       | \$[A-Za-z_][\w]*
+      | @[A-Za-z_][\w]*
       | [A-Za-z_][\w]*
     )
     """,
@@ -199,12 +205,32 @@ class _ExprParser:
             )
         return left, lkind
 
+    @staticmethod
+    def _truthy(col: Column, kind: str) -> Column:
+        """jq truthiness as a TOTAL boolean: null and false are falsy,
+        everything else (any non-null value of any type) is truthy.
+        SQL three-valued logic would let a runtime NULL propagate and
+        silently flip an `or`/`and` result that jq defines."""
+        if kind == "boolean":
+            return F.coalesce(col, F.lit(False))
+        if kind == "null":
+            return F.lit(False)
+        if kind in (
+            "string", "int", "number", "complex", "complex_str",
+            "complex_num", "complex_bool",
+        ):
+            return col.isNotNull()
+        raise JQUnsupported(
+            f"jq: truthiness of unprovable kind {kind!r} outside the "
+            "native subset"
+        )
+
     def parse_or(self) -> tuple[Column, str]:
         left, kind = self.parse_and()
         while self.peek() in ("or", "||"):
             self.next()
-            right, _ = self.parse_and()
-            left = left | right
+            right, rkind = self.parse_and()
+            left = self._truthy(left, kind) | self._truthy(right, rkind)
             kind = "boolean"
         return left, kind
 
@@ -212,8 +238,8 @@ class _ExprParser:
         left, kind = self.parse_cmp()
         while self.peek() in ("and", "&&"):
             self.next()
-            right, _ = self.parse_cmp()
-            left = left & right
+            right, rkind = self.parse_cmp()
+            left = self._truthy(left, kind) & self._truthy(right, rkind)
             kind = "boolean"
         return left, kind
 
@@ -255,14 +281,42 @@ class _ExprParser:
                     f"jq: cross-type comparison ({lkind} {op} {rkind}) "
                     "outside the native subset"
                 )
-            return {
-                "==": lambda a, b: a == b,
-                "!=": lambda a, b: a != b,
-                "<": lambda a, b: a < b,
-                "<=": lambda a, b: a <= b,
-                ">": lambda a, b: a > b,
-                ">=": lambda a, b: a >= b,
-            }[op](left, right), "boolean"
+            # jq comparisons are TOTAL: null is a value (the smallest in
+            # the type order), so null == x is false-not-NULL, null != x
+            # is true, null < non-null is true. SQL three-valued logic
+            # would return NULL and silently drop rows/elements from
+            # select() that jq keeps (found via map(select(. != "x"))
+            # over arrays with null elements).
+            a, b = left, right
+            if op == "==":
+                return a.eqNullSafe(b), "boolean"
+            if op == "!=":
+                return ~a.eqNullSafe(b), "boolean"
+            if op == "<":
+                out = (
+                    F.when(a.isNull(), b.isNotNull())
+                    .when(b.isNull(), F.lit(False))
+                    .otherwise(a < b)
+                )
+            elif op == "<=":
+                out = (
+                    F.when(a.isNull(), F.lit(True))
+                    .when(b.isNull(), F.lit(False))
+                    .otherwise(a <= b)
+                )
+            elif op == ">":
+                out = (
+                    F.when(b.isNull(), a.isNotNull())
+                    .when(a.isNull(), F.lit(False))
+                    .otherwise(a > b)
+                )
+            else:  # >=
+                out = (
+                    F.when(b.isNull(), F.lit(True))
+                    .when(a.isNull(), F.lit(False))
+                    .otherwise(a >= b)
+                )
+            return out, "boolean"
         return left, lkind
 
     def parse_add(self) -> tuple[Column, str]:
@@ -379,7 +433,85 @@ class _ExprParser:
         return self.parse_postfix()
 
     def parse_postfix(self) -> tuple[Column, str]:
-        return self.parse_atom()
+        col, kind = self.parse_atom()
+        while self.peek() == "[":
+            col, kind = self._parse_index_suffix(col, kind)
+        return col, kind
+
+    def _parse_index_suffix(
+        self, subject: Column, kind: str
+    ) -> tuple[Column, str]:
+        """``[i]`` dynamic indexing and ``[a:b]`` slices as postfix
+        operators (jq array/string slicing). Bounds clamp to the
+        container size and negatives count from the end, exactly jq;
+        a null container yields null (jq: ``null[1:2]`` is null).
+        ``[]`` here would be stream iteration — scalar position can't
+        express a stream, so it routes to the binary."""
+        self.expect("[")
+        if self.peek() == "]":
+            raise JQUnsupported(
+                "jq: '.x[]' iteration in scalar position emits a "
+                "stream — binary path"
+            )
+        lo_col = hi_col = None
+        is_slice = False
+        if self.peek() == ":":
+            is_slice = True
+        else:
+            c, k = self.parse_or()
+            if k not in ("int", "unknown"):
+                raise JQUnsupported(f"jq: index of kind {k!r}")
+            lo_col = c
+        if self.peek() == ":":
+            self.next()
+            is_slice = True
+            if self.peek() != "]":
+                c, k = self.parse_or()
+                if k not in ("int", "unknown"):
+                    raise JQUnsupported(f"jq: slice bound of kind {k!r}")
+                hi_col = c
+        self.expect("]")
+
+        is_arr = kind in (
+            "complex_str", "complex_num", "complex_bool", "complex"
+        )
+        if not is_slice:
+            # dynamic index: arrays only (jq can't index strings by int)
+            if not is_arr:
+                raise JQUnsupported(
+                    f"jq: indexing kind {kind!r} outside the native subset"
+                )
+            n = F.size(subject)
+            idx = lo_col.cast("int")
+            out = F.when(idx >= 0, F.get(subject, idx)).otherwise(
+                F.get(subject, n + idx)
+            )
+            elem = {
+                "complex_str": "string",
+                "complex_num": "int",
+                "complex_bool": "boolean",
+            }.get(kind, "unknown")
+            return out, elem
+
+        if not (is_arr or kind == "string"):
+            raise JQUnsupported(
+                f"jq: slicing kind {kind!r} outside the native subset"
+            )
+        n = F.size(subject) if is_arr else F.length(subject)
+
+        def clamp(bound: Column | None, default: Column) -> Column:
+            if bound is None:
+                return default
+            b = bound.cast("int")
+            b = F.when(b >= 0, b).otherwise(n + b)
+            return F.greatest(F.lit(0), F.least(b, n))
+
+        lo = clamp(lo_col, F.lit(0))
+        hi = clamp(hi_col, n)
+        length = F.greatest(hi - lo, F.lit(0))
+        if is_arr:
+            return F.slice(subject, lo + 1, length), kind
+        return F.substring(subject, lo + 1, length), "string"
 
     def parse_piped(self, subject: Column, kind: str) -> tuple[Column, str]:
         """One ``| fn`` / ``| fn(arg)`` step applied to a piped subject.
@@ -392,6 +524,8 @@ class _ExprParser:
         equivalent on any input the reference accepted.
         """
         name = self.next()
+        if name.startswith("@"):
+            return self._format_string(name, subject, kind)
         if not re.fullmatch(r"[A-Za-z_]\w*", name or ""):
             raise JQUnsupported(f"jq: pipe into non-function {name!r}")
         if name == "map":
@@ -411,6 +545,29 @@ class _ExprParser:
                 )
             self.expect("(")
             inner_toks, _ = self._capture_until((")",))
+            if (
+                len(inner_toks) >= 3
+                and inner_toks[0] == "select"
+                and inner_toks[1] == "("
+                and inner_toks[-1] == ")"
+            ):
+                # map(select(COND)) == element filter; jq truthiness:
+                # a null condition drops the element, as F.filter does
+                def cond(x: Column) -> Column:
+                    c, ck = _ExprParser(
+                        list(inner_toks[2:-1]),
+                        self.df,
+                        {**self.bindings, ".": (x, elem_kind)},
+                    ).parse_full()
+                    if ck not in ("boolean", "null"):
+                        raise JQUnsupported(
+                            f"jq: select condition kind {ck!r} (jq "
+                            "truthiness) outside the native subset"
+                        )
+                    return c
+
+                cond(F.get(subject, 0))  # kind-check before compiling
+                return F.filter(subject, cond), kind
 
             def elem(x: Column) -> tuple[Column, str]:
                 toks = list(inner_toks)
@@ -439,6 +596,7 @@ class _ExprParser:
             return F.transform(subject, lambda x: elem(x)[0]), out_kind
         lit_args: list[str | None] = []
         col_args: list[Column] = []
+        arg_kinds: list[str] = []
         if self.peek() == "(":
             self.next()
             while True:
@@ -451,15 +609,122 @@ class _ExprParser:
                 ):
                     lit_args.append(json.loads(self.next()))
                     col_args.append(F.lit(lit_args[-1]))
+                    arg_kinds.append("string")
                 else:
                     lit_args.append(None)
-                    col_args.append(self.parse_or()[0])
+                    c, k = self.parse_or()
+                    col_args.append(c)
+                    arg_kinds.append(k)
                 if self.peek() == ";":
                     self.next()
                     continue
                 break
             self.expect(")")
-        return self._piped_func(name, subject, kind, col_args, lit_args)
+        return self._piped_func(
+            name, subject, kind, col_args, lit_args, arg_kinds
+        )
+
+    @staticmethod
+    def _safe_regex(pat: str | None, forbid_empty_match: bool = False) -> str:
+        """Gate a literal regex to the syntax subset where Java and
+        Oniguruma provably agree: no dynamic patterns, no inline-flag
+        groups, no ``\\p`` classes, no backrefs. ``forbid_empty_match``
+        additionally rejects patterns that can match the empty string
+        (sub/gsub on zero-width matches inserts at different positions
+        across engines)."""
+        if pat is None or "(?" in pat or "\\p" in pat or re.search(r"\\\d", pat):
+            raise JQUnsupported("jq: regex pattern outside native subset")
+        if forbid_empty_match:
+            try:
+                can_match_empty = re.compile(pat).match("") is not None
+            except re.error:
+                raise JQUnsupported("jq: unparseable regex pattern")
+            if can_match_empty:
+                raise JQUnsupported(
+                    "jq: zero-width-match pattern outside native subset"
+                )
+        return pat
+
+    def _format_string(
+        self, name: str, subject: Column, kind: str
+    ) -> tuple[Column, str]:
+        """jq ``@format`` strings: @text/@base64 on scalars (tostring
+        first, as jq does), @csv/@tsv on provable arrays. Null array
+        ELEMENTS render empty exactly as jq; a null ARRAY yields null
+        (the usual total-function relaxation where jq errors)."""
+        if name in ("@text", "@base64"):
+            if kind == "string":
+                s = F.coalesce(subject, F.lit("null"))
+            elif kind in ("int", "boolean"):
+                s = F.coalesce(subject.cast("string"), F.lit("null"))
+            elif kind == "null":
+                s = F.lit("null")
+            else:
+                raise JQUnsupported(
+                    f"jq: {name} on kind {kind!r} outside the native subset"
+                )
+            if name == "@text":
+                return s, "string"
+            return F.base64(s.cast("binary")), "string"
+        if name in ("@csv", "@tsv"):
+            if kind not in ("complex_str", "complex_num"):
+                raise JQUnsupported(
+                    f"jq: {name} native only on provable string/integral "
+                    "arrays"
+                )
+            sep = "," if name == "@csv" else "\t"
+            if kind == "complex_num":
+                cells = F.transform(
+                    subject,
+                    lambda x: F.coalesce(x.cast("string"), F.lit("")),
+                )
+            elif name == "@csv":
+                # strings quoted, inner quotes doubled; null cells empty
+                cells = F.transform(
+                    subject,
+                    lambda x: F.coalesce(
+                        F.concat(
+                            F.lit('"'),
+                            F.replace(x, F.lit('"'), F.lit('""')),
+                            F.lit('"'),
+                        ),
+                        F.lit(""),
+                    ),
+                )
+            else:
+                # @tsv escapes \\, tab, newline, carriage return
+                def esc(x: Column) -> Column:
+                    x = F.replace(x, F.lit("\\"), F.lit("\\\\"))
+                    x = F.replace(x, F.lit("\t"), F.lit("\\t"))
+                    x = F.replace(x, F.lit("\n"), F.lit("\\n"))
+                    return F.replace(x, F.lit("\r"), F.lit("\\r"))
+
+                cells = F.transform(
+                    subject, lambda x: F.coalesce(esc(x), F.lit(""))
+                )
+            return (
+                F.when(subject.isNotNull(), F.concat_ws(sep, cells)),
+                "string",
+            )
+        raise JQUnsupported(f"jq: format {name!r} not in native subset")
+
+    def _tojson(self, subject: Column, kind: str) -> tuple[Column, str]:
+        """``tojson`` for provable kinds whose JSON form Spark prints
+        exactly as jq does (strings, integrals, booleans, arrays
+        thereof). Trick: ``to_json`` only accepts containers, so wrap
+        in a 1-element array and strip the brackets — JSON escaping
+        comes out standard-minimal on both paths. Fractional kinds
+        diverge (5.0 vs 5) and stay on the binary."""
+        if kind == "null":
+            return F.lit("null"), "string"
+        if kind not in (
+            "string", "int", "boolean", "complex_str", "complex_num",
+        ):
+            raise JQUnsupported(
+                f"jq: tojson on kind {kind!r} outside the native subset"
+            )
+        j = F.to_json(F.array(subject))
+        return F.substring(j, 2, F.length(j) - 2), "string"
 
     def _piped_func(
         self,
@@ -468,7 +733,10 @@ class _ExprParser:
         kind: str,
         args: list[Column],
         lit_args: list[str | None],
+        arg_kinds: list[str] | None = None,
     ) -> tuple[Column, str]:
+        arg_kinds = arg_kinds or ["unknown"] * len(args)
+
         def need(k: str):
             if kind != k:
                 raise JQUnsupported(
@@ -483,19 +751,57 @@ class _ExprParser:
                 "contains": Column.contains,
             }[name]
             return fn(subject, args[0]), "boolean"
-        if name == "test" and len(args) == 1:
+        if name == "test" and len(args) in (1, 2):
             need("string")
-            pat = lit_args[0]
-            if pat is None or "(?" in pat or "\\p" in pat or re.search(r"\\\d", pat):
-                # dynamic patterns and Oniguruma-specific syntax (inline
-                # flags, \p classes, backrefs) may not match Java regex
-                # semantics — keep those on the jq binary
-                raise JQUnsupported("jq: test() pattern outside native subset")
+            pat = self._safe_regex(lit_args[0])
+            if len(args) == 2:
+                flags = lit_args[1]
+                if flags != "i":
+                    raise JQUnsupported(
+                        f"jq: test() flags {flags!r} outside native subset"
+                    )
+                pat = "(?i)" + pat
             return subject.rlike(pat), "boolean"
+        if name in ("sub", "gsub") and len(args) == 2:
+            need("string")
+            pat = self._safe_regex(lit_args[0], forbid_empty_match=True)
+            repl = lit_args[1]
+            if repl is None or "\\" in repl or "$" in repl:
+                # dynamic replacements, jq capture interpolation, and
+                # Java replacement metacharacters stay on the binary
+                raise JQUnsupported(
+                    "jq: sub/gsub replacement outside native subset"
+                )
+            if name == "gsub":
+                return F.regexp_replace(subject, pat, repl), "string"
+            # sub replaces only the FIRST match: splice around it.
+            # Empty-match patterns were rejected above, so a match has
+            # length >= 1 and regexp_instr/extract agree on it.
+            m = F.regexp_extract(subject, pat, 0)
+            pos = F.regexp_instr(subject, F.lit(pat))
+            spliced = F.concat(
+                F.substring(subject, 1, pos - 1),
+                F.lit(repl),
+                F.substring(
+                    subject,
+                    pos + F.length(m),
+                    F.length(subject),
+                ),
+            )
+            return (
+                F.when(subject.rlike(pat), spliced).otherwise(subject),
+                "string",
+            )
+        if name == "tojson" and not args:
+            return self._tojson(subject, kind)
         if name in ("ltrimstr", "rtrimstr") and len(args) == 1:
             need("string")
             s = lit_args[0]
             if s is None:
+                # jq evaluates argument filters against the PIPED input
+                # (a string here), so `.a | ltrimstr(.b)` ERRORS in jq
+                # — a root-record compile would succeed where jq fails.
+                # Literal affixes only.
                 raise JQUnsupported(f"jq: {name} needs a literal string")
             n = len(s)
             if name == "ltrimstr":
@@ -664,8 +970,11 @@ class _ExprParser:
                 # null | tostring == "null" in jq (and through the
                 # null-dropping fallback serialization)
                 return F.coalesce(subject, F.lit("null")), "string"
-            # numeric tostring diverges on doubles (jq prints 1.0 as
-            # "1.0"? no — jq normalizes); keep off the native path
+            if kind in ("complex_str", "complex_num", "null"):
+                # jq stringifies containers as their JSON text
+                return self._tojson(subject, kind)
+            # fractional tostring diverges (Spark "5.0" vs jq "5");
+            # keep those off the native path
             raise JQUnsupported("jq: tostring on non-string via pipe")
         if name in ("floor", "ceil", "fabs") and not args:
             if kind not in ("int", "number"):
@@ -978,6 +1287,9 @@ class _ExprParser:
                 )
             elif k == "null":
                 pieces.append(F.lit("null"))
+            elif k in ("complex_str", "complex_num"):
+                # jq interpolates containers as their JSON text
+                pieces.append(self._tojson(col, k)[0])
             else:
                 raise JQUnsupported(
                     f"jq: interpolation of kind {k!r} outside the "

@@ -480,3 +480,176 @@ def test_del_then_readd_matches_jq(spark, df):
         {"id": r["id"], "age": r["id"] * 10} for r in ROWS
     ]
     assert spark_rows(got) == jq_oracle(prog, ROWS)
+
+
+class TestRound3SliceFormatRegex:
+    """Round-3 widening: sub/gsub, test flags, array/string slices,
+    dynamic array indexing, @base64/@text/@csv/@tsv, map(select(...)),
+    tojson, and container interpolation — native, differential vs the
+    jq binary on the canonical (null-stripped) serialization."""
+
+    ROWS3 = [
+        {
+            "id": 1,
+            "name": "alice smith",
+            "tags": ["x", "y", "z", "w"],
+            "nums": [3, 1, 2],
+        },
+        {
+            "id": 2,
+            "name": 'quo"te,comma\tand\nmore',
+            "tags": ["a", None, "b"],
+            "nums": [10, -5],
+        },
+        {"id": 3, "name": "carol o'neil", "tags": [], "nums": []},
+    ]
+    SCHEMA3 = "id long, name string, tags array<string>, nums array<long>"
+
+    NATIVE = [
+        '.[] | {t: (.name | gsub("a"; "_"))}',
+        '.[] | {t: (.name | gsub("[aeiou]"; ""))}',
+        '.[] | {t: (.name | sub("a"; "_"))}',
+        '.[] | {t: (.name | sub("l+"; "L"))}',
+        '.[] | {t: (.name | sub("zzz"; "never"))}',
+        '.[] | select(.name | test("ALICE"; "i"))',
+        '.[] | select(.name | test("o.n", "i"))'.replace('", "', '"; "'),
+        '.[] | {s: .tags[1:3]}',
+        '.[] | {s: .tags[:2]}',
+        '.[] | {s: .tags[-2:]}',
+        '.[] | {s: .tags[1:99]}',
+        '.[] | {s: .tags[3:1]}',
+        '.[] | {s: .name[0:5]}',
+        '.[] | {s: .name[-4:]}',
+        '.[] | {s: .nums[1:]}',
+        '.[] | {i: .nums[.id]}',
+        '.[] | {b: (.name | @base64)}',
+        '.[] | {t: (.name | @text)}',
+        '.[] | {c: (.tags | @csv)}',
+        '.[] | {c: (.nums | @csv)}',
+        '.[] | {c: (.tags | @tsv)}',
+        '.[] | {f: (.tags | map(select(. != "x")))}',
+        '.[] | {f: (.nums | map(select(. > 0)))}',
+        '.[] | {j: (.tags | tojson)}',
+        '.[] | {j: (.nums | tojson)}',
+        '.[] | {j: (.name | tojson)}',
+        '.[] | {j: (.id | tojson)}',
+        '.[] | {t: "tags=\\(.tags) nums=\\(.nums)"}',
+        '.[] | {t: (.nums | tostring)}',
+        '.[] | {t: (.tags | tostring)}',
+        # composition: slice then format, gsub then slice
+        '.[] | {z: (.tags[0:2] | @csv)}',
+        '.[] | {z: (.name | gsub(" "; "_"))[0:6]}',
+    ]
+
+    @pytest.fixture(scope="class")
+    def df3(self, spark):
+        return spark.createDataFrame(self.ROWS3, self.SCHEMA3)
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, spark, df3, program):
+        canonical = [
+            {k: v for k, v in r.items() if v is not None} for r in self.ROWS3
+        ]
+        got = spark_rows(translate_jq(df3, program))
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, canonical)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, df3, program):
+        out = jq_transform(df3, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            # zero-width-match patterns: Java and jq insert replacements
+            # at different positions — must route to the binary
+            '.[] | {t: (.name | gsub("a*"; "x"))}',
+            '.[] | {t: (.name | sub(""; "x"))}',
+            # replacement metacharacters / capture interpolation
+            '.[] | {t: (.name | gsub("a"; "$1"))}',
+            '.[] | {t: (.name | gsub("(a)"; "\\\\1"))}',
+            # dynamic affix ltrimstr ERRORS in jq (arg sees piped input)
+            '.[] | {t: (.name | ltrimstr(.name))}',
+            # iteration in scalar position emits a stream
+            '.[] | {t: .tags[]}',
+            # unknown format string
+            '.[] | {t: (.name | @uri)}',
+            # test flags beyond "i"
+            '.[] | select(.name | test("a"; "x"))',
+        ],
+    )
+    def test_guards_route_to_binary(self, df3, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(df3, program)
+
+    def test_sub_first_occurrence_only(self, spark, df3):
+        out = spark_rows(translate_jq(df3, '.[] | {t: (.name | sub("i"; "!"))}'))
+        by = {r["t"] for r in out}
+        assert "al!ce smith" in by  # second 'i' untouched
+
+
+class TestTotalComparisons:
+    """jq comparisons are total (null is the smallest VALUE, not SQL
+    NULL): `.x != "a"` must keep rows/elements with null x, and
+    ordered comparisons against null follow the type order. Verified
+    against the jq binary on the canonical serialization, where an
+    absent key reads as null."""
+
+    ROWS = [
+        {"id": 1, "name": "alice", "score": 5},
+        {"id": 2},  # name/score absent == null through canonicalization
+        {"id": 3, "name": "bob", "score": 2},
+    ]
+    SCHEMA = "id long, name string, score long"
+
+    PROGRAMS = [
+        '.[] | select(.name != "alice")',
+        '.[] | select(.name == "alice")',
+        ".[] | select(.score <= 2)",
+        ".[] | select(.score > 1)",
+        ".[] | select(.name < \"b\")",
+        ".[] | select(.name >= \"alice\")",
+        '.[] | {id, eq: (.name == "alice"), ne: (.name != "alice")}',
+        ".[] | {id, lt: (.score < 3), ge: (.score >= 3)}",
+        '.[] | select((.name == "alice") or (.score <= 2))',
+        '.[] | select((.name != "zz") and (.score <= 5))',
+    ]
+
+    @pytest.fixture(scope="class")
+    def dfn(self, spark):
+        return spark.createDataFrame(
+            [
+                {"id": 1, "name": "alice", "score": 5},
+                {"id": 2, "name": None, "score": None},
+                {"id": 3, "name": "bob", "score": 2},
+            ],
+            self.SCHEMA,
+        )
+
+    @pytest.mark.parametrize("program", PROGRAMS)
+    def test_matches_jq_on_null_values(self, spark, dfn, program):
+        got = spark_rows(translate_jq(dfn, program))
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, self.ROWS)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    def test_map_select_keeps_null_elements(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["a", None, "b"])], "id long, tags array<string>"
+        )
+        rows = [{"id": 1, "tags": ["a", None, "b"]}]
+        program = '.[] | {f: (.tags | map(select(. != "x")))}'
+        got = spark_rows(translate_jq(df, program))
+        expect = jq_oracle(program, rows)
+        assert got == expect  # null element kept on both paths
