@@ -90,17 +90,27 @@ def main() -> None:
             except Exception:
                 pass
 
+        # best-of-N per query: single runs at second-scale are dominated
+        # by scheduler/GC jitter on a shared host; the minimum is the
+        # standard low-variance estimator for a deterministic workload
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
         times: dict[str, float] = {}
         for name, q in sorted(queries.items()):
-            # drop persisted lineages from prior queries (dedup ops cache
-            # shingle/candidate tables); accumulated caches add memory/GC
-            # pressure to later measurements without speeding them up
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            n = df.count()
-            times[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+            samples = []
+            for _ in range(reps):
+                # drop persisted lineages from prior queries (dedup ops
+                # cache shingle/candidate tables); accumulated caches add
+                # memory/GC pressure without speeding later runs up
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = q.spark(spark, sf_dir)
+                n = df.count()
+                samples.append(time.perf_counter() - t0)
+            times[name] = round(min(samples), 4)
+            print(
+                f"# {name}: {times[name]:.3f}s ({n} rows, n={reps})",
+                file=sys.stderr,
+            )
 
         # RFC-008 parity workload: the reference's only published E2E
         # number is 1M NDJSON records file→file in 7.3 s (BASELINE.md).

@@ -102,6 +102,25 @@ _PROGRAMS = st.sampled_from(
         ".[] | {o: {i: .id, t: .tags}}",
         '.[] | {mn: (.tags | min), mx: (.tags | max)}',
         '.[] | {k: keys}',
+        # round-3: slices, map(select), tojson, formats, container
+        # interpolation, total comparisons over nullable fields
+        ".[] | {s: .tags[0:2]}",
+        ".[] | {s: .tags[-2:]}",
+        ".[] | {s: .tags[1:99]}",
+        ".[] | {s: .tags[2:1]}",
+        '.[] | {f: (.tags | map(select(. != "x")))}',
+        '.[] | {f: (.tags | map(select(length > 0)))}',
+        ".[] | {j: (.tags | tojson)}",
+        ".[] | {j: (.id | tojson)}",
+        ".[] | {c: (.tags | @csv)}",
+        ".[] | {c: (.tags | @tsv)}",
+        '.[] | {t: "t=\\(.tags)"}',
+        '.[] | select(.name != "alice")',
+        '.[] | select(.name < "b")',
+        '.[] | select(.name >= "b")',
+        ".[] | {eq: (.flag == true), ne: (.flag != true)}",
+        ".[] | select(.flag != true)",
+        ".[] | {lt: (.name < .name), le: (.name <= .name)}",
     ]
 )
 
@@ -118,6 +137,15 @@ _STRING_PROGRAMS = st.sampled_from(
         '.[] | {t: (.name | rtrimstr("_suffix"))}',
         '.[] | {p: (.name | split("l") | length)}',
         ".[] | {u: (.name | ascii_upcase)}",
+        # round-3: regex replace, flags, @base64, string slices
+        '.[] | {g: (.name | gsub("[aeiou]"; "."))}',
+        '.[] | {g: (.name | gsub("x"; "yy"))}',
+        '.[] | {g: (.name | sub("[bl]"; "#"))}',
+        '.[] | select(.name | test("ALICE"; "i"))',
+        ".[] | {b: (.name | @base64)}",
+        ".[] | {s: .name[1:4]}",
+        ".[] | {s: .name[-2:]}",
+        '.[] | {z: (.name | gsub("i"; ""))[0:3]}',
     ]
 )
 
