@@ -184,3 +184,26 @@ def kmeans_cluster_profile(
                  F.col("count").alias("majority_count"))
         out = out.join(top, "cluster")
     return out
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    rounds: int = 1,
+) -> DataFrame:
+    """Train centroids only: ``rounds`` Lloyd refinements over the
+    deterministic seeds, returning the k-row ``(cluster, cv)`` table.
+    This is the trainer a real IVF coarse quantizer wants (FAISS trains
+    its quantizer with exactly this loop) — feed the result to
+    :func:`..similarity.ivf_topk_with_centroids`."""
+    df = ensure_parallelism(df, F.col(id_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    cent = _seed_centroids(base, k)
+    for _ in range(rounds):
+        cent = _recompute(_assign(base, cent))
+    return cent

@@ -414,3 +414,51 @@ def lsh_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_with_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k cosine neighbors served from a TRAINED quantizer —
+    ``centroids`` is the ``(cluster, cv)`` table
+    :func:`..clustering.kmeans_centroids` produces (FAISS's
+    train-then-index split: Lloyd rounds refine the cells, then the
+    index assigns and probes against the refined centroids).
+
+    Identical join shape to :func:`ivf_topk` — broadcast quantizer
+    scoring, per-vector nprobe ranking, cell-local candidate join —
+    with the centroid table swapped for the trained one, so every
+    scale property (corpus never crosses a quantizer exchange,
+    candidates bounded by cell occupancy) carries over.
+    """
+    df = ensure_parallelism(df, F.col(id_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    cn = centroids.select(
+        F.col("cluster").alias("centroid_id"),
+        F.col("cv"),
+        _norm(F.col("cv")).alias("cnrm"),
+    )
+    scored = base.crossJoin(F.broadcast(cn)).select(
+        "id",
+        "v",
+        "nrm",
+        "centroid_id",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+        ).alias("sim"),
+    )
+    cw = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    ranked = scored.withColumn("crank", F.row_number().over(cw)).filter(
+        F.col("crank") <= nprobe
+    ).persist()
+    return _topk_from_ranked(ranked, k)

@@ -2768,3 +2768,110 @@ def text_quality_linear(spark, sf_dir):
         wsum.alias("weight_sum"),
         score.alias("score"),
     ).orderBy("doc_id")
+
+
+_TIVF_CELLS = 16
+_TIVF_NPROBE = 2
+
+# Trained-IVF CTE chain: one Lloyd refinement round over 16 seed cells
+# (the FAISS train step), then the IVF probe against the REFINED
+# centroids. Mirrors kmeans_centroids(rounds=1) +
+# ivf_topk_with_centroids exactly.
+_SQL_TRAINED_IVF = f"""
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    seeds AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+               AS cluster,
+             e AS cv
+      FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_TIVF_CELLS}
+    ),
+    c0 AS (SELECT cluster, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM seeds),
+    s1 AS (
+      SELECT n.vec_id, n.e, c.cluster,
+             round(list_dot_product(n.e, c.cv) / (n.nrm * c.cnrm), 6) AS sim
+      FROM n CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, e, cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+        FROM s1
+      ) t WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cluster, p.pos,
+             CAST(SUM(CAST(e[p.pos] AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS mv
+      FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+      GROUP BY cluster, p.pos
+    ),
+    c1pre AS (
+      SELECT cluster, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY cluster
+    ),
+    c1 AS (
+      SELECT cluster AS centroid_id, cv,
+             sqrt(list_dot_product(cv, cv)) AS cnrm
+      FROM c1pre
+    ),
+    scored AS (
+      SELECT n.vec_id, n.e, n.nrm, c.centroid_id,
+             round(list_dot_product(n.e, c.cv) / (n.nrm * c.cnrm), 6) AS sim
+      FROM n CROSS JOIN c1 c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS crank
+      FROM scored
+    ),
+    assign AS (
+      SELECT vec_id AS cand_id, centroid_id AS cell, e AS cand_e,
+             nrm AS cand_nrm
+      FROM ranked WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id, centroid_id AS cell, e AS qe, nrm AS q_nrm
+      FROM ranked WHERE crank <= {_TIVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.vec_id, a.cand_id AS neighbor_id,
+             round(list_dot_product(p.qe, a.cand_e)
+                   / (p.q_nrm * a.cand_nrm), 6) AS cosine_sim
+      FROM probes p JOIN assign a
+        ON p.cell = a.cell AND p.vec_id != a.cand_id
+    )
+"""
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=f"""
+    WITH {_SQL_TRAINED_IVF}
+    SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) t WHERE rank <= 5
+    ORDER BY vec_id, rank
+    """,
+    doc="IVF top-5 served from a TRAINED coarse quantizer: one Lloyd "
+    "refinement round over 16 seed cells (kmeans_centroids), then the "
+    "standard broadcast-assign / nprobe-probe / cell-local candidate "
+    "join against the refined centroids — FAISS's train-then-index "
+    "split, end-to-end oracle-verified. Same scale shape as "
+    "ann_ivf_topk: the corpus never crosses a quantizer exchange.",
+)
+def ann_ivf_trained_topk(spark, sf_dir):
+    from optimus_any2any_spark.operators.clustering import kmeans_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(e, k=_TIVF_CELLS, rounds=1)
+    return S.ivf_topk_with_centroids(
+        e, cent, k=5, nprobe=_TIVF_NPROBE
+    ).orderBy("vec_id", "rank")

@@ -76,3 +76,37 @@ class TestKMeansPlan:
         assert r.num_sortmerge_joins == 0, r.text
         for cols in r.scan_columns():
             assert "label" not in cols
+
+
+class TestTrainedIVF:
+    def test_trained_ivf_matches_shape_and_ranks(self, spark):
+        from optimus_any2any_spark.operators.clustering import (
+            kmeans_centroids,
+        )
+        from optimus_any2any_spark.operators.similarity import (
+            ivf_topk_with_centroids,
+        )
+
+        df = _blobs(spark)
+        cent = kmeans_centroids(df, k=2, rounds=2)
+        out = ivf_topk_with_centroids(df, cent, k=3, nprobe=1)
+        rows = out.collect()
+        assert rows and all(1 <= r.rank <= 3 for r in rows)
+        # with nprobe=1 over two tight blobs, every neighbor stays in
+        # the query's own blob
+        for r in rows:
+            same_blob = (r.vec_id < 20) == (r.neighbor_id < 20)
+            assert same_blob, r
+
+    def test_trained_ivf_plan_quantizer_broadcast_candidates_equi(
+        self, spark
+    ):
+        q = all_queries()["ann_ivf_trained_topk"]
+        r = plan_report(q.spark(spark, SF_DIR))
+        # quantizer scoring is a condition-free broadcast of the k-row
+        # centroid table; the cell-local candidate join is an EQUI-join
+        # (sort-merge/hash is fine — it shuffles only cell-bounded
+        # rows). A corpus-scale self-join would surface as a
+        # CartesianProduct or a conditioned nested loop.
+        assert "CartesianProduct" not in r.text, r.text
+        assert "BroadcastNestedLoopJoin Inner" not in r.text, r.text
