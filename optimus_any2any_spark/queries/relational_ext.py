@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark.queries import register
-from optimus_any2any_spark.queries.util import davg, dsum, load, o_davg, o_dsum
+from optimus_any2any_spark.queries.util import (
+    davg,
+    dsum,
+    load,
+    o_davg,
+    o_dsum,
+    ts_micros,
+)
 
 
 @register(
@@ -473,3 +480,130 @@ def q_part_unpivot(spark, sf_dir):
     return wide.unpivot(
         "p_partkey", ["size", "retailprice"], "metric", "val"
     ).orderBy("p_partkey", "metric")
+
+
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "q_events_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    g AS (
+      SELECT user_id,
+             MIN(tsu) FILTER (WHERE event_type = 'view') AS t1,
+             LIST(tsu) FILTER (WHERE event_type = 'click') AS clicks,
+             LIST(tsu) FILTER (WHERE event_type = 'purchase') AS purch
+      FROM ev GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT *,
+             list_min(list_filter(clicks,
+               x -> x > t1 AND x - t1 <= {_FUNNEL_WINDOW_US})) AS t2
+      FROM g
+    ),
+    s3 AS (
+      SELECT *,
+             list_min(list_filter(purch,
+               x -> x > t2 AND x - t2 <= {_FUNNEL_WINDOW_US})) AS t3
+      FROM s2
+    ),
+    c AS (
+      SELECT CAST(COUNT(t1) AS BIGINT) AS c1,
+             CAST(COUNT(t2) AS BIGINT) AS c2,
+             CAST(COUNT(t3) AS BIGINT) AS c3
+      FROM s3
+    )
+    SELECT step, step_name, users, conv_from_first, conv_from_prev FROM (
+      SELECT 1 AS step, 'view' AS step_name, c1 AS users,
+             round(1.0, 4) AS conv_from_first,
+             CAST(NULL AS DOUBLE) AS conv_from_prev
+      FROM c WHERE c1 > 0
+      UNION ALL
+      SELECT 2, 'click', c2,
+             round(CAST(c2 AS DOUBLE) / c1, 4),
+             round(CAST(c2 AS DOUBLE) / c1, 4)
+      FROM c WHERE c1 > 0
+      UNION ALL
+      SELECT 3, 'purchase', c3,
+             round(CAST(c3 AS DOUBLE) / c1, 4),
+             CASE WHEN c2 > 0
+                  THEN round(CAST(c3 AS DOUBLE) / c2, 4) END
+      FROM c WHERE c1 > 0
+    ) t
+    ORDER BY step
+    """,
+    doc="Ordered 3-step funnel (view -> click -> purchase): each step "
+    "must follow the user's EARLIEST qualifying previous step within "
+    "24h. Per-user chain state comes from ONE conditional aggregate "
+    "(min view time + per-type timestamp lists folded with array "
+    "lambdas) — a single user-key shuffle with map-side combine, no "
+    "windows, no joins; the step table is a 1-row global count "
+    "exploded to 3 rows. Shaped like production funnel engines: state "
+    "per user is O(events-of-user), corpus crosses the wire once.",
+)
+def q_events_funnel(spark, sf_dir):
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tsu = ts_micros("ts")
+    g = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", tsu)).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", tsu)
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", tsu)
+        ).alias("purch"),
+    )
+    win = F.lit(_FUNNEL_WINDOW_US)
+    t1 = F.col("t1")
+    t2 = F.array_min(
+        F.filter("clicks", lambda x: (x > t1) & ((x - t1) <= win))
+    )
+    s = g.withColumn("t2", t2)
+    t2c = F.col("t2")
+    t3 = F.array_min(
+        F.filter("purch", lambda x: (x > t2c) & ((x - t2c) <= win))
+    )
+    s = s.withColumn("t3", t3)
+    c = s.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+    )
+    c1, c2, c3 = F.col("c1"), F.col("c2"), F.col("c3")
+    steps = F.array(
+        F.struct(
+            F.lit(1).alias("step"),
+            F.lit("view").alias("step_name"),
+            c1.alias("users"),
+            F.round(F.lit(1.0), 4).alias("conv_from_first"),
+            F.lit(None).cast("double").alias("conv_from_prev"),
+        ),
+        F.struct(
+            F.lit(2).alias("step"),
+            F.lit("click").alias("step_name"),
+            c2.alias("users"),
+            F.round(c2.cast("double") / c1, 4).alias("conv_from_first"),
+            F.round(c2.cast("double") / c1, 4).alias("conv_from_prev"),
+        ),
+        F.struct(
+            F.lit(3).alias("step"),
+            F.lit("purchase").alias("step_name"),
+            c3.alias("users"),
+            F.round(c3.cast("double") / c1, 4).alias("conv_from_first"),
+            F.when(
+                c2 > 0, F.round(c3.cast("double") / c2, 4)
+            ).alias("conv_from_prev"),
+        ),
+    )
+    return (
+        c.filter(c1 > 0)
+        .select(F.explode(steps).alias("s"))
+        .select("s.*")
+        .orderBy("step")
+    )

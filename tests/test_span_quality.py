@@ -65,3 +65,42 @@ class TestHashedLinearScore:
         assert r.num_sortmerge_joins == 0
         assert r.num_broadcast_joins == 0
         assert "mapInPandas" not in r.text.lower()
+
+
+class TestEventsFunnel:
+    def test_ordering_and_window_semantics(self, spark):
+        from datetime import datetime as dt
+
+        from optimus_any2any_spark.queries import all_queries
+
+        rows = [
+            # u1: full chain within windows
+            (1, dt(2024, 1, 1, 0, 0), 1, "view"),
+            (2, dt(2024, 1, 1, 1, 0), 1, "click"),
+            (3, dt(2024, 1, 1, 2, 0), 1, "purchase"),
+            # u2: click BEFORE first view — chain stops at view
+            (4, dt(2024, 1, 2, 0, 0), 2, "click"),
+            (5, dt(2024, 1, 2, 1, 0), 2, "view"),
+            # u3: click > 24h after view — out of window
+            (6, dt(2024, 1, 3, 0, 0), 3, "view"),
+            (7, dt(2024, 1, 4, 0, 1), 3, "click"),
+            # u4: purchase without view — never enters the funnel
+            (8, dt(2024, 1, 5, 0, 0), 4, "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        ).withColumn("value", F.lit(0.0))
+        # `load` resolves read_table through queries.util's namespace
+        import optimus_any2any_spark.queries.util as U
+
+        orig = U.read_table
+        try:
+            U.read_table = lambda spark_, sf_, name_: df
+            out = {r.step: r for r in
+                   all_queries()["q_events_funnel"].spark(spark, "ignored").collect()}
+        finally:
+            U.read_table = orig
+        assert out[1].users == 3      # u1, u2, u3 reach 'view'
+        assert out[2].users == 1      # only u1's click follows its view in-window
+        assert out[3].users == 1
+        assert abs(out[2].conv_from_first - round(1 / 3, 4)) < 1e-9
