@@ -70,3 +70,88 @@ def running_counts(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = "t1 LONG, t2 LONG, t3 LONG"
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("furthest_step", T.IntegerType()),
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+
+
+def funnel_state(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    window_us: int = 24 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Streaming twin of ``q_events_funnel``: per-user ordered funnel
+    state (step timestamps in epoch-us) evolved across micro-batches.
+
+    Semantics = the batch funnel applied incrementally: step 1 is the
+    earliest first-step event seen so far (refined downward only while
+    step 2 is unset), each later step must strictly follow the previous
+    one within ``window_us``, and a completed step is FROZEN — a
+    late-arriving earlier event no longer rewrites history (the
+    standard streaming relaxation; the batch query is the exact oracle
+    over a closed dataset). Within a batch, events apply in timestamp
+    order, so any in-order replay matches the batch result.
+
+    Emits ``(user_id, furthest_step, t1, t2, t3)`` per updated user.
+    State is one 3-long tuple per user — state-store volume is O(users)
+    regardless of event volume.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        events: list[tuple[str, int]] = []
+        for pdf in pdfs:
+            us = (
+                pdf[ts_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .tolist()
+            )
+            events.extend(zip(pdf[type_col].tolist(), us))
+        for typ, u in sorted(events, key=lambda e: e[1]):
+            if typ == steps[0] and t2 is None:
+                t1 = u if t1 is None or u < t1 else t1
+            elif typ == steps[1] and t2 is None and t1 is not None:
+                if u > t1 and u - t1 <= window_us:
+                    t2 = u
+            elif typ == steps[2] and t3 is None and t2 is not None:
+                if u > t2 and u - t2 <= window_us:
+                    t3 = u
+        state.update((t1, t2, t3))
+        step = 3 if t3 is not None else (
+            2 if t2 is not None else (1 if t1 is not None else 0)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "furthest_step": [step],
+                "t1": [t1],
+                "t2": [t2],
+                "t3": [t3],
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -94,3 +94,52 @@ class TestStatefulStreaming:
             for r in spark.table("running_counts").collect()
         }
         assert got == {"click": 2, "view": 1}
+
+
+class TestStreamingFunnel:
+    def test_funnel_state_across_micro_batches(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.stateful import funnel_state
+        from optimus_any2any_spark.streaming.streams import stream_source
+
+        src = tmp_path / "fstream"
+        src.mkdir()
+        # batch 1: u1 views; u2 clicks (no view yet -> chain not started)
+        (src / "b1.json").write_text(
+            '{"ts": "2024-01-01T00:00:00Z", "user_id": 1, "event_type": "view"}\n'
+            '{"ts": "2024-01-01T00:00:00Z", "user_id": 2, "event_type": "click"}\n'
+        )
+        # batch 2: u1 clicks in-window (state crosses batches); u2 views
+        # AFTER its click — click must not count retroactively
+        (src / "b2.json").write_text(
+            '{"ts": "2024-01-01T01:00:00Z", "user_id": 1, "event_type": "click"}\n'
+            '{"ts": "2024-01-01T01:00:00Z", "user_id": 2, "event_type": "view"}\n'
+        )
+        # batch 3: u1 purchases >24h after click — out of window
+        (src / "b3.json").write_text(
+            '{"ts": "2024-01-02T02:00:00Z", "user_id": 1, "event_type": "purchase"}\n'
+        )
+        stream = stream_source(
+            spark,
+            str(src),
+            "ts timestamp, user_id long, event_type string",
+            max_files_per_trigger=1,
+        )
+        q = (
+            funnel_state(stream)
+            .writeStream.format("memory")
+            .queryName("funnel_state")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # memory sink in update mode appends each update; take the LAST
+        # emitted row per user
+        rows = spark.table("funnel_state").collect()
+        last = {}
+        for r in rows:
+            last[r["user_id"]] = r
+        assert last[1].furthest_step == 2  # view+click, purchase late
+        assert last[1].t3 is None
+        assert last[2].furthest_step == 1  # click-before-view ignored
+        assert last[2].t2 is None
