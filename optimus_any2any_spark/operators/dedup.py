@@ -684,28 +684,30 @@ def span_exact_stats(
     occurrence count exceeds 1. Per doc: total spans, duplicated-span
     occurrences, duplicated fraction, and a flag at ``threshold``.
 
-    Scale shape: the gram expansion is a per-row transform (no
-    shuffle); the plan then shuffles twice on the 16-byte span key
-    (count, then the hit-marker join back — AQE broadcasts the
-    duplicated-key side when it is small) and once on ``id`` for the
-    per-doc aggregate. Key width is md5-fixed, so span length ``n``
-    changes compute, not shuffle bytes.
+    Scale shape — SINGLE lineage, three shuffles, documents scanned
+    once: the gram expansion is a per-row transform (no shuffle),
+    occurrences pre-aggregate per (doc, span-hash) with map-side
+    combine, corpus-wide totals attach via a window over the span-hash
+    partition (one pass — no count-then-join-back, which would consume
+    the expansion lineage twice), and the per-doc aggregate shuffles
+    the reduced table on ``id``. Key width is md5-fixed, so span
+    length ``n`` changes compute, not shuffle bytes.
     """
     from optimus_any2any_spark.operators.text import ngram_rows
 
     spans = ngram_rows(df, text_col, id_col, n=n).select(
         "id", F.md5(F.col("gram").cast("binary")).alias("h")
     )
-    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-    dup = counts.filter(F.col("cnt") > 1).select(
-        "h", F.lit(1).alias("_dup")
-    )
-    marked = spans.join(dup, "h", "left")
-    per_doc = marked.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(
-            F.when(F.col("_dup").isNotNull(), 1).otherwise(0)
-        ).alias("dup_spans"),
+    from pyspark.sql.window import Window
+
+    local = spans.groupBy("id", "h").agg(F.count(F.lit(1)).alias("k"))
+    w = Window.partitionBy("h")
+    tot = local.withColumn("tot", F.sum("k").over(w))
+    per_doc = tot.groupBy("id").agg(
+        F.sum("k").alias("n_spans"),
+        F.sum(F.when(F.col("tot") > 1, F.col("k")).otherwise(0)).alias(
+            "dup_spans"
+        ),
     )
     frac = F.round(
         F.col("dup_spans").cast("double") / F.col("n_spans"), 4
