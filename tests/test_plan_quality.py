@@ -366,3 +366,36 @@ class TestPassageAndSampling:
         r = report(spark, "doc_char_entropy")
         assert "Python" not in r.text, r.text
         assert r.num_nested_loop_joins == 0, r.text
+
+
+class TestRound3Plans:
+    def test_funnel_single_user_shuffle_no_window(self, spark):
+        # chain state from ONE conditional aggregate: a window or a
+        # per-step join would multiply corpus passes
+        r = report(spark, "q_events_funnel")
+        assert "Window" not in r.text, r.text
+        assert r.num_sortmerge_joins == 0, r.text
+        cols = r.scan_columns()[0]
+        assert set(cols) == {"ts", "user_id", "event_type"}
+
+    def test_span_dedup_single_scan(self, spark):
+        # the window-total formulation reads documents ONCE; the
+        # count-then-join-back alternative consumed the gram-expansion
+        # lineage twice (two scans, double expansion CPU)
+        r = report(spark, "dedup_span_exact")
+        assert len(r.scan_columns()) == 1, r.read_schemas
+        assert set(r.scan_columns()[0]) == {"doc_id", "text"}
+
+    def test_kmeans_recompute_cells_only(self, spark):
+        # corpus never crosses a quantizer exchange: no sort-merge
+        # joins anywhere; scans prune to (vec_id, embedding)
+        r = report(spark, "embedding_kmeans")
+        assert r.num_sortmerge_joins == 0, r.text
+        for cols in r.scan_columns():
+            assert "label" not in cols
+
+    def test_quality_linear_no_joins(self, spark):
+        r = report(spark, "text_quality_linear")
+        assert r.num_sortmerge_joins == 0
+        assert r.num_broadcast_joins == 0
+        assert "mapInPandas" not in r.text.lower()
