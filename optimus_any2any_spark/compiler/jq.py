@@ -12,7 +12,10 @@ docs/rfc_002). Here:
   common scalar functions, ``sub``/``gsub``/``test`` on the
   Java≡Oniguruma-provable regex subset, array/string slices
   ``.[a:b]`` and dynamic indexing, ``@text/@base64/@csv/@tsv`` format
-  strings, ``map(...)``/``map(select(...))``, ``tojson``, polymorphic
+  strings, ``map(...)``/``map(select(...))``, object-array operations
+  (``sort_by``/``min_by``/``max_by``/``unique_by``, element field
+  access, chained indexing — parametric kinds carry the struct schema
+  so element expressions prove their types), ``tojson``, polymorphic
   ``+``/``-`` (string/array concat, array subtraction, null identity),
   string/container interpolation ``"\\(...)"``, and per-record
   ``reduce``/``[foreach]`` over array paths (compiled to
@@ -117,7 +120,18 @@ def _kind_of_dtype(dtype) -> str:
         dtype.elementType, T.BooleanType
     ):
         return "complex_bool"  # provably array<boolean>: any/all native
-    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+    if isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType, T.StructType
+    ):
+        # parametric kind: array<struct> carries its dtype so element
+        # operations (sort_by, map(.f), field access) can resolve
+        # fields and prove THEIR kinds. String-membership checks all
+        # over the parser fail closed on tuples (-> jq-binary), so the
+        # richer kind only changes behavior where explicitly handled.
+        return ("complex_obj", dtype)
+    if isinstance(dtype, T.StructType):
+        return ("obj", dtype)
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.BinaryType)):
         return "complex"
     if isinstance(
         dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -186,10 +200,11 @@ class _ExprParser:
         while self.peek() == "//":
             self.next()
             right, rkind = self.parse_or()
-            if lkind in (
+            if isinstance(lkind, tuple) or lkind in (
                 "string", "number", "int", "complex", "complex_str",
                 "complex_num",
             ):
+                # arrays/objects/strings/numbers can never be false
                 left = F.coalesce(left, right)
             elif lkind == "boolean":
                 left = F.when(left == F.lit(True), left).otherwise(right)
@@ -215,7 +230,7 @@ class _ExprParser:
             return F.coalesce(col, F.lit(False))
         if kind == "null":
             return F.lit(False)
-        if kind in (
+        if isinstance(kind, tuple) or kind in (
             "string", "int", "number", "complex", "complex_str",
             "complex_num", "complex_bool",
         ):
@@ -261,6 +276,14 @@ class _ExprParser:
                     return subj.isNotNull(), "boolean"
                 raise JQUnsupported(
                     "jq: ordered comparison with null (jq type ordering) "
+                    "outside the native subset"
+                )
+            if isinstance(lkind, tuple) or isinstance(rkind, tuple):
+                # deep equality/ordering on objects and object arrays
+                # (jq compares them structurally with its own type
+                # order) — binary path
+                raise JQUnsupported(
+                    "jq: comparison of object/array-of-object values "
                     "outside the native subset"
                 )
             # jq compares across types by TYPE ORDER (a string never
@@ -378,7 +401,7 @@ class _ExprParser:
                 )
                 continue
             for k in (lkind, rkind):
-                if k in (
+                if isinstance(k, tuple) or k in (
                     "string", "complex", "complex_str", "complex_num",
                     "null", "boolean",
                 ):
@@ -396,7 +419,7 @@ class _ExprParser:
             op = self.next()
             right, rkind = self.parse_unary()
             for k in (lkind, rkind):
-                if k in (
+                if isinstance(k, tuple) or k in (
                     "string", "complex", "complex_str", "complex_num",
                     "null", "boolean",
                 ):
@@ -434,8 +457,21 @@ class _ExprParser:
 
     def parse_postfix(self) -> tuple[Column, str]:
         col, kind = self.parse_atom()
-        while self.peek() == "[":
-            col, kind = self._parse_index_suffix(col, kind)
+        while True:
+            nxt = self.peek()
+            if nxt == "[":
+                col, kind = self._parse_index_suffix(col, kind)
+            elif (
+                nxt is not None
+                and nxt.startswith(".")
+                and nxt != "."
+                and isinstance(kind, tuple)
+                and kind[0] == "obj"
+            ):
+                # chained field access after indexing: .items[0].name
+                col, kind = self._struct_path(col, kind[1], self.next())
+            else:
+                break
         return col, kind
 
     def _parse_index_suffix(
@@ -472,7 +508,8 @@ class _ExprParser:
                 hi_col = c
         self.expect("]")
 
-        is_arr = kind in (
+        is_obj_arr = isinstance(kind, tuple) and kind[0] == "complex_obj"
+        is_arr = is_obj_arr or kind in (
             "complex_str", "complex_num", "complex_bool", "complex"
         )
         if not is_slice:
@@ -486,6 +523,8 @@ class _ExprParser:
             out = F.when(idx >= 0, F.get(subject, idx)).otherwise(
                 F.get(subject, n + idx)
             )
+            if is_obj_arr:
+                return out, ("obj", kind[1].elementType)
             elem = {
                 "complex_str": "string",
                 "complex_num": "int",
@@ -526,6 +565,18 @@ class _ExprParser:
         name = self.next()
         if name.startswith("@"):
             return self._format_string(name, subject, kind)
+        if name.startswith(".") and name != ".":
+            # piped field access: `... | .name` reads from the piped
+            # value when it is a provable object
+            if isinstance(kind, tuple) and kind[0] == "obj":
+                out, okind = self._struct_path(subject, kind[1], name)
+                # postfix indexing/slicing may follow
+                while self.peek() == "[":
+                    out, okind = self._parse_index_suffix(out, okind)
+                return out, okind
+            raise JQUnsupported(
+                f"jq: pipe into path {name!r} on kind {kind!r}"
+            )
         if not re.fullmatch(r"[A-Za-z_]\w*", name or ""):
             raise JQUnsupported(f"jq: pipe into non-function {name!r}")
         if name == "map":
@@ -534,14 +585,17 @@ class _ExprParser:
             # expression the scalar grammar supports) bound to the
             # element. map(ascii_upcase)-style bare builtins parse as
             # a piped application of the builtin to '.'.
-            elem_kind = {
-                "complex_str": "string",
-                "complex_num": "int",
-                "complex_bool": "boolean",
-            }.get(kind)
+            if isinstance(kind, tuple) and kind[0] == "complex_obj":
+                elem_kind = ("obj", kind[1].elementType)
+            else:
+                elem_kind = {
+                    "complex_str": "string",
+                    "complex_num": "int",
+                    "complex_bool": "boolean",
+                }.get(kind)
             if elem_kind is None:
                 raise JQUnsupported(
-                    "jq: map() native only on provable scalar arrays"
+                    "jq: map() native only on provable scalar/object arrays"
                 )
             self.expect("(")
             inner_toks, _ = self._capture_until((")",))
@@ -583,17 +637,28 @@ class _ExprParser:
                 ).parse_full()
 
             _, out_elem_kind = elem(F.get(subject, 0))
-            out_kind = {
-                "string": "complex_str",
-                "int": "complex_num",
-                "boolean": "complex_bool",
-            }.get(out_elem_kind)
+            if isinstance(out_elem_kind, tuple) and out_elem_kind[0] == "obj":
+                # struct-valued projection: array<struct> out
+                from pyspark.sql import types as T
+
+                out_kind = ("complex_obj", T.ArrayType(out_elem_kind[1]))
+            else:
+                out_kind = {
+                    "string": "complex_str",
+                    "int": "complex_num",
+                    "boolean": "complex_bool",
+                    # doubles move as VALUES fine (no stringification);
+                    # the coarse kind blocks text paths downstream
+                    "number": "complex",
+                }.get(out_elem_kind)
             if out_kind is None:
                 raise JQUnsupported(
                     f"jq: map() element kind {out_elem_kind!r} outside "
                     "the native subset"
                 )
             return F.transform(subject, lambda x: elem(x)[0]), out_kind
+        if name in ("sort_by", "min_by", "max_by", "unique_by"):
+            return self._by_funcs(name, subject, kind)
         lit_args: list[str | None] = []
         col_args: list[Column] = []
         arg_kinds: list[str] = []
@@ -623,6 +688,64 @@ class _ExprParser:
         return self._piped_func(
             name, subject, kind, col_args, lit_args, arg_kinds
         )
+
+    def _by_funcs(
+        self, name: str, subject: Column, kind: str
+    ) -> tuple[Column, str]:
+        """``sort_by/min_by/max_by/unique_by(KEY)`` over provable
+        arrays of objects. The key filter is evaluated with ``.`` bound
+        to each ELEMENT (jq scoping) and must prove a string/integral
+        kind so the comparator can encode jq's total order (null is the
+        smallest value). jq's sort is a stable merge sort and Spark's
+        comparator ``array_sort`` is TimSort — both stable, so ties
+        keep input order on either path; min_by takes the first minimal
+        element and max_by the LAST maximal one, matching jq's
+        sort-then-pick definition."""
+        if not (isinstance(kind, tuple) and kind[0] == "complex_obj"):
+            raise JQUnsupported(
+                f"jq: {name} native only on provable object arrays"
+            )
+        elem_kind = ("obj", kind[1].elementType)
+        self.expect("(")
+        key_toks, _ = self._capture_until((")",))
+
+        def key_of(x: Column) -> tuple[Column, str]:
+            return _ExprParser(
+                list(key_toks),
+                self.df,
+                {**self.bindings, ".": (x, elem_kind)},
+            ).parse_full()
+
+        _, kkind = key_of(F.get(subject, 0))
+        if kkind not in ("string", "int", "number", "boolean", "null"):
+            raise JQUnsupported(
+                f"jq: {name} key kind {kkind!r} outside the native subset"
+            )
+
+        def cmp(a: Column, b: Column) -> Column:
+            ka, kb = key_of(a)[0], key_of(b)[0]
+            return (
+                F.when(ka.eqNullSafe(kb), F.lit(0))
+                .when(ka.isNull(), F.lit(-1))
+                .when(kb.isNull(), F.lit(1))
+                .when(ka < kb, F.lit(-1))
+                .otherwise(F.lit(1))
+            )
+
+        sorted_col = F.array_sort(subject, cmp)
+        if name == "sort_by":
+            return sorted_col, kind
+        if name == "min_by":
+            # jq: min_by([]) is null; F.get on empty is null
+            return F.get(sorted_col, 0), elem_kind
+        if name == "max_by":
+            return F.get(sorted_col, F.size(sorted_col) - 1), elem_kind
+        # unique_by: first element of each key group in sorted order
+        def keep(x: Column, i: Column) -> Column:
+            prev = F.get(sorted_col, i - 1)
+            return (i == 0) | ~key_of(x)[0].eqNullSafe(key_of(prev)[0])
+
+        return F.filter(sorted_col, keep), kind
 
     @staticmethod
     def _safe_regex(pat: str | None, forbid_empty_match: bool = False) -> str:
@@ -829,6 +952,12 @@ class _ExprParser:
             need("boolean")
             return F.coalesce(subject == F.lit(False), F.lit(True)), "boolean"
         if name in ("sort", "unique", "reverse", "add") and not args:
+            if (
+                name == "reverse"
+                and isinstance(kind, tuple)
+                and kind[0] == "complex_obj"
+            ):
+                return F.reverse(subject), kind
             if kind not in ("complex_str", "complex_num"):
                 raise JQUnsupported(
                     f"jq: {name} native only on provable array<string>/"
@@ -868,7 +997,11 @@ class _ExprParser:
         if name == "length" and not args:
             if kind == "string":
                 return F.length(subject), "int"
-            if kind in ("complex", "complex_str", "complex_num", "complex_bool"):
+            if (
+                isinstance(kind, tuple) and kind[0] == "complex_obj"
+            ) or kind in (
+                "complex", "complex_str", "complex_num", "complex_bool",
+            ):
                 # jq: null | length == 0 (Spark size(null) is null)
                 return F.coalesce(F.size(subject), F.lit(0)), "int"
             raise JQUnsupported(f"jq: length on kind {kind!r}")
@@ -892,15 +1025,18 @@ class _ExprParser:
                 elem_kind,
             )
         if name in ("first", "last") and not args:
-            if kind not in ("complex_str", "complex_num", "complex_bool"):
+            if isinstance(kind, tuple) and kind[0] == "complex_obj":
+                elem_kind = ("obj", kind[1].elementType)
+            elif kind in ("complex_str", "complex_num", "complex_bool"):
+                elem_kind = {
+                    "complex_str": "string",
+                    "complex_num": "int",
+                    "complex_bool": "boolean",
+                }[kind]
+            else:
                 raise JQUnsupported(
                     f"jq: {name} native only on provable arrays"
                 )
-            elem_kind = {
-                "complex_str": "string",
-                "complex_num": "int",
-                "complex_bool": "boolean",
-            }[kind]
             if name == "first":
                 # jq first == .[0]: null on empty — F.get is total
                 return F.get(subject, 0), elem_kind
@@ -1017,6 +1153,15 @@ class _ExprParser:
             # inside a reduce/foreach body '.' is the accumulator
             return self.bindings["."]
         if t.startswith(".") and t != ".":
+            if "." in self.bindings:
+                # inside map/sort_by/reduce bodies '.' is the current
+                # element; a path reads FROM the element (jq scoping),
+                # not from the record
+                bcol, bkind = self.bindings["."]
+                if isinstance(bkind, tuple) and bkind[0] == "obj":
+                    return self._struct_path(bcol, bkind[1], t)
+                # scalar-bound '.': a path into a scalar is null in jq
+                return F.lit(None), "null"
             root = t[1:].split(".")[0].split("[")[0]
             if root not in self.df.columns:
                 # jq: absent keys read as null. Compiling F.col would
@@ -1330,6 +1475,38 @@ class _ExprParser:
         for cond, val, _vk in reversed(branches):
             out = F.when(cond, val).otherwise(out)
         return out, kinds.pop() if len(kinds) == 1 else "unknown"
+
+    @staticmethod
+    def _struct_path(col: Column, dtype, tok: str) -> tuple[Column, str]:
+        """Resolve ``.a.b`` against a bound struct value (the current
+        element inside map/sort_by bodies). Absent fields read as null,
+        exactly jq; nested structs keep their parametric kind."""
+        from pyspark.sql import types as T
+
+        cur = col
+        fields = {f.name: f.dataType for f in dtype.fields}
+        m = re.fullmatch(r"(.*)\[(-?\d+)\]", tok)
+        idx = None
+        if m:
+            tok, idx = m.group(1), int(m.group(2))
+        for part in tok[1:].split("."):
+            if fields is None or part not in fields:
+                return F.lit(None), "null"
+            cur = cur.getField(part)
+            dt = fields[part]
+            fields = (
+                {f.name: f.dataType for f in dt.fields}
+                if isinstance(dt, T.StructType)
+                else None
+            )
+        if idx is not None:
+            if not isinstance(dt, T.ArrayType):
+                return F.lit(None), "null"
+            cur = (
+                F.get(cur, F.size(cur) + idx) if idx < 0 else F.get(cur, idx)
+            )
+            dt = dt.elementType
+        return cur, _kind_of_dtype(dt)
 
     def _path_kind(self, tok: str) -> str:
         """Resolve a ``.path.to.field`` token's kind from df.schema."""

@@ -653,3 +653,96 @@ class TestTotalComparisons:
         got = spark_rows(translate_jq(df, program))
         expect = jq_oracle(program, rows)
         assert got == expect  # null element kept on both paths
+
+
+class TestObjectArrays:
+    """Round-3: native jq over arrays of OBJECTS — sort_by/min_by/
+    max_by/unique_by, map(.field)/map(select(...)), element field
+    access, chained indexing — differential vs the jq binary."""
+
+    ROWS4 = [
+        {
+            "id": 1,
+            "items": [
+                {"name": "b", "qty": 3, "price": 2.5},
+                {"name": "a", "qty": 1, "price": 1.0},
+                {"name": "c", "qty": 3, "price": 9.9},
+            ],
+        },
+        {"id": 2, "items": [{"name": "z", "qty": 7, "price": 0.5}]},
+        {"id": 3, "items": []},
+        # null element: jq reads null.field as null; null sorts FIRST
+        {"id": 4, "items": [{"name": "m", "qty": 2, "price": 1.5}, None]},
+    ]
+    SCHEMA4 = (
+        "id long, items array<struct<name: string, qty: long, price: double>>"
+    )
+
+    NATIVE = [
+        ".[] | {id, names: (.items | map(.name))}",
+        ".[] | {id, qtys: (.items | map(.qty))}",
+        ".[] | {id, s: (.items | sort_by(.name) | map(.name))}",
+        ".[] | {id, s: (.items | sort_by(.qty) | map(.name))}",  # ties stable
+        ".[] | {id, m: (.items | min_by(.qty) | .name)}",
+        ".[] | {id, m: (.items | max_by(.qty) | .name)}",  # last maximal
+        ".[] | {id, u: (.items | unique_by(.qty) | map(.name))}",
+        ".[] | {id, f: (.items | map(select(.qty > 2)) | map(.name))}",
+        ".[] | {id, n: (.items | length)}",
+        ".[] | {id, f: (.items | first | .name), l: (.items | last | .name)}",
+        ".[] | {id, r: (.items | reverse | map(.name))}",
+        ".[] | {id, i0: .items[0].name, im: .items[-1].qty}",
+        ".[] | {id, sl: (.items[0:2] | map(.name))}",
+        ".[] | {id, t: (.items | sort_by(.qty) | first | .qty)}",
+        ".[] | select((.items | length) > 1) | {id}",
+        ".[] | {id, big: (.items | map(select(.qty >= 3)) | length)}",
+        ".[] | {id, prices: (.items | map(.price))}",  # doubles move as values
+    ]
+
+    @pytest.fixture(scope="class")
+    def df4(self, spark):
+        return spark.createDataFrame(self.ROWS4, self.SCHEMA4)
+
+    @staticmethod
+    def _strip(v):
+        if isinstance(v, dict):
+            return {
+                k: TestObjectArrays._strip(x)
+                for k, x in v.items()
+                if x is not None
+            }
+        if isinstance(v, list):
+            return [TestObjectArrays._strip(x) for x in v]
+        return v
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, spark, df4, program):
+        canonical = [self._strip(r) if r.get("items") is None else
+                     {**self._strip(r), "items": [
+                         None if i is None else self._strip(i)
+                         for i in r["items"]
+                     ]}
+                     for r in self.ROWS4]
+        got = [
+            self._strip(r.asDict(recursive=True))
+            for r in translate_jq(df4, program).collect()
+        ]
+        expect = [self._strip(r) for r in jq_oracle(program, canonical)]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, df4, program):
+        out = jq_transform(df4, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    def test_guards_route_to_binary(self, df4):
+        for program in [
+            ".[] | select(.items == .items)",  # deep object equality
+            ".[] | {m: (.items | map(.absent))}",  # all-null projection
+            ".[] | {s: (.items | sort)}",  # object ordering needs sort_by
+        ]:
+            with pytest.raises(JQUnsupported):
+                translate_jq(df4, program)
