@@ -405,3 +405,83 @@ def q_jq_native_program(spark, sf_dir):
         "total_len: (reduce .words[] as $w (0; . + ($w | length)))}"
     )
     return translate_jq(d, prog).orderBy("doc_id")
+
+
+@register(
+    "q_jq_object_arrays",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      FROM documents
+    ),
+    f AS (SELECT * FROM tok WHERE len(words) >= 3),
+    it AS (
+      SELECT doc_id, unnest(words) AS w,
+             unnest(range(1, len(words) + 1)) AS i
+      FROM f
+    ),
+    itl AS (SELECT doc_id, w, length(w) AS l, i FROM it),
+    longest AS (
+      -- max_by = LAST maximal under a stable ascending sort:
+      -- (l DESC, i DESC) row 1
+      SELECT doc_id, w AS longest FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY l DESC, i DESC) AS rn
+        FROM itl
+      ) t WHERE rn = 1
+    ),
+    shortest AS (
+      -- min_by = FIRST minimal: (l ASC, i ASC) row 1
+      SELECT doc_id, w AS shortest FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY l ASC, i ASC) AS rn
+        FROM itl
+      ) t WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id,
+             array_to_string((list(w ORDER BY w ASC, i ASC))[1:3], ',') AS top3,
+             CAST(COUNT(*) FILTER (l >= 5) AS BIGINT) AS n_long
+      FROM itl GROUP BY doc_id
+    ),
+    firstw AS (SELECT doc_id, words[1] AS first_w FROM f)
+    SELECT f.doc_id, longest, shortest, top3, n_long, first_w
+    FROM f
+    JOIN longest USING (doc_id)
+    JOIN shortest USING (doc_id)
+    JOIN agg USING (doc_id)
+    JOIN firstw ON f.doc_id = firstw.doc_id
+    ORDER BY f.doc_id
+    """,
+    doc="The object-array jq constructs as ONE compiled program "
+    "through the oracle gate: sort_by (stable, tie-checked), "
+    "min_by/max_by (first-minimal / last-maximal, jq's "
+    "sort-then-pick), map(select(...)), element field access, chained "
+    "indexing, and a postfix slice — all Catalyst array lambdas "
+    "(compiler/jq.py), no jq binary; the SQL mirror encodes the "
+    "stable orders explicitly via (key, original-index) sorts.",
+)
+def q_jq_object_arrays(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+    from optimus_any2any_spark.operators.text import tokens
+
+    w = tokens(F.col("text"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            w,
+            lambda x: F.struct(
+                x.alias("w"), F.length(x).alias("l")
+            ),
+        ).alias("items"),
+    )
+    prog = (
+        ".[] | select((.items | length) >= 3) "
+        "| {doc_id, "
+        "longest: (.items | max_by(.l) | .w), "
+        "shortest: (.items | min_by(.l) | .w), "
+        "top3: ((.items | sort_by(.w) | map(.w))[0:3] | join(\",\")), "
+        "n_long: (.items | map(select(.l >= 5)) | length), "
+        "first_w: .items[0].w}"
+    )
+    return translate_jq(d, prog).orderBy("doc_id")
