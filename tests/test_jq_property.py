@@ -255,3 +255,64 @@ def test_miscompile_risks_route_to_binary(spark):
     ]:
         with pytest.raises(JQUnsupported):
             translate_jq(df, program)
+
+
+# Object-array records: nested array<struct> with null elements, null
+# fields, empty arrays, duplicate keys (tie-stability stress).
+_ITEMS = st.lists(
+    st.one_of(
+        st.none(),
+        st.fixed_dictionaries(
+            {
+                "w": st.one_of(
+                    st.none(), st.sampled_from(["a", "bb", "ccc", "bb"])
+                ),
+                "q": st.one_of(
+                    st.none(), st.integers(min_value=-5, max_value=5)
+                ),
+            }
+        ),
+    ),
+    max_size=4,
+)
+_OBJ_RECORDS = st.lists(
+    st.fixed_dictionaries(
+        {"id": st.integers(min_value=0, max_value=50), "items": _ITEMS}
+    ),
+    min_size=1,
+    max_size=6,
+)
+_OBJ_SCHEMA = "id long, items array<struct<w: string, q: long>>"
+
+_OBJ_PROGRAMS = st.sampled_from(
+    [
+        ".[] | {id, n: (.items | length)}",
+        ".[] | {id, ws: (.items | map(.w))}",
+        ".[] | {id, qs: (.items | map(.q))}",
+        ".[] | {id, s: (.items | sort_by(.q) | map(.w))}",
+        ".[] | {id, s: (.items | sort_by(.w) | map(.q))}",
+        ".[] | {id, m: (.items | min_by(.q) | .w)}",
+        ".[] | {id, x: (.items | max_by(.q) | .w)}",
+        ".[] | {id, u: (.items | unique_by(.w) | map(.q))}",
+        ".[] | {id, f: (.items | map(select(.q > 0)) | length)}",
+        ".[] | {id, r: (.items | reverse | map(.w))}",
+        ".[] | {id, i: .items[0].w, j: .items[-1].q}",
+        ".[] | {id, sl: (.items[1:3] | map(.w))}",
+        ".[] | select((.items | length) > 1) | {id}",
+    ]
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_OBJ_RECORDS, program=_OBJ_PROGRAMS)
+def test_object_arrays_equal_jq_binary(spark, rows, program):
+    df = spark.createDataFrame(rows, _OBJ_SCHEMA)
+    got = [
+        r.asDict(recursive=True) for r in translate_jq(df, program).collect()
+    ]
+    expect = _jq(program, rows)
+    assert _norm(got) == _norm(expect), (program, rows)
