@@ -508,7 +508,9 @@ class _ExprParser:
                 hi_col = c
         self.expect("]")
 
-        is_obj_arr = isinstance(kind, tuple) and kind[0] == "complex_obj"
+        is_obj_arr = isinstance(kind, tuple) and kind[0] in (
+            "complex_obj", "complex_obj_arr"
+        )
         is_arr = is_obj_arr or kind in (
             "complex_str", "complex_num", "complex_bool", "complex"
         )
@@ -524,7 +526,10 @@ class _ExprParser:
                 F.get(subject, n + idx)
             )
             if is_obj_arr:
-                return out, ("obj", kind[1].elementType)
+                inner = kind[1].elementType
+                if kind[0] == "complex_obj":
+                    return out, ("obj", inner)
+                return out, ("complex_obj", inner)
             elem = {
                 "complex_str": "string",
                 "complex_num": "int",
@@ -587,6 +592,10 @@ class _ExprParser:
             # a piped application of the builtin to '.'.
             if isinstance(kind, tuple) and kind[0] == "complex_obj":
                 elem_kind = ("obj", kind[1].elementType)
+            elif isinstance(kind, tuple) and kind[0] == "complex_obj_arr":
+                # map over group_by output: each element is itself an
+                # array of objects
+                elem_kind = ("complex_obj", kind[1].elementType)
             else:
                 elem_kind = {
                     "complex_str": "string",
@@ -642,14 +651,26 @@ class _ExprParser:
                 from pyspark.sql import types as T
 
                 out_kind = ("complex_obj", T.ArrayType(out_elem_kind[1]))
+            elif (
+                isinstance(out_elem_kind, tuple)
+                and out_elem_kind[0] == "complex_obj"
+            ):
+                from pyspark.sql import types as T
+
+                out_kind = ("complex_obj_arr", T.ArrayType(out_elem_kind[1]))
             else:
                 out_kind = {
                     "string": "complex_str",
                     "int": "complex_num",
                     "boolean": "complex_bool",
-                    # doubles move as VALUES fine (no stringification);
-                    # the coarse kind blocks text paths downstream
+                    # doubles and nested arrays move as VALUES fine (no
+                    # stringification); the coarse kind blocks text
+                    # paths downstream
                     "number": "complex",
+                    "complex_str": "complex",
+                    "complex_num": "complex",
+                    "complex_bool": "complex",
+                    "complex": "complex",
                 }.get(out_elem_kind)
             if out_kind is None:
                 raise JQUnsupported(
@@ -657,7 +678,7 @@ class _ExprParser:
                     "the native subset"
                 )
             return F.transform(subject, lambda x: elem(x)[0]), out_kind
-        if name in ("sort_by", "min_by", "max_by", "unique_by"):
+        if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
             return self._by_funcs(name, subject, kind)
         lit_args: list[str | None] = []
         col_args: list[Column] = []
@@ -731,6 +752,25 @@ class _ExprParser:
                 .when(ka < kb, F.lit(-1))
                 .otherwise(F.lit(1))
             )
+
+        if name == "group_by":
+            # jq: sort_by(key), then split adjacent equal-key runs;
+            # groups come out ascending by key (null-key group FIRST —
+            # sort_array's null placement, unlike array_sort's), and
+            # elements inside a group keep their stable-sorted (==
+            # original) relative order because F.filter preserves
+            # element order.
+            from pyspark.sql import types as T
+
+            keys_all = F.transform(subject, lambda x: key_of(x)[0])
+            uniq = F.sort_array(F.array_distinct(keys_all))
+            groups = F.transform(
+                uniq,
+                lambda k: F.filter(
+                    subject, lambda x: key_of(x)[0].eqNullSafe(k)
+                ),
+            )
+            return groups, ("complex_obj_arr", T.ArrayType(kind[1]))
 
         sorted_col = F.array_sort(subject, cmp)
         if name == "sort_by":
@@ -998,7 +1038,8 @@ class _ExprParser:
             if kind == "string":
                 return F.length(subject), "int"
             if (
-                isinstance(kind, tuple) and kind[0] == "complex_obj"
+                isinstance(kind, tuple)
+                and kind[0] in ("complex_obj", "complex_obj_arr")
             ) or kind in (
                 "complex", "complex_str", "complex_num", "complex_bool",
             ):
@@ -1027,6 +1068,8 @@ class _ExprParser:
         if name in ("first", "last") and not args:
             if isinstance(kind, tuple) and kind[0] == "complex_obj":
                 elem_kind = ("obj", kind[1].elementType)
+            elif isinstance(kind, tuple) and kind[0] == "complex_obj_arr":
+                elem_kind = ("complex_obj", kind[1].elementType)
             elif kind in ("complex_str", "complex_num", "complex_bool"):
                 elem_kind = {
                     "complex_str": "string",
@@ -1199,14 +1242,41 @@ class _ExprParser:
         toks, _ = self._capture_until(("}",))
         entries = _parse_object(["{"] + toks + ["}"])
         cols = []
+        kinds = []
         for e in entries:
-            col, _k = _ExprParser(
+            col, k = _ExprParser(
                 list(e.expr_toks), self.df, self.bindings
             ).parse_full()
             cols.append(col.alias(e.key))
+            kinds.append(k)
         if not cols:
             raise JQUnsupported("jq: empty object literal in expression")
-        return F.struct(*cols), "complex"
+        # derive a parametric ("obj", schema) kind when every field kind
+        # maps to a provable Spark type — this is what lets a
+        # constructed object be piped further (e.g. map({...}) output
+        # feeding sort_by). Unprovable fields fall back to the coarse
+        # "complex" kind, which blocks further native piping but still
+        # constructs fine.
+        from pyspark.sql import types as T
+
+        type_of = {
+            "string": T.StringType(),
+            "int": T.LongType(),
+            "number": T.DoubleType(),
+            "boolean": T.BooleanType(),
+            "complex_str": T.ArrayType(T.StringType()),
+            "complex_num": T.ArrayType(T.LongType()),
+            "complex_bool": T.ArrayType(T.BooleanType()),
+        }
+        fields = []
+        for e, k in zip(entries, kinds):
+            if isinstance(k, tuple) and k[0] in ("obj", "complex_obj"):
+                fields.append(T.StructField(e.key, k[1]))
+            elif k in type_of:
+                fields.append(T.StructField(e.key, type_of[k]))
+            else:
+                return F.struct(*cols), "complex"
+        return F.struct(*cols), ("obj", T.StructType(fields))
 
     def parse_bracket(self) -> tuple[Column, str]:
         """``[ ... ]`` in expression position: the array-collected
@@ -1577,6 +1647,12 @@ class _ExprParser:
                 self.next()
                 args.append(self.parse_or()[0])
             self.expect(")")
+        if not args and "." in self.bindings:
+            # bare zero-arg builtin takes its input from '.': inside
+            # map/sort_by/reduce bodies that is the bound element —
+            # `map({n: length})` == `map({n: (. | length)})`
+            bcol, bkind = self.bindings["."]
+            return self._piped_func(name, bcol, bkind, [], [], [])
         return _apply_func(name, args), _FUNC_KINDS.get(name, "unknown")
 
 

@@ -696,6 +696,15 @@ class TestObjectArrays:
         ".[] | select((.items | length) > 1) | {id}",
         ".[] | {id, big: (.items | map(select(.qty >= 3)) | length)}",
         ".[] | {id, prices: (.items | map(.price))}",  # doubles move as values
+        # group_by + aggregation over groups (typed object construction
+        # and bare builtins bound to the element)
+        ".[] | {id, g: (.items | group_by(.qty) | map(length))}",
+        ".[] | {id, g: (.items | group_by(.qty) | map(.[0].qty))}",
+        ".[] | {id, g: (.items | group_by(.qty) "
+        "| map({q: .[0].qty, n: length}) | map(.n))}",
+        ".[] | {id, ng: (.items | group_by(.name) | length)}",
+        ".[] | {id, s: (.items | map({name, q: .qty}) "
+        "| sort_by(.q) | map(.name))}",
     ]
 
     @pytest.fixture(scope="class")
