@@ -680,6 +680,35 @@ class _ExprParser:
             return F.transform(subject, lambda x: elem(x)[0]), out_kind
         if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
             return self._by_funcs(name, subject, kind)
+        if name in ("any", "all") and self.peek() == "(":
+            # any(f)/all(f): the condition filter runs with '.' bound to
+            # each element (jq truthiness: null and false are falsy)
+            if isinstance(kind, tuple) and kind[0] == "complex_obj":
+                elem_kind = ("obj", kind[1].elementType)
+            else:
+                elem_kind = {
+                    "complex_str": "string",
+                    "complex_num": "int",
+                    "complex_bool": "boolean",
+                }.get(kind)
+            if elem_kind is None:
+                raise JQUnsupported(
+                    f"jq: {name}(f) native only on provable arrays"
+                )
+            self.expect("(")
+            cond_toks, _ = self._capture_until((")",))
+
+            def cond(x: Column) -> Column:
+                c, ck = _ExprParser(
+                    list(cond_toks),
+                    self.df,
+                    {**self.bindings, ".": (x, elem_kind)},
+                ).parse_full()
+                return self._truthy(c, ck)
+
+            cond(F.get(subject, 0))  # kind-check eagerly
+            fn = F.exists if name == "any" else F.forall
+            return fn(subject, cond), "boolean"
         lit_args: list[str | None] = []
         col_args: list[Column] = []
         arg_kinds: list[str] = []
@@ -957,6 +986,15 @@ class _ExprParser:
             )
         if name == "tojson" and not args:
             return self._tojson(subject, kind)
+        if name == "flatten" and not args:
+            # one-level flatten of a grouped array back to an object
+            # array (the group_by round-trip); deeper/mixed nesting
+            # stays on the binary
+            if isinstance(kind, tuple) and kind[0] == "complex_obj_arr":
+                return F.flatten(subject), ("complex_obj", kind[1].elementType)
+            raise JQUnsupported(
+                f"jq: flatten on kind {kind!r} outside the native subset"
+            )
         if name in ("ltrimstr", "rtrimstr") and len(args) == 1:
             need("string")
             s = lit_args[0]

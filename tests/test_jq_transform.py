@@ -705,6 +705,9 @@ class TestObjectArrays:
         ".[] | {id, ng: (.items | group_by(.name) | length)}",
         ".[] | {id, s: (.items | map({name, q: .qty}) "
         "| sort_by(.q) | map(.name))}",
+        ".[] | {id, a: (.items | any(.qty > 2)), b: (.items | all(.qty > 2))}",
+        '.[] | select(.items | any(.name == "a")) | {id}',
+        ".[] | {id, fl: (.items | group_by(.qty) | flatten | map(.name))}",
     ]
 
     @pytest.fixture(scope="class")
