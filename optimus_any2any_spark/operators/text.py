@@ -219,7 +219,9 @@ def hashed_linear_score(
     wsum = F.aggregate(
         F.transform(toks, weight), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    score = F.round(
-        wsum.cast("double") / (F.lit(float(scale)) * n_tokens), 6
-    )
+    # deliberately NOT rounded: the quotient of two exact integers is
+    # the same IEEE double in every engine, while round(x, 6) diverges
+    # when the double prints as an exact .5 boundary (BigDecimal
+    # shortest-repr vs multiply-then-round — seen at sf0.1)
+    score = wsum.cast("double") / (F.lit(float(scale)) * n_tokens)
     return n_tokens.cast("long"), wsum, score

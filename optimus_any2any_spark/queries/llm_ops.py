@@ -2747,8 +2747,7 @@ def dedup_span_exact(spark, sf_dir):
       FROM tok
     )
     SELECT doc_id, n_tokens, weight_sum,
-           round(CAST(weight_sum AS DOUBLE) / (1000.0 * n_tokens), 6)
-             AS score
+           CAST(weight_sum AS DOUBLE) / (1000.0 * n_tokens) AS score
     FROM scored
     ORDER BY doc_id
     """,
