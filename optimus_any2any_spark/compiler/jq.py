@@ -58,8 +58,8 @@ _TOK = re.compile(
         "(?:[^"\\]|\\.)*"                     # string
       | -?\d+\.\d+ | -?\d+                    # numbers
       | \.\[\]                                # .[]
-      | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\[-?\d+\]  # .path[idx]
-      | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)* # .path.to.field
+      | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\[-?\d+\]\??  # .path[idx]
+      | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\??  # .path.to.field (opt ?)
       | \.                                    # identity
       | ==|!=|<=|>=|\|\||&&|//=|//|\|=|\+=|-=|\*=|/=|%=
       | [|+\-*/%<>(){}:,;=\[\]]
@@ -1234,6 +1234,10 @@ class _ExprParser:
             # inside a reduce/foreach body '.' is the accumulator
             return self.bindings["."]
         if t.startswith(".") and t != ".":
+            # `.a?` == `.a` here: native paths are TOTAL (absent/wrong
+            # type reads null, never errors), which is exactly what the
+            # `?` suppresses in jq
+            t = t.rstrip("?")
             if "." in self.bindings:
                 # inside map/sort_by/reduce bodies '.' is the current
                 # element; a path reads FROM the element (jq scoping),
@@ -1660,23 +1664,22 @@ class _ExprParser:
             if key not in self.df.columns:
                 return F.lit(False), "boolean"
             return F.col("`" + key + "`").isNotNull(), "boolean"
-        if name == "keys":
-            # keys of the record: sorted names of present fields.
-            # Through the canonical serialization (to_json drops NULL
-            # fields) a NULL value IS an absent key, so filter by
-            # isNotNull — the same relaxation as has().
+        if name in ("keys", "keys_unsorted"):
+            # keys of the record: names of present fields — sorted for
+            # keys, schema (insertion) order for keys_unsorted. Through
+            # the canonical serialization (to_json drops NULL fields) a
+            # NULL value IS an absent key, so filter by isNotNull — the
+            # same relaxation as has().
             name_or_null = [
                 F.when(F.col("`" + c + "`").isNotNull(), F.lit(c))
                 for c in self.df.columns
             ]
-            return (
-                F.sort_array(
-                    F.filter(
-                        F.array(*name_or_null), lambda x: x.isNotNull()
-                    )
-                ),
-                "complex_str",
+            present = F.filter(
+                F.array(*name_or_null), lambda x: x.isNotNull()
             )
+            if name == "keys":
+                present = F.sort_array(present)
+            return present, "complex_str"
         args: list[Column] = []
         if self.peek() == "(":
             self.next()
@@ -1842,6 +1845,8 @@ def _parse_object(toks: list[str]) -> list[_ObjEntry]:
             # shorthand {a} or {.a}
             tok = halves[0][0]
             key = tok.lstrip(".")
+            if "?" in key:
+                raise JQUnsupported(f"jq: optional shorthand key {tok!r}")
             entries.append(_ObjEntry(key=key, expr_toks=["." + key]))
             continue
         if len(halves) != 2:
@@ -1900,7 +1905,7 @@ def _apply_assignment(df: DataFrame, toks: list[str]) -> DataFrame:
     rules in the term path below."""
     target_tok, op, rhs = toks[0], toks[1], toks[2:]
     target = target_tok[1:]
-    if "." in target or "[" in target:
+    if "." in target or "[" in target or "?" in target:
         raise JQUnsupported(f"jq: nested assignment path {target_tok}")
     if not rhs:
         raise JQUnsupported("jq: assignment without a right-hand side")
@@ -2003,10 +2008,10 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                 if len(ptoks) != 1 or not ptoks[0].startswith("."):
                     raise JQUnsupported(f"jq: del path {ptoks}")
                 p = ptoks[0][1:]
-                # a nested or indexed del path can never match a
+                # a nested/indexed/optional del path can never match a
                 # top-level column — compiling it would silently drop
                 # NOTHING while jq removes the nested field
-                if "." in p or "[" in p:
+                if "." in p or "[" in p or "?" in p:
                     raise JQUnsupported(f"jq: nested del path {ptoks}")
                 dropped.append(p)
         elif term[0] == "{" and term[-1] == "}":

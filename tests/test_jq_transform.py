@@ -758,3 +758,33 @@ class TestObjectArrays:
         ]:
             with pytest.raises(JQUnsupported):
                 translate_jq(df4, program)
+
+
+class TestOptionalPathsAndKeys:
+    def test_optional_paths_and_keys_unsorted(self, spark):
+        rows = [{"zz": 1, "aa": "x", "mm": None}, {"zz": 2, "aa": None, "mm": True}]
+        df = spark.createDataFrame(rows, "zz long, aa string, mm boolean")
+        canonical = [{k: v for k, v in r.items() if v is not None} for r in rows]
+        for program in [
+            ".[] | {k: keys_unsorted}",
+            ".[] | {k: keys}",
+            '.[] | {v: (.aa? // "d")}',
+            ".[] | select(.missing? == null) | {zz}",
+        ]:
+            got = spark_rows(translate_jq(df, program))
+            expect = [
+                {k: v for k, v in r.items() if v is not None}
+                for r in jq_oracle(program, canonical)
+            ]
+            key = lambda d: json.dumps(d, sort_keys=True)
+            assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    def test_optional_in_mutating_contexts_routes_to_binary(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, name string")
+        for program in [
+            '.[] | .name? = "x"',
+            ".[] | del(.name?)",
+            ".[] | {name?}",
+        ]:
+            with pytest.raises(JQUnsupported):
+                translate_jq(df, program)
