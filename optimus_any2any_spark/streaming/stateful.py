@@ -118,6 +118,9 @@ def funnel_state(
         t1, t2, t3 = state.get if state.exists else (None, None, None)
         events: list[tuple[str, int]] = []
         for pdf in pdfs:
+            # a null ts would coerce NaT -> int64 min and poison the
+            # ordering; a timestamp-less event can't enter a time chain
+            pdf = pdf[pdf[ts_col].notna()]
             us = (
                 pdf[ts_col]
                 .astype("datetime64[us]")
