@@ -2874,3 +2874,69 @@ def ann_ivf_trained_topk(spark, sf_dir):
     return S.ivf_topk_with_centroids(
         e, cent, k=5, nprobe=_TIVF_NPROBE
     ).orderBy("vec_id", "rank")
+
+
+_BUDGET_TOKENS = 100_000
+_MIX_PARTS = [("src0", 5), ("src1", 3), ("src2", 1), ("src3", 1)]
+_MIX_TOTAL_PARTS = sum(p for _, p in _MIX_PARTS)
+
+
+@register(
+    "mix_token_budget_plan",
+    oracle=f"""
+    WITH parts(source, part) AS (VALUES
+      {", ".join(f"('{s}', {p})" for s, p in _MIX_PARTS)}
+    ),
+    avail AS (
+      SELECT d.source,
+             CAST(SUM(len(string_split_regex(trim(d.text), '\\s+')))
+                  AS BIGINT) AS available_tokens
+      FROM documents d JOIN parts USING (source)
+      GROUP BY d.source
+    )
+    SELECT a.source,
+           a.available_tokens,
+           CAST(({_BUDGET_TOKENS} * p.part) // {_MIX_TOTAL_PARTS} AS BIGINT)
+             AS target_tokens,
+           CAST(CEIL(CAST(({_BUDGET_TOKENS} * p.part) // {_MIX_TOTAL_PARTS}
+                          AS DOUBLE) / a.available_tokens) AS BIGINT)
+             AS epochs,
+           CAST(({_BUDGET_TOKENS} * p.part) // {_MIX_TOTAL_PARTS} AS DOUBLE)
+             / a.available_tokens AS sample_rate
+    FROM avail a JOIN parts p USING (source)
+    ORDER BY a.source
+    """,
+    doc="Training-mixture token-budget planner (the DoReMi-style "
+    "planning step before sampling): per-source available tokens (one "
+    "aggregate over the corpus), integer-exact target allocation "
+    "(budget * part // total_parts — no float weight drift), epochs = "
+    "ceil(target/available) (how many passes, i.e. the upsampling "
+    "factor), and the sampling rate. One corpus scan + a broadcast "
+    "parts table; output is |sources| rows.",
+)
+def mix_token_budget_plan(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    parts = d.sparkSession.createDataFrame(
+        _MIX_PARTS, ["source", "part"]
+    )
+    avail = (
+        d.join(F.broadcast(parts), "source")
+        .groupBy("source")
+        .agg(F.sum(TX.token_count(F.col("text"))).alias("available_tokens"))
+    )
+    target = (
+        (F.lit(_BUDGET_TOKENS) * F.col("part"))
+        / F.lit(_MIX_TOTAL_PARTS)
+    ).cast("long")  # floor division: both operands positive ints
+    out = avail.join(F.broadcast(parts), "source").select(
+        "source",
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.ceil(
+            target.cast("double") / F.col("available_tokens")
+        ).alias("epochs"),
+        (target.cast("double") / F.col("available_tokens")).alias(
+            "sample_rate"
+        ),
+    )
+    return out.orderBy("source")
