@@ -70,6 +70,19 @@ def with_record_index(
     """
     if order_by:
         df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+        # PIN the layout: repartitionByRange SAMPLES its boundaries per
+        # execution, and this operator reads the layout twice (the
+        # stats job below + the final plan). Without a checkpoint the
+        # second execution can re-sample different boundaries, moving
+        # rows across partitions after their offsets were computed —
+        # duplicate/gapped indices (seen at sf0.1; sf0.01 was too small
+        # to shift). localCheckpoint materializes the sorted layout
+        # once; losing an executor then fails the job instead of
+        # silently recomputing a DIFFERENT layout — for an index
+        # operator, failing loudly beats wrong indices. The unordered
+        # path keeps its zero-materialization plan (a deterministic
+        # scan lineage reads identically twice).
+        df = df.localCheckpoint(eager=False)
     # Shuffle-free position: monotonically_increasing_id puts the
     # partition id in the high bits and a CONSECUTIVE record number in
     # the low bits, so within a partition (mid - min(mid)) IS the row

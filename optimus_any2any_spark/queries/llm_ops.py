@@ -725,7 +725,7 @@ def dedup_keep_canonical(spark, sf_dir):
       FROM embeddings
     )
     SELECT label, CAST(i AS INT) AS pos,
-           CAST(SUM(CAST(e[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+           CAST(SUM(CAST(CAST(e[i + 1] AS VARCHAR) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
              AS centroid
     FROM v CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dims
     GROUP BY label, i
@@ -2572,7 +2572,7 @@ _SQL_KMEANS = f"""
     ),
     m1 AS (
       SELECT cluster, p.pos,
-             CAST(SUM(CAST(e[p.pos] AS DECIMAL(38,12))) AS DOUBLE)
+             CAST(SUM(CAST(CAST(e[p.pos] AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
                / COUNT(*) AS mv
       FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
       GROUP BY cluster, p.pos
@@ -2806,7 +2806,7 @@ _SQL_TRAINED_IVF = f"""
     ),
     m1 AS (
       SELECT cluster, p.pos,
-             CAST(SUM(CAST(e[p.pos] AS DECIMAL(38,12))) AS DOUBLE)
+             CAST(SUM(CAST(CAST(e[p.pos] AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
                / COUNT(*) AS mv
       FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
       GROUP BY cluster, p.pos

@@ -132,3 +132,29 @@ class TestSpecializedMetadataConsumption:
         assert dyn_out.exists()
         assert json.loads(dyn_out.read_text().splitlines()[0]) == {"a": 1}
         assert not (tmp_path / "static.json").exists()
+
+
+class TestRecordIndexLayoutPinning:
+    def test_ordered_index_is_exact_permutation_at_scale(self, spark):
+        """repartitionByRange samples boundaries per execution; the
+        two-pass offset computation must read ONE pinned layout
+        (localCheckpoint) or indices gap/duplicate — seen at sf0.1
+        before the fix (batch count 1124 vs 1172)."""
+        from optimus_any2any_spark import metadata as M
+        from pyspark.sql import functions as F
+
+        n = 200_000
+        df = (
+            spark.range(n)
+            .withColumn("key", (F.lit(n) - F.col("id")) * 7 % 104729)
+            .repartition(16)
+        )
+        out = M.with_record_index(df, col="ri", order_by=["key", "id"])
+        stats = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ri").alias("d"),
+            F.min("ri").alias("mn"),
+            F.max("ri").alias("mx"),
+        ).collect()[0]
+        assert stats.n == n and stats.d == n
+        assert stats.mn == 0 and stats.mx == n - 1
