@@ -858,6 +858,9 @@ class _ExprParser:
             if name == "@text":
                 return s, "string"
             return F.base64(s.cast("binary")), "string"
+        if name == "@json":
+            # @json is tojson applied to the interpolated value
+            return self._tojson(subject, kind)
         if name in ("@csv", "@tsv"):
             if kind not in ("complex_str", "complex_num"):
                 raise JQUnsupported(
@@ -1203,6 +1206,136 @@ class _ExprParser:
             # ints; Spark's floor/ceil return LongType); fabs keeps
             # its operand's kind
             return fn(subject), ("int" if name != "fabs" else kind)
+        if name == "round" and not args:
+            if kind == "int":
+                return subject, "int"
+            if kind != "number":
+                raise JQUnsupported(
+                    f"jq: round on unprovable kind {kind!r} (need number)"
+                )
+            # jq's round is C round(): half away from zero — exactly
+            # Spark's HALF_UP mode (2.5 -> 3, -2.5 -> -3, probed
+            # against jq 1.6). Cast to long so the output prints as an
+            # integer like jq does; doubles beyond long range would
+            # diverge, but jq programs rounding >9e18 don't exist.
+            return F.round(subject).cast("long"), "int"
+        if name == "type" and not args:
+            # jq type names. A NULL value types as "null" — the same
+            # absent≡null relaxation as has()/keys: sources normalize
+            # ragged JSON into schema columns with absent -> NULL, and
+            # the binary fallback's to_json serialization drops NULL
+            # fields, so the two paths agree row-by-row.
+            base = kind[0] if isinstance(kind, tuple) else kind
+            if base == "null":
+                return F.lit("null"), "string"
+            type_name = {
+                "string": "string",
+                "int": "number",
+                "number": "number",
+                "boolean": "boolean",
+                "complex_str": "array",
+                "complex_num": "array",
+                "complex_bool": "array",
+                "complex_obj": "array",
+                "complex_obj_arr": "array",
+                "obj": "object",
+            }.get(base)
+            if type_name is None:
+                # "complex" covers MapType/BinaryType too — can't prove
+                # the JSON container class, route to the binary
+                raise JQUnsupported(f"jq: type on unprovable kind {kind!r}")
+            return (
+                F.when(subject.isNotNull(), F.lit(type_name)).otherwise(
+                    F.lit("null")
+                ),
+                "string",
+            )
+        if name == "utf8bytelength" and not args:
+            need("string")
+            # jq counts UTF-8 bytes; octet_length counts the encoded
+            # bytes of the (UTF-8) string — identical. Null input is
+            # null where jq errors (the usual total-function relaxation).
+            return F.octet_length(subject), "int"
+        if name in ("index", "rindex") and len(args) == 1:
+            need("string")
+            sub = lit_args[0]
+            if sub is None or sub == "":
+                # dynamic needles evaluate against the piped input in
+                # jq (same pitfall as ltrimstr); index("") infinite-
+                # loops in jq 1.6, so no surviving program uses it
+                raise JQUnsupported(f"jq: {name} needs a non-empty literal")
+            if name == "index":
+                pos = F.locate(sub, subject)
+                # jq returns a 0-based offset or null when absent
+                return F.when(pos > 0, pos - 1), "int"
+            # jq 1.6's rindex is the LAST NON-OVERLAPPING match
+            # scanning left-to-right (built on indices/1):
+            # "aaa"|rindex("aa") == 0, not 1 (probed). The reversed-
+            # locate trick finds the last OVERLAPPING match, so only
+            # needles that cannot overlap themselves (no proper border:
+            # no k with prefix(k) == suffix(k)) compile natively — for
+            # those the two definitions coincide.
+            if any(sub[:k] == sub[-k:] for k in range(1, len(sub))):
+                raise JQUnsupported(
+                    "jq: rindex on a self-overlapping needle diverges "
+                    "from jq 1.6 (non-overlapping indices) — binary path"
+                )
+            p = F.locate(sub[::-1], F.reverse(subject))
+            return (
+                F.when(p > 0, F.length(subject) - p - (len(sub) - 1)),
+                "int",
+            )
+        if name == "inside" and len(args) == 1:
+            need("string")
+            if lit_args[0] is None:
+                # jq evaluates the argument filter against the PIPED
+                # input, so `.a | inside(.b)` errors in jq — literal
+                # haystacks only (same rule as ltrimstr)
+                raise JQUnsupported("jq: inside needs a literal string")
+            # string inside(b) == b contains a; ""|inside(x) is true
+            # and x|inside("") is false for nonempty x — exactly
+            # Column.contains on those edges (probed against jq 1.6)
+            return F.lit(lit_args[0]).contains(subject), "boolean"
+        if name == "split" and len(args) == 2:
+            need("string")
+            pat = self._safe_regex(lit_args[0], forbid_empty_match=True)
+            flags = lit_args[1]
+            if flags is None or flags not in ("", "i"):
+                raise JQUnsupported(
+                    "jq: split/2 flags outside native subset (need literal"
+                    ' "" or "i")'
+                )
+            if flags == "i":
+                pat = "(?i)" + pat
+            # jq 1.6 regex split keeps trailing empty fields and maps
+            # "" -> [""] ("xx"|split("x";"") == ["","",""] — probed),
+            # which is exactly Java split with limit -1. NOTE this
+            # differs from jq's own split/1 ("" -> []), handled above.
+            return F.split(subject, pat, -1), "complex_str"
+        if name in ("todate", "todateiso8601") and not args:
+            if kind != "int":
+                raise JQUnsupported(
+                    "jq: todate native only on provable integral epochs "
+                    "(fractional epochs truncate in jq's gmtime)"
+                )
+            # the engine pins spark.sql.session.timeZone=UTC
+            # (session.py), so from_unixtime renders the exact
+            # gmtime/ISO-8601 form jq prints
+            return (
+                F.from_unixtime(subject, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                "string",
+            )
+        if name in ("fromdate", "fromdateiso8601") and not args:
+            need("string")
+            # unparseable dates yield null where jq aborts the batch
+            # (total-function relaxation); UTC session timezone makes
+            # the epoch exact
+            return (
+                F.to_unix_timestamp(
+                    subject, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+                ),
+                "int",
+            )
         raise JQUnsupported(f"jq: piped function {name!r} not in native subset")
 
     def parse_atom(self) -> tuple[Column, str]:

@@ -788,3 +788,108 @@ class TestOptionalPathsAndKeys:
         ]:
             with pytest.raises(JQUnsupported):
                 translate_jq(df, program)
+
+
+class TestScalarBuiltinsRound3b:
+    """Round-3 widening: type, utf8bytelength, index/rindex, inside,
+    regex split/2, round, todate/fromdate, @json — differential vs the
+    jq 1.6 binary (the reference's engine), with the divergent edges
+    (self-overlapping rindex needles, dynamic needles, zero-width split
+    patterns) pinned to raise and take the faithful binary path."""
+
+    ROWS3 = [
+        {
+            "id": 1, "name": "alice", "score": 91.5, "epoch": 1585231200,
+            "iso": "2020-03-26T14:00:00Z", "tag": "x-ray",
+        },
+        {
+            "id": 2, "name": "bob", "score": -2.5, "epoch": 0,
+            "iso": "1970-01-01T00:00:00Z", "tag": "yan kee",
+        },
+        {
+            "id": 3, "name": None, "score": 2.5, "epoch": 7,
+            "iso": "1999-12-31T23:59:59Z", "tag": "zulu",
+        },
+    ]
+    SCHEMA3 = (
+        "id long, name string, score double, epoch long, iso string,"
+        " tag string"
+    )
+
+    # programs must only touch .name on rows where it is non-null (jq
+    # errors on null|utf8bytelength etc.) EXCEPT type, which is total
+    NATIVE = [
+        ".[] | {id, t: (.name | type)}",
+        ".[] | {id, t: (.score | type)}",
+        ".[] | {id, t: (.epoch | type)}",
+        '.[] | select(.name != null) | {b: (.name | utf8bytelength)}',
+        '.[] | select(.name != null) | {i: (.name | index("l"))}',
+        '.[] | select(.name != null) | {i: (.name | index("li"))}',
+        '.[] | select(.name != null) | {r: (.name | rindex("li"))}',
+        '.[] | select(.name != null) | {r: (.tag | rindex("an"))}',
+        '.[] | select(.name != null) | select(.name | inside("alice bob"))',
+        '.[] | {p: (.tag | split("[- ]"; ""))}',
+        '.[] | {p: (.tag | split("[A-Z]+"; "i"))}',
+        ".[] | {r: (.score | round)}",
+        ".[] | {r: (.id | round)}",
+        ".[] | {d: (.epoch | todate)}",
+        ".[] | {e: (.iso | fromdate)}",
+        ".[] | {rt: (.epoch | todate | fromdate)}",
+        '.[] | select(.name != null) | {j: (.name | @json)}',
+        ".[] | {j: (.epoch | @json)}",
+    ]
+
+    @pytest.fixture(scope="class")
+    def df3(self, spark):
+        return spark.createDataFrame(self.ROWS3, self.SCHEMA3)
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, spark, df3, program):
+        canonical = [
+            {k: v for k, v in r.items() if v is not None} for r in self.ROWS3
+        ]
+        got = spark_rows(translate_jq(df3, program))
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, canonical)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, df3, program):
+        out = jq_transform(df3, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            # self-overlapping needle: jq 1.6 rindex("aa") on "aaa" is
+            # the last NON-overlapping match (0) — native must refuse
+            '.[] | {r: (.name | rindex("aa"))}',
+            '.[] | {r: (.name | rindex("aba"))}',
+            # jq 1.6 index("") infinite-loops; dynamic needles evaluate
+            # against the piped input in jq
+            '.[] | {r: (.name | index(""))}',
+            ".[] | {r: (.name | index(.tag))}",
+            # zero-width split patterns disagree across regex engines
+            '.[] | {p: (.tag | split("x*"; ""))}',
+            # non-literal / unsupported flags
+            '.[] | {p: (.tag | split("a"; "g"))}',
+            # inside with a dynamic haystack evaluates against the
+            # piped input in jq
+            ".[] | select(.name | inside(.tag))",
+            # fractional epochs truncate in jq's gmtime — unprovable
+            ".[] | {d: (.score | todate)}",
+        ],
+    )
+    def test_divergent_edges_route_to_binary(self, df3, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(df3, program)
+
+    def test_rindex_nonoverlapping_matches_jq_on_border_needle(self):
+        # documentation of the gated case: jq 1.6's own answer
+        assert jq_oracle('.[0] | rindex("aa")', ["aaa"]) == [0]
