@@ -225,3 +225,70 @@ def hashed_linear_score(
     # shortest-repr vs multiply-then-round — seen at sf0.1)
     score = wsum.cast("double") / (F.lit(float(scale)) * n_tokens)
     return n_tokens.cast("long"), wsum, score
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, app. A —
+    MassiveText filtering), adapted to integer-exact arithmetic: every
+    ratio threshold is cross-multiplied instead of divided, so rule
+    booleans are bit-identical across engines (no float-boundary risk)
+    and a DuckDB oracle can mirror them exactly.
+
+    Returned dict is insertion-ordered: rule name -> boolean Column
+    (True = passes). All pure Column expressions — at corpus scale this
+    is a map-only stage, no shuffle.
+    """
+    toks = tokens(text)
+    ltoks = tokens(F.lower(text))
+    wc = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dwc = F.size(F.array_distinct(toks)).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_hash = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ).cast("long")
+    # non-overlapping '...' count; replace() is leftmost-non-overlapping
+    # in both engines, and the length delta is an exact multiple of 3
+    n_ell = (
+        (
+            F.length(text)
+            - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        )
+        / 3
+    ).cast("long")
+    stop_hits = None
+    for w in QUALITY_STOPWORDS:
+        h = F.array_contains(ltoks, w).cast("int")
+        stop_hits = h if stop_hits is None else stop_hits + h
+    return {
+        # 30 <= words <= 80 (Gopher uses 50..100k; bounds tuned to the
+        # synthetic corpus' 10..99-word range so the rule discriminates)
+        "r_word_count": (wc >= 30) & (wc <= 80),
+        # 3.5 <= mean word length <= 5.0, exact: 2*sum >= 7*n, sum <= 5*n
+        "r_mean_word_len": (2 * sum_len >= 7 * wc) & (sum_len <= 5 * wc),
+        # (count('#') + count('...')) / words <= 0.1
+        "r_symbol_ratio": 10 * (n_hash + n_ell) <= wc,
+        # >= 80% of words contain an alphabetic character
+        "r_alpha_ratio": 5 * n_alpha >= 4 * wc,
+        # document contains >= 2 distinct common stopwords
+        "r_stopwords": stop_hits >= 2,
+        # unique-word ratio >= 0.5 (repetition screen)
+        "r_unique_ratio": 2 * dwc >= wc,
+    }
+
+
+def split_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic portable bucket of a string key: fold the first 7
+    md5 hex digits to an int (< 16^7, no sign issues anywhere) mod
+    ``n_buckets``. Used for leakage-safe train/valid/test assignment:
+    keyed on a CONTENT fingerprint rather than an id, so byte-identical
+    documents always land in the same split."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("binary")), 1, 7), 16, 10)
+        .cast("long")
+        % n_buckets
+    )

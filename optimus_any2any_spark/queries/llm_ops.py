@@ -979,6 +979,143 @@ def doc_fingerprints(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_SQL_GOPHER_STOP_HITS = " + ".join(
+    f"CASE WHEN list_contains(ltoks, '{w}') THEN 1 ELSE 0 END"
+    for w in TX.QUALITY_STOPWORDS
+)
+
+_GOPHER_RULE_SQL = {
+    "r_word_count": "wc BETWEEN 30 AND 80",
+    "r_mean_word_len": "2 * sum_len >= 7 * wc AND sum_len <= 5 * wc",
+    "r_symbol_ratio": "10 * (n_hash + n_ell) <= wc",
+    "r_alpha_ratio": "5 * n_alpha >= 4 * wc",
+    "r_stopwords": "stop_hits >= 2",
+    "r_unique_ratio": "2 * dwc >= wc",
+}
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             {_SQL_TOKENS} AS toks,
+             {_SQL_TOKENS.replace('text', 'lower(text)')} AS ltoks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS wc,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS sum_len,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS dwc,
+             CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS n_ell,
+             ({_SQL_GOPHER_STOP_HITS}) AS stop_hits
+      FROM t
+    ), r AS (
+      SELECT doc_id,
+             {', '.join(f"({sql}) AS {name}"
+                        for name, sql in _GOPHER_RULE_SQL.items())}
+      FROM m
+    )
+    SELECT doc_id, {', '.join(_GOPHER_RULE_SQL)},
+           ({' AND '.join(_GOPHER_RULE_SQL)}) AS passes,
+           CAST({' + '.join(f'CASE WHEN {n} THEN 0 ELSE 1 END'
+                            for n in _GOPHER_RULE_SQL)} AS INTEGER)
+             AS n_failed,
+           COALESCE(array_to_string(list_filter([
+               {', '.join(f"CASE WHEN NOT {n} THEN '{n}' END"
+                          for n in _GOPHER_RULE_SQL)}
+           ], x -> x IS NOT NULL), ','), '') AS reasons
+    FROM r
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style composite quality-rule filter (Rae et al. 2021 "
+    "app. A): word-count bounds, mean-word-length bounds, symbol "
+    "ratio, alphabetic-word ratio, stopword presence, unique-word "
+    "(repetition) ratio — each reported per-document with the failed "
+    "rule names, the production shape for explainable corpus pruning. "
+    "Every threshold is cross-multiplied integer arithmetic so both "
+    "engines agree bit-for-bit; pure Column expressions, map-only at "
+    "scale (zero shuffle).",
+)
+def quality_gopher_rules(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    rules = TX.gopher_rules(F.col("text"))
+    names = list(rules)
+    passes = None
+    n_failed = None
+    for n in names:
+        passes = rules[n] if passes is None else passes & rules[n]
+        bad = (~rules[n]).cast("int")
+        n_failed = bad if n_failed is None else n_failed + bad
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[F.when(~rules[n], F.lit(n)) for n in names]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        *[rules[n].alias(n) for n in names],
+        passes.alias("passes"),
+        n_failed.cast("int").alias("n_failed"),
+        reasons.alias("reasons"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "split_train_valid_test",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents
+    ), b AS (
+      SELECT doc_id, fingerprint,
+             list_reduce(list_transform(range(1, 8),
+               p -> CAST(strpos('0123456789abcdef',
+                                substr(md5(fingerprint), p, 1)) - 1
+                    AS BIGINT)),
+               (a, b) -> a * 16 + b) % 100 AS bucket
+      FROM fp
+    )
+    SELECT doc_id, fingerprint, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    ORDER BY doc_id
+    """,
+    doc="Deterministic 80/10/10 train/valid/test assignment keyed on "
+    "the CONTENT fingerprint (md5 of whitespace-normalized lowercase "
+    "text), not the doc id — byte-identical documents provably land "
+    "in the same split, closing the exact-dup train/test leakage "
+    "channel. Portable md5-fold bucketing (same digits both engines); "
+    "map-only at scale, no shuffle, and stable under re-partitioning "
+    "or re-ingestion since the key derives from content alone.",
+)
+def split_train_valid_test(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    bucket = TX.split_bucket(fp, 100)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        bucket.alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
 # Multimodal plumbing ---------------------------------------------------------
 
 
