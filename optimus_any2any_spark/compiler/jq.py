@@ -2019,8 +2019,42 @@ def translate_jq(df: DataFrame, program: str) -> DataFrame:
     for stage in stages:
         if not stage:
             continue
-        out = _apply_stage(out, stage)
+        out = _apply_comma_stage(out, stage)
     return out
+
+
+def _apply_comma_stage(df: DataFrame, toks: list[str]) -> DataFrame:
+    """One pipeline stage, honoring jq's comma operator: ``|`` binds
+    loosest, so ``a, b | c`` is ``(a, b) | c`` and each stage may be a
+    top-level comma list. ``E1, E2`` emits BOTH outputs per input
+    record — relationally a union of the branch projections over the
+    same input. Columns absent from one branch come back null, which
+    the canonical serialization (to_json drops nulls) renders exactly
+    as jq's absent keys; per-record interleaving order is relaxed to
+    DataFrame order like every other stage. A column typed differently
+    across branches would make the union insert casts jq doesn't have
+    (5 vs "5"), so that routes to the binary."""
+    parts = _split_top(toks, ",")
+    if len(parts) == 1:
+        return _apply_stage(df, toks)
+    outs = []
+    for p in parts:
+        if not p:
+            raise JQUnsupported(f"jq: empty comma branch in {toks}")
+        outs.append(_apply_stage(df, p))
+    merged_types: dict[str, object] = {}
+    for o in outs:
+        for f in o.schema.fields:
+            if f.name in merged_types and merged_types[f.name] != f.dataType:
+                raise JQUnsupported(
+                    f"jq: comma branches type column {f.name!r} "
+                    "differently — union casts would diverge from jq"
+                )
+            merged_types[f.name] = f.dataType
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o, allowMissingColumns=True)
+    return merged
 
 
 _ASSIGN_OPS = ("=", "|=", "+=", "-=", "*=", "/=", "%=", "//=")

@@ -893,3 +893,54 @@ class TestScalarBuiltinsRound3b:
     def test_rindex_nonoverlapping_matches_jq_on_border_needle(self):
         # documentation of the gated case: jq 1.6's own answer
         assert jq_oracle('.[0] | rindex("aa")', ["aaa"]) == [0]
+
+
+class TestCommaOperator:
+    """jq's comma operator at stage level: `|` binds loosest, so
+    `.[] | E1, E2` emits both branch outputs per record. Differential
+    vs jq 1.6 (row-set compare; per-record interleaving order is
+    relaxed like every other stage)."""
+
+    PROGRAMS = [
+        ".[] | {id}, {name}",
+        '.[] | {id, v: .name}, {id, v: (.name + "!")}',
+        ".[] | select(.age > 30), select(.age <= 30)",
+        ".[] | ., {only_id: .id}",
+        ".[] | {id}, {id}, {id}",
+        '.[] | del(.score), {tag: "extra"}',
+    ]
+
+    @pytest.mark.parametrize("program", PROGRAMS)
+    def test_native_matches_jq_binary(self, spark, df, program):
+        got = spark_rows(translate_jq(df, program))
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, ROWS)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", PROGRAMS)
+    def test_plan_stays_native(self, df, program):
+        out = jq_transform(df, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    def test_fanout_multiplies_rows(self, df):
+        assert translate_jq(df, ".[] | {id}, {name}").count() == 2 * df.count()
+
+    def test_type_conflict_routes_to_binary(self, df):
+        # {v: .id} is long, {v: .name} is string — a union would insert
+        # casts jq doesn't have (5 vs "5")
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, ".[] | {v: .id}, {v: .name}")
+
+    def test_comma_then_pipe_binds_like_jq(self, spark, df):
+        # (a, b) | c : the next stage applies to BOTH branches
+        program = '.[] | {id}, {id: (.id + 10)} | select(.id > 3)'
+        got = spark_rows(translate_jq(df, program))
+        expect = jq_oracle(program, ROWS)
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key)
