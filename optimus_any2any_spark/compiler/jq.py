@@ -418,6 +418,13 @@ class _ExprParser:
         while self.peek() in ("*", "/", "%"):
             op = self.next()
             right, rkind = self.parse_unary()
+            if op == "*" and lkind == "string" and rkind == "int":
+                # jq string repetition: "ab" * 3 == "ababab"; n <= 0
+                # yields null (probed against jq 1.6). Fractional
+                # counts truncate in jq — int-provable counts only.
+                left = F.when(right > 0, F.repeat(left, right))
+                lkind = "string"
+                continue
             for k in (lkind, rkind):
                 if isinstance(k, tuple) or k in (
                     "string", "complex", "complex_str", "complex_num",
@@ -861,6 +868,35 @@ class _ExprParser:
         if name == "@json":
             # @json is tojson applied to the interpolated value
             return self._tojson(subject, kind)
+        if name == "@html":
+            # jq 1.6 escapes exactly these five, ' as &apos; (probed);
+            # tostring applies first, as with @text. Order matters:
+            # '&' must escape before the entity substitutions.
+            s, _ = self._format_string("@text", subject, kind)
+            for raw, ent in (
+                ("&", "&amp;"),
+                ("<", "&lt;"),
+                (">", "&gt;"),
+                ("'", "&apos;"),
+                ('"', "&quot;"),
+            ):
+                s = F.replace(s, F.lit(raw), F.lit(ent))
+            return s, "string"
+        if name == "@sh":
+            # POSIX single-quote wrap with '\'' for embedded quotes;
+            # jq leaves numbers unquoted, so strings only
+            if kind != "string":
+                raise JQUnsupported(
+                    f"jq: @sh on kind {kind!r} outside the native subset"
+                )
+            return (
+                F.concat(
+                    F.lit("'"),
+                    F.replace(subject, F.lit("'"), F.lit("'\\''")),
+                    F.lit("'"),
+                ),
+                "string",
+            )
         if name in ("@csv", "@tsv"):
             if kind not in ("complex_str", "complex_num"):
                 raise JQUnsupported(
@@ -2015,12 +2051,87 @@ def translate_jq(df: DataFrame, program: str) -> DataFrame:
         stages = stages[1:]
     if stages and stages == [[]]:
         return df
+    # Peephole: a bare-path stage followed by a capture(...) stage is
+    # jq's `.field | capture(re)` log-parsing idiom. The bare scalar
+    # intermediate has no record (object) representation of its own, so
+    # the two stages fuse into one filter+projection.
+    fused: list[list[str]] = []
+    i = 0
+    while i < len(stages):
+        st = stages[i]
+        if (
+            len(st) == 1
+            and st[0].startswith(".")
+            and st[0] != "."
+            and i + 1 < len(stages)
+            and stages[i + 1][:2] == ["capture", "("]
+        ):
+            fused.append(st + ["|"] + stages[i + 1])
+            i += 2
+        else:
+            fused.append(st)
+            i += 1
     out = df
-    for stage in stages:
+    for stage in fused:
         if not stage:
             continue
         out = _apply_comma_stage(out, stage)
     return out
+
+
+def _apply_capture(df: DataFrame, path_tok: str, toks: list[str]) -> DataFrame:
+    """``.field | capture("(?<name>...)")`` stage: emit one record of
+    named-group captures per MATCHING input record; non-matching
+    records produce jq's empty stream, i.e. the row is dropped — a
+    filter + regexp_extract projection.
+
+    Gated to patterns where Java and Oniguruma provably agree AND every
+    named group must participate in any match (no ``|``, no quantifier
+    after a group): a non-participating group is null in jq but ""
+    from regexp_extract, so skippable-group patterns route to the
+    binary. Participating empty matches ("b?" matching "") are "" on
+    both engines (probed against jq 1.6)."""
+    if not toks or not toks[0].startswith('"'):
+        raise JQUnsupported("jq: capture needs a literal pattern")
+    pat = json.loads(toks[0])
+    rest = toks[1:]
+    if rest == [";", '"i"']:
+        prefix = "(?i)"
+    elif not rest:
+        prefix = ""
+    else:
+        raise JQUnsupported(f"jq: capture flags {rest} outside native subset")
+    # allow (?<name>...) groups, then apply the usual regex-subset gate
+    stripped = re.sub(r"\(\?<[A-Za-z_]\w*>", "(", pat)
+    if "(?" in stripped or "\\p" in stripped or re.search(r"\\\d", stripped):
+        raise JQUnsupported("jq: capture pattern outside native subset")
+    if "|" in pat or re.search(r"\)[?*{]", pat):
+        raise JQUnsupported(
+            "jq: capture pattern with skippable groups (null-vs-empty "
+            "divergence) outside native subset"
+        )
+    try:
+        groupindex = re.compile(pat.replace("(?<", "(?P<")).groupindex
+    except re.error:
+        raise JQUnsupported("jq: unparseable capture pattern")
+    if not groupindex:
+        raise JQUnsupported("jq: capture pattern without named groups")
+    probe = _ExprParser([], df)
+    pkind = probe._path_kind(path_tok)
+    if pkind != "string":
+        raise JQUnsupported(
+            f"jq: capture subject {path_tok!r} of kind {pkind!r}"
+        )
+    subject = _path_col(path_tok)
+    jpat = prefix + pat
+    # group NUMBERING is by opening-paren order in both Python (used
+    # for introspection only) and Java (used for extraction)
+    return df.filter(subject.rlike(jpat)).select(
+        *[
+            F.regexp_extract(subject, jpat, idx).alias(name)
+            for name, idx in groupindex.items()
+        ]
+    )
 
 
 def _apply_comma_stage(df: DataFrame, toks: list[str]) -> DataFrame:
@@ -2113,6 +2224,17 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
         return df.filter(cond)
     if toks == ["."]:
         return df
+    # fused `.field | capture(re)` (built by translate_jq's peephole)
+    if (
+        len(toks) >= 6
+        and toks[0].startswith(".")
+        and toks[0] != "."
+        and toks[1] == "|"
+        and toks[2] == "capture"
+        and toks[3] == "("
+        and toks[-1] == ")"
+    ):
+        return _apply_capture(df, toks[0], toks[4:-1])
     # assignment: .field OP expr (never valid inside the additive-term
     # grammar below, so detect it first)
     if (

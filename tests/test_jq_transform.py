@@ -944,3 +944,77 @@ class TestCommaOperator:
         expect = jq_oracle(program, ROWS)
         key = lambda d: json.dumps(d, sort_keys=True)
         assert sorted(got, key=key) == sorted(expect, key=key)
+
+
+class TestCaptureFormatsRepeat:
+    """capture(re) as the log-parsing stage idiom, @html/@sh formats,
+    and string repetition — differential vs jq 1.6."""
+
+    ROWS4 = [
+        {"id": 1, "email": "alice@example.com", "name": "a<b>&'c\"d"},
+        {"id": 2, "email": "bob.smith@corp.io", "name": "it's"},
+        {"id": 3, "email": "not-an-email", "name": "plain"},
+    ]
+    SCHEMA4 = "id long, email string, name string"
+
+    NATIVE = [
+        '.[] | .email | capture("(?<user>[^@ ]+)@(?<host>[^ ]+)")',
+        '.[] | .email | capture("(?<tld>com)$")',
+        '.[] | .email | capture("(?<up>ALICE)"; "i")',
+        ".[] | {h: (.name | @html)}",
+        ".[] | {s: (.name | @sh)}",
+        ".[] | {r: (.name * 2)}",
+        ".[] | {r: (.name * 0)}",
+        ".[] | {r: (.email * .id)}",
+    ]
+
+    @pytest.fixture(scope="class")
+    def df4(self, spark):
+        return spark.createDataFrame(self.ROWS4, self.SCHEMA4)
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, spark, df4, program):
+        got = spark_rows(translate_jq(df4, program))
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, self.ROWS4)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, df4, program):
+        out = jq_transform(df4, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    def test_capture_drops_nonmatching_rows(self, df4):
+        out = translate_jq(
+            df4, '.[] | .email | capture("(?<user>[^@ ]+)@(?<host>[^ ]+)")'
+        )
+        assert out.count() == 2
+        assert out.columns == ["user", "host"]
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            # skippable groups: non-participating is null in jq, "" in
+            # regexp_extract
+            '.[] | .email | capture("(?<a>x)?y")',
+            '.[] | .email | capture("(?<a>x)|(?<b>y)")',
+            '.[] | .email | capture("(?<a>x){0,2}y")',
+            # no named groups / dynamic pattern / unsupported flags
+            '.[] | .email | capture("(x)y")',
+            '.[] | .email | capture(.name)',
+            '.[] | .email | capture("(?<a>x)"; "g")',
+            # lookbehind stays outside the Java≡Oniguruma subset
+            '.[] | .email | capture("(?<=x)(?<a>y)")',
+            # fractional repetition truncates in jq — int-provable only
+            ".[] | {r: (.name * 2.5)}",
+        ],
+    )
+    def test_divergent_edges_route_to_binary(self, df4, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(df4, program)
