@@ -2123,9 +2123,11 @@ def _apply_capture(df: DataFrame, path_tok: str, toks: list[str]) -> DataFrame:
             f"jq: capture subject {path_tok!r} of kind {pkind!r}"
         )
     subject = _path_col(path_tok)
-    jpat = prefix + pat
-    # group NUMBERING is by opening-paren order in both Python (used
-    # for introspection only) and Java (used for extraction)
+    # extraction is by group NUMBER (opening-paren order, identical in
+    # Python and Java), so strip the names from the Java pattern —
+    # Java's group-name syntax forbids underscores that Oniguruma
+    # (and therefore jq) allows
+    jpat = prefix + re.sub(r"\(\?<[A-Za-z_]\w*>", "(", pat)
     return df.filter(subject.rlike(jpat)).select(
         *[
             F.regexp_extract(subject, jpat, idx).alias(name)

@@ -485,3 +485,110 @@ def q_jq_object_arrays(spark, sf_dir):
         "first_w: .items[0].w}"
     )
     return translate_jq(d, prog).orderBy("doc_id")
+
+
+@register(
+    "q_jq_builtins_fanout",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id, lang,
+             'user' || CAST(doc_id AS VARCHAR) || '@' || lang
+                    || '.example.com' AS addr,
+             doc_id * 86400 + n_chars AS epoch,
+             n_chars
+      FROM documents
+    ), en AS (
+      SELECT doc_id,
+             strftime(make_timestamp((doc_id * 86400 + n_chars) * 1000000),
+                      '%Y-%m-%dT%H:%M:%SZ') AS day,
+             CAST(len(string_split_regex(addr, '[@.]')) AS BIGINT)
+               AS nparts,
+             CAST(strpos(addr, '@') - 1 AS BIGINT) AS pos,
+             CAST(round(n_chars / 7.0) AS BIGINT) AS rounded
+      FROM src
+    )
+    SELECT doc_id, day, nparts, pos, rounded FROM en
+    UNION ALL
+    SELECT doc_id, 'string' AS day, nparts, pos, rounded FROM en
+    ORDER BY doc_id, day
+    """,
+    doc="The round-3b native jq builtins as ONE compiled program "
+    "through the oracle gate: todate on a derived epoch, regex "
+    "split/2, index(), round on a real quotient, type, and the comma "
+    "operator's two-branch fan-out (union of branch projections) — "
+    "all Catalyst (compiler/jq.py), no jq binary, value-exact vs the "
+    "SQL re-expression. The epoch/round arithmetic never lands on a "
+    "representable .5 boundary (n/7 cannot be x.5 for integer n), so "
+    "the double rounding agrees bit-for-bit across engines.",
+)
+def q_jq_builtins_fanout(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("lang"),
+            F.lit(".example.com"),
+        ).alias("addr"),
+        (F.col("doc_id") * 86400 + F.col("n_chars")).alias("epoch"),
+        F.col("n_chars"),
+    )
+    prog = (
+        '.[] | .day = (.epoch | todate) '
+        '| .nparts = (.addr | split("[@.]"; "") | length) '
+        '| .pos = (.addr | index("@")) '
+        "| .rounded = ((.n_chars / 7) | round) "
+        "| {doc_id, day, nparts, pos, rounded}, "
+        "{doc_id, day: (.day | type), nparts, pos, rounded}"
+    )
+    out = translate_jq(d, prog)
+    return out.select(
+        "doc_id",
+        "day",
+        F.col("nparts").cast("long").alias("nparts"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("rounded").cast("long").alias("rounded"),
+    ).orderBy("doc_id", "day")
+
+
+@register(
+    "q_jq_capture_stage",
+    oracle="""
+    SELECT 'user' || CAST(doc_id AS VARCHAR) AS user_part,
+           lang AS dom
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    ORDER BY user_part, dom
+    """,
+    doc="jq's log-parsing idiom `.field | capture(re)` as a compiled "
+    "stage: named-group extraction becomes filter + regexp_extract "
+    "projection, and rows the pattern does not match are dropped "
+    "exactly like jq's empty stream (every 7th row gets a non-address "
+    "string). Pure Catalyst — no jq binary, no Python.",
+)
+def q_jq_capture_stage(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("not-an-address")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@"),
+                F.col("lang"),
+                F.lit(".example.com"),
+            )
+        )
+        .alias("addr"),
+    )
+    prog = (
+        '.[] | .addr | capture("(?<user_part>[^@ -]+)@(?<dom>[^.]+)")'
+    )
+    return translate_jq(d, prog).orderBy("user_part", "dom")

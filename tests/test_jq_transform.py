@@ -960,6 +960,7 @@ class TestCaptureFormatsRepeat:
     NATIVE = [
         '.[] | .email | capture("(?<user>[^@ ]+)@(?<host>[^ ]+)")',
         '.[] | .email | capture("(?<tld>com)$")',
+        '.[] | .email | capture("(?<user_part>[^@ -]+)@(?<dom_x>[^.]+)")',
         '.[] | .email | capture("(?<up>ALICE)"; "i")',
         ".[] | {h: (.name | @html)}",
         ".[] | {s: (.name | @sh)}",
