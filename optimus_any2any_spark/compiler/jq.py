@@ -1361,6 +1361,30 @@ class _ExprParser:
                 F.from_unixtime(subject, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
                 "string",
             )
+        if name == "scan" and len(args) == 1:
+            need("string")
+            pat = self._safe_regex(lit_args[0], forbid_empty_match=True)
+            if "(" in pat:
+                raise JQUnsupported(
+                    "jq: scan with capture groups emits arrays — binary path"
+                )
+            if self.peek() != "]":
+                # scan emits a STREAM of matches; only the immediately
+                # array-collected form [EXPR | scan(re)] is expressible
+                # as a Column (parse_bracket unwraps the marker kind).
+                # Any other context would silently wrap the match list
+                # as a single value where jq fans out.
+                raise JQUnsupported(
+                    "jq: scan outside [..] collection emits a stream — "
+                    "binary path"
+                )
+            # non-overlapping left-to-right matches, exactly Java's
+            # regexp_extract_all with group 0 (probed: "a1b22c" |
+            # [scan("[0-9]+")] == ["1","22"])
+            return (
+                F.regexp_extract_all(subject, F.lit(pat), 0),
+                "stream_str",
+            )
         if name in ("fromdate", "fromdateiso8601") and not args:
             need("string")
             # unparseable dates yield null where jq aborts the batch
@@ -1515,6 +1539,16 @@ class _ExprParser:
             self.next()
             elems.append(parse_elem())
         self.expect("]")
+        if len(elems) == 1 and elems[0][1] == "stream_str":
+            # [EXPR | scan(re)]: the stream of matches collected into
+            # an array IS regexp_extract_all's result — unwrap the
+            # marker kind instead of wrapping the array again
+            return elems[0][0], "complex_str"
+        if any(k == "stream_str" for _, k in elems):
+            raise JQUnsupported(
+                "jq: scan mixed with other array elements fans out — "
+                "binary path"
+            )
         kinds = {k for _, k in elems}
         if kinds == {"string"}:
             return F.array(*[c for c, _ in elems]), "complex_str"
@@ -2219,6 +2253,30 @@ def _apply_assignment(df: DataFrame, toks: list[str]) -> DataFrame:
     return df.select("*", col.alias(target))
 
 
+def _resolve_path_dtype(df: DataFrame, ptok: str):
+    """Walk a ``.a.b.c`` path through the schema and return its
+    DataType; raises :class:`JQUnsupported` when unresolvable."""
+    from pyspark.sql import types as T
+
+    root = ptok[1:].split(".")[0]
+    if root not in df.columns:
+        raise JQUnsupported(
+            f"jq: iterating absent column {root!r} (jq errors)"
+        )
+    dtype = None
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for part in ptok[1:].split("."):
+        if fields is None or part not in fields:
+            raise JQUnsupported(f"jq: fan-out path {ptok} unresolvable")
+        dtype = fields[part]
+        fields = (
+            {f.name: f.dataType for f in dtype.fields}
+            if isinstance(dtype, T.StructType)
+            else None
+        )
+    return dtype
+
+
 def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     # select(expr)
     if toks[0] == "select" and toks[1] == "(" and toks[-1] == ")":
@@ -2256,22 +2314,7 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
         from pyspark.sql import types as T
 
         ptok = toks[0]
-        root = ptok[1:].split(".")[0]
-        if root not in df.columns:
-            raise JQUnsupported(
-                f"jq: iterating absent column {root!r} (jq errors)"
-            )
-        dtype = None
-        fields = {f.name: f.dataType for f in df.schema.fields}
-        for part in ptok[1:].split("."):
-            if fields is None or part not in fields:
-                raise JQUnsupported(f"jq: fan-out path {ptok} unresolvable")
-            dtype = fields[part]
-            fields = (
-                {f.name: f.dataType for f in dtype.fields}
-                if isinstance(dtype, T.StructType)
-                else None
-            )
+        dtype = _resolve_path_dtype(df, ptok)
         if not (
             isinstance(dtype, T.ArrayType)
             and isinstance(dtype.elementType, T.StructType)
@@ -2287,6 +2330,7 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     terms = _split_top(toks, "+")
     dropped: list[str] = []
     added: list[tuple[str, Column]] = []
+    exploded_keys: set[str] = set()
     base_identity = False
     for term in terms:
         if not term:
@@ -2307,7 +2351,38 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                 dropped.append(p)
         elif term[0] == "{" and term[-1] == "}":
             for e in _parse_object(term):
-                added.append((e.key, _ExprParser(e.expr_toks, df).parse()))
+                if (
+                    len(e.expr_toks) == 3
+                    and e.expr_toks[0].startswith(".")
+                    and e.expr_toks[0] != "."
+                    and e.expr_toks[1:] == ["[", "]"]
+                ):
+                    # {id, w: .words[]} — jq iterates the array INSIDE
+                    # object construction, emitting one record per
+                    # element with the other keys repeated: explode.
+                    # An empty array emits nothing (probed), which is
+                    # exactly explode's row-drop; a null array errors
+                    # in jq (total relaxation: dropped). Two stream
+                    # entries would be a cartesian — one per stage.
+                    from pyspark.sql import types as T
+
+                    ptok = e.expr_toks[0]
+                    dtype = _resolve_path_dtype(df, ptok)
+                    if not isinstance(dtype, T.ArrayType):
+                        raise JQUnsupported(
+                            f"jq: iterating non-array path {ptok}"
+                        )
+                    if exploded_keys:
+                        raise JQUnsupported(
+                            "jq: two stream-valued object entries form "
+                            "a cartesian — binary path"
+                        )
+                    exploded_keys.add(e.key)
+                    added.append((e.key, F.explode(_path_col(ptok))))
+                else:
+                    added.append(
+                        (e.key, _ExprParser(e.expr_toks, df).parse())
+                    )
         else:
             raise JQUnsupported(f"jq: unsupported term {term}")
     if len(terms) == 1 and added and not base_identity:

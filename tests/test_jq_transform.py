@@ -578,8 +578,6 @@ class TestRound3SliceFormatRegex:
             '.[] | {t: (.name | gsub("(a)"; "\\\\1"))}',
             # dynamic affix ltrimstr ERRORS in jq (arg sees piped input)
             '.[] | {t: (.name | ltrimstr(.name))}',
-            # iteration in scalar position emits a stream
-            '.[] | {t: .tags[]}',
             # unknown format string
             '.[] | {t: (.name | @uri)}',
             # test flags beyond "i"
@@ -1019,3 +1017,69 @@ class TestCaptureFormatsRepeat:
     def test_divergent_edges_route_to_binary(self, df4, program):
         with pytest.raises(JQUnsupported):
             translate_jq(df4, program)
+
+
+class TestScanAndObjectExplode:
+    """[.s | scan(re)] match collection and {k: .arr[]} object-level
+    array fan-out — differential vs jq 1.6."""
+
+    ROWS5 = [
+        {"id": 1, "t": "a1b22c", "ws": ["x", "y"]},
+        {"id": 2, "t": "no digits", "ws": ["z"]},
+        {"id": 3, "t": "7", "ws": []},
+    ]
+    SCHEMA5 = "id long, t string, ws array<string>"
+
+    NATIVE = [
+        '.[] | {id, nums: [.t | scan("[0-9]+")]}',
+        '.[] | {n: ([.t | scan("[0-9]+")] | length)}',
+        ".[] | {id, w: .ws[]}",
+        '.[] | {w: .ws[], tag: (.t + "!")}',
+    ]
+
+    @pytest.fixture(scope="class")
+    def df5(self, spark):
+        return spark.createDataFrame(self.ROWS5, self.SCHEMA5)
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, spark, df5, program):
+        got = spark_rows(translate_jq(df5, program))
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, self.ROWS5)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, df5, program):
+        out = jq_transform(df5, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    def test_empty_array_emits_nothing(self, df5):
+        out = translate_jq(df5, ".[] | {id, w: .ws[]}")
+        assert out.count() == 3  # 2 + 1 + 0 elements
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            # scan outside [..] collection emits a stream
+            '.[] | {s: (.t | scan("[0-9]"))}',
+            # scan with groups emits arrays per match
+            '.[] | {s: [.t | scan("([0-9])x")]}',
+            # zero-width-match scan patterns
+            '.[] | {s: [.t | scan("[0-9]*")]}',
+            # scan mixed with other elements fans out
+            '.[] | {s: [.id, .t | scan("[0-9]")]}',
+            # two stream entries form a cartesian
+            ".[] | {a: .ws[], b: .ws[]}",
+            # iterating a scalar path
+            ".[] | {a: .t[]}",
+        ],
+    )
+    def test_divergent_edges_route_to_binary(self, df5, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(df5, program)
