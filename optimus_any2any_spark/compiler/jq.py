@@ -1332,6 +1332,26 @@ class _ExprParser:
             # and x|inside("") is false for nonempty x — exactly
             # Column.contains on those edges (probed against jq 1.6)
             return F.lit(lit_args[0]).contains(subject), "boolean"
+        if name == "splits" and len(args) in (1, 2):
+            # splits(re) is the STREAM form of split(re; flags):
+            # only the [EXPR | splits(re)] collection — which equals
+            # split/2 exactly — is Column-expressible (same marker
+            # protocol as scan)
+            need("string")
+            if self.peek() != "]":
+                raise JQUnsupported(
+                    "jq: splits outside [..] collection emits a stream "
+                    "— binary path"
+                )
+            col, _k = self._piped_func(
+                "split",
+                subject,
+                kind,
+                args if len(args) == 2 else args + [F.lit("")],
+                lit_args if len(args) == 2 else lit_args + [""],
+                arg_kinds,
+            )
+            return col, "stream_str"
         if name == "split" and len(args) == 2:
             need("string")
             pat = self._safe_regex(lit_args[0], forbid_empty_match=True)

@@ -1033,6 +1033,7 @@ class TestScanAndObjectExplode:
     NATIVE = [
         '.[] | {id, nums: [.t | scan("[0-9]+")]}',
         '.[] | {n: ([.t | scan("[0-9]+")] | length)}',
+        '.[] | {p: [.t | splits("[ b]")]}',
         ".[] | {id, w: .ws[]}",
         '.[] | {w: .ws[], tag: (.t + "!")}',
     ]
@@ -1068,6 +1069,7 @@ class TestScanAndObjectExplode:
         [
             # scan outside [..] collection emits a stream
             '.[] | {s: (.t | scan("[0-9]"))}',
+            '.[] | {s: (.t | splits("b"))}',
             # scan with groups emits arrays per match
             '.[] | {s: [.t | scan("([0-9])x")]}',
             # zero-width-match scan patterns

@@ -399,3 +399,40 @@ class TestRound3Plans:
         assert r.num_sortmerge_joins == 0
         assert r.num_broadcast_joins == 0
         assert "mapInPandas" not in r.text.lower()
+
+
+class TestRound3SessionTwoPlans:
+    def test_gopher_rules_map_only(self, spark):
+        # rule evaluation is pure Column arithmetic: no joins, no
+        # aggregation, no Python — the only Exchange is the
+        # presentation sort
+        r = report(spark, "quality_gopher_rules")
+        assert "Python" not in r.text, r.text
+        assert r.num_broadcast_joins == 0 and r.num_sortmerge_joins == 0
+        # one physical exchange (the presentation sort) — the report
+        # counts it twice (tree header + detail section)
+        assert r.num_exchanges <= 2, r.text
+        assert set(r.scan_columns()[0]) == {"doc_id", "text"}
+
+    def test_split_assignment_map_only(self, spark):
+        r = report(spark, "split_train_valid_test")
+        assert "Python" not in r.text, r.text
+        assert r.num_exchanges <= 2, r.text
+        assert set(r.scan_columns()[0]) == {"doc_id", "text"}
+
+    def test_capture_stage_is_filter_project(self, spark):
+        # capture compiles to RLIKE filter + regexp_extract projection
+        # over one scan — no jq binary (mapInPandas), no joins
+        r = report(spark, "q_jq_capture_stage")
+        assert "mapInPandas" not in r.text.lower(), r.text
+        assert "RLIKE" in r.text or "rlike" in r.text, r.text
+        assert r.num_broadcast_joins == 0 and r.num_sortmerge_joins == 0
+        assert set(r.scan_columns()[0]) == {"doc_id", "lang"}
+
+    def test_jq_fanout_union_no_extra_shuffle(self, spark):
+        # the comma operator unions two projections of the SAME scan;
+        # only the presentation sort may exchange
+        r = report(spark, "q_jq_builtins_fanout")
+        assert "mapInPandas" not in r.text.lower(), r.text
+        assert "Union" in r.text, r.text
+        assert r.num_exchanges <= 2, r.text
