@@ -462,3 +462,63 @@ def ivf_topk_with_centroids(
         F.col("crank") <= nprobe
     ).persist()
     return _topk_from_ranked(ranked, k)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the FAISS SQ8 idea): map
+    each dimension to round((x - min) * 255 / (max - min)), carrying
+    (qmin, qmax) for dequantization — 4x smaller embedding storage for
+    corpus-scale ANN, with the reconstruction error reported per
+    vector.
+
+    Cross-engine exactness: float -> double promotion is exact, both
+    engines then compute the identical IEEE expression and round
+    half-away-from-zero, so the integer codes match bit-for-bit; the
+    mean absolute error rounds per element at 9 and accumulates in
+    DECIMAL so it is order-independent. Map-only — zero shuffle.
+    """
+    arr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn = F.array_min(arr)
+    mx = F.array_max(arr)
+    rng = mx - mn
+
+    def code(x):
+        return (
+            F.when(rng == 0, F.lit(0))
+            .otherwise(F.round((x - mn) * 255.0 / rng).cast("int"))
+        )
+
+    codes = F.transform(arr, code)
+
+    def deq(c):
+        return mn + c.cast("double") * rng / 255.0
+
+    errs = F.transform(
+        arr,
+        lambda x, i: F.round(F.abs(x - deq(F.get(codes, i))), 9),
+    )
+    # the accumulator type must be invariant across fold steps
+    # (decimal '+' widens precision by one), so every step casts back
+    # to DECIMAL(28,9) — exact for 64 error terms < 2.0 at 9 dp
+    mae = F.round(
+        F.aggregate(
+            errs,
+            F.lit(0).cast("decimal(28,9)"),
+            lambda a, x: (a + x.cast("decimal(28,9)")).cast("decimal(28,9)"),
+        ).cast("double")
+        / F.size(arr),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        mn.alias("qmin"),
+        mx.alias("qmax"),
+        F.md5(
+            F.array_join(
+                F.transform(codes, lambda c: c.cast("string")), ","
+            ).cast("binary")
+        ).alias("codes_fp"),
+        mae.alias("mae"),
+    )

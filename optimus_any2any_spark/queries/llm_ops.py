@@ -1116,6 +1116,50 @@ def split_train_valid_test(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v
+    ), c AS (
+      SELECT vec_id, e, mn, mx,
+             list_transform(e, x -> CASE WHEN mx = mn THEN 0
+               ELSE CAST(round((x - mn) * 255.0 / (mx - mn)) AS INTEGER)
+               END) AS codes
+      FROM m
+    ), err AS (
+      SELECT vec_id, mn, mx, codes,
+             list_transform(range(1, len(e) + 1),
+               i -> round(abs(e[i] - (mn + CAST(codes[i] AS DOUBLE)
+                              * (mx - mn) / 255.0)), 9)) AS errs
+      FROM c
+    )
+    SELECT vec_id, mn AS qmin, mx AS qmax,
+           md5(array_to_string(codes, ',')) AS codes_fp,
+           round(CAST(list_reduce(list_transform(errs,
+                   x -> CAST(x AS DECIMAL(28,9))),
+                   (a, b) -> CAST(a + b AS DECIMAL(28,9)))
+                 AS DOUBLE) / len(errs), 6) AS mae
+    FROM err
+    ORDER BY vec_id
+    """,
+    doc="Int8 scalar quantization of the embedding table (FAISS SQ8): "
+    "4x smaller vector storage for corpus-scale ANN, verified "
+    "bit-exact — float->double promotion is exact, both engines "
+    "compute the identical IEEE quantization expression, and the "
+    "integer codes are fingerprinted (md5 of the joined code string) "
+    "so the oracle checks every dimension of every vector. "
+    "Reconstruction MAE rounds per element and accumulates in DECIMAL "
+    "(order-independent). Map-only: zero shuffle at any scale.",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return S.quantize_int8(e).orderBy("vec_id")
+
+
 # Multimodal plumbing ---------------------------------------------------------
 
 
