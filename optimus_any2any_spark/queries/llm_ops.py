@@ -1117,6 +1117,99 @@ def split_train_valid_test(spark, sf_dir):
 
 
 @register(
+    "url_normalize_domain_stats",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             'https://WWW.Domain' || CAST(doc_id % 50 AS VARCHAR)
+               || '.COM:443/Path/' || CAST(doc_id % 10 AS VARCHAR)
+               || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               || '&b=2&a=1' AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^https?://([^/:?]+)', 1)) AS host,
+             regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+               p -> NOT starts_with(p, 'utm_'))), '&') AS q
+      FROM src
+    ), canon AS (
+      SELECT doc_id,
+             regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+             host || path || CASE WHEN q = '' THEN '' ELSE '?' || q END
+               AS canonical_url
+      FROM parsed
+    ), flagged AS (
+      SELECT doc_id, domain, canonical_url,
+             (list_reduce(list_transform(range(1, 8),
+               p -> CAST(strpos('0123456789abcdef',
+                                substr(md5(domain), p, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 7) = 0 AS blocked
+      FROM canon
+    ), stats AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS domain_docs
+      FROM flagged GROUP BY domain
+    )
+    SELECT f.doc_id, f.canonical_url, f.domain, f.blocked, s.domain_docs
+    FROM flagged f JOIN stats s USING (domain)
+    ORDER BY f.doc_id
+    """,
+    doc="URL curation (the RefinedWeb/CCNet ingest step): canonicalize "
+    "(lowercase host, strip default port, drop utm_* tracking params, "
+    "sort the query string), extract the registered domain, flag "
+    "blocklisted domains via the portable md5-fold hash (a stand-in "
+    "for the blocklist broadcast-semi-join), and attach per-domain "
+    "document counts. The synthetic corpus has no URL column, so "
+    "deterministic doc_id-derived URLs are injected first (the "
+    "text_pii_redact precedent). Both engines use the same regex "
+    "parser (no parse_url vs regex divergence); the only shuffle at "
+    "scale is the domain-count aggregate, which re-joins on the "
+    "domain key.",
+)
+def url_normalize_domain_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.Domain"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".COM:443/Path/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&b=2&a=1"),
+    )
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/:?]+)", 1))
+    path = F.regexp_extract(url, r"^[a-z]+://[^/?]+(/[^?]*)", 1)
+    q = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(F.regexp_extract(url, r"\?(.*)$", 1), "&", -1),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    canonical = F.concat(
+        host, path, F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    )
+    flagged = d.select(
+        "doc_id",
+        canonical.alias("canonical_url"),
+        domain.alias("domain"),
+        (TX.split_bucket(domain, 7) == 0).alias("blocked"),
+    )
+    stats = flagged.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("domain_docs")
+    )
+    return (
+        flagged.join(F.broadcast(stats), "domain")
+        .select("doc_id", "canonical_url", "domain", "blocked", "domain_docs")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
     WITH v AS (
