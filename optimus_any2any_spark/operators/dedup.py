@@ -93,37 +93,7 @@ def jaccard_pairs(
     Uncapped path: posting lists would be unbounded on a hot key, so it
     keeps the streaming shingle-key self-join instead."""
     if max_shingle_freq is not None:
-        # posting feeds BOTH sizes and the pair expansion; no persist —
-        # the two consumers' exchange subtrees are identical, so AQE's
-        # ReusedExchange already shares the collect_list shuffle, and a
-        # persist was measured SLOWER (materialization cost for no
-        # saved work).
-        posting = (
-            sh.groupBy("shingle")
-            .agg(F.collect_list("id").alias("ids"))
-            .filter(F.size("ids") <= max_shingle_freq)
-            .select(F.array_sort("ids").alias("ids"))
-        )
-        sizes = (
-            posting.select(F.explode("ids").alias("id"))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("set_size"))
-        )
-        ids = F.col("ids")
-        pair_arr = F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
-        inter = (
-            posting.select(F.explode(pair_arr).alias("p"))
-            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
+        inter, sizes = _capped_pair_counts(sh, max_shingle_freq)
         return _jaccard_verify(inter, sizes, threshold)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
@@ -135,6 +105,83 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return _jaccard_verify(inter, sizes, threshold)
+
+
+def _capped_pair_counts(sh: DataFrame, cap: int):
+    """Shared-shingle pair counts under the hot-shingle cap: ONE
+    shuffle builds a posting list per shingle
+    (``groupBy(shingle).collect_list``), the cap filters it, and pair
+    expansion is per-row array arithmetic — no shingle-key self-join,
+    no window; per-task memory is bounded by cap^2 struct pairs.
+    Returns (inter, sizes) with sizes computed from the SAME filtered
+    postings so both sides of any similarity ratio shrink
+    consistently. posting feeds BOTH outputs with no persist: the two
+    consumers' exchange subtrees are identical, so AQE's
+    ReusedExchange already shares the collect_list shuffle (a persist
+    was measured SLOWER)."""
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") <= cap)
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    sizes = (
+        posting.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("set_size"))
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    inter = (
+        posting.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter, sizes
+
+
+def containment_pairs(
+    sh: DataFrame,
+    threshold: float = 0.9,
+    max_shingle_freq: int = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Asymmetric set containment |A∩B|/|A| (and /|B|) for pairs
+    sharing a shingle — the quote/boilerplate-superset detector:
+    near-full containment of a SMALL document in a large one scores
+    high here while its Jaccard stays low (the size imbalance sinks
+    the union ratio), which is exactly the near-dup class Jaccard
+    dedup misses (Lee et al. 2022 §4 discuss substring-level
+    containment for the same reason).
+
+    Same scale shape as the capped Jaccard path: one posting-list
+    shuffle, pair expansion bounded by cap^2, one pair-key aggregate.
+    Keeps pairs where EITHER direction reaches ``threshold``.
+    """
+    inter, sizes = _capped_pair_counts(sh, max_shingle_freq)
+    sa = sizes.withColumnRenamed("id", "doc_a").withColumnRenamed(
+        "set_size", "size_a"
+    )
+    sb = sizes.withColumnRenamed("id", "doc_b").withColumnRenamed(
+        "set_size", "size_b"
+    )
+    c_ab = F.round(F.col("n_common").cast("double") / F.col("size_a"), 4)
+    c_ba = F.round(F.col("n_common").cast("double") / F.col("size_b"), 4)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .filter(F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold)
+        .select("doc_a", "doc_b", "c_ab", "c_ba")
+    )
 
 
 def _jaccard_verify(

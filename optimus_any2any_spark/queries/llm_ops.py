@@ -1117,6 +1117,43 @@ def split_train_valid_test(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_sql_shingle_cap(D.DEFAULT_MAX_SHINGLE_FREQ)},
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM shc GROUP BY id),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / sa.set_size, 4) AS c_ab,
+           round(CAST(n_common AS DOUBLE) / sb.set_size, 4) AS c_ba
+    FROM inter
+    JOIN sizes sa ON sa.id = doc_a
+    JOIN sizes sb ON sb.id = doc_b
+    WHERE greatest(round(CAST(n_common AS DOUBLE) / sa.set_size, 4),
+                   round(CAST(n_common AS DOUBLE) / sb.set_size, 4)) >= 0.9
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Asymmetric containment |A∩B|/|A| — the quote/boilerplate "
+    "superset detector: a small document nearly contained in a large "
+    "one scores high here while its Jaccard stays low (size imbalance "
+    "sinks the union ratio), the near-dup class Jaccard dedup misses. "
+    "Same scale shape as the capped Jaccard path: one posting-list "
+    "shuffle with cap^2-bounded pair expansion, one pair-key "
+    "aggregate; sizes shrink consistently with the cap on both sides "
+    "of the ratio.",
+)
+def dedup_containment(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d)
+    return D.containment_pairs(sh, threshold=0.9).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
     "url_normalize_domain_stats",
     oracle="""
     WITH src AS (
