@@ -865,6 +865,15 @@ class _ExprParser:
             if name == "@text":
                 return s, "string"
             return F.base64(s.cast("binary")), "string"
+        if name == "@base64d":
+            # inverse of @base64 (jq 1.6 has it); non-base64 input is
+            # engine-dependent garbage in jq too, so no gate needed
+            # beyond the string kind
+            if kind != "string":
+                raise JQUnsupported(
+                    f"jq: @base64d on kind {kind!r} outside the native subset"
+                )
+            return F.unbase64(subject).cast("string"), "string"
         if name == "@json":
             # @json is tojson applied to the interpolated value
             return self._tojson(subject, kind)

@@ -835,6 +835,7 @@ class TestScalarBuiltinsRound3b:
         ".[] | {rt: (.epoch | todate | fromdate)}",
         '.[] | select(.name != null) | {j: (.name | @json)}',
         ".[] | {j: (.epoch | @json)}",
+        '.[] | {b: (.name | @base64 | @base64d)}',
     ]
 
     @pytest.fixture(scope="class")
