@@ -78,3 +78,22 @@ class Config:
             for k, v in self.values.items()
             if k.startswith(prefix)
         }
+
+
+def parse_rune(value: str | None) -> str | None:
+    """Mirror the reference's rune parser for single-character config
+    values like CSV delimiters (internal/config/util.go:54-68
+    ``runeParser``): the two-character escape sequences ``\\t`` and
+    ``\\n`` decode to the actual character, a single character passes
+    through, anything else is a config error — the reference rejects
+    multi-character delimiters rather than silently splitting on a
+    multi-char separator."""
+    if value is None or value == "":
+        return None
+    if value == "\\t":
+        return "\t"
+    if value == "\\n":
+        return "\n"
+    if len(value) == 1:
+        return value
+    raise ValueError(f"unable to parse {value!r} as rune")

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark import metadata as M
-from optimus_any2any_spark.config import Config
+from optimus_any2any_spark.config import Config, parse_rune
 from optimus_any2any_spark.pipeline import register_sink
 from optimus_any2any_spark.sinks.file import FileSink
 from optimus_any2any_spark.compiler.template import compile_template
@@ -38,6 +38,10 @@ def _file_family(df: DataFrame, cfg: Config, comp: str):
     sink = FileSink(
         c["destination_uri"],
         compression=c.get("compression_type"),
+        # <COMP>__CSV_DELIMITER is a rune in the reference (sink_file.
+        # go:9 etc.): \t and \n escape sequences decode, multi-char
+        # values are config errors
+        delimiter=parse_rune(c.get("csv_delimiter")),
         jsonpath_selector=c.get("jsonpath_selector"),
         metadata_prefix=cfg.get("METADATA_PREFIX", M.METADATA_PREFIX),
         # legacy per-N-records destination split (ext/oss/sink.go:54)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from optimus_any2any_spark import metadata as M
-from optimus_any2any_spark.config import Config
+from optimus_any2any_spark.config import Config, parse_rune
 from optimus_any2any_spark.pipeline import register_source
 from optimus_any2any_spark.sources.file import FileSource
 
@@ -30,7 +30,7 @@ def file_source(spark: SparkSession, cfg: Config) -> DataFrame:
         c["source_uri"],
         skip_header=c.get("csv_skip_header", "false").lower() == "true",
         skip_rows=int(c.get("csv_skip_rows", "0") or 0),
-        delimiter=c.get("csv_delimiter"),
+        delimiter=parse_rune(c.get("csv_delimiter")),
     ).read()
 
 
@@ -51,6 +51,7 @@ def object_store_source(spark: SparkSession, cfg: Config) -> DataFrame:
         c["source_uri"],
         skip_header=c.get("csv_skip_header", "false").lower() == "true",
         skip_rows=int(c.get("csv_skip_rows", "0") or 0),
+        delimiter=parse_rune(c.get("csv_delimiter")),
     ).read()
 
 
@@ -349,7 +350,7 @@ def gmail_source(spark: SparkSession, cfg: Config) -> DataFrame:
         service,
         query=c.get("filter", ""),
         filename_column=c.get("filename_column", "__METADATA__filename"),
-        csv_delimiter=c.get("csv_delimiter", ","),
+        csv_delimiter=parse_rune(c.get("csv_delimiter")) or ",",
     )
     if not records:
         return spark.range(0).drop("id")

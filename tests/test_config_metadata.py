@@ -158,3 +158,74 @@ class TestRecordIndexLayoutPinning:
         ).collect()[0]
         assert stats.n == n and stats.d == n
         assert stats.mn == 0 and stats.mx == n - 1
+
+
+class TestRuneDelimiters:
+    """<COMP>__CSV_DELIMITER is a rune in the reference
+    (internal/config/util.go:54-68 runeParser): \\t and \\n decode,
+    single chars pass, anything else is a config error."""
+
+    def test_parse_rune_escapes(self):
+        from optimus_any2any_spark.config import parse_rune
+
+        assert parse_rune("\\t") == "\t"
+        assert parse_rune("\\n") == "\n"
+        assert parse_rune(";") == ";"
+        assert parse_rune(None) is None
+        assert parse_rune("") is None
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse_rune("ab")
+
+    def test_tab_delimiter_reaches_csv_source(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SOURCE_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+
+        p = tmp_path / "in.csv"
+        p.write_text("a\tb\n1\t2\n")
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{p}",
+                "FILE__CSV_DELIMITER=\\t",
+            ],
+            environ={},
+        )
+        df = SOURCE_BUILDERS["FILE"](spark, cfg)
+        rows = [
+            {k: v for k, v in r.asDict().items() if not k.startswith("__")}
+            for r in df.collect()
+        ]
+        assert rows == [{"a": "1", "b": "2"}]
+
+    def test_tab_delimiter_reaches_file_sink(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SINK_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+
+        out = tmp_path / "out.csv"
+        df = spark.createDataFrame([("x", "y")], "a string, b string")
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__DESTINATION_URI=file://{out}",
+                "FILE__CSV_DELIMITER=\\t",
+            ],
+            environ={},
+        )
+        SINK_BUILDERS["FILE"](df, cfg)
+        text = "".join(
+            f.read_text()
+            for f in sorted(out.rglob("*.csv"))
+            if f.is_file()
+        ) if out.is_dir() else out.read_text()
+        assert "x\ty" in text
+        assert "a\tb" in text
