@@ -53,14 +53,39 @@ class FileSink:
         destination_uri: str,
         fmt: str | None = None,
         delimiter: str | None = None,
-        compression: str | None = None,  # None | "gzip"
+        compression: str | None = None,  # None|gzip|gz|zip|tar.gz|auto
         jsonpath_selector: str | None = None,
         metadata_prefix: str = M.METADATA_PREFIX,
         batch_size: int | None = None,
         max_records_per_file: int | None = None,
+        compression_password: str | None = None,
     ):
-        self.template = compile_template(_strip_scheme(destination_uri))
         base = _strip_scheme(destination_uri)
+        # zip/tar.gz archive the committed data files post-write
+        # (write_handler.go:352-407); the data files themselves carry
+        # the destination name MINUS the archive extension, exactly the
+        # reference's auto-mode TrimSuffix(rightExt) staging
+        # (write_handler.go:278-282).
+        self.archive_type: str | None = None
+        self.compression_password = compression_password
+        if compression in ("zip", "tar.gz"):
+            self.archive_type = compression
+            compression = None
+        elif compression in (None, "auto"):
+            for arc_ext, arc_type in ((".tar.gz", "tar.gz"), (".zip", "zip")):
+                if base.lower().endswith(arc_ext):
+                    self.archive_type = arc_type
+                    base = base[: -len(arc_ext)]
+                    break
+        # explicit gz appends .gz to every destination, as the
+        # reference names per-file gzip archives <file>.gz
+        # (write_handler.go:328-331)
+        self.gz_append = (
+            compression in ("gz", "gzip") and not base.lower().endswith(".gz")
+        )
+        if compression == "gz":
+            compression = "gzip"
+        self.template = compile_template(base)
         ext = base.rsplit(".", 1)[-1].lower() if "." in os.path.basename(base) else "json"
         if ext == "gz":
             # auto compression from extra extension (write_option.go:176-210)
@@ -90,12 +115,52 @@ class FileSink:
         self.max_records_per_file = max_records_per_file
 
     def write(self, df: DataFrame) -> WriteResult:
+        result = self._write_data(df)
+        if self.archive_type and result.files:
+            result = self._archive_result(result)
+        return result
+
+    def _archive_result(self, result: WriteResult) -> WriteResult:
+        """Post-commit zip/tar.gz step: ALL committed files into ONE
+        archive at their nearest common parent — named archive.<type>,
+        or <stem>.<type> when there is exactly one file
+        (write_handler.go:383-407). Password applies to zip only; the
+        reference logs-and-ignores it for tar.gz (:321-323)."""
+        from optimus_any2any_spark.formats.archive import (
+            archive_files,
+            nearest_common_parent,
+        )
+
+        paths = sorted(result.files)
+        parent = nearest_common_parent(paths)
+        if len(paths) == 1:
+            stem = os.path.splitext(os.path.basename(paths[0]))[0]
+            name = f"{stem}.{self.archive_type}"
+        else:
+            name = f"archive.{self.archive_type}"
+        arc = archive_files(
+            paths,
+            self.archive_type,
+            archive_path=os.path.join(parent, name),
+            password=(
+                self.compression_password
+                if self.archive_type == "zip"
+                else None
+            ),
+        )
+        return WriteResult(files={arc: sum(result.files.values())})
+
+    def _write_data(self, df: DataFrame) -> WriteResult:
         # Specialized metadata records configure, never get written
         # (rfc_009; ext/file/sink.go:78-81).
         if M.metadata_columns(df, self.metadata_prefix):
             df, _meta = M.split_specialized_metadata(df, self.metadata_prefix)
 
         routed = df.withColumn(DEST_COL, self.template.column(df))
+        if self.gz_append:
+            routed = routed.withColumn(
+                DEST_COL, F.concat(F.col(DEST_COL), F.lit(".gz"))
+            )
         if self.batch_size:
             if M.RECORD_INDEX not in routed.columns:
                 raise ValueError(
@@ -290,6 +355,8 @@ class FileSink:
     def _write_static(self, lines: DataFrame, header: str | None) -> WriteResult:
         """Single fixed destination: parallel narrow write, ordered concat."""
         dest = self.template.render({})
+        if self.gz_append:
+            dest += ".gz"
         tmpdir = tempfile.mkdtemp(prefix="any2any_sink_")
         staging = os.path.join(tmpdir, "staged")
         writer = lines.select("value").write.mode("overwrite")

@@ -268,3 +268,111 @@ class TestBatchSplit:
         assert res.files[str(out)] == 100
         lines = open(out).read().splitlines()
         assert len(lines) == 100
+
+
+class TestSinkArchiveCompression:
+    """FILE__COMPRESSION_TYPE zip/tar.gz/auto through the sink config
+    path (write_handler.go:270-412): all committed files archive into
+    ONE file at the nearest common parent, named archive.<type> for
+    many files or <stem>.<type> for one; explicit gz appends .gz per
+    file; password is zip-only."""
+
+    def _cfg(self, env_args):
+        from optimus_any2any_spark.config import Config
+
+        return Config.from_env(env_args=env_args, environ={})
+
+    def _sink(self, df, cfg):
+        from optimus_any2any_spark.pipeline import (
+            SINK_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+        return SINK_BUILDERS["FILE"](df, cfg)
+
+    def test_zip_with_password_via_config(self, spark, tmp_path):
+        import zipfile
+
+        from optimus_any2any_spark.formats.zipsec import (
+            read_winzip_aes_entry,
+        )
+
+        out = tmp_path / "out.csv"
+        df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+        self._sink(
+            df,
+            self._cfg(
+                [
+                    f"FILE__DESTINATION_URI=file://{out}",
+                    "FILE__COMPRESSION_TYPE=zip",
+                    "FILE__COMPRESSION_PASSWORD=pw",
+                ]
+            ),
+        )
+        arc = tmp_path / "out.zip"  # single file: <stem>.<type>
+        assert arc.exists() and not out.exists()
+        with zipfile.ZipFile(arc) as z:
+            assert z.namelist() == ["out.csv"]
+        data = read_winzip_aes_entry(str(arc), "out.csv", "pw").decode()
+        assert "k,v" in data and "a,1" in data
+
+    def test_auto_mode_from_extra_extension(self, spark, tmp_path):
+        import tarfile
+
+        out = tmp_path / "out.json.tar.gz"
+        df = spark.createDataFrame([(1,)], "v long")
+        self._sink(
+            df,
+            self._cfg(
+                [
+                    f"FILE__DESTINATION_URI=file://{out}",
+                    "FILE__COMPRESSION_TYPE=auto",
+                ]
+            ),
+        )
+        # data staged as out.json, archived as out.tar.gz (the
+        # reference trims the data ext when naming a single archive)
+        arc = tmp_path / "out.tar.gz"
+        assert arc.exists()
+        with tarfile.open(arc) as t:
+            assert t.getnames() == ["out.json"]
+
+    def test_multi_destination_zip_archives_once(self, spark, tmp_path):
+        import zipfile
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y")], "gid long, v string"
+        )
+        dest = tmp_path / "g_[[ .gid ]].json"
+        self._sink(
+            df,
+            self._cfg(
+                [
+                    f"FILE__DESTINATION_URI=file://{dest}",
+                    "FILE__COMPRESSION_TYPE=zip",
+                ]
+            ),
+        )
+        arc = tmp_path / "archive.zip"
+        assert arc.exists()
+        with zipfile.ZipFile(arc) as z:
+            assert set(z.namelist()) == {"g_1.json", "g_2.json"}
+
+    def test_explicit_gz_appends_extension(self, spark, tmp_path):
+        import gzip
+
+        out = tmp_path / "out.json"
+        df = spark.createDataFrame([(7,)], "v long")
+        self._sink(
+            df,
+            self._cfg(
+                [
+                    f"FILE__DESTINATION_URI=file://{out}",
+                    "FILE__COMPRESSION_TYPE=gz",
+                ]
+            ),
+        )
+        arc = tmp_path / "out.json.gz"
+        assert arc.exists()
+        assert b'"v":7' in gzip.open(arc).read()
