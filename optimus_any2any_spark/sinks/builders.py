@@ -43,6 +43,7 @@ def _file_family(df: DataFrame, cfg: Config, comp: str):
         # values are config errors
         delimiter=parse_rune(c.get("csv_delimiter")),
         compression_password=c.get("compression_password"),
+        skip_header=c.get("skip_header", "false").lower() == "true",
         jsonpath_selector=c.get("jsonpath_selector"),
         metadata_prefix=cfg.get("METADATA_PREFIX", M.METADATA_PREFIX),
         # legacy per-N-records destination split (ext/oss/sink.go:54)

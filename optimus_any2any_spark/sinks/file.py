@@ -59,6 +59,7 @@ class FileSink:
         batch_size: int | None = None,
         max_records_per_file: int | None = None,
         compression_password: str | None = None,
+        skip_header: bool = False,
     ):
         base = _strip_scheme(destination_uri)
         # zip/tar.gz archive the committed data files post-write
@@ -113,6 +114,9 @@ class FileSink:
         # bounds records per staged part file; Spark's maxRecordsPerFile
         # is the exact knob.
         self.max_records_per_file = max_records_per_file
+        # <COMP>__SKIP_HEADER on sinks omits the CSV header row
+        # (chunk_writer.go:153-154 -> JSON2CSV skipHeader)
+        self.skip_header = skip_header
 
     def write(self, df: DataFrame) -> WriteResult:
         result = self._write_data(df)
@@ -206,7 +210,7 @@ class FileSink:
         lines = stringified.select(
             F.concat_ws(self.delimiter, *quoted).alias("value"), F.col(DEST_COL)
         )
-        header = self.delimiter.join(data_cols)
+        header = None if self.skip_header else self.delimiter.join(data_cols)
         return self._write_lines(lines, header=header)
 
     @staticmethod

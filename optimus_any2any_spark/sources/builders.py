@@ -28,8 +28,10 @@ def file_source(spark: SparkSession, cfg: Config) -> DataFrame:
     return FileSource(
         spark,
         c["source_uri"],
-        skip_header=c.get("csv_skip_header", "false").lower() == "true",
-        skip_rows=int(c.get("csv_skip_rows", "0") or 0),
+        skip_header=c.get(
+            "skip_header", c.get("csv_skip_header", "false")
+        ).lower() == "true",
+        skip_rows=int(c.get("skip_rows", c.get("csv_skip_rows", "0")) or 0),
         delimiter=parse_rune(c.get("csv_delimiter")),
     ).read()
 
@@ -49,8 +51,10 @@ def object_store_source(spark: SparkSession, cfg: Config) -> DataFrame:
     return FileSource(
         spark,
         c["source_uri"],
-        skip_header=c.get("csv_skip_header", "false").lower() == "true",
-        skip_rows=int(c.get("csv_skip_rows", "0") or 0),
+        skip_header=c.get(
+            "skip_header", c.get("csv_skip_header", "false")
+        ).lower() == "true",
+        skip_rows=int(c.get("skip_rows", c.get("csv_skip_rows", "0")) or 0),
         delimiter=parse_rune(c.get("csv_delimiter")),
     ).read()
 

@@ -376,3 +376,52 @@ class TestSinkArchiveCompression:
         arc = tmp_path / "out.json.gz"
         assert arc.exists()
         assert b'"v":7' in gzip.open(arc).read()
+
+
+class TestSinkSkipHeaderAndSourceKeyNames:
+    def test_sink_skip_header_omits_csv_header(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SINK_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+        out = tmp_path / "out.csv"
+        df = spark.createDataFrame([("a", 1)], "k string, v long")
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__DESTINATION_URI=file://{out}",
+                "FILE__SKIP_HEADER=true",
+            ],
+            environ={},
+        )
+        SINK_BUILDERS["FILE"](df, cfg)
+        assert out.read_text() == "a,1\n"
+
+    def test_source_accepts_reference_skip_key_names(self, spark, tmp_path):
+        # the reference names are OSS__SKIP_HEADER / OSS__SKIP_ROWS
+        # (source_oss.go:9-10), not CSV_-prefixed
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SOURCE_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+        p = tmp_path / "in.csv"
+        p.write_text("junk line\nk,v\na,1\n")
+        cfg = Config.from_env(
+            env_args=[
+                f"OSS__SOURCE_URI=file://{p}",
+                "OSS__SKIP_ROWS=1",
+                "OSS__SKIP_HEADER=false",
+            ],
+            environ={},
+        )
+        df = SOURCE_BUILDERS["OSS"](spark, cfg)
+        rows = [
+            {k: v for k, v in r.asDict().items() if not k.startswith("__")}
+            for r in df.collect()
+        ]
+        assert rows == [{"k": "a", "v": "1"}]
