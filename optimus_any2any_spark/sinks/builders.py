@@ -37,6 +37,9 @@ def _file_family(df: DataFrame, cfg: Config, comp: str):
     c = cfg.for_component(comp)
     sink = FileSink(
         c["destination_uri"],
+        # the reference FILE sink appends (ext/file/handler.go:31
+        # O_APPEND); object stores replace on copy, so only FILE
+        append=(comp == "FILE"),
         compression=c.get("compression_type"),
         # <COMP>__CSV_DELIMITER is a rune in the reference (sink_file.
         # go:9 etc.): \t and \n escape sequences decode, multi-char

@@ -60,6 +60,7 @@ class FileSink:
         max_records_per_file: int | None = None,
         compression_password: str | None = None,
         skip_header: bool = False,
+        append: bool = False,
     ):
         base = _strip_scheme(destination_uri)
         # zip/tar.gz archive the committed data files post-write
@@ -117,6 +118,13 @@ class FileSink:
         # <COMP>__SKIP_HEADER on sinks omits the CSV header row
         # (chunk_writer.go:153-154 -> JSON2CSV skipHeader)
         self.skip_header = skip_header
+        # The reference FILE sink opens destinations O_APPEND
+        # (ext/file/handler.go:31) — successive runs append; object
+        # stores overwrite (copy replaces). Each appended run writes
+        # what a fresh run would (including a CSV header — matching
+        # the reference, whose per-process written-counter resets).
+        # gzip appends are valid multi-member streams.
+        self.append = append
 
     def write(self, df: DataFrame) -> WriteResult:
         result = self._write_data(df)
@@ -381,14 +389,16 @@ class FileSink:
             # Parts are executor-compressed; concatenated gzip members form
             # a valid stream, so only compressed bytes move through here.
             n = lines.count()
-            with open(dest, "wb") as out:
+            mode = "ab" if self.append and os.path.exists(dest) else "wb"
+            with open(dest, mode) as out:
                 if header_bytes is not None:
                     out.write(gzip.compress(header_bytes))
                 for p in parts:
                     with open(p, "rb") as src:
                         shutil.copyfileobj(src, out, 1 << 20)
         else:
-            with open(dest, "wb") as out:
+            mode = "ab" if self.append and os.path.exists(dest) else "wb"
+            with open(dest, mode) as out:
                 if header_bytes is not None:
                     out.write(header_bytes)
                 for p in parts:
@@ -405,13 +415,14 @@ class FileSink:
         """Move the staged part(s) onto ``dest``; byte movement only when a
         header must be prepended or >1 part must be concatenated."""
         header_bytes = header.encode() + b"\n" if header is not None else None
-        if header_bytes is None and len(parts) == 1:
+        appending = self.append and os.path.exists(dest)
+        if header_bytes is None and len(parts) == 1 and not appending:
             # Fast path: pure rename (copy fallback only across devices).
             if os.path.exists(dest):
                 os.remove(dest)
             shutil.move(parts[0], dest)
             return
-        with open(dest, "wb") as out:
+        with open(dest, "ab" if appending else "wb") as out:
             if header_bytes is not None:
                 if self.compression == "gzip":
                     out.write(gzip.compress(header_bytes))

@@ -425,3 +425,42 @@ class TestSinkSkipHeaderAndSourceKeyNames:
             for r in df.collect()
         ]
         assert rows == [{"k": "a", "v": "1"}]
+
+
+class TestFileSinkAppend:
+    def test_file_sink_appends_across_runs(self, spark, tmp_path):
+        # the reference FILE sink opens destinations O_APPEND
+        # (ext/file/handler.go:31): a second run adds to the file
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SINK_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+        out = tmp_path / "out.json"
+        cfg = Config.from_env(
+            env_args=[f"FILE__DESTINATION_URI=file://{out}"], environ={}
+        )
+        df1 = spark.createDataFrame([(1,)], "v long")
+        df2 = spark.createDataFrame([(2,)], "v long")
+        SINK_BUILDERS["FILE"](df1, cfg)
+        SINK_BUILDERS["FILE"](df2, cfg)
+        assert out.read_text() == '{"v":1}\n{"v":2}\n'
+
+    def test_oss_sink_overwrites_across_runs(self, spark, tmp_path):
+        # object stores replace on copy — no append semantics there
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SINK_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+        out = tmp_path / "out.json"
+        cfg = Config.from_env(
+            env_args=[f"OSS__DESTINATION_URI=file://{out}"], environ={}
+        )
+        SINK_BUILDERS["OSS"](spark.createDataFrame([(1,)], "v long"), cfg)
+        SINK_BUILDERS["OSS"](spark.createDataFrame([(2,)], "v long"), cfg)
+        assert out.read_text() == '{"v":2}\n'
