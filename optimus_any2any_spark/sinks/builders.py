@@ -96,9 +96,16 @@ def sftp_sink(df: DataFrame, cfg: Config):
     ].split("://", 1)[-1].lstrip("/")
     result = _file_family(df, staged_cfg, "SFTP")
     if transport is None:
-        raise NotImplementedError(
-            "SFTP transport requires paramiko (not in this environment); "
-            "inject SFTP__TRANSPORT(local_path, remote_path)"
+        # production path: build the paramiko transport from the URI
+        # credentials + SFTP__PRIVATE_KEY / SFTP__HOST_FINGERPRINT
+        # (ext/sftp/client.go:32-70); raises NotImplementedError when
+        # paramiko is absent so tests inject SFTP__TRANSPORT instead
+        from optimus_any2any_spark.sinks.sftp import make_sftp_transport
+
+        transport = make_sftp_transport(
+            c["destination_uri"],
+            private_key=c.get("private_key"),
+            host_fingerprint=c.get("host_fingerprint"),
         )
     from optimus_any2any_spark.policy import retry
 
