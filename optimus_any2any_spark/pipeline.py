@@ -210,9 +210,55 @@ class Pipeline:
         """--no-pipeline: the whole transfer stays engine-side
         (reference: any2any.go:54-61; ext/direct/*). In Spark every
         pipeline already executes engine-side, so direct mode is the
-        same read→write with the connector skipped."""
+        same read→write with the connector skipped.
+
+        OSS2MC has its own config block (internal/config/
+        direct_oss2mc.go) whose LOAD statement we express relationally:
+        read the object-store files, add the static partition-value
+        columns, APPEND/REPLACE into the table (ext/direct/
+        oss2mc.go:95-131). MC2OSS reuses the ordinary MC-source +
+        OSS-sink configs in the reference, so no translation is needed
+        there."""
+        if self.config.get("OSS2MC__SOURCE_URI"):
+            return self._run_direct_oss2mc()
         df = SOURCE_BUILDERS[self.source](self.spark, self.config)
         result = PipelineResult()
         for sink in self.sinks:
             result.sink_results[sink] = SINK_BUILDERS[sink](df, self.config)
+        return result
+
+    def _run_direct_oss2mc(self) -> PipelineResult:
+        from pyspark.sql import functions as F
+
+        from optimus_any2any_spark.sinks.warehouse import write_table
+        from optimus_any2any_spark.sources.file import FileSource
+
+        c = self.config.for_component("OSS2MC")
+        fmt = c.get("file_format", "json").lower()
+        df = FileSource(
+            self.spark,
+            c["source_uri"],
+            fmt=fmt if fmt in ("json", "csv") else None,
+            # the reference's CsvStorageHandler sets
+            # odps.text.common.header.lines.count=1: files carry a header
+            skip_header=False,
+        ).read()
+        # static partition values: LOAD ... PARTITION (pt='v', ...)
+        # appends constant columns relationally
+        for pv in (c.get("partition_values") or "").split(","):
+            if not pv.strip():
+                continue
+            col, _sep, val = pv.partition("=")
+            df = df.withColumn(
+                col.strip(), F.lit(val.strip().strip("'\""))
+            )
+        from optimus_any2any_spark import metadata as M_
+
+        df = M_.strip_metadata(
+            df, self.config.get("METADATA_PREFIX", M_.METADATA_PREFIX)
+        )
+        table = c["destination_table_id"]
+        write_table(df, table, c.get("load_method", "APPEND"))
+        result = PipelineResult()
+        result.sink_results["MC"] = table
         return result

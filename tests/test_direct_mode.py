@@ -56,3 +56,29 @@ def test_record_total_count(spark):
     df = spark.range(7).toDF("n")
     out = M.with_record_total_count(df)
     assert {r[M.RECORD_TOTAL_COUNT] for r in out.collect()} == {7}
+
+
+def test_oss2mc_config_block(spark, tmp_path):
+    """The reference's dedicated OSS2MC__* direct config
+    (internal/config/direct_oss2mc.go): source URI, csv file format,
+    static partition values, REPLACE load method."""
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,a\n2,b\n")
+    spark.sql("DROP TABLE IF EXISTS direct_dest2")
+    cfg = Config.from_env(
+        env_args=[
+            f"OSS2MC__SOURCE_URI=file://{src}",
+            "OSS2MC__FILE_FORMAT=csv",
+            "OSS2MC__DESTINATION_TABLE_ID=direct_dest2",
+            "OSS2MC__LOAD_METHOD=REPLACE",
+            "OSS2MC__PARTITION_VALUES=event_date='2024-01-01'",
+        ],
+        environ={},
+    )
+    Pipeline(spark, "OSS", ["MC"], cfg, no_pipeline=True).run()
+    rows = spark.table("direct_dest2").collect()
+    assert {(r["id"], r["v"], r["event_date"]) for r in rows} == {
+        ("1", "a", "2024-01-01"),
+        ("2", "b", "2024-01-01"),
+    }
+    spark.sql("DROP TABLE direct_dest2")
