@@ -181,7 +181,9 @@ def jdbc_sink(df: DataFrame, cfg: Config):
     # create-on-first-run pipelines
     if table_columns:
         pg.check_schema_validity(list(table_columns), df.columns)
-    pre_sql = c.get("pre_sql")
+    # the reference's key is PG__PRE_SQL_SCRIPT (SQL text, executed
+    # before the write — ext/postgresql/sink.go:55-57)
+    pre_sql = c.get("pre_sql_script", c.get("pre_sql"))
     writer = (
         df.write.format("jdbc")
         .option("url", c["connection_dsn"])

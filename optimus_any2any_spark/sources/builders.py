@@ -85,6 +85,19 @@ def warehouse_source(spark: SparkSession, cfg: Config) -> DataFrame:
     c = cfg.for_component("MC")
     fname_col = c.get("filename_column", M.FILENAME)
 
+    # MC__EXECUTION_PROJECT ≙ the session's current database
+    # (source.go:39); MC__ADDITIONAL_HINTS ("k:v,k2:v2" — caarlos0/env
+    # map syntax) merge into every query's hints (source.go:82), which
+    # in Spark are session-scoped SET statements — the same channel
+    # script-mode SET headers use.
+    if c.get("execution_project"):
+        spark.catalog.setCurrentDatabase(c["execution_project"])
+    for hint in (c.get("additional_hints") or "").split(","):
+        if not hint.strip():
+            continue
+        k, _sep, v = hint.partition(":")
+        spark.sql(f"SET {k.strip()}={v.strip()}")
+
     # filename → raw query text (getRawQueries, source.go:299-320).
     raw_queries: dict[str, str] = {}
     if c.get("query"):

@@ -148,3 +148,37 @@ class TestMcSourceScripts:
         df = Pipeline(spark, "MC", ["IO"], cfg).dataframe()
         got = {(r["grp"], r["__METADATA__filename"]): r["total"] for r in df.collect()}
         assert got == {("x", "q.sql"): 1, ("y", "q.sql"): 3}
+
+
+def test_execution_project_and_additional_hints(spark, tmp_path):
+    """MC__EXECUTION_PROJECT selects the session database and
+    MC__ADDITIONAL_HINTS ('k:v,k2:v2') become session SET statements
+    (ext/maxcompute/source.go:39,82)."""
+    from optimus_any2any_spark.config import Config
+    from optimus_any2any_spark.pipeline import (
+        SOURCE_BUILDERS,
+        _load_builtin_components,
+    )
+
+    _load_builtin_components()
+    spark.sql("CREATE DATABASE IF NOT EXISTS hintdb")
+    prev = spark.catalog.currentDatabase()
+    try:
+        spark.sql("DROP TABLE IF EXISTS hintdb.t_hints")
+        spark.sql("CREATE TABLE hintdb.t_hints AS SELECT 1 AS n")
+        cfg = Config.from_env(
+            env_args=[
+                "MC__QUERY=SELECT n FROM t_hints",
+                "MC__EXECUTION_PROJECT=hintdb",
+                "MC__ADDITIONAL_HINTS=spark.sql.shuffle.partitions:7",
+            ],
+            environ={},
+        )
+        df = SOURCE_BUILDERS["MC"](spark, cfg)
+        assert [r["n"] for r in df.collect()] == [1]
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.sql("DROP TABLE IF EXISTS hintdb.t_hints")
+        spark.sql("DROP DATABASE IF EXISTS hintdb")
