@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     cfg = Config.from_env(env_args=args.env)
     spark = get_spark(app_name="any2any")
+    if cfg.get("LOG_LEVEL"):
+        # LOG_LEVEL (reference config.go) -> Spark log level; the
+        # reference's DEBUG/INFO/WARN/ERROR names map directly
+        spark.sparkContext.setLogLevel(cfg.get("LOG_LEVEL").upper())
     try:
         pipeline = Pipeline(
             spark,

@@ -122,7 +122,12 @@ class Pipeline:
         if query:
             from optimus_any2any_spark.compiler.jq import jq_transform
 
-            batch = self.config.get_int("CONNECTOR_BATCH_SIZE", 512)
+            # JQ__BATCH_SIZE is the deprecated alias the reference
+            # still honors with a warning (component.go:247-251)
+            batch = self.config.get_int(
+                "CONNECTOR_BATCH_SIZE",
+                self.config.get_int("JQ__BATCH_SIZE", 512),
+            )
             df = jq_transform(df, query, batch_size=batch)
         py = self.config.get("PY__SCRIPT")
         py_file = self.config.get("PY__SCRIPT_FILE_PATH")
