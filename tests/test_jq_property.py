@@ -121,6 +121,18 @@ _PROGRAMS = st.sampled_from(
         ".[] | {eq: (.flag == true), ne: (.flag != true)}",
         ".[] | select(.flag != true)",
         ".[] | {lt: (.name < .name), le: (.name <= .name)}",
+        # round-3b: type (total), comma fan-out, object explode,
+        # todate/round over derived numbers
+        ".[] | {t: (.name | type), u: (.flag | type), v: (.tags | type)}",
+        ".[] | {id}, {age}",
+        ".[] | select(.age > 50), select(.age <= 50)",
+        ".[] | ., {only: .id}",
+        '.[] | {id}, {id: (.id + 1000)} | select(.id >= 0)',
+        ".[] | {id, w: .tags[]}",
+        ".[] | {d: (.age * 86400 | todate)}",
+        ".[] | {r: ((.age / 7) | round)}",
+        ".[] | {rt: (.age * 3600 | todate | fromdate)}",
+        ".[] | {j: (.age | @json)}",
     ]
 )
 
@@ -146,6 +158,23 @@ _STRING_PROGRAMS = st.sampled_from(
         ".[] | {s: .name[1:4]}",
         ".[] | {s: .name[-2:]}",
         '.[] | {z: (.name | gsub("i"; ""))[0:3]}',
+        # round-3b string builtins: byte length, index/rindex, inside,
+        # regex split/splits, scan collection, capture stage, formats,
+        # repetition
+        ".[] | {b: (.name | utf8bytelength)}",
+        '.[] | {i: (.name | index("li")), r: (.name | rindex("li"))}',
+        '.[] | {i: (.name | index("x_"))}',
+        '.[] | select(.name | inside("alice bob prefix_x"))',
+        '.[] | {p: (.name | split("[i_]"; ""))}',
+        '.[] | {p: (.name | split("X"; "i"))}',
+        '.[] | {p: [.name | splits("[aeiou]")]}',
+        '.[] | {m: [.name | scan("[a-f]+")]}',
+        '.[] | .name | capture("(?<head>^[a-z])(?<rest>.*)")',
+        ".[] | {h: (.name | @html)}",
+        ".[] | {q: (.name | @sh)}",
+        ".[] | {x: (.name * 2)}",
+        ".[] | {x: (.name * 0)}",
+        ".[] | {b64: (.name | @base64 | @base64d)}",
     ]
 )
 
