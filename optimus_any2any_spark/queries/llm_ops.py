@@ -1117,6 +1117,78 @@ def split_train_valid_test(spark, sf_dir):
 
 
 @register(
+    "mix_source_kl_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    st AS (SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+    t AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY term),
+    ns AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+    tot AS (SELECT SUM(c_st) AS n FROM st),
+    contrib AS (
+      SELECT st.source,
+             round((CAST(c_st AS DOUBLE) / n_s)
+                   * ln((CAST(c_st AS DOUBLE) * n)
+                        / (CAST(c_t AS DOUBLE) * n_s)), 9) AS kl_term
+      FROM st JOIN t USING (term) JOIN ns USING (source) CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           round({o_dsum('kl_term')}, 6) AS kl_to_corpus
+    FROM contrib
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source KL divergence to the corpus unigram distribution — "
+    "the data-mixing diagnostic (which sources are distributionally "
+    "far from the blend they feed): KL(P_source || P_corpus) = "
+    "sum_w P_s(w) ln(P_s(w)/Q(w)). Cross-engine exactness: both "
+    "engines evaluate the IDENTICAL IEEE expression per term (same "
+    "multiplication/division shape), round at 9, and accumulate in "
+    "DECIMAL so the per-source sum is order-independent. Scale shape: "
+    "one (source, term) aggregate over the token explode, a "
+    "vocabulary-sized term join, broadcast per-source totals — the "
+    "corpus never crosses more than the one token-key exchange.",
+)
+def mix_source_kl_divergence(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = st.agg(F.sum("c_st").alias("n"))
+    contrib = (
+        st.join(t, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                (F.col("c_st").cast("double") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st").cast("double") * F.col("n"))
+                    / (F.col("c_t").cast("double") * F.col("n_s"))
+                ),
+                9,
+            ).alias("kl_term"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.round(dsum(F.col("kl_term")), 6).alias("kl_to_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "dedup_containment",
     oracle=f"""
     WITH {_SQL_SHINGLES}, {_sql_shingle_cap(D.DEFAULT_MAX_SHINGLE_FREQ)},
