@@ -1436,6 +1436,23 @@ class _ExprParser:
                 col, kind = self.parse_piped(col, kind)
             self.expect(")")
             return col, kind
+        if t in ("env", "$ENV") and (self.peek() or "").startswith("."):
+            # env.FOO: the reference runs jq as a subprocess of the
+            # engine (ext/jq/connector.go:102 exec.CommandContext), so
+            # jq's env IS the pipeline's env — compile-time lookup on
+            # the driver reads the same variables. Missing -> null,
+            # exactly jq. Nested access (env.FOO.BAR indexes a string)
+            # errors in jq, so it routes to the binary.
+            import os as _os
+
+            key_tok = self.next()
+            key = key_tok[1:].rstrip("?")
+            if "." in key or "[" in key:
+                raise JQUnsupported(f"jq: nested env access {key_tok!r}")
+            val = _os.environ.get(key)
+            if val is None:
+                return F.lit(None), "null"
+            return F.lit(val), "string"
         if t.startswith('"'):
             if "\\(" in t:
                 return self._interpolate(t)

@@ -1086,3 +1086,32 @@ class TestScanAndObjectExplode:
     def test_divergent_edges_route_to_binary(self, df5, program):
         with pytest.raises(JQUnsupported):
             translate_jq(df5, program)
+
+
+class TestEnvAccess:
+    """env.FOO / $ENV.FOO: the reference's jq subprocess inherits the
+    engine's environment, so compile-time driver lookup reads the same
+    variables. Differential vs the jq binary (which inherits the test
+    process env identically)."""
+
+    def test_env_matches_jq_binary(self, spark, df, monkeypatch):
+        monkeypatch.setenv("A2A_TEST_MARKER", "m-42")
+        monkeypatch.delenv("A2A_TEST_ABSENT", raising=False)
+        for program in [
+            '.[] | {id, m: env.A2A_TEST_MARKER}',
+            '.[] | {id, m: $ENV.A2A_TEST_MARKER}',
+            '.[] | {id, m: (env.A2A_TEST_ABSENT // "fallback")}',
+            '.[] | select(env.A2A_TEST_MARKER == "m-42") | {id}',
+            '.[] | {m: (env.A2A_TEST_MARKER + "-\\(.id)")}',
+        ]:
+            got = spark_rows(translate_jq(df, program))
+            expect = [
+                {k: v for k, v in r.items() if v is not None}
+                for r in jq_oracle(program, ROWS)
+            ]
+            key = lambda d: json.dumps(d, sort_keys=True)
+            assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    def test_nested_env_routes_to_binary(self, df):
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, ".[] | {m: env.A.B}")
