@@ -1117,6 +1117,94 @@ def split_train_valid_test(spark, sf_dir):
 
 
 @register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_sql_shingle_cap(D.DEFAULT_MAX_SHINGLE_FREQ)},
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM shc GROUP BY id),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             round(CAST(n_common AS DOUBLE) /
+                   (sa.set_size + sb.set_size - n_common), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.id = doc_a
+      JOIN sizes sb ON sb.id = doc_b
+      WHERE round(CAST(n_common AS DOUBLE) /
+                  (sa.set_size + sb.set_size - n_common), 4) >= 0.8
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_reduce(list_transform(range(1, 8),
+               p -> CAST(strpos('0123456789abcdef', substr(md5(
+                      md5(lower(trim(regexp_replace(text, '\\s+', ' ',
+                      'g'))))), p, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 100 AS bucket
+      FROM documents
+    ),
+    assign AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM fp
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b,
+           (sa.split <> sb.split) AS leaks
+    FROM pairs p
+    JOIN assign sa ON sa.doc_id = p.doc_a
+    JOIN assign sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    doc="Cross-split leakage audit: content-keyed splitting provably "
+    "co-assigns EXACT duplicates, but NEAR-duplicates (Jaccard >= "
+    "0.8) can still straddle train/test — each such pair leaks "
+    "evaluation signal. Joins the verified near-dup pair set to the "
+    "deterministic split assignment and flags straddling pairs — the "
+    "audit every eval pipeline should run before trusting held-out "
+    "numbers. Scale: the pair set is LSH-bounded and tiny relative to "
+    "the corpus; the assignment join is two broadcast-size hash joins "
+    "on doc ids.",
+)
+def split_leakage_audit(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d)
+    pairs = D.jaccard_pairs(sh, threshold=0.8)
+    fp = TX.fingerprint(F.col("text"))
+    bucket = TX.split_bucket(fp, 100)
+    assign = d.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sa = assign.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = assign.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("leaks"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
     "mix_source_kl_divergence",
     oracle=f"""
     WITH tok AS (
