@@ -891,6 +891,26 @@ class _ExprParser:
             ):
                 s = F.replace(s, F.lit(raw), F.lit(ent))
             return s, "string"
+        if name == "@uri":
+            # percent-encoding: jq's safe set is JS encodeURIComponent's
+            # [A-Za-z0-9-_.!~*'()] (probed: *, ~, ' stay literal);
+            # Java's url_encode shares the alnum/-_.* core but turns
+            # space into '+' and encodes !~'(). Each fix-up sequence
+            # ('+', '%7E', '%21', '%27', '%28', '%29') can ONLY arise
+            # from its source character (a literal '%' input encodes to
+            # '%25...'), so the post-replaces are exact.
+            s, _ = self._format_string("@text", subject, kind)
+            s = F.url_encode(s)
+            for enc, lit in (
+                ("+", "%20"),
+                ("%7E", "~"),
+                ("%21", "!"),
+                ("%27", "'"),
+                ("%28", "("),
+                ("%29", ")"),
+            ):
+                s = F.replace(s, F.lit(enc), F.lit(lit))
+            return s, "string"
         if name == "@sh":
             # POSIX single-quote wrap with '\'' for embedded quotes;
             # jq leaves numbers unquoted, so strings only

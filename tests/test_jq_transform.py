@@ -578,8 +578,6 @@ class TestRound3SliceFormatRegex:
             '.[] | {t: (.name | gsub("(a)"; "\\\\1"))}',
             # dynamic affix ltrimstr ERRORS in jq (arg sees piped input)
             '.[] | {t: (.name | ltrimstr(.name))}',
-            # unknown format string
-            '.[] | {t: (.name | @uri)}',
             # test flags beyond "i"
             '.[] | select(.name | test("a"; "x"))',
         ],
@@ -951,6 +949,7 @@ class TestCaptureFormatsRepeat:
 
     ROWS4 = [
         {"id": 1, "email": "alice@example.com", "name": "a<b>&'c\"d"},
+        {"id": 4, "email": "x y*z~w/q?&=", "name": "é ü+% !'()"},
         {"id": 2, "email": "bob.smith@corp.io", "name": "it's"},
         {"id": 3, "email": "not-an-email", "name": "plain"},
     ]
@@ -963,6 +962,9 @@ class TestCaptureFormatsRepeat:
         '.[] | .email | capture("(?<up>ALICE)"; "i")',
         ".[] | {h: (.name | @html)}",
         ".[] | {s: (.name | @sh)}",
+        ".[] | {u: (.name | @uri)}",
+        ".[] | {u: (.email | @uri)}",
+        ".[] | {u: (.id | @uri)}",
         ".[] | {r: (.name * 2)}",
         ".[] | {r: (.name * 0)}",
         ".[] | {r: (.email * .id)}",
