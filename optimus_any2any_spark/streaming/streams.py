@@ -606,3 +606,57 @@ def streaming_minhash_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curation_pipeline_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+) -> "StreamingQuery":
+    """Streaming twin of the batch curation path: apply the
+    Gopher-rule quality filter and the content-fingerprint train/valid/
+    test assignment to documents as they arrive, landing accepted
+    records under ``path/split=<s>/batch=<id>`` parquet.
+
+    Semantics match the batch operators exactly (same integer-exact
+    rules from :func:`operators.text.gopher_rules`, same md5-fold split
+    bucket), so a document is assigned identically whether it flows
+    through ingestion or a backfill — the property that makes the
+    split stable under re-ingestion. Output is effectively-once: each
+    micro-batch writes deterministic ``batch=<id>`` partition dirs with
+    overwrite, so redelivery after a crash rewrites the same dirs
+    instead of duplicating (the store discipline streaming_minhash_dedup
+    established). Map-only per batch — zero shuffle beyond the
+    partitioned write.
+    """
+    from optimus_any2any_spark.operators import text as TX
+
+    rules = TX.gopher_rules(F.col(text_col))
+    passes = None
+    for r in rules.values():
+        passes = r if passes is None else passes & r
+    fp = TX.fingerprint(F.col(text_col))
+    bucket = TX.split_bucket(fp, 100)
+    curated = (
+        stream.filter(passes)
+        .withColumn("fingerprint", fp)
+        .withColumn(
+            "split",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("valid"))
+            .otherwise(F.lit("test")),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").partitionBy("split").parquet(
+            f"{path}/batch={batch_id}"
+        )
+
+    return (
+        curated.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

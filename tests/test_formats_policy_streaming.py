@@ -758,3 +758,64 @@ class TestStreamingMinhashDedup:
         rows = spark.read.parquet(str(tmp_path / "pairs")).collect()
         assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
         assert rows[0]["jaccard"] == 1.0
+
+
+class TestStreamingCuration:
+    def test_streaming_matches_batch_curation(self, spark, tmp_path):
+        """The streaming curation pipeline must assign exactly what the
+        batch operators assign: same Gopher pass set, same split —
+        stable under re-ingestion."""
+        import json as _json
+
+        from optimus_any2any_spark.operators import text as TX
+        from optimus_any2any_spark.streaming.streams import (
+            curation_pipeline_to_parquet,
+            stream_source,
+        )
+        from pyspark.sql import functions as F
+
+        src = tmp_path / "in"
+        src.mkdir()
+        docs = [
+            {"doc_id": i,
+             "text": " ".join(
+                 ["the", "a", "for", "on"]
+                 + [f"wd{j}" for j in range(30 + i)]
+             ) if i % 3 else "tiny"}
+            for i in range(12)
+        ]
+        with open(src / "d.json", "w") as f:
+            for d in docs:
+                f.write(_json.dumps(d) + "\n")
+
+        q = curation_pipeline_to_parquet(
+            stream_source(spark, str(src), "doc_id long, text string"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.read.option("basePath", str(tmp_path / "out"))
+            .parquet(str(tmp_path / "out"))
+            .select("doc_id", "split")
+        )
+        batch_df = spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+        )
+        rules = TX.gopher_rules(F.col("text"))
+        passes = None
+        for r in rules.values():
+            passes = r if passes is None else passes & r
+        bucket = TX.split_bucket(TX.fingerprint(F.col("text")), 100)
+        expect = batch_df.filter(passes).select(
+            "doc_id",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+        assert 0 < got.count() < len(docs)  # filter actually filtered
