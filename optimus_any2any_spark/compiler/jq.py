@@ -2344,10 +2344,15 @@ def _resolve_path_dtype(df: DataFrame, ptok: str):
 
 
 def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
-    # select(expr)
+    # select(expr) — jq truthiness: null and false are falsy, any
+    # other value (string/number/object/array) is truthy, so
+    # select(.name) keeps non-null names. A bare non-boolean Column in
+    # filter() would raise AnalysisException (not JQUnsupported), so
+    # the kind goes through _truthy to compile or fail closed.
     if toks[0] == "select" and toks[1] == "(" and toks[-1] == ")":
-        cond = _ExprParser(toks[2:-1], df).parse()
-        return df.filter(cond)
+        parser = _ExprParser(toks[2:-1], df)
+        cond, ckind = parser.parse_full()
+        return df.filter(parser._truthy(cond, ckind))
     if toks == ["."]:
         return df
     # fused `.field | capture(re)` (built by translate_jq's peephole)

@@ -46,6 +46,9 @@ def spark_rows(df) -> list[dict]:
 
 NATIVE_PROGRAMS = [
     ".[] | select(.age > 30)",                          # README Advanced Usage
+    ".[] | select(.name)",                              # bare truthiness
+    ".[] | select(.active)",
+    ".[] | select(.missing_key)",
     ".[] | select(.active == true and .age < 40)",
     ".[] | select(.score >= 64.25)",
     '.[] | {id: .id, upper_name: (.name | ascii_upcase)}'.replace(
