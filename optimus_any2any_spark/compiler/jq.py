@@ -2561,9 +2561,19 @@ def jq_transform(
     output_schema: Any | None = None,
 ) -> DataFrame:
     """Native translation when possible, jq-binary escape hatch otherwise."""
+    from pyspark.errors import AnalysisException
+
     try:
         return translate_jq(df, program)
     except JQUnsupported:
-        return jq_binary_transform(
-            df, program, batch_size=batch_size, output_schema=output_schema
-        )
+        pass
+    except AnalysisException:
+        # defense-in-depth: a translation that fails ANALYSIS (a gap in
+        # the kind gates) must degrade to the always-correct binary
+        # path, not crash a pipeline the reference would run fine.
+        # Value-level miscompiles can't hide here — those never raise,
+        # which is why the differential/fuzz suites exist.
+        pass
+    return jq_binary_transform(
+        df, program, batch_size=batch_size, output_schema=output_schema
+    )
