@@ -1042,6 +1042,7 @@ class TestScanAndObjectExplode:
         '.[] | {p: [.t | splits("[ b]")]}',
         ".[] | {id, w: .ws[]}",
         '.[] | {w: .ws[], tag: (.t + "!")}',
+        '.[] | . + {w: .ws[]} | del(.ws)',
     ]
 
     @pytest.fixture(scope="class")
