@@ -1589,6 +1589,37 @@ class _ExprParser:
             col, kind = self.parse_reduce_foreach("foreach")
             self.expect("]")
             return col, kind
+        if self.peek() == "limit":
+            # [limit(n; .path[])] — the collected head of an array
+            # stream is a slice. Literal counts only; jq 1.6 (the
+            # binary the reference ships, Dockerfile:3) has the
+            # limit(n<=0)-emits-ONE quirk (fixed in 1.7), reproduced
+            # here via max(n, 1). first(f) is NOT compiled: on an
+            # empty stream jq drops the whole record, which a scalar
+            # Column cannot express.
+            self.next()
+            self.expect("(")
+            ntok = self.next()
+            if not re.fullmatch(r"-?\d+", ntok):
+                raise JQUnsupported("jq: limit needs a literal count")
+            self.expect(";")
+            ptok = self.next()
+            self.expect("[")
+            self.expect("]")
+            self.expect(")")
+            self.expect("]")
+            if not (ptok.startswith(".") and ptok != "."):
+                raise JQUnsupported(f"jq: limit source {ptok!r}")
+            kind = self._path_kind(ptok)
+            if (
+                not (isinstance(kind, tuple) and kind[0] == "complex_obj")
+                and kind
+                not in ("complex_str", "complex_num", "complex_bool")
+            ):
+                raise JQUnsupported(
+                    f"jq: limit over kind {kind!r} outside the native subset"
+                )
+            return F.slice(_path_col(ptok), 1, max(int(ntok), 1)), kind
         if self.peek() == "]":
             self.next()
             return F.array().cast("array<string>"), "complex_str"

@@ -1043,6 +1043,9 @@ class TestScanAndObjectExplode:
         ".[] | {id, w: .ws[]}",
         '.[] | {w: .ws[], tag: (.t + "!")}',
         '.[] | . + {w: .ws[]} | del(.ws)',
+        ".[] | {l: [limit(2; .ws[])]}",
+        ".[] | {l: [limit(0; .ws[])]}",
+        ".[] | {l: [limit(99; .ws[])]}",
     ]
 
     @pytest.fixture(scope="class")
@@ -1085,6 +1088,10 @@ class TestScanAndObjectExplode:
             '.[] | {s: [.id, .t | scan("[0-9]")]}',
             # two stream entries form a cartesian
             ".[] | {a: .ws[], b: .ws[]}",
+            # first(stream) drops the record on an empty stream
+            ".[] | {f: first(.ws[])}",
+            # dynamic limit counts
+            ".[] | {l: [limit(.id; .ws[])]}",
             # iterating a scalar path
             ".[] | {a: .t[]}",
         ],
