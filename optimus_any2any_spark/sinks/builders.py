@@ -137,6 +137,13 @@ def warehouse_sink(df: DataFrame, cfg: Config):
 
     c = cfg.for_component("MC")
     df = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    if c.get("concurrency"):
+        # MC__CONCURRENCY sizes the reference's round-robin block-writer
+        # pool (client_batch_sender.go:58-88) — in Spark the writer pool
+        # IS the output task set, so it maps to write partitioning.
+        # UPLOAD_MODE (STREAM vs REGULAR tunnel) has no Spark
+        # distinction: both land in the same committed write.
+        df = df.repartition(int(c["concurrency"]))
     write_table(df, c["destination_table_id"], c.get("load_method", "APPEND"))
     return c["destination_table_id"]
 
