@@ -505,15 +505,20 @@ def passage_dedup(
     1. chunking is per-row array math (``slice`` over the token array —
        no explode of individual words, so the pre-shuffle width is one
        row per passage, not per token);
-    2. global first-occurrence is one ``row_number`` window partitioned
-       by the passage text — a single shuffle keyed by passage, the
-       same key distribution as exact dedup at 100 TB (AQE splits hot
-       boilerplate passages);
+    2. global first-occurrence is a ``min``-struct AGGREGATE keyed by
+       the passage text (``min(struct(doc, position))`` is the
+       lexicographic first occurrence) — NOT a ``row_number`` window: a
+       window has no map-side combine, so a hot boilerplate passage
+       repeated across millions of pages would funnel every occurrence
+       through one task. The aggregate partial-combines each input
+       partition down to one row per distinct passage before the
+       shuffle, so the reduce side of a hot key receives one row per
+       upstream partition, never one per occurrence;
     3. document rebuild is one shuffle back on the doc id with an
        in-memory ``array_sort`` by passage position.
 
     Within-document repeats of a passage are deduplicated by the same
-    window (occurrence 2+ drops regardless of which doc holds it).
+    aggregate (occurrence 2+ drops regardless of which doc holds it).
     """
     cw = chunk_words
     toks = tokens(F.col(text_col))
@@ -525,13 +530,16 @@ def passage_dedup(
     exploded = df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
     kept = (
-        exploded.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        exploded.groupBy("chunk")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__first")
+        )
+        .select(
+            F.col(f"__first.{id_col}").alias(id_col),
+            F.col("__first.chunk_idx").alias("chunk_idx"),
+            "chunk",
+        )
     )
     return (
         kept.groupBy(id_col)
@@ -731,25 +739,35 @@ def span_exact_stats(
     occurrence count exceeds 1. Per doc: total spans, duplicated-span
     occurrences, duplicated fraction, and a flag at ``threshold``.
 
-    Scale shape — SINGLE lineage, three shuffles, documents scanned
-    once: the gram expansion is a per-row transform (no shuffle),
-    occurrences pre-aggregate per (doc, span-hash) with map-side
-    combine, corpus-wide totals attach via a window over the span-hash
-    partition (one pass — no count-then-join-back, which would consume
-    the expansion lineage twice), and the per-doc aggregate shuffles
-    the reduced table on ``id``. Key width is md5-fixed, so span
-    length ``n`` changes compute, not shuffle bytes.
+    Scale shape — three shuffles, all of them map-side-combined
+    aggregates or an AQE-splittable join: the gram expansion is a
+    per-row transform (no shuffle), occurrences pre-aggregate per
+    (doc, span-hash) with map-side combine, corpus-wide totals come
+    from a second ``groupBy("h")`` aggregate over that REDUCED frame
+    (again map-side combined — a boilerplate span repeated everywhere
+    arrives at its reduce task as one partial row per upstream
+    partition, never one row per occurrence; the previously-shipped
+    ``Window.partitionBy("h")`` sum had no partial aggregation, so a
+    hot span serialized every (doc, span) row through a single task),
+    and totals re-attach via an equi-join on ``h`` against the reduced
+    (doc, span) frame — a join AQE's skew handling CAN split, unlike a
+    window exchange. The reduced frame feeds both the total aggregate
+    and the join probe, so it is persisted (MEMORY_AND_DISK) to avoid
+    re-expanding the gram lineage; callers running many span passes in
+    one session can clear it via ``spark.catalog.clearCache``. Key
+    width is md5-fixed, so span length ``n`` changes compute, not
+    shuffle bytes.
     """
     from optimus_any2any_spark.operators.text import ngram_rows
 
     spans = ngram_rows(df, text_col, id_col, n=n).select(
         "id", F.md5(F.col("gram").cast("binary")).alias("h")
     )
-    from pyspark.sql.window import Window
-
-    local = spans.groupBy("id", "h").agg(F.count(F.lit(1)).alias("k"))
-    w = Window.partitionBy("h")
-    tot = local.withColumn("tot", F.sum("k").over(w))
+    local = (
+        spans.groupBy("id", "h").agg(F.count(F.lit(1)).alias("k")).persist()
+    )
+    totals = local.groupBy("h").agg(F.sum("k").alias("tot"))
+    tot = local.join(totals, "h")
     per_doc = tot.groupBy("id").agg(
         F.sum("k").alias("n_spans"),
         F.sum(F.when(F.col("tot") > 1, F.col("k")).otherwise(0)).alias(

@@ -2282,8 +2282,10 @@ def doc_rolling_hash(spark, sf_dir):
     "20-word passage is kept only at its first (doc, position) "
     "occurrence corpus-wide and documents are rebuilt from surviving "
     "passages. Chunking is per-row array math (no per-token explode); "
-    "the global first-occurrence is ONE shuffle keyed by passage text; "
-    "rebuild is one shuffle on doc_id.",
+    "the global first-occurrence is ONE map-side-combined min-struct "
+    "aggregate keyed by passage text (hot boilerplate collapses to one "
+    "partial row per upstream partition before the shuffle); rebuild "
+    "is one shuffle on doc_id.",
     bench=True,
 )
 def dedup_passage(spark, sf_dir):
@@ -3182,9 +3184,11 @@ _SPAN_THRESHOLD = 0.5
     "arXiv:2107.06499 ExactSubstr, hashed form): word 6-gram "
     "occurrences (multiplicity kept) keyed by md5; a span repeated "
     "anywhere in the corpus marks every occurrence. Per-doc duplicated "
-    "fraction + threshold flag. Two shuffles on the fixed-width span "
-    "key, one per-doc aggregate — span length changes compute, never "
-    "shuffle bytes.",
+    "fraction + threshold flag. Per-(doc,span) counts and corpus span "
+    "totals are both map-side-combined aggregates on the fixed-width "
+    "key (totals re-attach via an AQE-splittable equi-join on the "
+    "reduced frame, never a window) — span length changes compute, "
+    "never shuffle bytes.",
     bench=True,
 )
 def dedup_span_exact(spark, sf_dir):

@@ -277,13 +277,21 @@ class TestIterativeLoopLineage:
 
 class TestPassageAndSampling:
     def test_passage_dedup_two_hash_shuffles(self, spark):
-        # chunk window (1 hash exchange) + doc rebuild (1 hash
-        # exchange) + final sort (1 range exchange); each prints twice
-        # in formatted text. No joins anywhere in the plan.
+        # chunk min-struct aggregate (1 hash exchange) + doc rebuild
+        # (1 hash exchange) + final sort (1 range exchange); each
+        # prints twice in formatted text. No joins anywhere in the
+        # plan, and — critically — NO window: first-occurrence must be
+        # the map-side-combinable aggregate, not a row_number window
+        # (a hot boilerplate passage would funnel every occurrence
+        # through one window task; AQE cannot split window exchanges).
         r = report(spark, "dedup_passage")
         assert r.num_nested_loop_joins == 0, r.text
         assert r.num_exchanges <= 6, r.text
         assert "Join" not in r.text, r.text
+        assert "Window" not in r.text, r.text
+        # map-side combine present: a partial aggregate on the chunk
+        # key precedes the exchange
+        assert "partial_min" in r.text or "partial" in r.text.lower(), r.text
 
     def test_passage_dedup_scan_pruned(self, spark):
         r = report(spark, "dedup_passage")
@@ -378,13 +386,28 @@ class TestRound3Plans:
         cols = r.scan_columns()[0]
         assert set(cols) == {"ts", "user_id", "event_type"}
 
-    def test_span_dedup_single_scan(self, spark):
-        # the window-total formulation reads documents ONCE; the
-        # count-then-join-back alternative consumed the gram-expansion
-        # lineage twice (two scans, double expansion CPU)
+    def test_span_dedup_no_window_totals(self, spark):
+        # corpus-wide span totals must be a groupBy("h") aggregate
+        # (map-side combine collapses hot boilerplate spans to one
+        # partial row per upstream partition) joined back on the
+        # REDUCED (doc, span) frame — never a Window.partitionBy("h")
+        # sum, which has no partial aggregation and funnels every
+        # occurrence of a hot span through one task. The reduced frame
+        # is persisted, so the gram expansion is not recomputed for
+        # the second consumer.
+        spark.catalog.clearCache()
         r = report(spark, "dedup_span_exact")
-        assert len(r.scan_columns()) == 1, r.read_schemas
-        assert set(r.scan_columns()[0]) == {"doc_id", "text"}
+        assert "Window" not in r.text, r.text
+        # totals re-attach via an equi-join (AQE-skew-splittable)
+        assert (
+            r.num_sortmerge_joins
+            + r.num_shuffle_hash_joins
+            + r.num_broadcast_joins
+            >= 1
+        ), r.text
+        for cols in r.scan_columns():
+            assert set(cols) <= {"doc_id", "text"}, r.read_schemas
+        spark.catalog.clearCache()
 
     def test_kmeans_recompute_cells_only(self, spark):
         # corpus never crosses a quantizer exchange: no sort-merge
