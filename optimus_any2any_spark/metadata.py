@@ -59,7 +59,7 @@ def with_filename(df: DataFrame, col: str = FILENAME) -> DataFrame:
 def with_record_index(
     df: DataFrame,
     col: str = RECORD_INDEX,
-    order_by: list[str] | None = None,
+    order_by: list | None = None,
 ) -> DataFrame:
     """Global sequential row index, exact and distributed.
 
@@ -68,6 +68,20 @@ def with_record_index(
     current partition order — the distributed analogue of the
     reference's arrival-order counter.
     """
+    return with_record_index_and_total(df, col, order_by)[0]
+
+
+def with_record_index_and_total(
+    df: DataFrame,
+    col: str = RECORD_INDEX,
+    order_by: list | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`with_record_index` plus the exact total row count, free:
+    the per-partition stats job this operator already runs to compute
+    offsets knows the total, so rank-dependent operators (ntile-exact
+    binning, LPT shard deals) get N without a second scan or a 1-row
+    crossJoin. ``order_by`` entries may be column names or Column
+    expressions (``F.desc(...)`` works)."""
     if order_by:
         df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
         # PIN the layout: repartitionByRange SAMPLES its boundaries per
@@ -104,7 +118,7 @@ def with_record_index(
         .collect()
     )
     if not stats:  # empty input: no offsets to compute
-        return df.withColumn(col, F.lit(0).cast("long"))
+        return df.withColumn(col, F.lit(0).cast("long")), 0
     consecutive = all(r["mx"] - r["mn"] + 1 == r["n"] for r in stats)
     offsets: dict[int, int] = {}
     acc = 0
@@ -123,9 +137,12 @@ def with_record_index(
             )
             - 1
         )
-    return marked.withColumn(
-        col, (pos + off_map[F.col("__pid")]).cast("long")
-    ).drop("__pid", "__mid")
+    return (
+        marked.withColumn(
+            col, (pos + off_map[F.col("__pid")]).cast("long")
+        ).drop("__pid", "__mid"),
+        acc,
+    )
 
 
 def with_record_total_count(df: DataFrame, col: str = RECORD_TOTAL_COUNT) -> DataFrame:

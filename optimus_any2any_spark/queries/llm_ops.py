@@ -2420,13 +2420,17 @@ _SQL_QUALITY_Q = f"""
     """,
     doc="Curriculum binning: quartile buckets over the heuristic "
     "quality score (rounded to 6dp so Spark/DuckDB order ties "
-    "identically, tie-broken by doc_id). The correctness-gate form "
-    "uses one global ntile window; at 100 TB the same bins come from "
-    "broadcast approx-quantile cutpoints (no global sort) — binning "
-    "stats and downstream curriculum order are unchanged.",
+    "identically, tie-broken by doc_id). ntile-EXACT at scale with no "
+    "global window: a range-partitioned sort + per-partition offset "
+    "rank (with_record_index_and_total — every partition windows only "
+    "its own rows; the offsets job is num-partitions rows on the "
+    "driver) and ntile's deterministic bucket-size formula applied to "
+    "the global rank. Bit-identical to the oracle's ntile(4), "
+    "including tie-splitting at bucket boundaries, which broadcast "
+    "approx-quantile cutpoints could not reproduce.",
 )
 def curriculum_quality_bins(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from optimus_any2any_spark.metadata import with_record_index_and_total
 
     d = load(spark, sf_dir, "documents")
     c = F.col("text")
@@ -2435,9 +2439,21 @@ def curriculum_quality_bins(spark, sf_dir):
         TX.token_count(c).cast("long").alias("n_tok"),
         F.round(TX.quality_score(c), 6).alias("q"),
     )
-    binned = scored.withColumn(
-        "bin", F.ntile(4).over(Window.orderBy("q", "doc_id")).cast("int")
+    ranked, n = with_record_index_and_total(
+        scored, "rn0", order_by=["q", "doc_id"]
     )
+    # ntile(k) closed form over the 1-based global rank: the first
+    # (n mod k) buckets hold ceil(n/k) rows, the rest floor(n/k).
+    rn = F.col("rn0") + 1
+    base, rem = divmod(n, 4)
+    cut = rem * (base + 1)
+    if base == 0:  # fewer rows than buckets: one row per bucket
+        bin_expr = rn
+    else:
+        bin_expr = F.when(
+            rn <= cut, F.floor((rn - 1) / (base + 1)) + 1
+        ).otherwise(F.lit(rem) + F.floor((rn - cut - 1) / base) + 1)
+    binned = ranked.withColumn("bin", bin_expr.cast("int"))
     return (
         binned.groupBy("bin")
         .agg(
@@ -2473,23 +2489,24 @@ def curriculum_quality_bins(spark, sf_dir):
     doc="Training-shard assignment balanced by token count: docs "
     "ranked by size descending and dealt round-robin across 8 shards "
     "(the LPT greedy — shard token totals within one max-doc of each "
-    "other). Correctness-gate form uses one global row_number; at "
-    "100 TB the deal is done per-partition on sorted runs with shard "
-    "offsets from partition-level counts (same assignment, no global "
-    "sort).",
+    "other). No global window: the size rank comes from a "
+    "range-partitioned sort plus per-partition offsets "
+    "(with_record_index_and_total), so the deal is done on sorted "
+    "partition runs in parallel — same assignment as a global "
+    "row_number, no single-task sort.",
 )
 def shard_balanced_assignment(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from optimus_any2any_spark.metadata import with_record_index_and_total
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tok")
     )
-    ranked = toks.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.desc("n_tok"), "doc_id"))
+    ranked, _n = with_record_index_and_total(
+        toks, "rn0", order_by=[F.desc("n_tok"), F.asc("doc_id")]
     )
     return (
-        ranked.withColumn("shard", ((F.col("rn") - 1) % 8).cast("int"))
+        ranked.withColumn("shard", (F.col("rn0") % 8).cast("int"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

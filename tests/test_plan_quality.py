@@ -359,14 +359,20 @@ class TestPassageAndSampling:
             "documents.parquet" in loc for loc in r.scan_locations()
         ), r.text
 
-    def test_curriculum_and_shard_single_global_window(self, spark):
-        # both gate-scale forms are one scan -> one window -> one
-        # aggregate: no joins may appear (the broadcast-cutpoint scale
-        # variant replaces the window, not with a join).
+    def test_curriculum_and_shard_no_global_window(self, spark):
+        # both now rank via with_record_index_and_total: a range-
+        # partitioned sort pinned by localCheckpoint plus driver-side
+        # partition offsets. The plan must contain NO window (the old
+        # ntile/row_number global window was a single-task sort at
+        # corpus scale) and no joins — the checkpointed rank feeds a
+        # plain aggregate.
         for name in ("curriculum_quality_bins", "shard_balanced_assignment"):
             r = report(spark, name)
             assert "Join" not in r.text, (name, r.text)
-            assert "Window" in r.text, (name, r.text)
+            assert "Window" not in r.text, (name, r.text)
+            # the rank layer reads from the checkpointed RDD, proving
+            # the offset-rank path (not a window) produced rn0
+            assert "ExistingRDD" in r.text, (name, r.text)
 
     def test_char_entropy_two_aggregates_no_python(self, spark):
         # freq (doc, char) + entropy (doc) aggregates plus the density
