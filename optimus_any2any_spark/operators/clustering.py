@@ -40,20 +40,23 @@ from optimus_any2any_spark.operators.util import ensure_parallelism
 def _seed_centroids(base: DataFrame, k: int) -> DataFrame:
     """k deterministic seed centroids: the vectors with the smallest
     md5(id), numbered 0..k-1 in that order. TakeOrderedAndProject picks
-    them distributed; the row_number window then runs on k rows only.
+    them distributed; the k survivors are then numbered by
+    ``posexplode(array_sort(collect_list(...)))`` — a k-row aggregate,
+    no window at all. (A ``partitionBy(lit(0))`` window was tried
+    first, but Catalyst constant-folds the literal partition key away
+    and WindowExec still logs its single-partition warning.)
     """
     seeds = (
         base.withColumn("h", F.md5(F.col("id").cast("string").cast("binary")))
         .orderBy("h", "id")
         .limit(k)
     )
-    # k rows post-limit: one tiny task (partitionBy a constant rather
-    # than leaving the window global, which logs a scale warning)
-    w = Window.partitionBy(F.lit(0)).orderBy("h", "id")
-    return seeds.select(
-        (F.row_number().over(w) - 1).alias("cluster"),
-        F.col("v").alias("cv"),
+    packed = seeds.agg(
+        F.array_sort(F.collect_list(F.struct("h", "id", "v"))).alias("a")
     )
+    return packed.select(
+        F.posexplode("a").alias("cluster", "s")
+    ).select("cluster", F.col("s.v").alias("cv"))
 
 
 def _with_norm(cent: DataFrame) -> DataFrame:

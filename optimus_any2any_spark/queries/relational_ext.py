@@ -405,6 +405,11 @@ def q_string_agg_nations(spark, sf_dir):
     doc="Rank-family window functions (rank / dense_rank / ntile / "
     "percent_rank) over a total order — none exist in the reference "
     "(SURVEY.md §2.8 'no window functions').",
+    scale_note="global window by construction — a window-function demo "
+    "over the dimension-scale supplier table (10k rows/SF, never "
+    "corpus-scale). For fact-scale ranking use the range-partitioned "
+    "offset rank (metadata.with_record_index_and_total), as "
+    "curriculum_quality_bins / shard_balanced_assignment do.",
 )
 def q_rank_family_suppliers(spark, sf_dir):
     from pyspark.sql.window import Window

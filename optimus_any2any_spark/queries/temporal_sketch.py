@@ -256,6 +256,9 @@ def kmv_distinct_users(spark, sf_dir):
     "The global ORDER BY window runs over DAILY aggregates — rows = "
     "days, not events, so the single-partition window is bounded by "
     "calendar size at any data scale.",
+    scale_note="global window by construction, but its input is the "
+    "daily rollup (one row per calendar day at any corpus size) — the "
+    "events table itself never crosses the window exchange.",
 )
 def q_events_moving_avg(spark, sf_dir):
     from pyspark.sql.window import Window
