@@ -1331,8 +1331,18 @@ class _ExprParser:
                 raise JQUnsupported(f"jq: {name} needs a non-empty literal")
             if name == "index":
                 pos = F.locate(sub, subject)
-                # jq returns a 0-based offset or null when absent
-                return F.when(pos > 0, pos - 1), "int"
+                # jq returns a 0-based BYTE offset (UTF-8) or null when
+                # absent — '"héllo" | index("llo")' is 3 in jq 1.6, not
+                # the codepoint offset 2. locate gives a 1-based CHAR
+                # position; the byte offset is the encoded length of
+                # the prefix before it.
+                return (
+                    F.when(
+                        pos > 0,
+                        F.octet_length(F.substring(subject, F.lit(1), pos - 1)),
+                    ),
+                    "int",
+                )
             # jq 1.6's rindex is the LAST NON-OVERLAPPING match
             # scanning left-to-right (built on indices/1):
             # "aaa"|rindex("aa") == 0, not 1 (probed). The reversed-
@@ -1346,8 +1356,14 @@ class _ExprParser:
                     "from jq 1.6 (non-overlapping indices) — binary path"
                 )
             p = F.locate(sub[::-1], F.reverse(subject))
+            # char offset of the match start, then the same
+            # char-position → UTF-8-byte-offset conversion as index
+            cpos = F.length(subject) - p - (len(sub) - 1)
             return (
-                F.when(p > 0, F.length(subject) - p - (len(sub) - 1)),
+                F.when(
+                    p > 0,
+                    F.octet_length(F.substring(subject, F.lit(1), cpos)),
+                ),
                 "int",
             )
         if name == "inside" and len(args) == 1:
@@ -1592,11 +1608,12 @@ class _ExprParser:
         if self.peek() == "limit":
             # [limit(n; .path[])] — the collected head of an array
             # stream is a slice. Literal counts only; jq 1.6 (the
-            # binary the reference ships, Dockerfile:3) has the
-            # limit(n<=0)-emits-ONE quirk (fixed in 1.7), reproduced
-            # here via max(n, 1). first(f) is NOT compiled: on an
-            # empty stream jq drops the whole record, which a scalar
-            # Column cannot express.
+            # binary the reference ships, Dockerfile:3) emits ONE
+            # element for n == 0 (fixed in 1.7) and the ENTIRE stream
+            # for n < 0 (probed: '[limit(-2; .ws[])]' returns every
+            # element) — both quirks reproduced. first(f) is NOT
+            # compiled: on an empty stream jq drops the whole record,
+            # which a scalar Column cannot express.
             self.next()
             self.expect("(")
             ntok = self.next()
@@ -1619,7 +1636,11 @@ class _ExprParser:
                 raise JQUnsupported(
                     f"jq: limit over kind {kind!r} outside the native subset"
                 )
-            return F.slice(_path_col(ptok), 1, max(int(ntok), 1)), kind
+            n = int(ntok)
+            src = _path_col(ptok)
+            if n < 0:  # jq 1.6: negative limit passes the whole stream
+                return src, kind
+            return F.slice(src, 1, max(n, 1)), kind
         if self.peek() == "]":
             self.next()
             return F.array().cast("array<string>"), "complex_str"

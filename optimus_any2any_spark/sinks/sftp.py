@@ -63,17 +63,32 @@ def make_sftp_transport(
     address, username, password, _base = parse_sftp_uri(destination_uri)
     host, port = address.rsplit(":", 1)
 
-    def upload(local_path: str, remote_path: str) -> None:
+    def load_private_key(text: str):
+        # the reference accepts any key type ssh.ParsePrivateKey handles
+        # (client.go:35-43) — try each paramiko class, not just RSA
         import io
+
+        errors = []
+        classes = [
+            getattr(paramiko, n, None)
+            for n in ("Ed25519Key", "ECDSAKey", "RSAKey", "DSSKey")
+        ]
+        for cls in [c for c in classes if c is not None]:
+            try:
+                return cls.from_private_key(io.StringIO(text))
+            except Exception as e:  # wrong type / malformed: try next
+                errors.append(f"{cls.__name__}: {e}")
+        raise ValueError(
+            "SFTP__PRIVATE_KEY is not a parseable ed25519/ECDSA/RSA/DSS "
+            "key: " + "; ".join(errors)
+        )
+
+    def upload(local_path: str, remote_path: str) -> None:
         import os
 
         transport = paramiko.Transport((host, int(port)))
         try:
-            pkey = (
-                paramiko.RSAKey.from_private_key(io.StringIO(private_key))
-                if private_key
-                else None
-            )
+            pkey = load_private_key(private_key) if private_key else None
             transport.connect(
                 username=username, password=password or None, pkey=pkey
             )

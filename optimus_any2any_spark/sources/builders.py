@@ -77,26 +77,58 @@ def warehouse_source(spark: SparkSession, cfg: Config) -> DataFrame:
     *directory* fans out to every file inside, with the file's basename
     in ``MC__FILENAME_COLUMN`` (source.go:299-320, :234).
     """
-    import os
-
-    from optimus_any2any_spark.compiler.mc_script import run_script
-    from optimus_any2any_spark.compiler.template import compile_template
+    import re as _re
 
     c = cfg.for_component("MC")
     fname_col = c.get("filename_column", M.FILENAME)
 
     # MC__EXECUTION_PROJECT ≙ the session's current database
     # (source.go:39); MC__ADDITIONAL_HINTS ("k:v,k2:v2" — caarlos0/env
-    # map syntax) merge into every query's hints (source.go:82), which
-    # in Spark are session-scoped SET statements — the same channel
-    # script-mode SET headers use.
+    # map syntax) merge into every query's hints (source.go:82). The
+    # reference scopes both PER SOURCE INSTANCE (its odps client is
+    # per-component), so the session-global database/conf writes are
+    # saved and restored after the queries are built — they must not
+    # leak into later components sharing the SparkSession. Hints go
+    # through conf.set (no SQL string interpolation) with validated
+    # keys.
+    prev_db: str | None = None
+    prev_confs: dict[str, str | None] = {}
     if c.get("execution_project"):
+        prev_db = spark.catalog.currentDatabase()
         spark.catalog.setCurrentDatabase(c["execution_project"])
     for hint in (c.get("additional_hints") or "").split(","):
         if not hint.strip():
             continue
         k, _sep, v = hint.partition(":")
-        spark.sql(f"SET {k.strip()}={v.strip()}")
+        k = k.strip()
+        if not _re.fullmatch(r"[A-Za-z_][\w.\-]*", k):
+            raise ValueError(f"MC__ADDITIONAL_HINTS: invalid hint key {k!r}")
+        try:
+            prev_confs[k] = spark.conf.get(k)
+        except Exception:
+            prev_confs[k] = None
+        spark.conf.set(k, v.strip())
+
+    try:
+        return _warehouse_source_queries(spark, c, fname_col)
+    finally:
+        if prev_db is not None:
+            spark.catalog.setCurrentDatabase(prev_db)
+        for k, v in prev_confs.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+
+
+def _warehouse_source_queries(spark, c, fname_col) -> DataFrame:
+    import os
+
+    from optimus_any2any_spark.compiler.mc_script import run_script
+    from optimus_any2any_spark.compiler.template import compile_template
 
     # filename → raw query text (getRawQueries, source.go:299-320).
     raw_queries: dict[str, str] = {}

@@ -22,7 +22,24 @@ from optimus_any2any_spark.compiler.jq import JQUnsupported, translate_jq
 # strings that exercise startswith/ltrimstr edge cases).
 _NAMES = st.one_of(
     st.none(),
-    st.sampled_from(["", "a", "ab", "alice", "bob", "prefix_x", "x_suffix"]),
+    # non-ASCII samples included deliberately: jq's index/rindex return
+    # UTF-8 BYTE offsets, so multibyte prefixes are where the native
+    # compilation can silently diverge (ADVICE r3)
+    st.sampled_from(
+        [
+            "",
+            "a",
+            "ab",
+            "alice",
+            "bob",
+            "prefix_x",
+            "x_suffix",
+            "héllo",
+            "ærlig_ali",
+            "日本語li日本",
+            "héli´çe",
+        ]
+    ),
 )
 _RECORDS = st.lists(
     st.fixed_dictionaries(

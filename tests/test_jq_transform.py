@@ -809,6 +809,12 @@ class TestScalarBuiltinsRound3b:
             "id": 3, "name": None, "score": 2.5, "epoch": 7,
             "iso": "1999-12-31T23:59:59Z", "tag": "zulu",
         },
+        {
+            # non-ASCII: index/rindex must return UTF-8 BYTE offsets
+            # ('"héllo"|index("llo")' is 3 in jq 1.6, not codepoint 2)
+            "id": 4, "name": "héllo_li", "score": 0.5, "epoch": 99,
+            "iso": "2001-01-01T00:00:00Z", "tag": "日本-語 an",
+        },
     ]
     SCHEMA3 = (
         "id long, name string, score double, epoch long, iso string,"
@@ -1046,6 +1052,10 @@ class TestScanAndObjectExplode:
         ".[] | {l: [limit(2; .ws[])]}",
         ".[] | {l: [limit(0; .ws[])]}",
         ".[] | {l: [limit(99; .ws[])]}",
+        # jq 1.6 quirk: a negative count passes the ENTIRE stream
+        # (ADVICE r3 — was compiled as max(n,1)=1 element)
+        ".[] | {l: [limit(-2; .ws[])]}",
+        ".[] | {l: [limit(-99; .ws[])]}",
     ]
 
     @pytest.fixture(scope="class")

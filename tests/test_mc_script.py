@@ -152,8 +152,11 @@ class TestMcSourceScripts:
 
 def test_execution_project_and_additional_hints(spark, tmp_path):
     """MC__EXECUTION_PROJECT selects the session database and
-    MC__ADDITIONAL_HINTS ('k:v,k2:v2') become session SET statements
-    (ext/maxcompute/source.go:39,82)."""
+    MC__ADDITIONAL_HINTS ('k:v,k2:v2') apply while the source's queries
+    are built (ext/maxcompute/source.go:39,82) — and, because the
+    reference scopes both per source instance, they are RESTORED
+    afterwards rather than leaking into later components sharing the
+    SparkSession (ADVICE r3)."""
     from optimus_any2any_spark.config import Config
     from optimus_any2any_spark.pipeline import (
         SOURCE_BUILDERS,
@@ -163,6 +166,7 @@ def test_execution_project_and_additional_hints(spark, tmp_path):
     _load_builtin_components()
     spark.sql("CREATE DATABASE IF NOT EXISTS hintdb")
     prev = spark.catalog.currentDatabase()
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.sql("DROP TABLE IF EXISTS hintdb.t_hints")
         spark.sql("CREATE TABLE hintdb.t_hints AS SELECT 1 AS n")
@@ -175,10 +179,62 @@ def test_execution_project_and_additional_hints(spark, tmp_path):
             environ={},
         )
         df = SOURCE_BUILDERS["MC"](spark, cfg)
+        # the query resolved against hintdb while the hint was active...
         assert [r["n"] for r in df.collect()] == [1]
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # ...but neither the database nor the conf leaked out
+        assert spark.catalog.currentDatabase() == prev
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == prev_shuffle
+        )
     finally:
         spark.catalog.setCurrentDatabase(prev)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         spark.sql("DROP TABLE IF EXISTS hintdb.t_hints")
         spark.sql("DROP DATABASE IF EXISTS hintdb")
+
+
+def test_additional_hints_key_validated(spark):
+    """Hint keys flow into session conf — reject anything that is not a
+    plain dotted identifier (no SQL metacharacters)."""
+    import pytest
+
+    from optimus_any2any_spark.config import Config
+    from optimus_any2any_spark.pipeline import (
+        SOURCE_BUILDERS,
+        _load_builtin_components,
+    )
+
+    _load_builtin_components()
+    cfg = Config.from_env(
+        env_args=[
+            "MC__QUERY=SELECT 1 AS n",
+            "MC__ADDITIONAL_HINTS=bad key; DROP TABLE x:1",
+        ],
+        environ={},
+    )
+    with pytest.raises(ValueError, match="invalid hint key"):
+        SOURCE_BUILDERS["MC"](spark, cfg)
+
+
+def test_hint_restore_even_when_query_fails(spark):
+    """The finally-restore must run when the query itself errors."""
+    import pytest
+
+    from optimus_any2any_spark.config import Config
+    from optimus_any2any_spark.pipeline import (
+        SOURCE_BUILDERS,
+        _load_builtin_components,
+    )
+
+    _load_builtin_components()
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    cfg = Config.from_env(
+        env_args=[
+            "MC__QUERY=SELECT * FROM definitely_not_a_table_xyz",
+            "MC__ADDITIONAL_HINTS=spark.sql.shuffle.partitions:5",
+        ],
+        environ={},
+    )
+    with pytest.raises(Exception):
+        SOURCE_BUILDERS["MC"](spark, cfg)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_shuffle
