@@ -17,9 +17,16 @@ docs/rfc_002). Here:
   access, chained indexing — parametric kinds carry the struct schema
   so element expressions prove their types), ``tojson``, polymorphic
   ``+``/``-`` (string/array concat, array subtraction, null identity),
-  string/container interpolation ``"\\(...)"``, and per-record
+  string/container interpolation ``"\\(...)"``, per-record
   ``reduce``/``[foreach]`` over array paths (compiled to
-  ``F.aggregate`` folds/scans) — straight to Catalyst expressions:
+  ``F.aggregate`` folds/scans), the dict-reshaping family
+  (``with_entries`` and the fused ``to_entries | map | from_entries``
+  — record keys are static columns, so key rewrites and key-only
+  selects evaluate at compile time via one jq-binary call per COLUMN
+  while value rewrites compile per column through the expression
+  grammar), stage-level variable bindings (``EXPR as $x | ...`` as
+  hidden snapshot columns that survive reshapes), and ``try/catch``
+  on the provable error⇔null class — straight to Catalyst expressions:
   whole-stage-codegen'd, no Python in the hot path, globally (not
   per-batch) semantic. ``reduce .[]`` folds the whole batch, so it
   stays on the binary path below.
@@ -47,6 +54,49 @@ from pyspark.sql import functions as F
 
 class JQUnsupported(Exception):
     """Program is outside the natively-translatable subset."""
+
+
+# Stage-level `EXPR as $x` bindings live in hidden columns with this
+# prefix so they survive later stage projections; translate_jq strips
+# them from the final result and every record-semantics site (keys,
+# to_entries, `. as $x` snapshots, object merges) must enumerate
+# _record_columns, never df.columns.
+_VAR_PREFIX = "__jq_var_"
+
+
+def _record_columns(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if not c.startswith(_VAR_PREFIX)]
+
+
+def _jq_eval_static(program: str, input_value) -> list:
+    """Run the real jq binary ONCE at compile time on a literal value.
+
+    Used where an entry key is a compile-time constant (record columns
+    are static) but the transform is arbitrary jq — e.g. the `.key`
+    half of with_entries. The subprocess runs per COLUMN on the
+    driver during translation, never per row, so the plan stays fully
+    native while the key semantics stay bit-faithful to the reference's
+    jq 1.6 (ext/jq/connector.go:101-127)."""
+    try:
+        out = subprocess.run(
+            ["jq", "-c", program],
+            input=json.dumps(input_value).encode(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            timeout=10,
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        raise JQUnsupported(f"jq: static eval unavailable ({e})")
+    if out.returncode != 0:
+        raise JQUnsupported(
+            f"jq: static eval of {program!r} failed: "
+            f"{out.stderr.decode()[:200]}"
+        )
+    return [
+        json.loads(ln)
+        for ln in out.stdout.decode().splitlines()
+        if ln.strip()
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -1453,12 +1503,16 @@ class _ExprParser:
         if name in ("fromdate", "fromdateiso8601") and not args:
             need("string")
             # unparseable dates yield null where jq aborts the batch
-            # (total-function relaxation); UTC session timezone makes
-            # the epoch exact
+            # (total-function relaxation) — try_to_timestamp, because
+            # to_unix_timestamp THROWS under ANSI mode (Spark 4
+            # default), which is neither jq's abort nor the documented
+            # null. UTC session timezone makes the epoch-seconds cast
+            # exact; this null-iff-error shape is also what lets
+            # `try (.. | fromdate) catch C` compile to coalesce.
             return (
-                F.to_unix_timestamp(
+                F.try_to_timestamp(
                     subject, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
-                ),
+                ).cast("long"),
                 "int",
             )
         raise JQUnsupported(f"jq: piped function {name!r} not in native subset")
@@ -1504,6 +1558,15 @@ class _ExprParser:
         if t.startswith("$"):
             if t in self.bindings:
                 return self.bindings[t]
+            # stage-level `EXPR as $x` bindings materialize as hidden
+            # columns (translate_jq), so the variable survives later
+            # projections; kind re-derives from the column's dtype
+            hid = _VAR_PREFIX + t[1:]
+            if hid in self.df.columns:
+                dtype = next(
+                    f.dataType for f in self.df.schema.fields if f.name == hid
+                )
+                return F.col("`" + hid + "`"), _kind_of_dtype(dtype)
             raise JQUnsupported(f"jq: unbound variable {t}")
         if t == "." and "." in self.bindings:
             # inside a reduce/foreach body '.' is the accumulator
@@ -1532,6 +1595,8 @@ class _ExprParser:
             raise JQUnsupported("jq: bare '.' in scalar expression")
         if t == "if":
             return self.parse_if()
+        if t == "try":
+            return self.parse_try()
         if t == "reduce":
             return self.parse_reduce_foreach("reduce")
         if t == "foreach":
@@ -1877,6 +1942,77 @@ class _ExprParser:
             return F.lit(""), "string"
         return F.concat(*pieces), "string"
 
+    def parse_try(self) -> tuple[Column, str]:
+        """``try E catch C`` / ``try E`` — native only where "E errors
+        in jq" ⇔ "E is null natively" is PROVABLE:
+
+        - E a plain dotted path whose schema walk never hits a
+          non-struct mid-path: total in both models (jq field access on
+          null/object never errors), so ``try E`` is the identity and
+          catch is unreachable. A path that walks INTO a scalar/array
+          errors in jq on every non-null row but reads null natively —
+          that diverges, so it routes to the binary.
+        - E a parenthesized pipe ending in fromdate/fromdateiso8601
+          (with a catch): jq errors exactly on null/unparseable input,
+          and to_timestamp yields null exactly then → coalesce(E, C).
+
+        Anything else (errors we cannot prove map to null) routes to
+        the faithful binary."""
+        from pyspark.sql import types as T
+
+        start = self.i
+        icol, ikind = self.parse_postfix()
+        span = self.toks[start : self.i]
+        has_catch = self.peek() == "catch"
+        ccol, ckind = None, None
+        if has_catch:
+            self.next()
+            ccol, ckind = self.parse_postfix()
+        if (
+            len(span) == 1
+            and span[0].startswith(".")
+            and span[0] != "."
+            and "[" not in span[0]
+            and "?" not in span[0]
+            and "." not in self.bindings
+        ):
+            fields: dict | None = {
+                f.name: f.dataType
+                for f in self.df.schema.fields
+                if not f.name.startswith(_VAR_PREFIX)
+            }
+            for part in span[0][1:].split("."):
+                if fields is None:
+                    # mid-path scalar: jq errors here, native reads
+                    # null — catch WOULD fire in jq but not natively
+                    raise JQUnsupported(
+                        f"jq: try {span[0]} type-errors in jq — "
+                        "binary path"
+                    )
+                dt = fields.get(part)
+                if dt is None:
+                    fields = {}  # absent: null in jq too, no error
+                else:
+                    fields = (
+                        {f.name: f.dataType for f in dt.fields}
+                        if isinstance(dt, T.StructType)
+                        else None
+                    )
+            return icol, ikind
+        if span and span[0] == "(" and span[-1] == ")" and has_catch:
+            segs = _split_top(span[1:-1], "|")
+            last = segs[-1] if segs else []
+            if len(last) == 1 and last[0] in (
+                "fromdate",
+                "fromdateiso8601",
+            ):
+                kind = ikind if ikind == ckind else "unknown"
+                return F.coalesce(icol, ccol), kind
+        raise JQUnsupported(
+            "jq: try outside the provable error⇔null subset — binary "
+            "path"
+        )
+
     def parse_if(self) -> tuple[Column, str]:
         """``if A then B (elif C then D)* else E end`` → chained
         ``F.when``. jq truthiness (null and false are falsy) matches
@@ -1993,7 +2129,7 @@ class _ExprParser:
             # same relaxation as has().
             name_or_null = [
                 F.when(F.col("`" + c + "`").isNotNull(), F.lit(c))
-                for c in self.df.columns
+                for c in _record_columns(self.df)
             ]
             present = F.filter(
                 F.array(*name_or_null), lambda x: x.isNotNull()
@@ -2220,6 +2356,20 @@ def translate_jq(df: DataFrame, program: str) -> DataFrame:
         ):
             fused.append(st + ["|"] + stages[i + 1])
             i += 2
+        elif (
+            st == ["to_entries"]
+            and i + 2 < len(stages)
+            and stages[i + 1][:2] == ["map", "("]
+            and stages[i + 1][-1] == ")"
+            and stages[i + 2] == ["from_entries"]
+        ):
+            # `to_entries | map(F) | from_entries` IS with_entries(F)
+            # (jq's own definition) — fuse so the dict-reshaping
+            # pipeline compiles through the static-key path
+            fused.append(
+                ["with_entries", "("] + stages[i + 1][2:-1] + [")"]
+            )
+            i += 3
         else:
             fused.append(st)
             i += 1
@@ -2227,8 +2377,74 @@ def translate_jq(df: DataFrame, program: str) -> DataFrame:
     for stage in fused:
         if not stage:
             continue
+        if (
+            len(stage) >= 3
+            and stage[-2] == "as"
+            and stage[-1].startswith("$")
+            and _split_top(stage, "as")[0] == stage[:-2]
+        ):
+            # stage-level binding: `EXPR as $x` scopes over the rest of
+            # the pipeline (jq's lowest-precedence operator)
+            out = _apply_binding_stage(out, stage)
+            continue
+        if len(stage) == 1 and stage[0].startswith("$"):
+            out = _restore_var_stage(out, stage[0])
+            continue
         out = _apply_comma_stage(out, stage)
+    var_cols = [c for c in out.columns if c.startswith(_VAR_PREFIX)]
+    if var_cols:
+        out = out.drop(*var_cols)
     return out
+
+
+def _apply_binding_stage(df: DataFrame, toks: list[str]) -> DataFrame:
+    """``EXPR as $x`` stage → hidden snapshot column ``__jq_var_x``.
+
+    ``. as $x`` snapshots the whole record as a struct (the jq idiom
+    for keeping the original around across reshapes); any other EXPR
+    must be single-valued — stream-valued bindings (``.xs[] as $x``)
+    fan the pipeline out per element and route to the binary (the
+    iteration tokens already fail the expression grammar). Destructured
+    bindings (``as [$a, $b]``) never reach here (pattern token is not
+    a ``$var``) and fall through to JQUnsupported."""
+    expr_toks, name = toks[:-2], toks[-1][1:]
+    hid = _VAR_PREFIX + name
+    if expr_toks == ["."]:
+        rec = _record_columns(df)
+        if not rec:
+            raise JQUnsupported("jq: '. as $x' on an empty record")
+        col = F.struct(*[F.col("`" + c + "`").alias(c) for c in rec])
+    else:
+        col, kind = _ExprParser(list(expr_toks), df).parse_full()
+        if isinstance(kind, str) and kind.startswith("stream"):
+            raise JQUnsupported(
+                "jq: stream-valued binding fans out — binary path"
+            )
+    return df.withColumn(hid, col)
+
+
+def _restore_var_stage(df: DataFrame, tok: str) -> DataFrame:
+    """A bare ``$x`` stage replaces the record with the bound value —
+    only object bindings have a record (row) representation."""
+    from pyspark.sql import types as T
+
+    hid = _VAR_PREFIX + tok[1:]
+    if hid not in df.columns:
+        raise JQUnsupported(f"jq: unbound variable {tok}")
+    dtype = next(f.dataType for f in df.schema.fields if f.name == hid)
+    if not isinstance(dtype, T.StructType):
+        raise JQUnsupported(
+            f"jq: bare {tok} of non-object kind emits scalar records — "
+            "binary path"
+        )
+    keep_vars = [c for c in df.columns if c.startswith(_VAR_PREFIX)]
+    return df.select(
+        *[
+            F.col("`" + hid + "`").getField(f.name).alias(f.name)
+            for f in dtype.fields
+        ],
+        *[F.col("`" + v + "`") for v in keep_vars],
+    )
 
 
 def _apply_capture(df: DataFrame, path_tok: str, toks: list[str]) -> DataFrame:
@@ -2284,7 +2500,12 @@ def _apply_capture(df: DataFrame, path_tok: str, toks: list[str]) -> DataFrame:
         *[
             F.regexp_extract(subject, jpat, idx).alias(name)
             for name, idx in groupindex.items()
-        ]
+        ],
+        *[
+            F.col("`" + c + "`")
+            for c in df.columns
+            if c.startswith(_VAR_PREFIX)
+        ],
     )
 
 
@@ -2371,6 +2592,136 @@ def _apply_assignment(df: DataFrame, toks: list[str]) -> DataFrame:
     return df.select("*", col.alias(target))
 
 
+def _apply_with_entries(df: DataFrame, body: list[str]) -> DataFrame:
+    """``with_entries(BODY)`` (= ``to_entries | map(BODY) |
+    from_entries``, jq's dict-reshaping family, ext/jq builtin.jq) —
+    compiled natively by exploiting that a record's keys are the STATIC
+    DataFrame columns:
+
+    - ``.key`` rewrites and key-only ``select`` predicates evaluate at
+      COMPILE TIME by running the real jq binary on each literal column
+      name (:func:`_jq_eval_static` — per column on the driver, never
+      per row), so arbitrary jq key logic keeps bit-faithful semantics
+      while the executed plan stays pure Catalyst;
+    - ``.value`` rewrites compile per column through the expression
+      grammar (each column with its own dtype/kind), with ``.`` bound
+      to the old value (``|=``) or to the ``{key, value}`` entry
+      (``=`` and the arithmetic updates), exactly jq's scoping;
+    - the final from_entries merge is jq's: first occurrence fixes the
+      key position, the LAST entry's value wins;
+    - ``select`` over ``.value`` would make the OBJECT SHAPE depend on
+      the row — no relational representation, binary path.
+    """
+    from pyspark.sql import types as T
+
+    entries: list[list] = []  # mutable [key, column, dtype] triples
+    for f in df.schema.fields:
+        if not f.name.startswith(_VAR_PREFIX):
+            entries.append([f.name, F.col("`" + f.name + "`"), f.dataType])
+    for st in _split_top(body, "|"):
+        if not st:
+            raise JQUnsupported("jq: empty with_entries stage")
+        if st[0] == "select" and len(st) >= 3 and st[1] == "(" and st[-1] == ")":
+            pred = st[2:-1]
+            if any(".value" in t for t in pred):
+                raise JQUnsupported(
+                    "jq: with_entries select over .value makes the "
+                    "object shape row-dependent — binary path"
+                )
+            src = " ".join(pred)
+            entries = [
+                e
+                for e in entries
+                if _jq_eval_static(f"select({src}) | 1", {"key": e[0]})
+            ]
+        elif st[0] == ".key" and len(st) >= 3 and st[1] in _ASSIGN_OPS:
+            rhs = st[2:]
+            if any(".value" in t for t in rhs):
+                raise JQUnsupported(
+                    "jq: with_entries .key from .value is row-dependent "
+                    "— binary path"
+                )
+            rhs_src = " ".join(rhs)
+            for e in entries:
+                if st[1] == "|=":
+                    out = _jq_eval_static(rhs_src, e[0])
+                else:
+                    out = _jq_eval_static(
+                        f".key {st[1]} ({rhs_src}) | .key", {"key": e[0]}
+                    )
+                if len(out) != 1 or not isinstance(out[0], str):
+                    raise JQUnsupported(
+                        f"jq: with_entries key of {e[0]!r} must map to "
+                        "exactly one string"
+                    )
+                e[0] = out[0]
+        elif st[0] == ".value" and len(st) >= 3 and st[1] in _ASSIGN_OPS:
+            rhs = st[2:]
+            for e in entries:
+                key, col, dtype = e
+                ek = T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", dtype),
+                    ]
+                )
+                entry_col = F.struct(
+                    F.lit(key).alias("key"), col.alias("value")
+                )
+                if st[1] == "|=":
+                    # old value pipes through the update filter
+                    bind = {".": (col, _kind_of_dtype(dtype))}
+                    toks2 = list(rhs)
+                elif st[1] == "=":
+                    # plain assignment evaluates against the ENTRY
+                    bind = {".": (entry_col, ("obj", ek))}
+                    toks2 = list(rhs)
+                else:  # .value OP= E  ==  .value = .value op (E)
+                    bind = {".": (entry_col, ("obj", ek))}
+                    toks2 = [".value", st[1][0], "("] + list(rhs) + [")"]
+                newcol = _ExprParser(toks2, df, bind).parse()
+                # null ≡ absent through the canonical serialization: a
+                # null (absent) key has NO entry in jq's to_entries, so
+                # the body never runs for it — the value must stay
+                # null, not become e.g. the "null" string tostring
+                # would produce
+                e[1] = F.when(col.isNotNull(), newcol)
+                # schema-only analysis (no job) keeps the dtype precise
+                # for later body stages
+                e[2] = df.select(e[1].alias("__t")).schema[0].dataType
+        else:
+            raise JQUnsupported(
+                f"jq: with_entries stage {st} outside the native subset"
+            )
+    order: list[str] = []
+    vals: dict[str, Column] = {}
+    dts: dict[str, object] = {}
+    for key, col, dt in entries:
+        if key not in vals:
+            order.append(key)
+            vals[key], dts[key] = col, dt
+        else:
+            # from_entries: the LAST entry wins — but an absent (null)
+            # key has no entry in jq, so per row the winner is the
+            # last PRESENT source: reverse-order coalesce
+            if dts[key] != dt:
+                raise JQUnsupported(
+                    f"jq: with_entries merges key {key!r} from columns "
+                    "of different types — binary path"
+                )
+            vals[key] = F.coalesce(col, vals[key])
+    if not order:
+        raise JQUnsupported("jq: with_entries removed every key")
+    return df.select(
+        *[vals[k].alias(k) for k in order],
+        *[
+            F.col("`" + c + "`")
+            for c in df.columns
+            if c.startswith(_VAR_PREFIX)
+        ],
+    )
+
+
 def _resolve_path_dtype(df: DataFrame, ptok: str):
     """Walk a ``.a.b.c`` path through the schema and return its
     DataType; raises :class:`JQUnsupported` when unresolvable."""
@@ -2446,9 +2797,20 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                 f"jq: fan-out over non-object array {ptok} (bare scalar "
                 "records) outside the native subset"
             )
-        return df.select(F.explode(_path_col(ptok)).alias("__e")).select(
-            "__e.*"
-        )
+        vnames = [c for c in df.columns if c.startswith(_VAR_PREFIX)]
+        return df.select(
+            F.explode(_path_col(ptok)).alias("__e"),
+            *[F.col("`" + v + "`") for v in vnames],
+        ).select("__e.*", *[F.col("`" + v + "`") for v in vnames])
+    # with_entries(BODY) — and the fused `to_entries | map(BODY) |
+    # from_entries` pipeline translate_jq rewrites into it
+    if (
+        toks[0] == "with_entries"
+        and len(toks) >= 3
+        and toks[1] == "("
+        and toks[-1] == ")"
+    ):
+        return _apply_with_entries(df, toks[2:-1])
     # additive combination: term (+ term)* where term ∈ {del(...), {...}, .}
     terms = _split_top(toks, "+")
     dropped: list[str] = []
@@ -2508,9 +2870,15 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                     )
         else:
             raise JQUnsupported(f"jq: unsupported term {term}")
+    var_cols = [
+        F.col("`" + c + "`")
+        for c in df.columns
+        if c.startswith(_VAR_PREFIX)
+    ]
     if len(terms) == 1 and added and not base_identity:
-        # pure object construction: projection
-        return df.select(*[c.alias(k) for k, c in added])
+        # pure object construction: projection (hidden stage-binding
+        # columns ride along; translate_jq strips them at the end)
+        return df.select(*[c.alias(k) for k, c in added], *var_cols)
     # jq evaluates each term against the INPUT and merges right-biased:
     # 'del(.a) + {a: expr}' re-adds a (the del term's output simply has
     # no a to contribute), so drops must not remove re-added keys, and
@@ -2519,20 +2887,20 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     added_by_key = {k: c for k, c in added}
     drop_set = set(dropped)
     cols: list[Column] = []
-    for name in df.columns:
+    for name in _record_columns(df):
         if name in drop_set:
             continue  # deleted; a re-add appends at the end (new key)
         if name in added_by_key:
             cols.append(added_by_key[name].alias(name))
         else:
             cols.append(F.col("`" + name + "`"))
-    kept = set(df.columns) - drop_set
+    kept = set(_record_columns(df)) - drop_set
     emitted = set()
     for k, _c in added:
         if k not in kept and k not in emitted:
             cols.append(added_by_key[k].alias(k))  # right-biased merge
             emitted.add(k)
-    return df.select(*cols)
+    return df.select(*cols, *var_cols)
 
 
 # ---------------------------------------------------------------------------

@@ -592,3 +592,54 @@ def q_jq_capture_stage(spark, sf_dir):
         '.[] | .addr | capture("(?<user_part>[^@ -]+)@(?<dom>[^.]+)")'
     )
     return translate_jq(d, prog).orderBy("user_part", "dom")
+
+
+@register(
+    "q_jq_entries_bindings",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS words,
+             CASE WHEN length(text) % 2 = 0
+                  THEN '2021-01-01T00:00:00Z' ELSE 'xx' END AS iso
+      FROM documents
+    )
+    SELECT doc_id, upper(lang) AS lang_u,
+           CAST(CASE WHEN iso = '2021-01-01T00:00:00Z'
+                     THEN 1609459200 ELSE -1 END AS BIGINT) AS epoch
+    FROM w WHERE len(words) >= 3
+    ORDER BY doc_id
+    """,
+    doc="The round-4 native jq constructs as ONE compiled program "
+    "through the oracle gate: a stage-level variable binding "
+    "(.lang as $l) surviving a with_entries reshape (key-only select "
+    "+ .key |= ascii_upcase — the key half evaluated by the real jq "
+    "binary per COLUMN at compile time, compiler/jq.py "
+    "_jq_eval_static), and try/catch over fromdate compiled to "
+    "coalesce on the provable error⇔null class. All Catalyst at "
+    "runtime — no jq binary in the plan, verified value-exact "
+    "against the SQL re-expression.",
+)
+def q_jq_entries_bindings(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+    from optimus_any2any_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("words"),
+        F.when(
+            F.length("text") % 2 == 0, F.lit("2021-01-01T00:00:00Z")
+        )
+        .otherwise(F.lit("xx"))
+        .alias("iso"),
+    )
+    prog = (
+        ".[] | .lang as $l "
+        "| select((.words | length) >= 3) "
+        '| with_entries(select(.key != "words" and .key != "lang") '
+        "| .key |= ascii_upcase) "
+        "| {doc_id: .DOC_ID, lang_u: ($l | ascii_upcase), "
+        "epoch: (try (.ISO | fromdate) catch -1)}"
+    )
+    return translate_jq(d, prog).orderBy("doc_id")

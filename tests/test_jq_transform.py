@@ -1138,3 +1138,123 @@ class TestEnvAccess:
     def test_nested_env_routes_to_binary(self, df):
         with pytest.raises(JQUnsupported):
             translate_jq(df, ".[] | {m: env.A.B}")
+
+
+class TestEntriesVariablesTryCatch:
+    """Round-4 widening: the dict-reshaping family (to_entries/map/
+    from_entries == with_entries), stage-level variable bindings
+    (`EXPR as $x | ...`), and provable try/catch — differential vs the
+    jq 1.6 binary, with the row-dependent / unprovable edges pinned to
+    route to the binary path."""
+
+    ROWS4 = [
+        {"id": 1, "name": "alice", "age": 30, "ts": "2020-03-26T14:00:00Z"},
+        {"id": 2, "name": "bob", "age": 40, "ts": "not-a-date"},
+        {"id": 3, "name": None, "age": 7, "ts": None},
+    ]
+    SCHEMA4 = "id long, name string, age long, ts string"
+
+    NATIVE = [
+        # --- with_entries / fused to_entries|map|from_entries ---
+        '.[] | with_entries(.key |= ascii_upcase)',
+        '.[] | with_entries(.key |= (. + "_col"))',
+        '.[] | with_entries(.key = ("p_" + .key))',
+        '.[] | with_entries(.value |= tostring)',
+        '.[] | with_entries(.value = .key)',
+        '.[] | with_entries(select(.key != "ts"))',
+        '.[] | with_entries(select(.key | startswith("a")))',
+        '.[] | with_entries(select(.key | test("^(id|name)$")))',
+        '.[] | with_entries(select(.key != "ts") | .key |= ascii_upcase)',
+        '.[] | to_entries | map(select(.key != "age")) | from_entries',
+        '.[] | to_entries | map(.key |= ascii_upcase) | from_entries',
+        # --- stage-level bindings ---
+        '.[] | . as $o | {id} | {id, nm: $o.name}',
+        '.[] | .age as $a | select($a > 10) | {id, a2: ($a * 2)}',
+        '.[] | .id as $i | .age as $a | {s: ($i + $a)}',
+        '.[] | . as $o | select(.age > 10) | {id, nm: $o.name}',
+        '.[] | . as $o | {x: .id} | $o',
+        '.[] | .name as $n | select(.name != null) | {t: ($n + "!")}',
+        # --- try/catch ---
+        '.[] | {id, t: (try .name catch "missing")}',
+        '.[] | {id, t: (try .absent catch "x")}',
+        '.[] | {id, e: (try (.ts | fromdate) catch -1)}',
+    ]
+
+    @pytest.fixture(scope="class")
+    def df4(self, spark):
+        return spark.createDataFrame(self.ROWS4, self.SCHEMA4)
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, spark, df4, program):
+        canonical = [
+            {k: v for k, v in r.items() if v is not None} for r in self.ROWS4
+        ]
+        got = spark_rows(translate_jq(df4, program))
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, canonical)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, df4, program):
+        out = jq_transform(df4, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    def test_key_collision_last_present_wins(self, spark, df4):
+        # two source keys mapping to one output key: jq keeps the LAST
+        # entry — but an absent (null) key has no entry, so per row the
+        # last PRESENT source must win (reverse coalesce, not blind
+        # overwrite)
+        program = '.[] | with_entries(.key |= (if . == "ts" then "name" else . end))'
+        canonical = [
+            {k: v for k, v in r.items() if v is not None} for r in self.ROWS4
+        ]
+        got = spark_rows(translate_jq(df4, program))
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, canonical)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key)
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            # select over .value: object shape becomes row-dependent
+            '.[] | with_entries(select(.value != null))',
+            # key derived from .value: row-dependent key
+            '.[] | with_entries(.key = .value)',
+            # try on an arithmetic expression: error class unprovable
+            '.[] | {x: (try (.age + 1) catch 0)}',
+            # try on a path that type-errors in jq (mid-path scalar):
+            # native null would silently skip the catch jq takes
+            '.[] | {n: (try .name.sub catch "E")}',
+            # stream-valued binding fans out per element
+            '.[] | .name as $n | .ts as $t | $n',  # bare scalar $n record
+            # destructured binding
+            '.[] | . as [$a] | {x: $a}',
+            # bare to_entries record is an array, not an object
+            '.[] | to_entries',
+            # dynamic from_entries over a runtime array
+            '.[] | {id} | from_entries',
+        ],
+    )
+    def test_divergent_edges_route_to_binary(self, df4, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(df4, program)
+
+    def test_binding_survives_reshape_and_strips_from_output(self, df4):
+        out = translate_jq(df4, '.[] | . as $o | {id} | {id, nm: $o.name}')
+        assert out.columns == ["id", "nm"]  # no __jq_var_ leakage
+
+    def test_with_entries_key_eval_is_compile_time(self, df4):
+        # the jq binary runs per COLUMN at compile time, never per row:
+        # the executed plan must contain no Python/subprocess node
+        out = translate_jq(df4, '.[] | with_entries(.key |= ascii_upcase)')
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "MapInPandas" not in plan

@@ -427,6 +427,18 @@ class TestRound3Plans:
         r = report(spark, "text_quality_linear")
         assert r.num_sortmerge_joins == 0
         assert r.num_broadcast_joins == 0
+
+
+class TestRound4Plans:
+    def test_jq_entries_bindings_stays_native(self, spark):
+        # with_entries key rewrites run the jq binary per COLUMN at
+        # compile time; the executed plan must be pure Catalyst — no
+        # Python evaluation, no MapInPandas (binary fallback), and the
+        # variable-binding snapshot must not survive into the output
+        r = report(spark, "q_jq_entries_bindings")
+        assert "Python" not in r.text, r.text
+        assert "MapInPandas" not in r.text, r.text
+        assert "__jq_var_" not in r.text.split("Output")[0], r.text
         assert "mapInPandas" not in r.text.lower()
 
 
