@@ -253,10 +253,12 @@ def upsert_to_parquet_partitioned(
     the batch), reads ONLY those partitions back (partition-pruned
     scan), anti-joins, unions, and swaps ONLY those bucket dirs.
     Unchanged partitions are neither read nor written — per-batch IO is
-    proportional to the update footprint, not the table (at 100 TB,
-    raise ``n_buckets`` so bucket size stays near the write-task
-    sweet spot; the same layout serves as the MERGE target for a real
-    lakehouse format).
+    proportional to the update footprint, not the table. For FILE-level
+    (rather than bucket-level) copy-on-write with atomic manifest
+    commits and exactly-once batch replay, see
+    :mod:`optimus_any2any_spark.streaming.manifest_table` — the next
+    refinement; at 100 TB its rewrite amplification is one data file
+    per touched key range instead of one bucket.
 
     Crash-safety contract (same as the snapshot-swap sink): affected
     buckets stage under ``path__staging`` and bucket swaps begin only
