@@ -67,6 +67,64 @@ def _rfc008_bench(spark) -> float:
     return time.perf_counter() - t0
 
 
+_SF1_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_jaccard_skewed",
+    "dedup_ngram_jaccard",
+    "ann_ivf_topk",
+    "dedup_span_exact",
+]
+
+
+def _sf1_dir(spark, sf_dir: str) -> str:
+    """Materialize a 10× scale-up of sf_dir's documents/embeddings under
+    /tmp (generated once, reused). Each replica's text gains a unique
+    suffix token so near-dup STRUCTURE is preserved rather than
+    inflated — 10 exact copies per doc would blow candidate-pair counts
+    up quadratically and measure the wrong thing. One decade of local
+    scale validates the capped-posting/aggregate-skew arguments
+    empirically (VERDICT r3 item 8)."""
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/spark_graft_10x_{base}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").crossJoin(reps)
+    text = F.concat(
+        F.col("text"),
+        F.lit(" u"),
+        F.col("rep").cast("string"),
+        F.lit("q"),
+        F.col("doc_id").cast("string"),
+    )
+    docs.select(
+        (F.col("doc_id") + F.col("rep") * F.lit(1_000_000_000)).alias(
+            "doc_id"
+        ),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").crossJoin(reps)
+    emb.select(
+        (F.col("vec_id") + F.col("rep") * F.lit(1_000_000_000)).alias(
+            "vec_id"
+        ),
+        F.transform(
+            "embedding",
+            lambda x: (x + F.col("rep").cast("float") * F.lit(0.001)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    open(f"{out}/_DONE", "w").close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -93,7 +151,7 @@ def main() -> None:
         # best-of-N per query: single runs at second-scale are dominated
         # by scheduler/GC jitter on a shared host; the minimum is the
         # standard low-variance estimator for a deterministic workload
-        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
         times: dict[str, float] = {}
         for name, q in sorted(queries.items()):
             samples = []
@@ -137,6 +195,33 @@ def main() -> None:
         }
         for n, note in oracle_only.items():
             print(f"# oracle-only (not benched): {n} — {note}", file=sys.stderr)
+
+        # 10× spot-run of the dedup/ANN heavyweights: a decade of scale
+        # validates the skew arguments empirically (set
+        # SPARK_GRAFT_SF1_SPOT=0 to skip)
+        sf1_times: dict[str, float] = {}
+        if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0":
+            try:
+                d10 = _sf1_dir(spark, sf_dir)
+                all_q = all_queries()
+                for name in _SF1_QUERIES:
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    all_q[name].spark(spark, d10).count()
+                    sf1_times[name] = round(time.perf_counter() - t0, 4)
+                    ratio = (
+                        sf1_times[name] / times[name]
+                        if times.get(name)
+                        else float("nan")
+                    )
+                    print(
+                        f"# 10x-spot {name}: {sf1_times[name]:.3f}s "
+                        f"({ratio:.1f}x the {sf} time at 10x data)",
+                        file=sys.stderr,
+                    )
+            except Exception as e:  # spot-run must never sink the bench
+                print(f"# 10x spot-run skipped: {e}", file=sys.stderr)
+
         print(
             json.dumps(
                 {
@@ -146,6 +231,10 @@ def main() -> None:
                     "queries": times,
                     "sf": sf,
                     "oracle_only": sorted(oracle_only),
+                    "sf1_spot": {
+                        "sf": (sf * 10) if sf else None,
+                        "queries": sf1_times,
+                    },
                 }
             )
         )
