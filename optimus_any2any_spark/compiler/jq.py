@@ -24,7 +24,9 @@ docs/rfc_002). Here:
   — record keys are static columns, so key rewrites and key-only
   selects evaluate at compile time via one jq-binary call per COLUMN
   while value rewrites compile per column through the expression
-  grammar), stage-level variable bindings (``EXPR as $x | ...`` as
+  grammar), ``map_values`` (the same machinery), literal
+  ``getpath`` with jq's exact missing-vs-scalar-walk edges,
+  stage-level variable bindings (``EXPR as $x | ...`` as
   hidden snapshot columns that survive reshapes), and ``try/catch``
   on the provable error⇔null class — straight to Catalyst expressions:
   whole-stage-codegen'd, no Python in the hot path, globally (not
@@ -2121,6 +2123,58 @@ class _ExprParser:
             if key not in self.df.columns:
                 return F.lit(False), "boolean"
             return F.col("`" + key + "`").isNotNull(), "boolean"
+        if name == "getpath" and self.peek() == "(":
+            # getpath(["a","b"]) on the record == .a.b with jq's exact
+            # edges: missing anywhere → null (no error), but indexing a
+            # SCALAR mid-path errors in jq (probed) — that case is not
+            # null natively, so it routes to the binary. Literal string
+            # paths only (a dynamic path is row-dependent structure).
+            from pyspark.sql import types as T
+
+            self.next()
+            self.expect("[")
+            parts: list[str] = []
+            while self.peek() != "]":
+                t2 = self.next()
+                if not t2.startswith('"'):
+                    raise JQUnsupported(
+                        "jq: getpath needs a literal string path"
+                    )
+                parts.append(json.loads(t2))
+                if self.peek() == ",":
+                    self.next()
+            self.expect("]")
+            self.expect(")")
+            if not parts or "." in self.bindings:
+                raise JQUnsupported(
+                    "jq: getpath([]) / element-scoped getpath — binary"
+                )
+            fields: dict | None = {
+                f.name: f.dataType
+                for f in self.df.schema.fields
+                if not f.name.startswith(_VAR_PREFIX)
+            }
+            col: Column | None = None
+            dt = None
+            for part in parts:
+                if fields is None:
+                    raise JQUnsupported(
+                        "jq: getpath through a scalar errors in jq — "
+                        "binary path"
+                    )
+                if part not in fields:
+                    return F.lit(None), "null"  # missing → null, total
+                dt = fields[part]
+                col = (
+                    F.col("`" + part + "`") if col is None
+                    else col.getField(part)
+                )
+                fields = (
+                    {f.name: f.dataType for f in dt.fields}
+                    if isinstance(dt, T.StructType)
+                    else None
+                )
+            return col, _kind_of_dtype(dt)
         if name in ("keys", "keys_unsorted"):
             # keys of the record: names of present fields — sorted for
             # keys, schema (insertion) order for keys_unsorted. Through
@@ -2811,6 +2865,17 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
         and toks[-1] == ")"
     ):
         return _apply_with_entries(df, toks[2:-1])
+    # map_values(F) == with_entries(.value |= (F)) (jq builtin.jq);
+    # parenthesized because |= binds tighter than | inside F
+    if (
+        toks[0] == "map_values"
+        and len(toks) >= 3
+        and toks[1] == "("
+        and toks[-1] == ")"
+    ):
+        return _apply_with_entries(
+            df, [".value", "|=", "("] + toks[2:-1] + [")"]
+        )
     # additive combination: term (+ term)* where term ∈ {del(...), {...}, .}
     terms = _split_top(toks, "+")
     dropped: list[str] = []

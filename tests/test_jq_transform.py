@@ -1258,3 +1258,77 @@ class TestEntriesVariablesTryCatch:
         out = translate_jq(df4, '.[] | with_entries(.key |= ascii_upcase)')
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "MapInPandas" not in plan
+
+
+class TestGetpathMapValues:
+    ROWS5 = [
+        {"id": 1, "name": "alice",
+         "meta": {"lang": "en", "deep": {"x": 5}}},
+        {"id": 2, "name": None, "meta": None},
+    ]
+    SCHEMA5 = (
+        "id long, name string,"
+        " meta struct<lang:string, deep:struct<x:long>>"
+    )
+
+    @pytest.fixture(scope="class")
+    def df5(self, spark):
+        return spark.createDataFrame(self.ROWS5, self.SCHEMA5)
+
+    NATIVE = [
+        '.[] | {id, l: getpath(["meta","lang"])}',
+        '.[] | {id, x: getpath(["meta","deep","x"])}',
+        '.[] | {id, m: getpath(["nope","x"])}',   # missing → null, total
+    ]
+
+    @staticmethod
+    def _strip(d):
+        return {
+            k: (TestGetpathMapValues._strip(v) if isinstance(v, dict) else v)
+            for k, v in d.items()
+            if v is not None
+        }
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_getpath_matches_jq_binary(self, df5, program):
+        canonical = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in self.ROWS5
+        ]
+        got = [
+            self._strip(r.asDict(recursive=True))
+            for r in translate_jq(df5, program).collect()
+        ]
+        expect = [self._strip(r) for r in jq_oracle(program, canonical)]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    def test_map_values_flat_record(self, spark):
+        rows = [{"id": 1, "name": "a"}, {"id": 2, "name": None}]
+        df = spark.createDataFrame(rows, "id long, name string")
+        program = ".[] | map_values(tostring)"
+        got = spark_rows(translate_jq(df, program))
+        canonical = [
+            {k: v for k, v in r.items() if v is not None} for r in rows
+        ]
+        expect = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in jq_oracle(program, canonical)
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key)
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            # walking INTO a scalar errors in jq (probed: "Cannot index
+            # number") but reads null natively — divergent, so binary
+            '.[] | {m: getpath(["id","x"])}',
+            # dynamic paths are row-dependent structure
+            '.[] | {m: getpath([.name])}',
+            '.[] | {m: getpath([])}',
+        ],
+    )
+    def test_divergent_edges_route_to_binary(self, df5, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(df5, program)
