@@ -461,7 +461,19 @@ class _ExprParser:
                         f"jq: non-numeric {op!r} ({lkind} {op} {rkind}) "
                         "outside the native subset"
                     )
-            left = left + right if op == "+" else left - right
+            if op == "+":
+                # null VALUE identity (not just null kind): jq probes
+                # null + 5 == 5 (absent keys read null, so `.a += 5`
+                # on a missing field must yield 5, not SQL NULL);
+                # `-` with a null operand ERRORS in jq → the usual
+                # total relaxation (null) stands there
+                left = (
+                    F.when(left.isNull(), right)
+                    .when(right.isNull(), left)
+                    .otherwise(left + right)
+                )
+            else:
+                left = left - right
             lkind = "int" if lkind == rkind == "int" else "number"
         return left, lkind
 
@@ -2600,10 +2612,61 @@ def _apply_comma_stage(df: DataFrame, toks: list[str]) -> DataFrame:
 _ASSIGN_OPS = ("=", "|=", "+=", "-=", "*=", "/=", "%=", "//=")
 
 
+def _set_nested(df: DataFrame, parts: list[str], value: Column) -> Column:
+    """Struct rebuild for a nested assignment target ``.a.b...`` —
+    returns the replacement for the ROOT column. jq semantics (probed):
+    setting through an existing struct replaces in place
+    (``withField``); through null/absent, jq BUILDS the object
+    (``{"a":null} | .a.b = 9`` → ``{"a":{"b":9}}``) — compiled as a
+    same-typed struct whose other fields are null (absent through the
+    canonical serialization); through a SCALAR jq errors — that case
+    routes to the binary (a null result would silently diverge)."""
+    from pyspark.sql import types as T
+
+    root = parts[0]
+    fields = {f.name: f.dataType for f in df.schema.fields}
+
+    def build(cur: Column | None, dt, rest: list[str]) -> Column:
+        if not rest:
+            return value
+        head = rest[0]
+        if dt is None:  # absent level: fresh single-field object chain
+            return F.struct(build(None, None, rest[1:]).alias(head))
+        if not isinstance(dt, T.StructType):
+            raise JQUnsupported(
+                "jq: assignment through a scalar errors in jq — binary"
+            )
+        inner_dt = next(
+            (f.dataType for f in dt.fields if f.name == head), None
+        )
+        inner_cur = cur.getField(head) if inner_dt is not None else None
+        new_inner = build(inner_cur, inner_dt, rest[1:])
+        replaced = cur.withField(head, new_inner)
+        # null parent: jq builds {head: ...}; F.when branches must
+        # share a type, so the fresh object is the full struct with
+        # every other field null (≡ absent once serialized)
+        fresh_fields = [
+            new_inner.alias(f.name)
+            if f.name == head
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in dt.fields
+        ]
+        if head not in [f.name for f in dt.fields]:
+            fresh_fields.append(new_inner.alias(head))
+        return F.when(cur.isNotNull(), replaced).otherwise(
+            F.struct(*fresh_fields)
+        )
+
+    if root in fields:
+        return build(F.col("`" + root + "`"), fields[root], parts[1:])
+    return build(None, None, parts[1:])
+
+
 def _apply_assignment(df: DataFrame, toks: list[str]) -> DataFrame:
-    """``.field OP expr`` stage → column replacement (jq assignment,
-    the pervasive enrich-one-key idiom). Top-level paths only — a
-    nested path would need a struct rebuild and routes to the binary.
+    """``.field OP expr`` / ``.a.b OP expr`` stage → column replacement
+    (jq assignment, the pervasive enrich-one-key idiom). Nested targets
+    rebuild the root struct via ``withField`` (:func:`_set_nested`);
+    indexed/optional targets route to the binary.
 
     Semantics per jq: ``.a = E`` evaluates E against the WHOLE record;
     ``.a |= F`` pipes the OLD value through F (``.a = (.a | F)``);
@@ -2612,10 +2675,32 @@ def _apply_assignment(df: DataFrame, toks: list[str]) -> DataFrame:
     rules in the term path below."""
     target_tok, op, rhs = toks[0], toks[1], toks[2:]
     target = target_tok[1:]
-    if "." in target or "[" in target or "?" in target:
-        raise JQUnsupported(f"jq: nested assignment path {target_tok}")
+    if "[" in target or "?" in target:
+        raise JQUnsupported(f"jq: indexed assignment path {target_tok}")
     if not rhs:
         raise JQUnsupported("jq: assignment without a right-hand side")
+    if "." in target:
+        parts = target.split(".")
+        if op == "=":
+            value = _ExprParser(list(rhs), df).parse()
+        elif op == "|=":
+            # total read of the old value (absent root/field → null)
+            binding = {".": _ExprParser([target_tok], df).parse_full()}
+            value = _ExprParser(list(rhs), df, binding).parse()
+        else:
+            value = _ExprParser(
+                [target_tok, op[:-1], "("] + list(rhs) + [")"], df
+            ).parse()
+        root_col = _set_nested(df, parts, value)
+        root = parts[0]
+        if root in df.columns:
+            return df.select(
+                *[
+                    root_col.alias(c) if c == root else F.col("`" + c + "`")
+                    for c in df.columns
+                ]
+            )
+        return df.select("*", root_col.alias(root))
     if op == "=":
         col = _ExprParser(list(rhs), df).parse()
     elif op == "|=":
@@ -2893,11 +2978,52 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                 if len(ptoks) != 1 or not ptoks[0].startswith("."):
                     raise JQUnsupported(f"jq: del path {ptoks}")
                 p = ptoks[0][1:]
-                # a nested/indexed/optional del path can never match a
-                # top-level column — compiling it would silently drop
-                # NOTHING while jq removes the nested field
-                if "." in p or "[" in p or "?" in p:
-                    raise JQUnsupported(f"jq: nested del path {ptoks}")
+                if "[" in p or "?" in p:
+                    raise JQUnsupported(f"jq: indexed del path {ptoks}")
+                if "." in p:
+                    # nested del: rebuild the root struct without the
+                    # field (dropFields; null root stays null, which
+                    # serializes exactly like jq's {"a":null} through
+                    # the canonical null-dropping). Depth 2 only;
+                    # del through a scalar errors in jq → binary.
+                    from pyspark.sql import types as T
+
+                    root, _, field = p.partition(".")
+                    if "." in field:
+                        raise JQUnsupported(
+                            f"jq: del path {ptoks} deeper than 2 — binary"
+                        )
+                    dt = next(
+                        (
+                            f.dataType
+                            for f in df.schema.fields
+                            if f.name == root
+                        ),
+                        None,
+                    )
+                    if dt is None:
+                        continue  # absent root: jq no-op
+                    if not isinstance(dt, T.StructType):
+                        raise JQUnsupported(
+                            f"jq: del through scalar {root!r} errors in "
+                            "jq — binary"
+                        )
+                    if field not in [f.name for f in dt.fields]:
+                        continue  # absent field: no-op
+                    if len(dt.fields) == 1:
+                        # dropping the last field would leave a zero-
+                        # field struct (unrepresentable): jq yields {}
+                        raise JQUnsupported(
+                            f"jq: del of {p!r} empties the object — "
+                            "binary"
+                        )
+                    added.append(
+                        (
+                            root,
+                            F.col("`" + root + "`").dropFields(field),
+                        )
+                    )
+                    continue
                 dropped.append(p)
         elif term[0] == "{" and term[-1] == "}":
             for e in _parse_object(term):

@@ -1332,3 +1332,79 @@ class TestGetpathMapValues:
     def test_divergent_edges_route_to_binary(self, df5, program):
         with pytest.raises(JQUnsupported):
             translate_jq(df5, program)
+
+
+class TestNestedAssignmentDel:
+    """Round-4: nested path assignment (.a.b OP expr → withField
+    struct rebuild) and nested del (dropFields), probed against jq 1.6
+    — including jq's build-through-null (`{"a":null} | .a.b = 9` →
+    `{"a":{"b":9}}`) and the null-VALUE identity of '+'."""
+
+    ROWS6 = [
+        {"id": 1, "name": "alice", "meta": {"lang": "en", "score": 4}},
+        {"id": 2, "name": "bob", "meta": None},
+    ]
+    SCHEMA6 = "id long, name string, meta struct<lang:string, score:long>"
+
+    NATIVE = [
+        '.[] | .meta.lang = "xx"',
+        ".[] | .meta.rank = (.id * 10)",
+        ".[] | .meta.score |= (. // 0) + 1",
+        '.[] | .meta.lang |= (. // "und")',
+        ".[] | .fresh.tag = .name",          # absent root: built
+        ".[] | .meta.score += 5",            # null meta: built, 0+5
+        ".[] | .missing += 7",               # null + 7 == 7 (jq)
+        ".[] | del(.meta.lang)",
+        ".[] | del(.meta.nope)",             # absent field: no-op
+        ".[] | del(.nope.x)",                # absent root: no-op
+        ".[] | del(.meta.lang) + {keep: 1}",
+        ".[] | {s: (.meta.score + 1)}",      # null + 1 == 1 (jq)
+    ]
+
+    @pytest.fixture(scope="class")
+    def df6(self, spark):
+        return spark.createDataFrame(self.ROWS6, self.SCHEMA6)
+
+    @staticmethod
+    def _strip(d):
+        return {
+            k: (
+                TestNestedAssignmentDel._strip(v)
+                if isinstance(v, dict)
+                else v
+            )
+            for k, v in d.items()
+            if v is not None
+        }
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, df6, program):
+        canonical = [self._strip(r) for r in self.ROWS6]
+        got = [
+            self._strip(r.asDict(recursive=True))
+            for r in translate_jq(df6, program).collect()
+        ]
+        expect = [self._strip(r) for r in jq_oracle(program, canonical)]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, df6, program):
+        out = jq_transform(df6, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            ".[] | .id.x = 1",            # through a scalar: jq errors
+            ".[] | del(.id.x)",
+            ".[] | del(.meta.lang.deep)",  # depth 3 del
+            ".[] | .meta[0] = 1",          # indexed target
+        ],
+    )
+    def test_divergent_edges_route_to_binary(self, df6, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(df6, program)
