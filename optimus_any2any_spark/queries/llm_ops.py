@@ -3432,3 +3432,115 @@ def mix_token_budget_plan(spark, sf_dir):
         ),
     )
     return out.orderBy("source")
+
+
+_DSIR_B = 256  # hashed-feature buckets (Xie et al. use 10k at web scale)
+
+
+@register(
+    "mix_dsir_importance",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+    gr AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS gram
+      FROM tok WHERE len(t) >= 2
+    ),
+    hb AS (
+      SELECT doc_id, lang,
+             list_reduce(list_transform(range(1, 8),
+               p -> CAST(strpos('0123456789abcdef',
+                                substr(md5(gram), p, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % {_DSIR_B} AS b
+      FROM gr
+    ),
+    tgt AS (SELECT b, COUNT(*) AS ct FROM hb WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, COUNT(*) AS cr FROM hb GROUP BY b),
+    tots AS (
+      SELECT (SELECT COUNT(*) FROM hb WHERE lang = 'en') AS tt,
+             (SELECT COUNT(*) FROM hb) AS rt
+    ),
+    lr AS (
+      SELECT r.b,
+             round(ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+                      / CAST(tots.tt + {_DSIR_B} AS DOUBLE))
+                   - ln(CAST(r.cr + 1 AS DOUBLE)
+                        / CAST(tots.rt + {_DSIR_B} AS DOUBLE)), 6) AS w
+      FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+    )
+    SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           round({o_dsum('lr.w')}, 4) AS dsir_logweight,
+           {o_dsum('lr.w')} > 0 AS selected
+    FROM hb JOIN lr USING (b)
+    GROUP BY hb.doc_id ORDER BY hb.doc_id
+    """,
+    doc="DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169 "
+    "§3): documents weighted by how target-like their hashed bigram "
+    "features are — log p_target/p_raw summed over occurrences, with "
+    "add-1-smoothed bucket distributions (target = lang='en' here). "
+    "The published cheap alternative to classifier-based selection. "
+    "Scale shape: feature expansion is per-row; both bucket "
+    "distributions are B-row aggregates with map-side combine; the "
+    "log-ratio table (≤B rows) BROADCASTS back onto the occurrence "
+    "stream, so the only corpus-scale shuffle is the per-doc rollup. "
+    "Per-bucket ratios round at 6dp and per-doc sums accumulate in "
+    "DECIMAL — bit-exact vs the oracle.",
+)
+def mix_dsir_importance(spark, sf_dir):
+    from optimus_any2any_spark.operators.dedup import _base_hash
+
+    d = load(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    hb = (
+        d.filter(F.size(t) >= 2)
+        .select("doc_id", "lang", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            "lang",
+            (_base_hash(F.col("gram")) % _DSIR_B).alias("b"),
+        )
+    )
+    raw = hb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        hb.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = hb.agg(
+        F.count(F.lit(1)).alias("rt"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tt") + _DSIR_B).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("rt") + _DSIR_B).cast("double")
+                ),
+                6,
+            ).alias("w"),
+        )
+    )
+    logw = dsum(F.col("w"))
+    return (
+        hb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(logw, 4).alias("dsir_logweight"),
+            (logw > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

@@ -37,6 +37,13 @@ SCALE_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",
     "spark.executor.extraJavaOptions": "-Duser.timezone=UTC",
+    # Local mode runs driver AND all executor threads in ONE JVM whose
+    # heap defaults to 1g — with local[32] that is ~32 MB of working
+    # heap per task and constant GC pressure (observed: GCLocker retry
+    # warnings and an OOM on the 10x bench spot-run). 16g is still
+    # conservative on the target hosts; on a real cluster
+    # spark-submit's --driver-memory/--executor-memory override this.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

@@ -44,6 +44,34 @@ class TestMetadata:
         got = {r["k"]: r[M.RECORD_INDEX] for r in out.collect()}
         assert got == {1: 0, 2: 1, 3: 2}
 
+    def test_record_index_and_total(self, spark):
+        # the offsets job already knows the exact N — returned for free
+        # (rank-dependent operators need it without a second scan)
+        df = spark.range(0, 777).repartition(5)
+        out, n = M.with_record_index_and_total(df)
+        assert n == 777
+        assert sorted(r[M.RECORD_INDEX] for r in out.collect()) == list(
+            range(777)
+        )
+        empty = spark.range(0, 0)
+        out2, n2 = M.with_record_index_and_total(empty)
+        assert n2 == 0 and out2.count() == 0
+
+    def test_record_index_desc_order(self, spark):
+        # Column expressions (F.desc) in order_by — the LPT shard deal
+        # ranks by size DESCENDING
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(5, "a"), (9, "b"), (1, "c")], "n int, k string"
+        ).repartition(3)
+        out, n = M.with_record_index_and_total(
+            df, order_by=[F.desc("n"), F.asc("k")]
+        )
+        assert n == 3
+        got = {r["k"]: r[M.RECORD_INDEX] for r in out.collect()}
+        assert got == {"b": 0, "a": 1, "c": 2}
+
     def test_batch_index(self, spark):
         df = spark.range(0, 1100).toDF("n")
         out = M.with_batch_index(M.with_record_index(df.coalesce(1)), batch_size=512)

@@ -430,6 +430,15 @@ class TestRound3Plans:
 
 
 class TestRound4Plans:
+    def test_dsir_logratio_broadcasts(self, spark):
+        # the ≤B-row log-ratio table must BROADCAST onto the feature
+        # stream (the only corpus-scale shuffle is the per-doc rollup);
+        # no sort-merge join may touch the occurrence stream
+        r = report(spark, "mix_dsir_importance")
+        assert r.num_broadcast_joins >= 1, r.text
+        assert r.num_sortmerge_joins == 0, r.text
+        assert "Python" not in r.text, r.text
+
     def test_jq_entries_bindings_stays_native(self, spark):
         # with_entries key rewrites run the jq binary per COLUMN at
         # compile time; the executed plan must be pure Catalyst — no
