@@ -3162,6 +3162,61 @@ def kmeans_cluster_profile(spark, sf_dir):
     )
 
 
+_SEMDEDUP_EPS = 0.4
+
+
+@register(
+    "dedup_semantic_trained",
+    oracle=f"""
+    WITH {_SQL_KMEANS},
+    p AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib, x.sim AS sa, y.sim AS sb,
+             round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6) AS c
+      FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN n na ON na.vec_id = x.vec_id
+      JOIN n nb ON nb.vec_id = y.vec_id
+    ),
+    ed AS (
+      SELECT ia AS id, ib AS nb_id, sa AS my_sim, sb AS nb_sim
+      FROM p WHERE c >= {_SEMDEDUP_EPS}
+      UNION ALL
+      SELECT ib, ia, sb, sa FROM p WHERE c >= {_SEMDEDUP_EPS}
+    ),
+    agg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup,
+             bool_or(nb_sim < my_sim
+                     OR (nb_sim = my_sim AND nb_id < id)) AS removed
+      FROM ed GROUP BY id
+    )
+    SELECT a2.vec_id, CAST(a2.cluster AS INT) AS cluster,
+           a2.sim AS centroid_sim,
+           coalesce(agg.n_dup, 0) AS dup_neighbors,
+           NOT coalesce(agg.removed, FALSE) AS keep
+    FROM a2 LEFT JOIN agg ON agg.id = a2.vec_id
+    ORDER BY a2.vec_id
+    """,
+    doc="SemDeDup over TRAINED clusters (Abbas et al. 2023 §3 prescribes\n    k-means bucketing; dedup_semantic is the untrained seed-quantizer\n    variant): Lloyd rounds bucket the corpus, "
+    "cluster members are compared pairwise, and within every cosine-eps "
+    "duplicate pair the member farther from the centroid survives "
+    "(the paper's diversity-preserving rule, applied per edge). The "
+    "pairwise stage shuffles on the cluster key only — per-task cost "
+    "is max-cluster-size², the paper's own budget, bounded by choosing "
+    "k ∝ corpus size; a hot cluster is an equi-JOIN so AQE skew-split "
+    "applies. Survivor verdicts roll up in one map-side-combinable "
+    "aggregate. Cosines and centroid sims round at 6dp with id "
+    "tie-breaks — bit-exact vs the DuckDB oracle running the identical "
+    "Lloyd rounds.",
+    bench=True,
+)
+def dedup_semantic_trained(spark, sf_dir):
+    from optimus_any2any_spark.operators.clustering import semdedup_trained
+
+    e = load(spark, sf_dir, "embeddings")
+    return semdedup_trained(
+        e, k=_KM_K, iterations=2, eps=_SEMDEDUP_EPS
+    ).orderBy("vec_id")
+
+
 # Exact substring-span dedup + hashed linear quality ---------------------------
 
 _SPAN_N = 6

@@ -110,3 +110,62 @@ class TestTrainedIVF:
         # CartesianProduct or a conditioned nested loop.
         assert "CartesianProduct" not in r.text, r.text
         assert "BroadcastNestedLoopJoin Inner" not in r.text, r.text
+
+
+class TestSemDeDup:
+    def test_near_duplicate_pair_prunes_farther_from_centroid(self, spark):
+        from optimus_any2any_spark.operators.clustering import semdedup_trained
+
+        # two blobs; inside blob one, vectors 0 and 1 are near-identical
+        # (cos ~1) while the rest point off-axis enough to stay under
+        # eps; the survivor of (0,1) must be the one with LOWER
+        # centroid similarity (the paper keeps the outlier)
+        rows = [(0, [10.0, 0.0]), (1, [10.0, 0.05])]
+        for i in range(2, 8):
+            rows.append((i, [10.0, float(i)]))
+        for i in range(8, 16):
+            rows.append((i, [0.1, 10.0 + i * 0.1]))
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+        out = {
+            r.vec_id: r
+            for r in semdedup_trained(df, k=2, iterations=3, eps=0.999).collect()
+        }
+        assert len(out) == 16
+        # pair (0,1): the member with LOWER centroid sim survives
+        pair = [out[0], out[1]]
+        assert sorted(p.keep for p in pair) == [False, True]
+        kept = next(p for p in pair if p.keep)
+        dropped = next(p for p in pair if not p.keep)
+        assert kept.centroid_sim <= dropped.centroid_sim
+        assert kept.dup_neighbors == 1 and dropped.dup_neighbors == 1
+        # 2..7 point off-axis enough to stay under eps: no neighbors
+        for i in range(2, 8):
+            assert out[i].keep and out[i].dup_neighbors == 0
+        # 8..15 are near-parallel: one all-duplicates group; centroid
+        # sims tie at 1.0 so the smallest id survives the tie-break
+        for i in range(8, 16):
+            assert out[i].dup_neighbors == 7
+            assert out[i].keep == (i == 8)
+
+    def test_semdedup_partition_invariance(self, spark):
+        from optimus_any2any_spark.operators.clustering import semdedup_trained
+
+        df = _blobs(spark)
+        a = sorted(semdedup_trained(df.repartition(1), k=2, iterations=2).collect())
+        b = sorted(semdedup_trained(df.repartition(7), k=2, iterations=2).collect())
+        assert a == b
+
+    def test_semdedup_plan_cached_assignment_equi_pairwise(self, spark):
+        # the assignment feeds three consumers: it must be read from
+        # cache (one k-means execution, one corpus scan at runtime),
+        # and the pairwise stage must be an EQUI-join on the cluster
+        # key (AQE-splittable), never a cartesian over the corpus
+        q = all_queries()["dedup_semantic_trained"]
+        r = plan_report(q.spark(spark, SF_DIR))
+        assert "InMemory" in r.text, r.text
+        assert r.num_sortmerge_joins >= 1, r.text
+        assert "CartesianProduct" not in r.text, r.text
+        assert "Python" not in r.text, r.text
+        spark.catalog.clearCache()
