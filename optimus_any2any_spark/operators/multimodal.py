@@ -12,11 +12,15 @@ Decode support is split honestly by dependency weight:
 - **WAV (RIFF/PCM) payloads decode for real** — stdlib ``wave``:
   sample rate / channels / duration / RMS energy, plus a real
   nearest-sample resample re-encoded as valid WAV.
-- Compressed formats (JPEG/PNG/mp3/video containers) are STUBBED (PIL/
-  libvips/ffmpeg absent in this environment): the UDFs raise unless
-  ``fake=True``, which derives deterministic pseudo-features from the
-  payload hash so the full pipeline shape stays exercisable and
-  oracle-checkable.
+- **PNG payloads decode for real** — :mod:`..formats.png`: DEFLATE is
+  stdlib ``zlib``, the five predictor filters are byte math. Feature
+  extraction reads dimensions from IHDR without inflating; resize does
+  the full decode → nearest-neighbor → re-encode round trip.
+- Remaining compressed formats (JPEG/mp3/video containers) are STUBBED
+  (PIL/libvips/ffmpeg absent in this environment): the UDFs raise
+  unless ``fake=True``, which derives deterministic pseudo-features
+  from the payload hash so the full pipeline shape stays exercisable
+  and oracle-checkable.
 """
 
 from __future__ import annotations
@@ -24,9 +28,19 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from optimus_any2any_spark.formats import png as _png
+
+# Worker closures must be self-contained: the package is NOT on worker
+# PYTHONPATH when an external driver session runs us (see the verify
+# recipe's gotchas). Registering the codec module for BY-VALUE pickling
+# lets mapInPandas closures call formats.png directly — cloudpickle
+# ships the module's code with the task instead of an import-by-name.
+cloudpickle.register_pickle_by_value(_png)
 
 PAYLOAD_SCHEMA = T.StructType(
     [
@@ -108,10 +122,15 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
                 parts = payload.split(b"\n", 3)
                 w, h = parts[1].split()
                 return int(w), int(h)
+            if _png.is_png(payload):
+                # real decode: dimensions live in IHDR — no inflate
+                w, h, _ct, _d = _png.png_header(payload)
+                return w, h
             if not fake:
                 raise NotImplementedError(
-                    "compressed-image decode requires an imaging library "
-                    "not present in this environment (PPM decodes natively)"
+                    "compressed-image decode beyond PNG requires an "
+                    "imaging library not present in this environment "
+                    "(PPM/PNG decode natively)"
                 )
             h = _hl.md5(payload).hexdigest()
             return 64 + int(h[0], 16), 64 + int(h[1], 16)
@@ -191,14 +210,26 @@ def resize_images(
             out = img[ys][:, xs]
             return header + b"\n%d %d\n255\n" % (tw, th) + out.tobytes()
 
+        def resize_png(b: bytes) -> bytes:
+            w, h, ct, raw = _png.decode_png(b)
+            ch = {0: 1, 2: 3, 6: 4}[ct]
+            img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+            ys = (np.arange(th) * h) // th
+            xs = (np.arange(tw) * w) // tw
+            out = img[ys][:, xs]
+            return _png.encode_png(tw, th, out.tobytes(), color_type=ct)
+
         def fake_resize(b: bytes) -> bytes:
             b = bytes(b)
             if b.startswith(b"P6") or b.startswith(b"P5"):
                 return resize_ppm(b)
+            if _png.is_png(b):
+                return resize_png(b)
             if not fake:
                 raise NotImplementedError(
-                    "compressed-image resize requires an imaging library "
-                    "not present in this environment (PPM resizes natively)"
+                    "compressed-image resize beyond PNG requires an "
+                    "imaging library not present in this environment "
+                    "(PPM/PNG resize natively)"
                 )
             return (b * (n_bytes // max(len(b), 1) + 1))[:n_bytes]
 
@@ -214,6 +245,109 @@ def resize_images(
 
     out = df.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
     return out
+
+
+def attach_png_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Materialize a REAL compressed image payload per document: an
+    8-bit RGB PNG whose raw samples are the ASCII bytes of
+    ``repeat(md5(text), …)`` truncated to w·h·3 — deterministic, so a
+    SQL oracle can reconstruct the raw plane without ever seeing the
+    PNG. Scanline filters cycle 0..4, so every predictor in the codec
+    is exercised on the oracle-gated path, not just in unit tests.
+
+    The md5 is computed by Catalyst (JVM); only the PNG serialization
+    crosses into the Arrow batch."""
+    w, h = width, height
+    nbytes = w * h * 3
+    reps = nbytes // 32 + 1
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("hx")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        filters = [y % 5 for y in range(h)]
+
+        def build(hx: str) -> bytes:
+            raw = (hx * reps)[:nbytes].encode("ascii")
+            return _png.encode_png(w, h, raw, color_type=2, filters=filters)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["hx"].map(build),
+                    "media_type": "image/png",
+                }
+            )
+
+    return base.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+RAW_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("raw_sha256", T.StringType()),
+    ]
+)
+
+
+def extract_image_raw_features(df: DataFrame) -> DataFrame:
+    """FULL image decode (not just header sniffing): inflate, unfilter,
+    and hash the reconstructed sample plane. Supports the formats this
+    environment decodes for real — PNG and PPM/PGM; anything else
+    raises (no fake path here: a wrong byte anywhere in the codec
+    changes ``raw_sha256``, which is exactly what the oracle gate
+    checks)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib as _hl
+
+        import pandas as pd
+
+        def feats(b: bytes):
+            b = bytes(b)
+            if _png.is_png(b):
+                w, h, ct, raw = _png.decode_png(b)
+                ch = {0: 1, 2: 3, 6: 4}[ct]
+            elif b.startswith(b"P6") or b.startswith(b"P5"):
+                header, rest = b.split(b"\n", 1)
+                dims, rest = rest.split(b"\n", 1)
+                _maxval, raw = rest.split(b"\n", 1)
+                w, h = (int(x) for x in dims.split())
+                ch = 3 if header == b"P6" else 1
+                raw = raw[: w * h * ch]
+            else:
+                raise NotImplementedError(
+                    "full decode supports PNG and PPM/PGM payloads only"
+                )
+            return w, h, ch, _hl.sha256(raw).hexdigest()
+
+        for pdf in batches:
+            d = pdf["payload"].map(feats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": d.map(lambda t: t[0]).astype("int32"),
+                    "height": d.map(lambda t: t[1]).astype("int32"),
+                    "channels": d.map(lambda t: t[2]).astype("int32"),
+                    "raw_sha256": d.map(lambda t: t[3]),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=RAW_FEATURE_SCHEMA
+    )
 
 
 def sample_frames(

@@ -1510,6 +1510,36 @@ def multimodal_resize(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_roundtrip",
+    oracle="""
+    SELECT doc_id, 8 AS width, 8 AS height, 3 AS channels,
+           sha256(repeat(md5(text), 6)) AS raw_sha256
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="REAL compressed-image codec round trip (formats/png.py, "
+    "stdlib zlib): each doc's md5 hex tiles an 8x8 RGB sample plane, "
+    "encoded as a valid PNG on the executors (scanline filters cycle "
+    "through all five predictors), then fully decoded — inflate + "
+    "unfilter — and the reconstructed plane hashed. The oracle "
+    "recomputes the plane hash without ever seeing a PNG byte, so any "
+    "codec defect flips raw_sha256. Map-only, zero shuffle; payload "
+    "bytes never leave the Arrow batch.",
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    from optimus_any2any_spark.operators.multimodal import (
+        attach_png_payload,
+        extract_image_raw_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        extract_image_raw_features(attach_png_payload(d))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH f AS (
