@@ -73,6 +73,11 @@ _SF1_QUERIES = [
     "dedup_ngram_jaccard",
     "ann_ivf_topk",
     "dedup_span_exact",
+    # dedup_semantic_trained is deliberately absent: its per-cluster
+    # pairwise cost is quadratic at FIXED k (the registered query pins
+    # k=8 for the oracle), and the scale story is "grow k with the
+    # corpus" — a 10x run at constant k would measure the documented
+    # anti-pattern, not the operator.
 ]
 
 

@@ -902,6 +902,136 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+_BIGRAM_LAMBDA = 0.7
+# 1-lambda as an exact literal: `1 - 0.7` is 0.30000000000000004 in
+# IEEE double, and the oracle SQL must multiply by the SAME constant
+_BIGRAM_BACKOFF = 0.3
+_BIGRAM_MIN_COUNT = 2
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+               i -> struct_pack(
+                 prev := CASE WHEN i > 1 THEN t[i-1] ELSE NULL END,
+                 cur := t[i])), recursive := true)
+      FROM tok
+    ),
+    tf AS (SELECT cur AS w, COUNT(*) AS tf FROM g GROUP BY cur),
+    tot AS (SELECT COUNT(*) AS n FROM g),
+    cf AS (
+      SELECT prev AS v, COUNT(*) AS cf FROM g
+      WHERE prev IS NOT NULL GROUP BY prev
+    ),
+    cb AS (
+      SELECT prev, cur, COUNT(*) AS cb FROM g
+      WHERE prev IS NOT NULL GROUP BY prev, cur
+      HAVING COUNT(*) >= {_BIGRAM_MIN_COUNT}
+    ),
+    w AS (
+      SELECT g.doc_id,
+             round(ln({_BIGRAM_LAMBDA}
+                      * coalesce(CAST(cb.cb AS DOUBLE) / cf.cf, 0)
+                      + {_BIGRAM_BACKOFF}
+                      * CAST(tf.tf AS DOUBLE) / tot.n), 6) AS lp
+      FROM g JOIN tf ON tf.w = g.cur
+      LEFT JOIN cf ON cf.v = g.prev
+      LEFT JOIN cb ON cb.prev = g.prev AND cb.cur = g.cur
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round({o_dsum('lp')} / COUNT(*), 6) AS avg_logprob
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Interpolated bigram LM surprisal (the CCNet/Wenzek et al. "
+    "2020 cheap-LM quality signal, one order up from the unigram "
+    "score): per-token p = lambda*p(w|prev) + (1-lambda)*p(w), with "
+    "the first token scored unigram-only and bigrams below a "
+    "min-count pruned from the model (lookup miss backs off to the "
+    "unigram term). Scale shape: the gram stream is per-row array "
+    "math (no window, no self-join); unigram and continuation tables "
+    "are vocabulary-sized and the PRUNED bigram table is what keeps "
+    "the pair model broadcastable at web scale — raise min_count as "
+    "the corpus grows, exactly how production LM filters bound their "
+    "tables. All model joins broadcast; the only corpus-scale "
+    "shuffle is the per-doc rollup. Per-token logs round at 6dp and "
+    "accumulate in DECIMAL — bit-exact vs the oracle.",
+)
+def text_bigram_logprob(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = TX.tokens(F.lower(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
+            F.element_at(t, i).alias("cur"),
+        ),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur")
+    )
+    tf = g.groupBy("cur").agg(F.count(F.lit(1)).alias("tf"))
+    tot = g.agg(F.count(F.lit(1)).alias("n"))
+    cf = (
+        g.filter(F.col("prev").isNotNull())
+        .groupBy("prev")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .withColumnRenamed("prev", "v")
+    )
+    cb = (
+        g.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= _BIGRAM_MIN_COUNT)
+        .withColumnRenamed("prev", "bv")
+        .withColumnRenamed("cur", "bw")
+    )
+    lam, bk = _BIGRAM_LAMBDA, _BIGRAM_BACKOFF
+    w = (
+        g.join(F.broadcast(tf), "cur")
+        .join(F.broadcast(cf), F.col("prev") == F.col("v"), "left")
+        .join(
+            F.broadcast(cb),
+            (F.col("prev") == F.col("bv")) & (F.col("cur") == F.col("bw")),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(lam)
+                    * F.coalesce(
+                        F.col("cb").cast("double") / F.col("cf"), F.lit(0.0)
+                    )
+                    + F.lit(bk)
+                    * F.col("tf").cast("double")
+                    / F.col("n")
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(dsum(F.col("lp")) / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _sql_lang_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
     return (

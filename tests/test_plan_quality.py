@@ -430,6 +430,16 @@ class TestRound3Plans:
 
 
 class TestRound4Plans:
+    def test_bigram_lm_model_tables_broadcast(self, spark):
+        # unigram/continuation/pruned-bigram model tables must all
+        # BROADCAST onto the gram stream; a sort-merge join would mean
+        # the corpus is shuffling to meet a vocabulary-scale table.
+        # The only nested loops allowed are the 1-row total crossJoins.
+        r = report(spark, "text_bigram_logprob")
+        assert r.num_broadcast_joins >= 3, r.text
+        assert r.num_sortmerge_joins == 0, r.text
+        assert "Python" not in r.text, r.text
+
     def test_dsir_logratio_broadcasts(self, spark):
         # the ≤B-row log-ratio table must BROADCAST onto the feature
         # stream (the only corpus-scale shuffle is the per-doc rollup);
