@@ -559,6 +559,99 @@ def passage_dedup(
     )
 
 
+def cdc_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_chunk_words: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (CDC) passage dedup: chunk boundaries
+    come from the CONTENT (a cut after every token whose hash ≡ 0 mod
+    ``avg_chunk_words``), not from fixed offsets — so inserting one
+    word near the start of a near-copy shifts only the chunk it lands
+    in, and every later chunk re-synchronizes byte-for-byte with the
+    original. Fixed-window passage dedup (:func:`passage_dedup`)
+    misaligns EVERY subsequent chunk in that case; CDC is how storage
+    dedup (LBFS, Muthitacharoen et al. SOSP'01; restated for corpus
+    curation by the ExactSubstr line of work) solves exactly this.
+    This is the basic gear-free variant — production CDC adds min/max
+    chunk bounds, which changes the cut rule but not the plan shape.
+
+    Plan shape: the prefix count of cuts (= chunk index) is a window
+    partitioned by the DOC id — per-task work is one document's
+    tokens, and the partition key cannot be hot (every doc has
+    exactly one partition's worth of rows), unlike the content-keyed
+    windows this module deliberately avoids. First occurrence per
+    distinct chunk is the same map-side-combinable ``min``-struct
+    aggregate as :func:`passage_dedup`; rebuild is one shuffle on the
+    doc id. Expected chunk length is ``avg_chunk_words`` (geometric).
+
+    Returns ``(id, clean_text, n_chunks, n_chunks_kept)``.
+    """
+    from pyspark.sql.window import Window
+
+    p = avg_chunk_words
+    toks = tokens(F.col(text_col))
+    words = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "w")
+    ).withColumn("cut", (_base_hash(F.col("w")) % p == 0).cast("int"))
+    # chunk index = number of cuts strictly BEFORE this token
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = words.withColumn(
+        "chunk_idx", F.coalesce(F.sum("cut").over(win), F.lit(0)).cast("int")
+    )
+    # the chunk table feeds BOTH the first-occurrence aggregate and
+    # the keep-flag join; without materialization the explode+window+
+    # rollup lineage runs twice (two Window nodes in the plan)
+    chunks = chunked.groupBy(id_col, "chunk_idx").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("chunk")
+    ).persist()
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__first")
+    )
+    flagged = chunks.join(first, "chunk").select(
+        F.col(id_col),
+        "chunk_idx",
+        "chunk",
+        (
+            (F.col(f"__first.{id_col}") == F.col(id_col))
+            & (F.col("__first.chunk_idx") == F.col("chunk_idx"))
+        ).cast("int").alias("keep"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_idx", "keep", "chunk")
+                            )
+                        ),
+                        lambda s: s["keep"] == 1,
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("keep").cast("long").alias("n_chunks_kept"),
+        )
+        .select(id_col, "clean_text", "n_chunks", "n_chunks_kept")
+    )
+
+
 def simhash_hamming_pairs(
     sigs: DataFrame,
     max_hamming: int = 3,

@@ -2453,6 +2453,74 @@ def dedup_passage(spark, sf_dir):
     return D.passage_dedup(d, chunk_words=20).orderBy("doc_id")
 
 
+_CDC_P = 8
+
+# token hash = first 7 md5 hex digits as int (mirror of dedup._base_hash)
+_SQL_TOKEN_HASH = (
+    "list_reduce(list_transform(range(1, 8), "
+    "p -> CAST(strpos('0123456789abcdef', substr(md5(w), p, 1)) - 1 "
+    "AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS pos FROM tok
+    ),
+    cutf AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN {_SQL_TOKEN_HASH} % {_CDC_P} = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM words
+    ),
+    chunked AS (
+      SELECT doc_id, pos, w,
+             CAST(coalesce(SUM(cut) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS INT) AS chunk_idx
+      FROM cutf
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx, string_agg(w, ' ' ORDER BY pos) AS chunk
+      FROM chunked GROUP BY doc_id, chunk_idx
+    ),
+    keep AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                      FILTER (rn = 1), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_chunks_kept
+    FROM keep
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Content-defined chunking dedup (LBFS/Rabin CDC restated for "
+    "corpus curation): chunk boundaries cut after tokens whose hash "
+    "is 0 mod 8, so boundaries move WITH the content — one inserted "
+    "word near the start of a near-copy perturbs only its own chunk "
+    "and every later chunk re-aligns, where fixed 20-word windows "
+    "(dedup_passage) misalign the whole remainder. First occurrence "
+    "per distinct chunk is the same map-side-combined min-struct "
+    "aggregate; the chunk-index prefix sum is a DOC-keyed window "
+    "(per-task work = one document, the partition key cannot be "
+    "hot). Returns rebuilt clean text + chunk counts per doc.",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return D.cdc_chunk_dedup(d, avg_chunk_words=_CDC_P).orderBy("doc_id")
+
+
 @register(
     "sample_temperature_lang",
     oracle=r"""

@@ -430,6 +430,21 @@ class TestRound3Plans:
 
 
 class TestRound4Plans:
+    def test_cdc_chunk_window_is_doc_keyed_and_cached(self, spark):
+        # the only window is the chunk-index prefix sum partitioned by
+        # the DOC id (per-task work = one document; the key cannot be
+        # hot) — never by chunk content; and the chunk table is read
+        # from cache so the explode+window lineage runs once
+        import re
+
+        spark.catalog.clearCache()
+        r = report(spark, "dedup_cdc_chunks")
+        specs = re.findall(r"windowspecdefinition\((\w+)", r.text)
+        assert specs and all(c.startswith("doc_id") for c in specs), specs
+        assert "InMemory" in r.text, r.text
+        assert r.num_sortmerge_joins == 0, r.text
+        spark.catalog.clearCache()
+
     def test_bigram_lm_model_tables_broadcast(self, spark):
         # unigram/continuation/pruned-bigram model tables must all
         # BROADCAST onto the gram stream; a sort-merge join would mean

@@ -104,3 +104,54 @@ class TestEventsFunnel:
         assert out[2].users == 1      # only u1's click follows its view in-window
         assert out[3].users == 1
         assert abs(out[2].conv_from_first - round(1 / 3, 4)) < 1e-9
+
+
+class TestCDCChunkDedup:
+    def test_insertion_resync_beats_fixed_windows(self, spark):
+        from optimus_any2any_spark.operators.dedup import (
+            cdc_chunk_dedup,
+            passage_dedup,
+        )
+
+        # doc 1 = doc 0 with ONE word inserted up front. CDC boundaries
+        # travel with the content, so after the insertion point doc 1's
+        # chunks re-align with doc 0's and dedup removes them; fixed
+        # windows shift by one word and share (almost) nothing.
+        base = " ".join(f"w{i}" for i in range(400))
+        rows = [(0, base), (1, "INSERTED " + base)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        cdc = {r.doc_id: r for r in cdc_chunk_dedup(df).collect()}
+        assert cdc[0].n_chunks_kept == cdc[0].n_chunks  # first doc intact
+        # the near-copy must lose the bulk of its chunks to resync
+        assert cdc[1].n_chunks_kept <= cdc[1].n_chunks // 4
+        assert cdc[1].clean_text.startswith("INSERTED")
+
+        fixed = {
+            r.doc_id: r
+            for r in passage_dedup(df, chunk_words=8).collect()
+        }
+        # fixed windows misalign: doc 1 keeps (nearly) everything —
+        # the failure mode CDC exists to fix
+        assert fixed[1].n_chunks_kept > cdc[1].n_chunks_kept * 4
+
+    def test_chunk_partition_invariance(self, spark):
+        from optimus_any2any_spark.operators.dedup import cdc_chunk_dedup
+
+        rows = [(i, " ".join(f"t{j % 13}x{(i * j) % 7}" for j in range(60)))
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(cdc_chunk_dedup(df.repartition(1)).collect())
+        b = sorted(cdc_chunk_dedup(df.repartition(7)).collect())
+        assert a == b
+
+    def test_reassembly_preserves_token_stream_of_kept_chunks(self, spark):
+        from optimus_any2any_spark.operators.dedup import cdc_chunk_dedup
+
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        row = cdc_chunk_dedup(df).collect()[0]
+        # single unique doc: nothing to drop, text reassembles exactly
+        assert row.clean_text == "a b c d e f g h i j"
+        assert row.n_chunks == row.n_chunks_kept
