@@ -16,11 +16,16 @@ Decode support is split honestly by dependency weight:
   stdlib ``zlib``, the five predictor filters are byte math. Feature
   extraction reads dimensions from IHDR without inflating; resize does
   the full decode → nearest-neighbor → re-encode round trip.
-- Remaining compressed formats (JPEG/mp3/video containers) are STUBBED
-  (PIL/libvips/ffmpeg absent in this environment): the UDFs raise
-  unless ``fake=True``, which derives deterministic pseudo-features
-  from the payload hash so the full pipeline shape stays exercisable
-  and oracle-checkable.
+- **Baseline JPEG payloads decode for real** — :mod:`..formats.jpeg`:
+  T.81 baseline on stdlib + numpy (Annex K tables, Huffman, DCT);
+  header-only dimension reads, full decode, resize re-encode. Flat
+  DC-only blocks are bit-exact quantizer fixed points, which is how a
+  LOSSY codec participates in the exact oracle gate.
+- Remaining compressed formats (mp3/video containers) are STUBBED
+  (ffmpeg absent in this environment): the UDFs raise unless
+  ``fake=True``, which derives deterministic pseudo-features from the
+  payload hash so the full pipeline shape stays exercisable and
+  oracle-checkable.
 """
 
 from __future__ import annotations
@@ -33,14 +38,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from optimus_any2any_spark.formats import jpeg as _jpeg
 from optimus_any2any_spark.formats import png as _png
 
 # Worker closures must be self-contained: the package is NOT on worker
 # PYTHONPATH when an external driver session runs us (see the verify
-# recipe's gotchas). Registering the codec module for BY-VALUE pickling
-# lets mapInPandas closures call formats.png directly — cloudpickle
+# recipe's gotchas). Registering the codec modules for BY-VALUE pickling
+# lets mapInPandas closures call formats.png/jpeg directly — cloudpickle
 # ships the module's code with the task instead of an import-by-name.
 cloudpickle.register_pickle_by_value(_png)
+cloudpickle.register_pickle_by_value(_jpeg)
 
 PAYLOAD_SCHEMA = T.StructType(
     [
@@ -126,11 +133,15 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
                 # real decode: dimensions live in IHDR — no inflate
                 w, h, _ct, _d = _png.png_header(payload)
                 return w, h
+            if _jpeg.is_jpeg(payload):
+                # real decode: SOF0 frame header — no entropy decode
+                w, h, _nc = _jpeg.jpeg_header(payload)
+                return w, h
             if not fake:
                 raise NotImplementedError(
-                    "compressed-image decode beyond PNG requires an "
-                    "imaging library not present in this environment "
-                    "(PPM/PNG decode natively)"
+                    "video-container decode requires a media library "
+                    "not present in this environment (PPM/PNG/JPEG "
+                    "decode natively)"
                 )
             h = _hl.md5(payload).hexdigest()
             return 64 + int(h[0], 16), 64 + int(h[1], 16)
@@ -219,17 +230,27 @@ def resize_images(
             out = img[ys][:, xs]
             return _png.encode_png(tw, th, out.tobytes(), color_type=ct)
 
+        def resize_jpeg(b: bytes) -> bytes:
+            w, h, nc, raw = _jpeg.decode_jpeg(b)
+            img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, nc)
+            ys = (np.arange(th) * h) // th
+            xs = (np.arange(tw) * w) // tw
+            out = img[ys][:, xs]
+            return _jpeg.encode_jpeg(tw, th, out.tobytes(), gray=nc == 1)
+
         def fake_resize(b: bytes) -> bytes:
             b = bytes(b)
             if b.startswith(b"P6") or b.startswith(b"P5"):
                 return resize_ppm(b)
             if _png.is_png(b):
                 return resize_png(b)
+            if _jpeg.is_jpeg(b):
+                return resize_jpeg(b)
             if not fake:
                 raise NotImplementedError(
-                    "compressed-image resize beyond PNG requires an "
-                    "imaging library not present in this environment "
-                    "(PPM/PNG resize natively)"
+                    "video-container resize requires a media library "
+                    "not present in this environment (PPM/PNG/JPEG "
+                    "resize natively)"
                 )
             return (b * (n_bytes // max(len(b), 1) + 1))[:n_bytes]
 
@@ -289,6 +310,102 @@ def attach_png_payload(
             )
 
     return base.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+def attach_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize a REAL baseline-JPEG payload per document: a 16x16
+    RGB image of four flat 8x8 gray blocks whose levels derive from the
+    doc's md5 — level_i = 112 + 2*hexdigit_i, even offsets from 128, so
+    each block is a bit-exact fixed point of the Annex K quantizer (see
+    :mod:`..formats.jpeg`) and a SQL oracle can predict the DECODED
+    pixels of a lossy codec exactly."""
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("hx")
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def build(hx: str) -> bytes:
+            img = np.empty((16, 16, 3), dtype=np.uint8)
+            for b in range(4):
+                v = 112 + 2 * int(hx[b], 16)
+                by, bx = divmod(b, 2)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = v
+            return _jpeg.encode_jpeg(16, 16, img.tobytes())
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["hx"].map(build),
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return base.mapInPandas(run, schema=PAYLOAD_SCHEMA)
+
+
+JPEG_LEVELS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("level_0", T.IntegerType()),
+        T.StructField("level_1", T.IntegerType()),
+        T.StructField("level_2", T.IntegerType()),
+        T.StructField("level_3", T.IntegerType()),
+    ]
+)
+
+
+def extract_jpeg_block_levels(df: DataFrame) -> DataFrame:
+    """FULL JPEG decode (Huffman + dequant + IDCT + color transform)
+    of the four-flat-block payloads, asserting in-UDF that every block
+    decoded perfectly flat and gray — then emitting the four levels,
+    which the oracle gate checks against the md5-derived expectation.
+    Any defect anywhere in the codec (a wrong Huffman bit, a transposed
+    IDCT, a color-matrix slip) breaks flatness or shifts a level."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def levels(b: bytes):
+            w, h, nc, raw = _jpeg.decode_jpeg(bytes(b))
+            img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, nc)
+            out = []
+            for blk in range(4):
+                by, bx = divmod(blk, 2)
+                tile = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :]
+                if not (tile == tile[0, 0, 0]).all():
+                    raise ValueError(
+                        "jpeg round trip lost block flatness — codec defect"
+                    )
+                out.append(int(tile[0, 0, 0]))
+            return w, h, out
+
+        for pdf in batches:
+            d = pdf["payload"].map(levels)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": d.map(lambda t: t[0]).astype("int32"),
+                    "height": d.map(lambda t: t[1]).astype("int32"),
+                    "level_0": d.map(lambda t: t[2][0]).astype("int32"),
+                    "level_1": d.map(lambda t: t[2][1]).astype("int32"),
+                    "level_2": d.map(lambda t: t[2][2]).astype("int32"),
+                    "level_3": d.map(lambda t: t[2][3]).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=JPEG_LEVELS_SCHEMA
+    )
 
 
 RAW_FEATURE_SCHEMA = T.StructType(

@@ -964,6 +964,7 @@ _BIGRAM_MIN_COUNT = 2
     "tables. All model joins broadcast; the only corpus-scale "
     "shuffle is the per-doc rollup. Per-token logs round at 6dp and "
     "accumulate in DECIMAL — bit-exact vs the oracle.",
+    bench=True,
 )
 def text_bigram_logprob(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
@@ -1667,6 +1668,52 @@ def multimodal_png_roundtrip(spark, sf_dir):
         extract_image_raw_features(attach_png_payload(d))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id, 16 AS width, 16 AS height,
+           112 + 2 * (strpos('0123456789abcdef',
+                             substr(md5(text), 1, 1)) - 1) AS level_0,
+           112 + 2 * (strpos('0123456789abcdef',
+                             substr(md5(text), 2, 1)) - 1) AS level_1,
+           112 + 2 * (strpos('0123456789abcdef',
+                             substr(md5(text), 3, 1)) - 1) AS level_2,
+           112 + 2 * (strpos('0123456789abcdef',
+                             substr(md5(text), 4, 1)) - 1) AS level_3
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="REAL baseline-JPEG codec round trip (formats/jpeg.py, T.81 on "
+    "stdlib+numpy): four flat 8x8 gray blocks with md5-derived even "
+    "levels encode on the executors, then fully decode — Huffman, "
+    "dequant, IDCT, YCbCr->RGB — and the per-block levels come back "
+    "bit-exact because even offsets from 128 are fixed points of the "
+    "Annex K quantizer (DC=8*(v-128) divides step 16; all AC vanish). "
+    "The UDF additionally asserts every decoded block is perfectly "
+    "flat, so ANY codec defect fails the query rather than shifting a "
+    "statistic. The oracle predicts the decoded pixels of a LOSSY "
+    "codec from md5 alone. Map-only, zero shuffle.",
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    from optimus_any2any_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        extract_jpeg_block_levels,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lv = extract_jpeg_block_levels(attach_jpeg_payload(d))
+    return lv.select(
+        "doc_id",
+        "width",
+        "height",
+        *[
+            # the oracle's strpos arithmetic yields BIGINT — match it
+            F.col(f"level_{i}").cast("long").alias(f"level_{i}")
+            for i in range(4)
+        ],
+    ).orderBy("doc_id")
 
 
 @register(
@@ -2515,6 +2562,7 @@ _SQL_TOKEN_HASH = (
     "aggregate; the chunk-index prefix sum is a DOC-keyed window "
     "(per-task work = one document, the partition key cannot be "
     "hot). Returns rebuilt clean text + chunk counts per doc.",
+    bench=True,
 )
 def dedup_cdc_chunks(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
@@ -3769,6 +3817,7 @@ _DSIR_B = 256  # hashed-feature buckets (Xie et al. use 10k at web scale)
     "stream, so the only corpus-scale shuffle is the per-doc rollup. "
     "Per-bucket ratios round at 6dp and per-doc sums accumulate in "
     "DECIMAL — bit-exact vs the oracle.",
+    bench=True,
 )
 def mix_dsir_importance(spark, sf_dir):
     from optimus_any2any_spark.operators.dedup import _base_hash

@@ -55,10 +55,13 @@ class TestPpmDecode:
     def test_compressed_format_still_raises_without_fake(self, spark):
         import pytest
 
+        # PNG and JPEG now decode for REAL; a video container is the
+        # remaining honest stub
         df = spark.createDataFrame(
-            [(1, b"\x89PNG....")], "doc_id long, payload binary"
+            [(1, b"\x00\x00\x00\x18ftypmp42....")],
+            "doc_id long, payload binary",
         )
-        with pytest.raises(Exception, match="imaging library"):
+        with pytest.raises(Exception, match="media library"):
             extract_features(df, fake_decode=False).collect()
 
 
