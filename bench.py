@@ -83,12 +83,13 @@ _SF1_QUERIES = [
 
 def _sf1_dir(spark, sf_dir: str) -> str:
     """Materialize a 10× scale-up of sf_dir's documents/embeddings under
-    /tmp (generated once, reused). Each replica's text gains a unique
-    suffix token so near-dup STRUCTURE is preserved rather than
-    inflated — 10 exact copies per doc would blow candidate-pair counts
-    up quadratically and measure the wrong thing. One decade of local
-    scale validates the capped-posting/aggregate-skew arguments
-    empirically (VERDICT r3 item 8)."""
+    /tmp (generated once, reused) at CONSTANT near-dup density: the
+    original, one genuine near-dup (5% token mutation, J≈0.8+), and
+    eight fully-distinct variants per source doc — so true pair output
+    grows linearly and the run measures operator scaling, not a
+    workload explosion. One decade of local scale validates the
+    capped-posting/aggregate-skew arguments empirically (VERDICT r3
+    item 8)."""
     from pyspark.sql import functions as F
 
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -97,12 +98,27 @@ def _sf1_dir(spark, sf_dir: str) -> str:
         return out
     reps = spark.range(10).select(F.col("id").alias("rep"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").crossJoin(reps)
-    text = F.concat(
-        F.col("text"),
-        F.lit(" u"),
-        F.col("rep").cast("string"),
-        F.lit("q"),
-        F.col("doc_id").cast("string"),
+    # Scaling must hold near-dup DENSITY constant, not inflate it: an
+    # earlier builder appended one suffix token per replica, leaving
+    # all 45 replica pairs per doc at Jaccard ~0.99 — true pair output
+    # grew ~100x and ngram_jaccard measured 47x at 10x data (the
+    # workload exploded, not the operator). Now: rep 0 = the original;
+    # rep 1 mutates every 20th token (J≈0.8+, ONE catchable near-dup
+    # per doc — output grows linearly); reps 2-9 mutate every OTHER
+    # token with replica-unique values, which puts a mutated position
+    # inside every 2-gram shingle — those replicas share no shingles
+    # with anything. Token count scales exactly 10x.
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stride = F.when(F.col("rep") == 1, F.lit(20)).otherwise(F.lit(2))
+    text = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                (F.col("rep") != 0) & (i % stride == F.col("rep") % stride),
+                F.format_string("u%sq%sx%s", F.col("rep"), F.col("doc_id"), i),
+            ).otherwise(x),
+        ),
+        " ",
     )
     docs.select(
         (F.col("doc_id") + F.col("rep") * F.lit(1_000_000_000)).alias(
@@ -209,11 +225,18 @@ def main() -> None:
             try:
                 d10 = _sf1_dir(spark, sf_dir)
                 all_q = all_queries()
+                # best-of-2: single 10-30s runs carry enough GC jitter
+                # to distort the scaling multiplier the spot-run exists
+                # to report
+                spot_reps = int(os.environ.get("SPARK_GRAFT_SF1_REPS", "2"))
                 for name in _SF1_QUERIES:
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    all_q[name].spark(spark, d10).count()
-                    sf1_times[name] = round(time.perf_counter() - t0, 4)
+                    samples = []
+                    for _ in range(spot_reps):
+                        spark.catalog.clearCache()
+                        t0 = time.perf_counter()
+                        all_q[name].spark(spark, d10).count()
+                        samples.append(time.perf_counter() - t0)
+                    sf1_times[name] = round(min(samples), 4)
                     ratio = (
                         sf1_times[name] / times[name]
                         if times.get(name)

