@@ -385,10 +385,16 @@ def connected_components(
     the next round. (At cluster scale prefer a reliable checkpoint dir
     if executor loss is a concern; the shape is identical.)
     """
+    # edges feed every propagation round (twice per round with the
+    # label join); persist once or each round re-derives the ENTIRE
+    # upstream candidate-pair pipeline (shingle explode, posting
+    # lists, verification) as lineage — measured 6.8s -> ~2s on the
+    # cluster-stats composite at sf0.1
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("a").alias("id"))

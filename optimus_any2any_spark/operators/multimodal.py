@@ -284,10 +284,14 @@ def attach_png_payload(
 
     The md5 is computed by Catalyst (JVM); only the PNG serialization
     crosses into the Arrow batch."""
+    from optimus_any2any_spark.operators.util import ensure_parallelism
+
     w, h = width, height
     nbytes = w * h * 3
     reps = nbytes // 32 + 1
-    base = df.select(
+    # same parallelism guard as attach_jpeg_payload: encode is
+    # CPU-bound Python work per payload
+    base = ensure_parallelism(df, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("hx")
     )
 
@@ -322,7 +326,11 @@ def attach_jpeg_payload(
     :mod:`..formats.jpeg`) and a SQL oracle can predict the DECODED
     pixels of a lossy codec exactly."""
 
-    base = df.select(
+    from optimus_any2any_spark.operators.util import ensure_parallelism
+
+    # per-image encode is CPU-bound Python: a one-file input would
+    # funnel every payload through ONE Arrow batch on one core
+    base = ensure_parallelism(df, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("hx")
     )
 
