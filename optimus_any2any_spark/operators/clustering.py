@@ -256,7 +256,9 @@ def kmeans_cluster_profile(
     One extra k-row aggregate on top of :func:`kmeans_assign` — the
     corpus is touched once.
     """
-    assigned = kmeans_assign(df, id_col, vec_col, k, iterations)
+    # the assignment feeds the stats aggregate AND the majority-label
+    # rollup — persist, or the Lloyd rounds run once per consumer
+    assigned = kmeans_assign(df, id_col, vec_col, k, iterations).persist()
     if label_col is not None:
         assigned = assigned.join(
             df.select(F.col(id_col), F.col(label_col).alias("lbl")), id_col

@@ -49,8 +49,18 @@ def q02_min_cost_supplier(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     p = load(spark, sf_dir, "part").filter(F.col("p_size").between(10, 15))
-    costs = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min("l_extendedprice").alias("price")
+    # push the part predicate BELOW both aggregates: the size filter
+    # keeps ~1/8 of parts, so the broadcast join prunes lineitem before
+    # any shuffle instead of after two full-fact aggregations (the
+    # per-part min over the filtered subset is identical — the filter
+    # is on the grouping key)
+    lp = l.join(
+        F.broadcast(p.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+    )
+    costs = lp.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("price"),
+        F.first("p_partkey").alias("p_partkey"),
     )
     best = costs.groupBy(F.col("l_partkey").alias("bk")).agg(
         F.min("price").alias("min_price")
@@ -61,10 +71,6 @@ def q02_min_cost_supplier(spark, sf_dir):
             (costs.l_partkey == best.bk) & (costs.price == best.min_price),
         )
         .join(F.broadcast(s), costs.l_suppkey == s.s_suppkey)
-        .join(
-            F.broadcast(p.select("p_partkey")),
-            costs.l_partkey == F.col("p_partkey"),
-        )
         .select(
             "p_partkey",
             "s_suppkey",
