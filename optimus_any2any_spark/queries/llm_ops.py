@@ -3450,6 +3450,80 @@ def kmeans_cluster_profile(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH v AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pos AS (SELECT unnest(range(1, 65)) AS p),
+    cells AS (
+      SELECT p1.p - 1 AS i, p2.p - 1 AS j, v.e[p1.p] AS xi, v.e[p2.p] AS xj
+      FROM v, pos p1, pos p2 WHERE p1.p <= p2.p
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round(CAST(SUM(CAST(xi AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_i,
+           round(CAST(SUM(CAST(xj AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_j,
+           round((CAST(SUM(CAST(xi * xj AS DECIMAL(38,12))) AS DOUBLE)
+                  - CAST(SUM(CAST(xi AS DECIMAL(38,12))) AS DOUBLE)
+                    * CAST(SUM(CAST(xj AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*))
+                 / COUNT(*), 6) AS cov
+    FROM cells GROUP BY i, j ORDER BY i, j
+    """,
+    doc="Corpus embedding covariance (upper triangle, population form) "
+    "— the statistic behind whitening, OPQ rotation training, and "
+    "drift monitoring. Each row contributes its d(d+1)/2 products; "
+    "map-side combine collapses every partition to <=2080 cells, so "
+    "the ONLY shuffle is cell-keyed — corpus rows never move. Sums in "
+    "DECIMAL(38,12): bit-identical on any partitioning and vs the "
+    "oracle.",
+)
+def embedding_covariance(spark, sf_dir):
+    from optimus_any2any_spark.operators.linalg import embedding_mean_cov
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_mean_cov(e).orderBy("i", "j")
+
+
+@register(
+    "embedding_whiten_identity",
+    oracle="""
+    WITH pos AS (SELECT unnest(range(0, 64)) AS p)
+    SELECT CAST(p1.p AS INT) AS i, CAST(p2.p AS INT) AS j,
+           CASE WHEN p1.p = p2.p THEN 1.0 ELSE 0.0 END AS cov_w
+    FROM pos p1, pos p2 WHERE p1.p <= p2.p ORDER BY i, j
+    """,
+    doc="ZCA whitening verified by its defining identity: the corpus "
+    "is whitened (driver-side 64x64 eigh of the DECIMAL-exact "
+    "covariance; one numpy matmul per Arrow batch) and the WHITENED "
+    "corpus's covariance is re-measured distributed — it must be the "
+    "identity matrix to 3 decimals, which the oracle states literally. "
+    "This checks the whole chain (covariance, eigh, transform, "
+    "re-aggregation) without pinning eigenvector sign conventions. "
+    "Scale: two corpus scans, cell-keyed shuffles only, d x d driver "
+    "work.",
+)
+def embedding_whiten_identity(spark, sf_dir):
+    from optimus_any2any_spark.operators.linalg import (
+        embedding_mean_cov,
+        whiten_embeddings,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    w = whiten_embeddings(e, eps=1e-9)
+    cells = embedding_mean_cov(w, id_col="id", vec_col="whitened")
+    return cells.select(
+        "i",
+        "j",
+        # +0.0 folds IEEE -0.0 into 0.0 before the value hash
+        (F.round(F.col("cov"), 3) + F.lit(0.0)).alias("cov_w"),
+    ).orderBy("i", "j")
+
+
 _SEMDEDUP_EPS = 0.4
 
 

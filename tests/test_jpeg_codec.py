@@ -159,3 +159,58 @@ class TestSparkWiring:
         assert (w, h, nc) == (8, 8, 3)
         # flat fixed-point image survives decode->resize->re-encode
         assert out == bytes([130]) * (8 * 8 * 3)
+
+
+class TestPropertyFuzz:
+    def test_random_flat_block_grids_stay_exact(self):
+        """Any grid of flat 8x8 blocks at even offsets from 128 must
+        round-trip bit-exact — the quantizer fixed-point argument,
+        fuzzed over grid sizes and level choices."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            bw=st.integers(1, 4),
+            bh=st.integers(1, 4),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(bw, bh, seed):
+            import numpy as np
+
+            rng = np.random.default_rng(seed)
+            img = np.empty((bh * 8, bw * 8, 3), dtype=np.uint8)
+            for by in range(bh):
+                for bx in range(bw):
+                    v = 128 + 2 * int(rng.integers(-32, 33))
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = v
+            j = encode_jpeg(bw * 8, bh * 8, img.tobytes())
+            got = decode_jpeg(j)
+            assert got == (bw * 8, bh * 8, 3, img.tobytes())
+
+        check()
+
+    def test_random_images_decode_within_quant_error(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            w=st.integers(1, 24),
+            h=st.integers(1, 24),
+            seed=st.integers(0, 2**31 - 1),
+            ri=st.sampled_from([0, 0, 1, 3]),
+        )
+        def check(w, h, seed, ri):
+            import numpy as np
+
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            j = encode_jpeg(w, h, img.tobytes(), restart_interval=ri)
+            dw, dh, nc, out = decode_jpeg(j)
+            assert (dw, dh, nc) == (w, h, 3)
+            dec = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+            rmse = (
+                ((dec.astype(float) - img.astype(float)) ** 2).mean()
+            ) ** 0.5
+            assert rmse < 75, rmse
+
+        check()

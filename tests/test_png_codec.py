@@ -173,3 +173,32 @@ class TestSparkWiring:
         row = extract_image_raw_features(df).collect()[0]
         assert row.raw_sha256 == hashlib.sha256(raw).hexdigest()
         assert (row.width, row.height, row.channels) == (8, 8, 3)
+
+
+class TestPropertyFuzz:
+    def test_random_images_roundtrip(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 21),
+            h=st.integers(1, 17),
+            ct=st.sampled_from([0, 2, 6]),
+            seed=st.integers(0, 2**31 - 1),
+            mode=st.sampled_from(["per_row", "uniform"]),
+        )
+        def check(w, h, ct, seed, mode):
+            import numpy as np
+
+            ch = {0: 1, 2: 3, 6: 4}[ct]
+            rng = np.random.default_rng(seed)
+            raw = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+            if mode == "per_row":
+                filters = [int(x) % 5 for x in rng.integers(0, 5, h)]
+            else:
+                filters = int(rng.integers(0, 5))
+            png = encode_png(w, h, raw, color_type=ct, filters=filters)
+            got = decode_png(png)
+            assert got == (w, h, ct, raw)
+
+        check()
