@@ -27,6 +27,12 @@ PROBES = [
     "dedup_passage",           # global first-occurrence window + rebuild
     "sample_temperature_lang", # per-lang running sum + fp budget alloc
     "shard_balanced_assignment",  # global size-rank round-robin
+    "dedup_cdc_chunks",        # content-cut prefix sums + min-struct
+    "dedup_semantic_trained",  # Lloyd rounds + pairwise cosine ties
+    "text_bigram_logprob",     # decimal log-prob sums, model broadcasts
+    "mix_dsir_importance",     # hashed-bucket ratios + decimal rollup
+    "embedding_covariance",    # decimal product sums, cell shuffle
+    "multimodal_jpeg_roundtrip",  # codec determinism through Arrow
 ]
 
 
