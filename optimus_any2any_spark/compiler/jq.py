@@ -143,6 +143,19 @@ def _tokenize(src: str) -> list[str]:
 _CMP = {"==": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
 
+_DBL_MAX = 1.7976931348623157e308
+
+
+def _jq_math_edges(col: Column) -> Column:
+    """jq 1.6 math edges (probed): NaN results print as null
+    (-1|sqrt -> null, -2|log -> null); infinities clamp to +/-DBL_MAX
+    (0|log -> -1.7976931348623157e+308, 1e308|exp -> +DBL_MAX)."""
+    clamped = F.least(
+        F.greatest(col, F.lit(-_DBL_MAX)), F.lit(_DBL_MAX)
+    )
+    return F.when(F.isnan(col), F.lit(None)).otherwise(clamped)
+
+
 def _kind_of_dtype(dtype) -> str:
     """Map a Spark DataType to a jq value kind for arithmetic checks.
 
@@ -751,6 +764,88 @@ class _ExprParser:
             return F.transform(subject, lambda x: elem(x)[0]), out_kind
         if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
             return self._by_funcs(name, subject, kind)
+        if name == "indices" and self.peek() == "(":
+            # ARRAY indices with LITERAL needle (argument filters run
+            # against the piped input in jq, so a field-path argument
+            # would diverge — literals only). Scalar needle: positions
+            # of null-safe-equal elements ([1,null,2]|indices(null) ->
+            # [1], probed); null input -> null (probed). Array needle:
+            # every start of a matching subsequence INCLUDING overlaps
+            # ([1,2,1,2,1]|indices([1,2,1]) -> [0,2], probed); on a
+            # null input jq ERRORS ("Cannot index null with array") —
+            # here it reads null instead, the same total-function
+            # relaxation as native paths (documented; value-dependent
+            # errors cannot be proven away at compile time). String
+            # indices are byte-offset, non-overlapping — a different
+            # algorithm; binary path.
+            if kind not in ("complex_num", "complex_str"):
+                raise JQUnsupported(
+                    f"jq: indices native only on provable arrays "
+                    f"(kind {kind!r})"
+                )
+            self.expect("(")
+            toks, _ = self._capture_until((")",))
+            elem_t = "int" if kind == "complex_num" else "string"
+
+            def lit_of(tok: str):
+                if tok.startswith('"'):
+                    return json.loads(tok), "string"
+                if re.fullmatch(r"-?\d+", tok):
+                    return int(tok), "int"
+                if tok == "null":
+                    return None, "null"
+                raise JQUnsupported(
+                    "jq: indices needs a literal needle (argument "
+                    "filters see the piped input)"
+                )
+
+            def none_on_null(mk) -> Column:
+                # null|indices(x) -> null (probed); everything else
+                # evaluates against the non-null array
+                return F.when(subject.isNull(), F.lit(None)).otherwise(mk)
+
+            empty = F.array().cast("array<int>")
+            if len(toks) == 1:
+                v, vk = lit_of(toks[0])
+                if vk not in (elem_t, "null"):
+                    # jq: type-mismatched needle matches nothing
+                    return none_on_null(empty), "complex_num"
+                pos = F.filter(
+                    F.sequence(F.lit(0), F.size(subject) - 1),
+                    lambda i: F.get(subject, i).eqNullSafe(F.lit(v)),
+                )
+                return (
+                    none_on_null(
+                        F.when(F.size(subject) == 0, empty).otherwise(pos)
+                    ),
+                    "complex_num",
+                )
+            if toks and toks[0] == "[" and toks[-1] == "]":
+                vals = []
+                for tk in toks[1:-1]:
+                    if tk == ",":
+                        continue
+                    v, vk = lit_of(tk)
+                    if vk != elem_t:
+                        return none_on_null(empty), "complex_num"
+                    vals.append(v)
+                if not vals:
+                    raise JQUnsupported("jq: indices([]) — binary path")
+                m = len(vals)
+                needle = F.array(*[F.lit(v) for v in vals])
+                pos = F.filter(
+                    F.sequence(F.lit(0), F.size(subject) - m),
+                    lambda i: F.slice(subject, i + 1, m) == needle,
+                )
+                return (
+                    none_on_null(
+                        F.when(F.size(subject) < m, empty).otherwise(pos)
+                    ),
+                    "complex_num",
+                )
+            raise JQUnsupported(
+                "jq: indices needs a literal scalar or literal array"
+            )
         if name in ("any", "all") and self.peek() == "(":
             # any(f)/all(f): the condition filter runs with '.' bound to
             # each element (jq truthiness: null and false are falsy)
@@ -1335,6 +1430,23 @@ class _ExprParser:
             # ints; Spark's floor/ceil return LongType); fabs keeps
             # its operand's kind
             return fn(subject), ("int" if name != "fabs" else kind)
+        if name in ("sqrt", "exp", "log", "log10") and not args:
+            # NOT log2: jq links C log2() while Spark evaluates
+            # log(x)/log(2) — last-ulp divergence (probed: 100|log2 is
+            # ...724 in jq vs ...725 here), so log2 stays on the
+            # binary. sqrt/exp/log/log10 map to the same libm calls
+            # via java.lang.Math and match bit-for-bit.
+            if kind not in ("int", "number"):
+                raise JQUnsupported(
+                    f"jq: {name} on unprovable kind {kind!r} (need number)"
+                )
+            fn = {
+                "sqrt": F.sqrt,
+                "exp": F.exp,
+                "log": F.log,
+                "log10": F.log10,
+            }[name]
+            return _jq_math_edges(fn(subject.cast("double"))), "number"
         if name == "round" and not args:
             if kind == "int":
                 return subject, "int"
@@ -2116,6 +2228,31 @@ class _ExprParser:
         return _kind_of_dtype(dtype)
 
     def parse_func(self, name: str) -> tuple[Column, str]:
+        if name == "pow" and self.peek() == "(":
+            # pow(x; y) ignores its piped input; in expression position
+            # the argument filters evaluate against the CURRENT input,
+            # so column arguments compile faithfully here
+            self.next()
+            a, ak = self.parse_alt()
+            while self.peek() == "|":
+                self.next()
+                a, ak = self.parse_piped(a, ak)
+            self.expect(";")
+            b, bk = self.parse_alt()
+            while self.peek() == "|":
+                self.next()
+                b, bk = self.parse_piped(b, bk)
+            self.expect(")")
+            if ak not in ("int", "number") or bk not in ("int", "number"):
+                raise JQUnsupported(
+                    f"jq: pow on unprovable kinds ({ak!r}, {bk!r})"
+                )
+            return (
+                _jq_math_edges(
+                    F.pow(a.cast("double"), b.cast("double"))
+                ),
+                "number",
+            )
         if name == "has":
             # has("k") against a DataFrame: sources normalize ragged
             # JSON into schema columns with absent → NULL, and the

@@ -1408,3 +1408,91 @@ class TestNestedAssignmentDel:
     def test_divergent_edges_route_to_binary(self, df6, program):
         with pytest.raises(JQUnsupported):
             translate_jq(df6, program)
+
+
+class TestMathAndIndices:
+    """Round-4 natives: libm family (sqrt/exp/log/log2/log10/pow) with
+    jq 1.6's probed edges (NaN -> null, infinities clamped to
+    ±DBL_MAX), and array indices() (null-safe element match,
+    overlap-inclusive subsequence match, null input -> null)."""
+
+    ROWS = [
+        {"id": 1, "n": 4, "d": 100.0, "xs": [1, 2, 1, 2, 1],
+         "ss": ["a", "b", "a"]},
+        {"id": 2, "n": -1, "d": 0.0, "xs": [2, None, 2], "ss": []},
+        {"id": 3, "n": 0, "d": 0.25, "xs": [], "ss": ["b"]},
+        # NOTE: no null xs/ss row here — jq ERRORS on
+        # null|indices([..]) where the native path reads null (the
+        # documented total-function relaxation, pinned below)
+        {"id": 4, "n": 9, "d": 1.0, "xs": [2], "ss": ["a"]},
+    ]
+
+    @pytest.fixture(scope="class")
+    def mdf(self, spark):
+        return spark.createDataFrame(
+            self.ROWS,
+            "id long, n long, d double, xs array<long>, ss array<string>",
+        )
+
+    PROGRAMS = [
+        ".[] | {id: .id, r: (.n | sqrt)}",        # sqrt(-1) -> null
+        ".[] | {id: .id, r: (.d | log)}",         # log(0) -> -DBL_MAX
+        ".[] | {id: .id, r: (.d | log10)}",
+        ".[] | {id: .id, r: (.n | exp)}",
+        ".[] | {id: .id, r: pow(.n; 2)}",
+        ".[] | {id: .id, r: pow(2; .n)}",
+        ".[] | {id: .id, r: pow(.n; 0.5)}",       # pow(-1;0.5) -> null
+        ".[] | {id: .id, r: (.xs | indices(2))}",
+        ".[] | {id: .id, r: (.xs | indices(null))}",
+        ".[] | {id: .id, r: (.xs | indices([1,2,1]))}",  # overlaps
+        ".[] | {id: .id, r: (.xs | indices([2]))}",
+        '.[] | {id: .id, r: (.ss | indices("a"))}',
+        '.[] | {id: .id, r: (.xs | indices("zz"))}',  # type mismatch
+    ]
+
+    @pytest.mark.parametrize("program", PROGRAMS)
+    def test_matches_jq_binary(self, spark, mdf, program):
+        out = translate_jq(mdf, program)
+        got = sorted(spark_rows(out), key=lambda r: r["id"])
+        want = sorted(
+            (
+                {k: v for k, v in r.items() if v is not None}
+                for r in jq_oracle(program, self.ROWS)
+            ),
+            key=lambda r: r["id"],
+        )
+        assert got == want, program
+
+    def test_log2_falls_back_on_ulp_divergence(self, mdf):
+        # jq's C log2 vs Spark's log(x)/log(2): last-ulp difference
+        # (probed) — binary path, never a silently-off double
+        with pytest.raises(JQUnsupported):
+            translate_jq(mdf, ".[] | {r: (.d | log2)}")
+
+    def test_null_input_total_relaxation(self, spark):
+        # scalar needle: null|indices(2) -> null in BOTH jq and native
+        # (probed); array needle: jq errors, native reads null — the
+        # same total-function relaxation as native paths, asserted
+        # here so the divergence stays deliberate and visible
+        df = spark.createDataFrame(
+            [(1, None)], "id long, xs array<long>"
+        )
+        for prog in (
+            ".[] | {id: .id, r: (.xs | indices(2))}",
+            ".[] | {id: .id, r: (.xs | indices([1,2]))}",
+        ):
+            row = translate_jq(df, prog).collect()[0]
+            assert row.r is None, prog
+
+    def test_field_needle_falls_back(self, mdf):
+        # indices(.n): jq evaluates the needle filter against the piped
+        # ARRAY (erroring) — a root-record compile would silently
+        # diverge, so it must route to the binary
+        with pytest.raises(JQUnsupported):
+            translate_jq(mdf, ".[] | {r: (.xs | indices(.n))}")
+
+    def test_string_input_indices_falls_back(self, mdf):
+        # string indices are BYTE offsets with non-overlap advance — a
+        # different algorithm kept on the binary path
+        with pytest.raises(JQUnsupported):
+            translate_jq(mdf, '.[] | {r: ("aaaa" | indices("aa"))}')
