@@ -3887,8 +3887,9 @@ _DSIR_B = 256  # hashed-feature buckets (Xie et al. use 10k at web scale)
       FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
     )
     SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-           round({o_dsum('lr.w')}, 4) AS dsir_logweight,
-           {o_dsum('lr.w')} > 0 AS selected
+           CAST(round(SUM(CAST(lr.w AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS dsir_logweight,
+           SUM(CAST(lr.w AS DECIMAL(18,6))) > 0 AS selected
     FROM hb JOIN lr USING (b)
     GROUP BY hb.doc_id ORDER BY hb.doc_id
     """,
@@ -3958,14 +3959,19 @@ def mix_dsir_importance(spark, sf_dir):
             ).alias("w"),
         )
     )
-    logw = dsum(F.col("w"))
+    # round the DECIMAL sum BEFORE casting to double: Spark's
+    # round(double) rounds the shortest decimal string
+    # (BigDecimal.valueOf) while DuckDB rounds the binary value, and
+    # they disagree exactly on .xxxx5-boundary sums (hit at sf0.1).
+    # Decimal rounding is exact in both engines.
+    logw_dec = F.sum(F.col("w").cast("decimal(18,6)"))
     return (
         hb.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.round(logw, 4).alias("dsir_logweight"),
-            (logw > 0).alias("selected"),
+            F.round(logw_dec, 4).cast("double").alias("dsir_logweight"),
+            (logw_dec > 0).alias("selected"),
         )
         .orderBy("doc_id")
     )

@@ -36,6 +36,18 @@ def dsum(col: Column, scale: int = 6) -> Column:
     DuckDB oracle's ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``
     bit-for-bit. The per-row double→decimal cast is deterministic on both
     engines (round-half-up at scale ``s``).
+
+    CAUTION — rounding the result to FEWER digits than ``scale``:
+    ``round(dsum(x), k)`` with k < scale rounds a DOUBLE, and Spark
+    rounds the double's shortest decimal string (BigDecimal.valueOf)
+    while DuckDB rounds its binary value — they disagree exactly on
+    .5-boundary sums (hit in mix_dsir_importance at sf0.1). Round the
+    DECIMAL before the double cast instead:
+    ``F.round(F.sum(x.cast("decimal(18,s)")), k).cast("double")`` with
+    the oracle's ``CAST(round(SUM(CAST(x AS DECIMAL(18,s))), k) AS
+    DOUBLE)`` — decimal rounding is exact in both engines. Rounding at
+    k == scale is safe (the cast double's shortest string IS the
+    decimal).
     """
     return F.sum(col.cast(T.DecimalType(18, scale))).cast("double")
 
