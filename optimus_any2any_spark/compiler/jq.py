@@ -27,8 +27,14 @@ docs/rfc_002). Here:
   grammar), ``map_values`` (the same machinery), literal
   ``getpath`` with jq's exact missing-vs-scalar-walk edges,
   stage-level variable bindings (``EXPR as $x | ...`` as
-  hidden snapshot columns that survive reshapes), and ``try/catch``
-  on the provable error⇔null class — straight to Catalyst expressions:
+  hidden snapshot columns that survive reshapes), ``try/catch``
+  on the provable error⇔null class, the libm family
+  (``sqrt``/``exp``/``log``/``log10`` and ``pow(x; y)`` with jq 1.6's
+  probed edges — NaN→null, infinities clamped to ±DBL_MAX; ``log2``
+  stays on the binary: its C call vs a log-ratio evaluation differs
+  in the last ulp), and array ``indices`` (null-safe element match,
+  overlap-inclusive subsequence match, literal needles only) —
+  straight to Catalyst expressions:
   whole-stage-codegen'd, no Python in the hot path, globally (not
   per-batch) semantic. ``reduce .[]`` folds the whole batch, so it
   stays on the binary path below.
