@@ -610,6 +610,115 @@ def streaming_minhash_dedup(
     )
 
 
+def streaming_passage_dedup(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming EXACT passage dedup: the cross-batch twin of
+    ``operators.dedup.passage_dedup``.
+
+    Each micro-batch chunks its documents into ``chunk_words``-word
+    passages, keeps each passage's first occurrence — first within the
+    batch (the same min-struct aggregate as the batch operator, never a
+    content-keyed window), and only if its md5 is NOT already in the
+    accumulated passage store — then rebuilds cleaned documents from
+    the survivors and appends the batch's novel passage hashes to the
+    store.
+
+    State is the passage-HASH store (parquet, ``batch=<id>`` overwrite
+    dirs → at-least-once foreachBatch retries are idempotent, same
+    discipline as :func:`streaming_minhash_dedup`): O(distinct
+    passages) rows of 32-byte hashes, independent of document length —
+    passages' text never enters state. The per-batch anti-join probes
+    the store with only the NEW batch's (hash) keys; at 100 TB of
+    accumulated state that is a shuffle of batch-sized probe keys
+    against a bucketable store, and the store layout can move to the
+    manifest table (:mod:`.manifest_table`) unchanged.
+
+    Ingesting live crawl + backfill through the SAME dedup state is
+    the operational win over batch passage dedup: a passage seen in
+    any earlier batch is boilerplate for every later one.
+    """
+
+    def per_batch(batch: DataFrame, batch_id: int):
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        cw = chunk_words
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        n_chunks = F.ceil(F.size(toks) / F.lit(cw)).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * cw + 1, cw)),
+        )
+        exploded = (
+            batch.select(
+                F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+            )
+            .withColumn("h", F.md5(F.col("chunk").cast("binary")))
+            .localCheckpoint(eager=True)  # feeds first-occ, flags, store
+        )
+        first = exploded.groupBy("h").agg(
+            F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__f")
+        )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            known = spark.read.parquet(store_path).select("h")
+            fresh = first.join(known, "h", "left_anti")
+        else:
+            fresh = first
+        fresh = fresh.localCheckpoint(eager=True)  # flags join + store
+        flagged = exploded.join(fresh, "h", "left").select(
+            F.col(id_col),
+            "chunk_idx",
+            "chunk",
+            (
+                F.col("__f").isNotNull()
+                & (F.col(f"__f.{id_col}") == F.col(id_col))
+                & (F.col("__f.chunk_idx") == F.col("chunk_idx"))
+            ).cast("int").alias("keep"),
+        )
+        out = (
+            flagged.groupBy(id_col)
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("chunk_idx", "keep", "chunk")
+                                )
+                            ),
+                            lambda s: s["keep"] == 1,
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                ).alias("clean_text"),
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.sum("keep").cast("long").alias("n_chunks_kept"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        fresh.select("h").write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curation_pipeline_to_parquet(
     stream: DataFrame,
     path: str,

@@ -819,3 +819,97 @@ class TestStreamingCuration:
             map(tuple, expect.collect())
         )
         assert 0 < got.count() < len(docs)  # filter actually filtered
+
+
+class TestStreamingPassageDedup:
+    def test_cross_batch_passage_removed_and_first_kept(self, spark, tmp_path):
+        import json
+
+        from optimus_any2any_spark.streaming.streams import (
+            stream_source,
+            streaming_passage_dedup,
+        )
+
+        # 5-word chunks; P = one full boilerplate chunk
+        P = "alpha beta gamma delta epsilon"
+        src = tmp_path / "in"
+        src.mkdir()
+        # batch 1: doc 1 carries P + own tail chunk; doc 2 repeats P
+        # IN-batch (must lose it to doc 1's first occurrence)
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": P + " one two three four five"},
+                    {"doc_id": 2, "text": P + " six seven eight nine ten"},
+                ]
+            )
+        )
+        # batch 2: doc 3 repeats P ACROSS the batch gap
+        (src / "b.json").write_text(
+            json.dumps(
+                {"doc_id": 3, "text": P + " alt war cat dog fox"}
+            )
+        )
+        q = streaming_passage_dedup(
+            stream_source(
+                spark,
+                str(src),
+                "doc_id long, text string",
+                max_files_per_trigger=1,
+            ),
+            store_path=str(tmp_path / "store"),
+            out_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ckpt"),
+            chunk_words=5,
+        )
+        q.awaitTermination()
+        got = {
+            r["doc_id"]: r
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        }
+        assert got[1].clean_text == P + " one two three four five"
+        assert got[1].n_chunks == 2 and got[1].n_chunks_kept == 2
+        # in-batch repeat dropped
+        assert got[2].clean_text == "six seven eight nine ten"
+        assert (got[2].n_chunks, got[2].n_chunks_kept) == (2, 1)
+        # cross-batch repeat dropped
+        assert got[3].clean_text == "alt war cat dog fox"
+        assert (got[3].n_chunks, got[3].n_chunks_kept) == (2, 1)
+        # store holds each distinct passage hash exactly once
+        store = spark.read.parquet(str(tmp_path / "store"))
+        assert store.count() == store.select("h").distinct().count() == 4
+
+    def test_restart_is_idempotent(self, spark, tmp_path):
+        import json
+
+        from optimus_any2any_spark.streaming.streams import (
+            stream_source,
+            streaming_passage_dedup,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            json.dumps({"doc_id": 1, "text": "p q r s t u v w x y"})
+        )
+        kwargs = dict(
+            store_path=str(tmp_path / "store"),
+            out_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ckpt"),
+            chunk_words=5,
+        )
+        for _ in range(2):  # second run: checkpoint replays nothing
+            q = streaming_passage_dedup(
+                stream_source(
+                    spark, str(src), "doc_id long, text string",
+                    max_files_per_trigger=1,
+                ),
+                **kwargs,
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert out.count() == 1
+        row = out.collect()[0]
+        assert row.n_chunks == 2 and row.n_chunks_kept == 2
+        assert spark.read.parquet(str(tmp_path / "store")).count() == 2
