@@ -71,13 +71,14 @@ _SF1_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_jaccard_skewed",
     "dedup_ngram_jaccard",
-    "ann_ivf_topk",
     "dedup_span_exact",
-    # dedup_semantic_trained is deliberately absent: its per-cluster
-    # pairwise cost is quadratic at FIXED k (the registered query pins
-    # k=8 for the oracle), and the scale story is "grow k with the
-    # corpus" — a 10x run at constant k would measure the documented
-    # anti-pattern, not the operator.
+    # dedup_semantic_trained and ann_ivf_topk are deliberately absent:
+    # both are quadratic at FIXED partition granularity (k=8 clusters /
+    # 64 IVF cells, pinned by their oracles), and their scale story is
+    # "grow k / n_cells with the corpus" (FAISS trains ~sqrt(n) cells).
+    # A 10x run at constant granularity would measure the documented
+    # anti-pattern, not the operator — confirmed empirically: ivf ran
+    # 16x at 10x data while every posting-list dedup stayed at 2.5-4x.
 ]
 
 
