@@ -99,3 +99,95 @@ def pack_concat_chunks(
             )
         ).alias("spans_boundary"),
     )
+
+
+def pack_bins_nfd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+    capacity: int = 512,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Next-fit-decreasing bin packing for UNSPLITTABLE documents —
+    the "example packing" layout (SFT/multipack): each bin is one
+    context window, a document never straddles bins, and a document
+    that does not fit the current bin's remaining space closes it.
+    Decreasing order keeps big documents together so small ones fill
+    the tail, the standard waste-reduction for greedy packers.
+
+    Distributed shape: docs rank globally by (tokens DESC, id) via the
+    shuffle-free offset rank (``metadata.with_record_index_and_total``
+    — range partition + per-partition offsets, no global window), the
+    rank splits into ``n_chunks`` contiguous ranges with closed-form
+    boundaries (rank*P//N), and the inherently SEQUENTIAL next-fit
+    scan runs per chunk inside one Arrow batch (``applyInPandas`` —
+    state is two integers, never corpus-sized). Bins never cross
+    chunks, so parallelism costs at most one partially-filled bin per
+    chunk — waste bounded by P·capacity tokens corpus-wide, the
+    explicit price of parallelizing a sequential packer. At 100 TB
+    grow P with the cluster; determinism holds because chunk
+    boundaries and the in-chunk scan order are exact functions of the
+    rank.
+
+    Oversize documents (tokens > capacity) get a bin of their own
+    (fill > capacity — visible downstream, never silently truncated).
+
+    Returns ``(id, n_tokens, rank, chunk, bin)`` where bin =
+    chunk * 1_000_000 + local bin index.
+    """
+    from pyspark.sql import types as T
+
+    from optimus_any2any_spark.metadata import with_record_index_and_total
+
+    base = df.select(F.col(id_col).alias("id"), F.col(ntok_col).alias("n"))
+    ranked, total = with_record_index_and_total(
+        base, col="rank", order_by=[F.desc("n"), F.asc("id")]
+    )
+    if total == 0:
+        return ranked.select(
+            F.col("id"),
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("rank").cast("long"),
+            F.lit(0).cast("int").alias("chunk"),
+            F.lit(0).cast("long").alias("bin"),
+        ).limit(0)
+    ranked = ranked.withColumn(
+        "chunk", (F.col("rank") * n_chunks / F.lit(total)).cast("int")
+    )
+    cap = capacity
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("chunk", T.IntegerType()),
+            T.StructField("bin", T.LongType()),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("rank")
+        bins = []
+        bin_local, fill = 0, 0
+        for n in pdf["n"]:
+            if fill > 0 and fill + n > cap:
+                bin_local += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(bin_local)
+        chunk = int(pdf["chunk"].iloc[0])
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].astype("int64"),
+                "n_tokens": pdf["n"].astype("int64"),
+                "rank": pdf["rank"].astype("int64"),
+                "chunk": chunk,
+                "bin": [chunk * 1_000_000 + b for b in bins],
+            }
+        )
+
+    return ranked.groupBy("chunk").applyInPandas(pack, schema=schema)

@@ -2151,6 +2151,77 @@ def contamination_4gram(spark, sf_dir):
 # Sequence packing & leakage accounting ---------------------------------------
 
 
+_NFD_CAP = 512
+_NFD_CHUNKS = 8
+
+
+@register(
+    "seq_packing_bins",
+    oracle=rf"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n,
+             CAST(row_number() OVER (ORDER BY n DESC, doc_id) - 1
+               AS BIGINT) AS rank
+      FROM tok
+    ),
+    tot AS (SELECT COUNT(*) AS N FROM ranked),
+    ch AS (
+      SELECT r.doc_id, r.n, r.rank,
+             CAST(r.rank * {_NFD_CHUNKS} // tot.N AS INT) AS chunk,
+             CAST(row_number() OVER (
+               PARTITION BY CAST(r.rank * {_NFD_CHUNKS} // tot.N AS INT)
+               ORDER BY r.rank) - 1 AS BIGINT) AS p
+      FROM ranked r CROSS JOIN tot
+    ),
+    st AS (
+      SELECT chunk, p, doc_id, n, rank,
+             CAST(0 AS BIGINT) AS bin_local, n AS fill
+      FROM ch WHERE p = 0
+      UNION ALL
+      SELECT c.chunk, c.p, c.doc_id, c.n, c.rank,
+             CASE WHEN s.fill > 0 AND s.fill + c.n > {_NFD_CAP}
+                  THEN s.bin_local + 1 ELSE s.bin_local END,
+             CASE WHEN s.fill > 0 AND s.fill + c.n > {_NFD_CAP}
+                  THEN c.n ELSE s.fill + c.n END
+      FROM st s JOIN ch c ON c.chunk = s.chunk AND c.p = s.p + 1
+    )
+    SELECT doc_id, n AS n_tokens, rank, chunk,
+           CAST(chunk * 1000000 + bin_local AS BIGINT) AS bin
+    FROM st ORDER BY doc_id
+    """,
+    doc="Next-fit-decreasing bin packing for UNSPLITTABLE documents — "
+    "the example-packing/multipack layout (one bin = one context "
+    "window, no doc straddles a boundary, oversize docs get their own "
+    "over-full bin, never a silent truncation). Docs rank globally by "
+    "(tokens DESC, id) via the shuffle-free offset rank, the rank "
+    "splits into contiguous chunks with closed-form boundaries, and "
+    "the inherently sequential next-fit scan runs per chunk inside "
+    "one Arrow batch with two integers of state — bins never cross "
+    "chunks, so parallelizing costs at most one partial bin per "
+    "chunk. The oracle replays the identical scan as a recursive CTE, "
+    "proving the distributed decomposition changes nothing.",
+)
+def seq_packing_bins(spark, sf_dir):
+    from optimus_any2any_spark.operators.packing import pack_bins_nfd
+
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    counts = d.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return pack_bins_nfd(
+        counts,
+        ntok_col="n_tokens",
+        capacity=_NFD_CAP,
+        n_chunks=_NFD_CHUNKS,
+    ).orderBy("id").withColumnRenamed("id", "doc_id")
+
+
 @register(
     "seq_packing_4096",
     oracle=r"""

@@ -72,3 +72,52 @@ def test_pack_no_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line:
             assert "__pid" in line, line  # always partition-local
+
+
+class TestNfdBins:
+    def test_capacity_respected_and_no_straddle(self, spark):
+        from optimus_any2any_spark.operators.packing import pack_bins_nfd
+
+        rows = [(i, 100 + (i * 37) % 300) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = pack_bins_nfd(df, capacity=512, n_chunks=4)
+        pdf = out.toPandas()
+        assert len(pdf) == 40
+        fills = pdf.groupby("bin")["n_tokens"].sum()
+        # every doc here is <= capacity, so no bin may exceed it
+        assert (fills <= 512).all(), fills[fills > 512]
+        # decreasing order within chunks: rank ordering is by size desc
+        by_rank = pdf.sort_values("rank")["n_tokens"].to_numpy()
+        assert (by_rank[:-1] >= by_rank[1:]).all()
+
+    def test_oversize_doc_gets_own_bin(self, spark):
+        from optimus_any2any_spark.operators.packing import pack_bins_nfd
+
+        df = spark.createDataFrame(
+            [(1, 9000), (2, 100), (3, 100)], "doc_id long, n_tokens long"
+        )
+        pdf = pack_bins_nfd(df, capacity=512, n_chunks=1).toPandas()
+        big_bin = pdf[pdf.id == 1].bin.iloc[0]
+        others = pdf[pdf.id != 1]
+        assert (others.bin != big_bin).all()
+        assert others.bin.nunique() == 1  # the two small docs share
+
+    def test_partition_invariance(self, spark):
+        from optimus_any2any_spark.operators.packing import pack_bins_nfd
+
+        rows = [(i, 50 + (i * 13) % 200) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        a = sorted(pack_bins_nfd(df.repartition(1), capacity=256).collect())
+        b = sorted(pack_bins_nfd(df.repartition(7), capacity=256).collect())
+        assert a == b
+
+    def test_waste_bound_vs_sequential(self, spark):
+        """Chunked NFD may open at most n_chunks-1 extra bins vs the
+        fully sequential scan — the documented parallelism price."""
+        from optimus_any2any_spark.operators.packing import pack_bins_nfd
+
+        rows = [(i, 30 + (i * 7) % 250) for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        seq = pack_bins_nfd(df, capacity=512, n_chunks=1).toPandas()
+        par = pack_bins_nfd(df, capacity=512, n_chunks=8).toPandas()
+        assert par.bin.nunique() <= seq.bin.nunique() + 7
