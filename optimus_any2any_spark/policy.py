@@ -44,12 +44,53 @@ def retry(
 
 
 def check_connectivity(host: str, port: int, timeout_s: float = 3.0) -> bool:
-    """Dry-run TCP reachability check (internal/ext/net/check.go:84-121)."""
+    """Dry-run TCP reachability check (internal/ext/net/check.go:41-47)."""
     try:
         with socket.create_connection((host, port), timeout=timeout_s):
             return True
     except OSError:
         return False
+
+
+def parse_conn_address(address: str) -> tuple[str, int]:
+    """The address-parsing half of the reference's ConnCheck
+    (internal/ext/net/check.go:11-40): a URL form takes hostname +
+    explicit port, else the scheme default (http=80, https=443, any
+    other scheme without a port is an error); a non-URL form must be
+    host:port (IPv6 bracketed). Raises ValueError exactly where the
+    reference returns an error."""
+    from urllib.parse import urlsplit
+
+    u = urlsplit(address)
+    if u.netloc:
+        host = u.hostname or ""
+        port = u.port
+        if port is None:
+            if u.scheme == "http":
+                port = 80
+            elif u.scheme == "https":
+                port = 443
+            else:
+                raise ValueError("unsupported scheme")
+        return host, int(port)
+    # host:port (net.SplitHostPort): bracketed IPv6 supported
+    if address.startswith("["):
+        host, sep, rest = address[1:].partition("]:")
+        if not sep or not rest.isdigit():
+            raise ValueError(f"address {address}: missing port in address")
+        return host, int(rest)
+    host, sep, port_s = address.rpartition(":")
+    if not sep or not host or not port_s.isdigit():
+        raise ValueError(f"address {address}: missing port in address")
+    return host, int(port_s)
+
+
+def conn_check(address: str, timeout_s: float = 3.0) -> bool:
+    """Full ConnCheck parity: parse the address (URL or host:port),
+    then the TCP dial. Unparseable addresses raise (the reference's
+    error return); unreachable ones return False."""
+    host, port = parse_conn_address(address)
+    return check_connectivity(host, port, timeout_s=timeout_s)
 
 
 def explain_validate(df) -> str:

@@ -913,3 +913,56 @@ class TestStreamingPassageDedup:
         row = out.collect()[0]
         assert row.n_chunks == 2 and row.n_chunks_kept == 2
         assert spark.read.parquet(str(tmp_path / "store")).count() == 2
+
+
+class TestConnCheckParity:
+    """Address-format matrix from the reference's own check_test.go
+    (internal/ext/net/check_test.go:10-26) plus the parse edges of
+    check.go:11-40."""
+
+    def test_url_format_default_port(self):
+        from optimus_any2any_spark.policy import parse_conn_address
+
+        assert parse_conn_address("http://localhost/hello") == (
+            "localhost", 80,
+        )
+        assert parse_conn_address("https://example.com/x") == (
+            "example.com", 443,
+        )
+
+    def test_url_format_explicit_port(self):
+        from optimus_any2any_spark.policy import parse_conn_address
+
+        assert parse_conn_address("http://localhost:8081") == (
+            "localhost", 8081,
+        )
+
+    def test_host_port_format(self):
+        from optimus_any2any_spark.policy import parse_conn_address
+
+        assert parse_conn_address("localhost:8080") == ("localhost", 8080)
+        assert parse_conn_address("[::1]:8080") == ("::1", 8080)
+
+    def test_unsupported_scheme_errors(self):
+        import pytest
+
+        from optimus_any2any_spark.policy import parse_conn_address
+
+        with pytest.raises(ValueError, match="unsupported scheme"):
+            parse_conn_address("ftp://example.com/file")
+
+    def test_missing_port_errors(self):
+        import pytest
+
+        from optimus_any2any_spark.policy import parse_conn_address
+
+        with pytest.raises(ValueError, match="missing port"):
+            parse_conn_address("localhost")
+
+    def test_conn_check_refused_is_false(self):
+        from optimus_any2any_spark.policy import conn_check
+
+        # the reference's cases dial refused local ports; here the
+        # parse succeeds and the dial cleanly reports unreachable
+        assert conn_check("localhost:1", timeout_s=0.3) is False
+        assert conn_check("http://localhost:1", timeout_s=0.3) is False
