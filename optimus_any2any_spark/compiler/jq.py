@@ -149,6 +149,22 @@ def _tokenize(src: str) -> list[str]:
 _CMP = {"==": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
 
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _ascii_case(col: Column, up: bool) -> Column:
+    """jq's ascii_upcase/ascii_downcase map ONLY a-z/A-Z (probed:
+    'héllo'|ascii_upcase == 'HéLLO' in jq 1.6); Spark's upper()/lower()
+    are full Unicode (É) — a silent divergence hypothesis caught on
+    the non-ASCII generator. translate() is the exact ASCII-only map."""
+    return (
+        F.translate(col, _ASCII_LOWER, _ASCII_UPPER)
+        if up
+        else F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+    )
+
+
 _DBL_MAX = 1.7976931348623157e308
 
 
@@ -1408,9 +1424,7 @@ class _ExprParser:
             )
         if name in ("ascii_downcase", "ascii_upcase") and not args:
             need("string")
-            return (
-                F.lower(subject) if name == "ascii_downcase" else F.upper(subject)
-            ), "string"
+            return _ascii_case(subject, name == "ascii_upcase"), "string"
         if name == "tonumber" and not args:
             # jq: tonumber("5") prints 5, a double cast prints 5.0 —
             # integer-vs-float output divergence, so binary path only
@@ -2452,9 +2466,9 @@ def _apply_func(name: str, args: list[Column]) -> Column:
     if name == "tostring":
         return args[0].cast("string")
     if name == "ascii_downcase":
-        return F.lower(args[0])
+        return _ascii_case(args[0], False)
     if name == "ascii_upcase":
-        return F.upper(args[0])
+        return _ascii_case(args[0], True)
     if name == "floor":
         return F.floor(args[0])
     if name == "ceil":
