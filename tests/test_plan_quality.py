@@ -430,6 +430,22 @@ class TestRound3Plans:
 
 
 class TestRound4Plans:
+    def test_codec_roundtrips_map_only(self, spark):
+        # the codec queries' scale claim is "zero shuffle, zero join":
+        # two chained MapInPandas stages over a parallelized scan plus
+        # the presentation sort ONLY
+        for name in ("multimodal_png_roundtrip", "multimodal_jpeg_roundtrip"):
+            r = report(spark, name)
+            assert "Join" not in r.text, (name, r.text)
+            assert r.text.count("MapInPandas") >= 2, (name, r.text)
+
+    def test_nfd_packing_no_global_window(self, spark):
+        # ranking comes from the offset-rank machinery (range partition
+        # + ExistingRDD checkpoint), never a global row_number window
+        r = report(spark, "seq_packing_bins")
+        assert "Window" not in r.text, r.text
+        assert "ExistingRDD" in r.text, r.text
+
     def test_cdc_chunk_window_is_doc_keyed_and_cached(self, spark):
         # the only window is the chunk-index prefix sum partitioned by
         # the DOC id (per-task work = one document; the key cannot be
