@@ -136,7 +136,6 @@ def whiten_embeddings(
     mean, cov = _collect_mean_cov(df, id_col, vec_col)
     lam, u = np.linalg.eigh(cov)
     w_mat = (u * (1.0 / np.sqrt(lam + eps))) @ u.T
-    d = len(mean)
 
     from pyspark.sql import types as T
 
@@ -163,6 +162,4 @@ def whiten_embeddings(
         F.col(id_col).cast("long").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    out = base.mapInPandas(run, schema=schema)
-    assert d == len(mean_c)
-    return out
+    return base.mapInPandas(run, schema=schema)
