@@ -59,6 +59,8 @@ def pagerank(
         .distinct()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty edge list: no nodes, empty rank table
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_w = e.groupBy("src").agg(
         F.sum(F.col("w").cast(_DEC)).cast("double").alias("outw")
     )

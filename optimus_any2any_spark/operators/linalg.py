@@ -103,6 +103,10 @@ def _collect_mean_cov(df: DataFrame, id_col: str, vec_col: str):
         )
         .collect()
     )
+    if not rows:  # empty corpus: 0-dim model, caller emits no rows
+        import numpy as _np
+
+        return _np.zeros(0), _np.zeros((0, 0))
     d = max(r["j"] for r in rows) + 1
     mean = np.zeros(d)
     cov = np.zeros((d, d))
@@ -134,8 +138,6 @@ def whiten_embeddings(
     import numpy as np
 
     mean, cov = _collect_mean_cov(df, id_col, vec_col)
-    lam, u = np.linalg.eigh(cov)
-    w_mat = (u * (1.0 / np.sqrt(lam + eps))) @ u.T
 
     from pyspark.sql import types as T
 
@@ -145,6 +147,10 @@ def whiten_embeddings(
             T.StructField("whitened", T.ArrayType(T.DoubleType())),
         ]
     )
+    if mean.size == 0:
+        return df.sparkSession.createDataFrame([], schema)
+    lam, u = np.linalg.eigh(cov)
+    w_mat = (u * (1.0 / np.sqrt(lam + eps))) @ u.T
     mean_c, w_c = mean.copy(), w_mat.copy()
 
     def run(batches):

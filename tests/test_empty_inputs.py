@@ -1,0 +1,40 @@
+"""Every registered query must run (0 rows, stable schema) on EMPTY
+input tables — empty partitions, fresh days, and filtered-to-nothing
+sources are normal operating conditions at pipeline scale, not an
+error path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from optimus_any2any_spark.queries import all_queries
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in TABLES:
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    return dst
+
+
+def test_every_query_survives_empty_tables(spark, empty_dir):
+    failures = []
+    for name, q in sorted(all_queries().items()):
+        try:
+            q.spark(spark, empty_dir).count()
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            failures.append(f"{name}: {str(e).splitlines()[0][:110]}")
+        finally:
+            spark.catalog.clearCache()
+    assert not failures, "\n".join(failures)
