@@ -164,7 +164,11 @@ def whiten_embeddings(
                 {"id": pdf["id"], "whitened": list(out)}
             )
 
-    base = ensure_parallelism(df, F.col(id_col)).select(
+    # null vectors contribute nothing to the model (the explode drops
+    # them) and cannot be transformed — excluded from the output too
+    base = ensure_parallelism(
+        df.filter(F.col(vec_col).isNotNull()), F.col(id_col)
+    ).select(
         F.col(id_col).cast("long").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )

@@ -72,7 +72,10 @@ def attach_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Materialize an opaque binary payload column (here: utf-8 bytes of
-    the text — a deterministic stand-in for real media bytes)."""
+    the text — a deterministic stand-in for real media bytes). NULL
+    documents carry no payload and are dropped, matching the oracles'
+    ``WHERE text IS NOT NULL``."""
+    df = df.filter(F.col(text_col).isNotNull())
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
@@ -291,7 +294,9 @@ def attach_png_payload(
     reps = nbytes // 32 + 1
     # same parallelism guard as attach_jpeg_payload: encode is
     # CPU-bound Python work per payload
-    base = ensure_parallelism(df, F.col(id_col)).select(
+    base = ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull()), F.col(id_col)
+    ).select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("hx")
     )
 
@@ -330,7 +335,9 @@ def attach_jpeg_payload(
 
     # per-image encode is CPU-bound Python: a one-file input would
     # funnel every payload through ONE Arrow batch on one core
-    base = ensure_parallelism(df, F.col(id_col)).select(
+    base = ensure_parallelism(
+        df.filter(F.col(text_col).isNotNull()), F.col(id_col)
+    ).select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("hx")
     )
 

@@ -43,9 +43,11 @@ def avg_word_len(col: Column) -> Column:
 
 
 def digit_ratio(col: Column) -> Column:
+    # greatest(len,1): an EMPTY string must score ratio 0, not throw
+    # ANSI divide-by-zero (Spark) while the oracle returns inf (DuckDB)
     return (
         F.length(F.regexp_replace(col, r"[^0-9]", "")).cast("double")
-        / F.length(col)
+        / F.greatest(F.length(col), F.lit(1))
     )
 
 
@@ -53,7 +55,7 @@ def punct_ratio(col: Column) -> Column:
     # char class kept simple so the SQL oracle mirrors it exactly
     return (
         F.length(F.regexp_replace(col, r"[^.,!?;:]", "")).cast("double")
-        / F.length(col)
+        / F.greatest(F.length(col), F.lit(1))
     )
 
 

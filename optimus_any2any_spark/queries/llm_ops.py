@@ -769,7 +769,7 @@ def embedding_centroids(spark, sf_dir):
            CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
              / len(toks) AS avg_word_len,
            CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-             / length(text) AS digit_ratio
+             / greatest(length(text), 1) AS digit_ratio
     FROM t
     ORDER BY doc_id
     """,
@@ -1066,9 +1066,9 @@ def _sql_lang_hits(lang: str) -> str:
              CAST({_sql_lang_hits('en')} AS DOUBLE)
                / len({_SQL_TOKENS}) AS stop_ratio,
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-               / length(text) AS digit_r,
+               / greatest(length(text), 1) AS digit_r,
              CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-               / length(text) AS punct_r
+               / greatest(length(text), 1) AS punct_r
       FROM documents
     )
     SELECT doc_id, lang_declared,
@@ -1604,7 +1604,7 @@ def embedding_quantize_int8(spark, sf_dir):
            sha256(text) AS sha256,
            64 + (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) AS width,
            64 + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS height
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
     doc="Multimodal-column plumbing: opaque binary payload + "
@@ -1632,7 +1632,7 @@ def multimodal_features(spark, sf_dir):
                               1, 784)) AS BIGINT) AS byte_len,
            sha256(substr(repeat(text, 784 // greatest(length(text), 1) + 1),
                          1, 784)) AS payload_sha
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
     doc="Multimodal resize plumbing: binary→binary mapInPandas with "
@@ -1657,7 +1657,7 @@ def multimodal_resize(spark, sf_dir):
     oracle="""
     SELECT doc_id, 8 AS width, 8 AS height, 3 AS channels,
            sha256(repeat(md5(text), 6)) AS raw_sha256
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
     doc="REAL compressed-image codec round trip (formats/png.py, "
@@ -1694,7 +1694,7 @@ def multimodal_png_roundtrip(spark, sf_dir):
                              substr(md5(text), 3, 1)) - 1) AS level_2,
            112 + 2 * (strpos('0123456789abcdef',
                              substr(md5(text), 4, 1)) - 1) AS level_3
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     ORDER BY doc_id
     """,
     doc="REAL baseline-JPEG codec round trip (formats/jpeg.py, T.81 on "
@@ -1784,9 +1784,9 @@ def multimodal_frame_sample(spark, sf_dir):
              CAST({_sql_lang_hits('en')} AS DOUBLE)
                / len({_SQL_TOKENS}) AS stop_ratio,
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-               / length(text) AS digit_r,
+               / greatest(length(text), 1) AS digit_r,
              CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-               / length(text) AS punct_r
+               / greatest(length(text), 1) AS punct_r
       FROM kept
     ),
     quality AS (
@@ -2160,7 +2160,8 @@ _NFD_CHUNKS = 8
     oracle=rf"""
     WITH RECURSIVE tok AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+             CAST(coalesce(len(string_split_regex(trim(text), '\s+')), 0)
+               AS BIGINT) AS n
       FROM documents
     ),
     ranked AS (
@@ -2212,7 +2213,10 @@ def seq_packing_bins(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
     counts = d.select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+        "doc_id",
+        # NULL text packs as a 0-token doc (mirrored by the oracle's
+        # coalesce) instead of poisoning the scan with NaN fill state
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
     )
     return pack_bins_nfd(
         counts,
@@ -2753,9 +2757,9 @@ _SQL_QUALITY_Q = f"""
                            / len({_SQL_TOKENS}) * 4.0, 1.0) * 0.4
                    + greatest(0.0, 1.0
                        - CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                              AS DOUBLE) / length(text) * 5.0
+                              AS DOUBLE) / greatest(length(text), 1) * 5.0
                        - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                              AS DOUBLE) / length(text) * 5.0) * 0.3,
+                              AS DOUBLE) / greatest(length(text), 1) * 5.0) * 0.3,
                    6) AS q
       FROM documents
     )
@@ -2951,7 +2955,7 @@ def minhash_estimate_vs_exact(spark, sf_dir):
     SELECT s.doc_id,
            round(CAST(SUM(s.term) AS DOUBLE), 4) AS char_entropy_bits,
            round(CAST(len(string_split_regex(trim(d.text), '\s+')) AS DOUBLE)
-                 / length(d.text), 4) AS tokens_per_char
+                 / greatest(length(d.text), 1), 4) AS tokens_per_char
     FROM terms s JOIN documents d ON d.doc_id = s.doc_id
     GROUP BY s.doc_id, d.text
     ORDER BY s.doc_id
@@ -2985,7 +2989,7 @@ def doc_char_entropy(spark, sf_dir):
         "doc_id",
         F.round(
             TX.token_count(F.col("text")).cast("double")
-            / F.length("text"),
+            / F.greatest(F.length("text"), F.lit(1)),
             4,
         ).alias("tokens_per_char"),
     )

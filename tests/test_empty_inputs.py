@@ -38,3 +38,39 @@ def test_every_query_survives_empty_tables(spark, empty_dir):
         finally:
             spark.catalog.clearCache()
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def nullrows_dir(spark, tmp_path_factory):
+    """sf0.001 plus rows a real NDJSON source produces: NULL text /
+    lang / embedding, and an EMPTY-string document."""
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("nullrows_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "documents":
+            extra = spark.createDataFrame(
+                [(999001, None, None, None, None),
+                 (999002, "", "en", "web", 0)],
+                schema=df.schema,
+            )
+            df = df.unionByName(extra)
+        elif t == "embeddings":
+            extra = spark.createDataFrame(
+                [(999001, None, None)], schema=df.schema
+            )
+            df = df.unionByName(extra)
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    return dst
+
+
+def test_every_query_survives_null_rows(spark, nullrows_dir):
+    failures = []
+    for name, q in sorted(all_queries().items()):
+        try:
+            q.spark(spark, nullrows_dir).count()
+        except Exception as e:  # noqa: BLE001 - collecting a report
+            failures.append(f"{name}: {str(e).splitlines()[0][:110]}")
+        finally:
+            spark.catalog.clearCache()
+    assert not failures, "\n".join(failures)
