@@ -60,6 +60,11 @@ def nullrows_dir(spark, tmp_path_factory):
                 [(999001, None, None)], schema=df.schema
             )
             df = df.unionByName(extra)
+        elif t == "events":
+            extra = spark.createDataFrame(
+                [tuple([None] * len(df.columns))], schema=df.schema
+            )
+            df = df.unionByName(extra)
         df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
     return dst
 
