@@ -609,3 +609,46 @@ class TestApiSourcePipelines:
             ("ID", "7"),
             ("SG", "3"),
         ]
+
+
+class TestJqMathPipeline:
+    def test_libm_and_pow_native_end_to_end(self, spark, tmp_path):
+        """Round-4 jq natives (sqrt/pow with jq's NaN->null edge) run
+        natively through the full FILE->JQ->FILE pipeline and match
+        the jq binary's values, including the negative-input null."""
+        import subprocess
+
+        from optimus_any2any_spark.compiler.jq import translate_jq
+
+        rows = [
+            {"id": 1, "x": 16},
+            {"id": 2, "x": -4},   # sqrt -> null in jq 1.6
+            {"id": 3, "x": 2},
+        ]
+        src = tmp_path / "in.json"
+        write_ndjson(src, rows)
+        out = tmp_path / "out.json"
+        program = ".[] | {id: .id, r: (.x | sqrt), p: pow(.x; 2)}"
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"FILE__DESTINATION_URI=file://{out}",
+                f"JQ__QUERY={program}",
+            ],
+            environ={},
+        )
+        translate_jq(
+            spark.createDataFrame(rows, "id long, x long"), program
+        )  # native path accepts it
+        Pipeline(spark, "FILE", ["FILE"], cfg).run()
+        got = {r["id"]: r for r in (json.loads(l) for l in open(out))}
+        want_raw = subprocess.run(
+            ["jq", "-c", program],
+            input=json.dumps(rows).encode(),
+            stdout=subprocess.PIPE,
+            check=True,
+        ).stdout.decode()
+        want = {r["id"]: r for r in map(json.loads, want_raw.splitlines())}
+        for i in want:
+            assert got[i].get("r") == want[i].get("r"), (got[i], want[i])
+            assert got[i].get("p") == want[i].get("p"), (got[i], want[i])
