@@ -1729,6 +1729,48 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_metadata",
+    oracle="""
+    SELECT doc_id, 'isom' AS brand,
+           CAST(length(text) AS BIGINT) AS duration_ms,
+           1 AS n_tracks,
+           16 * (strpos('0123456789abcdef',
+                        substr(md5(text), 1, 1))) AS width,
+           16 * (strpos('0123456789abcdef',
+                        substr(md5(text), 2, 1))) AS height
+    FROM documents WHERE text IS NOT NULL
+    ORDER BY doc_id
+    """,
+    doc="REAL MP4 container metadata round trip (formats/mp4.py, "
+    "ISO-BMFF box walking on stdlib struct): a sample-free container "
+    "is built per doc (duration ticks = n_chars at timescale 1000, "
+    "one video track with md5-derived tkhd dimensions), then parsed "
+    "back — ftyp brand, mvhd duration math, trak/tkhd 16.16 "
+    "fixed-point dims — and the oracle predicts every field from the "
+    "doc alone. Frame DECODE stays honestly stubbed (needs ffmpeg); "
+    "this is the metadata half a curation pipeline actually reads. "
+    "Map-only, zero shuffle.",
+)
+def multimodal_video_metadata(spark, sf_dir):
+    from optimus_any2any_spark.operators.multimodal import (
+        attach_mp4_payload,
+        extract_video_metadata,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    meta = extract_video_metadata(attach_mp4_payload(d))
+    return meta.select(
+        "doc_id",
+        "brand",
+        "duration_ms",
+        F.col("n_tracks").cast("int").alias("n_tracks"),
+        # oracle strpos arithmetic: 16*(digit+1) == 16*strpos (1-based)
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    ).orderBy("doc_id")
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH f AS (

@@ -55,10 +55,10 @@ class TestPpmDecode:
     def test_compressed_format_still_raises_without_fake(self, spark):
         import pytest
 
-        # PNG and JPEG now decode for REAL; a video container is the
-        # remaining honest stub
+        # PNG/JPEG decode and MP4 containers parse for REAL; an mp3
+        # frame stream is the remaining honest stub
         df = spark.createDataFrame(
-            [(1, b"\x00\x00\x00\x18ftypmp42....")],
+            [(1, b"\xff\xfb\x90\x44" + b"\x00" * 32)],
             "doc_id long, payload binary",
         )
         with pytest.raises(Exception, match="media library"):
