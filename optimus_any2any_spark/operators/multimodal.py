@@ -25,7 +25,10 @@ Decode support is split honestly by dependency weight:
   ISO-BMFF box walking gives brand, timescale, duration, and per-track
   dimensions with stdlib byte math; frame DECODE stays a stub (H.264
   needs ffmpeg-class dependencies).
-- Remaining codec work (mp3 frames, video sample decode) is STUBBED
+- **MP3 frame headers parse for real** — :mod:`..formats.mp3`:
+  bitrate/sample-rate/frame-count/duration from the 4-byte header
+  walk, ID3v2 skipped by its syncsafe size.
+- Remaining codec work (AV SAMPLE decode) is STUBBED
   (ffmpeg absent in this environment): the UDFs raise unless
   ``fake=True``, which derives deterministic pseudo-features from the
   payload hash so the full pipeline shape stays exercisable and
@@ -43,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from optimus_any2any_spark.formats import jpeg as _jpeg
+from optimus_any2any_spark.formats import mp3 as _mp3
 from optimus_any2any_spark.formats import mp4 as _mp4
 from optimus_any2any_spark.formats import png as _png
 
@@ -54,6 +58,7 @@ from optimus_any2any_spark.formats import png as _png
 cloudpickle.register_pickle_by_value(_png)
 cloudpickle.register_pickle_by_value(_jpeg)
 cloudpickle.register_pickle_by_value(_mp4)
+cloudpickle.register_pickle_by_value(_mp3)
 
 PAYLOAD_SCHEMA = T.StructType(
     [
@@ -721,9 +726,12 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
 
     WAV (RIFF/PCM) payloads decode for REAL via the stdlib ``wave``
     module — sample rate, channels, frame count, duration, and int16
-    RMS energy (the standard silence/clipping screen) — no audio
-    library needed. Other containers (mp3/ogg/flac) fall back to the
-    deterministic pseudo-feature stub under ``fake_decode`` or raise.
+    RMS energy (the standard silence/clipping screen). MP3 payloads
+    parse their frame headers for REAL (:mod:`..formats.mp3`): rate,
+    channels, frame count, duration — RMS is null there since it needs
+    sample decode, the honest stub. Other containers (ogg/flac) fall
+    back to the deterministic pseudo-feature stub under
+    ``fake_decode`` or raise.
     """
     fake = fake_decode
 
@@ -753,10 +761,24 @@ def extract_audio_features(df: DataFrame, fake_decode: bool = True) -> DataFrame
                     ).astype(np.float64)
                 rms = float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
                 return sr, ch, nf, (nf * 1000) // max(sr, 1), round(rms, 6)
+            if _mp3.is_mp3(b):
+                # REAL frame-header walk (formats/mp3.py): rate,
+                # channels, frame count, duration — RMS needs sample
+                # decode (the honest stub), reported as null (the NaN
+                # crosses Arrow as null)
+                m = _mp3.parse_mp3(b)
+                return (
+                    m["sample_rate"],
+                    1 if m["channel_mode"] == "mono" else 2,
+                    m["n_frames"],
+                    m["duration_ms"],
+                    float("nan"),
+                )
             if not fake:
                 raise NotImplementedError(
-                    "compressed-audio decode requires an audio library not "
-                    "present in this environment (WAV decodes natively)"
+                    "compressed-audio SAMPLE decode requires an audio "
+                    "library not present in this environment (WAV decodes "
+                    "natively; MP3 frame headers parse natively)"
                 )
             h = _hl.md5(b).hexdigest()
             sr = 8000 * (1 + int(h[0], 16) % 3)

@@ -117,3 +117,52 @@ class TestSparkWiring:
         assert got[2].brand == "y4m "
         assert (got[2].width, got[2].height) == (4, 2)
         assert got[2].duration_ms is None
+
+
+class TestMp3Headers:
+    def test_cbr_walk_counts_frames_and_duration(self):
+        from optimus_any2any_spark.formats.mp3 import (
+            build_mp3_frames,
+            parse_mp3,
+        )
+
+        m = parse_mp3(build_mp3_frames(38, 128, 44100))
+        assert (m["n_frames"], m["bitrate_kbps"], m["sample_rate"]) == (
+            38, 128, 44100,
+        )
+        # 38 frames * 1152 samples at 44100 Hz
+        assert m["duration_ms"] == 38 * 1152 * 1000 // 44100
+
+    def test_id3v2_tag_skipped_by_syncsafe_size(self):
+        from optimus_any2any_spark.formats.mp3 import (
+            build_mp3_frames,
+            parse_mp3,
+        )
+
+        m = parse_mp3(build_mp3_frames(3, 64, 32000, id3_padding=200))
+        assert m["n_frames"] == 3 and m["sample_rate"] == 32000
+
+    def test_garbage_rejected(self):
+        import pytest
+
+        from optimus_any2any_spark.formats.mp3 import parse_mp3
+
+        with pytest.raises(ValueError):
+            parse_mp3(b"\x00" * 64)
+
+    def test_audio_features_reads_mp3_headers(self, spark):
+        from optimus_any2any_spark.formats.mp3 import build_mp3_frames
+        from optimus_any2any_spark.operators.multimodal import (
+            extract_audio_features,
+        )
+
+        payload = build_mp3_frames(20, 128, 44100)
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        r = extract_audio_features(df, fake_decode=False).collect()[0]
+        assert r.sample_rate == 44100
+        assert r.n_channels == 1
+        assert r.n_frames == 20
+        assert r.duration_ms == 20 * 1152 * 1000 // 44100
+        assert r.rms is None  # sample decode honestly stubbed
