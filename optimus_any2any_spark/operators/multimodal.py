@@ -550,6 +550,76 @@ def extract_video_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash_hex", T.StringType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REALLY decoded images: full
+    codec decode (PNG / baseline JPEG / PPM-PGM), integer grayscale,
+    nearest-neighbor 8x8 downsample, then bit i = pixel_i strictly
+    above the mean — packed row-major, x=0 as each row byte's MSB, as
+    16 hex chars. Pure integer comparisons (pixel*64 > sum), so the
+    fingerprint is bit-exact across engines and partitionings; the
+    classic near-dup key for image corpora (pHash family), robust to
+    re-encoding because it is computed from DECODED pixels, not bytes.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def ahash(b: bytes) -> str:
+            b = bytes(b)
+            if _png.is_png(b):
+                w, h, ct, raw = _png.decode_png(b)
+                ch = {0: 1, 2: 3, 6: 4}[ct]
+            elif _jpeg.is_jpeg(b):
+                w, h, ch, raw = _jpeg.decode_jpeg(b)
+            elif b.startswith(b"P6") or b.startswith(b"P5"):
+                header, rest = b.split(b"\n", 1)
+                dims, rest = rest.split(b"\n", 1)
+                _mx, raw = rest.split(b"\n", 1)
+                w, h = (int(x) for x in dims.split())
+                ch = 3 if header == b"P6" else 1
+                raw = raw[: w * h * ch]
+            else:
+                raise NotImplementedError(
+                    "ahash needs a decodable image (PNG/JPEG/PPM/PGM)"
+                )
+            img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+            gray = img[:, :, :3].mean(axis=2).astype(np.int64) if ch >= 3 \
+                else img[:, :, 0].astype(np.int64)
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(8) * w) // 8
+            g8 = gray[ys][:, xs]
+            total = int(g8.sum())
+            bits = (g8 * 64 > total).astype(np.uint8)
+            out = 0
+            for y in range(8):
+                byte = 0
+                for x in range(8):
+                    byte = (byte << 1) | int(bits[y, x])
+                out = (out << 8) | byte
+            return "%016x" % out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash_hex": pdf["payload"].map(ahash),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )
+
+
 RAW_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1729,6 +1729,74 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
 
 @register(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             112 + 2 * (strpos('0123456789abcdef',
+                               substr(md5(text), 1, 1)) - 1) AS v0,
+             112 + 2 * (strpos('0123456789abcdef',
+                               substr(md5(text), 2, 1)) - 1) AS v1,
+             112 + 2 * (strpos('0123456789abcdef',
+                               substr(md5(text), 3, 1)) - 1) AS v2,
+             112 + 2 * (strpos('0123456789abcdef',
+                               substr(md5(text), 4, 1)) - 1) AS v3
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bits AS (
+      SELECT doc_id,
+             CASE WHEN 4 * v0 > v0+v1+v2+v3 THEN 'f' ELSE '0' END AS b0,
+             CASE WHEN 4 * v1 > v0+v1+v2+v3 THEN 'f' ELSE '0' END AS b1,
+             CASE WHEN 4 * v2 > v0+v1+v2+v3 THEN 'f' ELSE '0' END AS b2,
+             CASE WHEN 4 * v3 > v0+v1+v2+v3 THEN 'f' ELSE '0' END AS b3
+      FROM v
+    ),
+    hx AS (
+      SELECT doc_id,
+             repeat(b0 || b1, 4) || repeat(b2 || b3, 4) AS ahash_hex
+      FROM bits
+    )
+    SELECT doc_id, ahash_hex,
+           CAST(COUNT(*) OVER (PARTITION BY ahash_hex) AS BIGINT)
+             AS n_sharing
+    FROM hx ORDER BY doc_id
+    """,
+    doc="Perceptual image dedup key over REALLY decoded JPEGs: each "
+    "doc's four-flat-block payload is JPEG-encoded, fully decoded "
+    "(Huffman+IDCT), grayscaled, 8x8-downsampled, and average-hashed "
+    "— bit i set iff pixel_i*64 > sum (strict integer compare). The "
+    "oracle predicts the 64-bit fingerprint from md5 digits alone: "
+    "each 8x8 quadrant of the decoded image is one flat level, so the "
+    "hash is four quadrant bits expanded to hex — any codec or "
+    "downsample defect flips hex chars. n_sharing counts docs with "
+    "identical perceptual keys (exact-dedup on the hash; at corpus "
+    "scale near-dup goes through the SimHash banded-Hamming "
+    "machinery, which consumes exactly this fingerprint). Codec work "
+    "is map-only; the key count is one map-side-combinable aggregate.",
+)
+def multimodal_image_ahash(spark, sf_dir):
+    from optimus_any2any_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        image_ahash,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    # the hash table feeds the count aggregate AND the join back —
+    # persist, or the JPEG encode+decode chain runs twice; the count
+    # table is fingerprint-keyed (corpus-scale at size), so NO
+    # broadcast hint — AQE picks the strategy
+    h = image_ahash(attach_jpeg_payload(d)).persist()
+    counts = h.groupBy("ahash_hex").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sharing")
+    )
+    return (
+        h.join(counts, "ahash_hex")
+        .select("doc_id", "ahash_hex", "n_sharing")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "multimodal_video_metadata",
     oracle="""
     SELECT doc_id, 'isom' AS brand,

@@ -214,3 +214,47 @@ class TestPropertyFuzz:
             assert rmse < 75, rmse
 
         check()
+
+
+class TestAhash:
+    def test_ahash_matches_reference_bit_layout(self, spark):
+        """Hand-computed aHash for a half-bright/half-dark image: top
+        rows above mean -> 0xff bytes, bottom -> 0x00 (x=0 is the MSB,
+        row-major)."""
+        import numpy as np
+
+        from optimus_any2any_spark.formats.png import encode_png
+        from optimus_any2any_spark.operators.multimodal import image_ahash
+
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:8, :, :] = 200
+        img[8:, :, :] = 50
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_png(16, 16, img.tobytes())), "image/png")],
+            "doc_id long, payload binary, media_type string",
+        )
+        row = image_ahash(df).collect()[0]
+        assert row.ahash_hex == "ff" * 4 + "00" * 4
+
+    def test_ahash_survives_jpeg_reencode(self, spark):
+        """The perceptual point: the SAME image via PNG (lossless)
+        and JPEG (lossy, flat-block fixed points) hashes identically."""
+        import numpy as np
+
+        from optimus_any2any_spark.formats.jpeg import encode_jpeg
+        from optimus_any2any_spark.formats.png import encode_png
+        from optimus_any2any_spark.operators.multimodal import image_ahash
+
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        for b, v in enumerate([112, 130, 142, 88]):
+            by, bx = divmod(b, 2)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = v
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(encode_png(16, 16, img.tobytes())), "png"),
+                (2, bytearray(encode_jpeg(16, 16, img.tobytes())), "jpg"),
+            ],
+            "doc_id long, payload binary, media_type string",
+        )
+        got = {r.doc_id: r.ahash_hex for r in image_ahash(df).collect()}
+        assert got[1] == got[2]
