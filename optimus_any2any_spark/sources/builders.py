@@ -483,3 +483,17 @@ def ga_source(spark: SparkSession, cfg: Config) -> DataFrame:
     return spark.read.json(
         spark.sparkContext.parallelize([json.dumps(r) for r in records])
     )
+
+
+@register_source("DELTA")
+def delta_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Beyond-reference lakehouse source: current-snapshot read of a
+    Delta Lake table via the open log protocol (sources/delta.py —
+    no delta-spark jar). ``DELTA__SOURCE_URI=file:///path/to/table``."""
+    from optimus_any2any_spark.sources.delta import read_delta
+
+    uri = cfg.get("DELTA__SOURCE_URI")
+    if not uri:
+        raise ValueError("DELTA source requires DELTA__SOURCE_URI")
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    return read_delta(spark, path)

@@ -1,0 +1,241 @@
+"""Delta Lake table READER — the open log protocol, no delta-spark jar.
+
+A Delta table is parquet data files plus a ``_delta_log`` of ordered
+JSON commits (and optional parquet checkpoints), each a list of
+actions: ``protocol``, ``metaData`` (schema + partition columns),
+``add`` (a live file with its partition values), ``remove`` (a
+tombstone). Reconstructing the current snapshot is pure log replay —
+documented at delta.io as the Delta Transaction Log Protocol — so a
+reader needs no Delta runtime: list the log, take the latest
+checkpoint (plain parquet with ``add``/``remove`` structs), apply the
+JSON commits after it (last action per path wins), and read the
+surviving files.
+
+Scope (protocol-honest): ``minReaderVersion`` 1 tables — no deletion
+vectors, no column mapping; a higher reader version raises
+``NotImplementedError`` rather than returning silently wrong rows.
+Partition values come from the log's ``partitionValues`` (never from
+path layout, which Delta does not guarantee) and are attached as
+typed literal columns per partition group.
+
+Scale shape: the log replay is driver-side over the log's JSON tail
+(checkpoints bound it — that is exactly why the protocol has them);
+data reading is one ``spark.read.parquet`` per distinct partition
+tuple (grouped, not per-file) unioned by name. The reference has no
+lakehouse source; this extends §2.1 the same way the manifest MERGE
+(streaming/manifest_table.py) extends §2.2, and the two formats share
+the copy-on-write shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_delta_log")
+
+
+def _snapshot_actions(spark: SparkSession, table_path: str):
+    """Replay the log: returns (metaData dict, {path: add dict})."""
+    log = _log_dir(table_path)
+    if not os.path.isdir(log):
+        raise ValueError(f"delta: no _delta_log under {table_path}")
+    checkpoint_version = -1
+    checkpoint_files: list[str] = []
+    last_cp = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(last_cp):
+        cp = json.loads(open(last_cp).read())
+        checkpoint_version = int(cp["version"])
+        parts = cp.get("parts")
+        if parts:
+            checkpoint_files = [
+                os.path.join(
+                    log,
+                    "%020d.checkpoint.%010d.%010d.parquet"
+                    % (checkpoint_version, i + 1, parts),
+                )
+                for i in range(parts)
+            ]
+        else:
+            checkpoint_files = [
+                os.path.join(
+                    log, "%020d.checkpoint.parquet" % checkpoint_version
+                )
+            ]
+    commits = sorted(
+        f
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+        and int(f[:20]) > checkpoint_version
+    )
+    meta = None
+    protocol = None
+    live: dict[str, dict] = {}
+
+    def apply(action: dict):
+        nonlocal meta, protocol
+        if "metaData" in action and action["metaData"]:
+            meta = action["metaData"]
+        if "protocol" in action and action["protocol"]:
+            protocol = action["protocol"]
+        add = action.get("add")
+        if add and add.get("path"):
+            live[add["path"]] = add
+        remove = action.get("remove")
+        if remove and remove.get("path"):
+            live.pop(remove["path"], None)
+
+    if checkpoint_files:
+        # a checkpoint is PLAIN PARQUET of the same action structs
+        for row in spark.read.parquet(*checkpoint_files).collect():
+            d = row.asDict(recursive=True)
+            apply({k: v for k, v in d.items() if v is not None})
+    for fname in commits:
+        with open(os.path.join(log, fname)) as f:
+            for line in f:
+                if line.strip():
+                    apply(json.loads(line))
+    if meta is None or protocol is None:
+        raise ValueError("delta: log replay found no metaData/protocol")
+    if int(protocol.get("minReaderVersion", 1)) > 1:
+        raise NotImplementedError(
+            "delta: reader version "
+            f"{protocol['minReaderVersion']} needs features "
+            "(deletion vectors / column mapping) beyond this reader"
+        )
+    return meta, live
+
+
+def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
+    """Current-snapshot read of a Delta table (see module doc)."""
+    meta, live = _snapshot_actions(spark, table_path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = T.StructType(data_fields)
+    if not live:
+        return spark.createDataFrame([], schema)
+    # group files by partition tuple; read each group once with typed
+    # literal partition columns (Delta's partitionValues are strings)
+    groups: dict[tuple, list[str]] = {}
+    for add in live.values():
+        pv = add.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            os.path.join(table_path, add["path"])
+        )
+    type_of = {f.name: f.dataType for f in schema.fields}
+    out = None
+    for key, paths in sorted(groups.items()):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for c, v in zip(part_cols, key):
+            col = (
+                F.lit(None).cast(type_of[c])
+                if v is None
+                else F.lit(v).cast(type_of[c])
+            )
+            df = df.withColumn(c, col)
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer — commits the same protocol for fixtures/round-trips.
+# (The engine's own MERGE target stays streaming/manifest_table.py;
+# this writer exists so the READER is tested against real log bytes.)
+
+
+def write_delta_commit(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    remove_paths: list[str] | None = None,
+) -> int:
+    """Append one Delta commit: write df's rows as parquet data files,
+    emit add actions (plus explicit remove tombstones), and the
+    protocol/metaData actions on the first commit. Returns the commit
+    version."""
+    import uuid
+
+    part_cols = partition_by or []
+    log = _log_dir(table_path)
+    os.makedirs(log, exist_ok=True)
+    existing = [
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    ]
+    version = max(existing) + 1 if existing else 0
+    actions: list[dict] = []
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                }
+            }
+        )
+    data_cols = [c for c in df.columns if c not in part_cols]
+    if part_cols:
+        parts = [
+            (tuple(r.asDict()[c] for c in part_cols),)
+            for r in df.select(*part_cols).distinct().collect()
+        ]
+        groups = [p[0] for p in parts]
+    else:
+        groups = [()]
+    for gi, key in enumerate(sorted(groups, key=str)):
+        g = df
+        for c, v in zip(part_cols, key):
+            g = g.filter(
+                F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            )
+        rel = f"part-{version:05d}-{gi:04d}.parquet"
+        tmp = os.path.join(table_path, "_tmp_" + rel)
+        g.select(*data_cols).coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+        import shutil
+
+        src = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(src, os.path.join(table_path, rel))
+        shutil.rmtree(tmp)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {
+                        c: (None if v is None else str(v))
+                        for c, v in zip(part_cols, key)
+                    },
+                    "size": os.path.getsize(os.path.join(table_path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rp in remove_paths or []:
+        actions.append(
+            {"remove": {"path": rp, "deletionTimestamp": 0,
+                        "dataChange": True}}
+        )
+    commit = os.path.join(log, "%020d.json" % version)
+    tmp_commit = commit + ".tmp"
+    with open(tmp_commit, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    os.replace(tmp_commit, commit)
+    return version
