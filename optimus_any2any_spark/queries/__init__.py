@@ -111,6 +111,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational_ext,
         relational_tpch2,
+        lakehouse,
     )
 
     latest = _driver_verified_rounds()

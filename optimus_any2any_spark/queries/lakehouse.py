@@ -1,0 +1,158 @@
+"""Lakehouse-table queries: Delta-protocol MERGE + data-skipping read.
+
+These gate :mod:`optimus_any2any_spark.streaming.delta_table` (file-
+level copy-on-write MERGE committing the open Delta log protocol) and
+:func:`optimus_any2any_spark.sources.delta.read_delta`'s stats-pruned
+range read against the DuckDB oracle by re-expressing the merge result
+as plain SQL over the same source table. The reference engine has no
+MERGE (warehouse sink is APPEND/REPLACE only — ext/maxcompute/
+sink.go:171); this is the beyond-reference lakehouse layer of
+SURVEY.md §7.
+
+The fixture table is rebuilt from ``orders`` on every call into a
+deterministic temp dir, so the measured time includes the merge
+commits themselves — that is the point: the query IS the operator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.queries import register
+from optimus_any2any_spark.queries.util import load, o_dsum
+
+
+def _fixture_dir(tag: str, sf_dir: str) -> str:
+    h = hashlib.md5(f"{tag}|{sf_dir}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"optimus_{tag}_{h}")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    return d
+
+
+def _orders_kv(spark, sf_dir, ts: int):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(ts).cast("long").alias("ts"),
+    )
+
+
+_EMPTY_AGG = "k_mod long, n_rows long, sum_price double"
+
+
+@register(
+    "delta_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    upd AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price
+      FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    ins AS (
+      SELECT o_orderkey AS k, o_totalprice / 2 AS price
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    merged AS (
+      SELECT k, price FROM base WHERE k % 10 <> 1
+      UNION ALL SELECT k, price FROM upd
+      UNION ALL SELECT k, price FROM ins
+    )
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM merged GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="File-level Delta-protocol MERGE (streaming/delta_table.py): "
+    "seed a Delta table from orders (keys % 4 != 0), then upsert one "
+    "batch of updates (% 10 = 1, price + 1000) and inserts (% 20 = 0, "
+    "price / 2) through merge_delta_batch — copy-on-write rewrites "
+    "only stats-affected files, commits add+remove+txn log actions — "
+    "and aggregate the replayed snapshot. The oracle states the same "
+    "merge as SQL set algebra over the source table. Beyond-reference "
+    "(the reference warehouse sink is APPEND/REPLACE only).",
+    bench=True,
+)
+def delta_merge_upsert(spark, sf_dir):
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import merge_delta_batch
+
+    t = _fixture_dir("delta_merge", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=4000
+    )
+    upd = _orders_kv(spark, sf_dir, 1).filter(F.col("k") % 10 == 1).withColumn(
+        "price", F.col("price") + F.lit(1000.0)
+    )
+    ins = _orders_kv(spark, sf_dir, 1).filter(F.col("k") % 20 == 0).withColumn(
+        "price", F.col("price") / F.lit(2)
+    )
+    merge_delta_batch(
+        spark, upd.unionByName(ins), t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame([], _EMPTY_AGG)  # empty source table
+    snap = read_delta(spark, t)
+    from optimus_any2any_spark.queries.util import dsum
+
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "delta_skipping_read",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_k,
+           MAX(o_orderkey) AS max_k,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 2000 AND 5999
+    """,
+    doc="Delta data skipping via add-action stats (sources/delta.py "
+    "read_delta key_range): the orders table committed as a multi-file "
+    "Delta table whose add actions carry minValues/maxValues/nullCount "
+    "stats; a range read prunes non-overlapping files BEFORE the scan "
+    "(the open-protocol form of Delta data skipping) and filters the "
+    "rest, so the result equals a plain WHERE over the source. At "
+    "100 TB the pruning is what turns a key-range query from a "
+    "full-table scan into an O(footprint) read.",
+)
+def delta_skipping_read(spark, sf_dir):
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import merge_delta_batch
+    from optimus_any2any_spark.queries.util import dsum
+
+    t = _fixture_dir("delta_skip", sf_dir)
+    merge_delta_batch(
+        spark, _orders_kv(spark, sf_dir, 0), t, "k", "ts",
+        batch_id=0, target_rows_per_file=2000,
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame(
+            [], "n_rows long, min_k long, max_k long, sum_price double"
+        )
+    snap = read_delta(spark, t, key_range=("k", 2000, 5999))
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        dsum(F.col("price")).alias("sum_price"),
+    )

@@ -43,6 +43,18 @@ def _log_dir(table_path: str) -> str:
 
 def _snapshot_actions(spark: SparkSession, table_path: str):
     """Replay the log: returns (metaData dict, {path: add dict})."""
+    state = replay_log(spark, table_path)
+    return state["meta"], state["live"]
+
+
+def replay_log(spark: SparkSession, table_path: str) -> dict:
+    """Full log replay: ``{"meta", "live", "txns", "version"}``.
+
+    ``txns`` is the latest committed ``txn.version`` per ``appId`` —
+    Delta's transactional-writer idempotence state (the protocol's
+    SetTransaction action); ``version`` is the highest committed log
+    version (-1 for an empty log dir).
+    """
     log = _log_dir(table_path)
     if not os.path.isdir(log):
         raise ValueError(f"delta: no _delta_log under {table_path}")
@@ -77,6 +89,7 @@ def _snapshot_actions(spark: SparkSession, table_path: str):
     meta = None
     protocol = None
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
 
     def apply(action: dict):
         nonlocal meta, protocol
@@ -84,6 +97,12 @@ def _snapshot_actions(spark: SparkSession, table_path: str):
             meta = action["metaData"]
         if "protocol" in action and action["protocol"]:
             protocol = action["protocol"]
+        txn = action.get("txn")
+        if txn and txn.get("appId") is not None:
+            prev = txns.get(txn["appId"])
+            v = int(txn.get("version", 0))
+            if prev is None or v > prev:
+                txns[txn["appId"]] = v
         add = action.get("add")
         if add and add.get("path"):
             live[add["path"]] = add
@@ -109,12 +128,69 @@ def _snapshot_actions(spark: SparkSession, table_path: str):
             f"{protocol['minReaderVersion']} needs features "
             "(deletion vectors / column mapping) beyond this reader"
         )
-    return meta, live
+    version = max(
+        [int(f[:20]) for f in commits] + [checkpoint_version], default=-1
+    )
+    return {"meta": meta, "live": live, "txns": txns, "version": version}
 
 
-def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
-    """Current-snapshot read of a Delta table (see module doc)."""
+def _stats_exclude(add: dict, col: str, lo, hi) -> bool:
+    """True iff the add action's ``stats`` JSON PROVES the file holds no
+    row with ``lo <= col <= hi`` (Delta data skipping: per-file
+    minValues/maxValues). No stats / unparseable / null-only ⇒ keep.
+    Only trusted for types whose ordering survives the JSON round trip
+    (strings and non-bool numerics), mirroring the manifest table's
+    ``prunable`` rule."""
+    raw = add.get("stats")
+    if not raw:
+        return False
+    try:
+        st = json.loads(raw) if isinstance(raw, str) else raw
+        fmin = (st.get("minValues") or {}).get(col)
+        fmax = (st.get("maxValues") or {}).get(col)
+        nulls = (st.get("nullCount") or {}).get(col)
+    except (ValueError, AttributeError):
+        return False
+    def _num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    ok = (isinstance(fmin, str) and isinstance(fmax, str)) or (
+        _num(fmin) and _num(fmax)
+    )
+    if not ok:
+        return False
+    # nulls never match a range predicate, so a file of nulls-plus-
+    # out-of-range values is still safely excludable on the range test
+    del nulls
+    try:
+        return bool(fmax < lo or fmin > hi)
+    except TypeError:  # key type mismatch with stats: unusable
+        return False
+
+
+def read_delta(
+    spark: SparkSession,
+    table_path: str,
+    key_range: tuple | None = None,
+) -> DataFrame:
+    """Current-snapshot read of a Delta table (see module doc).
+
+    ``key_range=(col, lo, hi)`` applies the range predicate AND uses
+    each add action's ``stats`` (minValues/maxValues — written by
+    :mod:`..streaming.delta_table` merges and by real Delta writers) to
+    skip files the predicate provably cannot match: the open-protocol
+    form of Delta data skipping. Files without stats are read and
+    filtered normally, so the result is exactly
+    ``snapshot.filter(lo <= col <= hi)`` either way.
+    """
     meta, live = _snapshot_actions(spark, table_path)
+    if key_range is not None:
+        col, lo, hi = key_range
+        live = {
+            p: a
+            for p, a in live.items()
+            if not _stats_exclude(a, col, lo, hi)
+        }
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_fields = [f for f in schema.fields if f.name not in part_cols]
@@ -143,6 +219,9 @@ def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
             df = df.withColumn(c, col)
         df = df.select(*[f.name for f in schema.fields])
         out = df if out is None else out.unionByName(df)
+    if key_range is not None:
+        col, lo, hi = key_range
+        out = out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     return out
 
 

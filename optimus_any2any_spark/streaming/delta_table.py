@@ -1,0 +1,402 @@
+"""File-level MERGE upsert committing the open Delta log protocol.
+
+VERDICT r3 item 4's documented end state: the copy-on-write MERGE that
+``manifest_table.py`` proves out against a hand-rolled JSON manifest,
+re-targeted at a REAL table format — the Delta Lake transaction log
+(delta.io protocol; no delta-spark jar exists in this environment, so
+the commits are written directly, and ``sources/delta.py`` replays
+them). The reference has no MERGE at all (its warehouse sink is
+APPEND/REPLACE only, ext/maxcompute/sink.go:171), so this whole layer
+is beyond-reference — SURVEY.md §7.
+
+Protocol mapping (manifest concept → Delta action):
+
+========================  =====================================
+manifest ``files`` entry  ``add`` action with ``stats`` JSON
+                          (numRecords/minValues/maxValues/
+                          nullCount — Delta's data-skipping form)
+superseded file           ``remove`` tombstone (kept in the log;
+                          the file itself is garbage until VACUUM)
+``batch_id`` idempotence  ``txn`` action (appId, version) — the
+                          protocol's SetTransaction, exactly the
+                          transactional-sink pattern real Delta
+                          streaming writers use
+manifest rewrite          one ``%020d.json`` commit, temp+rename
+bounded replay            parquet checkpoint + ``_last_checkpoint``
+                          every ``checkpoint_interval`` commits
+==========================================================
+
+MERGE(batch) — copy-on-write at FILE granularity, same algorithm as
+``manifest_table.merge_batch``:
+
+1. idempotence: if the log's ``txn`` state already covers
+   (app_id, batch_id), return without touching anything;
+2. reduce the batch to its latest row per key (ts tiebreak);
+3. prune: parse each live ``add``'s stats and mark it *affected* only
+   if a batch key can fall inside [minValues, maxValues] (exact
+   membership when the distinct batch keys fit on the driver, range
+   overlap otherwise). Files without usable stats are conservatively
+   affected; files outside the footprint are neither read nor
+   rewritten — their add actions simply stay live;
+4. read ONLY affected files, null-safe anti-join on the batch keys,
+   union the batch, range-repartition on the key and write new
+   immutable files with fresh stats;
+5. commit = one JSON log entry (txn + adds + removes) written to a
+   temp name and renamed — the atomic step. A crash before the rename
+   leaves orphan parquet files and an unchanged table; ``vacuum_delta``
+   sweeps them.
+
+At 100 TB: per-merge IO is proportional to the update FOOTPRINT, never
+the table; checkpoints keep log replay O(files) instead of O(history);
+stats-pruned reads (``read_delta(key_range=...)``) skip the same files
+Delta's data skipping would. Single-writer per table path (a streaming
+query IS single-writer); this local-fs implementation notes where a
+real deployment swaps in the Hadoop FileSystem API (rename-atomicity
+on object stores is the log store's problem, per the Delta paper
+§3.2 — Armbrust et al., VLDB 2020).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from optimus_any2any_spark.sources.delta import _log_dir, replay_log
+from optimus_any2any_spark.streaming.manifest_table import (
+    _MAX_DRIVER_KEYS,
+    _affected,
+)
+
+DEFAULT_APP_ID = "optimus-any2any-merge"
+
+
+def _entry_from_add(path: str, add: dict, key_col: str) -> dict:
+    """Map a Delta add action to the manifest-table pruning entry shape
+    so ``_affected`` (the shared file-pruning rule) applies verbatim."""
+    raw = add.get("stats")
+    try:
+        st = json.loads(raw) if isinstance(raw, str) else (raw or {})
+    except ValueError:
+        st = {}
+    n = st.get("numRecords")
+    fmin = (st.get("minValues") or {}).get(key_col)
+    fmax = (st.get("maxValues") or {}).get(key_col)
+    nulls = (st.get("nullCount") or {}).get(key_col, 0)
+
+    def _scalar(x):
+        return isinstance(x, (str, int, float)) and not isinstance(x, bool)
+
+    has_stats = n is not None
+    prunable = has_stats and (
+        (fmin is None and fmax is None)  # key all-null in this file
+        or (_scalar(fmin) and _scalar(fmax))
+    )
+    return {
+        "path": path,
+        "rows": int(n) if has_stats else -1,  # -1 ⇒ never the rows==0 skip
+        "min_key": fmin,
+        "max_key": fmax,
+        "has_null_key": bool(nulls and int(nulls) > 0),
+        "prunable": prunable,
+    }
+
+
+def _stats_json(rows: int, key_col: str, kmin, kmax, n_null: int) -> str:
+    st: dict = {"numRecords": rows, "minValues": {}, "maxValues": {},
+                "nullCount": {key_col: n_null}}
+    if kmin is not None:
+        st["minValues"][key_col] = kmin
+        st["maxValues"][key_col] = kmax
+    return json.dumps(st, default=str)
+
+
+def _commit(log: str, version: int, actions: list[dict]) -> None:
+    """The atomic step: all-or-nothing rename of one JSON log entry."""
+    os.makedirs(log, exist_ok=True)
+    final = os.path.join(log, "%020d.json" % version)
+    if os.path.exists(final):
+        raise IOError(
+            f"delta: commit {version} already exists — concurrent writer?"
+        )
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a, default=str) + "\n")
+    os.replace(tmp, final)
+
+
+def _write_checkpoint(
+    spark: SparkSession, table_path: str, version: int
+) -> None:
+    """Materialize the snapshot as a parquet checkpoint so future
+    replays read one parquet file + the JSON tail, not all history.
+    Single-writer note: tombstones already applied to the live set are
+    dropped (real Delta retains them for VACUUM retention windows;
+    ``vacuum_delta`` here works from the live set directly)."""
+    state = replay_log(spark, table_path)
+    rows = [
+        json.dumps({"protocol": {"minReaderVersion": 1,
+                                 "minWriterVersion": 2}}),
+        json.dumps({"metaData": state["meta"]}, default=str),
+    ]
+    rows += [
+        json.dumps({"txn": {"appId": a, "version": v}})
+        for a, v in sorted(state["txns"].items())
+    ]
+    rows += [
+        json.dumps({"add": add}, default=str)
+        for _, add in sorted(state["live"].items())
+    ]
+    cp_df = spark.read.json(spark.sparkContext.parallelize(rows, 1))
+    log = _log_dir(table_path)
+    cp_path = os.path.join(log, "%020d.checkpoint.parquet" % version)
+    tmp = cp_path + ".d"
+    cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.replace(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], cp_path)
+    shutil.rmtree(tmp)
+    last = os.path.join(log, "_last_checkpoint")
+    tmp_last = last + ".tmp"
+    with open(tmp_last, "w") as f:
+        f.write(json.dumps({"version": version, "size": len(rows)}))
+    os.replace(tmp_last, last)
+
+
+def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
+    """Delete data files the current snapshot does not reference —
+    tombstoned files and crash orphans. Returns the deleted names.
+    Real Delta gates this on a tombstone-age retention window to
+    protect concurrent readers; under the single-writer-single-reader
+    session model here the live set is the whole truth."""
+    state = replay_log(spark, table_path)
+    live = set(state["live"])
+    gone = []
+    for name in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, name)
+        if not os.path.isfile(full) or not name.endswith(".parquet"):
+            continue
+        if name not in live:
+            os.remove(full)
+            gone.append(name)
+    return gone
+
+
+def merge_delta_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_path: str,
+    key_col: str,
+    ts_col: str,
+    app_id: str = DEFAULT_APP_ID,
+    batch_id: int | None = None,
+    target_rows_per_file: int = 1_000_000,
+    checkpoint_interval: int = 10,
+) -> int:
+    """One file-level MERGE commit against a Delta table; returns the
+    committed (or already-current, on an idempotent skip) version."""
+    from pyspark.sql.window import Window
+
+    exists = os.path.isdir(_log_dir(table_path))
+    state = replay_log(spark, table_path) if exists else {
+        "meta": None, "live": {}, "txns": {}, "version": -1,
+    }
+    version = state["version"] + 1
+    if (
+        batch_id is not None
+        and state["txns"].get(app_id) is not None
+        and batch_id <= state["txns"][app_id]
+    ):
+        return state["version"]  # redelivery of an applied batch: no-op
+
+    if state["meta"] is not None:
+        schema = T.StructType.fromJson(
+            json.loads(state["meta"]["schemaString"])
+        )
+        if state["meta"].get("partitionColumns"):
+            raise NotImplementedError(
+                "delta merge: partitioned tables need partition-aware "
+                "rewrite grouping — out of scope (the manifest table "
+                "and this merge both range-cluster on the key instead)"
+            )
+        if set(schema.fieldNames()) != set(batch.columns):
+            raise ValueError(
+                "delta merge: batch columns "
+                f"{sorted(batch.columns)} != table schema "
+                f"{sorted(schema.fieldNames())}"
+            )
+        batch = batch.select(*schema.fieldNames())
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    latest = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    stats = latest.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(key_col).alias("nk"),
+        F.min(key_col).alias("kmin"),
+        F.max(key_col).alias("kmax"),
+        F.max(F.col(key_col).isNull().cast("int")).alias("null_key"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return state["version"]
+    has_null = bool(stats["null_key"])
+    keys = None
+    if stats["nk"] <= _MAX_DRIVER_KEYS:
+        keys = sorted(
+            r[0]
+            for r in latest.select(key_col).distinct().collect()
+            if r[0] is not None
+        )
+    entries = [
+        _entry_from_add(p, a, key_col)
+        for p, a in sorted(state["live"].items())
+    ]
+    hit, _miss = _affected(
+        entries, keys, stats["kmin"], stats["kmax"], has_null
+    )
+
+    merged = latest
+    hit_rows = 0
+    if hit:
+        cur = spark.read.parquet(
+            *[os.path.join(table_path, e["path"]) for e in hit]
+        ).alias("cur")
+        nk = latest.select(key_col).alias("nk")
+        merged = cur.join(
+            nk,
+            F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
+            "left_anti",
+        ).unionByName(latest)
+        hit_rows = sum(max(e["rows"], 0) for e in hit)
+
+    n_rows = stats["n"] + hit_rows
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
+    (
+        merged.repartitionByRange(n_files, key_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    new_rel: list[str] = []
+    for i, part in enumerate(
+        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    ):
+        rel = f"part-{version:05d}-{i:04d}-merge.parquet"
+        os.replace(part, os.path.join(table_path, rel))
+        new_rel.append(rel)
+    shutil.rmtree(tmp)
+
+    # stats-scan ONLY the new files' key column (footer-cheap read)
+    per_file = (
+        spark.read.parquet(*[os.path.join(table_path, r) for r in new_rel])
+        .select(key_col)
+        .withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+            F.sum(F.col(key_col).isNull().cast("long")).alias("n_null"),
+        )
+        .collect()
+    )
+    by_name = {r["__f"].rsplit("/", 1)[-1]: r for r in per_file}
+
+    actions: list[dict] = []
+    if version == 0:
+        import uuid
+
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": latest.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            }
+        )
+    if batch_id is not None:
+        actions.append({"txn": {"appId": app_id, "version": batch_id}})
+    for rel in new_rel:
+        r = by_name.get(rel)
+        if r is None:  # empty part file: not worth an add action
+            os.remove(os.path.join(table_path, rel))
+            continue
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table_path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": _stats_json(
+                        r["rows"], key_col, r["min_key"], r["max_key"],
+                        int(r["n_null"]),
+                    ),
+                }
+            }
+        )
+    for e in hit:
+        actions.append(
+            {
+                "remove": {
+                    "path": e["path"],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    _commit(_log_dir(table_path), version, actions)
+    if checkpoint_interval and version > 0 and (
+        version % checkpoint_interval == 0
+    ):
+        _write_checkpoint(spark, table_path, version)
+    return version
+
+
+def upsert_to_delta_table(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    ts_col: str,
+    checkpoint: str,
+    app_id: str = DEFAULT_APP_ID,
+    target_rows_per_file: int = 1_000_000,
+):
+    """Streaming wrapper: file-level Delta MERGE per micro-batch, with
+    the log's txn action making foreachBatch redelivery exactly-once —
+    the same transactional-sink idempotence real Delta streaming
+    writers implement."""
+
+    def merge(batch: DataFrame, batch_id: int):
+        merge_delta_batch(
+            batch.sparkSession,
+            batch,
+            path,
+            key_col,
+            ts_col,
+            app_id=app_id,
+            batch_id=batch_id,
+            target_rows_per_file=target_rows_per_file,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,283 @@
+"""File-level Delta-protocol MERGE (streaming/delta_table.py): copy-on-
+write footprint, stats-based pruning, txn idempotence, checkpoint
+compaction, crash recovery, vacuum, and stats-pruned reads."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.sources.delta import (
+    read_delta,
+    replay_log,
+)
+from optimus_any2any_spark.streaming.delta_table import (
+    merge_delta_batch,
+    upsert_to_delta_table,
+    vacuum_delta,
+)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ts long")
+
+
+def _snap(spark, path):
+    return sorted(
+        ((r.k, r.v) for r in read_delta(spark, path).collect()),
+        key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0, t[1]),
+    )
+
+
+def _live_files(spark, path):
+    return sorted(replay_log(spark, path)["live"])
+
+
+class TestMergeSemantics:
+    def test_insert_then_upsert(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0)]), t, "k", "ts"
+        )
+        merge_delta_batch(
+            spark, _kv(spark, [(2, "B", 1), (3, "c", 1)]), t, "k", "ts"
+        )
+        assert _snap(spark, t) == [(1, "a"), (2, "B"), (3, "c")]
+
+    def test_latest_per_key_within_batch(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark,
+            _kv(spark, [(1, "old", 0), (1, "new", 5), (1, "mid", 3)]),
+            t, "k", "ts",
+        )
+        assert _snap(spark, t) == [(1, "new")]
+
+    def test_null_key_upsert(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(None, "n0", 0), (1, "a", 0)]), t, "k", "ts"
+        )
+        merge_delta_batch(
+            spark, _kv(spark, [(None, "n1", 1)]), t, "k", "ts"
+        )
+        assert _snap(spark, t) == [(1, "a"), (None, "n1")]
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        v0 = merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts"
+        )
+        v1 = merge_delta_batch(
+            spark, _kv(spark, []).limit(0), t, "k", "ts"
+        )
+        assert v1 == v0
+        assert _snap(spark, t) == [(1, "a")]
+
+    def test_schema_mismatch_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        bad = spark.createDataFrame([(1, 2)], "k long, other int")
+        with pytest.raises(ValueError, match="batch columns"):
+            merge_delta_batch(spark, bad, t, "k", "ts")
+
+
+class TestCopyOnWriteFootprint:
+    def _seed_two_files(self, spark, t):
+        """Base table split into two files with disjoint key ranges."""
+        base = _kv(
+            spark, [(k, f"v{k}", 0) for k in range(1, 9)]
+        )
+        merge_delta_batch(
+            spark, base, t, "k", "ts", target_rows_per_file=4
+        )
+        files = _live_files(spark, t)
+        assert len(files) == 2
+        return files
+
+    def test_untouched_file_not_rewritten(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        before = self._seed_two_files(spark, t)
+        stats = {
+            f: os.stat(os.path.join(t, f)).st_mtime_ns for f in before
+        }
+        # touch only the low range: keys 1-2 live in the first file
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "A", 1), (2, "B", 1)]), t, "k", "ts"
+        )
+        after = set(_live_files(spark, t))
+        untouched = [f for f in before if f in after]
+        assert len(untouched) == 1  # high-range file carried over
+        f = untouched[0]
+        assert os.stat(os.path.join(t, f)).st_mtime_ns == stats[f]
+        assert _snap(spark, t) == [
+            (1, "A"), (2, "B"), (3, "v3"), (4, "v4"),
+            (5, "v5"), (6, "v6"), (7, "v7"), (8, "v8"),
+        ]
+
+    def test_remove_tombstones_for_rewritten_files(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        before = self._seed_two_files(spark, t)
+        merge_delta_batch(spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts")
+        log = os.path.join(t, "_delta_log", "%020d.json" % 1)
+        actions = [json.loads(l) for l in open(log) if l.strip()]
+        removed = {a["remove"]["path"] for a in actions if "remove" in a}
+        assert len(removed) == 1 and removed < set(before)
+
+    def test_add_actions_carry_delta_stats(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (None, "n", 0)]), t, "k", "ts"
+        )
+        adds = replay_log(spark, t)["live"]
+        st = json.loads(next(iter(adds.values()))["stats"])
+        assert st["numRecords"] == 2
+        assert st["minValues"]["k"] == 1 and st["maxValues"]["k"] == 1
+        assert st["nullCount"]["k"] == 1
+
+
+class TestIdempotence:
+    def test_txn_skips_redelivered_batch(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts", batch_id=0
+        )
+        v1 = merge_delta_batch(
+            spark, _kv(spark, [(1, "b", 1)]), t, "k", "ts", batch_id=1
+        )
+        # redeliver batch 1 with DIFFERENT content: must be a no-op
+        v2 = merge_delta_batch(
+            spark, _kv(spark, [(1, "XXX", 9)]), t, "k", "ts", batch_id=1
+        )
+        assert v2 == v1
+        assert _snap(spark, t) == [(1, "b")]
+
+    def test_distinct_app_ids_do_not_collide(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts",
+            app_id="app1", batch_id=7,
+        )
+        merge_delta_batch(
+            spark, _kv(spark, [(2, "b", 0)]), t, "k", "ts",
+            app_id="app2", batch_id=0,
+        )
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+
+
+class TestCrashRecoveryAndVacuum:
+    def test_orphan_data_file_invisible_and_vacuumed(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        # simulate a crash between data write and log rename: an orphan
+        orphan = os.path.join(t, "part-99999-0000-merge.parquet")
+        src = os.path.join(t, _live_files(spark, t)[0])
+        with open(src, "rb") as fin, open(orphan, "wb") as fout:
+            fout.write(fin.read())
+        assert _snap(spark, t) == [(1, "a")]  # log, not listing, rules
+        gone = vacuum_delta(spark, t)
+        assert "part-99999-0000-merge.parquet" in gone
+        assert _snap(spark, t) == [(1, "a")]
+
+    def test_vacuum_sweeps_tombstoned_files(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        old = _live_files(spark, t)
+        merge_delta_batch(spark, _kv(spark, [(1, "b", 1)]), t, "k", "ts")
+        gone = vacuum_delta(spark, t)
+        assert set(old) <= set(gone)
+        assert _snap(spark, t) == [(1, "b")]
+
+    def test_partial_commit_tmp_is_ignored(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        log = os.path.join(t, "_delta_log")
+        with open(os.path.join(log, "%020d.json.tmp" % 1), "w") as f:
+            f.write(json.dumps({"add": {"path": "bogus.parquet"}}) + "\n")
+        assert _snap(spark, t) == [(1, "a")]
+        # the next merge commits version 1 normally over the stale tmp
+        merge_delta_batch(spark, _kv(spark, [(2, "b", 0)]), t, "k", "ts")
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+
+
+class TestCheckpointCompaction:
+    def test_checkpoint_written_and_replayed(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        for i in range(5):
+            merge_delta_batch(
+                spark, _kv(spark, [(i, f"v{i}", i)]), t, "k", "ts",
+                batch_id=i, checkpoint_interval=4,
+            )
+        log = os.path.join(t, "_delta_log")
+        assert os.path.exists(
+            os.path.join(log, "%020d.checkpoint.parquet" % 4)
+        )
+        last = json.loads(
+            open(os.path.join(log, "_last_checkpoint")).read()
+        )
+        assert last["version"] == 4
+        # replay must come out identical with the checkpoint in play
+        assert _snap(spark, t) == [(i, f"v{i}") for i in range(5)]
+        # txn state survives the checkpoint: redelivery still no-ops
+        v = merge_delta_batch(
+            spark, _kv(spark, [(0, "XXX", 99)]), t, "k", "ts",
+            batch_id=4, checkpoint_interval=4,
+        )
+        assert v == 4
+        assert _snap(spark, t) == [(i, f"v{i}") for i in range(5)]
+
+
+class TestStatsPrunedRead:
+    def test_key_range_read_skips_files_and_filters(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark,
+            _kv(spark, [(k, f"v{k}", 0) for k in range(1, 9)]),
+            t, "k", "ts", target_rows_per_file=4,
+        )
+        assert len(_live_files(spark, t)) == 2
+        df = read_delta(spark, t, key_range=("k", 2, 3))
+        assert sorted((r.k, r.v) for r in df.collect()) == [
+            (2, "v2"), (3, "v3"),
+        ]
+        # the out-of-range file is PRUNED, not just filtered: only one
+        # parquet file appears in the scan
+        files = {
+            os.path.basename(f)
+            for f in df.inputFiles()
+        }
+        assert len(files) == 1
+
+    def test_range_read_keeps_statless_files(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import write_delta_commit
+
+        t = str(tmp_path / "tbl")
+        # the minimal fixture writer emits adds WITHOUT stats
+        df = spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
+        write_delta_commit(df, t)
+        got = read_delta(spark, t, key_range=("k", 0, 5)).collect()
+        assert [(r.k, r.v) for r in got] == [(1, "a")]
+
+
+class TestStreamingUpsert:
+    def test_streaming_merge_available_now(self, spark, tmp_path):
+        import time
+
+        t = str(tmp_path / "tbl")
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        _kv(spark, [(1, "a", 0), (2, "b", 0)]).write.parquet(src)
+        stream = spark.readStream.schema("k long, v string, ts long").parquet(src)
+        q = upsert_to_delta_table(stream, t, "k", "ts", ckpt)
+        q.awaitTermination(60)
+        time.sleep(0.2)
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+        # second micro-batch upserts through the same table
+        _kv(spark, [(2, "B", 1), (3, "c", 1)]).write.mode("append").parquet(src)
+        q2 = upsert_to_delta_table(stream, t, "k", "ts", ckpt)
+        q2.awaitTermination(60)
+        time.sleep(0.2)
+        assert _snap(spark, t) == [(1, "a"), (2, "B"), (3, "c")]
