@@ -41,19 +41,29 @@ def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, "_delta_log")
 
 
-def _snapshot_actions(spark: SparkSession, table_path: str):
+def _snapshot_actions(
+    spark: SparkSession, table_path: str, version: int | None = None
+):
     """Replay the log: returns (metaData dict, {path: add dict})."""
-    state = replay_log(spark, table_path)
+    state = replay_log(spark, table_path, version=version)
     return state["meta"], state["live"]
 
 
-def replay_log(spark: SparkSession, table_path: str) -> dict:
+def replay_log(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict:
     """Full log replay: ``{"meta", "live", "txns", "version"}``.
 
     ``txns`` is the latest committed ``txn.version`` per ``appId`` —
     Delta's transactional-writer idempotence state (the protocol's
     SetTransaction action); ``version`` is the highest committed log
     version (-1 for an empty log dir).
+
+    ``version=N`` replays only commits ``<= N`` — time travel (Delta's
+    ``VERSION AS OF``). A checkpoint past N is ignored and the JSON
+    commits replayed from 0; if commit files below N are missing the
+    history has been cleaned and the request raises rather than
+    returning a partial snapshot.
     """
     log = _log_dir(table_path)
     if not os.path.isdir(log):
@@ -80,12 +90,25 @@ def replay_log(spark: SparkSession, table_path: str) -> dict:
                     log, "%020d.checkpoint.parquet" % checkpoint_version
                 )
             ]
+    if version is not None and checkpoint_version > version:
+        # time travel behind the checkpoint: replay JSON from scratch
+        checkpoint_version = -1
+        checkpoint_files = []
     commits = sorted(
         f
         for f in os.listdir(log)
         if f.endswith(".json") and f[:20].isdigit()
         and int(f[:20]) > checkpoint_version
+        and (version is None or int(f[:20]) <= version)
     )
+    if version is not None:
+        want = list(range(checkpoint_version + 1, version + 1))
+        got = [int(f[:20]) for f in commits]
+        if got != want:
+            raise ValueError(
+                f"delta: time travel to version {version} needs commits "
+                f"{want} but the log holds {got} — history cleaned?"
+            )
     meta = None
     protocol = None
     live: dict[str, dict] = {}
@@ -172,8 +195,16 @@ def read_delta(
     spark: SparkSession,
     table_path: str,
     key_range: tuple | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Current-snapshot read of a Delta table (see module doc).
+
+    ``version=N`` time-travels to committed version N (Delta's
+    ``VERSION AS OF``): the replay simply stops at commit N, so the
+    returned frame is exactly the table as that commit left it —
+    tombstoned files that were live at N are read again (which is why
+    ``vacuum_delta`` is the operation that *destroys* time travel, just
+    like real Delta's retention window).
 
     ``key_range=(col, lo, hi)`` applies the range predicate AND uses
     each add action's ``stats`` (minValues/maxValues — written by
@@ -183,7 +214,7 @@ def read_delta(
     filtered normally, so the result is exactly
     ``snapshot.filter(lo <= col <= hi)`` either way.
     """
-    meta, live = _snapshot_actions(spark, table_path)
+    meta, live = _snapshot_actions(spark, table_path, version=version)
     if key_range is not None:
         col, lo, hi = key_range
         live = {

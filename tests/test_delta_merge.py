@@ -262,6 +262,56 @@ class TestStatsPrunedRead:
         assert [(r.k, r.v) for r in got] == [(1, "a")]
 
 
+class TestTimeTravel:
+    def _three_versions(self, spark, t):
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a0", 0), (2, "b0", 0)]), t, "k", "ts"
+        )
+        merge_delta_batch(spark, _kv(spark, [(1, "a1", 1)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(3, "c2", 2)]), t, "k", "ts")
+
+    def test_version_as_of(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._three_versions(spark, t)
+        as_of = lambda v: sorted(
+            (r.k, r.v)
+            for r in read_delta(spark, t, version=v).collect()
+        )
+        assert as_of(0) == [(1, "a0"), (2, "b0")]
+        assert as_of(1) == [(1, "a1"), (2, "b0")]
+        assert as_of(2) == [(1, "a1"), (2, "b0"), (3, "c2")]
+        assert _snap(spark, t) == [(1, "a1"), (2, "b0"), (3, "c2")]
+
+    def test_time_travel_behind_a_checkpoint(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        for i in range(3):
+            merge_delta_batch(
+                spark, _kv(spark, [(i, f"v{i}", i)]), t, "k", "ts",
+                checkpoint_interval=2,
+            )
+        # checkpoint sits at version 2; version 0 must replay the JSON
+        got = sorted(
+            (r.k, r.v)
+            for r in read_delta(spark, t, version=0).collect()
+        )
+        assert got == [(0, "v0")]
+
+    def test_missing_history_raises(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._three_versions(spark, t)
+        os.remove(os.path.join(t, "_delta_log", "%020d.json" % 1))
+        with pytest.raises(ValueError, match="history cleaned"):
+            read_delta(spark, t, version=2)
+
+    def test_vacuum_destroys_time_travel_not_snapshot(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._three_versions(spark, t)
+        vacuum_delta(spark, t)
+        assert _snap(spark, t) == [(1, "a1"), (2, "b0"), (3, "c2")]
+        with pytest.raises(Exception):
+            read_delta(spark, t, version=0).collect()
+
+
 class TestStreamingUpsert:
     def test_streaming_merge_available_now(self, spark, tmp_path):
         import time
