@@ -117,6 +117,56 @@ def delta_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "iceberg_snapshot_read",
+    oracle=f"""
+    WITH snap1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    snap2 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    tbl AS (SELECT * FROM snap1 UNION ALL SELECT * FROM snap2)
+    SELECT k % 5 AS k_mod,
+           COUNT(*) AS n_rows,
+           MIN(k) AS min_k,
+           {o_dsum('price')} AS sum_price
+    FROM tbl GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Apache Iceberg snapshot read via the open spec "
+    "(sources/iceberg.py; ICEBERG CLI source): orders committed as two "
+    "append snapshots (odd keys, then even keys) in the v1 "
+    "HadoopCatalog layout — metadata JSON, Avro manifest list, Avro "
+    "manifests (stdlib codec, JVM-Avro cross-checked in tests) — then "
+    "the current snapshot reconstructed manifest-by-manifest and "
+    "aggregated. The oracle is the same union in SQL. Beyond-reference "
+    "(the reference has no lakehouse source).",
+)
+def iceberg_snapshot_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    t = _fixture_dir("iceberg_read", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).select("k", "price")
+    write_iceberg_commit(base.filter(F.col("k") % 2 == 1), t)
+    write_iceberg_commit(base.filter(F.col("k") % 2 == 0), t)
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 5).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_k"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "delta_skipping_read",
     oracle=f"""
     SELECT COUNT(*) AS n_rows,

@@ -496,4 +496,26 @@ def delta_source(spark: SparkSession, cfg: Config) -> DataFrame:
     if not uri:
         raise ValueError("DELTA source requires DELTA__SOURCE_URI")
     path = uri[len("file://"):] if uri.startswith("file://") else uri
-    return read_delta(spark, path)
+    version = cfg.get("DELTA__VERSION_AS_OF")
+    return read_delta(
+        spark, path, version=int(version) if version else None
+    )
+
+
+@register_source("ICEBERG")
+def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
+    """Beyond-reference lakehouse source: snapshot read of an Apache
+    Iceberg table via the open spec (sources/iceberg.py — metadata
+    JSON + Avro manifests, no iceberg-spark jar).
+    ``ICEBERG__SOURCE_URI=file:///path/to/table``; optional
+    ``ICEBERG__SNAPSHOT_ID`` time-travels."""
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+
+    uri = cfg.get("ICEBERG__SOURCE_URI")
+    if not uri:
+        raise ValueError("ICEBERG source requires ICEBERG__SOURCE_URI")
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    snap = cfg.get("ICEBERG__SNAPSHOT_ID")
+    return read_iceberg(
+        spark, path, snapshot_id=int(snap) if snap else None
+    )

@@ -1,0 +1,265 @@
+"""Iceberg spec reader (sources/iceberg.py) + the stdlib Avro codec it
+rides on (formats/avrobin.py), cross-checked against the JVM Avro
+library bundled in pyspark's jars."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from optimus_any2any_spark.formats.avrobin import (
+    read_container,
+    write_container,
+)
+from optimus_any2any_spark.sources.iceberg import (
+    load_table_metadata,
+    read_iceberg,
+    write_iceberg_commit,
+)
+
+
+def _rows(spark, vals):
+    return spark.createDataFrame(vals, "id long, v string, score double")
+
+
+def _snap(spark, path, snapshot_id=None):
+    return sorted(
+        (r.id, r.v, r.score)
+        for r in read_iceberg(spark, path, snapshot_id=snapshot_id).collect()
+    )
+
+
+class TestAvroCodec:
+    SCHEMA = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "maybe", "type": ["null", "double"], "default": None},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": ["null", {"type": "map", "values": "long"}],
+             "default": None},
+            {"name": "b", "type": "bytes"},
+            {"name": "ok", "type": "boolean"},
+        ],
+    }
+    RECS = [
+        {"s": "héllo", "n": -(2**45), "maybe": 1.25,
+         "tags": ["a", "b"], "m": {"x": 1, "y": -2}, "b": b"\x00\xff",
+         "ok": True},
+        {"s": "", "n": 0, "maybe": None, "tags": [], "m": None, "b": b"",
+         "ok": False},
+    ]
+
+    def test_python_round_trip(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        write_container(p, self.SCHEMA, self.RECS)
+        schema, got = read_container(p)
+        assert got == self.RECS
+        assert schema["name"] == "rec"
+
+    def test_null_codec_round_trip(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        write_container(p, self.SCHEMA, self.RECS, codec="null")
+        _, got = read_container(p)
+        assert got == self.RECS
+
+    def test_jvm_reads_python_written_file(self, spark, tmp_path):
+        p = str(tmp_path / "t.avro")
+        write_container(p, self.SCHEMA, self.RECS)
+        jvm = spark._jvm
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(p),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        got = []
+        while reader.hasNext():
+            got.append(json.loads(reader.next().toString()))
+        reader.close()
+        assert len(got) == 2
+        assert got[0]["s"] == "héllo"
+        assert got[0]["n"] == -(2**45)
+        assert got[0]["m"] == {"x": 1, "y": -2}
+        assert got[1]["maybe"] is None and got[1]["ok"] is False
+
+    def test_python_reads_jvm_written_file(self, spark, tmp_path):
+        p = str(tmp_path / "jvm.avro")
+        jvm = spark._jvm
+        schema = jvm.org.apache.avro.Schema.Parser().parse(
+            json.dumps(self.SCHEMA)
+        )
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        )
+        # the JVM writer defaults to the null codec; also exercise
+        # deflate, which Iceberg manifests commonly use
+        writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+        writer.create(schema, jvm.java.io.File(p))
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("s", "from-jvm")
+        rec.put("n", 1234567890123)
+        rec.put("maybe", 0.5)
+        tags = jvm.java.util.ArrayList()
+        tags.add("t1")
+        rec.put("tags", tags)
+        m = jvm.java.util.HashMap()
+        m.put("k", 7)
+        rec.put("m", m)
+        rec.put("b", jvm.java.nio.ByteBuffer.wrap(bytes([1, 2, 3])))
+        rec.put("ok", True)
+        writer.append(rec)
+        writer.close()
+        _, got = read_container(p)
+        assert got == [
+            {"s": "from-jvm", "n": 1234567890123, "maybe": 0.5,
+             "tags": ["t1"], "m": {"k": 7}, "b": b"\x01\x02\x03",
+             "ok": True}
+        ]
+
+
+class TestIcebergSnapshots:
+    def test_two_appends_accumulate(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b", 1.5)]), t)
+        assert _snap(spark, t) == [(1, "a", 0.5), (2, "b", 1.5)]
+
+    def test_snapshot_time_travel(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b", 1.5)]), t)
+        assert _snap(spark, t, snapshot_id=1) == [(1, "a", 0.5)]
+        meta = load_table_metadata(t)
+        assert [s["snapshot-id"] for s in meta["snapshots"]] == [1, 2]
+
+    def test_unknown_snapshot_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        with pytest.raises(ValueError, match="snapshot 99"):
+            read_iceberg(spark, t, snapshot_id=99)
+
+    def test_typed_schema_from_metadata(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        df = read_iceberg(spark, t)
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "string", "double",
+        ]
+
+    def test_deleted_status_entries_skipped(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b", 1.5)]), t)
+        # flip the FIRST manifest's entries to status=DELETED in place
+        meta = load_table_metadata(t)
+        snap = meta["snapshots"][-1]
+        from optimus_any2any_spark.sources.iceberg import _localize
+
+        _, manifests = read_container(_localize(t, snap["manifest-list"]))
+        first = _localize(t, manifests[0]["manifest_path"])
+        schema, entries = read_container(first)
+        for e in entries:
+            e["status"] = 2
+        write_container(first, schema, entries)
+        assert _snap(spark, t) == [(2, "b", 1.5)]
+
+    def test_delete_manifest_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        meta = load_table_metadata(t)
+        snap = meta["snapshots"][-1]
+        from optimus_any2any_spark.sources.iceberg import _localize
+
+        ml = _localize(t, snap["manifest-list"])
+        schema, manifests = read_container(ml)
+        manifests[0]["content"] = 1
+        write_container(ml, schema, manifests)
+        with pytest.raises(NotImplementedError, match="delete manifests"):
+            read_iceberg(spark, t)
+
+    def test_format_version_3_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        md = os.path.join(t, "metadata", "v1.metadata.json")
+        meta = json.loads(open(md).read())
+        meta["format-version"] = 3
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
+        with pytest.raises(NotImplementedError, match="format-version"):
+            read_iceberg(spark, t)
+
+    def test_empty_table_no_snapshots(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, []).limit(0), t)
+        df = read_iceberg(spark, t)
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["id", "v", "score"]
+
+    def test_absolute_file_uris_localized(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        # rewrite the metadata to carry absolute file:// URIs, the way
+        # real catalogs write them
+        md = os.path.join(t, "metadata", "v1.metadata.json")
+        meta = json.loads(open(md).read())
+        snap = meta["snapshots"][0]
+        ml_abs = os.path.join(t, snap["manifest-list"])
+        snap["manifest-list"] = f"file://{ml_abs}"
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
+        schema, manifests = read_container(ml_abs)
+        for m in manifests:
+            m["manifest_path"] = (
+                f"file://{os.path.join(t, m['manifest_path'])}"
+            )
+        write_container(ml_abs, schema, manifests)
+        assert _snap(spark, t) == [(1, "a", 0.5)]
+
+    def test_iceberg_source_through_pipeline(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5), (2, "b", 1.5)]), t)
+        write_iceberg_commit(_rows(spark, [(3, "c", 2.5)]), t)
+        cfg = Config.from_env(
+            env_args=[f"ICEBERG__SOURCE_URI=file://{t}"], environ={}
+        )
+        df = Pipeline(spark, "ICEBERG", ["IO"], cfg).dataframe()
+        assert df.count() == 3
+        cfg1 = Config.from_env(
+            env_args=[
+                f"ICEBERG__SOURCE_URI=file://{t}",
+                "ICEBERG__SNAPSHOT_ID=1",
+            ],
+            environ={},
+        )
+        df1 = Pipeline(spark, "ICEBERG", ["IO"], cfg1).dataframe()
+        assert df1.count() == 2
+
+    def test_relocated_table_paths_reanchored(self, spark, tmp_path):
+        import shutil
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        # absolute URIs pointing at the ORIGINAL location...
+        md = os.path.join(t, "metadata", "v1.metadata.json")
+        meta = json.loads(open(md).read())
+        snap = meta["snapshots"][0]
+        fake_home = "/nonexistent/warehouse/tbl"
+        snap["manifest-list"] = (
+            f"file://{fake_home}/{snap['manifest-list']}"
+        )
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
+        # ...must re-anchor via the /metadata/ marker after a move
+        moved = str(tmp_path / "moved")
+        shutil.move(t, moved)
+        got = sorted(
+            (r.id, r.v, r.score)
+            for r in read_iceberg(spark, moved).collect()
+        )
+        assert got == [(1, "a", 0.5)]
