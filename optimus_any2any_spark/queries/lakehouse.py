@@ -117,6 +117,74 @@ def delta_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "iceberg_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    upd AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price
+      FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    ins AS (
+      SELECT o_orderkey AS k, o_totalprice / 2 AS price
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    merged AS (
+      SELECT k, price FROM base WHERE k % 10 <> 1
+      UNION ALL SELECT k, price FROM upd
+      UNION ALL SELECT k, price FROM ins
+    )
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM merged GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="File-level MERGE committing Iceberg snapshots "
+    "(streaming/iceberg_table.py): the same seed/update/insert workload "
+    "as delta_merge_upsert, but the commits are v1 Iceberg snapshots — "
+    "Avro manifests with spec Appendix-D bounds for pruning, untouched "
+    "manifests carried VERBATIM in the new manifest list, survivors "
+    "re-listed as EXISTING without rewriting their data files. Same "
+    "oracle algebra; result read back via the spec reader.",
+)
+def iceberg_merge_upsert(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_merge", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=4000
+    )
+    upd = _orders_kv(spark, sf_dir, 1).filter(F.col("k") % 10 == 1).withColumn(
+        "price", F.col("price") + F.lit(1000.0)
+    )
+    ins = _orders_kv(spark, sf_dir, 1).filter(F.col("k") % 20 == 0).withColumn(
+        "price", F.col("price") / F.lit(2)
+    )
+    merge_iceberg_batch(
+        spark, upd.unionByName(ins), t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame([], _EMPTY_AGG)
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_snapshot_read",
     oracle=f"""
     WITH snap1 AS (
