@@ -112,6 +112,7 @@ def all_queries() -> dict[str, Query]:
         relational_ext,
         relational_tpch2,
         lakehouse,
+        tokenizer,
     )
 
     latest = _driver_verified_rounds()
