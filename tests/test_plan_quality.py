@@ -527,3 +527,43 @@ class TestRound3SessionTwoPlans:
         assert "mapInPandas" not in r.text.lower(), r.text
         assert "Union" in r.text, r.text
         assert r.num_exchanges <= 2, r.text
+
+
+class TestLakehouseAndTokenizerPlans:
+    def test_bpe_merges_vocab_scale_shape(self, spark):
+        # pair counts must partial-aggregate (map-side combine) and the
+        # chosen pair must move by BROADCAST nested-loop (1-row cross
+        # join) — one per merge step, and never a sort-merge join. The
+        # vocabulary base is persisted (every iteration re-reads it).
+        r = report(spark, "tokenizer_bpe_merges")
+        # ≥3: one 1-row cross join per step (formatted text re-lists
+        # shared persisted subtrees, so the count over-states; the
+        # persist below is what makes the reuse real at runtime)
+        assert r.num_nested_loop_joins >= 3, r.text
+        assert r.num_sortmerge_joins == 0, r.text
+        assert "InMemory" in r.text, "vocab table must be persisted"
+        assert "partial" in r.text.lower(), "pair counts need partial agg"
+
+    def test_bpe_merges_scan_pruned_to_text(self, spark):
+        r = report(spark, "tokenizer_bpe_merges")
+        for cols in r.scan_columns():
+            assert "lang" not in cols and "source" not in cols
+
+    def test_bpe_encode_no_shuffle_before_aggregate(self, spark):
+        # chained replaces are pure projections; the persisted encode
+        # output feeds three consumers without recomputing the corpus
+        r = report(spark, "tokenizer_bpe_encode")
+        assert "InMemory" in r.text, "encoded corpus must be persisted"
+        assert r.num_sortmerge_joins == 0, r.text
+
+    def test_delta_merge_result_scan_pruned(self, spark):
+        # the post-merge aggregate needs only (k, price): column
+        # pruning must reach the parquet scans of the merged table
+        r = report(spark, "delta_merge_upsert")
+        for cols in r.scan_columns():
+            assert "ts" not in cols, r.read_schemas
+
+    def test_iceberg_snapshot_scan_pruned(self, spark):
+        r = report(spark, "iceberg_snapshot_read")
+        for cols in r.scan_columns():
+            assert "ts" not in cols, r.read_schemas
