@@ -178,6 +178,31 @@ def _jq_math_edges(col: Column) -> Column:
     return F.when(F.isnan(col), F.lit(None)).otherwise(clamped)
 
 
+def _jq_range_values(args: list[int]) -> list[int]:
+    """jq 1.6 ``range`` semantics, replicated at compile time for
+    literal args. Probed against the binary: ``range(0)`` and
+    ``range(-2)`` emit nothing; ``range(1;2;0)`` (zero step) emits
+    nothing; ``range(3;0;-1)`` counts down ``[3,2,1]``; the upper
+    bound is always exclusive."""
+    if len(args) == 1:
+        frm, to, step = 0, args[0], 1
+    elif len(args) == 2:
+        frm, to, step = args[0], args[1], 1
+    else:
+        frm, to, step = args
+    out: list[int] = []
+    x = frm
+    if step > 0:
+        while x < to:
+            out.append(x)
+            x += step
+    elif step < 0:
+        while x > to:
+            out.append(x)
+            x += step
+    return out
+
+
 def _kind_of_dtype(dtype) -> str:
     """Map a Spark DataType to a jq value kind for arithmetic checks.
 
@@ -913,6 +938,19 @@ class _ExprParser:
                     lit_args.append(json.loads(self.next()))
                     col_args.append(F.lit(lit_args[-1]))
                     arg_kinds.append("string")
+                elif (
+                    tok is not None
+                    and re.fullmatch(r"\d+", tok)
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1] in (")", ";")
+                ):
+                    # integer literal argument (has(0), limit counts…):
+                    # captured so kind-static functions can use the
+                    # VALUE; string-pattern consumers guard via
+                    # _safe_regex's isinstance check
+                    lit_args.append(int(self.next()))
+                    col_args.append(F.lit(lit_args[-1]))
+                    arg_kinds.append("int")
                 else:
                     lit_args.append(None)
                     c, k = self.parse_or()
@@ -1012,7 +1050,12 @@ class _ExprParser:
         additionally rejects patterns that can match the empty string
         (sub/gsub on zero-width matches inserts at different positions
         across engines)."""
-        if pat is None or "(?" in pat or "\\p" in pat or re.search(r"\\\d", pat):
+        if (
+            not isinstance(pat, str)
+            or "(?" in pat
+            or "\\p" in pat
+            or re.search(r"\\\d", pat)
+        ):
             raise JQUnsupported("jq: regex pattern outside native subset")
         if forbid_empty_match:
             try:
@@ -1207,7 +1250,7 @@ class _ExprParser:
             need("string")
             pat = self._safe_regex(lit_args[0], forbid_empty_match=True)
             repl = lit_args[1]
-            if repl is None or "\\" in repl or "$" in repl:
+            if not isinstance(repl, str) or "\\" in repl or "$" in repl:
                 # dynamic replacements, jq capture interpolation, and
                 # Java replacement metacharacters stay on the binary
                 raise JQUnsupported(
@@ -1247,7 +1290,7 @@ class _ExprParser:
         if name in ("ltrimstr", "rtrimstr") and len(args) == 1:
             need("string")
             s = lit_args[0]
-            if s is None:
+            if not isinstance(s, str):
                 # jq evaluates argument filters against the PIPED input
                 # (a string here), so `.a | ltrimstr(.b)` ERRORS in jq
                 # — a root-record compile would succeed where jq fails.
@@ -1268,7 +1311,7 @@ class _ExprParser:
         if name == "split" and len(args) == 1:
             need("string")
             s = lit_args[0]
-            if s is None or s == "":
+            if not isinstance(s, str) or s == "":
                 raise JQUnsupported("jq: split needs a non-empty literal")
             # jq: "" | split(s) == [] — Spark's split gives [""]
             out = F.when(
@@ -1405,7 +1448,7 @@ class _ExprParser:
                     "(numeric arrays stringify differently in jq)"
                 )
             sep = lit_args[0]
-            if sep is None:
+            if not isinstance(sep, str):
                 raise JQUnsupported("jq: join needs a literal separator")
             # jq errors on a null input array; the native path is total
             # and yields NULL for that record instead (documented
@@ -1520,7 +1563,7 @@ class _ExprParser:
         if name in ("index", "rindex") and len(args) == 1:
             need("string")
             sub = lit_args[0]
-            if sub is None or sub == "":
+            if not isinstance(sub, str) or sub == "":
                 # dynamic needles evaluate against the piped input in
                 # jq (same pitfall as ltrimstr); index("") infinite-
                 # loops in jq 1.6, so no surviving program uses it
@@ -1564,7 +1607,7 @@ class _ExprParser:
             )
         if name == "inside" and len(args) == 1:
             need("string")
-            if lit_args[0] is None:
+            if not isinstance(lit_args[0], str):
                 # jq evaluates the argument filter against the PIPED
                 # input, so `.a | inside(.b)` errors in jq — literal
                 # haystacks only (same rule as ltrimstr)
@@ -1660,6 +1703,44 @@ class _ExprParser:
                     subject, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
                 ).cast("long"),
                 "int",
+            )
+        if name in ("isnan", "isinfinite") and not args:
+            # TOTAL in jq 1.6 (probed): non-numbers — null, strings,
+            # booleans, containers — return false rather than erroring,
+            # so every kind compiles
+            if kind == "double":
+                if name == "isnan":
+                    col = F.isnan(subject)
+                else:
+                    col = F.abs(subject) == F.lit(float("inf"))
+                return F.coalesce(col, F.lit(False)), "boolean"
+            return F.lit(False), "boolean"
+        if name == "has" and len(args) == 1:
+            # jq 1.6 probed: null | has(k) == false (newer jqs error);
+            # strings/numbers error in jq, so those kinds stay on the
+            # binary (which errors identically). Object keys are
+            # static in the native kind lattice → constant membership.
+            if kind == "null":
+                return F.lit(False), "boolean"
+            if isinstance(kind, tuple) and kind[0] == "obj":
+                if lit_args[0] is None or arg_kinds[0] != "string":
+                    raise JQUnsupported(
+                        "jq: has on objects needs a literal string key"
+                    )
+                present = lit_args[0] in kind[1].fieldNames()
+                return subject.isNotNull() & F.lit(present), "boolean"
+            if kind in ("complex_str", "complex_num", "complex_bool") or (
+                isinstance(kind, tuple) and kind[0] == "complex_obj"
+            ):
+                if lit_args[0] is None or arg_kinds[0] != "int":
+                    raise JQUnsupported(
+                        "jq: has on arrays needs a literal integer index"
+                    )
+                n = int(lit_args[0])
+                col = F.lit(n >= 0) & (F.size(subject) > F.lit(n))
+                return F.coalesce(col, F.lit(False)), "boolean"
+            raise JQUnsupported(
+                f"jq: has on kind {kind!r} type-errors in jq — binary path"
             )
         raise JQUnsupported(f"jq: piped function {name!r} not in native subset")
 
@@ -1806,6 +1887,31 @@ class _ExprParser:
                 return F.struct(*cols), "complex"
         return F.struct(*cols), ("obj", T.StructType(fields))
 
+    def _parse_range_literal(self) -> list[int]:
+        """Parse ``range(a)`` / ``(a;b)`` / ``(a;b;c)`` with literal
+        INTEGER args (the common form; fractional bounds stay on the
+        binary) after the ``range`` token; returns the value list."""
+
+        def lit() -> int:
+            t = self.next()
+            if t == "-":
+                t = "-" + self.next()
+            if not re.fullmatch(r"-?\d+", t or ""):
+                raise JQUnsupported(
+                    f"jq: range needs literal integer args, got {t!r}"
+                )
+            return int(t)
+
+        self.expect("(")
+        vals = [lit()]
+        while self.peek() == ";":
+            self.next()
+            vals.append(lit())
+        self.expect(")")
+        if len(vals) > 3:
+            raise JQUnsupported("jq: range takes at most 3 args")
+        return _jq_range_values(vals)
+
     def parse_bracket(self) -> tuple[Column, str]:
         """``[ ... ]`` in expression position: the array-collected
         ``[foreach ...]`` scan, or a literal array of same-kind scalar
@@ -1852,6 +1958,21 @@ class _ExprParser:
             if n < 0:  # jq 1.6: negative limit passes the whole stream
                 return src, kind
             return F.slice(src, 1, max(n, 1)), kind
+        if self.peek() == "range":
+            # [range(a)] / [range(a;b)] / [range(a;b;c)]: the sequence
+            # is record-independent, computed at compile time with jq
+            # 1.6's probed edge semantics (range(0) == [], zero step
+            # emits nothing, negative step counts down) — see
+            # _jq_range_values
+            self.next()
+            seq = self._parse_range_literal()
+            self.expect("]")
+            col = (
+                F.array(*[F.lit(v).cast("long") for v in seq])
+                if seq
+                else F.array().cast("array<bigint>")
+            )
+            return col, "complex_num"
         if self.peek() == "]":
             self.next()
             return F.array().cast("array<string>"), "complex_str"
@@ -1933,27 +2054,40 @@ class _ExprParser:
                 f"jq: {which} over .[] aggregates the batch — per-batch "
                 "semantics live on the jq-binary path"
             )
-        if not (ptok.startswith(".") and ptok not in (".",)):
-            raise JQUnsupported(f"jq: {which} source {ptok!r}")
-        self.expect("[")
-        self.expect("]")
-        root = ptok[1:].split(".")[0]
-        if root not in self.df.columns:
-            raise JQUnsupported(
-                f"jq: {which} over absent column {root!r} (jq errors on "
-                "iterating null)"
+        if ptok == "range":
+            # reduce/foreach over a literal integer range: the source
+            # sequence is record-independent, so it is computed at
+            # compile time with jq 1.6's probed semantics (see
+            # _jq_range_values) and folded like any array source
+            seq = self._parse_range_literal()
+            arr = (
+                F.array(*[F.lit(v).cast("long") for v in seq])
+                if seq
+                else F.array().cast("array<bigint>")
             )
-        arr_kind = self._path_kind(ptok)
-        if arr_kind == "complex_str":
-            elem_kind = "string"
-        elif arr_kind == "complex_num":
             elem_kind = "int"
+        elif not (ptok.startswith(".") and ptok not in (".",)):
+            raise JQUnsupported(f"jq: {which} source {ptok!r}")
         else:
-            raise JQUnsupported(
-                f"jq: {which} over array kind {arr_kind!r} outside the "
-                "native subset"
-            )
-        arr = _path_col(ptok)
+            self.expect("[")
+            self.expect("]")
+            root = ptok[1:].split(".")[0]
+            if root not in self.df.columns:
+                raise JQUnsupported(
+                    f"jq: {which} over absent column {root!r} (jq errors "
+                    "on iterating null)"
+                )
+            arr_kind = self._path_kind(ptok)
+            if arr_kind == "complex_str":
+                elem_kind = "string"
+            elif arr_kind == "complex_num":
+                elem_kind = "int"
+            else:
+                raise JQUnsupported(
+                    f"jq: {which} over array kind {arr_kind!r} outside "
+                    "the native subset"
+                )
+            arr = _path_col(ptok)
         if self.next() != "as":
             raise JQUnsupported(f"jq: {which} missing 'as'")
         var = self.next()

@@ -74,6 +74,25 @@ NATIVE_PROGRAMS = [
     '.[] | {full: (.name + "_x")}',
     ".[] | {both: (.name + .name)}",
     '.[] | {v: (.name // "anon")}',
+    # range over literal integers (computed at compile time; probed
+    # 1.6 edges: range(0) == [], zero step empty, negative step down)
+    ".[] | {r: [range(5)]}",
+    ".[] | {r: [range(1;10;3)]}",
+    ".[] | {r: [range(3;0;-1)]}",
+    ".[] | {r: [range(0)]}",
+    ".[] | {r: [range(-2)]}",
+    ".[] | {r: (reduce range(1;5) as $x (0; . + $x))}",
+    ".[] | {r: [foreach range(3) as $x (0; . + $x)]}",
+    # isnan / isinfinite are TOTAL in jq 1.6 (false on non-numbers)
+    ".[] | {r: (.age | isnan)}",
+    ".[] | {r: (.name | isnan)}",
+    ".[] | {r: (.active | isnan)}",
+    ".[] | {r: (.score | isinfinite)}",
+    # has(): static keys on objects, literal indices on arrays
+    '.[] | {r: ({a: .id} | has("a"))}',
+    '.[] | {r: ({a: .id} | has("b"))}',
+    '.[] | {r: ((.name | split("l")) | has(0))}',
+    '.[] | {r: ((.name | split("l")) | has(5))}',
 ]
 
 
@@ -89,6 +108,26 @@ def test_native_matches_jq_binary(spark, df, program):
 def test_unsupported_raises(df):
     with pytest.raises(JQUnsupported):
         translate_jq(df, "group_by(.age) | map(length)")
+
+
+@pytest.mark.parametrize(
+    "program",
+    [
+        # jq type-errors on these; the native path must refuse (the
+        # binary fallback then errors identically) rather than compile
+        # an int literal into a string-function slot
+        '.[] | {r: (.name | ltrimstr(5))}',
+        '.[] | {r: (.name | sub("a"; 5))}',
+        '.[] | {r: (.name | inside(5))}',
+        '.[] | {r: ((.name | split("l")) | join(5))}',
+        '.[] | {r: (.name | has(0))}',      # has on a string errors
+        '.[] | {r: (.age | has("a"))}',     # has on a number errors
+        '.[] | {r: [range(1.5)]}',          # fractional bounds: binary
+    ],
+)
+def test_literal_type_guards_stay_unsupported(df, program):
+    with pytest.raises(JQUnsupported):
+        translate_jq(df, program)
 
 
 def test_null_array_elements_match_jq(spark):
