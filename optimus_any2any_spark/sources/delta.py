@@ -257,6 +257,138 @@ def read_delta(
 
 
 # ---------------------------------------------------------------------------
+# Incremental reads: append tailing + Change Data Feed
+
+
+def _commit_actions(
+    table_path: str, from_version: int, to_version: int
+) -> list[tuple[int, list[dict]]]:
+    """Raw actions of commits ``from_version < v <= to_version``;
+    raises if any commit file in the range is missing (cleaned
+    history must not read as an empty change set)."""
+    log = _log_dir(table_path)
+    out = []
+    for v in range(from_version + 1, to_version + 1):
+        path = os.path.join(log, "%020d.json" % v)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"delta: commit {v} missing from the log — history "
+                "cleaned? incremental read cannot skip versions"
+            )
+        with open(path) as f:
+            actions = [
+                json.loads(line) for line in f if line.strip()
+            ]
+        out.append((v, actions))
+    return out
+
+
+def _table_schema(spark: SparkSession, table_path: str) -> T.StructType:
+    meta, _ = _snapshot_actions(spark, table_path)
+    return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def read_delta_appends(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Rows APPENDED in commits ``(from_version, to_version]`` — the
+    batch form of Delta's streaming-source tail read. A commit that
+    removed data (``remove`` with ``dataChange``) is not expressible
+    as an append stream, so it raises — exactly Delta's
+    failOnDataLoss/ignoreChanges contract — and ``read_delta_cdf`` is
+    the reader for such commits. ``dataChange: false`` actions
+    (compaction, checkpoint shuffling) are skipped, as streaming
+    readers must."""
+    schema = _table_schema(spark, table_path)
+    files: list[str] = []
+    for v, actions in _commit_actions(
+        table_path, from_version, to_version
+    ):
+        for a in actions:
+            rm = a.get("remove")
+            if rm and rm.get("dataChange", True):
+                raise ValueError(
+                    f"delta: commit {v} rewrites data (remove with "
+                    "dataChange) — not an append stream; use "
+                    "read_delta_cdf"
+                )
+            add = a.get("add")
+            if add and add.get("dataChange", True):
+                files.append(os.path.join(table_path, add["path"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Change Data Feed read of commits ``(from_version, to_version]``:
+    rows with ``_change_type`` (insert / update_preimage /
+    update_postimage / delete) and ``_commit_version`` — the Delta CDF
+    table-valued read. Commits that recorded ``cdc`` actions are read
+    from their ``_change_data`` files; append-only commits synthesize
+    ``insert`` rows from their add files (real Delta does exactly
+    this); a data-rewriting commit WITHOUT change data raises rather
+    than guessing."""
+    schema = _table_schema(spark, table_path)
+    cdf_schema = T.StructType(
+        list(schema.fields)
+        + [T.StructField("_change_type", T.StringType(), True)]
+    )
+    out: DataFrame | None = None
+    for v, actions in _commit_actions(
+        table_path, from_version, to_version
+    ):
+        cdc_files = [
+            os.path.join(table_path, a["cdc"]["path"])
+            for a in actions
+            if a.get("cdc")
+        ]
+        if cdc_files:
+            part = spark.read.schema(cdf_schema).parquet(*cdc_files)
+        else:
+            removes = any(
+                a.get("remove") and a["remove"].get("dataChange", True)
+                for a in actions
+            )
+            if removes:
+                raise ValueError(
+                    f"delta: commit {v} rewrote data without change "
+                    "data — CDF was not enabled for that commit"
+                )
+            add_files = [
+                os.path.join(table_path, a["add"]["path"])
+                for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)
+            ]
+            if not add_files:
+                continue
+            part = (
+                spark.read.schema(schema)
+                .parquet(*add_files)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        part = part.withColumn("_commit_version", F.lit(v).cast("long"))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(cdf_schema.fields)
+                + [T.StructField("_commit_version", T.LongType(), True)]
+            ),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Minimal writer — commits the same protocol for fixtures/round-trips.
 # (The engine's own MERGE target stays streaming/manifest_table.py;
 # this writer exists so the READER is tested against real log bytes.)

@@ -196,9 +196,17 @@ def merge_delta_batch(
     batch_id: int | None = None,
     target_rows_per_file: int = 1_000_000,
     checkpoint_interval: int = 10,
+    change_data: bool = False,
 ) -> int:
     """One file-level MERGE commit against a Delta table; returns the
-    committed (or already-current, on an idempotent skip) version."""
+    committed (or already-current, on an idempotent skip) version.
+
+    ``change_data=True`` additionally writes this commit's row-level
+    changes (``_change_type`` ∈ insert / update_preimage /
+    update_postimage) under ``_change_data/`` and records them as
+    ``cdc`` actions — the Delta Change Data Feed protocol shape — so
+    incremental consumers read O(changes) per commit instead of
+    diffing snapshots (``sources.delta.read_delta_cdf``)."""
     from pyspark.sql.window import Window
 
     exists = os.path.isdir(_log_dir(table_path))
@@ -265,6 +273,7 @@ def merge_delta_batch(
 
     merged = latest
     hit_rows = 0
+    pre = None
     if hit:
         cur = spark.read.parquet(
             *[os.path.join(table_path, e["path"]) for e in hit]
@@ -276,6 +285,62 @@ def merge_delta_batch(
             "left_anti",
         ).unionByName(latest)
         hit_rows = sum(max(e["rows"], 0) for e in hit)
+        if change_data:
+            # preimages: current rows whose key the batch touches —
+            # the inner join against the distinct batch keys is the
+            # semi-join that keeps the full row schema
+            bk = latest.select(
+                F.col(key_col).alias("__bk")
+            ).distinct()
+            pre = (
+                cur.join(
+                    bk,
+                    F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk")),
+                    "inner",
+                )
+                .drop("__bk")
+                .localCheckpoint(eager=True)
+            )
+
+    cdc_rel: list[str] = []
+    if change_data:
+        cols = latest.columns
+        if pre is not None:
+            # marker column makes "matched" null-key-safe: eqNullSafe
+            # joins null==null, but the joined key itself is null there
+            pk = (
+                pre.select(F.col(key_col).alias("__pk"))
+                .distinct()
+                .withColumn("__m", F.lit(1))
+            )
+            post = latest.alias("b").join(
+                pk, F.col(f"b.{key_col}").eqNullSafe(F.col("__pk")), "left"
+            )
+            post = post.select(
+                *[F.col(f"b.{c}") for c in cols],
+                F.when(F.col("__m").isNotNull(), F.lit("update_postimage"))
+                .otherwise(F.lit("insert"))
+                .alias("_change_type"),
+            )
+            changes = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(post)
+        else:
+            changes = latest.withColumn(
+                "_change_type", F.lit("insert")
+            )
+        cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
+        changes.write.mode("overwrite").parquet(cdc_tmp)
+        os.makedirs(
+            os.path.join(table_path, "_change_data"), exist_ok=True
+        )
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(cdc_tmp, "part-*.parquet")))
+        ):
+            rel = f"_change_data/cdc-{version:05d}-{i:04d}.parquet"
+            os.replace(part, os.path.join(table_path, rel))
+            cdc_rel.append(rel)
+        shutil.rmtree(cdc_tmp)
 
     n_rows = stats["n"] + hit_rows
     n_files = max(1, -(-n_rows // target_rows_per_file))
@@ -357,6 +422,21 @@ def merge_delta_batch(
                     "path": e["path"],
                     "deletionTimestamp": 0,
                     "dataChange": True,
+                }
+            }
+        )
+    for rel in cdc_rel:
+        full = os.path.join(table_path, rel)
+        if os.path.getsize(full) == 0:
+            os.remove(full)
+            continue
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(full),
+                    "dataChange": False,
                 }
             }
         )

@@ -312,6 +312,116 @@ class TestTimeTravel:
             read_delta(spark, t, version=0).collect()
 
 
+class TestIncrementalReads:
+    def _three_with_cdf(self, spark, t):
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a0", 0), (2, "b0", 0)]), t, "k", "ts",
+            change_data=True,
+        )
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a1", 1), (3, "c1", 1)]), t, "k", "ts",
+            change_data=True,
+        )
+
+    def test_appends_tail_read(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_appends
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(2, "b", 0)]), t, "k", "ts")
+        got = sorted(
+            (r.k, r.v)
+            for r in read_delta_appends(spark, t, 0, 1).collect()
+        )
+        assert got == [(2, "b")]
+        # whole history from the beginning
+        allrows = sorted(
+            (r.k, r.v)
+            for r in read_delta_appends(spark, t, -1, 1).collect()
+        )
+        assert allrows == [(1, "a"), (2, "b")]
+
+    def test_appends_reject_rewrites(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_appends
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts")
+        with pytest.raises(ValueError, match="rewrites data"):
+            read_delta_appends(spark, t, 0, 1)
+
+    def test_missing_history_raises(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_appends
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        with pytest.raises(ValueError, match="missing from the log"):
+            read_delta_appends(spark, t, 0, 5)
+
+    def test_cdf_change_types(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+
+        t = str(tmp_path / "tbl")
+        self._three_with_cdf(spark, t)
+        rows = read_delta_cdf(spark, t, 0, 1).collect()
+        got = sorted(
+            (r.k, r.v, r._change_type, r._commit_version) for r in rows
+        )
+        assert got == [
+            (1, "a0", "update_preimage", 1),
+            (1, "a1", "update_postimage", 1),
+            (3, "c1", "insert", 1),
+        ]
+
+    def test_cdf_synthesizes_inserts_for_plain_appends(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+
+        t = str(tmp_path / "tbl")
+        # commit 0 WITHOUT change_data (pure insert) is synthesized
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        rows = read_delta_cdf(spark, t, -1, 0).collect()
+        assert [(r.k, r._change_type) for r in rows] == [(1, "insert")]
+
+    def test_cdf_rejects_uninstrumented_rewrites(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts")
+        with pytest.raises(ValueError, match="without change data"):
+            read_delta_cdf(spark, t, 0, 1)
+
+    def test_cdf_null_key_update_classified(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(None, "n0", 0)]), t, "k", "ts",
+            change_data=True,
+        )
+        merge_delta_batch(
+            spark, _kv(spark, [(None, "n1", 1), (5, "e", 1)]), t, "k", "ts",
+            change_data=True,
+        )
+        rows = read_delta_cdf(spark, t, 0, 1).collect()
+        by_type = sorted((r._change_type, r.v) for r in rows)
+        assert by_type == [
+            ("insert", "e"),
+            ("update_postimage", "n1"),
+            ("update_preimage", "n0"),
+        ]
+
+    def test_cdf_files_not_in_snapshot_reads(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._three_with_cdf(spark, t)
+        # the snapshot must NOT include change-data rows
+        assert _snap(spark, t) == [(1, "a1"), (2, "b0"), (3, "c1")]
+        df = read_delta(spark, t)
+        assert not any(
+            "_change_data" in f for f in df.inputFiles()
+        )
+
+
 class TestStreamingUpsert:
     def test_streaming_merge_available_now(self, spark, tmp_path):
         import time
