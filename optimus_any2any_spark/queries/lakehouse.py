@@ -117,6 +117,81 @@ def delta_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "delta_cdf_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    pre AS (
+      SELECT k, price, 'update_preimage' AS change_type
+      FROM base WHERE k % 10 = 1
+    ),
+    post AS (
+      SELECT k, price + 1000.0 AS price, 'update_postimage' AS change_type
+      FROM base WHERE k % 10 = 1
+    ),
+    ins AS (
+      SELECT o_orderkey AS k, o_totalprice / 2 AS price,
+             'insert' AS change_type
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    changes AS (
+      SELECT * FROM pre UNION ALL SELECT * FROM post
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT change_type,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM changes GROUP BY change_type ORDER BY change_type
+    """,
+    doc="Delta Change Data Feed (sources/delta.py read_delta_cdf; "
+    "merge_delta_batch change_data=True): the merge records its "
+    "row-level changes as protocol cdc actions, and the CDF read of "
+    "the update commit returns exactly the preimages (original "
+    "prices), postimages (+1000), and inserts (/2) — which the oracle "
+    "states directly as SQL set algebra over the source table. The "
+    "O(changes)-per-commit contract incremental consumers need.",
+)
+def delta_cdf_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta_cdf
+    from optimus_any2any_spark.streaming.delta_table import merge_delta_batch
+
+    t = _fixture_dir("delta_cdf", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000, change_data=True,
+    )
+    upd = _orders_kv(spark, sf_dir, 1).filter(F.col("k") % 10 == 1).withColumn(
+        "price", F.col("price") + F.lit(1000.0)
+    )
+    ins = _orders_kv(spark, sf_dir, 1).filter(F.col("k") % 20 == 0).withColumn(
+        "price", F.col("price") / F.lit(2)
+    )
+    merge_delta_batch(
+        spark, upd.unionByName(ins), t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000, change_data=True,
+    )
+    import os as _os
+
+    if not _os.path.isdir(_os.path.join(t, "_delta_log")):
+        return spark.createDataFrame(
+            [], "change_type string, n_rows long, sum_price double"
+        )
+    changes = read_delta_cdf(spark, t, 0, 1)
+    return (
+        changes.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
     "iceberg_merge_upsert",
     oracle=f"""
     WITH base AS (

@@ -232,6 +232,65 @@ def read_iceberg(
     return spark.read.schema(schema).parquet(*files)
 
 
+def read_iceberg_appends(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int,
+) -> DataFrame:
+    """Rows APPENDED by snapshots after ``from_snapshot_id`` up to and
+    including ``to_snapshot_id`` — Iceberg's incremental append scan
+    (the spec's ``incremental read``): per snapshot, the manifest
+    entries with ``status == ADDED`` and that snapshot's id. A
+    snapshot whose summary says ``overwrite`` (a merge) rewrote rows
+    and is NOT an append stream, so it raises — the same honesty rule
+    as ``read_delta_appends``. ``from_snapshot_id=None`` starts from
+    the beginning of history."""
+    meta = load_table_metadata(table_path)
+    schema = iceberg_spark_schema(meta)
+    snaps = meta.get("snapshots") or []
+    ids = [s["snapshot-id"] for s in snaps]
+    if to_snapshot_id not in ids:
+        raise ValueError(
+            f"iceberg: snapshot {to_snapshot_id} not in table metadata"
+        )
+    start = 0
+    if from_snapshot_id is not None:
+        if from_snapshot_id not in ids:
+            raise ValueError(
+                f"iceberg: snapshot {from_snapshot_id} not in table "
+                "metadata"
+            )
+        start = ids.index(from_snapshot_id) + 1
+    window = snaps[start:ids.index(to_snapshot_id) + 1]
+    files: list[str] = []
+    for snap in window:
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op not in ("append",):
+            raise ValueError(
+                f"iceberg: snapshot {snap['snapshot-id']} is "
+                f"{op!r}, not an append — no incremental append scan"
+            )
+        _, manifests = read_container(
+            _localize(table_path, snap["manifest-list"])
+        )
+        for m in manifests:
+            _, entries = read_container(
+                _localize(table_path, m["manifest_path"])
+            )
+            for e in entries:
+                if (
+                    int(e.get("status") or 0) == 1  # ADDED
+                    and e.get("snapshot_id") == snap["snapshot-id"]
+                ):
+                    files.append(
+                        _localize(table_path, e["data_file"]["file_path"])
+                    )
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
 # ---------------------------------------------------------------------------
 # Fixture writer: append-only v1 snapshots so the reader sees real bytes.
 

@@ -218,6 +218,49 @@ class TestIcebergSnapshots:
         write_container(ml_abs, schema, manifests)
         assert _snap(spark, t) == [(1, "a", 0.5)]
 
+    def test_incremental_append_scan(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_appends,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b", 1.5)]), t)
+        write_iceberg_commit(_rows(spark, [(3, "c", 2.5)]), t)
+        inc = sorted(
+            r.id for r in read_iceberg_appends(spark, t, 1, 3).collect()
+        )
+        assert inc == [2, 3]
+        full = sorted(
+            r.id
+            for r in read_iceberg_appends(spark, t, None, 3).collect()
+        )
+        assert full == [1, 2, 3]
+
+    def test_incremental_scan_rejects_merge_snapshots(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_appends,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        kv = spark.createDataFrame([(1, "A", 1)], "k long, v string, ts long")
+        # schema differs → build a merge table separately
+        t2 = str(tmp_path / "tbl2")
+        merge_iceberg_batch(spark, kv, t2, "k", "ts")
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame([(1, "B", 2)], "k long, v string, ts long"),
+            t2, "k", "ts",
+        )
+        meta = load_table_metadata(t2)
+        last = meta["snapshots"][-1]["snapshot-id"]
+        with pytest.raises(ValueError, match="not an append"):
+            read_iceberg_appends(spark, t2, None, last)
+
     def test_iceberg_source_through_pipeline(self, spark, tmp_path):
         from optimus_any2any_spark.config import Config
         from optimus_any2any_spark.pipeline import Pipeline
