@@ -302,8 +302,14 @@ def read_delta_appends(
     the reader for such commits. ``dataChange: false`` actions
     (compaction, checkpoint shuffling) are skipped, as streaming
     readers must."""
-    schema = _table_schema(spark, table_path)
-    files: list[str] = []
+    meta, _ = _snapshot_actions(spark, table_path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    type_of = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
     for v, actions in _commit_actions(
         table_path, from_version, to_version
     ):
@@ -317,10 +323,26 @@ def read_delta_appends(
                 )
             add = a.get("add")
             if add and add.get("dataChange", True):
-                files.append(os.path.join(table_path, add["path"]))
-    if not files:
+                pv = add.get("partitionValues") or {}
+                key = tuple(pv.get(c) for c in part_cols)
+                groups.setdefault(key, []).append(
+                    os.path.join(table_path, add["path"])
+                )
+    if not groups:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    out = None
+    for key, paths in sorted(groups.items(), key=str):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for c, val in zip(part_cols, key):
+            col = (
+                F.lit(None).cast(type_of[c])
+                if val is None
+                else F.lit(val).cast(type_of[c])
+            )
+            df = df.withColumn(c, col)
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def read_delta_cdf(
@@ -363,18 +385,16 @@ def read_delta_cdf(
                     f"delta: commit {v} rewrote data without change "
                     "data — CDF was not enabled for that commit"
                 )
-            add_files = [
-                os.path.join(table_path, a["add"]["path"])
+            if not any(
+                a.get("add") and a["add"].get("dataChange", True)
                 for a in actions
-                if a.get("add") and a["add"].get("dataChange", True)
-            ]
-            if not add_files:
+            ):
                 continue
-            part = (
-                spark.read.schema(schema)
-                .parquet(*add_files)
-                .withColumn("_change_type", F.lit("insert"))
-            )
+            # synthesize inserts via the append reader — it handles
+            # partitioned tables' log-carried partition columns
+            part = read_delta_appends(
+                spark, table_path, v - 1, v
+            ).withColumn("_change_type", F.lit("insert"))
         part = part.withColumn("_commit_version", F.lit(v).cast("long"))
         out = part if out is None else out.unionByName(part)
     if out is None:

@@ -197,6 +197,7 @@ def merge_delta_batch(
     target_rows_per_file: int = 1_000_000,
     checkpoint_interval: int = 10,
     change_data: bool = False,
+    partition_by: list[str] | None = None,
 ) -> int:
     """One file-level MERGE commit against a Delta table; returns the
     committed (or already-current, on an idempotent skip) version.
@@ -206,7 +207,19 @@ def merge_delta_batch(
     update_postimage) under ``_change_data/`` and records them as
     ``cdc`` actions — the Delta Change Data Feed protocol shape — so
     incremental consumers read O(changes) per commit instead of
-    diffing snapshots (``sources.delta.read_delta_cdf``)."""
+    diffing snapshots (``sources.delta.read_delta_cdf``).
+
+    ``partition_by`` (first commit only) creates a PARTITIONED table;
+    later merges read it from the log. Partitioned-merge semantics are
+    partition-scoped: a batch row upserts the row with the same key IN
+    ITS OWN PARTITION — the date-partitioned 100 TB shape, where
+    partition pruning happens before key-stats pruning, and a merge's
+    IO footprint is O(affected files in touched partitions), never the
+    table. A key that migrates partitions is two logical rows under
+    this contract (document shared with the reference-free manifest
+    table); cross-partition key moves need the full-join MERGE real
+    Delta runs, which is exactly the shuffle this merge exists to
+    avoid."""
     from pyspark.sql.window import Window
 
     exists = os.path.isdir(_log_dir(table_path))
@@ -225,12 +238,7 @@ def merge_delta_batch(
         schema = T.StructType.fromJson(
             json.loads(state["meta"]["schemaString"])
         )
-        if state["meta"].get("partitionColumns"):
-            raise NotImplementedError(
-                "delta merge: partitioned tables need partition-aware "
-                "rewrite grouping — out of scope (the manifest table "
-                "and this merge both range-cluster on the key instead)"
-            )
+        part_cols = list(state["meta"].get("partitionColumns") or [])
         if set(schema.fieldNames()) != set(batch.columns):
             raise ValueError(
                 "delta merge: batch columns "
@@ -238,102 +246,195 @@ def merge_delta_batch(
                 f"{sorted(schema.fieldNames())}"
             )
         batch = batch.select(*schema.fieldNames())
+    else:
+        part_cols = list(partition_by or [])
+        missing = [c for c in part_cols if c not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"delta merge: partition columns {missing} not in batch"
+            )
+    if key_col in part_cols:
+        raise ValueError(
+            "delta merge: the merge key cannot be a partition column "
+            "(every key group would be a one-row partition)"
+        )
 
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    w = Window.partitionBy(key_col, *part_cols).orderBy(
+        F.col(ts_col).desc()
+    )
     latest = (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .localCheckpoint(eager=True)
     )
-    stats = latest.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(key_col).alias("nk"),
-        F.min(key_col).alias("kmin"),
-        F.max(key_col).alias("kmax"),
-        F.max(F.col(key_col).isNull().cast("int")).alias("null_key"),
-    ).collect()[0]
-    if stats["n"] == 0:
+    n_total = latest.count()
+    if n_total == 0:
         return state["version"]
-    has_null = bool(stats["null_key"])
-    keys = None
-    if stats["nk"] <= _MAX_DRIVER_KEYS:
-        keys = sorted(
-            r[0]
-            for r in latest.select(key_col).distinct().collect()
-            if r[0] is not None
-        )
-    entries = [
-        _entry_from_add(p, a, key_col)
-        for p, a in sorted(state["live"].items())
-    ]
-    hit, _miss = _affected(
-        entries, keys, stats["kmin"], stats["kmax"], has_null
-    )
+    data_cols = [c for c in latest.columns if c not in part_cols]
 
-    merged = latest
-    hit_rows = 0
-    pre = None
-    if hit:
-        cur = spark.read.parquet(
-            *[os.path.join(table_path, e["path"]) for e in hit]
-        ).alias("cur")
-        nk = latest.select(key_col).alias("nk")
-        merged = cur.join(
-            nk,
-            F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
-            "left_anti",
-        ).unionByName(latest)
-        hit_rows = sum(max(e["rows"], 0) for e in hit)
-        if change_data:
-            # preimages: current rows whose key the batch touches —
-            # the inner join against the distinct batch keys is the
-            # semi-join that keeps the full row schema
-            bk = latest.select(
-                F.col(key_col).alias("__bk")
-            ).distinct()
-            pre = (
-                cur.join(
-                    bk,
-                    F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk")),
-                    "inner",
-                )
-                .drop("__bk")
-                .localCheckpoint(eager=True)
+    # touched partitions, from the batch (driver-side: partition
+    # cardinality scale — a late-data merge touches a handful of dates)
+    if part_cols:
+        ptuples = sorted(
+            (
+                tuple(r[c] for c in part_cols)
+                for r in latest.select(*part_cols).distinct().collect()
+            ),
+            key=str,
+        )
+    else:
+        ptuples = [()]
+    type_of = {
+        f.name: f.dataType for f in latest.schema.fields
+    }
+
+    new_adds: list[dict] = []     # (rel, partitionValues) pending stats
+    hit_paths: list[str] = []
+    change_frames = []
+    file_seq = 0
+    for pt in ptuples:
+        pv = {
+            c: (None if v is None else str(v))
+            for c, v in zip(part_cols, pt)
+        }
+        psel = latest
+        for c, v in zip(part_cols, pt):
+            psel = psel.filter(
+                F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
             )
+        psel = psel.select(*data_cols)
+        pstats = psel.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(key_col).alias("nk"),
+            F.min(key_col).alias("kmin"),
+            F.max(key_col).alias("kmax"),
+            F.max(F.col(key_col).isNull().cast("int")).alias("null_key"),
+        ).collect()[0]
+        if pstats["n"] == 0:
+            continue
+        has_null = bool(pstats["null_key"])
+        keys = None
+        if pstats["nk"] <= _MAX_DRIVER_KEYS:
+            keys = sorted(
+                r[0]
+                for r in psel.select(key_col).distinct().collect()
+                if r[0] is not None
+            )
+        # partition pruning FIRST (exact partitionValues match), then
+        # key-stats pruning inside the partition
+        plive = {
+            p: a
+            for p, a in state["live"].items()
+            if {
+                c: (a.get("partitionValues") or {}).get(c)
+                for c in part_cols
+            }
+            == pv
+        }
+        entries = [
+            _entry_from_add(p, a, key_col) for p, a in sorted(plive.items())
+        ]
+        hit, _miss = _affected(
+            entries, keys, pstats["kmin"], pstats["kmax"], has_null
+        )
+
+        merged = psel
+        hit_rows = 0
+        pre = None
+        if hit:
+            cur = spark.read.parquet(
+                *[os.path.join(table_path, e["path"]) for e in hit]
+            ).alias("cur")
+            nk = psel.select(key_col).alias("nk")
+            merged = cur.join(
+                nk,
+                F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
+                "left_anti",
+            ).unionByName(psel)
+            hit_rows = sum(max(e["rows"], 0) for e in hit)
+            hit_paths.extend(e["path"] for e in hit)
+            if change_data:
+                # preimages: current rows whose key the batch touches —
+                # inner join against the distinct batch keys keeps the
+                # full row schema
+                bk = psel.select(F.col(key_col).alias("__bk")).distinct()
+                pre = (
+                    cur.join(
+                        bk,
+                        F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk")),
+                        "inner",
+                    )
+                    .drop("__bk")
+                    .localCheckpoint(eager=True)
+                )
+
+        if change_data:
+            if pre is not None:
+                # marker column makes "matched" null-key-safe:
+                # eqNullSafe joins null==null but the joined key itself
+                # is null there
+                pk = (
+                    pre.select(F.col(key_col).alias("__pk"))
+                    .distinct()
+                    .withColumn("__m", F.lit(1))
+                )
+                post = psel.alias("b").join(
+                    pk,
+                    F.col(f"b.{key_col}").eqNullSafe(F.col("__pk")),
+                    "left",
+                )
+                post = post.select(
+                    *[F.col(f"b.{c}") for c in data_cols],
+                    F.when(
+                        F.col("__m").isNotNull(),
+                        F.lit("update_postimage"),
+                    )
+                    .otherwise(F.lit("insert"))
+                    .alias("_change_type"),
+                )
+                changes = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(post)
+            else:
+                changes = psel.withColumn("_change_type", F.lit("insert"))
+            # change rows carry the partition columns (typed literals)
+            for c, v in zip(part_cols, pt):
+                col = (
+                    F.lit(None).cast(type_of[c])
+                    if v is None
+                    else F.lit(v).cast(type_of[c])
+                )
+                changes = changes.withColumn(c, col)
+            change_frames.append(
+                changes.select(
+                    *latest.columns, "_change_type"
+                )
+            )
+
+        n_rows = pstats["n"] + hit_rows
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
+        (
+            merged.repartitionByRange(n_files, key_col)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
+            file_seq += 1
+            os.replace(part, os.path.join(table_path, rel))
+            new_adds.append({"path": rel, "partitionValues": pv})
+        shutil.rmtree(tmp)
 
     cdc_rel: list[str] = []
-    if change_data:
-        cols = latest.columns
-        if pre is not None:
-            # marker column makes "matched" null-key-safe: eqNullSafe
-            # joins null==null, but the joined key itself is null there
-            pk = (
-                pre.select(F.col(key_col).alias("__pk"))
-                .distinct()
-                .withColumn("__m", F.lit(1))
-            )
-            post = latest.alias("b").join(
-                pk, F.col(f"b.{key_col}").eqNullSafe(F.col("__pk")), "left"
-            )
-            post = post.select(
-                *[F.col(f"b.{c}") for c in cols],
-                F.when(F.col("__m").isNotNull(), F.lit("update_postimage"))
-                .otherwise(F.lit("insert"))
-                .alias("_change_type"),
-            )
-            changes = pre.withColumn(
-                "_change_type", F.lit("update_preimage")
-            ).unionByName(post)
-        else:
-            changes = latest.withColumn(
-                "_change_type", F.lit("insert")
-            )
+    if change_data and change_frames:
+        changes_all = change_frames[0]
+        for cf in change_frames[1:]:
+            changes_all = changes_all.unionByName(cf)
         cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
-        changes.write.mode("overwrite").parquet(cdc_tmp)
-        os.makedirs(
-            os.path.join(table_path, "_change_data"), exist_ok=True
-        )
+        changes_all.write.mode("overwrite").parquet(cdc_tmp)
+        os.makedirs(os.path.join(table_path, "_change_data"), exist_ok=True)
         for i, part in enumerate(
             sorted(_glob.glob(os.path.join(cdc_tmp, "part-*.parquet")))
         ):
@@ -342,38 +443,26 @@ def merge_delta_batch(
             cdc_rel.append(rel)
         shutil.rmtree(cdc_tmp)
 
-    n_rows = stats["n"] + hit_rows
-    n_files = max(1, -(-n_rows // target_rows_per_file))
-    tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
-    (
-        merged.repartitionByRange(n_files, key_col)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    new_rel: list[str] = []
-    for i, part in enumerate(
-        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
-    ):
-        rel = f"part-{version:05d}-{i:04d}-merge.parquet"
-        os.replace(part, os.path.join(table_path, rel))
-        new_rel.append(rel)
-    shutil.rmtree(tmp)
-
     # stats-scan ONLY the new files' key column (footer-cheap read)
-    per_file = (
-        spark.read.parquet(*[os.path.join(table_path, r) for r in new_rel])
-        .select(key_col)
-        .withColumn("__f", F.input_file_name())
-        .groupBy("__f")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(key_col).alias("min_key"),
-            F.max(key_col).alias("max_key"),
-            F.sum(F.col(key_col).isNull().cast("long")).alias("n_null"),
+    new_rel = [a["path"] for a in new_adds]
+    by_name = {}
+    if new_rel:
+        per_file = (
+            spark.read.parquet(
+                *[os.path.join(table_path, r) for r in new_rel]
+            )
+            .select(key_col)
+            .withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(key_col).alias("min_key"),
+                F.max(key_col).alias("max_key"),
+                F.sum(F.col(key_col).isNull().cast("long")).alias("n_null"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    by_name = {r["__f"].rsplit("/", 1)[-1]: r for r in per_file}
+        by_name = {r["__f"].rsplit("/", 1)[-1]: r for r in per_file}
 
     actions: list[dict] = []
     if version == 0:
@@ -388,14 +477,15 @@ def merge_delta_batch(
                     "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": latest.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {},
                 }
             }
         )
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})
-    for rel in new_rel:
+    for pending in new_adds:
+        rel = pending["path"]
         r = by_name.get(rel)
         if r is None:  # empty part file: not worth an add action
             os.remove(os.path.join(table_path, rel))
@@ -404,7 +494,7 @@ def merge_delta_batch(
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": {},
+                    "partitionValues": pending["partitionValues"],
                     "size": os.path.getsize(os.path.join(table_path, rel)),
                     "modificationTime": 0,
                     "dataChange": True,
@@ -415,11 +505,11 @@ def merge_delta_batch(
                 }
             }
         )
-    for e in hit:
+    for path in hit_paths:
         actions.append(
             {
                 "remove": {
-                    "path": e["path"],
+                    "path": path,
                     "deletionTimestamp": 0,
                     "dataChange": True,
                 }

@@ -312,6 +312,115 @@ class TestTimeTravel:
             read_delta(spark, t, version=0).collect()
 
 
+class TestPartitionedMerge:
+    def _pkv(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, v string, day string, ts long"
+        )
+
+    def _seed(self, spark, t):
+        merge_delta_batch(
+            spark,
+            self._pkv(spark, [
+                (1, "a", "2024-01-01", 0), (2, "b", "2024-01-01", 0),
+                (1, "x", "2024-01-02", 0), (3, "y", "2024-01-02", 0),
+            ]),
+            t, "k", "ts", partition_by=["day"],
+        )
+
+    def test_partition_scoped_upsert(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        # same key 1 exists in BOTH partitions; update only day-02
+        merge_delta_batch(
+            spark,
+            self._pkv(spark, [(1, "X", "2024-01-02", 1)]),
+            t, "k", "ts",
+        )
+        got = sorted(
+            (r.k, r.v, r.day) for r in read_delta(spark, t).collect()
+        )
+        assert got == [
+            (1, "X", "2024-01-02"), (1, "a", "2024-01-01"),
+            (2, "b", "2024-01-01"), (3, "y", "2024-01-02"),
+        ]
+
+    def test_untouched_partition_files_not_rewritten(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        live0 = replay_log(spark, t)["live"]
+        day1_files = {
+            p for p, a in live0.items()
+            if a["partitionValues"]["day"] == "2024-01-01"
+        }
+        stats = {
+            f: os.stat(os.path.join(t, f)).st_mtime_ns for f in day1_files
+        }
+        merge_delta_batch(
+            spark,
+            self._pkv(spark, [(3, "Y", "2024-01-02", 1)]),
+            t, "k", "ts",
+        )
+        live1 = replay_log(spark, t)["live"]
+        for f in day1_files:  # day-01 carried over byte-identical
+            assert f in live1
+            assert os.stat(os.path.join(t, f)).st_mtime_ns == stats[f]
+
+    def test_partition_values_in_log_and_typed_read(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "a", 10, 0), (2, "b", 20, 0)],
+            "k long, v string, bucket int, ts long",
+        )
+        merge_delta_batch(spark, df, t, "k", "ts", partition_by=["bucket"])
+        adds = replay_log(spark, t)["live"]
+        assert {a["partitionValues"]["bucket"] for a in adds.values()} == {
+            "10", "20",
+        }
+        got = {r.k: r.bucket for r in read_delta(spark, t).collect()}
+        assert got == {1: 10, 2: 20}
+
+    def test_key_as_partition_column_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        with pytest.raises(ValueError, match="partition column"):
+            merge_delta_batch(
+                spark,
+                self._pkv(spark, [(1, "a", "d", 0)]),
+                t, "k", "ts", partition_by=["k"],
+            )
+
+    def test_partitioned_appends_and_cdf(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import (
+            read_delta_appends,
+            read_delta_cdf,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark,
+            self._pkv(spark, [(1, "a", "2024-01-01", 0)]),
+            t, "k", "ts", partition_by=["day"], change_data=True,
+        )
+        merge_delta_batch(
+            spark,
+            self._pkv(spark, [
+                (1, "A", "2024-01-01", 1), (2, "n", "2024-01-02", 1),
+            ]),
+            t, "k", "ts", change_data=True,
+        )
+        apps = read_delta_appends(spark, t, -1, 0).collect()
+        assert [(r.k, r.day) for r in apps] == [(1, "2024-01-01")]
+        cdf = sorted(
+            (r._change_type, r.k, r.v, r.day)
+            for r in read_delta_cdf(spark, t, 0, 1).collect()
+        )
+        assert cdf == [
+            ("insert", 2, "n", "2024-01-02"),
+            ("update_postimage", 1, "A", "2024-01-01"),
+            ("update_preimage", 1, "a", "2024-01-01"),
+        ]
+
+
 class TestIncrementalReads:
     def _three_with_cdf(self, spark, t):
         merge_delta_batch(
