@@ -117,6 +117,86 @@ def delta_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "delta_partitioned_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS k, event_type AS etype, value
+      FROM events WHERE event_id % 3 <> 0
+    ),
+    upd AS (
+      SELECT event_id AS k, event_type AS etype, value + 10.0 AS value
+      FROM events WHERE event_id % 5 = 1 AND event_id % 3 <> 0
+    ),
+    ins AS (
+      SELECT event_id AS k, event_type AS etype, value / 2 AS value
+      FROM events WHERE event_id % 15 = 0
+    ),
+    merged AS (
+      SELECT k, etype, value FROM base WHERE k % 5 <> 1
+      UNION ALL SELECT k, etype, value FROM upd
+      UNION ALL SELECT k, etype, value FROM ins
+    )
+    SELECT etype,
+           COUNT(*) AS n_rows,
+           {o_dsum('value')} AS sum_value
+    FROM merged GROUP BY etype ORDER BY etype
+    """,
+    doc="PARTITIONED Delta MERGE (merge_delta_batch partition_by): the "
+    "events table committed partitioned by event_type, then one merge "
+    "of updates (+10, same partitions) and inserts (/2). Pruning is "
+    "two-level — exact partitionValues match first, key stats inside "
+    "each touched partition — and untouched partitions carry over "
+    "byte-identical. The oracle is the partition-scoped upsert as SQL "
+    "set algebra; the read back re-attaches typed partition columns "
+    "from the log.",
+)
+def delta_partitioned_merge(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import merge_delta_batch
+
+    t = _fixture_dir("delta_pmerge", sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    base = ev.filter(F.col("k") % 3 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000, partition_by=["etype"],
+    )
+    upd = (
+        ev.filter((F.col("k") % 5 == 1) & (F.col("k") % 3 != 0))
+        .withColumn("value", F.col("value") + F.lit(10.0))
+        .withColumn("ts", F.lit(1).cast("long"))
+    )
+    ins = (
+        ev.filter(F.col("k") % 15 == 0)
+        .withColumn("value", F.col("value") / F.lit(2))
+        .withColumn("ts", F.lit(1).cast("long"))
+    )
+    merge_delta_batch(
+        spark, upd.unionByName(ins), t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame(
+            [], "etype string, n_rows long, sum_value double"
+        )
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("etype")
+    )
+
+
+@register(
     "delta_cdf_read",
     oracle=f"""
     WITH base AS (

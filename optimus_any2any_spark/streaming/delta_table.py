@@ -186,6 +186,110 @@ def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
     return gone
 
 
+def compact_delta(
+    spark: SparkSession,
+    table_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int | None:
+    """OPTIMIZE: rewrite small files into ``target_rows_per_file``-
+    sized ones, per partition, committing adds+removes with
+    ``dataChange: false`` — so streaming/CDF readers skip the commit
+    entirely (the protocol's compaction contract) while snapshot
+    readers see fewer, larger files. Returns the committed version, or
+    None when no partition had at least two undersized files (nothing
+    to do ⇒ no commit, no version burn). The rewritten bytes become
+    garbage for ``vacuum_delta``; time travel before the compaction
+    still sees the small files."""
+    state = replay_log(spark, table_path)
+    if state["meta"] is None:
+        return None
+    schema = T.StructType.fromJson(
+        json.loads(state["meta"]["schemaString"])
+    )
+    part_cols = state["meta"].get("partitionColumns") or []
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for p, a in sorted(state["live"].items()):
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        try:
+            n = json.loads(a.get("stats") or "{}").get("numRecords")
+        except ValueError:
+            n = None
+        if n is None or n < target_rows_per_file:
+            groups.setdefault(key, []).append((p, a))
+    version = state["version"] + 1
+    actions: list[dict] = []
+    file_seq = 0
+    # the merge key's stats column is whatever the table's adds carry;
+    # recompute stats on the first data column for generality
+    stat_col = data_schema.fields[0].name if data_schema.fields else None
+    for key, files in sorted(groups.items(), key=str):
+        if len(files) < 2:
+            continue
+        paths = [os.path.join(table_path, p) for p, _ in files]
+        df = spark.read.schema(data_schema).parquet(*paths)
+        total = df.count()
+        n_files = max(1, -(-total // target_rows_per_file))
+        tmp = os.path.join(table_path, f"_tmp-compact-v{version}")
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        pv = {
+            c: v for c, v in zip(part_cols, key)
+        }
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        ):
+            rel = f"part-{version:05d}-{file_seq:04d}-compact.parquet"
+            file_seq += 1
+            os.replace(part, os.path.join(table_path, rel))
+            full = os.path.join(table_path, rel)
+            stats_json = None
+            if stat_col is not None:
+                r = (
+                    spark.read.schema(data_schema)
+                    .parquet(full)
+                    .agg(
+                        F.count(F.lit(1)).alias("rows"),
+                        F.min(stat_col).alias("mn"),
+                        F.max(stat_col).alias("mx"),
+                        F.sum(
+                            F.col(stat_col).isNull().cast("long")
+                        ).alias("n_null"),
+                    )
+                    .collect()[0]
+                )
+                stats_json = _stats_json(
+                    r["rows"], stat_col, r["mn"], r["mx"], int(r["n_null"])
+                )
+            add = {
+                "path": rel,
+                "partitionValues": pv,
+                "size": os.path.getsize(full),
+                "modificationTime": 0,
+                "dataChange": False,
+            }
+            if stats_json:
+                add["stats"] = stats_json
+            actions.append({"add": add})
+        shutil.rmtree(tmp)
+        for p, _ in files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+    if not actions:
+        return None
+    _commit(_log_dir(table_path), version, actions)
+    return version
+
+
 def merge_delta_batch(
     spark: SparkSession,
     batch: DataFrame,

@@ -531,6 +531,85 @@ class TestIncrementalReads:
         )
 
 
+class TestCompaction:
+    def test_optimize_rewrites_small_files_invisibly(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import (
+            read_delta_appends,
+            read_delta_cdf,
+        )
+        from optimus_any2any_spark.streaming.delta_table import (
+            compact_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        for i in range(3):
+            merge_delta_batch(
+                spark, _kv(spark, [(i, f"v{i}", 0)]), t, "k", "ts"
+            )
+        assert len(_live_files(spark, t)) == 3
+        v = compact_delta(spark, t)
+        assert v == 3
+        assert len(_live_files(spark, t)) == 1
+        # snapshot identical; time travel still sees the small files
+        assert _snap(spark, t) == [(0, "v0"), (1, "v1"), (2, "v2")]
+        assert _snap(spark, t) == sorted(
+            ((r.k, r.v) for r in __import__(
+                "optimus_any2any_spark.sources.delta", fromlist=["read_delta"]
+            ).read_delta(spark, t, version=2).collect()),
+            key=lambda x: (x[0], x[1]),
+        )
+        # streaming readers skip the dataChange:false commit entirely
+        assert read_delta_appends(spark, t, 2, 3).count() == 0
+        assert read_delta_cdf(spark, t, 2, 3).count() == 0
+        # compacted file carries usable stats for future merges
+        adds = replay_log(spark, t)["live"]
+        st = json.loads(next(iter(adds.values()))["stats"])
+        assert st["numRecords"] == 3
+        assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 2
+
+    def test_optimize_noop_returns_none(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            compact_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        v_before = replay_log(spark, t)["version"]
+        assert compact_delta(spark, t) is None
+        assert replay_log(spark, t)["version"] == v_before
+
+    def test_optimize_respects_partitions(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            compact_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        pkv = lambda rows: spark.createDataFrame(
+            rows, "k long, v string, day string, ts long"
+        )
+        merge_delta_batch(
+            spark, pkv([(1, "a", "d1", 0), (2, "b", "d2", 0)]),
+            t, "k", "ts", partition_by=["day"],
+        )
+        merge_delta_batch(
+            spark, pkv([(3, "c", "d1", 0), (4, "d", "d2", 0)]),
+            t, "k", "ts",
+        )
+        compact_delta(spark, t)
+        live = replay_log(spark, t)["live"]
+        by_day = {}
+        for a in live.values():
+            by_day.setdefault(a["partitionValues"]["day"], []).append(a)
+        # one compacted file per partition, rows never mixed across days
+        assert {d: len(fs) for d, fs in by_day.items()} == {
+            "d1": 1, "d2": 1,
+        }
+        got = sorted(
+            (r.k, r.day) for r in read_delta(spark, t).collect()
+        )
+        assert got == [(1, "d1"), (2, "d2"), (3, "d1"), (4, "d2")]
+
+
 class TestStreamingUpsert:
     def test_streaming_merge_available_now(self, spark, tmp_path):
         import time
