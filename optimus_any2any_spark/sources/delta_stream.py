@@ -1,0 +1,193 @@
+"""Delta table as a Structured Streaming SOURCE (Python DataSource).
+
+``spark.readStream.format("delta_tail")`` over an open-protocol Delta
+table: stream offsets ARE log versions, each micro-batch is the add
+actions of the commit window, and non-append commits (remove with
+``dataChange``) fail the stream — the same contract as real Delta's
+streaming source without ``ignoreChanges``. This wires
+``read_delta_appends``'s semantics into the actual ``readStream``
+machinery via Spark 4's Python streaming DataSource API
+(``DataSourceStreamReader``), so triggers/checkpoints/availableNow all
+behave like any other source.
+
+Scale shape: offset planning is driver-side over the JSON commit tail
+(same as every Delta client); each data file becomes one input
+partition whose rows are read ON EXECUTORS with pyarrow — parallelism
+= files per batch. Partition-column values are attached from the
+log's ``partitionValues`` (typed), exactly like the batch reader.
+
+Registration (per session)::
+
+    from optimus_any2any_spark.sources.delta_stream import (
+        DeltaTailDataSource,
+    )
+    spark.dataSource.register(DeltaTailDataSource)
+    df = (spark.readStream.format("delta_tail")
+          .option("path", "/path/to/table").load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+# The DataSource class is cloudpickled to the create-data-source worker,
+# which does NOT have this repo on PYTHONPATH when the driver runs from
+# another cwd (the same worker-closure gotcha as the multimodal codecs):
+# register this module for BY-VALUE pickling so its code ships with the
+# pickle instead of an import-by-name.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+def _log_json_actions(table_path: str) -> dict[int, list[dict]]:
+    """All JSON commit actions by version (driver-side, pure python —
+    no SparkSession needed at planning time)."""
+    log = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log):
+        raise ValueError(f"delta_tail: no _delta_log under {table_path}")
+    out: dict[int, list[dict]] = {}
+    for f in sorted(os.listdir(log)):
+        if f.endswith(".json") and f[:20].isdigit():
+            with open(os.path.join(log, f)) as fh:
+                out[int(f[:20])] = [
+                    json.loads(line) for line in fh if line.strip()
+                ]
+    return out
+
+
+def _table_meta(table_path: str) -> dict:
+    meta = None
+    for _, actions in sorted(_log_json_actions(table_path).items()):
+        for a in actions:
+            if a.get("metaData"):
+                meta = a["metaData"]
+    if meta is None:
+        raise ValueError(
+            f"delta_tail: no metaData in the JSON log of {table_path} "
+            "(checkpoint-only history is not supported by the stream "
+            "source)"
+        )
+    return meta
+
+
+def _typed_partition_value(dtype: T.DataType, raw: str | None):
+    if raw is None:
+        return None
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+        return int(raw)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw == "true"
+    return raw  # strings (and anything else the log stringified)
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, path: str, pv: dict, version: int):
+        self.path = path
+        self.pv = pv  # partitionValues (raw strings)
+        self.version = version
+
+
+class DeltaTailStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.table_path = options.get("path", "")
+        if not self.table_path:
+            raise ValueError("delta_tail: option 'path' is required")
+        self.schema_ = schema
+        meta = _table_meta(self.table_path)
+        self.part_cols = meta.get("partitionColumns") or []
+
+    # offsets are dicts {"version": N} — committed versions ≤ N consumed
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        versions = _log_json_actions(self.table_path)
+        return {"version": max(versions, default=-1)}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> list[InputPartition]:
+        actions_by_v = _log_json_actions(self.table_path)
+        out: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            actions = actions_by_v.get(v)
+            if actions is None:
+                raise ValueError(
+                    f"delta_tail: commit {v} missing — history cleaned "
+                    "under a running stream"
+                )
+            for a in actions:
+                rm = a.get("remove")
+                if rm and rm.get("dataChange", True):
+                    raise ValueError(
+                        f"delta_tail: commit {v} rewrites data — the "
+                        "append stream contract is broken (use the CDF "
+                        "reader for merge commits)"
+                    )
+                add = a.get("add")
+                if add and add.get("dataChange", True):
+                    out.append(
+                        _FileSlice(
+                            os.path.join(self.table_path, add["path"]),
+                            add.get("partitionValues") or {},
+                            v,
+                        )
+                    )
+        return out
+
+    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+        # EXECUTOR-side: one parquet file via pyarrow; partition
+        # columns attached from the log's values, typed per schema
+        import pyarrow.parquet as pq
+
+        fields = self.schema_.fields
+        part_cols = {f.name for f in fields} - {
+            c.name
+            for c in pq.read_schema(partition.path)
+        }
+        table = pq.read_table(partition.path)
+        cols = {name: table.column(name).to_pylist()
+                for name in table.column_names}
+        n = table.num_rows
+        const = {
+            f.name: _typed_partition_value(
+                f.dataType, partition.pv.get(f.name)
+            )
+            for f in fields
+            if f.name in part_cols
+        }
+        for i in range(n):
+            yield tuple(
+                const[f.name] if f.name in const else cols[f.name][i]
+                for f in fields
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # log retention is vacuum's problem, not the reader's
+
+
+class DeltaTailDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_tail"
+
+    def schema(self):
+        meta = _table_meta(self.options.get("path", ""))
+        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def streamReader(self, schema: T.StructType):
+        return DeltaTailStreamReader(schema, self.options)

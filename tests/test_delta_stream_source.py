@@ -1,0 +1,95 @@
+"""Delta table as a readStream source (sources/delta_stream.py):
+version offsets, per-file partitions, append contract, partitioned
+tables, incremental micro-batches across triggers."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from optimus_any2any_spark.sources.delta_stream import DeltaTailDataSource
+from optimus_any2any_spark.streaming.delta_table import merge_delta_batch
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ts long")
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(DeltaTailDataSource)
+    return spark
+
+
+def _run_available(spark, t, ckpt, out):
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+
+
+class TestDeltaTailSource:
+    def test_stream_reads_appends_by_version(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(2, "b", 0)]), t, "k", "ts")
+        _run_available(spark, t, ckpt, out)
+        got = sorted(
+            (r.k, r.v) for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(1, "a"), (2, "b")]
+        # new commit between runs → ONLY the new rows in the next run
+        merge_delta_batch(spark, _kv(spark, [(3, "c", 0)]), t, "k", "ts")
+        _run_available(spark, t, ckpt, out)
+        got = sorted(
+            (r.k, r.v) for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_rewrite_commit_fails_stream(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts")
+        q = (
+            spark.readStream.format("delta_tail")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="rewrites data"):
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
+
+    def test_partitioned_table_values_attached(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.createDataFrame(
+            [(1, "a", 10, 0), (2, "b", 20, 0)],
+            "k long, v string, bucket int, ts long",
+        )
+        merge_delta_batch(spark, df, t, "k", "ts", partition_by=["bucket"])
+        _run_available(spark, t, ckpt, out)
+        got = {r.k: r.bucket for r in spark.read.parquet(out).collect()}
+        assert got == {1: 10, 2: 20}
