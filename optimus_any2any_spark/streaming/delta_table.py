@@ -117,18 +117,26 @@ def _stats_json(rows: int, key_col: str, kmin, kmax, n_null: int) -> str:
 
 
 def _commit(log: str, version: int, actions: list[dict]) -> None:
-    """The atomic step: all-or-nothing rename of one JSON log entry."""
+    """The atomic step: put-if-absent of one JSON log entry.
+    ``os.link`` (not rename) is the primitive — it FAILS if the target
+    exists, so two writers racing for the same version cannot both
+    win (the Delta paper's mutual-exclusion requirement on the log
+    store; rename-with-overwrite would silently drop one commit)."""
     os.makedirs(log, exist_ok=True)
     final = os.path.join(log, "%020d.json" % version)
-    if os.path.exists(final):
-        raise IOError(
-            f"delta: commit {version} already exists — concurrent writer?"
-        )
     tmp = final + ".tmp"
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, default=str) + "\n")
-    os.replace(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise IOError(
+            f"delta: commit {version} already exists — lost the race "
+            "to a concurrent writer; replay the log and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _write_checkpoint(

@@ -191,6 +191,17 @@ class TestCrashRecoveryAndVacuum:
         assert set(old) <= set(gone)
         assert _snap(spark, t) == [(1, "b")]
 
+    def test_commit_is_put_if_absent(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import _commit
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        log = os.path.join(t, "_delta_log")
+        # racing for an existing version must FAIL, not overwrite
+        with pytest.raises(IOError, match="lost the race"):
+            _commit(log, 0, [{"add": {"path": "x.parquet"}}])
+        assert _snap(spark, t) == [(1, "a")]
+
     def test_partial_commit_tmp_is_ignored(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
         merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
