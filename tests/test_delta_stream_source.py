@@ -80,6 +80,57 @@ class TestDeltaTailSource:
             if q.exception() is not None:
                 raise q.exception()
 
+    def test_medallion_pipeline_append_log_to_merged_table(
+        self, registered, tmp_path
+    ):
+        """Bronze→silver: an append-only Delta event log streamed
+        through delta_tail into a MERGE-upserted Delta serving table —
+        source, stream, and sink all the same open protocol."""
+        from optimus_any2any_spark.sources.delta import read_delta
+        from optimus_any2any_spark.streaming.delta_table import (
+            upsert_to_delta_table,
+        )
+
+        spark = registered
+        src = str(tmp_path / "bronze")
+        dst = str(tmp_path / "silver")
+        ckpt = str(tmp_path / "ckpt")
+
+        def _events(rows):
+            # bronze key = unique event_id → bronze stays append-only;
+            # silver upserts on the ENTITY key k
+            return spark.createDataFrame(
+                rows, "event_id long, k long, v string, ts long"
+            )
+
+        merge_delta_batch(
+            spark,
+            _events([(100, 1, "a", 0), (101, 2, "b", 0)]),
+            src, "event_id", "ts",
+        )
+        stream = (
+            spark.readStream.format("delta_tail").option("path", src).load()
+        )
+        q = upsert_to_delta_table(stream, dst, "k", "ts", ckpt)
+        q.awaitTermination(120)
+        time.sleep(0.2)
+        assert sorted(
+            (r.k, r.v) for r in read_delta(spark, dst).collect()
+        ) == [(1, "a"), (2, "b")]
+        # late record for entity 2 APPENDED to bronze as a new event;
+        # dedup-to-latest happens in the silver MERGE
+        merge_delta_batch(
+            spark,
+            _events([(102, 2, "B", 1), (103, 3, "c", 1)]),
+            src, "event_id", "ts",
+        )
+        q2 = upsert_to_delta_table(stream, dst, "k", "ts", ckpt)
+        q2.awaitTermination(120)
+        time.sleep(0.2)
+        assert sorted(
+            (r.k, r.v) for r in read_delta(spark, dst).collect()
+        ) == [(1, "a"), (2, "B"), (3, "c")]
+
     def test_partitioned_table_values_attached(self, registered, tmp_path):
         spark = registered
         t = str(tmp_path / "tbl")
