@@ -310,6 +310,7 @@ def merge_delta_batch(
     checkpoint_interval: int = 10,
     change_data: bool = False,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """One file-level MERGE commit against a Delta table; returns the
     committed (or already-current, on an idempotent skip) version.
@@ -331,7 +332,13 @@ def merge_delta_batch(
     this contract (document shared with the reference-free manifest
     table); cross-partition key moves need the full-join MERGE real
     Delta runs, which is exactly the shuffle this merge exists to
-    avoid."""
+    avoid.
+
+    ``merge_schema=True`` is Delta's mergeSchema: batch columns not in
+    the table are APPENDED to the schema (this commit carries the new
+    metaData action; existing files read the new columns as null), and
+    table columns missing from the batch are null-filled. Without it,
+    any column mismatch raises."""
     from pyspark.sql.window import Window
 
     exists = os.path.isdir(_log_dir(table_path))
@@ -346,17 +353,40 @@ def merge_delta_batch(
     ):
         return state["version"]  # redelivery of an applied batch: no-op
 
+    evolved = False
     if state["meta"] is not None:
         schema = T.StructType.fromJson(
             json.loads(state["meta"]["schemaString"])
         )
         part_cols = list(state["meta"].get("partitionColumns") or [])
         if set(schema.fieldNames()) != set(batch.columns):
-            raise ValueError(
-                "delta merge: batch columns "
-                f"{sorted(batch.columns)} != table schema "
-                f"{sorted(schema.fieldNames())}"
-            )
+            if not merge_schema:
+                raise ValueError(
+                    "delta merge: batch columns "
+                    f"{sorted(batch.columns)} != table schema "
+                    f"{sorted(schema.fieldNames())} "
+                    "(pass merge_schema=True to evolve)"
+                )
+            table_cols = set(schema.fieldNames())
+            extra = [c for c in batch.columns if c not in table_cols]
+            missing = [
+                c for c in schema.fieldNames() if c not in batch.columns
+            ]
+            if any(c in part_cols for c in missing):
+                raise ValueError(
+                    "delta merge: batch must carry the partition "
+                    f"columns {part_cols}"
+                )
+            if extra:
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [batch.schema[c] for c in extra]
+                )
+                evolved = True
+            for c in missing:
+                batch = batch.withColumn(
+                    c, F.lit(None).cast(schema[c].dataType)
+                )
         batch = batch.select(*schema.fieldNames())
     else:
         part_cols = list(partition_by or [])
@@ -384,6 +414,9 @@ def merge_delta_batch(
     if n_total == 0:
         return state["version"]
     data_cols = [c for c in latest.columns if c not in part_cols]
+    data_schema = T.StructType(
+        [f for f in latest.schema.fields if f.name not in part_cols]
+    )
 
     # touched partitions, from the batch (driver-side: partition
     # cardinality scale — a late-data merge touches a handful of dates)
@@ -455,7 +488,9 @@ def merge_delta_batch(
         hit_rows = 0
         pre = None
         if hit:
-            cur = spark.read.parquet(
+            # explicit schema: pre-evolution files read new columns
+            # as null (Delta mergeSchema read semantics)
+            cur = spark.read.schema(data_schema).parquet(
                 *[os.path.join(table_path, e["path"]) for e in hit]
             ).alias("cur")
             nk = psel.select(key_col).alias("nk")
@@ -594,6 +629,13 @@ def merge_delta_batch(
                 }
             }
         )
+    elif evolved:
+        # schema evolution: this commit re-states metaData with the
+        # appended columns; replay picks the LAST metaData, so older
+        # versions time-travel with their original schema
+        meta = dict(state["meta"])
+        meta["schemaString"] = latest.schema.json()
+        actions.append({"metaData": meta})
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})
     for pending in new_adds:

@@ -542,6 +542,55 @@ class TestIncrementalReads:
         )
 
 
+class TestSchemaEvolution:
+    def test_merge_schema_appends_column(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0)]), t, "k", "ts"
+        )
+        wide = spark.createDataFrame(
+            [(2, "B", 1, 9.5), (3, "c", 1, 7.0)],
+            "k long, v string, ts long, score double",
+        )
+        merge_delta_batch(spark, wide, t, "k", "ts", merge_schema=True)
+        got = sorted(
+            ((r.k, r.v, r.score) for r in read_delta(spark, t).collect()),
+            key=lambda x: x[0],
+        )
+        # untouched row 1 reads the NEW column as null
+        assert got == [(1, "a", None), (2, "B", 9.5), (3, "c", 7.0)]
+
+    def test_mismatch_without_flag_still_raises(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        wide = spark.createDataFrame(
+            [(2, "b", 0, 1.0)], "k long, v string, ts long, score double"
+        )
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            merge_delta_batch(spark, wide, t, "k", "ts")
+
+    def test_narrow_batch_null_fills(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        wide = spark.createDataFrame(
+            [(1, "a", 0, 1.5)], "k long, v string, ts long, score double"
+        )
+        merge_delta_batch(spark, wide, t, "k", "ts")
+        narrow = _kv(spark, [(2, "b", 0)])
+        merge_delta_batch(spark, narrow, t, "k", "ts", merge_schema=True)
+        got = {r.k: r.score for r in read_delta(spark, t).collect()}
+        assert got == {1: 1.5, 2: None}
+
+    def test_time_travel_keeps_old_schema(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        wide = spark.createDataFrame(
+            [(2, "b", 1, 3.0)], "k long, v string, ts long, score double"
+        )
+        merge_delta_batch(spark, wide, t, "k", "ts", merge_schema=True)
+        assert read_delta(spark, t, version=0).columns == ["k", "v", "ts"]
+        assert "score" in read_delta(spark, t).columns
+
+
 class TestCompaction:
     def test_optimize_rewrites_small_files_invisibly(self, spark, tmp_path):
         from optimus_any2any_spark.sources.delta import (
