@@ -692,6 +692,212 @@ def merge_delta_batch(
     return version
 
 
+def delete_delta_keys(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    keys: DataFrame,
+    app_id: str = DEFAULT_APP_ID,
+    batch_id: int | None = None,
+    change_data: bool = False,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Copy-on-write DELETE by key — the third verb of the CRUD story
+    (merge covers insert/update). Affected files are pruned exactly
+    like a merge (partition group, then key stats); each is rewritten
+    without the matching rows, a file whose every row matched simply
+    gets no replacement, and ``change_data=True`` records the removed
+    rows as ``delete`` CDF entries (the GDPR-erasure shape: the CDF
+    tells downstream consumers WHICH rows to forget). Returns the
+    committed version (or the current one when nothing matched —
+    no-op deletes burn no version)."""
+    state = replay_log(spark, table_path)
+    if state["meta"] is None:
+        raise ValueError(f"delta delete: no table at {table_path}")
+    version = state["version"] + 1
+    if (
+        batch_id is not None
+        and state["txns"].get(app_id) is not None
+        and batch_id <= state["txns"][app_id]
+    ):
+        return state["version"]
+    schema = T.StructType.fromJson(
+        json.loads(state["meta"]["schemaString"])
+    )
+    part_cols = state["meta"].get("partitionColumns") or []
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    type_of = {f.name: f.dataType for f in schema.fields}
+    kdf = keys.select(key_col).distinct().localCheckpoint(eager=True)
+    kstats = kdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(key_col).alias("kmin"),
+        F.max(key_col).alias("kmax"),
+        F.max(F.col(key_col).isNull().cast("int")).alias("null_key"),
+    ).collect()[0]
+    if kstats["n"] == 0:
+        return state["version"]
+    has_null = bool(kstats["null_key"])
+    key_list = None
+    if kstats["n"] <= _MAX_DRIVER_KEYS:
+        key_list = sorted(
+            r[0] for r in kdf.collect() if r[0] is not None
+        )
+
+    # group live files by partition tuple, prune per group
+    by_part: dict[tuple, list[tuple[str, dict]]] = {}
+    for p, a in sorted(state["live"].items()):
+        pv = a.get("partitionValues") or {}
+        by_part.setdefault(
+            tuple(pv.get(c) for c in part_cols), []
+        ).append((p, a))
+
+    actions: list[dict] = []
+    new_adds: list[dict] = []
+    hit_paths: list[str] = []
+    change_frames = []
+    file_seq = 0
+    for pt, files in sorted(by_part.items(), key=str):
+        entries = [_entry_from_add(p, a, key_col) for p, a in files]
+        hit, _miss = _affected(
+            entries, key_list, kstats["kmin"], kstats["kmax"], has_null
+        )
+        if not hit:
+            continue
+        paths = [os.path.join(table_path, e["path"]) for e in hit]
+        cur = spark.read.schema(data_schema).parquet(*paths).alias("cur")
+        nk = kdf.alias("nk")
+        keep = cur.join(
+            nk,
+            F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
+            "left_anti",
+        )
+        if change_data:
+            deleted = cur.join(
+                nk,
+                F.col(f"cur.{key_col}").eqNullSafe(
+                    F.col(f"nk.{key_col}")
+                ),
+                "left_semi",
+            ).withColumn("_change_type", F.lit("delete"))
+            for c, v in zip(part_cols, pt):
+                col = (
+                    F.lit(None).cast(type_of[c])
+                    if v is None
+                    else F.lit(v).cast(type_of[c])
+                )
+                deleted = deleted.withColumn(c, col)
+            change_frames.append(
+                deleted.select(
+                    *schema.fieldNames(), "_change_type"
+                )
+            )
+        hit_paths.extend(e["path"] for e in hit)
+        n_rows = sum(max(e["rows"], 0) for e in hit)
+        n_files = max(1, -(-n_rows // target_rows_per_file))
+        tmp = os.path.join(table_path, f"_tmp-delete-v{version}")
+        (
+            keep.repartitionByRange(n_files, key_col)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        pv = {c: v for c, v in zip(part_cols, pt)}
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        ):
+            rel = f"part-{version:05d}-{file_seq:04d}-delete.parquet"
+            file_seq += 1
+            os.replace(part, os.path.join(table_path, rel))
+            new_adds.append({"path": rel, "partitionValues": pv})
+        shutil.rmtree(tmp)
+    if not hit_paths:
+        return state["version"]  # no file matched: nothing to commit
+
+    cdc_rel: list[str] = []
+    if change_data and change_frames:
+        changes_all = change_frames[0]
+        for cf in change_frames[1:]:
+            changes_all = changes_all.unionByName(cf)
+        cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
+        changes_all.write.mode("overwrite").parquet(cdc_tmp)
+        os.makedirs(os.path.join(table_path, "_change_data"), exist_ok=True)
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(cdc_tmp, "part-*.parquet")))
+        ):
+            rel = f"_change_data/cdc-{version:05d}-{i:04d}.parquet"
+            os.replace(part, os.path.join(table_path, rel))
+            cdc_rel.append(rel)
+        shutil.rmtree(cdc_tmp)
+
+    new_rel = [a["path"] for a in new_adds]
+    by_name = {}
+    if new_rel:
+        per_file = (
+            spark.read.parquet(
+                *[os.path.join(table_path, r) for r in new_rel]
+            )
+            .select(key_col)
+            .withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(key_col).alias("min_key"),
+                F.max(key_col).alias("max_key"),
+                F.sum(F.col(key_col).isNull().cast("long")).alias("n_null"),
+            )
+            .collect()
+        )
+        by_name = {r["__f"].rsplit("/", 1)[-1]: r for r in per_file}
+    if batch_id is not None:
+        actions.append({"txn": {"appId": app_id, "version": batch_id}})
+    for pending in new_adds:
+        rel = pending["path"]
+        r = by_name.get(rel)
+        if r is None:  # all rows of the source files matched: no add
+            os.remove(os.path.join(table_path, rel))
+            continue
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pending["partitionValues"],
+                    "size": os.path.getsize(os.path.join(table_path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": _stats_json(
+                        r["rows"], key_col, r["min_key"], r["max_key"],
+                        int(r["n_null"]),
+                    ),
+                }
+            }
+        )
+    for path in hit_paths:
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in cdc_rel:
+        full = os.path.join(table_path, rel)
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(full),
+                    "dataChange": False,
+                }
+            }
+        )
+    _commit(_log_dir(table_path), version, actions)
+    return version
+
+
 def upsert_to_delta_table(
     stream: DataFrame,
     path: str,

@@ -542,6 +542,133 @@ class TestIncrementalReads:
         )
 
 
+class TestDelete:
+    def _kdf(self, spark, ks):
+        return spark.createDataFrame([(k,) for k in ks], "k long")
+
+    def test_delete_by_key(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark,
+            _kv(spark, [(k, f"v{k}", 0) for k in range(1, 7)]),
+            t, "k", "ts", target_rows_per_file=3,
+        )
+        delete_delta_keys(spark, t, "k", self._kdf(spark, [2, 5]))
+        assert _snap(spark, t) == [
+            (1, "v1"), (3, "v3"), (4, "v4"), (6, "v6"),
+        ]
+
+    def test_delete_prunes_untouched_files(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark,
+            _kv(spark, [(k, f"v{k}", 0) for k in range(1, 9)]),
+            t, "k", "ts", target_rows_per_file=4,
+        )
+        before = _live_files(spark, t)
+        stats = {
+            f: os.stat(os.path.join(t, f)).st_mtime_ns for f in before
+        }
+        delete_delta_keys(spark, t, "k", self._kdf(spark, [1]))
+        after = set(_live_files(spark, t))
+        untouched = [f for f in before if f in after]
+        assert len(untouched) == 1
+        f = untouched[0]
+        assert os.stat(os.path.join(t, f)).st_mtime_ns == stats[f]
+
+    def test_delete_all_rows_of_a_file_leaves_no_add(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts"
+        )
+        delete_delta_keys(spark, t, "k", self._kdf(spark, [1]))
+        assert _snap(spark, t) == []
+        assert _live_files(spark, t) == []
+
+    def test_delete_noop_burns_no_version(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        v0 = replay_log(spark, t)["version"]
+        v = delete_delta_keys(spark, t, "k", self._kdf(spark, [99]))
+        assert v == v0
+        assert replay_log(spark, t)["version"] == v0
+
+    def test_delete_cdf_records_erased_rows(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0)]), t, "k", "ts"
+        )
+        v = delete_delta_keys(
+            spark, t, "k", self._kdf(spark, [2]), change_data=True
+        )
+        rows = read_delta_cdf(spark, t, v - 1, v).collect()
+        assert [(r.k, r.v, r._change_type) for r in rows] == [
+            (2, "b", "delete"),
+        ]
+
+    def test_delete_idempotent_by_batch_id(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0)]), t, "k", "ts",
+            batch_id=0,
+        )
+        delete_delta_keys(
+            spark, t, "k", self._kdf(spark, [1]), batch_id=1
+        )
+        # redelivery: no second rewrite
+        v = delete_delta_keys(
+            spark, t, "k", self._kdf(spark, [2]), batch_id=1
+        )
+        assert _snap(spark, t) == [(2, "b")]
+        assert v == replay_log(spark, t)["version"]
+
+    def test_delete_partitioned_scopes_rewrite(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        pkv = lambda rows: spark.createDataFrame(
+            rows, "k long, v string, day string, ts long"
+        )
+        merge_delta_batch(
+            spark,
+            pkv([(1, "a", "d1", 0), (1, "x", "d2", 0), (2, "b", "d2", 0)]),
+            t, "k", "ts", partition_by=["day"],
+        )
+        # key 1 exists in BOTH partitions: a bare key delete erases both
+        delete_delta_keys(spark, t, "k", self._kdf(spark, [1]))
+        got = sorted(
+            (r.k, r.day) for r in read_delta(spark, t).collect()
+        )
+        assert got == [(2, "d2")]
+
+
 class TestSchemaEvolution:
     def test_merge_schema_appends_column(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
