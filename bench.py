@@ -72,6 +72,9 @@ _SF1_QUERIES = [
     "dedup_jaccard_skewed",
     "dedup_ngram_jaccard",
     "dedup_span_exact",
+    # vocab-scale after the first pass: should scale with DISTINCT
+    # words (sub-linear in corpus size), the trainer's whole point
+    "tokenizer_bpe_merges",
     # dedup_semantic_trained and ann_ivf_topk are deliberately absent:
     # both are quadratic at FIXED partition granularity (k=8 clusters /
     # 64 IVF cells, pinned by their oracles), and their scale story is
