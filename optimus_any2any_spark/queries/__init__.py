@@ -113,6 +113,7 @@ def all_queries() -> dict[str, Query]:
         relational_tpch2,
         lakehouse,
         tokenizer,
+        classifier,
     )
 
     latest = _driver_verified_rounds()
