@@ -567,3 +567,13 @@ class TestLakehouseAndTokenizerPlans:
         r = report(spark, "iceberg_snapshot_read")
         for cols in r.scan_columns():
             assert "ts" not in cols, r.read_schemas
+
+    def test_perceptron_weight_vector_broadcast(self, spark):
+        # every epoch joins the corpus-derived feature table against
+        # the 64-row weight vector: that join must be BROADCAST (the
+        # weight vector never shuffles the features) and the feature
+        # table persisted (every epoch re-reads it)
+        r = report(spark, "classifier_perceptron_train")
+        assert r.num_broadcast_joins >= 2, r.text
+        assert "InMemory" in r.text, "feature table must be persisted"
+        assert r.num_nested_loop_joins == 0, r.text
