@@ -109,10 +109,13 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self.schema_ = schema
         meta = _table_meta(self.table_path)
         self.part_cols = meta.get("partitionColumns") or []
+        # startingVersion: first UNCONSUMED version (Delta's own
+        # startingVersion option); default 0 = full history
+        self.starting_version = int(options.get("startingversion", 0))
 
     # offsets are dicts {"version": N} — committed versions ≤ N consumed
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         versions = _log_json_actions(self.table_path)
@@ -191,3 +194,135 @@ class DeltaTailDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType):
         return DeltaTailStreamReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed as a stream: the continuous-consumer side of CDF
+
+
+class _CdfSlice(InputPartition):
+    def __init__(self, path: str, version: int, pv: dict,
+                 synthesize_insert: bool):
+        self.path = path
+        self.version = version
+        self.pv = pv
+        self.synthesize_insert = synthesize_insert
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("delta_cdf")``: micro-batches are the
+    Change Data Feed of each commit window — ``_change_type`` +
+    ``_commit_version`` columns, cdc files for instrumented commits,
+    synthesized ``insert`` rows for plain appends, and an ERROR for
+    rewriting commits without change data (the same contract as the
+    batch ``read_delta_cdf``). This is what lets a downstream pipeline
+    process updates/deletes continuously instead of re-reading
+    snapshots."""
+
+    def __init__(self, schema: T.StructType, options: dict):
+        self.table_path = options.get("path", "")
+        if not self.table_path:
+            raise ValueError("delta_cdf: option 'path' is required")
+        self.schema_ = schema
+        self.starting_version = int(options.get("startingversion", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:
+        versions = _log_json_actions(self.table_path)
+        return {"version": max(versions, default=-1)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        actions_by_v = _log_json_actions(self.table_path)
+        out: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            actions = actions_by_v.get(v)
+            if actions is None:
+                raise ValueError(
+                    f"delta_cdf: commit {v} missing — history cleaned "
+                    "under a running stream"
+                )
+            cdc = [a["cdc"] for a in actions if a.get("cdc")]
+            if cdc:
+                for c in cdc:
+                    out.append(
+                        _CdfSlice(
+                            os.path.join(self.table_path, c["path"]),
+                            v,
+                            c.get("partitionValues") or {},
+                            synthesize_insert=False,
+                        )
+                    )
+                continue
+            if any(
+                a.get("remove") and a["remove"].get("dataChange", True)
+                for a in actions
+            ):
+                raise ValueError(
+                    f"delta_cdf: commit {v} rewrote data without "
+                    "change data — CDF was not enabled for that commit"
+                )
+            for a in actions:
+                add = a.get("add")
+                if add and add.get("dataChange", True):
+                    out.append(
+                        _CdfSlice(
+                            os.path.join(self.table_path, add["path"]),
+                            v,
+                            add.get("partitionValues") or {},
+                            synthesize_insert=True,
+                        )
+                    )
+        return out
+
+    def read(self, partition: _CdfSlice) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        cols = {
+            name: table.column(name).to_pylist()
+            for name in table.column_names
+        }
+        fields = self.schema_.fields
+        const: dict = {
+            "_commit_version": partition.version,
+        }
+        if partition.synthesize_insert:
+            const["_change_type"] = "insert"
+        for f in fields:
+            if f.name in cols or f.name in const:
+                continue
+            # log-carried partition column (synthesized appends only;
+            # cdc files physically contain every schema column)
+            const[f.name] = _typed_partition_value(
+                f.dataType, partition.pv.get(f.name)
+            )
+        for i in range(table.num_rows):
+            yield tuple(
+                const[f.name] if f.name in const else cols[f.name][i]
+                for f in fields
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaCdfDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_cdf"
+
+    def schema(self):
+        meta = _table_meta(self.options.get("path", ""))
+        base = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_commit_version", T.LongType(), True),
+            ]
+        )
+
+    def streamReader(self, schema: T.StructType):
+        return DeltaCdfStreamReader(schema, self.options)

@@ -8,7 +8,10 @@ import time
 
 import pytest
 
-from optimus_any2any_spark.sources.delta_stream import DeltaTailDataSource
+from optimus_any2any_spark.sources.delta_stream import (
+    DeltaCdfDataSource,
+    DeltaTailDataSource,
+)
 from optimus_any2any_spark.streaming.delta_table import merge_delta_batch
 
 
@@ -19,6 +22,7 @@ def _kv(spark, rows):
 @pytest.fixture(scope="module")
 def registered(spark):
     spark.dataSource.register(DeltaTailDataSource)
+    spark.dataSource.register(DeltaCdfDataSource)
     return spark
 
 
@@ -130,6 +134,119 @@ class TestDeltaTailSource:
         assert sorted(
             (r.k, r.v) for r in read_delta(spark, dst).collect()
         ) == [(1, "a"), (2, "B"), (3, "c")]
+
+    def test_starting_version_skips_history(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(2, "b", 0)]), t, "k", "ts")
+        q = (
+            spark.readStream.format("delta_tail")
+            .option("path", t)
+            .option("startingVersion", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+        got = [(r.k, r.v) for r in spark.read.parquet(out).collect()]
+        assert got == [(2, "b")]
+
+
+class TestDeltaCdfSource:
+    def test_cdf_stream_yields_change_types(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0)]), t, "k", "ts",
+            change_data=True,
+        )
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "A", 1), (3, "c", 1)]), t, "k", "ts",
+            change_data=True,
+        )
+        _run = (
+            spark.readStream.format("delta_cdf")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _run.awaitTermination(120)
+        time.sleep(0.2)
+        got = sorted(
+            (r._commit_version, r._change_type, r.k, r.v)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [
+            (0, "insert", 1, "a"),
+            (0, "insert", 2, "b"),
+            (1, "insert", 3, "c"),
+            (1, "update_postimage", 1, "A"),
+            (1, "update_preimage", 1, "a"),
+        ]
+        # a later delete flows through the SAME stream
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        delete_delta_keys(
+            spark, t, "k",
+            spark.createDataFrame([(2,)], "k long"), change_data=True,
+        )
+        q2 = (
+            spark.readStream.format("delta_cdf")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        time.sleep(0.2)
+        deletes = [
+            (r.k, r._change_type)
+            for r in spark.read.parquet(out).collect()
+            if r._change_type == "delete"
+        ]
+        assert deletes == [(2, "delete")]
+
+    def test_cdf_stream_rejects_uninstrumented_rewrite(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts")
+        q = (
+            spark.readStream.format("delta_cdf")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="without change data"):
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
 
     def test_partitioned_table_values_attached(self, registered, tmp_path):
         spark = registered
