@@ -78,25 +78,23 @@ def perceptron_train(
     feat = hashed_features(
         df, text_col, id_col, label, n_buckets
     ).persist()
-    docs = feat.select("doc_id", "y").distinct()
     w = spark.createDataFrame([], "h long, w long")
     for _ in range(epochs):
+        # every doc in the training set HAS feature rows (docs are
+        # derived from feat), so margins carry y directly — no
+        # doc-roster join, one doc-keyed aggregation per epoch
         margins = (
             feat.join(F.broadcast(w), "h", "left")
-            .groupBy("doc_id")
+            .groupBy("doc_id", "y")
             .agg(
                 F.sum(
                     F.col("cnt") * F.coalesce(F.col("w"), F.lit(0))
                 ).alias("s")
             )
         )
-        miscl = (
-            docs.join(margins, "doc_id", "left")
-            .filter(
-                F.col("y") * F.coalesce(F.col("s"), F.lit(0)) <= 0
-            )
-            .select("doc_id")
-        )
+        miscl = margins.filter(
+            F.col("y") * F.col("s") <= 0
+        ).select("doc_id")
         grad = (
             feat.join(miscl, "doc_id", "left_semi")
             .groupBy("h")
@@ -128,12 +126,11 @@ def perceptron_confusion(
     zero-margin docs predict negative, in both engines)."""
     w = perceptron_train(df, label, text_col, id_col, n_buckets, epochs)
     feat = hashed_features(df, text_col, id_col, label, n_buckets)
-    docs = feat.select("doc_id", "y").distinct()
     margins = (
         feat.join(
             F.broadcast(w.withColumnRenamed("bucket", "h")), "h", "left"
         )
-        .groupBy("doc_id")
+        .groupBy("doc_id", "y")
         .agg(
             F.sum(
                 F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0))
@@ -141,12 +138,11 @@ def perceptron_confusion(
         )
     )
     return (
-        docs.join(margins, "doc_id", "left")
-        .select(
+        margins.select(
             "y",
-            F.when(
-                F.coalesce(F.col("s"), F.lit(0)) > 0, F.lit(1)
-            ).otherwise(F.lit(-1)).alias("pred"),
+            F.when(F.col("s") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("pred"),
         )
         .groupBy("y", "pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
