@@ -449,23 +449,34 @@ def merge_delta_batch(
                 F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
             )
         psel = psel.select(*data_cols)
-        pstats = psel.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(key_col).alias("nk"),
-            F.min(key_col).alias("kmin"),
-            F.max(key_col).alias("kmax"),
-            F.max(F.col(key_col).isNull().cast("int")).alias("null_key"),
-        ).collect()[0]
-        if pstats["n"] == 0:
-            continue
-        has_null = bool(pstats["null_key"])
-        keys = None
-        if pstats["nk"] <= _MAX_DRIVER_KEYS:
-            keys = sorted(
-                r[0]
-                for r in psel.select(key_col).distinct().collect()
-                if r[0] is not None
-            )
+        # ``latest`` is one row per (key, partition) by construction,
+        # so its key column IS the distinct key set. When the whole
+        # batch fits the driver cap (n_total is already known), one
+        # collect replaces the stats aggregate + distinct shuffle;
+        # bigger batches take the single aggregate pass instead.
+        if n_total <= _MAX_DRIVER_KEYS:
+            vals = [r[0] for r in psel.select(key_col).collect()]
+            if not vals:
+                continue
+            has_null = any(v is None for v in vals)
+            keys = sorted(v for v in vals if v is not None)
+            kmin = keys[0] if keys else None
+            kmax = keys[-1] if keys else None
+            p_n = len(vals)
+        else:  # too many keys for the driver: one stats aggregate
+            pstats = psel.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(key_col).alias("kmin"),
+                F.max(key_col).alias("kmax"),
+                F.max(F.col(key_col).isNull().cast("int")).alias(
+                    "null_key"
+                ),
+            ).collect()[0]
+            if pstats["n"] == 0:
+                continue
+            has_null = bool(pstats["null_key"])
+            keys = None
+            kmin, kmax, p_n = pstats["kmin"], pstats["kmax"], pstats["n"]
         # partition pruning FIRST (exact partitionValues match), then
         # key-stats pruning inside the partition
         plive = {
@@ -481,7 +492,7 @@ def merge_delta_batch(
             _entry_from_add(p, a, key_col) for p, a in sorted(plive.items())
         ]
         hit, _miss = _affected(
-            entries, keys, pstats["kmin"], pstats["kmax"], has_null
+            entries, keys, kmin, kmax, has_null
         )
 
         merged = psel
@@ -559,7 +570,7 @@ def merge_delta_batch(
                 )
             )
 
-        n_rows = pstats["n"] + hit_rows
+        n_rows = p_n + hit_rows
         n_files = max(1, -(-n_rows // target_rows_per_file))
         tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
         (
