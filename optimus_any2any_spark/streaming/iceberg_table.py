@@ -252,6 +252,20 @@ def merge_iceberg_batch(
         write_iceberg_commit(batch.limit(0), table_path)
     prev_version = int(open(hint).read().strip())
     meta = load_table_metadata(table_path, version=prev_version)
+    specs = meta.get("partition-specs") or []
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == meta.get(
+            "default-spec-id", 0)),
+        None,
+    )
+    if default_spec and default_spec.get("fields"):
+        raise NotImplementedError(
+            "iceberg merge: partitioned tables are out of scope here — "
+            "partition-aware rewrite with spec-transform partition "
+            "tuples lives on the Delta side "
+            "(merge_delta_batch partition_by); this merge "
+            "range-clusters on the key instead"
+        )
 
     # idempotence via the last snapshot's summary
     snaps = meta.get("snapshots") or []
