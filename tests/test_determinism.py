@@ -33,6 +33,11 @@ PROBES = [
     "mix_dsir_importance",     # hashed-bucket ratios + decimal rollup
     "embedding_covariance",    # decimal product sums, cell shuffle
     "multimodal_jpeg_roundtrip",  # codec determinism through Arrow
+    "tokenizer_bpe_merges",    # iterative argmax + broadcast replace
+    "classifier_perceptron_train",  # integer epochs, batch updates
+    "delta_merge_upsert",      # copy-on-write rewrite + decimal rollup
+    "iceberg_merge_upsert",    # snapshot merge, Avro manifest replay
+    "delta_cdf_read",          # change-set extraction + semi joins
 ]
 
 
