@@ -129,6 +129,60 @@ def stdout_sink(df: DataFrame, cfg: Config):
     return len(rows)
 
 
+@register_sink("DELTA")
+def delta_sink(df: DataFrame, cfg: Config):
+    """Beyond-reference lakehouse sink: write the pipeline's records
+    into a Delta table via the open log protocol.
+
+    ``DELTA__SINK_URI=file:///path/to/table``; ``DELTA__MODE`` is
+    ``APPEND`` (default — one commit of new files, the bronze-log
+    shape) or ``MERGE`` (copy-on-write upsert; requires
+    ``DELTA__MERGE_KEY`` and ``DELTA__MERGE_TS``). Optional
+    ``DELTA__PARTITION_BY`` (comma-separated) partitions the table on
+    first commit; ``DELTA__CHANGE_DATA=true`` records CDF entries on
+    merges. The written table is readable by ``--from DELTA``, the
+    ``delta_tail``/``delta_cdf`` stream sources, and any open-protocol
+    Delta client."""
+    from optimus_any2any_spark.sources.delta import write_delta_commit
+    from optimus_any2any_spark.streaming.delta_table import (
+        merge_delta_batch,
+    )
+
+    c = cfg.for_component("DELTA")
+    uri = c.get("sink_uri") or c.get("uri")
+    if not uri:
+        raise ValueError("DELTA sink requires DELTA__SINK_URI")
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    df = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    mode = (c.get("mode") or "APPEND").upper()
+    part_by = [
+        p.strip() for p in (c.get("partition_by") or "").split(",")
+        if p.strip()
+    ]
+    n = df.count()
+    if mode == "APPEND":
+        write_delta_commit(df, path, partition_by=part_by or None)
+    elif mode == "MERGE":
+        key, ts = c.get("merge_key"), c.get("merge_ts")
+        if not key or not ts:
+            raise ValueError(
+                "DELTA sink MERGE mode requires DELTA__MERGE_KEY and "
+                "DELTA__MERGE_TS"
+            )
+        merge_delta_batch(
+            df.sparkSession,
+            df,
+            path,
+            key,
+            ts,
+            partition_by=part_by or None,
+            change_data=(c.get("change_data", "").lower() == "true"),
+        )
+    else:
+        raise ValueError(f"DELTA sink: unknown mode {mode!r}")
+    return n
+
+
 @register_sink("MC")
 def warehouse_sink(df: DataFrame, cfg: Config):
     """Warehouse table sink (ext/maxcompute/sink.go:38): APPEND/REPLACE

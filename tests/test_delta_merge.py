@@ -797,6 +797,60 @@ class TestCompaction:
         assert got == [(1, "d1"), (2, "d2"), (3, "d1"), (4, "d2")]
 
 
+class TestDeltaSink:
+    def test_pipeline_to_delta_append_then_merge(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        src = tmp_path / "in.json"
+        src.write_text(
+            '{"k": 1, "v": "a", "ts": 0}\n{"k": 2, "v": "b", "ts": 0}\n'
+        )
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"DELTA__SINK_URI=file://{t}",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["DELTA"], cfg).run()
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+        # second pipeline run in MERGE mode upserts
+        src2 = tmp_path / "in2.json"
+        src2.write_text('{"k": 2, "v": "B", "ts": 1}\n')
+        cfg2 = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src2}",
+                f"DELTA__SINK_URI=file://{t}",
+                "DELTA__MODE=MERGE",
+                "DELTA__MERGE_KEY=k",
+                "DELTA__MERGE_TS=ts",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["DELTA"], cfg2).run()
+        assert _snap(spark, t) == [(1, "a"), (2, "B")]
+
+    def test_merge_mode_requires_keys(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        src = tmp_path / "in.json"
+        src.write_text('{"k": 1, "v": "a", "ts": 0}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"DELTA__SINK_URI=file://{t}",
+                "DELTA__MODE=MERGE",
+            ],
+            environ={},
+        )
+        with pytest.raises(Exception, match="MERGE_KEY"):
+            Pipeline(spark, "FILE", ["DELTA"], cfg).run()
+
+
 class TestStreamingUpsert:
     def test_streaming_merge_available_now(self, spark, tmp_path):
         import time
