@@ -183,6 +183,44 @@ def delta_sink(df: DataFrame, cfg: Config):
     return n
 
 
+@register_sink("ICEBERG")
+def iceberg_sink(df: DataFrame, cfg: Config):
+    """Beyond-reference lakehouse sink: write records as Iceberg v1
+    snapshots (open spec, stdlib Avro manifests).
+    ``ICEBERG__SINK_URI=file:///path``; ``ICEBERG__MODE`` is ``APPEND``
+    (default; one snapshot of added files) or ``MERGE``
+    (snapshot-committing copy-on-write upsert; needs
+    ``ICEBERG__MERGE_KEY``/``ICEBERG__MERGE_TS``). Readable by
+    ``--from ICEBERG``, the ``iceberg_tail`` stream source, and v1
+    Iceberg clients."""
+    from optimus_any2any_spark.sources.iceberg import write_iceberg_commit
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+    )
+
+    c = cfg.for_component("ICEBERG")
+    uri = c.get("sink_uri") or c.get("uri")
+    if not uri:
+        raise ValueError("ICEBERG sink requires ICEBERG__SINK_URI")
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    df = M.strip_metadata(df, cfg.get("METADATA_PREFIX", M.METADATA_PREFIX))
+    mode = (c.get("mode") or "APPEND").upper()
+    n = df.count()
+    if mode == "APPEND":
+        write_iceberg_commit(df, path)
+    elif mode == "MERGE":
+        key, ts = c.get("merge_key"), c.get("merge_ts")
+        if not key or not ts:
+            raise ValueError(
+                "ICEBERG sink MERGE mode requires ICEBERG__MERGE_KEY "
+                "and ICEBERG__MERGE_TS"
+            )
+        merge_iceberg_batch(df.sparkSession, df, path, key, ts)
+    else:
+        raise ValueError(f"ICEBERG sink: unknown mode {mode!r}")
+    return n
+
+
 @register_sink("MC")
 def warehouse_sink(df: DataFrame, cfg: Config):
     """Warehouse table sink (ext/maxcompute/sink.go:38): APPEND/REPLACE

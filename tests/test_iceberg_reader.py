@@ -283,6 +283,45 @@ class TestIcebergSnapshots:
         df1 = Pipeline(spark, "ICEBERG", ["IO"], cfg1).dataframe()
         assert df1.count() == 2
 
+    def test_iceberg_sink_append_and_merge(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        src = tmp_path / "in.json"
+        src.write_text(
+            '{"k": 1, "v": "a", "ts": 0}\n{"k": 2, "v": "b", "ts": 0}\n'
+        )
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"ICEBERG__SINK_URI=file://{t}",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg).run()
+        got = sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, "a"), (2, "b")]
+        src2 = tmp_path / "in2.json"
+        src2.write_text('{"k": 2, "v": "B", "ts": 1}\n')
+        cfg2 = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src2}",
+                f"ICEBERG__SINK_URI=file://{t}",
+                "ICEBERG__MODE=MERGE",
+                "ICEBERG__MERGE_KEY=k",
+                "ICEBERG__MERGE_TS=ts",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg2).run()
+        got = sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, "a"), (2, "B")]
+
     def test_relocated_table_paths_reanchored(self, spark, tmp_path):
         import shutil
 
