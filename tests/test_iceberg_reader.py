@@ -322,6 +322,37 @@ class TestIcebergSnapshots:
         )
         assert got == [(1, "a"), (2, "B")]
 
+    def test_delta_to_iceberg_conversion_pipeline(self, spark, tmp_path):
+        """Lakehouse format conversion as a one-hop pipeline:
+        --from DELTA --to ICEBERG."""
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        src = str(tmp_path / "delta")
+        dst = str(tmp_path / "iceberg")
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 0), (2, "b", 0)], "k long, v string, ts long"
+            ),
+            src, "k", "ts",
+        )
+        cfg = Config.from_env(
+            env_args=[
+                f"DELTA__SOURCE_URI=file://{src}",
+                f"ICEBERG__SINK_URI=file://{dst}",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "DELTA", ["ICEBERG"], cfg).run()
+        got = sorted(
+            (r.k, r.v) for r in read_iceberg(spark, dst).collect()
+        )
+        assert got == [(1, "a"), (2, "b")]
+
     def test_relocated_table_paths_reanchored(self, spark, tmp_path):
         import shutil
 
