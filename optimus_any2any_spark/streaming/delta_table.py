@@ -116,6 +116,64 @@ def _stats_json(rows: int, key_col: str, kmin, kmax, n_null: int) -> str:
     return json.dumps(st, default=str)
 
 
+_MAX_STAT_COLS = 8  # real Delta records the first 32; 8 keeps the
+#                     footer scan cheap while covering typical filters
+
+
+def _collect_file_stats(
+    spark: SparkSession,
+    table_path: str,
+    new_rel: list[str],
+    key_col: str,
+    data_schema: T.StructType,
+) -> dict[str, dict]:
+    """Per-file stats for the merge key PLUS the leading data columns
+    (capped) — Delta's per-column minValues/maxValues/nullCount, which
+    is what makes ``read_delta(key_range=...)`` skip files on ANY
+    recorded column, not just the merge key. One footer-cheap pass
+    over the new files."""
+    orderable = (
+        T.NumericType, T.StringType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.BooleanType,
+    )
+    stat_cols = [key_col] + [
+        f.name
+        for f in data_schema.fields
+        if f.name != key_col and isinstance(f.dataType, orderable)
+    ][: _MAX_STAT_COLS - 1]
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+        ]
+    per_file = (
+        spark.read.parquet(*[os.path.join(table_path, r) for r in new_rel])
+        .select(*stat_cols)
+        .withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in per_file:
+        st: dict = {
+            "numRecords": int(r["rows"]),
+            "minValues": {},
+            "maxValues": {},
+            "nullCount": {},
+        }
+        for c in stat_cols:
+            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            if mn is not None:
+                st["minValues"][c] = mn
+                st["maxValues"][c] = mx
+            st["nullCount"][c] = int(r[f"__nn_{c}"])
+        out[r["__f"].rsplit("/", 1)[-1]] = st
+    return out
+
+
 def _commit(log: str, version: int, actions: list[dict]) -> None:
     """The atomic step: put-if-absent of one JSON log entry.
     ``os.link`` (not rename) is the primitive — it FAILS if the target
@@ -605,22 +663,9 @@ def merge_delta_batch(
     new_rel = [a["path"] for a in new_adds]
     by_name = {}
     if new_rel:
-        per_file = (
-            spark.read.parquet(
-                *[os.path.join(table_path, r) for r in new_rel]
-            )
-            .select(key_col)
-            .withColumn("__f", F.input_file_name())
-            .groupBy("__f")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min(key_col).alias("min_key"),
-                F.max(key_col).alias("max_key"),
-                F.sum(F.col(key_col).isNull().cast("long")).alias("n_null"),
-            )
-            .collect()
+        by_name = _collect_file_stats(
+            spark, table_path, new_rel, key_col, data_schema
         )
-        by_name = {r["__f"].rsplit("/", 1)[-1]: r for r in per_file}
 
     actions: list[dict] = []
     if version == 0:
@@ -663,10 +708,7 @@ def merge_delta_batch(
                     "size": os.path.getsize(os.path.join(table_path, rel)),
                     "modificationTime": 0,
                     "dataChange": True,
-                    "stats": _stats_json(
-                        r["rows"], key_col, r["min_key"], r["max_key"],
-                        int(r["n_null"]),
-                    ),
+                    "stats": json.dumps(r, default=str),
                 }
             }
         )
@@ -844,22 +886,9 @@ def delete_delta_keys(
     new_rel = [a["path"] for a in new_adds]
     by_name = {}
     if new_rel:
-        per_file = (
-            spark.read.parquet(
-                *[os.path.join(table_path, r) for r in new_rel]
-            )
-            .select(key_col)
-            .withColumn("__f", F.input_file_name())
-            .groupBy("__f")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min(key_col).alias("min_key"),
-                F.max(key_col).alias("max_key"),
-                F.sum(F.col(key_col).isNull().cast("long")).alias("n_null"),
-            )
-            .collect()
+        by_name = _collect_file_stats(
+            spark, table_path, new_rel, key_col, data_schema
         )
-        by_name = {r["__f"].rsplit("/", 1)[-1]: r for r in per_file}
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})
     for pending in new_adds:
@@ -876,10 +905,7 @@ def delete_delta_keys(
                     "size": os.path.getsize(os.path.join(table_path, rel)),
                     "modificationTime": 0,
                     "dataChange": True,
-                    "stats": _stats_json(
-                        r["rows"], key_col, r["min_key"], r["max_key"],
-                        int(r["n_null"]),
-                    ),
+                    "stats": json.dumps(r, default=str),
                 }
             }
         )

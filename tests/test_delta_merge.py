@@ -262,6 +262,20 @@ class TestStatsPrunedRead:
         }
         assert len(files) == 1
 
+    def test_skipping_on_non_key_column(self, spark, tmp_path):
+        # merges record stats for the leading data columns too, so a
+        # range read can skip files on a column that is NOT the merge
+        # key — Delta's per-column data skipping
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark,
+            _kv(spark, [(k, f"v{k:02d}", 0) for k in range(1, 9)]),
+            t, "k", "ts", target_rows_per_file=4,
+        )
+        df = read_delta(spark, t, key_range=("v", "v01", "v02"))
+        assert sorted(r.v for r in df.collect()) == ["v01", "v02"]
+        assert len({os.path.basename(f) for f in df.inputFiles()}) == 1
+
     def test_range_read_keeps_statless_files(self, spark, tmp_path):
         from optimus_any2any_spark.sources.delta import write_delta_commit
 
