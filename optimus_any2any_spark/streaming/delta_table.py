@@ -198,10 +198,18 @@ def _commit(log: str, version: int, actions: list[dict]) -> None:
 
 
 def _write_checkpoint(
-    spark: SparkSession, table_path: str, version: int
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    max_actions_per_part: int = 100_000,
 ) -> None:
     """Materialize the snapshot as a parquet checkpoint so future
     replays read one parquet file + the JSON tail, not all history.
+    Past ``max_actions_per_part`` actions the checkpoint splits into
+    the protocol's multi-part form
+    (``%020d.checkpoint.%010d.%010d.parquet`` + ``parts`` in
+    ``_last_checkpoint``) — a million-file table cannot round-trip one
+    giant driver-side parquet, and the reader already handles parts.
     Single-writer note: tombstones already applied to the live set are
     dropped (real Delta retains them for VACUUM retention windows;
     ``vacuum_delta`` here works from the live set directly)."""
@@ -219,17 +227,44 @@ def _write_checkpoint(
         json.dumps({"add": add}, default=str)
         for _, add in sorted(state["live"].items())
     ]
-    cp_df = spark.read.json(spark.sparkContext.parallelize(rows, 1))
     log = _log_dir(table_path)
-    cp_path = os.path.join(log, "%020d.checkpoint.parquet" % version)
-    tmp = cp_path + ".d"
-    cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    os.replace(_glob.glob(os.path.join(tmp, "part-*.parquet"))[0], cp_path)
-    shutil.rmtree(tmp)
+    n_parts = max(1, -(-len(rows) // max_actions_per_part))
+    chunk = -(-len(rows) // n_parts)
+    # one schema inferred over ALL actions, shared by every part — a
+    # per-part inference would give parts disjoint schemas (protocol/
+    # metaData rows vs add rows) and a parts read drops the columns
+    # missing from the first file
+    full_schema = spark.read.json(
+        spark.sparkContext.parallelize(rows, 1)
+    ).schema
+    for i in range(n_parts):
+        part_rows = rows[i * chunk:(i + 1) * chunk]
+        cp_df = spark.read.schema(full_schema).json(
+            spark.sparkContext.parallelize(part_rows, 1)
+        )
+        if n_parts == 1:
+            cp_path = os.path.join(
+                log, "%020d.checkpoint.parquet" % version
+            )
+        else:
+            cp_path = os.path.join(
+                log,
+                "%020d.checkpoint.%010d.%010d.parquet"
+                % (version, i + 1, n_parts),
+            )
+        tmp = cp_path + ".d"
+        cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.replace(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], cp_path
+        )
+        shutil.rmtree(tmp)
     last = os.path.join(log, "_last_checkpoint")
     tmp_last = last + ".tmp"
+    meta = {"version": version, "size": len(rows)}
+    if n_parts > 1:
+        meta["parts"] = n_parts
     with open(tmp_last, "w") as f:
-        f.write(json.dumps({"version": version, "size": len(rows)}))
+        f.write(json.dumps(meta))
     os.replace(tmp_last, last)
 
 

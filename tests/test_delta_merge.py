@@ -241,6 +241,39 @@ class TestCheckpointCompaction:
         assert _snap(spark, t) == [(i, f"v{i}") for i in range(5)]
 
 
+class TestMultiPartCheckpoint:
+    def test_parts_written_and_replayed(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            _write_checkpoint,
+        )
+
+        t = str(tmp_path / "tbl")
+        for i in range(4):
+            merge_delta_batch(
+                spark, _kv(spark, [(i, f"v{i}", 0)]), t, "k", "ts",
+                batch_id=i, checkpoint_interval=0,
+            )
+        # force a tiny part size: protocol/metaData/txn + 4 adds split
+        _write_checkpoint(spark, t, 3, max_actions_per_part=3)
+        log = os.path.join(t, "_delta_log")
+        last = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+        assert last["parts"] >= 2
+        part_files = [
+            f for f in os.listdir(log)
+            if ".checkpoint." in f and f.endswith(".parquet")
+        ]
+        assert len(part_files) == last["parts"]
+        # replay from the multi-part checkpoint + empty tail
+        assert _snap(spark, t) == [(i, f"v{i}") for i in range(4)]
+        # txn state survives: redelivery still no-ops
+        v = merge_delta_batch(
+            spark, _kv(spark, [(0, "XXX", 9)]), t, "k", "ts",
+            batch_id=3, checkpoint_interval=0,
+        )
+        assert v == 3
+        assert _snap(spark, t) == [(i, f"v{i}") for i in range(4)]
+
+
 class TestStatsPrunedRead:
     def test_key_range_read_skips_files_and_filters(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
