@@ -180,6 +180,24 @@ def delta_sink(df: DataFrame, cfg: Config):
         )
     else:
         raise ValueError(f"DELTA sink: unknown mode {mode!r}")
+    # table maintenance riders: OPTIMIZE compaction and VACUUM after
+    # the write, so a CLI-driven pipeline can keep its target healthy
+    # without a separate tool
+    if c.get("optimize_rows"):
+        from optimus_any2any_spark.streaming.delta_table import (
+            compact_delta,
+        )
+
+        compact_delta(
+            df.sparkSession, path,
+            target_rows_per_file=int(c["optimize_rows"]),
+        )
+    if (c.get("vacuum") or "").lower() == "true":
+        from optimus_any2any_spark.streaming.delta_table import (
+            vacuum_delta,
+        )
+
+        vacuum_delta(df.sparkSession, path)
     return n
 
 

@@ -879,6 +879,40 @@ class TestDeltaSink:
         Pipeline(spark, "FILE", ["DELTA"], cfg2).run()
         assert _snap(spark, t) == [(1, "a"), (2, "B")]
 
+    def test_sink_maintenance_riders(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        for i in range(3):
+            src = tmp_path / f"in{i}.json"
+            src.write_text(f'{{"k": {i}, "v": "x", "ts": 0}}\n')
+            cfg = Config.from_env(
+                env_args=[
+                    f"FILE__SOURCE_URI=file://{src}",
+                    f"DELTA__SINK_URI=file://{t}",
+                ]
+                + (
+                    [
+                        "DELTA__OPTIMIZE_ROWS=100000",
+                        "DELTA__VACUUM=true",
+                    ]
+                    if i == 2
+                    else []
+                ),
+                environ={},
+            )
+            Pipeline(spark, "FILE", ["DELTA"], cfg).run()
+        # three appends compacted to one live file, garbage vacuumed
+        live = _live_files(spark, t)
+        assert len(live) == 1
+        data_files = [
+            f for f in os.listdir(t)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(t, f))
+        ]
+        assert sorted(data_files) == sorted(live)
+        assert _snap(spark, t) == [(0, "x"), (1, "x"), (2, "x")]
+
     def test_merge_mode_requires_keys(self, spark, tmp_path):
         from optimus_any2any_spark.config import Config
         from optimus_any2any_spark.pipeline import Pipeline
