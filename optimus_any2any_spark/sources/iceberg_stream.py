@@ -112,10 +112,25 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         if not self.table_path:
             raise ValueError("iceberg_tail: option 'path' is required")
         self.schema_ = schema
+        # startingSnapshotId: consume strictly AFTER this snapshot
+        # (the already-loaded-history case); default = full lineage
+        start = options.get("startingsnapshotid")
+        self.start_pos = 0
+        if start is not None:
+            meta = _load_meta(self.table_path)
+            ids = [
+                s["snapshot-id"] for s in meta.get("snapshots") or []
+            ]
+            if int(start) not in ids:
+                raise ValueError(
+                    f"iceberg_tail: startingSnapshotId {start} not in "
+                    "table lineage"
+                )
+            self.start_pos = ids.index(int(start)) + 1
 
     # offsets: {"pos": N} = number of lineage snapshots consumed
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"pos": self.start_pos}
 
     def latestOffset(self) -> dict:
         meta = _load_meta(self.table_path)

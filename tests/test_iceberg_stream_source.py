@@ -58,6 +58,31 @@ class TestIcebergTailSource:
         )
         assert got == [(1, "a"), (2, "b"), (3, "c")]
 
+    def test_starting_snapshot_skips_history(self, registered, tmp_path):
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t)
+        q = (
+            spark.readStream.format("iceberg_tail")
+            .option("path", t)
+            .option("startingSnapshotId", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time as _t
+
+        _t.sleep(0.2)
+        got = [(r.id, r.v) for r in spark.read.parquet(out).collect()]
+        assert got == [(2, "b")]
+
     def test_overwrite_snapshot_fails_stream(self, registered, tmp_path):
         from optimus_any2any_spark.streaming.iceberg_table import (
             merge_iceberg_batch,
