@@ -178,6 +178,26 @@ def delta_sink(df: DataFrame, cfg: Config):
             partition_by=part_by or None,
             change_data=(c.get("change_data", "").lower() == "true"),
         )
+    elif mode == "DELETE":
+        # erasure pipeline: the records' keys are REMOVED from the
+        # target (GDPR shape); pair with DELTA__CHANGE_DATA=true so
+        # downstream CDF consumers learn which rows to forget
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        key = c.get("merge_key")
+        if not key:
+            raise ValueError(
+                "DELTA sink DELETE mode requires DELTA__MERGE_KEY"
+            )
+        delete_delta_keys(
+            df.sparkSession,
+            path,
+            key,
+            df.select(key),
+            change_data=(c.get("change_data", "").lower() == "true"),
+        )
     else:
         raise ValueError(f"DELTA sink: unknown mode {mode!r}")
     # table maintenance riders: OPTIMIZE compaction and VACUUM after

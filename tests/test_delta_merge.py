@@ -913,6 +913,28 @@ class TestDeltaSink:
         assert sorted(data_files) == sorted(live)
         assert _snap(spark, t) == [(0, "x"), (1, "x"), (2, "x")]
 
+    def test_delete_mode_erases_keys(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0)]), t, "k", "ts"
+        )
+        src = tmp_path / "erase.json"
+        src.write_text('{"k": 1}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"DELTA__SINK_URI=file://{t}",
+                "DELTA__MODE=DELETE",
+                "DELTA__MERGE_KEY=k",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["DELTA"], cfg).run()
+        assert _snap(spark, t) == [(2, "b")]
+
     def test_merge_mode_requires_keys(self, spark, tmp_path):
         from optimus_any2any_spark.config import Config
         from optimus_any2any_spark.pipeline import Pipeline
