@@ -75,6 +75,10 @@ _SF1_QUERIES = [
     # vocab-scale after the first pass: should scale with DISTINCT
     # words (sub-linear in corpus size), the trainer's whole point
     "tokenizer_bpe_merges",
+    # bucket-scale epochs after one feature pass: measured 1.6x at
+    # 10x data — a super-linear result here would mean the corpus
+    # leaked into an epoch
+    "classifier_perceptron_train",
     # dedup_semantic_trained and ann_ivf_topk are deliberately absent:
     # both are quadratic at FIXED partition granularity (k=8 clusters /
     # 64 IVF cells, pinned by their oracles), and their scale story is
