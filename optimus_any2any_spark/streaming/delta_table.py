@@ -978,11 +978,17 @@ def upsert_to_delta_table(
     checkpoint: str,
     app_id: str = DEFAULT_APP_ID,
     target_rows_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None,
+    change_data: bool = False,
+    merge_schema: bool = False,
 ):
     """Streaming wrapper: file-level Delta MERGE per micro-batch, with
     the log's txn action making foreachBatch redelivery exactly-once —
     the same transactional-sink idempotence real Delta streaming
-    writers implement."""
+    writers implement. ``partition_by``/``change_data``/
+    ``merge_schema`` pass through to every micro-batch merge, so a
+    stream can feed a partitioned table, emit CDF, or absorb schema
+    drift."""
 
     def merge(batch: DataFrame, batch_id: int):
         merge_delta_batch(
@@ -994,6 +1000,9 @@ def upsert_to_delta_table(
             app_id=app_id,
             batch_id=batch_id,
             target_rows_per_file=target_rows_per_file,
+            partition_by=partition_by,
+            change_data=change_data,
+            merge_schema=merge_schema,
         )
 
     return (

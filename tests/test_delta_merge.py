@@ -955,6 +955,34 @@ class TestDeltaSink:
 
 
 class TestStreamingUpsert:
+    def test_streaming_merge_with_cdf_and_partitions(self, spark, tmp_path):
+        import time
+
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+
+        t = str(tmp_path / "tbl")
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [(1, "a", "d1", 0), (2, "b", "d2", 0)],
+            "k long, v string, day string, ts long",
+        ).write.parquet(src)
+        stream = spark.readStream.schema(
+            "k long, v string, day string, ts long"
+        ).parquet(src)
+        q = upsert_to_delta_table(
+            stream, t, "k", "ts", ckpt,
+            partition_by=["day"], change_data=True,
+        )
+        q.awaitTermination(60)
+        time.sleep(0.2)
+        live = replay_log(spark, t)["live"]
+        assert {a["partitionValues"]["day"] for a in live.values()} == {
+            "d1", "d2",
+        }
+        cdf = read_delta_cdf(spark, t, -1, 0).collect()
+        assert sorted(r._change_type for r in cdf) == ["insert", "insert"]
+
     def test_streaming_merge_available_now(self, spark, tmp_path):
         import time
 
