@@ -335,7 +335,15 @@ def compact_delta(
         total = df.count()
         n_files = max(1, -(-total // target_rows_per_file))
         tmp = os.path.join(table_path, f"_tmp-compact-v{version}")
-        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        if stat_col is not None and n_files > 1:
+            # re-cluster while compacting: range-partitioning on the
+            # leading stat column keeps post-OPTIMIZE file ranges
+            # mostly disjoint, so data skipping stays sharp (the
+            # linear cousin of Delta's Z-ORDER-on-OPTIMIZE)
+            out_df = df.repartitionByRange(n_files, stat_col)
+        else:
+            out_df = df.coalesce(n_files)
+        out_df.write.mode("overwrite").parquet(tmp)
         pv = {
             c: v for c, v in zip(part_cols, key)
         }

@@ -801,6 +801,36 @@ class TestCompaction:
         assert st["numRecords"] == 3
         assert st["minValues"]["k"] == 0 and st["maxValues"]["k"] == 2
 
+    def test_optimize_reclusters_for_skipping(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            compact_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        # disjoint key ranges → four small files survive the merges
+        for i in range(4):
+            merge_delta_batch(
+                spark,
+                _kv(spark, [(k, "x", 0)
+                            for k in range(i * 10, i * 10 + 10)]),
+                t, "k", "ts",
+            )
+        assert len(_live_files(spark, t)) == 4
+        compact_delta(spark, t, target_rows_per_file=11)
+        live = replay_log(spark, t)["live"]
+        ranges = []
+        for a in live.values():
+            st = json.loads(a["stats"])
+            ranges.append((st["minValues"]["k"], st["maxValues"]["k"]))
+        ranges.sort()
+        assert len(ranges) >= 2
+        # re-clustered: consecutive file ranges must not overlap
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, ranges
+        # a narrow range read now touches ONE file
+        df = read_delta(spark, t, key_range=("k", 0, 3))
+        assert len(set(df.inputFiles())) == 1
+
     def test_optimize_noop_returns_none(self, spark, tmp_path):
         from optimus_any2any_spark.streaming.delta_table import (
             compact_delta,
