@@ -1406,6 +1406,9 @@ class _ExprParser:
                     "complex_num": "int",
                     "complex_bool": "boolean",
                 }[kind]
+            elif kind == "null":
+                # probed 1.6: null | first == null (absent paths too)
+                return F.lit(None), "null"
             else:
                 raise JQUnsupported(
                     f"jq: {name} native only on provable arrays"

@@ -93,6 +93,13 @@ NATIVE_PROGRAMS = [
     '.[] | {r: ({a: .id} | has("b"))}',
     '.[] | {r: ((.name | split("l")) | has(0))}',
     '.[] | {r: ((.name | split("l")) | has(5))}',
+    # first/last: total on arrays and null in 1.6 ([] -> null)
+    '.[] | {r: ((.name | split("l")) | first)}',
+    '.[] | {r: ((.name | split("l")) | last)}',
+    '.[] | {r: ((.name | split("alice")) | first)}',
+    # NOT here: '.missing | first' yields {"r": null}, which the
+    # harness's null-field-drop convention cannot compare; the
+    # null-kind branch is covered by test_first_on_null_kind below
 ]
 
 
@@ -108,6 +115,13 @@ def test_native_matches_jq_binary(spark, df, program):
 def test_unsupported_raises(df):
     with pytest.raises(JQUnsupported):
         translate_jq(df, "group_by(.age) | map(length)")
+
+
+def test_first_on_null_kind(spark, df):
+    # probed 1.6: null | first == null (absent paths included); the
+    # differential harness drops null fields so this asserts directly
+    out = translate_jq(df, ".[] | {id, r: (.missing | first)}")
+    assert all(r.r is None for r in out.collect())
 
 
 @pytest.mark.parametrize(
