@@ -496,6 +496,22 @@ def delta_source(spark: SparkSession, cfg: Config) -> DataFrame:
     if not uri:
         raise ValueError("DELTA source requires DELTA__SOURCE_URI")
     path = uri[len("file://"):] if uri.startswith("file://") else uri
+    cdf_from = cfg.get("DELTA__CDF_FROM")
+    app_from = cfg.get("DELTA__APPENDS_FROM")
+    if cdf_from is not None or app_from is not None:
+        # incremental batch consumption through the CLI: the version
+        # range (FROM exclusive, TO inclusive; TO defaults to head)
+        from optimus_any2any_spark.sources.delta import (
+            read_delta_appends,
+            read_delta_cdf,
+            replay_log,
+        )
+
+        to = cfg.get("DELTA__VERSION_TO")
+        to_v = int(to) if to else replay_log(spark, path)["version"]
+        if cdf_from is not None:
+            return read_delta_cdf(spark, path, int(cdf_from), to_v)
+        return read_delta_appends(spark, path, int(app_from), to_v)
     version = cfg.get("DELTA__VERSION_AS_OF")
     return read_delta(
         spark, path, version=int(version) if version else None

@@ -128,6 +128,50 @@ class TestLogReplay:
 
 
 class TestPipelineSource:
+    def test_incremental_sources_through_pipeline(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        kv = lambda rows: spark.createDataFrame(
+            rows, "k long, v string, ts long"
+        )
+        merge_delta_batch(spark, kv([(1, "a", 0)]), t, "k", "ts",
+                          change_data=True)
+        merge_delta_batch(spark, kv([(1, "A", 1), (2, "b", 1)]), t,
+                          "k", "ts", change_data=True)
+        # appends tail of commit 0 only
+        cfg = Config.from_env(
+            env_args=[
+                f"DELTA__SOURCE_URI=file://{t}",
+                "DELTA__APPENDS_FROM=-1",
+                "DELTA__VERSION_TO=0",
+            ],
+            environ={},
+        )
+        df = Pipeline(spark, "DELTA", ["IO"], cfg).dataframe()
+        assert [(r.k, r.v) for r in df.collect()] == [(1, "a")]
+        # CDF of the update commit through the CLI surface
+        cfg2 = Config.from_env(
+            env_args=[
+                f"DELTA__SOURCE_URI=file://{t}",
+                "DELTA__CDF_FROM=0",
+            ],
+            environ={},
+        )
+        df2 = Pipeline(spark, "DELTA", ["IO"], cfg2).dataframe()
+        got = sorted(
+            (r._change_type, r.k, r.v) for r in df2.collect()
+        )
+        assert got == [
+            ("insert", 2, "b"),
+            ("update_postimage", 1, "A"),
+            ("update_preimage", 1, "a"),
+        ]
+
     def test_delta_source_through_pipeline(self, spark, tmp_path):
         from optimus_any2any_spark.config import Config
         from optimus_any2any_spark.pipeline import Pipeline
