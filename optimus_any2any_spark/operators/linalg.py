@@ -63,20 +63,29 @@ def embedding_mean_cov(
         F.sum((F.col("xi") * F.col("xj")).cast(_DEC)).alias("sxy"),
         F.count(F.lit(1)).alias("n"),
     )
+    # + 0.0 folds IEEE -0.0 (a tiny negative rounded to zero) into +0.0
+    # so the bit pattern matches engines that keep the sign.
     return agg.select(
         "i",
         "j",
-        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("mean_i"),
-        F.round(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_j"),
-        F.round(
-            (
-                F.col("sxy").cast("double")
-                - F.col("sx").cast("double")
-                * F.col("sy").cast("double")
-                / F.col("n")
+        (F.round(F.col("sx").cast("double") / F.col("n"), 6) + F.lit(0.0)).alias(
+            "mean_i"
+        ),
+        (F.round(F.col("sy").cast("double") / F.col("n"), 6) + F.lit(0.0)).alias(
+            "mean_j"
+        ),
+        (
+            F.round(
+                (
+                    F.col("sxy").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sy").cast("double")
+                    / F.col("n")
+                )
+                / F.col("n"),
+                6,
             )
-            / F.col("n"),
-            6,
+            + F.lit(0.0)
         ).alias("cov"),
     )
 

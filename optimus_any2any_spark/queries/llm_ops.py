@@ -3649,14 +3649,14 @@ def kmeans_cluster_profile(spark, sf_dir):
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            round(CAST(SUM(CAST(xi AS DECIMAL(38,12))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_i,
+                 / COUNT(*), 6) + 0.0 AS mean_i,
            round(CAST(SUM(CAST(xj AS DECIMAL(38,12))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_j,
+                 / COUNT(*), 6) + 0.0 AS mean_j,
            round((CAST(SUM(CAST(xi * xj AS DECIMAL(38,12))) AS DOUBLE)
                   - CAST(SUM(CAST(xi AS DECIMAL(38,12))) AS DOUBLE)
                     * CAST(SUM(CAST(xj AS DECIMAL(38,12))) AS DOUBLE)
                     / COUNT(*))
-                 / COUNT(*), 6) AS cov
+                 / COUNT(*), 6) + 0.0 AS cov
     FROM cells GROUP BY i, j ORDER BY i, j
     """,
     doc="Corpus embedding covariance (upper triangle, population form) "

@@ -37,7 +37,10 @@ def assert_frames_match(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
             sv = sv.astype("float64")
             ov = ov.astype("float64")
             both_nan = np.isnan(sv) & np.isnan(ov)
-            eq = (sv == ov) | both_nan
+            # the driver hashes the textual repr, where -0.0 != 0.0 —
+            # require matching signs on zero-valued floats too
+            same_sign = np.copysign(1.0, sv) == np.copysign(1.0, ov)
+            eq = ((sv == ov) & (same_sign | (sv != 0.0))) | both_nan
             if not eq.all():
                 i = int(np.argmax(~eq))
                 raise AssertionError(
@@ -55,6 +58,15 @@ def assert_frames_match(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
                     f"{name}: col {c} differs at row {i}: "
                     f"spark={sv[i]!r} oracle={ov[i]!r}"
                 )
+
+
+def test_harness_catches_negative_zero():
+    """-0.0 vs +0.0 hash-differ on the driver; the local gate must too."""
+    a = pd.DataFrame({"x": [0.0, 1.5]})
+    b = pd.DataFrame({"x": [-0.0, 1.5]})
+    with pytest.raises(AssertionError, match="col x differs"):
+        assert_frames_match(a, b, "negzero")
+    assert_frames_match(a, a.copy(), "poszero")
 
 
 QUERIES = all_queries()
