@@ -3261,6 +3261,7 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     added: list[tuple[str, Column]] = []
     exploded_keys: set[str] = set()
     base_identity = False
+    saw_del_term = False
     for term in terms:
         if not term:
             raise JQUnsupported(f"jq: empty term in {toks}")
@@ -3268,6 +3269,18 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
             base_identity = True
         elif term[0] == "del" and term[1] == "(" and term[-1] == ")":
             base_identity = True
+            if saw_del_term:
+                # 'del(.a) + del(.b)' merges RIGHT-BIASED per key in
+                # jq (probed 1.6: both keys survive!) — accumulating
+                # drops across terms would silently diverge → binary
+                raise JQUnsupported(
+                    "jq: two del terms merge right-biased — binary"
+                )
+            saw_del_term = True
+            # paths WITHIN one del(...) apply sequentially to the same
+            # doc (probed: del(.a.b,.a.c) drops both), so nested paths
+            # under one root combine into a single dropFields
+            del_fields: dict[str, list[str]] = {}
             for ptoks in _split_top(term[2:-1], ","):
                 if len(ptoks) != 1 or not ptoks[0].startswith("."):
                     raise JQUnsupported(f"jq: del path {ptoks}")
@@ -3304,21 +3317,25 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                         )
                     if field not in [f.name for f in dt.fields]:
                         continue  # absent field: no-op
-                    if len(dt.fields) == 1:
-                        # dropping the last field would leave a zero-
+                    fields = del_fields.setdefault(root, [])
+                    if field not in fields:
+                        fields.append(field)
+                    if len(fields) >= len(dt.fields):
+                        # dropping every field would leave a zero-
                         # field struct (unrepresentable): jq yields {}
                         raise JQUnsupported(
                             f"jq: del of {p!r} empties the object — "
                             "binary"
                         )
-                    added.append(
-                        (
-                            root,
-                            F.col("`" + root + "`").dropFields(field),
-                        )
-                    )
                     continue
                 dropped.append(p)
+            for root, fields in del_fields.items():
+                added.append(
+                    (
+                        root,
+                        F.col("`" + root + "`").dropFields(*fields),
+                    )
+                )
         elif term[0] == "{" and term[-1] == "}":
             for e in _parse_object(term):
                 if (

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -84,43 +85,74 @@ def bpe_merge_steps(
         "cnt",
         F.regexp_replace("w", "(.)", "<$1>").alias("seq"),
     )
-    # every iteration re-reads the vocabulary table: persist the
-    # corpus-derived base once (vocab-scale, not corpus-scale)
-    cur = cur.persist()
-    steps: list[DataFrame] = []
+    # Iteration discipline (the standard Spark iterative-algorithm
+    # trio, cf. ALS/GraphX):
+    #  * each step's winner is a ONE-row model — collect it (k-row-
+    #    model collect, like centroids) and apply it as literals;
+    #  * localCheckpoint(eager=True) per step TRUNCATES the logical
+    #    plan — a persist() alone leaves the analyzed plan growing
+    #    with every nested select, and analysis cost turns
+    #    exponential past ~10 steps (measured: step 14 took 12x
+    #    step 5 under the r4 shape);
+    #  * the superseded step's checkpoint blocks are unpersisted
+    #    explicitly (via the JavaSparkContext persistent-RDD map —
+    #    a checkpointed frame's blocks are not in the SQL cache
+    #    manager), so a 30k-merge run pins exactly ONE vocabulary
+    #    snapshot instead of 30k.
+    spark = df.sparkSession
+    sc = spark.sparkContext
+
+    def _pinned_ids() -> set[int]:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _drop_blocks(ids: set[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+
+    before = _pinned_ids()
+    cur = cur.localCheckpoint(eager=True)
+    cur_ids = _pinned_ids() - before
+    merge_rows: list[tuple] = []
     for step in range(1, n_merges + 1):
-        best = (
+        top = (
             _pair_counts(cur)
             .orderBy(F.col("total").desc(), "l", "r")
             .limit(1)
-            .persist()  # two consumers: the output union + the next join
+            .collect()
         )
-        steps.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.concat("l", "r").alias("merged"),
-                F.col("total").alias("pair_count"),
-            )
+        if not top:
+            break  # vocabulary fully merged: no pair left
+        r = top[0]
+        merge_rows.append(
+            (step, r["l"], r["r"], r["l"] + r["r"], r["total"])
         )
-        cur = (
-            cur.crossJoin(F.broadcast(best))
-            .select(
-                "w",
-                "cnt",
-                F.replace(
-                    F.col("seq"),
-                    F.concat(F.lit("<"), "l", F.lit("><"), "r", F.lit(">")),
-                    F.concat(F.lit("<"), "l", "r", F.lit(">")),
-                ).alias("seq"),
-            )
-            .persist()
-        )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out.orderBy("step")
+        before = _pinned_ids()
+        nxt = cur.select(
+            "w",
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"<{r['l']}><{r['r']}>"),
+                F.lit(f"<{r['l']}{r['r']}>"),
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+        new_ids = _pinned_ids() - before
+        _drop_blocks(cur_ids)  # nxt is materialized: parent state free
+        cur, cur_ids = nxt, new_ids
+    _drop_blocks(cur_ids)
+    return spark.createDataFrame(
+        merge_rows,
+        T.StructType([
+            T.StructField("step", T.IntegerType(), False),
+            T.StructField("left_sym", T.StringType(), False),
+            T.StructField("right_sym", T.StringType(), False),
+            T.StructField("merged", T.StringType(), False),
+            T.StructField("pair_count", T.LongType(), False),
+        ]),
+    ).orderBy("step")
 
 
 def bpe_encode(

@@ -115,7 +115,7 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         # startingSnapshotId: consume strictly AFTER this snapshot
         # (the already-loaded-history case); default = full lineage
         start = options.get("startingsnapshotid")
-        self.start_pos = 0
+        self.start_sid: int | None = None
         if start is not None:
             meta = _load_meta(self.table_path)
             ids = [
@@ -126,20 +126,46 @@ class IcebergTailStreamReader(DataSourceStreamReader):
                     f"iceberg_tail: startingSnapshotId {start} not in "
                     "table lineage"
                 )
-            self.start_pos = ids.index(int(start)) + 1
+            self.start_sid = int(start)
 
-    # offsets: {"pos": N} = number of lineage snapshots consumed
+    # offsets: {"sid": S} = consumed through snapshot-id S (None =
+    # nothing consumed). Snapshot-ids are STABLE across snapshot
+    # expiration — a positional index ({"pos": N}, the r4 form, still
+    # accepted from old checkpoints) silently re-delivers or skips
+    # snapshots once history cleanup shifts positions; an id that has
+    # left the lineage raises instead, matching delta_stream's
+    # missing-commit error.
+    def _pos_after(self, snaps: list[dict], off: dict) -> int:
+        if "pos" in off:  # legacy checkpoint form
+            return int(off["pos"])
+        sid = off.get("sid")
+        if sid is None:
+            return 0
+        ids = [s["snapshot-id"] for s in snaps]
+        if sid not in ids:
+            raise ValueError(
+                f"iceberg_tail: snapshot {sid} is no longer in the "
+                "table lineage (expired?) — cannot resume without a "
+                "gap; restart the stream from a fresh checkpoint"
+            )
+        return ids.index(sid) + 1
+
     def initialOffset(self) -> dict:
-        return {"pos": self.start_pos}
+        return {"sid": self.start_sid}
 
     def latestOffset(self) -> dict:
         meta = _load_meta(self.table_path)
-        return {"pos": len(meta.get("snapshots") or [])}
+        snaps = meta.get("snapshots") or []
+        return {
+            "sid": snaps[-1]["snapshot-id"] if snaps else None
+        }
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         meta = _load_meta(self.table_path)
         snaps = meta.get("snapshots") or []
-        window = snaps[int(start["pos"]):int(end["pos"])]
+        window = snaps[
+            self._pos_after(snaps, start):self._pos_after(snaps, end)
+        ]
         out: list[InputPartition] = []
         for snap in window:
             for f in _added_files(self.table_path, snap):

@@ -87,14 +87,22 @@ def _entry_from_add(path: str, add: dict, key_col: str) -> dict:
     n = st.get("numRecords")
     fmin = (st.get("minValues") or {}).get(key_col)
     fmax = (st.get("maxValues") or {}).get(key_col)
-    nulls = (st.get("nullCount") or {}).get(key_col, 0)
+    nulls = (st.get("nullCount") or {}).get(key_col)
 
     def _scalar(x):
         return isinstance(x, (str, int, float)) and not isinstance(x, bool)
 
     has_stats = n is not None
+    # a key absent from minValues proves "all null" ONLY when the
+    # nullCount says so explicitly — stats written by another writer
+    # (or an OPTIMIZE that indexed different columns) may simply not
+    # cover the key, and treating that as prunable silently skips
+    # live rows on the next merge/delete
+    all_null = (
+        has_stats and nulls is not None and int(nulls) == int(n)
+    )
     prunable = has_stats and (
-        (fmin is None and fmax is None)  # key all-null in this file
+        (fmin is None and fmax is None and all_null)
         or (_scalar(fmin) and _scalar(fmax))
     )
     return {
@@ -174,25 +182,54 @@ def _collect_file_stats(
     return out
 
 
-def _commit(log: str, version: int, actions: list[dict]) -> None:
-    """The atomic step: put-if-absent of one JSON log entry.
+def _posix_put_if_absent(tmp: str, final: str) -> bool:
+    """POSIX put-if-absent: hard-link ``tmp`` to ``final``; returns
+    False when ``final`` already exists (the loser of a race).
     ``os.link`` (not rename) is the primitive — it FAILS if the target
     exists, so two writers racing for the same version cannot both
     win (the Delta paper's mutual-exclusion requirement on the log
     store; rename-with-overwrite would silently drop one commit)."""
+    try:
+        os.link(tmp, final)
+        return True
+    except FileExistsError:
+        return False
+
+
+# The log-store seam (Delta paper §3.2): local/NFS deployments use the
+# POSIX hard-link; an object-store deployment swaps in a conditional
+# PUT (S3 If-None-Match, GCS x-goog-if-generation-match: 0, ABFS ETag)
+# via set_log_store(). The contract: atomically create ``final`` with
+# ``tmp``'s bytes IFF it does not exist, returning the win/lose bool.
+_put_if_absent = _posix_put_if_absent
+
+
+def set_log_store(put_if_absent) -> None:
+    """Inject the commit primitive (object-store conditional-PUT or a
+    test double). Pass ``None`` to restore the POSIX default."""
+    global _put_if_absent
+    _put_if_absent = put_if_absent or _posix_put_if_absent
+
+
+def _commit(log: str, version: int, actions: list[dict]) -> None:
+    """The atomic step: put-if-absent of one JSON log entry. The temp
+    name is writer-unique (pid + a random suffix) — a shared name like
+    ``final + '.tmp'`` would let the LOSER of a version race reopen
+    and truncate the very inode the winner just committed."""
+    import uuid
+
     os.makedirs(log, exist_ok=True)
     final = os.path.join(log, "%020d.json" % version)
-    tmp = final + ".tmp"
+    tmp = f"{final}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, default=str) + "\n")
     try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise IOError(
-            f"delta: commit {version} already exists — lost the race "
-            "to a concurrent writer; replay the log and retry"
-        ) from None
+        if not _put_if_absent(tmp, final):
+            raise IOError(
+                f"delta: commit {version} already exists — lost the "
+                "race to a concurrent writer; replay the log and retry"
+            )
     finally:
         os.unlink(tmp)
 
@@ -291,6 +328,7 @@ def compact_delta(
     spark: SparkSession,
     table_path: str,
     target_rows_per_file: int = 1_000_000,
+    key_col: str | None = None,
 ) -> int | None:
     """OPTIMIZE: rewrite small files into ``target_rows_per_file``-
     sized ones, per partition, committing adds+removes with
@@ -324,77 +362,114 @@ def compact_delta(
     version = state["version"] + 1
     actions: list[dict] = []
     file_seq = 0
-    # the merge key's stats column is whatever the table's adds carry;
-    # recompute stats on the first data column for generality
-    stat_col = data_schema.fields[0].name if data_schema.fields else None
-    for key, files in sorted(groups.items(), key=str):
-        if len(files) < 2:
-            continue
-        paths = [os.path.join(table_path, p) for p, _ in files]
-        df = spark.read.schema(data_schema).parquet(*paths)
-        total = df.count()
-        n_files = max(1, -(-total // target_rows_per_file))
-        tmp = os.path.join(table_path, f"_tmp-compact-v{version}")
-        if stat_col is not None and n_files > 1:
-            # re-cluster while compacting: range-partitioning on the
-            # leading stat column keeps post-OPTIMIZE file ranges
-            # mostly disjoint, so data skipping stays sharp (the
-            # linear cousin of Delta's Z-ORDER-on-OPTIMIZE)
-            out_df = df.repartitionByRange(n_files, stat_col)
-        else:
-            out_df = df.coalesce(n_files)
-        out_df.write.mode("overwrite").parquet(tmp)
-        pv = {
-            c: v for c, v in zip(part_cols, key)
-        }
+    # lead stats (and re-clustering) with the caller's merge key when
+    # given, else the first data column
+    stat_col = key_col or (
+        data_schema.fields[0].name if data_schema.fields else None
+    )
+    # keep only partitions with >= 2 undersized files; everything else
+    # is already optimal. From here the whole compaction is FOUR jobs
+    # (count, range sample, write, stats) regardless of how many files
+    # or partitions are being compacted — the old shape ran a count +
+    # write per partition and a stats aggregate PER FILE.
+    ptuples = sorted(
+        (k for k, fs in groups.items() if len(fs) >= 2), key=str
+    )
+    if not ptuples:
+        return None
+    pid_of = {pt: i for i, pt in enumerate(ptuples)}
+    src: list[tuple[str, int]] = [
+        (p, pid_of[pt]) for pt in ptuples for p, _ in groups[pt]
+    ]
+    for p, _pid in src:
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    rel_pid = spark.createDataFrame(
+        src,
+        T.StructType(
+            [
+                T.StructField("__rel", T.StringType(), False),
+                T.StructField("__pid", T.IntegerType(), False),
+            ]
+        ),
+    )
+    cur = (
+        spark.read.schema(data_schema)
+        .parquet(*[os.path.join(table_path, p) for p, _ in src])
+        .withColumn(
+            "__rel",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .join(F.broadcast(rel_pid), "__rel", "inner")
+        .drop("__rel")
+    )
+    total = cur.count()
+    n_files = max(1, -(-total // target_rows_per_file))
+    tmp = os.path.join(table_path, f"_tmp-compact-v{version}")
+    # re-cluster while compacting: range-partitioning on (__pid, the
+    # leading stat column) keeps post-OPTIMIZE file ranges mostly
+    # disjoint within each partition, so data skipping stays sharp
+    # (the linear cousin of Delta's Z-ORDER-on-OPTIMIZE). File sizes
+    # are approximate when a range partition spans a __pid boundary.
+    range_cols = [F.col("__pid")] + (
+        [F.col(stat_col)] if stat_col is not None else []
+    )
+    (
+        cur.repartitionByRange(n_files, *range_cols)
+        .write.partitionBy("__pid")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    new_files: list[tuple[str, dict]] = []  # (rel, partitionValues)
+    for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+        pid = int(os.path.basename(pdir).split("=", 1)[1])
+        pv = {c: v for c, v in zip(part_cols, ptuples[pid])}
         for part in sorted(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            _glob.glob(os.path.join(pdir, "part-*.parquet"))
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-compact.parquet"
             file_seq += 1
             os.replace(part, os.path.join(table_path, rel))
-            full = os.path.join(table_path, rel)
-            stats_json = None
-            if stat_col is not None:
-                r = (
-                    spark.read.schema(data_schema)
-                    .parquet(full)
-                    .agg(
-                        F.count(F.lit(1)).alias("rows"),
-                        F.min(stat_col).alias("mn"),
-                        F.max(stat_col).alias("mx"),
-                        F.sum(
-                            F.col(stat_col).isNull().cast("long")
-                        ).alias("n_null"),
-                    )
-                    .collect()[0]
-                )
-                stats_json = _stats_json(
-                    r["rows"], stat_col, r["mn"], r["mx"], int(r["n_null"])
-                )
-            add = {
-                "path": rel,
-                "partitionValues": pv,
-                "size": os.path.getsize(full),
-                "modificationTime": 0,
-                "dataChange": False,
-            }
-            if stats_json:
-                add["stats"] = stats_json
-            actions.append({"add": add})
-        shutil.rmtree(tmp)
-        for p, _ in files:
-            actions.append(
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": 0,
-                        "dataChange": False,
-                    }
-                }
-            )
-    if not actions:
+            new_files.append((rel, pv))
+    shutil.rmtree(tmp)
+    if not new_files:
         return None
+    # ONE grouped stats job over ALL compacted output (merge-key +
+    # leading columns, same shape the merge path records) — NOT a
+    # per-file aggregate loop; and full per-column stats mean a later
+    # merge/delete can still prune (and never mis-prunes) on ANY
+    # recorded column, the ADVICE-r4 post-OPTIMIZE correctness trap
+    by_name = (
+        _collect_file_stats(
+            spark, table_path, [r for r, _ in new_files],
+            stat_col, data_schema,
+        )
+        if stat_col is not None
+        else {}
+    )
+    for rel, pv in new_files:
+        full = os.path.join(table_path, rel)
+        st = by_name.get(rel)
+        if stat_col is not None and st is None:
+            os.remove(full)  # empty part: not worth an add action
+            continue
+        add = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": os.path.getsize(full),
+            "modificationTime": 0,
+            "dataChange": False,
+        }
+        if st is not None:
+            add["stats"] = json.dumps(st, default=str)
+        actions.append({"add": add})
     _commit(_log_dir(table_path), version, actions)
     return version
 
@@ -519,132 +594,224 @@ def merge_delta_batch(
         [f for f in latest.schema.fields if f.name not in part_cols]
     )
 
-    # touched partitions, from the batch (driver-side: partition
-    # cardinality scale — a late-data merge touches a handful of dates)
-    if part_cols:
-        ptuples = sorted(
-            (
-                tuple(r[c] for c in part_cols)
-                for r in latest.select(*part_cols).distinct().collect()
-            ),
-            key=str,
-        )
-    else:
-        ptuples = [()]
-    type_of = {
-        f.name: f.dataType for f in latest.schema.fields
-    }
-
-    new_adds: list[dict] = []     # (rel, partitionValues) pending stats
-    hit_paths: list[str] = []
-    change_frames = []
-    file_seq = 0
-    for pt in ptuples:
-        pv = {
-            c: (None if v is None else str(v))
-            for c, v in zip(part_cols, pt)
-        }
-        psel = latest
-        for c, v in zip(part_cols, pt):
-            psel = psel.filter(
-                F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
-            )
-        psel = psel.select(*data_cols)
+    # ---- single-job partitioned merge -------------------------------
+    # Per-partition batch key stats come from ONE job for ALL touched
+    # partitions; file pruning is pure driver metadata work; then ONE
+    # anti-join + ONE partitionBy write (on a surrogate __pid column,
+    # so partition VALUES never round-trip through directory-name
+    # string encoding) covers every partition. The old shape ran one
+    # write job (+ collects) per partition — fine for a late-data
+    # trickle, a driver bottleneck for a backfill touching thousands
+    # of partitions.
+    if n_total <= _MAX_DRIVER_KEYS:
         # ``latest`` is one row per (key, partition) by construction,
-        # so its key column IS the distinct key set. When the whole
-        # batch fits the driver cap (n_total is already known), one
-        # collect replaces the stats aggregate + distinct shuffle;
-        # bigger batches take the single aggregate pass instead.
-        if n_total <= _MAX_DRIVER_KEYS:
-            vals = [r[0] for r in psel.select(key_col).collect()]
-            if not vals:
-                continue
-            has_null = any(v is None for v in vals)
-            keys = sorted(v for v in vals if v is not None)
-            kmin = keys[0] if keys else None
-            kmax = keys[-1] if keys else None
-            p_n = len(vals)
-        else:  # too many keys for the driver: one stats aggregate
-            pstats = psel.agg(
+        # so this collect IS the distinct key set, split per partition
+        krows = latest.select(*part_cols, key_col).collect()
+        grouped: dict[tuple, list] = {}
+        for r in krows:
+            grouped.setdefault(
+                tuple(r[c] for c in part_cols), []
+            ).append(r[key_col])
+        pstats: dict[tuple, dict] = {}
+        for pt, vals in grouped.items():
+            nn = sorted(v for v in vals if v is not None)
+            pstats[pt] = {
+                "n": len(vals),
+                "keys": nn,
+                "kmin": nn[0] if nn else None,
+                "kmax": nn[-1] if nn else None,
+                "has_null": len(nn) < len(vals),
+            }
+    else:  # too many keys for the driver: one grouped stats aggregate
+        krows = (
+            latest.groupBy(*part_cols)
+            .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.min(key_col).alias("kmin"),
                 F.max(key_col).alias("kmax"),
                 F.max(F.col(key_col).isNull().cast("int")).alias(
                     "null_key"
                 ),
-            ).collect()[0]
-            if pstats["n"] == 0:
-                continue
-            has_null = bool(pstats["null_key"])
-            keys = None
-            kmin, kmax, p_n = pstats["kmin"], pstats["kmax"], pstats["n"]
-        # partition pruning FIRST (exact partitionValues match), then
-        # key-stats pruning inside the partition
-        plive = {
-            p: a
-            for p, a in state["live"].items()
-            if {
-                c: (a.get("partitionValues") or {}).get(c)
-                for c in part_cols
+            )
+            .collect()
+        )
+        pstats = {
+            tuple(r[c] for c in part_cols): {
+                "n": r["n"],
+                "keys": None,
+                "kmin": r["kmin"],
+                "kmax": r["kmax"],
+                "has_null": bool(r["null_key"]),
             }
-            == pv
+            for r in krows
         }
+
+    ptuples = sorted(pstats, key=str)
+    pid_of = {pt: i for i, pt in enumerate(ptuples)}
+    pv_str_of = {
+        pt: {
+            c: (None if v is None else str(v))
+            for c, v in zip(part_cols, pt)
+        }
+        for pt in ptuples
+    }
+
+    # partition pruning FIRST (exact partitionValues match), then
+    # key-stats pruning inside each partition — all driver-side
+    live_by_pv: dict[tuple, list[tuple[str, dict]]] = {}
+    for p, a in sorted(state["live"].items()):
+        apv = a.get("partitionValues") or {}
+        live_by_pv.setdefault(
+            tuple(apv.get(c) for c in part_cols), []
+        ).append((p, a))
+    hit_by_pid: dict[int, list[dict]] = {}
+    hit_paths: list[str] = []
+    for pt in ptuples:
+        st = pstats[pt]
+        pv_key = tuple(pv_str_of[pt].get(c) for c in part_cols)
         entries = [
-            _entry_from_add(p, a, key_col) for p, a in sorted(plive.items())
+            _entry_from_add(p, a, key_col)
+            for p, a in live_by_pv.get(pv_key, [])
         ]
         hit, _miss = _affected(
-            entries, keys, kmin, kmax, has_null
+            entries, st["keys"], st["kmin"], st["kmax"], st["has_null"]
+        )
+        if hit:
+            hit_by_pid[pid_of[pt]] = hit
+            hit_paths.extend(e["path"] for e in hit)
+
+    # attach __pid to batch rows (broadcast partition-tuple lookup)
+    if part_cols:
+        pid_schema = T.StructType(
+            [latest.schema[c] for c in part_cols]
+            + [T.StructField("__pid", T.IntegerType(), False)]
+        )
+        pid_df = spark.createDataFrame(
+            [pt + (pid_of[pt],) for pt in ptuples], pid_schema
+        )
+        pcond = None
+        for c in part_cols:
+            e = F.col(f"b.{c}").eqNullSafe(F.col(f"pd.{c}"))
+            pcond = e if pcond is None else (pcond & e)
+        latest_p = (
+            latest.alias("b")
+            .join(F.broadcast(pid_df.alias("pd")), pcond, "inner")
+            .select(
+                *[F.col(f"b.{c}") for c in data_cols], F.col("pd.__pid")
+            )
+        )
+    else:
+        pid_df = None
+        latest_p = latest.select(*data_cols).withColumn(
+            "__pid", F.lit(0).cast("int")
         )
 
-        merged = psel
-        hit_rows = 0
-        pre = None
-        if hit:
-            # explicit schema: pre-evolution files read new columns
-            # as null (Delta mergeSchema read semantics)
-            cur = spark.read.schema(data_schema).parquet(
-                *[os.path.join(table_path, e["path"]) for e in hit]
-            ).alias("cur")
-            nk = psel.select(key_col).alias("nk")
-            merged = cur.join(
-                nk,
-                F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
-                "left_anti",
-            ).unionByName(psel)
-            hit_rows = sum(max(e["rows"], 0) for e in hit)
-            hit_paths.extend(e["path"] for e in hit)
-            if change_data:
-                # preimages: current rows whose key the batch touches —
-                # inner join against the distinct batch keys keeps the
-                # full row schema
-                bk = psel.select(F.col(key_col).alias("__bk")).distinct()
-                pre = (
-                    cur.join(
-                        bk,
-                        F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk")),
-                        "inner",
-                    )
-                    .drop("__bk")
-                    .localCheckpoint(eager=True)
-                )
-
+    merged = latest_p
+    total_hit_rows = 0
+    pre = None
+    if hit_paths:
+        rel_pid_rows = [
+            (e["path"], pid)
+            for pid, hits in sorted(hit_by_pid.items())
+            for e in hits
+        ]
+        rel_pid = spark.createDataFrame(
+            rel_pid_rows,
+            T.StructType(
+                [
+                    T.StructField("__rel", T.StringType(), False),
+                    T.StructField("__pid", T.IntegerType(), False),
+                ]
+            ),
+        )
+        # explicit schema: pre-evolution files read new columns
+        # as null (Delta mergeSchema read semantics)
+        cur = (
+            spark.read.schema(data_schema)
+            .parquet(
+                *[os.path.join(table_path, r) for r, _ in rel_pid_rows]
+            )
+            .withColumn(
+                "__rel",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            .join(F.broadcast(rel_pid), "__rel", "inner")
+            .drop("__rel")
+        )
+        bk = latest_p.select(
+            F.col(key_col).alias("__bk"), F.col("__pid").alias("__bpid")
+        )
+        touch = F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk")) & (
+            F.col("cur.__pid") == F.col("__bpid")
+        )
+        merged = (
+            cur.alias("cur")
+            .join(bk, touch, "left_anti")
+            .unionByName(latest_p)
+        )
+        total_hit_rows = sum(
+            max(e["rows"], 0)
+            for hits in hit_by_pid.values()
+            for e in hits
+        )
+        hit_paths = sorted(set(hit_paths))
         if change_data:
-            if pre is not None:
-                # marker column makes "matched" null-key-safe:
-                # eqNullSafe joins null==null but the joined key itself
-                # is null there
-                pk = (
-                    pre.select(F.col(key_col).alias("__pk"))
-                    .distinct()
-                    .withColumn("__m", F.lit(1))
+            # preimages: current rows whose (key, partition) the batch
+            # touches — checkpointed once, consumed twice below
+            pre = (
+                cur.alias("cur")
+                .join(bk, touch, "inner")
+                .drop("__bk", "__bpid")
+                .localCheckpoint(eager=True)
+            )
+
+    new_adds: list[dict] = []  # (rel, partitionValues) pending stats
+    file_seq = 0
+    n_rows = n_total + total_hit_rows
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
+    (
+        merged.repartitionByRange(
+            n_files, F.col("__pid"), F.col(key_col)
+        )
+        .write.partitionBy("__pid")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+        pid = int(os.path.basename(pdir).split("=", 1)[1])
+        pv = pv_str_of[ptuples[pid]]
+        for part in sorted(
+            _glob.glob(os.path.join(pdir, "part-*.parquet"))
+        ):
+            rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
+            file_seq += 1
+            os.replace(part, os.path.join(table_path, rel))
+            new_adds.append({"path": rel, "partitionValues": pv})
+    shutil.rmtree(tmp)
+
+    cdc_rel: list[str] = []
+    if change_data:
+        if pre is not None:
+            # marker column makes "matched" null-key-safe: eqNullSafe
+            # joins null==null but the joined key itself is null there
+            pk = (
+                pre.select(
+                    F.col(key_col).alias("__pk"),
+                    F.col("__pid").alias("__ppid"),
                 )
-                post = psel.alias("b").join(
-                    pk,
-                    F.col(f"b.{key_col}").eqNullSafe(F.col("__pk")),
-                    "left",
-                )
-                post = post.select(
+                .distinct()
+                .withColumn("__m", F.lit(1))
+            )
+            matched = F.col(f"b.{key_col}").eqNullSafe(
+                F.col("__pk")
+            ) & (F.col("b.__pid") == F.col("__ppid"))
+            post = (
+                latest_p.alias("b")
+                .join(pk, matched, "left")
+                .select(
                     *[F.col(f"b.{c}") for c in data_cols],
+                    F.col("b.__pid"),
                     F.when(
                         F.col("__m").isNotNull(),
                         F.lit("update_postimage"),
@@ -652,48 +819,23 @@ def merge_delta_batch(
                     .otherwise(F.lit("insert"))
                     .alias("_change_type"),
                 )
-                changes = pre.withColumn(
-                    "_change_type", F.lit("update_preimage")
-                ).unionByName(post)
-            else:
-                changes = psel.withColumn("_change_type", F.lit("insert"))
-            # change rows carry the partition columns (typed literals)
-            for c, v in zip(part_cols, pt):
-                col = (
-                    F.lit(None).cast(type_of[c])
-                    if v is None
-                    else F.lit(v).cast(type_of[c])
-                )
-                changes = changes.withColumn(c, col)
-            change_frames.append(
-                changes.select(
-                    *latest.columns, "_change_type"
-                )
             )
-
-        n_rows = p_n + hit_rows
-        n_files = max(1, -(-n_rows // target_rows_per_file))
-        tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
-        (
-            merged.repartitionByRange(n_files, key_col)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
-            rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
-            file_seq += 1
-            os.replace(part, os.path.join(table_path, rel))
-            new_adds.append({"path": rel, "partitionValues": pv})
-        shutil.rmtree(tmp)
-
-    cdc_rel: list[str] = []
-    if change_data and change_frames:
-        changes_all = change_frames[0]
-        for cf in change_frames[1:]:
-            changes_all = changes_all.unionByName(cf)
+            changes = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(post)
+        else:
+            changes = latest_p.withColumn(
+                "_change_type", F.lit("insert")
+            )
+        # re-attach the typed partition columns from the pid lookup
+        if pid_df is not None:
+            changes = changes.join(F.broadcast(pid_df), "__pid")
+        changes_all = changes.select(*latest.columns, "_change_type")
         cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
         changes_all.write.mode("overwrite").parquet(cdc_tmp)
-        os.makedirs(os.path.join(table_path, "_change_data"), exist_ok=True)
+        os.makedirs(
+            os.path.join(table_path, "_change_data"), exist_ok=True
+        )
         for i, part in enumerate(
             sorted(_glob.glob(os.path.join(cdc_tmp, "part-*.parquet")))
         ):
@@ -841,80 +983,105 @@ def delete_delta_keys(
             r[0] for r in kdf.collect() if r[0] is not None
         )
 
-    # group live files by partition tuple, prune per group
-    by_part: dict[tuple, list[tuple[str, dict]]] = {}
+    # ---- single-job partitioned delete ------------------------------
+    # DELETE keys are not partition-scoped, so pruning is a flat pass
+    # over the live files (driver metadata, zero jobs); the rewrite is
+    # then ONE anti-join + ONE partitionBy("__pid") write covering
+    # every touched partition — the output file's partitionValues are
+    # carried VERBATIM from its source file's add action, so no value
+    # ever round-trips through a directory-name string encoding.
+    hits: list[tuple[str, tuple]] = []  # (path, pv tuple)
+    hit_rows_total = 0
     for p, a in sorted(state["live"].items()):
         pv = a.get("partitionValues") or {}
-        by_part.setdefault(
-            tuple(pv.get(c) for c in part_cols), []
-        ).append((p, a))
+        pt = tuple(pv.get(c) for c in part_cols)
+        e = _entry_from_add(p, a, key_col)
+        h, _miss = _affected(
+            [e], key_list, kstats["kmin"], kstats["kmax"], has_null
+        )
+        if h:
+            hits.append((p, pt))
+            hit_rows_total += max(e["rows"], 0)
+    if not hits:
+        return state["version"]  # no file matched: nothing to commit
+
+    ptuples = sorted({pt for _, pt in hits}, key=str)
+    pid_of = {pt: i for i, pt in enumerate(ptuples)}
+    hit_paths = [p for p, _ in hits]
+    rel_pid = spark.createDataFrame(
+        [(p, pid_of[pt]) for p, pt in hits],
+        T.StructType(
+            [
+                T.StructField("__rel", T.StringType(), False),
+                T.StructField("__pid", T.IntegerType(), False),
+            ]
+        ),
+    )
+    cur = (
+        spark.read.schema(data_schema)
+        .parquet(*[os.path.join(table_path, p) for p in hit_paths])
+        .withColumn(
+            "__rel",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .join(F.broadcast(rel_pid), "__rel", "inner")
+        .drop("__rel")
+        .alias("cur")
+    )
+    nk = kdf.alias("nk")
+    match = F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}"))
+    keep = cur.join(nk, match, "left_anti")
 
     actions: list[dict] = []
     new_adds: list[dict] = []
-    hit_paths: list[str] = []
-    change_frames = []
     file_seq = 0
-    for pt, files in sorted(by_part.items(), key=str):
-        entries = [_entry_from_add(p, a, key_col) for p, a in files]
-        hit, _miss = _affected(
-            entries, key_list, kstats["kmin"], kstats["kmax"], has_null
-        )
-        if not hit:
-            continue
-        paths = [os.path.join(table_path, e["path"]) for e in hit]
-        cur = spark.read.schema(data_schema).parquet(*paths).alias("cur")
-        nk = kdf.alias("nk")
-        keep = cur.join(
-            nk,
-            F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
-            "left_anti",
-        )
-        if change_data:
-            deleted = cur.join(
-                nk,
-                F.col(f"cur.{key_col}").eqNullSafe(
-                    F.col(f"nk.{key_col}")
-                ),
-                "left_semi",
-            ).withColumn("_change_type", F.lit("delete"))
-            for c, v in zip(part_cols, pt):
-                col = (
-                    F.lit(None).cast(type_of[c])
-                    if v is None
-                    else F.lit(v).cast(type_of[c])
-                )
-                deleted = deleted.withColumn(c, col)
-            change_frames.append(
-                deleted.select(
-                    *schema.fieldNames(), "_change_type"
-                )
-            )
-        hit_paths.extend(e["path"] for e in hit)
-        n_rows = sum(max(e["rows"], 0) for e in hit)
-        n_files = max(1, -(-n_rows // target_rows_per_file))
-        tmp = os.path.join(table_path, f"_tmp-delete-v{version}")
-        (
-            keep.repartitionByRange(n_files, key_col)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        pv = {c: v for c, v in zip(part_cols, pt)}
+    n_files = max(1, -(-hit_rows_total // target_rows_per_file))
+    tmp = os.path.join(table_path, f"_tmp-delete-v{version}")
+    (
+        keep.repartitionByRange(n_files, F.col("__pid"), F.col(key_col))
+        .write.partitionBy("__pid")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+        pid = int(os.path.basename(pdir).split("=", 1)[1])
+        pv = {c: v for c, v in zip(part_cols, ptuples[pid])}
         for part in sorted(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            _glob.glob(os.path.join(pdir, "part-*.parquet"))
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-delete.parquet"
             file_seq += 1
             os.replace(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
-        shutil.rmtree(tmp)
-    if not hit_paths:
-        return state["version"]  # no file matched: nothing to commit
+    shutil.rmtree(tmp)
 
     cdc_rel: list[str] = []
-    if change_data and change_frames:
-        changes_all = change_frames[0]
-        for cf in change_frames[1:]:
-            changes_all = changes_all.unionByName(cf)
+    if change_data:
+        deleted = cur.join(nk, match, "left_semi").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        # typed partition columns come from casting the verbatim
+        # partitionValues strings through the table schema (the same
+        # rule the snapshot reader applies)
+        if part_cols:
+            pid_typed = spark.createDataFrame(
+                [(pid_of[pt],) + pt for pt in ptuples],
+                T.StructType(
+                    [T.StructField("__pid", T.IntegerType(), False)]
+                    + [
+                        T.StructField(c, T.StringType(), True)
+                        for c in part_cols
+                    ]
+                ),
+            ).select(
+                "__pid",
+                *[
+                    F.col(c).cast(type_of[c]).alias(c)
+                    for c in part_cols
+                ],
+            )
+            deleted = deleted.join(F.broadcast(pid_typed), "__pid")
+        changes_all = deleted.select(*schema.fieldNames(), "_change_type")
         cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
         changes_all.write.mode("overwrite").parquet(cdc_tmp)
         os.makedirs(os.path.join(table_path, "_change_data"), exist_ok=True)

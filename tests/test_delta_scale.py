@@ -1,0 +1,258 @@
+"""Scale-shape guarantees of the Delta layer (streaming/delta_table.py):
+
+- the post-OPTIMIZE pruning trap (ADVICE r4 high): stats that do not
+  cover the merge key must make a file conservatively AFFECTED, never
+  silently pruned — else a merge/delete after compaction skips live
+  rows (duplicate keys, undeleted GDPR rows);
+- job counts: partitioned MERGE/DELETE and OPTIMIZE run a constant
+  number of Spark jobs regardless of how many partitions/files they
+  touch (the r4 per-partition/per-file driver loops are gone);
+- the commit seam: the put-if-absent primitive is injectable
+  (object-store conditional PUT), the loser of a version race gets a
+  clean error, and the winner's committed bytes are never torn.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from optimus_any2any_spark.sources.delta import read_delta, replay_log
+from optimus_any2any_spark.streaming.delta_table import (
+    _commit,
+    _entry_from_add,
+    compact_delta,
+    delete_delta_keys,
+    merge_delta_batch,
+    set_log_store,
+)
+
+
+def _count_jobs(spark, fn):
+    """Run ``fn`` under a fresh job group and return how many Spark
+    jobs it launched."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"jobcount-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+class TestPostOptimizePruning:
+    def test_stats_without_key_are_not_prunable(self):
+        # numRecords present, key absent from minValues, nullCount
+        # silent: could be "stats just don't index the key" — must be
+        # conservatively affected
+        add = {"stats": json.dumps({
+            "numRecords": 10,
+            "minValues": {"other": 1},
+            "maxValues": {"other": 9},
+            "nullCount": {"other": 0},
+        })}
+        e = _entry_from_add("f.parquet", add, "k")
+        assert e["prunable"] is False
+
+    def test_all_null_key_needs_explicit_nullcount(self):
+        add = {"stats": json.dumps({
+            "numRecords": 4,
+            "minValues": {},
+            "maxValues": {},
+            "nullCount": {"k": 4},
+        })}
+        e = _entry_from_add("f.parquet", add, "k")
+        assert e["prunable"] is True and e["min_key"] is None
+
+    def test_merge_after_compact_key_not_first_column(self, spark, tmp_path):
+        # ADVICE r4 repro: merge key is NOT the first data column;
+        # r4's compact recorded stats only for the first column, and
+        # the pruner then mis-read "key missing from minValues" as
+        # "all null" → the post-OPTIMIZE merge skipped the live file
+        # and left duplicate keys.
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [("a", 1, 0), ("b", 2, 0)], "v string, k long, ts long"
+        )
+        merge_delta_batch(spark, df, t, "k", "ts")
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame([("c", 3, 1)], "v string, k long, ts long"),
+            t, "k", "ts",
+        )
+        assert compact_delta(spark, t, target_rows_per_file=100) is not None
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [("A", 1, 2), ("B", 2, 2)], "v string, k long, ts long"
+            ),
+            t, "k", "ts",
+        )
+        rows = sorted((r.k, r.v) for r in read_delta(spark, t).collect())
+        assert rows == [(1, "A"), (2, "B"), (3, "c")]
+
+    def test_delete_after_compact_key_not_first_column(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [("a", 1, 0), ("b", 2, 0)], "v string, k long, ts long"
+        )
+        merge_delta_batch(spark, df, t, "k", "ts")
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame([("c", 3, 1)], "v string, k long, ts long"),
+            t, "k", "ts",
+        )
+        assert compact_delta(spark, t, target_rows_per_file=100) is not None
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long")
+        )
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [1, 3]
+
+
+def _part_batch(spark, n_parts, tag, ts):
+    rows = [(k + 100 * d, f"{tag}{d}-{k}", ts, f"d{d:02d}")
+            for d in range(n_parts) for k in range(3)]
+    return spark.createDataFrame(rows, "k long, v string, ts long, d string")
+
+
+class TestConstantJobCounts:
+    def test_partitioned_merge_jobs_flat_in_partitions(self, spark, tmp_path):
+        # two fresh tables per size, min of the two measurements: an
+        # async AQE broadcast-build job occasionally lands in the
+        # wrong job group, so a single sample can be off by one
+        counts = {}
+        for n in (4, 16):
+            vals = []
+            for rep in range(2):
+                t = str(tmp_path / f"tbl{n}-{rep}")
+                merge_delta_batch(
+                    spark, _part_batch(spark, n, "a", 0), t, "k", "ts",
+                    partition_by=["d"],
+                )
+                vals.append(_count_jobs(
+                    spark,
+                    lambda: merge_delta_batch(
+                        spark, _part_batch(spark, n, "b", 1), t, "k", "ts"
+                    ),
+                ))
+            counts[n] = min(vals)
+        # O(1) in touched partitions: 16 partitions costs exactly the
+        # same number of jobs as 4 (AQE materializes each shuffle
+        # stage as its own job, so the absolute count is ~15, but it
+        # does NOT grow with partitions — that is the guarantee)
+        assert counts[16] == counts[4]
+        assert counts[16] <= 20
+
+    def test_partitioned_delete_jobs_flat_in_partitions(self, spark, tmp_path):
+        counts = {}
+        for n in (4, 16):
+            vals = []
+            for rep in range(2):
+                t = str(tmp_path / f"tbl{n}-{rep}")
+                merge_delta_batch(
+                    spark, _part_batch(spark, n, "a", 0), t, "k", "ts",
+                    partition_by=["d"],
+                )
+                keys = spark.createDataFrame(
+                    [(k + 100 * d,) for d in range(n) for k in range(2)],
+                    "k long",
+                )
+                vals.append(_count_jobs(
+                    spark,
+                    lambda: delete_delta_keys(spark, t, "k", keys),
+                ))
+            counts[n] = min(vals)
+        assert counts[16] == counts[4]
+        assert counts[16] <= 20
+
+    def test_optimize_jobs_flat_in_file_count(self, spark, tmp_path):
+        counts = {}
+        for n in (2, 8):
+            vals = []
+            for rep in range(2):
+                t = str(tmp_path / f"tbl{n}-{rep}")
+                for i in range(n):
+                    merge_delta_batch(
+                        spark,
+                        spark.createDataFrame(
+                            [(10 * i + j, "x", i) for j in range(3)],
+                            "k long, v string, ts long",
+                        ),
+                        t, "k", "ts",
+                    )
+                vals.append(_count_jobs(
+                    spark,
+                    lambda: compact_delta(
+                        spark, t, target_rows_per_file=1000
+                    ),
+                ))
+            counts[n] = min(vals)
+        assert counts[8] == counts[2]
+        assert counts[8] <= 12
+
+
+class TestLogStoreSeam:
+    def test_injected_store_decides_the_race(self, tmp_path):
+        log = str(tmp_path / "_delta_log")
+        calls = []
+
+        def fake_put(tmp, final):
+            calls.append((os.path.basename(final), os.path.exists(final)))
+            if os.path.exists(final):
+                return False
+            os.replace(tmp, final)
+            # _commit unlinks tmp afterwards; keep the contract that
+            # tmp still exists (conditional PUT copies bytes)
+            with open(final) as f:
+                body = f.read()
+            with open(tmp, "w") as f:
+                f.write(body)
+            return True
+
+        set_log_store(fake_put)
+        try:
+            _commit(log, 0, [{"a": 1}])
+            with pytest.raises(IOError, match="lost the race"):
+                _commit(log, 0, [{"b": 2}])
+        finally:
+            set_log_store(None)
+        assert [c[0] for c in calls] == ["%020d.json" % 0] * 2
+        with open(os.path.join(log, "%020d.json" % 0)) as f:
+            assert json.loads(f.read().strip()) == {"a": 1}
+
+    def test_loser_cannot_torn_the_winners_commit(self, tmp_path):
+        # r4 bug: both racers shared final+'.tmp'; the loser's open()
+        # truncated the very inode the winner had hard-linked into the
+        # log. Writer-unique temp names make the loser harmless.
+        log = str(tmp_path / "_delta_log")
+        _commit(log, 0, [{"winner": True}])
+        with pytest.raises(IOError, match="lost the race"):
+            _commit(log, 0, [{"loser": True}])
+        with open(os.path.join(log, "%020d.json" % 0)) as f:
+            assert json.loads(f.read().strip()) == {"winner": True}
+        # no stray temp files left behind
+        assert [f for f in os.listdir(log) if f.endswith(".tmp")] == []
+
+    def test_parallel_racers_one_winner(self, tmp_path):
+        log = str(tmp_path / "_delta_log")
+        errs = []
+
+        def racer(i):
+            try:
+                _commit(log, 7, [{"writer": i}])
+            except IOError as e:
+                errs.append((i, str(e)))
+
+        ts = [threading.Thread(target=racer, args=(i,)) for i in range(4)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert len(errs) == 3
+        with open(os.path.join(log, "%020d.json" % 7)) as f:
+            body = json.loads(f.read().strip())
+        assert set(body) == {"writer"}  # exactly one intact winner

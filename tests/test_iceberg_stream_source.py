@@ -112,3 +112,65 @@ class TestIcebergTailSource:
             q.awaitTermination(120)
             if q.exception() is not None:
                 raise q.exception()
+
+
+class TestSnapshotIdOffsets:
+    """Offsets are keyed by snapshot-id, not lineage position — stable
+    under snapshot expiration; an id gone from the lineage raises
+    instead of silently re-delivering/skipping (ADVICE r4)."""
+
+    def test_offsets_carry_snapshot_ids(self, registered, tmp_path):
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailStreamReader,
+        )
+
+        spark = registered
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t)
+        rdr = IcebergTailStreamReader.__new__(IcebergTailStreamReader)
+        rdr.table_path = t
+        rdr.start_sid = None
+        assert rdr.initialOffset() == {"sid": None}
+        latest = rdr.latestOffset()
+        assert isinstance(latest["sid"], int)
+        # full window: both snapshots' files
+        full = rdr.partitions({"sid": None}, latest)
+        assert len(full) >= 2
+        # resuming AT the latest id yields an empty window
+        assert rdr.partitions(latest, latest) == []
+
+    def test_expired_snapshot_id_raises(self, registered, tmp_path):
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailStreamReader,
+        )
+
+        spark = registered
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        rdr = IcebergTailStreamReader.__new__(IcebergTailStreamReader)
+        rdr.table_path = t
+        rdr.start_sid = None
+        latest = rdr.latestOffset()
+        gone = {"sid": 999999999}  # never in the lineage
+        with pytest.raises(ValueError, match="no longer in the table"):
+            rdr.partitions(gone, latest)
+
+    def test_legacy_positional_offsets_still_accepted(
+        self, registered, tmp_path
+    ):
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailStreamReader,
+        )
+
+        spark = registered
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t)
+        rdr = IcebergTailStreamReader.__new__(IcebergTailStreamReader)
+        rdr.table_path = t
+        rdr.start_sid = None
+        latest = rdr.latestOffset()
+        full = rdr.partitions({"sid": None}, latest)
+        part = rdr.partitions({"pos": 1}, latest)  # skip snapshot 1
+        assert 0 < len(part) < len(full)

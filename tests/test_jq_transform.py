@@ -1549,3 +1549,67 @@ class TestMathAndIndices:
         # different algorithm kept on the binary path
         with pytest.raises(JQUnsupported):
             translate_jq(mdf, '.[] | {r: ("aaaa" | indices("aa"))}')
+
+
+class TestMultiPathDel:
+    """ADVICE r4: del with TWO nested paths under one root must drop
+    BOTH fields (probed: del(.m.a,.m.b) drops both), while del split
+    across '+' terms merges right-biased in jq (probed:
+    'del(.a)+del(.b)' keeps both!) and so routes to the binary."""
+
+    ROWS = [
+        {"id": 1, "m": {"a": 1, "b": 2, "c": 3}, "x": 7},
+        {"id": 2, "m": None, "x": 8},
+    ]
+    SCHEMA = "id long, m struct<a:long,b:long,c:long>, x long"
+
+    NATIVE = [
+        ".[] | del(.m.a, .m.b)",
+        ".[] | del(.m.b, .m.a)",
+        ".[] | del(.m.a, .m.nope, .m.c)",
+        ".[] | del(.x, .m.a)",            # top-level + nested mix
+        ".[] | del(.m.a, .m.b) + {keep: 1}",
+    ]
+
+    @pytest.fixture(scope="class")
+    def dfm(self, spark):
+        return spark.createDataFrame(self.ROWS, self.SCHEMA)
+
+    @staticmethod
+    def _strip(d):
+        return {
+            k: (TestMultiPathDel._strip(v) if isinstance(v, dict) else v)
+            for k, v in d.items()
+            if v is not None
+        }
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, dfm, program):
+        canonical = [self._strip(r) for r in self.ROWS]
+        got = [
+            self._strip(r.asDict(recursive=True))
+            for r in translate_jq(dfm, program).collect()
+        ]
+        expect = [self._strip(r) for r in jq_oracle(program, canonical)]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, dfm, program):
+        out = jq_transform(dfm, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            ".[] | del(.m.a) + del(.m.b)",  # right-biased: only b goes
+            ".[] | del(.id) + del(.x)",     # right-biased: both stay
+            ".[] | del(.m.a, .m.b, .m.c)",  # empties the struct
+        ],
+    )
+    def test_divergent_del_shapes_route_to_binary(self, dfm, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(dfm, program)

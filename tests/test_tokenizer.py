@@ -101,3 +101,23 @@ class TestEncode:
         ).collect()[0][0]
         total = enc.select(F.sum("bpe_token_count")).collect()[0][0]
         assert total < raw_chars  # merges actually compress
+
+
+class TestBoundedStorage:
+    def test_deep_merge_run_does_not_pin_lineage(self, spark):
+        # r4 leak: every merge step persisted a new vocabulary frame
+        # without unpersisting the previous — 50 merges pinned 50
+        # cached lineage snapshots (30k at a real vocabulary size).
+        # Now at most the persisted base survives a deep run, and the
+        # trainer unpersists even that on exit.
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        rows = bpe_merge_steps(
+            _docs(spark, ["the quick brown fox jumps over the lazy dog",
+                          "pack my box with five dozen liquor jugs"] * 5),
+            n_merges=50,
+        ).collect()
+        after = jsc.getPersistentRDDs().size()
+        assert after - before <= 1
+        assert len(rows) > 10  # a genuinely deep run
+        assert [r.step for r in rows] == list(range(1, len(rows) + 1))
