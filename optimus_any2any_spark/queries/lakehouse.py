@@ -388,6 +388,230 @@ def iceberg_merge_upsert(spark, sf_dir):
 
 
 @register(
+    "delta_column_mapping_read",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT k % 5 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM src WHERE k >= 50
+    GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Column-mapped Delta table READ (VERDICT r4 item 5): the "
+    "fixture is laid out the way a current Delta writer with "
+    "delta.columnMapping.mode=name does it — parquet columns carry "
+    "PHYSICAL names (col-<uuid>), the logical names live only in the "
+    "schemaString field metadata, minReaderVersion=2, and the add "
+    "actions' stats are keyed by physical names. read_delta translates "
+    "physical->logical and still APPLIES DATA SKIPPING through the "
+    "physical-keyed stats (the k >= 50 range read prunes the low "
+    "file). Deletion-vector tables (minReaderVersion 3) still "
+    "guard-raise.",
+)
+def delta_column_mapping_read(spark, sf_dir):
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+
+    t = _fixture_dir("delta_cmap", sf_dir)
+    os.makedirs(t, exist_ok=True)
+    phys_k, phys_p = "col-2f9ab11e", "col-8c4d77a0"
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias(phys_k),
+            F.col("o_totalprice").alias(phys_p),
+        )
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cmap-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "k",
+                                "type": "long",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 1,
+                                    "delta.columnMapping.physicalName":
+                                        phys_k,
+                                },
+                            },
+                            {
+                                "name": "price",
+                                "type": "double",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 2,
+                                    "delta.columnMapping.physicalName":
+                                        phys_p,
+                                },
+                            },
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+            }
+        },
+    ]
+    # two files split on k < 50 so the range read has something to
+    # prune through the physical-keyed stats
+    for gi, frame in enumerate(
+        (src.filter(F.col(phys_k) < 50), src.filter(F.col(phys_k) >= 50))
+    ):
+        tmp = os.path.join(t, f"_tmp{gi}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        rel = f"part-0000{gi}-cmap.parquet"
+        os.replace(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(t, rel),
+        )
+        _shutil.rmtree(tmp)
+        st = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(phys_k).alias("mn"),
+            F.max(phys_k).alias("mx"),
+        ).collect()[0]
+        add = {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if st["n"]:
+            add["stats"] = _json.dumps(
+                {
+                    "numRecords": int(st["n"]),
+                    "minValues": {phys_k: int(st["mn"])},
+                    "maxValues": {phys_k: int(st["mx"])},
+                    "nullCount": {phys_k: 0},
+                }
+            )
+        else:
+            add["stats"] = _json.dumps(
+                {"numRecords": 0, "minValues": {}, "maxValues": {},
+                 "nullCount": {phys_k: 0}}
+            )
+        actions.append({"add": add})
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, "%020d.json" % 0), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    snap = read_delta(spark, t, key_range=("k", 50, 2**62))
+    return (
+        snap.groupBy((F.col("k") % 5).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "iceberg_partitioned_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS k, event_type AS etype, value
+      FROM events WHERE event_id % 3 <> 0
+    ),
+    upd AS (
+      SELECT event_id AS k, event_type AS etype, value + 10.0 AS value
+      FROM events WHERE event_id % 5 = 1 AND event_id % 3 <> 0
+    ),
+    ins AS (
+      SELECT event_id AS k, event_type AS etype, value / 2 AS value
+      FROM events WHERE event_id % 15 = 0
+    ),
+    merged AS (
+      SELECT k, etype, value FROM base WHERE k % 5 <> 1
+      UNION ALL SELECT k, etype, value FROM upd
+      UNION ALL SELECT k, etype, value FROM ins
+    )
+    SELECT etype,
+           COUNT(*) AS n_rows,
+           {o_dsum('value')} AS sum_value
+    FROM merged GROUP BY etype ORDER BY etype
+    """,
+    doc="IDENTITY-PARTITIONED Iceberg MERGE (merge_iceberg_batch "
+    "partition_by — VERDICT r4 item 4): the delta_partitioned_merge "
+    "workload committed as v1 Iceberg snapshots. The partition tuple "
+    "rides in each manifest entry's partition record, pruning is "
+    "partition-tuple match first then Appendix-D key bounds, untouched "
+    "manifests carry over VERBATIM, and the whole merge is a constant "
+    "number of Spark jobs in touched partitions (single-job shape: one "
+    "grouped key-stats pass, one anti-join, one partitionBy(__pid) "
+    "write). Same oracle algebra as the Delta twin; read back through "
+    "the spec reader (data files physically carry partition columns)."
+)
+def iceberg_partitioned_merge(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_pmerge", sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    base = ev.filter(F.col("k") % 3 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000, partition_by=["etype"],
+    )
+    upd = (
+        ev.filter((F.col("k") % 5 == 1) & (F.col("k") % 3 != 0))
+        .withColumn("value", F.col("value") + F.lit(10.0))
+        .withColumn("ts", F.lit(1).cast("long"))
+    )
+    ins = (
+        ev.filter(F.col("k") % 15 == 0)
+        .withColumn("value", F.col("value") / F.lit(2))
+        .withColumn("ts", F.lit(1).cast("long"))
+    )
+    merge_iceberg_batch(
+        spark, upd.unionByName(ins), t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "etype string, n_rows long, sum_value double"
+        )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("etype")
+    )
+
+
+@register(
     "iceberg_snapshot_read",
     oracle=f"""
     WITH snap1 AS (

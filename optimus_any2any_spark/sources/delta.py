@@ -145,12 +145,26 @@ def replay_log(
                     apply(json.loads(line))
     if meta is None or protocol is None:
         raise ValueError("delta: log replay found no metaData/protocol")
-    if int(protocol.get("minReaderVersion", 1)) > 1:
+    mrv = int(protocol.get("minReaderVersion", 1))
+    if mrv > 2:
         raise NotImplementedError(
             "delta: reader version "
             f"{protocol['minReaderVersion']} needs features "
-            "(deletion vectors / column mapping) beyond this reader"
+            "(deletion vectors / v2 checkpoints) beyond this reader"
         )
+    if mrv == 2:
+        # reader version 2 exists for exactly one feature: column
+        # mapping. A v2 table WITHOUT the mapping declared is asking
+        # for something this reader does not know — reject, don't
+        # mis-read
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        if mode not in ("name", "id"):
+            raise NotImplementedError(
+                "delta: minReaderVersion 2 without "
+                "delta.columnMapping.mode — unknown reader feature"
+            )
     version = max(
         [int(f[:20]) for f in commits] + [checkpoint_version], default=-1
     )
@@ -191,6 +205,38 @@ def _stats_exclude(add: dict, col: str, lo, hi) -> bool:
         return False
 
 
+def column_mapping(meta: dict) -> dict[str, str] | None:
+    """``logical name -> physical name`` when the table declares
+    ``delta.columnMapping.mode`` (name or id), else None. The physical
+    names come from each schema field's
+    ``delta.columnMapping.physicalName`` metadata (the protocol's
+    name-mapping form; id-mode tables also carry physicalName, which
+    is what parquet files are written with). NESTED mapped fields are
+    rejected, not mis-read — this reader translates top-level columns
+    only."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if mode in (None, "none"):
+        return None
+    schema = json.loads(meta["schemaString"])
+    out: dict[str, str] = {}
+    for f in schema.get("fields", []):
+        md = f.get("metadata") or {}
+        out[f["name"]] = md.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        t = f.get("type")
+        if isinstance(t, dict):
+            nested = json.dumps(t)
+            if "delta.columnMapping.physicalName" in nested:
+                raise NotImplementedError(
+                    "delta: column mapping on NESTED fields "
+                    f"({f['name']}) is beyond this reader"
+                )
+    return out
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,
@@ -215,25 +261,36 @@ def read_delta(
     ``snapshot.filter(lo <= col <= hi)`` either way.
     """
     meta, live = _snapshot_actions(spark, table_path, version=version)
+    cmap = column_mapping(meta)  # logical -> physical, or None
+    phys = (lambda c: cmap.get(c, c)) if cmap else (lambda c: c)
     if key_range is not None:
         col, lo, hi = key_range
+        # stats JSON is keyed by PHYSICAL names on mapped tables
         live = {
             p: a
             for p, a in live.items()
-            if not _stats_exclude(a, col, lo, hi)
+            if not _stats_exclude(a, phys(col), lo, hi)
         }
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = T.StructType(data_fields)
+    # parquet files are written with physical column names; read them
+    # that way and alias back to the logical schema below
+    data_schema = T.StructType(
+        [
+            T.StructField(phys(f.name), f.dataType, f.nullable)
+            for f in data_fields
+        ]
+    )
     if not live:
         return spark.createDataFrame([], schema)
     # group files by partition tuple; read each group once with typed
-    # literal partition columns (Delta's partitionValues are strings)
+    # literal partition columns (Delta's partitionValues are strings,
+    # keyed by physical names on mapped tables)
     groups: dict[tuple, list[str]] = {}
     for add in live.values():
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys(c)) for c in part_cols)
         groups.setdefault(key, []).append(
             os.path.join(table_path, add["path"])
         )
@@ -241,6 +298,12 @@ def read_delta(
     out = None
     for key, paths in sorted(groups.items()):
         df = spark.read.schema(data_schema).parquet(*paths)
+        df = df.select(
+            *[
+                F.col("`" + phys(f.name) + "`").alias(f.name)
+                for f in data_fields
+            ]
+        )
         for c, v in zip(part_cols, key):
             col = (
                 F.lit(None).cast(type_of[c])

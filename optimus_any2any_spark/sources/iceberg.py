@@ -361,11 +361,32 @@ def _spark_type_to_iceberg(dt: T.DataType) -> str:
     raise NotImplementedError(f"iceberg fixture writer: type {dt}")
 
 
-def write_iceberg_commit(df: DataFrame, table_path: str) -> int:
+def write_iceberg_commit(
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+) -> int:
     """Append one snapshot in the v1 HadoopCatalog layout; returns the
-    new metadata version. Unpartitioned, append-only — enough surface
-    to exercise every branch of the reader against real table bytes."""
+    new metadata version. Unpartitioned data, append-only — enough
+    surface to exercise every branch of the reader against real table
+    bytes. ``partition_by`` (empty first commit only) declares an
+    IDENTITY partition spec in the table metadata — the bootstrap for
+    ``merge_iceberg_batch``'s partitioned tables, which write the
+    actual partition-grouped files and manifest partition tuples."""
     spark = df.sparkSession
+    if partition_by:
+        if not df.isEmpty():
+            raise NotImplementedError(
+                "iceberg fixture writer: partition_by is the empty-"
+                "table bootstrap only; data commits into a partitioned "
+                "table go through merge_iceberg_batch"
+            )
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"iceberg fixture writer: partition columns {missing} "
+                "not in the schema"
+            )
     md = _meta_dir(table_path)
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
     os.makedirs(md, exist_ok=True)
@@ -408,6 +429,13 @@ def write_iceberg_commit(df: DataFrame, table_path: str) -> int:
             .collect()
         ):
             counts[row["__f"].rsplit("/", 1)[-1]] = row["count"]
+    # an empty frame (e.g. the partitioned-table bootstrap) still
+    # writes one zero-row part file — drop it rather than listing a
+    # rowless entry in the manifest
+    empty = [r for r in data_rel if counts[os.path.basename(r)] == 0]
+    for r in empty:
+        os.remove(os.path.join(table_path, r))
+    data_rel = [r for r in data_rel if r not in empty]
 
     # 2. manifest for this snapshot's added files
     manifest_rel = f"metadata/{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|m{version}')}-m0.avro"
@@ -493,9 +521,33 @@ def write_iceberg_commit(df: DataFrame, table_path: str) -> int:
         ],
         "current-schema-id": 0,
         "partition-spec": [],
-        "partition-specs": [
-            {"spec-id": 0, "fields": []}
-        ],
+        # a fresh table takes the declared identity spec; appends to an
+        # existing table PRESERVE its spec (this metadata dict is
+        # rebuilt per commit)
+        "partition-specs": (
+            [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": next(
+                                f["id"] for f in fields if f["name"] == c
+                            ),
+                            "field-id": 1000 + i,
+                        }
+                        for i, c in enumerate(partition_by)
+                    ],
+                }
+            ]
+            if partition_by
+            else (
+                prev.get("partition-specs")
+                if prev is not None and prev.get("partition-specs")
+                else [{"spec-id": 0, "fields": []}]
+            )
+        ),
         "default-spec-id": 0,
         "properties": {},
         "current-snapshot-id": snapshot_id,

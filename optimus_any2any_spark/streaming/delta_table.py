@@ -76,6 +76,21 @@ from optimus_any2any_spark.streaming.manifest_table import (
 DEFAULT_APP_ID = "optimus-any2any-merge"
 
 
+def _reject_mapped(meta: dict | None, verb: str) -> None:
+    """Column-mapped tables are READ-supported (sources.delta) but this
+    writer names physical columns logically — refuse to corrupt."""
+    if meta is None:
+        return
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if mode not in (None, "none"):
+        raise NotImplementedError(
+            f"delta {verb}: writing to a column-mapped table "
+            f"(delta.columnMapping.mode={mode!r}) is beyond this writer"
+        )
+
+
 def _entry_from_add(path: str, add: dict, key_col: str) -> dict:
     """Map a Delta add action to the manifest-table pruning entry shape
     so ``_affected`` (the shared file-pruning rule) applies verbatim."""
@@ -342,6 +357,7 @@ def compact_delta(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         return None
+    _reject_mapped(state["meta"], "optimize")
     schema = T.StructType.fromJson(
         json.loads(state["meta"]["schemaString"])
     )
@@ -521,6 +537,7 @@ def merge_delta_batch(
     state = replay_log(spark, table_path) if exists else {
         "meta": None, "live": {}, "txns": {}, "version": -1,
     }
+    _reject_mapped(state["meta"], "merge")
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -952,6 +969,7 @@ def delete_delta_keys(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         raise ValueError(f"delta delete: no table at {table_path}")
+    _reject_mapped(state["meta"], "delete")
     version = state["version"] + 1
     if (
         batch_id is not None

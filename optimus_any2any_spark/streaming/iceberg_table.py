@@ -142,6 +142,46 @@ MANIFEST_FILE_SCHEMA = {
 }
 
 
+# identity-partition tuple values ride in the manifest entry's
+# ``partition`` record (spec: one field per partition field); only
+# these primitive types are supported as partition sources
+_AVRO_PRIM = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+}
+
+
+def manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """MANIFEST_ENTRY_SCHEMA with the partition record populated for an
+    identity-partitioned table — ``part_fields`` is [(name, iceberg
+    primitive type)] in spec order."""
+    import copy
+
+    if not part_fields:
+        return MANIFEST_ENTRY_SCHEMA
+    sch = copy.deepcopy(MANIFEST_ENTRY_SCHEMA)
+    data_file = next(
+        f for f in sch["fields"] if f["name"] == "data_file"
+    )
+    part = next(
+        f for f in data_file["type"]["fields"] if f["name"] == "partition"
+    )
+    part["type"]["fields"] = [
+        {
+            "name": n,
+            "type": ["null", _AVRO_PRIM[t]],
+            "default": None,
+            "field-id": 1000 + i,
+        }
+        for i, (n, t) in enumerate(part_fields)
+    ]
+    return sch
+
+
 # ---------------------------------------------------------------------------
 # single-value serialization (spec Appendix D) for bounds
 
@@ -236,20 +276,37 @@ def merge_iceberg_batch(
     app_id: str = DEFAULT_APP_ID,
     batch_id: int | None = None,
     target_rows_per_file: int = 1_000_000,
+    partition_by: list[str] | None = None,
 ) -> int:
     """One file-level MERGE commit as a new Iceberg snapshot; returns
     the committed (or already-current, on an idempotent skip) metadata
-    version."""
+    version.
+
+    ``partition_by`` (first commit only) creates an IDENTITY-
+    partitioned table; later merges read the spec from the metadata.
+    Partitioned-merge semantics are partition-scoped — a batch row
+    upserts the row with the same key IN ITS OWN PARTITION, the same
+    contract as ``merge_delta_batch`` — and the whole merge is a
+    constant number of Spark jobs however many partitions the batch
+    touches: one grouped key-stats pass, driver-side manifest pruning
+    (partition-tuple match first, Appendix-D key bounds inside), one
+    anti-join + one partitionBy("__pid") write (Iceberg data files
+    physically CONTAIN their partition columns, so the surrogate pid
+    only routes rows to files — nothing is stripped), one grouped
+    stats pass over the new files. Non-identity transforms (bucket/
+    truncate/days) and non-primitive partition sources are rejected,
+    not mis-read."""
     from pyspark.sql.window import Window
 
     md = _meta_dir(table_path)
     hint = os.path.join(md, "version-hint.text")
     exists = os.path.exists(hint)
     if not exists:
-        # first commit: plain append snapshot via the fixture writer,
-        # then upgrade its manifest to carry bounds by merging below —
-        # simpler: write an EMPTY table and merge into it
-        write_iceberg_commit(batch.limit(0), table_path)
+        # first commit: bootstrap an EMPTY table (with the identity
+        # spec when partitioned) and merge into it
+        write_iceberg_commit(
+            batch.limit(0), table_path, partition_by=partition_by
+        )
     prev_version = int(open(hint).read().strip())
     meta = load_table_metadata(table_path, version=prev_version)
     specs = meta.get("partition-specs") or []
@@ -258,13 +315,46 @@ def merge_iceberg_batch(
             "default-spec-id", 0)),
         None,
     )
+    schema = iceberg_spark_schema(meta)
+    cur_schema = None
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        cur_schema = next(
+            (sc for sc in meta["schemas"] if sc.get("schema-id") == sid),
+            meta["schemas"][0],
+        )
+    else:
+        cur_schema = meta["schema"]
+    by_id = {int(f["id"]): f for f in cur_schema["fields"]}
+
+    part_cols: list[str] = []
+    part_fields: list[tuple[str, str]] = []  # (name, iceberg type)
     if default_spec and default_spec.get("fields"):
-        raise NotImplementedError(
-            "iceberg merge: partitioned tables are out of scope here — "
-            "partition-aware rewrite with spec-transform partition "
-            "tuples lives on the Delta side "
-            "(merge_delta_batch partition_by); this merge "
-            "range-clusters on the key instead"
+        for pf in default_spec["fields"]:
+            if pf.get("transform") != "identity":
+                raise NotImplementedError(
+                    "iceberg merge: only identity partition transforms "
+                    f"are supported (got {pf.get('transform')!r}) — "
+                    "bucket/truncate/temporal transforms are rejected, "
+                    "not mis-read"
+                )
+            src = by_id.get(int(pf["source-id"]))
+            if src is None:
+                raise ValueError(
+                    f"iceberg merge: partition source-id "
+                    f"{pf['source-id']} not in the current schema"
+                )
+            t = src["type"]
+            if not isinstance(t, str) or t not in _AVRO_PRIM:
+                raise NotImplementedError(
+                    f"iceberg merge: partition source type {t!r} is "
+                    "beyond the identity writer"
+                )
+            part_cols.append(src["name"])
+            part_fields.append((src["name"], t))
+    if key_col in part_cols:
+        raise ValueError(
+            "iceberg merge: the merge key cannot be a partition column"
         )
 
     # idempotence via the last snapshot's summary
@@ -278,7 +368,6 @@ def merge_iceberg_batch(
                     return prev_version
                 break
 
-    schema = iceberg_spark_schema(meta)
     if set(schema.fieldNames()) != set(batch.columns):
         raise ValueError(
             f"iceberg merge: batch columns {sorted(batch.columns)} != "
@@ -287,30 +376,63 @@ def merge_iceberg_batch(
     batch = batch.select(*schema.fieldNames())
     fid, ice_t = _key_field(meta, key_col)
 
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+    w = Window.partitionBy(key_col, *part_cols).orderBy(
+        F.col(ts_col).desc()
+    )
     latest = (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .localCheckpoint(eager=True)
     )
-    stats = latest.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(key_col).alias("nk"),
-        F.min(key_col).alias("kmin"),
-        F.max(key_col).alias("kmax"),
-        F.max(F.col(key_col).isNull().cast("int")).alias("null_key"),
-    ).collect()[0]
-    if stats["n"] == 0:
+    n_total = latest.count()
+    if n_total == 0:
         return prev_version
-    has_null = bool(stats["null_key"])
-    keys = None
-    if stats["nk"] <= _MAX_DRIVER_KEYS:
-        keys = sorted(
-            r[0]
-            for r in latest.select(key_col).distinct().collect()
-            if r[0] is not None
+
+    # per-partition batch key stats: ONE job for ALL touched
+    # partitions (mirrors merge_delta_batch)
+    if n_total <= _MAX_DRIVER_KEYS:
+        krows = latest.select(*part_cols, key_col).collect()
+        grouped: dict[tuple, list] = {}
+        for r in krows:
+            grouped.setdefault(
+                tuple(r[c] for c in part_cols), []
+            ).append(r[key_col])
+        pstats: dict[tuple, dict] = {}
+        for pt, vals in grouped.items():
+            nn = sorted(v for v in vals if v is not None)
+            pstats[pt] = {
+                "n": len(vals),
+                "keys": nn,
+                "kmin": nn[0] if nn else None,
+                "kmax": nn[-1] if nn else None,
+                "has_null": len(nn) < len(vals),
+            }
+    else:
+        krows = (
+            latest.groupBy(*part_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(key_col).alias("kmin"),
+                F.max(key_col).alias("kmax"),
+                F.max(F.col(key_col).isNull().cast("int")).alias(
+                    "null_key"
+                ),
+            )
+            .collect()
         )
+        pstats = {
+            tuple(r[c] for c in part_cols): {
+                "n": r["n"],
+                "keys": None,
+                "kmin": r["kmin"],
+                "kmax": r["kmax"],
+                "has_null": bool(r["null_key"]),
+            }
+            for r in krows
+        }
+    ptuples = sorted(pstats, key=str)
+    pid_of = {pt: i for i, pt in enumerate(ptuples)}
 
     # current snapshot's manifests, each with its entries
     cur_snap_id = meta.get("current-snapshot-id")
@@ -334,10 +456,26 @@ def merge_iceberg_batch(
         live = [
             e for e in entries if int(e.get("status") or 0) != _ST_DELETED
         ]
-        shaped = [_entry_to_prune_shape(e, fid, ice_t) for e in live]
-        hits, misses = _affected(
-            shaped, keys, stats["kmin"], stats["kmax"], has_null
-        )
+        hits: list[dict] = []
+        misses: list[dict] = []
+        for e in live:
+            # partition-tuple pruning FIRST: a file in a partition the
+            # batch does not touch survives without a bounds check
+            if part_cols:
+                pdict = e["data_file"].get("partition") or {}
+                pt = tuple(pdict.get(c) for c in part_cols)
+                st = pstats.get(pt)
+                if st is None:
+                    misses.append({"__entry": e})
+                    continue
+            else:
+                st = pstats[()]
+            shaped = _entry_to_prune_shape(e, fid, ice_t)
+            h, _m = _affected(
+                [shaped], st["keys"], st["kmin"], st["kmax"],
+                st["has_null"],
+            )
+            (hits if h else misses).append({"__entry": e})
         if not hits:
             carried.append(m)  # whole manifest untouched: zero IO
         else:
@@ -347,7 +485,39 @@ def merge_iceberg_batch(
     version = prev_version + 1
     snapshot_id = version
 
-    merged = latest
+    # attach __pid to batch rows (broadcast partition-tuple lookup);
+    # Iceberg data files keep ALL columns, so __pid only routes rows
+    if part_cols:
+        pid_schema_fields = [schema[c] for c in part_cols]
+        from pyspark.sql import types as T
+
+        pid_df = spark.createDataFrame(
+            [pt + (pid_of[pt],) for pt in ptuples],
+            T.StructType(
+                list(pid_schema_fields)
+                + [T.StructField("__pid", T.IntegerType(), False)]
+            ),
+        )
+        pcond = None
+        for c in part_cols:
+            e = F.col(f"b.{c}").eqNullSafe(F.col(f"pd.{c}"))
+            pcond = e if pcond is None else (pcond & e)
+
+        def _with_pid(frame):
+            return (
+                frame.alias("b")
+                .join(F.broadcast(pid_df.alias("pd")), pcond, "inner")
+                .select(
+                    *[F.col(f"b.{c}") for c in schema.fieldNames()],
+                    F.col("pd.__pid"),
+                )
+            )
+
+        latest_p = _with_pid(latest)
+    else:
+        latest_p = latest.withColumn("__pid", F.lit(0).cast("int"))
+
+    merged = latest_p
     hit_rows = 0
     if hit_entries:
         cur = spark.read.schema(schema).parquet(
@@ -355,33 +525,50 @@ def merge_iceberg_batch(
                 _localize(table_path, e["data_file"]["file_path"])
                 for e in hit_entries
             ]
-        ).alias("cur")
-        nk = latest.select(key_col).alias("nk")
-        merged = cur.join(
-            nk,
-            F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}")),
-            "left_anti",
-        ).unionByName(latest)
+        )
+        cur_p = _with_pid(cur) if part_cols else cur.withColumn(
+            "__pid", F.lit(0).cast("int")
+        )
+        bk = latest_p.select(
+            F.col(key_col).alias("__bk"), F.col("__pid").alias("__bpid")
+        )
+        merged = (
+            cur_p.alias("cur")
+            .join(
+                bk,
+                F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk"))
+                & (F.col("cur.__pid") == F.col("__bpid")),
+                "left_anti",
+            )
+            .unionByName(latest_p)
+        )
         hit_rows = sum(
             int(e["data_file"]["record_count"]) for e in hit_entries
         )
 
-    n_rows = stats["n"] + hit_rows
+    n_rows = n_total + hit_rows
     n_files = max(1, -(-n_rows // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-icemerge-v{version}")
     (
-        merged.repartitionByRange(n_files, key_col)
-        .write.mode("overwrite")
+        merged.repartitionByRange(n_files, F.col("__pid"), F.col(key_col))
+        .write.partitionBy("__pid")
+        .mode("overwrite")
         .parquet(tmp)
     )
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
     new_rel: list[str] = []
-    for i, part in enumerate(
-        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
-    ):
-        rel = f"data/{version:05d}-{i:04d}-merge.parquet"
-        os.replace(part, os.path.join(table_path, rel))
-        new_rel.append(rel)
+    pt_of_rel: dict[str, tuple] = {}
+    file_seq = 0
+    for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+        pid = int(os.path.basename(pdir).split("=", 1)[1])
+        for part in sorted(
+            _glob.glob(os.path.join(pdir, "part-*.parquet"))
+        ):
+            rel = f"data/{version:05d}-{file_seq:04d}-merge.parquet"
+            file_seq += 1
+            os.replace(part, os.path.join(table_path, rel))
+            new_rel.append(rel)
+            pt_of_rel[rel] = ptuples[pid]
     shutil.rmtree(tmp)
 
     per_file = {}
@@ -413,6 +600,7 @@ def merge_iceberg_batch(
         if r is None:  # empty part
             os.remove(os.path.join(table_path, rel))
             continue
+        pt = pt_of_rel[rel]
         new_entries.append(
             {
                 "status": _ST_ADDED,
@@ -420,7 +608,9 @@ def merge_iceberg_batch(
                 "data_file": {
                     "file_path": rel,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": {
+                        c: v for c, v in zip(part_cols, pt)
+                    },
                     "record_count": int(r["rows"]),
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(table_path, rel)
@@ -447,7 +637,7 @@ def merge_iceberg_batch(
     )
     write_container(
         os.path.join(table_path, manifest_rel),
-        MANIFEST_ENTRY_SCHEMA,
+        manifest_entry_schema(part_fields),
         new_entries,
     )
     ml_rows = list(carried) + [
@@ -456,7 +646,7 @@ def merge_iceberg_batch(
             "manifest_length": os.path.getsize(
                 os.path.join(table_path, manifest_rel)
             ),
-            "partition_spec_id": 0,
+            "partition_spec_id": int(meta.get("default-spec-id", 0)),
             "content": 0,
             "added_snapshot_id": snapshot_id,
         }
