@@ -699,6 +699,17 @@ class _ExprParser:
         equivalent on any input the reference accepted.
         """
         name = self.next()
+        if name == "(":
+            # `| ( expr )` — grouped pipe target (the shape inlined
+            # zero-arg defs produce): evaluate expr with '.' bound to
+            # the piped subject, exactly jq's lexical scoping
+            body, _stop = self._capture_until((")",))
+            sub = _ExprParser(
+                list(body),
+                self.df,
+                {**self.bindings, ".": (subject, kind)},
+            )
+            return sub.parse_full()
         if name.startswith("@"):
             return self._format_string(name, subject, kind)
         if name.startswith(".") and name != ".":
@@ -1915,6 +1926,48 @@ class _ExprParser:
             raise JQUnsupported("jq: range takes at most 3 args")
         return _jq_range_values(vals)
 
+    def _paths_array(self, leaf_only: bool) -> Column:
+        """``[paths]`` / ``[leaf_paths]`` of the record as
+        array<array<string>> — document-order (schema order), parents
+        before children, null values read as ABSENT (the engine's
+        canonical to_json serialization drops nulls, so the jq-binary
+        fallback agrees row-by-row; raw jq on a literal null value
+        diverges — the documented total relaxation, same as has() and
+        keys). Arrays/maps anywhere in the schema mean numeric path
+        elements (heterogeneous path arrays) and stay on the binary.
+        Probed 1.6: {"a":{"b":1},"c":2} → [["a"],["a","b"],["c"]];
+        leaf_paths drops the ["a"] prefix; {} → []."""
+        from pyspark.sql import types as T
+
+        cands: list[Column] = []
+
+        def walk(path: list[str], col: Column, dt) -> None:
+            if isinstance(dt, (T.ArrayType, T.MapType)):
+                raise JQUnsupported(
+                    "jq: paths through arrays/maps emit numeric path "
+                    "elements — binary path"
+                )
+            is_struct = isinstance(dt, T.StructType)
+            if (not leaf_only) or (not is_struct):
+                cands.append(
+                    F.when(
+                        col.isNotNull(),
+                        F.array(*[F.lit(k) for k in path]),
+                    )
+                )
+            if is_struct:
+                for f in dt.fields:
+                    walk(path + [f.name], col.getField(f.name),
+                         f.dataType)
+
+        for f in self.df.schema.fields:
+            if f.name.startswith(_VAR_PREFIX):
+                continue
+            walk([f.name], F.col("`" + f.name + "`"), f.dataType)
+        if not cands:
+            return F.array().cast("array<array<string>>")
+        return F.filter(F.array(*cands), lambda x: x.isNotNull())
+
     def parse_bracket(self) -> tuple[Column, str]:
         """``[ ... ]`` in expression position: the array-collected
         ``[foreach ...]`` scan, or a literal array of same-kind scalar
@@ -1925,6 +1978,18 @@ class _ExprParser:
             col, kind = self.parse_reduce_foreach("foreach")
             self.expect("]")
             return col, kind
+        if self.peek() in ("paths", "leaf_paths"):
+            name = self.next()
+            if self.peek() == "(":
+                raise JQUnsupported(
+                    "jq: paths(f) with a filter — binary path"
+                )
+            self.expect("]")
+            if "." in self.bindings:
+                raise JQUnsupported(
+                    "jq: element-scoped paths — binary path"
+                )
+            return self._paths_array(name == "leaf_paths"), "complex"
         if self.peek() == "limit":
             # [limit(n; .path[])] — the collected head of an array
             # stream is a slice. Literal counts only; jq 1.6 (the
@@ -2686,12 +2751,110 @@ def _parse_object(toks: list[str]) -> list[_ObjEntry]:
     return entries
 
 
+def _inline_defs(toks: list[str]) -> list[str]:
+    """Inline leading zero-arg ``def name: body;`` definitions.
+
+    jq defs are lexically-scoped filters, so substituting the name
+    token with ``( body )`` is EXACT for zero-arg defs (probed:
+    'def double: . * 2; ...' and defs referencing earlier defs).
+    Parameterized defs (``def f(x): ...``) and recursive defs stay on
+    the binary. Object-construction keys that happen to collide with a
+    def name (``{double: 1}``) are NOT substituted."""
+    while toks and toks[0] == "def":
+        if len(toks) < 5 or not re.fullmatch(r"[A-Za-z_]\w*", toks[1]):
+            raise JQUnsupported("jq: malformed def — binary path")
+        if toks[2] == "(":
+            raise JQUnsupported(
+                "jq: def with parameters — binary path"
+            )
+        if toks[2] != ":":
+            raise JQUnsupported("jq: malformed def — binary path")
+        name = toks[1]
+        depth = 0
+        end = None
+        for i in range(3, len(toks)):
+            t = toks[i]
+            if t in ("(", "[", "{"):
+                depth += 1
+            elif t in (")", "]", "}"):
+                depth -= 1
+            elif t == ";" and depth == 0:
+                end = i
+                break
+        if end is None:
+            raise JQUnsupported("jq: unterminated def — binary path")
+        body = toks[3:end]
+        rest = toks[end + 1:]
+        if name in body:
+            raise JQUnsupported(
+                f"jq: recursive def {name!r} — binary path"
+            )
+        out: list[str] = []
+        for i, t in enumerate(rest):
+            is_object_key = (
+                t == name
+                and i + 1 < len(rest)
+                and rest[i + 1] == ":"
+                and i > 0
+                and rest[i - 1] in ("{", ",")
+            )
+            if t == name and not is_object_key:
+                out.extend(["("] + list(body) + [")"])
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+def _parse_literal_path_list(toks: list[str]) -> list[list[str]]:
+    """Parse a LITERAL ``[["a","b"],["c"]]`` token run into path lists
+    (string keys only — numeric indices mean arrays, which stay on the
+    binary). Raises JQUnsupported on anything non-literal."""
+    pos = 0
+
+    def expect(t):
+        nonlocal pos
+        if pos >= len(toks) or toks[pos] != t:
+            raise JQUnsupported(
+                "jq: delpaths/setpath need a literal path array"
+            )
+        pos += 1
+
+    expect("[")
+    out: list[list[str]] = []
+    while pos < len(toks) and toks[pos] != "]":
+        expect("[")
+        path: list[str] = []
+        while pos < len(toks) and toks[pos] != "]":
+            t = toks[pos]
+            if not t.startswith('"'):
+                raise JQUnsupported(
+                    "jq: only literal string path keys compile — binary"
+                )
+            path.append(json.loads(t))
+            pos += 1
+            if pos < len(toks) and toks[pos] == ",":
+                pos += 1
+        expect("]")
+        out.append(path)
+        if pos < len(toks) and toks[pos] == ",":
+            pos += 1
+    expect("]")
+    if pos != len(toks):
+        raise JQUnsupported("jq: trailing tokens after path array")
+    return out
+
+
+def _ident(key: str) -> bool:
+    return bool(re.fullmatch(r"[A-Za-z_]\w*", key))
+
+
 def translate_jq(df: DataFrame, program: str) -> DataFrame:
     """Compile a JQ-subset program to DataFrame operations.
 
     Raises :class:`JQUnsupported` for programs outside the subset.
     """
-    toks = _tokenize(program.strip())
+    toks = _inline_defs(_tokenize(program.strip()))
     stages = _split_top(toks, "|")
     # Leading '.[]' iterates the batch array — the DataFrame already is
     # the record stream, so it is the identity here.
@@ -3202,6 +3365,33 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
         and toks[-1] == ")"
     ):
         return _apply_capture(df, toks[0], toks[4:-1])
+    # setpath(["a","b"]; EXPR) IS `.a.b = EXPR` for literal paths (jq
+    # defines assignment via setpath) — token rewrite into the native
+    # nested-assignment grammar
+    if (
+        len(toks) >= 6
+        and toks[0] == "setpath"
+        and toks[1] == "("
+        and toks[-1] == ")"
+    ):
+        inner = toks[2:-1]
+        semis = _split_top(inner, ";")
+        if len(semis) != 2:
+            raise JQUnsupported("jq: setpath needs (paths; value)")
+        ptoks, vtoks = semis
+        # ptoks is ONE literal path array ([ "a" , "b" ]); wrapping
+        # it re-uses the path-LIST parser with a single entry
+        path = _parse_literal_path_list(["["] + ptoks + ["]"])
+        if len(path) != 1 or not path[0]:
+            raise JQUnsupported("jq: setpath path outside the subset")
+        parts = path[0]
+        if not all(_ident(k) for k in parts):
+            raise JQUnsupported(
+                "jq: setpath keys must be identifiers — binary"
+            )
+        return _apply_assignment(
+            df, ["." + ".".join(parts), "="] + list(vtoks)
+        )
     # assignment: .field OP expr (never valid inside the additive-term
     # grammar below, so detect it first)
     if (
@@ -3265,6 +3455,31 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     for term in terms:
         if not term:
             raise JQUnsupported(f"jq: empty term in {toks}")
+        if (
+            term[0] == "delpaths"
+            and len(term) >= 3
+            and term[1] == "("
+            and term[-1] == ")"
+        ):
+            # delpaths([["a","b"],["c"]]) IS del(.a.b, .c) for literal
+            # paths (jq defines del via delpaths) — rewrite the term
+            # and fall into the del branch below. delpaths([]) is the
+            # identity (probed).
+            plist = _parse_literal_path_list(term[2:-1])
+            if not plist:
+                term = ["."]
+            else:
+                ptoks: list[str] = []
+                for parts in plist:
+                    if not parts or not all(_ident(k) for k in parts):
+                        raise JQUnsupported(
+                            "jq: delpaths keys must be identifiers — "
+                            "binary"
+                        )
+                    if ptoks:
+                        ptoks.append(",")
+                    ptoks.append("." + ".".join(parts))
+                term = ["del", "("] + ptoks + [")"]
         if term == ["."]:
             base_identity = True
         elif term[0] == "del" and term[1] == "(" and term[-1] == ")":
@@ -3330,6 +3545,12 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                     continue
                 dropped.append(p)
             for root, fields in del_fields.items():
+                if root in dropped:
+                    # del(.a, .a.b): the whole-root drop subsumes the
+                    # nested one (probed: delpaths([["a"],["a","b"]])
+                    # leaves no a) — emitting dropFields would re-add
+                    # the root through the right-biased merge
+                    continue
                 added.append(
                     (
                         root,

@@ -595,6 +595,58 @@ def q_jq_capture_stage(spark, sf_dir):
 
 
 @register(
+    "q_jq_paths_defs",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE CAST(length(text) AS BIGINT) END AS len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN len IS NULL THEN 4 ELSE 5 END AS INT)
+             AS npaths,
+           COALESCE(len, 0) * 2 AS len2
+    FROM src ORDER BY doc_id
+    """,
+    doc="The round-5 native jq constructs as ONE compiled program "
+    "through the oracle gate: a zero-arg user def (inlined — jq defs "
+    "are lexically-scoped filters), setpath with a literal path "
+    "(compiled to the nested-assignment struct rebuild), delpaths "
+    "(compiled to the multi-path del dropFields), a grouped pipe "
+    "target (the '| (body)' shape def inlining produces), and "
+    "[paths] | length (document-order path arrays over the reshaped "
+    "record; null values read as absent — the engine's canonical "
+    "serialization relaxation, same as has()/keys). All Catalyst at "
+    "runtime — no jq binary, no mapInPandas in the plan (pinned in "
+    "tests/test_plan_quality.py).",
+)
+def q_jq_paths_defs(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(None).cast("long")
+            )
+            .otherwise(F.length("text").cast("long"))
+            .alias("len"),
+            F.lit("x").alias("junk"),
+        ).alias("meta"),
+        "text",
+    )
+    prog = (
+        "def dbl: . * 2; .[] "
+        '| setpath(["meta","len2"]; ((.meta.len // 0) | dbl)) '
+        '| delpaths([["text"],["meta","junk"]]) '
+        "| {doc_id, npaths: ([paths] | length), len2: .meta.len2}"
+    )
+    return translate_jq(d, prog).orderBy("doc_id")
+
+
+@register(
     "q_jq_entries_bindings",
     oracle=r"""
     WITH w AS (

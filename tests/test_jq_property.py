@@ -365,3 +365,85 @@ def test_object_arrays_equal_jq_binary(spark, rows, program):
     ]
     expect = _jq(program, rows)
     assert _norm(got) == _norm(expect), (program, rows)
+
+
+# ---- round-5 constructs: defs / setpath / delpaths / [paths] ----
+# struct-only record space (arrays route paths to the binary by design)
+
+_P5_SCHEMA = "id long, m struct<a:long,b:string>, x long"
+_P5_RECORDS = st.lists(
+    st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-50, max_value=50),
+            "m": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {
+                        "a": st.one_of(
+                            st.none(), st.integers(min_value=0, max_value=9)
+                        ),
+                        "b": st.one_of(
+                            st.none(), st.sampled_from(["", "x", "yy"])
+                        ),
+                    }
+                ),
+            ),
+            "x": st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        }
+    ),
+    min_size=1,
+    max_size=6,
+)
+_P5_PROGRAMS = st.sampled_from(
+    [
+        ".[] | {id, p: [paths]}",
+        ".[] | {id, p: [leaf_paths]}",
+        ".[] | {id, n: ([paths] | length)}",
+        '.[] | delpaths([["m","a"],["x"]])',
+        '.[] | delpaths([["m","a"],["m"]])',
+        '.[] | delpaths([])',
+        '.[] | setpath(["m","a"]; 7)',
+        '.[] | setpath(["y"]; .id)',
+        "def sq: . * .; .[] | {id, v: ((.x // 0) | sq)}",
+        "def pos: (.x // 0) > 0; .[] | select(pos) | {id}",
+    ]
+)
+
+
+def _strip_rec(v):
+    if isinstance(v, dict):
+        return {k: _strip_rec(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_strip_rec(x) for x in v]
+    return v
+
+
+def _norm_rec(rows):
+    return sorted(json.dumps(_strip_rec(r), sort_keys=True) for r in rows)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_P5_RECORDS, program=_P5_PROGRAMS)
+def test_paths_defs_setpath_delpaths_equal_jq_binary(spark, rows, program):
+    df = spark.createDataFrame(rows, _P5_SCHEMA)
+    got = [
+        r.asDict(recursive=True)
+        for r in translate_jq(df, program).collect()
+    ]
+    canonical = [_strip_rec(r) for r in rows]
+    out = subprocess.run(
+        ["jq", "-c", program],
+        input=json.dumps(canonical).encode(),
+        stdout=subprocess.PIPE,
+        check=True,
+    )
+    expect = [
+        json.loads(ln)
+        for ln in out.stdout.decode().splitlines()
+        if ln.strip()
+    ]
+    assert _norm_rec(got) == _norm_rec(expect), (program, rows)

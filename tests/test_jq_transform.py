@@ -1613,3 +1613,95 @@ class TestMultiPathDel:
     def test_divergent_del_shapes_route_to_binary(self, dfm, program):
         with pytest.raises(JQUnsupported):
             translate_jq(dfm, program)
+
+
+class TestDefsSetpathDelpathsPaths:
+    """Round-5 natives (VERDICT r4 item 7): zero-arg user defs
+    (inlined — jq defs are lexically-scoped filters), setpath with a
+    literal path (== nested assignment, jq's own definition),
+    delpaths with literal paths (== multi-path del), and [paths] /
+    [leaf_paths] (document-order path arrays; null values read as
+    absent through the canonical serialization, same relaxation as
+    has()/keys)."""
+
+    ROWS = [
+        {"id": 1, "n": 4, "m": {"a": 1, "b": 2, "c": 3}, "x": 7},
+        {"id": 2, "n": 10, "m": None, "x": 8},
+    ]
+    SCHEMA = "id long, n long, m struct<a:long,b:long,c:long>, x long"
+
+    NATIVE = [
+        "def double: . * 2; .[] | {id, y: (.n | double)}",
+        "def inc: . + 1; def two: inc | inc; .[] | {id, y: (.n | two)}",
+        "def big: .n > 5; .[] | {id, b: big}",
+        '.[] | setpath(["m","a"]; 99)',
+        '.[] | setpath(["y"]; .n + 1)',
+        '.[] | setpath(["m","b"]; .x * 2)',
+        '.[] | delpaths([["m","a"],["m","b"]])',
+        '.[] | delpaths([["x"],["m","c"]])',
+        '.[] | delpaths([["m","a"],["m"]])',   # subsumption: m goes
+        ".[] | delpaths([])",
+        '.[] | delpaths([["zz"]])',            # absent: no-op
+        ".[] | {id, p: [paths]}",
+        ".[] | {id, p: [leaf_paths]}",
+        ".[] | {id, np: ([paths] | length)}",
+    ]
+
+    @pytest.fixture(scope="class")
+    def dfp(self, spark):
+        return spark.createDataFrame(self.ROWS, self.SCHEMA)
+
+    @staticmethod
+    def _strip(d):
+        if isinstance(d, dict):
+            return {
+                k: TestDefsSetpathDelpathsPaths._strip(v)
+                for k, v in d.items()
+                if v is not None
+            }
+        if isinstance(d, list):
+            return [TestDefsSetpathDelpathsPaths._strip(v) for v in d]
+        return d
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, dfp, program):
+        canonical = [self._strip(r) for r in self.ROWS]
+        got = [
+            self._strip(r.asDict(recursive=True))
+            for r in translate_jq(dfp, program).collect()
+        ]
+        expect = [self._strip(r) for r in jq_oracle(program, canonical)]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, dfp, program):
+        out = jq_transform(dfp, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    @pytest.mark.parametrize(
+        "program",
+        [
+            "def f(x): x; .[] | {id}",          # parameterized def
+            "def f: f; .[] | {y: (.n | f)}",    # recursive def
+            '.[] | setpath(["m",0]; 1)',        # numeric path key
+            ".[] | setpath(.p; 1)",             # dynamic path
+            '.[] | delpaths([[0]])',            # numeric path key
+            ".[] | delpaths(.ps)",              # dynamic path list
+            ".[] | paths",                      # bare stream stage
+            ".[] | {p: [paths(numbers)]}",      # filtered paths
+        ],
+    )
+    def test_unsupported_shapes_route_to_binary(self, dfp, program):
+        with pytest.raises(JQUnsupported):
+            translate_jq(dfp, program)
+
+    def test_paths_through_arrays_route_to_binary(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1, 2])], "id long, xs array<long>"
+        )
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, ".[] | {p: [paths]}")

@@ -577,3 +577,17 @@ class TestLakehouseAndTokenizerPlans:
         assert r.num_broadcast_joins >= 2, r.text
         assert "InMemory" in r.text, "feature table must be persisted"
         assert r.num_nested_loop_joins == 0, r.text
+
+
+class TestRound5Plans:
+    def test_jq_paths_defs_stays_native(self, spark):
+        # def inlining + setpath/delpaths rewrites + [paths] all
+        # compile to Column algebra over one scan: no jq binary
+        # (mapInPandas), no Python, no joins, only the presentation
+        # sort exchanges
+        r = report(spark, "q_jq_paths_defs")
+        assert "mapInPandas" not in r.text.lower(), r.text
+        assert "Python" not in r.text, r.text
+        assert r.num_broadcast_joins == 0 and r.num_sortmerge_joins == 0
+        assert r.num_exchanges <= 2, r.text
+        assert set(r.scan_columns()[0]) == {"doc_id", "lang", "text"}
