@@ -148,7 +148,10 @@ def delta_merge_upsert(spark, sf_dir):
     "each touched partition — and untouched partitions carry over "
     "byte-identical. The oracle is the partition-scoped upsert as SQL "
     "set algebra; the read back re-attaches typed partition columns "
-    "from the log.",
+    "from the log. Round 5: the merge is a CONSTANT number of Spark "
+    "jobs in touched partitions (one grouped key-stats pass, one "
+    "anti-join, one partitionBy write on a surrogate pid).",
+    bench=True,
 )
 def delta_partitioned_merge(spark, sf_dir):
     from optimus_any2any_spark.queries.util import dsum
@@ -561,7 +564,8 @@ def delta_column_mapping_read(spark, sf_dir):
     "number of Spark jobs in touched partitions (single-job shape: one "
     "grouped key-stats pass, one anti-join, one partitionBy(__pid) "
     "write). Same oracle algebra as the Delta twin; read back through "
-    "the spec reader (data files physically carry partition columns)."
+    "the spec reader (data files physically carry partition columns).",
+    bench=True,
 )
 def iceberg_partitioned_merge(spark, sf_dir):
     from optimus_any2any_spark.queries.util import dsum
@@ -608,6 +612,89 @@ def iceberg_partitioned_merge(spark, sf_dir):
             dsum(F.col("value")).alias("sum_value"),
         )
         .orderBy("etype")
+    )
+
+
+@register(
+    "iceberg_row_level_deletes",
+    oracle=f"""
+    WITH b1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderkey % 7 AS c
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    r1 AS (
+      SELECT k, price, c, row_number() OVER (ORDER BY k) AS rn FROM b1
+    ),
+    b2 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderkey % 7 AS c
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT k, price, c FROM r1 WHERE rn > 100
+      UNION ALL SELECT k, price, c FROM b2
+    )
+    SELECT c, COUNT(*) AS n_rows, {o_dsum('price')} AS sum_price
+    FROM merged WHERE c NOT IN (2, 5)
+    GROUP BY c ORDER BY c
+    """,
+    doc="Iceberg v2 ROW-LEVEL DELETES read as the spec's merge-on-read "
+    "(sources/iceberg.py): a positional delete file erases the first "
+    "100 row positions of the first data file (applied as an "
+    "anti-join on (file, _metadata.row_index)), an equality delete "
+    "file erases c IN (2,5) (null-safe anti-join over the "
+    "equality_ids columns), both gated on data-sequence-number "
+    "ordering so later appends would out-rank them. The oracle states "
+    "the same removals as SQL set algebra (the positional file was "
+    "written sorted by k, so positions 0..99 ARE the 100 smallest "
+    "odd keys).",
+)
+def iceberg_row_level_deletes(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        _snapshot_entries,
+        load_table_metadata,
+        read_iceberg,
+        write_iceberg_commit,
+        write_iceberg_delete_commit,
+    )
+
+    t = _fixture_dir("iceberg_rld", sf_dir)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 7).alias("c"),
+    )
+    write_iceberg_commit(
+        o.filter(F.col("k") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("k"),
+        t,
+    )
+    write_iceberg_commit(
+        o.filter(F.col("k") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("k"),
+        t,
+    )
+    meta = load_table_metadata(t)
+    data, _p, _e = _snapshot_entries(t, meta)
+    file1 = sorted(d["orig"] for d in data)[0]  # commit 1's file
+    write_iceberg_delete_commit(
+        spark,
+        t,
+        pos_deletes=[(file1, i) for i in range(100)],
+        eq_deletes=(["c"], [(2,), (5,)]),
+    )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("c")
     )
 
 

@@ -620,6 +620,7 @@ def q_jq_capture_stage(spark, sf_dir):
     "serialization relaxation, same as has()/keys). All Catalyst at "
     "runtime — no jq binary, no mapInPandas in the plan (pinned in "
     "tests/test_plan_quality.py).",
+    bench=True,
 )
 def q_jq_paths_defs(spark, sf_dir):
     from optimus_any2any_spark.compiler.jq import translate_jq

@@ -10,13 +10,18 @@ list → manifests → data-file entries with ``status != DELETED``. The
 Avro layer is :mod:`optimus_any2any_spark.formats.avrobin` (stdlib
 codec, JVM-cross-checked); data files are read by Spark as parquet.
 
-Scope (spec-honest): format versions 1 and 2 WITHOUT row-level
-deletes — a snapshot that carries delete manifests or delete data
-files raises ``NotImplementedError`` rather than returning resurrected
-rows (the same honesty rule as the Delta reader's
-``minReaderVersion > 1`` rejection). Unlike Delta, Iceberg data files
-physically contain their partition columns, so no literal-column
-reattachment is needed.
+Scope (spec-honest): format versions 1 and 2, INCLUDING v2 row-level
+deletes on the snapshot-read path — positional delete files apply as
+an anti-join on ``(file, row position)`` via Spark's
+``_metadata.file_path``/``row_index`` hidden columns, equality delete
+files as null-safe anti-joins over their ``equality_ids`` columns,
+both gated on the spec's data-sequence-number ordering (a row
+re-inserted after a delete stays alive). The APPEND-tail surfaces
+(``read_iceberg_appends``, the ``iceberg_tail`` stream) still reject
+delete manifests — an append stream cannot express removals — and
+format-version 3 is rejected, not mis-read. Unlike Delta, Iceberg
+data files physically contain their partition columns, so no
+literal-column reattachment is needed.
 
 Scale shape: metadata decode is driver-side over KB–MB Avro manifests
 (every Iceberg client starts there; the manifest list exists precisely
@@ -217,19 +222,214 @@ def snapshot_data_files(
     return out
 
 
+def _snapshot_entries(
+    table_path: str, meta: dict, snapshot_id: int | None = None
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Full entry walk of a snapshot: ``(data, pos_deletes,
+    eq_deletes)`` — each entry ``{"path": localized, "orig":
+    manifest file_path string, "seq": sequence number,
+    "equality_ids": [...]}``. Sequence numbers follow v2 inheritance:
+    the entry's own ``sequence_number`` when present, else the
+    manifest-list row's, else 0 (v1 tables carry none and every file
+    shares seq 0 — correct, since v1 has no row-level deletes)."""
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    if snapshot_id is None or snapshot_id == -1 or not snaps:
+        return [], [], []
+    snap = next(
+        (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(
+            f"iceberg: snapshot {snapshot_id} not in table metadata"
+        )
+    if "manifest-list" in snap:
+        _, manifests = read_container(
+            _localize(table_path, snap["manifest-list"])
+        )
+    else:
+        manifests = [
+            {"manifest_path": p, "content": 0}
+            for p in snap.get("manifests", [])
+        ]
+    data: list[dict] = []
+    pos_del: list[dict] = []
+    eq_del: list[dict] = []
+    for m in manifests:
+        m_seq = m.get("sequence_number")
+        _, entries = read_container(
+            _localize(table_path, m["manifest_path"])
+        )
+        for e in entries:
+            if int(e.get("status") or 0) == _STATUS_DELETED:
+                continue
+            df_ = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m_seq if m_seq is not None else 0
+            ent = {
+                "path": _localize(table_path, df_["file_path"]),
+                "orig": df_["file_path"],
+                "seq": int(seq),
+                "equality_ids": list(df_.get("equality_ids") or []),
+            }
+            content = int(df_.get("content") or 0)
+            if int(m.get("content") or 0) == 1 or content in (1, 2):
+                # delete manifest / delete data file
+                if content == 2 or ent["equality_ids"]:
+                    eq_del.append(ent)
+                else:
+                    pos_del.append(ent)
+            else:
+                data.append(ent)
+    return data, pos_del, eq_del
+
+
+def _basename(p: str) -> str:
+    return p.rsplit("/", 1)[-1]
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
     snapshot_id: int | None = None,
 ) -> DataFrame:
     """Snapshot read of an Iceberg table; ``snapshot_id`` time-travels
-    to any retained snapshot (the spec's SNAPSHOT AS OF)."""
+    to any retained snapshot (the spec's SNAPSHOT AS OF).
+
+    v2 MERGE-ON-READ: positional and equality delete files apply as
+    anti-joins — positional deletes match ``(file, row position)``
+    via Spark's ``_metadata.file_path``/``row_index`` hidden columns
+    (a delete applies when its sequence number >= the data file's);
+    equality deletes null-safe-match their equality columns (apply
+    when seq > the data file's). The sequence comparison is what keeps
+    a row RE-INSERTED after a delete alive — ignoring it would
+    over-delete. File identity joins on basenames (unique per table
+    in both this writer's and real writers' uuid naming)."""
+    from pyspark.sql import functions as F
+
     meta = load_table_metadata(table_path)
     schema = iceberg_spark_schema(meta)
-    files = snapshot_data_files(table_path, meta, snapshot_id)
-    if not files:
+    data, pos_del, eq_del = _snapshot_entries(
+        table_path, meta, snapshot_id
+    )
+    if not data:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    if not pos_del and not eq_del:
+        return spark.read.schema(schema).parquet(
+            *[d["path"] for d in data]
+        )
+    df = (
+        spark.read.schema(schema)
+        .parquet(*[d["path"] for d in data])
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        .withColumn(
+            "__bn", F.element_at(F.split(F.col("__fp"), "/"), -1)
+        )
+        .drop("__fp")
+    )
+    lk = spark.createDataFrame(
+        [(_basename(d["orig"]), d["orig"], d["seq"]) for d in data],
+        "__bn string, __orig string, __dseq long",
+    )
+    df = df.join(F.broadcast(lk), "__bn", "inner").drop("__bn")
+
+    if pos_del:
+        # positional delete files: (file_path, pos) rows, spec field
+        # ids 2147483546/2147483545; attach each delete file's seq via
+        # the same basename lookup
+        pd_schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType(), True),
+                T.StructField("pos", T.LongType(), True),
+            ]
+        )
+        pdel = (
+            spark.read.schema(pd_schema)
+            .parquet(*[d["path"] for d in pos_del])
+            .select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dbn"),
+            )
+        )
+        plk = spark.createDataFrame(
+            [(_basename(d["orig"]), d["seq"]) for d in pos_del],
+            "__dbn string, __pseq long",
+        )
+        pdel = pdel.join(F.broadcast(plk), "__dbn", "inner").drop("__dbn")
+        df = df.alias("d").join(
+            pdel.alias("x"),
+            (F.col("d.__orig") == F.col("x.file_path"))
+            & (F.col("d.__pos") == F.col("x.pos"))
+            & (F.col("x.__pseq") >= F.col("d.__dseq")),
+            "left_anti",
+        )
+
+    if eq_del:
+        by_id = {
+            int(f["id"]): f["name"]
+            for f in _current_schema(meta)["fields"]
+        }
+        # group equality-delete files by their equality column set —
+        # each set is one anti-join
+        sets: dict[tuple, list[dict]] = {}
+        for d in eq_del:
+            ids = tuple(sorted(d["equality_ids"]))
+            if not ids:
+                raise NotImplementedError(
+                    "iceberg: equality delete file without "
+                    "equality_ids"
+                )
+            sets.setdefault(ids, []).append(d)
+        for ids, dels in sorted(sets.items()):
+            try:
+                cols = [by_id[i] for i in ids]
+            except KeyError as e:
+                raise NotImplementedError(
+                    f"iceberg: equality delete on unknown field id {e}"
+                ) from None
+            eq_schema = T.StructType(
+                [
+                    T.StructField(
+                        c, schema[c].dataType, True
+                    )
+                    for c in cols
+                ]
+            )
+            edel = (
+                spark.read.schema(eq_schema)
+                .parquet(*[d["path"] for d in dels])
+                .select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__ebn"),
+                )
+            )
+            elk = spark.createDataFrame(
+                [(_basename(d["orig"]), d["seq"]) for d in dels],
+                "__ebn string, __eseq long",
+            )
+            edel = edel.join(
+                F.broadcast(elk), "__ebn", "inner"
+            ).drop("__ebn")
+            cond = F.col("__eseq") > F.col("d.__dseq")
+            for c in cols:
+                cond = cond & F.col(f"d.{c}").eqNullSafe(
+                    F.col(f"__eq_{c}")
+                )
+            df = df.alias("d").join(edel, cond, "left_anti")
+
+    return df.drop("__pos", "__orig", "__dseq").select(
+        *schema.fieldNames()
+    )
 
 
 def read_iceberg_appends(
@@ -337,8 +537,220 @@ _MANIFEST_FILE_SCHEMA = {
          "default": 0},
         {"name": "added_snapshot_id", "type": ["null", "long"],
          "default": None, "field-id": 503},
+        # v2: data-sequence number, inherited by the manifest's entries
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 515},
     ],
 }
+
+# delete-manifest entries (v2): data_file carries content (1 =
+# position deletes, 2 = equality deletes) and equality_ids
+_DELETE_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition",
+                     "type": {"type": "record", "name": "r102",
+                              "fields": []},
+                     "field-id": 102},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                    {"name": "equality_ids",
+                     "type": ["null",
+                              {"type": "array", "items": "int"}],
+                     "default": None, "field-id": 135},
+                ],
+            },
+        },
+    ],
+}
+
+
+def write_iceberg_delete_commit(
+    spark: SparkSession,
+    table_path: str,
+    pos_deletes: list[tuple[str, int]] | None = None,
+    eq_deletes: tuple[list[str], list[tuple]] | None = None,
+) -> int:
+    """Append one v2 ROW-LEVEL-DELETE snapshot (fixture surface, like
+    ``write_iceberg_commit``): positional deletes are ``(data-file
+    path as listed in the manifests, row position)`` rows in a delete
+    parquet; equality deletes are rows over the named columns with the
+    spec's ``equality_ids``. The commit stamps a data-sequence number
+    on its manifest-list row (v2 inheritance), and upgrades the table
+    metadata to format-version 2 — exercising ``read_iceberg``'s
+    merge-on-read path against real table bytes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    prev_version = int(open(hint).read().strip())
+    prev = load_table_metadata(table_path, version=prev_version)
+    version = prev_version + 1
+    snapshot_id = version
+    seq = version
+
+    entries = []
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    if pos_deletes:
+        pdf = spark.createDataFrame(
+            list(pos_deletes), "file_path string, pos long"
+        ).orderBy("file_path", "pos")
+        tmp = os.path.join(table_path, f"_tmp-del-v{version}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        rel = f"data/{version:05d}-delete-pos.parquet"
+        os.replace(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(table_path, rel),
+        )
+        shutil.rmtree(tmp)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(pos_deletes),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table_path, rel)
+                    ),
+                    "equality_ids": None,
+                },
+            }
+        )
+    if eq_deletes:
+        cols, rows = eq_deletes
+        sch = _current_schema(prev)
+        id_of = {f["name"]: int(f["id"]) for f in sch["fields"]}
+        missing = [c for c in cols if c not in id_of]
+        if missing:
+            raise ValueError(
+                f"iceberg delete fixture: columns {missing} not in "
+                "the schema"
+            )
+        spark_schema = iceberg_spark_schema(prev)
+        edf = spark.createDataFrame(
+            list(rows),
+            T.StructType(
+                [
+                    T.StructField(c, spark_schema[c].dataType, True)
+                    for c in cols
+                ]
+            ),
+        )
+        tmp = os.path.join(table_path, f"_tmp-edel-v{version}")
+        edf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        rel = f"data/{version:05d}-delete-eq.parquet"
+        os.replace(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(table_path, rel),
+        )
+        shutil.rmtree(tmp)
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 2,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table_path, rel)
+                    ),
+                    "equality_ids": [id_of[c] for c in cols],
+                },
+            }
+        )
+    if not entries:
+        return prev_version
+
+    manifest_rel = (
+        f"metadata/{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|dm{version}')}"
+        "-m0.avro"
+    )
+    write_container(
+        os.path.join(table_path, manifest_rel),
+        _DELETE_ENTRY_SCHEMA,
+        entries,
+    )
+    prior_manifests: list[dict] = []
+    if prev.get("current-snapshot-id") not in (None, -1):
+        snap = next(
+            sn
+            for sn in prev["snapshots"]
+            if sn["snapshot-id"] == prev["current-snapshot-id"]
+        )
+        _, prior_manifests = read_container(
+            _localize(table_path, snap["manifest-list"])
+        )
+    for r in prior_manifests:
+        r.setdefault("sequence_number", None)
+    ml_rel = (
+        f"metadata/snap-{snapshot_id}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|dml{version}')}.avro"
+    )
+    write_container(
+        os.path.join(table_path, ml_rel),
+        _MANIFEST_FILE_SCHEMA,
+        prior_manifests
+        + [
+            {
+                "manifest_path": manifest_rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(table_path, manifest_rel)
+                ),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": seq,
+            }
+        ],
+    )
+    meta = dict(prev)
+    meta["format-version"] = 2
+    meta["last-sequence-number"] = seq
+    meta["snapshots"] = (prev.get("snapshots") or []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "sequence-number": seq,
+            "manifest-list": ml_rel,
+            "summary": {"operation": "delete"},
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
 
 
 def _spark_type_to_iceberg(dt: T.DataType) -> str:
@@ -483,7 +895,12 @@ def write_iceberg_commit(
         "partition_spec_id": 0,
         "content": 0,
         "added_snapshot_id": snapshot_id,
+        # v2 sequence inheritance: a file appended AFTER a delete
+        # outranks it (a re-inserted row must stay alive)
+        "sequence_number": version,
     }
+    for r in prior_manifests:
+        r.setdefault("sequence_number", None)
     write_container(
         os.path.join(table_path, ml_rel),
         _MANIFEST_FILE_SCHEMA,

@@ -1,0 +1,129 @@
+"""Iceberg v2 row-level deletes on the snapshot-read path
+(sources/iceberg.py): positional and equality delete files apply as
+sequence-gated anti-joins (merge-on-read); a row re-inserted AFTER a
+delete stays alive; the append-tail surfaces still reject deletes."""
+
+from __future__ import annotations
+
+import pytest
+
+from optimus_any2any_spark.sources.iceberg import (
+    _snapshot_entries,
+    load_table_metadata,
+    read_iceberg,
+    read_iceberg_appends,
+    write_iceberg_commit,
+    write_iceberg_delete_commit,
+)
+
+
+def _rows(spark, vals):
+    return spark.createDataFrame(vals, "k long, v string")
+
+
+def _snap(spark, t):
+    return sorted((r.k, r.v) for r in read_iceberg(spark, t).collect())
+
+
+def _data_paths(t):
+    meta = load_table_metadata(t)
+    data, _pos, _eq = _snapshot_entries(t, meta)
+    return sorted(d["orig"] for d in data)
+
+
+class TestPositionalDeletes:
+    def test_rows_removed_by_file_and_position(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t
+        )
+        (path,) = _data_paths(t)
+        # delete row positions 0 and 2 of the single (sorted-write)
+        # data file
+        write_iceberg_delete_commit(
+            spark, t, pos_deletes=[(path, 0), (path, 2)]
+        )
+        kept = read_iceberg(spark, t).collect()
+        assert len(kept) == 1
+
+    def test_delete_only_targets_named_file(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]).coalesce(1), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]).coalesce(1), t)
+        p1, p2 = _data_paths(t)
+        write_iceberg_delete_commit(spark, t, pos_deletes=[(p1, 0)])
+        kept = {(r.k, r.v) for r in read_iceberg(spark, t).collect()}
+        assert len(kept) == 1  # only the named file's row 0 went
+
+    def test_reinsert_after_delete_survives(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "old")]).coalesce(1), t)
+        (path,) = _data_paths(t)
+        write_iceberg_delete_commit(spark, t, pos_deletes=[(path, 0)])
+        # append AFTER the delete: higher sequence number, must live
+        write_iceberg_commit(_rows(spark, [(1, "new")]).coalesce(1), t)
+        assert _snap(spark, t) == [(1, "new")]
+
+    def test_time_travel_before_delete_sees_rows(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a"), (2, "b")]).coalesce(1), t
+        )
+        (path,) = _data_paths(t)
+        write_iceberg_delete_commit(spark, t, pos_deletes=[(path, 0)])
+        assert len(read_iceberg(spark, t).collect()) == 1
+        assert len(read_iceberg(spark, t, snapshot_id=1).collect()) == 2
+
+
+class TestEqualityDeletes:
+    def test_matching_rows_removed(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a"), (2, "b"), (3, "a")]).coalesce(1), t
+        )
+        write_iceberg_delete_commit(
+            spark, t, eq_deletes=(["v"], [("a",)])
+        )
+        assert _snap(spark, t) == [(2, "b")]
+
+    def test_multi_column_equality(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a"), (1, "b"), (2, "a")]).coalesce(1), t
+        )
+        write_iceberg_delete_commit(
+            spark, t, eq_deletes=(["k", "v"], [(1, "a")])
+        )
+        assert _snap(spark, t) == [(1, "b"), (2, "a")]
+
+    def test_equality_reinsert_survives(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(5, "x")]).coalesce(1), t)
+        write_iceberg_delete_commit(
+            spark, t, eq_deletes=(["k"], [(5,)])
+        )
+        write_iceberg_commit(_rows(spark, [(5, "back")]).coalesce(1), t)
+        assert _snap(spark, t) == [(5, "back")]
+
+    def test_both_kinds_in_one_commit(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t
+        )
+        (path,) = _data_paths(t)
+        write_iceberg_delete_commit(
+            spark, t,
+            pos_deletes=[(path, 0)],
+            eq_deletes=(["v"], [("c",)]),
+        )
+        assert _snap(spark, t) == [(2, "b")]
+
+
+class TestAppendSurfacesStillReject:
+    def test_appends_reader_rejects_delete_manifests(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]).coalesce(1), t)
+        (path,) = _data_paths(t)
+        write_iceberg_delete_commit(spark, t, pos_deletes=[(path, 0)])
+        with pytest.raises((NotImplementedError, ValueError)):
+            read_iceberg_appends(spark, t, None, 2).collect()
