@@ -146,12 +146,19 @@ def replay_log(
     if meta is None or protocol is None:
         raise ValueError("delta: log replay found no metaData/protocol")
     mrv = int(protocol.get("minReaderVersion", 1))
-    if mrv > 2:
-        raise NotImplementedError(
-            "delta: reader version "
-            f"{protocol['minReaderVersion']} needs features "
-            "(deletion vectors / v2 checkpoints) beyond this reader"
-        )
+    if mrv >= 3:
+        # v3 is feature-gated: accept iff every listed readerFeature
+        # is one this reader implements; anything unknown rejects
+        # rather than mis-reads
+        feats = set(protocol.get("readerFeatures") or [])
+        unknown = feats - {
+            "deletionVectors", "columnMapping", "timestampNtz",
+        }
+        if unknown:
+            raise NotImplementedError(
+                f"delta: reader features {sorted(unknown)} are beyond "
+                "this reader"
+            )
     if mrv == 2:
         # reader version 2 exists for exactly one feature: column
         # mapping. A v2 table WITHOUT the mapping declared is asking
@@ -203,6 +210,64 @@ def _stats_exclude(add: dict, col: str, lo, hi) -> bool:
         return bool(fmax < lo or fmin > hi)
     except TypeError:  # key type mismatch with stats: unusable
         return False
+
+
+def _dv_descriptor_rows(
+    table_path: str, live: dict[str, dict]
+) -> list[tuple]:
+    """(file basename, storageType, inline text, resolved path, offset,
+    size) per live add carrying a deletion vector. Resolution follows
+    the protocol: ``i`` = z85 blob inline; ``p`` = absolute path;
+    ``u`` = <random prefix><z85 uuid> -> <prefix>/deletion_vector_
+    <uuid>.bin under the table root."""
+    import uuid as _uuid
+
+    from optimus_any2any_spark.formats.roaring import z85_decode
+
+    rows: list[tuple] = []
+    for add in live.values():
+        dv = add.get("deletionVector")
+        if not dv:
+            continue
+        st_ = dv["storageType"]
+        bn = add["path"].rsplit("/", 1)[-1]
+        inline = ""
+        fpath = ""
+        if st_ == "i":
+            inline = dv["pathOrInlineDv"]
+        elif st_ == "p":
+            fpath = _localize_delta(table_path, dv["pathOrInlineDv"])
+        elif st_ == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, uid_txt = enc[:-20], enc[-20:]
+            uid = _uuid.UUID(bytes=z85_decode(uid_txt))
+            rel = f"deletion_vector_{uid}.bin"
+            fpath = os.path.join(
+                table_path, prefix, rel
+            ) if prefix else os.path.join(table_path, rel)
+        else:
+            raise NotImplementedError(
+                f"delta: deletion vector storageType {st_!r}"
+            )
+        rows.append(
+            (
+                bn,
+                st_,
+                inline,
+                fpath,
+                int(dv.get("offset") or 0),
+                int(dv["sizeInBytes"]),
+            )
+        )
+    return rows
+
+
+def _localize_delta(table_path: str, uri: str) -> str:
+    if uri.startswith("file://"):
+        return uri[len("file://"):]
+    if uri.startswith("/"):
+        return uri
+    return os.path.join(table_path, uri)
 
 
 def column_mapping(meta: dict) -> dict[str, str] | None:
@@ -295,6 +360,17 @@ def read_delta(
             os.path.join(table_path, add["path"])
         )
     type_of = {f.name: f.dataType for f in schema.fields}
+    dv_rows = _dv_descriptor_rows(table_path, live)
+    meta_cols = (
+        [
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_bn"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        ]
+        if dv_rows
+        else []
+    )
     out = None
     for key, paths in sorted(groups.items()):
         df = spark.read.schema(data_schema).parquet(*paths)
@@ -302,7 +378,8 @@ def read_delta(
             *[
                 F.col("`" + phys(f.name) + "`").alias(f.name)
                 for f in data_fields
-            ]
+            ],
+            *meta_cols,
         )
         for c, v in zip(part_cols, key):
             col = (
@@ -311,8 +388,76 @@ def read_delta(
                 else F.lit(v).cast(type_of[c])
             )
             df = df.withColumn(c, col)
-        df = df.select(*[f.name for f in schema.fields])
+        df = df.select(
+            *[f.name for f in schema.fields],
+            *(["__dv_bn", "__dv_pos"] if dv_rows else []),
+        )
         out = df if out is None else out.unionByName(df)
+    if dv_rows:
+        # MERGE-ON-READ: each live add's deletion vector marks deleted
+        # ROW INDEXES of its file; decode on executors (Arrow batch,
+        # stdlib Roaring codec) and anti-join on (file basename,
+        # _metadata.row_index). One anti-join total — no per-file jobs.
+        import pandas  # noqa: F401  (annotation resolution)
+        from pyspark.sql.functions import pandas_udf
+
+        # get_type_hints resolves annotations from MODULE globals (the
+        # `from __future__ import annotations` stringification), so
+        # pandas must be visible there
+        globals().setdefault("pandas", pandas)
+
+        dv_df = spark.createDataFrame(
+            dv_rows,
+            "__dv_bn string, __st string, __inline string, "
+            "__fpath string, __off long, __size long",
+        )
+
+        # ship the codec module BY VALUE: python workers do not have
+        # the repo on PYTHONPATH (the same gotcha as the streaming
+        # data sources)
+        from pyspark import cloudpickle as _cp
+
+        from optimus_any2any_spark.formats import roaring as _roaring
+
+        _cp.register_pickle_by_value(_roaring)
+        dv_blob_decode = _roaring.dv_blob_decode
+        dv_file_read = _roaring.dv_file_read
+        z85_decode = _roaring.z85_decode
+
+        @pandas_udf("array<long>")
+        def _decode(
+            st_: pandas.Series, inline: pandas.Series,
+            fpath: pandas.Series, off: pandas.Series,
+            size: pandas.Series,
+        ) -> pandas.Series:
+            import pandas as _pd
+
+            out_vals = []
+            for i in range(len(st_)):
+                if st_.iloc[i] == "i":
+                    # inline blobs are zero-padded to the z85 4-byte
+                    # block; sizeInBytes carries the true length
+                    blob = z85_decode(inline.iloc[i])[
+                        : int(size.iloc[i])
+                    ]
+                else:
+                    blob = dv_file_read(
+                        fpath.iloc[i],
+                        int(off.iloc[i]),
+                        int(size.iloc[i]),
+                    )
+                out_vals.append(dv_blob_decode(blob))
+            return _pd.Series(out_vals)
+
+        deleted = dv_df.select(
+            "__dv_bn",
+            F.explode(
+                _decode("__st", "__inline", "__fpath", "__off", "__size")
+            ).alias("__dv_pos"),
+        )
+        out = out.join(deleted, ["__dv_bn", "__dv_pos"], "left_anti")
+    if dv_rows:
+        out = out.drop("__dv_bn", "__dv_pos")
     if key_range is not None:
         col, lo, hi = key_range
         out = out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))

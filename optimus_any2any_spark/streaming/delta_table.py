@@ -91,6 +91,19 @@ def _reject_mapped(meta: dict | None, verb: str) -> None:
         )
 
 
+def _reject_dv(state: dict, verb: str) -> None:
+    """A live add carrying a deletion vector means the file's raw
+    parquet rows are NOT all live — this writer rewrites files from
+    raw parquet and would resurrect the deleted rows. Refuse."""
+    if any(
+        a.get("deletionVector") for a in (state.get("live") or {}).values()
+    ):
+        raise NotImplementedError(
+            f"delta {verb}: table carries deletion vectors — "
+            "copy-on-write over DV'd files is beyond this writer"
+        )
+
+
 def _entry_from_add(path: str, add: dict, key_col: str) -> dict:
     """Map a Delta add action to the manifest-table pruning entry shape
     so ``_affected`` (the shared file-pruning rule) applies verbatim."""
@@ -358,6 +371,7 @@ def compact_delta(
     if state["meta"] is None:
         return None
     _reject_mapped(state["meta"], "optimize")
+    _reject_dv(state, "optimize")
     schema = T.StructType.fromJson(
         json.loads(state["meta"]["schemaString"])
     )
@@ -538,6 +552,7 @@ def merge_delta_batch(
         "meta": None, "live": {}, "txns": {}, "version": -1,
     }
     _reject_mapped(state["meta"], "merge")
+    _reject_dv(state, "merge")
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -970,6 +985,7 @@ def delete_delta_keys(
     if state["meta"] is None:
         raise ValueError(f"delta delete: no table at {table_path}")
     _reject_mapped(state["meta"], "delete")
+    _reject_dv(state, "delete")
     version = state["version"] + 1
     if (
         batch_id is not None

@@ -1,0 +1,266 @@
+"""Delta deletion vectors (sources/delta.py + formats/roaring.py):
+reader-version-3 tables whose add actions carry DV descriptors read
+with the deleted row indexes removed (merge-on-read) — inline (z85),
+path ("p"), and uuid ("u") storage forms; unknown v3 features still
+guard-raise; writers refuse DV'd tables."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+
+import pytest
+
+from optimus_any2any_spark.formats.roaring import (
+    dv_blob,
+    dv_file_write,
+    z85_encode,
+)
+
+
+def _z85_padded(blob: bytes) -> str:
+    return z85_encode(blob + b"\x00" * (-len(blob) % 4))
+from optimus_any2any_spark.sources.delta import read_delta
+
+
+def _commit(log, version, actions):
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, "%020d.json" % version), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _base_actions():
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "dv-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "k", "type": "long",
+                             "nullable": True, "metadata": {}},
+                            {"name": "v", "type": "string",
+                             "nullable": True, "metadata": {}},
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+    ]
+
+
+def _write_file(spark, t, rel, rows):
+    import glob as _glob
+    import shutil
+
+    df = spark.createDataFrame(rows, "k long, v string")
+    tmp = os.path.join(t, "_tmp_" + rel)
+    df.repartition(1).sortWithinPartitions("k").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.replace(
+        _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(t, rel),
+    )
+    shutil.rmtree(tmp)
+
+
+def _add(rel, t, dv=None):
+    a = {
+        "path": rel,
+        "partitionValues": {},
+        "size": os.path.getsize(os.path.join(t, rel)),
+        "modificationTime": 0,
+        "dataChange": True,
+    }
+    if dv:
+        a["deletionVector"] = dv
+    return a
+
+
+class TestDeletionVectorReads:
+    def test_inline_dv_removes_rows(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(
+            spark, t, "f0.parquet",
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        )
+        blob = dv_blob([0, 2])  # rows sorted by k: positions of k=1,3
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": _z85_padded(blob),
+            "offset": 0,
+            "sizeInBytes": len(blob),
+            "cardinality": 2,
+        }
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions() + [{"add": _add("f0.parquet", t, dv)}],
+        )
+        got = sorted((r.k, r.v) for r in read_delta(spark, t).collect())
+        assert got == [(2, "b"), (4, "d")]
+
+    def test_path_dv_file(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(spark, t, "f0.parquet", [(1, "a"), (2, "b")])
+        blob = dv_blob([1])
+        (off,) = dv_file_write(os.path.join(t, "dv0.bin"), [blob])
+        dv = {
+            "storageType": "p",
+            "pathOrInlineDv": os.path.join(t, "dv0.bin"),
+            "offset": off,
+            "sizeInBytes": len(blob),
+            "cardinality": 1,
+        }
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions() + [{"add": _add("f0.parquet", t, dv)}],
+        )
+        assert [(r.k, r.v) for r in read_delta(spark, t).collect()] == [
+            (1, "a")
+        ]
+
+    def test_uuid_dv_file(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(spark, t, "f0.parquet", [(1, "a"), (2, "b"), (3, "c")])
+        uid = _uuid.UUID(int=0x1234567890ABCDEF1234567890ABCDEF)
+        blob = dv_blob([0])
+        (off,) = dv_file_write(
+            os.path.join(t, f"deletion_vector_{uid}.bin"), [blob]
+        )
+        dv = {
+            "storageType": "u",
+            "pathOrInlineDv": z85_encode(uid.bytes),
+            "offset": off,
+            "sizeInBytes": len(blob),
+            "cardinality": 1,
+        }
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions() + [{"add": _add("f0.parquet", t, dv)}],
+        )
+        got = sorted((r.k, r.v) for r in read_delta(spark, t).collect())
+        assert got == [(2, "b"), (3, "c")]
+
+    def test_dv_only_targets_its_file(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(spark, t, "f0.parquet", [(1, "a"), (2, "b")])
+        _write_file(spark, t, "f1.parquet", [(10, "x"), (20, "y")])
+        blob = dv_blob([0])
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": _z85_padded(blob),
+            "offset": 0,
+            "sizeInBytes": len(blob),
+            "cardinality": 1,
+        }
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions()
+            + [
+                {"add": _add("f0.parquet", t, dv)},
+                {"add": _add("f1.parquet", t)},
+            ],
+        )
+        got = sorted(r.k for r in read_delta(spark, t).collect())
+        assert got == [2, 10, 20]
+
+    def test_readded_file_with_new_dv_wins(self, spark, tmp_path):
+        # updating a DV = re-adding the same file with a new
+        # descriptor (real writers' MERGE-on-read update shape)
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(
+            spark, t, "f0.parquet", [(1, "a"), (2, "b"), (3, "c")]
+        )
+        b1 = dv_blob([0])
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions()
+            + [{"add": _add("f0.parquet", t, {
+                "storageType": "i",
+                "pathOrInlineDv": _z85_padded(b1),
+                "offset": 0,
+                "sizeInBytes": len(b1),
+                "cardinality": 1,
+            })}],
+        )
+        b2 = dv_blob([0, 1])
+        _commit(
+            os.path.join(t, "_delta_log"), 1,
+            [{"add": _add("f0.parquet", t, {
+                "storageType": "i",
+                "pathOrInlineDv": _z85_padded(b2),
+                "offset": 0,
+                "sizeInBytes": len(b2),
+                "cardinality": 2,
+            })}],
+        )
+        assert [r.k for r in read_delta(spark, t).collect()] == [3]
+        # time travel to version 0 sees the OLD vector's view
+        assert sorted(
+            r.k for r in read_delta(spark, t, version=0).collect()
+        ) == [2, 3]
+
+
+class TestGuards:
+    def test_unknown_v3_feature_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        acts = _base_actions()
+        acts[0]["protocol"]["readerFeatures"] = ["v2Checkpoint"]
+        _commit(os.path.join(t, "_delta_log"), 0, acts)
+        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+            read_delta(spark, t)
+
+    def test_writers_refuse_dv_tables(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            compact_delta,
+            delete_delta_keys,
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(spark, t, "f0.parquet", [(1, "a"), (2, "b")])
+        blob = dv_blob([0])
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions()
+            + [{"add": _add("f0.parquet", t, {
+                "storageType": "i",
+                "pathOrInlineDv": _z85_padded(blob),
+                "offset": 0,
+                "sizeInBytes": len(blob),
+                "cardinality": 1,
+            })}],
+        )
+        batch = spark.createDataFrame(
+            [(9, "z", 0)], "k long, v string, ts long"
+        )
+        with pytest.raises(NotImplementedError, match="deletion vector"):
+            merge_delta_batch(spark, batch, t, "k", "ts")
+        with pytest.raises(NotImplementedError, match="deletion vector"):
+            delete_delta_keys(
+                spark, t, "k", spark.createDataFrame([(1,)], "k long")
+            )
+        with pytest.raises(NotImplementedError, match="deletion vector"):
+            compact_delta(spark, t)
