@@ -531,6 +531,156 @@ def delta_column_mapping_read(spark, sf_dir):
 
 
 @register(
+    "delta_deletion_vector_read",
+    oracle=f"""
+    WITH b1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    b2 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT k, price FROM b1 WHERE rn > 100
+      UNION ALL SELECT k, price FROM b2 WHERE rn > 50
+    )
+    SELECT k % 5 AS k_mod, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM merged GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Delta DELETION VECTORS read as merge-on-read "
+    "(sources/delta.py + the stdlib RoaringBitmap codec in "
+    "formats/roaring.py): a reader-version-3 table whose two add "
+    "actions carry DV descriptors — one uuid-derived .bin file "
+    "(storageType u, z85 uuid, CRC-framed blob) deleting the first "
+    "100 row positions of the odd-key file, one INLINE z85 vector "
+    "deleting the first 50 positions of the even-key file. Both "
+    "files were written sorted by k, so the deleted positions ARE "
+    "the smallest keys, which the oracle states with row_number. "
+    "The vectors decode on executors (Arrow batch) and apply as one "
+    "anti-join on (file, _metadata.row_index).",
+)
+def delta_deletion_vector_read(spark, sf_dir):
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from optimus_any2any_spark.formats.roaring import (
+        dv_blob,
+        dv_file_write,
+        z85_encode,
+    )
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+
+    t = _fixture_dir("delta_dv", sf_dir)
+    os.makedirs(t, exist_ok=True)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "dv-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {"name": "k", "type": "long",
+                             "nullable": True, "metadata": {}},
+                            {"name": "price", "type": "double",
+                             "nullable": True, "metadata": {}},
+                        ],
+                    }
+                ),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+    ]
+
+    def _pad(b: bytes) -> str:
+        return z85_encode(b + b"\x00" * (-len(b) % 4))
+
+    specs = [
+        (o.filter(F.col("k") % 2 == 1), 100, "u"),
+        (o.filter(F.col("k") % 2 == 0), 50, "i"),
+    ]
+    for gi, (frame, n_del, st_) in enumerate(specs):
+        rel = f"part-0000{gi}-dv.parquet"
+        tmp = os.path.join(t, f"_tmp{gi}")
+        frame.repartition(1).sortWithinPartitions("k").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.replace(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(t, rel),
+        )
+        _shutil.rmtree(tmp)
+        blob = dv_blob(list(range(n_del)))
+        if st_ == "i":
+            dv = {
+                "storageType": "i",
+                "pathOrInlineDv": _pad(blob),
+                "offset": 0,
+                "sizeInBytes": len(blob),
+                "cardinality": n_del,
+            }
+        else:
+            uid = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{t}|dv{gi}")
+            (off,) = dv_file_write(
+                os.path.join(t, f"deletion_vector_{uid}.bin"), [blob]
+            )
+            dv = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(uid.bytes),
+                "offset": off,
+                "sizeInBytes": len(blob),
+                "cardinality": n_del,
+            }
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(t, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": dv,
+                }
+            }
+        )
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, "%020d.json" % 0), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 5).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_partitioned_merge",
     oracle=f"""
     WITH base AS (
