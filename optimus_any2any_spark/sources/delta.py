@@ -531,6 +531,14 @@ def read_delta_appends(
                 )
             add = a.get("add")
             if add and add.get("dataChange", True):
+                if add.get("deletionVector"):
+                    # a DV'd add is an UPDATE of an existing file, not
+                    # an append — reading its raw parquet would both
+                    # double-count and resurrect deleted rows
+                    raise ValueError(
+                        f"delta: commit {v} carries a deletion vector "
+                        "— not an append stream; use read_delta_cdf"
+                    )
                 pv = add.get("partitionValues") or {}
                 key = tuple(pv.get(c) for c in part_cols)
                 groups.setdefault(key, []).append(
@@ -588,7 +596,12 @@ def read_delta_cdf(
                 a.get("remove") and a["remove"].get("dataChange", True)
                 for a in actions
             )
-            if removes:
+            # a DV'd add is a row-level rewrite too: synthesizing
+            # inserts from its raw parquet would resurrect deleted rows
+            if removes or any(
+                a.get("add") and a["add"].get("deletionVector")
+                for a in actions
+            ):
                 raise ValueError(
                     f"delta: commit {v} rewrote data without change "
                     "data — CDF was not enabled for that commit"

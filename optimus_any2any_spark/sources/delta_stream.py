@@ -143,6 +143,12 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     )
                 add = a.get("add")
                 if add and add.get("dataChange", True):
+                    if add.get("deletionVector"):
+                        raise ValueError(
+                            f"delta_tail: commit {v} carries a "
+                            "deletion vector — the append stream "
+                            "contract is broken (row-level rewrite)"
+                        )
                     out.append(
                         _FileSlice(
                             os.path.join(self.table_path, add["path"]),
@@ -266,6 +272,12 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             for a in actions:
                 add = a.get("add")
                 if add and add.get("dataChange", True):
+                    if add.get("deletionVector"):
+                        raise ValueError(
+                            f"delta_cdf: commit {v} rewrote rows via "
+                            "a deletion vector without change data — "
+                            "CDF was not enabled for that commit"
+                        )
                     out.append(
                         _CdfSlice(
                             os.path.join(self.table_path, add["path"]),

@@ -421,25 +421,30 @@ def compact_delta(
                 }
             }
         )
-    rel_pid = spark.createDataFrame(
-        src,
-        T.StructType(
-            [
-                T.StructField("__rel", T.StringType(), False),
-                T.StructField("__pid", T.IntegerType(), False),
-            ]
-        ),
+    single = len(ptuples) == 1
+    cur = spark.read.schema(data_schema).parquet(
+        *[os.path.join(table_path, p) for p, _ in src]
     )
-    cur = (
-        spark.read.schema(data_schema)
-        .parquet(*[os.path.join(table_path, p) for p, _ in src])
-        .withColumn(
-            "__rel",
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+    if single:
+        cur = cur.withColumn("__pid", F.lit(0).cast("int"))
+    else:
+        rel_pid = spark.createDataFrame(
+            src,
+            T.StructType(
+                [
+                    T.StructField("__rel", T.StringType(), False),
+                    T.StructField("__pid", T.IntegerType(), False),
+                ]
+            ),
         )
-        .join(F.broadcast(rel_pid), "__rel", "inner")
-        .drop("__rel")
-    )
+        cur = (
+            cur.withColumn(
+                "__rel",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            .join(F.broadcast(rel_pid), "__rel", "inner")
+            .drop("__rel")
+        )
     total = cur.count()
     n_files = max(1, -(-total // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-compact-v{version}")
@@ -448,26 +453,42 @@ def compact_delta(
     # disjoint within each partition, so data skipping stays sharp
     # (the linear cousin of Delta's Z-ORDER-on-OPTIMIZE). File sizes
     # are approximate when a range partition spans a __pid boundary.
-    range_cols = [F.col("__pid")] + (
-        [F.col(stat_col)] if stat_col is not None else []
-    )
-    (
-        cur.repartitionByRange(n_files, *range_cols)
-        .write.partitionBy("__pid")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
     new_files: list[tuple[str, dict]] = []  # (rel, partitionValues)
-    for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
-        pid = int(os.path.basename(pdir).split("=", 1)[1])
-        pv = {c: v for c, v in zip(part_cols, ptuples[pid])}
+    if single:
+        out_df = cur.drop("__pid")
+        if stat_col is not None:
+            out_df = out_df.repartitionByRange(n_files, F.col(stat_col))
+        else:
+            out_df = out_df.coalesce(n_files)
+        out_df.write.mode("overwrite").parquet(tmp)
+        pv = {c: v for c, v in zip(part_cols, ptuples[0])}
         for part in sorted(
-            _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-compact.parquet"
             file_seq += 1
             os.replace(part, os.path.join(table_path, rel))
             new_files.append((rel, pv))
+    else:
+        range_cols = [F.col("__pid")] + (
+            [F.col(stat_col)] if stat_col is not None else []
+        )
+        (
+            cur.repartitionByRange(n_files, *range_cols)
+            .write.partitionBy("__pid")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            pv = {c: v for c, v in zip(part_cols, ptuples[pid])}
+            for part in sorted(
+                _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            ):
+                rel = f"part-{version:05d}-{file_seq:04d}-compact.parquet"
+                file_seq += 1
+                os.replace(part, os.path.join(table_path, rel))
+                new_files.append((rel, pv))
     shutil.rmtree(tmp)
     if not new_files:
         return None
@@ -712,7 +733,12 @@ def merge_delta_batch(
             hit_by_pid[pid_of[pt]] = hit
             hit_paths.extend(e["path"] for e in hit)
 
-    # attach __pid to batch rows (broadcast partition-tuple lookup)
+    # attach __pid to batch rows. A batch touching ONE partition
+    # (including every unpartitioned merge) needs no routing at all —
+    # constant pid, no broadcast join, and (below) a plain write
+    # instead of the dynamic-partition write with its per-task sort
+    # (~1s on the benched sf0.1 merge).
+    single = len(ptuples) == 1
     if part_cols:
         pid_schema = T.StructType(
             [latest.schema[c] for c in part_cols]
@@ -721,6 +747,13 @@ def merge_delta_batch(
         pid_df = spark.createDataFrame(
             [pt + (pid_of[pt],) for pt in ptuples], pid_schema
         )
+    else:
+        pid_df = None
+    if single or not part_cols:
+        latest_p = latest.select(*data_cols).withColumn(
+            "__pid", F.lit(0).cast("int")
+        )
+    else:
         pcond = None
         for c in part_cols:
             e = F.col(f"b.{c}").eqNullSafe(F.col(f"pd.{c}"))
@@ -731,11 +764,6 @@ def merge_delta_batch(
             .select(
                 *[F.col(f"b.{c}") for c in data_cols], F.col("pd.__pid")
             )
-        )
-    else:
-        pid_df = None
-        latest_p = latest.select(*data_cols).withColumn(
-            "__pid", F.lit(0).cast("int")
         )
 
     merged = latest_p
@@ -758,18 +786,22 @@ def merge_delta_batch(
         )
         # explicit schema: pre-evolution files read new columns
         # as null (Delta mergeSchema read semantics)
-        cur = (
-            spark.read.schema(data_schema)
-            .parquet(
-                *[os.path.join(table_path, r) for r, _ in rel_pid_rows]
-            )
-            .withColumn(
-                "__rel",
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-            )
-            .join(F.broadcast(rel_pid), "__rel", "inner")
-            .drop("__rel")
+        cur = spark.read.schema(data_schema).parquet(
+            *[os.path.join(table_path, r) for r, _ in rel_pid_rows]
         )
+        if single:
+            cur = cur.withColumn("__pid", F.lit(0).cast("int"))
+        else:
+            cur = (
+                cur.withColumn(
+                    "__rel",
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ),
+                )
+                .join(F.broadcast(rel_pid), "__rel", "inner")
+                .drop("__rel")
+            )
         bk = latest_p.select(
             F.col(key_col).alias("__bk"), F.col("__pid").alias("__bpid")
         )
@@ -802,24 +834,40 @@ def merge_delta_batch(
     n_rows = n_total + total_hit_rows
     n_files = max(1, -(-n_rows // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
-    (
-        merged.repartitionByRange(
-            n_files, F.col("__pid"), F.col(key_col)
+    if single:
+        (
+            merged.drop("__pid")
+            .repartitionByRange(n_files, F.col(key_col))
+            .write.mode("overwrite")
+            .parquet(tmp)
         )
-        .write.partitionBy("__pid")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
-        pid = int(os.path.basename(pdir).split("=", 1)[1])
-        pv = pv_str_of[ptuples[pid]]
+        pv = pv_str_of[ptuples[0]]
         for part in sorted(
-            _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
             file_seq += 1
             os.replace(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
+    else:
+        (
+            merged.repartitionByRange(
+                n_files, F.col("__pid"), F.col(key_col)
+            )
+            .write.partitionBy("__pid")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            pv = pv_str_of[ptuples[pid]]
+            for part in sorted(
+                _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            ):
+                rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
+                file_seq += 1
+                os.replace(part, os.path.join(table_path, rel))
+                new_adds.append({"path": rel, "partitionValues": pv})
     shutil.rmtree(tmp)
 
     cdc_rel: list[str] = []
@@ -1042,26 +1090,31 @@ def delete_delta_keys(
     ptuples = sorted({pt for _, pt in hits}, key=str)
     pid_of = {pt: i for i, pt in enumerate(ptuples)}
     hit_paths = [p for p, _ in hits]
-    rel_pid = spark.createDataFrame(
-        [(p, pid_of[pt]) for p, pt in hits],
-        T.StructType(
-            [
-                T.StructField("__rel", T.StringType(), False),
-                T.StructField("__pid", T.IntegerType(), False),
-            ]
-        ),
+    single = len(ptuples) == 1
+    cur = spark.read.schema(data_schema).parquet(
+        *[os.path.join(table_path, p) for p in hit_paths]
     )
-    cur = (
-        spark.read.schema(data_schema)
-        .parquet(*[os.path.join(table_path, p) for p in hit_paths])
-        .withColumn(
-            "__rel",
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+    if single:
+        cur = cur.withColumn("__pid", F.lit(0).cast("int")).alias("cur")
+    else:
+        rel_pid = spark.createDataFrame(
+            [(p, pid_of[pt]) for p, pt in hits],
+            T.StructType(
+                [
+                    T.StructField("__rel", T.StringType(), False),
+                    T.StructField("__pid", T.IntegerType(), False),
+                ]
+            ),
         )
-        .join(F.broadcast(rel_pid), "__rel", "inner")
-        .drop("__rel")
-        .alias("cur")
-    )
+        cur = (
+            cur.withColumn(
+                "__rel",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            .join(F.broadcast(rel_pid), "__rel", "inner")
+            .drop("__rel")
+            .alias("cur")
+        )
     nk = kdf.alias("nk")
     match = F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}"))
     keep = cur.join(nk, match, "left_anti")
@@ -1071,22 +1124,40 @@ def delete_delta_keys(
     file_seq = 0
     n_files = max(1, -(-hit_rows_total // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-delete-v{version}")
-    (
-        keep.repartitionByRange(n_files, F.col("__pid"), F.col(key_col))
-        .write.partitionBy("__pid")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
-    for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
-        pid = int(os.path.basename(pdir).split("=", 1)[1])
-        pv = {c: v for c, v in zip(part_cols, ptuples[pid])}
+    if single:
+        (
+            keep.drop("__pid")
+            .repartitionByRange(n_files, F.col(key_col))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        pv = {c: v for c, v in zip(part_cols, ptuples[0])}
         for part in sorted(
-            _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-delete.parquet"
             file_seq += 1
             os.replace(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
+    else:
+        (
+            keep.repartitionByRange(
+                n_files, F.col("__pid"), F.col(key_col)
+            )
+            .write.partitionBy("__pid")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            pv = {c: v for c, v in zip(part_cols, ptuples[pid])}
+            for part in sorted(
+                _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            ):
+                rel = f"part-{version:05d}-{file_seq:04d}-delete.parquet"
+                file_seq += 1
+                os.replace(part, os.path.join(table_path, rel))
+                new_adds.append({"path": rel, "partitionValues": pv})
     shutil.rmtree(tmp)
 
     cdc_rel: list[str] = []

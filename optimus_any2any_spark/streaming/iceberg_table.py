@@ -486,8 +486,11 @@ def merge_iceberg_batch(
     snapshot_id = version
 
     # attach __pid to batch rows (broadcast partition-tuple lookup);
-    # Iceberg data files keep ALL columns, so __pid only routes rows
-    if part_cols:
+    # Iceberg data files keep ALL columns, so __pid only routes rows.
+    # One touched partition (incl. every unpartitioned merge) skips
+    # the routing AND the dynamic-partition write below.
+    single = len(ptuples) == 1
+    if part_cols and not single:
         pid_schema_fields = [schema[c] for c in part_cols]
         from pyspark.sql import types as T
 
@@ -515,6 +518,7 @@ def merge_iceberg_batch(
 
         latest_p = _with_pid(latest)
     else:
+        _with_pid = None
         latest_p = latest.withColumn("__pid", F.lit(0).cast("int"))
 
     merged = latest_p
@@ -526,8 +530,10 @@ def merge_iceberg_batch(
                 for e in hit_entries
             ]
         )
-        cur_p = _with_pid(cur) if part_cols else cur.withColumn(
-            "__pid", F.lit(0).cast("int")
+        cur_p = (
+            _with_pid(cur)
+            if _with_pid is not None
+            else cur.withColumn("__pid", F.lit(0).cast("int"))
         )
         bk = latest_p.select(
             F.col(key_col).alias("__bk"), F.col("__pid").alias("__bpid")
@@ -549,26 +555,44 @@ def merge_iceberg_batch(
     n_rows = n_total + hit_rows
     n_files = max(1, -(-n_rows // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-icemerge-v{version}")
-    (
-        merged.repartitionByRange(n_files, F.col("__pid"), F.col(key_col))
-        .write.partitionBy("__pid")
-        .mode("overwrite")
-        .parquet(tmp)
-    )
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
     new_rel: list[str] = []
     pt_of_rel: dict[str, tuple] = {}
     file_seq = 0
-    for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
-        pid = int(os.path.basename(pdir).split("=", 1)[1])
+    if single:
+        (
+            merged.drop("__pid")
+            .repartitionByRange(n_files, F.col(key_col))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
         for part in sorted(
-            _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
             rel = f"data/{version:05d}-{file_seq:04d}-merge.parquet"
             file_seq += 1
             os.replace(part, os.path.join(table_path, rel))
             new_rel.append(rel)
-            pt_of_rel[rel] = ptuples[pid]
+            pt_of_rel[rel] = ptuples[0]
+    else:
+        (
+            merged.repartitionByRange(
+                n_files, F.col("__pid"), F.col(key_col)
+            )
+            .write.partitionBy("__pid")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            for part in sorted(
+                _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            ):
+                rel = f"data/{version:05d}-{file_seq:04d}-merge.parquet"
+                file_seq += 1
+                os.replace(part, os.path.join(table_path, rel))
+                new_rel.append(rel)
+                pt_of_rel[rel] = ptuples[pid]
     shutil.rmtree(tmp)
 
     per_file = {}

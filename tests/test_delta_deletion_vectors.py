@@ -264,3 +264,34 @@ class TestGuards:
             )
         with pytest.raises(NotImplementedError, match="deletion vector"):
             compact_delta(spark, t)
+
+
+class TestIncrementalSurfacesReject:
+    def test_appends_and_cdf_reject_dv_commits(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import (
+            read_delta_appends,
+            read_delta_cdf,
+        )
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(spark, t, "f0.parquet", [(1, "a"), (2, "b")])
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions() + [{"add": _add("f0.parquet", t)}],
+        )
+        blob = dv_blob([0])
+        _commit(
+            os.path.join(t, "_delta_log"), 1,
+            [{"add": _add("f0.parquet", t, {
+                "storageType": "i",
+                "pathOrInlineDv": _z85_padded(blob),
+                "offset": 0,
+                "sizeInBytes": len(blob),
+                "cardinality": 1,
+            })}],
+        )
+        with pytest.raises(ValueError, match="deletion vector"):
+            read_delta_appends(spark, t, 0, 1).collect()
+        with pytest.raises(ValueError, match="change data"):
+            read_delta_cdf(spark, t, 0, 1).collect()
