@@ -85,11 +85,48 @@ def replay_log(
                 for i in range(parts)
             ]
         else:
-            checkpoint_files = [
-                os.path.join(
-                    log, "%020d.checkpoint.parquet" % checkpoint_version
+            classic = os.path.join(
+                log, "%020d.checkpoint.parquet" % checkpoint_version
+            )
+            if os.path.exists(classic):
+                checkpoint_files = [classic]
+            else:
+                # v2 spec: uuid-named
+                # <version>.checkpoint.<uniqueStr>.{parquet|json}
+                import glob as _cp_glob
+
+                cands = sorted(
+                    _cp_glob.glob(
+                        os.path.join(
+                            log,
+                            "%020d.checkpoint.*.parquet"
+                            % checkpoint_version,
+                        )
+                    )
+                    + _cp_glob.glob(
+                        os.path.join(
+                            log,
+                            "%020d.checkpoint.*.json"
+                            % checkpoint_version,
+                        )
+                    )
                 )
-            ]
+                # exclude classic multi-part names (two numeric parts)
+                cands = [
+                    c
+                    for c in cands
+                    if not __import__("re").fullmatch(
+                        r".*\.checkpoint\.\d{10}\.\d{10}\.parquet",
+                        c,
+                    )
+                ]
+                if not cands:
+                    raise ValueError(
+                        f"delta: _last_checkpoint names version "
+                        f"{checkpoint_version} but no checkpoint file "
+                        "exists"
+                    )
+                checkpoint_files = [cands[-1]]
     if version is not None and checkpoint_version > version:
         # time travel behind the checkpoint: replay JSON from scratch
         checkpoint_version = -1
@@ -134,10 +171,57 @@ def replay_log(
             live.pop(remove["path"], None)
 
     if checkpoint_files:
-        # a checkpoint is PLAIN PARQUET of the same action structs
-        for row in spark.read.parquet(*checkpoint_files).collect():
-            d = row.asDict(recursive=True)
-            apply({k: v for k, v in d.items() if v is not None})
+        # classic checkpoints are PLAIN PARQUET of the action structs;
+        # the v2 spec adds json checkpoints, a checkpointMetadata
+        # marker row, and sidecar actions whose _sidecars/ parquet
+        # files hold the file actions
+        rows_: list[dict] = []
+        for cf in checkpoint_files:
+            if cf.endswith(".json"):
+                with open(cf) as f:
+                    rows_.extend(
+                        json.loads(ln) for ln in f if ln.strip()
+                    )
+            else:
+                rows_.extend(
+                    {
+                        k: v
+                        for k, v in r.asDict(recursive=True).items()
+                        if v is not None
+                    }
+                    for r in spark.read.parquet(cf).collect()
+                )
+        sidecars: list[str] = []
+        for d in rows_:
+            sc_ = d.get("sidecar")
+            if sc_ and sc_.get("path"):
+                sidecars.append(sc_["path"])
+                continue
+            cpm = d.get("checkpointMetadata")
+            if cpm:
+                if int(cpm.get("version", checkpoint_version)) != (
+                    checkpoint_version
+                ):
+                    raise ValueError(
+                        "delta: v2 checkpoint metadata names version "
+                        f"{cpm.get('version')} but the file is for "
+                        f"{checkpoint_version}"
+                    )
+                continue
+            apply(d)
+        for sp in sidecars:
+            full = (
+                sp
+                if sp.startswith("/")
+                else os.path.join(log, "_sidecars", sp)
+            )
+            for r in spark.read.parquet(full).collect():
+                d = {
+                    k: v
+                    for k, v in r.asDict(recursive=True).items()
+                    if v is not None
+                }
+                apply(d)
     for fname in commits:
         with open(os.path.join(log, fname)) as f:
             for line in f:
@@ -153,6 +237,7 @@ def replay_log(
         feats = set(protocol.get("readerFeatures") or [])
         unknown = feats - {
             "deletionVectors", "columnMapping", "timestampNtz",
+            "v2Checkpoint",
         }
         if unknown:
             raise NotImplementedError(

@@ -226,9 +226,9 @@ class TestGuards:
         t = str(tmp_path / "tbl")
         os.makedirs(t)
         acts = _base_actions()
-        acts[0]["protocol"]["readerFeatures"] = ["v2Checkpoint"]
+        acts[0]["protocol"]["readerFeatures"] = ["typeWidening"]
         _commit(os.path.join(t, "_delta_log"), 0, acts)
-        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        with pytest.raises(NotImplementedError, match="typeWidening"):
             read_delta(spark, t)
 
     def test_writers_refuse_dv_tables(self, spark, tmp_path):
