@@ -79,6 +79,12 @@ _SF1_QUERIES = [
     # 10x data — a super-linear result here would mean the corpus
     # leaked into an epoch
     "classifier_perceptron_train",
+    # round-5 single-job partitioned merges: constant partition count,
+    # 10x rows per partition — merge IO is the update footprint, so
+    # the spot should scale with the data, never with a per-partition
+    # driver loop (that loop is what round 5 removed)
+    "delta_partitioned_merge",
+    "iceberg_partitioned_merge",
     # dedup_semantic_trained and ann_ivf_topk are deliberately absent:
     # both are quadratic at FIXED partition granularity (k=8 clusters /
     # 64 IVF cells, pinned by their oracles), and their scale story is
@@ -150,6 +156,17 @@ def _sf1_dir(spark, sf_dir: str) -> str:
         ).alias("embedding"),
         "label",
     ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    # events 10x for the lakehouse-merge spots: replicas shift keys by
+    # 1e9, event_type cardinality (= partition count) stays constant —
+    # rows per partition grow 10x, exactly the backfill shape the
+    # single-job partitioned merge exists for
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").crossJoin(reps)
+    ev.select(
+        (F.col("event_id") + F.col("rep") * F.lit(1_000_000_000)).alias(
+            "event_id"
+        ),
+        *[c for c in ev.columns if c not in ("event_id", "rep")],
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
     open(f"{out}/_DONE", "w").close()
     return out
 
