@@ -248,6 +248,62 @@ def delta_delete_erasure(spark, sf_dir):
 
 
 @register(
+    "delta_dv_delete_erasure",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    kept AS (SELECT k, price FROM base WHERE k % 7 <> 0 AND k % 9 <> 0)
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM kept GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="MERGE-ON-READ DELETE via deletion vectors "
+    "(delete_delta_keys use_deletion_vectors=True): two successive "
+    "erasures (k%7=0, then k%9=0) re-add the affected files with "
+    "RoaringBitmapArray DV descriptors — no data file is rewritten, "
+    "the second delete EXTENDS the first's vectors, write "
+    "amplification is O(deleted row indexes). The snapshot read "
+    "applies the vectors as one (_metadata.row_index) anti-join; the "
+    "oracle is the doubly-erased set as SQL.",
+)
+def delta_dv_delete_erasure(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        delete_delta_keys,
+        merge_delta_batch,
+    )
+
+    t = _fixture_dir("delta_dvdel", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=4000
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame([], _EMPTY_AGG)  # empty source
+    delete_delta_keys(
+        spark, t, "k", base.select("k").filter(F.col("k") % 7 == 0),
+        batch_id=1, use_deletion_vectors=True,
+    )
+    delete_delta_keys(
+        spark, t, "k", base.select("k").filter(F.col("k") % 9 == 0),
+        batch_id=2, use_deletion_vectors=True,
+    )
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "delta_cdf_read",
     oracle=f"""
     WITH base AS (

@@ -197,6 +197,12 @@ def delta_sink(df: DataFrame, cfg: Config):
             key,
             df.select(key),
             change_data=(c.get("change_data", "").lower() == "true"),
+            # DELTA__USE_DV=true: merge-on-read erasure — deletion
+            # vectors instead of file rewrites (O(deleted rows) write
+            # amplification)
+            use_deletion_vectors=(
+                c.get("use_dv", "").lower() == "true"
+            ),
         )
     else:
         raise ValueError(f"DELTA sink: unknown mode {mode!r}")

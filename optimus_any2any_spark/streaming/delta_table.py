@@ -1010,6 +1010,226 @@ def merge_delta_batch(
     return version
 
 
+_MAX_DV_ROWS = 5_000_000  # driver-side DV build cap
+
+
+def _delete_via_dv(
+    spark, table_path, key_col, kdf, state, hits, version,
+    app_id, batch_id, change_data, part_cols, data_schema, type_of,
+    schema,
+):
+    """Merge-on-read DELETE: matching row positions per affected file
+    become deletion vectors; files are RE-ADDED with DV descriptors,
+    never rewritten. One scan of the affected files (with Spark's
+    ``_metadata.row_index``), one grouped collect of position lists
+    (bounded by ``_MAX_DV_ROWS``), one ``.bin`` holding every blob."""
+    import uuid as _uuid
+
+    from optimus_any2any_spark.formats.roaring import (
+        dv_blob,
+        dv_blob_decode,
+        dv_file_read,
+        dv_file_write,
+        z85_decode,
+        z85_encode,
+    )
+    from optimus_any2any_spark.sources.delta import _localize_delta
+
+    hit_paths = [p for p, _ in hits]
+    # everything downstream keys by file BASENAME (what
+    # _metadata.file_path yields); map back to the log's path strings,
+    # which may carry subdirectories on external tables
+    path_of = {p.rsplit("/", 1)[-1]: p for p in hit_paths}
+    pv_of = {
+        bn: (state["live"][p].get("partitionValues") or {})
+        for bn, p in path_of.items()
+    }
+
+    def _existing_positions(add: dict) -> list[int]:
+        dv = add.get("deletionVector")
+        if not dv:
+            return []
+        st_ = dv["storageType"]
+        if st_ == "i":
+            blob = z85_decode(dv["pathOrInlineDv"])[
+                : int(dv["sizeInBytes"])
+            ]
+        else:
+            if st_ == "u":
+                enc = dv["pathOrInlineDv"]
+                prefix, uid_txt = enc[:-20], enc[-20:]
+                uid = _uuid.UUID(bytes=z85_decode(uid_txt))
+                rel = f"deletion_vector_{uid}.bin"
+                fpath = (
+                    os.path.join(table_path, prefix, rel)
+                    if prefix
+                    else os.path.join(table_path, rel)
+                )
+            else:
+                fpath = _localize_delta(
+                    table_path, dv["pathOrInlineDv"]
+                )
+            blob = dv_file_read(
+                fpath, int(dv.get("offset") or 0), int(dv["sizeInBytes"])
+            )
+        return dv_blob_decode(blob)
+
+    already = {
+        bn: _existing_positions(state["live"][p])
+        for bn, p in path_of.items()
+    }
+
+    cur = (
+        spark.read.schema(data_schema)
+        .parquet(*[os.path.join(table_path, p) for p in hit_paths])
+        .select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__bn"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    )
+    nk = kdf.select(F.col(key_col).alias("__nk"))
+    matched = cur.join(
+        F.broadcast(nk) if kdf.count() <= _MAX_DRIVER_KEYS else nk,
+        F.col(key_col).eqNullSafe(F.col("__nk")),
+        "inner",
+    ).drop("__nk")
+    # drop rows an EXISTING vector already deleted (re-deleting them
+    # would double-report in the CDF and inflate cardinality)
+    if any(already.values()):
+        prior = spark.createDataFrame(
+            [
+                (bn, pos)
+                for bn, poss in already.items()
+                for pos in poss
+            ],
+            "__bn string, __pos long",
+        )
+        matched = matched.join(prior, ["__bn", "__pos"], "left_anti")
+    matched = matched.persist()
+    try:
+        per_file = (
+            matched.groupBy("__bn")
+            .agg(F.sort_array(F.collect_list("__pos")).alias("poss"))
+            .collect()
+        )
+        if not per_file:
+            return state["version"]  # stats false-positive: no-op
+        n_del = sum(len(r["poss"]) for r in per_file)
+        if n_del > _MAX_DV_ROWS:
+            raise ValueError(
+                f"delta delete: {n_del} deleted rows exceed the "
+                f"deletion-vector build cap ({_MAX_DV_ROWS}) — run the "
+                "copy-on-write delete (use_deletion_vectors=False)"
+            )
+
+        uid = _uuid.uuid4()
+        bin_rel = f"deletion_vector_{uid}.bin"
+        blobs = []
+        order = []
+        for r in per_file:
+            bn = r["__bn"]
+            positions = sorted(set(already.get(bn, [])) | set(r["poss"]))
+            blobs.append(dv_blob(positions))
+            order.append((bn, len(positions)))
+        offsets = dv_file_write(
+            os.path.join(table_path, bin_rel), blobs
+        )
+
+        actions: list[dict] = []
+        proto = state.get("protocol") or {}
+        # dict-replay state may not carry protocol; re-read minimal
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        )
+        del proto
+        if batch_id is not None:
+            actions.append(
+                {"txn": {"appId": app_id, "version": batch_id}}
+            )
+        for (bn, card), blob, off in zip(order, blobs, offsets):
+            add = dict(state["live"][path_of[bn]])
+            add["dataChange"] = True
+            add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(uid.bytes),
+                "offset": off,
+                "sizeInBytes": len(blob),
+                "cardinality": card,
+            }
+            actions.append({"add": add})
+
+        cdc_rel: list[str] = []
+        if change_data:
+            deleted = matched.drop("__pos")
+            if part_cols:
+                pv_rows = [
+                    (bn,) + tuple(
+                        pv_of[bn].get(c) for c in part_cols
+                    )
+                    for bn in pv_of
+                ]
+                pvdf = spark.createDataFrame(
+                    pv_rows,
+                    T.StructType(
+                        [T.StructField("__bn", T.StringType(), False)]
+                        + [
+                            T.StructField(c, T.StringType(), True)
+                            for c in part_cols
+                        ]
+                    ),
+                ).select(
+                    "__bn",
+                    *[
+                        F.col(c).cast(type_of[c]).alias(c)
+                        for c in part_cols
+                    ],
+                )
+                deleted = deleted.join(F.broadcast(pvdf), "__bn")
+            changes_all = deleted.withColumn(
+                "_change_type", F.lit("delete")
+            ).select(*schema.fieldNames(), "_change_type")
+            cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
+            changes_all.write.mode("overwrite").parquet(cdc_tmp)
+            os.makedirs(
+                os.path.join(table_path, "_change_data"), exist_ok=True
+            )
+            for i, part in enumerate(
+                sorted(
+                    _glob.glob(os.path.join(cdc_tmp, "part-*.parquet"))
+                )
+            ):
+                rel = f"_change_data/cdc-{version:05d}-{i:04d}.parquet"
+                os.replace(part, os.path.join(table_path, rel))
+                cdc_rel.append(rel)
+            shutil.rmtree(cdc_tmp)
+        for rel in cdc_rel:
+            full = os.path.join(table_path, rel)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(full),
+                        "dataChange": False,
+                    }
+                }
+            )
+        _commit(_log_dir(table_path), version, actions)
+        return version
+    finally:
+        matched.unpersist()
+
+
 def delete_delta_keys(
     spark: SparkSession,
     table_path: str,
@@ -1019,21 +1239,35 @@ def delete_delta_keys(
     batch_id: int | None = None,
     change_data: bool = False,
     target_rows_per_file: int = 1_000_000,
+    use_deletion_vectors: bool = False,
 ) -> int:
-    """Copy-on-write DELETE by key — the third verb of the CRUD story
-    (merge covers insert/update). Affected files are pruned exactly
-    like a merge (partition group, then key stats); each is rewritten
-    without the matching rows, a file whose every row matched simply
-    gets no replacement, and ``change_data=True`` records the removed
-    rows as ``delete`` CDF entries (the GDPR-erasure shape: the CDF
-    tells downstream consumers WHICH rows to forget). Returns the
-    committed version (or the current one when nothing matched —
-    no-op deletes burn no version)."""
+    """DELETE by key — the third verb of the CRUD story (merge covers
+    insert/update). Affected files are pruned exactly like a merge
+    (partition group, then key stats).
+
+    Default (copy-on-write): each affected file is rewritten without
+    the matching rows; a file whose every row matched simply gets no
+    replacement.
+
+    ``use_deletion_vectors=True`` (merge-on-read): NO file is
+    rewritten — the matching ROW POSITIONS per file are serialized as
+    Delta deletion vectors (RoaringBitmapArray blobs in one ``.bin``
+    per commit) and each file is re-added with its DV descriptor,
+    upgrading the protocol to readerVersion 3 + deletionVectors. Write
+    amplification drops from O(affected file bytes) to O(deleted row
+    indexes) — the GDPR-erasure shape at 100 TB. A file that already
+    carries a DV has its positions MERGED (the update form real
+    writers commit).
+
+    ``change_data=True`` records the removed rows as ``delete`` CDF
+    entries either way. Returns the committed version (or the current
+    one when nothing matched — no-op deletes burn no version)."""
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         raise ValueError(f"delta delete: no table at {table_path}")
     _reject_mapped(state["meta"], "delete")
-    _reject_dv(state, "delete")
+    if not use_deletion_vectors:
+        _reject_dv(state, "delete")
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -1086,6 +1320,13 @@ def delete_delta_keys(
             hit_rows_total += max(e["rows"], 0)
     if not hits:
         return state["version"]  # no file matched: nothing to commit
+
+    if use_deletion_vectors:
+        return _delete_via_dv(
+            spark, table_path, key_col, kdf, state, hits, version,
+            app_id, batch_id, change_data, part_cols, data_schema,
+            type_of, schema,
+        )
 
     ptuples = sorted({pt for _, pt in hits}, key=str)
     pid_of = {pt: i for i, pt in enumerate(ptuples)}

@@ -295,3 +295,143 @@ class TestIncrementalSurfacesReject:
             read_delta_appends(spark, t, 0, 1).collect()
         with pytest.raises(ValueError, match="change data"):
             read_delta_cdf(spark, t, 0, 1).collect()
+
+
+class TestDvWritingDelete:
+    """delete_delta_keys(use_deletion_vectors=True): merge-on-read —
+    files are re-added with DV descriptors, never rewritten; repeated
+    deletes extend the vectors; CDF records exactly the newly-deleted
+    rows."""
+
+    def _seed(self, spark, t, partitioned=False):
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        if partitioned:
+            df = spark.createDataFrame(
+                [(k, f"v{k}", 0, f"d{k % 2}") for k in range(8)],
+                "k long, v string, ts long, d string",
+            )
+            merge_delta_batch(
+                spark, df, t, "k", "ts", partition_by=["d"],
+                change_data=True,
+            )
+        else:
+            df = spark.createDataFrame(
+                [(k, f"v{k}", 0) for k in range(8)],
+                "k long, v string, ts long",
+            )
+            merge_delta_batch(spark, df, t, "k", "ts", change_data=True)
+
+    def test_rows_gone_files_untouched(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        before = {
+            p: os.path.getmtime(os.path.join(t, p))
+            for p in replay_log_live(spark, t)
+        }
+        delete_delta_keys(
+            spark, t, "k",
+            spark.createDataFrame([(2,), (5,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        after_live = replay_log_live(spark, t)
+        # same data files, now carrying DV descriptors
+        assert set(after_live) == set(before)
+        for p in after_live:
+            assert os.path.getmtime(os.path.join(t, p)) == before[p]
+            assert after_live[p].get("deletionVector")
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 1, 3, 4, 6, 7,
+        ]
+
+    def test_second_delete_extends_the_vector(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(5,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 1, 3, 4, 6, 7,
+        ]
+
+    def test_cdf_records_only_new_deletes(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        v1 = delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True, change_data=True,
+        )
+        # re-deleting 2 plus 5: only 5 is NEW
+        v2 = delete_delta_keys(
+            spark, t, "k",
+            spark.createDataFrame([(2,), (5,)], "k long"),
+            use_deletion_vectors=True, change_data=True,
+        )
+        ch1 = read_delta_cdf(spark, t, v1 - 1, v1).collect()
+        ch2 = read_delta_cdf(spark, t, v2 - 1, v2).collect()
+        assert sorted(r.k for r in ch1) == [2]
+        assert sorted(r.k for r in ch2) == [5]
+        assert all(r._change_type == "delete" for r in ch1 + ch2)
+
+    def test_partitioned_cdf_carries_typed_partition_cols(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t, partitioned=True)
+        v = delete_delta_keys(
+            spark, t, "k",
+            spark.createDataFrame([(3,), (4,)], "k long"),
+            use_deletion_vectors=True, change_data=True,
+        )
+        ch = read_delta_cdf(spark, t, v - 1, v).collect()
+        assert sorted((r.k, r.d) for r in ch) == [(3, "d1"), (4, "d0")]
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 1, 2, 5, 6, 7,
+        ]
+
+    def test_noop_burns_no_version(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        from optimus_any2any_spark.sources.delta import replay_log
+
+        v0 = replay_log(spark, t)["version"]
+        v = delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(999,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        assert v == v0
+
+
+def replay_log_live(spark, t):
+    from optimus_any2any_spark.sources.delta import replay_log
+
+    return replay_log(spark, t)["live"]
