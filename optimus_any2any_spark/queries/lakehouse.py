@@ -905,6 +905,61 @@ def iceberg_row_level_deletes(spark, sf_dir):
 
 
 @register(
+    "iceberg_eq_delete_erasure",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    kept AS (SELECT k, price FROM base WHERE k % 7 <> 0 AND k % 9 <> 0)
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM kept GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Iceberg MERGE-ON-READ DELETE (delete_iceberg_keys): two "
+    "successive erasures commit ONE equality-delete file each (the "
+    "distinct key set, written distributed — never collected) plus a "
+    "delete manifest; no data file is read or rewritten, so write "
+    "amplification is O(distinct keys). The snapshot reader applies "
+    "them as sequence-gated null-safe anti-joins over equality_ids. "
+    "Delta twin: delta_dv_delete_erasure.",
+)
+def iceberg_eq_delete_erasure(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_keys,
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_eqdel", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=4000
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame([], _EMPTY_AGG)  # empty source
+    delete_iceberg_keys(
+        spark, t, "k", base.select("k").filter(F.col("k") % 7 == 0),
+        batch_id=1,
+    )
+    delete_iceberg_keys(
+        spark, t, "k", base.select("k").filter(F.col("k") % 9 == 0),
+        batch_id=2,
+    )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_snapshot_read",
     oracle=f"""
     WITH snap1 AS (

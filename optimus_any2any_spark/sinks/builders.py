@@ -231,7 +231,9 @@ def delta_sink(df: DataFrame, cfg: Config):
 def iceberg_sink(df: DataFrame, cfg: Config):
     """Beyond-reference lakehouse sink: write records as Iceberg v1
     snapshots (open spec, stdlib Avro manifests).
-    ``ICEBERG__SINK_URI=file:///path``; ``ICEBERG__MODE`` is ``APPEND``
+    ``ICEBERG__SINK_URI=file:///path``; ``ICEBERG__MODE`` is ``APPEND``,
+    ``DELETE`` (equality-delete merge-on-read erasure by
+    ``ICEBERG__MERGE_KEY``),
     (default; one snapshot of added files) or ``MERGE``
     (snapshot-committing copy-on-write upsert; needs
     ``ICEBERG__MERGE_KEY``/``ICEBERG__MERGE_TS``). Readable by
@@ -260,6 +262,19 @@ def iceberg_sink(df: DataFrame, cfg: Config):
                 "and ICEBERG__MERGE_TS"
             )
         merge_iceberg_batch(df.sparkSession, df, path, key, ts)
+    elif mode == "DELETE":
+        # merge-on-read erasure: one equality-delete file per commit,
+        # no data files touched (O(distinct keys) write amplification)
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+        )
+
+        key = c.get("merge_key")
+        if not key:
+            raise ValueError(
+                "ICEBERG sink DELETE mode requires ICEBERG__MERGE_KEY"
+            )
+        delete_iceberg_keys(df.sparkSession, path, key, df.select(key))
     else:
         raise ValueError(f"ICEBERG sink: unknown mode {mode!r}")
     return n

@@ -138,6 +138,10 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "content", "type": "int", "field-id": 517, "default": 0},
         {"name": "added_snapshot_id", "type": ["null", "long"],
          "default": None, "field-id": 503},
+        # v2: data-sequence number inherited by the manifest's entries
+        # (a merge's new files must outrank earlier equality deletes)
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 515},
     ],
 }
 
@@ -664,6 +668,8 @@ def merge_iceberg_batch(
         manifest_entry_schema(part_fields),
         new_entries,
     )
+    for r in carried:
+        r.setdefault("sequence_number", None)
     ml_rows = list(carried) + [
         {
             "manifest_path": manifest_rel,
@@ -673,6 +679,7 @@ def merge_iceberg_batch(
             "partition_spec_id": int(meta.get("default-spec-id", 0)),
             "content": 0,
             "added_snapshot_id": snapshot_id,
+            "sequence_number": version,
         }
     ]
     ml_rel = (
@@ -707,6 +714,191 @@ def merge_iceberg_batch(
     with open(tmph, "w") as f:
         f.write(str(version))
     os.replace(tmph, hint)  # the atomic step: the hint names the table
+    return version
+
+
+def delete_iceberg_keys(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    keys: DataFrame,
+    app_id: str = DEFAULT_APP_ID,
+    batch_id: int | None = None,
+) -> int:
+    """MERGE-ON-READ DELETE by key: commit ONE equality-delete file
+    (the distinct key set, written distributed — never collected) and
+    a delete manifest; no data file is read or rewritten. The snapshot
+    reader applies it as a sequence-gated anti-join, so rows appended
+    AFTER this commit with the same keys stay alive — write
+    amplification is O(distinct keys), the Iceberg-native GDPR-erasure
+    shape. Upgrades the table metadata to format-version 2. Returns
+    the committed metadata version (unchanged on a no-op or an
+    idempotent redelivery).
+
+    The copy-on-write alternative for Iceberg is ``merge_iceberg_batch``
+    (rewrite the affected files); note that writer refuses tables that
+    already carry delete manifests — it cannot re-rank survivor
+    entries across sequence numbers."""
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg delete: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    snaps = meta.get("snapshots") or []
+    if batch_id is not None:
+        for sn in reversed(snaps):
+            summ = sn.get("summary") or {}
+            if summ.get("optimus-app-id") == app_id:
+                last = summ.get("optimus-batch-id")
+                if last is not None and batch_id <= int(last):
+                    return prev_version
+                break
+    fid, _ice_t = _key_field(meta, key_col)
+    schema = iceberg_spark_schema(meta)
+    kdf = keys.select(
+        F.col(key_col).cast(schema[key_col].dataType).alias(key_col)
+    ).distinct()
+    version = prev_version + 1
+    snapshot_id = version
+    seq = version
+
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    tmp = os.path.join(table_path, f"_tmp-eqdel-v{version}")
+    kdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    parts = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    rel = f"data/{version:05d}-delete-eq.parquet"
+    os.replace(parts[0], os.path.join(table_path, rel))
+    shutil.rmtree(tmp)
+    n_keys = int(
+        spark.read.parquet(os.path.join(table_path, rel)).count()
+    )
+    if n_keys == 0:
+        os.remove(os.path.join(table_path, rel))
+        return prev_version
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int",
+                         "field-id": 134},
+                        {"name": "file_path", "type": "string",
+                         "field-id": 100},
+                        {"name": "file_format", "type": "string",
+                         "field-id": 101},
+                        {"name": "partition",
+                         "type": {"type": "record", "name": "r102",
+                                  "fields": []},
+                         "field-id": 102},
+                        {"name": "record_count", "type": "long",
+                         "field-id": 103},
+                        {"name": "file_size_in_bytes", "type": "long",
+                         "field-id": 104},
+                        {"name": "equality_ids",
+                         "type": ["null",
+                                  {"type": "array", "items": "int"}],
+                         "default": None, "field-id": 135},
+                    ],
+                },
+            },
+        ],
+    }
+    manifest_rel = (
+        "metadata/"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|ed{version}')}"
+        "-m0.avro"
+    )
+    write_container(
+        os.path.join(table_path, manifest_rel),
+        entry_schema,
+        [
+            {
+                "status": _ST_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_keys,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table_path, rel)
+                    ),
+                    "equality_ids": [fid],
+                },
+            }
+        ],
+    )
+    prior_manifests: list[dict] = []
+    cur_snap_id = meta.get("current-snapshot-id")
+    if cur_snap_id not in (None, -1) and snaps:
+        snap = next(
+            sn for sn in snaps if sn["snapshot-id"] == cur_snap_id
+        )
+        _, prior_manifests = read_container(
+            _localize(table_path, snap["manifest-list"])
+        )
+    for r in prior_manifests:
+        r.setdefault("sequence_number", None)
+    ml_rel = (
+        "metadata/"
+        f"snap-{snapshot_id}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|edl{version}')}.avro"
+    )
+    write_container(
+        os.path.join(table_path, ml_rel),
+        MANIFEST_FILE_SCHEMA,
+        prior_manifests
+        + [
+            {
+                "manifest_path": manifest_rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(table_path, manifest_rel)
+                ),
+                "partition_spec_id": 0,
+                "content": 1,  # DELETES
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": seq,
+            }
+        ],
+    )
+    summary = {"operation": "delete"}
+    if batch_id is not None:
+        summary["optimus-app-id"] = app_id
+        summary["optimus-batch-id"] = str(batch_id)
+    meta = dict(meta)
+    meta["format-version"] = 2
+    meta["last-sequence-number"] = seq
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "sequence-number": seq,
+            "manifest-list": ml_rel,
+            "summary": summary,
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
     return version
 
 

@@ -5,6 +5,8 @@ delete stays alive; the append-tail surfaces still reject deletes."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from optimus_any2any_spark.sources.iceberg import (
@@ -127,3 +129,100 @@ class TestAppendSurfacesStillReject:
         write_iceberg_delete_commit(spark, t, pos_deletes=[(path, 0)])
         with pytest.raises((NotImplementedError, ValueError)):
             read_iceberg_appends(spark, t, None, 2).collect()
+
+
+class TestEqualityDeleteWriter:
+    """delete_iceberg_keys: one distributed equality-delete file per
+    commit, no data file read or rewritten, seq-gated so later appends
+    with the same keys survive."""
+
+    def test_rows_gone_files_untouched(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t
+        )
+        before = {
+            p: os.path.getmtime(
+                os.path.join(t, p)
+            )
+            for p in _data_paths(t)
+        }
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long")
+        )
+        assert _snap(spark, t) == [(1, "a"), (3, "c")]
+        for p, mt in before.items():
+            assert os.path.getmtime(os.path.join(t, p)) == mt
+
+    def test_later_append_with_same_key_survives(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(5, "old")]).coalesce(1), t)
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(5,)], "k long")
+        )
+        write_iceberg_commit(_rows(spark, [(5, "new")]).coalesce(1), t)
+        assert _snap(spark, t) == [(5, "new")]
+
+    def test_idempotent_by_batch_id(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a"), (2, "b")]).coalesce(1), t
+        )
+        v1 = delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long"),
+            batch_id=7,
+        )
+        v2 = delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            batch_id=7,  # redelivery: must be a no-op
+        )
+        assert v2 == v1
+        assert _snap(spark, t) == [(2, "b")]
+
+    def test_empty_key_set_is_noop(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]).coalesce(1), t)
+        v = delete_iceberg_keys(
+            spark, t, "k",
+            spark.createDataFrame([], "k long"),
+        )
+        assert v == 1
+        assert _snap(spark, t) == [(1, "a")]
+
+    def test_merge_refuses_deleted_tables(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame(
+                [(1, "a", 0)], "k long, v string, ts long"
+            ).coalesce(1),
+            t,
+        )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        batch = spark.createDataFrame(
+            [(2, "b", 0)], "k long, v string, ts long"
+        )
+        with pytest.raises(NotImplementedError, match="delete manifests"):
+            merge_iceberg_batch(spark, batch, t, "k", "ts")
