@@ -886,13 +886,14 @@ def iceberg_row_level_deletes(spark, sf_dir):
     )
     meta = load_table_metadata(t)
     data, _p, _e = _snapshot_entries(t, meta)
-    file1 = sorted(d["orig"] for d in data)[0]  # commit 1's file
-    write_iceberg_delete_commit(
-        spark,
-        t,
-        pos_deletes=[(file1, i) for i in range(100)],
-        eq_deletes=(["c"], [(2,), (5,)]),
-    )
+    files = sorted(d["orig"] for d in data)
+    if files:  # an empty source table has nothing to delete from
+        write_iceberg_delete_commit(
+            spark,
+            t,
+            pos_deletes=[(files[0], i) for i in range(100)],
+            eq_deletes=(["c"], [(2,), (5,)]),
+        )
     snap = read_iceberg(spark, t)
     return (
         snap.groupBy("c")
