@@ -598,3 +598,26 @@ class TestRound5Plans:
         assert r.num_broadcast_joins == 0 and r.num_sortmerge_joins == 0
         assert r.num_exchanges <= 2, r.text
         assert set(r.scan_columns()[0]) == {"doc_id", "lang", "text"}
+
+    def test_dv_read_is_one_anti_join(self, spark):
+        # deletion vectors apply as ONE left-anti join on
+        # (file basename, _metadata.row_index) — the vectors decode in
+        # an Arrow-batched pandas UDF over the tiny descriptor frame,
+        # never per data file
+        r = report(spark, "delta_deletion_vector_read")
+        assert "LeftAnti" in r.text or "left_anti" in r.text.lower(), (
+            r.text
+        )
+        # the decode is Arrow-batched (ArrowEvalPython), never the
+        # row-at-a-time BatchEvalPython (the formatted report re-lists
+        # shared subtrees, so counting occurrences over-states)
+        assert "arrowevalpython" in r.text.lower(), r.text
+        assert "batchevalpython" not in r.text.lower(), r.text
+
+    def test_eq_delete_read_is_anti_join(self, spark):
+        # equality deletes apply as sequence-gated anti-joins over the
+        # equality columns; the delete file reads once per column-set
+        r = report(spark, "iceberg_eq_delete_erasure")
+        assert "LeftAnti" in r.text or "left_anti" in r.text.lower(), (
+            r.text
+        )
