@@ -268,6 +268,7 @@ def delta_delete_erasure(spark, sf_dir):
     "amplification is O(deleted row indexes). The snapshot read "
     "applies the vectors as one (_metadata.row_index) anti-join; the "
     "oracle is the doubly-erased set as SQL.",
+    bench=True,
 )
 def delta_dv_delete_erasure(spark, sf_dir):
     from optimus_any2any_spark.queries.util import dsum
@@ -925,6 +926,7 @@ def iceberg_row_level_deletes(spark, sf_dir):
     "amplification is O(distinct keys). The snapshot reader applies "
     "them as sequence-gated null-safe anti-joins over equality_ids. "
     "Delta twin: delta_dv_delete_erasure.",
+    bench=True,
 )
 def iceberg_eq_delete_erasure(spark, sf_dir):
     from optimus_any2any_spark.queries.util import dsum

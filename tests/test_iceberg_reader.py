@@ -166,7 +166,15 @@ class TestIcebergSnapshots:
         write_container(first, schema, entries)
         assert _snap(spark, t) == [(2, "b", 1.5)]
 
-    def test_delete_manifest_rejected(self, spark, tmp_path):
+    def test_delete_manifest_routes_to_merge_on_read(self, spark, tmp_path):
+        # round 5: the SNAPSHOT reader now APPLIES delete manifests
+        # (merge-on-read) instead of rejecting them; a data-file entry
+        # reached through a content=1 manifest with no equality_ids is
+        # treated as a positional delete file, so the data rows it
+        # held no longer read as data. The APPEND surfaces still
+        # reject (tests/test_iceberg_deletes.py). Here: flipping the
+        # only manifest to content=1 leaves the snapshot with zero
+        # DATA files -> empty read, not resurrected rows.
         t = str(tmp_path / "tbl")
         write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
         meta = load_table_metadata(t)
@@ -177,8 +185,7 @@ class TestIcebergSnapshots:
         schema, manifests = read_container(ml)
         manifests[0]["content"] = 1
         write_container(ml, schema, manifests)
-        with pytest.raises(NotImplementedError, match="delete manifests"):
-            read_iceberg(spark, t)
+        assert read_iceberg(spark, t).collect() == []
 
     def test_format_version_3_rejected(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
