@@ -209,6 +209,17 @@ def delta_sink(df: DataFrame, cfg: Config):
     # table maintenance riders: OPTIMIZE compaction and VACUUM after
     # the write, so a CLI-driven pipeline can keep its target healthy
     # without a separate tool
+    if (c.get("purge_dv") or "").lower() == "true":
+        # REORG APPLY (PURGE): rewrite DV'd files clean before any
+        # compaction rider, converting merge-on-read debt back into
+        # copy-on-write files
+        from optimus_any2any_spark.streaming.delta_table import (
+            purge_deletion_vectors,
+        )
+
+        purge_deletion_vectors(
+            df.sparkSession, path, key_col=c.get("merge_key")
+        )
     if c.get("optimize_rows"):
         from optimus_any2any_spark.streaming.delta_table import (
             compact_delta,

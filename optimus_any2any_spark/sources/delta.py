@@ -347,6 +347,65 @@ def _dv_descriptor_rows(
     return rows
 
 
+def dv_positions_df(spark: SparkSession, dv_rows: list[tuple]):
+    """Deleted ``(__dv_bn, __dv_pos)`` rows from DV descriptor tuples
+    (see :func:`_dv_descriptor_rows`). The vectors decode on EXECUTORS
+    through an Arrow-batched pandas UDF — the descriptor frame is tiny,
+    the exploded positions are the only data moved."""
+    import pandas  # noqa: F401  (annotation resolution)
+    from pyspark.sql.functions import pandas_udf
+
+    # get_type_hints resolves annotations from MODULE globals (the
+    # `from __future__ import annotations` stringification), so pandas
+    # must be visible there
+    globals().setdefault("pandas", pandas)
+
+    dv_df = spark.createDataFrame(
+        dv_rows,
+        "__dv_bn string, __st string, __inline string, "
+        "__fpath string, __off long, __size long",
+    )
+
+    # ship the codec module BY VALUE: python workers do not have the
+    # repo on PYTHONPATH (the same gotcha as the streaming sources)
+    from pyspark import cloudpickle as _cp
+
+    from optimus_any2any_spark.formats import roaring as _roaring
+
+    _cp.register_pickle_by_value(_roaring)
+    dv_blob_decode = _roaring.dv_blob_decode
+    dv_file_read = _roaring.dv_file_read
+    z85_decode = _roaring.z85_decode
+
+    @pandas_udf("array<long>")
+    def _decode(
+        st_: pandas.Series, inline: pandas.Series,
+        fpath: pandas.Series, off: pandas.Series,
+        size: pandas.Series,
+    ) -> pandas.Series:
+        import pandas as _pd
+
+        out_vals = []
+        for i in range(len(st_)):
+            if st_.iloc[i] == "i":
+                # inline blobs are zero-padded to the z85 4-byte
+                # block; sizeInBytes carries the true length
+                blob = z85_decode(inline.iloc[i])[: int(size.iloc[i])]
+            else:
+                blob = dv_file_read(
+                    fpath.iloc[i], int(off.iloc[i]), int(size.iloc[i])
+                )
+            out_vals.append(dv_blob_decode(blob))
+        return _pd.Series(out_vals)
+
+    return dv_df.select(
+        "__dv_bn",
+        F.explode(
+            _decode("__st", "__inline", "__fpath", "__off", "__size")
+        ).alias("__dv_pos"),
+    )
+
+
 def _localize_delta(table_path: str, uri: str) -> str:
     if uri.startswith("file://"):
         return uri[len("file://"):]
@@ -483,63 +542,7 @@ def read_delta(
         # ROW INDEXES of its file; decode on executors (Arrow batch,
         # stdlib Roaring codec) and anti-join on (file basename,
         # _metadata.row_index). One anti-join total — no per-file jobs.
-        import pandas  # noqa: F401  (annotation resolution)
-        from pyspark.sql.functions import pandas_udf
-
-        # get_type_hints resolves annotations from MODULE globals (the
-        # `from __future__ import annotations` stringification), so
-        # pandas must be visible there
-        globals().setdefault("pandas", pandas)
-
-        dv_df = spark.createDataFrame(
-            dv_rows,
-            "__dv_bn string, __st string, __inline string, "
-            "__fpath string, __off long, __size long",
-        )
-
-        # ship the codec module BY VALUE: python workers do not have
-        # the repo on PYTHONPATH (the same gotcha as the streaming
-        # data sources)
-        from pyspark import cloudpickle as _cp
-
-        from optimus_any2any_spark.formats import roaring as _roaring
-
-        _cp.register_pickle_by_value(_roaring)
-        dv_blob_decode = _roaring.dv_blob_decode
-        dv_file_read = _roaring.dv_file_read
-        z85_decode = _roaring.z85_decode
-
-        @pandas_udf("array<long>")
-        def _decode(
-            st_: pandas.Series, inline: pandas.Series,
-            fpath: pandas.Series, off: pandas.Series,
-            size: pandas.Series,
-        ) -> pandas.Series:
-            import pandas as _pd
-
-            out_vals = []
-            for i in range(len(st_)):
-                if st_.iloc[i] == "i":
-                    # inline blobs are zero-padded to the z85 4-byte
-                    # block; sizeInBytes carries the true length
-                    blob = z85_decode(inline.iloc[i])[
-                        : int(size.iloc[i])
-                    ]
-                else:
-                    blob = dv_file_read(
-                        fpath.iloc[i],
-                        int(off.iloc[i]),
-                        int(size.iloc[i]),
-                    )
-                out_vals.append(dv_blob_decode(blob))
-            return _pd.Series(out_vals)
-
-        deleted = dv_df.select(
-            "__dv_bn",
-            F.explode(
-                _decode("__st", "__inline", "__fpath", "__off", "__size")
-            ).alias("__dv_pos"),
-        )
+        deleted = dv_positions_df(spark, dv_rows)
         out = out.join(deleted, ["__dv_bn", "__dv_pos"], "left_anti")
     if dv_rows:
         out = out.drop("__dv_bn", "__dv_pos")

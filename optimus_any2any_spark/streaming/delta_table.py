@@ -1010,6 +1010,200 @@ def merge_delta_batch(
     return version
 
 
+def purge_deletion_vectors(
+    spark: SparkSession,
+    table_path: str,
+    target_rows_per_file: int = 1_000_000,
+    key_col: str | None = None,
+) -> int | None:
+    """REORG ... APPLY (PURGE): rewrite every DV'd file WITHOUT its
+    deleted rows and drop the vectors — the operation that converts
+    merge-on-read debt back into clean copy-on-write files, and the
+    one that re-enables MERGE/DELETE/OPTIMIZE on a table this engine's
+    other writers refuse while vectors are live. ``dataChange: false``
+    (like OPTIMIZE): streaming/CDF readers skip the commit. Returns
+    the committed version, or None when no live file carries a vector.
+
+    One read of the DV'd files (+ the executor-side vector decode),
+    one anti-join, one write split per partition tuple, one grouped
+    stats pass — constant jobs in files and partitions."""
+    from optimus_any2any_spark.sources.delta import (
+        _dv_descriptor_rows,
+        dv_positions_df,
+    )
+
+    state = replay_log(spark, table_path)
+    if state["meta"] is None:
+        return None
+    _reject_mapped(state["meta"], "purge")
+    dv_adds = {
+        p: a
+        for p, a in state["live"].items()
+        if a.get("deletionVector")
+    }
+    if not dv_adds:
+        return None
+    version = state["version"] + 1
+    schema = T.StructType.fromJson(
+        json.loads(state["meta"]["schemaString"])
+    )
+    part_cols = state["meta"].get("partitionColumns") or []
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    stat_col = key_col or (
+        data_schema.fields[0].name if data_schema.fields else None
+    )
+
+    ptuples = sorted(
+        {
+            tuple(
+                (a.get("partitionValues") or {}).get(c)
+                for c in part_cols
+            )
+            for a in dv_adds.values()
+        },
+        key=str,
+    )
+    pid_of = {pt: i for i, pt in enumerate(ptuples)}
+    single = len(ptuples) == 1
+    bn_pid = [
+        (
+            p.rsplit("/", 1)[-1],
+            pid_of[
+                tuple(
+                    (a.get("partitionValues") or {}).get(c)
+                    for c in part_cols
+                )
+            ],
+        )
+        for p, a in sorted(dv_adds.items())
+    ]
+
+    cur = (
+        spark.read.schema(data_schema)
+        .parquet(*[os.path.join(table_path, p) for p in dv_adds])
+        .select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_bn"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+    )
+    deleted = dv_positions_df(
+        spark, _dv_descriptor_rows(table_path, dv_adds)
+    )
+    kept = cur.join(deleted, ["__dv_bn", "__dv_pos"], "left_anti")
+    if single:
+        kept = kept.drop("__dv_pos", "__dv_bn")
+    else:
+        pid_lk = spark.createDataFrame(
+            bn_pid,
+            T.StructType(
+                [
+                    T.StructField("__dv_bn", T.StringType(), False),
+                    T.StructField("__pid", T.IntegerType(), False),
+                ]
+            ),
+        )
+        kept = (
+            kept.drop("__dv_pos")
+            .join(F.broadcast(pid_lk), "__dv_bn", "inner")
+            .drop("__dv_bn")
+        )
+
+    total_rows = sum(
+        max(_entry_from_add(p, a, stat_col or "")["rows"], 0)
+        for p, a in dv_adds.items()
+    )
+    n_files = max(1, -(-total_rows // target_rows_per_file))
+    tmp = os.path.join(table_path, f"_tmp-purge-v{version}")
+    new_files: list[tuple[str, dict]] = []
+    file_seq = 0
+    if single:
+        out_df = (
+            kept.repartitionByRange(n_files, F.col(stat_col))
+            if stat_col is not None
+            else kept.coalesce(n_files)
+        )
+        out_df.write.mode("overwrite").parquet(tmp)
+        pv = next(
+            iter(dv_adds.values())
+        ).get("partitionValues") or {}
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        ):
+            rel = f"part-{version:05d}-{file_seq:04d}-purge.parquet"
+            file_seq += 1
+            os.replace(part, os.path.join(table_path, rel))
+            new_files.append((rel, pv))
+    else:
+        pv_of_pid = {
+            pid_of[pt]: {
+                c: v for c, v in zip(part_cols, pt)
+            }
+            for pt in ptuples
+        }
+        range_cols = [F.col("__pid")] + (
+            [F.col(stat_col)] if stat_col is not None else []
+        )
+        (
+            kept.repartitionByRange(n_files, *range_cols)
+            .write.partitionBy("__pid")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            for part in sorted(
+                _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            ):
+                rel = f"part-{version:05d}-{file_seq:04d}-purge.parquet"
+                file_seq += 1
+                os.replace(part, os.path.join(table_path, rel))
+                new_files.append((rel, pv_of_pid[pid]))
+    shutil.rmtree(tmp)
+
+    actions: list[dict] = []
+    by_name = (
+        _collect_file_stats(
+            spark, table_path, [r for r, _ in new_files],
+            stat_col, data_schema,
+        )
+        if (stat_col is not None and new_files)
+        else {}
+    )
+    for rel, pv in new_files:
+        full = os.path.join(table_path, rel)
+        st = by_name.get(rel)
+        if stat_col is not None and st is None:
+            os.remove(full)  # fully-deleted content: no replacement
+            continue
+        add = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": os.path.getsize(full),
+            "modificationTime": 0,
+            "dataChange": False,
+        }
+        if st is not None:
+            add["stats"] = json.dumps(st, default=str)
+        actions.append({"add": add})
+    for p in sorted(dv_adds):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    _commit(_log_dir(table_path), version, actions)
+    return version
+
+
 _MAX_DV_ROWS = 5_000_000  # driver-side DV build cap
 
 

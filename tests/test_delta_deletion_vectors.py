@@ -435,3 +435,118 @@ def replay_log_live(spark, t):
     from optimus_any2any_spark.sources.delta import replay_log
 
     return replay_log(spark, t)["live"]
+
+
+class TestPurge:
+    """purge_deletion_vectors (REORG APPLY PURGE): DV'd files rewrite
+    clean, vectors drop, and the copy-on-write writers work again."""
+
+    def test_purge_then_merge(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+            merge_delta_batch,
+            purge_deletion_vectors,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(k, f"v{k}", 0) for k in range(6)],
+            "k long, v string, ts long",
+        )
+        merge_delta_batch(spark, df, t, "k", "ts")
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(1,), (4,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        with pytest.raises(NotImplementedError):
+            merge_delta_batch(
+                spark,
+                spark.createDataFrame(
+                    [(2, "X", 1)], "k long, v string, ts long"
+                ),
+                t, "k", "ts",
+            )
+        v = purge_deletion_vectors(spark, t, key_col="k")
+        assert v is not None
+        state = replay_log_live(spark, t)
+        assert not any(a.get("deletionVector") for a in state.values())
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 2, 3, 5,
+        ]
+        # the copy-on-write merge works again
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "X", 1)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        got = sorted((r.k, r.v) for r in read_delta(spark, t).collect())
+        assert got == [(0, "v0"), (2, "X"), (3, "v3"), (5, "v5")]
+
+    def test_purge_partitioned(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+            merge_delta_batch,
+            purge_deletion_vectors,
+        )
+
+        t = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(k, f"v{k}", 0, f"d{k % 2}") for k in range(8)],
+            "k long, v string, ts long, d string",
+        )
+        merge_delta_batch(spark, df, t, "k", "ts", partition_by=["d"])
+        delete_delta_keys(
+            spark, t, "k",
+            spark.createDataFrame([(2,), (3,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        purge_deletion_vectors(spark, t, key_col="k")
+        got = sorted((r.k, r.d) for r in read_delta(spark, t).collect())
+        assert got == [
+            (0, "d0"), (1, "d1"), (4, "d0"), (5, "d1"),
+            (6, "d0"), (7, "d1"),
+        ]
+
+    def test_purge_noop_without_vectors(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+            purge_deletion_vectors,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 0)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        assert purge_deletion_vectors(spark, t) is None
+
+    def test_purge_invisible_to_cdf(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+            merge_delta_batch,
+            purge_deletion_vectors,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(k, "x", 0) for k in range(4)],
+                "k long, v string, ts long",
+            ),
+            t, "k", "ts", change_data=True,
+        )
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long"),
+            use_deletion_vectors=True, change_data=True,
+        )
+        v = purge_deletion_vectors(spark, t, key_col="k")
+        # the purge commit is dataChange:false — CDF over it is empty
+        ch = read_delta_cdf(spark, t, v - 1, v).collect()
+        assert ch == []
