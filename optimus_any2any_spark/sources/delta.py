@@ -230,10 +230,19 @@ def replay_log(
     if meta is None or protocol is None:
         raise ValueError("delta: log replay found no metaData/protocol")
     mrv = int(protocol.get("minReaderVersion", 1))
-    if mrv >= 3:
+    if mrv > 3:
+        raise NotImplementedError(
+            f"delta: reader version {mrv} is beyond this reader"
+        )
+    if mrv == 3:
         # v3 is feature-gated: accept iff every listed readerFeature
-        # is one this reader implements; anything unknown rejects
-        # rather than mis-reads
+        # is one this reader implements; a v3 protocol WITHOUT the
+        # feature list is malformed — reject rather than guess
+        if protocol.get("readerFeatures") is None:
+            raise NotImplementedError(
+                "delta: reader version 3 without readerFeatures — "
+                "malformed protocol, refusing to guess"
+            )
         feats = set(protocol.get("readerFeatures") or [])
         unknown = feats - {
             "deletionVectors", "columnMapping", "timestampNtz",

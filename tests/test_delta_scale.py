@@ -129,7 +129,7 @@ class TestConstantJobCounts:
         counts = {}
         for n in (4, 16):
             vals = []
-            for rep in range(2):
+            for rep in range(3):
                 t = str(tmp_path / f"tbl{n}-{rep}")
                 merge_delta_batch(
                     spark, _part_batch(spark, n, "a", 0), t, "k", "ts",
@@ -142,18 +142,20 @@ class TestConstantJobCounts:
                     ),
                 ))
             counts[n] = min(vals)
-        # O(1) in touched partitions: 16 partitions costs exactly the
-        # same number of jobs as 4 (AQE materializes each shuffle
-        # stage as its own job, so the absolute count is ~15, but it
-        # does NOT grow with partitions — that is the guarantee)
-        assert counts[16] == counts[4]
+        # O(1) in touched partitions: 16 partitions costs the same
+        # number of jobs as 4, to within one stray async job (AQE
+        # materializes each shuffle stage as its own job and broadcast
+        # builds occasionally land in a neighboring job group; the
+        # per-partition alternative this guards against would add
+        # ~12 jobs, not 1)
+        assert abs(counts[16] - counts[4]) <= 1, counts
         assert counts[16] <= 20
 
     def test_partitioned_delete_jobs_flat_in_partitions(self, spark, tmp_path):
         counts = {}
         for n in (4, 16):
             vals = []
-            for rep in range(2):
+            for rep in range(3):
                 t = str(tmp_path / f"tbl{n}-{rep}")
                 merge_delta_batch(
                     spark, _part_batch(spark, n, "a", 0), t, "k", "ts",
@@ -168,7 +170,7 @@ class TestConstantJobCounts:
                     lambda: delete_delta_keys(spark, t, "k", keys),
                 ))
             counts[n] = min(vals)
-        assert counts[16] == counts[4]
+        assert abs(counts[16] - counts[4]) <= 1, counts
         assert counts[16] <= 20
 
     def test_optimize_jobs_flat_in_file_count(self, spark, tmp_path):
@@ -193,7 +195,7 @@ class TestConstantJobCounts:
                     ),
                 ))
             counts[n] = min(vals)
-        assert counts[8] == counts[2]
+        assert abs(counts[8] - counts[2]) <= 1, counts
         assert counts[8] <= 12
 
 
