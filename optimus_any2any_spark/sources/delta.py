@@ -168,7 +168,19 @@ def replay_log(
             live[add["path"]] = add
         remove = action.get("remove")
         if remove and remove.get("path"):
-            live.pop(remove["path"], None)
+            # Delta reconciliation keys file actions by
+            # (path, deletionVector uniqueId), not path alone: a DV
+            # rewrite commits remove(path, oldDV) + add(path, newDV)
+            # in the SAME commit, and the remove must tombstone only
+            # the old (path, DV) version regardless of the order the
+            # two actions appear in the commit file. A remove whose DV
+            # id differs from the live add's is a tombstone for an
+            # already-superseded version — ignore it.
+            cur = live.get(remove["path"])
+            if cur is not None and dv_unique_id(cur) == dv_unique_id(
+                remove
+            ):
+                live.pop(remove["path"])
 
     if checkpoint_files:
         # classic checkpoints are PLAIN PARQUET of the action structs;
@@ -269,7 +281,26 @@ def replay_log(
     version = max(
         [int(f[:20]) for f in commits] + [checkpoint_version], default=-1
     )
-    return {"meta": meta, "live": live, "txns": txns, "version": version}
+    return {
+        "meta": meta,
+        "live": live,
+        "txns": txns,
+        "version": version,
+        "protocol": protocol,
+    }
+
+
+def dv_unique_id(file_action: dict) -> str | None:
+    """The deletion vector's unique id per the Delta spec —
+    ``storageType + pathOrInlineDv (+ '@' + offset when present)`` —
+    or None for a DV-less file action. add/remove pairs for the same
+    path reconcile by this id (see ``replay_log.apply``)."""
+    dv = file_action.get("deletionVector")
+    if not dv:
+        return None
+    uid = f"{dv.get('storageType', '')}{dv.get('pathOrInlineDv', '')}"
+    off = dv.get("offset")
+    return uid if off in (None, 0) else f"{uid}@{off}"
 
 
 def _stats_exclude(add: dict, col: str, lo, hi) -> bool:
@@ -317,6 +348,24 @@ def _dv_descriptor_rows(
     import uuid as _uuid
 
     from optimus_any2any_spark.formats.roaring import z85_decode
+
+    # the position anti-join keys files by BASENAME (what
+    # _metadata.file_path yields after the split) — two live files
+    # with the same basename in different partition subdirectories
+    # would cross-apply each other's deletions, so refuse outright
+    # rather than mis-read (uuid part names make collisions all but
+    # impossible for tables this engine wrote, but external tables
+    # carry no such guarantee)
+    seen_bn: dict[str, str] = {}
+    for p in live:
+        bn_ = p.rsplit("/", 1)[-1]
+        if bn_ in seen_bn and seen_bn[bn_] != p:
+            raise NotImplementedError(
+                "delta: live files share the basename "
+                f"{bn_!r} ({seen_bn[bn_]!r} vs {p!r}) — the deletion-"
+                "vector row-index join would cross-apply deletions"
+            )
+        seen_bn[bn_] = p
 
     rows: list[tuple] = []
     for add in live.values():

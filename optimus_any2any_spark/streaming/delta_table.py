@@ -91,17 +91,133 @@ def _reject_mapped(meta: dict | None, verb: str) -> None:
         )
 
 
-def _reject_dv(state: dict, verb: str) -> None:
-    """A live add carrying a deletion vector means the file's raw
-    parquet rows are NOT all live — this writer rewrites files from
-    raw parquet and would resurrect the deleted rows. Refuse."""
-    if any(
-        a.get("deletionVector") for a in (state.get("live") or {}).values()
-    ):
-        raise NotImplementedError(
-            f"delta {verb}: table carries deletion vectors — "
-            "copy-on-write over DV'd files is beyond this writer"
-        )
+def _read_files_dv_aware(
+    spark: SparkSession,
+    table_path: str,
+    data_schema: T.StructType,
+    paths: list[str],
+    live: dict[str, dict],
+    basename_col: str | None = None,
+) -> DataFrame:
+    """Read the given live files with each file's deletion-vector rows
+    DROPPED — the read half of copy-on-write over a merge-on-read
+    table. A live add carrying a DV means the raw parquet rows are not
+    all live; rewriting from raw parquet would resurrect the deleted
+    rows, so every CoW writer (merge / delete / optimize) reads
+    through this. The vectors decode on executors (one Arrow-batched
+    anti-join total, the same plan as ``read_delta``); plain tables
+    take the schema'd parquet scan untouched. ``basename_col`` names
+    an extra column carrying each row's source-file basename (for the
+    callers' pid routing joins)."""
+    from optimus_any2any_spark.sources.delta import (
+        _dv_descriptor_rows,
+        dv_positions_df,
+    )
+
+    df = spark.read.schema(data_schema).parquet(
+        *[os.path.join(table_path, p) for p in paths]
+    )
+    bn = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    dv_sub = {p: live[p] for p in paths if live[p].get("deletionVector")}
+    if not dv_sub:
+        if basename_col:
+            df = df.select("*", bn.alias(basename_col))
+        return df
+    # the basename must be captured BEFORE the anti-join —
+    # input_file_name()/metadata columns are unreliable once the rows
+    # have crossed an exchange
+    df = df.select(
+        "*",
+        bn.alias("__dv_bn"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    deleted = dv_positions_df(
+        spark, _dv_descriptor_rows(table_path, dv_sub)
+    )
+    df = df.join(deleted, ["__dv_bn", "__dv_pos"], "left_anti").drop(
+        "__dv_pos"
+    )
+    if basename_col:
+        return df.withColumnRenamed("__dv_bn", basename_col)
+    return df.drop("__dv_bn")
+
+
+# Writer-feature sets implied by the legacy (pre-table-features)
+# protocol versions — when a protocol upgrades to reader 3 / writer 7,
+# the spec requires every feature the OLD version numbers implied to be
+# listed explicitly, or external writers silently stop enforcing them.
+_LEGACY_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["checkConstraints"],
+    4: ["changeDataFeed", "generatedColumns"],
+    5: ["columnMapping"],
+    6: ["identityColumns"],
+}
+_LEGACY_READER_FEATURES = {2: ["columnMapping"]}
+
+
+def _merged_protocol(
+    existing: dict | None,
+    reader_features: list[str],
+    writer_features: list[str],
+) -> dict | None:
+    """The protocol action for a commit that needs ``reader_features``/
+    ``writer_features``: existing versions are raised (never lowered)
+    to 3/7, existing features — including those IMPLIED by legacy
+    version numbers — are unioned in, and ``None`` means the table's
+    protocol already covers the need (emit nothing). Overwriting with
+    a fixed protocol would silently drop features like timestampNtz or
+    v2Checkpoint that another writer had declared."""
+    existing = existing or {"minReaderVersion": 1, "minWriterVersion": 2}
+    old_r = int(existing.get("minReaderVersion", 1))
+    old_w = int(existing.get("minWriterVersion", 2))
+    r_feats = set(existing.get("readerFeatures") or [])
+    w_feats = set(existing.get("writerFeatures") or [])
+    if old_r < 3:
+        for v, feats in _LEGACY_READER_FEATURES.items():
+            if old_r >= v:
+                r_feats.update(feats)
+    if old_w < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if old_w >= v:
+                w_feats.update(feats)
+    new_r_feats = r_feats | set(reader_features)
+    new_w_feats = w_feats | set(writer_features)
+    new = {
+        "minReaderVersion": max(old_r, 3),
+        "minWriterVersion": max(old_w, 7),
+        "readerFeatures": sorted(new_r_feats),
+        "writerFeatures": sorted(new_w_feats),
+    }
+    unchanged = (
+        old_r == new["minReaderVersion"]
+        and old_w == new["minWriterVersion"]
+        and set(existing.get("readerFeatures") or []) == new_r_feats
+        and set(existing.get("writerFeatures") or []) == new_w_feats
+    )
+    return None if unchanged else new
+
+
+def _remove_action(path: str, add: dict, data_change: bool) -> dict:
+    """The remove tombstone for a live add — carrying the add's
+    deletionVector descriptor when it has one, because Delta
+    reconciliation keys file actions by (path, DV uniqueId): a bare
+    path-only remove does NOT cancel a DV-carrying add, and external
+    readers would keep both versions live (duplicate/resurrected
+    rows)."""
+    rm: dict = {
+        "path": path,
+        "deletionTimestamp": 0,
+        "dataChange": data_change,
+    }
+    if add.get("deletionVector"):
+        rm["deletionVector"] = add["deletionVector"]
+        rm["extendedFileMetadata"] = True
+        if add.get("partitionValues") is not None:
+            rm["partitionValues"] = add["partitionValues"]
+        if add.get("size") is not None:
+            rm["size"] = add["size"]
+    return rm
 
 
 def _entry_from_add(path: str, add: dict, key_col: str) -> dict:
@@ -280,8 +396,8 @@ def _write_checkpoint(
     ``vacuum_delta`` here works from the live set directly)."""
     state = replay_log(spark, table_path)
     rows = [
-        json.dumps({"protocol": {"minReaderVersion": 1,
-                                 "minWriterVersion": 2}}),
+        json.dumps({"protocol": state.get("protocol")
+                    or {"minReaderVersion": 1, "minWriterVersion": 2}}),
         json.dumps({"metaData": state["meta"]}, default=str),
     ]
     rows += [
@@ -339,14 +455,31 @@ def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
     Real Delta gates this on a tombstone-age retention window to
     protect concurrent readers; under the single-writer-single-reader
     session model here the live set is the whole truth."""
+    from optimus_any2any_spark.sources.delta import _dv_descriptor_rows
+
     state = replay_log(spark, table_path)
     live = set(state["live"])
+    # DV .bin files still referenced by a live add's descriptor stay;
+    # vectors consumed by a later merge/delete/purge are garbage like
+    # the parquet files they annotated
+    ref_bins = {
+        os.path.abspath(r[3])
+        for r in _dv_descriptor_rows(table_path, state["live"])
+        if r[3]
+    }
     gone = []
     for name in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, name)
-        if not os.path.isfile(full) or not name.endswith(".parquet"):
+        if not os.path.isfile(full):
             continue
-        if name not in live:
+        if name.endswith(".parquet") and name not in live:
+            os.remove(full)
+            gone.append(name)
+        elif (
+            name.startswith("deletion_vector_")
+            and name.endswith(".bin")
+            and os.path.abspath(full) not in ref_bins
+        ):
             os.remove(full)
             gone.append(name)
     return gone
@@ -371,7 +504,6 @@ def compact_delta(
     if state["meta"] is None:
         return None
     _reject_mapped(state["meta"], "optimize")
-    _reject_dv(state, "optimize")
     schema = T.StructType.fromJson(
         json.loads(state["meta"]["schemaString"])
     )
@@ -414,22 +546,27 @@ def compact_delta(
     for p, _pid in src:
         actions.append(
             {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": 0,
-                    "dataChange": False,
-                }
+                "remove": _remove_action(
+                    p, state["live"][p], data_change=False
+                )
             }
         )
     single = len(ptuples) == 1
-    cur = spark.read.schema(data_schema).parquet(
-        *[os.path.join(table_path, p) for p, _ in src]
+    cur = _read_files_dv_aware(
+        spark, table_path, data_schema, [p for p, _ in src],
+        state["live"], basename_col=None if single else "__rel",
     )
     if single:
         cur = cur.withColumn("__pid", F.lit(0).cast("int"))
     else:
+        bn_src = [(p.rsplit("/", 1)[-1], pid) for p, pid in src]
+        if len({b for b, _ in bn_src}) != len(bn_src):
+            raise NotImplementedError(
+                "delta optimize: compacted files share a basename — "
+                "the pid routing join would misattribute rows"
+            )
         rel_pid = spark.createDataFrame(
-            src,
+            bn_src,
             T.StructType(
                 [
                     T.StructField("__rel", T.StringType(), False),
@@ -437,13 +574,8 @@ def compact_delta(
                 ]
             ),
         )
-        cur = (
-            cur.withColumn(
-                "__rel",
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-            )
-            .join(F.broadcast(rel_pid), "__rel", "inner")
-            .drop("__rel")
+        cur = cur.join(F.broadcast(rel_pid), "__rel", "inner").drop(
+            "__rel"
         )
     total = cur.count()
     n_files = max(1, -(-total // target_rows_per_file))
@@ -573,7 +705,6 @@ def merge_delta_batch(
         "meta": None, "live": {}, "txns": {}, "version": -1,
     }
     _reject_mapped(state["meta"], "merge")
-    _reject_dv(state, "merge")
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -775,8 +906,16 @@ def merge_delta_batch(
             for pid, hits in sorted(hit_by_pid.items())
             for e in hits
         ]
+        bn_pid_rows = [
+            (p.rsplit("/", 1)[-1], pid) for p, pid in rel_pid_rows
+        ]
+        if len({b for b, _ in bn_pid_rows}) != len(bn_pid_rows):
+            raise NotImplementedError(
+                "delta merge: affected files share a basename — the "
+                "pid routing join would misattribute rows"
+            )
         rel_pid = spark.createDataFrame(
-            rel_pid_rows,
+            bn_pid_rows,
             T.StructType(
                 [
                     T.StructField("__rel", T.StringType(), False),
@@ -785,23 +924,20 @@ def merge_delta_batch(
             ),
         )
         # explicit schema: pre-evolution files read new columns
-        # as null (Delta mergeSchema read semantics)
-        cur = spark.read.schema(data_schema).parquet(
-            *[os.path.join(table_path, r) for r, _ in rel_pid_rows]
+        # as null (Delta mergeSchema read semantics); files carrying
+        # deletion vectors read through the DV anti-join so the merge
+        # consumes the vectors instead of resurrecting deleted rows
+        cur = _read_files_dv_aware(
+            spark, table_path, data_schema,
+            [r for r, _ in rel_pid_rows], state["live"],
+            basename_col=None if single else "__rel",
         )
         if single:
             cur = cur.withColumn("__pid", F.lit(0).cast("int"))
         else:
-            cur = (
-                cur.withColumn(
-                    "__rel",
-                    F.element_at(
-                        F.split(F.input_file_name(), "/"), -1
-                    ),
-                )
-                .join(F.broadcast(rel_pid), "__rel", "inner")
-                .drop("__rel")
-            )
+            cur = cur.join(
+                F.broadcast(rel_pid), "__rel", "inner"
+            ).drop("__rel")
         bk = latest_p.select(
             F.col(key_col).alias("__bk"), F.col("__pid").alias("__bpid")
         )
@@ -980,11 +1116,9 @@ def merge_delta_batch(
     for path in hit_paths:
         actions.append(
             {
-                "remove": {
-                    "path": path,
-                    "deletionTimestamp": 0,
-                    "dataChange": True,
-                }
+                "remove": _remove_action(
+                    path, state["live"][path], data_change=True
+                )
             }
         )
     for rel in cdc_rel:
@@ -1192,19 +1326,10 @@ def purge_deletion_vectors(
         actions.append({"add": add})
     for p in sorted(dv_adds):
         actions.append(
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": 0,
-                    "dataChange": False,
-                }
-            }
+            {"remove": _remove_action(p, dv_adds[p], data_change=False)}
         )
     _commit(_log_dir(table_path), version, actions)
     return version
-
-
-_MAX_DV_ROWS = 5_000_000  # driver-side DV build cap
 
 
 def _delete_via_dv(
@@ -1215,63 +1340,63 @@ def _delete_via_dv(
     """Merge-on-read DELETE: matching row positions per affected file
     become deletion vectors; files are RE-ADDED with DV descriptors,
     never rewritten. One scan of the affected files (with Spark's
-    ``_metadata.row_index``), one grouped collect of position lists
-    (bounded by ``_MAX_DV_ROWS``), one ``.bin`` holding every blob."""
+    ``_metadata.row_index``); the Roaring blobs are ENCODED ON
+    EXECUTORS (``applyInPandas`` over the per-file position groups, so
+    no position list ever crosses to the driver) and only the
+    already-compressed blobs — bounded by ~rows_per_file/8 bytes each
+    — are collected to assemble the commit's single ``.bin``. Each
+    re-added file's PRIOR (path, DV) version gets a remove action in
+    the same commit: Delta reconciliation keys file actions by
+    (path, DV uniqueId), so without the remove external readers would
+    keep both versions live."""
     import uuid as _uuid
 
+    import pandas  # noqa: F401  (pandas_udf annotation resolution)
+    from pyspark import cloudpickle as _cp
+
+    from optimus_any2any_spark.formats import roaring as _roaring
     from optimus_any2any_spark.formats.roaring import (
-        dv_blob,
-        dv_blob_decode,
-        dv_file_read,
         dv_file_write,
-        z85_decode,
         z85_encode,
     )
-    from optimus_any2any_spark.sources.delta import _localize_delta
+    from optimus_any2any_spark.sources.delta import (
+        _dv_descriptor_rows,
+        dv_positions_df,
+    )
 
     hit_paths = [p for p, _ in hits]
     # everything downstream keys by file BASENAME (what
     # _metadata.file_path yields); map back to the log's path strings,
-    # which may carry subdirectories on external tables
+    # which may carry subdirectories on external tables — and refuse a
+    # basename collision rather than cross-apply deletions
     path_of = {p.rsplit("/", 1)[-1]: p for p in hit_paths}
+    if len(path_of) != len(hit_paths):
+        raise NotImplementedError(
+            "delta delete: affected files share a basename — the "
+            "deletion-vector row-index join would cross-apply deletions"
+        )
     pv_of = {
         bn: (state["live"][p].get("partitionValues") or {})
         for bn, p in path_of.items()
     }
 
-    def _existing_positions(add: dict) -> list[int]:
-        dv = add.get("deletionVector")
-        if not dv:
-            return []
-        st_ = dv["storageType"]
-        if st_ == "i":
-            blob = z85_decode(dv["pathOrInlineDv"])[
-                : int(dv["sizeInBytes"])
-            ]
-        else:
-            if st_ == "u":
-                enc = dv["pathOrInlineDv"]
-                prefix, uid_txt = enc[:-20], enc[-20:]
-                uid = _uuid.UUID(bytes=z85_decode(uid_txt))
-                rel = f"deletion_vector_{uid}.bin"
-                fpath = (
-                    os.path.join(table_path, prefix, rel)
-                    if prefix
-                    else os.path.join(table_path, rel)
-                )
-            else:
-                fpath = _localize_delta(
-                    table_path, dv["pathOrInlineDv"]
-                )
-            blob = dv_file_read(
-                fpath, int(dv.get("offset") or 0), int(dv["sizeInBytes"])
-            )
-        return dv_blob_decode(blob)
-
-    already = {
-        bn: _existing_positions(state["live"][p])
-        for bn, p in path_of.items()
-    }
+    # existing vectors on the affected files decode on EXECUTORS (the
+    # same Arrow path the reader uses) — never as driver position lists
+    prior_rows = _dv_descriptor_rows(
+        table_path,
+        {
+            p: state["live"][p]
+            for p in hit_paths
+            if state["live"][p].get("deletionVector")
+        },
+    )
+    prior_df = (
+        dv_positions_df(spark, prior_rows)
+        .withColumnRenamed("__dv_bn", "__bn")
+        .withColumnRenamed("__dv_pos", "__pos")
+        if prior_rows
+        else None
+    )
 
     cur = (
         spark.read.schema(data_schema)
@@ -1292,66 +1417,79 @@ def _delete_via_dv(
     ).drop("__nk")
     # drop rows an EXISTING vector already deleted (re-deleting them
     # would double-report in the CDF and inflate cardinality)
-    if any(already.values()):
-        prior = spark.createDataFrame(
-            [
-                (bn, pos)
-                for bn, poss in already.items()
-                for pos in poss
-            ],
-            "__bn string, __pos long",
-        )
-        matched = matched.join(prior, ["__bn", "__pos"], "left_anti")
+    if prior_df is not None:
+        matched = matched.join(prior_df, ["__bn", "__pos"], "left_anti")
     matched = matched.persist()
     try:
+        # merged position set per touched file = new matches ∪ the
+        # file's prior vector (files with a vector but NO new match
+        # keep their old DV untouched — semi-join restricts the union)
+        positions = matched.select("__bn", "__pos")
+        if prior_df is not None:
+            touched_bns = matched.select("__bn").distinct()
+            positions = positions.unionByName(
+                prior_df.join(
+                    F.broadcast(touched_bns), "__bn", "left_semi"
+                )
+            )
+
+        _cp.register_pickle_by_value(_roaring)
+        dv_blob = _roaring.dv_blob
+
+        def _encode_file_dv(pdf):
+            import pandas as _pd
+
+            poss = sorted(set(int(x) for x in pdf["__pos"]))
+            return _pd.DataFrame(
+                {
+                    "__bn": [pdf["__bn"].iloc[0]],
+                    "__blob": [dv_blob(poss)],
+                    "__card": [len(poss)],
+                }
+            )
+
         per_file = (
-            matched.groupBy("__bn")
-            .agg(F.sort_array(F.collect_list("__pos")).alias("poss"))
+            positions.groupBy("__bn")
+            .applyInPandas(
+                _encode_file_dv,
+                "__bn string, __blob binary, __card long",
+            )
             .collect()
         )
         if not per_file:
             return state["version"]  # stats false-positive: no-op
-        n_del = sum(len(r["poss"]) for r in per_file)
-        if n_del > _MAX_DV_ROWS:
-            raise ValueError(
-                f"delta delete: {n_del} deleted rows exceed the "
-                f"deletion-vector build cap ({_MAX_DV_ROWS}) — run the "
-                "copy-on-write delete (use_deletion_vectors=False)"
-            )
+        per_file.sort(key=lambda r: r["__bn"])
 
         uid = _uuid.uuid4()
         bin_rel = f"deletion_vector_{uid}.bin"
-        blobs = []
-        order = []
-        for r in per_file:
-            bn = r["__bn"]
-            positions = sorted(set(already.get(bn, [])) | set(r["poss"]))
-            blobs.append(dv_blob(positions))
-            order.append((bn, len(positions)))
+        blobs = [bytes(r["__blob"]) for r in per_file]
+        order = [(r["__bn"], int(r["__card"])) for r in per_file]
         offsets = dv_file_write(
             os.path.join(table_path, bin_rel), blobs
         )
 
         actions: list[dict] = []
-        proto = state.get("protocol") or {}
-        # dict-replay state may not carry protocol; re-read minimal
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
-            }
+        proto = _merged_protocol(
+            state.get("protocol"),
+            ["deletionVectors"],
+            ["deletionVectors"],
         )
-        del proto
+        if proto is not None:
+            actions.append({"protocol": proto})
         if batch_id is not None:
             actions.append(
                 {"txn": {"appId": app_id, "version": batch_id}}
             )
         for (bn, card), blob, off in zip(order, blobs, offsets):
-            add = dict(state["live"][path_of[bn]])
+            old = state["live"][path_of[bn]]
+            actions.append(
+                {
+                    "remove": _remove_action(
+                        old["path"], old, data_change=True
+                    )
+                }
+            )
+            add = dict(old)
             add["dataChange"] = True
             add["deletionVector"] = {
                 "storageType": "u",
@@ -1460,8 +1598,6 @@ def delete_delta_keys(
     if state["meta"] is None:
         raise ValueError(f"delta delete: no table at {table_path}")
     _reject_mapped(state["meta"], "delete")
-    if not use_deletion_vectors:
-        _reject_dv(state, "delete")
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -1526,14 +1662,23 @@ def delete_delta_keys(
     pid_of = {pt: i for i, pt in enumerate(ptuples)}
     hit_paths = [p for p, _ in hits]
     single = len(ptuples) == 1
-    cur = spark.read.schema(data_schema).parquet(
-        *[os.path.join(table_path, p) for p in hit_paths]
+    cur = _read_files_dv_aware(
+        spark, table_path, data_schema, hit_paths, state["live"],
+        basename_col=None if single else "__rel",
     )
     if single:
         cur = cur.withColumn("__pid", F.lit(0).cast("int")).alias("cur")
     else:
+        bn_pid_rows = [
+            (p.rsplit("/", 1)[-1], pid_of[pt]) for p, pt in hits
+        ]
+        if len({b for b, _ in bn_pid_rows}) != len(bn_pid_rows):
+            raise NotImplementedError(
+                "delta delete: affected files share a basename — the "
+                "pid routing join would misattribute rows"
+            )
         rel_pid = spark.createDataFrame(
-            [(p, pid_of[pt]) for p, pt in hits],
+            bn_pid_rows,
             T.StructType(
                 [
                     T.StructField("__rel", T.StringType(), False),
@@ -1542,11 +1687,7 @@ def delete_delta_keys(
             ),
         )
         cur = (
-            cur.withColumn(
-                "__rel",
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-            )
-            .join(F.broadcast(rel_pid), "__rel", "inner")
+            cur.join(F.broadcast(rel_pid), "__rel", "inner")
             .drop("__rel")
             .alias("cur")
         )
@@ -1662,11 +1803,9 @@ def delete_delta_keys(
     for path in hit_paths:
         actions.append(
             {
-                "remove": {
-                    "path": path,
-                    "deletionTimestamp": 0,
-                    "dataChange": True,
-                }
+                "remove": _remove_action(
+                    path, state["live"][path], data_change=True
+                )
             }
         )
     for rel in cdc_rel:

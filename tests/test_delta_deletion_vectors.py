@@ -2,7 +2,8 @@
 reader-version-3 tables whose add actions carry DV descriptors read
 with the deleted row indexes removed (merge-on-read) — inline (z85),
 path ("p"), and uuid ("u") storage forms; unknown v3 features still
-guard-raise; writers refuse DV'd tables."""
+guard-raise; CoW writers (merge/delete/optimize) read THROUGH the
+vectors and consume them."""
 
 from __future__ import annotations
 
@@ -231,39 +232,60 @@ class TestGuards:
         with pytest.raises(NotImplementedError, match="typeWidening"):
             read_delta(spark, t)
 
-    def test_writers_refuse_dv_tables(self, spark, tmp_path):
+    def test_cow_writers_consume_dv_not_resurrect(self, spark, tmp_path):
+        # merge / CoW delete / optimize over a DV-carrying file read
+        # THROUGH the vector: the DV-deleted row (k=1) must never
+        # come back, and the rewritten file carries no vector
+        from optimus_any2any_spark.sources.delta import replay_log
         from optimus_any2any_spark.streaming.delta_table import (
             compact_delta,
             delete_delta_keys,
             merge_delta_batch,
         )
 
-        t = str(tmp_path / "tbl")
-        os.makedirs(t)
-        _write_file(spark, t, "f0.parquet", [(1, "a"), (2, "b")])
-        blob = dv_blob([0])
-        _commit(
-            os.path.join(t, "_delta_log"), 0,
-            _base_actions()
-            + [{"add": _add("f0.parquet", t, {
-                "storageType": "i",
-                "pathOrInlineDv": _z85_padded(blob),
-                "offset": 0,
-                "sizeInBytes": len(blob),
-                "cardinality": 1,
-            })}],
-        )
-        batch = spark.createDataFrame(
-            [(9, "z", 0)], "k long, v string, ts long"
-        )
-        with pytest.raises(NotImplementedError, match="deletion vector"):
-            merge_delta_batch(spark, batch, t, "k", "ts")
-        with pytest.raises(NotImplementedError, match="deletion vector"):
-            delete_delta_keys(
-                spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        def _dv_table(name):
+            t = str(tmp_path / name)
+            os.makedirs(t)
+            _write_file(spark, t, "f0.parquet", [(1, "a"), (2, "b")])
+            blob = dv_blob([0])
+            _commit(
+                os.path.join(t, "_delta_log"), 0,
+                _base_actions()
+                + [{"add": _add("f0.parquet", t, {
+                    "storageType": "i",
+                    "pathOrInlineDv": _z85_padded(blob),
+                    "offset": 0,
+                    "sizeInBytes": len(blob),
+                    "cardinality": 1,
+                })}],
             )
-        with pytest.raises(NotImplementedError, match="deletion vector"):
-            compact_delta(spark, t)
+            return t
+
+        t = _dv_table("merge")
+        batch = spark.createDataFrame([(9, "z")], "k long, v string")
+        merge_delta_batch(spark, batch, t, "k", "v")
+        got = sorted((r.k, r.v) for r in read_delta(spark, t).collect())
+        assert got == [(2, "b"), (9, "z")]
+        live = replay_log(spark, t)["live"]
+        assert not any(a.get("deletionVector") for a in live.values())
+
+        t = _dv_table("delete")
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long")
+        )
+        assert read_delta(spark, t).collect() == []
+
+        t = _dv_table("compact")
+        _write_file(spark, t, "f1.parquet", [(10, "x")])
+        _commit(
+            os.path.join(t, "_delta_log"), 1,
+            [{"add": _add("f1.parquet", t)}],
+        )
+        assert compact_delta(spark, t, key_col="k") is not None
+        got = sorted(r.k for r in read_delta(spark, t).collect())
+        assert got == [2, 10]
+        live = replay_log(spark, t)["live"]
+        assert not any(a.get("deletionVector") for a in live.values())
 
 
 class TestIncrementalSurfacesReject:
@@ -437,6 +459,215 @@ def replay_log_live(spark, t):
     return replay_log(spark, t)["live"]
 
 
+def _last_commit_actions(t):
+    log = os.path.join(t, "_delta_log")
+    last = sorted(
+        f for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    )[-1]
+    with open(os.path.join(log, last)) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+class TestSpecReconciliation:
+    """Delta reconciliation keys file actions by (path, DV uniqueId):
+    writers must pair every DV re-add with a remove of the prior
+    version, and the replay must tolerate either in-commit order."""
+
+    def test_dv_rewrite_commits_remove_of_prior_version(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        TestDvWritingDelete()._seed(spark, t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        acts = _last_commit_actions(t)
+        adds = [a["add"] for a in acts if "add" in a]
+        removes = [a["remove"] for a in acts if "remove" in a]
+        assert adds and removes
+        # first-time DV: remove tombstones the DV-less prior version
+        assert {a["path"] for a in adds} == {r["path"] for r in removes}
+        assert all(a.get("deletionVector") for a in adds)
+        assert all(not r.get("deletionVector") for r in removes)
+        # second delete: the remove must carry the FIRST vector's
+        # descriptor, the add the merged one
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(5,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        acts = _last_commit_actions(t)
+        removes = [a["remove"] for a in acts if "remove" in a]
+        assert any(r.get("deletionVector") for r in removes)
+
+    def test_purge_removes_carry_dv_descriptor(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+            purge_deletion_vectors,
+        )
+
+        t = str(tmp_path / "tbl")
+        TestDvWritingDelete()._seed(spark, t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        purge_deletion_vectors(spark, t, key_col="k")
+        acts = _last_commit_actions(t)
+        removes = [a["remove"] for a in acts if "remove" in a]
+        assert removes
+        assert all(r.get("deletionVector") for r in removes)
+
+    def test_replay_tolerates_add_before_remove(self, spark, tmp_path):
+        # one commit holding add(path, dvB) BEFORE remove(path, dvA):
+        # under (path, dvId) reconciliation the order must not matter
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(
+            spark, t, "f0.parquet", [(1, "a"), (2, "b"), (3, "c")]
+        )
+        b1 = dv_blob([0])
+        dv1 = {
+            "storageType": "i",
+            "pathOrInlineDv": _z85_padded(b1),
+            "offset": 0,
+            "sizeInBytes": len(b1),
+            "cardinality": 1,
+        }
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions() + [{"add": _add("f0.parquet", t, dv1)}],
+        )
+        b2 = dv_blob([0, 1])
+        dv2 = {
+            "storageType": "i",
+            "pathOrInlineDv": _z85_padded(b2),
+            "offset": 0,
+            "sizeInBytes": len(b2),
+            "cardinality": 2,
+        }
+        rm = {
+            "path": "f0.parquet",
+            "deletionTimestamp": 0,
+            "dataChange": True,
+            "deletionVector": dv1,
+        }
+        _commit(
+            os.path.join(t, "_delta_log"), 1,
+            [{"add": _add("f0.parquet", t, dv2)}, {"remove": rm}],
+        )
+        assert [r.k for r in read_delta(spark, t).collect()] == [3]
+
+    def test_stale_remove_does_not_kill_newer_version(
+        self, spark, tmp_path
+    ):
+        # a remove naming an OLD dv id must not tombstone the live
+        # newer (path, dv) version
+        t = str(tmp_path / "tbl")
+        os.makedirs(t)
+        _write_file(spark, t, "f0.parquet", [(1, "a"), (2, "b")])
+        b1 = dv_blob([0])
+        dv1 = {
+            "storageType": "i",
+            "pathOrInlineDv": _z85_padded(b1),
+            "offset": 0,
+            "sizeInBytes": len(b1),
+            "cardinality": 1,
+        }
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions() + [{"add": _add("f0.parquet", t)}],
+        )
+        _commit(
+            os.path.join(t, "_delta_log"), 1,
+            [
+                {"add": _add("f0.parquet", t, dv1)},
+                {
+                    "remove": {
+                        "path": "f0.parquet",
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                },
+            ],
+        )
+        # the bare-path remove cancels the DV-less version only; the
+        # dv1 add stays live
+        assert [r.k for r in read_delta(spark, t).collect()] == [2]
+
+    def test_protocol_merge_preserves_features(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import replay_log
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        TestDvWritingDelete()._seed(spark, t)
+        # simulate another writer having upgraded the protocol with a
+        # feature this engine merely tolerates
+        _commit(
+            os.path.join(t, "_delta_log"),
+            replay_log(spark, t)["version"] + 1,
+            [{"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["timestampNtz"],
+            }}],
+        )
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        proto = replay_log(spark, t)["protocol"]
+        assert "timestampNtz" in proto["readerFeatures"]
+        assert "deletionVectors" in proto["readerFeatures"]
+        assert "timestampNtz" in proto["writerFeatures"]
+        assert "deletionVectors" in proto["writerFeatures"]
+        # a second DV delete finds the protocol sufficient: no new
+        # protocol action in that commit
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(5,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        acts = _last_commit_actions(t)
+        assert not any("protocol" in a for a in acts)
+
+    def test_vacuum_sweeps_consumed_dv_bins(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+            purge_deletion_vectors,
+            vacuum_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        TestDvWritingDelete()._seed(spark, t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        bins = [
+            n for n in os.listdir(t)
+            if n.startswith("deletion_vector_") and n.endswith(".bin")
+        ]
+        assert len(bins) == 1
+        # still referenced: vacuum keeps it
+        vacuum_delta(spark, t)
+        assert os.path.exists(os.path.join(t, bins[0]))
+        purge_deletion_vectors(spark, t, key_col="k")
+        gone = vacuum_delta(spark, t)
+        assert bins[0] in gone
+        assert not os.path.exists(os.path.join(t, bins[0]))
+        assert sorted(r.k for r in read_delta(spark, t).collect()) == [
+            0, 1, 3, 4, 5, 6, 7,
+        ]
+
+
 class TestPurge:
     """purge_deletion_vectors (REORG APPLY PURGE): DV'd files rewrite
     clean, vectors drop, and the copy-on-write writers work again."""
@@ -458,14 +689,6 @@ class TestPurge:
             spark, t, "k", spark.createDataFrame([(1,), (4,)], "k long"),
             use_deletion_vectors=True,
         )
-        with pytest.raises(NotImplementedError):
-            merge_delta_batch(
-                spark,
-                spark.createDataFrame(
-                    [(2, "X", 1)], "k long, v string, ts long"
-                ),
-                t, "k", "ts",
-            )
         v = purge_deletion_vectors(spark, t, key_col="k")
         assert v is not None
         state = replay_log_live(spark, t)
