@@ -305,6 +305,84 @@ def delta_dv_delete_erasure(spark, sf_dir):
 
 
 @register(
+    "delta_dv_then_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    survivors AS (SELECT k, price FROM base WHERE k % 7 <> 0),
+    upd AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price
+      FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    ins AS (
+      SELECT o_orderkey AS k, o_totalprice / 2 AS price
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    merged AS (
+      SELECT k, price FROM survivors WHERE k % 10 <> 1
+      UNION ALL SELECT k, price FROM upd
+      UNION ALL SELECT k, price FROM ins
+    )
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM merged GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="The canonical merge-on-read LIFECYCLE: DV delete (k%7=0) "
+    "followed directly by a MERGE upsert (k%10=1 updated +1000, "
+    "k%20=0 inserted /2) with NO purge in between — the merge reads "
+    "affected files THROUGH their deletion vectors (one Arrow-batched "
+    "anti-join composed into the CoW read), consumes the vectors in "
+    "the same commit (remove actions carrying the old DV descriptors, "
+    "per (path, DV-id) reconciliation), and never resurrects an "
+    "erased row. Deleted keys absent from the batch stay deleted; a "
+    "deleted key the batch carries is re-inserted (upsert semantics). "
+    "The oracle states the delete+merge set algebra as SQL.",
+    bench=True,
+)
+def delta_dv_then_merge(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        delete_delta_keys,
+        merge_delta_batch,
+    )
+
+    t = _fixture_dir("delta_dvmerge", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=4000
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame([], _EMPTY_AGG)  # empty source
+    delete_delta_keys(
+        spark, t, "k", base.select("k").filter(F.col("k") % 7 == 0),
+        batch_id=1, use_deletion_vectors=True,
+    )
+    upd = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 10 == 1
+    ).withColumn("price", F.col("price") + F.lit(1000.0))
+    ins = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 20 == 0
+    ).withColumn("price", F.col("price") / F.lit(2))
+    merge_delta_batch(
+        spark, upd.unionByName(ins), t, "k", "ts", batch_id=2,
+        target_rows_per_file=4000,
+    )
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "delta_cdf_read",
     oracle=f"""
     WITH base AS (

@@ -1153,8 +1153,9 @@ def purge_deletion_vectors(
     """REORG ... APPLY (PURGE): rewrite every DV'd file WITHOUT its
     deleted rows and drop the vectors — the operation that converts
     merge-on-read debt back into clean copy-on-write files, and the
-    one that re-enables MERGE/DELETE/OPTIMIZE on a table this engine's
-    other writers refuse while vectors are live. ``dataChange: false``
+    bulk form of paying that debt down (MERGE/DELETE/OPTIMIZE also
+    work over DV'd tables directly, consuming vectors as they touch
+    each file — purge clears ALL of them at once). ``dataChange: false``
     (like OPTIMIZE): streaming/CDF readers skip the commit. Returns
     the committed version, or None when no live file carries a vector.
 

@@ -199,6 +199,68 @@ class TestConstantJobCounts:
         assert counts[8] <= 12
 
 
+class TestDvMergeScale:
+    def test_dv_then_merge_jobs_flat_in_partitions(self, spark, tmp_path):
+        # the canonical merge-on-read lifecycle: DV delete, then a
+        # merge that reads THROUGH the vectors — still a constant
+        # number of jobs in touched partitions
+        counts = {}
+        for n in (4, 16):
+            vals = []
+            for rep in range(3):
+                t = str(tmp_path / f"tbl{n}-{rep}")
+                merge_delta_batch(
+                    spark, _part_batch(spark, n, "a", 0), t, "k", "ts",
+                    partition_by=["d"],
+                )
+                delete_delta_keys(
+                    spark, t, "k",
+                    spark.createDataFrame(
+                        [(100 * d,) for d in range(n)], "k long"
+                    ),
+                    use_deletion_vectors=True,
+                )
+                vals.append(_count_jobs(
+                    spark,
+                    lambda: merge_delta_batch(
+                        spark, _part_batch(spark, n, "b", 1), t, "k",
+                        "ts",
+                    ),
+                ))
+            counts[n] = min(vals)
+        assert abs(counts[16] - counts[4]) <= 1, counts
+        assert counts[16] <= 24
+
+    def test_large_dv_delete_builds_blobs_distributed(
+        self, spark, tmp_path
+    ):
+        # the r5 driver-side build refused past 5M deleted rows; the
+        # distributed applyInPandas encode has no such cap — 6M rows
+        # deleted in one commit, blobs encoded executor-side
+        t = str(tmp_path / "tbl")
+        n = 6_000_000
+        df = (
+            spark.range(n)
+            .selectExpr("id AS k", "CAST(0 AS LONG) AS ts")
+        )
+        merge_delta_batch(
+            spark, df, t, "k", "ts", target_rows_per_file=2_000_000
+        )
+        v = delete_delta_keys(
+            spark, t, "k",
+            spark.range(n).filter("id % 20 != 19").selectExpr("id AS k"),
+            use_deletion_vectors=True,
+        )
+        assert v is not None
+        live = replay_log(spark, t)["live"]
+        assert all(a.get("deletionVector") for a in live.values())
+        total_card = sum(
+            a["deletionVector"]["cardinality"] for a in live.values()
+        )
+        assert total_card == n - n // 20
+        assert read_delta(spark, t).count() == n // 20
+
+
 class TestLogStoreSeam:
     def test_injected_store_decides_the_race(self, tmp_path):
         log = str(tmp_path / "_delta_log")
