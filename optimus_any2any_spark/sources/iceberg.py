@@ -785,7 +785,13 @@ def write_iceberg_commit(
     IDENTITY partition spec in the table metadata — the bootstrap for
     ``merge_iceberg_batch``'s partitioned tables, which write the
     actual partition-grouped files and manifest partition tuples."""
+    from optimus_any2any_spark.sources.iceberg_transforms import (
+        parse_spec_item,
+        partition_field_name,
+    )
+
     spark = df.sparkSession
+    parsed_spec: list[tuple[str, str]] = []
     if partition_by:
         if not df.isEmpty():
             raise NotImplementedError(
@@ -793,7 +799,12 @@ def write_iceberg_commit(
                 "table bootstrap only; data commits into a partitioned "
                 "table go through merge_iceberg_batch"
             )
-        missing = [c for c in partition_by if c not in df.columns]
+        # items are bare columns (identity) or the DDL transform
+        # forms: days(ts), hours(ts), bucket(16, k), truncate(3, v)
+        parsed_spec = [parse_spec_item(s) for s in partition_by]
+        missing = [
+            src for _, src in parsed_spec if src not in df.columns
+        ]
         if missing:
             raise ValueError(
                 f"iceberg fixture writer: partition columns {missing} "
@@ -813,6 +824,17 @@ def write_iceberg_commit(
     )
     version = prev_version + 1
     snapshot_id = version  # deterministic, unique per commit
+    # v2 tables (anything that has taken a row-level delete) must NOT
+    # be silently downgraded by an append: preserve the format
+    # version, keep the sequence chain monotone, and stamp the new
+    # snapshot's sequence-number so it outranks existing deletes
+    # (v2 sequence inheritance — a re-inserted row stays alive)
+    fmt = int(prev.get("format-version", 1)) if prev else 1
+    seq = (
+        max(int(prev.get("last-sequence-number", 0)), prev_version) + 1
+        if prev is not None
+        else version
+    )
 
     # 1. data files
     tmp = os.path.join(table_path, f"_tmp-ice-v{version}")
@@ -897,7 +919,7 @@ def write_iceberg_commit(
         "added_snapshot_id": snapshot_id,
         # v2 sequence inheritance: a file appended AFTER a delete
         # outranks it (a re-inserted row must stay alive)
-        "sequence_number": version,
+        "sequence_number": seq,
     }
     for r in prior_manifests:
         r.setdefault("sequence_number", None)
@@ -918,16 +940,17 @@ def write_iceberg_commit(
         for i, f in enumerate(df.schema.fields)
     ]
     snapshots = (prev.get("snapshots") if prev else None) or []
-    snapshots = snapshots + [
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": 0,
-            "manifest-list": ml_rel,
-            "summary": {"operation": "append"},
-        }
-    ]
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": 0,
+        "manifest-list": ml_rel,
+        "summary": {"operation": "append"},
+    }
+    if fmt >= 2:
+        new_snap["sequence-number"] = seq
+    snapshots = snapshots + [new_snap]
     meta = {
-        "format-version": 1,
+        "format-version": fmt,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
         "location": table_path,
         "last-updated-ms": 0,
@@ -947,18 +970,20 @@ def write_iceberg_commit(
                     "spec-id": 0,
                     "fields": [
                         {
-                            "name": c,
-                            "transform": "identity",
+                            "name": partition_field_name(tr, src),
+                            "transform": tr,
                             "source-id": next(
-                                f["id"] for f in fields if f["name"] == c
+                                f["id"]
+                                for f in fields
+                                if f["name"] == src
                             ),
                             "field-id": 1000 + i,
                         }
-                        for i, c in enumerate(partition_by)
+                        for i, (tr, src) in enumerate(parsed_spec)
                     ],
                 }
             ]
-            if partition_by
+            if parsed_spec
             else (
                 prev.get("partition-specs")
                 if prev is not None and prev.get("partition-specs")
@@ -966,10 +991,12 @@ def write_iceberg_commit(
             )
         ),
         "default-spec-id": 0,
-        "properties": {},
+        "properties": (prev.get("properties") if prev else None) or {},
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots,
     }
+    if fmt >= 2:
+        meta["last-sequence-number"] = seq
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
     with open(tmpp, "w") as f:

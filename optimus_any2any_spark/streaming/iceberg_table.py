@@ -331,17 +331,26 @@ def merge_iceberg_batch(
         cur_schema = meta["schema"]
     by_id = {int(f["id"]): f for f in cur_schema["fields"]}
 
-    part_cols: list[str] = []
-    part_fields: list[tuple[str, str]] = []  # (name, iceberg type)
+    from optimus_any2any_spark.sources.iceberg_transforms import (
+        avro_type_of_result,
+        normalize_transform,
+        partition_field_name,
+        result_type,
+        spark_type_of_result,
+        transform_column,
+        validate_source,
+    )
+
+    # partition spec → one computed partition-VALUE column per field.
+    # The spec's transforms are pure functions (bucket = Appendix-B
+    # murmur3, truncate = floor, day/hour/month/year = epoch units),
+    # so a days(ts)-partitioned table merges through exactly the same
+    # single-job __pid shape as an identity one — the transform just
+    # decides which rows share a tuple.
+    pspec: list[dict] = []
     if default_spec and default_spec.get("fields"):
         for pf in default_spec["fields"]:
-            if pf.get("transform") != "identity":
-                raise NotImplementedError(
-                    "iceberg merge: only identity partition transforms "
-                    f"are supported (got {pf.get('transform')!r}) — "
-                    "bucket/truncate/temporal transforms are rejected, "
-                    "not mis-read"
-                )
+            tr = normalize_transform(str(pf.get("transform") or ""))
             src = by_id.get(int(pf["source-id"]))
             if src is None:
                 raise ValueError(
@@ -349,17 +358,56 @@ def merge_iceberg_batch(
                     f"{pf['source-id']} not in the current schema"
                 )
             t = src["type"]
-            if not isinstance(t, str) or t not in _AVRO_PRIM:
+            if not isinstance(t, str):
                 raise NotImplementedError(
                     f"iceberg merge: partition source type {t!r} is "
-                    "beyond the identity writer"
+                    "beyond this writer"
                 )
-            part_cols.append(src["name"])
-            part_fields.append((src["name"], t))
-    if key_col in part_cols:
+            if tr == "identity":
+                if t not in _AVRO_PRIM:
+                    raise NotImplementedError(
+                        f"iceberg merge: partition source type {t!r} "
+                        "is beyond the identity writer"
+                    )
+                res_t = t
+            else:
+                res_t = result_type(tr, t)  # unknown transform raises
+                validate_source(tr, t)
+            pspec.append(
+                {
+                    "name": pf.get("name")
+                    or partition_field_name(tr, src["name"]),
+                    "transform": tr,
+                    "src": src["name"],
+                    "src_type": t,
+                    "res_type": res_t,
+                }
+            )
+    part_names = [p["name"] for p in pspec]
+    part_fields = [
+        (p["name"], avro_type_of_result(p["res_type"])) for p in pspec
+    ]
+    if any(
+        p["transform"] == "identity" and p["src"] == key_col
+        for p in pspec
+    ):
+        # identity only: bucket(key)/truncate(key) give each key ONE
+        # partition, so partition-scoped merge == global merge there
         raise ValueError(
-            "iceberg merge: the merge key cannot be a partition column"
+            "iceberg merge: the merge key cannot be an identity "
+            "partition column"
         )
+    pv_cols = [f"__pv{i}" for i in range(len(pspec))]
+
+    def _with_pvs(frame):
+        for i, p in enumerate(pspec):
+            frame = frame.withColumn(
+                pv_cols[i],
+                transform_column(
+                    p["transform"], F.col(p["src"]), p["src_type"]
+                ),
+            )
+        return frame
 
     # idempotence via the last snapshot's summary
     snaps = meta.get("snapshots") or []

@@ -121,6 +121,36 @@ class TestEqualityDeletes:
         assert _snap(spark, t) == [(2, "b")]
 
 
+class TestAppendPreservesV2Metadata:
+    def test_append_after_delete_keeps_format_and_sequence(
+        self, spark, tmp_path
+    ):
+        # ADVICE r6: an append after a row-level delete must NOT
+        # downgrade the table to format-version 1 or drop the
+        # sequence chain — external readers would resurrect rows
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a"), (2, "b")]).coalesce(1), t
+        )
+        write_iceberg_delete_commit(
+            spark, t, eq_deletes=(["k"], [(1,)])
+        )
+        write_iceberg_commit(_rows(spark, [(9, "z")]).coalesce(1), t)
+        meta = load_table_metadata(t)
+        assert int(meta["format-version"]) == 2
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        cur = snaps[meta["current-snapshot-id"]]
+        assert cur["sequence-number"] == meta["last-sequence-number"]
+        # the append outranks the delete snapshot's sequence number
+        delete_seq = next(
+            s["sequence-number"]
+            for s in meta["snapshots"]
+            if s.get("summary", {}).get("operation") == "delete"
+        )
+        assert cur["sequence-number"] > delete_seq
+        assert _snap(spark, t) == [(2, "b"), (9, "z")]
+
+
 class TestAppendSurfacesStillReject:
     def test_appends_reader_rejects_delete_manifests(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
