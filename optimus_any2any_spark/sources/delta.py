@@ -300,7 +300,11 @@ def dv_unique_id(file_action: dict) -> str | None:
         return None
     uid = f"{dv.get('storageType', '')}{dv.get('pathOrInlineDv', '')}"
     off = dv.get("offset")
-    return uid if off in (None, 0) else f"{uid}@{off}"
+    # spec parity: delta-spark's DeletionVectorDescriptor.uniqueId
+    # appends "@offset" whenever the offset is PRESENT — including an
+    # explicit 0 — so a present-and-zero offset must not collapse to
+    # the absent form (mixed-writer logs would reconcile differently)
+    return uid if off is None else f"{uid}@{off}"
 
 
 def _stats_exclude(add: dict, col: str, lo, hi) -> bool:
@@ -562,7 +566,14 @@ def read_delta(
             os.path.join(table_path, add["path"])
         )
     type_of = {f.name: f.dataType for f in schema.fields}
-    dv_rows = _dv_descriptor_rows(table_path, live)
+    # the descriptor helper's basename-collision guard exists for the
+    # DV row-index join; a DV-less table with colliding basenames is
+    # perfectly readable and must not trip it
+    dv_rows = (
+        _dv_descriptor_rows(table_path, live)
+        if any(a.get("deletionVector") for a in live.values())
+        else []
+    )
     meta_cols = (
         [
             F.element_at(

@@ -131,8 +131,13 @@ def _read_files_dv_aware(
         bn.alias("__dv_bn"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
+    # guard over the FULL read set (not just the DV'd subset): the
+    # helper only emits rows for DV-carrying adds, but its basename-
+    # collision check must span every file in this read — a DV'd file
+    # and a plain file sharing a basename would cross-apply deletions
     deleted = dv_positions_df(
-        spark, _dv_descriptor_rows(table_path, dv_sub)
+        spark,
+        _dv_descriptor_rows(table_path, {p: live[p] for p in paths}),
     )
     df = df.join(deleted, ["__dv_bn", "__dv_pos"], "left_anti").drop(
         "__dv_pos"
@@ -462,11 +467,16 @@ def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
     # DV .bin files still referenced by a live add's descriptor stay;
     # vectors consumed by a later merge/delete/purge are garbage like
     # the parquet files they annotated
-    ref_bins = {
-        os.path.abspath(r[3])
-        for r in _dv_descriptor_rows(table_path, state["live"])
-        if r[3]
-    }
+    # only consult the descriptor helper when some live add actually
+    # carries a vector: its basename-collision guard exists for the
+    # row-index JOIN, and vacuum of a DV-less table must not trip it
+    ref_bins: set[str] = set()
+    if any(a.get("deletionVector") for a in state["live"].values()):
+        ref_bins = {
+            os.path.abspath(r[3])
+            for r in _dv_descriptor_rows(table_path, state["live"])
+            if r[3]
+        }
     gone = []
     for name in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, name)

@@ -295,11 +295,16 @@ def merge_iceberg_batch(
     touches: one grouped key-stats pass, driver-side manifest pruning
     (partition-tuple match first, Appendix-D key bounds inside), one
     anti-join + one partitionBy("__pid") write (Iceberg data files
-    physically CONTAIN their partition columns, so the surrogate pid
-    only routes rows to files — nothing is stripped), one grouped
-    stats pass over the new files. Non-identity transforms (bucket/
-    truncate/days) and non-primitive partition sources are rejected,
-    not mis-read."""
+    physically CONTAIN their partition source columns, so the
+    surrogate pid only routes rows to files — nothing is stripped),
+    one grouped stats pass over the new files. Non-identity transforms
+    (``bucket[N]``/``truncate[W]``/``year|month|day|hour``, spec
+    §Partition Transforms) partition-scope the merge through the same
+    shape: the transforms are pure functions, computed once per row as
+    ``__pv*`` columns (``sources/iceberg_transforms.py``), and the
+    manifest partition tuples carry the TRANSFORMED values keyed by
+    the spec's field names. Unknown transforms and non-primitive
+    partition sources are rejected, not mis-read."""
     from pyspark.sql.window import Window
 
     md = _meta_dir(table_path)
@@ -428,11 +433,15 @@ def merge_iceberg_batch(
     batch = batch.select(*schema.fieldNames())
     fid, ice_t = _key_field(meta, key_col)
 
-    w = Window.partitionBy(key_col, *part_cols).orderBy(
+    # the dedupe window and every partition-scoped step below key on
+    # the TRANSFORMED partition values (__pv*), computed once here and
+    # pinned by the checkpoint — identity specs make them plain copies
+    w = Window.partitionBy(key_col, *pv_cols).orderBy(
         F.col(ts_col).desc()
     )
     latest = (
-        batch.withColumn("__rn", F.row_number().over(w))
+        _with_pvs(batch)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .localCheckpoint(eager=True)
@@ -444,11 +453,11 @@ def merge_iceberg_batch(
     # per-partition batch key stats: ONE job for ALL touched
     # partitions (mirrors merge_delta_batch)
     if n_total <= _MAX_DRIVER_KEYS:
-        krows = latest.select(*part_cols, key_col).collect()
+        krows = latest.select(*pv_cols, key_col).collect()
         grouped: dict[tuple, list] = {}
         for r in krows:
             grouped.setdefault(
-                tuple(r[c] for c in part_cols), []
+                tuple(r[c] for c in pv_cols), []
             ).append(r[key_col])
         pstats: dict[tuple, dict] = {}
         for pt, vals in grouped.items():
@@ -462,7 +471,7 @@ def merge_iceberg_batch(
             }
     else:
         krows = (
-            latest.groupBy(*part_cols)
+            latest.groupBy(*pv_cols)
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.min(key_col).alias("kmin"),
@@ -474,7 +483,7 @@ def merge_iceberg_batch(
             .collect()
         )
         pstats = {
-            tuple(r[c] for c in part_cols): {
+            tuple(r[c] for c in pv_cols): {
                 "n": r["n"],
                 "keys": None,
                 "kmin": r["kmin"],
@@ -513,9 +522,9 @@ def merge_iceberg_batch(
         for e in live:
             # partition-tuple pruning FIRST: a file in a partition the
             # batch does not touch survives without a bounds check
-            if part_cols:
+            if pspec:
                 pdict = e["data_file"].get("partition") or {}
-                pt = tuple(pdict.get(c) for c in part_cols)
+                pt = tuple(pdict.get(n) for n in part_names)
                 st = pstats.get(pt)
                 if st is None:
                     misses.append({"__entry": e})
@@ -542,23 +551,23 @@ def merge_iceberg_batch(
     # One touched partition (incl. every unpartitioned merge) skips
     # the routing AND the dynamic-partition write below.
     single = len(ptuples) == 1
-    if part_cols and not single:
-        pid_schema_fields = [schema[c] for c in part_cols]
-        from pyspark.sql import types as T
-
+    if pspec and not single:
+        pid_ddl = ", ".join(
+            f"{pv_cols[i]} {spark_type_of_result(pspec[i]['res_type'])}"
+            for i in range(len(pspec))
+        )
         pid_df = spark.createDataFrame(
             [pt + (pid_of[pt],) for pt in ptuples],
-            T.StructType(
-                list(pid_schema_fields)
-                + [T.StructField("__pid", T.IntegerType(), False)]
-            ),
+            f"{pid_ddl}, __pid int",
         )
         pcond = None
-        for c in part_cols:
+        for c in pv_cols:
             e = F.col(f"b.{c}").eqNullSafe(F.col(f"pd.{c}"))
             pcond = e if pcond is None else (pcond & e)
 
         def _with_pid(frame):
+            # frame must carry the __pv* columns; the select drops
+            # them — data files keep exactly the table schema
             return (
                 frame.alias("b")
                 .join(F.broadcast(pid_df.alias("pd")), pcond, "inner")
@@ -571,7 +580,9 @@ def merge_iceberg_batch(
         latest_p = _with_pid(latest)
     else:
         _with_pid = None
-        latest_p = latest.withColumn("__pid", F.lit(0).cast("int"))
+        latest_p = latest.drop(*pv_cols).withColumn(
+            "__pid", F.lit(0).cast("int")
+        )
 
     merged = latest_p
     hit_rows = 0
@@ -583,7 +594,7 @@ def merge_iceberg_batch(
             ]
         )
         cur_p = (
-            _with_pid(cur)
+            _with_pid(_with_pvs(cur))
             if _with_pid is not None
             else cur.withColumn("__pid", F.lit(0).cast("int"))
         )
@@ -685,7 +696,7 @@ def merge_iceberg_batch(
                     "file_path": rel,
                     "file_format": "PARQUET",
                     "partition": {
-                        c: v for c, v in zip(part_cols, pt)
+                        n: v for n, v in zip(part_names, pt)
                     },
                     "record_count": int(r["rows"]),
                     "file_size_in_bytes": os.path.getsize(

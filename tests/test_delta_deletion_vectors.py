@@ -773,3 +773,90 @@ class TestPurge:
         # the purge commit is dataChange:false — CDF over it is empty
         ch = read_delta_cdf(spark, t, v - 1, v).collect()
         assert ch == []
+
+
+class TestAdviceR6Regressions:
+    """Round-6 ADVICE items: uniqueId offset parity, collision guard
+    coverage on mixed DV'd/plain read sets, vacuum over DV-less tables
+    with colliding basenames."""
+
+    def test_unique_id_keeps_explicit_zero_offset(self):
+        from optimus_any2any_spark.sources.delta import dv_unique_id
+
+        base = {"storageType": "u", "pathOrInlineDv": "X",
+                "sizeInBytes": 4, "cardinality": 1}
+        absent = dv_unique_id({"deletionVector": dict(base)})
+        zero = dv_unique_id(
+            {"deletionVector": dict(base, offset=0)}
+        )
+        five = dv_unique_id(
+            {"deletionVector": dict(base, offset=5)}
+        )
+        # delta-spark appends "@offset" whenever the key is present —
+        # an explicit 0 must NOT reconcile like an absent offset
+        assert absent == "uX"
+        assert zero == "uX@0"
+        assert five == "uX@5"
+
+    def test_mixed_dv_plain_basename_collision_refused(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import types as T
+
+        from optimus_any2any_spark.streaming.delta_table import (
+            _read_files_dv_aware,
+        )
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(os.path.join(t, "a"))
+        os.makedirs(os.path.join(t, "b"))
+        _write_file(spark, t, "a/part-0.parquet", [(1, "x")])
+        _write_file(spark, t, "b/part-0.parquet", [(2, "y")])
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": _z85_padded(b"\x01\x00\x00\x00"),
+            "sizeInBytes": 4,
+            "cardinality": 0,
+        }
+        live = {
+            "a/part-0.parquet": _add("a/part-0.parquet", t, dv=dv),
+            "b/part-0.parquet": _add("b/part-0.parquet", t),
+        }
+        schema = T.StructType(
+            [T.StructField("k", T.LongType()),
+             T.StructField("v", T.StringType())]
+        )
+        # only ONE file carries a DV, but the plain file shares its
+        # basename — the row-index anti-join would cross-apply the
+        # vector, so the guard must span the WHOLE read set
+        with pytest.raises(NotImplementedError, match="basename"):
+            _read_files_dv_aware(
+                spark, t, schema, sorted(live), live
+            )
+
+    def test_vacuum_dvless_table_with_colliding_basenames(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.streaming.delta_table import (
+            vacuum_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        os.makedirs(os.path.join(t, "a"))
+        os.makedirs(os.path.join(t, "b"))
+        _write_file(spark, t, "a/part-0.parquet", [(1, "x")])
+        _write_file(spark, t, "b/part-0.parquet", [(2, "y")])
+        _commit(
+            os.path.join(t, "_delta_log"), 0,
+            _base_actions()
+            + [{"add": _add("a/part-0.parquet", t)},
+               {"add": _add("b/part-0.parquet", t)}],
+        )
+        # zero deletion vectors anywhere: the DV collision guard must
+        # not fire — this table is perfectly vacuumable
+        gone = vacuum_delta(spark, t)
+        assert gone == []
+        got = sorted(
+            (r.k, r.v) for r in read_delta(spark, t).collect()
+        )
+        assert got == [(1, "x"), (2, "y")]

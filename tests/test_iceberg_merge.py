@@ -300,7 +300,7 @@ class TestPartitionedMerge:
                 t, "k", "ts", partition_by=["k"],
             )
 
-    def test_non_identity_transform_rejected(self, spark, tmp_path):
+    def test_unknown_transform_rejected(self, spark, tmp_path):
         import json as _json
 
         t = str(tmp_path / "tbl")
@@ -308,14 +308,15 @@ class TestPartitionedMerge:
             spark, _pkv(spark, [(1, "a", 0, "d1")]),
             t, "k", "ts", partition_by=["d"],
         )
-        # forge a bucket transform into the spec
+        # forge an unknown transform into the spec: refuse, never
+        # mis-partition
         md = os.path.join(t, "metadata")
         hint = int(open(os.path.join(md, "version-hint.text")).read())
         mp = os.path.join(md, f"v{hint}.metadata.json")
         meta = _json.loads(open(mp).read())
-        meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+        meta["partition-specs"][0]["fields"][0]["transform"] = "zorder[4]"
         open(mp, "w").write(_json.dumps(meta))
-        with pytest.raises(NotImplementedError, match="identity"):
+        with pytest.raises(NotImplementedError, match="zorder"):
             merge_iceberg_batch(
                 spark, _pkv(spark, [(2, "b", 1, "d1")]), t, "k", "ts"
             )
@@ -349,3 +350,199 @@ class TestPartitionedMerge:
             counts[n] = min(vals)
         assert counts[16] == counts[4]
         assert counts[16] <= 20
+
+
+def _tkv(spark, rows):
+    """k long, v string, ts long (recency), t timestamp (partition src)."""
+    import datetime as _dt
+
+    return spark.createDataFrame(
+        [
+            (k, v, ts, _dt.datetime.fromisoformat(iso))
+            for (k, v, ts, iso) in rows
+        ],
+        "k long, v string, ts long, t timestamp",
+    )
+
+
+class TestTransformPartitionedMerge:
+    """Non-identity partition transforms on the MERGE path (spec
+    §Partition Transforms): days(ts)/bucket(N,c)/truncate(W,c) tables
+    merge through the same single-job __pid shape — the transform just
+    decides which rows share a partition tuple (VERDICT r5 item 3)."""
+
+    def test_days_partitioned_merge(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            _tkv(spark, [
+                (1, "a", 0, "2024-03-01T10:00:00"),
+                (1, "b", 0, "2024-03-02T10:00:00"),
+                (2, "c", 0, "2024-03-01T23:59:59"),
+            ]),
+            t, "k", "ts", partition_by=["days(t)"],
+        )
+        # key 1 exists on two days: partition-scoped upsert touches
+        # only the 2024-03-01 row
+        merge_iceberg_batch(
+            spark,
+            _tkv(spark, [(1, "A", 1, "2024-03-01T04:00:00")]),
+            t, "k", "ts",
+        )
+        got = sorted(
+            (r.k, r.v, str(r.t.date()))
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [
+            (1, "A", "2024-03-01"), (1, "b", "2024-03-02"),
+            (2, "c", "2024-03-01"),
+        ]
+
+    def test_days_manifest_tuples_are_epoch_days(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            _tkv(spark, [(1, "a", 0, "2024-03-01T10:00:00"),
+                         (2, "b", 0, "2024-03-02T10:00:00")]),
+            t, "k", "ts", partition_by=["days(t)"],
+        )
+        import datetime as _dt
+
+        _meta, manifests = _current_manifests(spark, t)
+        days = set()
+        for m in manifests:
+            _, entries = read_container(_localize(t, m["manifest_path"]))
+            for e in entries:
+                days.add(e["data_file"]["partition"]["t_day"])
+        epoch = _dt.date(1970, 1, 1)
+        assert days == {
+            (_dt.date(2024, 3, 1) - epoch).days,
+            (_dt.date(2024, 3, 2) - epoch).days,
+        }
+
+    def test_days_untouched_day_files_carried(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            _tkv(spark, [(1, "a", 0, "2024-03-01T10:00:00"),
+                         (2, "b", 0, "2024-03-02T10:00:00")]),
+            t, "k", "ts", partition_by=["days(t)"],
+        )
+
+        def _files_of_day(day_iso):
+            import datetime as _dt
+
+            want = (_dt.date.fromisoformat(day_iso)
+                    - _dt.date(1970, 1, 1)).days
+            _meta, manifests = _current_manifests(spark, t)
+            out = set()
+            for m in manifests:
+                _, entries = read_container(
+                    _localize(t, m["manifest_path"])
+                )
+                for e in entries:
+                    if e["data_file"]["partition"]["t_day"] == want:
+                        out.add(e["data_file"]["file_path"])
+            return out
+
+        before = _files_of_day("2024-03-02")
+        # same key as the 03-02 row, but lands on 03-01: 03-02 files
+        # must survive byte-identical (carried, not rewritten)
+        merge_iceberg_batch(
+            spark,
+            _tkv(spark, [(2, "B", 1, "2024-03-01T00:00:00")]),
+            t, "k", "ts",
+        )
+        assert _files_of_day("2024-03-02") == before
+        got = sorted(
+            (r.k, r.v, str(r.t.date()))
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [
+            (1, "a", "2024-03-01"), (2, "B", "2024-03-01"),
+            (2, "b", "2024-03-02"),
+        ]
+
+    def test_bucket_partitioned_merge(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg_transforms import (
+            bucket_of,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            _pkv(spark, [(1, "a", 0, "x"), (2, "b", 0, "y"),
+                         (3, "c", 0, "z")]),
+            t, "k", "ts", partition_by=["bucket(4, d)"],
+        )
+        merge_iceberg_batch(
+            spark, _pkv(spark, [(2, "B", 1, "y"), (4, "d", 1, "w")]),
+            t, "k", "ts",
+        )
+        assert _psnap(spark, t) == [
+            (1, "a", "x"), (2, "B", "y"), (3, "c", "z"), (4, "d", "w"),
+        ]
+        _meta, manifests = _current_manifests(spark, t)
+        buckets = set()
+        for m in manifests:
+            _, entries = read_container(_localize(t, m["manifest_path"]))
+            for e in entries:
+                buckets.add(e["data_file"]["partition"]["d_bucket"])
+        assert buckets <= set(range(4))
+        assert bucket_of("y", "string", 4) in buckets
+
+    def test_truncate_partitioned_merge(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            _pkv(spark, [(1, "a", 0, "aaX"), (2, "b", 0, "aaY"),
+                         (3, "c", 0, "bbZ")]),
+            t, "k", "ts", partition_by=["truncate(2, d)"],
+        )
+        merge_iceberg_batch(
+            spark, _pkv(spark, [(1, "A", 1, "aaQ")]), t, "k", "ts",
+        )
+        assert _psnap(spark, t) == [
+            (1, "A", "aaQ"), (2, "b", "aaY"), (3, "c", "bbZ"),
+        ]
+        _meta, manifests = _current_manifests(spark, t)
+        prefixes = set()
+        for m in manifests:
+            _, entries = read_container(_localize(t, m["manifest_path"]))
+            for e in entries:
+                prefixes.add(e["data_file"]["partition"]["d_trunc"])
+        assert prefixes == {"aa", "bb"}
+
+    def test_days_jobs_flat_in_partitions(self, spark, tmp_path):
+        from tests.test_delta_scale import _count_jobs
+
+        counts = {}
+        for n in (3, 12):
+            vals = []
+            # min of 3 fresh-table reps: async AQE/broadcast-cleanup
+            # jobs occasionally land in the job group
+            for rep in range(3):
+                t = str(tmp_path / f"tbl{n}-{rep}")
+                rows = [
+                    (k + 100 * d, "a", 0,
+                     f"2024-03-{d + 1:02d}T06:00:00")
+                    for d in range(n) for k in range(3)
+                ]
+                merge_iceberg_batch(
+                    spark, _tkv(spark, rows), t, "k", "ts",
+                    partition_by=["days(t)"],
+                )
+                rows2 = [
+                    (k + 100 * d, "b", 1,
+                     f"2024-03-{d + 1:02d}T07:00:00")
+                    for d in range(n) for k in range(3)
+                ]
+                vals.append(_count_jobs(
+                    spark,
+                    lambda: merge_iceberg_batch(
+                        spark, _tkv(spark, rows2), t, "k", "ts"
+                    ),
+                ))
+            counts[n] = min(vals)
+        assert counts[12] == counts[3]
+        assert counts[12] <= 20
