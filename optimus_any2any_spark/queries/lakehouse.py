@@ -901,6 +901,94 @@ def iceberg_partitioned_merge(spark, sf_dir):
 
 
 @register(
+    "iceberg_days_partitioned_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS k, event_type AS etype, value, ts
+      FROM events WHERE event_id % 3 <> 0
+    ),
+    upd AS (
+      SELECT k, etype, value + 10.0 AS value, ts
+      FROM base WHERE k % 5 = 1
+    ),
+    ins AS (
+      SELECT event_id AS k, event_type AS etype, value / 2 AS value, ts
+      FROM events WHERE event_id % 15 = 0
+    ),
+    merged AS (
+      SELECT k, etype, value, ts FROM base WHERE k % 5 <> 1
+      UNION ALL SELECT k, etype, value, ts FROM upd
+      UNION ALL SELECT k, etype, value, ts FROM ins
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_rows,
+           {o_dsum('value')} AS sum_value
+    FROM merged GROUP BY day ORDER BY day
+    """,
+    doc="days(ts)-PARTITIONED Iceberg MERGE (VERDICT r5 item 3): the "
+    "canonical real-world Iceberg layout — a non-identity partition "
+    "transform (spec §Partition Transforms) on the write path. The "
+    "day transform is computed per-row as a __pv column "
+    "(sources/iceberg_transforms.py, pure epoch arithmetic, timezone-"
+    "free), manifests carry the transformed int day tuples under the "
+    "spec field name ts_day, and the merge keeps the identity writer's "
+    "single-job shape (one grouped key-stats pass, one anti-join, one "
+    "partitionBy(__pid) write) — 30 day-partitions at every SF, so "
+    "partitions stay constant while data scales. Updates ride the "
+    "SAME event timestamp, so each key upserts within its own day — "
+    "the oracle restates that as plain set algebra over events.",
+    bench=True,
+)
+def iceberg_days_partitioned_merge(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_dmerge", sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value"),
+        F.col("ts"),
+        F.lit(0).cast("long").alias("rts"),
+    )
+    base = ev.filter(F.col("k") % 3 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "rts", batch_id=0,
+        target_rows_per_file=4000, partition_by=["days(ts)"],
+    )
+    upd = (
+        base.filter(F.col("k") % 5 == 1)
+        .withColumn("value", F.col("value") + F.lit(10.0))
+        .withColumn("rts", F.lit(1).cast("long"))
+    )
+    ins = (
+        ev.filter(F.col("k") % 15 == 0)
+        .withColumn("value", F.col("value") / F.lit(2))
+        .withColumn("rts", F.lit(1).cast("long"))
+    )
+    merge_iceberg_batch(
+        spark, upd.unionByName(ins), t, "k", "rts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "day date, n_rows long, sum_value double"
+        )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
     "iceberg_row_level_deletes",
     oracle=f"""
     WITH b1 AS (

@@ -191,6 +191,31 @@ def validate_source(transform: str, src_ice_type: str) -> None:
         )
 
 
+def _epoch_micros(col: Column, src_ice_type: str) -> Column:
+    """Epoch microseconds of a timestamp column, timezone-free.
+
+    Iceberg ``timestamp`` maps to Spark TIMESTAMP_NTZ (a wall clock):
+    ``unix_micros`` rejects NTZ, and every NTZ→LTZ conversion Spark
+    offers reads the session timezone — so the wall-clock micros are
+    assembled from calendar parts, which are tz-free on NTZ. Iceberg
+    ``timestamptz`` is an absolute instant; ``unix_micros`` IS its
+    spec reduction."""
+    if src_ice_type == "timestamptz":
+        return F.unix_micros(col)
+    days = F.datediff(
+        F.to_date(col), F.to_date(F.lit(_EPOCH))
+    ).cast("long")
+    return (
+        days * F.lit(86_400_000_000)
+        + F.hour(col).cast("long") * F.lit(3_600_000_000)
+        + F.minute(col).cast("long") * F.lit(60_000_000)
+        # date_part SECOND carries the fractional micros exactly
+        + (
+            F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)
+        ).cast("long")
+    )
+
+
 def transform_column(
     transform: str, col: Column, src_ice_type: str
 ) -> Column:
@@ -205,12 +230,14 @@ def transform_column(
             days = F.datediff(col, F.to_date(F.lit(_EPOCH)))
         else:
             # floor-divide epoch micros: timezone-free, pre-1970-safe
-            days = F.floor(F.unix_micros(col) / F.lit(86_400_000_000))
+            days = F.floor(
+                _epoch_micros(col, src_ice_type) / F.lit(86_400_000_000)
+            )
         if transform == "day":
             return days.cast("int")
         if transform == "hour":
             return F.floor(
-                F.unix_micros(col) / F.lit(3_600_000_000)
+                _epoch_micros(col, src_ice_type) / F.lit(3_600_000_000)
             ).cast("int")
         d = F.date_add(F.to_date(F.lit(_EPOCH)), days.cast("int"))
         if transform == "month":
@@ -247,7 +274,7 @@ def _bucket_column(col: Column, src_ice_type: str, n: int) -> Column:
     # timestamps reduce to epoch micros JVM-side so the UDF sees plain
     # int64 (no tz-dependent datetime round trip through Arrow)
     if src_ice_type in ("timestamp", "timestamptz"):
-        col = F.unix_micros(col)
+        col = _epoch_micros(col, src_ice_type)
     elif src_ice_type == "date":
         col = F.datediff(col, F.to_date(F.lit(_EPOCH)))
 

@@ -544,5 +544,8 @@ class TestTransformPartitionedMerge:
                     ),
                 ))
             counts[n] = min(vals)
-        assert counts[12] == counts[3]
+        # ±1 tolerance: async AQE/broadcast-cleanup jobs land in the
+        # group nondeterministically even over 3 reps; a real
+        # per-partition regression would add ≥ (12-3) = 9 jobs
+        assert counts[12] - counts[3] <= 1
         assert counts[12] <= 20

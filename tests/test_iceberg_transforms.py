@@ -166,3 +166,53 @@ class TestTransformColumns:
             validate_source("truncate[2]", "double")
         with pytest.raises(NotImplementedError):
             validate_source("day", "long")
+
+
+class TestNtzTimezoneFreedom:
+    """Iceberg ``timestamp`` is Spark TIMESTAMP_NTZ (a wall clock):
+    its transforms must come out identical under ANY session timezone
+    — unix_micros rejects NTZ and every NTZ→LTZ conversion Spark
+    offers reads the session tz, so the micros assemble from calendar
+    parts (``_epoch_micros``)."""
+
+    def test_ntz_day_hour_bucket_session_tz_invariant(self, spark):
+        import datetime as dt
+
+        from optimus_any2any_spark.sources.iceberg_transforms import (
+            bucket_of,
+        )
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2017, 11, 16, 22, 31, 8, 123456),),
+             (dt.datetime(1969, 12, 31, 23, 0, 0),)],
+            "ts timestamp_ntz",
+        )
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        results = {}
+        try:
+            for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                got = df.select(
+                    transform_column(
+                        "day", F.col("ts"), "timestamp"
+                    ).alias("d"),
+                    transform_column(
+                        "hour", F.col("ts"), "timestamp"
+                    ).alias("h"),
+                    transform_column(
+                        "bucket[32]", F.col("ts"), "timestamp"
+                    ).alias("b"),
+                ).collect()
+                results[tz] = [(r.d, r.h, r.b) for r in got]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        assert results["UTC"] == results["Asia/Tokyo"]
+        assert results["UTC"] == results["America/New_York"]
+        # spec values: wall-clock micros, floor division pre-epoch
+        assert results["UTC"][0][:2] == (17486, 17486 * 24 + 22)
+        assert results["UTC"][1][:2] == (-1, -1)
+        micros = 17486 * 86_400_000_000 + (22 * 3600 + 31 * 60 + 8) \
+            * 1_000_000 + 123_456
+        assert results["UTC"][0][2] == bucket_of(
+            micros, "timestamp", 32
+        )
