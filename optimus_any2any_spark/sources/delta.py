@@ -732,9 +732,19 @@ def read_delta_cdf(
     ``insert`` rows from their add files (real Delta does exactly
     this); a data-rewriting commit WITHOUT change data raises rather
     than guessing."""
-    schema = _table_schema(spark, table_path)
+    meta, _live = _snapshot_actions(spark, table_path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    cmap = column_mapping(meta)  # mapped tables: cdc files carry
+    phys = (lambda c: cmap.get(c, c)) if cmap else (lambda c: c)
     cdf_schema = T.StructType(
         list(schema.fields)
+        + [T.StructField("_change_type", T.StringType(), True)]
+    )
+    read_schema = T.StructType(
+        [
+            T.StructField(phys(f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
         + [T.StructField("_change_type", T.StringType(), True)]
     )
     out: DataFrame | None = None
@@ -747,7 +757,15 @@ def read_delta_cdf(
             if a.get("cdc")
         ]
         if cdc_files:
-            part = spark.read.schema(cdf_schema).parquet(*cdc_files)
+            part = spark.read.schema(read_schema).parquet(*cdc_files)
+            if cmap:  # physical parquet names → logical schema
+                part = part.select(
+                    *[
+                        F.col("`" + phys(f.name) + "`").alias(f.name)
+                        for f in schema.fields
+                    ],
+                    F.col("_change_type"),
+                )
         else:
             removes = any(
                 a.get("remove") and a["remove"].get("dataChange", True)

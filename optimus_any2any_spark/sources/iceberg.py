@@ -314,6 +314,27 @@ def read_iceberg(
     data, pos_del, eq_del = _snapshot_entries(
         table_path, meta, snapshot_id
     )
+    return read_entries_with_deletes(
+        spark, meta, schema, data, pos_del, eq_del
+    )
+
+
+def read_entries_with_deletes(
+    spark: SparkSession,
+    meta: dict,
+    schema,
+    data: list[dict],
+    pos_del: list[dict],
+    eq_del: list[dict],
+) -> DataFrame:
+    """The merge-on-read core of :func:`read_iceberg`, reusable over a
+    SUBSET of a snapshot's data entries: read the given data files and
+    anti-join away the rows the given positional/equality delete files
+    erase, sequence-gated per the spec. The copy-on-write merge reads
+    its affected files through this so a rewrite never resurrects
+    rows a delete had already removed."""
+    from pyspark.sql import functions as F
+
     if not data:
         return spark.createDataFrame([], schema)
     if not pos_del and not eq_del:

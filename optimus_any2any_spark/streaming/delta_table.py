@@ -76,19 +76,41 @@ from optimus_any2any_spark.streaming.manifest_table import (
 DEFAULT_APP_ID = "optimus-any2any-merge"
 
 
-def _reject_mapped(meta: dict | None, verb: str) -> None:
-    """Column-mapped tables are READ-supported (sources.delta) but this
-    writer names physical columns logically — refuse to corrupt."""
-    if meta is None:
-        return
-    mode = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode"
+def _phys_of(meta: dict | None):
+    """Logical→physical column rename for column-mapped tables.
+
+    Returns ``(phys, mapped)``: ``phys`` is a callable translating a
+    logical column name to the physical parquet name (identity on
+    unmapped tables), ``mapped`` says whether the table declares
+    ``delta.columnMapping.mode``. Writers run their INTERNAL algebra
+    on logical names and translate only at the storage boundary:
+    parquet reads/writes, add-action stats keys, and partitionValues
+    keys are physical; everything else (windows, joins, CDF schemas as
+    the reader surfaces them) stays logical."""
+    from optimus_any2any_spark.sources.delta import column_mapping
+
+    cmap = column_mapping(meta) if meta else None
+    if not cmap:
+        return (lambda c: c), False
+    return (lambda c: cmap.get(c, c)), True
+
+
+def _phys_schema(schema: T.StructType, phys) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(phys(f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
     )
-    if mode not in (None, "none"):
-        raise NotImplementedError(
-            f"delta {verb}: writing to a column-mapped table "
-            f"(delta.columnMapping.mode={mode!r}) is beyond this writer"
-        )
+
+
+def _to_phys(df: DataFrame, cols: list[str], phys, keep=()) -> DataFrame:
+    """Project logical columns to their physical names (storage
+    boundary before a parquet write); ``keep`` columns pass through."""
+    return df.select(
+        *[F.col("`" + c + "`").alias(phys(c)) for c in cols],
+        *[F.col(k) for k in keep],
+    )
 
 
 def _read_files_dv_aware(
@@ -98,6 +120,7 @@ def _read_files_dv_aware(
     paths: list[str],
     live: dict[str, dict],
     basename_col: str | None = None,
+    phys=None,
 ) -> DataFrame:
     """Read the given live files with each file's deletion-vector rows
     DROPPED — the read half of copy-on-write over a merge-on-read
@@ -114,15 +137,29 @@ def _read_files_dv_aware(
         dv_positions_df,
     )
 
-    df = spark.read.schema(data_schema).parquet(
+    read_schema = (
+        _phys_schema(data_schema, phys) if phys is not None
+        else data_schema
+    )
+    df = spark.read.schema(read_schema).parquet(
         *[os.path.join(table_path, p) for p in paths]
     )
+    if phys is not None:
+        # mapped tables: parquet carries physical names — alias back
+        # to the logical schema the caller's algebra runs on
+        df = df.select(
+            *[
+                F.col("`" + phys(f.name) + "`").alias(f.name)
+                for f in data_schema.fields
+            ],
+            F.col("_metadata").alias("_metadata"),
+        )
     bn = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     dv_sub = {p: live[p] for p in paths if live[p].get("deletionVector")}
     if not dv_sub:
         if basename_col:
             df = df.select("*", bn.alias(basename_col))
-        return df
+        return df.drop("_metadata") if phys is not None else df
     # the basename must be captured BEFORE the anti-join —
     # input_file_name()/metadata columns are unreliable once the rows
     # have crossed an exchange
@@ -131,6 +168,8 @@ def _read_files_dv_aware(
         bn.alias("__dv_bn"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
+    if phys is not None:
+        df = df.drop("_metadata")
     # guard over the FULL read set (not just the DV'd subset): the
     # helper only emits rows for DV-carrying adds, but its basename-
     # collision check must span every file in this read — a DV'd file
@@ -513,7 +552,7 @@ def compact_delta(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         return None
-    _reject_mapped(state["meta"], "optimize")
+    phys, mapped = _phys_of(state["meta"])
     schema = T.StructType.fromJson(
         json.loads(state["meta"]["schemaString"])
     )
@@ -524,7 +563,7 @@ def compact_delta(
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for p, a in sorted(state["live"].items()):
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(phys(c)) for c in part_cols)
         try:
             n = json.loads(a.get("stats") or "{}").get("numRecords")
         except ValueError:
@@ -565,6 +604,7 @@ def compact_delta(
     cur = _read_files_dv_aware(
         spark, table_path, data_schema, [p for p, _ in src],
         state["live"], basename_col=None if single else "__rel",
+        phys=phys if mapped else None,
     )
     if single:
         cur = cur.withColumn("__pid", F.lit(0).cast("int"))
@@ -596,14 +636,17 @@ def compact_delta(
     # (the linear cousin of Delta's Z-ORDER-on-OPTIMIZE). File sizes
     # are approximate when a range partition spans a __pid boundary.
     new_files: list[tuple[str, dict]] = []  # (rel, partitionValues)
+    data_cols = [f.name for f in data_schema.fields]
     if single:
         out_df = cur.drop("__pid")
         if stat_col is not None:
             out_df = out_df.repartitionByRange(n_files, F.col(stat_col))
         else:
             out_df = out_df.coalesce(n_files)
+        if mapped:
+            out_df = _to_phys(out_df, data_cols, phys)
         out_df.write.mode("overwrite").parquet(tmp)
-        pv = {c: v for c, v in zip(part_cols, ptuples[0])}
+        pv = {phys(c): v for c, v in zip(part_cols, ptuples[0])}
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
@@ -615,15 +658,17 @@ def compact_delta(
         range_cols = [F.col("__pid")] + (
             [F.col(stat_col)] if stat_col is not None else []
         )
+        out_df = cur.repartitionByRange(n_files, *range_cols)
+        if mapped:
+            out_df = _to_phys(out_df, data_cols, phys, keep=("__pid",))
         (
-            cur.repartitionByRange(n_files, *range_cols)
-            .write.partitionBy("__pid")
+            out_df.write.partitionBy("__pid")
             .mode("overwrite")
             .parquet(tmp)
         )
         for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
             pid = int(os.path.basename(pdir).split("=", 1)[1])
-            pv = {c: v for c, v in zip(part_cols, ptuples[pid])}
+            pv = {phys(c): v for c, v in zip(part_cols, ptuples[pid])}
             for part in sorted(
                 _glob.glob(os.path.join(pdir, "part-*.parquet"))
             ):
@@ -642,7 +687,8 @@ def compact_delta(
     by_name = (
         _collect_file_stats(
             spark, table_path, [r for r, _ in new_files],
-            stat_col, data_schema,
+            phys(stat_col),
+            _phys_schema(data_schema, phys) if mapped else data_schema,
         )
         if stat_col is not None
         else {}
@@ -714,7 +760,7 @@ def merge_delta_batch(
     state = replay_log(spark, table_path) if exists else {
         "meta": None, "live": {}, "txns": {}, "version": -1,
     }
-    _reject_mapped(state["meta"], "merge")
+    phys, mapped = _phys_of(state["meta"])
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -736,6 +782,15 @@ def merge_delta_batch(
                     f"{sorted(batch.columns)} != table schema "
                     f"{sorted(schema.fieldNames())} "
                     "(pass merge_schema=True to evolve)"
+                )
+            if mapped:
+                # evolving a mapped schema means minting fresh
+                # physicalName/columnMapping.id metadata — refuse
+                # rather than write unmapped columns into a mapped
+                # table
+                raise NotImplementedError(
+                    "delta merge: schema evolution on a column-mapped "
+                    "table is beyond this writer"
                 )
             table_cols = set(schema.fieldNames())
             extra = [c for c in batch.columns if c not in table_cols]
@@ -842,9 +897,11 @@ def merge_delta_batch(
 
     ptuples = sorted(pstats, key=str)
     pid_of = {pt: i for i, pt in enumerate(ptuples)}
+    # partitionValues (and stats) in add actions are keyed by PHYSICAL
+    # names on mapped tables — identity otherwise
     pv_str_of = {
         pt: {
-            c: (None if v is None else str(v))
+            phys(c): (None if v is None else str(v))
             for c, v in zip(part_cols, pt)
         }
         for pt in ptuples
@@ -856,15 +913,15 @@ def merge_delta_batch(
     for p, a in sorted(state["live"].items()):
         apv = a.get("partitionValues") or {}
         live_by_pv.setdefault(
-            tuple(apv.get(c) for c in part_cols), []
+            tuple(apv.get(phys(c)) for c in part_cols), []
         ).append((p, a))
     hit_by_pid: dict[int, list[dict]] = {}
     hit_paths: list[str] = []
     for pt in ptuples:
         st = pstats[pt]
-        pv_key = tuple(pv_str_of[pt].get(c) for c in part_cols)
+        pv_key = tuple(pv_str_of[pt].get(phys(c)) for c in part_cols)
         entries = [
-            _entry_from_add(p, a, key_col)
+            _entry_from_add(p, a, phys(key_col))
             for p, a in live_by_pv.get(pv_key, [])
         ]
         hit, _miss = _affected(
@@ -941,6 +998,7 @@ def merge_delta_batch(
             spark, table_path, data_schema,
             [r for r, _ in rel_pid_rows], state["live"],
             basename_col=None if single else "__rel",
+            phys=phys if mapped else None,
         )
         if single:
             cur = cur.withColumn("__pid", F.lit(0).cast("int"))
@@ -981,12 +1039,12 @@ def merge_delta_batch(
     n_files = max(1, -(-n_rows // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
     if single:
-        (
-            merged.drop("__pid")
-            .repartitionByRange(n_files, F.col(key_col))
-            .write.mode("overwrite")
-            .parquet(tmp)
+        out_df = merged.drop("__pid").repartitionByRange(
+            n_files, F.col(key_col)
         )
+        if mapped:
+            out_df = _to_phys(out_df, data_cols, phys)
+        out_df.write.mode("overwrite").parquet(tmp)
         pv = pv_str_of[ptuples[0]]
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
@@ -996,11 +1054,13 @@ def merge_delta_batch(
             os.replace(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
     else:
+        out_df = merged.repartitionByRange(
+            n_files, F.col("__pid"), F.col(key_col)
+        )
+        if mapped:
+            out_df = _to_phys(out_df, data_cols, phys, keep=("__pid",))
         (
-            merged.repartitionByRange(
-                n_files, F.col("__pid"), F.col(key_col)
-            )
-            .write.partitionBy("__pid")
+            out_df.write.partitionBy("__pid")
             .mode("overwrite")
             .parquet(tmp)
         )
@@ -1057,6 +1117,11 @@ def merge_delta_batch(
         if pid_df is not None:
             changes = changes.join(F.broadcast(pid_df), "__pid")
         changes_all = changes.select(*latest.columns, "_change_type")
+        if mapped:  # cdc parquet carries physical names, like data
+            changes_all = _to_phys(
+                changes_all, list(latest.columns), phys,
+                keep=("_change_type",),
+            )
         cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
         changes_all.write.mode("overwrite").parquet(cdc_tmp)
         os.makedirs(
@@ -1075,7 +1140,8 @@ def merge_delta_batch(
     by_name = {}
     if new_rel:
         by_name = _collect_file_stats(
-            spark, table_path, new_rel, key_col, data_schema
+            spark, table_path, new_rel, phys(key_col),
+            _phys_schema(data_schema, phys) if mapped else data_schema,
         )
 
     actions: list[dict] = []
@@ -1180,7 +1246,7 @@ def purge_deletion_vectors(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         return None
-    _reject_mapped(state["meta"], "purge")
+    phys, mapped = _phys_of(state["meta"])
     dv_adds = {
         p: a
         for p, a in state["live"].items()
@@ -1203,7 +1269,7 @@ def purge_deletion_vectors(
     ptuples = sorted(
         {
             tuple(
-                (a.get("partitionValues") or {}).get(c)
+                (a.get("partitionValues") or {}).get(phys(c))
                 for c in part_cols
             )
             for a in dv_adds.values()
@@ -1217,7 +1283,7 @@ def purge_deletion_vectors(
             p.rsplit("/", 1)[-1],
             pid_of[
                 tuple(
-                    (a.get("partitionValues") or {}).get(c)
+                    (a.get("partitionValues") or {}).get(phys(c))
                     for c in part_cols
                 )
             ],
@@ -1225,11 +1291,17 @@ def purge_deletion_vectors(
         for p, a in sorted(dv_adds.items())
     ]
 
+    read_schema = (
+        _phys_schema(data_schema, phys) if mapped else data_schema
+    )
     cur = (
-        spark.read.schema(data_schema)
+        spark.read.schema(read_schema)
         .parquet(*[os.path.join(table_path, p) for p in dv_adds])
         .select(
-            "*",
+            *[
+                F.col("`" + phys(f.name) + "`").alias(f.name)
+                for f in data_schema.fields
+            ],
             F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             ).alias("__dv_bn"),
@@ -1259,19 +1331,23 @@ def purge_deletion_vectors(
         )
 
     total_rows = sum(
-        max(_entry_from_add(p, a, stat_col or "")["rows"], 0)
+        max(_entry_from_add(p, a, phys(stat_col) if stat_col else "")
+            ["rows"], 0)
         for p, a in dv_adds.items()
     )
     n_files = max(1, -(-total_rows // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-purge-v{version}")
     new_files: list[tuple[str, dict]] = []
     file_seq = 0
+    data_cols = [f.name for f in data_schema.fields]
     if single:
         out_df = (
             kept.repartitionByRange(n_files, F.col(stat_col))
             if stat_col is not None
             else kept.coalesce(n_files)
         )
+        if mapped:
+            out_df = _to_phys(out_df, data_cols, phys)
         out_df.write.mode("overwrite").parquet(tmp)
         pv = next(
             iter(dv_adds.values())
@@ -1286,16 +1362,18 @@ def purge_deletion_vectors(
     else:
         pv_of_pid = {
             pid_of[pt]: {
-                c: v for c, v in zip(part_cols, pt)
+                phys(c): v for c, v in zip(part_cols, pt)
             }
             for pt in ptuples
         }
         range_cols = [F.col("__pid")] + (
             [F.col(stat_col)] if stat_col is not None else []
         )
+        out_df = kept.repartitionByRange(n_files, *range_cols)
+        if mapped:
+            out_df = _to_phys(out_df, data_cols, phys, keep=("__pid",))
         (
-            kept.repartitionByRange(n_files, *range_cols)
-            .write.partitionBy("__pid")
+            out_df.write.partitionBy("__pid")
             .mode("overwrite")
             .parquet(tmp)
         )
@@ -1314,7 +1392,8 @@ def purge_deletion_vectors(
     by_name = (
         _collect_file_stats(
             spark, table_path, [r for r, _ in new_files],
-            stat_col, data_schema,
+            phys(stat_col),
+            _phys_schema(data_schema, phys) if mapped else data_schema,
         )
         if (stat_col is not None and new_files)
         else {}
@@ -1346,7 +1425,7 @@ def purge_deletion_vectors(
 def _delete_via_dv(
     spark, table_path, key_col, kdf, state, hits, version,
     app_id, batch_id, change_data, part_cols, data_schema, type_of,
-    schema,
+    schema, phys=None, mapped=False,
 ):
     """Merge-on-read DELETE: matching row positions per affected file
     become deletion vectors; files are RE-ADDED with DV descriptors,
@@ -1409,11 +1488,19 @@ def _delete_via_dv(
         else None
     )
 
+    if phys is None:
+        phys = lambda c: c  # noqa: E731
+    read_schema = (
+        _phys_schema(data_schema, phys) if mapped else data_schema
+    )
     cur = (
-        spark.read.schema(data_schema)
+        spark.read.schema(read_schema)
         .parquet(*[os.path.join(table_path, p) for p in hit_paths])
         .select(
-            "*",
+            *[
+                F.col("`" + phys(f.name) + "`").alias(f.name)
+                for f in data_schema.fields
+            ],
             F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             ).alias("__bn"),
@@ -1517,7 +1604,7 @@ def _delete_via_dv(
             if part_cols:
                 pv_rows = [
                     (bn,) + tuple(
-                        pv_of[bn].get(c) for c in part_cols
+                        pv_of[bn].get(phys(c)) for c in part_cols
                     )
                     for bn in pv_of
                 ]
@@ -1541,6 +1628,11 @@ def _delete_via_dv(
             changes_all = deleted.withColumn(
                 "_change_type", F.lit("delete")
             ).select(*schema.fieldNames(), "_change_type")
+            if mapped:  # cdc parquet carries physical names
+                changes_all = _to_phys(
+                    changes_all, list(schema.fieldNames()), phys,
+                    keep=("_change_type",),
+                )
             cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
             changes_all.write.mode("overwrite").parquet(cdc_tmp)
             os.makedirs(
@@ -1608,7 +1700,7 @@ def delete_delta_keys(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         raise ValueError(f"delta delete: no table at {table_path}")
-    _reject_mapped(state["meta"], "delete")
+    phys, mapped = _phys_of(state["meta"])
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -1651,8 +1743,8 @@ def delete_delta_keys(
     hit_rows_total = 0
     for p, a in sorted(state["live"].items()):
         pv = a.get("partitionValues") or {}
-        pt = tuple(pv.get(c) for c in part_cols)
-        e = _entry_from_add(p, a, key_col)
+        pt = tuple(pv.get(phys(c)) for c in part_cols)
+        e = _entry_from_add(p, a, phys(key_col))
         h, _miss = _affected(
             [e], key_list, kstats["kmin"], kstats["kmax"], has_null
         )
@@ -1666,7 +1758,7 @@ def delete_delta_keys(
         return _delete_via_dv(
             spark, table_path, key_col, kdf, state, hits, version,
             app_id, batch_id, change_data, part_cols, data_schema,
-            type_of, schema,
+            type_of, schema, phys, mapped,
         )
 
     ptuples = sorted({pt for _, pt in hits}, key=str)
@@ -1676,6 +1768,7 @@ def delete_delta_keys(
     cur = _read_files_dv_aware(
         spark, table_path, data_schema, hit_paths, state["live"],
         basename_col=None if single else "__rel",
+        phys=phys if mapped else None,
     )
     if single:
         cur = cur.withColumn("__pid", F.lit(0).cast("int")).alias("cur")
@@ -1711,14 +1804,15 @@ def delete_delta_keys(
     file_seq = 0
     n_files = max(1, -(-hit_rows_total // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-delete-v{version}")
+    data_cols = [f.name for f in data_schema.fields]
     if single:
-        (
-            keep.drop("__pid")
-            .repartitionByRange(n_files, F.col(key_col))
-            .write.mode("overwrite")
-            .parquet(tmp)
+        out_df = keep.drop("__pid").repartitionByRange(
+            n_files, F.col(key_col)
         )
-        pv = {c: v for c, v in zip(part_cols, ptuples[0])}
+        if mapped:
+            out_df = _to_phys(out_df, data_cols, phys)
+        out_df.write.mode("overwrite").parquet(tmp)
+        pv = {phys(c): v for c, v in zip(part_cols, ptuples[0])}
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
@@ -1727,17 +1821,19 @@ def delete_delta_keys(
             os.replace(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
     else:
+        out_df = keep.repartitionByRange(
+            n_files, F.col("__pid"), F.col(key_col)
+        )
+        if mapped:
+            out_df = _to_phys(out_df, data_cols, phys, keep=("__pid",))
         (
-            keep.repartitionByRange(
-                n_files, F.col("__pid"), F.col(key_col)
-            )
-            .write.partitionBy("__pid")
+            out_df.write.partitionBy("__pid")
             .mode("overwrite")
             .parquet(tmp)
         )
         for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
             pid = int(os.path.basename(pdir).split("=", 1)[1])
-            pv = {c: v for c, v in zip(part_cols, ptuples[pid])}
+            pv = {phys(c): v for c, v in zip(part_cols, ptuples[pid])}
             for part in sorted(
                 _glob.glob(os.path.join(pdir, "part-*.parquet"))
             ):
@@ -1774,6 +1870,11 @@ def delete_delta_keys(
             )
             deleted = deleted.join(F.broadcast(pid_typed), "__pid")
         changes_all = deleted.select(*schema.fieldNames(), "_change_type")
+        if mapped:  # cdc parquet carries physical names, like data
+            changes_all = _to_phys(
+                changes_all, list(schema.fieldNames()), phys,
+                keep=("_change_type",),
+            )
         cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
         changes_all.write.mode("overwrite").parquet(cdc_tmp)
         os.makedirs(os.path.join(table_path, "_change_data"), exist_ok=True)
@@ -1789,7 +1890,8 @@ def delete_delta_keys(
     by_name = {}
     if new_rel:
         by_name = _collect_file_stats(
-            spark, table_path, new_rel, key_col, data_schema
+            spark, table_path, new_rel, phys(key_col),
+            _phys_schema(data_schema, phys) if mapped else data_schema,
         )
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})

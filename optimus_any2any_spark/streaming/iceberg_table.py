@@ -97,6 +97,12 @@ MANIFEST_ENTRY_SCHEMA = {
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"],
          "default": None, "field-id": 1},
+        # v2: an entry's own data-sequence number. Survivor entries
+        # re-listed under a NEW manifest must carry their ORIGINAL
+        # sequence explicitly — inheriting the new manifest's would
+        # let them escape still-applicable delete files.
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
         {
             "name": "data_file",
             "field-id": 2,
@@ -504,14 +510,47 @@ def merge_iceberg_batch(
             _localize(table_path, snap["manifest-list"])
         )
 
+    def _eff_seq(e: dict, m: dict) -> int:
+        # v2 sequence inheritance: the entry's own number when
+        # present, else the manifest-list row's, else 0 (v1)
+        s = e.get("sequence_number")
+        if s is None:
+            s = m.get("sequence_number")
+        return int(s) if s is not None else 0
+
     carried: list[dict] = []   # manifest-list rows carried verbatim
     hit_entries: list[dict] = []
+    hit_seqs: list[int] = []   # effective data-sequence per hit entry
     survivors: list[dict] = []  # entries from touched manifests to keep
+    pos_del: list[dict] = []   # live positional/equality delete files:
+    eq_del: list[dict] = []    # they gate the affected-file read below
     for m in manifests:
         if int(m.get("content") or 0) == 1:
-            raise NotImplementedError(
-                "iceberg merge: delete manifests are beyond this writer"
+            # delete manifest: carried forward VERBATIM — its files
+            # keep gating the untouched (lower-sequence) data files;
+            # the rewritten files get a higher sequence, so consumed
+            # deletes simply stop applying to them
+            carried.append(m)
+            _, dentries = read_container(
+                _localize(table_path, m["manifest_path"])
             )
+            for e in dentries:
+                if int(e.get("status") or 0) == _ST_DELETED:
+                    continue
+                df_ = e["data_file"]
+                ent = {
+                    "path": _localize(table_path, df_["file_path"]),
+                    "orig": df_["file_path"],
+                    "seq": _eff_seq(e, m),
+                    "equality_ids": list(df_.get("equality_ids") or []),
+                }
+                if int(df_.get("content") or 0) == 2 or ent[
+                    "equality_ids"
+                ]:
+                    eq_del.append(ent)
+                else:
+                    pos_del.append(ent)
+            continue
         mpath = _localize(table_path, m["manifest_path"])
         _, entries = read_container(mpath)
         live = [
@@ -540,11 +579,24 @@ def merge_iceberg_batch(
         if not hits:
             carried.append(m)  # whole manifest untouched: zero IO
         else:
-            hit_entries.extend(h["__entry"] for h in hits)
-            survivors.extend(mi["__entry"] for mi in misses)
+            for hh in hits:
+                hit_entries.append(hh["__entry"])
+                hit_seqs.append(_eff_seq(hh["__entry"], m))
+            for mi in misses:
+                # survivors re-list under the NEW manifest: their
+                # ORIGINAL sequence must ride along explicitly, or
+                # they would inherit the new (higher) sequence and
+                # escape delete files that still apply to them
+                e2 = dict(mi["__entry"])
+                e2["sequence_number"] = _eff_seq(mi["__entry"], m)
+                survivors.append(e2)
 
     version = prev_version + 1
     snapshot_id = version
+    fmt = int(meta.get("format-version", 1))
+    seq = max(
+        int(meta.get("last-sequence-number", 0)), prev_version
+    ) + 1
 
     # attach __pid to batch rows (broadcast partition-tuple lookup);
     # Iceberg data files keep ALL columns, so __pid only routes rows.
@@ -587,11 +639,30 @@ def merge_iceberg_batch(
     merged = latest_p
     hit_rows = 0
     if hit_entries:
-        cur = spark.read.schema(schema).parquet(
-            *[
-                _localize(table_path, e["data_file"]["file_path"])
-                for e in hit_entries
-            ]
+        from optimus_any2any_spark.sources.iceberg import (
+            read_entries_with_deletes,
+        )
+
+        # affected files read WITH any delete files applied (sequence-
+        # gated, same plan as read_iceberg) — a copy-on-write rewrite
+        # must never resurrect rows a delete had already removed
+        cur = read_entries_with_deletes(
+            spark,
+            meta,
+            schema,
+            [
+                {
+                    "path": _localize(
+                        table_path, e["data_file"]["file_path"]
+                    ),
+                    "orig": e["data_file"]["file_path"],
+                    "seq": s,
+                    "equality_ids": [],
+                }
+                for e, s in zip(hit_entries, hit_seqs)
+            ],
+            pos_del,
+            eq_del,
         )
         cur_p = (
             _with_pid(_with_pvs(cur))
@@ -738,7 +809,9 @@ def merge_iceberg_batch(
             "partition_spec_id": int(meta.get("default-spec-id", 0)),
             "content": 0,
             "added_snapshot_id": snapshot_id,
-            "sequence_number": version,
+            # the new files inherit this: it outranks every existing
+            # delete file, so consumed deletes stop applying to them
+            "sequence_number": seq,
         }
     ]
     ml_rel = (
@@ -755,14 +828,16 @@ def merge_iceberg_batch(
         summary["optimus-app-id"] = app_id
         summary["optimus-batch-id"] = str(batch_id)
     meta = dict(meta)
-    meta["snapshots"] = snaps + [
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": 0,
-            "manifest-list": ml_rel,
-            "summary": summary,
-        }
-    ]
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": 0,
+        "manifest-list": ml_rel,
+        "summary": summary,
+    }
+    if fmt >= 2:
+        new_snap["sequence-number"] = seq
+        meta["last-sequence-number"] = seq
+    meta["snapshots"] = snaps + [new_snap]
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -795,9 +870,10 @@ def delete_iceberg_keys(
     idempotent redelivery).
 
     The copy-on-write alternative for Iceberg is ``merge_iceberg_batch``
-    (rewrite the affected files); note that writer refuses tables that
-    already carry delete manifests — it cannot re-rank survivor
-    entries across sequence numbers."""
+    (rewrite the affected files); it composes with this one — a later
+    merge reads its affected files with the deletes applied, stamps a
+    higher data-sequence number on the rewrite, and carries the delete
+    manifests forward for the files it did not touch."""
     md = _meta_dir(table_path)
     hint = os.path.join(md, "version-hint.text")
     if not os.path.exists(hint):

@@ -245,23 +245,244 @@ class TestGuards:
         with pytest.raises(NotImplementedError, match="NESTED"):
             read_delta(spark, t)
 
-    def test_writers_refuse_mapped_tables(self, spark, tmp_path):
+    def test_mapped_schema_evolution_refused(self, spark, tmp_path):
         from optimus_any2any_spark.streaming.delta_table import (
-            compact_delta,
-            delete_delta_keys,
             merge_delta_batch,
         )
 
         t = str(tmp_path / "tbl")
-        _write_mapped_table(spark, t)
+        _write_mapped_table_ts(spark, t)
         batch = spark.createDataFrame(
-            [(9, "z", 0)], "k long, v string, ts long"
+            [(9, "z", 0, "extra")], "k long, v string, ts long, e string"
         )
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            merge_delta_batch(spark, batch, t, "k", "ts")
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            delete_delta_keys(
-                spark, t, "k", spark.createDataFrame([(1,)], "k long")
-            )
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            compact_delta(spark, t)
+        # evolving a mapped schema would need fresh physicalName/id
+        # metadata this writer does not mint
+        with pytest.raises(NotImplementedError, match="evolution"):
+            merge_delta_batch(spark, batch, t, "k", "ts",
+                              merge_schema=True)
+
+
+PHYS_T = "col-5d2ea9bc"
+
+
+def _write_mapped_table_ts(spark, t, partitioned=False):
+    """A name-mapped (k, v, ts[, d]) table — physical parquet names,
+    logical schemaString — for exercising the WRITE paths."""
+    import glob as _glob
+    import shutil
+
+    os.makedirs(t, exist_ok=True)
+    fields = [
+        {
+            "name": n,
+            "type": ty,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": pn,
+            },
+        }
+        for i, (n, ty, pn) in enumerate(
+            [("k", "long", PHYS_K), ("v", "string", PHYS_V),
+             ("ts", "long", PHYS_T)]
+            + ([("d", "string", PHYS_D)] if partitioned else [])
+        )
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-w-test",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": ["d"] if partitioned else [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "4",
+                },
+            }
+        },
+    ]
+    groups = (
+        [("d1", [(1, "a"), (2, "b")]), ("d2", [(3, "c")])]
+        if partitioned
+        else [(None, [(1, "a"), (2, "b"), (3, "c")])]
+    )
+    for gi, (d, rows) in enumerate(groups):
+        df = spark.createDataFrame(
+            [(k, v, 0) for k, v in rows],
+            f"`{PHYS_K}` long, `{PHYS_V}` string, `{PHYS_T}` long",
+        )
+        tmp = os.path.join(t, f"_tmp{gi}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        rel = f"part-0000{gi}-mapped.parquet"
+        os.replace(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(t, rel),
+        )
+        shutil.rmtree(tmp)
+        ks = [r[0] for r in rows]
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {PHYS_D: d} if partitioned else {},
+                    "size": os.path.getsize(os.path.join(t, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": len(rows),
+                            "minValues": {PHYS_K: min(ks)},
+                            "maxValues": {PHYS_K: max(ks)},
+                            "nullCount": {PHYS_K: 0},
+                        }
+                    ),
+                }
+            }
+        )
+    _commit(os.path.join(t, "_delta_log"), 0, actions)
+
+
+def _snap_kv(spark, t):
+    return sorted((r.k, r.v) for r in read_delta(spark, t).collect())
+
+
+def _last_adds(t):
+    log = os.path.join(t, "_delta_log")
+    last = sorted(os.listdir(log))[-1]
+    adds = []
+    for line in open(os.path.join(log, last)):
+        a = json.loads(line)
+        if a.get("add"):
+            adds.append(a["add"])
+    return adds
+
+
+class TestColumnMappingWrites:
+    """Writers over name-mapped tables (VERDICT r5 item 7): internal
+    algebra stays logical; parquet names, add-action stats keys, and
+    partitionValues translate to physical at the storage boundary."""
+
+    def test_merge_upsert_mapped(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1), (9, "z", 1)],
+                "k long, v string, ts long",
+            ),
+            t, "k", "ts",
+        )
+        assert _snap_kv(spark, t) == [
+            (1, "a"), (2, "B"), (3, "c"), (9, "z"),
+        ]
+        adds = _last_adds(t)
+        assert adds
+        for add in adds:
+            st = json.loads(add["stats"])
+            assert PHYS_K in st["minValues"]  # stats keyed physically
+            assert "k" not in st["minValues"]
+            cols = pq.read_schema(os.path.join(t, add["path"])).names
+            assert PHYS_K in cols and "k" not in cols
+
+    def test_cow_delete_mapped(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long")
+        )
+        assert _snap_kv(spark, t) == [(1, "a"), (3, "c")]
+
+    def test_compact_mapped(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            compact_delta,
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(9, "z", 1)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        v = compact_delta(spark, t, key_col="k")
+        assert v is not None
+        assert _snap_kv(spark, t) == [
+            (1, "a"), (2, "b"), (3, "c"), (9, "z"),
+        ]
+        # post-compaction merge must still prune on the physical stats
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, "A", 2)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        assert _snap_kv(spark, t) == [
+            (1, "A"), (2, "b"), (3, "c"), (9, "z"),
+        ]
+
+    def test_dv_delete_and_cdf_mapped(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+            purge_deletion_vectors,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        v = delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long"),
+            use_deletion_vectors=True, change_data=True,
+        )
+        assert _snap_kv(spark, t) == [(2, "b"), (3, "c")]
+        ch = read_delta_cdf(spark, t, v - 1, v).collect()
+        assert [(r.k, r.v, r._change_type) for r in ch] == [
+            (1, "a", "delete")
+        ]
+        # purge converts the DV back to clean files, still logical
+        assert purge_deletion_vectors(spark, t, key_col="k") is not None
+        assert _snap_kv(spark, t) == [(2, "b"), (3, "c")]
+
+    def test_partitioned_merge_mapped(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t, partitioned=True)
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, "A", 1, "d1"), (9, "z", 1, "d2")],
+                "k long, v string, ts long, d string",
+            ),
+            t, "k", "ts",
+        )
+        got = sorted(
+            (r.k, r.v, r.d) for r in read_delta(spark, t).collect()
+        )
+        assert got == [
+            (1, "A", "d1"), (2, "b", "d1"), (3, "c", "d2"),
+            (9, "z", "d2"),
+        ]
+        for add in _last_adds(t):
+            pv = add["partitionValues"]
+            assert set(pv) == {PHYS_D}  # keyed physically

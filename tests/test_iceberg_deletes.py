@@ -235,7 +235,7 @@ class TestEqualityDeleteWriter:
         assert v == 1
         assert _snap(spark, t) == [(1, "a")]
 
-    def test_merge_refuses_deleted_tables(self, spark, tmp_path):
+    def test_merge_composes_with_equality_deletes(self, spark, tmp_path):
         from optimus_any2any_spark.streaming.iceberg_table import (
             delete_iceberg_keys,
             merge_iceberg_batch,
@@ -244,15 +244,132 @@ class TestEqualityDeleteWriter:
         t = str(tmp_path / "tbl")
         write_iceberg_commit(
             spark.createDataFrame(
-                [(1, "a", 0)], "k long, v string, ts long"
+                [(1, "a", 0), (2, "b", 0)], "k long, v string, ts long"
             ).coalesce(1),
             t,
         )
         delete_iceberg_keys(
             spark, t, "k", spark.createDataFrame([(1,)], "k long")
         )
-        batch = spark.createDataFrame(
-            [(2, "b", 0)], "k long, v string, ts long"
+        # the merge rewrites the file both keys share: the deleted
+        # row must NOT resurrect, the upsert must land
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1), (3, "c", 1)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
         )
-        with pytest.raises(NotImplementedError, match="delete manifests"):
-            merge_iceberg_batch(spark, batch, t, "k", "ts")
+        assert sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        ) == [(2, "B"), (3, "c")]
+        # a re-insert of the deleted key via merge outranks the delete
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, "back", 2)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        assert sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        ) == [(1, "back"), (2, "B"), (3, "c")]
+
+
+class TestMergeOverDeletedTables:
+    """Copy-on-write MERGE over tables carrying delete manifests
+    (VERDICT r5 item 6): affected files read with deletes applied,
+    rewrites outrank consumed deletes, survivor entries keep their
+    ORIGINAL data-sequence numbers so carried deletes still gate
+    them."""
+
+    def _kv(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string, ts long")
+
+    def test_survivor_entries_keep_original_sequence(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        # one merge commit → ONE manifest holding two files with
+        # disjoint key ranges
+        merge_iceberg_batch(
+            spark,
+            self._kv(spark, [(k, f"v{k}", 0) for k in range(1, 9)]),
+            t, "k", "ts", target_rows_per_file=4,
+        )
+        # equality-delete a key that lives in the HIGH-range file
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(8,)], "k long")
+        )
+        # merge touches only the LOW range: the high-range file is a
+        # survivor re-listed under the new manifest — if it inherited
+        # the NEW sequence, k=8 would resurrect
+        merge_iceberg_batch(
+            spark, self._kv(spark, [(1, "A", 1)]), t, "k", "ts"
+        )
+        got = sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        )
+        assert (8, "v8") not in got
+        assert (1, "A") in got and (7, "v7") in got
+        assert len(got) == 7  # keys 1..7, the deleted 8 stays gone
+
+    def test_positional_delete_not_resurrected_by_rewrite(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame(
+                [(1, "a", 0), (2, "b", 0)], "k long, v string, ts long"
+            ).coalesce(1).orderBy("k"),
+            t,
+        )
+        # positional delete of row 0 (k=1) in the single data file
+        (path,) = _data_paths(t)
+        write_iceberg_delete_commit(spark, t, pos_deletes=[(path, 0)])
+        # merge upserting k=2 rewrites that same file — with the
+        # positional delete applied during the read
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        assert sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        ) == [(2, "B")]
+
+    def test_delete_then_merge_then_delete_again(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            self._kv(spark, [(k, f"v{k}", 0) for k in range(1, 5)]),
+            t, "k", "ts",
+        )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        merge_iceberg_batch(
+            spark, self._kv(spark, [(2, "B", 1)]), t, "k", "ts"
+        )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(3,)], "k long")
+        )
+        assert sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        ) == [(2, "B"), (4, "v4")]

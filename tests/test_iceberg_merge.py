@@ -348,7 +348,9 @@ class TestPartitionedMerge:
                     ),
                 ))
             counts[n] = min(vals)
-        assert counts[16] == counts[4]
+        # ±1 tolerance for async AQE/broadcast-cleanup job
+        # misattribution; a per-partition regression would add ≥12
+        assert counts[16] - counts[4] <= 1
         assert counts[16] <= 20
 
 
