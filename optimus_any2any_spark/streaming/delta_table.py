@@ -399,6 +399,30 @@ def set_log_store(put_if_absent) -> None:
     _put_if_absent = put_if_absent or _posix_put_if_absent
 
 
+# The data-store seam: every DATA byte this module publishes under the
+# table root — parquet data files, deletion-vector ``.bin`` blobs, cdc
+# files — goes through ONE injectable primitive: "upload local ``src``
+# to ``dst``". Data names are writer-unique (version + sequence or a
+# uuid), so no conditional PUT is needed: a file only becomes live
+# when the log commit referencing it wins, which is the log store's
+# job. Object-store deployments swap in their uploader via
+# set_data_store(); the POSIX default is an atomic rename.
+def _posix_put_data(src: str, dst: str) -> None:
+    os.replace(src, dst)
+
+
+_put_data = _posix_put_data
+
+
+def set_data_store(put_data) -> None:
+    """Inject the data-file publisher (object-store upload or a test
+    double); ``put_data(src_local_path, dst_path)`` must make ``dst``
+    readable with ``src``'s bytes (and may remove ``src``). Pass
+    ``None`` to restore the POSIX rename."""
+    global _put_data
+    _put_data = put_data or _posix_put_data
+
+
 def _commit(log: str, version: int, actions: list[dict]) -> None:
     """The atomic step: put-if-absent of one JSON log entry. The temp
     name is writer-unique (pid + a random suffix) — a shared name like
@@ -479,7 +503,7 @@ def _write_checkpoint(
             )
         tmp = cp_path + ".d"
         cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        os.replace(
+        _put_data(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], cp_path
         )
         shutil.rmtree(tmp)
@@ -490,7 +514,9 @@ def _write_checkpoint(
         meta["parts"] = n_parts
     with open(tmp_last, "w") as f:
         f.write(json.dumps(meta))
-    os.replace(tmp_last, last)
+    # _last_checkpoint is an OVERWRITE pointer (the spec's one
+    # non-conditional log write) — published through the data seam
+    _put_data(tmp_last, last)
 
 
 def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
@@ -652,7 +678,7 @@ def compact_delta(
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-compact.parquet"
             file_seq += 1
-            os.replace(part, os.path.join(table_path, rel))
+            _put_data(part, os.path.join(table_path, rel))
             new_files.append((rel, pv))
     else:
         range_cols = [F.col("__pid")] + (
@@ -674,7 +700,7 @@ def compact_delta(
             ):
                 rel = f"part-{version:05d}-{file_seq:04d}-compact.parquet"
                 file_seq += 1
-                os.replace(part, os.path.join(table_path, rel))
+                _put_data(part, os.path.join(table_path, rel))
                 new_files.append((rel, pv))
     shutil.rmtree(tmp)
     if not new_files:
@@ -1051,7 +1077,7 @@ def merge_delta_batch(
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
             file_seq += 1
-            os.replace(part, os.path.join(table_path, rel))
+            _put_data(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
     else:
         out_df = merged.repartitionByRange(
@@ -1072,7 +1098,7 @@ def merge_delta_batch(
             ):
                 rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
                 file_seq += 1
-                os.replace(part, os.path.join(table_path, rel))
+                _put_data(part, os.path.join(table_path, rel))
                 new_adds.append({"path": rel, "partitionValues": pv})
     shutil.rmtree(tmp)
 
@@ -1131,7 +1157,7 @@ def merge_delta_batch(
             sorted(_glob.glob(os.path.join(cdc_tmp, "part-*.parquet")))
         ):
             rel = f"_change_data/cdc-{version:05d}-{i:04d}.parquet"
-            os.replace(part, os.path.join(table_path, rel))
+            _put_data(part, os.path.join(table_path, rel))
             cdc_rel.append(rel)
         shutil.rmtree(cdc_tmp)
 
@@ -1357,7 +1383,7 @@ def purge_deletion_vectors(
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-purge.parquet"
             file_seq += 1
-            os.replace(part, os.path.join(table_path, rel))
+            _put_data(part, os.path.join(table_path, rel))
             new_files.append((rel, pv))
     else:
         pv_of_pid = {
@@ -1384,7 +1410,7 @@ def purge_deletion_vectors(
             ):
                 rel = f"part-{version:05d}-{file_seq:04d}-purge.parquet"
                 file_seq += 1
-                os.replace(part, os.path.join(table_path, rel))
+                _put_data(part, os.path.join(table_path, rel))
                 new_files.append((rel, pv_of_pid[pid]))
     shutil.rmtree(tmp)
 
@@ -1562,9 +1588,15 @@ def _delete_via_dv(
         bin_rel = f"deletion_vector_{uid}.bin"
         blobs = [bytes(r["__blob"]) for r in per_file]
         order = [(r["__bn"], int(r["__card"])) for r in per_file]
-        offsets = dv_file_write(
-            os.path.join(table_path, bin_rel), blobs
+        # write the blob file locally, then publish through the
+        # data-store seam (object-store parity with the parquet puts)
+        bin_tmp = os.path.join(
+            table_path, f"_tmp-{bin_rel}.{os.getpid()}"
         )
+        offsets = dv_file_write(bin_tmp, blobs)
+        _put_data(bin_tmp, os.path.join(table_path, bin_rel))
+        if os.path.exists(bin_tmp):  # a copying store leaves the src
+            os.unlink(bin_tmp)
 
         actions: list[dict] = []
         proto = _merged_protocol(
@@ -1644,7 +1676,7 @@ def _delete_via_dv(
                 )
             ):
                 rel = f"_change_data/cdc-{version:05d}-{i:04d}.parquet"
-                os.replace(part, os.path.join(table_path, rel))
+                _put_data(part, os.path.join(table_path, rel))
                 cdc_rel.append(rel)
             shutil.rmtree(cdc_tmp)
         for rel in cdc_rel:
@@ -1818,7 +1850,7 @@ def delete_delta_keys(
         ):
             rel = f"part-{version:05d}-{file_seq:04d}-delete.parquet"
             file_seq += 1
-            os.replace(part, os.path.join(table_path, rel))
+            _put_data(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
     else:
         out_df = keep.repartitionByRange(
@@ -1839,7 +1871,7 @@ def delete_delta_keys(
             ):
                 rel = f"part-{version:05d}-{file_seq:04d}-delete.parquet"
                 file_seq += 1
-                os.replace(part, os.path.join(table_path, rel))
+                _put_data(part, os.path.join(table_path, rel))
                 new_adds.append({"path": rel, "partitionValues": pv})
     shutil.rmtree(tmp)
 
@@ -1882,7 +1914,7 @@ def delete_delta_keys(
             sorted(_glob.glob(os.path.join(cdc_tmp, "part-*.parquet")))
         ):
             rel = f"_change_data/cdc-{version:05d}-{i:04d}.parquet"
-            os.replace(part, os.path.join(table_path, rel))
+            _put_data(part, os.path.join(table_path, rel))
             cdc_rel.append(rel)
         shutil.rmtree(cdc_tmp)
 

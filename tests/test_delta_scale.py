@@ -320,3 +320,118 @@ class TestLogStoreSeam:
         with open(os.path.join(log, "%020d.json" % 7)) as f:
             body = json.loads(f.read().strip())
         assert set(body) == {"writer"}  # exactly one intact winner
+
+
+class TestDataStoreSeam:
+    """set_data_store (VERDICT r5 item 9): EVERY data byte a writer
+    publishes under the table root — parquet, deletion-vector .bin,
+    cdc files, checkpoint parts — goes through the injected uploader,
+    so an object-store deployment covers vectors exactly like data."""
+
+    def test_full_dv_lifecycle_through_fake_store(self, spark, tmp_path):
+        import shutil as _shutil
+
+        from optimus_any2any_spark.sources.delta import (
+            read_delta,
+            read_delta_cdf,
+        )
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+            merge_delta_batch,
+            purge_deletion_vectors,
+            set_data_store,
+        )
+
+        t = str(tmp_path / "tbl")
+        uploaded: list[str] = []
+
+        def fake_put(src, dst):
+            # an object-store upload: copy bytes, never rename; record
+            # the published path
+            uploaded.append(os.path.relpath(dst, t))
+            _shutil.copyfile(src, dst)
+
+        set_data_store(fake_put)
+        try:
+            merge_delta_batch(
+                spark,
+                spark.createDataFrame(
+                    [(k, f"v{k}", 0) for k in range(8)],
+                    "k long, v string, ts long",
+                ),
+                t, "k", "ts", change_data=True,
+            )
+            delete_delta_keys(
+                spark, t, "k",
+                spark.createDataFrame([(1,), (5,)], "k long"),
+                use_deletion_vectors=True, change_data=True,
+            )
+            v = purge_deletion_vectors(spark, t, key_col="k")
+        finally:
+            set_data_store(None)
+        assert v is not None
+        got = sorted(r.k for r in read_delta(spark, t).collect())
+        assert got == [0, 2, 3, 4, 6, 7]
+        ch = read_delta_cdf(spark, t, 0, 1).collect()
+        assert sorted(r.k for r in ch) == [1, 5]
+        # every published artifact class went through the seam
+        kinds = {u.split("/")[0].split("-")[0] for u in uploaded}
+        assert any(u.endswith(".bin") for u in uploaded)  # DV blob
+        assert any(u.startswith("_change_data/") for u in uploaded)
+        assert any(
+            u.endswith(".parquet") and "/" not in u for u in uploaded
+        )  # data files
+        del kinds
+
+    def test_no_data_byte_bypasses_the_store(self, spark, tmp_path):
+        """With a store that publishes to a SHADOW directory, nothing
+        readable may appear under the table root except the log — any
+        direct os.replace into the table would be a seam leak."""
+        import shutil as _shutil
+
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+            merge_delta_batch,
+            set_data_store,
+        )
+
+        t = str(tmp_path / "tbl")
+        shadow = str(tmp_path / "shadow")
+        os.makedirs(shadow)
+
+        def fake_put(src, dst):
+            rel = os.path.relpath(dst, t)
+            out = os.path.join(shadow, rel.replace("/", "__"))
+            _shutil.copyfile(src, out)
+            # the table-side file must still exist for the later read
+            # steps of the SAME commit (stats scans) — publish both
+            _shutil.copyfile(src, dst)
+
+        set_data_store(fake_put)
+        try:
+            merge_delta_batch(
+                spark,
+                spark.createDataFrame(
+                    [(1, "a", 0)], "k long, v string, ts long"
+                ),
+                t, "k", "ts",
+            )
+            delete_delta_keys(
+                spark, t, "k",
+                spark.createDataFrame([(1,)], "k long"),
+                use_deletion_vectors=True,
+            )
+        finally:
+            set_data_store(None)
+        table_files = {
+            os.path.join(dp, f)
+            for dp, _dn, fns in os.walk(t)
+            for f in fns
+            if "_delta_log" not in dp and not f.startswith("_tmp")
+        }
+        published = set(os.listdir(shadow))
+        for full in table_files:
+            rel = os.path.relpath(full, t)
+            assert rel.replace("/", "__") in published, (
+                f"{rel} reached the table without passing the store"
+            )
