@@ -2751,28 +2751,149 @@ def _parse_object(toks: list[str]) -> list[_ObjEntry]:
     return entries
 
 
-def _inline_defs(toks: list[str]) -> list[str]:
-    """Inline leading zero-arg ``def name: body;`` definitions.
+def _wrap_body(body: list[str]) -> list[str]:
+    """Parenthesize an inlined def body — except when it is already a
+    single self-delimited construct (``{...}`` / ``[...]`` /
+    ``(...)``), where extra parens add nothing and the term parser
+    does not accept ``( {...} )`` as a pipe stage."""
+    if body and body[0] in ("{", "[", "(") and len(body) >= 2:
+        close = {"{": "}", "[": "]", "(": ")"}[body[0]]
+        depth = 0
+        for i, t in enumerate(body):
+            if t in ("(", "[", "{"):
+                depth += 1
+            elif t in (")", "]", "}"):
+                depth -= 1
+                if depth == 0:
+                    if i == len(body) - 1 and t == close:
+                        return list(body)
+                    break
+    return ["("] + list(body) + [")"]
 
-    jq defs are lexically-scoped filters, so substituting the name
-    token with ``( body )`` is EXACT for zero-arg defs (probed:
-    'def double: . * 2; ...' and defs referencing earlier defs).
-    Parameterized defs (``def f(x): ...``) and recursive defs stay on
-    the binary. Object-construction keys that happen to collide with a
-    def name (``{double: 1}``) are NOT substituted."""
+
+def _is_object_key(toks: list[str], i: int) -> bool:
+    """``{name: …}`` / ``{…, name: …}`` — the name token is a LITERAL
+    object key, never a filter reference (probed: ``def f(a): {a: a};
+    f(2)`` → ``{"a": 2}``, key stays literal)."""
+    return (
+        i + 1 < len(toks)
+        and toks[i + 1] == ":"
+        and i > 0
+        and toks[i - 1] in ("{", ",")
+    )
+
+
+def _substitute_param_calls(
+    rest: list[str], name: str, params: list[str], body: list[str]
+) -> list[str]:
+    """Expand every ``name(arg1; …; argN)`` call in ``rest`` with
+    ``( body )``, each param occurrence replaced by ``( arg )`` —
+    jq's call-by-name semantics exactly (probed: ``def twice(f):
+    f + f;`` doubles, ``def g(f): .a | f;`` rebinds the input at the
+    occurrence site, nested ``f(f(.x))`` composes). Arity mismatches
+    and bare references (``f/0 is not defined``) are jq ERRORS and
+    route to the binary, which reproduces them faithfully."""
+    for _ in range(32):  # args may nest calls; body itself has none
+        if name not in rest:
+            return rest
+        out: list[str] = []
+        i = 0
+        while i < len(rest):
+            t = rest[i]
+            if t != name or _is_object_key(rest, i):
+                out.append(t)
+                i += 1
+                continue
+            if i + 1 >= len(rest) or rest[i + 1] != "(":
+                raise JQUnsupported(
+                    f"jq: {name}/0 is not defined ({name} takes "
+                    f"{len(params)} params) — binary reproduces the "
+                    "error"
+                )
+            depth = 1
+            j = i + 2
+            args: list[list[str]] = [[]]
+            while j < len(rest) and depth > 0:
+                tk = rest[j]
+                if tk in ("(", "[", "{"):
+                    depth += 1
+                elif tk in (")", "]", "}"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                if tk == ";" and depth == 1:
+                    args.append([])
+                else:
+                    args[-1].append(tk)
+                j += 1
+            if depth != 0:
+                raise JQUnsupported(
+                    f"jq: unbalanced parens in {name}(...) call"
+                )
+            if len(args) != len(params) or any(
+                not a for a in args
+            ):
+                raise JQUnsupported(
+                    f"jq: {name}/{len(args)} is not defined (def has "
+                    f"{len(params)} params) — binary path"
+                )
+            pmap = dict(zip(params, args))
+            expanded: list[str] = []
+            for bi, bt in enumerate(body):
+                if bt in pmap and not _is_object_key(body, bi):
+                    expanded.extend(_wrap_body(pmap[bt]))
+                else:
+                    expanded.append(bt)
+            out.extend(_wrap_body(expanded))
+            i = j + 1
+        rest = out
+    raise JQUnsupported(f"jq: {name} call expansion did not converge")
+
+
+def _inline_defs(toks: list[str]) -> list[str]:
+    """Inline leading ``def name: body;`` and ``def name(p; q): body;``
+    definitions.
+
+    jq defs are lexically-scoped filters and filter PARAMETERS are
+    call-by-name, so substituting the name token with ``( body )``
+    (and each param occurrence with its parenthesized argument tokens)
+    is EXACT — probed against jq 1.6 for zero-arg defs, defs
+    referencing earlier defs, multi-param defs, input rebinding inside
+    the body, and nested calls. ``$value`` parameters (evaluated ONCE
+    against the def's input, not per occurrence) and recursive defs
+    stay on the binary. Object-construction keys that collide with a
+    def or param name (``{double: 1}``) are NOT substituted."""
     while toks and toks[0] == "def":
         if len(toks) < 5 or not re.fullmatch(r"[A-Za-z_]\w*", toks[1]):
             raise JQUnsupported("jq: malformed def — binary path")
-        if toks[2] == "(":
-            raise JQUnsupported(
-                "jq: def with parameters — binary path"
-            )
-        if toks[2] != ":":
-            raise JQUnsupported("jq: malformed def — binary path")
         name = toks[1]
+        params: list[str] = []
+        pos = 2
+        if toks[2] == "(":
+            pos = 3
+            while pos < len(toks) and toks[pos] != ")":
+                p = toks[pos]
+                if p.startswith("$"):
+                    # value params bind ONCE against the def's own
+                    # input — token substitution would re-evaluate
+                    # per occurrence site, a semantic change
+                    raise JQUnsupported(
+                        "jq: def with $value parameter — binary path"
+                    )
+                if not re.fullmatch(r"[A-Za-z_]\w*", p):
+                    raise JQUnsupported("jq: malformed def params")
+                params.append(p)
+                pos += 1
+                if pos < len(toks) and toks[pos] == ";":
+                    pos += 1
+            if pos >= len(toks) or toks[pos] != ")" or not params:
+                raise JQUnsupported("jq: malformed def params")
+            pos += 1
+        if pos >= len(toks) or toks[pos] != ":":
+            raise JQUnsupported("jq: malformed def — binary path")
         depth = 0
         end = None
-        for i in range(3, len(toks)):
+        for i in range(pos + 1, len(toks)):
             t = toks[i]
             if t in ("(", "[", "{"):
                 depth += 1
@@ -2783,23 +2904,19 @@ def _inline_defs(toks: list[str]) -> list[str]:
                 break
         if end is None:
             raise JQUnsupported("jq: unterminated def — binary path")
-        body = toks[3:end]
+        body = toks[pos + 1:end]
         rest = toks[end + 1:]
         if name in body:
             raise JQUnsupported(
                 f"jq: recursive def {name!r} — binary path"
             )
+        if params:
+            toks = _substitute_param_calls(rest, name, params, body)
+            continue
         out: list[str] = []
         for i, t in enumerate(rest):
-            is_object_key = (
-                t == name
-                and i + 1 < len(rest)
-                and rest[i + 1] == ":"
-                and i > 0
-                and rest[i - 1] in ("{", ",")
-            )
-            if t == name and not is_object_key:
-                out.extend(["("] + list(body) + [")"])
+            if t == name and not _is_object_key(rest, i):
+                out.extend(_wrap_body(body))
             else:
                 out.append(t)
         toks = out

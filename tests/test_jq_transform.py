@@ -1634,6 +1634,16 @@ class TestDefsSetpathDelpathsPaths:
         "def double: . * 2; .[] | {id, y: (.n | double)}",
         "def inc: . + 1; def two: inc | inc; .[] | {id, y: (.n | two)}",
         "def big: .n > 5; .[] | {id, b: big}",
+        # parameterized defs: jq filter params are call-by-name, so
+        # token substitution is exact (probed: twice doubles, input
+        # rebinds at the occurrence site, nested calls compose)
+        "def add(a; b): a + b; .[] | {id, s: add(.n; .x)}",
+        "def twice(f): f + f; .[] | {id, y: twice(.n)}",
+        "def inc2(f): f + 1; .[] | {id, y: inc2(inc2(.n))}",
+        "def inc3(f): f + 1; def two2(f): inc3(f) + inc3(f); "
+        ".[] | {id, y: two2(.n)}",
+        "def keyed(a): {a: a, id: .id}; .[] | keyed(.n)",
+        "def f(x): x; .[] | {id}",  # defined-but-never-called
         '.[] | setpath(["m","a"]; 99)',
         '.[] | setpath(["y"]; .n + 1)',
         '.[] | setpath(["m","b"]; .x * 2)',
@@ -1685,7 +1695,12 @@ class TestDefsSetpathDelpathsPaths:
     @pytest.mark.parametrize(
         "program",
         [
-            "def f(x): x; .[] | {id}",          # parameterized def
+            # $value params bind ONCE against the def's input — token
+            # substitution would re-evaluate per occurrence
+            "def f($x): .n + $x; .[] | {y: f(1)}",
+            "def f(a): a; .[] | {y: f(.n; .x)}",  # arity mismatch
+            "def f(a): a; .[] | {y: f}",          # f/0 not defined
+            "def f(a): f(a); .[] | {y: f(.n)}",   # recursive
             "def f: f; .[] | {y: (.n | f)}",    # recursive def
             '.[] | setpath(["m",0]; 1)',        # numeric path key
             ".[] | setpath(.p; 1)",             # dynamic path
