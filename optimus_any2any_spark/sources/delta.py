@@ -477,14 +477,14 @@ def _localize_delta(table_path: str, uri: str) -> str:
 
 
 def column_mapping(meta: dict) -> dict[str, str] | None:
-    """``logical name -> physical name`` when the table declares
-    ``delta.columnMapping.mode`` (name or id), else None. The physical
-    names come from each schema field's
+    """``logical name -> physical name`` (TOP-LEVEL) when the table
+    declares ``delta.columnMapping.mode`` (name or id), else None. The
+    physical names come from each schema field's
     ``delta.columnMapping.physicalName`` metadata (the protocol's
     name-mapping form; id-mode tables also carry physicalName, which
-    is what parquet files are written with). NESTED mapped fields are
-    rejected, not mis-read — this reader translates top-level columns
-    only."""
+    is what parquet files are written with). Nested fields translate
+    through :func:`physical_fields` — structs cast POSITIONALLY in
+    Spark, so one cast renames every nesting level."""
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode"
     )
@@ -497,15 +497,57 @@ def column_mapping(meta: dict) -> dict[str, str] | None:
         out[f["name"]] = md.get(
             "delta.columnMapping.physicalName", f["name"]
         )
-        t = f.get("type")
-        if isinstance(t, dict):
-            nested = json.dumps(t)
-            if "delta.columnMapping.physicalName" in nested:
-                raise NotImplementedError(
-                    "delta: column mapping on NESTED fields "
-                    f"({f['name']}) is beyond this reader"
-                )
     return out
+
+
+def _phys_type_json(t):
+    """A Delta schemaString type with every struct field renamed to
+    its ``delta.columnMapping.physicalName`` (recursively)."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return {
+                "type": "struct",
+                "fields": [_phys_field_json(f) for f in t["fields"]],
+            }
+        if k == "array":
+            return {**t, "elementType": _phys_type_json(t["elementType"])}
+        if k == "map":
+            return {
+                **t,
+                "keyType": _phys_type_json(t["keyType"]),
+                "valueType": _phys_type_json(t["valueType"]),
+            }
+    return t
+
+
+def _phys_field_json(f: dict) -> dict:
+    md = f.get("metadata") or {}
+    return {
+        **f,
+        "name": md.get("delta.columnMapping.physicalName", f["name"]),
+        "type": _phys_type_json(f["type"]),
+        "metadata": {},
+    }
+
+
+def physical_fields(meta: dict) -> dict[str, T.StructField] | None:
+    """``logical top-level name -> physical StructField`` (physical
+    names at EVERY nesting level) when the table declares column
+    mapping, else None. Reading a mapped parquet file with the
+    physical schema and casting each column to its logical type
+    renames all levels in one positional struct cast — and the
+    reverse cast physicalizes a logical frame before a write."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if mode in (None, "none"):
+        return None
+    schema = json.loads(meta["schemaString"])
+    return {
+        f["name"]: T.StructField.fromJson(_phys_field_json(f))
+        for f in schema.get("fields", [])
+    }
 
 
 def read_delta(
@@ -545,11 +587,14 @@ def read_delta(
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    # parquet files are written with physical column names; read them
-    # that way and alias back to the logical schema below
+    # parquet files are written with physical column names AT EVERY
+    # nesting level; read them that way and cast back to the logical
+    # schema below (struct casts are positional — one cast renames
+    # all levels)
+    pfields = physical_fields(meta)
     data_schema = T.StructType(
         [
-            T.StructField(phys(f.name), f.dataType, f.nullable)
+            pfields[f.name] if pfields else f
             for f in data_fields
         ]
     )
@@ -589,7 +634,9 @@ def read_delta(
         df = spark.read.schema(data_schema).parquet(*paths)
         df = df.select(
             *[
-                F.col("`" + phys(f.name) + "`").alias(f.name)
+                F.col("`" + phys(f.name) + "`")
+                .cast(f.dataType)
+                .alias(f.name)
                 for f in data_fields
             ],
             *meta_cols,
@@ -736,15 +783,13 @@ def read_delta_cdf(
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     cmap = column_mapping(meta)  # mapped tables: cdc files carry
     phys = (lambda c: cmap.get(c, c)) if cmap else (lambda c: c)
+    pfields = physical_fields(meta)
     cdf_schema = T.StructType(
         list(schema.fields)
         + [T.StructField("_change_type", T.StringType(), True)]
     )
     read_schema = T.StructType(
-        [
-            T.StructField(phys(f.name), f.dataType, f.nullable)
-            for f in schema.fields
-        ]
+        [pfields[f.name] if pfields else f for f in schema.fields]
         + [T.StructField("_change_type", T.StringType(), True)]
     )
     out: DataFrame | None = None
@@ -761,7 +806,9 @@ def read_delta_cdf(
             if cmap:  # physical parquet names → logical schema
                 part = part.select(
                     *[
-                        F.col("`" + phys(f.name) + "`").alias(f.name)
+                        F.col("`" + phys(f.name) + "`")
+                        .cast(f.dataType)
+                        .alias(f.name)
                         for f in schema.fields
                     ],
                     F.col("_change_type"),

@@ -77,38 +77,48 @@ DEFAULT_APP_ID = "optimus-any2any-merge"
 
 
 def _phys_of(meta: dict | None):
-    """Logical→physical column rename for column-mapped tables.
+    """Logical→physical translation for column-mapped tables.
 
-    Returns ``(phys, mapped)``: ``phys`` is a callable translating a
-    logical column name to the physical parquet name (identity on
-    unmapped tables), ``mapped`` says whether the table declares
-    ``delta.columnMapping.mode``. Writers run their INTERNAL algebra
-    on logical names and translate only at the storage boundary:
-    parquet reads/writes, add-action stats keys, and partitionValues
-    keys are physical; everything else (windows, joins, CDF schemas as
-    the reader surfaces them) stays logical."""
-    from optimus_any2any_spark.sources.delta import column_mapping
+    Returns ``(phys, mapped, pfields)``: ``phys`` translates a
+    top-level logical column name to the physical parquet name
+    (identity on unmapped tables), ``mapped`` says whether the table
+    declares ``delta.columnMapping.mode``, and ``pfields`` maps each
+    logical top-level name to its full PHYSICAL StructField (physical
+    names at every nesting level — None when unmapped). Writers run
+    their INTERNAL algebra on logical names and translate only at the
+    storage boundary: parquet reads/writes, add-action stats keys, and
+    partitionValues keys are physical; everything else (windows,
+    joins, CDF schemas as the reader surfaces them) stays logical.
+    Struct casts are positional in Spark, so one cast per column
+    renames all nesting levels in either direction."""
+    from optimus_any2any_spark.sources.delta import (
+        column_mapping,
+        physical_fields,
+    )
 
     cmap = column_mapping(meta) if meta else None
     if not cmap:
-        return (lambda c: c), False
-    return (lambda c: cmap.get(c, c)), True
+        return (lambda c: c), False, None
+    return (lambda c: cmap.get(c, c)), True, physical_fields(meta)
 
 
-def _phys_schema(schema: T.StructType, phys) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField(phys(f.name), f.dataType, f.nullable)
-            for f in schema.fields
-        ]
-    )
+def _phys_schema(schema: T.StructType, pfields) -> T.StructType:
+    return T.StructType([pfields[f.name] for f in schema.fields])
 
 
-def _to_phys(df: DataFrame, cols: list[str], phys, keep=()) -> DataFrame:
-    """Project logical columns to their physical names (storage
-    boundary before a parquet write); ``keep`` columns pass through."""
+def _to_phys(
+    df: DataFrame, cols: list[str], pfields, keep=()
+) -> DataFrame:
+    """Cast logical columns to their physical fields (names at every
+    nesting level — the storage boundary before a parquet write);
+    ``keep`` columns pass through."""
     return df.select(
-        *[F.col("`" + c + "`").alias(phys(c)) for c in cols],
+        *[
+            F.col("`" + c + "`")
+            .cast(pfields[c].dataType)
+            .alias(pfields[c].name)
+            for c in cols
+        ],
         *[F.col(k) for k in keep],
     )
 
@@ -120,7 +130,7 @@ def _read_files_dv_aware(
     paths: list[str],
     live: dict[str, dict],
     basename_col: str | None = None,
-    phys=None,
+    pfields=None,
 ) -> DataFrame:
     """Read the given live files with each file's deletion-vector rows
     DROPPED — the read half of copy-on-write over a merge-on-read
@@ -138,18 +148,21 @@ def _read_files_dv_aware(
     )
 
     read_schema = (
-        _phys_schema(data_schema, phys) if phys is not None
+        _phys_schema(data_schema, pfields) if pfields is not None
         else data_schema
     )
     df = spark.read.schema(read_schema).parquet(
         *[os.path.join(table_path, p) for p in paths]
     )
-    if phys is not None:
-        # mapped tables: parquet carries physical names — alias back
-        # to the logical schema the caller's algebra runs on
+    if pfields is not None:
+        # mapped tables: parquet carries physical names (all nesting
+        # levels) — cast back to the logical schema the caller's
+        # algebra runs on
         df = df.select(
             *[
-                F.col("`" + phys(f.name) + "`").alias(f.name)
+                F.col("`" + pfields[f.name].name + "`")
+                .cast(f.dataType)
+                .alias(f.name)
                 for f in data_schema.fields
             ],
             F.col("_metadata").alias("_metadata"),
@@ -159,7 +172,7 @@ def _read_files_dv_aware(
     if not dv_sub:
         if basename_col:
             df = df.select("*", bn.alias(basename_col))
-        return df.drop("_metadata") if phys is not None else df
+        return df.drop("_metadata") if pfields is not None else df
     # the basename must be captured BEFORE the anti-join —
     # input_file_name()/metadata columns are unreliable once the rows
     # have crossed an exchange
@@ -168,7 +181,7 @@ def _read_files_dv_aware(
         bn.alias("__dv_bn"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
-    if phys is not None:
+    if pfields is not None:
         df = df.drop("_metadata")
     # guard over the FULL read set (not just the DV'd subset): the
     # helper only emits rows for DV-carrying adds, but its basename-
@@ -578,7 +591,7 @@ def compact_delta(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         return None
-    phys, mapped = _phys_of(state["meta"])
+    phys, mapped, pfields = _phys_of(state["meta"])
     schema = T.StructType.fromJson(
         json.loads(state["meta"]["schemaString"])
     )
@@ -630,7 +643,7 @@ def compact_delta(
     cur = _read_files_dv_aware(
         spark, table_path, data_schema, [p for p, _ in src],
         state["live"], basename_col=None if single else "__rel",
-        phys=phys if mapped else None,
+        pfields=pfields,
     )
     if single:
         cur = cur.withColumn("__pid", F.lit(0).cast("int"))
@@ -670,7 +683,7 @@ def compact_delta(
         else:
             out_df = out_df.coalesce(n_files)
         if mapped:
-            out_df = _to_phys(out_df, data_cols, phys)
+            out_df = _to_phys(out_df, data_cols, pfields)
         out_df.write.mode("overwrite").parquet(tmp)
         pv = {phys(c): v for c, v in zip(part_cols, ptuples[0])}
         for part in sorted(
@@ -686,7 +699,7 @@ def compact_delta(
         )
         out_df = cur.repartitionByRange(n_files, *range_cols)
         if mapped:
-            out_df = _to_phys(out_df, data_cols, phys, keep=("__pid",))
+            out_df = _to_phys(out_df, data_cols, pfields, keep=("__pid",))
         (
             out_df.write.partitionBy("__pid")
             .mode("overwrite")
@@ -714,7 +727,7 @@ def compact_delta(
         _collect_file_stats(
             spark, table_path, [r for r, _ in new_files],
             phys(stat_col),
-            _phys_schema(data_schema, phys) if mapped else data_schema,
+            _phys_schema(data_schema, pfields) if mapped else data_schema,
         )
         if stat_col is not None
         else {}
@@ -786,7 +799,7 @@ def merge_delta_batch(
     state = replay_log(spark, table_path) if exists else {
         "meta": None, "live": {}, "txns": {}, "version": -1,
     }
-    phys, mapped = _phys_of(state["meta"])
+    phys, mapped, pfields = _phys_of(state["meta"])
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -1024,7 +1037,7 @@ def merge_delta_batch(
             spark, table_path, data_schema,
             [r for r, _ in rel_pid_rows], state["live"],
             basename_col=None if single else "__rel",
-            phys=phys if mapped else None,
+            pfields=pfields,
         )
         if single:
             cur = cur.withColumn("__pid", F.lit(0).cast("int"))
@@ -1069,7 +1082,7 @@ def merge_delta_batch(
             n_files, F.col(key_col)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, phys)
+            out_df = _to_phys(out_df, data_cols, pfields)
         out_df.write.mode("overwrite").parquet(tmp)
         pv = pv_str_of[ptuples[0]]
         for part in sorted(
@@ -1084,7 +1097,7 @@ def merge_delta_batch(
             n_files, F.col("__pid"), F.col(key_col)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, phys, keep=("__pid",))
+            out_df = _to_phys(out_df, data_cols, pfields, keep=("__pid",))
         (
             out_df.write.partitionBy("__pid")
             .mode("overwrite")
@@ -1145,7 +1158,7 @@ def merge_delta_batch(
         changes_all = changes.select(*latest.columns, "_change_type")
         if mapped:  # cdc parquet carries physical names, like data
             changes_all = _to_phys(
-                changes_all, list(latest.columns), phys,
+                changes_all, list(latest.columns), pfields,
                 keep=("_change_type",),
             )
         cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
@@ -1167,7 +1180,7 @@ def merge_delta_batch(
     if new_rel:
         by_name = _collect_file_stats(
             spark, table_path, new_rel, phys(key_col),
-            _phys_schema(data_schema, phys) if mapped else data_schema,
+            _phys_schema(data_schema, pfields) if mapped else data_schema,
         )
 
     actions: list[dict] = []
@@ -1272,7 +1285,7 @@ def purge_deletion_vectors(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         return None
-    phys, mapped = _phys_of(state["meta"])
+    phys, mapped, pfields = _phys_of(state["meta"])
     dv_adds = {
         p: a
         for p, a in state["live"].items()
@@ -1318,14 +1331,18 @@ def purge_deletion_vectors(
     ]
 
     read_schema = (
-        _phys_schema(data_schema, phys) if mapped else data_schema
+        _phys_schema(data_schema, pfields) if mapped else data_schema
     )
     cur = (
         spark.read.schema(read_schema)
         .parquet(*[os.path.join(table_path, p) for p in dv_adds])
         .select(
             *[
-                F.col("`" + phys(f.name) + "`").alias(f.name)
+                F.col(
+                    "`"
+                    + (pfields[f.name].name if mapped else f.name)
+                    + "`"
+                ).cast(f.dataType).alias(f.name)
                 for f in data_schema.fields
             ],
             F.element_at(
@@ -1373,7 +1390,7 @@ def purge_deletion_vectors(
             else kept.coalesce(n_files)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, phys)
+            out_df = _to_phys(out_df, data_cols, pfields)
         out_df.write.mode("overwrite").parquet(tmp)
         pv = next(
             iter(dv_adds.values())
@@ -1397,7 +1414,7 @@ def purge_deletion_vectors(
         )
         out_df = kept.repartitionByRange(n_files, *range_cols)
         if mapped:
-            out_df = _to_phys(out_df, data_cols, phys, keep=("__pid",))
+            out_df = _to_phys(out_df, data_cols, pfields, keep=("__pid",))
         (
             out_df.write.partitionBy("__pid")
             .mode("overwrite")
@@ -1419,7 +1436,7 @@ def purge_deletion_vectors(
         _collect_file_stats(
             spark, table_path, [r for r, _ in new_files],
             phys(stat_col),
-            _phys_schema(data_schema, phys) if mapped else data_schema,
+            _phys_schema(data_schema, pfields) if mapped else data_schema,
         )
         if (stat_col is not None and new_files)
         else {}
@@ -1451,7 +1468,7 @@ def purge_deletion_vectors(
 def _delete_via_dv(
     spark, table_path, key_col, kdf, state, hits, version,
     app_id, batch_id, change_data, part_cols, data_schema, type_of,
-    schema, phys=None, mapped=False,
+    schema, phys=None, mapped=False, pfields=None,
 ):
     """Merge-on-read DELETE: matching row positions per affected file
     become deletion vectors; files are RE-ADDED with DV descriptors,
@@ -1517,14 +1534,18 @@ def _delete_via_dv(
     if phys is None:
         phys = lambda c: c  # noqa: E731
     read_schema = (
-        _phys_schema(data_schema, phys) if mapped else data_schema
+        _phys_schema(data_schema, pfields) if mapped else data_schema
     )
     cur = (
         spark.read.schema(read_schema)
         .parquet(*[os.path.join(table_path, p) for p in hit_paths])
         .select(
             *[
-                F.col("`" + phys(f.name) + "`").alias(f.name)
+                F.col(
+                    "`"
+                    + (pfields[f.name].name if mapped else f.name)
+                    + "`"
+                ).cast(f.dataType).alias(f.name)
                 for f in data_schema.fields
             ],
             F.element_at(
@@ -1662,7 +1683,7 @@ def _delete_via_dv(
             ).select(*schema.fieldNames(), "_change_type")
             if mapped:  # cdc parquet carries physical names
                 changes_all = _to_phys(
-                    changes_all, list(schema.fieldNames()), phys,
+                    changes_all, list(schema.fieldNames()), pfields,
                     keep=("_change_type",),
                 )
             cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
@@ -1732,7 +1753,7 @@ def delete_delta_keys(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         raise ValueError(f"delta delete: no table at {table_path}")
-    phys, mapped = _phys_of(state["meta"])
+    phys, mapped, pfields = _phys_of(state["meta"])
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -1790,7 +1811,7 @@ def delete_delta_keys(
         return _delete_via_dv(
             spark, table_path, key_col, kdf, state, hits, version,
             app_id, batch_id, change_data, part_cols, data_schema,
-            type_of, schema, phys, mapped,
+            type_of, schema, phys, mapped, pfields,
         )
 
     ptuples = sorted({pt for _, pt in hits}, key=str)
@@ -1800,7 +1821,7 @@ def delete_delta_keys(
     cur = _read_files_dv_aware(
         spark, table_path, data_schema, hit_paths, state["live"],
         basename_col=None if single else "__rel",
-        phys=phys if mapped else None,
+        pfields=pfields,
     )
     if single:
         cur = cur.withColumn("__pid", F.lit(0).cast("int")).alias("cur")
@@ -1842,7 +1863,7 @@ def delete_delta_keys(
             n_files, F.col(key_col)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, phys)
+            out_df = _to_phys(out_df, data_cols, pfields)
         out_df.write.mode("overwrite").parquet(tmp)
         pv = {phys(c): v for c, v in zip(part_cols, ptuples[0])}
         for part in sorted(
@@ -1857,7 +1878,7 @@ def delete_delta_keys(
             n_files, F.col("__pid"), F.col(key_col)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, phys, keep=("__pid",))
+            out_df = _to_phys(out_df, data_cols, pfields, keep=("__pid",))
         (
             out_df.write.partitionBy("__pid")
             .mode("overwrite")
@@ -1904,7 +1925,7 @@ def delete_delta_keys(
         changes_all = deleted.select(*schema.fieldNames(), "_change_type")
         if mapped:  # cdc parquet carries physical names, like data
             changes_all = _to_phys(
-                changes_all, list(schema.fieldNames()), phys,
+                changes_all, list(schema.fieldNames()), pfields,
                 keep=("_change_type",),
             )
         cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
@@ -1923,7 +1944,7 @@ def delete_delta_keys(
     if new_rel:
         by_name = _collect_file_stats(
             spark, table_path, new_rel, phys(key_col),
-            _phys_schema(data_schema, phys) if mapped else data_schema,
+            _phys_schema(data_schema, pfields) if mapped else data_schema,
         )
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})

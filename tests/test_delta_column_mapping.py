@@ -239,11 +239,19 @@ class TestGuards:
         with pytest.raises(NotImplementedError, match="reader version"):
             read_delta(spark, t)
 
-    def test_nested_mapping_rejected(self, spark, tmp_path):
+    def test_nested_mapping_reads_logical(self, spark, tmp_path):
+        # the nested mapped column is declared in the schema but
+        # absent from the data files: reads surface it as null under
+        # its LOGICAL name (schema'd parquet read + positional cast)
         t = str(tmp_path / "tbl")
         _write_mapped_table(spark, t, nested=True)
-        with pytest.raises(NotImplementedError, match="NESTED"):
-            read_delta(spark, t)
+        out = read_delta(spark, t)
+        assert set(out.columns) == {"k", "v", "m"}
+        assert out.schema["m"].dataType.fieldNames() == ["x"]
+        rows = sorted(
+            (r.k, r.v, r.m) for r in out.collect()
+        )
+        assert rows == [(1, "a", None), (2, "b", None), (3, "c", None)]
 
     def test_mapped_schema_evolution_refused(self, spark, tmp_path):
         from optimus_any2any_spark.streaming.delta_table import (
@@ -486,3 +494,140 @@ class TestColumnMappingWrites:
         for add in _last_adds(t):
             pv = add["partitionValues"]
             assert set(pv) == {PHYS_D}  # keyed physically
+
+
+PHYS_M, PHYS_X = "col-m-77aa", "col-x-33bb"
+
+
+def _write_nested_mapped_table(spark, t):
+    """(k, v, ts, m struct<x>) — EVERY level name-mapped, physical
+    names in the parquet at every depth, like delta-spark lays out
+    mode=name tables with struct columns."""
+    import glob as _glob
+    import shutil
+
+    os.makedirs(t, exist_ok=True)
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": PHYS_K}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": PHYS_V}},
+        {"name": "ts", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": PHYS_T}},
+        {
+            "name": "m",
+            "nullable": True,
+            "metadata": {"delta.columnMapping.id": 4,
+                         "delta.columnMapping.physicalName": PHYS_M},
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"name": "x", "type": "long", "nullable": True,
+                     "metadata": {
+                         "delta.columnMapping.id": 5,
+                         "delta.columnMapping.physicalName": PHYS_X,
+                     }}
+                ],
+            },
+        },
+    ]
+    df = spark.createDataFrame(
+        [(1, "a", 0, (10,)), (2, "b", 0, (20,))],
+        f"`{PHYS_K}` long, `{PHYS_V}` string, `{PHYS_T}` long, "
+        f"`{PHYS_M}` struct<`{PHYS_X}`: long>",
+    )
+    tmp = os.path.join(t, "_tmp0")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    rel = "part-00000-nested.parquet"
+    os.replace(
+        _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+        os.path.join(t, rel),
+    )
+    shutil.rmtree(tmp)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-nested",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "5",
+                },
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(t, rel)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    _commit(os.path.join(t, "_delta_log"), 0, actions)
+
+
+class TestNestedColumnMapping:
+    """Name mapping on NESTED fields: parquet carries physical names
+    at every depth; reads/writes translate with ONE positional struct
+    cast per column (Spark struct casts match by position)."""
+
+    def test_nested_read_logical_names_all_levels(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        _write_nested_mapped_table(spark, t)
+        out = read_delta(spark, t)
+        got = sorted((r.k, r.v, r.m.x) for r in out.collect())
+        assert got == [(1, "a", 10), (2, "b", 20)]
+
+    def test_nested_merge_and_reread(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_nested_mapped_table(spark, t)
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1, (99,)), (3, "c", 1, (30,))],
+                "k long, v string, ts long, m struct<x: long>",
+            ),
+            t, "k", "ts",
+        )
+        got = sorted(
+            (r.k, r.v, r.m.x) for r in read_delta(spark, t).collect()
+        )
+        assert got == [(1, "a", 10), (2, "B", 99), (3, "c", 30)]
+        # the rewritten parquet carries PHYSICAL names at every level
+        adds = _last_adds(t)
+        assert adds
+        sch = pq.read_schema(os.path.join(t, adds[-1]["path"]))
+        assert PHYS_M in sch.names
+        mfield = sch.field(PHYS_M)
+        assert mfield.type.field(0).name == PHYS_X
+
+    def test_nested_cow_delete(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_nested_mapped_table(spark, t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        got = sorted(
+            (r.k, r.m.x) for r in read_delta(spark, t).collect()
+        )
+        assert got == [(2, 20)]
