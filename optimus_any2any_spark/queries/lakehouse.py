@@ -601,6 +601,63 @@ def iceberg_delete_then_merge(spark, sf_dir):
 
 
 @register(
+    "iceberg_compact_after_delete",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    survivors AS (SELECT k, price FROM base WHERE k % 7 <> 0)
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM survivors GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Iceberg COMPACTION over a deleted table (rewrite_data_files, "
+    "a 'replace' snapshot): the table is seeded as many small files, "
+    "an equality-delete erases k%7=0 without touching data, then "
+    "compact_iceberg merges the undersized files — reading them WITH "
+    "the delete applied (sequence-gated anti-join) and stamping a "
+    "higher data-sequence so the consumed delete retires. The oracle "
+    "is the plain survivor algebra: compaction must be LOSSLESS "
+    "through row-level deletes, which is exactly what the hash gate "
+    "proves. Constant Spark jobs in files/partitions (one read + one "
+    "routed write + one stats pass — compact_delta's shape).",
+    bench=False,
+)
+def iceberg_compact_after_delete(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        compact_iceberg,
+        delete_iceberg_keys,
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_compact", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=800
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame([], _EMPTY_AGG)  # empty source
+    delete_iceberg_keys(
+        spark, t, "k", base.select("k").filter(F.col("k") % 7 == 0),
+        batch_id=1,
+    )
+    compact_iceberg(spark, t, target_rows_per_file=100_000, key_col="k")
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "delta_cdf_read",
     oracle=f"""
     WITH base AS (

@@ -288,6 +288,24 @@ def iceberg_sink(df: DataFrame, cfg: Config):
         delete_iceberg_keys(df.sparkSession, path, key, df.select(key))
     else:
         raise ValueError(f"ICEBERG sink: unknown mode {mode!r}")
+    if c.get("optimize_rows"):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            compact_iceberg,
+        )
+
+        compact_iceberg(
+            df.sparkSession, path,
+            target_rows_per_file=int(c["optimize_rows"]),
+            key_col=c.get("merge_key"),
+        )
+    if c.get("expire_keep"):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            expire_iceberg_snapshots,
+        )
+
+        expire_iceberg_snapshots(
+            df.sparkSession, path, keep_last=int(c["expire_keep"])
+        )
     return n
 
 

@@ -326,21 +326,37 @@ def read_entries_with_deletes(
     data: list[dict],
     pos_del: list[dict],
     eq_del: list[dict],
+    basename_col: str | None = None,
 ) -> DataFrame:
     """The merge-on-read core of :func:`read_iceberg`, reusable over a
     SUBSET of a snapshot's data entries: read the given data files and
     anti-join away the rows the given positional/equality delete files
     erase, sequence-gated per the spec. The copy-on-write merge reads
     its affected files through this so a rewrite never resurrects
-    rows a delete had already removed."""
+    rows a delete had already removed. ``basename_col`` names an extra
+    output column carrying each row's source-file basename (captured
+    BEFORE any join — metadata columns are unreliable once rows cross
+    an exchange), for callers routing rows back to per-file
+    partitions (compaction)."""
     from pyspark.sql import functions as F
 
     if not data:
-        return spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], schema)
+        if basename_col:
+            out = out.withColumn(basename_col, F.lit(None).cast("string"))
+        return out
     if not pos_del and not eq_del:
-        return spark.read.schema(schema).parquet(
+        out = spark.read.schema(schema).parquet(
             *[d["path"] for d in data]
         )
+        if basename_col:
+            out = out.select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias(basename_col),
+            )
+        return out
     df = (
         spark.read.schema(schema)
         .parquet(*[d["path"] for d in data])
@@ -358,7 +374,9 @@ def read_entries_with_deletes(
         [(_basename(d["orig"]), d["orig"], d["seq"]) for d in data],
         "__bn string, __orig string, __dseq long",
     )
-    df = df.join(F.broadcast(lk), "__bn", "inner").drop("__bn")
+    df = df.join(F.broadcast(lk), "__bn", "inner")
+    if not basename_col:
+        df = df.drop("__bn")
 
     if pos_del:
         # positional delete files: (file_path, pos) rows, spec field
@@ -448,8 +466,13 @@ def read_entries_with_deletes(
                 )
             df = df.alias("d").join(edel, cond, "left_anti")
 
-    return df.drop("__pos", "__orig", "__dseq").select(
-        *schema.fieldNames()
+    out_cols = list(schema.fieldNames())
+    if basename_col:
+        # __bn was captured straight off the scan, before any join
+        df = df.withColumn(basename_col, F.col("__bn"))
+        out_cols.append(basename_col)
+    return df.drop("__pos", "__orig", "__dseq", "__bn").select(
+        *out_cols
     )
 
 

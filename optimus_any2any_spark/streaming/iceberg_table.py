@@ -277,6 +277,72 @@ def _entry_to_prune_shape(e: dict, fid: int, ice_t: str) -> dict:
     }
 
 
+def _parse_pspec(
+    default_spec: dict | None, by_id: dict, verb: str
+) -> list[dict]:
+    """Partition spec → computed-value descriptors
+    ``{name, transform, src, src_type, res_type}`` (spec §Partition
+    Transforms; unknown transforms and unsupported source types raise,
+    never mis-partition)."""
+    from optimus_any2any_spark.sources.iceberg_transforms import (
+        normalize_transform,
+        partition_field_name,
+        result_type,
+        validate_source,
+    )
+
+    pspec: list[dict] = []
+    if not (default_spec and default_spec.get("fields")):
+        return pspec
+    for pf in default_spec["fields"]:
+        tr = normalize_transform(str(pf.get("transform") or ""))
+        src = by_id.get(int(pf["source-id"]))
+        if src is None:
+            raise ValueError(
+                f"iceberg {verb}: partition source-id "
+                f"{pf['source-id']} not in the current schema"
+            )
+        t = src["type"]
+        if not isinstance(t, str):
+            raise NotImplementedError(
+                f"iceberg {verb}: partition source type {t!r} is "
+                "beyond this writer"
+            )
+        if tr == "identity":
+            if t not in _AVRO_PRIM:
+                raise NotImplementedError(
+                    f"iceberg {verb}: partition source type {t!r} "
+                    "is beyond the identity writer"
+                )
+            res_t = t
+        else:
+            res_t = result_type(tr, t)  # unknown transform raises
+            validate_source(tr, t)
+        pspec.append(
+            {
+                "name": pf.get("name")
+                or partition_field_name(tr, src["name"]),
+                "transform": tr,
+                "src": src["name"],
+                "src_type": t,
+                "res_type": res_t,
+            }
+        )
+    return pspec
+
+
+def _current_schema_fields(meta: dict) -> dict[int, dict]:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        cur = next(
+            (sc for sc in meta["schemas"] if sc.get("schema-id") == sid),
+            meta["schemas"][0],
+        )
+    else:
+        cur = meta["schema"]
+    return {int(f["id"]): f for f in cur["fields"]}
+
+
 def merge_iceberg_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -344,12 +410,8 @@ def merge_iceberg_batch(
 
     from optimus_any2any_spark.sources.iceberg_transforms import (
         avro_type_of_result,
-        normalize_transform,
-        partition_field_name,
-        result_type,
         spark_type_of_result,
         transform_column,
-        validate_source,
     )
 
     # partition spec → one computed partition-VALUE column per field.
@@ -358,42 +420,7 @@ def merge_iceberg_batch(
     # so a days(ts)-partitioned table merges through exactly the same
     # single-job __pid shape as an identity one — the transform just
     # decides which rows share a tuple.
-    pspec: list[dict] = []
-    if default_spec and default_spec.get("fields"):
-        for pf in default_spec["fields"]:
-            tr = normalize_transform(str(pf.get("transform") or ""))
-            src = by_id.get(int(pf["source-id"]))
-            if src is None:
-                raise ValueError(
-                    f"iceberg merge: partition source-id "
-                    f"{pf['source-id']} not in the current schema"
-                )
-            t = src["type"]
-            if not isinstance(t, str):
-                raise NotImplementedError(
-                    f"iceberg merge: partition source type {t!r} is "
-                    "beyond this writer"
-                )
-            if tr == "identity":
-                if t not in _AVRO_PRIM:
-                    raise NotImplementedError(
-                        f"iceberg merge: partition source type {t!r} "
-                        "is beyond the identity writer"
-                    )
-                res_t = t
-            else:
-                res_t = result_type(tr, t)  # unknown transform raises
-                validate_source(tr, t)
-            pspec.append(
-                {
-                    "name": pf.get("name")
-                    or partition_field_name(tr, src["name"]),
-                    "transform": tr,
-                    "src": src["name"],
-                    "src_type": t,
-                    "res_type": res_t,
-                }
-            )
+    pspec = _parse_pspec(default_spec, by_id, "merge")
     part_names = [p["name"] for p in pspec]
     part_fields = [
         (p["name"], avro_type_of_result(p["res_type"])) for p in pspec
@@ -1035,6 +1062,456 @@ def delete_iceberg_keys(
         f.write(str(version))
     os.replace(tmph, hint)
     return version
+
+
+def compact_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    target_rows_per_file: int = 1_000_000,
+    key_col: str | None = None,
+) -> int | None:
+    """Iceberg compaction (the spec's ``rewrite_data_files`` /
+    OPTIMIZE): per partition, rewrite groups of ≥2 undersized live
+    data files into ``target_rows_per_file``-sized ones and commit a
+    ``replace`` snapshot. Row-level deletes COMPOSE: compacted files
+    are read with their positional/equality deletes applied (the same
+    sequence-gated anti-joins the reader runs) and the rewrite's
+    higher data-sequence number retires the consumed deletes for those
+    files; delete manifests carry forward verbatim for everything
+    untouched, and survivor entries keep their ORIGINAL sequence
+    numbers. One read + one ``partitionBy(__pid)`` write + one grouped
+    stats pass — constant Spark jobs in files and partitions, the
+    shape of ``compact_delta``. ``key_col`` leads the re-cluster sort
+    and the recorded bounds so post-compaction merges keep pruning.
+    Returns the committed version, or None when no partition had two
+    undersized files."""
+    from optimus_any2any_spark.sources.iceberg import (
+        read_entries_with_deletes,
+    )
+    from optimus_any2any_spark.sources.iceberg_transforms import (
+        avro_type_of_result,
+    )
+
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg optimize: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    schema = iceberg_spark_schema(meta)
+    by_id = _current_schema_fields(meta)
+    specs = meta.get("partition-specs") or []
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == meta.get(
+            "default-spec-id", 0)),
+        None,
+    )
+    pspec = _parse_pspec(default_spec, by_id, "optimize")
+    part_names = [p["name"] for p in pspec]
+    part_fields = [
+        (p["name"], avro_type_of_result(p["res_type"])) for p in pspec
+    ]
+    fid = ice_t = None
+    if key_col is not None:
+        fid, ice_t = _key_field(meta, key_col)
+
+    snaps = meta.get("snapshots") or []
+    cur_snap_id = meta.get("current-snapshot-id")
+    manifests: list[dict] = []
+    if cur_snap_id not in (None, -1) and snaps:
+        snap = next(s for s in snaps if s["snapshot-id"] == cur_snap_id)
+        _, manifests = read_container(
+            _localize(table_path, snap["manifest-list"])
+        )
+
+    def _eff_seq(e: dict, m: dict) -> int:
+        s = e.get("sequence_number")
+        if s is None:
+            s = m.get("sequence_number")
+        return int(s) if s is not None else 0
+
+    # first pass: which (partition tuple) groups have >=2 undersized
+    # live data files
+    sizes: dict[tuple, int] = {}
+    walked: list[tuple[dict, list[dict]]] = []  # (ml row, entries)
+    pos_del: list[dict] = []
+    eq_del: list[dict] = []
+    for m in manifests:
+        _, entries = read_container(
+            _localize(table_path, m["manifest_path"])
+        )
+        walked.append((m, entries))
+        for e in entries:
+            if int(e.get("status") or 0) == _ST_DELETED:
+                continue
+            df_ = e["data_file"]
+            if int(m.get("content") or 0) == 1 or int(
+                df_.get("content") or 0
+            ) in (1, 2):
+                ent = {
+                    "path": _localize(table_path, df_["file_path"]),
+                    "orig": df_["file_path"],
+                    "seq": _eff_seq(e, m),
+                    "equality_ids": list(df_.get("equality_ids") or []),
+                }
+                if int(df_.get("content") or 0) == 2 or ent[
+                    "equality_ids"
+                ]:
+                    eq_del.append(ent)
+                else:
+                    pos_del.append(ent)
+                continue
+            if int(df_.get("record_count") or 0) < target_rows_per_file:
+                pdict = df_.get("partition") or {}
+                pt = tuple(pdict.get(n) for n in part_names)
+                sizes[pt] = sizes.get(pt, 0) + 1
+    todo = {pt for pt, n in sizes.items() if n >= 2}
+    if not todo:
+        return None
+
+    ptuples = sorted(todo, key=str)
+    pid_of = {pt: i for i, pt in enumerate(ptuples)}
+    single = len(ptuples) == 1
+
+    carried: list[dict] = []
+    hit_entries: list[dict] = []
+    hit_seqs: list[int] = []
+    hit_pids: list[int] = []
+    survivors: list[dict] = []
+    total_rows = 0
+    for m, entries in walked:
+        if int(m.get("content") or 0) == 1:
+            carried.append(m)  # delete manifests ride forward verbatim
+            continue
+        hits: list[tuple[dict, int]] = []
+        misses: list[dict] = []
+        for e in entries:
+            if int(e.get("status") or 0) == _ST_DELETED:
+                continue
+            df_ = e["data_file"]
+            pdict = df_.get("partition") or {}
+            pt = tuple(pdict.get(n) for n in part_names)
+            if (
+                pt in todo
+                and int(df_.get("record_count") or 0)
+                < target_rows_per_file
+            ):
+                hits.append((e, pid_of[pt]))
+            else:
+                misses.append(e)
+        if not hits:
+            carried.append(m)
+        else:
+            for e, pid in hits:
+                hit_entries.append(e)
+                hit_seqs.append(_eff_seq(e, m))
+                hit_pids.append(pid)
+                total_rows += int(e["data_file"]["record_count"])
+            for e in misses:
+                e2 = dict(e)
+                e2["sequence_number"] = _eff_seq(e, m)
+                survivors.append(e2)
+
+    version = prev_version + 1
+    snapshot_id = version
+    fmt = int(meta.get("format-version", 1))
+    seq = max(
+        int(meta.get("last-sequence-number", 0)), prev_version
+    ) + 1
+
+    # read the compacted files (deletes applied) and route rows back
+    # to their partition by source FILE — no transform recompute
+    # needed, a file belongs to exactly one partition tuple
+    cur = read_entries_with_deletes(
+        spark,
+        meta,
+        schema,
+        [
+            {
+                "path": _localize(table_path, e["data_file"]["file_path"]),
+                "orig": e["data_file"]["file_path"],
+                "seq": s,
+                "equality_ids": [],
+            }
+            for e, s in zip(hit_entries, hit_seqs)
+        ],
+        pos_del,
+        eq_del,
+        basename_col=None if single else "__bn",
+    )
+    bn_pid = [
+        (e["data_file"]["file_path"].rsplit("/", 1)[-1], pid)
+        for e, pid in zip(hit_entries, hit_pids)
+    ]
+    if len({b for b, _ in bn_pid}) != len(bn_pid):
+        raise NotImplementedError(
+            "iceberg optimize: compacted files share a basename"
+        )
+    n_files = max(1, -(-max(total_rows, 1) // target_rows_per_file))
+    tmp = os.path.join(table_path, f"_tmp-icecompact-v{version}")
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    new_rel: list[str] = []
+    pt_of_rel: dict[str, tuple] = {}
+    file_seq = 0
+    sort_cols = [F.col(key_col)] if key_col is not None else []
+    if single:
+        out_df = cur
+        if sort_cols:
+            out_df = out_df.repartitionByRange(n_files, *sort_cols)
+        else:
+            out_df = out_df.coalesce(n_files)
+        out_df.write.mode("overwrite").parquet(tmp)
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        ):
+            rel = f"data/{version:05d}-{file_seq:04d}-compact.parquet"
+            file_seq += 1
+            os.replace(part, os.path.join(table_path, rel))
+            new_rel.append(rel)
+            pt_of_rel[rel] = ptuples[0]
+    else:
+        pid_lk = spark.createDataFrame(
+            bn_pid, "__bn string, __pid int"
+        )
+        cur = cur.join(F.broadcast(pid_lk), "__bn", "inner").drop(
+            "__bn"
+        )
+        (
+            cur.repartitionByRange(
+                n_files, F.col("__pid"), *sort_cols
+            )
+            .write.partitionBy("__pid")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            for part in sorted(
+                _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            ):
+                rel = (
+                    f"data/{version:05d}-{file_seq:04d}-compact.parquet"
+                )
+                file_seq += 1
+                os.replace(part, os.path.join(table_path, rel))
+                new_rel.append(rel)
+                pt_of_rel[rel] = ptuples[pid]
+    shutil.rmtree(tmp)
+
+    per_file = {}
+    if new_rel and key_col is not None:
+        for r in (
+            spark.read.parquet(
+                *[os.path.join(table_path, p) for p in new_rel]
+            )
+            .select(key_col)
+            .withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(key_col).alias("min_key"),
+                F.max(key_col).alias("max_key"),
+                F.sum(F.col(key_col).isNull().cast("long")).alias(
+                    "n_null"
+                ),
+            )
+            .collect()
+        ):
+            per_file[r["__f"].rsplit("/", 1)[-1]] = r
+    elif new_rel:
+        for r in (
+            spark.read.parquet(
+                *[os.path.join(table_path, p) for p in new_rel]
+            )
+            .withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        ):
+            per_file[r["__f"].rsplit("/", 1)[-1]] = r
+
+    new_entries = []
+    for rel in new_rel:
+        r = per_file.get(rel.rsplit("/", 1)[-1])
+        if r is None or int(r["rows"]) == 0:
+            os.remove(os.path.join(table_path, rel))
+            continue
+        df_entry = {
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": {
+                n: v for n, v in zip(part_names, pt_of_rel[rel])
+            },
+            "record_count": int(r["rows"]),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(table_path, rel)
+            ),
+        }
+        if key_col is not None:
+            b_lo = encode_bound(ice_t, r["min_key"])
+            b_hi = encode_bound(ice_t, r["max_key"])
+            df_entry["null_value_counts"] = [
+                {"key": fid, "value": struct.pack("<q", int(r["n_null"]))}
+            ]
+            df_entry["lower_bounds"] = (
+                [{"key": fid, "value": b_lo}] if b_lo is not None else None
+            )
+            df_entry["upper_bounds"] = (
+                [{"key": fid, "value": b_hi}] if b_hi is not None else None
+            )
+        new_entries.append(
+            {
+                "status": _ST_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": df_entry,
+            }
+        )
+    for e in survivors:
+        e = dict(e)
+        e["status"] = _ST_EXISTING
+        new_entries.append(e)
+
+    manifest_rel = (
+        "metadata/"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|mc{version}')}"
+        "-m0.avro"
+    )
+    write_container(
+        os.path.join(table_path, manifest_rel),
+        manifest_entry_schema(part_fields),
+        new_entries,
+    )
+    for r in carried:
+        r.setdefault("sequence_number", None)
+    ml_rows = list(carried) + [
+        {
+            "manifest_path": manifest_rel,
+            "manifest_length": os.path.getsize(
+                os.path.join(table_path, manifest_rel)
+            ),
+            "partition_spec_id": int(meta.get("default-spec-id", 0)),
+            "content": 0,
+            "added_snapshot_id": snapshot_id,
+            "sequence_number": seq,
+        }
+    ]
+    ml_rel = (
+        "metadata/"
+        f"snap-{snapshot_id}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|mcl{version}')}"
+        ".avro"
+    )
+    write_container(
+        os.path.join(table_path, ml_rel), MANIFEST_FILE_SCHEMA, ml_rows
+    )
+    meta = dict(meta)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": 0,
+        "manifest-list": ml_rel,
+        "summary": {"operation": "replace"},
+    }
+    if fmt >= 2:
+        new_snap["sequence-number"] = seq
+        meta["last-sequence-number"] = seq
+    meta["snapshots"] = snaps + [new_snap]
+    meta["current-snapshot-id"] = snapshot_id
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
+
+
+def expire_iceberg_snapshots(
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 1,
+) -> list[str]:
+    """``expire_snapshots``: drop all but the newest ``keep_last``
+    snapshots from the table metadata and DELETE every file (manifest
+    list, manifest, data / delete file) referenced ONLY by the expired
+    snapshots — the maintenance op that bounds metadata growth and
+    reclaims compacted/rewritten bytes, the Iceberg twin of
+    ``vacuum_delta``. Time travel to an expired snapshot then raises
+    (its metadata row is gone), exactly like the spec's expiration.
+    Returns the table-relative paths removed. Driver metadata work
+    only — no Spark job."""
+    if keep_last < 1:
+        raise ValueError("iceberg expire: keep_last must be >= 1")
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg expire: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    snaps = meta.get("snapshots") or []
+    if len(snaps) <= keep_last:
+        return []
+    keep = snaps[-keep_last:]
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id not in {s["snapshot-id"] for s in keep}:
+        raise ValueError(
+            "iceberg expire: keep_last would expire the CURRENT "
+            "snapshot"
+        )
+    expired = snaps[:-keep_last]
+
+    def _refs(snapshot: dict) -> set[str]:
+        out: set[str] = set()
+        ml = snapshot.get("manifest-list")
+        if ml is None:
+            for p in snapshot.get("manifests", []):
+                out.add(p)
+            manifests = [
+                {"manifest_path": p} for p in snapshot.get("manifests", [])
+            ]
+        else:
+            out.add(ml)
+            _, manifests = read_container(_localize(table_path, ml))
+        for m in manifests:
+            mp = m["manifest_path"]
+            out.add(mp)
+            _, entries = read_container(_localize(table_path, mp))
+            for e in entries:
+                if int(e.get("status") or 0) == _ST_DELETED:
+                    continue
+                out.add(e["data_file"]["file_path"])
+        return out
+
+    # compute EVERY reference set before deleting anything — expired
+    # snapshots may share manifests, and reading one after its file
+    # was removed for a sibling would crash mid-expire
+    kept_refs: set[str] = set()
+    for s in keep:
+        kept_refs |= _refs(s)
+    expired_refs: set[str] = set()
+    for s in expired:
+        expired_refs |= _refs(s)
+    gone: list[str] = []
+    for ref in sorted(expired_refs - kept_refs):
+        full = _localize(table_path, ref)
+        if os.path.exists(full):
+            os.remove(full)
+            gone.append(ref)
+    meta = dict(meta)
+    meta["snapshots"] = keep
+    version = prev_version + 1
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return gone
 
 
 def upsert_to_iceberg_table(

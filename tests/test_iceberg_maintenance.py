@@ -1,0 +1,220 @@
+"""Iceberg maintenance ops (streaming/iceberg_table.py): compaction
+(``rewrite_data_files`` — a ``replace`` snapshot merging undersized
+files per partition, row-level deletes applied and consumed) and
+snapshot expiration (``expire_snapshots`` — metadata trim + orphaned
+file removal, the Iceberg twin of vacuum_delta)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from optimus_any2any_spark.sources.iceberg import (
+    load_table_metadata,
+    read_iceberg,
+    write_iceberg_commit,
+)
+from optimus_any2any_spark.streaming.iceberg_table import (
+    compact_iceberg,
+    delete_iceberg_keys,
+    expire_iceberg_snapshots,
+    merge_iceberg_batch,
+)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ts long")
+
+
+def _snap(spark, t):
+    return sorted((r.k, r.v) for r in read_iceberg(spark, t).collect())
+
+
+def _live_data_files(t):
+    from optimus_any2any_spark.sources.iceberg import _snapshot_entries
+
+    meta = load_table_metadata(t)
+    data, _p, _e = _snapshot_entries(t, meta)
+    return sorted(d["orig"] for d in data)
+
+
+class TestCompaction:
+    def test_small_files_merge_reads_unchanged(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        for k in range(6):  # six single-row files via appends
+            write_iceberg_commit(
+                _kv(spark, [(k, f"v{k}", 0)]).coalesce(1), t
+            )
+        before = _snap(spark, t)
+        assert len(_live_data_files(t)) == 6
+        v = compact_iceberg(spark, t, key_col="k")
+        assert v is not None
+        assert len(_live_data_files(t)) == 1
+        assert _snap(spark, t) == before
+        meta = load_table_metadata(t)
+        cur = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        assert cur["summary"]["operation"] == "replace"
+
+    def test_noop_when_nothing_undersized(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _kv(spark, [(1, "a", 0), (2, "b", 0)]).coalesce(1), t
+        )
+        # one file only: nothing to pair up
+        assert compact_iceberg(spark, t, key_col="k") is None
+
+    def test_compaction_consumes_equality_deletes(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        for k in range(4):
+            write_iceberg_commit(
+                _kv(spark, [(k, f"v{k}", 0)]).coalesce(1), t
+            )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        v = compact_iceberg(spark, t, key_col="k")
+        assert v is not None
+        # deleted row stays gone through the rewrite (deletes applied
+        # during the compaction read, rewrite outranks the delete)
+        assert _snap(spark, t) == [(0, "v0"), (2, "v2"), (3, "v3")]
+        # and a post-compaction merge still behaves
+        merge_iceberg_batch(
+            spark, _kv(spark, [(2, "B", 1)]), t, "k", "ts"
+        )
+        assert _snap(spark, t) == [(0, "v0"), (2, "B"), (3, "v3")]
+
+    def test_partitioned_compaction_scoped(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 0, "d1"), (2, "b", 0, "d2")],
+                "k long, v string, ts long, d string",
+            ),
+            t, "k", "ts", partition_by=["d"],
+        )
+        # two more single-row files in d1 via merges of new keys
+        for k in (3, 5):
+            merge_iceberg_batch(
+                spark,
+                spark.createDataFrame(
+                    [(k, f"v{k}", 0, "d1")],
+                    "k long, v string, ts long, d string",
+                ),
+                t, "k", "ts",
+            )
+        before = sorted(
+            (r.k, r.v, r.d) for r in read_iceberg(spark, t).collect()
+        )
+        v = compact_iceberg(spark, t, key_col="k")
+        assert v is not None
+        after = sorted(
+            (r.k, r.v, r.d) for r in read_iceberg(spark, t).collect()
+        )
+        assert after == before
+        # manifest partition tuples survive on the compacted files
+        from optimus_any2any_spark.formats.avrobin import read_container
+        from optimus_any2any_spark.sources.iceberg import _localize
+
+        meta = load_table_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifests = read_container(
+            _localize(t, snap["manifest-list"])
+        )
+        parts = set()
+        for m in manifests:
+            _, entries = read_container(_localize(t, m["manifest_path"]))
+            for e in entries:
+                if int(e.get("status") or 0) != 2:
+                    parts.add(e["data_file"]["partition"].get("d"))
+        assert parts == {"d1", "d2"}
+
+
+class TestExpiration:
+    def test_expire_trims_metadata_and_files(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_iceberg_batch(spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts")
+        meta = load_table_metadata(t)
+        old_ids = [s["snapshot-id"] for s in meta["snapshots"]][:-1]
+        gone = expire_iceberg_snapshots(spark, t, keep_last=1)
+        assert gone  # the superseded v0 data file (at least) went
+        meta2 = load_table_metadata(t)
+        assert len(meta2["snapshots"]) == 1
+        assert _snap(spark, t) == [(1, "A")]
+        # time travel to an expired snapshot now raises
+        with pytest.raises(ValueError, match="not in table metadata"):
+            read_iceberg(spark, t, snapshot_id=old_ids[-1]).collect()
+
+    def test_expire_keeps_shared_files(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        write_iceberg_commit(_kv(spark, [(2, "b", 0)]).coalesce(1), t)
+        # the append's snapshot 2 still references snapshot 1's file
+        files_before = _live_data_files(t)
+        gone = expire_iceberg_snapshots(spark, t, keep_last=1)
+        # the expired snapshot's own manifest LIST may be reclaimed,
+        # but its data files are shared with the kept snapshot
+        data_gone = [g for g in gone if g.startswith("data/")]
+        assert data_gone == []
+        assert _live_data_files(t) == files_before
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+
+    def test_expire_noop_when_few_snapshots(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        assert expire_iceberg_snapshots(spark, t, keep_last=5) == []
+        assert _snap(spark, t) == [(1, "a")]
+
+    def test_expire_then_compact_then_expire(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        for k in range(4):
+            write_iceberg_commit(
+                _kv(spark, [(k, f"v{k}", 0)]).coalesce(1), t
+            )
+        compact_iceberg(spark, t, key_col="k")
+        # expiring history reclaims the four pre-compaction files
+        gone = expire_iceberg_snapshots(spark, t, keep_last=1)
+        assert sum(1 for g in gone if g.startswith("data/")) == 4
+        assert len(_live_data_files(t)) == 1
+        assert _snap(spark, t) == [
+            (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"),
+        ]
+
+
+class TestSinkRiders:
+    def test_optimize_and_expire_riders(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        for k in range(3):
+            write_iceberg_commit(
+                _kv(spark, [(k, f"v{k}", 0)]).coalesce(1), t
+            )
+        src = tmp_path / "in.json"
+        src.write_text('{"k": 9, "v": "z", "ts": 0}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"ICEBERG__SINK_URI=file://{t}",
+                "ICEBERG__OPTIMIZE_ROWS=100000",
+                "ICEBERG__MERGE_KEY=k",
+                "ICEBERG__EXPIRE_KEEP=1",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg).run()
+        assert _snap(spark, t) == [
+            (0, "v0"), (1, "v1"), (2, "v2"), (9, "z"),
+        ]
+        # optimize merged the small files; expire reclaimed history
+        assert len(_live_data_files(t)) == 1
+        assert len(load_table_metadata(t)["snapshots"]) == 1
