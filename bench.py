@@ -85,6 +85,12 @@ _SF1_QUERIES = [
     # driver loop (that loop is what round 5 removed)
     "delta_partitioned_merge",
     "iceberg_partitioned_merge",
+    # round-7 lifecycle rows: constant partition/day count, 10x rows —
+    # the delete+merge sequences must scale with the update footprint
+    # (anti-join sides and rewrite bytes), never with history length
+    "iceberg_days_partitioned_merge",
+    "delta_dv_then_merge",
+    "iceberg_delete_then_merge",
     # dedup_semantic_trained and ann_ivf_topk are deliberately absent:
     # both are quadratic at FIXED partition granularity (k=8 clusters /
     # 64 IVF cells, pinned by their oracles), and their scale story is
@@ -108,7 +114,10 @@ def _sf1_dir(spark, sf_dir: str) -> str:
 
     base = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/spark_graft_10x_{base}"
-    if os.path.exists(f"{out}/_DONE"):
+    # orders joined the replica set in round 7 — rebuild older dirs
+    if os.path.exists(f"{out}/_DONE") and os.path.exists(
+        f"{out}/orders.parquet"
+    ):
         return out
     reps = spark.range(10).select(F.col("id").alias("rep"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").crossJoin(reps)
@@ -167,6 +176,16 @@ def _sf1_dir(spark, sf_dir: str) -> str:
         ),
         *[c for c in ev.columns if c not in ("event_id", "rep")],
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    # orders 10x for the delete+merge lifecycle spots: keys shift by
+    # 1e9 so the k%N cohort proportions (the update footprint) scale
+    # exactly with the data
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").crossJoin(reps)
+    od.select(
+        (F.col("o_orderkey") + F.col("rep") * F.lit(1_000_000_000)).alias(
+            "o_orderkey"
+        ),
+        *[c for c in od.columns if c not in ("o_orderkey", "rep")],
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
     open(f"{out}/_DONE", "w").close()
     return out
 

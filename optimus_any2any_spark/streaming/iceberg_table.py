@@ -1174,14 +1174,32 @@ def compact_iceberg(
     single = len(ptuples) == 1
 
     carried: list[dict] = []
+    # delete manifests carry forward UNLESS the rewrite retires them:
+    # after compaction every remaining data file may outrank a delete
+    # file, at which point carrying it means one dead anti-join on
+    # every future read — record (row, max seq, kinds) to decide below
+    del_manifests: list[tuple[dict, int, bool]] = []
     hit_entries: list[dict] = []
     hit_seqs: list[int] = []
     hit_pids: list[int] = []
     survivors: list[dict] = []
+    untouched_seqs: list[int] = []  # live data entries NOT rewritten
     total_rows = 0
     for m, entries in walked:
         if int(m.get("content") or 0) == 1:
-            carried.append(m)  # delete manifests ride forward verbatim
+            dmax = 0
+            has_pos = False
+            for e in entries:
+                if int(e.get("status") or 0) == _ST_DELETED:
+                    continue
+                dmax = max(dmax, _eff_seq(e, m))
+                df_ = e["data_file"]
+                if not (
+                    int(df_.get("content") or 0) == 2
+                    or df_.get("equality_ids")
+                ):
+                    has_pos = True
+            del_manifests.append((m, dmax, has_pos))
             continue
         hits: list[tuple[dict, int]] = []
         misses: list[dict] = []
@@ -1199,6 +1217,7 @@ def compact_iceberg(
                 hits.append((e, pid_of[pt]))
             else:
                 misses.append(e)
+                untouched_seqs.append(_eff_seq(e, m))
         if not hits:
             carried.append(m)
         else:
@@ -1218,6 +1237,19 @@ def compact_iceberg(
     seq = max(
         int(meta.get("last-sequence-number", 0)), prev_version
     ) + 1
+
+    # a delete file gates data files with a LOWER sequence (equality:
+    # strictly lower; positional: lower-or-equal). After this commit
+    # the lowest data sequence is min(survivor seqs, the new seq) —
+    # any delete manifest that can no longer apply to ANYTHING is
+    # dropped here instead of anti-joining every future read
+    min_data_seq = min([seq] + untouched_seqs)
+    for m, dmax, has_pos in del_manifests:
+        dead = (
+            min_data_seq > dmax if has_pos else min_data_seq >= dmax
+        )
+        if not dead:
+            carried.append(m)
 
     # read the compacted files (deletes applied) and route rows back
     # to their partition by source FILE — no transform recompute

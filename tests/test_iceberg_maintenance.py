@@ -81,6 +81,21 @@ class TestCompaction:
         # deleted row stays gone through the rewrite (deletes applied
         # during the compaction read, rewrite outranks the delete)
         assert _snap(spark, t) == [(0, "v0"), (2, "v2"), (3, "v3")]
+        # full-table compaction RETIRES the delete manifest: every
+        # remaining data file outranks it, so carrying it would be a
+        # dead anti-join on every future read
+        from optimus_any2any_spark.formats.avrobin import read_container
+        from optimus_any2any_spark.sources.iceberg import _localize
+
+        meta = load_table_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifests = read_container(
+            _localize(t, snap["manifest-list"])
+        )
+        assert all(int(m.get("content") or 0) == 0 for m in manifests)
         # and a post-compaction merge still behaves
         merge_iceberg_batch(
             spark, _kv(spark, [(2, "B", 1)]), t, "k", "ts"

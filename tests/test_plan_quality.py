@@ -625,3 +625,31 @@ class TestRound5Plans:
         assert "LeftAnti" in r.text or "left_anti" in r.text.lower(), (
             r.text
         )
+
+
+class TestRound7Plans:
+    def test_mapped_merge_read_stays_jvm(self, spark):
+        # column-mapped merge + read: the logical↔physical translation
+        # is projections and positional struct casts — pure Catalyst,
+        # zero Python in the plan
+        r = report(spark, "delta_mapped_merge")
+        assert "Python" not in r.text, r.text
+        assert "mapInPandas" not in r.text.lower(), r.text
+
+    def test_delete_then_merge_read_is_anti_joins(self, spark):
+        # the post-merge snapshot read: carried equality deletes apply
+        # as sequence-gated anti-joins, vectors/deletes never decode
+        # per file; no row-at-a-time Python anywhere
+        r = report(spark, "iceberg_delete_then_merge")
+        assert "batchevalpython" not in r.text.lower(), r.text
+        assert "mapInPandas" not in r.text.lower(), r.text
+
+    def test_compact_after_delete_read_is_plain_scan(self, spark):
+        # post-compaction snapshot read of the oracle row: the
+        # full-table compaction RETIRED the equality-delete manifest,
+        # so the read is a plain scan + group-by — no anti-join, no
+        # Python eval anywhere
+        r = report(spark, "iceberg_compact_after_delete")
+        assert "LeftAnti" not in r.text, r.text
+        assert "batchevalpython" not in r.text.lower(), r.text
+        assert "mapInPandas" not in r.text.lower(), r.text
