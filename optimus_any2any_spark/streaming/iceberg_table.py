@@ -546,21 +546,24 @@ def merge_iceberg_batch(
         return int(s) if s is not None else 0
 
     carried: list[dict] = []   # manifest-list rows carried verbatim
+    # delete manifests carry forward UNLESS this rewrite retires them
+    # (every remaining data file outranking a delete file means it can
+    # never apply again — carrying it would cost a dead anti-join on
+    # every future read); decided after the walk, like compaction
+    del_manifests: list[tuple[dict, int, bool]] = []
     hit_entries: list[dict] = []
     hit_seqs: list[int] = []   # effective data-sequence per hit entry
     survivors: list[dict] = []  # entries from touched manifests to keep
+    untouched_seqs: list[int] = []  # live data entries NOT rewritten
     pos_del: list[dict] = []   # live positional/equality delete files:
     eq_del: list[dict] = []    # they gate the affected-file read below
     for m in manifests:
         if int(m.get("content") or 0) == 1:
-            # delete manifest: carried forward VERBATIM — its files
-            # keep gating the untouched (lower-sequence) data files;
-            # the rewritten files get a higher sequence, so consumed
-            # deletes simply stop applying to them
-            carried.append(m)
             _, dentries = read_container(
                 _localize(table_path, m["manifest_path"])
             )
+            dmax = 0
+            has_pos = False
             for e in dentries:
                 if int(e.get("status") or 0) == _ST_DELETED:
                     continue
@@ -571,12 +574,15 @@ def merge_iceberg_batch(
                     "seq": _eff_seq(e, m),
                     "equality_ids": list(df_.get("equality_ids") or []),
                 }
+                dmax = max(dmax, ent["seq"])
                 if int(df_.get("content") or 0) == 2 or ent[
                     "equality_ids"
                 ]:
                     eq_del.append(ent)
                 else:
+                    has_pos = True
                     pos_del.append(ent)
+            del_manifests.append((m, dmax, has_pos))
             continue
         mpath = _localize(table_path, m["manifest_path"])
         _, entries = read_container(mpath)
@@ -603,6 +609,8 @@ def merge_iceberg_batch(
                 st["has_null"],
             )
             (hits if h else misses).append({"__entry": e})
+        for mi in misses:
+            untouched_seqs.append(_eff_seq(mi["__entry"], m))
         if not hits:
             carried.append(m)  # whole manifest untouched: zero IO
         else:
@@ -624,6 +632,14 @@ def merge_iceberg_batch(
     seq = max(
         int(meta.get("last-sequence-number", 0)), prev_version
     ) + 1
+
+    # retire delete manifests nothing can match anymore (equality
+    # gates strictly-lower data sequences; positional lower-or-equal)
+    min_data_seq = min([seq] + untouched_seqs)
+    for m, dmax, has_pos in del_manifests:
+        dead = min_data_seq > dmax if has_pos else min_data_seq >= dmax
+        if not dead:
+            carried.append(m)
 
     # attach __pid to batch rows (broadcast partition-tuple lookup);
     # Iceberg data files keep ALL columns, so __pid only routes rows.

@@ -373,3 +373,37 @@ class TestMergeOverDeletedTables:
         assert sorted(
             (r.k, r.v) for r in read_iceberg(spark, t).collect()
         ) == [(2, "B"), (4, "v4")]
+
+    def test_full_rewrite_merge_retires_delete_manifest(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.formats.avrobin import read_container
+        from optimus_any2any_spark.sources.iceberg import _localize
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark, self._kv(spark, [(1, "a", 0), (2, "b", 0)]),
+            t, "k", "ts",
+        )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        # this merge rewrites the only data file → the delete can
+        # never apply again and its manifest must NOT carry forward
+        merge_iceberg_batch(
+            spark, self._kv(spark, [(2, "B", 1)]), t, "k", "ts"
+        )
+        meta = load_table_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, manifests = read_container(_localize(t, snap["manifest-list"]))
+        assert all(int(m.get("content") or 0) == 0 for m in manifests)
+        assert sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        ) == [(2, "B")]
