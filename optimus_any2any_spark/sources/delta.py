@@ -717,8 +717,15 @@ def read_delta_appends(
     meta, _ = _snapshot_actions(spark, table_path)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
+    # mapped tables: the parquet carries PHYSICAL names at every
+    # nesting level — a logical-schema'd read would silently return
+    # null columns; read physical and cast back like read_delta
+    cmap = column_mapping(meta)
+    phys = (lambda c: cmap.get(c, c)) if cmap else (lambda c: c)
+    pfields = physical_fields(meta)
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [pfields[f.name] if pfields else f for f in data_fields]
     )
     type_of = {f.name: f.dataType for f in schema.fields}
     groups: dict[tuple, list[str]] = {}
@@ -744,7 +751,7 @@ def read_delta_appends(
                         "— not an append stream; use read_delta_cdf"
                     )
                 pv = add.get("partitionValues") or {}
-                key = tuple(pv.get(c) for c in part_cols)
+                key = tuple(pv.get(phys(c)) for c in part_cols)
                 groups.setdefault(key, []).append(
                     os.path.join(table_path, add["path"])
                 )
@@ -753,6 +760,15 @@ def read_delta_appends(
     out = None
     for key, paths in sorted(groups.items(), key=str):
         df = spark.read.schema(data_schema).parquet(*paths)
+        if cmap:
+            df = df.select(
+                *[
+                    F.col("`" + phys(f.name) + "`")
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in data_fields
+                ]
+            )
         for c, val in zip(part_cols, key):
             col = (
                 F.lit(None).cast(type_of[c])

@@ -631,3 +631,54 @@ class TestNestedColumnMapping:
             (r.k, r.m.x) for r in read_delta(spark, t).collect()
         )
         assert got == [(2, 20)]
+
+
+class TestMappedIncrementalReads:
+    def test_appends_read_logical_not_null(self, spark, tmp_path):
+        """A logical-schema'd parquet read over physical-named files
+        silently returns null columns — the append tail must read
+        physical and cast back (same boundary as read_delta)."""
+        from optimus_any2any_spark.sources.delta import (
+            read_delta_appends,
+        )
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        v = merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(9, "z", 1)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        got = sorted(
+            (r.k, r.v)
+            for r in read_delta_appends(spark, t, v - 1, v).collect()
+        )
+        assert got == [(9, "z")]
+
+    def test_cdf_over_mapped_update(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        v = merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1)], "k long, v string, ts long"
+            ),
+            t, "k", "ts", change_data=True,
+        )
+        ch = sorted(
+            (r.k, r.v, r._change_type)
+            for r in read_delta_cdf(spark, t, v - 1, v).collect()
+        )
+        assert ch == [
+            (2, "B", "update_postimage"), (2, "b", "update_preimage"),
+        ]
