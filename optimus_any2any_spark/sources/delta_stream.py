@@ -109,6 +109,32 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self.schema_ = schema
         meta = _table_meta(self.table_path)
         self.part_cols = meta.get("partitionColumns") or []
+        # column-mapped tables: parquet (and partitionValues) carry
+        # PHYSICAL names — translate top-level here, self-contained
+        # (this class pickles to the data-source worker, which has no
+        # repo PYTHONPATH for the package helpers). Nested mapping is
+        # refused: pyarrow surfaces nested structs keyed by their
+        # physical inner names, which this row-tuple reader would
+        # silently mis-key.
+        self.phys_of: dict[str, str] = {}
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        if mode not in (None, "none"):
+            for f in json.loads(meta["schemaString"]).get("fields", []):
+                md = f.get("metadata") or {}
+                self.phys_of[f["name"]] = md.get(
+                    "delta.columnMapping.physicalName", f["name"]
+                )
+                t = f.get("type")
+                if isinstance(t, dict) and (
+                    "delta.columnMapping.physicalName" in json.dumps(t)
+                ):
+                    raise NotImplementedError(
+                        "delta_tail: NESTED column mapping is beyond "
+                        "this stream source (batch read_delta handles "
+                        f"it) — field {f['name']!r}"
+                    )
         # startingVersion: first UNCONSUMED version (Delta's own
         # startingVersion option); default 0 = full history
         self.starting_version = int(options.get("startingversion", 0))
@@ -164,9 +190,11 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         fields = self.schema_.fields
-        part_cols = {f.name for f in fields} - {
-            c.name
-            for c in pq.read_schema(partition.path)
+        phys = self.phys_of
+        pname = {f.name: phys.get(f.name, f.name) for f in fields}
+        in_file = {c.name for c in pq.read_schema(partition.path)}
+        part_cols = {
+            f.name for f in fields if pname[f.name] not in in_file
         }
         table = pq.read_table(partition.path)
         cols = {name: table.column(name).to_pylist()
@@ -174,14 +202,16 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         n = table.num_rows
         const = {
             f.name: _typed_partition_value(
-                f.dataType, partition.pv.get(f.name)
+                f.dataType, partition.pv.get(pname[f.name])
             )
             for f in fields
             if f.name in part_cols
         }
         for i in range(n):
             yield tuple(
-                const[f.name] if f.name in const else cols[f.name][i]
+                const[f.name]
+                if f.name in const
+                else cols[pname[f.name]][i]
                 for f in fields
             )
 
@@ -231,6 +261,29 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             raise ValueError("delta_cdf: option 'path' is required")
         self.schema_ = schema
         self.starting_version = int(options.get("startingversion", 0))
+        # mapped tables: cdc/data parquet and partitionValues carry
+        # PHYSICAL names (top-level translated; nested refused — see
+        # DeltaTailStreamReader)
+        meta = _table_meta(self.table_path)
+        self.phys_of: dict[str, str] = {}
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        if mode not in (None, "none"):
+            for f in json.loads(meta["schemaString"]).get("fields", []):
+                md = f.get("metadata") or {}
+                self.phys_of[f["name"]] = md.get(
+                    "delta.columnMapping.physicalName", f["name"]
+                )
+                t = f.get("type")
+                if isinstance(t, dict) and (
+                    "delta.columnMapping.physicalName" in json.dumps(t)
+                ):
+                    raise NotImplementedError(
+                        "delta_cdf: NESTED column mapping is beyond "
+                        "this stream source (batch read_delta_cdf "
+                        f"handles it) — field {f['name']!r}"
+                    )
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
@@ -297,22 +350,31 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             for name in table.column_names
         }
         fields = self.schema_.fields
+        phys = self.phys_of
+        pname = {
+            f.name: phys.get(f.name, f.name) for f in fields
+        }
+        # _change_type/_commit_version are CDF columns, never mapped
+        pname["_change_type"] = "_change_type"
+        pname["_commit_version"] = "_commit_version"
         const: dict = {
             "_commit_version": partition.version,
         }
         if partition.synthesize_insert:
             const["_change_type"] = "insert"
         for f in fields:
-            if f.name in cols or f.name in const:
+            if pname[f.name] in cols or f.name in const:
                 continue
             # log-carried partition column (synthesized appends only;
             # cdc files physically contain every schema column)
             const[f.name] = _typed_partition_value(
-                f.dataType, partition.pv.get(f.name)
+                f.dataType, partition.pv.get(pname[f.name])
             )
         for i in range(table.num_rows):
             yield tuple(
-                const[f.name] if f.name in const else cols[f.name][i]
+                const[f.name]
+                if f.name in const
+                else cols[pname[f.name]][i]
                 for f in fields
             )
 

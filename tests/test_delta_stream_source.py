@@ -261,3 +261,64 @@ class TestDeltaCdfSource:
         _run_available(spark, t, ckpt, out)
         got = {r.k: r.bucket for r in spark.read.parquet(out).collect()}
         assert got == {1: 10, 2: 20}
+
+
+class TestMappedTableStreams:
+    def test_tail_over_mapped_table_reads_values(
+        self, registered, tmp_path
+    ):
+        """Physical parquet names must translate in the stream reader —
+        a logical-name lookup would yield all-null rows silently."""
+        from tests.test_delta_column_mapping import (
+            _write_mapped_table_ts,
+        )
+
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write_mapped_table_ts(spark, t)
+        merge_delta_batch(spark, _kv(spark, [(9, "z", 1)]), t, "k", "ts")
+        _run_available(spark, t, ckpt, out)
+        got = sorted(
+            (r.k, r.v) for r in spark.read.parquet(out).collect()
+        )
+        # v0 seed rows + the merged insert, all with real values
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (9, "z")]
+
+    def test_cdf_over_mapped_table_reads_values(
+        self, registered, tmp_path
+    ):
+        from tests.test_delta_column_mapping import (
+            _write_mapped_table_ts,
+        )
+
+        spark = registered
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write_mapped_table_ts(spark, t)
+        merge_delta_batch(
+            spark, _kv(spark, [(2, "B", 1)]), t, "k", "ts",
+            change_data=True,
+        )
+        q = (
+            spark.readStream.format("delta_cdf")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+        got = sorted(
+            (r.k, r.v, r._change_type)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert (2, "B", "update_postimage") in got
+        assert (2, "b", "update_preimage") in got
+        # the v0 seed synthesizes inserts with REAL values
+        assert (1, "a", "insert") in got
