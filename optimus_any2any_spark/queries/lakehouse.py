@@ -1454,6 +1454,50 @@ def iceberg_snapshot_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_skipping_read",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_k,
+           MAX(o_orderkey) AS max_k,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 2000 AND 5999
+    """,
+    doc="Iceberg data skipping via manifest-entry Appendix-D bounds "
+    "(read_iceberg key_range — the Delta skipping read's twin): the "
+    "orders table committed as a multi-file merge whose entries carry "
+    "lower/upper bounds and null counts on the key; a range read "
+    "prunes provably-disjoint files at the manifest level BEFORE the "
+    "scan and filters the rest. The pruning is what Iceberg's "
+    "manifest design exists for: a key-range query on a million-file "
+    "table plans from metadata, reads O(footprint).",
+)
+def iceberg_skipping_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_skip", sf_dir)
+    merge_iceberg_batch(
+        spark, _orders_kv(spark, sf_dir, 0), t, "k", "ts",
+        batch_id=0, target_rows_per_file=2000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "n_rows long, min_k long, max_k long, sum_price double"
+        )
+    snap = read_iceberg(spark, t, key_range=("k", 2000, 5999))
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        dsum(F.col("price")).alias("sum_price"),
+    )
+
+
+@register(
     "delta_skipping_read",
     oracle=f"""
     SELECT COUNT(*) AS n_rows,

@@ -273,6 +273,12 @@ def _snapshot_entries(
                 "orig": df_["file_path"],
                 "seq": int(seq),
                 "equality_ids": list(df_.get("equality_ids") or []),
+                # Appendix-D bounds + null counts, kept for the
+                # key_range data-skipping read (field-id keyed)
+                "lower_bounds": df_.get("lower_bounds"),
+                "upper_bounds": df_.get("upper_bounds"),
+                "null_value_counts": df_.get("null_value_counts"),
+                "record_count": df_.get("record_count"),
             }
             content = int(df_.get("content") or 0)
             if int(m.get("content") or 0) == 1 or content in (1, 2):
@@ -294,9 +300,17 @@ def read_iceberg(
     spark: SparkSession,
     table_path: str,
     snapshot_id: int | None = None,
+    key_range: tuple | None = None,
 ) -> DataFrame:
     """Snapshot read of an Iceberg table; ``snapshot_id`` time-travels
     to any retained snapshot (the spec's SNAPSHOT AS OF).
+
+    ``key_range=(col, lo, hi)`` applies the range predicate AND skips
+    data files whose Appendix-D ``lower_bounds``/``upper_bounds`` for
+    that column prove no row can match — Iceberg's manifest-level data
+    skipping, the twin of ``read_delta(key_range=...)``. Files without
+    recorded bounds are read (and still filtered); all-null files skip
+    via ``null_value_counts`` (a range predicate never matches null).
 
     v2 MERGE-ON-READ: positional and equality delete files apply as
     anti-joins — positional deletes match ``(file, row position)``
@@ -314,9 +328,76 @@ def read_iceberg(
     data, pos_del, eq_del = _snapshot_entries(
         table_path, meta, snapshot_id
     )
+    if key_range is not None:
+        col, lo, hi = key_range
+        data = _prune_by_bounds(meta, data, col, lo, hi)
+        out = read_entries_with_deletes(
+            spark, meta, schema, data, pos_del, eq_del
+        )
+        return out.filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
     return read_entries_with_deletes(
         spark, meta, schema, data, pos_del, eq_del
     )
+
+
+def _prune_by_bounds(
+    meta: dict, data: list[dict], col: str, lo, hi
+) -> list[dict]:
+    """Drop data entries whose Appendix-D bounds PROVE the range
+    predicate cannot match (or that are provably all-null for the
+    column — a range predicate never matches null). Entries without
+    decodable bounds are conservatively kept."""
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        decode_bound,
+    )
+
+    field = next(
+        (
+            f
+            for f in _current_schema(meta)["fields"]
+            if f["name"] == col
+        ),
+        None,
+    )
+    if field is None or not isinstance(field["type"], str):
+        return data
+    fid, ice_t = int(field["id"]), field["type"]
+
+    def _kv(pairs, key):
+        for p in pairs or []:
+            if int(p["key"]) == key:
+                return p["value"]
+        return None
+
+    kept: list[dict] = []
+    for d in data:
+        nulls = _kv(d.get("null_value_counts"), fid)
+        n = d.get("record_count")
+        if (
+            nulls is not None
+            and n is not None
+            and len(nulls) == 8
+            and int.from_bytes(nulls, "little") == int(n)
+        ):
+            continue  # provably all-null: range never matches
+        blo = _kv(d.get("lower_bounds"), fid)
+        bhi = _kv(d.get("upper_bounds"), fid)
+        if blo is not None and bhi is not None:
+            try:
+                vlo, vhi = decode_bound(ice_t, blo), decode_bound(
+                    ice_t, bhi
+                )
+            except Exception:
+                kept.append(d)
+                continue
+            if vlo is not None and vhi is not None and (
+                vlo > hi or vhi < lo
+            ):
+                continue  # provably disjoint
+        kept.append(d)
+    return kept
 
 
 def read_entries_with_deletes(

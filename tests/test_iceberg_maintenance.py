@@ -233,3 +233,56 @@ class TestSinkRiders:
         # optimize merged the small files; expire reclaimed history
         assert len(_live_data_files(t)) == 1
         assert len(load_table_metadata(t)["snapshots"]) == 1
+
+
+class TestSkippingRead:
+    def test_key_range_prunes_files_before_scan(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(k, f"v{k}", 0) for k in range(1, 41)],
+                "k long, v string, ts long",
+            ),
+            t, "k", "ts", target_rows_per_file=10,
+        )
+        full = read_iceberg(spark, t)
+        assert len(full.inputFiles()) >= 4
+        pruned = read_iceberg(spark, t, key_range=("k", 35, 39))
+        # range-disjoint files never reach the scan
+        assert len(pruned.inputFiles()) == 1
+        assert sorted(r.k for r in pruned.collect()) == [
+            35, 36, 37, 38, 39,
+        ]
+
+    def test_key_range_keeps_boundless_files(self, spark, tmp_path):
+        # files without recorded bounds (fixture appends carry none on
+        # the key... write_iceberg_commit records none) must still be
+        # read — pruning may only drop PROVABLY disjoint files
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _kv(spark, [(1, "a", 0), (50, "b", 0)]).coalesce(1), t
+        )
+        got = read_iceberg(spark, t, key_range=("k", 40, 60)).collect()
+        assert [r.k for r in got] == [50]
+
+    def test_key_range_composes_with_deletes(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(k, f"v{k}", 0) for k in range(1, 21)],
+                "k long, v string, ts long",
+            ),
+            t, "k", "ts", target_rows_per_file=5,
+        )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(7,)], "k long")
+        )
+        got = sorted(
+            r.k
+            for r in read_iceberg(
+                spark, t, key_range=("k", 6, 9)
+            ).collect()
+        )
+        assert got == [6, 8, 9]
