@@ -255,6 +255,24 @@ def _merged_protocol(
     return None if unchanged else new
 
 
+def _check_append_only(meta: dict | None, verb: str) -> None:
+    """``delta.appendOnly=true`` (the appendOnly writer feature):
+    writers may only ADD data — a data-changing remove (delete, DV
+    delete, merge rewriting affected files) violates the table's own
+    contract and must refuse. ``dataChange: false`` rewrites
+    (OPTIMIZE, PURGE) stay allowed, as in delta-spark."""
+    if meta is None:
+        return
+    if (meta.get("configuration") or {}).get(
+        "delta.appendOnly"
+    ) == "true":
+        raise ValueError(
+            f"delta {verb}: table is appendOnly "
+            "(delta.appendOnly=true) — data-changing removes are "
+            "forbidden by the table's own configuration"
+        )
+
+
 def _remove_action(path: str, add: dict, data_change: bool) -> dict:
     """The remove tombstone for a live add — carrying the add's
     deletionVector descriptor when it has one, because Delta
@@ -1007,6 +1025,9 @@ def merge_delta_batch(
     total_hit_rows = 0
     pre = None
     if hit_paths:
+        # an insert-only merge is an append; touching existing keys
+        # rewrites files (data-changing removes) — appendOnly forbids
+        _check_append_only(state["meta"], "merge")
         rel_pid_rows = [
             (e["path"], pid)
             for pid, hits in sorted(hit_by_pid.items())
@@ -1753,6 +1774,7 @@ def delete_delta_keys(
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         raise ValueError(f"delta delete: no table at {table_path}")
+    _check_append_only(state["meta"], "delete")
     phys, mapped, pfields = _phys_of(state["meta"])
     version = state["version"] + 1
     if (

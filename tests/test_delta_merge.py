@@ -15,6 +15,8 @@ from optimus_any2any_spark.sources.delta import (
     replay_log,
 )
 from optimus_any2any_spark.streaming.delta_table import (
+    compact_delta,
+    delete_delta_keys,
     merge_delta_batch,
     upsert_to_delta_table,
     vacuum_delta,
@@ -1031,3 +1033,62 @@ class TestStreamingUpsert:
         q2.awaitTermination(60)
         time.sleep(0.2)
         assert _snap(spark, t) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+class TestAppendOnly:
+    """delta.appendOnly=true (the appendOnly writer feature): writers
+    may only add data — data-changing removes refuse; dataChange:false
+    rewrites (OPTIMIZE) stay allowed, as in delta-spark."""
+
+    def _seed(self, spark, t):
+        import json as _json
+        import os as _os
+
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0)]), t, "k", "ts"
+        )
+        # flip the table to appendOnly via a metaData re-statement
+        from optimus_any2any_spark.sources.delta import replay_log
+
+        meta = dict(replay_log(spark, t)["meta"])
+        cfg = dict(meta.get("configuration") or {})
+        cfg["delta.appendOnly"] = "true"
+        meta["configuration"] = cfg
+        log = _os.path.join(t, "_delta_log")
+        with open(_os.path.join(log, "%020d.json" % 1), "w") as f:
+            f.write(_json.dumps({"metaData": meta}) + "\n")
+
+    def test_insert_only_merge_still_appends(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        merge_delta_batch(
+            spark, _kv(spark, [(9, "z", 1)]), t, "k", "ts"
+        )
+        assert _snap(spark, t) == [(1, "a"), (2, "b"), (9, "z")]
+
+    def test_updating_merge_refused(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        with pytest.raises(ValueError, match="appendOnly"):
+            merge_delta_batch(
+                spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts"
+            )
+
+    def test_delete_refused_optimize_allowed(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        with pytest.raises(ValueError, match="appendOnly"):
+            delete_delta_keys(
+                spark, t, "k", spark.createDataFrame([(1,)], "k long")
+            )
+        with pytest.raises(ValueError, match="appendOnly"):
+            delete_delta_keys(
+                spark, t, "k", spark.createDataFrame([(1,)], "k long"),
+                use_deletion_vectors=True,
+            )
+        # two more appends → compactable small files; OPTIMIZE's
+        # removes are dataChange:false and stay legal
+        merge_delta_batch(spark, _kv(spark, [(8, "y", 1)]), t, "k", "ts")
+        v = compact_delta(spark, t, key_col="k")
+        assert v is not None
+        assert _snap(spark, t) == [(1, "a"), (2, "b"), (8, "y")]
