@@ -550,6 +550,104 @@ def _write_checkpoint(
     _put_data(tmp_last, last)
 
 
+def write_checkpoint_v2(
+    spark: SparkSession,
+    table_path: str,
+    sidecar_threshold: int = 10_000,
+) -> str:
+    """Write a V2-SPEC checkpoint of the current snapshot: a
+    uuid-named ``<version>.checkpoint.<uuid>.parquet`` whose rows are
+    the non-file actions plus ONE ``checkpointMetadata`` marker, with
+    the file actions split into ``_delta_log/_sidecars/<uuid>.parquet``
+    sidecar files (referenced by ``sidecar`` actions) once the table
+    exceeds ``sidecar_threshold`` adds — the layout that lets a
+    million-file table's checkpoint parallelize instead of funneling
+    through one driver-side parquet. Upgrades the protocol with the
+    ``v2Checkpoint`` reader+writer feature in its own commit first
+    (the spec requires tables to DECLARE the feature before any reader
+    can be expected to resolve uuid-named checkpoints). Returns the
+    checkpoint file's log-relative name. The classic writer
+    (``_write_checkpoint``) remains the default on merge's
+    ``checkpoint_interval`` — v2 is the opt-in for metadata-scale
+    tables."""
+    import uuid as _uuid
+
+    state = replay_log(spark, table_path)
+    if state["meta"] is None:
+        raise ValueError(f"delta checkpoint: no table at {table_path}")
+    proto = _merged_protocol(
+        state.get("protocol"), ["v2Checkpoint"], ["v2Checkpoint"]
+    )
+    version = state["version"]
+    if proto is not None:
+        # feature declaration is a COMMIT; the checkpoint then
+        # describes the state as of that commit
+        version += 1
+        _commit(_log_dir(table_path), version, [{"protocol": proto}])
+        state = replay_log(spark, table_path)
+
+    log = _log_dir(table_path)
+    top_rows = [
+        json.dumps({"checkpointMetadata": {"version": version}}),
+        json.dumps({"protocol": state.get("protocol")}),
+        json.dumps({"metaData": state["meta"]}, default=str),
+    ] + [
+        json.dumps({"txn": {"appId": a, "version": v}})
+        for a, v in sorted(state["txns"].items())
+    ]
+    add_rows = [
+        json.dumps({"add": add}, default=str)
+        for _, add in sorted(state["live"].items())
+    ]
+
+    def _rows_to_parquet(rows: list[str], dest: str) -> None:
+        schema = spark.read.json(
+            spark.sparkContext.parallelize(rows, 1)
+        ).schema
+        df = spark.read.schema(schema).json(
+            spark.sparkContext.parallelize(rows, 1)
+        )
+        tmp = dest + ".d"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _put_data(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dest
+        )
+        shutil.rmtree(tmp)
+
+    if len(add_rows) > sidecar_threshold:
+        os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+        n_parts = -(-len(add_rows) // sidecar_threshold)
+        chunk = -(-len(add_rows) // n_parts)
+        for i in range(n_parts):
+            sc_name = f"{_uuid.uuid4()}.parquet"
+            sc_path = os.path.join(log, "_sidecars", sc_name)
+            _rows_to_parquet(
+                add_rows[i * chunk:(i + 1) * chunk], sc_path
+            )
+            top_rows.append(
+                json.dumps(
+                    {
+                        "sidecar": {
+                            "path": sc_name,
+                            "sizeInBytes": os.path.getsize(sc_path),
+                            "modificationTime": 0,
+                        }
+                    }
+                )
+            )
+    else:
+        top_rows += add_rows
+
+    cp_name = f"%020d.checkpoint.{_uuid.uuid4()}.parquet" % version
+    _rows_to_parquet(top_rows, os.path.join(log, cp_name))
+    last = os.path.join(log, "_last_checkpoint")
+    tmp_last = last + ".tmp"
+    with open(tmp_last, "w") as f:
+        f.write(json.dumps({"version": version, "size": len(top_rows)}))
+    _put_data(tmp_last, last)
+    return cp_name
+
+
 def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
     """Delete data files the current snapshot does not reference —
     tombstoned files and crash orphans. Returns the deleted names.
