@@ -1700,26 +1700,57 @@ def _delete_via_dv(
         _cp.register_pickle_by_value(_roaring)
         dv_blob = _roaring.dv_blob
 
-        def _encode_file_dv(pdf):
-            import pandas as _pd
-
-            poss = sorted(set(int(x) for x in pdf["__pos"]))
-            return _pd.DataFrame(
-                {
-                    "__bn": [pdf["__bn"].iloc[0]],
-                    "__blob": [dv_blob(poss)],
-                    "__card": [len(poss)],
-                }
+        # encode placement is a latency/scale trade with the SAME
+        # one-shuffle plan either way: small deletes (bounded by the
+        # matched count, known from the persisted frame) collect raw
+        # positions and encode on the driver — no Python-worker spin-up
+        # on the common interactive path; big deletes encode per file
+        # on EXECUTORS via applyInPandas so only pre-compressed blobs
+        # (≤ ~rows_per_file/8 bytes each) ever cross to the driver,
+        # which is what removed the old 5M-row cap.
+        prior_card = sum(
+            int(
+                (state["live"][p].get("deletionVector") or {}).get(
+                    "cardinality", 0
+                )
             )
-
-        per_file = (
-            positions.groupBy("__bn")
-            .applyInPandas(
-                _encode_file_dv,
-                "__bn string, __blob binary, __card long",
-            )
-            .collect()
+            for p in hit_paths
         )
+        n_matched = matched.count()
+        if n_matched + prior_card <= _MAX_DRIVER_KEYS:
+            grouped: dict[str, set] = {}
+            for r in positions.collect():
+                grouped.setdefault(r["__bn"], set()).add(int(r["__pos"]))
+            per_file = [
+                {
+                    "__bn": bn,
+                    "__blob": dv_blob(sorted(ps)),
+                    "__card": len(ps),
+                }
+                for bn, ps in grouped.items()
+            ]
+        else:
+
+            def _encode_file_dv(pdf):
+                import pandas as _pd
+
+                poss = sorted(set(int(x) for x in pdf["__pos"]))
+                return _pd.DataFrame(
+                    {
+                        "__bn": [pdf["__bn"].iloc[0]],
+                        "__blob": [dv_blob(poss)],
+                        "__card": [len(poss)],
+                    }
+                )
+
+            per_file = (
+                positions.groupBy("__bn")
+                .applyInPandas(
+                    _encode_file_dv,
+                    "__bn string, __blob binary, __card long",
+                )
+                .collect()
+            )
         if not per_file:
             return state["version"]  # stats false-positive: no-op
         per_file.sort(key=lambda r: r["__bn"])
