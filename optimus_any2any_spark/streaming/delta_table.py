@@ -550,6 +550,82 @@ def _write_checkpoint(
     _put_data(tmp_last, last)
 
 
+def restore_delta(
+    spark: SparkSession, table_path: str, version: int
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: commit the adds/removes
+    that make the CURRENT state equal the table as of ``version`` —
+    Delta's time-travel write. History is preserved (the restore is a
+    new commit on top; the restored-over commits remain time-travelable
+    until vacuum). Refuses when a needed historical file was already
+    vacuumed — restoring to silently-missing data would corrupt the
+    table. The metaData in force at the target version is re-stated
+    when it differs (schema rollback travels with the restore)."""
+    state_now = replay_log(spark, table_path)
+    if state_now["meta"] is None:
+        raise ValueError(f"delta restore: no table at {table_path}")
+    if version > state_now["version"] or version < 0:
+        raise ValueError(
+            f"delta restore: version {version} not in history "
+            f"(current is {state_now['version']})"
+        )
+    _check_append_only(state_now["meta"], "restore")
+    state_then = replay_log(spark, table_path, version=version)
+    new_version = state_now["version"] + 1
+
+    then_live = state_then["live"]
+    now_live = state_now["live"]
+    from optimus_any2any_spark.sources.delta import dv_unique_id
+
+    def _key(p, a):
+        return (p, dv_unique_id(a))
+
+    then_keys = {_key(p, a) for p, a in then_live.items()}
+    now_keys = {_key(p, a) for p, a in now_live.items()}
+    actions: list[dict] = []
+    missing = []
+    for p, a in sorted(then_live.items()):
+        if _key(p, a) in now_keys:
+            continue
+        full = os.path.join(table_path, p)
+        if not os.path.exists(full):
+            missing.append(p)
+            continue
+        dv = a.get("deletionVector") or {}
+        if dv.get("storageType") == "u":
+            # the re-added file's vector blob must still exist too
+            from optimus_any2any_spark.sources.delta import (
+                _dv_descriptor_rows,
+            )
+
+            rows = _dv_descriptor_rows(table_path, {p: a})
+            if rows and rows[0][3] and not os.path.exists(rows[0][3]):
+                missing.append(f"{p} (deletion vector)")
+                continue
+        add = dict(a)
+        add["dataChange"] = True
+        actions.append({"add": add})
+    if missing:
+        raise ValueError(
+            "delta restore: files of version "
+            f"{version} were vacuumed: {missing[:5]} — the restore "
+            "would resurrect a table with silent holes"
+        )
+    for p, a in sorted(now_live.items()):
+        if _key(p, a) not in then_keys:
+            actions.append(
+                {"remove": _remove_action(p, a, data_change=True)}
+            )
+    if json.dumps(state_then["meta"], sort_keys=True) != json.dumps(
+        state_now["meta"], sort_keys=True
+    ):
+        actions.append({"metaData": state_then["meta"]})
+    if not actions:
+        return state_now["version"]  # already identical: no-op
+    _commit(_log_dir(table_path), new_version, actions)
+    return new_version
+
+
 def write_checkpoint_v2(
     spark: SparkSession,
     table_path: str,

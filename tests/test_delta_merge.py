@@ -1092,3 +1092,110 @@ class TestAppendOnly:
         v = compact_delta(spark, t, key_col="k")
         assert v is not None
         assert _snap(spark, t) == [(1, "a"), (2, "b"), (8, "y")]
+
+
+class TestRestore:
+    """restore_delta: Delta's RESTORE ... VERSION AS OF as a new commit
+    — the current snapshot becomes the historical one, history stays
+    time-travelable, vacuumed history refuses."""
+
+    def test_restore_rolls_back_an_update(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            restore_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0)]), t, "k", "ts"
+        )
+        merge_delta_batch(spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts")
+        v = restore_delta(spark, t, 0)
+        assert v == 2
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+        # history preserved: the restored-over state still time-travels
+        from optimus_any2any_spark.sources.delta import read_delta
+
+        assert sorted(
+            (r.k, r.v) for r in read_delta(spark, t, version=1).collect()
+        ) == [(1, "A"), (2, "b")]
+
+    def test_restore_after_delete_resurrects(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            restore_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(k, f"v{k}", 0) for k in range(4)]),
+            t, "k", "ts",
+        )
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        restore_delta(spark, t, 0)
+        assert _snap(spark, t) == [
+            (0, "v0"), (1, "v1"), (2, "v2"), (3, "v3"),
+        ]
+
+    def test_restore_noop_when_identical(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            restore_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        assert restore_delta(spark, t, 0) == 0  # no version burn
+
+    def test_restore_refuses_vacuumed_history(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            restore_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(spark, _kv(spark, [(1, "A", 1)]), t, "k", "ts")
+        vacuum_delta(spark, t)  # v0's file is now gone
+        with pytest.raises(ValueError, match="vacuumed"):
+            restore_delta(spark, t, 0)
+
+    def test_restore_rolls_back_schema_evolution(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta
+        from optimus_any2any_spark.streaming.delta_table import (
+            restore_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", 1, "x")], "k long, v string, ts long, e string"
+            ),
+            t, "k", "ts", merge_schema=True,
+        )
+        assert "e" in read_delta(spark, t).columns
+        restore_delta(spark, t, 0)
+        out = read_delta(spark, t)
+        assert "e" not in out.columns
+        assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a")]
+
+    def test_restore_dv_table_round_trip(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            restore_delta,
+        )
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(k, f"v{k}", 0) for k in range(4)]),
+            t, "k", "ts",
+        )
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        # restore PAST the DV delete, then back to it: both directions
+        # must reconcile by (path, DV uniqueId)
+        restore_delta(spark, t, 0)
+        assert len(_snap(spark, t)) == 4
+        restore_delta(spark, t, 1)
+        assert _snap(spark, t) == [(0, "v0"), (2, "v2"), (3, "v3")]
