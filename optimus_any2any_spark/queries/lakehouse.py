@@ -522,6 +522,79 @@ def delta_mapped_merge(spark, sf_dir):
 
 
 @register(
+    "delta_mapped_evolve",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    upd AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price,
+             o_orderkey % 3 AS flag
+      FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    ins AS (
+      SELECT o_orderkey AS k, o_totalprice / 2 AS price,
+             o_orderkey % 3 AS flag
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    merged AS (
+      SELECT k, price, CAST(NULL AS BIGINT) AS flag
+      FROM base WHERE k % 10 <> 1
+      UNION ALL SELECT k, price, flag FROM upd
+      UNION ALL SELECT k, price, flag FROM ins
+    )
+    SELECT COALESCE(flag, -1) AS flag_g,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM merged GROUP BY flag_g ORDER BY flag_g
+    """,
+    doc="Schema EVOLUTION on a column-mapped Delta table (VERDICT r7 "
+    "item 1): the mapped orders fixture is merged with a batch "
+    "carrying a NEW column (flag = k % 3) under merge_schema=True — "
+    "the writer mints delta.columnMapping.id / col-<uuid> "
+    "physicalName metadata for the added column under maxColumnId "
+    "bookkeeping, re-states metaData in the same commit, and writes "
+    "the new files under the fresh physical names. Pre-evolution "
+    "files null-fill the new column on read (grouped here as "
+    "flag -1); time travel to version 0 keeps the old schema "
+    "(pinned in tests/test_delta_column_mapping.py).",
+    bench=False,
+)
+def delta_mapped_evolve(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        merge_delta_batch,
+    )
+
+    t = _fixture_dir("delta_mapped_evolve", sf_dir)
+    _write_mapped_orders(spark, t, sf_dir)
+    upd = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 10 == 1
+    ).withColumn("price", F.col("price") + F.lit(1000.0))
+    ins = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 20 == 0
+    ).withColumn("price", F.col("price") / F.lit(2))
+    batch = upd.unionByName(ins).withColumn("flag", F.col("k") % 3)
+    merge_delta_batch(
+        spark, batch, t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000, merge_schema=True,
+    )
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy(
+            F.coalesce(F.col("flag"), F.lit(-1)).alias("flag_g")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("flag_g")
+    )
+
+
+@register(
     "iceberg_delete_then_merge",
     oracle=f"""
     WITH base AS (

@@ -106,6 +106,94 @@ def _phys_schema(schema: T.StructType, pfields) -> T.StructType:
     return T.StructType([pfields[f.name] for f in schema.fields])
 
 
+def _mint_mapped_field(fjson: dict, next_id: list[int]) -> dict:
+    """A Spark field-JSON with fresh ``delta.columnMapping.id`` /
+    ``physicalName: col-<uuid>`` metadata minted at EVERY nesting
+    level — the metadata delta-spark stamps on a mergeSchema-added
+    column of a mapped table. ``next_id`` is a one-cell counter so
+    nested struct fields consume consecutive ids."""
+    import uuid
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            k = t.get("type")
+            if k == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [walk_field(f) for f in t["fields"]],
+                }
+            if k == "array":
+                return {**t, "elementType": walk_type(t["elementType"])}
+            if k == "map":
+                return {
+                    **t,
+                    "keyType": walk_type(t["keyType"]),
+                    "valueType": walk_type(t["valueType"]),
+                }
+        return t
+
+    def walk_field(f):
+        # the field's own id is assigned BEFORE descending into its
+        # type (nested struct fields consume the ids after it)
+        next_id[0] += 1
+        fid = next_id[0]
+        return {
+            **f,
+            "type": walk_type(f["type"]),
+            "metadata": {
+                **(f.get("metadata") or {}),
+                "delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+            },
+        }
+
+    return walk_field(fjson)
+
+
+def _evolve_mapped_meta(
+    meta: dict, new_fields: list[T.StructField]
+) -> dict:
+    """The evolved metaData action for appending ``new_fields`` to a
+    column-mapped table: each new column (and every nested struct
+    field inside it) gets a fresh column id above
+    ``delta.columnMapping.maxColumnId`` and a ``col-<uuid>`` physical
+    name, and the configuration's maxColumnId advances — the
+    bookkeeping real delta-spark performs on mergeSchema over a
+    mapped table (Delta PROTOCOL.md §Column Mapping: writers must
+    never reuse ids, so the counter only moves forward). Existing
+    fields keep their metadata untouched; replay picks the LAST
+    metaData, so time travel to older versions keeps the old schema."""
+    sjson = json.loads(meta["schemaString"])
+    conf = dict(meta.get("configuration") or {})
+    declared = conf.get("delta.columnMapping.maxColumnId")
+
+    def max_id(t, cur):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    md = f.get("metadata") or {}
+                    cur = max(cur, int(md.get("delta.columnMapping.id", 0)))
+                    cur = max_id(f["type"], cur)
+            elif t.get("type") == "array":
+                cur = max_id(t["elementType"], cur)
+            elif t.get("type") == "map":
+                cur = max_id(t["keyType"], cur)
+                cur = max_id(t["valueType"], cur)
+        return cur
+
+    next_id = [max(int(declared or 0), max_id(sjson, 0))]
+    minted = [
+        _mint_mapped_field(f.jsonValue(), next_id) for f in new_fields
+    ]
+    conf["delta.columnMapping.maxColumnId"] = str(next_id[0])
+    out = dict(meta)
+    out["schemaString"] = json.dumps(
+        {"type": "struct", "fields": sjson["fields"] + minted}
+    )
+    out["configuration"] = conf
+    return out
+
+
 def _to_phys(
     df: DataFrame, cols: list[str], pfields, keep=()
 ) -> DataFrame:
@@ -1014,15 +1102,6 @@ def merge_delta_batch(
                     f"{sorted(schema.fieldNames())} "
                     "(pass merge_schema=True to evolve)"
                 )
-            if mapped:
-                # evolving a mapped schema means minting fresh
-                # physicalName/columnMapping.id metadata — refuse
-                # rather than write unmapped columns into a mapped
-                # table
-                raise NotImplementedError(
-                    "delta merge: schema evolution on a column-mapped "
-                    "table is beyond this writer"
-                )
             table_cols = set(schema.fieldNames())
             extra = [c for c in batch.columns if c not in table_cols]
             missing = [
@@ -1034,6 +1113,18 @@ def merge_delta_batch(
                     f"columns {part_cols}"
                 )
             if extra:
+                if mapped:
+                    # mint physicalName/column-id metadata for the new
+                    # columns and advance maxColumnId; the evolved
+                    # metaData rides this commit, and phys/pfields are
+                    # rebuilt so the write lands under the fresh
+                    # physical names (pre-evolution files null-fill
+                    # the new physical columns on read)
+                    state = dict(state)
+                    state["meta"] = _evolve_mapped_meta(
+                        state["meta"], [batch.schema[c] for c in extra]
+                    )
+                    phys, mapped, pfields = _phys_of(state["meta"])
                 schema = T.StructType(
                     list(schema.fields)
                     + [batch.schema[c] for c in extra]
@@ -1399,9 +1490,13 @@ def merge_delta_batch(
     elif evolved:
         # schema evolution: this commit re-states metaData with the
         # appended columns; replay picks the LAST metaData, so older
-        # versions time-travel with their original schema
+        # versions time-travel with their original schema. On mapped
+        # tables state["meta"] already carries the minted-metadata
+        # schemaString (logical Spark schema json would DROP the
+        # columnMapping field metadata).
         meta = dict(state["meta"])
-        meta["schemaString"] = latest.schema.json()
+        if not mapped:
+            meta["schemaString"] = latest.schema.json()
         actions.append({"metaData": meta})
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})

@@ -253,7 +253,7 @@ class TestGuards:
         )
         assert rows == [(1, "a", None), (2, "b", None), (3, "c", None)]
 
-    def test_mapped_schema_evolution_refused(self, spark, tmp_path):
+    def test_unmapped_batch_mismatch_still_raises(self, spark, tmp_path):
         from optimus_any2any_spark.streaming.delta_table import (
             merge_delta_batch,
         )
@@ -263,11 +263,10 @@ class TestGuards:
         batch = spark.createDataFrame(
             [(9, "z", 0, "extra")], "k long, v string, ts long, e string"
         )
-        # evolving a mapped schema would need fresh physicalName/id
-        # metadata this writer does not mint
-        with pytest.raises(NotImplementedError, match="evolution"):
-            merge_delta_batch(spark, batch, t, "k", "ts",
-                              merge_schema=True)
+        # without merge_schema the column mismatch is an error, mapped
+        # or not
+        with pytest.raises(ValueError, match="merge_schema"):
+            merge_delta_batch(spark, batch, t, "k", "ts")
 
 
 PHYS_T = "col-5d2ea9bc"
@@ -682,3 +681,181 @@ class TestMappedIncrementalReads:
         assert ch == [
             (2, "B", "update_postimage"), (2, "b", "update_preimage"),
         ]
+
+
+class TestMappedSchemaEvolution:
+    """mergeSchema over a column-mapped table (VERDICT r7 item 1):
+    added columns get fresh physicalName/column-id metadata under
+    maxColumnId bookkeeping; time travel keeps the old schema."""
+
+    def _evolve(self, spark, t, rows=((9, "z", 1, "extra"),)):
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        return merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                list(rows), "k long, v string, ts long, e string"
+            ),
+            t, "k", "ts", merge_schema=True,
+        )
+
+    def _meta(self, t):
+        log = os.path.join(t, "_delta_log")
+        meta = None
+        for name in sorted(os.listdir(log)):
+            if not name.endswith(".json"):
+                continue
+            for line in open(os.path.join(log, name)):
+                a = json.loads(line)
+                if a.get("metaData"):
+                    meta = a["metaData"]
+        return meta
+
+    def test_evolve_mints_metadata_and_reads_back(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        self._evolve(spark, t)
+        meta = self._meta(t)
+        fields = {
+            f["name"]: f
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        # existing fields keep their metadata untouched
+        assert fields["k"]["metadata"][
+            "delta.columnMapping.physicalName"
+        ] == PHYS_K
+        e_md = fields["e"]["metadata"]
+        assert e_md["delta.columnMapping.id"] == 5  # maxColumnId was 4
+        assert e_md["delta.columnMapping.physicalName"].startswith("col-")
+        assert meta["configuration"][
+            "delta.columnMapping.maxColumnId"
+        ] == "5"
+        # the new file carries PHYSICAL names only
+        adds = _last_adds(t)
+        assert adds
+        phys_e = e_md["delta.columnMapping.physicalName"]
+        for add in adds:
+            cols = pq.read_schema(os.path.join(t, add["path"])).names
+            assert phys_e in cols and "e" not in cols
+        # logical read: old rows null-fill the new column
+        out = sorted(
+            (r.k, r.v, r.e) for r in read_delta(spark, t).collect()
+        )
+        assert out == [
+            (1, "a", None), (2, "b", None), (3, "c", None),
+            (9, "z", "extra"),
+        ]
+
+    def test_time_travel_keeps_old_schema(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        self._evolve(spark, t)
+        old = read_delta(spark, t, version=0)
+        assert sorted(old.columns) == ["k", "ts", "v"]
+
+    def test_second_evolution_never_reuses_ids(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        self._evolve(spark, t)
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(10, "y", 2, "x2", 7)],
+                "k long, v string, ts long, e string, n long",
+            ),
+            t, "k", "ts", merge_schema=True,
+        )
+        meta = self._meta(t)
+        fields = {
+            f["name"]: f
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        ids = [
+            f["metadata"]["delta.columnMapping.id"]
+            for f in fields.values()
+        ]
+        assert len(set(ids)) == len(ids)  # no id reuse
+        assert fields["n"]["metadata"]["delta.columnMapping.id"] == 6
+        assert meta["configuration"][
+            "delta.columnMapping.maxColumnId"
+        ] == "6"
+        out = sorted(
+            (r.k, r.e, r.n) for r in read_delta(spark, t).collect()
+        )
+        assert out == [
+            (1, None, None), (2, None, None), (3, None, None),
+            (9, "extra", None), (10, "x2", 7),
+        ]
+
+    def test_evolve_nested_struct_column(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        batch_schema = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("m", T.StructType([
+                T.StructField("x", T.LongType()),
+                T.StructField("y", T.StringType()),
+            ])),
+        ])
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame([(9, "z", 1, (5, "in"))], batch_schema),
+            t, "k", "ts", merge_schema=True,
+        )
+        meta = self._meta(t)
+        fields = {
+            f["name"]: f
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        m = fields["m"]
+        # every nesting level minted: m itself + x + y
+        minted = [m["metadata"]["delta.columnMapping.id"]] + [
+            sf["metadata"]["delta.columnMapping.id"]
+            for sf in m["type"]["fields"]
+        ]
+        assert sorted(minted) == [5, 6, 7]
+        assert all(
+            sf["metadata"]["delta.columnMapping.physicalName"].startswith(
+                "col-"
+            )
+            for sf in m["type"]["fields"]
+        )
+        assert meta["configuration"][
+            "delta.columnMapping.maxColumnId"
+        ] == "7"
+        out = {r.k: r.m for r in read_delta(spark, t).collect()}
+        assert out[1] is None
+        assert (out[9].x, out[9].y) == (5, "in")
+
+    def test_evolved_then_cow_delete(self, spark, tmp_path):
+        # later writers must handle the evolved mapping transparently
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        self._evolve(spark, t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,), (9,)], "k long")
+        )
+        out = sorted(
+            (r.k, r.e) for r in read_delta(spark, t).collect()
+        )
+        assert out == [(1, None), (3, None)]
