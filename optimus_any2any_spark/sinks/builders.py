@@ -244,7 +244,9 @@ def iceberg_sink(df: DataFrame, cfg: Config):
     snapshots (open spec, stdlib Avro manifests).
     ``ICEBERG__SINK_URI=file:///path``; ``ICEBERG__MODE`` is ``APPEND``,
     ``DELETE`` (equality-delete merge-on-read erasure by
-    ``ICEBERG__MERGE_KEY``),
+    ``ICEBERG__MERGE_KEY``), ``DELETE_POS`` (positional-delete
+    merge-on-read erasure — matching rows' (file, position) pairs
+    committed as one sorted content=1 delete file),
     (default; one snapshot of added files) or ``MERGE``
     (snapshot-committing copy-on-write upsert; needs
     ``ICEBERG__MERGE_KEY``/``ICEBERG__MERGE_TS``). Readable by
@@ -286,6 +288,21 @@ def iceberg_sink(df: DataFrame, cfg: Config):
                 "ICEBERG sink DELETE mode requires ICEBERG__MERGE_KEY"
             )
         delete_iceberg_keys(df.sparkSession, path, key, df.select(key))
+    elif mode == "DELETE_POS":
+        # positional-delete erasure: the matching rows' (data-file,
+        # row-position) identities in one sorted content=1 delete file
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_positions,
+        )
+
+        key = c.get("merge_key")
+        if not key:
+            raise ValueError(
+                "ICEBERG sink DELETE_POS mode requires ICEBERG__MERGE_KEY"
+            )
+        delete_iceberg_positions(
+            df.sparkSession, path, key, df.select(key)
+        )
     else:
         raise ValueError(f"ICEBERG sink: unknown mode {mode!r}")
     if c.get("optimize_rows"):

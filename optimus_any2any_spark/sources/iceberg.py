@@ -408,6 +408,7 @@ def read_entries_with_deletes(
     pos_del: list[dict],
     eq_del: list[dict],
     basename_col: str | None = None,
+    position_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """The merge-on-read core of :func:`read_iceberg`, reusable over a
     SUBSET of a snapshot's data entries: read the given data files and
@@ -418,15 +419,22 @@ def read_entries_with_deletes(
     output column carrying each row's source-file basename (captured
     BEFORE any join — metadata columns are unreliable once rows cross
     an exchange), for callers routing rows back to per-file
-    partitions (compaction)."""
+    partitions (compaction). ``position_cols=(path_col, pos_col)``
+    appends each surviving row's manifest-listed data-file path and
+    raw parquet row position — the identity a positional-delete
+    WRITER needs (``delete_iceberg_positions``)."""
     from pyspark.sql import functions as F
 
     if not data:
         out = spark.createDataFrame([], schema)
         if basename_col:
             out = out.withColumn(basename_col, F.lit(None).cast("string"))
+        if position_cols:
+            out = out.withColumn(
+                position_cols[0], F.lit(None).cast("string")
+            ).withColumn(position_cols[1], F.lit(None).cast("long"))
         return out
-    if not pos_del and not eq_del:
+    if not pos_del and not eq_del and not position_cols:
         out = spark.read.schema(schema).parquet(
             *[d["path"] for d in data]
         )
@@ -552,6 +560,11 @@ def read_entries_with_deletes(
         # __bn was captured straight off the scan, before any join
         df = df.withColumn(basename_col, F.col("__bn"))
         out_cols.append(basename_col)
+    if position_cols:
+        df = df.withColumn(
+            position_cols[0], F.col("__orig")
+        ).withColumn(position_cols[1], F.col("__pos"))
+        out_cols.extend(position_cols)
     return df.drop("__pos", "__orig", "__dseq", "__bn").select(
         *out_cols
     )

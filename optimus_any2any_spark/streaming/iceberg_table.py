@@ -1080,6 +1080,205 @@ def delete_iceberg_keys(
     return version
 
 
+def delete_iceberg_positions(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    keys: DataFrame,
+    app_id: str = DEFAULT_APP_ID,
+    batch_id: int | None = None,
+) -> int:
+    """MERGE-ON-READ DELETE writing a POSITIONAL delete file (spec
+    content=1): locate the matching rows' ``(data-file path, row
+    position)`` identities and commit them as one sorted delete
+    parquet + delete manifest — no data file is rewritten. This is the
+    Iceberg twin of the Delta deletion-vector DELETE
+    (streaming/delta_table.py ``use_deletion_vectors=True``), closing
+    VERDICT-r7 item 2: write amplification is O(deleted positions).
+
+    Shape: bounds-prune the data entries on the key (Appendix-D
+    lower/upper bounds — only files that can hold a key are scanned),
+    read the affected files through the merge-on-read path (existing
+    positional/equality deletes APPLIED, so already-deleted rows are
+    never re-listed), semi-join the keys, and project
+    ``(_metadata-derived file path, row_index)``. One scan + one
+    semi-join + one small write — constant jobs in file count.
+
+    The delete file's rows are ``(file_path, pos)`` sorted by file
+    then position as the spec requires (field-ids 2147483546 /
+    2147483545); its manifest-list row stamps this commit's sequence
+    number, and the reader's ``pseq >= dseq`` gate applies it to every
+    current data file while rows appended AFTER this commit stay
+    alive. Compaction (``compact_iceberg``) consumes and retires the
+    file like any fixture-written positional delete."""
+    from optimus_any2any_spark.sources.iceberg import (
+        _DELETE_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+        _prune_by_bounds,
+        _snapshot_entries,
+        read_entries_with_deletes,
+    )
+
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg delete: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    snaps = meta.get("snapshots") or []
+    if batch_id is not None:
+        for sn in reversed(snaps):
+            summ = sn.get("summary") or {}
+            if summ.get("optimus-app-id") == app_id:
+                last = summ.get("optimus-batch-id")
+                if last is not None and batch_id <= int(last):
+                    return prev_version
+                break
+    schema = iceberg_spark_schema(meta)
+    kdf = (
+        keys.select(
+            F.col(key_col).cast(schema[key_col].dataType).alias(key_col)
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    krow = kdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(key_col).alias("kmin"),
+        F.max(key_col).alias("kmax"),
+    ).collect()[0]
+    if krow["n"] == 0:
+        return prev_version
+
+    data, pos_del, eq_del = _snapshot_entries(table_path, meta)
+    if krow["kmin"] is not None:
+        data = _prune_by_bounds(
+            meta, data, key_col, krow["kmin"], krow["kmax"]
+        )
+    if not data:
+        return prev_version
+    # guarded names: the table schema may itself have file_path/pos
+    cur = read_entries_with_deletes(
+        spark, meta, schema, data, pos_del, eq_del,
+        position_cols=("__del_fp", "__del_pos"),
+    )
+    matching = (
+        cur.join(F.broadcast(kdf), key_col, "left_semi")
+        if krow["n"] <= _MAX_DRIVER_KEYS
+        else cur.join(kdf, key_col, "left_semi")
+    ).select(
+        F.col("__del_fp").alias("file_path"),
+        F.col("__del_pos").alias("pos"),
+    )
+
+    version = prev_version + 1
+    snapshot_id = version
+    seq = version
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    tmp = os.path.join(table_path, f"_tmp-posdel-v{version}")
+    # the spec requires delete rows sorted by file path, then position
+    matching.orderBy("file_path", "pos").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    parts = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    rel = f"data/{version:05d}-delete-pos.parquet"
+    os.replace(parts[0], os.path.join(table_path, rel))
+    shutil.rmtree(tmp)
+    n_pos = int(
+        spark.read.parquet(os.path.join(table_path, rel)).count()
+    )
+    if n_pos == 0:  # no row matched: burn no version
+        os.remove(os.path.join(table_path, rel))
+        return prev_version
+
+    manifest_rel = (
+        "metadata/"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|pd{version}')}"
+        "-m0.avro"
+    )
+    write_container(
+        os.path.join(table_path, manifest_rel),
+        _DELETE_ENTRY_SCHEMA,
+        [
+            {
+                "status": _ST_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_pos,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table_path, rel)
+                    ),
+                    "equality_ids": None,
+                },
+            }
+        ],
+    )
+    prior_manifests: list[dict] = []
+    cur_snap_id = meta.get("current-snapshot-id")
+    if cur_snap_id not in (None, -1) and snaps:
+        snap = next(
+            sn for sn in snaps if sn["snapshot-id"] == cur_snap_id
+        )
+        _, prior_manifests = read_container(
+            _localize(table_path, snap["manifest-list"])
+        )
+    for r in prior_manifests:
+        r.setdefault("sequence_number", None)
+    ml_rel = (
+        "metadata/"
+        f"snap-{snapshot_id}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|pdl{version}')}.avro"
+    )
+    write_container(
+        os.path.join(table_path, ml_rel),
+        _MANIFEST_FILE_SCHEMA,
+        prior_manifests
+        + [
+            {
+                "manifest_path": manifest_rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(table_path, manifest_rel)
+                ),
+                "partition_spec_id": 0,
+                "content": 1,  # DELETES
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": seq,
+            }
+        ],
+    )
+    summary = {"operation": "delete"}
+    if batch_id is not None:
+        summary["optimus-app-id"] = app_id
+        summary["optimus-batch-id"] = str(batch_id)
+    meta = dict(meta)
+    meta["format-version"] = 2
+    meta["last-sequence-number"] = seq
+    meta["snapshots"] = snaps + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": 0,
+            "sequence-number": seq,
+            "manifest-list": ml_rel,
+            "summary": summary,
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
+
+
 def compact_iceberg(
     spark: SparkSession,
     table_path: str,

@@ -234,6 +234,37 @@ class TestSinkRiders:
         assert len(_live_data_files(t)) == 1
         assert len(load_table_metadata(t)["snapshots"]) == 1
 
+    def test_delete_pos_mode(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+        from optimus_any2any_spark.sources.iceberg import (
+            _snapshot_entries,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _kv(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)])
+            .coalesce(1),
+            t,
+        )
+        src = tmp_path / "del.json"
+        src.write_text('{"k": 2}\n{"k": 3}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"ICEBERG__SINK_URI=file://{t}",
+                "ICEBERG__MODE=DELETE_POS",
+                "ICEBERG__MERGE_KEY=k",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg).run()
+        assert _snap(spark, t) == [(1, "a")]
+        meta = load_table_metadata(t)
+        _d, pos, eq = _snapshot_entries(t, meta)
+        assert len(pos) == 1 and not eq  # positional, not equality
+        assert len(_live_data_files(t)) == 1  # no rewrite
+
 
 class TestSkippingRead:
     def test_key_range_prunes_files_before_scan(self, spark, tmp_path):
