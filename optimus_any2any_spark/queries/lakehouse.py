@@ -1477,6 +1477,131 @@ def iceberg_eq_delete_erasure(spark, sf_dir):
 
 
 @register(
+    "delta_restore_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM base GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Delta RESTORE TABLE ... TO VERSION AS OF (restore_delta): "
+    "seed the table from orders (version 0), upsert a batch of "
+    "updates and inserts (version 1), then RESTORE to version 0 — a "
+    "new commit whose adds/removes make the current state equal the "
+    "historical snapshot, diffed by (path, DV uniqueId) so "
+    "merge-on-read state round-trips. History is preserved (version "
+    "1 stays time-travelable; pinned in tests/test_delta_merge.py); "
+    "the read-back must equal the seed exactly. Iceberg twin: "
+    "iceberg_rollback_read.",
+    bench=False,
+)
+def delta_restore_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        merge_delta_batch,
+        restore_delta,
+    )
+
+    t = _fixture_dir("delta_restore", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=4000
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame([], _EMPTY_AGG)  # empty source
+    upd = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 10 == 1
+    ).withColumn("price", F.col("price") + F.lit(1000.0))
+    ins = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 20 == 0
+    ).withColumn("price", F.col("price") / F.lit(2))
+    merge_delta_batch(
+        spark, upd.unionByName(ins), t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    restore_delta(spark, t, version=0)
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "iceberg_rollback_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM base GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Iceberg snapshot ROLLBACK (rollback_iceberg, VERDICT r7 item "
+    "3): seed the table from orders (snapshot 1), upsert a batch "
+    "(snapshot 2), then roll back to snapshot 1 as a NEW "
+    "history-preserving commit that re-references the target's "
+    "manifest list verbatim (original data-sequence numbers intact, "
+    "parent-snapshot-id set to the rolled-over snapshot; expired "
+    "snapshots refuse). The read-back must equal the seed exactly. "
+    "Delta twin: delta_restore_read.",
+    bench=False,
+)
+def iceberg_rollback_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        load_table_metadata,
+        read_iceberg,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+        rollback_iceberg,
+    )
+
+    t = _fixture_dir("iceberg_rollback", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=4000
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame([], _EMPTY_AGG)  # empty source
+    # the seed's CURRENT snapshot (the first merge bootstraps an empty
+    # append snapshot first — snapshot ids are not version numbers)
+    seed_snap = load_table_metadata(t)["current-snapshot-id"]
+    upd = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 10 == 1
+    ).withColumn("price", F.col("price") + F.lit(1000.0))
+    ins = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 20 == 0
+    ).withColumn("price", F.col("price") / F.lit(2))
+    merge_iceberg_batch(
+        spark, upd.unionByName(ins), t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    rollback_iceberg(spark, t, snapshot_id=seed_snap)
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_pos_delete_erasure",
     oracle=f"""
     WITH base AS (

@@ -1761,6 +1761,86 @@ def expire_iceberg_snapshots(
     return gone
 
 
+def rollback_iceberg(
+    spark: SparkSession, table_path: str, snapshot_id: int
+) -> int:
+    """Roll the table back to ``snapshot_id`` as a NEW snapshot — the
+    Iceberg twin of ``restore_delta`` (spec ``rollback_to_snapshot``
+    surfaced as a commit, so the rollback itself is in the history and
+    the rolled-over snapshots stay time-travelable until expiration).
+
+    The new snapshot re-references the target's manifest list
+    VERBATIM: every data/delete file keeps its ORIGINAL data-sequence
+    number via the manifest-list rows, so merge-on-read ordering is
+    untouched — only the current-snapshot pointer moves, through a
+    history-preserving commit with ``parent-snapshot-id`` set to the
+    snapshot being rolled back from. The commit's own sequence number
+    still advances (v2 requires commit sequence monotonicity).
+
+    Refuses when the target snapshot is no longer in the metadata or
+    its manifest list was deleted (``expire_iceberg_snapshots`` ran) —
+    the twin of ``restore_delta``'s vacuumed-file refusal: rolling
+    back to silently-missing data would corrupt the table."""
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg rollback: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    snaps = meta.get("snapshots") or []
+    target = next(
+        (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+    )
+    if target is None:
+        raise ValueError(
+            f"iceberg rollback: snapshot {snapshot_id} is not in the "
+            "table metadata (expired or never existed)"
+        )
+    cur_id = meta.get("current-snapshot-id")
+    if snapshot_id == cur_id:
+        return prev_version  # already current: no-op
+    ml = target.get("manifest-list")
+    if ml is not None and not os.path.exists(
+        _localize(table_path, ml)
+    ):
+        raise ValueError(
+            f"iceberg rollback: snapshot {snapshot_id}'s manifest "
+            "list is gone (expired) — cannot roll back to missing data"
+        )
+    version = prev_version + 1
+    new_snap_id = version
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    snap = {
+        "snapshot-id": new_snap_id,
+        "parent-snapshot-id": cur_id,
+        "timestamp-ms": 0,
+        "sequence-number": seq,
+        "summary": {
+            "operation": "rollback",
+            "rolled-back-to": str(snapshot_id),
+        },
+    }
+    if ml is not None:
+        snap["manifest-list"] = ml
+    else:  # v1 inline-manifests form
+        snap["manifests"] = list(target.get("manifests") or [])
+    meta = dict(meta)
+    if meta.get("format-version", 1) >= 2:
+        meta["last-sequence-number"] = seq
+    meta["snapshots"] = snaps + [snap]
+    meta["current-snapshot-id"] = new_snap_id
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
+
+
 def upsert_to_iceberg_table(
     stream: DataFrame,
     path: str,

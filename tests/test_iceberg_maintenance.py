@@ -317,3 +317,94 @@ class TestSkippingRead:
             ).collect()
         )
         assert got == [6, 8, 9]
+
+
+class TestRollback:
+    """rollback_iceberg (VERDICT r7 item 3): roll back to a retained
+    snapshot as a NEW history-preserving commit."""
+
+    def test_rollback_restores_content_keeps_history(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            rollback_iceberg,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        write_iceberg_commit(_kv(spark, [(2, "b", 0)]).coalesce(1), t)
+        v = rollback_iceberg(spark, t, snapshot_id=1)
+        assert v == 3
+        assert _snap(spark, t) == [(1, "a")]
+        meta = load_table_metadata(t)
+        snaps = meta["snapshots"]
+        assert len(snaps) == 3  # rollback is a commit, not a rewrite
+        newest = snaps[-1]
+        assert newest["parent-snapshot-id"] == 2
+        assert newest["summary"]["operation"] == "rollback"
+        # the rolled-over snapshot stays time-travelable
+        got = sorted(
+            (r.k, r.v)
+            for r in read_iceberg(spark, t, snapshot_id=2).collect()
+        )
+        assert got == [(1, "a"), (2, "b")]
+
+    def test_rollback_undoes_row_level_delete(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_positions,
+            rollback_iceberg,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _kv(spark, [(1, "a", 0), (2, "b", 0)]).coalesce(1), t
+        )
+        delete_iceberg_positions(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long")
+        )
+        assert _snap(spark, t) == [(1, "a")]
+        rollback_iceberg(spark, t, snapshot_id=1)
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+
+    def test_rollback_to_expired_refuses(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            rollback_iceberg,
+        )
+
+        t = str(tmp_path / "tbl")
+        for k in range(3):
+            write_iceberg_commit(
+                _kv(spark, [(k, f"v{k}", 0)]).coalesce(1), t
+            )
+        expire_iceberg_snapshots(spark, t, keep_last=1)
+        with pytest.raises(ValueError, match="expired|not in the"):
+            rollback_iceberg(spark, t, snapshot_id=1)
+
+    def test_rollback_to_current_noop(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            rollback_iceberg,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        v0 = int(open(os.path.join(t, "metadata",
+                                   "version-hint.text")).read())
+        assert rollback_iceberg(spark, t, snapshot_id=1) == v0
+
+    def test_merge_after_rollback(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            rollback_iceberg,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            _kv(spark, [(1, "a", 0), (2, "b", 0)]).coalesce(1), t
+        )
+        merge_iceberg_batch(
+            spark, _kv(spark, [(2, "B", 1), (9, "z", 1)]), t, "k", "ts"
+        )
+        rollback_iceberg(spark, t, snapshot_id=1)
+        merge_iceberg_batch(
+            spark, _kv(spark, [(3, "c", 2)]), t, "k", "ts"
+        )
+        assert _snap(spark, t) == [(1, "a"), (2, "b"), (3, "c")]
