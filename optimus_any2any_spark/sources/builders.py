@@ -513,6 +513,18 @@ def delta_source(spark: SparkSession, cfg: Config) -> DataFrame:
             return read_delta_cdf(spark, path, int(cdf_from), to_v)
         return read_delta_appends(spark, path, int(app_from), to_v)
     version = cfg.get("DELTA__VERSION_AS_OF")
+    ts = cfg.get("DELTA__TIMESTAMP_AS_OF")
+    if version and ts:
+        raise ValueError(
+            "DELTA source: VERSION_AS_OF and TIMESTAMP_AS_OF are "
+            "mutually exclusive"
+        )
+    if ts:
+        # ISO-8601 string or epoch millis — what users actually type
+        return read_delta(
+            spark, path,
+            timestamp=int(ts) if ts.lstrip("-").isdigit() else ts,
+        )
     return read_delta(
         spark, path, version=int(version) if version else None
     )

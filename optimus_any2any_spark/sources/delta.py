@@ -49,6 +49,119 @@ def _snapshot_actions(
     return state["meta"], state["live"]
 
 
+def _to_epoch_millis(timestamp) -> int:
+    """Epoch milliseconds from an int/float (millis), datetime, or
+    ISO-8601 string (naive strings are UTC — the engine pins its
+    session timezone to UTC everywhere)."""
+    import datetime as _dt
+
+    if isinstance(timestamp, bool):
+        raise TypeError("delta timestamp: bool is not a timestamp")
+    if isinstance(timestamp, (int, float)):
+        return int(timestamp)
+    if isinstance(timestamp, str):
+        timestamp = _dt.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, _dt.datetime):
+        if timestamp.tzinfo is None:
+            timestamp = timestamp.replace(tzinfo=_dt.timezone.utc)
+        return int(timestamp.timestamp() * 1000)
+    raise TypeError(
+        f"delta timestamp: unsupported type {type(timestamp).__name__}"
+    )
+
+
+def commit_timestamps(table_path: str) -> list[tuple[int, int]]:
+    """``[(version, commit-timestamp-millis)]`` ascending, per Delta's
+    TIMESTAMP AS OF rules: when the table declares
+    ``delta.enableInCommitTimestamps`` each commit's
+    ``commitInfo.inCommitTimestamp`` is authoritative (spec: In-Commit
+    Timestamps; commits from before enablement fall back to file
+    times); otherwise the commit FILE's modification time is used,
+    adjusted to be strictly monotonic exactly as delta-spark adjusts
+    (a commit whose mtime is <= its predecessor's reads as
+    predecessor + 1ms), so history never appears reordered."""
+    log = _log_dir(table_path)
+    if not os.path.isdir(log):
+        raise ValueError(f"delta: no _delta_log under {table_path}")
+    versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    if not versions:
+        raise ValueError(f"delta: empty log under {table_path}")
+    # ICT declared? (configuration lives in the LAST metaData; a
+    # replay-free scan of the tail is enough — the flag flips on via a
+    # metaData re-statement, and pre-enablement commits fall back to
+    # mtime anyway)
+    ict = False
+    for v in versions:
+        with open(os.path.join(log, "%020d.json" % v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("metaData"):
+                    conf = a["metaData"].get("configuration") or {}
+                    ict = (
+                        conf.get("delta.enableInCommitTimestamps")
+                        == "true"
+                    )
+    out: list[tuple[int, int]] = []
+    prev = -1
+    for v in versions:
+        p = os.path.join(log, "%020d.json" % v)
+        ts = None
+        if ict:
+            with open(p) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    ci = a.get("commitInfo")
+                    if ci and ci.get("inCommitTimestamp") is not None:
+                        ts = int(ci["inCommitTimestamp"])
+                        break
+        if ts is None:
+            ts = int(os.path.getmtime(p) * 1000)
+        ts = max(ts, prev + 1)  # monotonic adjustment
+        out.append((v, ts))
+        prev = ts
+    return out
+
+
+def resolve_delta_timestamp(
+    table_path: str, timestamp, *, after: bool = False
+) -> int:
+    """TIMESTAMP AS OF → version: the LATEST commit whose timestamp is
+    ``<= timestamp`` (Delta's time-travel rule). ``after=True`` flips
+    to the EARLIEST commit ``>= timestamp`` — the CDF
+    ``startingTimestamp`` rule. Raises when the timestamp falls
+    outside the table's history on the requested side (before the
+    first commit / after the last), matching delta-spark's errors
+    rather than silently clamping."""
+    millis = _to_epoch_millis(timestamp)
+    stamps = commit_timestamps(table_path)
+    if after:
+        for v, ts in stamps:
+            if ts >= millis:
+                return v
+        raise ValueError(
+            f"delta: no commit at or after timestamp {timestamp!r} "
+            f"(last commit at epoch-ms {stamps[-1][1]})"
+        )
+    best = None
+    for v, ts in stamps:
+        if ts <= millis:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"delta: timestamp {timestamp!r} is before the first "
+            f"commit (epoch-ms {stamps[0][1]})"
+        )
+    return best
+
+
 def replay_log(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> dict:
@@ -555,6 +668,7 @@ def read_delta(
     table_path: str,
     key_range: tuple | None = None,
     version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Current-snapshot read of a Delta table (see module doc).
 
@@ -565,6 +679,13 @@ def read_delta(
     ``vacuum_delta`` is the operation that *destroys* time travel, just
     like real Delta's retention window).
 
+    ``timestamp=`` is ``TIMESTAMP AS OF`` (epoch millis, datetime, or
+    ISO string): resolves to the LATEST commit whose commit timestamp
+    is <= the given one (:func:`resolve_delta_timestamp` — in-commit
+    timestamps when the table declares them, else monotonic-adjusted
+    commit-file times) and time-travels there. Mutually exclusive
+    with ``version``.
+
     ``key_range=(col, lo, hi)`` applies the range predicate AND uses
     each add action's ``stats`` (minValues/maxValues — written by
     :mod:`..streaming.delta_table` merges and by real Delta writers) to
@@ -573,6 +694,13 @@ def read_delta(
     filtered normally, so the result is exactly
     ``snapshot.filter(lo <= col <= hi)`` either way.
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "delta read: version and timestamp are mutually "
+                "exclusive"
+            )
+        version = resolve_delta_timestamp(table_path, timestamp)
     meta, live = _snapshot_actions(spark, table_path, version=version)
     cmap = column_mapping(meta)  # logical -> physical, or None
     phys = (lambda c: cmap.get(c, c)) if cmap else (lambda c: c)
@@ -784,8 +912,10 @@ def read_delta_appends(
 def read_delta_cdf(
     spark: SparkSession,
     table_path: str,
-    from_version: int,
-    to_version: int,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Change Data Feed read of commits ``(from_version, to_version]``:
     rows with ``_change_type`` (insert / update_preimage /
@@ -794,7 +924,38 @@ def read_delta_cdf(
     from their ``_change_data`` files; append-only commits synthesize
     ``insert`` rows from their add files (real Delta does exactly
     this); a data-rewriting commit WITHOUT change data raises rather
-    than guessing."""
+    than guessing.
+
+    Timestamp variants (delta-spark's startingTimestamp /
+    endingTimestamp rules): ``from_timestamp`` selects the EARLIEST
+    commit at-or-after it as the first change window (so that commit's
+    changes are included); ``to_timestamp`` the LATEST commit
+    at-or-before it as the last. Each is mutually exclusive with its
+    version twin."""
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "delta cdf: from_version and from_timestamp are "
+                "mutually exclusive"
+            )
+        from_version = (
+            resolve_delta_timestamp(
+                table_path, from_timestamp, after=True
+            )
+            - 1
+        )
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "delta cdf: to_version and to_timestamp are "
+                "mutually exclusive"
+            )
+        to_version = resolve_delta_timestamp(table_path, to_timestamp)
+    if from_version is None or to_version is None:
+        raise ValueError(
+            "delta cdf: a starting and an ending version (or "
+            "timestamp) are required"
+        )
     meta, _live = _snapshot_actions(spark, table_path)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     cmap = column_mapping(meta)  # mapped tables: cdc files carry

@@ -82,6 +82,82 @@ def _table_meta(table_path: str) -> dict:
     return meta
 
 
+def _phys_tree(tjson):
+    """A conversion tree for a NESTED-mapped Delta type: pyarrow
+    surfaces struct values as dicts keyed by PHYSICAL inner names;
+    converting each struct level to a POSITIONAL tuple (in schema
+    field order) makes the row independent of the physical names —
+    Spark maps tuples to struct fields by position. ``None`` means
+    the value needs no conversion (primitives, or a subtree with no
+    structs)."""
+    if isinstance(tjson, dict):
+        k = tjson.get("type")
+        if k == "struct":
+            return (
+                "struct",
+                [
+                    (
+                        (f.get("metadata") or {}).get(
+                            "delta.columnMapping.physicalName", f["name"]
+                        ),
+                        _phys_tree(f["type"]),
+                    )
+                    for f in tjson["fields"]
+                ],
+            )
+        if k == "array":
+            sub = _phys_tree(tjson["elementType"])
+            return ("array", sub) if sub is not None else None
+        if k == "map":
+            kt = _phys_tree(tjson["keyType"])
+            vt = _phys_tree(tjson["valueType"])
+            if kt is None and vt is None:
+                return None
+            return ("map", kt, vt)
+    return None
+
+
+def _convert_phys(val, tree):
+    """Apply a :func:`_phys_tree` conversion to one pyarrow value."""
+    if val is None or tree is None:
+        return val
+    tag = tree[0]
+    if tag == "struct":
+        return tuple(
+            _convert_phys(val.get(pn), sub) for pn, sub in tree[1]
+        )
+    if tag == "array":
+        return [_convert_phys(v, tree[1]) for v in val]
+    # map: pyarrow to_pylist surfaces maps as lists of (k, v) pairs
+    items = val.items() if isinstance(val, dict) else val
+    return [
+        (_convert_phys(k, tree[1]), _convert_phys(v, tree[2]))
+        for k, v in items
+    ]
+
+
+def _mapped_name_and_trees(meta: dict):
+    """``(phys_of, tree_of)`` for a mapped table's TOP-LEVEL fields:
+    physical parquet name per logical name, and a nested conversion
+    tree (None for fields needing none). Empty dicts when the table
+    is unmapped. Self-contained (this module pickles by value to the
+    data-source worker)."""
+    phys_of: dict[str, str] = {}
+    tree_of: dict[str, tuple | None] = {}
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if mode in (None, "none"):
+        return phys_of, tree_of
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        md = f.get("metadata") or {}
+        phys_of[f["name"]] = md.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        tree_of[f["name"]] = _phys_tree(f.get("type"))
+    return phys_of, tree_of
+
+
 def _typed_partition_value(dtype: T.DataType, raw: str | None):
     if raw is None:
         return None
@@ -110,31 +186,13 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         meta = _table_meta(self.table_path)
         self.part_cols = meta.get("partitionColumns") or []
         # column-mapped tables: parquet (and partitionValues) carry
-        # PHYSICAL names — translate top-level here, self-contained
-        # (this class pickles to the data-source worker, which has no
-        # repo PYTHONPATH for the package helpers). Nested mapping is
-        # refused: pyarrow surfaces nested structs keyed by their
-        # physical inner names, which this row-tuple reader would
-        # silently mis-key.
-        self.phys_of: dict[str, str] = {}
-        mode = (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode"
-        )
-        if mode not in (None, "none"):
-            for f in json.loads(meta["schemaString"]).get("fields", []):
-                md = f.get("metadata") or {}
-                self.phys_of[f["name"]] = md.get(
-                    "delta.columnMapping.physicalName", f["name"]
-                )
-                t = f.get("type")
-                if isinstance(t, dict) and (
-                    "delta.columnMapping.physicalName" in json.dumps(t)
-                ):
-                    raise NotImplementedError(
-                        "delta_tail: NESTED column mapping is beyond "
-                        "this stream source (batch read_delta handles "
-                        f"it) — field {f['name']!r}"
-                    )
+        # PHYSICAL names at EVERY nesting level — top level translates
+        # by name; nested struct values (pyarrow dicts keyed by the
+        # physical inner names) convert to POSITIONAL tuples via the
+        # _phys_tree machinery, so the row never depends on inner
+        # names. Self-contained (this module pickles by value to the
+        # data-source worker).
+        self.phys_of, self.tree_of = _mapped_name_and_trees(meta)
         # startingVersion: first UNCONSUMED version (Delta's own
         # startingVersion option); default 0 = full history
         self.starting_version = int(options.get("startingversion", 0))
@@ -207,11 +265,20 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             for f in fields
             if f.name in part_cols
         }
+        trees = {
+            f.name: self.tree_of.get(f.name)
+            for f in fields
+            if self.tree_of.get(f.name) is not None
+        }
         for i in range(n):
             yield tuple(
                 const[f.name]
                 if f.name in const
-                else cols[pname[f.name]][i]
+                else (
+                    _convert_phys(cols[pname[f.name]][i], trees[f.name])
+                    if f.name in trees
+                    else cols[pname[f.name]][i]
+                )
                 for f in fields
             )
 
@@ -262,28 +329,10 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         self.schema_ = schema
         self.starting_version = int(options.get("startingversion", 0))
         # mapped tables: cdc/data parquet and partitionValues carry
-        # PHYSICAL names (top-level translated; nested refused — see
-        # DeltaTailStreamReader)
+        # PHYSICAL names at every nesting level — same name/tree
+        # translation as DeltaTailStreamReader
         meta = _table_meta(self.table_path)
-        self.phys_of: dict[str, str] = {}
-        mode = (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode"
-        )
-        if mode not in (None, "none"):
-            for f in json.loads(meta["schemaString"]).get("fields", []):
-                md = f.get("metadata") or {}
-                self.phys_of[f["name"]] = md.get(
-                    "delta.columnMapping.physicalName", f["name"]
-                )
-                t = f.get("type")
-                if isinstance(t, dict) and (
-                    "delta.columnMapping.physicalName" in json.dumps(t)
-                ):
-                    raise NotImplementedError(
-                        "delta_cdf: NESTED column mapping is beyond "
-                        "this stream source (batch read_delta_cdf "
-                        f"handles it) — field {f['name']!r}"
-                    )
+        self.phys_of, self.tree_of = _mapped_name_and_trees(meta)
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
@@ -370,11 +419,20 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             const[f.name] = _typed_partition_value(
                 f.dataType, partition.pv.get(pname[f.name])
             )
+        trees = {
+            f.name: self.tree_of.get(f.name)
+            for f in fields
+            if self.tree_of.get(f.name) is not None
+        }
         for i in range(table.num_rows):
             yield tuple(
                 const[f.name]
                 if f.name in const
-                else cols[pname[f.name]][i]
+                else (
+                    _convert_phys(cols[pname[f.name]][i], trees[f.name])
+                    if f.name in trees
+                    else cols[pname[f.name]][i]
+                )
                 for f in fields
             )
 

@@ -639,7 +639,10 @@ def _write_checkpoint(
 
 
 def restore_delta(
-    spark: SparkSession, table_path: str, version: int
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> int:
     """RESTORE TABLE ... TO VERSION AS OF: commit the adds/removes
     that make the CURRENT state equal the table as of ``version`` —
@@ -648,7 +651,26 @@ def restore_delta(
     until vacuum). Refuses when a needed historical file was already
     vacuumed — restoring to silently-missing data would corrupt the
     table. The metaData in force at the target version is re-stated
-    when it differs (schema rollback travels with the restore)."""
+    when it differs (schema rollback travels with the restore).
+
+    ``timestamp=`` is RESTORE ... TO TIMESTAMP AS OF: resolves to the
+    latest commit at-or-before the timestamp (same rule as the
+    time-travel read) — mutually exclusive with ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "delta restore: version and timestamp are mutually "
+                "exclusive"
+            )
+        from optimus_any2any_spark.sources.delta import (
+            resolve_delta_timestamp,
+        )
+
+        version = resolve_delta_timestamp(table_path, timestamp)
+    if version is None:
+        raise ValueError(
+            "delta restore: a version or timestamp is required"
+        )
     state_now = replay_log(spark, table_path)
     if state_now["meta"] is None:
         raise ValueError(f"delta restore: no table at {table_path}")
