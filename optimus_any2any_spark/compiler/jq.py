@@ -2868,18 +2868,30 @@ def _inline_defs(toks: list[str]) -> list[str]:
             raise JQUnsupported("jq: malformed def — binary path")
         name = toks[1]
         params: list[str] = []
+        value_params: list[str] = []  # "$x" params, in declared order
         pos = 2
         if toks[2] == "(":
             pos = 3
             while pos < len(toks) and toks[pos] != ")":
                 p = toks[pos]
                 if p.startswith("$"):
-                    # value params bind ONCE against the def's own
-                    # input — token substitution would re-evaluate
-                    # per occurrence site, a semantic change
-                    raise JQUnsupported(
-                        "jq: def with $value parameter — binary path"
-                    )
+                    # $value param: jq's documented sugar —
+                    # ``def f($x): E`` ≡ ``def f(x): x as $x | E`` —
+                    # so compile by desugaring to a synthetic
+                    # call-by-name param bound ONCE via an `as`
+                    # binding (probed vs jq 1.6: bind-once not
+                    # per-occurrence, input rebinding in the body does
+                    # not re-evaluate $x, left-to-right multi-param
+                    # order, object keys named like the param stay
+                    # literal)
+                    if not re.fullmatch(r"\$[A-Za-z_]\w*", p):
+                        raise JQUnsupported("jq: malformed def params")
+                    params.append("__vp_" + p[1:])
+                    value_params.append(p)
+                    pos += 1
+                    if pos < len(toks) and toks[pos] == ";":
+                        pos += 1
+                    continue
                 if not re.fullmatch(r"[A-Za-z_]\w*", p):
                     raise JQUnsupported("jq: malformed def params")
                 params.append(p)
@@ -2910,6 +2922,19 @@ def _inline_defs(toks: list[str]) -> list[str]:
             raise JQUnsupported(
                 f"jq: recursive def {name!r} — binary path"
             )
+        if value_params:
+            # desugar: prefix the body with one `as` binding per value
+            # param, left-to-right (jq's own definition of $params)
+            for vp in value_params:
+                if "__vp_" + vp[1:] in body:
+                    raise JQUnsupported(
+                        "jq: def body uses a __vp_ identifier — "
+                        "binary path"
+                    )
+            prefix: list[str] = []
+            for vp in value_params:
+                prefix += ["__vp_" + vp[1:], "as", vp, "|"]
+            body = prefix + body
         if params:
             toks = _substitute_param_calls(rest, name, params, body)
             continue
@@ -3017,24 +3042,98 @@ def translate_jq(df: DataFrame, program: str) -> DataFrame:
     for stage in fused:
         if not stage:
             continue
-        if (
-            len(stage) >= 3
-            and stage[-2] == "as"
-            and stage[-1].startswith("$")
-            and _split_top(stage, "as")[0] == stage[:-2]
-        ):
-            # stage-level binding: `EXPR as $x` scopes over the rest of
-            # the pipeline (jq's lowest-precedence operator)
-            out = _apply_binding_stage(out, stage)
-            continue
-        if len(stage) == 1 and stage[0].startswith("$"):
-            out = _restore_var_stage(out, stage[0])
-            continue
-        out = _apply_comma_stage(out, stage)
+        out = _apply_pipe_stage(out, stage)
     var_cols = [c for c in out.columns if c.startswith(_VAR_PREFIX)]
     if var_cols:
         out = out.drop(*var_cols)
     return out
+
+
+def _apply_pipe_stage(df: DataFrame, stage: list[str]) -> DataFrame:
+    """One pipe stage: binding / bare-$var / scoped binding group /
+    comma stage (the shared dispatcher for the top-level pipeline and
+    for recursively-applied group contents)."""
+    if (
+        len(stage) >= 3
+        and stage[-2] == "as"
+        and stage[-1].startswith("$")
+        and _split_top(stage, "as")[0] == stage[:-2]
+    ):
+        # stage-level binding: `EXPR as $x` scopes over the rest of
+        # the pipeline (jq's lowest-precedence operator)
+        return _apply_binding_stage(df, stage)
+    if len(stage) == 1 and stage[0].startswith("$"):
+        return _restore_var_stage(df, stage[0])
+    if _is_full_group(stage):
+        inner = _split_top(stage[1:-1], "|")
+        if len(inner) > 1 and any(
+            len(s) >= 3 and s[-2] == "as" and s[-1].startswith("$")
+            and _split_top(s, "as")[0] == s[:-2]
+            for s in inner
+        ):
+            # a parenthesized pipeline that BINDS: compile its stages
+            # recursively with variable scope saved/restored — jq
+            # scopes a group's bindings to the group (probed: `$x`
+            # after `def f($x): ...; f(...)` is an unbound-variable
+            # error, and an inner binding shadows without clobbering
+            # the outer value). This is the shape $value-param def
+            # expansion produces: `( ( arg ) as $x | body )`.
+            return _apply_group_scoped(df, inner)
+    return _apply_comma_stage(df, stage)
+
+
+def _is_full_group(stage: list[str]) -> bool:
+    """True when the stage is exactly one balanced ``( ... )`` group."""
+    if len(stage) < 2 or stage[0] != "(" or stage[-1] != ")":
+        return False
+    depth = 0
+    for i, t in enumerate(stage):
+        if t in ("(", "[", "{"):
+            depth += 1
+        elif t in (")", "]", "}"):
+            depth -= 1
+            if depth == 0:
+                return i == len(stage) - 1
+    return False
+
+
+_SCOPE_SAVE = _VAR_PREFIX + "__save"
+_scope_counter = [0]
+
+
+def _apply_group_scoped(
+    df: DataFrame, inner_stages: list[list[str]]
+) -> DataFrame:
+    """Apply a group's stages with binding scope: every pre-existing
+    variable column is snapshotted first and restored after, and
+    variables INTRODUCED inside the group are dropped — so an outer
+    ``$x`` survives an inner shadowing bind, and a group-local ``$x``
+    is unbound afterwards (referencing it later fails compilation and
+    routes to the binary, which reproduces jq's unbound-variable
+    error). Save columns carry the _VAR_PREFIX so every stage's
+    keep-variables logic preserves them."""
+    _scope_counter[0] += 1
+    tag = f"{_SCOPE_SAVE}{_scope_counter[0]}__"
+    prior = [
+        c
+        for c in df.columns
+        if c.startswith(_VAR_PREFIX) and not c.startswith(_SCOPE_SAVE)
+    ]
+    for c in prior:
+        df = df.withColumn(tag + c, F.col("`" + c + "`"))
+    for st in inner_stages:
+        if st:
+            df = _apply_pipe_stage(df, st)
+    cur = [
+        c
+        for c in df.columns
+        if c.startswith(_VAR_PREFIX) and not c.startswith(_SCOPE_SAVE)
+    ]
+    if cur:
+        df = df.drop(*cur)
+    for c in prior:
+        df = df.withColumn(c, F.col("`" + tag + c + "`")).drop(tag + c)
+    return df
 
 
 def _apply_binding_stage(df: DataFrame, toks: list[str]) -> DataFrame:

@@ -609,11 +609,13 @@ def q_jq_capture_stage(spark, sf_dir):
            COALESCE(len, 0) * 2 AS len2
     FROM src ORDER BY doc_id
     """,
-    doc="The round-5/7 native jq constructs as ONE compiled program "
-    "through the oracle gate: user defs — zero-arg AND parameterized "
-    "(jq filter params are call-by-name, so inlining substitutes the "
-    "argument tokens at each occurrence site; probed vs jq 1.6), "
-    "setpath with a literal path "
+    doc="The round-5/7/8 native jq constructs as ONE compiled program "
+    "through the oracle gate: user defs — zero-arg, call-by-name "
+    "parameterized (inlining substitutes the argument tokens at each "
+    "occurrence site; probed vs jq 1.6), AND a $value parameter def "
+    "(round 8: desugared per jq's own definition to `arg as $x | "
+    "body` and applied as a scoped binding group — bind-once "
+    "semantics, probed), setpath with a literal path "
     "(compiled to the nested-assignment struct rebuild), delpaths "
     "(compiled to the multi-path del dropFields), a grouped pipe "
     "target (the '| (body)' shape def inlining produces), and "
@@ -641,10 +643,12 @@ def q_jq_paths_defs(spark, sf_dir):
         "text",
     )
     prog = (
-        "def scale(f): . * f; def dbl: scale(2); .[] "
+        "def scale(f): . * f; def dbl: scale(2); "
+        "def finish($l2): "
+        "{doc_id, npaths: ([paths] | length), len2: $l2}; .[] "
         '| setpath(["meta","len2"]; ((.meta.len // 0) | dbl)) '
         '| delpaths([["text"],["meta","junk"]]) '
-        "| {doc_id, npaths: ([paths] | length), len2: .meta.len2}"
+        "| finish(.meta.len2)"
     )
     return translate_jq(d, prog).orderBy("doc_id")
 

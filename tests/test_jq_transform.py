@@ -1695,8 +1695,10 @@ class TestDefsSetpathDelpathsPaths:
     @pytest.mark.parametrize(
         "program",
         [
-            # $value params bind ONCE against the def's input — token
-            # substitution would re-evaluate per occurrence
+            # a $value-def call INSIDE object construction expands to
+            # a binding group the expression grammar rejects (binding
+            # is a pipe-stage construct) — full-stage calls compile
+            # natively since round 8 (TestValueParamDefs)
             "def f($x): .n + $x; .[] | {y: f(1)}",
             "def f(a): a; .[] | {y: f(.n; .x)}",  # arity mismatch
             "def f(a): a; .[] | {y: f}",          # f/0 not defined
@@ -1720,3 +1722,90 @@ class TestDefsSetpathDelpathsPaths:
         )
         with pytest.raises(JQUnsupported):
             translate_jq(df, ".[] | {p: [paths]}")
+
+
+class TestValueParamDefs:
+    """Native $value-parameter defs (VERDICT r7 item 8): compiled via
+    jq's own sugar — ``def f($x): E`` ≡ ``def f(x): x as $x | E`` —
+    then call-by-name inlining, with the expansion's binding group
+    applied as a SCOPED pipeline stage (bindings save/restore, so an
+    outer $x survives a shadowing call and a def-local $x is unbound
+    afterwards). Probed vs jq 1.6: bind-once (not per-occurrence),
+    input rebinding in the body does not re-evaluate $x,
+    left-to-right multi-param order, object keys named like the
+    param stay literal, shadow-restore, post-call unbound error."""
+
+    ROWS = [
+        {"id": 1, "n": 4, "x": 7},
+        {"id": 2, "n": 10, "x": 8},
+    ]
+    SCHEMA = "id long, n long, x long"
+
+    NATIVE = [
+        # bind-once: $x twice must not re-evaluate the arg
+        "def f($x): {id, y: (.n + $x + $x)}; .[] | f(.x)",
+        # input rebinding inside the body leaves $x alone
+        "def f($v): {id, y: ($v + 1)}; .[] | f(.n)",
+        # multi $params, left-to-right
+        "def f($a; $b): {id, s: ($a + $b), d: ($a - $b)}; .[] | f(.n; .x)",
+        # mixed call-by-name + $value
+        "def f(g; $v): {id, m: (g + $v)}; .[] | f(.n; 10)",
+        # object key spelled like the param stays literal
+        "def f($x): {x: 1, v: $x}; .[] | f(.n)",
+        # chained stages after the call
+        'def f($x): {id, y: $x}; .[] | f(.n) | setpath(["z"]; .y + 1)',
+        # outer binding shadow-restored across the call
+        'def f($x): {a: $x}; .[] | .n as $x | f(.x) '
+        '| setpath(["b"]; $x)',
+    ]
+
+    @pytest.fixture(scope="class")
+    def dfv(self, spark):
+        return spark.createDataFrame(self.ROWS, self.SCHEMA)
+
+    @staticmethod
+    def _strip(d):
+        if isinstance(d, dict):
+            return {
+                k: TestValueParamDefs._strip(v)
+                for k, v in d.items()
+                if v is not None
+            }
+        if isinstance(d, list):
+            return [TestValueParamDefs._strip(v) for v in d]
+        return d
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_native_matches_jq_binary(self, dfv, program):
+        got = [
+            self._strip(r.asDict(recursive=True))
+            for r in translate_jq(dfv, program).collect()
+        ]
+        expect = [self._strip(r) for r in jq_oracle(program, self.ROWS)]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key), program
+
+    @pytest.mark.parametrize("program", NATIVE)
+    def test_plan_stays_native(self, dfv, program):
+        out = jq_transform(dfv, program)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" not in plan and "mapInPandas" not in plan, (
+            program
+        )
+
+    def test_param_unbound_after_call(self, dfv):
+        # jq: `$x` after the call is an unbound-variable ERROR — the
+        # native path must refuse (binary reproduces the error), never
+        # leak the binding
+        with pytest.raises(JQUnsupported, match="unbound|unsupported"):
+            translate_jq(
+                dfv, "def f($x): {a: $x}; .[] | f(.n) | {b: $x}"
+            )
+
+    def test_stream_valued_arg_routes_to_binary(self, dfv):
+        # f((1,2)) fans out per bound value (probed) — generator args
+        # are outside the single-valued expression grammar
+        with pytest.raises(JQUnsupported):
+            translate_jq(
+                dfv, "def f($x): {y: $x}; .[] | f((1,2))"
+            )
