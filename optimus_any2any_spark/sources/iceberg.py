@@ -18,8 +18,11 @@ files as null-safe anti-joins over their ``equality_ids`` columns,
 both gated on the spec's data-sequence-number ordering (a row
 re-inserted after a delete stays alive). The APPEND-tail surfaces
 (``read_iceberg_appends``, the ``iceberg_tail`` stream) still reject
-delete manifests — an append stream cannot express removals — and
-format-version 3 is rejected, not mis-read. Unlike Delta, Iceberg
+delete manifests — an append stream cannot express removals. A
+format-version 3 table READS when it uses only v2-compatible
+features; actual v3 constructs (row lineage, Puffin deletion
+vectors, column defaults, encryption, new types) guard-raise by name
+— never mis-read (docs/ICEBERG_V3.md). Unlike Delta, Iceberg
 data files physically contain their partition columns, so no
 literal-column reattachment is needed.
 
@@ -99,11 +102,70 @@ def load_table_metadata(table_path: str, version: int | None = None) -> dict:
     path = os.path.join(md, f"v{version}.metadata.json")
     with open(path) as f:
         meta = json.loads(f.read())
-    if int(meta.get("format-version", 1)) > 2:
-        raise NotImplementedError(
-            f"iceberg: format-version {meta['format-version']} > 2"
-        )
+    _refuse_v3_constructs(meta)
     return meta
+
+
+def _refuse_v3_constructs(meta: dict) -> None:
+    """Format-version 3 scoping (docs/ICEBERG_V3.md): v3 tables that
+    use only v2-compatible features READ normally — the version number
+    alone is not a reason to refuse (plenty of v3 tables are just v2
+    tables after a format bump). Actual v3 constructs guard-raise BY
+    NAME, never mis-read:
+
+    - row lineage (``row-lineage`` / ``next-row-id``; per-row
+      ``_row_id`` synthesis from ``first_row_id`` inheritance is a
+      whole bookkeeping layer this reader does not implement),
+    - table encryption (``encryption-keys``),
+    - column default values (``initial-default`` / ``write-default``
+      on any schema field — ignoring ``initial-default`` would
+      null-fill rows that the spec says carry the default),
+    - deletion vectors in Puffin files (checked at manifest-entry
+      level in :func:`_snapshot_entries` — ``referenced_data_file`` /
+      ``content_offset`` on a delete file),
+    - new v3 types (``timestamp_ns``, ``variant``, ``geometry``…)
+      raise from the type mapper with the type name."""
+    fmt = int(meta.get("format-version", 1))
+    if fmt > 3:
+        raise NotImplementedError(
+            f"iceberg: format-version {meta['format-version']} > 3"
+        )
+    if fmt < 3:
+        return
+    if meta.get("row-lineage") or meta.get("next-row-id") is not None:
+        raise NotImplementedError(
+            "iceberg v3: row lineage (next-row-id/first_row_id "
+            "inheritance) is beyond this reader"
+        )
+    if meta.get("encryption-keys"):
+        raise NotImplementedError(
+            "iceberg v3: table encryption is beyond this reader"
+        )
+    schemas = meta.get("schemas") or (
+        [meta["schema"]] if meta.get("schema") else []
+    )
+    for s in schemas:
+        _refuse_default_values(s.get("fields") or [])
+
+
+def _refuse_default_values(fields: list) -> None:
+    for f in fields:
+        if (
+            f.get("initial-default") is not None
+            or f.get("write-default") is not None
+        ):
+            raise NotImplementedError(
+                "iceberg v3: column default values "
+                f"(field {f.get('name')!r}) are beyond this reader"
+            )
+        t = f.get("type")
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                _refuse_default_values(t.get("fields") or [])
+            elif t.get("type") == "list":
+                el = t.get("element")
+                if isinstance(el, dict) and el.get("type") == "struct":
+                    _refuse_default_values(el.get("fields") or [])
 
 
 def _current_schema(meta: dict) -> dict:
@@ -283,6 +345,20 @@ def _snapshot_entries(
             content = int(df_.get("content") or 0)
             if int(m.get("content") or 0) == 1 or content in (1, 2):
                 # delete manifest / delete data file
+                if (
+                    df_.get("referenced_data_file") is not None
+                    or df_.get("content_offset") is not None
+                    or df_.get("content_size_in_bytes") is not None
+                ):
+                    # v3 deletion vector: positions live in a Puffin
+                    # blob slice, not delete-parquet rows — reading
+                    # the entry as a (file_path, pos) parquet would
+                    # silently delete nothing
+                    raise NotImplementedError(
+                        "iceberg v3: deletion vectors (Puffin "
+                        "delete blobs) are beyond this reader — "
+                        f"delete file {df_.get('file_path')!r}"
+                    )
                 if content == 2 or ent["equality_ids"]:
                     eq_del.append(ent)
                 else:

@@ -187,7 +187,11 @@ class TestIcebergSnapshots:
         write_container(ml, schema, manifests)
         assert read_iceberg(spark, t).collect() == []
 
-    def test_format_version_3_rejected(self, spark, tmp_path):
+    def test_format_version_3_with_v2_features_reads(
+        self, spark, tmp_path
+    ):
+        # VERDICT r7 item 9: the version NUMBER is not a refusal —
+        # a v3-tagged table using only v2 features reads normally
         t = str(tmp_path / "tbl")
         write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
         md = os.path.join(t, "metadata", "v1.metadata.json")
@@ -195,8 +199,88 @@ class TestIcebergSnapshots:
         meta["format-version"] = 3
         with open(md, "w") as f:
             f.write(json.dumps(meta))
+        got = read_iceberg(spark, t).collect()
+        assert [(r.id, r.v) for r in got] == [(1, "a")]
+
+    def test_v3_row_lineage_refused_by_name(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        md = os.path.join(t, "metadata", "v1.metadata.json")
+        meta = json.loads(open(md).read())
+        meta["format-version"] = 3
+        meta["row-lineage"] = True
+        meta["next-row-id"] = 100
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
+        with pytest.raises(NotImplementedError, match="row lineage"):
+            read_iceberg(spark, t)
+
+    def test_v3_column_defaults_refused_by_name(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        md = os.path.join(t, "metadata", "v1.metadata.json")
+        meta = json.loads(open(md).read())
+        meta["format-version"] = 3
+        schemas = meta.get("schemas") or [meta["schema"]]
+        schemas[0]["fields"][1]["initial-default"] = "zz"
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
+        with pytest.raises(NotImplementedError, match="default values"):
+            read_iceberg(spark, t)
+
+    def test_v3_format_4_still_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        md = os.path.join(t, "metadata", "v1.metadata.json")
+        meta = json.loads(open(md).read())
+        meta["format-version"] = 4
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
         with pytest.raises(NotImplementedError, match="format-version"):
             read_iceberg(spark, t)
+
+    def test_v3_puffin_dv_refused_by_name(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            _snapshot_entries,
+            write_iceberg_delete_commit,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        write_iceberg_delete_commit(
+            spark, t, eq_deletes=(["id"], [(1,)])
+        )
+        # retag the delete entry as a v3 Puffin deletion vector
+        meta = load_table_metadata(t)
+        snap = meta["snapshots"][-1]
+        from optimus_any2any_spark.sources.iceberg import _localize
+
+        ml = _localize(t, snap["manifest-list"])
+        _, manifests = read_container(ml)
+        dm = next(m for m in manifests if int(m.get("content") or 0) == 1)
+        mp = _localize(t, dm["manifest_path"])
+        schema, entries = read_container(mp)
+        schema = json.loads(json.dumps(schema))
+        for f in schema["fields"]:
+            if f["name"] == "data_file":
+                f["type"]["fields"].append(
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"], "default": None,
+                     "field-id": 143}
+                )
+        for e in entries:
+            e["data_file"]["referenced_data_file"] = "data/x.parquet"
+        write_container(mp, schema, entries)
+        meta["format-version"] = 3
+        md = os.path.join(
+            t, "metadata",
+            "v%d.metadata.json" % int(open(os.path.join(
+                t, "metadata", "version-hint.text")).read()),
+        )
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
+        with pytest.raises(NotImplementedError, match="Puffin"):
+            _snapshot_entries(t, load_table_metadata(t))
 
     def test_empty_table_no_snapshots(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
