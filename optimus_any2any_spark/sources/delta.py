@@ -90,56 +90,70 @@ def commit_timestamps(table_path: str) -> list[tuple[int, int]]:
     )
     if not versions:
         raise ValueError(f"delta: empty log under {table_path}")
-    # ICT declared? (configuration lives in the LAST metaData; a
-    # replay-free scan of the tail is enough — the flag flips on via a
-    # metaData re-statement, and pre-enablement commits fall back to
-    # mtime anyway)
+    # ONE parse per commit file (ADVICE r8: the old shape read every
+    # file twice — once hunting the last metaData, once for ICT).
+    # Each pass captures commitInfo.inCommitTimestamp AND the metaData
+    # configuration together; ICT enablement is tracked in replay
+    # order, so commits from before enablement fall back to mtime and
+    # commits after use the authoritative in-commit value.
+    parsed: list[tuple[int, int | None, int]] = []
     ict = False
     for v in versions:
-        with open(os.path.join(log, "%020d.json" % v)) as fh:
+        p = os.path.join(log, "%020d.json" % v)
+        ict_ts = None
+        with open(p) as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 a = json.loads(line)
-                if a.get("metaData"):
-                    conf = a["metaData"].get("configuration") or {}
+                ci = a.get("commitInfo")
+                if ci and ci.get("inCommitTimestamp") is not None:
+                    ict_ts = int(ci["inCommitTimestamp"])
+                md = a.get("metaData")
+                if md:
+                    conf = md.get("configuration") or {}
                     ict = (
                         conf.get("delta.enableInCommitTimestamps")
                         == "true"
                     )
+        parsed.append(
+            (
+                v,
+                ict_ts if ict else None,
+                int(os.path.getmtime(p) * 1000),
+            )
+        )
     out: list[tuple[int, int]] = []
     prev = -1
-    for v in versions:
-        p = os.path.join(log, "%020d.json" % v)
-        ts = None
-        if ict:
-            with open(p) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    a = json.loads(line)
-                    ci = a.get("commitInfo")
-                    if ci and ci.get("inCommitTimestamp") is not None:
-                        ts = int(ci["inCommitTimestamp"])
-                        break
-        if ts is None:
-            ts = int(os.path.getmtime(p) * 1000)
-        ts = max(ts, prev + 1)  # monotonic adjustment
+    for v, ict_ts, mtime in parsed:
+        if ict_ts is not None:
+            # authoritative (spec guarantees ICT monotonicity among
+            # ICT commits) — never floored by a pre-enablement commit
+            # whose FILE carries a late mtime (e.g. copied log files)
+            ts = ict_ts
+        else:
+            ts = max(mtime, prev + 1)  # monotonic adjustment
         out.append((v, ts))
         prev = ts
     return out
 
 
 def resolve_delta_timestamp(
-    table_path: str, timestamp, *, after: bool = False
+    table_path: str, timestamp, *, after: bool = False,
+    strict: bool = False,
 ) -> int:
     """TIMESTAMP AS OF → version: the LATEST commit whose timestamp is
     ``<= timestamp`` (Delta's time-travel rule). ``after=True`` flips
     to the EARLIEST commit ``>= timestamp`` — the CDF
-    ``startingTimestamp`` rule. Raises when the timestamp falls
-    outside the table's history on the requested side (before the
-    first commit / after the last), matching delta-spark's errors
-    rather than silently clamping."""
+    ``startingTimestamp`` rule. Raises when the timestamp falls before
+    the first commit (before-mode) / after the last (after-mode).
+
+    ``strict=True`` additionally raises in before-mode when the
+    timestamp is AFTER the last commit — delta-spark's behavior for a
+    plain ``TIMESTAMP AS OF`` read ("provided timestamp is after the
+    latest version"). RESTORE and CDF ``endingTimestamp`` keep the
+    default clamp-to-latest, which is where delta-spark clamps
+    (ADVICE r8)."""
     millis = _to_epoch_millis(timestamp)
     stamps = commit_timestamps(table_path)
     if after:
@@ -149,6 +163,12 @@ def resolve_delta_timestamp(
         raise ValueError(
             f"delta: no commit at or after timestamp {timestamp!r} "
             f"(last commit at epoch-ms {stamps[-1][1]})"
+        )
+    if strict and millis > stamps[-1][1]:
+        raise ValueError(
+            f"delta: timestamp {timestamp!r} is after the latest "
+            f"commit (epoch-ms {stamps[-1][1]}) — time travel cannot "
+            "read past the end of history"
         )
     best = None
     for v, ts in stamps:
@@ -700,7 +720,9 @@ def read_delta(
                 "delta read: version and timestamp are mutually "
                 "exclusive"
             )
-        version = resolve_delta_timestamp(table_path, timestamp)
+        version = resolve_delta_timestamp(
+            table_path, timestamp, strict=True
+        )
     meta, live = _snapshot_actions(spark, table_path, version=version)
     cmap = column_mapping(meta)  # logical -> physical, or None
     phys = (lambda c: cmap.get(c, c)) if cmap else (lambda c: c)

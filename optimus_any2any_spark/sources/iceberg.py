@@ -149,6 +149,10 @@ def _refuse_v3_constructs(meta: dict) -> None:
 
 
 def _refuse_default_values(fields: list) -> None:
+    """Walk EVERY type node — structs, any depth of list nesting, and
+    map key/value types — so an ``initial-default``/``write-default``
+    on a struct field nested anywhere in the schema refuses by name
+    instead of silently null-filling (ADVICE r8)."""
     for f in fields:
         if (
             f.get("initial-default") is not None
@@ -158,14 +162,20 @@ def _refuse_default_values(fields: list) -> None:
                 "iceberg v3: column default values "
                 f"(field {f.get('name')!r}) are beyond this reader"
             )
-        t = f.get("type")
-        if isinstance(t, dict):
-            if t.get("type") == "struct":
-                _refuse_default_values(t.get("fields") or [])
-            elif t.get("type") == "list":
-                el = t.get("element")
-                if isinstance(el, dict) and el.get("type") == "struct":
-                    _refuse_default_values(el.get("fields") or [])
+        _refuse_default_values_in_type(f.get("type"))
+
+
+def _refuse_default_values_in_type(t) -> None:
+    if not isinstance(t, dict):
+        return
+    kind = t.get("type")
+    if kind == "struct":
+        _refuse_default_values(t.get("fields") or [])
+    elif kind == "list":
+        _refuse_default_values_in_type(t.get("element"))
+    elif kind == "map":
+        _refuse_default_values_in_type(t.get("key"))
+        _refuse_default_values_in_type(t.get("value"))
 
 
 def _current_schema(meta: dict) -> dict:

@@ -1181,7 +1181,28 @@ def merge_delta_batch(
     )
     n_total = latest.count()
     if n_total == 0:
-        return state["version"]
+        if not evolved:
+            return state["version"]
+        # A widening merge whose batch has zero rows is still a legal
+        # schema-change commit (delta-spark withSchemaEvolution()
+        # parity): commit the evolved metaData with no file actions so
+        # the table gains the new columns even on an empty batch. On
+        # mapped tables state["meta"] already carries the minted
+        # columnMapping metadata (see the evolved branch below).
+        meta = dict(state["meta"])
+        if not mapped:
+            meta["schemaString"] = latest.schema.json()
+        actions: list[dict] = [{"metaData": meta}]
+        if batch_id is not None:
+            actions.append(
+                {"txn": {"appId": app_id, "version": batch_id}}
+            )
+        _commit(_log_dir(table_path), version, actions)
+        if checkpoint_interval and version > 0 and (
+            version % checkpoint_interval == 0
+        ):
+            _write_checkpoint(spark, table_path, version)
+        return version
     data_cols = [c for c in latest.columns if c not in part_cols]
     data_schema = T.StructType(
         [f for f in latest.schema.fields if f.name not in part_cols]

@@ -64,6 +64,12 @@ from optimus_any2any_spark.sources.iceberg import (
     load_table_metadata,
     write_iceberg_commit,
 )
+# One positional-delete file per commit is the normal erasure shape;
+# past this many deleted positions the writer range-splits into one
+# spec-sorted file per file_path range so no single task funnels a
+# mass delete (the spec allows many delete files per commit).
+_MAX_DELETE_FILE_ROWS = 5_000_000
+
 from optimus_any2any_spark.streaming.manifest_table import (
     _MAX_DRIVER_KEYS,
     _affected,
@@ -1056,7 +1062,10 @@ def delete_iceberg_keys(
         summary["optimus-app-id"] = app_id
         summary["optimus-batch-id"] = str(batch_id)
     meta = dict(meta)
-    meta["format-version"] = 2
+    # row-level deletes need format-v2 features, but a v3-tagged table
+    # (readable when it uses only v2 features) must NOT be silently
+    # downgraded by a DELETE (ADVICE r8)
+    meta["format-version"] = max(2, int(meta.get("format-version", 1)))
     meta["last-sequence-number"] = seq
     meta["snapshots"] = snaps + [
         {
@@ -1176,30 +1185,51 @@ def delete_iceberg_positions(
     seq = version
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
     tmp = os.path.join(table_path, f"_tmp-posdel-v{version}")
-    # the spec requires delete rows sorted by file path, then position
-    matching.orderBy("file_path", "pos").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    parts = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
-    rel = f"data/{version:05d}-delete-pos.parquet"
-    os.replace(parts[0], os.path.join(table_path, rel))
-    shutil.rmtree(tmp)
-    n_pos = int(
-        spark.read.parquet(os.path.join(table_path, rel)).count()
-    )
+    # The spec requires delete rows sorted by (file_path, pos) WITHIN
+    # each delete file; one file per commit is the normal erasure
+    # shape, but a mass delete funnelling every position through the
+    # single coalesce(1) task would bottleneck at 100 TB. The spec
+    # allows many delete files per commit, so past
+    # _MAX_DELETE_FILE_ROWS the positions are range-partitioned by
+    # (file_path, pos) — each range lands as its own spec-sorted
+    # parquet; reader and compaction consume any number of content=1
+    # entries (VERDICT r8 item 7). sortWithinPartitions (not a global
+    # orderBy feeding coalesce) makes the per-file sort a guarantee
+    # rather than an artifact of coalesce's partition-order concat
+    # (ADVICE r8).
+    matching = matching.localCheckpoint(eager=True)
+    n_pos = matching.count()
     if n_pos == 0:  # no row matched: burn no version
-        os.remove(os.path.join(table_path, rel))
         return prev_version
+    n_files = max(1, -(-n_pos // _MAX_DELETE_FILE_ROWS))
+    out = (
+        matching.coalesce(1)
+        if n_files == 1
+        else matching.repartitionByRange(n_files, "file_path", "pos")
+    ).sortWithinPartitions("file_path", "pos")
+    out.write.mode("overwrite").parquet(tmp)
+    parts = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+    rels: list[str] = []
+    for i, part in enumerate(parts):
+        rel = (
+            f"data/{version:05d}-delete-pos.parquet"
+            if len(parts) == 1
+            else f"data/{version:05d}-delete-pos-{i:04d}.parquet"
+        )
+        os.replace(part, os.path.join(table_path, rel))
+        rels.append(rel)
+    shutil.rmtree(tmp)
 
-    manifest_rel = (
-        "metadata/"
-        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|pd{version}')}"
-        "-m0.avro"
-    )
-    write_container(
-        os.path.join(table_path, manifest_rel),
-        _DELETE_ENTRY_SCHEMA,
-        [
+    import pyarrow.parquet as _pq
+
+    entries = []
+    for rel in rels:
+        full = os.path.join(table_path, rel)
+        rc = int(_pq.read_metadata(full).num_rows)
+        if rc == 0:  # an empty range split: not worth an entry
+            os.remove(full)
+            continue
+        entries.append(
             {
                 "status": _ST_ADDED,
                 "snapshot_id": snapshot_id,
@@ -1208,14 +1238,21 @@ def delete_iceberg_positions(
                     "file_path": rel,
                     "file_format": "PARQUET",
                     "partition": {},
-                    "record_count": n_pos,
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.join(table_path, rel)
-                    ),
+                    "record_count": rc,
+                    "file_size_in_bytes": os.path.getsize(full),
                     "equality_ids": None,
                 },
             }
-        ],
+        )
+    manifest_rel = (
+        "metadata/"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|pd{version}')}"
+        "-m0.avro"
+    )
+    write_container(
+        os.path.join(table_path, manifest_rel),
+        _DELETE_ENTRY_SCHEMA,
+        entries,
     )
     prior_manifests: list[dict] = []
     cur_snap_id = meta.get("current-snapshot-id")
@@ -1255,7 +1292,10 @@ def delete_iceberg_positions(
         summary["optimus-app-id"] = app_id
         summary["optimus-batch-id"] = str(batch_id)
     meta = dict(meta)
-    meta["format-version"] = 2
+    # row-level deletes need format-v2 features, but a v3-tagged table
+    # (readable when it uses only v2 features) must NOT be silently
+    # downgraded by a DELETE (ADVICE r8)
+    meta["format-version"] = max(2, int(meta.get("format-version", 1)))
     meta["last-sequence-number"] = seq
     meta["snapshots"] = snaps + [
         {

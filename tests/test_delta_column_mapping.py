@@ -859,3 +859,48 @@ class TestMappedSchemaEvolution:
             (r.k, r.e) for r in read_delta(spark, t).collect()
         )
         assert out == [(1, None), (3, None)]
+
+    def test_empty_batch_still_evolves_schema(self, spark, tmp_path):
+        # delta-spark withSchemaEvolution() parity: a widening merge
+        # whose batch has zero rows is STILL a schema-change commit —
+        # the table must gain the new column (VERDICT r8 item 1; the
+        # degenerate-input sweep caught the old early-return skipping
+        # the metaData commit)
+        t = str(tmp_path / "tbl")
+        _write_mapped_table_ts(spark, t)
+        v = self._evolve(spark, t, rows=())
+        assert v == 1  # a real commit, not the idempotent no-op path
+        meta = self._meta(t)
+        fields = {
+            f["name"]: f
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        assert "e" in fields
+        assert fields["e"]["metadata"][
+            "delta.columnMapping.id"
+        ] == 5
+        snap = read_delta(spark, t)
+        assert "e" in snap.columns
+        assert [r.e for r in snap.collect()] == [None, None, None]
+
+    def test_empty_batch_evolution_unmapped(self, spark, tmp_path):
+        # same contract on a plain (unmapped) table
+        from optimus_any2any_spark.streaming.delta_table import (
+            merge_delta_batch,
+        )
+
+        t = str(tmp_path / "plain")
+        merge_delta_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 1)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        empty = spark.createDataFrame(
+            [], "k long, v string, ts long, e string"
+        )
+        merge_delta_batch(spark, empty, t, "k", "ts", merge_schema=True)
+        snap = read_delta(spark, t)
+        assert sorted(snap.columns) == ["e", "k", "ts", "v"]
+        assert [(r.k, r.e) for r in snap.collect()] == [(1, None)]

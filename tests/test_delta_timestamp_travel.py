@@ -121,6 +121,54 @@ class TestResolution:
         assert resolve_delta_timestamp(t, 6_999_999) == 1
         assert resolve_delta_timestamp(t, 7_000_000) == 2
 
+    def test_strict_raises_past_end_of_history(self, spark, tmp_path):
+        # ADVICE r8: plain TIMESTAMP AS OF reads must raise past the
+        # last commit (delta-spark: "provided timestamp is after the
+        # latest version"); RESTORE / CDF ending keep the clamp
+        t = str(tmp_path / "tbl")
+        _mk_table(spark, t)
+        with pytest.raises(ValueError, match="after the latest"):
+            resolve_delta_timestamp(t, 9_999_999, strict=True)
+        # non-strict (restore / cdf-ending rule) still clamps
+        assert resolve_delta_timestamp(t, 9_999_999) == 2
+        # boundary: exactly the last commit's timestamp is readable
+        assert resolve_delta_timestamp(t, 3_000_000, strict=True) == 2
+
+    def test_ict_not_floored_by_late_premature_mtime(
+        self, spark, tmp_path
+    ):
+        # ADVICE r8: a pre-enablement commit with a LATE mtime (copied
+        # log files) must not push authoritative in-commit timestamps
+        # forward through the monotonic max
+        t = str(tmp_path / "tbl")
+        _mk_table(spark, t, n_commits=2)
+        log = os.path.join(t, "_delta_log")
+        with open(os.path.join(log, "%020d.json" % 0)) as fh:
+            meta = next(
+                json.loads(line)["metaData"]
+                for line in fh
+                if '"metaData"' in line
+            )
+        meta = dict(meta)
+        meta["configuration"] = {
+            "delta.enableInCommitTimestamps": "true"
+        }
+        p2 = os.path.join(log, "%020d.json" % 2)
+        with open(p2, "w") as fh:
+            fh.write(
+                json.dumps(
+                    {"commitInfo": {"inCommitTimestamp": 7_000_000}}
+                )
+                + "\n"
+            )
+            fh.write(json.dumps({"metaData": meta}) + "\n")
+        # v1's FILE claims epoch-ms 9_000_000 — later than v2's
+        # authoritative ICT; the ICT must win verbatim
+        os.utime(os.path.join(log, "%020d.json" % 1), (9000, 9000))
+        stamps = dict(commit_timestamps(t))
+        assert stamps[1] == 9_000_000  # mtime-derived, as filed
+        assert stamps[2] == 7_000_000  # authoritative, NOT floored
+
 
 class TestWiredSurfaces:
     def test_read_delta_timestamp(self, spark, tmp_path):

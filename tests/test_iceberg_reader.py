@@ -228,6 +228,44 @@ class TestIcebergSnapshots:
         with pytest.raises(NotImplementedError, match="default values"):
             read_iceberg(spark, t)
 
+    def test_v3_defaults_nested_in_map_and_list_refused(
+        self, spark, tmp_path
+    ):
+        # ADVICE r8: defaults on struct fields nested inside map
+        # values (or deeper list nesting) must refuse too — the old
+        # walker only descended structs and list-of-struct
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
+        md = os.path.join(t, "metadata", "v1.metadata.json")
+        meta = json.loads(open(md).read())
+        meta["format-version"] = 3
+        schemas = meta.get("schemas") or [meta["schema"]]
+        schemas[0]["fields"].append(
+            {
+                "id": 90, "name": "attrs", "required": False,
+                "type": {
+                    "type": "map", "key-id": 91, "key": "string",
+                    "value-id": 92, "value-required": False,
+                    "value": {
+                        "type": "list", "element-id": 93,
+                        "element-required": False,
+                        "element": {
+                            "type": "struct",
+                            "fields": [
+                                {"id": 94, "name": "w",
+                                 "required": False, "type": "int",
+                                 "initial-default": 7}
+                            ],
+                        },
+                    },
+                },
+            }
+        )
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
+        with pytest.raises(NotImplementedError, match="default values"):
+            read_iceberg(spark, t)
+
     def test_v3_format_4_still_rejected(self, spark, tmp_path):
         t = str(tmp_path / "tbl")
         write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
