@@ -1602,6 +1602,165 @@ def iceberg_rollback_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_v3_dv_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    kept AS (SELECT k, price FROM base WHERE k % 7 <> 0)
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM kept GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Iceberg FORMAT-V3 DELETION-VECTOR read (VERDICT r8 item 9): "
+    "the fixture writes one sorted data file from orders, then a "
+    "Puffin sidecar carrying a deletion-vector-v1 blob (length | "
+    "magic | portable64 Roaring | crc32 framing, formats/puffin.py) "
+    "for the positions of every k % 7 == 0 row, referenced from the "
+    "manifest via referenced_data_file/content_offset/"
+    "content_size_in_bytes. The reader validates the blob type "
+    "against the Puffin footer (unknown types refuse by name), "
+    "decodes the bitmap EXECUTOR-side (Arrow-batched pandas UDF — "
+    "the Delta-DV pattern), and applies it through the same "
+    "seq-gated (file, position) anti-join as positional delete "
+    "rows. Vector serialization is deliberately Delta-compatible "
+    "(shared roaring codec); both DV magic sequences are accepted.",
+    bench=False,
+)
+def iceberg_v3_dv_read(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        _snapshot_entries,
+        load_table_metadata,
+        read_iceberg,
+        write_iceberg_commit,
+        write_iceberg_delete_commit,
+    )
+
+    t = _fixture_dir("iceberg_v3dv", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    # ONE file sorted by k, so parquet row position == rank(k) — the
+    # deterministic mapping the DV positions are computed against
+    write_iceberg_commit(
+        base.coalesce(1).sortWithinPartitions("k"), t
+    )
+    meta = load_table_metadata(t)
+    data, _pos, _eq = _snapshot_entries(t, meta)
+    if data:
+        positions = [
+            r["__p"]
+            for r in base.withColumn(
+                "__p", F.row_number().over(Window.orderBy("k")) - 1
+            )
+            .filter(F.col("k") % 7 == 0)
+            .select("__p")
+            .collect()
+        ]
+        if positions:
+            write_iceberg_delete_commit(
+                spark, t, dv_deletes={data[0]["orig"]: positions}
+            )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "iceberg_timestamp_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM base GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Iceberg TIMESTAMP AS OF travel (VERDICT r8 item 2): every "
+    "snapshot stamps a real timestamp-ms from the injectable clock "
+    "seam (sources/iceberg.py set_clock) and appends a snapshot-log "
+    "entry; read_iceberg(as_of_timestamp=) resolves the LATEST "
+    "log entry at-or-before the requested time — Iceberg's "
+    "SnapshotUtil.snapshotIdAsOfTime rule (clamps to current past "
+    "the end of history, raises before the first snapshot). The "
+    "fixture seeds from orders under a stepping clock, upserts a "
+    "later batch, then reads between the two commit stamps: the "
+    "result must equal the seed exactly. Delta twin: "
+    "delta_timestamp_read semantics in sources/delta.py.",
+    bench=False,
+)
+def iceberg_timestamp_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        read_iceberg,
+        set_clock,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_tstravel", sf_dir)
+    state = {"t": 0}
+
+    def tick():
+        state["t"] += 1_000_000
+        return state["t"]
+
+    set_clock(tick)
+    try:
+        base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+        merge_iceberg_batch(
+            spark, base, t, "k", "ts", batch_id=0,
+            target_rows_per_file=4000,
+        )
+        if not os.path.isdir(os.path.join(t, "metadata")):
+            return spark.createDataFrame([], _EMPTY_AGG)
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+        )
+
+        seed_ts = load_table_metadata(t)["snapshots"][-1][
+            "timestamp-ms"
+        ]
+        upd = _orders_kv(spark, sf_dir, 1).filter(
+            F.col("k") % 10 == 1
+        ).withColumn("price", F.col("price") + F.lit(1000.0))
+        ins = _orders_kv(spark, sf_dir, 1).filter(
+            F.col("k") % 20 == 0
+        ).withColumn("price", F.col("price") / F.lit(2))
+        merge_iceberg_batch(
+            spark, upd.unionByName(ins), t, "k", "ts", batch_id=1,
+            target_rows_per_file=4000,
+        )
+        # strictly between the seed's stamp and the upsert's: resolves
+        # to the seed snapshot (latest at-or-before)
+        snap = read_iceberg(
+            spark, t, as_of_timestamp=int(seed_ts) + 500_000
+        )
+    finally:
+        set_clock(None)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_pos_delete_erasure",
     oracle=f"""
     WITH base AS (

@@ -209,6 +209,24 @@ def delta_sink(df: DataFrame, cfg: Config):
     # table maintenance riders: OPTIMIZE compaction and VACUUM after
     # the write, so a CLI-driven pipeline can keep its target healthy
     # without a separate tool
+    if c.get("restore_version") or c.get("restore_timestamp"):
+        # DELTA__RESTORE_VERSION / DELTA__RESTORE_TIMESTAMP: RESTORE
+        # TO {VERSION|TIMESTAMP} AS OF as a new commit, after the
+        # write (VERDICT r8 item 8 — every other lifecycle verb was
+        # already env-var reachable)
+        from optimus_any2any_spark.streaming.delta_table import (
+            restore_delta,
+        )
+
+        rv = c.get("restore_version")
+        rts = c.get("restore_timestamp")
+        if rts is not None and str(rts).lstrip("-").isdigit():
+            rts = int(rts)
+        restore_delta(
+            df.sparkSession, path,
+            version=int(rv) if rv else None,
+            timestamp=rts,
+        )
     if (c.get("purge_dv") or "").lower() == "true":
         # REORG APPLY (PURGE): rewrite DV'd files clean before any
         # compaction rider, converting merge-on-read debt back into
@@ -305,6 +323,16 @@ def iceberg_sink(df: DataFrame, cfg: Config):
         )
     else:
         raise ValueError(f"ICEBERG sink: unknown mode {mode!r}")
+    if c.get("rollback_snapshot"):
+        # ICEBERG__ROLLBACK_SNAPSHOT=<id>: history-preserving rollback
+        # commit after the write (VERDICT r8 item 8)
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            rollback_iceberg,
+        )
+
+        rollback_iceberg(
+            df.sparkSession, path, int(c["rollback_snapshot"])
+        )
     if c.get("optimize_rows"):
         from optimus_any2any_spark.streaming.iceberg_table import (
             compact_iceberg,
@@ -315,13 +343,18 @@ def iceberg_sink(df: DataFrame, cfg: Config):
             target_rows_per_file=int(c["optimize_rows"]),
             key_col=c.get("merge_key"),
         )
-    if c.get("expire_keep"):
+    if c.get("expire_keep") or c.get("expire_older_than"):
         from optimus_any2any_spark.streaming.iceberg_table import (
             expire_iceberg_snapshots,
         )
 
+        older = c.get("expire_older_than")
+        if older is not None and str(older).lstrip("-").isdigit():
+            older = int(older)
         expire_iceberg_snapshots(
-            df.sparkSession, path, keep_last=int(c["expire_keep"])
+            df.sparkSession, path,
+            keep_last=int(c.get("expire_keep") or 1),
+            older_than=older,
         )
     return n
 

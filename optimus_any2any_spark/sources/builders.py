@@ -536,7 +536,9 @@ def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
     Iceberg table via the open spec (sources/iceberg.py — metadata
     JSON + Avro manifests, no iceberg-spark jar).
     ``ICEBERG__SOURCE_URI=file:///path/to/table``; optional
-    ``ICEBERG__SNAPSHOT_ID`` time-travels."""
+    ``ICEBERG__SNAPSHOT_ID`` time-travels, or
+    ``ICEBERG__AS_OF_TIMESTAMP`` (epoch-ms or ISO string) resolves
+    TIMESTAMP AS OF through the snapshot log."""
     from optimus_any2any_spark.sources.iceberg import read_iceberg
 
     uri = cfg.get("ICEBERG__SOURCE_URI")
@@ -544,6 +546,10 @@ def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
         raise ValueError("ICEBERG source requires ICEBERG__SOURCE_URI")
     path = uri[len("file://"):] if uri.startswith("file://") else uri
     snap = cfg.get("ICEBERG__SNAPSHOT_ID")
+    ts = cfg.get("ICEBERG__AS_OF_TIMESTAMP")
+    if ts is not None and str(ts).lstrip("-").isdigit():
+        ts = int(ts)
     return read_iceberg(
-        spark, path, snapshot_id=int(snap) if snap else None
+        spark, path, snapshot_id=int(snap) if snap else None,
+        as_of_timestamp=ts,
     )

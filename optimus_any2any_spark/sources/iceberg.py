@@ -20,9 +20,11 @@ re-inserted after a delete stays alive). The APPEND-tail surfaces
 (``read_iceberg_appends``, the ``iceberg_tail`` stream) still reject
 delete manifests — an append stream cannot express removals. A
 format-version 3 table READS when it uses only v2-compatible
-features; actual v3 constructs (row lineage, Puffin deletion
-vectors, column defaults, encryption, new types) guard-raise by name
-— never mis-read (docs/ICEBERG_V3.md). Unlike Delta, Iceberg
+features, and Puffin DELETION VECTORS (the v3 merge-on-read form)
+decode through the same seq-gated anti-join as delete-parquet rows
+(:mod:`..formats.puffin`); the remaining v3 constructs (row lineage,
+column defaults, encryption, new types, non-DV Puffin blob types)
+guard-raise by name — never mis-read (docs/ICEBERG_V3.md). Unlike Delta, Iceberg
 data files physically contain their partition columns, so no
 literal-column reattachment is needed.
 
@@ -85,6 +87,86 @@ def _localize(table_path: str, uri: str) -> str:
     return p
 
 
+# The clock seam: every snapshot this engine commits stamps a real
+# ``timestamp-ms`` from here (and appends a ``snapshot-log`` entry),
+# so age-based expiration and TIMESTAMP AS OF travel work on
+# self-written tables. Fixtures inject a fixed or stepping clock for
+# deterministic metadata — the same injection pattern as the Delta
+# log/data-store seams (streaming/delta_table.py set_log_store).
+def _default_clock() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
+_clock = _default_clock
+
+
+def set_clock(clock) -> None:
+    """Inject the commit-timestamp source: a zero-arg callable
+    returning epoch milliseconds. Pass ``None`` to restore wall
+    time."""
+    global _clock
+    _clock = clock or _default_clock
+
+
+def snapshot_timestamp_ms(meta: dict | None) -> int:
+    """The next snapshot's ``timestamp-ms``: the injected clock,
+    floored at the newest existing snapshot's stamp so the snapshot
+    log stays chronological even under a fixed test clock or a
+    wall-clock step backwards."""
+    ts = int(_clock())
+    prev = 0
+    for s in (meta or {}).get("snapshots") or []:
+        prev = max(prev, int(s.get("timestamp-ms") or 0))
+    return max(ts, prev)
+
+
+def append_snapshot_log(
+    meta: dict, prev: dict | None, ts_ms: int, snapshot_id: int
+) -> None:
+    """Append this commit's ``snapshot-log`` entry (spec: the
+    chronological ``{timestamp-ms, snapshot-id}`` list timestamp
+    travel resolves against) onto ``meta``, carrying ``prev``'s log
+    forward."""
+    meta["snapshot-log"] = list((prev or {}).get("snapshot-log") or []) + [
+        {"timestamp-ms": ts_ms, "snapshot-id": snapshot_id}
+    ]
+
+
+def resolve_iceberg_timestamp(meta: dict, timestamp) -> int:
+    """TIMESTAMP AS OF → snapshot-id: the LATEST snapshot-log entry
+    whose ``timestamp-ms <= timestamp`` — Iceberg's
+    ``SnapshotUtil.snapshotIdAsOfTime`` rule, which clamps to the
+    current snapshot past the end of history but raises before the
+    first ("Cannot find a snapshot older than ..."). Accepts epoch
+    millis, an ISO string, or a datetime. Externally-written metadata
+    without a ``snapshot-log`` resolves against the snapshots' own
+    ``timestamp-ms`` stamps in list order."""
+    from optimus_any2any_spark.sources.delta import _to_epoch_millis
+
+    millis = _to_epoch_millis(timestamp)
+    log = meta.get("snapshot-log") or [
+        {
+            "timestamp-ms": int(s.get("timestamp-ms") or 0),
+            "snapshot-id": s["snapshot-id"],
+        }
+        for s in meta.get("snapshots") or []
+    ]
+    if not log:
+        raise ValueError("iceberg: table has no snapshots to travel to")
+    best = None
+    for e in log:
+        if int(e["timestamp-ms"]) <= millis:
+            best = e["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"iceberg: cannot find a snapshot older than {timestamp!r} "
+            f"(first snapshot at epoch-ms {log[0]['timestamp-ms']})"
+        )
+    return int(best)
+
+
 def load_table_metadata(table_path: str, version: int | None = None) -> dict:
     md = _meta_dir(table_path)
     if version is None:
@@ -120,11 +202,14 @@ def _refuse_v3_constructs(meta: dict) -> None:
     - column default values (``initial-default`` / ``write-default``
       on any schema field — ignoring ``initial-default`` would
       null-fill rows that the spec says carry the default),
-    - deletion vectors in Puffin files (checked at manifest-entry
-      level in :func:`_snapshot_entries` — ``referenced_data_file`` /
-      ``content_offset`` on a delete file),
     - new v3 types (``timestamp_ns``, ``variant``, ``geometry``…)
-      raise from the type mapper with the type name."""
+      raise from the type mapper with the type name.
+
+    Puffin DELETION VECTORS are NO LONGER refused: entries carrying
+    ``referenced_data_file``/``content_offset`` decode through
+    :func:`_puffin_dv_ref` + the merge-on-read anti-join. Non-DV
+    Puffin blob types and non-Puffin referenced entries still refuse
+    by name there."""
     fmt = int(meta.get("format-version", 1))
     if fmt > 3:
         raise NotImplementedError(
@@ -328,6 +413,7 @@ def _snapshot_entries(
     data: list[dict] = []
     pos_del: list[dict] = []
     eq_del: list[dict] = []
+    _puffin_footers: dict = {}  # one footer parse per Puffin file
     for m in manifests:
         m_seq = m.get("sequence_number")
         _, entries = read_container(
@@ -363,13 +449,14 @@ def _snapshot_entries(
                     # v3 deletion vector: positions live in a Puffin
                     # blob slice, not delete-parquet rows — reading
                     # the entry as a (file_path, pos) parquet would
-                    # silently delete nothing
-                    raise NotImplementedError(
-                        "iceberg v3: deletion vectors (Puffin "
-                        "delete blobs) are beyond this reader — "
-                        f"delete file {df_.get('file_path')!r}"
+                    # silently delete nothing. Known deletion-vector
+                    # blobs decode through the merge-on-read path;
+                    # anything else refuses by name.
+                    ent["dv"] = _puffin_dv_ref(
+                        table_path, df_, _puffin_footers
                     )
-                if content == 2 or ent["equality_ids"]:
+                    pos_del.append(ent)
+                elif content == 2 or ent["equality_ids"]:
                     eq_del.append(ent)
                 else:
                     pos_del.append(ent)
@@ -378,8 +465,134 @@ def _snapshot_entries(
     return data, pos_del, eq_del
 
 
+def _puffin_dv_ref(
+    table_path: str, df_: dict, footer_cache: dict
+) -> dict:
+    """Validate a v3 deletion-vector manifest entry against its Puffin
+    footer and return the ``{referenced, offset, size}`` slice the
+    reader's executor-side decode consumes. Non-Puffin referenced
+    entries and unknown Puffin blob types refuse by name — a DV the
+    reader cannot decode must never silently delete nothing."""
+    from optimus_any2any_spark.formats.puffin import (
+        DV_V1,
+        read_puffin_footer,
+    )
+
+    fmt_name = str(df_.get("file_format") or "").upper()
+    rel = df_.get("file_path")
+    if fmt_name != "PUFFIN" and not str(rel).endswith(".puffin"):
+        raise NotImplementedError(
+            "iceberg v3: deletion vectors (Puffin delete blobs) in "
+            f"format {fmt_name!r} are beyond this reader — delete "
+            f"file {rel!r}"
+        )
+    referenced = df_.get("referenced_data_file")
+    offset = df_.get("content_offset")
+    size = df_.get("content_size_in_bytes")
+    if referenced is None or offset is None or size is None:
+        raise NotImplementedError(
+            "iceberg v3: Puffin deletion vector entry missing "
+            "referenced_data_file/content_offset/"
+            f"content_size_in_bytes — delete file {rel!r}"
+        )
+    path = _localize(table_path, rel)
+    if path not in footer_cache:
+        footer_cache[path] = read_puffin_footer(path)
+    blob = next(
+        (
+            b
+            for b in footer_cache[path].get("blobs") or []
+            if int(b.get("offset")) == int(offset)
+        ),
+        None,
+    )
+    if blob is None:
+        raise ValueError(
+            f"iceberg v3: no Puffin blob at offset {offset} in {rel!r}"
+        )
+    if blob.get("type") != DV_V1:
+        raise NotImplementedError(
+            f"iceberg v3: Puffin blob type {blob.get('type')!r} is "
+            f"beyond this reader — delete file {rel!r}"
+        )
+    return {
+        "referenced": referenced,
+        "offset": int(offset),
+        "size": int(size),
+    }
+
+
 def _basename(p: str) -> str:
     return p.rsplit("/", 1)[-1]
+
+
+def _puffin_dv_positions_df(spark: SparkSession, dv_del: list[dict]):
+    """Deleted ``(file_path, pos, __pseq)`` rows from v3
+    deletion-vector entries: each referenced data file's Puffin blob
+    slice decodes on EXECUTORS through an Arrow-batched pandas UDF
+    (the Delta DV pattern, sources/delta.py ``dv_positions_df``)."""
+    import pandas  # noqa: F401  (annotation resolution)
+    from pyspark.sql.functions import pandas_udf
+
+    # get_type_hints resolves annotations from MODULE globals (the
+    # `from __future__ import annotations` stringification), so pandas
+    # must be visible there
+    globals().setdefault("pandas", pandas)
+
+    rows = [
+        (
+            d["dv"]["referenced"],
+            d["path"],
+            d["dv"]["offset"],
+            d["dv"]["size"],
+            d["seq"],
+        )
+        for d in dv_del
+    ]
+    ddf = spark.createDataFrame(
+        rows,
+        "file_path string, __ppath string, __off long, __size long, "
+        "__pseq long",
+    )
+
+    # ship the codec modules BY VALUE: python workers do not have the
+    # repo on PYTHONPATH (the same gotcha as the streaming sources)
+    from pyspark import cloudpickle as _cp
+
+    from optimus_any2any_spark.formats import puffin as _puffin
+    from optimus_any2any_spark.formats import roaring as _roaring
+
+    _cp.register_pickle_by_value(_roaring)
+    _cp.register_pickle_by_value(_puffin)
+    read_puffin_blob = _puffin.read_puffin_blob
+    dv_puffin_blob_decode = _puffin.dv_puffin_blob_decode
+
+    @pandas_udf("array<long>")
+    def _decode(
+        ppath: pandas.Series, off: pandas.Series, size: pandas.Series
+    ) -> pandas.Series:
+        import pandas as _pd
+
+        return _pd.Series(
+            [
+                dv_puffin_blob_decode(
+                    read_puffin_blob(
+                        ppath.iloc[i],
+                        int(off.iloc[i]),
+                        int(size.iloc[i]),
+                    )
+                )
+                for i in range(len(ppath))
+            ]
+        )
+
+    from pyspark.sql import functions as F
+
+    return ddf.select(
+        "file_path",
+        F.explode(_decode("__ppath", "__off", "__size")).alias("pos"),
+        "__pseq",
+    )
 
 
 def read_iceberg(
@@ -387,9 +600,16 @@ def read_iceberg(
     table_path: str,
     snapshot_id: int | None = None,
     key_range: tuple | None = None,
+    as_of_timestamp=None,
 ) -> DataFrame:
     """Snapshot read of an Iceberg table; ``snapshot_id`` time-travels
-    to any retained snapshot (the spec's SNAPSHOT AS OF).
+    to any retained snapshot (the spec's SNAPSHOT AS OF), and
+    ``as_of_timestamp`` (epoch-ms / ISO string / datetime) resolves
+    through the metadata's ``snapshot-log`` to the latest snapshot at
+    or before that time — Iceberg's TIMESTAMP AS OF
+    (``SnapshotUtil.snapshotIdAsOfTime``; clamps to current past the
+    end of history, raises before the first snapshot). Mutually
+    exclusive with ``snapshot_id``.
 
     ``key_range=(col, lo, hi)`` applies the range predicate AND skips
     data files whose Appendix-D ``lower_bounds``/``upper_bounds`` for
@@ -410,6 +630,13 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(table_path)
+    if as_of_timestamp is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "iceberg read: snapshot_id and as_of_timestamp are "
+                "mutually exclusive"
+            )
+        snapshot_id = resolve_iceberg_timestamp(meta, as_of_timestamp)
     schema = iceberg_spark_schema(meta)
     data, pos_del, eq_del = _snapshot_entries(
         table_path, meta, snapshot_id
@@ -553,7 +780,10 @@ def read_entries_with_deletes(
     if not basename_col:
         df = df.drop("__bn")
 
-    if pos_del:
+    dv_del = [d for d in pos_del if d.get("dv")]
+    pq_del = [d for d in pos_del if not d.get("dv")]
+    pdel = None
+    if pq_del:
         # positional delete files: (file_path, pos) rows, spec field
         # ids 2147483546/2147483545; attach each delete file's seq via
         # the same basename lookup
@@ -565,7 +795,7 @@ def read_entries_with_deletes(
         )
         pdel = (
             spark.read.schema(pd_schema)
-            .parquet(*[d["path"] for d in pos_del])
+            .parquet(*[d["path"] for d in pq_del])
             .select(
                 "*",
                 F.element_at(
@@ -574,10 +804,19 @@ def read_entries_with_deletes(
             )
         )
         plk = spark.createDataFrame(
-            [(_basename(d["orig"]), d["seq"]) for d in pos_del],
+            [(_basename(d["orig"]), d["seq"]) for d in pq_del],
             "__dbn string, __pseq long",
         )
         pdel = pdel.join(F.broadcast(plk), "__dbn", "inner").drop("__dbn")
+    if dv_del:
+        # v3 deletion vectors: the Puffin blob slices decode on
+        # EXECUTORS (Arrow-batched pandas UDF — the descriptor frame
+        # is O(DV'd files), the exploded positions are the only data
+        # moved), then apply through the SAME seq-gated anti-join as
+        # positional delete rows
+        dvdf = _puffin_dv_positions_df(spark, dv_del)
+        pdel = dvdf if pdel is None else pdel.unionByName(dvdf)
+    if pdel is not None:
         df = df.alias("d").join(
             pdel.alias("x"),
             (F.col("d.__orig") == F.col("x.file_path"))
@@ -800,6 +1039,17 @@ _DELETE_ENTRY_SCHEMA = {
                      "type": ["null",
                               {"type": "array", "items": "int"}],
                      "default": None, "field-id": 135},
+                    # v3 deletion-vector reference (null on v2
+                    # delete-parquet entries)
+                    {"name": "referenced_data_file",
+                     "type": ["null", "string"],
+                     "default": None, "field-id": 143},
+                    {"name": "content_offset",
+                     "type": ["null", "long"],
+                     "default": None, "field-id": 144},
+                    {"name": "content_size_in_bytes",
+                     "type": ["null", "long"],
+                     "default": None, "field-id": 145},
                 ],
             },
         },
@@ -812,15 +1062,23 @@ def write_iceberg_delete_commit(
     table_path: str,
     pos_deletes: list[tuple[str, int]] | None = None,
     eq_deletes: tuple[list[str], list[tuple]] | None = None,
+    dv_deletes: dict[str, list[int]] | None = None,
 ) -> int:
-    """Append one v2 ROW-LEVEL-DELETE snapshot (fixture surface, like
+    """Append one ROW-LEVEL-DELETE snapshot (fixture surface, like
     ``write_iceberg_commit``): positional deletes are ``(data-file
     path as listed in the manifests, row position)`` rows in a delete
     parquet; equality deletes are rows over the named columns with the
     spec's ``equality_ids``. The commit stamps a data-sequence number
     on its manifest-list row (v2 inheritance), and upgrades the table
     metadata to format-version 2 — exercising ``read_iceberg``'s
-    merge-on-read path against real table bytes."""
+    merge-on-read path against real table bytes.
+
+    ``dv_deletes`` maps a data file's manifest-listed path to its
+    deleted row positions, written as format-v3 DELETION VECTORS: one
+    Puffin file carrying one ``deletion-vector-v1`` blob per
+    referenced file, manifest entries with ``referenced_data_file`` /
+    ``content_offset`` / ``content_size_in_bytes``, and the table
+    metadata tagged format-version 3 (VERDICT r8 item 9)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     md = _meta_dir(table_path)
@@ -907,6 +1165,55 @@ def write_iceberg_delete_commit(
                 },
             }
         )
+    if dv_deletes:
+        from optimus_any2any_spark.formats.puffin import (
+            DV_V1,
+            dv_puffin_blob,
+            write_puffin,
+        )
+
+        rel = f"data/{version:05d}-delete-dv.puffin"
+        blobs = [
+            (
+                dv_puffin_blob(positions),
+                {
+                    "type": DV_V1,
+                    "fields": [],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {
+                        "referenced-data-file": ref,
+                        "cardinality": str(len(set(positions))),
+                    },
+                },
+            )
+            for ref, positions in sorted(dv_deletes.items())
+        ]
+        rows = write_puffin(os.path.join(table_path, rel), blobs)
+        fsize = os.path.getsize(os.path.join(table_path, rel))
+        for row in rows:
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": rel,
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": int(
+                            row["properties"]["cardinality"]
+                        ),
+                        "file_size_in_bytes": fsize,
+                        "equality_ids": None,
+                        "referenced_data_file": row["properties"][
+                            "referenced-data-file"
+                        ],
+                        "content_offset": row["offset"],
+                        "content_size_in_bytes": row["length"],
+                    },
+                }
+            )
     if not entries:
         return prev_version
 
@@ -953,17 +1260,22 @@ def write_iceberg_delete_commit(
         ],
     )
     meta = dict(prev)
-    meta["format-version"] = 2
+    # row-level deletes need v2; deletion vectors are a v3 construct
+    meta["format-version"] = max(
+        3 if dv_deletes else 2, int(prev.get("format-version", 1))
+    )
     meta["last-sequence-number"] = seq
+    ts_ms = snapshot_timestamp_ms(prev)
     meta["snapshots"] = (prev.get("snapshots") or []) + [
         {
             "snapshot-id": snapshot_id,
-            "timestamp-ms": 0,
+            "timestamp-ms": ts_ms,
             "sequence-number": seq,
             "manifest-list": ml_rel,
             "summary": {"operation": "delete"},
         }
     ]
+    append_snapshot_log(meta, prev, ts_ms, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1164,9 +1476,10 @@ def write_iceberg_commit(
         for i, f in enumerate(df.schema.fields)
     ]
     snapshots = (prev.get("snapshots") if prev else None) or []
+    ts_ms = snapshot_timestamp_ms(prev)
     new_snap = {
         "snapshot-id": snapshot_id,
-        "timestamp-ms": 0,
+        "timestamp-ms": ts_ms,
         "manifest-list": ml_rel,
         "summary": {"operation": "append"},
     }
@@ -1177,7 +1490,7 @@ def write_iceberg_commit(
         "format-version": fmt,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
         "location": table_path,
-        "last-updated-ms": 0,
+        "last-updated-ms": ts_ms,
         "last-column-id": len(fields),
         "schema": {"type": "struct", "schema-id": 0, "fields": fields},
         "schemas": [
@@ -1219,6 +1532,7 @@ def write_iceberg_commit(
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots,
     }
+    append_snapshot_log(meta, prev, ts_ms, snapshot_id)
     if fmt >= 2:
         meta["last-sequence-number"] = seq
     path = os.path.join(md, f"v{version}.metadata.json")

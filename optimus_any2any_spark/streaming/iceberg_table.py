@@ -60,8 +60,11 @@ from optimus_any2any_spark.formats.avrobin import (
 from optimus_any2any_spark.sources.iceberg import (
     _localize,
     _meta_dir,
+    _puffin_dv_ref,
+    append_snapshot_log,
     iceberg_spark_schema,
     load_table_metadata,
+    snapshot_timestamp_ms,
     write_iceberg_commit,
 )
 # One positional-delete file per commit is the normal erasure shape;
@@ -563,6 +566,7 @@ def merge_iceberg_batch(
     untouched_seqs: list[int] = []  # live data entries NOT rewritten
     pos_del: list[dict] = []   # live positional/equality delete files:
     eq_del: list[dict] = []    # they gate the affected-file read below
+    _pf_cache: dict = {}       # one Puffin footer parse per DV file
     for m in manifests:
         if int(m.get("content") or 0) == 1:
             _, dentries = read_container(
@@ -581,7 +585,19 @@ def merge_iceberg_batch(
                     "equality_ids": list(df_.get("equality_ids") or []),
                 }
                 dmax = max(dmax, ent["seq"])
-                if int(df_.get("content") or 0) == 2 or ent[
+                if (
+                    df_.get("referenced_data_file") is not None
+                    or df_.get("content_offset") is not None
+                    or df_.get("content_size_in_bytes") is not None
+                ):
+                    # v3 deletion vector: the affected-file read
+                    # applies it like positional delete rows
+                    ent["dv"] = _puffin_dv_ref(
+                        table_path, df_, _pf_cache
+                    )
+                    has_pos = True
+                    pos_del.append(ent)
+                elif int(df_.get("content") or 0) == 2 or ent[
                     "equality_ids"
                 ]:
                     eq_del.append(ent)
@@ -877,9 +893,10 @@ def merge_iceberg_batch(
         summary["optimus-app-id"] = app_id
         summary["optimus-batch-id"] = str(batch_id)
     meta = dict(meta)
+    ts_ms = snapshot_timestamp_ms(meta)
     new_snap = {
         "snapshot-id": snapshot_id,
-        "timestamp-ms": 0,
+        "timestamp-ms": ts_ms,
         "manifest-list": ml_rel,
         "summary": summary,
     }
@@ -887,6 +904,7 @@ def merge_iceberg_batch(
         new_snap["sequence-number"] = seq
         meta["last-sequence-number"] = seq
     meta["snapshots"] = snaps + [new_snap]
+    append_snapshot_log(meta, meta, ts_ms, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1067,15 +1085,17 @@ def delete_iceberg_keys(
     # downgraded by a DELETE (ADVICE r8)
     meta["format-version"] = max(2, int(meta.get("format-version", 1)))
     meta["last-sequence-number"] = seq
+    ts_ms = snapshot_timestamp_ms(meta)
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": snapshot_id,
-            "timestamp-ms": 0,
+            "timestamp-ms": ts_ms,
             "sequence-number": seq,
             "manifest-list": ml_rel,
             "summary": summary,
         }
     ]
+    append_snapshot_log(meta, meta, ts_ms, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1297,15 +1317,17 @@ def delete_iceberg_positions(
     # downgraded by a DELETE (ADVICE r8)
     meta["format-version"] = max(2, int(meta.get("format-version", 1)))
     meta["last-sequence-number"] = seq
+    ts_ms = snapshot_timestamp_ms(meta)
     meta["snapshots"] = snaps + [
         {
             "snapshot-id": snapshot_id,
-            "timestamp-ms": 0,
+            "timestamp-ms": ts_ms,
             "sequence-number": seq,
             "manifest-list": ml_rel,
             "summary": summary,
         }
     ]
+    append_snapshot_log(meta, meta, ts_ms, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1391,6 +1413,7 @@ def compact_iceberg(
     walked: list[tuple[dict, list[dict]]] = []  # (ml row, entries)
     pos_del: list[dict] = []
     eq_del: list[dict] = []
+    _pf_cache: dict = {}  # one Puffin footer parse per DV file
     for m in manifests:
         _, entries = read_container(
             _localize(table_path, m["manifest_path"])
@@ -1409,7 +1432,16 @@ def compact_iceberg(
                     "seq": _eff_seq(e, m),
                     "equality_ids": list(df_.get("equality_ids") or []),
                 }
-                if int(df_.get("content") or 0) == 2 or ent[
+                if (
+                    df_.get("referenced_data_file") is not None
+                    or df_.get("content_offset") is not None
+                    or df_.get("content_size_in_bytes") is not None
+                ):
+                    ent["dv"] = _puffin_dv_ref(
+                        table_path, df_, _pf_cache
+                    )
+                    pos_del.append(ent)
+                elif int(df_.get("content") or 0) == 2 or ent[
                     "equality_ids"
                 ]:
                     eq_del.append(ent)
@@ -1692,9 +1724,10 @@ def compact_iceberg(
         os.path.join(table_path, ml_rel), MANIFEST_FILE_SCHEMA, ml_rows
     )
     meta = dict(meta)
+    ts_ms = snapshot_timestamp_ms(meta)
     new_snap = {
         "snapshot-id": snapshot_id,
-        "timestamp-ms": 0,
+        "timestamp-ms": ts_ms,
         "manifest-list": ml_rel,
         "summary": {"operation": "replace"},
     }
@@ -1702,6 +1735,7 @@ def compact_iceberg(
         new_snap["sequence-number"] = seq
         meta["last-sequence-number"] = seq
     meta["snapshots"] = snaps + [new_snap]
+    append_snapshot_log(meta, meta, ts_ms, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1719,6 +1753,7 @@ def expire_iceberg_snapshots(
     spark: SparkSession,
     table_path: str,
     keep_last: int = 1,
+    older_than=None,
 ) -> list[str]:
     """``expire_snapshots``: drop all but the newest ``keep_last``
     snapshots from the table metadata and DELETE every file (manifest
@@ -1726,9 +1761,17 @@ def expire_iceberg_snapshots(
     snapshots — the maintenance op that bounds metadata growth and
     reclaims compacted/rewritten bytes, the Iceberg twin of
     ``vacuum_delta``. Time travel to an expired snapshot then raises
-    (its metadata row is gone), exactly like the spec's expiration.
-    Returns the table-relative paths removed. Driver metadata work
-    only — no Spark job."""
+    (its metadata row is gone), exactly like the spec's expiration;
+    expired snapshots' ``snapshot-log`` entries are removed too, so
+    timestamp travel never resolves to missing data. Returns the
+    table-relative paths removed. Driver metadata work only — no
+    Spark job.
+
+    ``older_than`` (epoch-ms / ISO string / datetime) switches to
+    AGE-based expiration — Iceberg's ``expireOlderThan`` composed with
+    ``retainLast``: only snapshots whose ``timestamp-ms`` is strictly
+    before the cutoff expire, and the newest ``keep_last`` are always
+    retained regardless of age."""
     if keep_last < 1:
         raise ValueError("iceberg expire: keep_last must be >= 1")
     md = _meta_dir(table_path)
@@ -1740,14 +1783,28 @@ def expire_iceberg_snapshots(
     snaps = meta.get("snapshots") or []
     if len(snaps) <= keep_last:
         return []
-    keep = snaps[-keep_last:]
+    if older_than is not None:
+        from optimus_any2any_spark.sources.delta import _to_epoch_millis
+
+        cutoff = _to_epoch_millis(older_than)
+        expired = [
+            s
+            for s in snaps[:-keep_last]
+            if int(s.get("timestamp-ms") or 0) < cutoff
+        ]
+        if not expired:
+            return []
+        expired_ids = {s["snapshot-id"] for s in expired}
+        keep = [s for s in snaps if s["snapshot-id"] not in expired_ids]
+    else:
+        keep = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
     cur_id = meta.get("current-snapshot-id")
     if cur_id not in {s["snapshot-id"] for s in keep}:
         raise ValueError(
             "iceberg expire: keep_last would expire the CURRENT "
             "snapshot"
         )
-    expired = snaps[:-keep_last]
 
     def _refs(snapshot: dict) -> set[str]:
         out: set[str] = set()
@@ -1788,6 +1845,13 @@ def expire_iceberg_snapshots(
             gone.append(ref)
     meta = dict(meta)
     meta["snapshots"] = keep
+    kept_ids = {s["snapshot-id"] for s in keep}
+    if meta.get("snapshot-log"):
+        meta["snapshot-log"] = [
+            e
+            for e in meta["snapshot-log"]
+            if e.get("snapshot-id") in kept_ids
+        ]
     version = prev_version + 1
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1850,10 +1914,11 @@ def rollback_iceberg(
     version = prev_version + 1
     new_snap_id = version
     seq = int(meta.get("last-sequence-number") or 0) + 1
+    ts_ms = snapshot_timestamp_ms(meta)
     snap = {
         "snapshot-id": new_snap_id,
         "parent-snapshot-id": cur_id,
-        "timestamp-ms": 0,
+        "timestamp-ms": ts_ms,
         "sequence-number": seq,
         "summary": {
             "operation": "rollback",
@@ -1868,6 +1933,7 @@ def rollback_iceberg(
     if meta.get("format-version", 1) >= 2:
         meta["last-sequence-number"] = seq
     meta["snapshots"] = snaps + [snap]
+    append_snapshot_log(meta, meta, ts_ms, new_snap_id)
     meta["current-snapshot-id"] = new_snap_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"

@@ -967,6 +967,62 @@ class TestDeltaSink:
         Pipeline(spark, "FILE", ["DELTA"], cfg).run()
         assert _snap(spark, t) == [(2, "b")]
 
+    def test_restore_version_rider(self, spark, tmp_path):
+        # VERDICT r8 item 8: DELTA__RESTORE_VERSION drives
+        # restore_delta end-to-end through --to=DELTA
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts"
+        )
+        src = tmp_path / "in.json"
+        src.write_text('{"k": 9, "v": "z", "ts": 0}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"DELTA__SINK_URI=file://{t}",
+                "DELTA__RESTORE_VERSION=0",
+            ],
+            environ={},
+        )
+        # the append lands as v1, then the rider restores to v0 as a
+        # NEW commit (v2) — history preserved, state rolled back
+        Pipeline(spark, "FILE", ["DELTA"], cfg).run()
+        assert _snap(spark, t) == [(1, "a")]
+        from optimus_any2any_spark.sources.delta import replay_log
+
+        assert replay_log(spark, t)["version"] == 2
+
+    def test_restore_timestamp_rider(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts"
+        )
+        merge_delta_batch(
+            spark, _kv(spark, [(2, "b", 0)]), t, "k", "ts"
+        )
+        log = os.path.join(t, "_delta_log")
+        for v in range(2):
+            p = os.path.join(log, "%020d.json" % v)
+            os.utime(p, ((v + 1) * 1000, (v + 1) * 1000))
+        src = tmp_path / "in.json"
+        src.write_text('{"k": 9, "v": "z", "ts": 0}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"DELTA__SINK_URI=file://{t}",
+                "DELTA__RESTORE_TIMESTAMP=1500000",  # epoch-ms: at v0
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["DELTA"], cfg).run()
+        assert _snap(spark, t) == [(1, "a")]
+
     def test_merge_mode_requires_keys(self, spark, tmp_path):
         from optimus_any2any_spark.config import Config
         from optimus_any2any_spark.pipeline import Pipeline

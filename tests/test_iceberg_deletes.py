@@ -662,3 +662,210 @@ class TestPositionalDeleteWriter:
         meta = load_table_metadata(t)
         assert int(meta["format-version"]) == 3
         assert _snap(spark, t) == [(1, "a")]
+
+
+class TestPuffinDeletionVectors:
+    """Iceberg v3 deletion-vector READ (VERDICT r8 item 9): Puffin
+    blobs decode through formats/puffin.py and apply as the same
+    seq-gated anti-join as positional delete rows; merge and
+    compaction compose; unknown blob types refuse by name."""
+
+    def _mk(self, spark, t, rows):
+        write_iceberg_commit(_rows(spark, rows).coalesce(1), t)
+
+    def test_dv_rows_removed(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, [(1, "a"), (2, "b"), (3, "c")])
+        f0 = _data_paths(t)[0]
+        write_iceberg_delete_commit(
+            spark, t, dv_deletes={f0: [0, 2]}
+        )
+        meta = load_table_metadata(t)
+        assert int(meta["format-version"]) == 3
+        assert _snap(spark, t) == [(2, "b")]
+
+    def test_dv_per_referenced_file(self, spark, tmp_path):
+        # one blob per referenced file in ONE puffin file; each
+        # vector only erases its own file's positions
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, [(1, "a"), (2, "b")])
+        self._mk(spark, t, [(3, "c"), (4, "d")])
+        f0, f1 = sorted(_data_paths(t))
+        write_iceberg_delete_commit(
+            spark, t, dv_deletes={f0: [0], f1: [1]}
+        )
+        assert _snap(spark, t) == [(2, "b"), (3, "c")]
+
+    def test_reinsert_after_dv_survives(self, spark, tmp_path):
+        # a row re-inserted AFTER the DV commit lives in a new file
+        # the vector does not reference
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, [(1, "a"), (2, "b")])
+        f0 = _data_paths(t)[0]
+        write_iceberg_delete_commit(spark, t, dv_deletes={f0: [1]})
+        self._mk(spark, t, [(2, "b2")])
+        assert _snap(spark, t) == [(1, "a"), (2, "b2")]
+
+    def test_merge_over_dv_table(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame(
+                [(1, "a", 0), (2, "b", 0), (3, "c", 0)],
+                "k long, v string, ts long",
+            ).coalesce(1),
+            t,
+        )
+        f0 = _data_paths(t)[0]
+        write_iceberg_delete_commit(spark, t, dv_deletes={f0: [1]})
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(3, "c2", 1), (9, "z", 1)], "k long, v string, ts long"
+            ),
+            t, "k", "ts",
+        )
+        got = sorted(
+            (r.k, r.v) for r in read_iceberg(spark, t).collect()
+        )
+        # k=2 stays deleted (the merge read applied the DV and did not
+        # resurrect it in the rewrite); k=3 updated; k=9 inserted
+        assert got == [(1, "a"), (3, "c2"), (9, "z")]
+
+    def test_compaction_consumes_dv(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            compact_iceberg,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, [(1, "a"), (2, "b")])
+        self._mk(spark, t, [(3, "c"), (4, "d")])
+        f0 = sorted(_data_paths(t))[0]
+        write_iceberg_delete_commit(spark, t, dv_deletes={f0: [0]})
+        compact_iceberg(spark, t, target_rows_per_file=1000)
+        meta = load_table_metadata(t)
+        _d, pos, _e = _snapshot_entries(t, meta)
+        assert not pos  # the DV manifest retired with the rewrite
+        assert _snap(spark, t) == [(2, "b"), (3, "c"), (4, "d")]
+
+    def test_unknown_puffin_blob_type_refuses(self, spark, tmp_path):
+        from optimus_any2any_spark.formats.puffin import write_puffin
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, [(1, "a")])
+        f0 = _data_paths(t)[0]
+        write_iceberg_delete_commit(spark, t, dv_deletes={f0: [0]})
+        # rewrite the puffin file with a non-DV blob type at the same
+        # offset the manifest references
+        import glob as g
+
+        puf = g.glob(os.path.join(t, "data", "*.puffin"))[0]
+        write_puffin(
+            puf,
+            [(b"\x00" * 32, {"type": "apache-datasketches-theta-v1",
+                             "fields": [1]})],
+        )
+        with pytest.raises(NotImplementedError, match="blob type"):
+            _snapshot_entries(t, load_table_metadata(t))
+
+    def test_dv_expire_removes_puffin_file(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            expire_iceberg_snapshots,
+        )
+
+        t = str(tmp_path / "tbl")
+        self._mk(spark, t, [(1, "a"), (2, "b")])
+        self._mk(spark, t, [(3, "c"), (4, "d")])
+        f0 = sorted(_data_paths(t))[0]
+        write_iceberg_delete_commit(spark, t, dv_deletes={f0: [0]})
+        # compact away the DV (needs >=2 undersized files), then
+        # expire history: the puffin file is only referenced by
+        # expired snapshots and must be reclaimed
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            compact_iceberg,
+        )
+
+        assert compact_iceberg(
+            spark, t, target_rows_per_file=1000
+        ) is not None
+        gone = expire_iceberg_snapshots(spark, t, keep_last=1)
+        assert any(p.endswith(".puffin") for p in gone)
+        assert _snap(spark, t) == [(2, "b"), (3, "c"), (4, "d")]
+
+
+class TestPuffinContainer:
+    def test_roundtrip_footer_and_blob(self, tmp_path):
+        from optimus_any2any_spark.formats.puffin import (
+            dv_puffin_blob,
+            dv_puffin_blob_decode,
+            read_puffin_blob,
+            read_puffin_footer,
+            write_puffin,
+        )
+
+        p = str(tmp_path / "x.puffin")
+        b1 = dv_puffin_blob([5, 70000, 2**33 + 7])
+        b2 = dv_puffin_blob(list(range(100)))
+        rows = write_puffin(
+            p,
+            [
+                (b1, {"type": "deletion-vector-v1", "fields": []}),
+                (b2, {"type": "deletion-vector-v1", "fields": []}),
+            ],
+        )
+        footer = read_puffin_footer(p)
+        assert [b["offset"] for b in footer["blobs"]] == [
+            r["offset"] for r in rows
+        ]
+        got1 = dv_puffin_blob_decode(
+            read_puffin_blob(p, rows[0]["offset"], rows[0]["length"])
+        )
+        assert got1 == [5, 70000, 2**33 + 7]
+        got2 = dv_puffin_blob_decode(
+            read_puffin_blob(p, rows[1]["offset"], rows[1]["length"])
+        )
+        assert got2 == list(range(100))
+
+    def test_delta_magic_accepted_crc_gated(self):
+        import struct
+        import zlib
+
+        from optimus_any2any_spark.formats.puffin import (
+            DV_MAGIC_DELTA,
+            dv_puffin_blob_decode,
+        )
+        from optimus_any2any_spark.formats.roaring import (
+            serialize_rbm_array,
+        )
+
+        vec = DV_MAGIC_DELTA + serialize_rbm_array([1, 2, 3])
+        blob = (
+            struct.pack(">i", len(vec))
+            + vec
+            + struct.pack(">I", zlib.crc32(vec) & 0xFFFFFFFF)
+        )
+        assert dv_puffin_blob_decode(blob) == [1, 2, 3]
+        # corrupt one byte: the CRC must catch it
+        bad = bytearray(blob)
+        bad[10] ^= 0xFF
+        with pytest.raises(ValueError, match="checksum|magic|roaring"):
+            dv_puffin_blob_decode(bytes(bad))
+
+    def test_compressed_footer_refused(self, tmp_path):
+        from optimus_any2any_spark.formats.puffin import (
+            MAGIC,
+            read_puffin_footer,
+            write_puffin,
+        )
+
+        p = str(tmp_path / "x.puffin")
+        write_puffin(p, [(b"abc", {"type": "deletion-vector-v1"})])
+        raw = bytearray(open(p, "rb").read())
+        raw[-8] |= 0x01  # set the footer-compressed flag bit
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(NotImplementedError, match="LZ4"):
+            read_puffin_footer(p)
+        assert MAGIC == b"PFA1"
