@@ -91,6 +91,10 @@ _SF1_QUERIES = [
     "iceberg_days_partitioned_merge",
     "delta_dv_then_merge",
     "iceberg_delete_then_merge",
+    # round-8 positional-delete erasure: bounds-pruned read + key
+    # semi-join + O(deleted positions) delete file — the spot must
+    # scale with the erased footprint, never with table history
+    "iceberg_pos_delete_erasure",
     # dedup_semantic_trained and ann_ivf_topk are deliberately absent:
     # both are quadratic at FIXED partition granularity (k=8 clusters /
     # 64 IVF cells, pinned by their oracles), and their scale story is

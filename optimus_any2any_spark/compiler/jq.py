@@ -3558,6 +3558,39 @@ def _resolve_path_dtype(df: DataFrame, ptok: str):
     return dtype
 
 
+def _apply_fanout(
+    df: DataFrame, ptok: str, limit_n: int | None
+) -> DataFrame:
+    """``.path[]`` fan-out: emit each array ELEMENT as its own record
+    (jq generator iteration → relational explode). ``limit_n``
+    truncates the generator first (``limit(n; .path[])`` /
+    ``first(.path[])``) via an array slice, so the explode never
+    materializes the skipped tail. Only array<struct> elements keep
+    the record-as-object model (scalar elements would emit bare
+    values — binary path); jq ERRORS on iterating null, and explode's
+    drop-null/empty rows is the total relaxation consistent with the
+    rest of the subset."""
+    from pyspark.sql import types as T
+
+    dtype = _resolve_path_dtype(df, ptok)
+    if not (
+        isinstance(dtype, T.ArrayType)
+        and isinstance(dtype.elementType, T.StructType)
+    ):
+        raise JQUnsupported(
+            f"jq: fan-out over non-object array {ptok} (bare scalar "
+            "records) outside the native subset"
+        )
+    src = _path_col(ptok)
+    if limit_n is not None:
+        src = F.slice(src, 1, limit_n)
+    vnames = [c for c in df.columns if c.startswith(_VAR_PREFIX)]
+    return df.select(
+        F.explode(src).alias("__e"),
+        *[F.col("`" + v + "`") for v in vnames],
+    ).select("__e.*", *[F.col("`" + v + "`") for v in vnames])
+
+
 def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     # select(expr) — jq truthiness: null and false are falsy, any
     # other value (string/number/object/array) is truthy, so
@@ -3624,23 +3657,53 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
     # iterating null, and explode's drop-null/empty rows is the total
     # relaxation consistent with the rest of the subset.
     if len(toks) == 3 and toks[0].startswith(".") and toks[1:] == ["[", "]"]:
-        from pyspark.sql import types as T
-
-        ptok = toks[0]
-        dtype = _resolve_path_dtype(df, ptok)
+        return _apply_fanout(df, toks[0], None)
+    # limit(n; .path[]) / first(.path[]) — generator TRUNCATION over
+    # the same explode: slice the array to its first n elements, then
+    # fan out (VERDICT r8 item 4). Probed jq 1.6 edges: limit(0; f)
+    # emits ONE value there (the well-known 1.6 bug, fixed in 1.7) and
+    # limit(-1; f) emits everything — both non-obvious, so only a
+    # POSITIVE literal count compiles; zero/negative/computed counts
+    # stay on the binary, which reproduces 1.6 bit-faithfully.
+    # first(f) is jq's `limit(1; f)` (builtin.jq); on an empty array
+    # both emit nothing — explode's drop-empty matches exactly.
+    if (
+        toks[0] in ("limit", "first")
+        and len(toks) >= 3
+        and toks[1] == "("
+        and toks[-1] == ")"
+        and _is_full_group(toks[1:])
+    ):
+        inner = toks[2:-1]
+        if toks[0] == "first":
+            n_lit, gen = 1, inner
+        else:
+            semis = _split_top(inner, ";")
+            if len(semis) != 2:
+                raise JQUnsupported("jq: limit needs (n; generator)")
+            ntoks, gen = semis
+            if (
+                len(ntoks) != 1
+                or not re.fullmatch(r"\d+", ntoks[0])
+                or int(ntoks[0]) <= 0
+            ):
+                raise JQUnsupported(
+                    "jq: limit count must be a positive int literal "
+                    "(jq 1.6's limit(n<=0) behavior is its own bug "
+                    "class — binary)"
+                )
+            n_lit = int(ntoks[0])
         if not (
-            isinstance(dtype, T.ArrayType)
-            and isinstance(dtype.elementType, T.StructType)
+            len(gen) == 3
+            and gen[0].startswith(".")
+            and gen[0] != "."
+            and gen[1:] == ["[", "]"]
         ):
             raise JQUnsupported(
-                f"jq: fan-out over non-object array {ptok} (bare scalar "
-                "records) outside the native subset"
+                f"jq: {toks[0]} over a non-path-iteration generator "
+                "outside the native subset"
             )
-        vnames = [c for c in df.columns if c.startswith(_VAR_PREFIX)]
-        return df.select(
-            F.explode(_path_col(ptok)).alias("__e"),
-            *[F.col("`" + v + "`") for v in vnames],
-        ).select("__e.*", *[F.col("`" + v + "`") for v in vnames])
+        return _apply_fanout(df, gen[0], n_lit)
     # with_entries(BODY) — and the fused `to_entries | map(BODY) |
     # from_entries` pipeline translate_jq rewrites into it
     if (

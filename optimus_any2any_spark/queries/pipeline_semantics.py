@@ -555,6 +555,65 @@ def q_jq_builtins_fanout(spark, sf_dir):
 
 
 @register(
+    "q_jq_generator_limit",
+    oracle="""
+    WITH uniq AS (
+      SELECT DISTINCT l_orderkey AS okey,
+             CAST(l_linenumber AS BIGINT) AS ln,
+             l_quantity AS qty
+      FROM lineitem
+    ),
+    items AS (
+      SELECT okey, ln, qty,
+             row_number() OVER (
+               PARTITION BY okey ORDER BY ln, qty
+             ) AS rn
+      FROM uniq
+    )
+    SELECT okey, ln, qty FROM items
+    WHERE rn <= 3 AND qty > 25
+    ORDER BY okey, ln, qty
+    """,
+    doc="Native jq GENERATOR fan-out with truncation (VERDICT r8 item "
+    "4) as ONE compiled program through the oracle gate: per order, "
+    "the lineitems roll up into a sorted array<struct> column, then "
+    "`.[] | limit(3; .items[]) | select(.qty > 25) | {okey, ln, "
+    "qty}` compiles to an array slice + explode + filter + "
+    "projection — each element flows through the downstream stages "
+    "as its own record, all Catalyst (compiler/jq.py _apply_fanout), "
+    "no jq binary. jq 1.6's limit(n<=0) bug class stays on the "
+    "binary (probed; only positive literal counts compile). Plan "
+    "pinned Python-free in tests/test_plan_quality.py.",
+    bench=True,
+)
+def q_jq_generator_limit(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+
+    # distinct triples make the per-order element order total: the
+    # synthetic lineitem repeats l_linenumber within an order, and a
+    # truncating generator is only engine-comparable when the sort
+    # key it truncates under is unique
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.col("l_quantity").alias("qty"),
+    ).distinct()
+    # sort_array orders the structs lexicographically by field order
+    # (ln, qty), making the generator's element order deterministic —
+    # collect_list alone is partition-order-dependent
+    d = li.groupBy(F.col("okey").alias("gk")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ln", "qty", "okey"))
+        ).alias("items")
+    )
+    prog = (
+        ".[] | limit(3; .items[]) | select(.qty > 25) "
+        "| {okey, ln, qty}"
+    )
+    return translate_jq(d, prog).orderBy("okey", "ln", "qty")
+
+
+@register(
     "q_jq_capture_stage",
     oracle="""
     SELECT 'user' || CAST(doc_id AS VARCHAR) AS user_part,

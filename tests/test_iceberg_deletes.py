@@ -869,3 +869,51 @@ class TestPuffinContainer:
         with pytest.raises(NotImplementedError, match="LZ4"):
             read_puffin_footer(p)
         assert MAGIC == b"PFA1"
+
+
+class TestPosDeleteBoundsPruning:
+    def test_delete_read_scans_only_bound_matching_files(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # VERDICT r8 item 7: the DELETE's internal read must be
+        # bounds-pruned — only data files whose Appendix-D
+        # lower/upper bounds can hold a deleted key are scanned
+        import optimus_any2any_spark.sources.iceberg as srcice
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_positions,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        # one merge, small target → multiple files range-split by k,
+        # each with recorded key bounds
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(i, f"v{i}", 0) for i in range(300)],
+                "k long, v string, ts long",
+            ),
+            t, "k", "ts", target_rows_per_file=50,
+        )
+        meta = srcice.load_table_metadata(t)
+        data, _p, _e = srcice._snapshot_entries(t, meta)
+        assert len(data) >= 4  # the fixture actually split
+
+        seen = {}
+        orig = srcice.read_entries_with_deletes
+
+        def spy(spark_, meta_, schema_, data_, pos_, eq_, **kw):
+            seen["n_data"] = len(data_)
+            return orig(spark_, meta_, schema_, data_, pos_, eq_, **kw)
+
+        monkeypatch.setattr(
+            srcice, "read_entries_with_deletes", spy
+        )
+        delete_iceberg_positions(
+            spark, t, "k",
+            spark.createDataFrame([(5,), (7,)], "k long"),
+        )
+        assert seen["n_data"] < len(data)  # pruned, not the table
+        assert seen["n_data"] >= 1
+        got = sorted(r.k for r in read_iceberg(spark, t).collect())
+        assert got == [i for i in range(300) if i not in (5, 7)]

@@ -414,6 +414,74 @@ class TestReduceForeachInterpolation:
         with pytest.raises(JQUnsupported):
             translate_jq(df2, ".[] | .t[]")
 
+    def test_limit_first_generator_truncation(self, spark):
+        # limit(n; .path[]) / first(.path[]) — generator truncation
+        # over the fan-out explode (VERDICT r8 item 4), differential
+        # vs jq 1.6
+        rows = [
+            {
+                "oid": 1,
+                "items": [
+                    {"sku": "a", "qty": 2},
+                    {"sku": "b", "qty": 1},
+                    {"sku": "c", "qty": 7},
+                ],
+            },
+            {"oid": 2, "items": [{"sku": "d", "qty": 5}]},
+            {"oid": 3, "items": []},
+        ]
+        df = spark.createDataFrame(
+            rows, "oid long, items array<struct<sku:string,qty:long>>"
+        )
+        key = lambda d: json.dumps(d, sort_keys=True)
+        for program in (
+            ".[] | limit(2; .items[])",
+            ".[] | limit(2; .items[]) | {sku}",
+            ".[] | limit(5; .items[])",  # n past the end: all elements
+            ".[] | first(.items[])",     # empty array: emits nothing
+            ".[] | first(.items[]) | {sku, dq: (.qty * 2)}",
+            ".[] | limit(2; .items[]) | select(.qty > 1)",
+        ):
+            got = spark_rows(translate_jq(df, program))
+            expect = jq_oracle(program, rows)
+            assert sorted(got, key=key) == sorted(expect, key=key), program
+        # the truncation composes with downstream stages per ELEMENT:
+        # only the first 2 items of oid=1 survive, so sku "c" (qty 7)
+        # must NOT appear even though it passes the select
+        got = spark_rows(
+            translate_jq(df, ".[] | limit(2; .items[]) | select(.qty > 1)")
+        )
+        assert {r["sku"] for r in got} == {"a", "d"}
+
+    def test_limit_jq16_buggy_counts_stay_binary(self, spark):
+        # probed jq 1.6: limit(0; f) emits ONE value (its own bug,
+        # fixed in 1.7) and limit(-1; f) emits everything — neither
+        # compiles; computed counts are out too
+        df = spark.createDataFrame(
+            [(1, [{"a": 1}])], "id long, xs array<struct<a:long>>"
+        )
+        for program in (
+            ".[] | limit(0; .xs[])",
+            ".[] | limit(-1; .xs[])",
+            ".[] | limit(.id; .xs[])",
+            ".[] | limit(2; .xs[] | select(.a > 0))",  # composite gen
+            ".[] | first(.id)",  # non-iteration generator
+        ):
+            with pytest.raises(JQUnsupported):
+                translate_jq(df, program)
+        # ...and the binary path reproduces 1.6's limit(0) bug exactly
+        rows = [{"id": 1, "xs": [{"a": 1}, {"a": 2}]}]
+        assert jq_oracle(".[] | limit(0; .xs[])", rows) == [{"a": 1}]
+
+    def test_limit_fanout_plan_python_free(self, spark):
+        df = spark.createDataFrame(
+            [(1, [{"a": 1}])], "id long, xs array<struct<a:long>>"
+        )
+        out = translate_jq(df, ".[] | limit(1; .xs[]) | {a}")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "mapInPandas" not in plan.lower()
+
     def test_nested_object_construction(self, spark, df2):
         # objects in expression position compile to F.struct; nested
         # null fields serialize explicitly, exactly as jq emits them

@@ -603,6 +603,17 @@ class TestRound5Plans:
         assert r.num_exchanges <= 2, r.text
         assert set(r.scan_columns()[0]) == {"doc_id", "lang", "text"}
 
+    def test_jq_generator_limit_stays_native(self, spark):
+        # limit(3; .items[]) compiles to slice + explode (Generate) —
+        # no jq binary (mapInPandas), no Python anywhere in the plan;
+        # the only exchanges are the rollup groupBy and the
+        # presentation sort
+        r = report(spark, "q_jq_generator_limit")
+        assert "mapInPandas" not in r.text.lower(), r.text
+        assert "Python" not in r.text, r.text
+        assert "Generate" in r.text, r.text  # the explode
+        assert "slice(" in r.text, r.text    # the truncation
+
     def test_dv_read_is_one_anti_join(self, spark):
         # deletion vectors apply as ONE left-anti join on
         # (file basename, _metadata.row_index) — the vectors decode in
@@ -617,6 +628,20 @@ class TestRound5Plans:
         # shared subtrees, so counting occurrences over-states)
         assert "arrowevalpython" in r.text.lower(), r.text
         assert "batchevalpython" not in r.text.lower(), r.text
+
+    def test_pos_delete_erasure_read_plan(self, spark):
+        # the merge-on-read result of two positional-delete commits:
+        # ONE seq-gated anti-join applies every delete file's
+        # (file_path, pos) rows; no Python operator, no nested-loop /
+        # cartesian join anywhere (VERDICT r8 item 7 — the behavioral
+        # tests didn't pin the plan)
+        r = report(spark, "iceberg_pos_delete_erasure")
+        assert "LeftAnti" in r.text or "left_anti" in r.text.lower(), (
+            r.text
+        )
+        assert "batchevalpython" not in r.text.lower(), r.text
+        assert "mapinpandas" not in r.text.lower(), r.text
+        assert r.num_nested_loop_joins == 0, r.text
 
     def test_eq_delete_read_is_anti_join(self, spark):
         # equality deletes apply as sequence-gated anti-joins over the
