@@ -209,6 +209,28 @@ def delta_sink(df: DataFrame, cfg: Config):
     # table maintenance riders: OPTIMIZE compaction and VACUUM after
     # the write, so a CLI-driven pipeline can keep its target healthy
     # without a separate tool
+    if c.get("add_constraint"):
+        # DELTA__ADD_CONSTRAINT=name:expr — ALTER TABLE ADD CONSTRAINT
+        # CHECK; later writes validate their rows against it
+        from optimus_any2any_spark.streaming.delta_table import (
+            set_delta_constraint,
+        )
+
+        spec = c["add_constraint"]
+        if ":" not in spec:
+            raise ValueError(
+                "DELTA__ADD_CONSTRAINT must be <name>:<sql expression>"
+            )
+        cname, cexpr = spec.split(":", 1)
+        set_delta_constraint(df.sparkSession, path, cname.strip(), cexpr)
+    if c.get("drop_constraint"):
+        from optimus_any2any_spark.streaming.delta_table import (
+            drop_delta_constraint,
+        )
+
+        drop_delta_constraint(
+            df.sparkSession, path, c["drop_constraint"].strip()
+        )
     if c.get("restore_version") or c.get("restore_timestamp"):
         # DELTA__RESTORE_VERSION / DELTA__RESTORE_TIMESTAMP: RESTORE
         # TO {VERSION|TIMESTAMP} AS OF as a new commit, after the

@@ -182,6 +182,54 @@ def resolve_delta_timestamp(
     return best
 
 
+def table_constraints(meta: dict | None) -> dict[str, str]:
+    """``name -> SQL expression`` from the table's
+    ``delta.constraints.<name>`` configuration (the checkConstraints
+    writer feature)."""
+    conf = (meta or {}).get("configuration") or {}
+    return {
+        k[len("delta.constraints."):]: v
+        for k, v in conf.items()
+        if k.startswith("delta.constraints.")
+    }
+
+
+def check_delta_constraints(
+    meta: dict | None, batch: DataFrame, verb: str
+) -> None:
+    """Enforce the table's CHECK constraints on rows a writer is about
+    to ADD (PROTOCOL.md "CHECK Constraints": the expression *must
+    evaluate to true* for every written row — false AND null violate,
+    delta-spark's enforcement semantics, stricter than SQL-standard
+    CHECK). One aggregate over the batch covers every constraint; no
+    job runs when the table declares none."""
+    constraints = table_constraints(meta)
+    if not constraints:
+        return
+    names = sorted(constraints)
+    row = batch.agg(
+        *[
+            F.count(
+                F.when(
+                    ~F.coalesce(
+                        F.expr(constraints[n]).cast("boolean"),
+                        F.lit(False),
+                    ),
+                    1,
+                )
+            ).alias(f"__c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).collect()[0]
+    for i, n in enumerate(names):
+        bad = row[f"__c{i}"]
+        if bad:
+            raise ValueError(
+                f"delta {verb}: CHECK constraint {n!r} "
+                f"({constraints[n]}) violated by {bad} row(s)"
+            )
+
+
 def replay_log(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> dict:
@@ -1077,6 +1125,20 @@ def write_delta_commit(
         if f.endswith(".json") and f[:20].isdigit()
     ]
     version = max(existing) + 1 if existing else 0
+    if version > 0:
+        # an append against an existing table honors its writer
+        # features: CHECK constraints gate the new rows, appendOnly
+        # forbids the remove escape hatch
+        state = replay_log(df.sparkSession, table_path)
+        check_delta_constraints(state["meta"], df, "append")
+        if remove_paths and (
+            (state["meta"] or {}).get("configuration") or {}
+        ).get("delta.appendOnly") == "true":
+            raise ValueError(
+                "delta append: table is appendOnly "
+                "(delta.appendOnly=true) — remove tombstones are "
+                "forbidden by the table's own configuration"
+            )
     actions: list[dict] = []
     if version == 0:
         actions.append(

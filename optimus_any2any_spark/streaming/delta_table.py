@@ -638,6 +638,77 @@ def _write_checkpoint(
     _put_data(tmp_last, last)
 
 
+def set_delta_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
+    EXISTING rows first (delta-spark refuses to add a constraint the
+    table already violates), then commits a metaData re-statement
+    carrying ``delta.constraints.<name>`` plus the protocol upgrade
+    declaring the ``checkConstraints`` writer feature (merged, never
+    overwritten — other declared features survive). Every subsequent
+    merge/append validates its added rows against the expression
+    (PROTOCOL.md "CHECK Constraints"). Returns the committed
+    version."""
+    from optimus_any2any_spark.sources.delta import (
+        check_delta_constraints,
+        read_delta,
+        table_constraints,
+    )
+
+    state = replay_log(spark, table_path)
+    if state["meta"] is None:
+        raise ValueError(f"delta constraint: no table at {table_path}")
+    if name in table_constraints(state["meta"]):
+        raise ValueError(
+            f"delta constraint: {name!r} already exists (drop it first)"
+        )
+    probe_meta = {
+        "configuration": {f"delta.constraints.{name}": expr}
+    }
+    check_delta_constraints(
+        probe_meta, read_delta(spark, table_path), "add constraint"
+    )
+    meta = dict(state["meta"])
+    conf = dict(meta.get("configuration") or {})
+    conf[f"delta.constraints.{name}"] = expr
+    meta["configuration"] = conf
+    actions: list[dict] = []
+    proto = _merged_protocol(
+        state.get("protocol"), [], ["checkConstraints"]
+    )
+    if proto is not None:
+        actions.append({"protocol": proto})
+    actions.append({"metaData": meta})
+    version = state["version"] + 1
+    _commit(_log_dir(table_path), version, actions)
+    return version
+
+
+def drop_delta_constraint(
+    spark: SparkSession, table_path: str, name: str
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: re-states metaData without the
+    named ``delta.constraints.`` entry. Raises when the constraint
+    does not exist (delta-spark's default; there is no IF EXISTS
+    here)."""
+    state = replay_log(spark, table_path)
+    if state["meta"] is None:
+        raise ValueError(f"delta constraint: no table at {table_path}")
+    key = f"delta.constraints.{name}"
+    conf = dict((state["meta"].get("configuration") or {}))
+    if key not in conf:
+        raise ValueError(
+            f"delta constraint: {name!r} does not exist on the table"
+        )
+    del conf[key]
+    meta = dict(state["meta"])
+    meta["configuration"] = conf
+    version = state["version"] + 1
+    _commit(_log_dir(table_path), version, [{"metaData": meta}])
+    return version
+
+
 def restore_delta(
     spark: SparkSession,
     table_path: str,
@@ -1180,6 +1251,14 @@ def merge_delta_batch(
         .localCheckpoint(eager=True)
     )
     n_total = latest.count()
+    if n_total > 0:
+        # CHECK constraints gate every row the merge ADDS (rows
+        # re-written from affected files already satisfied them)
+        from optimus_any2any_spark.sources.delta import (
+            check_delta_constraints,
+        )
+
+        check_delta_constraints(state["meta"], latest, "merge")
     if n_total == 0:
         if not evolved:
             return state["version"]
