@@ -1602,6 +1602,63 @@ def iceberg_rollback_read(spark, sf_dir):
 
 
 @register(
+    "delta_generated_partition_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             CAST(o_orderkey % 5 AS VARCHAR) AS bucket
+      FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM base GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Delta GENERATED columns end-to-end (PROTOCOL.md Generated "
+    "Columns, writer feature minWriterVersion 4): the table is "
+    "CREATED data-free with bucket = cast(k % 5 as string) as a "
+    "generated PARTITION column (create_delta_table), then orders "
+    "rows are merged WITHOUT the column — the writer computes it "
+    "from the generation expression, routes the rows into the "
+    "generated partitions (partitionValues carry the computed "
+    "values, so readers prune without trusting the producer), and "
+    "refuses any provided value that diverges "
+    "(tests/test_delta_generated_columns.py). The read-back "
+    "aggregate must equal the plain SQL re-expression.",
+    bench=False,
+)
+def delta_generated_partition_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        create_delta_table,
+        merge_delta_batch,
+    )
+
+    t = _fixture_dir("delta_genpart", sf_dir)
+    create_delta_table(
+        spark, t,
+        "k long, price double, ts long, bucket string",
+        partition_by=["bucket"],
+        generated={"bucket": "cast(k % 5 as string)"},
+    )
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "iceberg_v3_dv_read",
     oracle=f"""
     WITH base AS (

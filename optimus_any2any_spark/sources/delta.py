@@ -32,7 +32,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -228,6 +228,62 @@ def check_delta_constraints(
                 f"delta {verb}: CHECK constraint {n!r} "
                 f"({constraints[n]}) violated by {bad} row(s)"
             )
+
+
+def generated_columns(meta: dict | None) -> dict[str, str]:
+    """``column -> generation expression`` from schemaString field
+    metadata (``delta.generationExpression`` — the generatedColumns
+    writer feature, PROTOCOL.md "Generated Columns")."""
+    if not meta:
+        return {}
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"]).get("fields") or []:
+        ge = (f.get("metadata") or {}).get("delta.generationExpression")
+        if ge is not None:
+            out[f["name"]] = ge
+    return out
+
+
+def apply_generated_columns(
+    meta: dict | None, batch: DataFrame, verb: str
+) -> DataFrame:
+    """Honor the table's generated columns on rows a writer ADDS:
+    columns ABSENT from the batch are computed from their generation
+    expressions (cast to the declared type); columns PROVIDED must
+    null-safe-equal the expression for every row, else the write
+    refuses — delta-spark's enforcement (a silently-divergent provided
+    value would corrupt the generation invariant downstream readers
+    rely on, e.g. partition pruning on a generated date)."""
+    gens = generated_columns(meta)
+    if not gens:
+        return batch
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    checks: list[tuple[str, Column]] = []
+    for col in sorted(gens):
+        gen = F.expr(gens[col]).cast(schema[col].dataType)
+        if col not in batch.columns:
+            batch = batch.withColumn(col, gen)
+        else:
+            checks.append((col, gen))
+    if checks:
+        row = batch.agg(
+            *[
+                F.count(
+                    F.when(~F.col(c).eqNullSafe(g), 1)
+                ).alias(f"__g{i}")
+                for i, (c, g) in enumerate(checks)
+            ]
+        ).collect()[0]
+        for i, (c, _g) in enumerate(checks):
+            bad = row[f"__g{i}"]
+            if bad:
+                raise ValueError(
+                    f"delta {verb}: generated column {c!r} was "
+                    "provided with values that do not match its "
+                    f"generation expression ({gens[c]}) for {bad} "
+                    "row(s)"
+                )
+    return batch
 
 
 def replay_log(
@@ -1130,7 +1186,21 @@ def write_delta_commit(
         # features: CHECK constraints gate the new rows, appendOnly
         # forbids the remove escape hatch
         state = replay_log(df.sparkSession, table_path)
+        df = apply_generated_columns(state["meta"], df, "append")
         check_delta_constraints(state["meta"], df, "append")
+        table_parts = list(
+            (state["meta"] or {}).get("partitionColumns") or []
+        )
+        if table_parts:
+            # a partitioned table's layout is the TABLE's, not the
+            # caller's: adds without the right partitionValues would
+            # silently break partition pruning for every reader
+            if partition_by and list(partition_by) != table_parts:
+                raise ValueError(
+                    f"delta append: partition_by {partition_by} != "
+                    f"the table's partition columns {table_parts}"
+                )
+            part_cols = table_parts
         if remove_paths and (
             (state["meta"] or {}).get("configuration") or {}
         ).get("delta.appendOnly") == "true":

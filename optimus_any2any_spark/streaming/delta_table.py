@@ -638,6 +638,76 @@ def _write_checkpoint(
     _put_data(tmp_last, last)
 
 
+def create_delta_table(
+    spark: SparkSession,
+    table_path: str,
+    schema_ddl: str,
+    partition_by: list[str] | None = None,
+    generated: dict[str, str] | None = None,
+    configuration: dict[str, str] | None = None,
+) -> int:
+    """CREATE TABLE as a data-free commit 0 (protocol + metaData
+    only) — the surface that lets a table declare GENERATED columns
+    (``generated={col: sql_expr}`` records
+    ``delta.generationExpression`` in the field metadata and stamps
+    legacy ``minWriterVersion`` 4, the generatedColumns writer
+    feature) or arbitrary configuration (``delta.appendOnly``,
+    ``delta.constraints.*``, CDF) before the first data arrives.
+    Subsequent merges/appends COMPUTE absent generated columns from
+    their expressions and refuse provided values that diverge
+    (``apply_generated_columns``); partitioning a table on a generated
+    date column is the classic shape — writers then get partition
+    pruning for free without trusting the producer to send the
+    column."""
+    import uuid
+
+    if os.path.isdir(_log_dir(table_path)):
+        raise ValueError(
+            f"delta create: table already exists at {table_path}"
+        )
+    schema = T.StructType.fromDDL(schema_ddl)
+    generated = generated or {}
+    missing = [c for c in generated if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(
+            f"delta create: generated columns {missing} not in schema"
+        )
+    fields = []
+    for f in schema.fields:
+        d = f.jsonValue()
+        if f.name in generated:
+            md = dict(d.get("metadata") or {})
+            md["delta.generationExpression"] = generated[f.name]
+            d["metadata"] = md
+        fields.append(d)
+    schema_json = json.dumps({"type": "struct", "fields": fields})
+    part_cols = list(partition_by or [])
+    bad = [c for c in part_cols if c not in schema.fieldNames()]
+    if bad:
+        raise ValueError(
+            f"delta create: partition columns {bad} not in schema"
+        )
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 4 if generated else 2,
+            }
+        },
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": part_cols,
+                "configuration": dict(configuration or {}),
+            }
+        },
+    ]
+    _commit(_log_dir(table_path), 0, actions)
+    return 0
+
+
 def set_delta_constraint(
     spark: SparkSession, table_path: str, name: str, expr: str
 ) -> int:
@@ -1183,6 +1253,13 @@ def merge_delta_batch(
 
     evolved = False
     if state["meta"] is not None:
+        # generated columns: compute the absent ones from their
+        # generation expressions, validate the provided ones
+        from optimus_any2any_spark.sources.delta import (
+            apply_generated_columns,
+        )
+
+        batch = apply_generated_columns(state["meta"], batch, "merge")
         schema = T.StructType.fromJson(
             json.loads(state["meta"]["schemaString"])
         )
