@@ -345,6 +345,21 @@ def iceberg_sink(df: DataFrame, cfg: Config):
         )
     else:
         raise ValueError(f"ICEBERG sink: unknown mode {mode!r}")
+    if c.get("tag"):
+        # ICEBERG__TAG=<name>: tag the table's CURRENT snapshot after
+        # the write — the audit handle that protects it from
+        # expiration until dropped
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_ref,
+        )
+
+        set_iceberg_ref(df.sparkSession, path, c["tag"].strip())
+    if c.get("drop_ref"):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            drop_iceberg_ref,
+        )
+
+        drop_iceberg_ref(df.sparkSession, path, c["drop_ref"].strip())
     if c.get("rollback_snapshot"):
         # ICEBERG__ROLLBACK_SNAPSHOT=<id>: history-preserving rollback
         # commit after the write (VERDICT r8 item 8)

@@ -538,7 +538,8 @@ def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
     ``ICEBERG__SOURCE_URI=file:///path/to/table``; optional
     ``ICEBERG__SNAPSHOT_ID`` time-travels, or
     ``ICEBERG__AS_OF_TIMESTAMP`` (epoch-ms or ISO string) resolves
-    TIMESTAMP AS OF through the snapshot log."""
+    TIMESTAMP AS OF through the snapshot log, and ``ICEBERG__REF``
+    reads a named tag or branch."""
     from optimus_any2any_spark.sources.iceberg import read_iceberg
 
     uri = cfg.get("ICEBERG__SOURCE_URI")
@@ -551,5 +552,5 @@ def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
         ts = int(ts)
     return read_iceberg(
         spark, path, snapshot_id=int(snap) if snap else None,
-        as_of_timestamp=ts,
+        as_of_timestamp=ts, ref=cfg.get("ICEBERG__REF"),
     )

@@ -134,6 +134,33 @@ def append_snapshot_log(
     ]
 
 
+def advance_main_ref(meta: dict, snapshot_id: int) -> None:
+    """Keep the ``main`` branch ref in step with
+    ``current-snapshot-id`` when the table carries a refs map —
+    Iceberg writes ``refs.main`` on every commit, and a stale main
+    would make branch reads diverge from the current snapshot."""
+    refs = meta.get("refs")
+    if refs and "main" in refs:
+        refs = dict(refs)
+        refs["main"] = dict(refs["main"])
+        refs["main"]["snapshot-id"] = snapshot_id
+        meta["refs"] = refs
+
+
+def resolve_iceberg_ref(meta: dict, name: str) -> int:
+    """Snapshot ref (spec "Snapshot References": the metadata ``refs``
+    map of named tags and branches) → snapshot-id. Raises on an
+    unknown ref, like Iceberg's VERSION AS OF a missing branch/tag."""
+    refs = meta.get("refs") or {}
+    r = refs.get(name)
+    if r is None:
+        raise ValueError(
+            f"iceberg: unknown ref {name!r} "
+            f"(known: {sorted(refs) or 'none'})"
+        )
+    return int(r["snapshot-id"])
+
+
 def resolve_iceberg_timestamp(meta: dict, timestamp) -> int:
     """TIMESTAMP AS OF → snapshot-id: the LATEST snapshot-log entry
     whose ``timestamp-ms <= timestamp`` — Iceberg's
@@ -601,6 +628,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     key_range: tuple | None = None,
     as_of_timestamp=None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot read of an Iceberg table; ``snapshot_id`` time-travels
     to any retained snapshot (the spec's SNAPSHOT AS OF), and
@@ -608,8 +636,10 @@ def read_iceberg(
     through the metadata's ``snapshot-log`` to the latest snapshot at
     or before that time — Iceberg's TIMESTAMP AS OF
     (``SnapshotUtil.snapshotIdAsOfTime``; clamps to current past the
-    end of history, raises before the first snapshot). Mutually
-    exclusive with ``snapshot_id``.
+    end of history, raises before the first snapshot). ``ref`` reads
+    a named TAG or BRANCH from the metadata ``refs`` map (the spec's
+    VERSION AS OF 'name'). The three selectors are mutually
+    exclusive.
 
     ``key_range=(col, lo, hi)`` applies the range predicate AND skips
     data files whose Appendix-D ``lower_bounds``/``upper_bounds`` for
@@ -630,12 +660,20 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(table_path)
+    if (
+        sum(
+            x is not None
+            for x in (snapshot_id, as_of_timestamp, ref)
+        )
+        > 1
+    ):
+        raise ValueError(
+            "iceberg read: snapshot_id / as_of_timestamp / ref are "
+            "mutually exclusive"
+        )
+    if ref is not None:
+        snapshot_id = resolve_iceberg_ref(meta, ref)
     if as_of_timestamp is not None:
-        if snapshot_id is not None:
-            raise ValueError(
-                "iceberg read: snapshot_id and as_of_timestamp are "
-                "mutually exclusive"
-            )
         snapshot_id = resolve_iceberg_timestamp(meta, as_of_timestamp)
     schema = iceberg_spark_schema(meta)
     data, pos_del, eq_del = _snapshot_entries(
@@ -1276,6 +1314,7 @@ def write_iceberg_delete_commit(
         }
     ]
     append_snapshot_log(meta, prev, ts_ms, snapshot_id)
+    advance_main_ref(meta, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1532,7 +1571,10 @@ def write_iceberg_commit(
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots,
     }
+    if prev and prev.get("refs"):
+        meta["refs"] = prev["refs"]  # tags/branches survive appends
     append_snapshot_log(meta, prev, ts_ms, snapshot_id)
+    advance_main_ref(meta, snapshot_id)
     if fmt >= 2:
         meta["last-sequence-number"] = seq
     path = os.path.join(md, f"v{version}.metadata.json")

@@ -61,6 +61,7 @@ from optimus_any2any_spark.sources.iceberg import (
     _localize,
     _meta_dir,
     _puffin_dv_ref,
+    advance_main_ref,
     append_snapshot_log,
     iceberg_spark_schema,
     load_table_metadata,
@@ -905,6 +906,7 @@ def merge_iceberg_batch(
         meta["last-sequence-number"] = seq
     meta["snapshots"] = snaps + [new_snap]
     append_snapshot_log(meta, meta, ts_ms, snapshot_id)
+    advance_main_ref(meta, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1096,6 +1098,7 @@ def delete_iceberg_keys(
         }
     ]
     append_snapshot_log(meta, meta, ts_ms, snapshot_id)
+    advance_main_ref(meta, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1328,6 +1331,7 @@ def delete_iceberg_positions(
         }
     ]
     append_snapshot_log(meta, meta, ts_ms, snapshot_id)
+    advance_main_ref(meta, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1736,6 +1740,7 @@ def compact_iceberg(
         meta["last-sequence-number"] = seq
     meta["snapshots"] = snaps + [new_snap]
     append_snapshot_log(meta, meta, ts_ms, snapshot_id)
+    advance_main_ref(meta, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
@@ -1783,6 +1788,12 @@ def expire_iceberg_snapshots(
     snaps = meta.get("snapshots") or []
     if len(snaps) <= keep_last:
         return []
+    # snapshots referenced by a tag or branch are PROTECTED (spec
+    # "Snapshot References": expiration respects refs until dropped)
+    protected = {
+        int(r["snapshot-id"])
+        for r in (meta.get("refs") or {}).values()
+    }
     if older_than is not None:
         from optimus_any2any_spark.sources.delta import _to_epoch_millis
 
@@ -1791,14 +1802,18 @@ def expire_iceberg_snapshots(
             s
             for s in snaps[:-keep_last]
             if int(s.get("timestamp-ms") or 0) < cutoff
+            and s["snapshot-id"] not in protected
         ]
-        if not expired:
-            return []
-        expired_ids = {s["snapshot-id"] for s in expired}
-        keep = [s for s in snaps if s["snapshot-id"] not in expired_ids]
     else:
-        keep = snaps[-keep_last:]
-        expired = snaps[:-keep_last]
+        expired = [
+            s
+            for s in snaps[:-keep_last]
+            if s["snapshot-id"] not in protected
+        ]
+    if not expired:
+        return []
+    expired_ids = {s["snapshot-id"] for s in expired}
+    keep = [s for s in snaps if s["snapshot-id"] not in expired_ids]
     cur_id = meta.get("current-snapshot-id")
     if cur_id not in {s["snapshot-id"] for s in keep}:
         raise ValueError(
@@ -1863,6 +1878,88 @@ def expire_iceberg_snapshots(
         f.write(str(version))
     os.replace(tmph, hint)
     return gone
+
+
+def set_iceberg_ref(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """CREATE TAG / CREATE BRANCH (spec "Snapshot References"): record
+    ``refs[name] = {snapshot-id, type}`` in the table metadata as a
+    data-free metadata version. ``snapshot_id`` defaults to the
+    CURRENT snapshot. Ref'd snapshots are protected from
+    ``expire_iceberg_snapshots`` until the ref is dropped — the
+    retention contract that makes tags a durable audit surface.
+    Writers keep ``refs.main`` in step with ``current-snapshot-id``
+    (``advance_main_ref``)."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(
+            f"iceberg ref: type must be tag or branch, not {ref_type!r}"
+        )
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg ref: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            raise ValueError("iceberg ref: table has no snapshots")
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"iceberg ref: snapshot {snapshot_id} is not in the table "
+            "metadata (expired or never existed)"
+        )
+    meta = dict(meta)
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": int(snapshot_id), "type": ref_type}
+    meta["refs"] = refs
+    version = prev_version + 1
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
+
+
+def drop_iceberg_ref(
+    spark: SparkSession, table_path: str, name: str
+) -> int:
+    """DROP TAG / DROP BRANCH: remove ``refs[name]``; the snapshot it
+    protected becomes expirable again. Raises on an unknown ref."""
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg ref: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"iceberg ref: unknown ref {name!r}")
+    del refs[name]
+    meta = dict(meta)
+    meta["refs"] = refs
+    version = prev_version + 1
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
 
 
 def rollback_iceberg(
@@ -1934,6 +2031,7 @@ def rollback_iceberg(
         meta["last-sequence-number"] = seq
     meta["snapshots"] = snaps + [snap]
     append_snapshot_log(meta, meta, ts_ms, new_snap_id)
+    advance_main_ref(meta, new_snap_id)
     meta["current-snapshot-id"] = new_snap_id
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"

@@ -507,3 +507,138 @@ class TestRollback:
             spark, _kv(spark, [(3, "c", 2)]), t, "k", "ts"
         )
         assert _snap(spark, t) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+class TestSnapshotRefs:
+    """Spec "Snapshot References": tags/branches in the metadata refs
+    map — named time travel, expire protection, main kept in step."""
+
+    def test_tag_read_and_unknown_ref(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        set_iceberg_ref(spark, t, "v1-release")
+        write_iceberg_commit(_kv(spark, [(2, "b", 0)]).coalesce(1), t)
+        got = sorted(
+            r.k for r in read_iceberg(spark, t, ref="v1-release")
+            .collect()
+        )
+        assert got == [1]  # the tagged snapshot, not current
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+        with pytest.raises(ValueError, match="unknown ref"):
+            read_iceberg(spark, t, ref="nope")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            read_iceberg(spark, t, ref="v1-release", snapshot_id=1)
+
+    def test_tag_protects_from_expiration(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            drop_iceberg_ref,
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        set_iceberg_ref(spark, t, "keep-me")
+        write_iceberg_commit(_kv(spark, [(2, "b", 0)]).coalesce(1), t)
+        write_iceberg_commit(_kv(spark, [(3, "c", 0)]).coalesce(1), t)
+        expire_iceberg_snapshots(spark, t, keep_last=1)
+        meta = load_table_metadata(t)
+        ids = {s["snapshot-id"] for s in meta["snapshots"]}
+        # the tagged snapshot survived; the untagged middle one went
+        from optimus_any2any_spark.sources.iceberg import (
+            resolve_iceberg_ref,
+        )
+
+        assert resolve_iceberg_ref(meta, "keep-me") in ids
+        assert len(meta["snapshots"]) == 2
+        got = sorted(
+            r.k for r in read_iceberg(spark, t, ref="keep-me").collect()
+        )
+        assert got == [1]
+        # dropping the tag makes it expirable
+        drop_iceberg_ref(spark, t, "keep-me")
+        expire_iceberg_snapshots(spark, t, keep_last=1)
+        assert len(load_table_metadata(t)["snapshots"]) == 1
+        assert _snap(spark, t) == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_main_branch_advances_with_commits(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            resolve_iceberg_ref,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        set_iceberg_ref(spark, t, "main", ref_type="branch")
+        write_iceberg_commit(_kv(spark, [(2, "b", 0)]).coalesce(1), t)
+        merge_iceberg_batch(
+            spark, _kv(spark, [(3, "c", 0)]), t, "k", "ts"
+        )
+        meta = load_table_metadata(t)
+        assert (
+            resolve_iceberg_ref(meta, "main")
+            == meta["current-snapshot-id"]
+        )
+        got = sorted(
+            r.k for r in read_iceberg(spark, t, ref="main").collect()
+        )
+        assert got == [1, 2, 3]
+
+    def test_ref_guards(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            drop_iceberg_ref,
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        with pytest.raises(ValueError, match="tag or branch"):
+            set_iceberg_ref(spark, t, "x", ref_type="bogus")
+        with pytest.raises(ValueError, match="not in the table"):
+            set_iceberg_ref(spark, t, "x", snapshot_id=999)
+        with pytest.raises(ValueError, match="unknown ref"):
+            drop_iceberg_ref(spark, t, "x")
+
+    def test_tag_rider_and_ref_source(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SOURCE_BUILDERS,
+            Pipeline,
+        )
+
+        t = str(tmp_path / "tbl")
+        src = tmp_path / "in.json"
+        src.write_text('{"k": 1, "v": "a", "ts": 0}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"ICEBERG__SINK_URI=file://{t}",
+                "ICEBERG__TAG=first-load",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg).run()
+        src2 = tmp_path / "in2.json"
+        src2.write_text('{"k": 2, "v": "b", "ts": 0}\n')
+        cfg2 = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src2}",
+                f"ICEBERG__SINK_URI=file://{t}",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg2).run()
+        rcfg = Config.from_env(
+            env_args=[
+                f"ICEBERG__SOURCE_URI=file://{t}",
+                "ICEBERG__REF=first-load",
+            ],
+            environ={},
+        )
+        df = SOURCE_BUILDERS["ICEBERG"](spark, rcfg)
+        assert sorted(r.k for r in df.collect()) == [1]
