@@ -1659,6 +1659,58 @@ def delta_generated_partition_read(spark, sf_dir):
 
 
 @register(
+    "delta_identity_assign",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS min_id,
+           CAST(COUNT(*) AS BIGINT) AS max_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM base HAVING COUNT(*) > 0
+    """,
+    doc="Delta IDENTITY columns end-to-end (PROTOCOL.md Identity "
+    "Columns, writer feature minWriterVersion 6): the table is "
+    "created with id BIGINT GENERATED ALWAYS AS IDENTITY "
+    "(create_delta_table identity=), orders rows are merged WITHOUT "
+    "the column, and the writer assigns start..start+n-1 through the "
+    "shuffle-free distributed record-index sequence while re-stating "
+    "the advanced delta.identity.highWaterMark in the SAME commit. "
+    "The row→id mapping is assignment-order-dependent, so the oracle "
+    "checks the SET invariants a correct dense assignment must "
+    "satisfy: n rows, min 1, max n, all distinct.",
+    bench=False,
+)
+def delta_identity_assign(spark, sf_dir):
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        create_delta_table,
+        merge_delta_batch,
+    )
+
+    t = _fixture_dir("delta_identity", sf_dir)
+    create_delta_table(
+        spark, t,
+        "id long, k long, price double, ts long",
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    snap = read_delta(spark, t)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.countDistinct("id").alias("n_distinct"),
+    ).filter(F.col("n_rows") > 0)  # degenerate-input parity: both
+    # engines emit zero rows on an empty source
+
+
+@register(
     "iceberg_v3_dv_read",
     oracle=f"""
     WITH base AS (

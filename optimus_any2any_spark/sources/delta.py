@@ -286,6 +286,98 @@ def apply_generated_columns(
     return batch
 
 
+def identity_columns(meta: dict | None) -> dict[str, dict]:
+    """``column -> {start, step, high_water_mark, allow_explicit}``
+    from ``delta.identity.*`` field metadata (the identityColumns
+    writer feature, PROTOCOL.md "Identity Columns")."""
+    if not meta:
+        return {}
+    out: dict[str, dict] = {}
+    for f in json.loads(meta["schemaString"]).get("fields") or []:
+        md = f.get("metadata") or {}
+        if "delta.identity.start" not in md:
+            continue
+        hwm = md.get("delta.identity.highWaterMark")
+        out[f["name"]] = {
+            "start": int(md["delta.identity.start"]),
+            "step": int(md.get("delta.identity.step", 1)),
+            "high_water_mark": None if hwm is None else int(hwm),
+            "allow_explicit": bool(
+                md.get("delta.identity.allowExplicitInsert", False)
+            ),
+        }
+    return out
+
+
+def apply_identity_columns(
+    meta: dict | None, batch: DataFrame, verb: str
+) -> tuple[DataFrame, dict | None]:
+    """Honor the table's IDENTITY columns on rows a writer ADDS: an
+    ABSENT identity column is assigned ``highWaterMark + step,
+    +2·step, ...`` (or ``start`` on the first write) via the
+    shuffle-free distributed sequence
+    (:func:`..metadata.with_record_index_and_total` — no window, no
+    driver loop); a PROVIDED one refuses under GENERATED ALWAYS
+    (``allowExplicitInsert`` false) and otherwise advances the
+    watermark past the provided extreme. Returns the (possibly
+    extended) batch and, when any watermark moved, the metaData to
+    re-state IN THE SAME COMMIT — the protocol requires the high
+    watermark to track issued values or a concurrent writer would
+    re-issue them."""
+    ids = identity_columns(meta)
+    if not ids:
+        return batch, None
+    schema_json = json.loads(meta["schemaString"])
+    new_hwm: dict[str, int] = {}
+    for col in sorted(ids):
+        spec = ids[col]
+        start, step = spec["start"], spec["step"]
+        hwm = spec["high_water_mark"]
+        if col in batch.columns:
+            if not spec["allow_explicit"]:
+                raise ValueError(
+                    f"delta {verb}: identity column {col!r} is "
+                    "GENERATED ALWAYS (allowExplicitInsert=false) — "
+                    "explicit values are forbidden"
+                )
+            m = batch.agg(
+                (F.max(col) if step > 0 else F.min(col)).alias("m")
+            ).collect()[0]["m"]
+            if m is not None:
+                cur = hwm if hwm is not None else start - step
+                if (step > 0 and m > cur) or (step < 0 and m < cur):
+                    new_hwm[col] = int(m)
+            continue
+        from optimus_any2any_spark.metadata import (
+            with_record_index_and_total,
+        )
+
+        indexed, total = with_record_index_and_total(
+            batch, col="__identity_idx"
+        )
+        if total == 0:
+            batch = batch.withColumn(col, F.lit(None).cast("long"))
+            continue
+        base = (hwm + step) if hwm is not None else start
+        batch = indexed.withColumn(
+            col,
+            (
+                F.lit(base) + F.lit(step) * F.col("__identity_idx")
+            ).cast("long"),
+        ).drop("__identity_idx")
+        new_hwm[col] = base + step * (total - 1)
+    if not new_hwm:
+        return batch, None
+    for f in schema_json["fields"]:
+        if f["name"] in new_hwm:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = new_hwm[f["name"]]
+            f["metadata"] = md
+    out_meta = dict(meta)
+    out_meta["schemaString"] = json.dumps(schema_json)
+    return batch, out_meta
+
+
 def replay_log(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> dict:
@@ -1181,12 +1273,16 @@ def write_delta_commit(
         if f.endswith(".json") and f[:20].isdigit()
     ]
     version = max(existing) + 1 if existing else 0
+    id_meta = None
     if version > 0:
         # an append against an existing table honors its writer
         # features: CHECK constraints gate the new rows, appendOnly
         # forbids the remove escape hatch
         state = replay_log(df.sparkSession, table_path)
         df = apply_generated_columns(state["meta"], df, "append")
+        df, id_meta = apply_identity_columns(
+            state["meta"], df, "append"
+        )
         check_delta_constraints(state["meta"], df, "append")
         table_parts = list(
             (state["meta"] or {}).get("partitionColumns") or []
@@ -1210,6 +1306,11 @@ def write_delta_commit(
                 "forbidden by the table's own configuration"
             )
     actions: list[dict] = []
+    if id_meta is not None:
+        # an advanced identity watermark re-states metaData in the
+        # same commit (protocol: the watermark must track issued
+        # values, or a concurrent writer would re-issue them)
+        actions.append({"metaData": id_meta})
     if version == 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

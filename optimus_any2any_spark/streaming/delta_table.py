@@ -644,6 +644,7 @@ def create_delta_table(
     schema_ddl: str,
     partition_by: list[str] | None = None,
     generated: dict[str, str] | None = None,
+    identity: dict[str, dict] | None = None,
     configuration: dict[str, str] | None = None,
 ) -> int:
     """CREATE TABLE as a data-free commit 0 (protocol + metaData
@@ -667,17 +668,44 @@ def create_delta_table(
         )
     schema = T.StructType.fromDDL(schema_ddl)
     generated = generated or {}
-    missing = [c for c in generated if c not in schema.fieldNames()]
+    identity = identity or {}
+    missing = [
+        c
+        for c in list(generated) + list(identity)
+        if c not in schema.fieldNames()
+    ]
     if missing:
         raise ValueError(
-            f"delta create: generated columns {missing} not in schema"
+            f"delta create: generated/identity columns {missing} not "
+            "in schema"
         )
+    both = set(generated) & set(identity)
+    if both:
+        raise ValueError(
+            f"delta create: columns {sorted(both)} cannot be both "
+            "generated and identity"
+        )
+    for c in identity:
+        if not isinstance(schema[c].dataType, T.LongType):
+            raise ValueError(
+                f"delta create: identity column {c!r} must be BIGINT "
+                "(delta-spark restriction)"
+            )
     fields = []
     for f in schema.fields:
         d = f.jsonValue()
         if f.name in generated:
             md = dict(d.get("metadata") or {})
             md["delta.generationExpression"] = generated[f.name]
+            d["metadata"] = md
+        if f.name in identity:
+            spec = identity[f.name]
+            md = dict(d.get("metadata") or {})
+            md["delta.identity.start"] = int(spec.get("start", 1))
+            md["delta.identity.step"] = int(spec.get("step", 1))
+            md["delta.identity.allowExplicitInsert"] = bool(
+                spec.get("allow_explicit", False)
+            )
             d["metadata"] = md
         fields.append(d)
     schema_json = json.dumps({"type": "struct", "fields": fields})
@@ -691,7 +719,11 @@ def create_delta_table(
         {
             "protocol": {
                 "minReaderVersion": 1,
-                "minWriterVersion": 4 if generated else 2,
+                # legacy writer-version ladder: 6 implies
+                # identityColumns, 4 implies generatedColumns
+                "minWriterVersion": (
+                    6 if identity else 4 if generated else 2
+                ),
             }
         },
         {
@@ -1252,14 +1284,25 @@ def merge_delta_batch(
         return state["version"]  # redelivery of an applied batch: no-op
 
     evolved = False
+    meta_restate = False
     if state["meta"] is not None:
         # generated columns: compute the absent ones from their
-        # generation expressions, validate the provided ones
+        # generation expressions, validate the provided ones;
+        # identity columns: assign from the high watermark (the
+        # advanced watermark re-states metaData in this commit)
         from optimus_any2any_spark.sources.delta import (
             apply_generated_columns,
+            apply_identity_columns,
         )
 
         batch = apply_generated_columns(state["meta"], batch, "merge")
+        batch, id_meta = apply_identity_columns(
+            state["meta"], batch, "merge"
+        )
+        if id_meta is not None:
+            state = dict(state)
+            state["meta"] = id_meta
+            meta_restate = True
         schema = T.StructType.fromJson(
             json.loads(state["meta"]["schemaString"])
         )
@@ -1295,6 +1338,28 @@ def merge_delta_batch(
                         state["meta"], [batch.schema[c] for c in extra]
                     )
                     phys, mapped, pfields = _phys_of(state["meta"])
+                else:
+                    # append the new field JSON to the EXISTING
+                    # schemaString verbatim — rebuilding from the
+                    # batch schema would silently drop the old
+                    # fields' metadata (generation expressions,
+                    # identity watermarks, constraints context)
+                    state = dict(state)
+                    meta2 = dict(state["meta"])
+                    old_fields = json.loads(
+                        meta2["schemaString"]
+                    )["fields"]
+                    meta2["schemaString"] = json.dumps(
+                        {
+                            "type": "struct",
+                            "fields": old_fields
+                            + [
+                                batch.schema[c].jsonValue()
+                                for c in extra
+                            ],
+                        }
+                    )
+                    state["meta"] = meta2
                 schema = T.StructType(
                     list(schema.fields)
                     + [batch.schema[c] for c in extra]
@@ -1342,13 +1407,11 @@ def merge_delta_batch(
         # A widening merge whose batch has zero rows is still a legal
         # schema-change commit (delta-spark withSchemaEvolution()
         # parity): commit the evolved metaData with no file actions so
-        # the table gains the new columns even on an empty batch. On
-        # mapped tables state["meta"] already carries the minted
-        # columnMapping metadata (see the evolved branch below).
-        meta = dict(state["meta"])
-        if not mapped:
-            meta["schemaString"] = latest.schema.json()
-        actions: list[dict] = [{"metaData": meta}]
+        # the table gains the new columns even on an empty batch.
+        # state["meta"] already carries the evolved schemaString
+        # (minted columnMapping metadata on mapped tables, verbatim
+        # old-field JSON + new fields otherwise).
+        actions: list[dict] = [{"metaData": dict(state["meta"])}]
         if batch_id is not None:
             actions.append(
                 {"txn": {"appId": app_id, "version": batch_id}}
@@ -1686,17 +1749,16 @@ def merge_delta_batch(
                 }
             }
         )
-    elif evolved:
-        # schema evolution: this commit re-states metaData with the
-        # appended columns; replay picks the LAST metaData, so older
-        # versions time-travel with their original schema. On mapped
-        # tables state["meta"] already carries the minted-metadata
-        # schemaString (logical Spark schema json would DROP the
-        # columnMapping field metadata).
-        meta = dict(state["meta"])
-        if not mapped:
-            meta["schemaString"] = latest.schema.json()
-        actions.append({"metaData": meta})
+    elif evolved or meta_restate:
+        # schema evolution / identity-watermark advance: this commit
+        # re-states metaData; replay picks the LAST metaData, so older
+        # versions time-travel with their original schema.
+        # state["meta"] carries the correct schemaString in every
+        # branch (minted columnMapping metadata on mapped tables,
+        # old-field JSON preserved verbatim otherwise — a Spark-schema
+        # rebuild would DROP field metadata like generation
+        # expressions and identity watermarks).
+        actions.append({"metaData": dict(state["meta"])})
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})
     for pending in new_adds:
