@@ -538,14 +538,23 @@ def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
     ``ICEBERG__SOURCE_URI=file:///path/to/table``; optional
     ``ICEBERG__SNAPSHOT_ID`` time-travels, or
     ``ICEBERG__AS_OF_TIMESTAMP`` (epoch-ms or ISO string) resolves
-    TIMESTAMP AS OF through the snapshot log, and ``ICEBERG__REF``
-    reads a named tag or branch."""
+    TIMESTAMP AS OF through the snapshot log, ``ICEBERG__REF`` reads
+    a named tag or branch, and ``ICEBERG__METADATA_TABLE`` (snapshots /
+    history / refs / manifests / files) reads the inspection surface
+    instead of the data."""
     from optimus_any2any_spark.sources.iceberg import read_iceberg
 
     uri = cfg.get("ICEBERG__SOURCE_URI")
     if not uri:
         raise ValueError("ICEBERG source requires ICEBERG__SOURCE_URI")
     path = uri[len("file://"):] if uri.startswith("file://") else uri
+    mt = cfg.get("ICEBERG__METADATA_TABLE")
+    if mt:
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+        )
+
+        return read_iceberg_metadata(spark, path, mt.strip().lower())
     snap = cfg.get("ICEBERG__SNAPSHOT_ID")
     ts = cfg.get("ICEBERG__AS_OF_TIMESTAMP")
     if ts is not None and str(ts).lstrip("-").isdigit():

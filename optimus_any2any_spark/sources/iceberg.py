@@ -693,6 +693,162 @@ def read_iceberg(
     )
 
 
+def read_iceberg_metadata(
+    spark: SparkSession, table_path: str, kind: str
+) -> DataFrame:
+    """Iceberg METADATA tables (the spec's inspection surface —
+    ``SELECT * FROM tbl.snapshots`` etc.) as DataFrames:
+
+    - ``snapshots``: committed_at (ms), snapshot_id, parent_id,
+      operation, manifest_list;
+    - ``history``: made_current_at (ms), snapshot_id, parent_id,
+      is_current_ancestor — from the metadata ``snapshot-log``;
+    - ``refs``: name, type, snapshot_id;
+    - ``manifests``: path, length, partition_spec_id, content,
+      added_snapshot_id;
+    - ``files``: content, file_path, file_format, record_count,
+      file_size_in_bytes (current snapshot; delete files included
+      with their spec content codes).
+
+    All driver-side metadata decode (KB–MB of JSON/Avro — the same
+    scale every Iceberg client pays), emitted as a DataFrame so the
+    inspection composes with the relational surface."""
+    meta = load_table_metadata(table_path)
+    snaps = meta.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if kind == "snapshots":
+        return spark.createDataFrame(
+            [
+                (
+                    int(s.get("timestamp-ms") or 0),
+                    int(s["snapshot-id"]),
+                    (
+                        None
+                        if s.get("parent-snapshot-id") is None
+                        else int(s["parent-snapshot-id"])
+                    ),
+                    (s.get("summary") or {}).get("operation"),
+                    s.get("manifest-list"),
+                )
+                for s in snaps
+            ],
+            "committed_at long, snapshot_id long, parent_id long, "
+            "operation string, manifest_list string",
+        )
+    if kind == "history":
+        cur = meta.get("current-snapshot-id")
+        # ancestors of the current snapshot via parent links
+        ancestors: set[int] = set()
+        sid = cur
+        while sid in by_id:
+            ancestors.add(sid)
+            sid = by_id[sid].get("parent-snapshot-id")
+        log = meta.get("snapshot-log") or [
+            {
+                "timestamp-ms": int(s.get("timestamp-ms") or 0),
+                "snapshot-id": s["snapshot-id"],
+            }
+            for s in snaps
+        ]
+        return spark.createDataFrame(
+            [
+                (
+                    int(e["timestamp-ms"]),
+                    int(e["snapshot-id"]),
+                    (
+                        None
+                        if by_id.get(e["snapshot-id"], {}).get(
+                            "parent-snapshot-id"
+                        )
+                        is None
+                        else int(
+                            by_id[e["snapshot-id"]][
+                                "parent-snapshot-id"
+                            ]
+                        )
+                    ),
+                    e["snapshot-id"] in ancestors,
+                )
+                for e in log
+            ],
+            "made_current_at long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+    if kind == "refs":
+        return spark.createDataFrame(
+            [
+                (name, r.get("type"), int(r["snapshot-id"]))
+                for name, r in sorted(
+                    (meta.get("refs") or {}).items()
+                )
+            ],
+            "name string, type string, snapshot_id long",
+        )
+    if kind == "manifests":
+        rows = []
+        cur_id = meta.get("current-snapshot-id")
+        snap = by_id.get(cur_id)
+        manifests = []
+        if snap is not None:
+            ml = snap.get("manifest-list")
+            if ml is not None:
+                _, manifests = read_container(_localize(table_path, ml))
+            else:
+                manifests = [
+                    {"manifest_path": p}
+                    for p in snap.get("manifests", [])
+                ]
+        for m in manifests:
+            rows.append(
+                (
+                    m.get("manifest_path"),
+                    (
+                        None
+                        if m.get("manifest_length") is None
+                        else int(m["manifest_length"])
+                    ),
+                    int(m.get("partition_spec_id") or 0),
+                    int(m.get("content") or 0),
+                    (
+                        None
+                        if m.get("added_snapshot_id") is None
+                        else int(m["added_snapshot_id"])
+                    ),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "content int, added_snapshot_id long",
+        )
+    if kind == "files":
+        data, pos_del, eq_del = _snapshot_entries(table_path, meta)
+        rows = []
+        for content, ents in ((0, data), (1, pos_del), (2, eq_del)):
+            for e in ents:
+                c = content
+                if content == 1 and e.get("equality_ids"):
+                    c = 2
+                rows.append(
+                    (
+                        c,
+                        e["orig"],
+                        (
+                            None
+                            if e.get("record_count") is None
+                            else int(e["record_count"])
+                        ),
+                    )
+                )
+        return spark.createDataFrame(
+            rows, "content int, file_path string, record_count long"
+        )
+    raise ValueError(
+        f"iceberg metadata table: unknown kind {kind!r} (snapshots / "
+        "history / refs / manifests / files)"
+    )
+
+
 def _prune_by_bounds(
     meta: dict, data: list[dict], col: str, lo, hi
 ) -> list[dict]:

@@ -334,8 +334,13 @@ class TestSinkRiders:
 
     def test_as_of_timestamp_source(self, spark, tmp_path):
         from optimus_any2any_spark.config import Config
-        from optimus_any2any_spark.pipeline import SOURCE_BUILDERS
+        from optimus_any2any_spark.pipeline import (
+            SOURCE_BUILDERS,
+            _load_builtin_components,
+        )
         from optimus_any2any_spark.sources.iceberg import set_clock
+
+        _load_builtin_components()
 
         t = str(tmp_path / "tbl")
         state = {"t": 0}
@@ -642,3 +647,97 @@ class TestSnapshotRefs:
         )
         df = SOURCE_BUILDERS["ICEBERG"](spark, rcfg)
         assert sorted(r.k for r in df.collect()) == [1]
+
+
+class TestMetadataTables:
+    """Iceberg inspection surface (the spec's metadata tables):
+    snapshots / history / refs / manifests / files as DataFrames."""
+
+    def _mk(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import set_clock
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_positions,
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        state = {"t": 0}
+
+        def tick():
+            state["t"] += 1_000_000
+            return state["t"]
+
+        set_clock(tick)
+        try:
+            write_iceberg_commit(
+                _kv(spark, [(1, "a", 0), (2, "b", 0)]).coalesce(1), t
+            )
+            set_iceberg_ref(spark, t, "v1")
+            write_iceberg_commit(
+                _kv(spark, [(3, "c", 0)]).coalesce(1), t
+            )
+            delete_iceberg_positions(
+                spark, t, "k", spark.createDataFrame([(2,)], "k long")
+            )
+        finally:
+            set_clock(None)
+        return t
+
+    def test_snapshots_and_history(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+        )
+
+        t = self._mk(spark, tmp_path)
+        snaps = read_iceberg_metadata(spark, t, "snapshots").collect()
+        assert [r.committed_at for r in snaps] == [
+            1_000_000, 2_000_000, 3_000_000,
+        ]
+        assert [r.operation for r in snaps] == [
+            "append", "append", "delete",
+        ]
+        hist = read_iceberg_metadata(spark, t, "history").collect()
+        assert [r.made_current_at for r in hist] == [
+            1_000_000, 2_000_000, 3_000_000,
+        ]
+        assert all(r.is_current_ancestor is not None for r in hist)
+
+    def test_refs_manifests_files(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+        )
+
+        t = self._mk(spark, tmp_path)
+        refs = read_iceberg_metadata(spark, t, "refs").collect()
+        assert [(r.name, r.type) for r in refs] == [("v1", "tag")]
+        mans = read_iceberg_metadata(spark, t, "manifests").collect()
+        assert len(mans) >= 2  # data manifests + the delete manifest
+        assert any(r.content == 1 for r in mans)
+        files = read_iceberg_metadata(spark, t, "files").collect()
+        data = [r for r in files if r.content == 0]
+        dels = [r for r in files if r.content == 1]
+        assert len(data) == 2 and len(dels) == 1
+        assert sum(r.record_count for r in data) == 3
+        assert dels[0].record_count == 1
+        with pytest.raises(ValueError, match="unknown kind"):
+            read_iceberg_metadata(spark, t, "bogus")
+
+    def test_metadata_table_source_rider(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SOURCE_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+        t = self._mk(spark, tmp_path)
+        cfg = Config.from_env(
+            env_args=[
+                f"ICEBERG__SOURCE_URI=file://{t}",
+                "ICEBERG__METADATA_TABLE=snapshots",
+            ],
+            environ={},
+        )
+        df = SOURCE_BUILDERS["ICEBERG"](spark, cfg)
+        assert df.count() == 3
+        assert "snapshot_id" in df.columns
