@@ -1931,6 +1931,67 @@ def iceberg_pos_delete_erasure(spark, sf_dir):
 
 
 @register(
+    "iceberg_dv_delete_erasure",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    kept AS (SELECT k, price FROM base WHERE k % 7 <> 0 AND k % 9 <> 0)
+    SELECT k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM kept GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Iceberg FORMAT-V3 DELETION-VECTOR WRITES "
+    "(delete_iceberg_positions(use_deletion_vectors=True) / "
+    "ICEBERG__USE_DV): two successive erasures each encode the "
+    "matching rows' positions as one Roaring deletion-vector-v1 blob "
+    "PER REFERENCED DATA FILE inside a Puffin sidecar "
+    "(formats/puffin.py) — encode on executors via applyInPandas, "
+    "only the compressed blobs cross the driver. The second erasure "
+    "reads THROUGH the first vector (already-deleted rows never "
+    "re-listed), the table metadata upgrades to format-version 3, "
+    "and the reader applies the vectors through the same seq-gated "
+    "anti-join as delete-parquet rows. The true twin of "
+    "delta_dv_delete_erasure, closing the v3 DV write+read circle.",
+    bench=False,
+)
+def iceberg_dv_delete_erasure(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_positions,
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_dvdel", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0, target_rows_per_file=4000
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame([], _EMPTY_AGG)  # empty source
+    delete_iceberg_positions(
+        spark, t, "k", base.select("k").filter(F.col("k") % 7 == 0),
+        batch_id=1, use_deletion_vectors=True,
+    )
+    delete_iceberg_positions(
+        spark, t, "k", base.select("k").filter(F.col("k") % 9 == 0),
+        batch_id=2, use_deletion_vectors=True,
+    )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_snapshot_read",
     oracle=f"""
     WITH snap1 AS (

@@ -341,7 +341,13 @@ def iceberg_sink(df: DataFrame, cfg: Config):
                 "ICEBERG sink DELETE_POS mode requires ICEBERG__MERGE_KEY"
             )
         delete_iceberg_positions(
-            df.sparkSession, path, key, df.select(key)
+            df.sparkSession, path, key, df.select(key),
+            # ICEBERG__USE_DV=true: format-v3 deletion vectors (one
+            # Puffin blob per referenced file) instead of delete
+            # parquet — the Delta DELTA__USE_DV twin
+            use_deletion_vectors=(
+                c.get("use_dv", "").lower() == "true"
+            ),
         )
     else:
         raise ValueError(f"ICEBERG sink: unknown mode {mode!r}")

@@ -1119,6 +1119,7 @@ def delete_iceberg_positions(
     keys: DataFrame,
     app_id: str = DEFAULT_APP_ID,
     batch_id: int | None = None,
+    use_deletion_vectors: bool = False,
 ) -> int:
     """MERGE-ON-READ DELETE writing a POSITIONAL delete file (spec
     content=1): locate the matching rows' ``(data-file path, row
@@ -1224,6 +1225,48 @@ def delete_iceberg_positions(
     n_pos = matching.count()
     if n_pos == 0:  # no row matched: burn no version
         return prev_version
+    if use_deletion_vectors:
+        # FORMAT-V3 DELETION VECTORS: one Roaring bitmap per
+        # referenced data file, framed as deletion-vector-v1 blobs in
+        # ONE Puffin sidecar (formats/puffin.py) — the true v3 twin
+        # of the Delta DV delete. The per-file encode runs on
+        # EXECUTORS (applyInPandas); only the compressed blobs (one
+        # row per DV'd FILE) cross to the driver for the sidecar
+        # write. Requires format-version 3 metadata — the reader side
+        # shipped first (_puffin_dv_ref), so self-written DVs
+        # round-trip through merge/compaction like fixture ones.
+        entries, rels = _write_dv_delete_files(
+            spark, table_path, matching, version, snapshot_id, seq
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        fmt_floor = 3
+    else:
+        entries, rels = _write_pos_delete_files(
+            spark, table_path, matching, n_pos, version, snapshot_id,
+            tmp,
+        )
+        fmt_floor = 2
+    manifest_rel = (
+        "metadata/"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|pd{version}')}"
+        "-m0.avro"
+    )
+    write_container(
+        os.path.join(table_path, manifest_rel),
+        _DELETE_ENTRY_SCHEMA,
+        entries,
+    )
+    return _commit_delete_manifest(
+        spark, table_path, meta, snaps, manifest_rel, version,
+        snapshot_id, seq, app_id, batch_id, fmt_floor,
+    )
+
+
+def _write_pos_delete_files(
+    spark, table_path, matching, n_pos, version, snapshot_id, tmp
+):
+    """The delete-parquet form: spec-sorted (file_path, pos) rows,
+    range-split past _MAX_DELETE_FILE_ROWS."""
     n_files = max(1, -(-n_pos // _MAX_DELETE_FILE_ROWS))
     out = (
         matching.coalesce(1)
@@ -1267,16 +1310,110 @@ def delete_iceberg_positions(
                 },
             }
         )
-    manifest_rel = (
-        "metadata/"
-        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|pd{version}')}"
-        "-m0.avro"
+    return entries, rels
+
+
+def _write_dv_delete_files(
+    spark, table_path, matching, version, snapshot_id, seq
+):
+    """The v3 deletion-vector form: per referenced data file, the
+    deleted positions encode as one Roaring portable64 bitmap framed
+    as a deletion-vector-v1 blob (formats/puffin.py), all blobs in
+    ONE Puffin sidecar. Encode runs on executors; the driver only
+    sees (file_path, compressed blob, cardinality) — one row per
+    DV'd file."""
+    import pandas  # noqa: F401  (annotation resolution)
+
+    globals().setdefault("pandas", pandas)
+    from pyspark import cloudpickle as _cp
+
+    from optimus_any2any_spark.formats import puffin as _puffin
+    from optimus_any2any_spark.formats import roaring as _roaring
+
+    _cp.register_pickle_by_value(_roaring)
+    _cp.register_pickle_by_value(_puffin)
+    dv_puffin_blob = _puffin.dv_puffin_blob
+
+    def _encode(pdf: pandas.DataFrame) -> pandas.DataFrame:
+        import pandas as _pd
+
+        positions = sorted(int(v) for v in pdf["pos"])
+        return _pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "blob": [dv_puffin_blob(positions)],
+                "cardinality": [len(set(positions))],
+            }
+        )
+
+    enc_rows = sorted(
+        matching.groupBy("file_path")
+        .applyInPandas(
+            _encode, "file_path string, blob binary, cardinality long"
+        )
+        .collect(),
+        key=lambda r: r["file_path"],
     )
-    write_container(
-        os.path.join(table_path, manifest_rel),
-        _DELETE_ENTRY_SCHEMA,
-        entries,
+    from optimus_any2any_spark.formats.puffin import DV_V1, write_puffin
+
+    rel = f"data/{version:05d}-delete-dv.puffin"
+    blob_meta = write_puffin(
+        os.path.join(table_path, rel),
+        [
+            (
+                bytes(r["blob"]),
+                {
+                    "type": DV_V1,
+                    "fields": [],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": seq,
+                    "properties": {
+                        "referenced-data-file": r["file_path"],
+                        "cardinality": str(int(r["cardinality"])),
+                    },
+                },
+            )
+            for r in enc_rows
+        ],
     )
+    fsize = os.path.getsize(os.path.join(table_path, rel))
+    entries = [
+        {
+            "status": _ST_ADDED,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1,  # POSITION_DELETES (vector form)
+                "file_path": rel,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": int(bm["properties"]["cardinality"]),
+                "file_size_in_bytes": fsize,
+                "equality_ids": None,
+                "referenced_data_file": bm["properties"][
+                    "referenced-data-file"
+                ],
+                "content_offset": bm["offset"],
+                "content_size_in_bytes": bm["length"],
+            },
+        }
+        for bm in blob_meta
+    ]
+    return entries, [rel]
+
+
+def _commit_delete_manifest(
+    spark, table_path, meta, snaps, manifest_rel, version, snapshot_id,
+    seq, app_id, batch_id, fmt_floor,
+):
+    """Shared tail of the merge-on-read DELETE writers: the new
+    manifest-list row, the snapshot (real timestamp + snapshot-log +
+    main-ref advance), and the version/hint commit."""
+    from optimus_any2any_spark.sources.iceberg import (
+        _MANIFEST_FILE_SCHEMA,
+    )
+
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
     prior_manifests: list[dict] = []
     cur_snap_id = meta.get("current-snapshot-id")
     if cur_snap_id not in (None, -1) and snaps:
@@ -1315,10 +1452,12 @@ def delete_iceberg_positions(
         summary["optimus-app-id"] = app_id
         summary["optimus-batch-id"] = str(batch_id)
     meta = dict(meta)
-    # row-level deletes need format-v2 features, but a v3-tagged table
-    # (readable when it uses only v2 features) must NOT be silently
+    # row-level deletes need format-v2 features (v3 for deletion
+    # vectors), but a higher-tagged table must NOT be silently
     # downgraded by a DELETE (ADVICE r8)
-    meta["format-version"] = max(2, int(meta.get("format-version", 1)))
+    meta["format-version"] = max(
+        fmt_floor, int(meta.get("format-version", 1))
+    )
     meta["last-sequence-number"] = seq
     ts_ms = snapshot_timestamp_ms(meta)
     meta["snapshots"] = snaps + [
