@@ -76,6 +76,27 @@ def _record_columns(df: DataFrame) -> list[str]:
     return [c for c in df.columns if not c.startswith(_VAR_PREFIX)]
 
 
+def _dynamic_obj_index(get_field, fields, key_col):
+    """Dynamic object indexing over a STATIC field set: a CASE chain
+    keyed on the field names. All fields must share one Spark type —
+    a key-dependent result type cannot live in a single Column, so
+    mixed objects route to the binary."""
+    if not fields:
+        raise JQUnsupported("jq: dynamic index of an empty object")
+    dtypes = {f.dataType.simpleString() for f in fields}
+    if len(dtypes) != 1:
+        raise JQUnsupported(
+            "jq: dynamic object index over mixed field types "
+            f"({sorted(dtypes)}) — binary"
+        )
+    out = F.lit(None).cast(fields[0].dataType)
+    for f in reversed(fields):
+        out = F.when(key_col == F.lit(f.name), get_field(f.name)).otherwise(
+            out
+        )
+    return out, _kind_of_dtype(fields[0].dataType)
+
+
 def _jq_eval_static(program: str, input_value) -> list:
     """Run the real jq binary ONCE at compile time on a literal value.
 
@@ -621,14 +642,13 @@ class _ExprParser:
                 "stream — binary path"
             )
         lo_col = hi_col = None
+        lo_kind = None
         is_slice = False
         if self.peek() == ":":
             is_slice = True
         else:
             c, k = self.parse_or()
-            if k not in ("int", "unknown"):
-                raise JQUnsupported(f"jq: index of kind {k!r}")
-            lo_col = c
+            lo_col, lo_kind = c, k
         if self.peek() == ":":
             self.next()
             is_slice = True
@@ -638,6 +658,8 @@ class _ExprParser:
                     raise JQUnsupported(f"jq: slice bound of kind {k!r}")
                 hi_col = c
         self.expect("]")
+        if is_slice and lo_kind not in (None, "int", "unknown"):
+            raise JQUnsupported(f"jq: slice bound of kind {lo_kind!r}")
 
         is_obj_arr = isinstance(kind, tuple) and kind[0] in (
             "complex_obj", "complex_obj_arr"
@@ -646,6 +668,24 @@ class _ExprParser:
             "complex_str", "complex_num", "complex_bool", "complex"
         )
         if not is_slice:
+            # dynamic OBJECT index: `.meta[$k]` / `.meta[.f]` on a
+            # struct compiles to a CASE chain over the (static) field
+            # names — fields must share ONE type (a mixed-type result
+            # has no Column representation). Missing keys read null
+            # (probed jq 1.6); a NULL key reads null too, the same
+            # error⇔null relaxation the array dynamic index already
+            # makes (jq errors on both null indexes).
+            if isinstance(kind, tuple) and kind[0] == "obj":
+                if lo_kind not in ("string", "unknown"):
+                    raise JQUnsupported(
+                        "jq: object index must be a string (jq errors "
+                        "on non-string keys) — binary"
+                    )
+                return _dynamic_obj_index(
+                    lambda f: subject[f], kind[1].fields, lo_col
+                )
+            if lo_kind not in ("int", "unknown"):
+                raise JQUnsupported(f"jq: index of kind {lo_kind!r}")
             # dynamic index: arrays only (jq can't index strings by int)
             if not is_arr:
                 raise JQUnsupported(
@@ -1833,6 +1873,26 @@ class _ExprParser:
                 return F.lit(None), "null"
             return _path_col(t), self._path_kind(t)
         if t == ".":
+            if self.peek() == "[":
+                # ROOT dynamic object index `.[EXPR]`: the record IS
+                # the object; CASE chain over the (static) record
+                # columns, same contract as the struct form above
+                self.next()
+                c, k = self.parse_or()
+                self.expect("]")
+                if k not in ("string", "unknown"):
+                    raise JQUnsupported(
+                        "jq: object index must be a string (jq errors "
+                        "on non-string keys) — binary"
+                    )
+                fields = [
+                    f
+                    for f in self.df.schema.fields
+                    if f.name in _record_columns(self.df)
+                ]
+                return _dynamic_obj_index(
+                    lambda name: F.col("`" + name + "`"), fields, c
+                )
             raise JQUnsupported("jq: bare '.' in scalar expression")
         if t == "if":
             return self.parse_if()

@@ -1877,3 +1877,77 @@ class TestValueParamDefs:
             translate_jq(
                 dfv, "def f($x): {y: $x}; .[] | f((1,2))"
             )
+
+
+class TestDynamicObjectIndex:
+    """`.[EXPR]` / `.meta[EXPR]` with a string key over the STATIC
+    record/struct field set — CASE-chain compile, differential vs
+    jq 1.6."""
+
+    def test_root_and_struct_dynamic_index(self, spark):
+        rows = [
+            {"a": 10, "b": 20, "k": "a",
+             "meta": {"x": 1, "y": 2}, "mk": "y"},
+            {"a": 30, "b": 40, "k": "b",
+             "meta": {"x": 3, "y": 4}, "mk": "x"},
+            {"a": 50, "b": 60, "k": "zz",  # missing key: null
+             "meta": {"x": 5, "y": 6}, "mk": "y"},
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "a long, b long, k string, "
+            "meta struct<x:long,y:long>, mk string",
+        )
+        key = lambda d: json.dumps(d, sort_keys=True)
+        # the root index compares only over same-typed columns, so
+        # project first (mixed-type records route to the binary)
+        prog = '.[] | {v: (.meta[.mk])}'
+        got = spark_rows(translate_jq(df, prog))
+        expect = jq_oracle(prog, rows)
+        assert sorted(got, key=key) == sorted(expect, key=key)
+
+    def test_root_index_uniform_columns(self, spark):
+        # all record columns share one type, so the root CASE chain
+        # compiles; literal string keys hit and miss
+        df = spark.createDataFrame(
+            [
+                {"a": 10, "b": 20},
+                {"a": 30, "b": 40},
+            ],
+            "a long, b long",
+        )
+        prog = '.[] | {va: .["a"], vz: .["zz"]}'
+        got = spark_rows(translate_jq(df, prog))
+        # top-level nulls serialize as ABSENT keys in the engine's
+        # canonical form (the documented relaxation) — strip jq's
+        # explicit nulls for the comparison
+        expect = [
+            {k: v for k, v in d.items() if v is not None}
+            for d in jq_oracle(
+                prog, [{"a": 10, "b": 20}, {"a": 30, "b": 40}]
+            )
+        ]
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key)
+
+    def test_mixed_types_route_to_binary(self, spark):
+        df = spark.createDataFrame(
+            [(1, "s", "a")], "a long, b string, k string"
+        )
+        with pytest.raises(JQUnsupported, match="mixed field types"):
+            translate_jq(df, '.[] | {v: .[.k]}')
+        # non-string key kinds refuse too (jq errors on number keys)
+        df2 = spark.createDataFrame([(1, 2)], "a long, i long")
+        with pytest.raises(JQUnsupported, match="must be a string"):
+            translate_jq(df2, '.[] | {v: .[.i]}')
+
+    def test_struct_index_with_literal_and_alternative(self, spark):
+        rows = [{"meta": {"x": 1, "y": 2}}, {"meta": {"x": 3, "y": 4}}]
+        df = spark.createDataFrame(
+            rows, "meta struct<x:long,y:long>"
+        )
+        prog = '.[] | {v: (.meta["y"] // 0), w: (.meta["nope"] // 0)}'
+        got = spark_rows(translate_jq(df, prog))
+        expect = jq_oracle(prog, rows)
+        key = lambda d: json.dumps(d, sort_keys=True)
+        assert sorted(got, key=key) == sorted(expect, key=key)
