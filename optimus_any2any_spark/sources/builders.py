@@ -496,6 +496,12 @@ def delta_source(spark: SparkSession, cfg: Config) -> DataFrame:
     if not uri:
         raise ValueError("DELTA source requires DELTA__SOURCE_URI")
     path = uri[len("file://"):] if uri.startswith("file://") else uri
+    if (cfg.get("DELTA__HISTORY") or "").lower() == "true":
+        # DESCRIBE HISTORY as a source: version / resolved timestamp /
+        # commitInfo operation+parameters+engine per commit
+        from optimus_any2any_spark.sources.delta import delta_history
+
+        return delta_history(spark, path)
     cdf_from = cfg.get("DELTA__CDF_FROM")
     app_from = cfg.get("DELTA__APPENDS_FROM")
     if cdf_from is not None or app_from is not None:

@@ -182,6 +182,50 @@ def resolve_delta_timestamp(
     return best
 
 
+def delta_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit — the version, its
+    resolved commit timestamp (the SAME in-commit-timestamp / mtime
+    rules time travel uses, so history and TIMESTAMP AS OF never
+    disagree), and the ``commitInfo`` provenance (operation,
+    delta-spark-shaped operationParameters as a JSON string,
+    engineInfo) when the commit recorded one — null otherwise, as
+    delta-spark shows for foreign commits without commitInfo."""
+    stamps = dict(commit_timestamps(table_path))
+    log = _log_dir(table_path)
+    rows = []
+    for v in sorted(stamps):
+        ci = None
+        with open(os.path.join(log, "%020d.json" % v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("commitInfo") is not None:
+                    ci = a["commitInfo"]
+                    break
+        rows.append(
+            (
+                v,
+                stamps[v],
+                None if ci is None else ci.get("operation"),
+                (
+                    None
+                    if ci is None
+                    else json.dumps(
+                        ci.get("operationParameters") or {},
+                        sort_keys=True,
+                    )
+                ),
+                None if ci is None else ci.get("engineInfo"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp long, operation string, "
+        "operation_parameters string, engine_info string",
+    )
+
+
 def table_constraints(meta: dict | None) -> dict[str, str]:
     """``name -> SQL expression`` from the table's
     ``delta.constraints.<name>`` configuration (the checkConstraints
@@ -1369,6 +1413,18 @@ def write_delta_commit(
             {"remove": {"path": rp, "deletionTimestamp": 0,
                         "dataChange": True}}
         )
+    import time as _time
+
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+                "engineInfo": "optimus-any2any-spark",
+            }
+        }
+    ] + actions
     commit = os.path.join(log, "%020d.json" % version)
     tmp_commit = commit + ".tmp"
     with open(tmp_commit, "w") as f:

@@ -542,16 +542,39 @@ def set_data_store(put_data) -> None:
     _put_data = put_data or _posix_put_data
 
 
-def _commit(log: str, version: int, actions: list[dict]) -> None:
+def _commit(
+    log: str,
+    version: int,
+    actions: list[dict],
+    operation: str | None = None,
+    operation_params: dict | None = None,
+) -> None:
     """The atomic step: put-if-absent of one JSON log entry. The temp
     name is writer-unique (pid + a random suffix) — a shared name like
     ``final + '.tmp'`` would let the LOSER of a version race reopen
-    and truncate the very inode the winner just committed."""
+    and truncate the very inode the winner just committed.
+
+    ``operation`` prepends a ``commitInfo`` action (the protocol's
+    provenance record, what DESCRIBE HISTORY surfaces): the operation
+    name, delta-spark-shaped operationParameters, a wall-clock
+    timestamp, and the engine tag."""
+    import time as _time
     import uuid
 
     os.makedirs(log, exist_ok=True)
     final = os.path.join(log, "%020d.json" % version)
     tmp = f"{final}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
+    if operation is not None:
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": operation,
+                    "operationParameters": operation_params or {},
+                    "engineInfo": "optimus-any2any-spark",
+                }
+            }
+        ] + list(actions)
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, default=str) + "\n")
@@ -736,7 +759,9 @@ def create_delta_table(
             }
         },
     ]
-    _commit(_log_dir(table_path), 0, actions)
+    _commit(
+        _log_dir(table_path), 0, actions, operation="CREATE TABLE"
+    )
     return 0
 
 
@@ -783,7 +808,10 @@ def set_delta_constraint(
         actions.append({"protocol": proto})
     actions.append({"metaData": meta})
     version = state["version"] + 1
-    _commit(_log_dir(table_path), version, actions)
+    _commit(
+        _log_dir(table_path), version, actions,
+        operation="ADD CONSTRAINT", operation_params={"name": name},
+    )
     return version
 
 
@@ -807,7 +835,10 @@ def drop_delta_constraint(
     meta = dict(state["meta"])
     meta["configuration"] = conf
     version = state["version"] + 1
-    _commit(_log_dir(table_path), version, [{"metaData": meta}])
+    _commit(
+        _log_dir(table_path), version, [{"metaData": meta}],
+        operation="DROP CONSTRAINT", operation_params={"name": name},
+    )
     return version
 
 
@@ -905,7 +936,11 @@ def restore_delta(
         actions.append({"metaData": state_then["meta"]})
     if not actions:
         return state_now["version"]  # already identical: no-op
-    _commit(_log_dir(table_path), new_version, actions)
+    _commit(
+        _log_dir(table_path), new_version, actions,
+        operation="RESTORE",
+        operation_params={"version": str(version)},
+    )
     return new_version
 
 
@@ -1223,7 +1258,10 @@ def compact_delta(
         if st is not None:
             add["stats"] = json.dumps(st, default=str)
         actions.append({"add": add})
-    _commit(_log_dir(table_path), version, actions)
+    _commit(
+        _log_dir(table_path), version, actions,
+        operation="OPTIMIZE",
+    )
     return version
 
 
@@ -1416,7 +1454,10 @@ def merge_delta_batch(
             actions.append(
                 {"txn": {"appId": app_id, "version": batch_id}}
             )
-        _commit(_log_dir(table_path), version, actions)
+        _commit(
+            _log_dir(table_path), version, actions,
+            operation="MERGE", operation_params={'key': key_col},
+        )
         if checkpoint_interval and version > 0 and (
             version % checkpoint_interval == 0
         ):
@@ -1802,7 +1843,10 @@ def merge_delta_batch(
                 }
             }
         )
-    _commit(_log_dir(table_path), version, actions)
+    _commit(
+        _log_dir(table_path), version, actions,
+        operation="MERGE", operation_params={'key': key_col},
+    )
     if checkpoint_interval and version > 0 and (
         version % checkpoint_interval == 0
     ):
@@ -2012,7 +2056,10 @@ def purge_deletion_vectors(
         actions.append(
             {"remove": _remove_action(p, dv_adds[p], data_change=False)}
         )
-    _commit(_log_dir(table_path), version, actions)
+    _commit(
+        _log_dir(table_path), version, actions,
+        operation="REORG", operation_params={"applyPurge": "true"},
+    )
     return version
 
 
@@ -2294,7 +2341,10 @@ def _delete_via_dv(
                     }
                 }
             )
-        _commit(_log_dir(table_path), version, actions)
+        _commit(
+            _log_dir(table_path), version, actions,
+            operation="DELETE", operation_params={"mode": "deletion-vectors"},
+        )
         return version
     finally:
         matched.unpersist()
@@ -2569,7 +2619,10 @@ def delete_delta_keys(
                 }
             }
         )
-    _commit(_log_dir(table_path), version, actions)
+    _commit(
+        _log_dir(table_path), version, actions,
+        operation="DELETE", operation_params={"mode": "copy-on-write"},
+    )
     return version
 
 

@@ -1255,3 +1255,112 @@ class TestRestore:
         assert len(_snap(spark, t)) == 4
         restore_delta(spark, t, 1)
         assert _snap(spark, t) == [(0, "v0"), (2, "v2"), (3, "v3")]
+
+
+class TestDescribeHistory:
+    """commitInfo provenance + delta_history (DESCRIBE HISTORY):
+    every engine commit records operation/parameters/engineInfo; the
+    history view resolves timestamps with the SAME rules as TIMESTAMP
+    AS OF."""
+
+    def test_operations_recorded_and_surfaced(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import delta_history
+        from optimus_any2any_spark.streaming.delta_table import (
+            compact_delta,
+            create_delta_table,
+            delete_delta_keys,
+            set_delta_constraint,
+        )
+
+        t = str(tmp_path / "tbl")
+        create_delta_table(spark, t, "k long, v string, ts long")
+        merge_delta_batch(
+            spark, _kv(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]),
+            t, "k", "ts", target_rows_per_file=2,
+        )
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long")
+        )
+        set_delta_constraint(spark, t, "pos", "k > 0")
+        compact_delta(spark, t)
+        hist = delta_history(spark, t).orderBy("version").collect()
+        ops = [r.operation for r in hist]
+        assert ops == [
+            "CREATE TABLE", "MERGE", "DELETE", "ADD CONSTRAINT",
+            "OPTIMIZE",
+        ]
+        assert all(r.engine_info == "optimus-any2any-spark" for r in hist)
+        assert [r.version for r in hist] == list(range(5))
+        # timestamps come from the SAME resolution as time travel
+        from optimus_any2any_spark.sources.delta import (
+            commit_timestamps,
+        )
+
+        assert [r.timestamp for r in hist] == [
+            ts for _v, ts in commit_timestamps(t)
+        ]
+        import json as _json
+
+        params = _json.loads(hist[1].operation_parameters)
+        assert params == {"key": "k"}
+
+    def test_foreign_commit_shows_null_operation(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import delta_history
+
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        # strip the commitInfo, as a foreign writer that records none
+        log = os.path.join(t, "_delta_log")
+        p = os.path.join(log, "%020d.json" % 0)
+        lines = [
+            ln for ln in open(p) if '"commitInfo"' not in ln
+        ]
+        with open(p, "w") as f:
+            f.writelines(lines)
+        hist = delta_history(spark, t).collect()
+        assert hist[0].operation is None
+        assert hist[0].engine_info is None
+
+    def test_append_and_dv_delete_ops(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import (
+            delta_history,
+            write_delta_commit,
+        )
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_delta_commit(_kv(spark, [(1, "a", 0), (2, "b", 0)]), t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        hist = delta_history(spark, t).orderBy("version").collect()
+        assert [r.operation for r in hist] == ["WRITE", "DELETE"]
+        import json as _json
+
+        assert _json.loads(hist[1].operation_parameters)["mode"] == (
+            "deletion-vectors"
+        )
+
+    def test_history_source_rider(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import (
+            SOURCE_BUILDERS,
+            _load_builtin_components,
+        )
+
+        _load_builtin_components()
+        t = str(tmp_path / "tbl")
+        merge_delta_batch(spark, _kv(spark, [(1, "a", 0)]), t, "k", "ts")
+        cfg = Config.from_env(
+            env_args=[
+                f"DELTA__SOURCE_URI=file://{t}",
+                "DELTA__HISTORY=true",
+            ],
+            environ={},
+        )
+        df = SOURCE_BUILDERS["DELTA"](spark, cfg)
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].operation == "MERGE"
