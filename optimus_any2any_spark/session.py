@@ -30,6 +30,11 @@ SCALE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # INT64 micros, not the deprecated INT96: Iceberg's spec REQUIRES
+    # int64 timestamps, and INT96 chunks carry no usable footer
+    # statistics (which the lakehouse writers read in lieu of
+    # re-scanning their own output — formats/footer_stats.py)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",

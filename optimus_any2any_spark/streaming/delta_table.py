@@ -67,6 +67,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from optimus_any2any_spark.formats.footer_stats import (
+    footer_file_stats,
+    kind_of_spark_type,
+)
 from optimus_any2any_spark.sources.delta import _log_dir, replay_log
 from optimus_any2any_spark.streaming.manifest_table import (
     _MAX_DRIVER_KEYS,
@@ -445,8 +449,14 @@ def _collect_file_stats(
     """Per-file stats for the merge key PLUS the leading data columns
     (capped) — Delta's per-column minValues/maxValues/nullCount, which
     is what makes ``read_delta(key_range=...)`` skip files on ANY
-    recorded column, not just the merge key. One footer-cheap pass
-    over the new files."""
+    recorded column, not just the merge key.
+
+    Fast path: parquet FOOTER statistics via pyarrow, driver-side —
+    zero data I/O over files this commit just wrote (re-reading every
+    byte of merge output for stats would double write-path I/O at
+    100 TB merge throughput). Falls back to one grouped Spark
+    aggregate whenever any footer value is not provably identical
+    (``formats/footer_stats.py`` documents the exactness contract)."""
     orderable = (
         T.NumericType, T.StringType, T.DateType, T.TimestampType,
         T.TimestampNTZType, T.BooleanType,
@@ -456,6 +466,25 @@ def _collect_file_stats(
         for f in data_schema.fields
         if f.name != key_col and isinstance(f.dataType, orderable)
     ][: _MAX_STAT_COLS - 1]
+    type_of = {f.name: f.dataType for f in data_schema.fields}
+    ft = footer_file_stats(
+        [os.path.join(table_path, r) for r in new_rel],
+        stat_cols,
+        {c: kind_of_spark_type(type_of[c]) for c in stat_cols if c in type_of}
+        if all(c in type_of for c in stat_cols)
+        else {},
+        session_tz=spark.conf.get("spark.sql.session.timeZone", "UTC"),
+    )
+    if ft is not None:
+        return {
+            name: {
+                "numRecords": s["rows"],
+                "minValues": s["min"],
+                "maxValues": s["max"],
+                "nullCount": s["nulls"],
+            }
+            for name, s in ft.items()
+        }
     aggs = [F.count(F.lit(1)).alias("rows")]
     for c in stat_cols:
         aggs += [
