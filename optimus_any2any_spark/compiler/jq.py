@@ -136,6 +136,7 @@ _TOK = re.compile(
     \s*(
         "(?:[^"\\]|\\.)*"                     # string
       | -?\d+\.\d+ | -?\d+                    # numbers
+      | \.\.                                  # recursive descent
       | \.\[\]                                # .[]
       | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\[-?\d+\]\??  # .path[idx]
       | \.[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*\??  # .path.to.field (opt ?)
@@ -2028,6 +2029,214 @@ class _ExprParser:
             return F.array().cast("array<array<string>>")
         return F.filter(F.array(*cands), lambda x: x.isNotNull())
 
+    def _dynamic_getpath(
+        self, elems: list[tuple[Column | None, str, str | None]]
+    ) -> tuple[Column, str]:
+        """``getpath`` with DYNAMIC string path elements at a static
+        length k: a CASE chain over the record's enumerable depth-k
+        path set (VERDICT r9 item 3 — the `.[EXPR]` machinery, one
+        level deeper).
+
+        Exactness gates (all fail-closed to the binary):
+
+        - every element must be string-kinded — jq errors on numeric
+          object indexes, and numbers mean array paths (dynamic
+          cardinality);
+        - every depth-k leaf (reached through struct levels) must
+          share ONE Spark type (a key-dependent result type cannot
+          live in a single Column).
+
+        Missing keys anywhere → null, and a null struct value
+        mid-path reads null (both probed: ``getpath(["q","d"])`` and
+        ``getpath(["a","d"])`` → null). Two TOTAL relaxations, the
+        same documented class the rest of the native paths ship
+        (absent/wrong-kind reads are null, never errors — see
+        ``.[EXPR]``): a NULL KEY value reads null where jq 1.6 errors
+        ("Cannot index object with null"), and a runtime key naming a
+        SCALAR/ARRAY field mid-walk reads null where jq errors
+        ("Cannot index number with ..."); non-struct fields at walk
+        depths simply contribute no paths to the CASE chain."""
+        from pyspark.sql import types as T
+
+        for _, kind, lit in elems:
+            if lit is None and kind != "string":
+                raise JQUnsupported(
+                    "jq: dynamic getpath elements must be provably "
+                    "string-kinded — binary path"
+                )
+        key_cols = [
+            F.lit(lit) if lit is not None else col
+            for col, _, lit in elems
+        ]
+        rec_fields = [
+            f
+            for f in self.df.schema.fields
+            if not f.name.startswith(_VAR_PREFIX)
+        ]
+        k = len(elems)
+        if k == 1:
+            col, kind = _dynamic_obj_index(
+                lambda n: F.col("`" + n + "`"), rec_fields, key_cols[0]
+            )
+            return col, kind
+        paths: list[tuple[list[str], T.DataType]] = []
+
+        def walk(depth: int, prefix: list[str], fields) -> None:
+            for f in fields:
+                if depth == k - 1:
+                    paths.append((prefix + [f.name], f.dataType))
+                elif isinstance(f.dataType, T.StructType):
+                    walk(depth + 1, prefix + [f.name],
+                         f.dataType.fields)
+                # non-struct mid-walk: no paths (total read → null)
+
+        walk(0, [], rec_fields)
+        # literal elements prune the candidate set at compile time
+        # (and contribute no runtime comparison)
+        lits = [lit for _, _, lit in elems]
+        paths = [
+            p
+            for p in paths
+            if all(
+                l is None or p[0][i] == l for i, l in enumerate(lits)
+            )
+        ]
+        if not paths:
+            return F.lit(None), "null"
+        dtypes = {dt.simpleString() for _, dt in paths}
+        if len(dtypes) != 1:
+            raise JQUnsupported(
+                "jq: dynamic getpath over mixed leaf types "
+                f"({sorted(dtypes)}) — binary path"
+            )
+        leaf_dt = paths[0][1]
+        out = F.lit(None).cast(leaf_dt)
+        for parts2, _ in reversed(paths):
+            cond: Column | None = None
+            val: Column = F.col("`" + parts2[0] + "`")
+            for i, p in enumerate(parts2):
+                if i > 0:
+                    val = val.getField(p)
+                if lits[i] is None:
+                    term = key_cols[i] == F.lit(p)
+                    cond = term if cond is None else cond & term
+            out = F.when(cond, val).otherwise(out)
+        return out, _kind_of_dtype(leaf_dt)
+
+    def _recursive_type_collect(self, filt: str) -> tuple[Column, str]:
+        """``[.. | strings]`` / ``[.. | numbers]`` / ``[.. | booleans]``
+        — the recursive-descent census, the highest-frequency ``..``
+        idiom (VERDICT r9 item 3). ``..`` is ``def recurse: ., (.[]? |
+        recurse)``: pre-order document walk, containers first. With a
+        TYPE filter the containers drop out, so the result is exactly
+        the matching LEAVES in schema order — a finite set enumerable
+        at compile time, like ``[paths]``.
+
+        Probed 1.6: ``{"a":{"b":"x","c":1},"d":"y","e":["p",null,"q"],
+        "f":[{"g":"r"},{"g":null,"h":"s"}]} | [.. | strings]`` →
+        ``["x","y","p","q","r","s"]`` (array elements in place, null
+        elements filtered by the type test, null object fields absent
+        under the engine's canonical serialization — the documented
+        total relaxation, same as [paths]/keys/has).
+
+        Numbers compile only when every numeric leaf is integral or
+        every one is double: jq prints ``2`` vs ``2.0`` by value, so a
+        mixed or float/decimal census would diverge in serialization
+        — those stay on the binary. Maps are dynamic keys — binary."""
+        from pyspark.sql import types as T
+
+        if filt == "strings":
+            match = lambda dt: isinstance(dt, T.StringType)  # noqa: E731
+        elif filt == "booleans":
+            match = lambda dt: isinstance(dt, T.BooleanType)  # noqa: E731
+        else:
+            match = lambda dt: isinstance(dt, T.NumericType)  # noqa: E731
+
+        leaf_types: list[T.DataType] = []
+
+        def scan(dt) -> None:
+            if isinstance(dt, T.MapType):
+                raise JQUnsupported(
+                    "jq: recursive descent through map columns "
+                    "(dynamic keys) — binary path"
+                )
+            if isinstance(dt, T.StructType):
+                for f in dt.fields:
+                    scan(f.dataType)
+            elif isinstance(dt, T.ArrayType):
+                scan(dt.elementType)
+            elif match(dt):
+                leaf_types.append(dt)
+
+        for f in self.df.schema.fields:
+            if not f.name.startswith(_VAR_PREFIX):
+                scan(f.dataType)
+
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        if filt == "numbers":
+            if not leaf_types:
+                target: T.DataType = T.LongType()
+            elif all(isinstance(t, integral) for t in leaf_types):
+                target = T.LongType()
+            elif all(isinstance(t, T.DoubleType) for t in leaf_types):
+                target = T.DoubleType()
+            else:
+                raise JQUnsupported(
+                    "jq: [.. | numbers] over mixed / float / decimal "
+                    "leaves — jq prints 2 vs 2.0 by value; binary path"
+                )
+        elif filt == "strings":
+            target = T.StringType()
+        else:
+            target = T.BooleanType()
+        empty = F.array().cast(T.ArrayType(target))
+
+        def has_match(dt) -> bool:
+            if isinstance(dt, T.StructType):
+                return any(has_match(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return has_match(dt.elementType)
+            return match(dt)
+
+        def build(col: Column, dt) -> Column:
+            # pruned at call sites: dt's subtree contains a match
+            if match(dt):
+                return F.when(
+                    col.isNotNull(), F.array(col.cast(target))
+                ).otherwise(empty)
+            if isinstance(dt, T.StructType):
+                parts = [
+                    build(col.getField(f.name), f.dataType)
+                    for f in dt.fields
+                    if has_match(f.dataType)
+                ]
+                inner = parts[0] if len(parts) == 1 else F.concat(*parts)
+                return F.when(col.isNotNull(), inner).otherwise(empty)
+            et = dt.elementType  # ArrayType — the only shape left
+            if match(et):
+                kept = F.transform(
+                    F.filter(col, lambda x: x.isNotNull()),
+                    lambda x: x.cast(target),
+                )
+                return F.when(col.isNotNull(), kept).otherwise(empty)
+            per_elem = F.transform(col, lambda e: build(e, et))
+            return F.when(
+                col.isNotNull(), F.flatten(per_elem)
+            ).otherwise(empty)
+
+        parts = [
+            build(F.col("`" + f.name + "`"), f.dataType)
+            for f in self.df.schema.fields
+            if not f.name.startswith(_VAR_PREFIX)
+            and has_match(f.dataType)
+        ]
+        out = (
+            empty
+            if not parts
+            else (parts[0] if len(parts) == 1 else F.concat(*parts))
+        )
+        return out, _kind_of_dtype(T.ArrayType(target))
+
     def parse_bracket(self) -> tuple[Column, str]:
         """``[ ... ]`` in expression position: the array-collected
         ``[foreach ...]`` scan, or a literal array of same-kind scalar
@@ -2050,6 +2259,25 @@ class _ExprParser:
                     "jq: element-scoped paths — binary path"
                 )
             return self._paths_array(name == "leaf_paths"), "complex"
+        if self.peek() == "..":
+            self.next()
+            if "." in self.bindings:
+                raise JQUnsupported(
+                    "jq: element-scoped recursive descent — binary"
+                )
+            if self.peek() != "|":
+                raise JQUnsupported(
+                    "jq: bare [..] is heterogeneous — binary path"
+                )
+            self.next()
+            filt = self.next()
+            if filt not in ("strings", "numbers", "booleans"):
+                raise JQUnsupported(
+                    "jq: [.. | f] beyond the type-filter census — "
+                    "binary path"
+                )
+            self.expect("]")
+            return self._recursive_type_collect(filt)
         if self.peek() == "limit":
             # [limit(n; .path[])] — the collected head of an array
             # stream is a slice. Literal counts only; jq 1.6 (the
@@ -2558,28 +2786,45 @@ class _ExprParser:
             # getpath(["a","b"]) on the record == .a.b with jq's exact
             # edges: missing anywhere → null (no error), but indexing a
             # SCALAR mid-path errors in jq (probed) — that case is not
-            # null natively, so it routes to the binary. Literal string
-            # paths only (a dynamic path is row-dependent structure).
+            # null natively, so it routes to the binary. Paths are a
+            # LITERAL-SHAPED array (static length); each element may be
+            # a literal string (static walk) or a dynamic string
+            # expression (CASE chain over the static path set —
+            # VERDICT r9 item 3, the same machinery as `.[EXPR]`).
             from pyspark.sql import types as T
 
             self.next()
             self.expect("[")
-            parts: list[str] = []
+            elems: list[tuple[Column | None, str, str | None]] = []
             while self.peek() != "]":
-                t2 = self.next()
-                if not t2.startswith('"'):
-                    raise JQUnsupported(
-                        "jq: getpath needs a literal string path"
-                    )
-                parts.append(json.loads(t2))
+                t2 = self.peek()
+                after = (
+                    self.toks[self.i + 1]
+                    if self.i + 1 < len(self.toks)
+                    else None
+                )
+                if (
+                    t2 is not None
+                    and t2.startswith('"')
+                    and "\\(" not in t2
+                    and after in (",", "]")
+                ):
+                    self.next()
+                    elems.append((None, "string", json.loads(t2)))
+                else:
+                    col2, kind2 = self.parse_or()
+                    elems.append((col2, kind2, None))
                 if self.peek() == ",":
                     self.next()
             self.expect("]")
             self.expect(")")
-            if not parts or "." in self.bindings:
+            if not elems or "." in self.bindings:
                 raise JQUnsupported(
                     "jq: getpath([]) / element-scoped getpath — binary"
                 )
+            if any(lit is None for _, _, lit in elems):
+                return self._dynamic_getpath(elems)
+            parts: list[str] = [lit for _, _, lit in elems]
             fields: dict | None = {
                 f.name: f.dataType
                 for f in self.df.schema.fields

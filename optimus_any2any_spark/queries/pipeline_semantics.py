@@ -761,3 +761,101 @@ def q_jq_entries_bindings(spark, sf_dir):
         "epoch: (try (.ISO | fromdate) catch -1)}"
     )
     return translate_jq(d, prog).orderBy("doc_id")
+
+
+@register(
+    "q_jq_recursive_descent",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN NULL
+                  ELSE 'cat' || CAST(doc_id % 4 AS VARCHAR) END AS cat,
+             upper(lang) AS lang2,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  ELSE 't' || CAST(doc_id % 5 AS VARCHAR) END AS tag,
+             CASE WHEN doc_id % 6 = 0 THEN NULL
+                  ELSE CAST(length(text) AS BIGINT) END AS n_chars,
+             CASE WHEN doc_id % 3 = 0 THEN 'meta'
+                  WHEN doc_id % 3 = 1 THEN 'aux'
+                  ELSE 'nope' END AS k1,
+             CASE WHEN doc_id % 2 = 0 THEN 'lang'
+                  ELSE 'tag' END AS k2
+      FROM documents
+    )
+    SELECT doc_id,
+           concat_ws(',', lang, cat, lang2, tag, lang, tag, k1, k2)
+             AS all_strs,
+           CAST(5 + CASE WHEN cat IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN tag IS NULL THEN 0 ELSE 2 END
+                AS BIGINT) AS n_strs,
+           doc_id + COALESCE(n_chars, 0) AS nums_sum,
+           CASE WHEN k1 = 'meta' AND k2 = 'lang' THEN lang
+                WHEN k1 = 'aux' AND k2 = 'tag' THEN tag
+           END AS v
+    FROM src ORDER BY doc_id
+    """,
+    doc="The round-10 native jq constructs (VERDICT r9 item 3) as ONE "
+    "compiled program through the oracle gate: `[.. | strings]` and "
+    "`[.. | numbers]` — recursive descent with a type filter, "
+    "compiled as the schema-order leaf census (pre-order document "
+    "walk incl. array elements and structs inside arrays; null "
+    "object fields absent, null array elements dropped by the type "
+    "test — both probed vs jq 1.6) — and getpath([.k1, .k2]) with "
+    "DYNAMIC path elements: a CASE chain over the static depth-2 "
+    "path set, missing keys → null (probed), keys naming scalar "
+    "fields → null (the documented total-path relaxation; jq "
+    "errors). join/length/add consume the census arrays natively. "
+    "All Catalyst — no jq binary, no Python (pinned in "
+    "tests/test_plan_quality.py).",
+    bench=True,
+)
+def q_jq_recursive_descent(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("cat"), (F.col("doc_id") % 4)
+                                .cast("string")))
+            .alias("cat"),
+        ).alias("meta"),
+        F.struct(
+            F.upper("lang").alias("lang2"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("t"), (F.col("doc_id") % 5)
+                                .cast("string")))
+            .alias("tag"),
+        ).alias("aux"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(None).cast("long"))
+        .otherwise(F.length("text").cast("long"))
+        .alias("n_chars"),
+        F.array(
+            F.col("lang"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("t"), (F.col("doc_id") % 5)
+                                .cast("string"))),
+        ).alias("tags"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("meta"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("aux"))
+        .otherwise(F.lit("nope"))
+        .alias("k1"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("lang"))
+        .otherwise(F.lit("tag"))
+        .alias("k2"),
+    )
+    prog = (
+        ".[] | {doc_id, "
+        'all_strs: ([.. | strings] | join(",")), '
+        "n_strs: ([.. | strings] | length), "
+        "nums_sum: ([.. | numbers] | add), "
+        "v: getpath([.k1, .k2])}"
+    )
+    return translate_jq(d, prog).select(
+        "doc_id",
+        "all_strs",
+        F.col("n_strs").cast("long").alias("n_strs"),
+        F.col("nums_sum").cast("long").alias("nums_sum"),
+        "v",
+    ).orderBy("doc_id")

@@ -447,3 +447,145 @@ def test_paths_defs_setpath_delpaths_equal_jq_binary(spark, rows, program):
         if ln.strip()
     ]
     assert _norm_rec(got) == _norm_rec(expect), (program, rows)
+
+
+# ---------------------------------------------------------------------------
+# P6: recursive-descent type census + dynamic getpath (round 10)
+
+_P6_SCHEMA = (
+    "id long, s string, n struct<t:string,u:string>, "
+    "arr array<string>, objs array<struct<g:string,v:struct<w:string>>>, "
+    "k1 string, k2 string"
+)
+_P6_RECORDS = st.lists(
+    st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-9, max_value=9),
+            "s": st.one_of(st.none(), st.sampled_from(["", "x", "héllo"])),
+            # uniform string leaves: the dynamic-getpath depth-2 target
+            "n": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {
+                        "t": st.one_of(
+                            st.none(), st.sampled_from(["p", "qq"])
+                        ),
+                        "u": st.one_of(
+                            st.none(), st.sampled_from(["", "uu"])
+                        ),
+                    }
+                ),
+            ),
+            "arr": st.one_of(
+                st.none(),
+                st.lists(
+                    st.one_of(st.none(), st.sampled_from(["e1", "e2"])),
+                    max_size=3,
+                ),
+            ),
+            # nested struct INSIDE an array keeps the census walk deep
+            "objs": st.one_of(
+                st.none(),
+                st.lists(
+                    st.fixed_dictionaries(
+                        {
+                            "g": st.one_of(
+                                st.none(), st.sampled_from(["gg", "h"])
+                            ),
+                            "v": st.one_of(
+                                st.none(),
+                                st.fixed_dictionaries(
+                                    {
+                                        "w": st.one_of(
+                                            st.none(),
+                                            st.sampled_from(["deep", ""]),
+                                        )
+                                    }
+                                ),
+                            ),
+                        }
+                    ),
+                    max_size=2,
+                ),
+            ),
+            # dynamic getpath keys: real + missing names, never null
+            # (a null key ERRORS in jq 1.6 — the native total-read
+            # relaxation is documented, not fuzzed)
+            "k1": st.sampled_from(["n", "s", "arr", "missing", "id"]),
+            "k2": st.sampled_from(["t", "u", "missing"]),
+        }
+    ),
+    min_size=1,
+    max_size=6,
+)
+_P6_PROGRAMS = st.sampled_from(
+    [
+        ".[] | {id, vals: [.. | strings]}",
+        ".[] | {id, n_str: ([.. | strings] | length)}",
+        # id is the only numeric leaf
+        ".[] | {id, nums: [.. | numbers]}",
+        # dynamic getpath at depth 2: k1 values naming SCALAR fields
+        # (s/arr/id) error in jq — guard to struct-or-missing names,
+        # which jq evaluates identically and keeps the differential
+        # inside the provable class
+        '.[] | select(.k1 == "n" or .k1 == "missing") '
+        "| {id, v: getpath([.k1, .k2])}",
+        '.[] | {id, v: getpath(["n", .k2])}',
+    ]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_P6_RECORDS, program=_P6_PROGRAMS)
+def test_recursive_descent_getpath_equal_jq_binary(spark, rows, program):
+    df = spark.createDataFrame(
+        [
+            (
+                r["id"],
+                r["s"],
+                r["n"] and (r["n"]["t"], r["n"]["u"]),
+                r["arr"],
+                r["objs"]
+                and [
+                    (o["g"], o["v"] and (o["v"]["w"],))
+                    for o in r["objs"]
+                ],
+                r["k1"],
+                r["k2"],
+            )
+            for r in rows
+        ],
+        _P6_SCHEMA,
+    )
+    got = [
+        r.asDict(recursive=True)
+        for r in translate_jq(df, program).collect()
+    ]
+
+    # canonical serialization drops null OBJECT fields; array
+    # elements keep nulls (probed — the binary path serializes both
+    # the same way)
+    def clean(v):
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items() if x is not None}
+        if isinstance(v, list):
+            return [clean(x) for x in v]
+        return v
+
+    canonical = [clean(r) for r in rows]
+    out = subprocess.run(
+        ["jq", "-c", program],
+        input=json.dumps(canonical).encode(),
+        stdout=subprocess.PIPE,
+        check=True,
+    )
+    expect = [
+        json.loads(ln)
+        for ln in out.stdout.decode().splitlines()
+        if ln.strip()
+    ]
+    assert _norm_rec(got) == _norm_rec(expect), (program, rows)

@@ -614,6 +614,19 @@ class TestRound5Plans:
         assert "Generate" in r.text, r.text  # the explode
         assert "slice(" in r.text, r.text    # the truncation
 
+    def test_jq_recursive_descent_stays_native(self, spark):
+        # [.. | strings] / [.. | numbers] compile to the schema-order
+        # leaf census (concat/filter/transform/flatten Column algebra)
+        # and getpath([.k1,.k2]) to a CASE chain — no jq binary
+        # (mapInPandas), no Python, no joins; the only exchange is the
+        # presentation sort
+        r = report(spark, "q_jq_recursive_descent")
+        assert "mapInPandas" not in r.text.lower(), r.text
+        assert "Python" not in r.text, r.text
+        assert r.num_broadcast_joins == 0 and r.num_sortmerge_joins == 0
+        assert r.num_exchanges <= 2, r.text  # presentation sort only
+        assert set(r.scan_columns()[0]) == {"doc_id", "lang", "text"}
+
     def test_dv_read_is_one_anti_join(self, spark):
         # deletion vectors apply as ONE left-anti join on
         # (file basename, _metadata.row_index) — the vectors decode in
