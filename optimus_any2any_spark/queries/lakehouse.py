@@ -200,6 +200,102 @@ def delta_partitioned_merge(spark, sf_dir):
 
 
 @register(
+    "delta_conditional_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    src AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price,
+             'I' AS status
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    result AS (
+      SELECT b.k, b.price + s.price AS price, 'U' AS status
+      FROM base b JOIN src s USING (k)
+      WHERE s.price <= 150000
+      UNION ALL
+      SELECT b.k, b.price, b.status FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = b.k)
+        AND b.k % 10 <> 1
+      UNION ALL
+      SELECT s.k, s.price, s.status FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)
+    )
+    SELECT k % 7 AS k_mod, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price,
+           SUM(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS n_upd
+    FROM result GROUP BY k % 7 ORDER BY k_mod
+    """,
+    doc="CONDITIONAL Delta MERGE clauses (VERDICT r9 item 5 — "
+    "delta-spark's whenMatchedDelete(cond) / whenMatchedUpdate(cond, "
+    "set) / whenNotMatchedBySourceDelete(cond) builder surface): one "
+    "merge whose matched rows DELETE when the source price exceeds a "
+    "threshold, otherwise UPDATE two columns from both sides "
+    "(t.price + s.price, status 'U'), whose target rows unmatched by "
+    "the source DELETE on their own predicate, and whose unmatched "
+    "source rows insert. First-matching-clause-wins in declaration "
+    "order; one left-outer join + CASE algebra over the same "
+    "single-job merge plan (streaming/delta_table.py "
+    "_apply_merge_clauses); commitInfo records the predicates. The "
+    "oracle states the same row algebra as SQL set operations.",
+)
+def delta_conditional_merge(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        merge_delta_batch,
+    )
+
+    t = _fixture_dir("delta_cmerge", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    src = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        F.lit("I").alias("status"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    merge_delta_batch(
+        spark, src, t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+        when_matched=[
+            ("delete", "s.price > 150000"),
+            ("update", None,
+             {"price": "t.price + s.price", "status": "'U'"}),
+        ],
+        when_not_matched_by_source=[("delete", "t.k % 10 = 1")],
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame(
+            [], "k_mod long, n_rows long, sum_price double, n_upd long"
+        )
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+            F.sum(
+                (F.col("status") == "U").cast("long")
+            ).alias("n_upd"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "delta_delete_erasure",
     oracle=f"""
     WITH base AS (

@@ -169,6 +169,14 @@ def delta_sink(df: DataFrame, cfg: Config):
                 "DELTA sink MERGE mode requires DELTA__MERGE_KEY and "
                 "DELTA__MERGE_TS"
             )
+        # DELTA__WHEN_MATCHED / DELTA__WHEN_NOT_MATCHED_BY_SOURCE:
+        # JSON clause lists — [["update", cond|null, {col: sql}],
+        # ["delete", cond|null]] — the conditional-MERGE builder
+        # surface (validated/refused inside merge_delta_batch)
+        import json as _json
+
+        wm = c.get("when_matched")
+        nmbs = c.get("when_not_matched_by_source")
         merge_delta_batch(
             df.sparkSession,
             df,
@@ -177,6 +185,10 @@ def delta_sink(df: DataFrame, cfg: Config):
             ts,
             partition_by=part_by or None,
             change_data=(c.get("change_data", "").lower() == "true"),
+            when_matched=_json.loads(wm) if wm else None,
+            when_not_matched_by_source=(
+                _json.loads(nmbs) if nmbs else None
+            ),
         )
     elif mode == "DELETE":
         # erasure pipeline: the records' keys are REMOVED from the

@@ -1294,6 +1294,140 @@ def compact_delta(
     return version
 
 
+def _validate_merge_clauses(
+    when_matched: list | None,
+    when_not_matched_by_source: list | None,
+    key_col: str,
+) -> None:
+    """Shape-check conditional-MERGE clause lists: each clause is
+    ``("update", condition_sql_or_None, {col: value_sql})`` or
+    ``("delete", condition_sql_or_None)``, evaluated in declaration
+    order, first match wins (delta-spark's builder semantics).
+    Assignments may not touch the merge key — key rewrites would break
+    the key-pruning contract (and real Delta refuses them on the
+    matched side for the same reason)."""
+    for label, clauses in (
+        ("when_matched", when_matched),
+        ("when_not_matched_by_source", when_not_matched_by_source),
+    ):
+        for cl in clauses or []:
+            if not cl or cl[0] not in ("update", "delete"):
+                raise ValueError(
+                    f"delta merge: {label} clause kind must be "
+                    f"'update' or 'delete', got {cl!r}"
+                )
+            if cl[0] == "update":
+                if len(cl) != 3 or not isinstance(cl[2], dict) or not cl[2]:
+                    raise ValueError(
+                        f"delta merge: {label} update clause needs "
+                        "('update', condition|None, {col: value_sql})"
+                    )
+                if key_col in cl[2]:
+                    raise ValueError(
+                        "delta merge: UPDATE SET may not assign the "
+                        f"merge key {key_col!r}"
+                    )
+            elif len(cl) != 2:
+                raise ValueError(
+                    f"delta merge: {label} delete clause needs "
+                    "('delete', condition|None)"
+                )
+
+
+def _apply_merge_clauses(
+    cur: DataFrame,
+    latest_p: DataFrame,
+    key_col: str,
+    data_cols: list[str],
+    when_matched: list | None,
+    when_not_matched_by_source: list | None,
+) -> DataFrame:
+    """Conditional-MERGE row algebra (delta-spark's
+    whenMatchedUpdate / whenMatchedDelete /
+    whenNotMatchedBySourceUpdate / whenNotMatchedBySourceDelete):
+
+    ONE left-outer join target←source decides matched-ness; a CASE
+    chain computes the FIRST clause (declaration order) whose
+    condition holds for each row; delete-clause rows drop, update
+    clauses apply their ``{col: value_sql}`` assignments (conditions
+    and values see ``t.<col>`` = target row and ``s.<col>`` = source
+    row; on the not-matched-by-source side every ``s.`` read is
+    null), unmatched-clause rows pass through unchanged, and source
+    rows matching NO target row insert (whenNotMatchedInsertAll —
+    the engine's standing upsert insert side). Still one shuffle
+    join + one write: the clause algebra is pure Column CASE work on
+    top of the existing single-job merge plan."""
+    wm = list(when_matched or [])
+    nm = list(when_not_matched_by_source or [])
+    t = cur.alias("t")
+    s = latest_p.withColumn("__s_m", F.lit(1)).alias("s")
+    on = F.col(f"t.{key_col}").eqNullSafe(F.col(f"s.{key_col}")) & (
+        F.col("t.__pid") == F.col("s.__pid")
+    )
+    j = t.join(s, on, "left")
+    matched = F.col("s.__s_m").isNotNull()
+
+    def _first_match_idx(clauses: list, side: Column) -> Column:
+        chain = None
+        for i, cl in enumerate(clauses, start=1):
+            cond = side & (
+                F.expr(cl[1]) if cl[1] is not None else F.lit(True)
+            )
+            chain = (
+                F.when(cond, F.lit(i))
+                if chain is None
+                else chain.when(cond, F.lit(i))
+            )
+        return chain.otherwise(F.lit(0)) if chain is not None else F.lit(0)
+
+    midx = _first_match_idx(wm, matched)
+    nidx = _first_match_idx(nm, ~matched)
+
+    vals: list[Column] = []
+    for c in data_cols:
+        v = None
+        for idx_col, clauses in ((midx, wm), (nidx, nm)):
+            for i, cl in enumerate(clauses, start=1):
+                if cl[0] == "update" and c in cl[2]:
+                    term_cond = idx_col == i
+                    term_val = F.expr(cl[2][c]).cast(
+                        cur.schema[c].dataType
+                    )
+                    v = (
+                        F.when(term_cond, term_val)
+                        if v is None
+                        else v.when(term_cond, term_val)
+                    )
+        col = (
+            v.otherwise(F.col(f"t.{c}")) if v is not None
+            else F.col(f"t.{c}")
+        )
+        vals.append(col.alias(c))
+
+    drop_m = [i for i, cl in enumerate(wm, start=1) if cl[0] == "delete"]
+    drop_n = [i for i, cl in enumerate(nm, start=1) if cl[0] == "delete"]
+    keep = F.lit(True)
+    if drop_m:
+        keep = keep & ~midx.isin(drop_m)
+    if drop_n:
+        keep = keep & ~nidx.isin(drop_n)
+    target_rows = j.filter(keep).select(*vals, F.col("t.__pid"))
+
+    inserts = (
+        latest_p.alias("b")
+        .join(
+            cur.select(
+                F.col(key_col).alias("__tk"),
+                F.col("__pid").alias("__tpid"),
+            ),
+            F.col(f"b.{key_col}").eqNullSafe(F.col("__tk"))
+            & (F.col("b.__pid") == F.col("__tpid")),
+            "left_anti",
+        )
+    )
+    return target_rows.unionByName(inserts)
+
+
 def merge_delta_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -1307,6 +1441,8 @@ def merge_delta_batch(
     change_data: bool = False,
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    when_matched: list | None = None,
+    when_not_matched_by_source: list | None = None,
 ) -> int:
     """One file-level MERGE commit against a Delta table; returns the
     committed (or already-current, on an idempotent skip) version.
@@ -1334,8 +1470,40 @@ def merge_delta_batch(
     the table are APPENDED to the schema (this commit carries the new
     metaData action; existing files read the new columns as null), and
     table columns missing from the batch are null-filled. Without it,
-    any column mismatch raises."""
+    any column mismatch raises.
+
+    ``when_matched`` / ``when_not_matched_by_source`` (VERDICT r9
+    item 5) switch the matched/unmatched-target row algebra from the
+    default latest-wins upsert to delta-spark's conditional clause
+    builder: ordered lists of ``("update", cond_sql|None, {col:
+    value_sql})`` / ``("delete", cond_sql|None)``; conditions and
+    values reference ``t.<col>`` (target row) and ``s.<col>`` (source
+    row), first matching clause wins, no-clause rows pass through
+    UNCHANGED (not upserted), and unmatched source rows always insert
+    (whenNotMatchedInsertAll). ``when_not_matched_by_source`` scans
+    every live row by definition, so it is unpartitioned-only (a
+    partitioned full-table clause would defeat the partition-pruned
+    merge contract — refused by name); CDF and schema evolution do
+    not compose with clauses yet (refused by name). The commitInfo
+    records the clause predicates in operationParameters."""
     from pyspark.sql.window import Window
+
+    conditional = bool(when_matched or when_not_matched_by_source)
+    if conditional:
+        _validate_merge_clauses(
+            when_matched, when_not_matched_by_source, key_col
+        )
+        if change_data:
+            raise NotImplementedError(
+                "delta merge: change_data=True with conditional "
+                "clauses is not implemented (CDF needs per-clause "
+                "pre/post images)"
+            )
+        if merge_schema:
+            raise ValueError(
+                "delta merge: merge_schema does not compose with "
+                "conditional clauses"
+            )
 
     exists = os.path.isdir(_log_dir(table_path))
     state = replay_log(spark, table_path) if exists else {
@@ -1449,6 +1617,12 @@ def merge_delta_batch(
             "delta merge: the merge key cannot be a partition column "
             "(every key group would be a one-row partition)"
         )
+    if when_not_matched_by_source and part_cols:
+        raise NotImplementedError(
+            "delta merge: when_not_matched_by_source scans every "
+            "live row and is unpartitioned-only (a partitioned "
+            "full-table clause would defeat partition pruning)"
+        )
 
     w = Window.partitionBy(key_col, *part_cols).orderBy(
         F.col(ts_col).desc()
@@ -1468,7 +1642,9 @@ def merge_delta_batch(
         )
 
         check_delta_constraints(state["meta"], latest, "merge")
-    if n_total == 0:
+    if n_total == 0 and not when_not_matched_by_source:
+        # (an EMPTY source with when_not_matched_by_source is still a
+        # full clause evaluation: every live row is unmatched)
         if not evolved:
             return state["version"]
         # A widening merge whose batch has zero rows is still a legal
@@ -1549,6 +1725,13 @@ def merge_delta_batch(
             for r in krows
         }
 
+    if when_not_matched_by_source and not pstats:
+        # empty source, unpartitioned (enforced above): the clause
+        # pass still needs the one () partition to route through
+        pstats = {
+            (): {"n": 0, "keys": [], "kmin": None, "kmax": None,
+                 "has_null": False}
+        }
     ptuples = sorted(pstats, key=str)
     pid_of = {pt: i for i, pt in enumerate(ptuples)}
     # partitionValues (and stats) in add actions are keyed by PHYSICAL
@@ -1584,6 +1767,15 @@ def merge_delta_batch(
         if hit:
             hit_by_pid[pid_of[pt]] = hit
             hit_paths.extend(e["path"] for e in hit)
+    if when_not_matched_by_source and state["live"]:
+        # the clause touches every live row by definition: no file is
+        # prunable (key stats say nothing about NOT-matched rows)
+        entries_all = [
+            _entry_from_add(p, a, phys(key_col))
+            for p, a in sorted(state["live"].items())
+        ]
+        hit_by_pid = {0: entries_all}
+        hit_paths = [e["path"] for e in entries_all]
 
     # attach __pid to batch rows. A batch touching ONE partition
     # (including every unpartitioned merge) needs no routing at all —
@@ -1669,11 +1861,30 @@ def merge_delta_batch(
         touch = F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk")) & (
             F.col("cur.__pid") == F.col("__bpid")
         )
-        merged = (
-            cur.alias("cur")
-            .join(bk, touch, "left_anti")
-            .unionByName(latest_p)
-        )
+        if conditional:
+            merged = _apply_merge_clauses(
+                cur, latest_p, key_col, data_cols,
+                when_matched, when_not_matched_by_source,
+            )
+            # UPDATE SET mints NEW values — constraints must gate them
+            # too (pass-through and insert rows re-check for free;
+            # zero jobs when no constraints are declared). Partition
+            # columns re-attach from the pid lookup so constraints
+            # referencing them resolve.
+            from optimus_any2any_spark.sources.delta import (
+                check_delta_constraints as _ck,
+            )
+
+            merged_ck = merged
+            if pid_df is not None:
+                merged_ck = merged.join(F.broadcast(pid_df), "__pid")
+            _ck(state["meta"], merged_ck.drop("__pid"), "merge")
+        else:
+            merged = (
+                cur.alias("cur")
+                .join(bk, touch, "left_anti")
+                .unionByName(latest_p)
+            )
         total_hit_rows = sum(
             max(e["rows"], 0)
             for hits in hit_by_pid.values()
@@ -1872,9 +2083,27 @@ def merge_delta_batch(
                 }
             }
         )
+    op_params: dict = {"key": key_col}
+    if when_matched:
+        # commitInfo records the clause predicates (delta-spark puts
+        # matchedPredicates/notMatchedBySourcePredicates in
+        # operationParameters the same way)
+        op_params["matchedPredicates"] = json.dumps(
+            [
+                {"predicate": cl[1] or "true", "actionType": cl[0]}
+                for cl in when_matched
+            ]
+        )
+    if when_not_matched_by_source:
+        op_params["notMatchedBySourcePredicates"] = json.dumps(
+            [
+                {"predicate": cl[1] or "true", "actionType": cl[0]}
+                for cl in when_not_matched_by_source
+            ]
+        )
     _commit(
         _log_dir(table_path), version, actions,
-        operation="MERGE", operation_params={'key': key_col},
+        operation="MERGE", operation_params=op_params,
     )
     if checkpoint_interval and version > 0 and (
         version % checkpoint_interval == 0

@@ -1364,3 +1364,286 @@ class TestDescribeHistory:
         df = SOURCE_BUILDERS["DELTA"](spark, cfg)
         rows = df.collect()
         assert len(rows) == 1 and rows[0].operation == "MERGE"
+
+
+class TestConditionalMergeClauses:
+    """VERDICT r9 item 5: delta-spark's conditional MERGE clause
+    builder — whenMatchedUpdate(cond, set) / whenMatchedDelete(cond) /
+    whenNotMatchedBySource* — over the single-job merge plan."""
+
+    def _base(self, spark, path):
+        base = spark.createDataFrame(
+            [(1, "a", 10, 0), (2, "b", 20, 0), (3, "c", 30, 0),
+             (4, "d", 40, 0), (11, "e", 50, 0)],
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(spark, base, str(path), "k", "ts", batch_id=0)
+
+    def _rows(self, spark, path):
+        return sorted(
+            (r.k, r.name, r.val)
+            for r in read_delta(spark, str(path)).collect()
+        )
+
+    def test_update_delete_insert_nmbs(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(1, "A", 100, 1),   # matched → update (2nd clause)
+             (3, "C", 999, 1),   # matched, s.val > 500 → delete
+             (9, "I", 900, 1)],  # unmatched → insert
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_matched=[
+                ("delete", "s.val > 500"),
+                ("update", "s.val <= 150",
+                 {"name": "s.name", "val": "t.val + s.val"}),
+            ],
+            when_not_matched_by_source=[("delete", "t.k % 10 = 1")],
+        )
+        # k=1 matched+updated BEFORE the nmbs clause could see it;
+        # k=11 unmatched-by-source and k%10=1 → deleted; k=2,4 pass
+        # through untouched; k=3 deleted; k=9 inserted
+        assert self._rows(spark, t) == [
+            (1, "A", 110), (2, "b", 20), (4, "d", 40), (9, "I", 900),
+        ]
+
+    def test_first_matching_clause_wins(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(2, "x", 5, 1)], "k long, name string, val long, ts long"
+        )
+        # both clauses' conditions hold; declaration order decides
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_matched=[
+                ("update", "s.val < 10", {"val": "-1"}),
+                ("delete", "s.val < 10"),
+            ],
+        )
+        got = self._rows(spark, t)
+        assert (2, "b", -1) in got  # updated, NOT deleted
+
+    def test_matched_rows_without_clause_pass_through(
+        self, spark, tmp_path
+    ):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(2, "zzz", 999, 1)],
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_matched=[("update", "s.val < 10", {"val": "-1"})],
+        )
+        # condition false → NOT upserted, target row unchanged
+        assert (2, "b", 20) in self._rows(spark, t)
+
+    def test_empty_source_nmbs_deletes(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        empty = spark.createDataFrame(
+            [], "k long, name string, val long, ts long"
+        )
+        v = merge_delta_batch(
+            spark, empty, str(t), "k", "ts", batch_id=1,
+            when_not_matched_by_source=[("delete", "t.val > 25")],
+        )
+        assert v == 1
+        assert self._rows(spark, t) == [(1, "a", 10), (2, "b", 20)]
+
+    def test_nmbs_update_supported(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(1, "A", 1, 1)], "k long, name string, val long, ts long"
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_matched=[("update", None, {"val": "s.val"})],
+            when_not_matched_by_source=[
+                ("update", "t.val >= 30", {"name": "'stale'"})
+            ],
+        )
+        got = self._rows(spark, t)
+        assert (1, "a", 1) in got
+        assert (3, "stale", 30) in got and (4, "stale", 40) in got
+        assert (2, "b", 20) in got  # nmbs condition false: unchanged
+
+    def test_predicates_recorded_in_history(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import delta_history
+
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(1, "A", 1, 1)], "k long, name string, val long, ts long"
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_matched=[("delete", "s.val > 500")],
+        )
+        h = {
+            r.version: json.loads(r.operation_parameters)
+            for r in delta_history(spark, str(t)).collect()
+        }
+        preds = json.loads(h[1]["matchedPredicates"])
+        assert preds == [
+            {"predicate": "s.val > 500", "actionType": "delete"}
+        ]
+
+    def test_idempotent_redelivery(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(1, "A", 100, 1)], "k long, name string, val long, ts long"
+        )
+        kw = dict(
+            when_matched=[
+                ("update", None, {"val": "t.val + s.val"})
+            ],
+        )
+        v1 = merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1, **kw
+        )
+        v2 = merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1, **kw
+        )
+        assert v2 == v1  # redelivered: NOT applied twice
+        assert (1, "a", 110) in self._rows(spark, t)
+
+    def test_partitioned_matched_clauses_work(self, spark, tmp_path):
+        t = tmp_path / "t"
+        base = spark.createDataFrame(
+            [(1, "p1", 10, 0), (2, "p1", 20, 0), (3, "p2", 30, 0)],
+            "k long, pt string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, base, str(t), "k", "ts", batch_id=0,
+            partition_by=["pt"],
+        )
+        src = spark.createDataFrame(
+            [(1, "p1", 100, 1), (3, "p2", 999, 1)],
+            "k long, pt string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_matched=[
+                ("delete", "s.val > 500"),
+                ("update", None, {"val": "t.val + s.val"}),
+            ],
+        )
+        got = sorted(
+            (r.k, r.pt, r.val)
+            for r in read_delta(spark, str(t)).collect()
+        )
+        assert got == [(1, "p1", 110), (2, "p1", 20)]
+
+    def test_constraints_gate_updated_values(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            set_delta_constraint,
+        )
+
+        t = tmp_path / "t"
+        self._base(spark, t)
+        set_delta_constraint(spark, str(t), "val_pos", "val > 0")
+        src = spark.createDataFrame(
+            [(1, "A", 5, 1)], "k long, name string, val long, ts long"
+        )
+        with pytest.raises(ValueError, match="val_pos"):
+            merge_delta_batch(
+                spark, src, str(t), "k", "ts", batch_id=1,
+                when_matched=[
+                    ("update", None, {"val": "t.val - 100"})
+                ],
+            )
+
+    def test_refusals(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(1, "A", 1, 1)], "k long, name string, val long, ts long"
+        )
+        with pytest.raises(NotImplementedError, match="change_data"):
+            merge_delta_batch(
+                spark, src, str(t), "k", "ts", change_data=True,
+                when_matched=[("delete", None)],
+            )
+        with pytest.raises(ValueError, match="merge_schema"):
+            merge_delta_batch(
+                spark, src, str(t), "k", "ts", merge_schema=True,
+                when_matched=[("delete", None)],
+            )
+        with pytest.raises(ValueError, match="merge key"):
+            merge_delta_batch(
+                spark, src, str(t), "k", "ts",
+                when_matched=[("update", None, {"k": "0"})],
+            )
+        with pytest.raises(ValueError, match="clause kind"):
+            merge_delta_batch(
+                spark, src, str(t), "k", "ts",
+                when_matched=[("upsert", None)],
+            )
+        # partitioned + when_not_matched_by_source refuses by name
+        t2 = tmp_path / "t2"
+        base = spark.createDataFrame(
+            [(1, "p1", 10, 0)], "k long, pt string, val long, ts long"
+        )
+        merge_delta_batch(
+            spark, base, str(t2), "k", "ts", batch_id=0,
+            partition_by=["pt"],
+        )
+        src2 = spark.createDataFrame(
+            [(1, "p1", 1, 1)], "k long, pt string, val long, ts long"
+        )
+        with pytest.raises(
+            NotImplementedError, match="unpartitioned-only"
+        ):
+            merge_delta_batch(
+                spark, src2, str(t2), "k", "ts",
+                when_not_matched_by_source=[("delete", None)],
+            )
+
+
+class TestConditionalMergeSinkRider:
+    def test_when_matched_rider(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        src = tmp_path / "in.json"
+        src.write_text(
+            '{"k": 1, "v": "a", "ts": 0}\n{"k": 2, "v": "b", "ts": 0}\n'
+        )
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"DELTA__SINK_URI=file://{t}",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["DELTA"], cfg).run()
+        src2 = tmp_path / "in2.json"
+        src2.write_text(
+            '{"k": 2, "v": "DEL", "ts": 1}\n{"k": 9, "v": "i", "ts": 1}\n'
+        )
+        clauses = (
+            '[["delete", "s.v = \'DEL\'"], '
+            '["update", null, {"v": "s.v"}]]'
+        )
+        cfg2 = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src2}",
+                f"DELTA__SINK_URI=file://{t}",
+                "DELTA__MODE=MERGE",
+                "DELTA__MERGE_KEY=k",
+                "DELTA__MERGE_TS=ts",
+                f"DELTA__WHEN_MATCHED={clauses}",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["DELTA"], cfg2).run()
+        assert _snap(spark, t) == [(1, "a"), (9, "i")]
