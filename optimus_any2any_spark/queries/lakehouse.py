@@ -1433,6 +1433,98 @@ def iceberg_days_partitioned_merge(spark, sf_dir):
 
 
 @register(
+    "iceberg_spec_evolution_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS k, event_type AS etype, value, ts
+      FROM events WHERE event_id % 3 <> 0
+    ),
+    upd AS (
+      SELECT k, etype, value + 10.0 AS value, ts
+      FROM base WHERE k % 5 = 1
+    ),
+    ins AS (
+      SELECT event_id AS k, event_type AS etype, value / 2 AS value, ts
+      FROM events WHERE event_id % 15 = 0
+    ),
+    merged AS (
+      SELECT k, etype, value FROM base WHERE k % 5 <> 1
+      UNION ALL SELECT k, etype, value FROM upd
+      UNION ALL SELECT k, etype, value FROM ins
+    )
+    SELECT etype, COUNT(*) AS n_rows, {o_dsum('value')} AS sum_value
+    FROM merged GROUP BY etype ORDER BY etype
+    """,
+    doc="Iceberg PARTITION EVOLUTION on the write path (VERDICT r9 "
+    "item 6, spec §Partition Evolution): the table is created "
+    "days(ts)-partitioned, evolved to identity(event_type) via "
+    "set_iceberg_partition_spec (a data-free metadata version that "
+    "appends the new spec and flips default-spec-id — partition "
+    "field ids stay unique across specs), then merged. The merge "
+    "prunes old-spec manifests by KEY BOUNDS only (their day tuples "
+    "are another spec's coordinates — tuple-matching would silently "
+    "mis-prune), extends the pid set with the current-spec tuples "
+    "the rewritten old-spec rows actually produce (one distinct "
+    "aggregate, run only on evolved tables), writes new and "
+    "rewritten files under the NEW spec, and re-lists untouched "
+    "old-spec files under their OWN spec id — one manifest per spec, "
+    "the format's mixed-spec representation. Reads are spec-agnostic "
+    "(data files physically carry the source columns). The oracle is "
+    "the same upsert algebra grouped by the new partition column.",
+)
+def iceberg_spec_evolution_merge(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+        set_iceberg_partition_spec,
+    )
+
+    t = _fixture_dir("iceberg_evmerge", sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value"),
+        F.col("ts"),
+        F.lit(0).cast("long").alias("rts"),
+    )
+    base = ev.filter(F.col("k") % 3 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "rts", batch_id=0,
+        target_rows_per_file=4000, partition_by=["days(ts)"],
+    )
+    if os.path.isdir(os.path.join(t, "metadata")):
+        set_iceberg_partition_spec(spark, t, ["etype"])
+    upd = (
+        base.filter(F.col("k") % 5 == 1)
+        .withColumn("value", F.col("value") + F.lit(10.0))
+        .withColumn("rts", F.lit(1).cast("long"))
+    )
+    ins = (
+        ev.filter(F.col("k") % 15 == 0)
+        .withColumn("value", F.col("value") / F.lit(2))
+        .withColumn("rts", F.lit(1).cast("long"))
+    )
+    merge_iceberg_batch(
+        spark, upd.unionByName(ins), t, "k", "rts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "etype string, n_rows long, sum_value double"
+        )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("etype")
+    )
+
+
+@register(
     "iceberg_row_level_deletes",
     oracle=f"""
     WITH b1 AS (

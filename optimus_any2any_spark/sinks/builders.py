@@ -363,6 +363,21 @@ def iceberg_sink(df: DataFrame, cfg: Config):
         )
     else:
         raise ValueError(f"ICEBERG sink: unknown mode {mode!r}")
+    if c.get("set_partition_spec") is not None:
+        # ICEBERG__SET_PARTITION_SPEC=etype / days(ts) / bucket(16,k)
+        # (comma-separated; empty = unpartitioned): ALTER TABLE
+        # partition evolution AFTER the write — the next merge writes
+        # under the new spec, existing files keep their own
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_partition_spec,
+        )
+
+        items = [
+            s.strip()
+            for s in c["set_partition_spec"].split(",")
+            if s.strip()
+        ]
+        set_iceberg_partition_spec(df.sparkSession, path, items)
     if c.get("tag"):
         # ICEBERG__TAG=<name>: tag the table's CURRENT snapshot after
         # the write — the audit handle that protects it from

@@ -609,6 +609,38 @@ def merge_iceberg_batch(
     ptuples = sorted(pstats, key=str)
     pid_of = {pt: i for i, pt in enumerate(ptuples)}
 
+    # PARTITION EVOLUTION (spec "Partition Evolution", VERDICT r9
+    # item 6): manifests written under a NON-default spec id prune by
+    # key bounds ONLY (their partition tuples are in another spec's
+    # coordinates — tuple-matching them against the batch's
+    # current-spec tuples would silently mis-prune live files), and
+    # their untouched entries re-list under their OWN spec id, one
+    # extra manifest per old spec. Rewritten rows always land under
+    # the CURRENT default spec — the format's evolution contract.
+    default_sid = int(meta.get("default-spec-id", 0))
+    specs_by_id = {int(s["spec-id"]): s for s in specs} or {
+        0: {"spec-id": 0, "fields": meta.get("partition-spec") or []}
+    }
+    g_keys: list | None = []
+    for _st in pstats.values():
+        if _st["keys"] is None:
+            g_keys = None
+            break
+        g_keys.extend(_st["keys"])
+    _gmins = [
+        _st["kmin"] for _st in pstats.values() if _st["kmin"] is not None
+    ]
+    _gmaxs = [
+        _st["kmax"] for _st in pstats.values() if _st["kmax"] is not None
+    ]
+    gstats = {
+        "n": sum(_st["n"] for _st in pstats.values()),
+        "keys": sorted(g_keys) if g_keys is not None else None,
+        "kmin": min(_gmins) if _gmins else None,
+        "kmax": max(_gmaxs) if _gmaxs else None,
+        "has_null": any(_st["has_null"] for _st in pstats.values()),
+    }
+
     # current snapshot's manifests, each with its entries
     cur_snap_id = meta.get("current-snapshot-id")
     manifests: list[dict] = []
@@ -634,7 +666,8 @@ def merge_iceberg_batch(
     del_manifests: list[tuple[dict, int, bool]] = []
     hit_entries: list[dict] = []
     hit_seqs: list[int] = []   # effective data-sequence per hit entry
-    survivors: list[dict] = []  # entries from touched manifests to keep
+    has_foreign_hit = False    # any hit under a non-default spec
+    survivors: list[tuple[dict, int]] = []  # (entry, its spec id)
     untouched_seqs: list[int] = []  # live data entries NOT rewritten
     pos_del: list[dict] = []   # live positional/equality delete files:
     eq_del: list[dict] = []    # they gate the affected-file read below
@@ -680,6 +713,14 @@ def merge_iceberg_batch(
             continue
         mpath = _localize(table_path, m["manifest_path"])
         _, entries = read_container(mpath)
+        msid = int(m.get("partition_spec_id") or 0)
+        foreign_spec = msid != default_sid
+        if foreign_spec and msid not in specs_by_id:
+            raise ValueError(
+                f"iceberg merge: manifest {m['manifest_path']!r} "
+                f"carries spec id {msid} which is not in the table's "
+                "partition-specs — refusing to rewrite"
+            )
         live = [
             e for e in entries if int(e.get("status") or 0) != _ST_DELETED
         ]
@@ -687,8 +728,13 @@ def merge_iceberg_batch(
         misses: list[dict] = []
         for e in live:
             # partition-tuple pruning FIRST: a file in a partition the
-            # batch does not touch survives without a bounds check
-            if pspec:
+            # batch does not touch survives without a bounds check —
+            # but only for entries under the CURRENT spec; an old-spec
+            # tuple says nothing, so those prune on key bounds against
+            # the WHOLE batch
+            if foreign_spec:
+                st = gstats
+            elif pspec:
                 pdict = e["data_file"].get("partition") or {}
                 pt = tuple(pdict.get(n) for n in part_names)
                 st = pstats.get(pt)
@@ -711,14 +757,18 @@ def merge_iceberg_batch(
             for hh in hits:
                 hit_entries.append(hh["__entry"])
                 hit_seqs.append(_eff_seq(hh["__entry"], m))
+                if foreign_spec:
+                    has_foreign_hit = True
             for mi in misses:
                 # survivors re-list under the NEW manifest: their
                 # ORIGINAL sequence must ride along explicitly, or
                 # they would inherit the new (higher) sequence and
-                # escape delete files that still apply to them
+                # escape delete files that still apply to them —
+                # keyed by their manifest's spec id so old-spec
+                # entries re-serialize under their own spec
                 e2 = dict(mi["__entry"])
                 e2["sequence_number"] = _eff_seq(mi["__entry"], m)
-                survivors.append(e2)
+                survivors.append((e2, msid))
 
     version = prev_version + 1
     snapshot_id = version
@@ -737,6 +787,45 @@ def merge_iceberg_batch(
 
     # attach __pid to batch rows (broadcast partition-tuple lookup);
     # Iceberg data files keep ALL columns, so __pid only routes rows.
+    # PARTITION EVOLUTION: rows in old-spec hit files may land in
+    # CURRENT-spec partitions the batch does not touch, so the pid set
+    # must extend to every tuple those rows produce — one distinct
+    # aggregate over the affected rows, run ONLY when a non-default
+    # spec was actually hit (zero extra jobs on non-evolved tables).
+    cur0 = None
+    if pspec and has_foreign_hit and hit_entries:
+        from optimus_any2any_spark.sources.iceberg import (
+            read_entries_with_deletes as _rewd,
+        )
+
+        cur0 = _rewd(
+            spark,
+            meta,
+            schema,
+            [
+                {
+                    "path": _localize(
+                        table_path, e["data_file"]["file_path"]
+                    ),
+                    "orig": e["data_file"]["file_path"],
+                    "seq": s,
+                    "equality_ids": [],
+                }
+                for e, s in zip(hit_entries, hit_seqs)
+            ],
+            pos_del,
+            eq_del,
+        )
+        for r in _with_pvs(cur0).select(*pv_cols).distinct().collect():
+            pt = tuple(r[c] for c in pv_cols)
+            if pt not in pid_of:
+                pstats[pt] = {
+                    "n": 0, "keys": [], "kmin": None, "kmax": None,
+                    "has_null": False,
+                }
+        ptuples = sorted(pstats, key=str)
+        pid_of = {pt: i for i, pt in enumerate(ptuples)}
+
     # One touched partition (incl. every unpartitioned merge) skips
     # the routing AND the dynamic-partition write below.
     single = len(ptuples) == 1
@@ -783,7 +872,9 @@ def merge_iceberg_batch(
         # affected files read WITH any delete files applied (sequence-
         # gated, same plan as read_iceberg) — a copy-on-write rewrite
         # must never resurrect rows a delete had already removed
-        cur = read_entries_with_deletes(
+        # (cur0 is the same frame, already built for the evolved-table
+        # pid extension above)
+        cur = cur0 if cur0 is not None else read_entries_with_deletes(
             spark,
             meta,
             schema,
@@ -906,11 +997,19 @@ def merge_iceberg_batch(
                 },
             }
         )
-    # survivors keep their entries, re-marked EXISTING under this commit
-    for e in survivors:
+    # survivors keep their entries, re-marked EXISTING under this
+    # commit: same-spec ones ride the new manifest; old-spec ones go
+    # into ONE extra manifest per spec id, serialized under THAT
+    # spec's partition record schema and list-stamped with its id —
+    # the format's mixed-spec representation (partition evolution)
+    foreign_by_sid: dict[int, list[dict]] = {}
+    for e, sid in survivors:
         e = dict(e)
         e["status"] = _ST_EXISTING
-        new_entries.append(e)
+        if sid == default_sid:
+            new_entries.append(e)
+        else:
+            foreign_by_sid.setdefault(sid, []).append(e)
 
     manifest_rel = (
         "metadata/"
@@ -922,9 +1021,39 @@ def merge_iceberg_batch(
         manifest_entry_schema(part_fields),
         new_entries,
     )
+    foreign_ml_rows: list[dict] = []
+    for sid in sorted(foreign_by_sid):
+        old_pspec = _parse_pspec(specs_by_id[sid], by_id, "merge")
+        old_fields = [
+            (p["name"], avro_type_of_result(p["res_type"]))
+            for p in old_pspec
+        ]
+        f_rel = (
+            "metadata/"
+            f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|mm{version}s{sid}')}"
+            f"-m0-s{sid}.avro"
+        )
+        write_container(
+            os.path.join(table_path, f_rel),
+            manifest_entry_schema(old_fields),
+            foreign_by_sid[sid],
+        )
+        foreign_ml_rows.append(
+            {
+                "manifest_path": f_rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(table_path, f_rel)
+                ),
+                "partition_spec_id": sid,
+                "content": 0,
+                "added_snapshot_id": snapshot_id,
+                # entries carry their ORIGINAL sequence explicitly
+                "sequence_number": seq,
+            }
+        )
     for r in carried:
         r.setdefault("sequence_number", None)
-    ml_rows = list(carried) + [
+    ml_rows = list(carried) + foreign_ml_rows + [
         {
             "manifest_path": manifest_rel,
             "manifest_length": os.path.getsize(
@@ -1716,6 +1845,20 @@ def compact_iceberg(
                     has_pos = True
             del_manifests.append((m, dmax, has_pos))
             continue
+        if int(m.get("partition_spec_id") or 0) != int(
+            meta.get("default-spec-id", 0)
+        ):
+            # partition evolution: an old-spec file's tuple is in
+            # another spec's coordinates — tuple-matching it against
+            # the current spec's bins would misroute rows into wrong
+            # partitions. Old-spec manifests carry whole (their seqs
+            # still gate delete-manifest retirement); a MERGE rewrite
+            # migrates their files to the current spec.
+            for e in entries:
+                if int(e.get("status") or 0) != _ST_DELETED:
+                    untouched_seqs.append(_eff_seq(e, m))
+            carried.append(m)
+            continue
         hits: list[tuple[dict, int]] = []
         misses: list[dict] = []
         for e in entries:
@@ -2079,6 +2222,101 @@ def expire_iceberg_snapshots(
         f.write(str(version))
     os.replace(tmph, hint)
     return gone
+
+
+def set_iceberg_partition_spec(
+    spark: SparkSession,
+    table_path: str,
+    partition_by: list[str],
+) -> int:
+    """ALTER TABLE ... partition evolution (spec "Partition
+    Evolution", VERDICT r9 item 6): append a NEW partition spec and
+    make it the default — a data-free metadata version, no snapshot.
+
+    Existing data files keep their ORIGINAL spec: reads are unaffected
+    (Iceberg data files physically carry the partition source
+    columns, and this engine's reader prunes by field-id-keyed key
+    bounds, not directory layout), and the next merge writes new and
+    rewritten files under the NEW spec while re-listing untouched
+    files under their own spec id — the manifest-list rows keep one
+    ``partition_spec_id`` per manifest, exactly how the format
+    represents a mixed-spec table.
+
+    ``partition_by`` takes the same DDL items as table creation
+    (``k``, ``days(ts)``, ``bucket(16, k)``, ``truncate(3, v)``); an
+    empty list evolves to the UNPARTITIONED spec. Partition field ids
+    stay unique ACROSS specs (fresh ids past every existing one, from
+    1000)."""
+    from optimus_any2any_spark.sources.iceberg_transforms import (
+        parse_spec_item,
+        partition_field_name,
+    )
+
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(
+            f"iceberg partition spec: no table at {table_path}"
+        )
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    cur = (
+        meta.get("schemas", [meta.get("schema")])[0]
+        if "schemas" not in meta
+        else next(
+            s
+            for s in meta["schemas"]
+            if s.get("schema-id") == meta.get("current-schema-id", 0)
+        )
+    )
+    name_to_id = {f["name"]: int(f["id"]) for f in cur["fields"]}
+    parsed = [parse_spec_item(s) for s in partition_by]
+    for _, src in parsed:
+        if src not in name_to_id:
+            raise ValueError(
+                f"iceberg partition spec: no column {src!r} in schema"
+            )
+    specs = list(meta.get("partition-specs") or [])
+    if not specs:  # legacy single-spec metadata: lift it to the list
+        specs = [{"spec-id": 0, "fields": meta.get("partition-spec")
+                  or []}]
+    next_sid = max(int(s["spec-id"]) for s in specs) + 1
+    next_fid = max(
+        [999]
+        + [
+            int(f.get("field-id") or 999)
+            for s in specs
+            for f in s.get("fields") or []
+        ]
+    ) + 1
+    new_spec = {
+        "spec-id": next_sid,
+        "fields": [
+            {
+                "name": partition_field_name(tr, src),
+                "transform": tr,
+                "source-id": name_to_id[src],
+                "field-id": next_fid + i,
+            }
+            for i, (tr, src) in enumerate(parsed)
+        ],
+    }
+    meta = dict(meta)
+    meta["partition-specs"] = specs + [new_spec]
+    meta["default-spec-id"] = next_sid
+    meta.pop("partition-spec", None)  # the legacy field can only
+    #                                   describe ONE spec — drop it
+    version = prev_version + 1
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
 
 
 def set_iceberg_ref(

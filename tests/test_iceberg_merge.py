@@ -16,9 +16,12 @@ from optimus_any2any_spark.sources.iceberg import (
     read_iceberg,
 )
 from optimus_any2any_spark.streaming.iceberg_table import (
+    compact_iceberg,
     decode_bound,
+    delete_iceberg_keys,
     encode_bound,
     merge_iceberg_batch,
+    set_iceberg_partition_spec,
     upsert_to_iceberg_table,
 )
 
@@ -551,3 +554,201 @@ class TestTransformPartitionedMerge:
         # per-partition regression would add ≥ (12-3) = 9 jobs
         assert counts[12] - counts[3] <= 1
         assert counts[12] <= 20
+
+
+class TestPartitionEvolution:
+    """VERDICT r9 item 6 (spec 'Partition Evolution'): evolve the
+    default spec, merge across mixed-spec manifests, compact safely."""
+
+    def _mk_day_table(self, spark, t):
+        import datetime
+
+        rows = [
+            (i, f"d{i % 3}", 10 * i,
+             datetime.datetime(2024, 1, 1 + i % 3), 0)
+            for i in range(1, 13)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "k long, etype string, val long, ts timestamp_ntz, seq long",
+        )
+        merge_iceberg_batch(
+            spark, df, t, "k", "seq", partition_by=["days(ts)"],
+            batch_id=0,
+        )
+        return rows
+
+    def test_evolve_appends_spec_and_flips_default(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._mk_day_table(spark, t)
+        n_snaps = len(load_table_metadata(t).get("snapshots") or [])
+        set_iceberg_partition_spec(spark, t, ["etype"])
+        meta = load_table_metadata(t)
+        sids = [s["spec-id"] for s in meta["partition-specs"]]
+        assert sids == [0, 1]
+        assert meta["default-spec-id"] == 1
+        # partition field ids unique ACROSS specs (1000, then 1001)
+        fids = [
+            f["field-id"]
+            for s in meta["partition-specs"]
+            for f in s["fields"]
+        ]
+        assert len(fids) == len(set(fids))
+        # data-free: no new snapshot
+        assert len(meta.get("snapshots") or []) == n_snaps
+
+    def test_merge_after_evolution(self, spark, tmp_path):
+        import datetime
+
+        t = str(tmp_path / "t")
+        rows = self._mk_day_table(spark, t)
+        set_iceberg_partition_spec(spark, t, ["etype"])
+        src = spark.createDataFrame(
+            [
+                # k=2 lives in an OLD-spec (day) file — key pruning
+                # must still find it (tuple matching would mis-prune)
+                (2, "d2", 999, datetime.datetime(2024, 1, 3), 1),
+                # brand-new etype: a current-spec partition the base
+                # never had
+                (99, "dX", 555, datetime.datetime(2024, 2, 1), 1),
+            ],
+            "k long, etype string, val long, ts timestamp_ntz, seq long",
+        )
+        merge_iceberg_batch(spark, src, t, "k", "seq", batch_id=1)
+        got = sorted(
+            (r.k, r.etype, r.val)
+            for r in read_iceberg(spark, t).collect()
+        )
+        exp = sorted(
+            [(k, e, v) for k, e, v, _, _ in rows if k != 2]
+            + [(2, "d2", 999), (99, "dX", 555)]
+        )
+        assert got == exp
+        # the manifest list carries BOTH spec ids: untouched old-spec
+        # files re-list under spec 0, new/rewritten files under spec 1
+        meta = load_table_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, ml = read_container(
+            os.path.join(t, snap["manifest-list"])
+        )
+        assert sorted({m["partition_spec_id"] for m in ml}) == [0, 1]
+
+    def test_compact_carries_old_spec_files(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        rows = self._mk_day_table(spark, t)
+        set_iceberg_partition_spec(spark, t, ["etype"])
+        compact_iceberg(spark, t, target_rows_per_file=1000)
+        got = sorted(
+            (r.k, r.etype, r.val)
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == sorted((k, e, v) for k, e, v, _, _ in rows)
+
+    def test_delete_then_evolved_merge_keeps_seq_gating(
+        self, spark, tmp_path
+    ):
+        import datetime
+
+        t = str(tmp_path / "t")
+        rows = self._mk_day_table(spark, t)
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(5,)], "k long")
+        )
+        set_iceberg_partition_spec(spark, t, ["etype"])
+        src = spark.createDataFrame(
+            [(1, "d1", -1, datetime.datetime(2024, 1, 2), 1)],
+            "k long, etype string, val long, ts timestamp_ntz, seq long",
+        )
+        merge_iceberg_batch(spark, src, t, "k", "seq", batch_id=1)
+        got = sorted(
+            (r.k, r.val) for r in read_iceberg(spark, t).collect()
+        )
+        # k=5 stays deleted (survivors keep their ORIGINAL sequence
+        # even when re-listed under their own old spec)
+        exp = sorted(
+            [(k, v) for k, _, v, _, _ in rows if k not in (1, 5)]
+            + [(1, -1)]
+        )
+        assert got == exp
+
+    def test_unknown_spec_id_refused(self, spark, tmp_path):
+        import json as _json
+
+        t = str(tmp_path / "t")
+        self._mk_day_table(spark, t)
+        set_iceberg_partition_spec(spark, t, ["etype"])
+        # corrupt: drop spec 0 from the spec list
+        hint = os.path.join(t, "metadata", "version-hint.text")
+        v = int(open(hint).read())
+        mdp = os.path.join(t, "metadata", f"v{v}.metadata.json")
+        meta = _json.loads(open(mdp).read())
+        meta["partition-specs"] = [
+            s for s in meta["partition-specs"] if s["spec-id"] != 0
+        ]
+        open(mdp, "w").write(_json.dumps(meta))
+        import datetime
+
+        src = spark.createDataFrame(
+            [(2, "d2", 1, datetime.datetime(2024, 1, 3), 1)],
+            "k long, etype string, val long, ts timestamp_ntz, seq long",
+        )
+        with pytest.raises(ValueError, match="spec id 0"):
+            merge_iceberg_batch(spark, src, t, "k", "seq", batch_id=1)
+
+    def test_evolve_validates_columns(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._mk_day_table(spark, t)
+        with pytest.raises(ValueError, match="no column"):
+            set_iceberg_partition_spec(spark, t, ["nope"])
+
+    def test_evolve_to_unpartitioned(self, spark, tmp_path):
+        import datetime
+
+        t = str(tmp_path / "t")
+        rows = self._mk_day_table(spark, t)
+        set_iceberg_partition_spec(spark, t, [])
+        src = spark.createDataFrame(
+            [(2, "d2", 999, datetime.datetime(2024, 1, 3), 1)],
+            "k long, etype string, val long, ts timestamp_ntz, seq long",
+        )
+        merge_iceberg_batch(spark, src, t, "k", "seq", batch_id=1)
+        got = sorted(
+            (r.k, r.val) for r in read_iceberg(spark, t).collect()
+        )
+        exp = sorted(
+            [(k, v) for k, _, v, _, _ in rows if k != 2] + [(2, 999)]
+        )
+        assert got == exp
+
+    def test_set_partition_spec_rider(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        self._mk_day_table(spark, t)
+        src = tmp_path / "in.json"
+        src.write_text('{"k": 100, "etype": "dX", "val": 1, '
+                       '"ts": "2024-03-01T00:00:00", "seq": 1}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"ICEBERG__SINK_URI=file://{t}",
+                "ICEBERG__MODE=MERGE",
+                "ICEBERG__MERGE_KEY=k",
+                "ICEBERG__MERGE_TS=seq",
+                "ICEBERG__SET_PARTITION_SPEC=etype",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg).run()
+        meta = load_table_metadata(t)
+        assert meta["default-spec-id"] == 1
+        assert [
+            f["name"]
+            for s in meta["partition-specs"]
+            if s["spec-id"] == 1
+            for f in s["fields"]
+        ] == ["etype"]
