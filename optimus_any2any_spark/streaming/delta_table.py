@@ -1341,7 +1341,8 @@ def _apply_merge_clauses(
     data_cols: list[str],
     when_matched: list | None,
     when_not_matched_by_source: list | None,
-) -> DataFrame:
+    want_changes: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
     """Conditional-MERGE row algebra (delta-spark's
     whenMatchedUpdate / whenMatchedDelete /
     whenNotMatchedBySourceUpdate / whenNotMatchedBySourceDelete):
@@ -1356,7 +1357,13 @@ def _apply_merge_clauses(
     rows matching NO target row insert (whenNotMatchedInsertAll —
     the engine's standing upsert insert side). Still one shuffle
     join + one write: the clause algebra is pure Column CASE work on
-    top of the existing single-job merge plan."""
+    top of the existing single-job merge plan.
+
+    ``want_changes=True`` additionally returns the Change Data Feed
+    row set (``_change_type`` ∈ update_preimage / update_postimage /
+    delete / insert; pass-through rows emit nothing) — the joined
+    frame is checkpointed once so the derived frames share one
+    evaluation instead of re-running the join per change type."""
     wm = list(when_matched or [])
     nm = list(when_not_matched_by_source or [])
     t = cur.alias("t")
@@ -1406,12 +1413,32 @@ def _apply_merge_clauses(
 
     drop_m = [i for i, cl in enumerate(wm, start=1) if cl[0] == "delete"]
     drop_n = [i for i, cl in enumerate(nm, start=1) if cl[0] == "delete"]
+    upd_m = [i for i, cl in enumerate(wm, start=1) if cl[0] == "update"]
+    upd_n = [i for i, cl in enumerate(nm, start=1) if cl[0] == "update"]
     keep = F.lit(True)
     if drop_m:
         keep = keep & ~midx.isin(drop_m)
     if drop_n:
         keep = keep & ~nidx.isin(drop_n)
-    target_rows = j.filter(keep).select(*vals, F.col("t.__pid"))
+    upd = F.lit(False)
+    if upd_m:
+        upd = upd | midx.isin(upd_m)
+    if upd_n:
+        upd = upd | nidx.isin(upd_n)
+
+    base = j.select(
+        *vals,  # post-clause values under the data_col names
+        F.col("t.__pid").alias("__pid"),
+        *[F.col(f"t.{c}").alias(f"__old_{c}") for c in data_cols],
+        keep.alias("__keep"),
+        upd.alias("__upd"),
+    )
+    if want_changes:
+        # four consumers below — evaluate the join once
+        base = base.localCheckpoint(eager=True)
+    target_rows = base.filter(F.col("__keep")).select(
+        *data_cols, "__pid"
+    )
 
     inserts = (
         latest_p.alias("b")
@@ -1425,7 +1452,30 @@ def _apply_merge_clauses(
             "left_anti",
         )
     )
-    return target_rows.unionByName(inserts)
+    out = target_rows.unionByName(inserts)
+    if not want_changes:
+        return out, None
+    old_sel = [F.col(f"__old_{c}").alias(c) for c in data_cols]
+    pre = (
+        base.filter(F.col("__upd"))
+        .select(*old_sel, "__pid")
+        .withColumn("_change_type", F.lit("update_preimage"))
+    )
+    post = (
+        base.filter(F.col("__upd"))
+        .select(*data_cols, "__pid")
+        .withColumn("_change_type", F.lit("update_postimage"))
+    )
+    dele = (
+        base.filter(~F.col("__keep"))
+        .select(*old_sel, "__pid")
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    ins_c = inserts.withColumn("_change_type", F.lit("insert"))
+    changes = (
+        pre.unionByName(post).unionByName(dele).unionByName(ins_c)
+    )
+    return out, changes
 
 
 def merge_delta_batch(
@@ -1483,9 +1533,12 @@ def merge_delta_batch(
     (whenNotMatchedInsertAll). ``when_not_matched_by_source`` scans
     every live row by definition, so it is unpartitioned-only (a
     partitioned full-table clause would defeat the partition-pruned
-    merge contract — refused by name); CDF and schema evolution do
-    not compose with clauses yet (refused by name). The commitInfo
-    records the clause predicates in operationParameters."""
+    merge contract — refused by name); schema evolution does not
+    compose with clauses yet (refused by name). ``change_data=True``
+    composes: update-clause rows emit update_preimage/postimage,
+    delete-clause rows emit delete, inserts emit insert, pass-through
+    rows emit nothing. The commitInfo records the clause predicates
+    in operationParameters."""
     from pyspark.sql.window import Window
 
     conditional = bool(when_matched or when_not_matched_by_source)
@@ -1493,12 +1546,6 @@ def merge_delta_batch(
         _validate_merge_clauses(
             when_matched, when_not_matched_by_source, key_col
         )
-        if change_data:
-            raise NotImplementedError(
-                "delta merge: change_data=True with conditional "
-                "clauses is not implemented (CDF needs per-clause "
-                "pre/post images)"
-            )
         if merge_schema:
             raise ValueError(
                 "delta merge: merge_schema does not compose with "
@@ -1813,6 +1860,7 @@ def merge_delta_batch(
     merged = latest_p
     total_hit_rows = 0
     pre = None
+    cond_changes = None
     if hit_paths:
         # an insert-only merge is an append; touching existing keys
         # rewrites files (data-changing removes) — appendOnly forbids
@@ -1862,9 +1910,10 @@ def merge_delta_batch(
             F.col("cur.__pid") == F.col("__bpid")
         )
         if conditional:
-            merged = _apply_merge_clauses(
+            merged, cond_changes = _apply_merge_clauses(
                 cur, latest_p, key_col, data_cols,
                 when_matched, when_not_matched_by_source,
+                want_changes=change_data,
             )
             # UPDATE SET mints NEW values — constraints must gate them
             # too (pass-through and insert rows re-check for free;
@@ -1946,7 +1995,12 @@ def merge_delta_batch(
 
     cdc_rel: list[str] = []
     if change_data:
-        if pre is not None:
+        if cond_changes is not None:
+            # conditional clauses: the CDF row set came out of the
+            # clause algebra itself (pre/post images for update-clause
+            # rows, delete rows, inserts; pass-through rows silent)
+            changes = cond_changes
+        elif pre is not None:
             # marker column makes "matched" null-key-safe: eqNullSafe
             # joins null==null but the joined key itself is null there
             pk = (

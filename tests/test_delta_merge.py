@@ -1567,11 +1567,6 @@ class TestConditionalMergeClauses:
         src = spark.createDataFrame(
             [(1, "A", 1, 1)], "k long, name string, val long, ts long"
         )
-        with pytest.raises(NotImplementedError, match="change_data"):
-            merge_delta_batch(
-                spark, src, str(t), "k", "ts", change_data=True,
-                when_matched=[("delete", None)],
-            )
         with pytest.raises(ValueError, match="merge_schema"):
             merge_delta_batch(
                 spark, src, str(t), "k", "ts", merge_schema=True,
@@ -1647,3 +1642,55 @@ class TestConditionalMergeSinkRider:
         )
         Pipeline(spark, "FILE", ["DELTA"], cfg2).run()
         assert _snap(spark, t) == [(1, "a"), (9, "i")]
+
+
+class TestConditionalMergeCDF:
+    """change_data=True composes with conditional clauses: update
+    clauses emit pre/post images, delete clauses emit delete rows,
+    inserts emit insert, pass-through rows emit NOTHING."""
+
+    def test_clause_cdf_row_set(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a", 10, 0), (2, "b", 20, 0), (3, "c", 30, 0),
+             (4, "d", 40, 0)],
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, base, str(t), "k", "ts", batch_id=0,
+            change_data=True,
+        )
+        src = spark.createDataFrame(
+            [(1, "A", 100, 1),   # matched → update
+             (3, "C", 999, 1),   # matched → delete (s.val > 500)
+             (9, "I", 900, 1)],  # unmatched → insert
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            change_data=True,
+            when_matched=[
+                ("delete", "s.val > 500"),
+                ("update", None, {"val": "t.val + s.val"}),
+            ],
+            when_not_matched_by_source=[("delete", "t.k = 4")],
+        )
+        cdf = sorted(
+            (r._change_type, r.k, r.name, r.val)
+            for r in read_delta_cdf(spark, t, 0, 1).collect()
+        )
+        assert cdf == [
+            ("delete", 3, "c", 30),
+            ("delete", 4, "d", 40),
+            ("insert", 9, "I", 900),
+            ("update_postimage", 1, "a", 110),
+            ("update_preimage", 1, "a", 10),
+        ]
+        # k=2 passed through: no change row (asserted by the exact
+        # set above), and the table itself is consistent
+        got = sorted(
+            (r.k, r.val) for r in read_delta(spark, str(t)).collect()
+        )
+        assert got == [(1, 110), (2, 20), (9, 900)]
