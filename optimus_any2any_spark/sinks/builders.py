@@ -176,6 +176,7 @@ def delta_sink(df: DataFrame, cfg: Config):
         import json as _json
 
         wm = c.get("when_matched")
+        nm = c.get("when_not_matched")
         nmbs = c.get("when_not_matched_by_source")
         merge_delta_batch(
             df.sparkSession,
@@ -186,6 +187,7 @@ def delta_sink(df: DataFrame, cfg: Config):
             partition_by=part_by or None,
             change_data=(c.get("change_data", "").lower() == "true"),
             when_matched=_json.loads(wm) if wm else None,
+            when_not_matched=_json.loads(nm) if nm else None,
             when_not_matched_by_source=(
                 _json.loads(nmbs) if nmbs else None
             ),

@@ -1298,6 +1298,7 @@ def _validate_merge_clauses(
     when_matched: list | None,
     when_not_matched_by_source: list | None,
     key_col: str,
+    when_not_matched: list | None = None,
 ) -> None:
     """Shape-check conditional-MERGE clause lists: each clause is
     ``("update", condition_sql_or_None, {col: value_sql})`` or
@@ -1305,7 +1306,25 @@ def _validate_merge_clauses(
     order, first match wins (delta-spark's builder semantics).
     Assignments may not touch the merge key — key rewrites would break
     the key-pruning contract (and real Delta refuses them on the
-    matched side for the same reason)."""
+    matched side for the same reason). ``when_not_matched`` takes
+    ``("insert", condition_sql_or_None, {col: value_sql} | None)``
+    clauses only (None values = insertAll); unmatched source rows that
+    match no insert clause are NOT inserted."""
+    for cl in when_not_matched or []:
+        if not cl or cl[0] != "insert":
+            raise ValueError(
+                "delta merge: when_not_matched clause kind must be "
+                f"'insert', got {cl!r}"
+            )
+        if len(cl) not in (2, 3) or (
+            len(cl) == 3
+            and cl[2] is not None
+            and (not isinstance(cl[2], dict) or not cl[2])
+        ):
+            raise ValueError(
+                "delta merge: when_not_matched insert clause needs "
+                "('insert', condition|None[, {col: value_sql}|None])"
+            )
     for label, clauses in (
         ("when_matched", when_matched),
         ("when_not_matched_by_source", when_not_matched_by_source),
@@ -1334,6 +1353,50 @@ def _validate_merge_clauses(
                 )
 
 
+def _apply_insert_clauses(
+    inserts: DataFrame,
+    data_cols: list[str],
+    dtype_of: dict,
+    when_not_matched: list,
+) -> DataFrame:
+    """Conditional insert clauses (delta-spark's
+    whenNotMatchedInsert(cond, values)): the FIRST matching clause
+    supplies the inserted values — ``{col: value_sql}`` assignments
+    over the source row (``s.<col>``), unspecified columns null, a
+    ``None`` value set meaning insertAll. Source rows matching no
+    clause are NOT inserted. ``inserts`` carries ``data_cols`` +
+    ``__pid``."""
+    nmc = list(when_not_matched)
+    s_ins = inserts.alias("s")
+    ichain = None
+    for i, cl in enumerate(nmc, start=1):
+        cond = F.expr(cl[1]) if cl[1] is not None else F.lit(True)
+        ichain = (
+            F.when(cond, F.lit(i))
+            if ichain is None
+            else ichain.when(cond, F.lit(i))
+        )
+    iidx = ichain.otherwise(F.lit(0)) if ichain is not None else F.lit(0)
+    ivals: list[Column] = []
+    for c in data_cols:
+        v = None
+        for i, cl in enumerate(nmc, start=1):
+            vset = cl[2] if len(cl) == 3 else None
+            if vset is None:
+                term_val: Column = F.col(f"s.{c}")
+            elif c in vset:
+                term_val = F.expr(vset[c]).cast(dtype_of[c])
+            else:
+                term_val = F.lit(None).cast(dtype_of[c])
+            term = (iidx == i, term_val)
+            v = F.when(*term) if v is None else v.when(*term)
+        ivals.append(
+            (v if v is not None
+             else F.lit(None).cast(dtype_of[c])).alias(c)
+        )
+    return s_ins.filter(iidx != 0).select(*ivals, F.col("s.__pid"))
+
+
 def _apply_merge_clauses(
     cur: DataFrame,
     latest_p: DataFrame,
@@ -1342,6 +1405,7 @@ def _apply_merge_clauses(
     when_matched: list | None,
     when_not_matched_by_source: list | None,
     want_changes: bool = False,
+    when_not_matched: list | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Conditional-MERGE row algebra (delta-spark's
     whenMatchedUpdate / whenMatchedDelete /
@@ -1452,6 +1516,12 @@ def _apply_merge_clauses(
             "left_anti",
         )
     )
+    if when_not_matched is not None:
+        inserts = _apply_insert_clauses(
+            inserts, data_cols,
+            {c: cur.schema[c].dataType for c in data_cols},
+            when_not_matched,
+        )
     out = target_rows.unionByName(inserts)
     if not want_changes:
         return out, None
@@ -1493,6 +1563,7 @@ def merge_delta_batch(
     merge_schema: bool = False,
     when_matched: list | None = None,
     when_not_matched_by_source: list | None = None,
+    when_not_matched: list | None = None,
 ) -> int:
     """One file-level MERGE commit against a Delta table; returns the
     committed (or already-current, on an idempotent skip) version.
@@ -1541,10 +1612,14 @@ def merge_delta_batch(
     in operationParameters."""
     from pyspark.sql.window import Window
 
-    conditional = bool(when_matched or when_not_matched_by_source)
+    conditional = bool(
+        when_matched or when_not_matched_by_source
+        or when_not_matched is not None
+    )
     if conditional:
         _validate_merge_clauses(
-            when_matched, when_not_matched_by_source, key_col
+            when_matched, when_not_matched_by_source, key_col,
+            when_not_matched=when_not_matched,
         )
         if merge_schema:
             raise ValueError(
@@ -1914,6 +1989,7 @@ def merge_delta_batch(
                 cur, latest_p, key_col, data_cols,
                 when_matched, when_not_matched_by_source,
                 want_changes=change_data,
+                when_not_matched=when_not_matched,
             )
             # UPDATE SET mints NEW values — constraints must gate them
             # too (pass-through and insert rows re-check for free;
@@ -1948,6 +2024,19 @@ def merge_delta_batch(
                 .join(bk, touch, "inner")
                 .drop("__bk", "__bpid")
                 .localCheckpoint(eager=True)
+            )
+
+    if conditional and when_not_matched is not None and not hit_paths:
+        # no affected files: every batch row is unmatched — the
+        # insert clauses still decide which rows (and values) land
+        merged = _apply_insert_clauses(
+            latest_p, data_cols,
+            {f.name: f.dataType for f in data_schema.fields},
+            when_not_matched,
+        )
+        if change_data:
+            cond_changes = merged.withColumn(
+                "_change_type", F.lit("insert")
             )
 
     new_adds: list[dict] = []  # (rel, partitionValues) pending stats
@@ -2146,6 +2235,13 @@ def merge_delta_batch(
             [
                 {"predicate": cl[1] or "true", "actionType": cl[0]}
                 for cl in when_matched
+            ]
+        )
+    if when_not_matched is not None:
+        op_params["notMatchedPredicates"] = json.dumps(
+            [
+                {"predicate": cl[1] or "true", "actionType": cl[0]}
+                for cl in when_not_matched
             ]
         )
     if when_not_matched_by_source:

@@ -1694,3 +1694,123 @@ class TestConditionalMergeCDF:
             (r.k, r.val) for r in read_delta(spark, str(t)).collect()
         )
         assert got == [(1, 110), (2, 20), (9, 900)]
+
+
+class TestConditionalInsertClauses:
+    """whenNotMatchedInsert(cond, values): the third side of the
+    delta-spark clause builder — conditional, value-specifying
+    inserts; unmatched source rows with no matching clause are NOT
+    inserted."""
+
+    def _base(self, spark, path):
+        base = spark.createDataFrame(
+            [(1, "a", 10, 0), (2, "b", 20, 0)],
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(spark, base, str(path), "k", "ts", batch_id=0)
+
+    def _rows(self, spark, path):
+        return sorted(
+            (r.k, r.name, r.val)
+            for r in read_delta(spark, str(path)).collect()
+        )
+
+    def test_conditional_insert_filters_and_maps(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(1, "A", 100, 1),   # matched → upserted? NO: no matched
+             #                     clause given → passes through
+             (8, "i8", 800, 1),  # unmatched, val>500 → custom values
+             (9, "i9", 5, 1)],   # unmatched, no clause matches → drop
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_not_matched=[
+                ("insert", "s.val > 500",
+                 {"k": "s.k", "name": "upper(s.name)", "val": "s.val"}),
+            ],
+        )
+        got = self._rows(spark, t)
+        # ts unspecified in the value set → null; matched k=1 passed
+        # through unchanged (no when_matched clause)
+        assert got == [(1, "a", 10), (2, "b", 20), (8, "I8", 800)]
+
+    def test_insert_all_clause_and_ordering(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(8, "x", 800, 1), (9, "y", 5, 1)],
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_not_matched=[
+                ("insert", "s.val > 500", {"k": "s.k", "val": "-1"}),
+                ("insert", None, None),  # insertAll fallback
+            ],
+        )
+        got = self._rows(spark, t)
+        assert (8, None, -1) in got     # first clause won
+        assert (9, "y", 5) in got       # fallback insertAll
+
+    def test_no_hits_path_applies_insert_clauses(self, spark, tmp_path):
+        # batch keys miss every file: the no-affected-files shortcut
+        # must still run the insert clauses
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(100, "hi", 1, 1), (200, "lo", 2, 1)],
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            when_not_matched=[("insert", "s.k = 100", None)],
+        )
+        assert self._rows(spark, t) == [
+            (1, "a", 10), (2, "b", 20), (100, "hi", 1),
+        ]
+
+    def test_cdf_reflects_filtered_inserts(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+
+        t = tmp_path / "t"
+        base = spark.createDataFrame(
+            [(1, "a", 10, 0)], "k long, name string, val long, ts long"
+        )
+        merge_delta_batch(
+            spark, base, str(t), "k", "ts", batch_id=0,
+            change_data=True,
+        )
+        src = spark.createDataFrame(
+            [(8, "x", 800, 1), (9, "y", 5, 1)],
+            "k long, name string, val long, ts long",
+        )
+        merge_delta_batch(
+            spark, src, str(t), "k", "ts", batch_id=1,
+            change_data=True,
+            when_not_matched=[("insert", "s.val > 500", None)],
+        )
+        cdf = sorted(
+            (r._change_type, r.k)
+            for r in read_delta_cdf(spark, str(t), 0, 1).collect()
+        )
+        assert cdf == [("insert", 8)]
+
+    def test_validation(self, spark, tmp_path):
+        t = tmp_path / "t"
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(8, "x", 1, 1)], "k long, name string, val long, ts long"
+        )
+        with pytest.raises(ValueError, match="must be 'insert'"):
+            merge_delta_batch(
+                spark, src, str(t), "k", "ts",
+                when_not_matched=[("update", None, {"val": "1"})],
+            )
+        with pytest.raises(ValueError, match="insert clause needs"):
+            merge_delta_batch(
+                spark, src, str(t), "k", "ts",
+                when_not_matched=[("insert", None, {})],
+            )
