@@ -1525,6 +1525,103 @@ def iceberg_spec_evolution_merge(spark, sf_dir):
 
 
 @register(
+    "iceberg_conditional_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    src AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price,
+             'I' AS status
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    result AS (
+      SELECT b.k, b.price + s.price AS price, 'U' AS status
+      FROM base b JOIN src s USING (k)
+      WHERE s.price <= 150000
+      UNION ALL
+      SELECT b.k, b.price, b.status FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = b.k)
+        AND b.k % 10 <> 1
+      UNION ALL
+      SELECT s.k, s.price, s.status FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)
+        AND s.price > 2000
+    )
+    SELECT k % 7 AS k_mod, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price,
+           SUM(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS n_upd
+    FROM result GROUP BY k % 7 ORDER BY k_mod
+    """,
+    doc="CONDITIONAL Iceberg MERGE clauses — the Delta clause "
+    "builder's Iceberg twin, sharing the format-agnostic row algebra "
+    "(streaming/delta_table._apply_merge_clauses) over the Iceberg "
+    "snapshot-merge plan: matched rows DELETE past a source-price "
+    "threshold or UPDATE from both sides, unmatched-by-source rows "
+    "DELETE on their own predicate, and unmatched source rows insert "
+    "through a conditional when_not_matched INSERT clause (rows "
+    "under the price floor are NOT inserted — the third builder "
+    "side, exercised here and not in the Delta row). Snapshot "
+    "summary records the predicates. Oracle: the same algebra as "
+    "SQL set operations.",
+)
+def iceberg_conditional_merge(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_cmerge", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    src = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        F.lit("I").alias("status"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    merge_iceberg_batch(
+        spark, src, t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+        when_matched=[
+            ("delete", "s.price > 150000"),
+            ("update", None,
+             {"price": "t.price + s.price", "status": "'U'"}),
+        ],
+        when_not_matched=[("insert", "s.price > 2000", None)],
+        when_not_matched_by_source=[("delete", "t.k % 10 = 1")],
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "k_mod long, n_rows long, sum_price double, n_upd long"
+        )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+            F.sum(
+                (F.col("status") == "U").cast("long")
+            ).alias("n_upd"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_row_level_deletes",
     oracle=f"""
     WITH b1 AS (

@@ -328,7 +328,22 @@ def iceberg_sink(df: DataFrame, cfg: Config):
                 "ICEBERG sink MERGE mode requires ICEBERG__MERGE_KEY "
                 "and ICEBERG__MERGE_TS"
             )
-        merge_iceberg_batch(df.sparkSession, df, path, key, ts)
+        # ICEBERG__WHEN_MATCHED / ICEBERG__WHEN_NOT_MATCHED /
+        # ICEBERG__WHEN_NOT_MATCHED_BY_SOURCE: the same JSON clause
+        # lists as the Delta sink (validated inside the merge)
+        import json as _json
+
+        wm = c.get("when_matched")
+        nm = c.get("when_not_matched")
+        nmbs = c.get("when_not_matched_by_source")
+        merge_iceberg_batch(
+            df.sparkSession, df, path, key, ts,
+            when_matched=_json.loads(wm) if wm else None,
+            when_not_matched=_json.loads(nm) if nm else None,
+            when_not_matched_by_source=(
+                _json.loads(nmbs) if nmbs else None
+            ),
+        )
     elif mode == "DELETE":
         # merge-on-read erasure: one equality-delete file per commit,
         # no data files touched (O(distinct keys) write amplification)

@@ -434,6 +434,9 @@ def merge_iceberg_batch(
     batch_id: int | None = None,
     target_rows_per_file: int = 1_000_000,
     partition_by: list[str] | None = None,
+    when_matched: list | None = None,
+    when_not_matched: list | None = None,
+    when_not_matched_by_source: list | None = None,
 ) -> int:
     """One file-level MERGE commit as a new Iceberg snapshot; returns
     the committed (or already-current, on an idempotent skip) metadata
@@ -503,6 +506,45 @@ def merge_iceberg_batch(
     # decides which rows share a tuple.
     pspec = _parse_pspec(default_spec, by_id, "merge")
     part_names = [p["name"] for p in pspec]
+    # conditional clause surface (VERDICT r9 item 5's Delta twin —
+    # the row algebra is format-agnostic and shared with
+    # streaming/delta_table.py): ordered ("update"|"delete", cond,
+    # set) matched / not-matched-by-source clauses plus ("insert",
+    # cond, values) not-matched clauses; first match wins, t./s.
+    # references; unmatched source rows insert-all unless
+    # when_not_matched says otherwise. Snapshot summary records the
+    # predicates.
+    conditional = bool(
+        when_matched or when_not_matched_by_source
+        or when_not_matched is not None
+    )
+    if conditional:
+        from optimus_any2any_spark.streaming.delta_table import (
+            _validate_merge_clauses,
+        )
+
+        _validate_merge_clauses(
+            when_matched, when_not_matched_by_source, key_col,
+            when_not_matched=when_not_matched,
+        )
+        if when_not_matched_by_source and pspec:
+            raise NotImplementedError(
+                "iceberg merge: when_not_matched_by_source scans "
+                "every live row and is unpartitioned-only"
+            )
+        if pspec:
+            # a clause assigning a partition SOURCE column would put
+            # rewritten rows in files whose manifest tuple disagrees
+            # with their contents — refuse, like the Delta twin's
+            # partition-column rule
+            srcs = {pp["src"] for pp in pspec}
+            for cls in (when_matched or []) + (when_not_matched or []):
+                vset = cls[2] if len(cls) == 3 else None
+                if vset and srcs & set(vset):
+                    raise ValueError(
+                        "iceberg merge: clause assignments may not "
+                        f"touch partition source columns {sorted(srcs)}"
+                    )
     part_fields = [
         (p["name"], avro_type_of_result(p["res_type"])) for p in pspec
     ]
@@ -561,7 +603,9 @@ def merge_iceberg_batch(
         .localCheckpoint(eager=True)
     )
     n_total = latest.count()
-    if n_total == 0:
+    if n_total == 0 and not when_not_matched_by_source:
+        # (an EMPTY source with when_not_matched_by_source is still a
+        # full clause evaluation: every live row is unmatched)
         return prev_version
 
     # per-partition batch key stats: ONE job for ALL touched
@@ -605,6 +649,11 @@ def merge_iceberg_batch(
                 "has_null": bool(r["null_key"]),
             }
             for r in krows
+        }
+    if when_not_matched_by_source and not pstats:
+        pstats = {
+            (): {"n": 0, "keys": [], "kmin": None, "kmax": None,
+                 "has_null": False}
         }
     ptuples = sorted(pstats, key=str)
     pid_of = {pt: i for i, pt in enumerate(ptuples)}
@@ -727,6 +776,11 @@ def merge_iceberg_batch(
         hits: list[dict] = []
         misses: list[dict] = []
         for e in live:
+            if when_not_matched_by_source:
+                # the clause touches every live row by definition:
+                # no file is prunable
+                hits.append({"__entry": e})
+                continue
             # partition-tuple pruning FIRST: a file in a partition the
             # batch does not touch survives without a bounds check —
             # but only for entries under the CURRENT spec; an old-spec
@@ -897,21 +951,46 @@ def merge_iceberg_batch(
             if _with_pid is not None
             else cur.withColumn("__pid", F.lit(0).cast("int"))
         )
-        bk = latest_p.select(
-            F.col(key_col).alias("__bk"), F.col("__pid").alias("__bpid")
-        )
-        merged = (
-            cur_p.alias("cur")
-            .join(
-                bk,
-                F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk"))
-                & (F.col("cur.__pid") == F.col("__bpid")),
-                "left_anti",
+        if conditional:
+            from optimus_any2any_spark.streaming.delta_table import (
+                _apply_merge_clauses,
             )
-            .unionByName(latest_p)
-        )
+
+            merged, _ = _apply_merge_clauses(
+                cur_p, latest_p, key_col, list(schema.fieldNames()),
+                when_matched, when_not_matched_by_source,
+                when_not_matched=when_not_matched,
+            )
+        else:
+            bk = latest_p.select(
+                F.col(key_col).alias("__bk"),
+                F.col("__pid").alias("__bpid"),
+            )
+            merged = (
+                cur_p.alias("cur")
+                .join(
+                    bk,
+                    F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk"))
+                    & (F.col("cur.__pid") == F.col("__bpid")),
+                    "left_anti",
+                )
+                .unionByName(latest_p)
+            )
         hit_rows = sum(
             int(e["data_file"]["record_count"]) for e in hit_entries
+        )
+
+    if conditional and when_not_matched is not None and not hit_entries:
+        # no affected files: every batch row is unmatched — the
+        # insert clauses still decide which rows (and values) land
+        from optimus_any2any_spark.streaming.delta_table import (
+            _apply_insert_clauses,
+        )
+
+        merged = _apply_insert_clauses(
+            latest_p, list(schema.fieldNames()),
+            {f.name: f.dataType for f in schema.fields},
+            when_not_matched,
         )
 
     n_rows = n_total + hit_rows
@@ -1077,6 +1156,18 @@ def merge_iceberg_batch(
     )
 
     summary = {"operation": "overwrite"}
+    for nm_, cls_ in (
+        ("matched-predicates", when_matched),
+        ("not-matched-predicates", when_not_matched),
+        ("not-matched-by-source-predicates", when_not_matched_by_source),
+    ):
+        if cls_:
+            summary[nm_] = json.dumps(
+                [
+                    {"predicate": c_[1] or "true", "actionType": c_[0]}
+                    for c_ in cls_
+                ]
+            )
     if batch_id is not None:
         summary["optimus-app-id"] = app_id
         summary["optimus-batch-id"] = str(batch_id)

@@ -752,3 +752,159 @@ class TestPartitionEvolution:
             if s["spec-id"] == 1
             for f in s["fields"]
         ] == ["etype"]
+
+
+class TestIcebergConditionalMerge:
+    """The Delta conditional-clause builder's Iceberg twin — the row
+    algebra is shared (streaming/delta_table._apply_merge_clauses);
+    this suite pins the Iceberg-side plumbing (hit forcing for
+    not-matched-by-source, summary predicates, partition guards)."""
+
+    def _base(self, spark, t):
+        df = spark.createDataFrame(
+            [(1, "a", 10, 0), (2, "b", 20, 0), (3, "c", 30, 0),
+             (4, "d", 40, 0)],
+            "k long, name string, val long, ts long",
+        )
+        merge_iceberg_batch(spark, df, t, "k", "ts", batch_id=0)
+
+    def test_full_clause_matrix(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(1, "A", 100, 1),  # matched → update
+             (3, "C", 999, 1),  # matched → delete
+             (8, "x", 800, 1),  # unmatched → insert (clause matches)
+             (9, "y", 5, 1)],   # unmatched → NOT inserted
+            "k long, name string, val long, ts long",
+        )
+        merge_iceberg_batch(
+            spark, src, t, "k", "ts", batch_id=1,
+            when_matched=[
+                ("delete", "s.val > 500"),
+                ("update", None,
+                 {"name": "s.name", "val": "t.val + s.val"}),
+            ],
+            when_not_matched=[("insert", "s.val > 500", None)],
+            when_not_matched_by_source=[("delete", "t.k = 4")],
+        )
+        got = sorted(
+            (r.k, r.name, r.val)
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, "A", 110), (2, "b", 20), (8, "x", 800)]
+        # snapshot summary records the predicates
+        import json as _json
+
+        meta = load_table_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        preds = _json.loads(snap["summary"]["matched-predicates"])
+        assert preds[0] == {
+            "predicate": "s.val > 500", "actionType": "delete",
+        }
+
+    def test_empty_source_nmbs(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        empty = spark.createDataFrame(
+            [], "k long, name string, val long, ts long"
+        )
+        merge_iceberg_batch(
+            spark, empty, t, "k", "ts", batch_id=1,
+            when_not_matched_by_source=[("delete", "t.val > 25")],
+        )
+        got = sorted(
+            (r.k, r.val) for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, 10), (2, 20)]
+
+    def test_partitioned_guards(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "p1", 10, 0), (2, "p2", 20, 0)],
+            "k long, pt string, val long, ts long",
+        )
+        merge_iceberg_batch(
+            spark, base, t, "k", "ts", batch_id=0,
+            partition_by=["pt"],
+        )
+        src = spark.createDataFrame(
+            [(1, "p1", 1, 1)], "k long, pt string, val long, ts long"
+        )
+        with pytest.raises(
+            NotImplementedError, match="unpartitioned-only"
+        ):
+            merge_iceberg_batch(
+                spark, src, t, "k", "ts",
+                when_not_matched_by_source=[("delete", None)],
+            )
+        with pytest.raises(ValueError, match="partition source"):
+            merge_iceberg_batch(
+                spark, src, t, "k", "ts",
+                when_matched=[("update", None, {"pt": "'p9'"})],
+            )
+        # matched clauses that leave partition sources alone work
+        merge_iceberg_batch(
+            spark, src, t, "k", "ts", batch_id=1,
+            when_matched=[("update", None, {"val": "t.val + s.val"})],
+        )
+        got = sorted(
+            (r.k, r.pt, r.val)
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, "p1", 11), (2, "p2", 20)]
+
+    def test_insert_only_clause_no_hits(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        src = spark.createDataFrame(
+            [(100, "hi", 1, 1), (200, "lo", 2, 1)],
+            "k long, name string, val long, ts long",
+        )
+        merge_iceberg_batch(
+            spark, src, t, "k", "ts", batch_id=1,
+            when_not_matched=[
+                ("insert", "s.k = 100",
+                 {"k": "s.k", "name": "upper(s.name)", "val": "s.val"}),
+            ],
+        )
+        got = sorted(
+            (r.k, r.name, r.val)
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [
+            (1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40),
+            (100, "HI", 1),
+        ]
+
+    def test_sink_riders(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        t = str(tmp_path / "tbl")
+        self._base(spark, t)
+        src = tmp_path / "in.json"
+        src.write_text(
+            '{"k": 2, "name": "DEL", "val": 999, "ts": 1}\n'
+            '{"k": 50, "name": "i", "val": 5, "ts": 1}\n'
+        )
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"ICEBERG__SINK_URI=file://{t}",
+                "ICEBERG__MODE=MERGE",
+                "ICEBERG__MERGE_KEY=k",
+                "ICEBERG__MERGE_TS=ts",
+                'ICEBERG__WHEN_MATCHED=[["delete", "s.val > 500"]]',
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg).run()
+        got = sorted(
+            (r.k, r.val) for r in read_iceberg(spark, t).collect()
+        )
+        # k=2 deleted; k=50 inserted (default insert-all)
+        assert got == [(1, 10), (3, 30), (4, 40), (50, 5)]
