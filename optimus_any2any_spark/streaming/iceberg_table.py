@@ -1375,7 +1375,7 @@ def delete_iceberg_keys(
                 "manifest_length": os.path.getsize(
                     os.path.join(table_path, manifest_rel)
                 ),
-                "partition_spec_id": 0,
+                "partition_spec_id": _global_delete_spec_id(meta),
                 "content": 1,  # DELETES
                 "added_snapshot_id": snapshot_id,
                 "sequence_number": seq,
@@ -1706,6 +1706,31 @@ def _write_dv_delete_files(
     return entries, [rel]
 
 
+def _global_delete_spec_id(meta: dict) -> int:
+    """The spec id a GLOBAL delete manifest must reference. Delete
+    files written here carry an EMPTY partition record, which per the
+    format is only legal under an UNPARTITIONED spec — on a
+    partitioned table the writer appends one to ``partition-specs``
+    (mutating ``meta``, which the delete commit re-serializes anyway)
+    rather than mis-stamping the partitioned default (the spec's
+    "global deletes are written as delete files with an unpartitioned
+    spec" rule)."""
+    specs = list(meta.get("partition-specs") or [])
+    if not specs:
+        legacy = meta.get("partition-spec") or []
+        if not legacy:
+            return int(meta.get("default-spec-id", 0))
+        specs = [{"spec-id": 0, "fields": legacy}]
+        meta["partition-specs"] = specs
+    for sp in specs:
+        if not (sp.get("fields") or []):
+            return int(sp["spec-id"])
+    new_sid = max(int(sp["spec-id"]) for sp in specs) + 1
+    meta["partition-specs"] = specs + [{"spec-id": new_sid,
+                                        "fields": []}]
+    return new_sid
+
+
 def _commit_delete_manifest(
     spark, table_path, meta, snaps, manifest_rel, version, snapshot_id,
     seq, app_id, batch_id, fmt_floor,
@@ -1745,7 +1770,7 @@ def _commit_delete_manifest(
                 "manifest_length": os.path.getsize(
                     os.path.join(table_path, manifest_rel)
                 ),
-                "partition_spec_id": 0,
+                "partition_spec_id": _global_delete_spec_id(meta),
                 "content": 1,  # DELETES
                 "added_snapshot_id": snapshot_id,
                 "sequence_number": seq,

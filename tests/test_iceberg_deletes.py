@@ -1114,3 +1114,83 @@ class TestDVDeleteWriter:
         Pipeline(spark, "FILE", ["ICEBERG"], cfg).run()
         assert g.glob(os.path.join(t, "data", "*.puffin"))
         assert _snap(spark, t) == [(1, "a")]
+
+
+class TestGlobalDeleteSpecId:
+    """Delete files here carry an EMPTY partition record — per the
+    spec that is only legal under an UNPARTITIONED spec, so on a
+    partitioned table the delete writers append one to
+    partition-specs and stamp ITS id, never the partitioned default
+    (spec rule: global deletes use an unpartitioned spec)."""
+
+    def test_partitioned_table_gets_unpartitioned_spec(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.formats.avrobin import read_container
+        from optimus_any2any_spark.sources.iceberg import _localize
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "p1", 0), (2, "p2", 0), (3, "p1", 0)],
+            "k long, pt string, ts long",
+        )
+        merge_iceberg_batch(
+            spark, base, t, "k", "ts", batch_id=0, partition_by=["pt"]
+        )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long")
+        )
+        meta = load_table_metadata(t)
+        unpart = [
+            s["spec-id"]
+            for s in meta["partition-specs"]
+            if not (s.get("fields") or [])
+        ]
+        assert unpart, meta["partition-specs"]
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, ml = read_container(
+            _localize(t, snap["manifest-list"])
+        )
+        del_rows = [m for m in ml if int(m.get("content") or 0) == 1]
+        assert del_rows
+        assert all(
+            m["partition_spec_id"] == unpart[0] for m in del_rows
+        )
+        # default spec unchanged; reads still correct
+        assert meta["default-spec-id"] == 0
+        got = sorted(r.k for r in read_iceberg(spark, t).collect())
+        assert got == [1, 3]
+
+    def test_unpartitioned_table_keeps_spec_zero(self, spark, tmp_path):
+        from optimus_any2any_spark.formats.avrobin import read_container
+        from optimus_any2any_spark.sources.iceberg import _localize
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_positions,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, 0), (2, 0)], "k long, ts long"
+        )
+        merge_iceberg_batch(spark, base, t, "k", "ts", batch_id=0)
+        delete_iceberg_positions(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        meta = load_table_metadata(t)
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, ml = read_container(_localize(t, snap["manifest-list"]))
+        del_rows = [m for m in ml if int(m.get("content") or 0) == 1]
+        assert del_rows
+        assert all(m["partition_spec_id"] == 0 for m in del_rows)
+        assert [s["spec-id"] for s in meta["partition-specs"]] == [0]
