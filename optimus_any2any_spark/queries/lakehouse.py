@@ -296,6 +296,82 @@ def delta_conditional_merge(spark, sf_dir):
 
 
 @register(
+    "delta_update_where",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    updated AS (
+      SELECT k,
+             CASE WHEN status = 'O' AND price < 100000
+                  THEN price * 1.1 ELSE price END AS price,
+             CASE WHEN status = 'O' AND price < 100000
+                  THEN 'B' ELSE status END AS status
+      FROM base
+    ),
+    final AS (
+      SELECT k, price, status FROM updated WHERE NOT (k % 9 = 0)
+    )
+    SELECT status, COUNT(*) AS n_rows, {o_dsum('price')} AS sum_price
+    FROM final GROUP BY status ORDER BY status
+    """,
+    doc="Predicate DML — UPDATE ... WHERE then DELETE ... WHERE "
+    "(streaming/delta_table.update_delta_where / delete_delta_where, "
+    "+ DELTA__MODE=UPDATE_WHERE/DELETE_WHERE riders): two-phase "
+    "copy-on-write, ONE scan computing per-file match counts so only "
+    "files that contain matching rows rewrite (untouched files carry "
+    "over byte-identical — pinned in tests/test_delta_dml_where.py), "
+    "SQL three-valued predicate semantics (null predicates keep the "
+    "row in both verbs), commit stats from parquet footers, commitInfo "
+    "operation UPDATE/DELETE with the predicate. The oracle restates "
+    "the two statements as CASE projection + filter.",
+)
+def delta_update_where(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        delete_delta_where,
+        merge_delta_batch,
+        update_delta_where,
+    )
+
+    t = _fixture_dir("delta_updwhere", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    if os.path.isdir(os.path.join(t, "_delta_log")):
+        update_delta_where(
+            spark, t,
+            {"price": "price * 1.1", "status": "'B'"},
+            where="status = 'O' AND price < 100000",
+        )
+        delete_delta_where(spark, t, "k % 9 = 0")
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame(
+            [], "status string, n_rows long, sum_price double"
+        )
+    snap = read_delta(spark, t)
+    return (
+        snap.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
     "delta_delete_erasure",
     oracle=f"""
     WITH base AS (

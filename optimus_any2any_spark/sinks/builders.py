@@ -218,6 +218,42 @@ def delta_sink(df: DataFrame, cfg: Config):
                 c.get("use_dv", "").lower() == "true"
             ),
         )
+    elif mode == "DELETE_WHERE":
+        # predicate DML: DELETE FROM t WHERE <DELTA__PREDICATE> —
+        # the incoming records only trigger the run; the predicate
+        # decides the rows
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_where,
+        )
+
+        predicate = c.get("predicate")
+        if not predicate:
+            raise ValueError(
+                "DELTA sink DELETE_WHERE mode requires DELTA__PREDICATE"
+            )
+        delete_delta_where(
+            df.sparkSession, path, predicate,
+            change_data=(c.get("change_data", "").lower() == "true"),
+        )
+    elif mode == "UPDATE_WHERE":
+        # UPDATE t SET <DELTA__SET json> WHERE <DELTA__PREDICATE>
+        import json as _json
+
+        from optimus_any2any_spark.streaming.delta_table import (
+            update_delta_where,
+        )
+
+        set_json = c.get("set")
+        if not set_json:
+            raise ValueError(
+                "DELTA sink UPDATE_WHERE mode requires DELTA__SET "
+                '(JSON {"col": "value_sql"})'
+            )
+        update_delta_where(
+            df.sparkSession, path, _json.loads(set_json),
+            where=c.get("predicate"),
+            change_data=(c.get("change_data", "").lower() == "true"),
+        )
     else:
         raise ValueError(f"DELTA sink: unknown mode {mode!r}")
     # table maintenance riders: OPTIMIZE compaction and VACUUM after

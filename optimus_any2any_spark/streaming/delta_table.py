@@ -2262,6 +2262,372 @@ def merge_delta_batch(
     return version
 
 
+def delete_delta_where(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    change_data: bool = False,
+    target_rows_per_file: int = 1_000_000,
+) -> int | None:
+    """``DELETE FROM t WHERE <predicate>`` — predicate DML, the other
+    half of Delta's row-level surface next to key erasure
+    (``delete_delta_keys``) and MERGE. Two-phase copy-on-write, the
+    same shape real engines run for arbitrary predicates: ONE scan
+    finds the files that contain matching rows (per-file match
+    counts — an untouched file is never rewritten), then only those
+    files rewrite without their matching rows (null predicates keep
+    the row, SQL three-valued DELETE semantics). The predicate sees
+    data AND partition columns (partition values re-attach typed from
+    the log). Returns the committed version, or None when nothing
+    matched (no version burned). ``change_data=True`` records the
+    deleted rows as CDF ``delete`` entries."""
+    return _dml_where(
+        spark, table_path, where, None, change_data,
+        target_rows_per_file,
+    )
+
+
+def update_delta_where(
+    spark: SparkSession,
+    table_path: str,
+    set: dict,
+    where: str | None = None,
+    change_data: bool = False,
+    target_rows_per_file: int = 1_000_000,
+) -> int | None:
+    """``UPDATE t SET col = expr[, ...] WHERE <predicate>`` —
+    predicate UPDATE over the same two-phase copy-on-write plan as
+    :func:`delete_delta_where` (scan for touched files, rewrite only
+    those; rows whose predicate is false or null pass through
+    unchanged). Assignments may not touch partition columns (row
+    migration — use MERGE), generated columns (their values are
+    derived), or identity columns. CHECK constraints gate the updated
+    rows. ``change_data=True`` records update_preimage/postimage CDF
+    rows."""
+    if not set or not isinstance(set, dict):
+        raise ValueError("delta update: SET needs {col: value_sql}")
+    return _dml_where(
+        spark, table_path, where, dict(set), change_data,
+        target_rows_per_file,
+    )
+
+
+def _dml_where(
+    spark: SparkSession,
+    table_path: str,
+    where: str | None,
+    set_exprs: dict | None,
+    change_data: bool,
+    target_rows_per_file: int,
+) -> int | None:
+    """Shared core of DELETE WHERE / UPDATE WHERE (``set_exprs`` None
+    means delete). See the public wrappers for semantics."""
+    if not os.path.isdir(_log_dir(table_path)):
+        raise ValueError(f"delta dml: no table at {table_path}")
+    state = replay_log(spark, table_path)
+    phys, mapped, pfields = _phys_of(state["meta"])
+    live = state["live"]
+    if not live:
+        return None
+    schema = T.StructType.fromJson(
+        json.loads(state["meta"]["schemaString"])
+    )
+    part_cols = list(state["meta"].get("partitionColumns") or [])
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    data_cols = [f.name for f in data_schema.fields]
+    _check_append_only(state["meta"], "update" if set_exprs else "delete")
+    if set_exprs:
+        fields_meta = {
+            f["name"]: f.get("metadata") or {}
+            for f in json.loads(state["meta"]["schemaString"])["fields"]
+        }
+        for c in set_exprs:
+            if c in part_cols:
+                raise ValueError(
+                    f"delta update: SET may not assign partition "
+                    f"column {c!r} (row migration — use MERGE)"
+                )
+            if c not in data_cols:
+                raise ValueError(f"delta update: unknown column {c!r}")
+            md_ = fields_meta.get(c) or {}
+            if "delta.generationExpression" in md_:
+                raise ValueError(
+                    f"delta update: {c!r} is a generated column — its "
+                    "value is derived, not assignable"
+                )
+            if any(k.startswith("delta.identity.") for k in md_):
+                raise ValueError(
+                    f"delta update: {c!r} is an identity column"
+                )
+
+    pred = F.expr(where) if where else F.lit(True)
+    hit = F.coalesce(pred, F.lit(False))  # null predicate: row keeps
+
+    # typed partition values + routing pid per file basename (Delta
+    # partitionValues are strings keyed by physical names)
+    type_of = {f.name: f.dataType for f in schema.fields}
+    pv_of = {
+        p.rsplit("/", 1)[-1]: tuple(
+            (a.get("partitionValues") or {}).get(phys(c))
+            for c in part_cols
+        )
+        for p, a in live.items()
+    }
+    if len(pv_of) != len(live):
+        raise NotImplementedError(
+            "delta dml: live files share a basename — the routing "
+            "join would misattribute rows"
+        )
+
+    def _read(paths: list[str]):
+        cur = _read_files_dv_aware(
+            spark, table_path, data_schema, paths, live,
+            basename_col="__bn", pfields=pfields,
+        )
+        if part_cols:
+            lk = spark.createDataFrame(
+                [
+                    (bn,) + pv_of[bn]
+                    for bn in sorted(
+                        p.rsplit("/", 1)[-1] for p in paths
+                    )
+                ],
+                T.StructType(
+                    [T.StructField("__bn", T.StringType(), False)]
+                    + [
+                        T.StructField(c, T.StringType(), True)
+                        for c in part_cols
+                    ]
+                ),
+            )
+            for c in part_cols:
+                lk = lk.withColumn(c, F.col(c).cast(type_of[c]))
+            cur = cur.join(F.broadcast(lk), "__bn")
+        return cur
+
+    # ---- phase 1: which files contain matching rows? (one scan) ----
+    all_paths = sorted(live)
+    per_file = (
+        _read(all_paths)
+        .groupBy("__bn")
+        .agg(F.sum(hit.cast("long")).alias("__hits"))
+        .collect()
+    )
+    touched_bn = sorted(
+        r["__bn"] for r in per_file if int(r["__hits"] or 0) > 0
+    )
+    if not touched_bn:
+        return None  # nothing matched: no version burned
+    bn_to_path = {p.rsplit("/", 1)[-1]: p for p in live}
+    touched = [bn_to_path[bn] for bn in touched_bn]
+
+    version = state["version"] + 1
+    ptuples = sorted({pv_of[bn] for bn in touched_bn}, key=str)
+    pid_of = {pt: i for i, pt in enumerate(ptuples)}
+    single = len(ptuples) == 1
+
+    # ---- phase 2: rewrite ONLY the touched files ----
+    cur = _read(touched)
+    if set_exprs is None:
+        out = cur.filter(~hit)
+    else:
+        out = cur.select(
+            *[
+                F.when(hit, F.expr(set_exprs[c]).cast(type_of[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in data_cols
+            ],
+            *[F.col(c) for c in ["__bn"] + part_cols],
+        )
+        if state["meta"] is not None:
+            from optimus_any2any_spark.sources.delta import (
+                check_delta_constraints,
+            )
+
+            check_delta_constraints(
+                state["meta"], out.drop("__bn"), "update"
+            )
+
+    pre = None
+    if change_data:
+        pre = cur.filter(hit).localCheckpoint(eager=True)
+
+    # route rows back to their files' partitions and write
+    total_rows = sum(
+        max(
+            _entry_from_add(
+                bn_to_path[bn], live[bn_to_path[bn]],
+                phys(data_cols[0]),
+            )["rows"],
+            0,
+        )
+        for bn in touched_bn
+    )
+    n_files = max(1, -(-total_rows // target_rows_per_file))
+    if single:
+        body = out.drop("__bn", *part_cols).repartitionByRange(
+            n_files, F.col(data_cols[0])
+        )
+        if mapped:
+            body = _to_phys(body, data_cols, pfields)
+    else:
+        pid_lk = spark.createDataFrame(
+            [(bn, pid_of[pv_of[bn]]) for bn in touched_bn],
+            T.StructType(
+                [
+                    T.StructField("__bn", T.StringType(), False),
+                    T.StructField("__pid", T.IntegerType(), False),
+                ]
+            ),
+        )
+        body = (
+            out.drop(*part_cols)
+            .join(F.broadcast(pid_lk), "__bn")
+            .drop("__bn")
+            .repartitionByRange(
+                n_files, F.col("__pid"), F.col(data_cols[0])
+            )
+        )
+        if mapped:
+            body = _to_phys(body, data_cols, pfields, keep=("__pid",))
+
+    tmp = os.path.join(table_path, f"_tmp-dml-v{version}")
+    op = "UPDATE" if set_exprs else "DELETE"
+    tag = op.lower()
+    new_files: list[tuple[str, dict]] = []
+    file_seq = 0
+    if single:
+        body.write.mode("overwrite").parquet(tmp)
+        pv = {
+            phys(c): v for c, v in zip(part_cols, ptuples[0])
+        }
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        ):
+            rel = f"part-{version:05d}-{file_seq:04d}-{tag}.parquet"
+            file_seq += 1
+            _put_data(part, os.path.join(table_path, rel))
+            new_files.append((rel, pv))
+    else:
+        body.write.partitionBy("__pid").mode("overwrite").parquet(tmp)
+        for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            pv = {
+                phys(c): v
+                for c, v in zip(part_cols, ptuples[pid])
+            }
+            for part in sorted(
+                _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            ):
+                rel = (
+                    f"part-{version:05d}-{file_seq:04d}-{tag}.parquet"
+                )
+                file_seq += 1
+                _put_data(part, os.path.join(table_path, rel))
+                new_files.append((rel, pv))
+    shutil.rmtree(tmp)
+
+    cdc_rel: list[str] = []
+    if change_data and pre is not None:
+        if set_exprs is None:
+            changes = pre.drop("__bn").withColumn(
+                "_change_type", F.lit("delete")
+            )
+        else:
+            pre_rows = pre.drop("__bn").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post_rows = pre.select(
+                *[
+                    F.when(
+                        hit, F.expr(set_exprs[c]).cast(type_of[c])
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in data_cols
+                ],
+                *[F.col(c) for c in part_cols],
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            changes = pre_rows.unionByName(post_rows)
+        changes_all = changes.select(
+            *[f.name for f in schema.fields], "_change_type"
+        )
+        if mapped:
+            changes_all = _to_phys(
+                changes_all, [f.name for f in schema.fields], pfields,
+                keep=("_change_type",),
+            )
+        cdc_tmp = os.path.join(table_path, f"_tmp-cdc-v{version}")
+        changes_all.write.mode("overwrite").parquet(cdc_tmp)
+        os.makedirs(
+            os.path.join(table_path, "_change_data"), exist_ok=True
+        )
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(cdc_tmp, "part-*.parquet")))
+        ):
+            rel = f"_change_data/cdc-{version:05d}-{i:04d}.parquet"
+            _put_data(part, os.path.join(table_path, rel))
+            cdc_rel.append(rel)
+        shutil.rmtree(cdc_tmp)
+
+    by_name = _collect_file_stats(
+        spark, table_path, [r for r, _ in new_files],
+        phys(data_cols[0]),
+        _phys_schema(data_schema, pfields) if mapped else data_schema,
+    ) if new_files else {}
+    actions: list[dict] = []
+    for rel, pv in new_files:
+        full = os.path.join(table_path, rel)
+        st = by_name.get(rel)
+        if st is None:  # every row of this part matched a DELETE
+            os.remove(full)
+            continue
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pv,
+                    "size": os.path.getsize(full),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(st, default=str),
+                }
+            }
+        )
+    for p in touched:
+        actions.append(
+            {"remove": _remove_action(p, live[p], data_change=True)}
+        )
+    for rel in cdc_rel:
+        full = os.path.join(table_path, rel)
+        if os.path.getsize(full) == 0:
+            os.remove(full)
+            continue
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(full),
+                    "dataChange": False,
+                }
+            }
+        )
+    _commit(
+        _log_dir(table_path), version, actions,
+        operation=op,
+        operation_params={"predicate": where or "true"},
+    )
+    return version
+
+
 def purge_deletion_vectors(
     spark: SparkSession,
     table_path: str,
