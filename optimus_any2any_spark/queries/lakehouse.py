@@ -1838,6 +1838,85 @@ def iceberg_eq_delete_erasure(spark, sf_dir):
 
 
 @register(
+    "iceberg_update_where",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    updated AS (
+      SELECT k,
+             CASE WHEN status = 'O' AND price < 100000
+                  THEN price * 1.1 ELSE price END AS price,
+             CASE WHEN status = 'O' AND price < 100000
+                  THEN 'B' ELSE status END AS status
+      FROM base
+    ),
+    final AS (
+      SELECT k, price, status FROM updated WHERE NOT (k % 9 = 0)
+    )
+    SELECT status, COUNT(*) AS n_rows, {o_dsum('price')} AS sum_price
+    FROM final GROUP BY status ORDER BY status
+    """,
+    doc="Iceberg predicate DML — UPDATE ... WHERE then DELETE ... "
+    "WHERE (streaming/iceberg_table.update_iceberg_where / "
+    "delete_iceberg_where, + ICEBERG__MODE=UPDATE_WHERE/DELETE_WHERE "
+    "riders): MERGE-ON-READ, the Iceberg-native shape — the UPDATE "
+    "commits ONE snapshot of positional deletes (matched rows' "
+    "(file,pos) identities) + re-appended updated rows, the DELETE "
+    "commits positional-delete files only; NO data file is ever "
+    "rewritten, write amplification is O(matched rows) "
+    "(tests/test_iceberg_dml_where.py pins untouched-files-carry-"
+    "over and partition row migration). SQL three-valued predicate "
+    "semantics in both verbs; snapshot summary records the "
+    "predicates. Delta CoW twin: delta_update_where. The oracle "
+    "restates the two statements as CASE projection + filter.",
+    bench=True,
+)
+def iceberg_update_where(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_where,
+        merge_iceberg_batch,
+        update_iceberg_where,
+    )
+
+    t = _fixture_dir("iceberg_updwhere", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "status string, n_rows long, sum_price double"
+        )
+    update_iceberg_where(
+        spark, t,
+        {"price": "price * 1.1", "status": "'B'"},
+        where="status = 'O' AND price < 100000",
+    )
+    delete_iceberg_where(spark, t, "k % 9 = 0")
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
     "delta_restore_read",
     oracle=f"""
     WITH base AS (

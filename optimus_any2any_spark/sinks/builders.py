@@ -336,7 +336,9 @@ def iceberg_sink(df: DataFrame, cfg: Config):
     ``DELETE`` (equality-delete merge-on-read erasure by
     ``ICEBERG__MERGE_KEY``), ``DELETE_POS`` (positional-delete
     merge-on-read erasure — matching rows' (file, position) pairs
-    committed as one sorted content=1 delete file),
+    committed as one sorted content=1 delete file), ``DELETE_WHERE``
+    / ``UPDATE_WHERE`` (predicate DML via ``ICEBERG__PREDICATE`` +
+    ``ICEBERG__SET``, merge-on-read),
     (default; one snapshot of added files) or ``MERGE``
     (snapshot-committing copy-on-write upsert; needs
     ``ICEBERG__MERGE_KEY``/``ICEBERG__MERGE_TS``). Readable by
@@ -410,6 +412,47 @@ def iceberg_sink(df: DataFrame, cfg: Config):
             # ICEBERG__USE_DV=true: format-v3 deletion vectors (one
             # Puffin blob per referenced file) instead of delete
             # parquet — the Delta DELTA__USE_DV twin
+            use_deletion_vectors=(
+                c.get("use_dv", "").lower() == "true"
+            ),
+        )
+    elif mode == "DELETE_WHERE":
+        # predicate DML: DELETE FROM t WHERE <ICEBERG__PREDICATE> —
+        # merge-on-read positional deletes (or DVs with
+        # ICEBERG__USE_DV); the incoming records only trigger the run
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_where,
+        )
+
+        predicate = c.get("predicate")
+        if not predicate:
+            raise ValueError(
+                "ICEBERG sink DELETE_WHERE mode requires "
+                "ICEBERG__PREDICATE"
+            )
+        delete_iceberg_where(
+            df.sparkSession, path, predicate,
+            use_deletion_vectors=(
+                c.get("use_dv", "").lower() == "true"
+            ),
+        )
+    elif mode == "UPDATE_WHERE":
+        # UPDATE t SET <ICEBERG__SET json> WHERE <ICEBERG__PREDICATE>
+        import json as _json
+
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            update_iceberg_where,
+        )
+
+        set_json = c.get("set")
+        if not set_json:
+            raise ValueError(
+                "ICEBERG sink UPDATE_WHERE mode requires ICEBERG__SET "
+                '(JSON {"col": "value_sql"})'
+            )
+        update_iceberg_where(
+            df.sparkSession, path, _json.loads(set_json),
+            where=c.get("predicate"),
             use_deletion_vectors=(
                 c.get("use_dv", "").lower() == "true"
             ),

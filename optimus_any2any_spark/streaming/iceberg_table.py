@@ -1734,10 +1734,16 @@ def _global_delete_spec_id(meta: dict) -> int:
 def _commit_delete_manifest(
     spark, table_path, meta, snaps, manifest_rel, version, snapshot_id,
     seq, app_id, batch_id, fmt_floor,
+    extra_ml_rows: list | None = None,
+    extra_summary: dict | None = None,
+    operation: str = "delete",
 ):
     """Shared tail of the merge-on-read DELETE writers: the new
     manifest-list row, the snapshot (real timestamp + snapshot-log +
-    main-ref advance), and the version/hint commit."""
+    main-ref advance), and the version/hint commit. ``extra_ml_rows``
+    lets a caller land ADDITIONAL manifests (the MoR UPDATE's new-data
+    manifest) in the same snapshot; ``extra_summary`` merges
+    caller keys (predicates) into the snapshot summary."""
     from optimus_any2any_spark.sources.iceberg import (
         _MANIFEST_FILE_SCHEMA,
     )
@@ -1764,6 +1770,7 @@ def _commit_delete_manifest(
         os.path.join(table_path, ml_rel),
         _MANIFEST_FILE_SCHEMA,
         prior_manifests
+        + list(extra_ml_rows or [])
         + [
             {
                 "manifest_path": manifest_rel,
@@ -1777,7 +1784,9 @@ def _commit_delete_manifest(
             }
         ],
     )
-    summary = {"operation": "delete"}
+    summary = {"operation": operation}
+    if extra_summary:
+        summary.update(extra_summary)
     if batch_id is not None:
         summary["optimus-app-id"] = app_id
         summary["optimus-batch-id"] = str(batch_id)
@@ -1812,6 +1821,368 @@ def _commit_delete_manifest(
         f.write(str(version))
     os.replace(tmph, hint)
     return version
+
+
+def delete_iceberg_where(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    use_deletion_vectors: bool = False,
+) -> int | None:
+    """``DELETE FROM t WHERE <predicate>`` — predicate DML, the
+    Iceberg twin of ``delete_delta_where`` expressed the
+    Iceberg-native way: MERGE-ON-READ. One scan evaluates the
+    predicate over the live rows (prior positional/equality deletes
+    applied, so an already-deleted row is never re-deleted) and the
+    matching rows' ``(data-file path, position)`` identities commit
+    as positional-delete files (spec content=1) — or format-v3
+    deletion vectors with ``use_deletion_vectors=True`` — without
+    rewriting a single data byte. Write amplification is O(matched
+    rows); an untouched data file is never read twice because the
+    positions come from the same scan that evaluated the predicate.
+    Null predicates keep the row (SQL three-valued DELETE). Returns
+    the committed metadata version, or None when nothing matched (no
+    version burned). The snapshot summary records the predicate."""
+    from optimus_any2any_spark.sources.iceberg import (
+        _DELETE_ENTRY_SCHEMA,
+        _snapshot_entries,
+        read_entries_with_deletes,
+    )
+
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg delete: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    schema = iceberg_spark_schema(meta)
+    data, pos_del, eq_del = _snapshot_entries(table_path, meta)
+    if not data:
+        return None
+    cur = read_entries_with_deletes(
+        spark, meta, schema, data, pos_del, eq_del,
+        position_cols=("__del_fp", "__del_pos"),
+    )
+    hit = F.coalesce(F.expr(where), F.lit(False))
+    matching = (
+        cur.filter(hit)
+        .select(
+            F.col("__del_fp").alias("file_path"),
+            F.col("__del_pos").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_pos = matching.count()
+    if n_pos == 0:
+        return None
+    snaps = meta.get("snapshots") or []
+    version = prev_version + 1
+    snapshot_id = version
+    seq = version
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    tmp = os.path.join(table_path, f"_tmp-delwhere-v{version}")
+    if use_deletion_vectors:
+        entries, _rels = _write_dv_delete_files(
+            spark, table_path, matching, version, snapshot_id, seq
+        )
+        fmt_floor = 3
+    else:
+        entries, _rels = _write_pos_delete_files(
+            spark, table_path, matching, n_pos, version, snapshot_id,
+            tmp,
+        )
+        fmt_floor = 2
+    manifest_rel = (
+        "metadata/"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|dw{version}')}"
+        "-m0.avro"
+    )
+    write_container(
+        os.path.join(table_path, manifest_rel),
+        _DELETE_ENTRY_SCHEMA,
+        entries,
+    )
+    return _commit_delete_manifest(
+        spark, table_path, meta, snaps, manifest_rel, version,
+        snapshot_id, seq, DEFAULT_APP_ID, None, fmt_floor,
+        extra_summary={"predicate": where},
+    )
+
+
+def update_iceberg_where(
+    spark: SparkSession,
+    table_path: str,
+    set: dict,
+    where: str | None = None,
+    use_deletion_vectors: bool = False,
+    target_rows_per_file: int = 1_000_000,
+) -> int | None:
+    """``UPDATE t SET col = expr[, ...] WHERE <predicate>`` — the
+    Iceberg twin of ``update_delta_where``, expressed as the spec's
+    merge-on-read UPDATE: ONE snapshot that (a) positional-deletes the
+    matched rows from their current files and (b) appends new data
+    files holding the updated rows. No unmatched byte rewrites; write
+    amplification is O(matched rows) on both sides. One scan feeds
+    both halves (the matched frame is checkpointed once). SET
+    expressions all read the PRE-update row (a single projection), and
+    rows whose predicate is false or null pass through untouched
+    because their files are not rewritten at all — merge-on-read makes
+    the Delta twin's "untouched files carry over byte-identical"
+    property trivially true for MATCHED files too.
+
+    Partition handling falls out of the delete+append shape: appended
+    rows recompute their partition tuple from the UPDATED values under
+    the DEFAULT spec, so assigning a partition source column performs
+    row migration natively (the Delta twin must refuse that — its
+    copy-on-write rewrite pins rows to their files' partitions).
+    Returns the committed version, or None when nothing matched."""
+    from optimus_any2any_spark.sources.iceberg import (
+        _DELETE_ENTRY_SCHEMA,
+        _snapshot_entries,
+        read_entries_with_deletes,
+    )
+    from optimus_any2any_spark.sources.iceberg_transforms import (
+        avro_type_of_result,
+        spark_type_of_result,
+        transform_column,
+    )
+
+    if not set or not isinstance(set, dict):
+        raise ValueError("iceberg update: SET needs {col: value_sql}")
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg update: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    schema = iceberg_spark_schema(meta)
+    for c in set:
+        if c not in schema.fieldNames():
+            raise ValueError(f"iceberg update: unknown column {c!r}")
+    by_id = _current_schema_fields(meta)
+    specs = meta.get("partition-specs") or []
+    default_sid = int(meta.get("default-spec-id", 0))
+    default_spec = next(
+        (s for s in specs if int(s.get("spec-id", 0)) == default_sid),
+        None,
+    )
+    if default_spec is None and meta.get("partition-spec"):
+        default_spec = {"spec-id": 0,
+                        "fields": meta["partition-spec"]}
+    pspec = _parse_pspec(default_spec, by_id, "update")
+    part_names = [p["name"] for p in pspec]
+    part_fields = [
+        (p["name"], avro_type_of_result(p["res_type"])) for p in pspec
+    ]
+
+    data, pos_del, eq_del = _snapshot_entries(table_path, meta)
+    if not data:
+        return None
+    cur = read_entries_with_deletes(
+        spark, meta, schema, data, pos_del, eq_del,
+        position_cols=("__del_fp", "__del_pos"),
+    )
+    pred = F.expr(where) if where else F.lit(True)
+    hit = F.coalesce(pred, F.lit(False))
+    matched = cur.filter(hit).localCheckpoint(eager=True)
+    n_upd = matched.count()
+    if n_upd == 0:
+        return None
+
+    snaps = meta.get("snapshots") or []
+    version = prev_version + 1
+    snapshot_id = version
+    seq = version
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+
+    # ---- delete half: the matched rows' current identities ----
+    positions = matched.select(
+        F.col("__del_fp").alias("file_path"),
+        F.col("__del_pos").alias("pos"),
+    )
+    tmp_d = os.path.join(table_path, f"_tmp-updwhere-del-v{version}")
+    if use_deletion_vectors:
+        del_entries, _rels = _write_dv_delete_files(
+            spark, table_path, positions, version, snapshot_id, seq
+        )
+        fmt_floor = 3
+    else:
+        del_entries, _rels = _write_pos_delete_files(
+            spark, table_path, positions, n_upd, version, snapshot_id,
+            tmp_d,
+        )
+        fmt_floor = 2
+    del_manifest_rel = (
+        "metadata/"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|uw{version}')}"
+        "-m0.avro"
+    )
+    write_container(
+        os.path.join(table_path, del_manifest_rel),
+        _DELETE_ENTRY_SCHEMA,
+        del_entries,
+    )
+
+    # ---- append half: the updated rows, routed by their (possibly
+    # new) partition tuple under the default spec ----
+    type_of = {f.name: f.dataType for f in schema.fields}
+    updated = matched.select(
+        *[
+            F.expr(set[c]).cast(type_of[c]).alias(c)
+            if c in set
+            else F.col(c)
+            for c in schema.fieldNames()
+        ]
+    )
+    pv_cols = [f"__pv{i}" for i in range(len(pspec))]
+    upd_pv = updated
+    for i, p in enumerate(pspec):
+        upd_pv = upd_pv.withColumn(
+            pv_cols[i],
+            transform_column(p["transform"], F.col(p["src"]),
+                             p["src_type"]),
+        )
+    if pspec:
+        ptuples = sorted(
+            (
+                tuple(r[c] for c in pv_cols)
+                for r in upd_pv.select(*pv_cols).distinct().collect()
+            ),
+            key=str,
+        )
+    else:
+        ptuples = [()]
+    single = len(ptuples) == 1
+    first_col = schema.fieldNames()[0]
+    n_files = max(1, -(-n_upd // target_rows_per_file))
+    tmp = os.path.join(table_path, f"_tmp-updwhere-v{version}")
+    new_rel: list[str] = []
+    pt_of_rel: dict[str, tuple] = {}
+    file_seq = 0
+    if single:
+        (
+            upd_pv.drop(*pv_cols)
+            .repartitionByRange(n_files, F.col(first_col))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        ):
+            rel = f"data/{version:05d}-{file_seq:04d}-update.parquet"
+            file_seq += 1
+            os.replace(part, os.path.join(table_path, rel))
+            new_rel.append(rel)
+            pt_of_rel[rel] = ptuples[0]
+    else:
+        pid_of = {pt: i for i, pt in enumerate(ptuples)}
+        pid_ddl = ", ".join(
+            f"{pv_cols[i]} {spark_type_of_result(pspec[i]['res_type'])}"
+            for i in range(len(pspec))
+        )
+        pid_df = spark.createDataFrame(
+            [pt + (pid_of[pt],) for pt in ptuples],
+            f"{pid_ddl}, __pid int",
+        )
+        pcond = None
+        for c in pv_cols:
+            e = F.col(f"b.{c}").eqNullSafe(F.col(f"pd.{c}"))
+            pcond = e if pcond is None else (pcond & e)
+        routed = (
+            upd_pv.alias("b")
+            .join(F.broadcast(pid_df.alias("pd")), pcond, "inner")
+            .select(
+                *[F.col(f"b.{c}") for c in schema.fieldNames()],
+                F.col("pd.__pid"),
+            )
+        )
+        (
+            routed.repartitionByRange(
+                n_files, F.col("__pid"), F.col(first_col)
+            )
+            .write.partitionBy("__pid")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
+            pid = int(os.path.basename(pdir).split("=", 1)[1])
+            for part in sorted(
+                _glob.glob(os.path.join(pdir, "part-*.parquet"))
+            ):
+                rel = (
+                    f"data/{version:05d}-{file_seq:04d}-update.parquet"
+                )
+                file_seq += 1
+                os.replace(part, os.path.join(table_path, rel))
+                new_rel.append(rel)
+                pt_of_rel[rel] = ptuples[pid]
+    shutil.rmtree(tmp)
+
+    per_file = (
+        _per_file_key_stats(spark, table_path, new_rel, None, None)
+        if new_rel
+        else {}
+    )
+    new_entries = []
+    for rel in new_rel:
+        r = per_file.get(rel.rsplit("/", 1)[-1])
+        if r is None:  # empty part
+            os.remove(os.path.join(table_path, rel))
+            continue
+        pt = pt_of_rel[rel]
+        new_entries.append(
+            {
+                "status": _ST_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        n: v for n, v in zip(part_names, pt)
+                    },
+                    "record_count": int(r["rows"]),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(table_path, rel)
+                    ),
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+    data_manifest_rel = (
+        "metadata/"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|uwd{version}')}"
+        "-m1.avro"
+    )
+    write_container(
+        os.path.join(table_path, data_manifest_rel),
+        manifest_entry_schema(part_fields),
+        new_entries,
+    )
+    data_ml_row = {
+        "manifest_path": data_manifest_rel,
+        "manifest_length": os.path.getsize(
+            os.path.join(table_path, data_manifest_rel)
+        ),
+        "partition_spec_id": default_sid,
+        "content": 0,
+        "added_snapshot_id": snapshot_id,
+        # new files inherit this commit's sequence: the delete half
+        # (same seq) never touches them because its rows reference
+        # only the OLD file paths
+        "sequence_number": seq,
+    }
+    return _commit_delete_manifest(
+        spark, table_path, meta, snaps, del_manifest_rel, version,
+        snapshot_id, seq, DEFAULT_APP_ID, None, fmt_floor,
+        extra_ml_rows=[data_ml_row],
+        extra_summary={
+            "predicate": where or "true",
+            "updated-columns": json.dumps(sorted(set)),
+        },
+        operation="overwrite",
+    )
 
 
 def compact_iceberg(
