@@ -978,6 +978,81 @@ def delta_cdf_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_changelog_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    del AS (SELECT k, price FROM base WHERE k % 7 = 0),
+    upd AS (
+      SELECT k, price FROM base WHERE k % 7 <> 0 AND k % 10 = 1
+    ),
+    changes AS (
+      SELECT 'INSERT' AS change_type, price FROM base
+      UNION ALL SELECT 'DELETE', price FROM del
+      UNION ALL SELECT 'DELETE', price FROM upd
+      UNION ALL SELECT 'INSERT', price + 1000.0 FROM upd
+    )
+    SELECT change_type,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM changes GROUP BY change_type ORDER BY change_type
+    """,
+    doc="Iceberg CHANGELOG scan (sources/iceberg.read_iceberg_changes"
+    " + ICEBERG__CHANGES rider) — the Delta CDF twin computed the "
+    "Iceberg way: no change files, the per-snapshot INSERT/DELETE "
+    "rows derive from the MANIFEST DIFF vs the predecessor (appends "
+    "read only added files; MoR deletes evaluate only the NEW delete "
+    "files against the prior state so already-dead rows never "
+    "re-report; rewrites NET via exceptAll so carried rows cancel; "
+    "compaction emits nothing) — changelog IO is O(changed files), "
+    "never O(table). Fixture: seed merge (all INSERTs), equality-"
+    "delete erasure (DELETEs), then UPDATE ... WHERE (DELETE "
+    "pre-image + INSERT post-image). The oracle restates the three "
+    "commits' change sets as SQL set algebra.",
+    bench=True,
+)
+def iceberg_changelog_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        read_iceberg_changes,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_keys,
+        merge_iceberg_batch,
+        update_iceberg_where,
+    )
+
+    t = _fixture_dir("iceberg_changelog", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "change_type string, n_rows long, sum_price double"
+        )
+    delete_iceberg_keys(
+        spark, t, "k", base.select("k").filter(F.col("k") % 7 == 0),
+        batch_id=1,
+    )
+    update_iceberg_where(
+        spark, t, {"price": "price + 1000.0"}, where="k % 10 = 1"
+    )
+    changes = read_iceberg_changes(spark, t)
+    return (
+        changes.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
     "iceberg_merge_upsert",
     oracle=f"""
     WITH base AS (

@@ -547,7 +547,10 @@ def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
     TIMESTAMP AS OF through the snapshot log, ``ICEBERG__REF`` reads
     a named tag or branch, and ``ICEBERG__METADATA_TABLE`` (snapshots /
     history / refs / manifests / files) reads the inspection surface
-    instead of the data."""
+    instead of the data. ``ICEBERG__CHANGES=true`` (with optional
+    ``ICEBERG__CHANGES_FROM`` / ``ICEBERG__CHANGES_TO`` snapshot ids)
+    reads the CHANGELOG instead — per-snapshot INSERT/DELETE rows
+    from the manifest diff, the Delta CDF twin."""
     from optimus_any2any_spark.sources.iceberg import read_iceberg
 
     uri = cfg.get("ICEBERG__SOURCE_URI")
@@ -561,6 +564,18 @@ def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
         )
 
         return read_iceberg_metadata(spark, path, mt.strip().lower())
+    if (cfg.get("ICEBERG__CHANGES") or "").lower() == "true":
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_changes,
+        )
+
+        cf = cfg.get("ICEBERG__CHANGES_FROM")
+        ct = cfg.get("ICEBERG__CHANGES_TO")
+        return read_iceberg_changes(
+            spark, path,
+            from_snapshot_id=int(cf) if cf else None,
+            to_snapshot_id=int(ct) if ct else None,
+        )
     snap = cfg.get("ICEBERG__SNAPSHOT_ID")
     ts = cfg.get("ICEBERG__AS_OF_TIMESTAMP")
     if ts is not None and str(ts).lstrip("-").isdigit():

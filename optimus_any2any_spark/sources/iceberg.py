@@ -1148,6 +1148,205 @@ def read_iceberg_appends(
     return spark.read.schema(schema).parquet(*files)
 
 
+def _delete_entry_key(ent: dict) -> tuple:
+    """Identity of a delete entry across snapshots: file path + seq,
+    plus the blob offset for Puffin DVs (one sidecar can carry many
+    blobs)."""
+    dv = ent.get("dv")
+    return (ent["orig"], ent["seq"], dv["offset"] if dv else None)
+
+
+def _pos_delete_referenced_paths(
+    pos_entries: list[dict],
+) -> set[str] | None:
+    """The data-file paths a set of positional-delete entries can
+    touch: DV entries name theirs in the manifest; delete-parquet
+    entries are read driver-side from their (small) files' file_path
+    column. Returns None when any file cannot be enumerated (caller
+    falls back to all-files-conservative)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return None
+    refs: set[str] = set()
+    for ent in pos_entries:
+        dv = ent.get("dv")
+        if dv:
+            refs.add(dv["referenced"])
+            continue
+        path = ent["path"]
+        local = path[7:] if path.startswith("file://") else path
+        try:
+            col = pq.read_table(local, columns=["file_path"])
+        except Exception:
+            return None
+        refs.update(str(v) for v in col.column(0).to_pylist())
+    return refs
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Changelog scan — the row-level changes each snapshot after
+    ``from_snapshot_id`` (exclusive; None = beginning of history) up
+    to ``to_snapshot_id`` (inclusive; None = current) made to the
+    table, as Iceberg's ``create_changelog_view`` emits them: the
+    table columns plus ``_change_type`` (``INSERT`` / ``DELETE`` —
+    an update appears as its DELETE pre-image + INSERT post-image),
+    ``_change_ordinal`` (the snapshot's position in the window) and
+    ``_commit_snapshot_id``. This is the Iceberg twin of Delta CDF
+    (``read_delta_cdf``) computed the Iceberg way: there are no
+    change files — changes derive from the MANIFEST DIFF between each
+    snapshot and its predecessor, so only added/removed/delete-
+    affected files are ever read:
+
+    - ``append`` snapshots read just their added data files (with any
+      same-snapshot deletes applied) as INSERTs.
+    - ``delete`` snapshots (merge-on-read DML) evaluate only the NEW
+      delete files against the prior state — positional/DV deletes
+      prune to their referenced data files; already-deleted rows
+      never re-report (the before-image applies the prior deletes).
+    - ``overwrite`` / ``rollback`` snapshots NET the two sides
+      (``exceptAll`` both ways), so a copy-on-write rewrite that
+      carries 990 of 1000 rows unchanged reports only the 10 real
+      updates — carried rows cancel, matching the changelog
+      procedure's update carve-out.
+    - ``replace`` (compaction) snapshots are physical rewrites with
+      no logical change and emit nothing.
+
+    At 100 TB the manifest diff is the point: changelog IO is
+    O(changed files per snapshot), never O(table)."""
+    from pyspark.sql import functions as F
+
+    meta = load_table_metadata(table_path)
+    schema = iceberg_spark_schema(meta)
+    snaps = meta.get("snapshots") or []
+    ids = [s["snapshot-id"] for s in snaps]
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if to_snapshot_id not in ids:
+        raise ValueError(
+            f"iceberg: snapshot {to_snapshot_id} not in table metadata"
+        )
+    start = 0
+    if from_snapshot_id is not None:
+        if from_snapshot_id not in ids:
+            raise ValueError(
+                f"iceberg: snapshot {from_snapshot_id} not in table "
+                "metadata"
+            )
+        start = ids.index(from_snapshot_id) + 1
+    window = snaps[start:ids.index(to_snapshot_id) + 1]
+
+    def _tag(df: DataFrame, change: str, ordinal: int, sid: int):
+        return df.select(
+            *schema.fieldNames(),
+            F.lit(change).alias("_change_type"),
+            F.lit(ordinal).cast("int").alias("_change_ordinal"),
+            F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+        )
+
+    pieces: list[DataFrame] = []
+    prev_id = ids[start - 1] if start > 0 else None
+    prev_state = (
+        _snapshot_entries(table_path, meta, prev_id)
+        if prev_id is not None
+        else ([], [], [])
+    )
+    for ordinal, snap in enumerate(window):
+        s_id = snap["snapshot-id"]
+        op = (snap.get("summary") or {}).get("operation", "append")
+        cur_state = _snapshot_entries(table_path, meta, s_id)
+        if op == "replace":
+            # compaction: a physical rewrite, zero logical change
+            prev_state = cur_state
+            continue
+        if op not in ("append", "delete", "overwrite", "rollback"):
+            raise NotImplementedError(
+                f"iceberg changelog: snapshot {s_id} operation "
+                f"{op!r} is beyond this reader"
+            )
+        prev_d, prev_p, prev_e = prev_state
+        cur_d, cur_p, cur_e = cur_state
+        prev_orig = {e["orig"] for e in prev_d}
+        cur_orig = {e["orig"] for e in cur_d}
+        added_data = [e for e in cur_d if e["orig"] not in prev_orig]
+        removed_data = [e for e in prev_d if e["orig"] not in cur_orig]
+        prev_dkeys = {_delete_entry_key(e) for e in prev_p + prev_e}
+        new_pos = [
+            e for e in cur_p if _delete_entry_key(e) not in prev_dkeys
+        ]
+        new_eq = [
+            e for e in cur_e if _delete_entry_key(e) not in prev_dkeys
+        ]
+
+        ins = (
+            read_entries_with_deletes(
+                spark, meta, schema, added_data, cur_p, cur_e
+            )
+            if added_data
+            else None
+        )
+
+        # the files whose VISIBLE rows can have shrunk: removed files,
+        # plus surviving files a new delete file can touch
+        affected = list(removed_data)
+        if new_eq:
+            # equality deletes: sequence-gated against every earlier
+            # file — conservative: all surviving prior files
+            affected += [e for e in prev_d if e["orig"] in cur_orig]
+        elif new_pos:
+            refs = _pos_delete_referenced_paths(new_pos)
+            if refs is None:
+                affected += [e for e in prev_d if e["orig"] in cur_orig]
+            else:
+                affected += [
+                    e
+                    for e in prev_d
+                    if e["orig"] in cur_orig and e["orig"] in refs
+                ]
+        dels = None
+        if affected:
+            before = read_entries_with_deletes(
+                spark, meta, schema, affected, prev_p, prev_e
+            )
+            aff_orig = {e["orig"] for e in affected}
+            after_files = [e for e in cur_d if e["orig"] in aff_orig]
+            if after_files:
+                after = read_entries_with_deletes(
+                    spark, meta, schema, after_files, cur_p, cur_e
+                )
+                dels = before.exceptAll(after)
+            else:
+                dels = before
+
+        if op in ("overwrite", "rollback") and ins is not None \
+                and dels is not None:
+            # net the rewrite: rows a copy-on-write carried over
+            # appear on both sides and cancel; real updates survive
+            # as DELETE pre-image + INSERT post-image
+            ins_net = ins.exceptAll(dels)
+            dels = dels.exceptAll(ins)
+            ins = ins_net
+        if ins is not None:
+            pieces.append(_tag(ins, "INSERT", ordinal, s_id))
+        if dels is not None:
+            pieces.append(_tag(dels, "DELETE", ordinal, s_id))
+        prev_state = cur_state
+        prev_id = s_id
+
+    if not pieces:
+        empty = spark.createDataFrame([], schema)
+        return _tag(empty, "INSERT", 0, 0).limit(0)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Fixture writer: append-only v1 snapshots so the reader sees real bytes.
 
