@@ -2601,6 +2601,64 @@ def iceberg_skipping_read(spark, sf_dir):
 
 
 @register(
+    "delta_zorder_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           {o_dsum('price')} AS sum_price
+    FROM base
+    WHERE price BETWEEN 50000 AND 80000
+    """,
+    doc="Delta OPTIMIZE ... ZORDER BY (compact_delta zorder_by + "
+    "DELTA__OPTIMIZE_ZORDER rider): the table seeds range-clustered "
+    "on the MERGE KEY, so every file spans the full price range and "
+    "a price query reads all of them; ZORDER BY (price, k) rewrites "
+    "every live file routed on a Morton key over quantile buckets "
+    "(one approxQuantile sample job — never a per-dimension sort), "
+    "giving each file a compact (price, k) rectangle so min/max "
+    "stats prune on EITHER column (tests/test_delta_zorder.py pins "
+    "the file-overlap counts). The read is the ordinary stats-pruned "
+    "key_range scan on the SECOND-class column; the oracle is a "
+    "plain WHERE over the source.",
+    bench=True,
+)
+def delta_zorder_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        compact_delta,
+        merge_delta_batch,
+    )
+
+    t = _fixture_dir("delta_zorder", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return spark.createDataFrame(
+            [], "n_rows long, min_k long, max_k long, sum_price double"
+        )
+    compact_delta(
+        spark, t, target_rows_per_file=4000,
+        zorder_by=["price", "k"],
+    )
+    snap = read_delta(spark, t, key_range=("price", 50000.0, 80000.0))
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        dsum(F.col("price")).alias("sum_price"),
+    )
+
+
+@register(
     "delta_skipping_read",
     oracle=f"""
     SELECT COUNT(*) AS n_rows,

@@ -315,9 +315,17 @@ def delta_sink(df: DataFrame, cfg: Config):
             compact_delta,
         )
 
+        # DELTA__OPTIMIZE_ZORDER=col1,col2: OPTIMIZE ... ZORDER BY —
+        # every live file rewrites, routed on the Morton key
+        zo = c.get("optimize_zorder")
         compact_delta(
             df.sparkSession, path,
             target_rows_per_file=int(c["optimize_rows"]),
+            zorder_by=(
+                [s.strip() for s in zo.split(",") if s.strip()]
+                if zo
+                else None
+            ),
         )
     if (c.get("vacuum") or "").lower() == "true":
         from optimus_any2any_spark.streaming.delta_table import (

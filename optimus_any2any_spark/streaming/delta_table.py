@@ -445,6 +445,7 @@ def _collect_file_stats(
     new_rel: list[str],
     key_col: str,
     data_schema: T.StructType,
+    lead_cols: list[str] | None = None,
 ) -> dict[str, dict]:
     """Per-file stats for the merge key PLUS the leading data columns
     (capped) — Delta's per-column minValues/maxValues/nullCount, which
@@ -461,11 +462,16 @@ def _collect_file_stats(
         T.NumericType, T.StringType, T.DateType, T.TimestampType,
         T.TimestampNTZType, T.BooleanType,
     )
-    stat_cols = [key_col] + [
+    # lead_cols (the ZORDER BY set) jump the cap queue: z-ordering a
+    # column is useless unless its min/max are recorded per file
+    lead = [key_col] + [
+        c for c in (lead_cols or []) if c != key_col
+    ]
+    stat_cols = lead + [
         f.name
         for f in data_schema.fields
-        if f.name != key_col and isinstance(f.dataType, orderable)
-    ][: _MAX_STAT_COLS - 1]
+        if f.name not in lead and isinstance(f.dataType, orderable)
+    ][: max(0, _MAX_STAT_COLS - len(lead))]
     type_of = {f.name: f.dataType for f in data_schema.fields}
     ft = footer_file_stats(
         [os.path.join(table_path, r) for r in new_rel],
@@ -1112,11 +1118,76 @@ def vacuum_delta(spark: SparkSession, table_path: str) -> list[str]:
     return gone
 
 
+def _with_zorder_value(
+    cur: DataFrame, zorder_by: list[str], data_schema: T.StructType
+) -> DataFrame:
+    """Append a ``__zv`` Morton (Z-curve) key: per column, the value
+    maps to a QUANTILE bucket (one ``approxQuantile`` sample job for
+    ALL columns — never a global sort per dimension), and the bucket
+    ids' bits interleave into one long. Range-partitioning the write
+    on ``__zv`` then gives every output file a compact hyper-rectangle
+    of the value space, so a filter on ANY z-ordered column (not just
+    the leading one — linear clustering's blind spot) prunes ~N^(1-1/d)
+    of N files via the ordinary min/max stats. The whole computation
+    is Column arithmetic inside codegen; nulls sort to bucket 0.
+
+    Total bit budget 12 (4096 z-cells), split evenly — beyond ~4
+    columns the curve degrades like real Z-ORDER does, which is the
+    honest behavior to inherit."""
+    ncols = len(zorder_by)
+    bits = max(1, 12 // ncols)
+    n_buckets = 1 << bits
+    type_of = {f.name: f.dataType for f in data_schema.fields}
+
+    def _as_double(c: str):
+        dt = type_of[c]
+        if isinstance(dt, T.NumericType):
+            return F.col(c).cast("double")
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.col(c).cast("double")
+        if isinstance(dt, T.DateType):
+            return F.col(c).cast("timestamp").cast("double")
+        raise NotImplementedError(
+            f"delta optimize: ZORDER BY over {dt.simpleString()} "
+            f"column {c!r} is beyond this writer (numeric / "
+            "timestamp / date only)"
+        )
+
+    qcols = [f"__zq{i}" for i in range(ncols)]
+    zsrc = cur.select(
+        *[_as_double(c).alias(q) for c, q in zip(zorder_by, qcols)]
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    all_bounds = zsrc.approxQuantile(qcols, probs, 0.001)
+    zdf = cur
+    for c, q, bounds in zip(zorder_by, qcols, all_bounds):
+        zdf = zdf.withColumn(q, _as_double(c))
+        b = F.lit(0)
+        last = None
+        for bd in bounds:  # drop duplicate quantiles (skewed data)
+            if last is not None and bd == last:
+                continue
+            last = bd
+            b = b + F.when(F.col(q) > F.lit(bd), 1).otherwise(0)
+        zdf = zdf.withColumn(q, b.cast("long"))
+    zv = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, q in enumerate(qcols):
+            zv = zv.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(q), bit).bitwiseAND(F.lit(1)),
+                    bit * ncols + j,
+                )
+            )
+    return zdf.withColumn("__zv", zv).drop(*qcols)
+
+
 def compact_delta(
     spark: SparkSession,
     table_path: str,
     target_rows_per_file: int = 1_000_000,
     key_col: str | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """OPTIMIZE: rewrite small files into ``target_rows_per_file``-
     sized ones, per partition, committing adds+removes with
@@ -1126,7 +1197,15 @@ def compact_delta(
     None when no partition had at least two undersized files (nothing
     to do ⇒ no commit, no version burn). The rewritten bytes become
     garbage for ``vacuum_delta``; time travel before the compaction
-    still sees the small files."""
+    still sees the small files.
+
+    ``zorder_by=[col, ...]`` is OPTIMIZE ... ZORDER BY: EVERY live
+    file rewrites (re-clustering is the point — real Delta does the
+    same), routed by a Morton key over quantile buckets of the named
+    columns (:func:`_with_zorder_value`) so each output file covers a
+    compact hyper-rectangle and min/max stats prune on ANY z-ordered
+    dimension. commitInfo records ``zOrderBy``, the delta-spark
+    operationParameters shape."""
     state = replay_log(spark, table_path)
     if state["meta"] is None:
         return None
@@ -1138,6 +1217,19 @@ def compact_delta(
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
+    if zorder_by:
+        names = {f.name for f in data_schema.fields}
+        for c in zorder_by:
+            if c in part_cols:
+                raise ValueError(
+                    f"delta optimize: ZORDER BY partition column "
+                    f"{c!r} is meaningless — files never span "
+                    "partitions"
+                )
+            if c not in names:
+                raise ValueError(
+                    f"delta optimize: unknown ZORDER column {c!r}"
+                )
     groups: dict[tuple, list[tuple[str, dict]]] = {}
     for p, a in sorted(state["live"].items()):
         pv = a.get("partitionValues") or {}
@@ -1146,7 +1238,8 @@ def compact_delta(
             n = json.loads(a.get("stats") or "{}").get("numRecords")
         except ValueError:
             n = None
-        if n is None or n < target_rows_per_file:
+        # ZORDER rewrites every live file — re-clustering is the point
+        if zorder_by or n is None or n < target_rows_per_file:
             groups.setdefault(key, []).append((p, a))
     version = state["version"] + 1
     actions: list[dict] = []
@@ -1162,7 +1255,12 @@ def compact_delta(
     # or partitions are being compacted — the old shape ran a count +
     # write per partition and a stats aggregate PER FILE.
     ptuples = sorted(
-        (k for k, fs in groups.items() if len(fs) >= 2), key=str
+        (
+            k
+            for k, fs in groups.items()
+            if len(fs) >= (1 if zorder_by else 2)
+        ),
+        key=str,
     )
     if not ptuples:
         return None
@@ -1205,6 +1303,8 @@ def compact_delta(
         cur = cur.join(F.broadcast(rel_pid), "__rel", "inner").drop(
             "__rel"
         )
+    if zorder_by:
+        cur = _with_zorder_value(cur, zorder_by, data_schema)
     total = cur.count()
     n_files = max(1, -(-total // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-compact-v{version}")
@@ -1217,12 +1317,21 @@ def compact_delta(
     data_cols = [f.name for f in data_schema.fields]
     if single:
         out_df = cur.drop("__pid")
-        if stat_col is not None:
+        if zorder_by:
+            out_df = out_df.repartitionByRange(
+                n_files, F.col("__zv")
+            ).sortWithinPartitions("__zv")
+        elif stat_col is not None:
             out_df = out_df.repartitionByRange(n_files, F.col(stat_col))
         else:
             out_df = out_df.coalesce(n_files)
         if mapped:
-            out_df = _to_phys(out_df, data_cols, pfields)
+            out_df = _to_phys(
+                out_df, data_cols, pfields,
+                keep=("__zv",) if zorder_by else (),
+            )
+        if zorder_by:
+            out_df = out_df.drop("__zv")
         out_df.write.mode("overwrite").parquet(tmp)
         pv = {phys(c): v for c, v in zip(part_cols, ptuples[0])}
         for part in sorted(
@@ -1233,12 +1342,22 @@ def compact_delta(
             _put_data(part, os.path.join(table_path, rel))
             new_files.append((rel, pv))
     else:
-        range_cols = [F.col("__pid")] + (
-            [F.col(stat_col)] if stat_col is not None else []
-        )
+        if zorder_by:
+            range_cols = [F.col("__pid"), F.col("__zv")]
+        else:
+            range_cols = [F.col("__pid")] + (
+                [F.col(stat_col)] if stat_col is not None else []
+            )
         out_df = cur.repartitionByRange(n_files, *range_cols)
+        if zorder_by:
+            out_df = out_df.sortWithinPartitions("__pid", "__zv")
         if mapped:
-            out_df = _to_phys(out_df, data_cols, pfields, keep=("__pid",))
+            out_df = _to_phys(
+                out_df, data_cols, pfields,
+                keep=("__pid", "__zv") if zorder_by else ("__pid",),
+            )
+        if zorder_by:
+            out_df = out_df.drop("__zv")
         (
             out_df.write.partitionBy("__pid")
             .mode("overwrite")
@@ -1267,6 +1386,7 @@ def compact_delta(
             spark, table_path, [r for r, _ in new_files],
             phys(stat_col),
             _phys_schema(data_schema, pfields) if mapped else data_schema,
+            lead_cols=[phys(c) for c in zorder_by or []],
         )
         if stat_col is not None
         else {}
@@ -1290,6 +1410,11 @@ def compact_delta(
     _commit(
         _log_dir(table_path), version, actions,
         operation="OPTIMIZE",
+        operation_params=(
+            {"zOrderBy": json.dumps(list(zorder_by))}
+            if zorder_by
+            else None
+        ),
     )
     return version
 
