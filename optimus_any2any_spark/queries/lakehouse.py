@@ -2659,6 +2659,64 @@ def delta_zorder_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_zorder_read",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           {o_dsum('price')} AS sum_price
+    FROM base
+    WHERE price BETWEEN 50000 AND 80000
+    """,
+    doc="Iceberg rewrite_data_files ZORDER strategy (compact_iceberg "
+    "zorder_by + ICEBERG__OPTIMIZE_ZORDER rider): every live file "
+    "rewrites routed on the SHARED Morton-over-quantile-buckets key "
+    "(streaming/delta_table._with_zorder_value — format-agnostic row "
+    "algebra), and the replace snapshot's manifest entries record "
+    "Appendix-D lower/upper bounds for EVERY z-ordered column, so "
+    "the ordinary bounds-pruned key_range read skips files on the "
+    "second-class dimension (file-overlap pins in "
+    "tests/test_iceberg_zorder.py). Delta twin: delta_zorder_read.",
+    bench=True,
+)
+def iceberg_zorder_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        compact_iceberg,
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_zorder", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "n_rows long, min_k long, max_k long, sum_price double"
+        )
+    compact_iceberg(
+        spark, t, target_rows_per_file=4000,
+        zorder_by=["price", "k"],
+    )
+    snap = read_iceberg(
+        spark, t, key_range=("price", 50000.0, 80000.0)
+    )
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        dsum(F.col("price")).alias("sum_price"),
+    )
+
+
+@register(
     "delta_skipping_read",
     oracle=f"""
     SELECT COUNT(*) AS n_rows,

@@ -512,10 +512,18 @@ def iceberg_sink(df: DataFrame, cfg: Config):
             compact_iceberg,
         )
 
+        # ICEBERG__OPTIMIZE_ZORDER=col1,col2: rewrite_data_files'
+        # ZORDER strategy — every live file rewrites on the Morton key
+        zo = c.get("optimize_zorder")
         compact_iceberg(
             df.sparkSession, path,
             target_rows_per_file=int(c["optimize_rows"]),
             key_col=c.get("merge_key"),
+            zorder_by=(
+                [s.strip() for s in zo.split(",") if s.strip()]
+                if zo
+                else None
+            ),
         )
     if c.get("expire_keep") or c.get("expire_older_than"):
         from optimus_any2any_spark.streaming.iceberg_table import (

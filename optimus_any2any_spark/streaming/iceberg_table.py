@@ -2185,11 +2185,76 @@ def update_iceberg_where(
     )
 
 
+def _per_file_multi_stats(
+    spark: SparkSession,
+    table_path: str,
+    new_rel: list[str],
+    cols: list[tuple[str, str]],  # (name, iceberg type)
+) -> dict[str, dict]:
+    """Per-basename ``{"rows", cols: {name: (min, max, nulls)}}`` over
+    just-written files for SEVERAL stat columns (the ZORDER set needs
+    bounds on every dimension or the clustering cannot prune). Footer
+    fast path, one grouped Spark aggregate as the fallback."""
+    ft = footer_file_stats(
+        [os.path.join(table_path, p) for p in new_rel],
+        [n for n, _ in cols],
+        {n: kind_of_iceberg_type(t) for n, t in cols},
+        session_tz=spark.conf.get("spark.sql.session.timeZone", "UTC"),
+    )
+    if ft is not None:
+        return {
+            name: {
+                "rows": s["rows"],
+                "cols": {
+                    n: (
+                        s["min"].get(n),
+                        s["max"].get(n),
+                        s["nulls"].get(n, 0),
+                    )
+                    for n, _ in cols
+                },
+            }
+            for name, s in ft.items()
+        }
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for n, _ in cols:
+        aggs += [
+            F.min(n).alias(f"__mn_{n}"),
+            F.max(n).alias(f"__mx_{n}"),
+            F.sum(F.col(n).isNull().cast("long")).alias(f"__nn_{n}"),
+        ]
+    rows = (
+        spark.read.parquet(
+            *[os.path.join(table_path, p) for p in new_rel]
+        )
+        .select(*[n for n, _ in cols])
+        .withColumn("__f", F.input_file_name())
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()
+    )
+    return {
+        r["__f"].rsplit("/", 1)[-1]: {
+            "rows": int(r["rows"]),
+            "cols": {
+                n: (
+                    r[f"__mn_{n}"],
+                    r[f"__mx_{n}"],
+                    int(r[f"__nn_{n}"]),
+                )
+                for n, _ in cols
+            },
+        }
+        for r in rows
+    }
+
+
 def compact_iceberg(
     spark: SparkSession,
     table_path: str,
     target_rows_per_file: int = 1_000_000,
     key_col: str | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int | None:
     """Iceberg compaction (the spec's ``rewrite_data_files`` /
     OPTIMIZE): per partition, rewrite groups of ≥2 undersized live
@@ -2205,7 +2270,20 @@ def compact_iceberg(
     shape of ``compact_delta``. ``key_col`` leads the re-cluster sort
     and the recorded bounds so post-compaction merges keep pruning.
     Returns the committed version, or None when no partition had two
-    undersized files."""
+    undersized files.
+
+    ``zorder_by=[col, ...]`` is the ZORDER strategy of Iceberg's
+    ``rewrite_data_files``: EVERY live default-spec file rewrites
+    (partition evolution still carries old-spec manifests whole),
+    routed on the shared Morton key over quantile buckets
+    (``streaming/delta_table._with_zorder_value`` — the row algebra
+    is format-agnostic), and the manifest entries record Appendix-D
+    lower/upper bounds for EVERY z-ordered column so
+    ``read_iceberg(key_range=...)`` prunes on any of them. Identity
+    partition sources refuse (files never span identity partitions);
+    transform sources (days/bucket/truncate) z-order fine — the
+    within-partition residual is exactly what the curve tightens.
+    The snapshot summary records ``zorder-by``."""
     from optimus_any2any_spark.sources.iceberg import (
         read_entries_with_deletes,
     )
@@ -2235,6 +2313,28 @@ def compact_iceberg(
     fid = ice_t = None
     if key_col is not None:
         fid, ice_t = _key_field(meta, key_col)
+    stat_fields: list[tuple[str, int, str]] = []
+    if zorder_by:
+        names = set(schema.fieldNames())
+        for c in zorder_by:
+            if c not in names:
+                raise ValueError(
+                    f"iceberg optimize: unknown ZORDER column {c!r}"
+                )
+            for pp in pspec:
+                if pp["transform"] == "identity" and pp["src"] == c:
+                    raise ValueError(
+                        f"iceberg optimize: ZORDER BY identity "
+                        f"partition source {c!r} is meaningless — "
+                        "files never span identity partitions"
+                    )
+        seen: set[str] = set()
+        for c in ([key_col] if key_col else []) + list(zorder_by):
+            if c in seen:
+                continue
+            seen.add(c)
+            c_fid, c_it = _key_field(meta, c)
+            stat_fields.append((c, c_fid, c_it))
 
     snaps = meta.get("snapshots") or []
     cur_snap_id = meta.get("current-snapshot-id")
@@ -2292,11 +2392,19 @@ def compact_iceberg(
                 else:
                     pos_del.append(ent)
                 continue
-            if int(df_.get("record_count") or 0) < target_rows_per_file:
+            # ZORDER rewrites every live default-spec file —
+            # re-clustering is the point (rewrite_data_files zorder)
+            if zorder_by or (
+                int(df_.get("record_count") or 0) < target_rows_per_file
+            ):
                 pdict = df_.get("partition") or {}
                 pt = tuple(pdict.get(n) for n in part_names)
                 sizes[pt] = sizes.get(pt, 0) + 1
-    todo = {pt for pt, n in sizes.items() if n >= 2}
+    todo = {
+        pt
+        for pt, n in sizes.items()
+        if n >= (1 if zorder_by else 2)
+    }
     if not todo:
         return None
 
@@ -2354,9 +2462,9 @@ def compact_iceberg(
             df_ = e["data_file"]
             pdict = df_.get("partition") or {}
             pt = tuple(pdict.get(n) for n in part_names)
-            if (
-                pt in todo
-                and int(df_.get("record_count") or 0)
+            if pt in todo and (
+                zorder_by
+                or int(df_.get("record_count") or 0)
                 < target_rows_per_file
             ):
                 hits.append((e, pid_of[pt]))
@@ -2430,13 +2538,23 @@ def compact_iceberg(
     new_rel: list[str] = []
     pt_of_rel: dict[str, tuple] = {}
     file_seq = 0
-    sort_cols = [F.col(key_col)] if key_col is not None else []
+    if zorder_by:
+        from optimus_any2any_spark.streaming.delta_table import (
+            _with_zorder_value,
+        )
+
+        cur = _with_zorder_value(cur, zorder_by, schema)
+        sort_cols = [F.col("__zv")]
+    else:
+        sort_cols = [F.col(key_col)] if key_col is not None else []
     if single:
         out_df = cur
         if sort_cols:
             out_df = out_df.repartitionByRange(n_files, *sort_cols)
         else:
             out_df = out_df.coalesce(n_files)
+        if zorder_by:
+            out_df = out_df.sortWithinPartitions("__zv").drop("__zv")
         out_df.write.mode("overwrite").parquet(tmp)
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
@@ -2453,10 +2571,15 @@ def compact_iceberg(
         cur = cur.join(F.broadcast(pid_lk), "__bn", "inner").drop(
             "__bn"
         )
+        out_df = cur.repartitionByRange(
+            n_files, F.col("__pid"), *sort_cols
+        )
+        if zorder_by:
+            out_df = out_df.sortWithinPartitions(
+                "__pid", "__zv"
+            ).drop("__zv")
         (
-            cur.repartitionByRange(
-                n_files, F.col("__pid"), *sort_cols
-            )
+            out_df
             .write.partitionBy("__pid")
             .mode("overwrite")
             .parquet(tmp)
@@ -2475,14 +2598,20 @@ def compact_iceberg(
                 pt_of_rel[rel] = ptuples[pid]
     shutil.rmtree(tmp)
 
-    per_file = (
-        _per_file_key_stats(
+    if not new_rel:
+        per_file = {}
+    elif zorder_by:
+        # bounds for EVERY z-ordered column — without them the curve
+        # cannot prune anything
+        per_file = _per_file_multi_stats(
+            spark, table_path, new_rel,
+            [(n, it_) for n, _f, it_ in stat_fields],
+        )
+    else:
+        per_file = _per_file_key_stats(
             spark, table_path, new_rel, key_col,
             ice_t if key_col is not None else None,
         )
-        if new_rel
-        else {}
-    )
 
     new_entries = []
     for rel in new_rel:
@@ -2501,7 +2630,23 @@ def compact_iceberg(
                 os.path.join(table_path, rel)
             ),
         }
-        if key_col is not None:
+        if zorder_by:
+            nvc, lb, ub = [], [], []
+            for n, c_fid, c_it in stat_fields:
+                mn, mx, nn = r["cols"][n]
+                nvc.append(
+                    {"key": c_fid, "value": struct.pack("<q", int(nn))}
+                )
+                b_lo = encode_bound(c_it, mn)
+                b_hi = encode_bound(c_it, mx)
+                if b_lo is not None:
+                    lb.append({"key": c_fid, "value": b_lo})
+                if b_hi is not None:
+                    ub.append({"key": c_fid, "value": b_hi})
+            df_entry["null_value_counts"] = nvc
+            df_entry["lower_bounds"] = lb or None
+            df_entry["upper_bounds"] = ub or None
+        elif key_col is not None:
             b_lo = encode_bound(ice_t, r["min_key"])
             b_hi = encode_bound(ice_t, r["max_key"])
             df_entry["null_value_counts"] = [
@@ -2564,7 +2709,12 @@ def compact_iceberg(
         "snapshot-id": snapshot_id,
         "timestamp-ms": ts_ms,
         "manifest-list": ml_rel,
-        "summary": {"operation": "replace"},
+        "summary": (
+            {"operation": "replace",
+             "zorder-by": json.dumps(list(zorder_by))}
+            if zorder_by
+            else {"operation": "replace"}
+        ),
     }
     if fmt >= 2:
         new_snap["sequence-number"] = seq
