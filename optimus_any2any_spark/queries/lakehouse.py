@@ -1053,6 +1053,95 @@ def iceberg_changelog_read(spark, sf_dir):
 
 
 @register(
+    "iceberg_row_lineage",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    s2 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             (SELECT COUNT(*) FROM s1)
+             + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    all_rows AS (
+      SELECT k, price, rid, 1 AS last_seq FROM s1
+      UNION ALL SELECT k, price, rid, 2 FROM s2
+    ),
+    live AS (SELECT * FROM all_rows WHERE k % 5 <> 0)
+    SELECT last_seq,
+           COUNT(*) AS n_rows,
+           SUM(rid) AS sum_rid,
+           {o_dsum('price')} AS sum_price
+    FROM live GROUP BY last_seq ORDER BY last_seq
+    """,
+    doc="Iceberg v3 ROW LINEAGE (spec §Row Lineage — "
+    "write_iceberg_commit(row_lineage=True) + "
+    "read_iceberg(row_lineage=True), ICEBERG__ROW_LINEAGE riders): "
+    "each append assigns its data files explicit first_row_id values "
+    "and advances the table's next-row-id (driver bookkeeping over "
+    "record counts the commit already collects — zero extra jobs); "
+    "the lineage read derives _row_id = first_row_id + parquet "
+    "position and _last_updated_sequence_number from the file's data "
+    "sequence via the SAME basename broadcast the position read "
+    "pays. Merge-on-read DELETE never moves ids (positions are "
+    "stable — pinned in tests/test_iceberg_row_lineage.py); "
+    "copy-on-write rewrites refuse by name. Two ordered single-file "
+    "appends then DELETE WHERE k%5=0; the oracle restates row-id "
+    "assignment as ROW_NUMBER() in commit order.",
+    bench=True,
+)
+def iceberg_row_lineage(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_where,
+    )
+
+    t = _fixture_dir("iceberg_rowlin", sf_dir)
+    o = load(spark, sf_dir, "orders")
+
+    def _slice(mod):
+        return (
+            o.filter(F.col("o_orderkey") % 3 == mod)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("price"),
+                F.lit(0).cast("long").alias("ts"),
+            )
+            .repartitionByRange(1, "k")
+            .sortWithinPartitions("k")
+        )
+
+    write_iceberg_commit(_slice(0), t, row_lineage=True)
+    write_iceberg_commit(_slice(1), t)
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [],
+            "last_seq long, n_rows long, sum_rid long, "
+            "sum_price double",
+        )
+    delete_iceberg_where(spark, t, "k % 5 = 0")
+    snap = read_iceberg(spark, t, row_lineage=True)
+    return (
+        snap.groupBy(
+            F.col("_last_updated_sequence_number").alias("last_seq")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").alias("sum_rid"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("last_seq")
+    )
+
+
+@register(
     "iceberg_merge_upsert",
     oracle=f"""
     WITH base AS (

@@ -366,7 +366,14 @@ def iceberg_sink(df: DataFrame, cfg: Config):
     mode = (c.get("mode") or "APPEND").upper()
     n = df.count()
     if mode == "APPEND":
-        write_iceberg_commit(df, path)
+        # ICEBERG__ROW_LINEAGE=true: maintain v3 row lineage (every
+        # added file gets first_row_id; next-row-id advances)
+        write_iceberg_commit(
+            df, path,
+            row_lineage=(
+                (c.get("row_lineage") or "").lower() == "true"
+            ),
+        )
     elif mode == "MERGE":
         key, ts = c.get("merge_key"), c.get("merge_ts")
         if not key or not ts:

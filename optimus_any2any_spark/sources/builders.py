@@ -583,4 +583,9 @@ def iceberg_source(spark: SparkSession, cfg: Config) -> DataFrame:
     return read_iceberg(
         spark, path, snapshot_id=int(snap) if snap else None,
         as_of_timestamp=ts, ref=cfg.get("ICEBERG__REF"),
+        # ICEBERG__ROW_LINEAGE=true: append _row_id /
+        # _last_updated_sequence_number (v3 row lineage)
+        row_lineage=(
+            (cfg.get("ICEBERG__ROW_LINEAGE") or "").lower() == "true"
+        ),
     )

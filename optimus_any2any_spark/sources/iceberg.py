@@ -244,11 +244,13 @@ def _refuse_v3_constructs(meta: dict) -> None:
         )
     if fmt < 3:
         return
-    if meta.get("row-lineage") or meta.get("next-row-id") is not None:
-        raise NotImplementedError(
-            "iceberg v3: row lineage (next-row-id/first_row_id "
-            "inheritance) is beyond this reader"
-        )
+    # row lineage (next-row-id / first_row_id) NO LONGER refuses:
+    # plain reads ignore it safely (data files are unaffected), and
+    # read_iceberg(row_lineage=True) synthesizes _row_id /
+    # _last_updated_sequence_number per the spec. Lineage tables
+    # whose entries rely on manifest-level first_row_id INHERITANCE
+    # (rather than explicit per-entry values) refuse by name in the
+    # lineage read itself.
     if meta.get("encryption-keys"):
         raise NotImplementedError(
             "iceberg v3: table encryption is beyond this reader"
@@ -464,6 +466,8 @@ def _snapshot_entries(
                 "upper_bounds": df_.get("upper_bounds"),
                 "null_value_counts": df_.get("null_value_counts"),
                 "record_count": df_.get("record_count"),
+                # v3 row lineage: _row_id = first_row_id + position
+                "first_row_id": df_.get("first_row_id"),
             }
             content = int(df_.get("content") or 0)
             if int(m.get("content") or 0) == 1 or content in (1, 2):
@@ -629,6 +633,7 @@ def read_iceberg(
     key_range: tuple | None = None,
     as_of_timestamp=None,
     ref: str | None = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Snapshot read of an Iceberg table; ``snapshot_id`` time-travels
     to any retained snapshot (the spec's SNAPSHOT AS OF), and
@@ -656,7 +661,16 @@ def read_iceberg(
     when seq > the data file's). The sequence comparison is what keeps
     a row RE-INSERTED after a delete alive — ignoring it would
     over-delete. File identity joins on basenames (unique per table
-    in both this writer's and real writers' uuid naming)."""
+    in both this writer's and real writers' uuid naming).
+
+    ``row_lineage=True`` (v3 ROW LINEAGE) appends ``_row_id`` and
+    ``_last_updated_sequence_number``: each data file's manifest
+    entry carries its ``first_row_id`` and rows derive
+    ``first_row_id + position`` — stable across MERGE-ON-READ deletes
+    (positions never move) and minted fresh by delete+insert updates,
+    exactly the spec's lineage contract. Requires ``next-row-id`` in
+    the table metadata; entries relying on manifest-level
+    inheritance refuse by name."""
     from pyspark.sql import functions as F
 
     meta = load_table_metadata(table_path)
@@ -682,6 +696,56 @@ def read_iceberg(
     if key_range is not None:
         col, lo, hi = key_range
         data = _prune_by_bounds(meta, data, col, lo, hi)
+    if row_lineage:
+        # v3 ROW LINEAGE: _row_id = the file's first_row_id + the
+        # row's raw parquet position; _last_updated_sequence_number =
+        # the file's data sequence. Both derive from the SAME
+        # (basename → lineage) broadcast the position read already
+        # pays — zero extra jobs.
+        if meta.get("next-row-id") is None:
+            raise ValueError(
+                "iceberg read: row_lineage=True on a table without "
+                "next-row-id — not a row-lineage table"
+            )
+        missing = [
+            d["orig"] for d in data if d.get("first_row_id") is None
+        ]
+        if missing:
+            raise NotImplementedError(
+                "iceberg v3: row-lineage read over entries relying "
+                "on manifest-level first_row_id INHERITANCE is "
+                f"beyond this reader — data files {missing[:3]}"
+            )
+        out = read_entries_with_deletes(
+            spark, meta, schema, data, pos_del, eq_del,
+            position_cols=("__rl_fp", "__rl_pos"),
+        )
+        if data:
+            lk = spark.createDataFrame(
+                [
+                    (d["orig"], int(d["first_row_id"]), int(d["seq"]))
+                    for d in data
+                ],
+                "__rl_fp string, __rl_first long, __rl_seq long",
+            )
+            out = out.join(F.broadcast(lk), "__rl_fp", "inner")
+        else:
+            out = out.withColumn(
+                "__rl_first", F.lit(None).cast("long")
+            ).withColumn("__rl_seq", F.lit(None).cast("long"))
+        out = out.select(
+            *schema.fieldNames(),
+            (F.col("__rl_first") + F.col("__rl_pos")).alias("_row_id"),
+            F.col("__rl_seq").alias("_last_updated_sequence_number"),
+        )
+        if key_range is not None:
+            col, lo, hi = key_range
+            out = out.filter(
+                (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+            )
+        return out
+    if key_range is not None:
+        col, lo, hi = key_range
         out = read_entries_with_deletes(
             spark, meta, schema, data, pos_del, eq_del
         )
@@ -1376,6 +1440,11 @@ _MANIFEST_ENTRY_SCHEMA = {
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    # v3 row lineage: the id of the file's first row
+                    # (spec data_file field 142); rows derive
+                    # _row_id = first_row_id + position
+                    {"name": "first_row_id", "type": ["null", "long"],
+                     "default": None, "field-id": 142},
                 ],
             },
         },
@@ -1707,6 +1776,7 @@ def write_iceberg_commit(
     df: DataFrame,
     table_path: str,
     partition_by: list[str] | None = None,
+    row_lineage: bool = False,
 ) -> int:
     """Append one snapshot in the v1 HadoopCatalog layout; returns the
     new metadata version. Unpartitioned data, append-only — enough
@@ -1714,7 +1784,16 @@ def write_iceberg_commit(
     bytes. ``partition_by`` (empty first commit only) declares an
     IDENTITY partition spec in the table metadata — the bootstrap for
     ``merge_iceberg_batch``'s partitioned tables, which write the
-    actual partition-grouped files and manifest partition tuples."""
+    actual partition-grouped files and manifest partition tuples.
+
+    ``row_lineage=True`` (or appending to a table that already
+    carries ``next-row-id``) maintains v3 ROW LINEAGE: every added
+    data entry gets an explicit ``first_row_id`` (this snapshot's
+    ``first-row-id`` plus the running record count of the files
+    before it), the metadata's ``next-row-id`` advances by the total
+    added records, and the format version floors at 3. Row-id
+    assignment is pure driver bookkeeping over the record counts the
+    commit already collects — zero extra jobs."""
     from optimus_any2any_spark.sources.iceberg_transforms import (
         parse_spec_item,
         partition_field_name,
@@ -1802,23 +1881,37 @@ def write_iceberg_commit(
     data_rel = [r for r in data_rel if r not in empty]
 
     # 2. manifest for this snapshot's added files
+    lineage = row_lineage or (
+        prev is not None and prev.get("next-row-id") is not None
+    )
+    first_row_base = (
+        int(prev.get("next-row-id", 0)) if prev is not None else 0
+    ) if lineage else None
+    next_row_id = first_row_base
     manifest_rel = f"metadata/{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|m{version}')}-m0.avro"
-    entries = [
-        {
-            "status": 1,  # ADDED
-            "snapshot_id": snapshot_id,
-            "data_file": {
-                "file_path": rel,
-                "file_format": "PARQUET",
-                "partition": {},
-                "record_count": int(counts[os.path.basename(rel)]),
-                "file_size_in_bytes": os.path.getsize(
-                    os.path.join(table_path, rel)
-                ),
-            },
+    entries = []
+    for rel in data_rel:
+        dfe = {
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": int(counts[os.path.basename(rel)]),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(table_path, rel)
+            ),
         }
-        for rel in data_rel
-    ]
+        if lineage:
+            # explicit per-entry assignment (the spec allows writers
+            # to skip manifest-level inheritance)
+            dfe["first_row_id"] = next_row_id
+            next_row_id += int(counts[os.path.basename(rel)])
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": dfe,
+            }
+        )
     write_container(
         os.path.join(table_path, manifest_rel),
         _MANIFEST_ENTRY_SCHEMA,
@@ -1871,12 +1964,16 @@ def write_iceberg_commit(
     ]
     snapshots = (prev.get("snapshots") if prev else None) or []
     ts_ms = snapshot_timestamp_ms(prev)
+    if lineage:
+        fmt = max(3, fmt)  # row lineage is a v3 construct
     new_snap = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": ts_ms,
         "manifest-list": ml_rel,
         "summary": {"operation": "append"},
     }
+    if lineage:
+        new_snap["first-row-id"] = first_row_base
     if fmt >= 2:
         new_snap["sequence-number"] = seq
     snapshots = snapshots + [new_snap]
@@ -1928,6 +2025,8 @@ def write_iceberg_commit(
     }
     if prev and prev.get("refs"):
         meta["refs"] = prev["refs"]  # tags/branches survive appends
+    if lineage:
+        meta["next-row-id"] = next_row_id
     append_snapshot_log(meta, prev, ts_ms, snapshot_id)
     advance_main_ref(meta, snapshot_id)
     if fmt >= 2:

@@ -142,6 +142,9 @@ MANIFEST_ENTRY_SCHEMA = {
                      "default": None, "field-id": 125},
                     {"name": "upper_bounds", "type": _BOUNDS,
                      "default": None, "field-id": 128},
+                    # v3 row lineage (spec data_file field 142)
+                    {"name": "first_row_id", "type": ["null", "long"],
+                     "default": None, "field-id": 142},
                 ],
             },
         },
@@ -474,6 +477,17 @@ def merge_iceberg_batch(
         )
     prev_version = int(open(hint).read().strip())
     meta = load_table_metadata(table_path, version=prev_version)
+    if meta.get("next-row-id") is not None:
+        # a copy-on-write rewrite would mint NEW row ids for carried
+        # rows — the spec requires rewrites to preserve lineage via
+        # materialized _row_id columns, which this writer does not
+        # emit yet. MoR surfaces (append, DELETE, UPDATE ... WHERE)
+        # compose with lineage; the CoW merge refuses by name.
+        raise NotImplementedError(
+            "iceberg merge: copy-on-write rewrite on a row-lineage "
+            "table (next-row-id) would re-mint carried rows' ids — "
+            "beyond this writer; use the merge-on-read DML surfaces"
+        )
     specs = meta.get("partition-specs") or []
     default_spec = next(
         (s for s in specs if s.get("spec-id") == meta.get(
@@ -1393,15 +1407,17 @@ def delete_iceberg_keys(
     meta["format-version"] = max(2, int(meta.get("format-version", 1)))
     meta["last-sequence-number"] = seq
     ts_ms = snapshot_timestamp_ms(meta)
-    meta["snapshots"] = snaps + [
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": ts_ms,
-            "sequence-number": seq,
-            "manifest-list": ml_rel,
-            "summary": summary,
-        }
-    ]
+    eq_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": ts_ms,
+        "sequence-number": seq,
+        "manifest-list": ml_rel,
+        "summary": summary,
+    }
+    if meta.get("next-row-id") is not None:
+        # row-lineage tables: deletes assign no rows
+        eq_snap["first-row-id"] = int(meta["next-row-id"])
+    meta["snapshots"] = snaps + [eq_snap]
     append_snapshot_log(meta, meta, ts_ms, snapshot_id)
     advance_main_ref(meta, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
@@ -1737,6 +1753,8 @@ def _commit_delete_manifest(
     extra_ml_rows: list | None = None,
     extra_summary: dict | None = None,
     operation: str = "delete",
+    first_row_id: int | None = None,
+    next_row_id: int | None = None,
 ):
     """Shared tail of the merge-on-read DELETE writers: the new
     manifest-list row, the snapshot (real timestamp + snapshot-log +
@@ -1799,15 +1817,25 @@ def _commit_delete_manifest(
     )
     meta["last-sequence-number"] = seq
     ts_ms = snapshot_timestamp_ms(meta)
-    meta["snapshots"] = snaps + [
-        {
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": ts_ms,
-            "sequence-number": seq,
-            "manifest-list": ml_rel,
-            "summary": summary,
-        }
-    ]
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": ts_ms,
+        "sequence-number": seq,
+        "manifest-list": ml_rel,
+        "summary": summary,
+    }
+    if meta.get("next-row-id") is not None:
+        # row-lineage tables: every snapshot stamps its first-row-id;
+        # pure deletes assign no rows (first = next, unchanged), the
+        # MoR UPDATE's insert half advances next-row-id
+        new_snap["first-row-id"] = (
+            int(first_row_id)
+            if first_row_id is not None
+            else int(meta["next-row-id"])
+        )
+        if next_row_id is not None:
+            meta["next-row-id"] = int(next_row_id)
+    meta["snapshots"] = snaps + [new_snap]
     append_snapshot_log(meta, meta, ts_ms, snapshot_id)
     advance_main_ref(meta, snapshot_id)
     meta["current-snapshot-id"] = snapshot_id
@@ -2123,6 +2151,13 @@ def update_iceberg_where(
         if new_rel
         else {}
     )
+    # v3 row lineage: delete+insert UPDATE legitimately mints fresh
+    # row ids for the re-appended rows (the spec's lineage contract
+    # for MoR updates); survivors' ids never move because their
+    # files and positions are untouched
+    lineage = meta.get("next-row-id") is not None
+    row_base = int(meta["next-row-id"]) if lineage else None
+    nxt_row = row_base
     new_entries = []
     for rel in new_rel:
         r = per_file.get(rel.rsplit("/", 1)[-1])
@@ -2130,24 +2165,28 @@ def update_iceberg_where(
             os.remove(os.path.join(table_path, rel))
             continue
         pt = pt_of_rel[rel]
+        dfe = {
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": {
+                n: v for n, v in zip(part_names, pt)
+            },
+            "record_count": int(r["rows"]),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(table_path, rel)
+            ),
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+        if lineage:
+            dfe["first_row_id"] = nxt_row
+            nxt_row += int(r["rows"])
         new_entries.append(
             {
                 "status": _ST_ADDED,
                 "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "partition": {
-                        n: v for n, v in zip(part_names, pt)
-                    },
-                    "record_count": int(r["rows"]),
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.join(table_path, rel)
-                    ),
-                    "null_value_counts": None,
-                    "lower_bounds": None,
-                    "upper_bounds": None,
-                },
+                "data_file": dfe,
             }
         )
     data_manifest_rel = (
@@ -2182,6 +2221,8 @@ def update_iceberg_where(
             "updated-columns": json.dumps(sorted(set)),
         },
         operation="overwrite",
+        first_row_id=row_base,
+        next_row_id=nxt_row,
     )
 
 
@@ -2297,6 +2338,13 @@ def compact_iceberg(
         raise ValueError(f"iceberg optimize: no table at {table_path}")
     prev_version = int(open(hint).read().strip())
     meta = load_table_metadata(table_path, version=prev_version)
+    if meta.get("next-row-id") is not None:
+        raise NotImplementedError(
+            "iceberg optimize: compaction on a row-lineage table "
+            "(next-row-id) would re-mint carried rows' ids — the "
+            "spec requires materialized _row_id columns on rewrite, "
+            "beyond this writer"
+        )
     schema = iceberg_spark_schema(meta)
     by_id = _current_schema_fields(meta)
     specs = meta.get("partition-specs") or []

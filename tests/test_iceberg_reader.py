@@ -202,7 +202,12 @@ class TestIcebergSnapshots:
         got = read_iceberg(spark, t).collect()
         assert [(r.id, r.v) for r in got] == [(1, "a")]
 
-    def test_v3_row_lineage_refused_by_name(self, spark, tmp_path):
+    def test_v3_row_lineage_reads(self, spark, tmp_path):
+        # row lineage is IMPLEMENTED now (tests/test_iceberg_row_
+        # lineage.py): plain reads ignore it safely; a lineage read
+        # over foreign entries that rely on manifest-level
+        # first_row_id INHERITANCE (no explicit per-entry value)
+        # still refuses by name
         t = str(tmp_path / "tbl")
         write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
         md = os.path.join(t, "metadata", "v1.metadata.json")
@@ -212,8 +217,12 @@ class TestIcebergSnapshots:
         meta["next-row-id"] = 100
         with open(md, "w") as f:
             f.write(json.dumps(meta))
-        with pytest.raises(NotImplementedError, match="row lineage"):
-            read_iceberg(spark, t)
+        got = read_iceberg(spark, t).collect()
+        assert len(got) == 1
+        with pytest.raises(
+            NotImplementedError, match="first_row_id"
+        ):
+            read_iceberg(spark, t, row_lineage=True).collect()
 
     def test_v3_column_defaults_refused_by_name(self, spark, tmp_path):
         t = str(tmp_path / "tbl")

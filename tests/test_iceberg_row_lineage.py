@@ -1,0 +1,212 @@
+"""Iceberg v3 ROW LINEAGE (spec §Row Lineage): appends assign each
+data file an explicit first_row_id and advance the table's
+next-row-id; read_iceberg(row_lineage=True) derives
+_row_id = first_row_id + position and _last_updated_sequence_number
+from the file's data sequence. Merge-on-read deletes never move ids;
+delete+insert UPDATE mints fresh ids for the re-appended rows (the
+spec's MoR-update contract); copy-on-write rewrites (merge,
+compaction) refuse by name until materialized lineage columns ship."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from optimus_any2any_spark.sources.iceberg import (
+    load_table_metadata,
+    read_iceberg,
+    write_iceberg_commit,
+)
+from optimus_any2any_spark.streaming.iceberg_table import (
+    compact_iceberg,
+    delete_iceberg_keys,
+    delete_iceberg_where,
+    merge_iceberg_batch,
+    update_iceberg_where,
+)
+
+
+def _one_file(spark, vals):
+    """A single sorted data file — deterministic row positions."""
+    return (
+        spark.createDataFrame(vals, "k long, v string, ts long")
+        .repartitionByRange(1, "k")
+        .sortWithinPartitions("k")
+    )
+
+
+def _lineage(spark, t):
+    return sorted(
+        (r.k, r._row_id, r._last_updated_sequence_number)
+        for r in read_iceberg(spark, t, row_lineage=True).collect()
+    )
+
+
+class TestAssignment:
+    def test_sequential_ids_across_commits(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t,
+            row_lineage=True,
+        )
+        write_iceberg_commit(
+            _one_file(spark, [(3, "c", 0), (4, "d", 0)]), t
+        )  # lineage sticks without re-passing the flag
+        meta = load_table_metadata(t)
+        assert int(meta["format-version"]) == 3
+        assert int(meta["next-row-id"]) == 4
+        assert [
+            s.get("first-row-id") for s in meta["snapshots"]
+        ] == [0, 2]
+        assert _lineage(spark, t) == [
+            (1, 0, 1), (2, 1, 1), (3, 2, 2), (4, 3, 2),
+        ]
+
+    def test_multi_file_commit_offsets(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = (
+            spark.range(100)
+            .select(
+                F.col("id").alias("k"),
+                F.lit("x").alias("v"),
+                F.lit(0).cast("long").alias("ts"),
+            )
+            .repartitionByRange(4, "k")
+            .sortWithinPartitions("k")
+        )
+        write_iceberg_commit(df, t, row_lineage=True)
+        meta = load_table_metadata(t)
+        assert int(meta["next-row-id"]) == 100
+        got = _lineage(spark, t)
+        # ids are a permutation of 0..99, one per row
+        assert sorted(rid for _, rid, _ in got) == list(range(100))
+
+    def test_plain_read_still_works(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0)]), t, row_lineage=True
+        )
+        rows = read_iceberg(spark, t).collect()
+        assert [(r.k, r.v) for r in rows] == [(1, "a")]
+        assert "_row_id" not in rows[0].asDict()
+
+    def test_lineage_read_needs_lineage_table(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(_one_file(spark, [(1, "a", 0)]), t)
+        with pytest.raises(ValueError, match="next-row-id"):
+            read_iceberg(spark, t, row_lineage=True)
+
+
+class TestComposition:
+    def test_mor_delete_keeps_survivor_ids(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(
+                spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]
+            ),
+            t, row_lineage=True,
+        )
+        delete_iceberg_where(spark, t, "k = 2")
+        assert _lineage(spark, t) == [(1, 0, 1), (3, 2, 1)]
+        meta = load_table_metadata(t)
+        assert int(meta["next-row-id"]) == 3  # deletes assign no rows
+        assert meta["snapshots"][-1]["first-row-id"] == 3
+
+    def test_eq_delete_keeps_ids(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t,
+            row_lineage=True,
+        )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        assert _lineage(spark, t) == [(2, 1, 1)]
+        assert (
+            load_table_metadata(t)["snapshots"][-1]["first-row-id"]
+            == 2
+        )
+
+    def test_update_where_mints_fresh_ids(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t,
+            row_lineage=True,
+        )
+        update_iceberg_where(spark, t, {"v": "'B'"}, where="k = 2")
+        got = _lineage(spark, t)
+        # survivor keeps id 0; the updated row's OLD id (1) dies and
+        # the post-image gets the next fresh id (2) at the new seq
+        assert got == [(1, 0, 1), (2, 2, 2)]
+        assert int(load_table_metadata(t)["next-row-id"]) == 3
+
+    def test_cow_merge_refuses(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0)]), t, row_lineage=True
+        )
+        with pytest.raises(NotImplementedError, match="row-lineage"):
+            merge_iceberg_batch(
+                spark,
+                _one_file(spark, [(1, "z", 1)]),
+                t, "k", "ts",
+            )
+
+    def test_compaction_refuses(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0)]), t, row_lineage=True
+        )
+        write_iceberg_commit(_one_file(spark, [(2, "b", 0)]), t)
+        with pytest.raises(NotImplementedError, match="row-lineage"):
+            compact_iceberg(spark, t, target_rows_per_file=1000)
+
+    def test_time_travel_lineage(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t,
+            row_lineage=True,
+        )
+        sid = load_table_metadata(t)["current-snapshot-id"]
+        delete_iceberg_where(spark, t, "k = 1")
+        got = sorted(
+            (r.k, r._row_id)
+            for r in read_iceberg(
+                spark, t, snapshot_id=sid, row_lineage=True
+            ).collect()
+        )
+        assert got == [(1, 0), (2, 1)]
+
+
+class TestRiders:
+    def test_source_and_sink_riders(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.pipeline import Pipeline
+        from optimus_any2any_spark.sources.builders import (
+            iceberg_source,
+        )
+
+        t = str(tmp_path / "t")
+        src = tmp_path / "rows.json"
+        src.write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                f"ICEBERG__SINK_URI=file://{t}",
+                "ICEBERG__ROW_LINEAGE=true",
+            ],
+            environ={},
+        )
+        Pipeline(spark, "FILE", ["ICEBERG"], cfg).run()
+        assert (
+            load_table_metadata(t).get("next-row-id") == 2
+        )
+        rcfg = Config.from_env(
+            env_args=[
+                f"ICEBERG__SOURCE_URI=file://{t}",
+                "ICEBERG__ROW_LINEAGE=true",
+            ],
+            environ={},
+        )
+        rows = iceberg_source(spark, rcfg).collect()
+        assert sorted(r._row_id for r in rows) == [0, 1]
