@@ -707,6 +707,14 @@ def read_iceberg(
                 "iceberg read: row_lineage=True on a table without "
                 "next-row-id — not a row-lineage table"
             )
+        if any(
+            f.name in ("_row_id", "_last_updated_sequence_number")
+            for f in schema.fields
+        ):
+            raise NotImplementedError(
+                "iceberg v3: table schema shadows the reserved "
+                "lineage column names — beyond this reader"
+            )
         missing = [
             d["orig"] for d in data if d.get("first_row_id") is None
         ]
@@ -716,8 +724,24 @@ def read_iceberg(
                 "on manifest-level first_row_id INHERITANCE is "
                 f"beyond this reader — data files {missing[:3]}"
             )
+        # files REWRITTEN by maintenance carry MATERIALIZED lineage
+        # columns (the spec's preservation mechanism); files that
+        # never were read them as null through the extended schema
+        # (Spark null-fills requested columns absent from a parquet
+        # file) and fall back to first_row_id + position
+        from pyspark.sql import types as T
+
+        ext_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField(
+                    "_last_updated_sequence_number", T.LongType(), True
+                ),
+            ]
+        )
         out = read_entries_with_deletes(
-            spark, meta, schema, data, pos_del, eq_del,
+            spark, meta, ext_schema, data, pos_del, eq_del,
             position_cols=("__rl_fp", "__rl_pos"),
         )
         if data:
@@ -735,8 +759,14 @@ def read_iceberg(
             ).withColumn("__rl_seq", F.lit(None).cast("long"))
         out = out.select(
             *schema.fieldNames(),
-            (F.col("__rl_first") + F.col("__rl_pos")).alias("_row_id"),
-            F.col("__rl_seq").alias("_last_updated_sequence_number"),
+            F.coalesce(
+                F.col("_row_id"),
+                F.col("__rl_first") + F.col("__rl_pos"),
+            ).alias("_row_id"),
+            F.coalesce(
+                F.col("_last_updated_sequence_number"),
+                F.col("__rl_seq"),
+            ).alias("_last_updated_sequence_number"),
         )
         if key_range is not None:
             col, lo, hi = key_range

@@ -52,6 +52,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from optimus_any2any_spark.formats.avrobin import (
     read_container,
@@ -2338,13 +2339,12 @@ def compact_iceberg(
         raise ValueError(f"iceberg optimize: no table at {table_path}")
     prev_version = int(open(hint).read().strip())
     meta = load_table_metadata(table_path, version=prev_version)
-    if meta.get("next-row-id") is not None:
-        raise NotImplementedError(
-            "iceberg optimize: compaction on a row-lineage table "
-            "(next-row-id) would re-mint carried rows' ids — the "
-            "spec requires materialized _row_id columns on rewrite, "
-            "beyond this writer"
-        )
+    # row-lineage tables compact WITH lineage preservation: carried
+    # rows' _row_id / _last_updated_sequence_number MATERIALIZE as
+    # physical columns in the rewritten files (the spec's rewrite
+    # contract) — the lineage read coalesces them over the derived
+    # first_row_id + position values
+    lineage = meta.get("next-row-id") is not None
     schema = iceberg_spark_schema(meta)
     by_id = _current_schema_fields(meta)
     specs = meta.get("partition-specs") or []
@@ -2555,10 +2555,30 @@ def compact_iceberg(
     # read the compacted files (deletes applied) and route rows back
     # to their partition by source FILE — no transform recompute
     # needed, a file belongs to exactly one partition tuple
+    read_schema = schema
+    if lineage:
+        for e in hit_entries:
+            if e["data_file"].get("first_row_id") is None:
+                raise NotImplementedError(
+                    "iceberg optimize: row-lineage compaction over "
+                    "entries relying on manifest-level first_row_id "
+                    "INHERITANCE is beyond this writer — data file "
+                    f"{e['data_file']['file_path']!r}"
+                )
+        read_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField(
+                    "_last_updated_sequence_number", T.LongType(),
+                    True,
+                ),
+            ]
+        )
     cur = read_entries_with_deletes(
         spark,
         meta,
-        schema,
+        read_schema,
         [
             {
                 "path": _localize(table_path, e["data_file"]["file_path"]),
@@ -2571,7 +2591,38 @@ def compact_iceberg(
         pos_del,
         eq_del,
         basename_col=None if single else "__bn",
+        position_cols=("__rl_fp", "__rl_pos") if lineage else None,
     )
+    if lineage:
+        rl_lk = spark.createDataFrame(
+            [
+                (
+                    e["data_file"]["file_path"],
+                    int(e["data_file"]["first_row_id"]),
+                    int(s),
+                )
+                for e, s in zip(hit_entries, hit_seqs)
+            ],
+            "__rl_fp string, __rl_first long, __rl_seq long",
+        )
+        cur = (
+            cur.join(F.broadcast(rl_lk), "__rl_fp", "inner")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"),
+                    F.col("__rl_first") + F.col("__rl_pos"),
+                ),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"),
+                    F.col("__rl_seq"),
+                ),
+            )
+            .drop("__rl_fp", "__rl_pos", "__rl_first", "__rl_seq")
+        )
     bn_pid = [
         (e["data_file"]["file_path"].rsplit("/", 1)[-1], pid)
         for e, pid in zip(hit_entries, hit_pids)
@@ -2662,6 +2713,8 @@ def compact_iceberg(
         )
 
     new_entries = []
+    lin_next = int(meta["next-row-id"]) if lineage else None
+    lin_base = lin_next
     for rel in new_rel:
         r = per_file.get(rel.rsplit("/", 1)[-1])
         if r is None or int(r["rows"]) == 0:
@@ -2678,6 +2731,13 @@ def compact_iceberg(
                 os.path.join(table_path, rel)
             ),
         }
+        if lineage:
+            # spec formality: every row of a rewritten file carries a
+            # materialized _row_id, so these fresh ids go unused —
+            # but entries must still be assigned (and the lineage
+            # reader requires explicit values)
+            df_entry["first_row_id"] = lin_next
+            lin_next += int(r["rows"])
         if zorder_by:
             nvc, lb, ub = [], [], []
             for n, c_fid, c_it in stat_fields:
@@ -2767,6 +2827,9 @@ def compact_iceberg(
     if fmt >= 2:
         new_snap["sequence-number"] = seq
         meta["last-sequence-number"] = seq
+    if lineage:
+        new_snap["first-row-id"] = lin_base
+        meta["next-row-id"] = lin_next
     meta["snapshots"] = snaps + [new_snap]
     append_snapshot_log(meta, meta, ts_ms, snapshot_id)
     advance_main_ref(meta, snapshot_id)

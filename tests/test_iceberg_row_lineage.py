@@ -152,14 +152,57 @@ class TestComposition:
                 t, "k", "ts",
             )
 
-    def test_compaction_refuses(self, spark, tmp_path):
+    def test_compaction_materializes_and_preserves_ids(
+        self, spark, tmp_path
+    ):
         t = str(tmp_path / "t")
         write_iceberg_commit(
-            _one_file(spark, [(1, "a", 0)]), t, row_lineage=True
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t,
+            row_lineage=True,
         )
-        write_iceberg_commit(_one_file(spark, [(2, "b", 0)]), t)
-        with pytest.raises(NotImplementedError, match="row-lineage"):
-            compact_iceberg(spark, t, target_rows_per_file=1000)
+        write_iceberg_commit(_one_file(spark, [(3, "c", 0)]), t)
+        delete_iceberg_where(spark, t, "k = 2")
+        before = _lineage(spark, t)
+        assert compact_iceberg(spark, t, target_rows_per_file=1000)
+        # the rewrite materialized _row_id / _last_updated_sequence_
+        # number into the new file — ids AND original sequences
+        # survive byte-for-byte
+        assert _lineage(spark, t) == before == [
+            (1, 0, 1), (3, 2, 2),
+        ]
+
+    def test_second_compaction_reads_materialized(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t,
+            row_lineage=True,
+        )
+        write_iceberg_commit(_one_file(spark, [(3, "c", 0)]), t)
+        compact_iceberg(spark, t, target_rows_per_file=1000)
+        write_iceberg_commit(_one_file(spark, [(4, "d", 0)]), t)
+        # second compaction reads the FIRST one's materialized
+        # columns through the extended-schema coalesce
+        compact_iceberg(spark, t, target_rows_per_file=1000)
+        got = _lineage(spark, t)
+        assert [(k, rid) for k, rid, _ in got] == [
+            (1, 0), (2, 1), (3, 2), (4, 6),
+        ]
+
+    def test_delete_after_compaction_keeps_ids(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(
+                spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]
+            ),
+            t, row_lineage=True,
+        )
+        write_iceberg_commit(_one_file(spark, [(4, "d", 0)]), t)
+        compact_iceberg(spark, t, target_rows_per_file=1000)
+        delete_iceberg_where(spark, t, "k in (2, 4)")
+        got = _lineage(spark, t)
+        assert [(k, rid) for k, rid, _ in got] == [(1, 0), (3, 2)]
 
     def test_time_travel_lineage(self, spark, tmp_path):
         t = str(tmp_path / "t")
