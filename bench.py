@@ -95,6 +95,16 @@ _SF1_QUERIES = [
     # semi-join + O(deleted positions) delete file — the spot must
     # scale with the erased footprint, never with table history
     "iceberg_pos_delete_erasure",
+    # round-10 rows: predicate DML (one scan + O(matched) delete
+    # files), changelog (manifest-diff-pruned per snapshot), ZORDER
+    # (one quantile sample + one range write), row lineage (one
+    # broadcast over the position read) — all must scale with data,
+    # never with history or file count
+    "iceberg_update_where",
+    "iceberg_changelog_read",
+    "delta_zorder_read",
+    "iceberg_zorder_read",
+    "iceberg_row_lineage",
     # dedup_semantic_trained and ann_ivf_topk are deliberately absent:
     # both are quadratic at FIXED partition granularity (k=8 clusters /
     # 64 IVF cells, pinned by their oracles), and their scale story is

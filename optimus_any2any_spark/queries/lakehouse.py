@@ -2081,6 +2081,121 @@ def iceberg_update_where(spark, sf_dir):
 
 
 @register(
+    "delta_row_tracking",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    cutoff AS (
+      SELECT CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS c
+      FROM orders
+    ),
+    s1 AS (
+      SELECT k, price,
+             ROW_NUMBER() OVER (ORDER BY k) - 1 AS rid, 1 AS cv
+      FROM base WHERE k <= (SELECT c FROM cutoff)
+    ),
+    s2 AS (
+      SELECT k, price,
+             (SELECT COUNT(*) FROM s1)
+             + ROW_NUMBER() OVER (ORDER BY k) - 1 AS rid, 2 AS cv
+      FROM base WHERE k > (SELECT c FROM cutoff)
+    ),
+    allr AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    upd AS (
+      SELECT k,
+             CASE WHEN k % 10 = 1 THEN price + 1000.0
+                  ELSE price END AS price,
+             rid,
+             CASE WHEN k % 10 = 1 THEN 3 ELSE cv END AS cv
+      FROM allr
+    ),
+    final AS (SELECT * FROM upd WHERE k % 9 <> 0)
+    SELECT cv AS commit_version,
+           COUNT(*) AS n_rows,
+           SUM(rid) AS sum_rid,
+           {o_dsum('price')} AS sum_price
+    FROM final GROUP BY cv ORDER BY cv
+    """,
+    doc="Delta ROW TRACKING (PROTOCOL.md Row Tracking — "
+    "create_delta_table(row_tracking=True) + "
+    "read_delta_row_tracking): stable per-row ids across the whole "
+    "write surface. Fresh rows derive add.baseRowId + position; the "
+    "high watermark rides delta.rowTracking domain metadata "
+    "(checkpoint-safe); UPDATE ... WHERE KEEPS the row's id and "
+    "bumps _row_commit_version; DELETE never moves survivor ids; "
+    "rewrites (OPTIMIZE/ZORDER/purge/CoW delete) MATERIALIZE the "
+    "lineage columns under the configured physical names so ids "
+    "survive byte-for-byte (tests/test_delta_row_tracking.py). "
+    "Iceberg twin: iceberg_row_lineage. Two ordered appends + "
+    "UPDATE WHERE + DELETE WHERE; the oracle restates id assignment "
+    "as ROW_NUMBER() in commit order.",
+    bench=True,
+)
+def delta_row_tracking(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import (
+        read_delta_row_tracking,
+    )
+    from optimus_any2any_spark.streaming.delta_table import (
+        create_delta_table,
+        delete_delta_where,
+        merge_delta_batch,
+        update_delta_where,
+    )
+
+    t = _fixture_dir("delta_rowtrack", sf_dir)
+    o = load(spark, sf_dir, "orders")
+
+    def _slice(cond):
+        return (
+            o.filter((F.col("o_orderkey") % 4 != 0) & cond)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("price"),
+                F.lit(0).cast("long").alias("ts"),
+            )
+            .repartitionByRange(1, "k")
+            .sortWithinPartitions("k")
+        )
+
+    create_delta_table(
+        spark, t, "k long, price double, ts long", row_tracking=True
+    )
+    # the two appends must be RANGE-disjoint (the second lands as a
+    # pure append, its files never touched by bounds pruning) — split
+    # at half the max key so the shape holds at every SF
+    cutoff = int(
+        o.agg(F.max("o_orderkey")).collect()[0][0] // 2
+    )
+    merge_delta_batch(
+        spark, _slice(F.col("o_orderkey") <= cutoff), t, "k", "ts",
+        batch_id=0,
+    )
+    merge_delta_batch(
+        spark, _slice(F.col("o_orderkey") > cutoff), t, "k", "ts",
+        batch_id=1,
+    )
+    update_delta_where(
+        spark, t, {"price": "price + 1000.0"}, where="k % 10 = 1"
+    )
+    delete_delta_where(spark, t, "k % 9 = 0")
+    snap = read_delta_row_tracking(spark, t)
+    return (
+        snap.groupBy(
+            F.col("_row_commit_version").alias("commit_version")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").alias("sum_rid"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("commit_version")
+    )
+
+
+@register(
     "delta_restore_read",
     oracle=f"""
     WITH base AS (

@@ -523,6 +523,7 @@ def replay_log(
     protocol = None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
+    domains: dict[str, str] = {}
 
     def apply(action: dict):
         nonlocal meta, protocol
@@ -530,6 +531,15 @@ def replay_log(
             meta = action["metaData"]
         if "protocol" in action and action["protocol"]:
             protocol = action["protocol"]
+        dm = action.get("domainMetadata")
+        if dm and dm.get("domain"):
+            # protocol DomainMetadata: last writer wins per domain;
+            # removed=true tombstones it (row tracking keeps its
+            # rowIdHighWaterMark here)
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration") or ""
         txn = action.get("txn")
         if txn and txn.get("appId") is not None:
             prev = txns.get(txn["appId"])
@@ -660,6 +670,7 @@ def replay_log(
         "txns": txns,
         "version": version,
         "protocol": protocol,
+        "domains": domains,
     }
 
 
@@ -921,6 +932,87 @@ def physical_fields(meta: dict) -> dict[str, T.StructField] | None:
         f["name"]: T.StructField.fromJson(_phys_field_json(f))
         for f in schema.get("fields", [])
     }
+
+
+def read_delta_row_tracking(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read of a ROW-TRACKING table with ``_row_id`` and
+    ``_row_commit_version`` appended (PROTOCOL.md Row Tracking, the
+    Delta twin of ``read_iceberg(row_lineage=True)``): each row's
+    stable id is ``coalesce(materialized column, add.baseRowId +
+    position)`` and its commit version ``coalesce(materialized,
+    add.defaultRowCommitVersion)`` — fresh files derive, rewritten
+    files carry their rows' history in the materialized columns. One
+    broadcast (basename → baseRowId/defaultRowCommitVersion) over the
+    ordinary DV-aware read; zero extra jobs."""
+    from optimus_any2any_spark.streaming.delta_table import (
+        _read_files_dv_aware,
+        _row_tracking_of,
+    )
+
+    state = replay_log(spark, table_path, version=version)
+    meta = state["meta"]
+    rt = _row_tracking_of(meta)
+    if rt is None:
+        raise ValueError(
+            "delta read: row tracking is not enabled on this table"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta.get("partitionColumns") or []
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    live = state["live"]
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_row_id", T.LongType(), True),
+            T.StructField("_row_commit_version", T.LongType(), True),
+        ]
+    )
+    if not live:
+        return spark.createDataFrame([], out_schema)
+    paths = sorted(live)
+    cur = _read_files_dv_aware(
+        spark, table_path, data_schema, paths, live,
+        basename_col="__bn" if part_cols else None,
+        row_tracking=rt,
+    )
+    if part_cols:
+        pv_of = {
+            p.rsplit("/", 1)[-1]: tuple(
+                (a.get("partitionValues") or {}).get(c)
+                for c in part_cols
+            )
+            for p, a in live.items()
+        }
+        if len(pv_of) != len(live):
+            raise NotImplementedError(
+                "delta row tracking: live files share a basename — "
+                "the partition re-attach join would misattribute rows"
+            )
+        type_of = {f.name: f.dataType for f in schema.fields}
+        lk = spark.createDataFrame(
+            [(bn,) + pv_of[bn] for bn in sorted(pv_of)],
+            T.StructType(
+                [T.StructField("__bn", T.StringType(), False)]
+                + [
+                    T.StructField(c, T.StringType(), True)
+                    for c in part_cols
+                ]
+            ),
+        )
+        for c in part_cols:
+            lk = lk.withColumn(c, F.col(c).cast(type_of[c]))
+        cur = cur.join(F.broadcast(lk), "__bn")
+    return cur.select(
+        *schema.fieldNames(),
+        F.col("__rt_id").alias("_row_id"),
+        F.col("__rt_cv").alias("_row_commit_version"),
+    )
 
 
 def read_delta(

@@ -223,6 +223,7 @@ def _read_files_dv_aware(
     live: dict[str, dict],
     basename_col: str | None = None,
     pfields=None,
+    row_tracking: tuple | None = None,
 ) -> DataFrame:
     """Read the given live files with each file's deletion-vector rows
     DROPPED — the read half of copy-on-write over a merge-on-read
@@ -233,16 +234,40 @@ def _read_files_dv_aware(
     anti-join total, the same plan as ``read_delta``); plain tables
     take the schema'd parquet scan untouched. ``basename_col`` names
     an extra column carrying each row's source-file basename (for the
-    callers' pid routing joins)."""
+    callers' pid routing joins).
+
+    ``row_tracking=(rid_phys, rcv_phys)`` (the table's materialized
+    column names) appends ``__rt_id`` / ``__rt_cv``: each row's stable
+    row id and commit version, ``coalesce(materialized column,
+    add.baseRowId + position)`` / ``coalesce(..., add.
+    defaultRowCommitVersion)`` per PROTOCOL.md Row Tracking — one
+    broadcast over the file lookup, zero extra jobs."""
     from optimus_any2any_spark.sources.delta import (
         _dv_descriptor_rows,
         dv_positions_df,
     )
 
+    if row_tracking is not None and pfields is not None:
+        raise NotImplementedError(
+            "delta row tracking: column-mapped tables are beyond "
+            "this writer"
+        )
     read_schema = (
         _phys_schema(data_schema, pfields) if pfields is not None
         else data_schema
     )
+    if row_tracking is not None:
+        rid, rcv = row_tracking
+        # files REWRITTEN under row tracking carry the materialized
+        # columns; fresh appends do not and read them as null (Spark
+        # null-fills requested columns absent from a parquet file)
+        read_schema = T.StructType(
+            list(read_schema.fields)
+            + [
+                T.StructField(rid, T.LongType(), True),
+                T.StructField(rcv, T.LongType(), True),
+            ]
+        )
     df = spark.read.schema(read_schema).parquet(
         *[os.path.join(table_path, p) for p in paths]
     )
@@ -261,6 +286,67 @@ def _read_files_dv_aware(
         )
     bn = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     dv_sub = {p: live[p] for p in paths if live[p].get("deletionVector")}
+    if row_tracking is not None:
+        rid, rcv = row_tracking
+        # basename + position captured ONCE, before any join
+        df = df.select(
+            "*",
+            bn.alias("__dv_bn"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        rt_rows = []
+        for p in paths:
+            a = live[p]
+            if (
+                a.get("baseRowId") is None
+                or a.get("defaultRowCommitVersion") is None
+            ):
+                raise NotImplementedError(
+                    "delta row tracking: live file "
+                    f"{p!r} carries no baseRowId — backfill of "
+                    "pre-enablement files is beyond this writer"
+                )
+            rt_rows.append(
+                (
+                    p.rsplit("/", 1)[-1],
+                    int(a["baseRowId"]),
+                    int(a["defaultRowCommitVersion"]),
+                )
+            )
+        lk = spark.createDataFrame(
+            rt_rows, "__dv_bn string, __rt_base long, __rt_dcv long"
+        )
+        df = (
+            df.join(F.broadcast(lk), "__dv_bn", "inner")
+            .withColumn(
+                "__rt_id",
+                F.coalesce(
+                    F.col("`" + rid + "`"),
+                    F.col("__rt_base") + F.col("__dv_pos"),
+                ),
+            )
+            .withColumn(
+                "__rt_cv",
+                F.coalesce(
+                    F.col("`" + rcv + "`"), F.col("__rt_dcv")
+                ),
+            )
+            .drop(rid, rcv, "__rt_base", "__rt_dcv")
+        )
+        if dv_sub:
+            deleted = dv_positions_df(
+                spark,
+                _dv_descriptor_rows(
+                    table_path, {p: live[p] for p in paths}
+                ),
+            )
+            df = df.join(
+                deleted, ["__dv_bn", "__dv_pos"], "left_anti"
+            )
+        df = df.drop("__dv_pos")
+        if basename_col:
+            return df.withColumnRenamed("__dv_bn", basename_col)
+        return df.drop("__dv_bn")
     if not dv_sub:
         if basename_col:
             df = df.select("*", bn.alias(basename_col))
@@ -289,6 +375,50 @@ def _read_files_dv_aware(
     if basename_col:
         return df.withColumnRenamed("__dv_bn", basename_col)
     return df.drop("__dv_bn")
+
+
+def _row_tracking_of(meta: dict | None) -> tuple[str, str] | None:
+    """The table's materialized row-tracking column names
+    ``(rowId, rowCommitVersion)``, or None when row tracking is off
+    (PROTOCOL.md Row Tracking; delta-spark stores the physical names
+    in the table configuration at enablement)."""
+    if not meta:
+        return None
+    conf = meta.get("configuration") or {}
+    if (conf.get("delta.enableRowTracking") or "").lower() != "true":
+        return None
+    rid = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    rcv = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    if not rid or not rcv:
+        raise NotImplementedError(
+            "delta row tracking: enabled without materialized column "
+            "names in the table configuration — beyond this writer"
+        )
+    return rid, rcv
+
+
+def _rt_high_watermark(state: dict) -> int:
+    """The row-id high watermark from the ``delta.rowTracking``
+    domain metadata (-1 on a fresh table)."""
+    cfg = (state.get("domains") or {}).get("delta.rowTracking")
+    if cfg is None:
+        raise ValueError(
+            "delta row tracking: enabled table without the "
+            "delta.rowTracking domain metadata — corrupt enablement"
+        )
+    return int(json.loads(cfg)["rowIdHighWaterMark"])
+
+
+def _rt_domain_action(hwm: int) -> dict:
+    return {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }
 
 
 # Writer-feature sets implied by the legacy (pre-table-features)
@@ -650,6 +780,20 @@ def _write_checkpoint(
         for a, v in sorted(state["txns"].items())
     ]
     rows += [
+        # domain metadata survives checkpoints (row tracking keeps
+        # its high watermark here — dropping it would reset row ids)
+        json.dumps(
+            {
+                "domainMetadata": {
+                    "domain": d,
+                    "configuration": cfg,
+                    "removed": False,
+                }
+            }
+        )
+        for d, cfg in sorted((state.get("domains") or {}).items())
+    ]
+    rows += [
         json.dumps({"add": add}, default=str)
         for _, add in sorted(state["live"].items())
     ]
@@ -704,6 +848,7 @@ def create_delta_table(
     generated: dict[str, str] | None = None,
     identity: dict[str, dict] | None = None,
     configuration: dict[str, str] | None = None,
+    row_tracking: bool = False,
 ) -> int:
     """CREATE TABLE as a data-free commit 0 (protocol + metaData
     only) — the surface that lets a table declare GENERATED columns
@@ -773,27 +918,65 @@ def create_delta_table(
         raise ValueError(
             f"delta create: partition columns {bad} not in schema"
         )
-    actions: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": 1,
-                # legacy writer-version ladder: 6 implies
-                # identityColumns, 4 implies generatedColumns
-                "minWriterVersion": (
-                    6 if identity else 4 if generated else 2
-                ),
+    conf = dict(configuration or {})
+    protocol: dict = {
+        "minReaderVersion": 1,
+        # legacy writer-version ladder: 6 implies
+        # identityColumns, 4 implies generatedColumns
+        "minWriterVersion": (
+            6 if identity else 4 if generated else 2
+        ),
+    }
+    actions: list[dict] = []
+    if row_tracking:
+        # ROW TRACKING (PROTOCOL.md "Row Tracking"): writer feature +
+        # domainMetadata support; fresh row ids derive from
+        # add.baseRowId + position, stable ids from the MATERIALIZED
+        # columns rewrites carry (their PHYSICAL parquet names live in
+        # the table configuration, delta-spark's shape); the high
+        # watermark rides the delta.rowTracking domain
+        protocol = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                {"rowTracking", "domainMetadata"}
+                | ({"identityColumns"} if identity else set())
+                | ({"generatedColumns"} if generated else set())
+            ),
+        }
+        conf["delta.enableRowTracking"] = "true"
+        suffix = str(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{table_path}|rowid")
+        )
+        conf["delta.rowTracking.materializedRowIdColumnName"] = (
+            f"_row-id-col-{suffix}"
+        )
+        conf[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ] = f"_row-commit-version-col-{suffix}"
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": -1}
+                    ),
+                    "removed": False,
+                }
             }
-        },
+        )
+    actions = [
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_json,
                 "partitionColumns": part_cols,
-                "configuration": dict(configuration or {}),
+                "configuration": conf,
             }
         },
-    ]
+    ] + actions
     _commit(
         _log_dir(table_path), 0, actions, operation="CREATE TABLE"
     )
@@ -1210,6 +1393,7 @@ def compact_delta(
     if state["meta"] is None:
         return None
     phys, mapped, pfields = _phys_of(state["meta"])
+    rt = _row_tracking_of(state["meta"])
     schema = T.StructType.fromJson(
         json.loads(state["meta"]["schemaString"])
     )
@@ -1281,7 +1465,15 @@ def compact_delta(
         spark, table_path, data_schema, [p for p, _ in src],
         state["live"], basename_col=None if single else "__rel",
         pfields=pfields,
+        row_tracking=rt,
     )
+    if rt is not None:
+        # OPTIMIZE preserves lineage: the rewritten files carry every
+        # row's id AND commit version materialized (a rewrite is not
+        # an update — both survive byte-for-byte)
+        cur = cur.withColumnRenamed(
+            "__rt_id", rt[0]
+        ).withColumnRenamed("__rt_cv", rt[1])
     if single:
         cur = cur.withColumn("__pid", F.lit(0).cast("int"))
     else:
@@ -1391,6 +1583,7 @@ def compact_delta(
         if stat_col is not None
         else {}
     )
+    rt_base = _rt_high_watermark(state) + 1 if rt is not None else None
     for rel, pv in new_files:
         full = os.path.join(table_path, rel)
         st = by_name.get(rel)
@@ -1406,7 +1599,13 @@ def compact_delta(
         }
         if st is not None:
             add["stats"] = json.dumps(st, default=str)
+        if rt is not None and st is not None:
+            add["baseRowId"] = rt_base
+            add["defaultRowCommitVersion"] = version
+            rt_base += int(st["numRecords"])
         actions.append({"add": add})
+    if rt is not None:
+        actions.append(_rt_domain_action(rt_base - 1))
     _commit(
         _log_dir(table_path), version, actions,
         operation="OPTIMIZE",
@@ -1757,6 +1956,23 @@ def merge_delta_batch(
         "meta": None, "live": {}, "txns": {}, "version": -1,
     }
     phys, mapped, pfields = _phys_of(state["meta"])
+    rt = _row_tracking_of(state["meta"])
+    if rt is not None:
+        if conditional:
+            raise NotImplementedError(
+                "delta merge: conditional clauses on a row-tracking "
+                "table are beyond this writer"
+            )
+        if merge_schema:
+            raise NotImplementedError(
+                "delta merge: merge_schema on a row-tracking table "
+                "is beyond this writer"
+            )
+        if mapped:
+            raise NotImplementedError(
+                "delta row tracking: column-mapped tables are "
+                "beyond this writer"
+            )
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -2096,6 +2312,7 @@ def merge_delta_batch(
             [r for r, _ in rel_pid_rows], state["live"],
             basename_col=None if single else "__rel",
             pfields=pfields,
+            row_tracking=rt,
         )
         if single:
             cur = cur.withColumn("__pid", F.lit(0).cast("int"))
@@ -2109,6 +2326,30 @@ def merge_delta_batch(
         touch = F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk")) & (
             F.col("cur.__pid") == F.col("__bpid")
         )
+        if rt is not None:
+            # row tracking's UPDATE contract: a batch row replacing a
+            # matched target row KEEPS that row's id (and takes this
+            # commit's version — a null materialized cv derives from
+            # the new add's defaultRowCommitVersion); unmatched batch
+            # rows insert with null id (fresh from baseRowId + pos)
+            cur_ids = cur.select(
+                F.col(key_col).alias("__ck"),
+                F.col("__pid").alias("__cpid"),
+                F.col("__rt_id").alias("__rt_prev"),
+            )
+            m2 = F.col(f"b.{key_col}").eqNullSafe(F.col("__ck")) & (
+                F.col("b.__pid") == F.col("__cpid")
+            )
+            latest_p = (
+                latest_p.alias("b")
+                .join(cur_ids, m2, "left")
+                .select(
+                    *[F.col(f"b.{c}") for c in data_cols],
+                    F.col("b.__pid"),
+                    F.col("__rt_prev").alias("__rt_id"),
+                    F.lit(None).cast("long").alias("__rt_cv"),
+                )
+            )
         if conditional:
             merged, cond_changes = _apply_merge_clauses(
                 cur, latest_p, key_col, data_cols,
@@ -2143,9 +2384,14 @@ def merge_delta_batch(
         hit_paths = sorted(set(hit_paths))
         if change_data:
             # preimages: current rows whose (key, partition) the batch
-            # touches — checkpointed once, consumed twice below
+            # touches — checkpointed once, consumed twice below (row-
+            # tracking columns stay out of the CDF row set: CDF rows
+            # are logical)
+            pre_src = cur
+            if rt is not None:
+                pre_src = cur.drop("__rt_id", "__rt_cv")
             pre = (
-                cur.alias("cur")
+                pre_src.alias("cur")
                 .join(bk, touch, "inner")
                 .drop("__bk", "__bpid")
                 .localCheckpoint(eager=True)
@@ -2169,6 +2415,17 @@ def merge_delta_batch(
     n_rows = n_total + total_hit_rows
     n_files = max(1, -(-n_rows // target_rows_per_file))
     tmp = os.path.join(table_path, f"_tmp-merge-v{version}")
+    if rt is not None:
+        if "__rt_id" not in merged.columns:
+            # insert-only merge (no affected files): every row is
+            # fresh — null materialized values derive from the new
+            # adds' baseRowId + position
+            merged = merged.withColumn(
+                "__rt_id", F.lit(None).cast("long")
+            ).withColumn("__rt_cv", F.lit(None).cast("long"))
+        merged = merged.withColumnRenamed(
+            "__rt_id", rt[0]
+        ).withColumnRenamed("__rt_cv", rt[1])
     if single:
         out_df = merged.drop("__pid").repartitionByRange(
             n_files, F.col(key_col)
@@ -2310,24 +2567,31 @@ def merge_delta_batch(
         actions.append({"metaData": dict(state["meta"])})
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})
+    rt_base = _rt_high_watermark(state) + 1 if rt is not None else None
     for pending in new_adds:
         rel = pending["path"]
         r = by_name.get(rel)
         if r is None:  # empty part file: not worth an add action
             os.remove(os.path.join(table_path, rel))
             continue
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": pending["partitionValues"],
-                    "size": os.path.getsize(os.path.join(table_path, rel)),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                    "stats": json.dumps(r, default=str),
-                }
-            }
-        )
+        add = {
+            "path": rel,
+            "partitionValues": pending["partitionValues"],
+            "size": os.path.getsize(os.path.join(table_path, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps(r, default=str),
+        }
+        if rt is not None:
+            # fresh-id reservation: each add covers record_count ids
+            # from the watermark (rows with materialized ids leave
+            # theirs unused — the spec only needs uniqueness)
+            add["baseRowId"] = rt_base
+            add["defaultRowCommitVersion"] = version
+            rt_base += int(r["numRecords"])
+        actions.append({"add": add})
+    if rt is not None:
+        actions.append(_rt_domain_action(rt_base - 1))
     for path in hit_paths:
         actions.append(
             {
@@ -2451,6 +2715,7 @@ def _dml_where(
         raise ValueError(f"delta dml: no table at {table_path}")
     state = replay_log(spark, table_path)
     phys, mapped, pfields = _phys_of(state["meta"])
+    rt = _row_tracking_of(state["meta"])
     live = state["live"]
     if not live:
         return None
@@ -2510,6 +2775,7 @@ def _dml_where(
         cur = _read_files_dv_aware(
             spark, table_path, data_schema, paths, live,
             basename_col="__bn", pfields=pfields,
+            row_tracking=rt,
         )
         if part_cols:
             lk = spark.createDataFrame(
@@ -2568,6 +2834,19 @@ def _dml_where(
                 for c in data_cols
             ],
             *[F.col(c) for c in ["__bn"] + part_cols],
+            *(
+                [
+                    # row tracking's UPDATE contract: the row KEEPS
+                    # its id; a null materialized commit version
+                    # derives from this add's defaultRowCommitVersion
+                    F.col("__rt_id"),
+                    F.when(hit, F.lit(None).cast("long"))
+                    .otherwise(F.col("__rt_cv"))
+                    .alias("__rt_cv"),
+                ]
+                if rt is not None
+                else []
+            ),
         )
         if state["meta"] is not None:
             from optimus_any2any_spark.sources.delta import (
@@ -2580,7 +2859,15 @@ def _dml_where(
 
     pre = None
     if change_data:
-        pre = cur.filter(hit).localCheckpoint(eager=True)
+        pre_src = cur
+        if rt is not None:  # CDF rows are logical — no lineage cols
+            pre_src = cur.drop("__rt_id", "__rt_cv")
+        pre = pre_src.filter(hit).localCheckpoint(eager=True)
+
+    if rt is not None:
+        out = out.withColumnRenamed(
+            "__rt_id", rt[0]
+        ).withColumnRenamed("__rt_cv", rt[1])
 
     # route rows back to their files' partitions and write
     total_rows = sum(
@@ -2708,24 +2995,28 @@ def _dml_where(
         _phys_schema(data_schema, pfields) if mapped else data_schema,
     ) if new_files else {}
     actions: list[dict] = []
+    rt_base = _rt_high_watermark(state) + 1 if rt is not None else None
     for rel, pv in new_files:
         full = os.path.join(table_path, rel)
         st = by_name.get(rel)
         if st is None:  # every row of this part matched a DELETE
             os.remove(full)
             continue
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": pv,
-                    "size": os.path.getsize(full),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                    "stats": json.dumps(st, default=str),
-                }
-            }
-        )
+        add = {
+            "path": rel,
+            "partitionValues": pv,
+            "size": os.path.getsize(full),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps(st, default=str),
+        }
+        if rt is not None:
+            add["baseRowId"] = rt_base
+            add["defaultRowCommitVersion"] = version
+            rt_base += int(st["numRecords"])
+        actions.append({"add": add})
+    if rt is not None:
+        actions.append(_rt_domain_action(rt_base - 1))
     for p in touched:
         actions.append(
             {"remove": _remove_action(p, live[p], data_change=True)}
@@ -2824,9 +3115,23 @@ def purge_deletion_vectors(
         for p, a in sorted(dv_adds.items())
     ]
 
+    rt = _row_tracking_of(state["meta"])
+    if rt is not None and mapped:
+        raise NotImplementedError(
+            "delta row tracking: column-mapped tables are beyond "
+            "this writer"
+        )
     read_schema = (
         _phys_schema(data_schema, pfields) if mapped else data_schema
     )
+    if rt is not None:
+        read_schema = T.StructType(
+            list(read_schema.fields)
+            + [
+                T.StructField(rt[0], T.LongType(), True),
+                T.StructField(rt[1], T.LongType(), True),
+            ]
+        )
     cur = (
         spark.read.schema(read_schema)
         .parquet(*[os.path.join(table_path, p) for p in dv_adds])
@@ -2839,6 +3144,11 @@ def purge_deletion_vectors(
                 ).cast(f.dataType).alias(f.name)
                 for f in data_schema.fields
             ],
+            *(
+                [F.col("`" + rt[0] + "`"), F.col("`" + rt[1] + "`")]
+                if rt is not None
+                else []
+            ),
             F.element_at(
                 F.split(F.col("_metadata.file_path"), "/"), -1
             ).alias("__dv_bn"),
@@ -2849,6 +3159,47 @@ def purge_deletion_vectors(
         spark, _dv_descriptor_rows(table_path, dv_adds)
     )
     kept = cur.join(deleted, ["__dv_bn", "__dv_pos"], "left_anti")
+    if rt is not None:
+        # the purge rewrite must not re-mint ids: every surviving row
+        # materializes its id and commit version
+        rt_rows = []
+        for p, a in sorted(dv_adds.items()):
+            if (
+                a.get("baseRowId") is None
+                or a.get("defaultRowCommitVersion") is None
+            ):
+                raise NotImplementedError(
+                    "delta row tracking: live file "
+                    f"{p!r} carries no baseRowId — backfill of "
+                    "pre-enablement files is beyond this writer"
+                )
+            rt_rows.append(
+                (
+                    p.rsplit("/", 1)[-1],
+                    int(a["baseRowId"]),
+                    int(a["defaultRowCommitVersion"]),
+                )
+            )
+        rlk = spark.createDataFrame(
+            rt_rows, "__dv_bn string, __rt_base long, __rt_dcv long"
+        )
+        kept = (
+            kept.join(F.broadcast(rlk), "__dv_bn")
+            .withColumn(
+                rt[0],
+                F.coalesce(
+                    F.col("`" + rt[0] + "`"),
+                    F.col("__rt_base") + F.col("__dv_pos"),
+                ),
+            )
+            .withColumn(
+                rt[1],
+                F.coalesce(
+                    F.col("`" + rt[1] + "`"), F.col("__rt_dcv")
+                ),
+            )
+            .drop("__rt_base", "__rt_dcv")
+        )
     if single:
         kept = kept.drop("__dv_pos", "__dv_bn")
     else:
@@ -2935,6 +3286,7 @@ def purge_deletion_vectors(
         if (stat_col is not None and new_files)
         else {}
     )
+    rt_base = _rt_high_watermark(state) + 1 if rt is not None else None
     for rel, pv in new_files:
         full = os.path.join(table_path, rel)
         st = by_name.get(rel)
@@ -2950,7 +3302,13 @@ def purge_deletion_vectors(
         }
         if st is not None:
             add["stats"] = json.dumps(st, default=str)
+            if rt is not None:
+                add["baseRowId"] = rt_base
+                add["defaultRowCommitVersion"] = version
+                rt_base += int(st["numRecords"])
         actions.append({"add": add})
+    if rt is not None:
+        actions.append(_rt_domain_action(rt_base - 1))
     for p in sorted(dv_adds):
         actions.append(
             {"remove": _remove_action(p, dv_adds[p], data_change=False)}
@@ -3350,10 +3708,12 @@ def delete_delta_keys(
     pid_of = {pt: i for i, pt in enumerate(ptuples)}
     hit_paths = [p for p, _ in hits]
     single = len(ptuples) == 1
+    rt = _row_tracking_of(state["meta"])
     cur = _read_files_dv_aware(
         spark, table_path, data_schema, hit_paths, state["live"],
         basename_col=None if single else "__rel",
         pfields=pfields,
+        row_tracking=rt,
     )
     if single:
         cur = cur.withColumn("__pid", F.lit(0).cast("int")).alias("cur")
@@ -3383,6 +3743,12 @@ def delete_delta_keys(
     nk = kdf.alias("nk")
     match = F.col(f"cur.{key_col}").eqNullSafe(F.col(f"nk.{key_col}"))
     keep = cur.join(nk, match, "left_anti")
+    if rt is not None:
+        # survivors keep id AND commit version (a delete rewrite is
+        # not an update of the surviving rows)
+        keep = keep.withColumnRenamed(
+            "__rt_id", rt[0]
+        ).withColumnRenamed("__rt_cv", rt[1])
 
     actions: list[dict] = []
     new_adds: list[dict] = []
@@ -3480,24 +3846,28 @@ def delete_delta_keys(
         )
     if batch_id is not None:
         actions.append({"txn": {"appId": app_id, "version": batch_id}})
+    rt_base = _rt_high_watermark(state) + 1 if rt is not None else None
     for pending in new_adds:
         rel = pending["path"]
         r = by_name.get(rel)
         if r is None:  # all rows of the source files matched: no add
             os.remove(os.path.join(table_path, rel))
             continue
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": pending["partitionValues"],
-                    "size": os.path.getsize(os.path.join(table_path, rel)),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                    "stats": json.dumps(r, default=str),
-                }
-            }
-        )
+        add = {
+            "path": rel,
+            "partitionValues": pending["partitionValues"],
+            "size": os.path.getsize(os.path.join(table_path, rel)),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps(r, default=str),
+        }
+        if rt is not None:
+            add["baseRowId"] = rt_base
+            add["defaultRowCommitVersion"] = version
+            rt_base += int(r["numRecords"])
+        actions.append({"add": add})
+    if rt is not None:
+        actions.append(_rt_domain_action(rt_base - 1))
     for path in hit_paths:
         actions.append(
             {

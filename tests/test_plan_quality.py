@@ -691,3 +691,49 @@ class TestRound7Plans:
         assert "LeftAnti" not in r.text, r.text
         assert "batchevalpython" not in r.text.lower(), r.text
         assert "mapInPandas" not in r.text.lower(), r.text
+
+
+class TestRound10Plans:
+    def test_zorder_read_is_plain_pruned_scan(self, spark):
+        # post-ZORDER skipping read: file pruning happened DRIVER-side
+        # against the add-action stats, so the executed plan is a
+        # plain scan + filter + aggregate — no Python, no joins
+        r = report(spark, "delta_zorder_read")
+        assert "Python" not in r.text, r.text
+        assert r.num_nested_loop_joins == 0, r.text
+
+    def test_iceberg_zorder_read_plan(self, spark):
+        # same contract on the Iceberg side: bounds pruning is
+        # manifest-level (driver), the executed read is scan+agg
+        r = report(spark, "iceberg_zorder_read")
+        assert "Python" not in r.text, r.text
+        assert r.num_nested_loop_joins == 0, r.text
+
+    def test_update_where_read_is_anti_join(self, spark):
+        # the post-DML snapshot: positional deletes from the UPDATE
+        # and DELETE commits apply as sequence-gated anti-joins; no
+        # row-at-a-time Python, no nested-loop join anywhere
+        r = report(spark, "iceberg_update_where")
+        assert "LeftAnti" in r.text or "left_anti" in r.text.lower(), (
+            r.text
+        )
+        assert "batchevalpython" not in r.text.lower(), r.text
+        assert r.num_nested_loop_joins == 0, r.text
+
+    def test_changelog_no_cartesian_no_python(self, spark):
+        # the changelog derives from manifest diffs: per snapshot only
+        # added/removed/delete-affected files read; the net step is
+        # exceptAll (hash-partitioned), never a nested-loop join, and
+        # nothing drops to row-at-a-time Python
+        r = report(spark, "iceberg_changelog_read")
+        assert r.num_nested_loop_joins == 0, r.text
+        assert "batchevalpython" not in r.text.lower(), r.text
+
+    def test_row_lineage_read_is_broadcast_derivation(self, spark):
+        # _row_id derives from ONE broadcast (basename → first_row_id,
+        # seq) over the position read — no shuffle join against the
+        # data, no Python
+        r = report(spark, "iceberg_row_lineage")
+        assert r.num_broadcast_joins >= 1, r.text
+        assert "batchevalpython" not in r.text.lower(), r.text
+        assert r.num_nested_loop_joins == 0, r.text
