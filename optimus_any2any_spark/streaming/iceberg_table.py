@@ -478,17 +478,13 @@ def merge_iceberg_batch(
         )
     prev_version = int(open(hint).read().strip())
     meta = load_table_metadata(table_path, version=prev_version)
-    if meta.get("next-row-id") is not None:
-        # a copy-on-write rewrite would mint NEW row ids for carried
-        # rows — the spec requires rewrites to preserve lineage via
-        # materialized _row_id columns, which this writer does not
-        # emit yet. MoR surfaces (append, DELETE, UPDATE ... WHERE)
-        # compose with lineage; the CoW merge refuses by name.
-        raise NotImplementedError(
-            "iceberg merge: copy-on-write rewrite on a row-lineage "
-            "table (next-row-id) would re-mint carried rows' ids — "
-            "beyond this writer; use the merge-on-read DML surfaces"
-        )
+    # ROW LINEAGE composes with the CoW merge the same way it does
+    # with compaction: affected files read WITH their lineage
+    # (materialized-or-derived), carried rows MATERIALIZE id+sequence
+    # into the rewrite, batch rows replacing a matched key KEEP that
+    # row's id (the spec's update contract), inserts derive fresh ids
+    # from the new entries' first_row_id
+    lineage = meta.get("next-row-id") is not None
     specs = meta.get("partition-specs") or []
     default_spec = next(
         (s for s in specs if s.get("spec-id") == meta.get(
@@ -534,6 +530,12 @@ def merge_iceberg_batch(
         or when_not_matched is not None
     )
     if conditional:
+        if lineage:
+            raise NotImplementedError(
+                "iceberg merge: conditional clauses on a row-lineage "
+                "table are beyond this writer (the clause algebra "
+                "does not thread lineage columns)"
+            )
         from optimus_any2any_spark.streaming.delta_table import (
             _validate_merge_clauses,
         )
@@ -861,30 +863,83 @@ def merge_iceberg_batch(
     # must extend to every tuple those rows produce — one distinct
     # aggregate over the affected rows, run ONLY when a non-default
     # spec was actually hit (zero extra jobs on non-evolved tables).
-    cur0 = None
-    if pspec and has_foreign_hit and hit_entries:
+    def _read_hit_files():
         from optimus_any2any_spark.sources.iceberg import (
             read_entries_with_deletes as _rewd,
         )
 
-        cur0 = _rewd(
-            spark,
-            meta,
-            schema,
+        files = [
+            {
+                "path": _localize(
+                    table_path, e["data_file"]["file_path"]
+                ),
+                "orig": e["data_file"]["file_path"],
+                "seq": s,
+                "equality_ids": [],
+            }
+            for e, s in zip(hit_entries, hit_seqs)
+        ]
+        if not lineage:
+            return _rewd(
+                spark, meta, schema, files, pos_del, eq_del
+            )
+        # row lineage: affected rows read WITH their id + sequence
+        # (materialized-or-derived, same coalesce as the lineage read)
+        for e in hit_entries:
+            if e["data_file"].get("first_row_id") is None:
+                raise NotImplementedError(
+                    "iceberg merge: row-lineage rewrite over entries "
+                    "relying on manifest-level first_row_id "
+                    "INHERITANCE is beyond this writer — data file "
+                    f"{e['data_file']['file_path']!r}"
+                )
+        ext = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField(
+                    "_last_updated_sequence_number", T.LongType(),
+                    True,
+                ),
+            ]
+        )
+        out = _rewd(
+            spark, meta, ext, files, pos_del, eq_del,
+            position_cols=("__rl_fp", "__rl_pos"),
+        )
+        rl = spark.createDataFrame(
             [
-                {
-                    "path": _localize(
-                        table_path, e["data_file"]["file_path"]
-                    ),
-                    "orig": e["data_file"]["file_path"],
-                    "seq": s,
-                    "equality_ids": [],
-                }
+                (
+                    e["data_file"]["file_path"],
+                    int(e["data_file"]["first_row_id"]),
+                    int(s),
+                )
                 for e, s in zip(hit_entries, hit_seqs)
             ],
-            pos_del,
-            eq_del,
+            "__rl_fp string, __rl_first long, __rl_seq long",
         )
+        return (
+            out.join(F.broadcast(rl), "__rl_fp")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"),
+                    F.col("__rl_first") + F.col("__rl_pos"),
+                ),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"),
+                    F.col("__rl_seq"),
+                ),
+            )
+            .drop("__rl_fp", "__rl_pos", "__rl_first", "__rl_seq")
+        )
+
+    cur0 = None
+    if pspec and has_foreign_hit and hit_entries:
+        cur0 = _read_hit_files()
         for r in _with_pvs(cur0).select(*pv_cols).distinct().collect():
             pt = tuple(r[c] for c in pv_cols)
             if pt not in pid_of:
@@ -914,12 +969,19 @@ def merge_iceberg_batch(
 
         def _with_pid(frame):
             # frame must carry the __pv* columns; the select drops
-            # them — data files keep exactly the table schema
+            # them — data files keep exactly the table schema (plus
+            # the materialized lineage columns when present)
+            extra = [
+                c
+                for c in ("_row_id", "_last_updated_sequence_number")
+                if c in frame.columns
+            ]
             return (
                 frame.alias("b")
                 .join(F.broadcast(pid_df.alias("pd")), pcond, "inner")
                 .select(
                     *[F.col(f"b.{c}") for c in schema.fieldNames()],
+                    *[F.col(f"b.{c}") for c in extra],
                     F.col("pd.__pid"),
                 )
             )
@@ -934,33 +996,12 @@ def merge_iceberg_batch(
     merged = latest_p
     hit_rows = 0
     if hit_entries:
-        from optimus_any2any_spark.sources.iceberg import (
-            read_entries_with_deletes,
-        )
-
         # affected files read WITH any delete files applied (sequence-
         # gated, same plan as read_iceberg) — a copy-on-write rewrite
         # must never resurrect rows a delete had already removed
         # (cur0 is the same frame, already built for the evolved-table
         # pid extension above)
-        cur = cur0 if cur0 is not None else read_entries_with_deletes(
-            spark,
-            meta,
-            schema,
-            [
-                {
-                    "path": _localize(
-                        table_path, e["data_file"]["file_path"]
-                    ),
-                    "orig": e["data_file"]["file_path"],
-                    "seq": s,
-                    "equality_ids": [],
-                }
-                for e, s in zip(hit_entries, hit_seqs)
-            ],
-            pos_del,
-            eq_del,
-        )
+        cur = cur0 if cur0 is not None else _read_hit_files()
         cur_p = (
             _with_pid(_with_pvs(cur))
             if _with_pid is not None
@@ -981,6 +1022,36 @@ def merge_iceberg_batch(
                 F.col(key_col).alias("__bk"),
                 F.col("__pid").alias("__bpid"),
             )
+            batch_side = latest_p
+            if lineage:
+                # the update contract: a batch row replacing a
+                # matched target row KEEPS that row's id; its
+                # sequence derives fresh (null materialized → the
+                # new file's data sequence). Unmatched rows insert
+                # with null id (fresh from first_row_id + position).
+                cur_ids = cur_p.select(
+                    F.col(key_col).alias("__ck"),
+                    F.col("__pid").alias("__cpid"),
+                    F.col("_row_id").alias("__rl_prev"),
+                )
+                m2 = F.col(f"b.{key_col}").eqNullSafe(
+                    F.col("__ck")
+                ) & (F.col("b.__pid") == F.col("__cpid"))
+                batch_side = (
+                    latest_p.alias("b")
+                    .join(cur_ids, m2, "left")
+                    .select(
+                        *[
+                            F.col(f"b.{c}")
+                            for c in schema.fieldNames()
+                        ],
+                        F.col("__rl_prev").alias("_row_id"),
+                        F.lit(None)
+                        .cast("long")
+                        .alias("_last_updated_sequence_number"),
+                        F.col("b.__pid"),
+                    )
+                )
             merged = (
                 cur_p.alias("cur")
                 .join(
@@ -989,7 +1060,7 @@ def merge_iceberg_batch(
                     & (F.col("cur.__pid") == F.col("__bpid")),
                     "left_anti",
                 )
-                .unionByName(latest_p)
+                .unionByName(batch_side)
             )
         hit_rows = sum(
             int(e["data_file"]["record_count"]) for e in hit_entries
@@ -1062,33 +1133,39 @@ def merge_iceberg_batch(
         return [{"key": fid, "value": b}] if b is not None else None
 
     new_entries = []
+    lin_next = int(meta["next-row-id"]) if lineage else None
+    lin_base = lin_next
     for rel in new_rel:
         r = per_file.get(rel.rsplit("/", 1)[-1])
         if r is None:  # empty part
             os.remove(os.path.join(table_path, rel))
             continue
         pt = pt_of_rel[rel]
+        dfe = {
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": {
+                n: v for n, v in zip(part_names, pt)
+            },
+            "record_count": int(r["rows"]),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(table_path, rel)
+            ),
+            "null_value_counts": [
+                {"key": fid,
+                 "value": struct.pack("<q", int(r["n_null"]))}
+            ],
+            "lower_bounds": _bounds_kv(r["min_key"]),
+            "upper_bounds": _bounds_kv(r["max_key"]),
+        }
+        if lineage:
+            dfe["first_row_id"] = lin_next
+            lin_next += int(r["rows"])
         new_entries.append(
             {
                 "status": _ST_ADDED,
                 "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "partition": {
-                        n: v for n, v in zip(part_names, pt)
-                    },
-                    "record_count": int(r["rows"]),
-                    "file_size_in_bytes": os.path.getsize(
-                        os.path.join(table_path, rel)
-                    ),
-                    "null_value_counts": [
-                        {"key": fid,
-                         "value": struct.pack("<q", int(r["n_null"]))}
-                    ],
-                    "lower_bounds": _bounds_kv(r["min_key"]),
-                    "upper_bounds": _bounds_kv(r["max_key"]),
-                },
+                "data_file": dfe,
             }
         )
     # survivors keep their entries, re-marked EXISTING under this
@@ -1197,6 +1274,9 @@ def merge_iceberg_batch(
     if fmt >= 2:
         new_snap["sequence-number"] = seq
         meta["last-sequence-number"] = seq
+    if lineage:
+        new_snap["first-row-id"] = lin_base
+        meta["next-row-id"] = lin_next
     meta["snapshots"] = snaps + [new_snap]
     append_snapshot_log(meta, meta, ts_ms, snapshot_id)
     advance_main_ref(meta, snapshot_id)

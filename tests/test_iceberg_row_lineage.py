@@ -140,16 +140,59 @@ class TestComposition:
         assert got == [(1, 0, 1), (2, 2, 2)]
         assert int(load_table_metadata(t)["next-row-id"]) == 3
 
-    def test_cow_merge_refuses(self, spark, tmp_path):
+    def test_cow_merge_preserves_and_mints(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(
+                spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]
+            ),
+            t, row_lineage=True,
+        )
+        merge_iceberg_batch(
+            spark,
+            _one_file(spark, [(2, "B", 1), (9, "z", 1)]),
+            t, "k", "ts", batch_id=0,
+        )
+        got = _lineage(spark, t)
+        # carried rows keep (id, seq); the updated row keeps ITS id
+        # at the merge's new sequence; the insert mints a fresh id
+        assert got[:3] == [(1, 0, 1), (2, 1, 2), (3, 2, 1)]
+        k9 = got[3]
+        assert k9[0] == 9 and k9[1] >= 3 and k9[2] == 2
+        meta = load_table_metadata(t)
+        assert meta["snapshots"][-1].get("first-row-id") == 3
+        assert int(meta["next-row-id"]) >= 7
+
+    def test_merge_then_delete_then_merge_lineage(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t,
+            row_lineage=True,
+        )
+        delete_iceberg_where(spark, t, "k = 1")
+        merge_iceberg_batch(
+            spark, _one_file(spark, [(2, "B", 1)]), t, "k", "ts",
+            batch_id=0,
+        )
+        # the merge consumed the delete (rewrite excludes k=1) and
+        # the surviving updated row kept its id
+        assert [(k, rid) for k, rid, _ in _lineage(spark, t)] == [
+            (2, 1)
+        ]
+
+    def test_conditional_merge_refuses_on_lineage(
+        self, spark, tmp_path
+    ):
         t = str(tmp_path / "t")
         write_iceberg_commit(
             _one_file(spark, [(1, "a", 0)]), t, row_lineage=True
         )
         with pytest.raises(NotImplementedError, match="row-lineage"):
             merge_iceberg_batch(
-                spark,
-                _one_file(spark, [(1, "z", 1)]),
-                t, "k", "ts",
+                spark, _one_file(spark, [(1, "z", 1)]), t, "k", "ts",
+                when_matched=[("delete", None)],
             )
 
     def test_compaction_materializes_and_preserves_ids(

@@ -737,3 +737,12 @@ class TestRound10Plans:
         assert r.num_broadcast_joins >= 1, r.text
         assert "batchevalpython" not in r.text.lower(), r.text
         assert r.num_nested_loop_joins == 0, r.text
+
+    def test_delta_row_tracking_read_plan(self, spark):
+        # _row_id derivation: one broadcast (basename → baseRowId,
+        # defaultRowCommitVersion) over the scan — no shuffle join
+        # against the data, no Python anywhere
+        r = report(spark, "delta_row_tracking")
+        assert r.num_broadcast_joins >= 1, r.text
+        assert "batchevalpython" not in r.text.lower(), r.text
+        assert r.num_nested_loop_joins == 0, r.text
