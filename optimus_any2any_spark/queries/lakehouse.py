@@ -2166,9 +2166,8 @@ def delta_row_tracking(spark, sf_dir):
     # the two appends must be RANGE-disjoint (the second lands as a
     # pure append, its files never touched by bounds pruning) — split
     # at half the max key so the shape holds at every SF
-    cutoff = int(
-        o.agg(F.max("o_orderkey")).collect()[0][0] // 2
-    )
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    cutoff = int(max_k // 2) if max_k is not None else 0
     merge_delta_batch(
         spark, _slice(F.col("o_orderkey") <= cutoff), t, "k", "ts",
         batch_id=0,
