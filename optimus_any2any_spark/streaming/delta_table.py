@@ -1730,6 +1730,7 @@ def _apply_merge_clauses(
     when_not_matched_by_source: list | None,
     want_changes: bool = False,
     when_not_matched: list | None = None,
+    carry_cols: tuple | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Conditional-MERGE row algebra (delta-spark's
     whenMatchedUpdate / whenMatchedDelete /
@@ -1751,7 +1752,15 @@ def _apply_merge_clauses(
     row set (``_change_type`` ∈ update_preimage / update_postimage /
     delete / insert; pass-through rows emit nothing) — the joined
     frame is checkpointed once so the derived frames share one
-    evaluation instead of re-running the join per change type."""
+    evaluation instead of re-running the join per change type.
+
+    ``carry_cols=(id_col, version_col)`` threads ROW TRACKING / ROW
+    LINEAGE through the algebra: both live on ``cur``; kept target
+    rows carry the id verbatim (updates too — the lineage contract),
+    the version column nulls on update-clause rows (deriving to the
+    new add's commit version / data sequence) and carries otherwise,
+    and insert rows get null ids (fresh from the new files'
+    reservations). CDF rows stay lineage-free."""
     wm = list(when_matched or [])
     nm = list(when_not_matched_by_source or [])
     t = cur.alias("t")
@@ -1814,9 +1823,19 @@ def _apply_merge_clauses(
     if upd_n:
         upd = upd | nidx.isin(upd_n)
 
+    carry_sel: list[Column] = []
+    if carry_cols is not None:
+        id_c, cv_c = carry_cols
+        carry_sel = [
+            F.col(f"t.{id_c}").alias(id_c),
+            F.when(upd, F.lit(None).cast("long"))
+            .otherwise(F.col(f"t.{cv_c}"))
+            .alias(cv_c),
+        ]
     base = j.select(
         *vals,  # post-clause values under the data_col names
         F.col("t.__pid").alias("__pid"),
+        *carry_sel,
         *[F.col(f"t.{c}").alias(f"__old_{c}") for c in data_cols],
         keep.alias("__keep"),
         upd.alias("__upd"),
@@ -1825,7 +1844,8 @@ def _apply_merge_clauses(
         # four consumers below — evaluate the join once
         base = base.localCheckpoint(eager=True)
     target_rows = base.filter(F.col("__keep")).select(
-        *data_cols, "__pid"
+        *data_cols, "__pid",
+        *([carry_cols[0], carry_cols[1]] if carry_cols else []),
     )
 
     inserts = (
@@ -1846,6 +1866,10 @@ def _apply_merge_clauses(
             {c: cur.schema[c].dataType for c in data_cols},
             when_not_matched,
         )
+    if carry_cols is not None:
+        inserts = inserts.withColumn(
+            carry_cols[0], F.lit(None).cast("long")
+        ).withColumn(carry_cols[1], F.lit(None).cast("long"))
     out = target_rows.unionByName(inserts)
     if not want_changes:
         return out, None
@@ -1865,7 +1889,10 @@ def _apply_merge_clauses(
         .select(*old_sel, "__pid")
         .withColumn("_change_type", F.lit("delete"))
     )
-    ins_c = inserts.withColumn("_change_type", F.lit("insert"))
+    ins_c = inserts
+    if carry_cols is not None:  # CDF rows are logical
+        ins_c = ins_c.drop(*carry_cols)
+    ins_c = ins_c.withColumn("_change_type", F.lit("insert"))
     changes = (
         pre.unionByName(post).unionByName(dele).unionByName(ins_c)
     )
@@ -1958,11 +1985,6 @@ def merge_delta_batch(
     phys, mapped, pfields = _phys_of(state["meta"])
     rt = _row_tracking_of(state["meta"])
     if rt is not None:
-        if conditional:
-            raise NotImplementedError(
-                "delta merge: conditional clauses on a row-tracking "
-                "table are beyond this writer"
-            )
         if merge_schema:
             raise NotImplementedError(
                 "delta merge: merge_schema on a row-tracking table "
@@ -2326,12 +2348,14 @@ def merge_delta_batch(
         touch = F.col(f"cur.{key_col}").eqNullSafe(F.col("__bk")) & (
             F.col("cur.__pid") == F.col("__bpid")
         )
-        if rt is not None:
+        if rt is not None and not conditional:
             # row tracking's UPDATE contract: a batch row replacing a
             # matched target row KEEPS that row's id (and takes this
             # commit's version — a null materialized cv derives from
             # the new add's defaultRowCommitVersion); unmatched batch
-            # rows insert with null id (fresh from baseRowId + pos)
+            # rows insert with null id (fresh from baseRowId + pos).
+            # (The CONDITIONAL path carries lineage inside the clause
+            # algebra itself — carry_cols below.)
             cur_ids = cur.select(
                 F.col(key_col).alias("__ck"),
                 F.col("__pid").alias("__cpid"),
@@ -2356,6 +2380,9 @@ def merge_delta_batch(
                 when_matched, when_not_matched_by_source,
                 want_changes=change_data,
                 when_not_matched=when_not_matched,
+                carry_cols=(
+                    ("__rt_id", "__rt_cv") if rt is not None else None
+                ),
             )
             # UPDATE SET mints NEW values — constraints must gate them
             # too (pass-through and insert rows re-check for free;

@@ -530,12 +530,6 @@ def merge_iceberg_batch(
         or when_not_matched is not None
     )
     if conditional:
-        if lineage:
-            raise NotImplementedError(
-                "iceberg merge: conditional clauses on a row-lineage "
-                "table are beyond this writer (the clause algebra "
-                "does not thread lineage columns)"
-            )
         from optimus_any2any_spark.streaming.delta_table import (
             _validate_merge_clauses,
         )
@@ -1016,6 +1010,11 @@ def merge_iceberg_batch(
                 cur_p, latest_p, key_col, list(schema.fieldNames()),
                 when_matched, when_not_matched_by_source,
                 when_not_matched=when_not_matched,
+                carry_cols=(
+                    ("_row_id", "_last_updated_sequence_number")
+                    if lineage
+                    else None
+                ),
             )
         else:
             bk = latest_p.select(

@@ -107,18 +107,26 @@ class TestAssignment:
         with pytest.raises(ValueError, match="row tracking"):
             read_delta_row_tracking(spark, t)
 
-    def test_conditional_merge_refuses(self, spark, tmp_path):
+    def test_conditional_merge_carries_lineage(self, spark, tmp_path):
         t = str(tmp_path / "t")
         _mk(spark, t)
-        with pytest.raises(NotImplementedError, match="row-tracking"):
-            merge_delta_batch(
-                spark,
-                spark.createDataFrame(
-                    [(1, "x", 1)], "k long, v string, ts long"
-                ),
-                t, "k", "ts",
-                when_matched=[("delete", None)],
-            )
+        batch = spark.createDataFrame(
+            [(1, "DEL", 1), (2, "UPD", 1), (9, "INS", 1)],
+            "k long, v string, ts long",
+        )
+        merge_delta_batch(
+            spark, batch, t, "k", "ts", batch_id=1,
+            when_matched=[
+                ("delete", "s.v = 'DEL'"),
+                ("update", None, {"v": "s.v"}),
+            ],
+        )
+        got = _rt(spark, t)
+        # k=1 deleted; k=2 updated KEEPS id 1 at the new version;
+        # k=3 passes through untouched... but its file was rewritten,
+        # so it carries (id, cv) materialized; k=9 inserts fresh
+        assert got[:2] == [(2, 1, 2), (3, 2, 1)]
+        assert got[2][0] == 9 and got[2][1] >= 3 and got[2][2] == 2
 
 
 class TestRewritesPreserve:

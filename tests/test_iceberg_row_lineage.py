@@ -182,18 +182,29 @@ class TestComposition:
             (2, 1)
         ]
 
-    def test_conditional_merge_refuses_on_lineage(
-        self, spark, tmp_path
-    ):
+    def test_conditional_merge_carries_lineage(self, spark, tmp_path):
         t = str(tmp_path / "t")
         write_iceberg_commit(
-            _one_file(spark, [(1, "a", 0)]), t, row_lineage=True
+            _one_file(
+                spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]
+            ),
+            t, row_lineage=True,
         )
-        with pytest.raises(NotImplementedError, match="row-lineage"):
-            merge_iceberg_batch(
-                spark, _one_file(spark, [(1, "z", 1)]), t, "k", "ts",
-                when_matched=[("delete", None)],
-            )
+        batch = _one_file(
+            spark, [(1, "DEL", 1), (2, "UPD", 1), (9, "INS", 1)]
+        )
+        merge_iceberg_batch(
+            spark, batch, t, "k", "ts", batch_id=0,
+            when_matched=[
+                ("delete", "s.v = 'DEL'"),
+                ("update", None, {"v": "s.v"}),
+            ],
+        )
+        got = _lineage(spark, t)
+        # k=1 delete-clause; k=2 update KEEPS its id at the new seq;
+        # k=3 pass-through carries (id, seq) materialized; k=9 fresh
+        assert got[:2] == [(2, 1, 2), (3, 2, 1)]
+        assert got[2][0] == 9 and got[2][1] >= 3 and got[2][2] == 2
 
     def test_compaction_materializes_and_preserves_ids(
         self, spark, tmp_path
