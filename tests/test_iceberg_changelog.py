@@ -198,6 +198,37 @@ class TestRewriteChanges:
         assert "_change_type" in df.columns
 
 
+class TestLineageComposition:
+    def test_changelog_over_row_lineage_table(self, spark, tmp_path):
+        # lineage tables' rewritten files carry materialized lineage
+        # columns — the changelog's schema-bound reads ignore them,
+        # and the net step still cancels carried rows by value
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            update_iceberg_where,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _df(spark, [(1, "a", 0), (2, "b", 0)])
+            .repartitionByRange(1, "k")
+            .sortWithinPartitions("k"),
+            t,
+            row_lineage=True,
+        )
+        merge_iceberg_batch(
+            spark, _df(spark, [(2, "B", 1)]), t, "k", "ts", batch_id=0
+        )
+        update_iceberg_where(spark, t, {"v": "'C'"}, where="k = 1")
+        got = _changes(spark, t)
+        tail = [g for g in got if g[0] >= 1]
+        assert tail == [
+            (1, "DELETE", 2, "b"),
+            (1, "INSERT", 2, "B"),
+            (2, "DELETE", 1, "a"),
+            (2, "INSERT", 1, "C"),
+        ]
+
+
 class TestSourceRider:
     def test_changes_source(self, spark, tmp_path):
         from optimus_any2any_spark.config import Config
