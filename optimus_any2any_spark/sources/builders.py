@@ -502,6 +502,14 @@ def delta_source(spark: SparkSession, cfg: Config) -> DataFrame:
         from optimus_any2any_spark.sources.delta import delta_history
 
         return delta_history(spark, path)
+    if (cfg.get("DELTA__ROW_TRACKING") or "").lower() == "true":
+        # ROW TRACKING read: _row_id / _row_commit_version appended
+        # (the ICEBERG__ROW_LINEAGE twin)
+        from optimus_any2any_spark.sources.delta import (
+            read_delta_row_tracking,
+        )
+
+        return read_delta_row_tracking(spark, path)
     cdf_from = cfg.get("DELTA__CDF_FROM")
     app_from = cfg.get("DELTA__APPENDS_FROM")
     if cdf_from is not None or app_from is not None:

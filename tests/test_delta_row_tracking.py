@@ -239,6 +239,22 @@ class TestDurability:
         )
         assert kinds == ["insert", "update_postimage", "update_preimage"]
 
+    def test_source_rider(self, spark, tmp_path):
+        from optimus_any2any_spark.config import Config
+        from optimus_any2any_spark.sources.builders import delta_source
+
+        t = str(tmp_path / "t")
+        _mk(spark, t)
+        cfg = Config.from_env(
+            env_args=[
+                f"DELTA__SOURCE_URI=file://{t}",
+                "DELTA__ROW_TRACKING=true",
+            ],
+            environ={},
+        )
+        rows = delta_source(spark, cfg).collect()
+        assert sorted(r._row_id for r in rows) == [0, 1, 2]
+
     def test_time_travel_lineage(self, spark, tmp_path):
         t = str(tmp_path / "t")
         _mk(spark, t)
