@@ -2049,6 +2049,19 @@ def write_iceberg_commit(
             )
         ),
         "default-spec-id": 0,
+        # spec-required sort-order metadata: order 0 = unsorted; a
+        # compaction with key_col appends a real order (and preserves
+        # whatever orders the table already declared)
+        "sort-orders": (
+            prev.get("sort-orders")
+            if prev is not None and prev.get("sort-orders")
+            else [{"order-id": 0, "fields": []}]
+        ),
+        "default-sort-order-id": (
+            prev.get("default-sort-order-id", 0)
+            if prev is not None
+            else 0
+        ),
         "properties": (prev.get("properties") if prev else None) or {},
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots,

@@ -143,6 +143,10 @@ MANIFEST_ENTRY_SCHEMA = {
                      "default": None, "field-id": 125},
                     {"name": "upper_bounds", "type": _BOUNDS,
                      "default": None, "field-id": 128},
+                    # the sort order the file was written under
+                    # (spec data_file field 140)
+                    {"name": "sort_order_id", "type": ["null", "int"],
+                     "default": None, "field-id": 140},
                     # v3 row lineage (spec data_file field 142)
                     {"name": "first_row_id", "type": ["null", "long"],
                      "default": None, "field-id": 142},
@@ -2733,6 +2737,10 @@ def compact_iceberg(
             out_df = out_df.coalesce(n_files)
         if zorder_by:
             out_df = out_df.sortWithinPartitions("__zv").drop("__zv")
+        elif key_col is not None:
+            # the declared sort order must be TRUE within each file,
+            # not an artifact of range-partition concatenation
+            out_df = out_df.sortWithinPartitions(key_col)
         out_df.write.mode("overwrite").parquet(tmp)
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
@@ -2756,6 +2764,8 @@ def compact_iceberg(
             out_df = out_df.sortWithinPartitions(
                 "__pid", "__zv"
             ).drop("__zv")
+        elif key_col is not None:
+            out_df = out_df.sortWithinPartitions("__pid", key_col)
         (
             out_df
             .write.partitionBy("__pid")
@@ -2790,6 +2800,36 @@ def compact_iceberg(
             spark, table_path, new_rel, key_col,
             ice_t if key_col is not None else None,
         )
+
+    # declared SORT ORDER (spec §Sort Orders): a key_col compaction
+    # writes files truly sorted by the key, so the table declares
+    # (or reuses) the matching identity-asc order and the new entries
+    # stamp its id — real clients can then plan merge-sorted reads
+    sort_oid = None
+    if key_col is not None and not zorder_by:
+        orders = list(
+            meta.get("sort-orders") or [{"order-id": 0, "fields": []}]
+        )
+        want = [
+            {
+                "transform": "identity",
+                "source-id": fid,
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        ]
+        ex = next(
+            (o for o in orders if o.get("fields") == want), None
+        )
+        if ex is None:
+            sort_oid = max(int(o["order-id"]) for o in orders) + 1
+            orders = orders + [
+                {"order-id": sort_oid, "fields": want}
+            ]
+        else:
+            sort_oid = int(ex["order-id"])
+        meta["sort-orders"] = orders
+        meta["default-sort-order-id"] = sort_oid
 
     new_entries = []
     lin_next = int(meta["next-row-id"]) if lineage else None
@@ -2845,6 +2885,7 @@ def compact_iceberg(
             df_entry["upper_bounds"] = (
                 [{"key": fid, "value": b_hi}] if b_hi is not None else None
             )
+            df_entry["sort_order_id"] = sort_oid
         new_entries.append(
             {
                 "status": _ST_ADDED,

@@ -741,3 +741,98 @@ class TestMetadataTables:
         df = SOURCE_BUILDERS["ICEBERG"](spark, cfg)
         assert df.count() == 3
         assert "snapshot_id" in df.columns
+
+
+class TestSortOrders:
+    def test_fresh_table_declares_unsorted_order_zero(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]), t)
+        meta = load_table_metadata(t)
+        assert meta["sort-orders"] == [{"order-id": 0, "fields": []}]
+        assert meta["default-sort-order-id"] == 0
+
+    def test_keyed_compaction_declares_and_stamps_order(
+        self, spark, tmp_path
+    ):
+        import pyarrow.parquet as pq
+
+        from optimus_any2any_spark.formats.avrobin import read_container
+        from optimus_any2any_spark.sources.iceberg import (
+            _localize,
+            _snapshot_entries,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _kv(spark, [(3, "c", 0), (1, "a", 0)]), t
+        )
+        write_iceberg_commit(
+            _kv(spark, [(2, "b", 0), (4, "d", 0)]), t
+        )
+        assert compact_iceberg(
+            spark, t, target_rows_per_file=1000, key_col="k"
+        )
+        meta = load_table_metadata(t)
+        fid = next(
+            f["id"]
+            for f in meta["schemas"][0]["fields"]
+            if f["name"] == "k"
+        )
+        declared = next(
+            o for o in meta["sort-orders"] if o["order-id"] != 0
+        )
+        assert declared["fields"] == [
+            {
+                "transform": "identity",
+                "source-id": fid,
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+        ]
+        assert meta["default-sort-order-id"] == declared["order-id"]
+        # the manifest entries stamp the order id AND the file bytes
+        # really are key-sorted (the declaration must be TRUE)
+        data, _p, _e = _snapshot_entries(t, meta)
+        compacted = [d for d in data if "compact" in d["orig"]]
+        assert compacted
+        snap = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, mls = read_container(_localize(t, snap["manifest-list"]))
+        stamped = []
+        for m in mls:
+            _, entries = read_container(
+                _localize(t, m["manifest_path"])
+            )
+            for e in entries:
+                df_ = e["data_file"]
+                if "compact" in df_["file_path"]:
+                    stamped.append(df_.get("sort_order_id"))
+                    ks = pq.read_table(
+                        _localize(t, df_["file_path"]),
+                        columns=["k"],
+                    ).column(0).to_pylist()
+                    assert ks == sorted(ks)
+        assert stamped and all(
+            s == declared["order-id"] for s in stamped
+        )
+
+    def test_compaction_reuses_declared_order(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]), t)
+        write_iceberg_commit(_kv(spark, [(2, "b", 0)]), t)
+        compact_iceberg(spark, t, target_rows_per_file=1000, key_col="k")
+        first = load_table_metadata(t)["default-sort-order-id"]
+        write_iceberg_commit(_kv(spark, [(3, "c", 0)]), t)
+        write_iceberg_commit(_kv(spark, [(4, "d", 0)]), t)
+        compact_iceberg(spark, t, target_rows_per_file=1000, key_col="k")
+        meta = load_table_metadata(t)
+        assert meta["default-sort-order-id"] == first
+        assert (
+            len([o for o in meta["sort-orders"] if o["order-id"] != 0])
+            == 1
+        )
