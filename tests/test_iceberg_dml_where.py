@@ -322,6 +322,31 @@ class TestUpdateWhere:
         ]
 
 
+class TestDeleteSourceMix:
+    def test_update_where_over_dv_deleted_file(self, spark, tmp_path):
+        # a v3 DV already erases rows of the touched file; the UPDATE
+        # must not resurrect them, must not re-delete them, and its
+        # parquet positional deletes must coexist with the DV on read
+        t = str(tmp_path / "t")
+        _mk(spark, t)
+        delete_iceberg_keys(
+            spark, t, "k",
+            spark.createDataFrame([(3,)], "k long"),
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_positions,
+        )
+
+        delete_iceberg_positions(
+            spark, t, "k", spark.createDataFrame([(4,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        update_iceberg_where(
+            spark, t, {"val": "val * 100"}, where="k <= 2"
+        )
+        assert _rows(spark, t) == [(1, "a", 1000), (2, "b", 2000)]
+
+
 class TestSinkRiders:
     def _run(self, spark, tmp_path, t, extra):
         from optimus_any2any_spark.config import Config
