@@ -308,20 +308,34 @@ def main() -> None:
             except Exception as e:  # spot-run must never sink the bench
                 print(f"# 10x spot-run skipped: {e}", file=sys.stderr)
 
+        # side-channel detail goes to stderr — the driver tail-captures
+        # stdout with a bounded window, and the r10 headline line was
+        # front-truncated (parsed: null) when oracle_only + sf1_spot
+        # rode on it; keep the stdout line to the contract fields only,
+        # compact separators, 2-decimal times
         print(
-            json.dumps(
+            "# detail "
+            + json.dumps(
                 {
-                    "metric": "headline_queries_total_sec",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": times,
-                    "sf": sf,
                     "oracle_only": sorted(oracle_only),
                     "sf1_spot": {
                         "sf": (sf * 10) if sf else None,
                         "queries": sf1_times,
                     },
                 }
+            ),
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_sec",
+                    "value": round(total, 2),
+                    "unit": "sec",
+                    "queries": {n: round(t, 2) for n, t in times.items()},
+                    "sf": sf,
+                },
+                separators=(",", ":"),
             )
         )
     finally:

@@ -226,7 +226,7 @@ def delta_partitioned_merge(spark, sf_dir):
     )
     SELECT k % 7 AS k_mod, COUNT(*) AS n_rows,
            {o_dsum('price')} AS sum_price,
-           SUM(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS n_upd
+           CAST(SUM(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
     FROM result GROUP BY k % 7 ORDER BY k_mod
     """,
     doc="CONDITIONAL Delta MERGE clauses (VERDICT r9 item 5 — "
@@ -1073,7 +1073,7 @@ def iceberg_changelog_read(spark, sf_dir):
     live AS (SELECT * FROM all_rows WHERE k % 5 <> 0)
     SELECT last_seq,
            COUNT(*) AS n_rows,
-           SUM(rid) AS sum_rid,
+           CAST(SUM(rid) AS BIGINT) AS sum_rid,
            {o_dsum('price')} AS sum_price
     FROM live GROUP BY last_seq ORDER BY last_seq
     """,
@@ -1792,7 +1792,7 @@ def iceberg_spec_evolution_merge(spark, sf_dir):
     )
     SELECT k % 7 AS k_mod, COUNT(*) AS n_rows,
            {o_dsum('price')} AS sum_price,
-           SUM(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS n_upd
+           CAST(SUM(CASE WHEN status = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
     FROM result GROUP BY k % 7 ORDER BY k_mod
     """,
     doc="CONDITIONAL Iceberg MERGE clauses — the Delta clause "
@@ -2114,7 +2114,7 @@ def iceberg_update_where(spark, sf_dir):
     final AS (SELECT * FROM upd WHERE k % 9 <> 0)
     SELECT cv AS commit_version,
            COUNT(*) AS n_rows,
-           SUM(rid) AS sum_rid,
+           CAST(SUM(rid) AS BIGINT) AS sum_rid,
            {o_dsum('price')} AS sum_price
     FROM final GROUP BY cv ORDER BY cv
     """,

@@ -33,6 +33,20 @@ def assert_frames_match(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
     assert len(s) == len(o), f"{name}: row count spark={len(s)} oracle={len(o)}"
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        # The driver hashes TEXTUAL reprs, so an integer column on one side
+        # and a floating column on the other (e.g. DuckDB HUGEINT -> float64
+        # via duckdb.df()) hash-mismatches even when values are equal:
+        # 310 != 310.0. Fail dtype-strictly BEFORE any float coercion.
+        s_int = np.issubdtype(sv.dtype, np.integer)
+        o_int = np.issubdtype(ov.dtype, np.integer)
+        s_flt = np.issubdtype(sv.dtype, np.floating)
+        o_flt = np.issubdtype(ov.dtype, np.floating)
+        if (s_int and o_flt) or (s_flt and o_int):
+            raise AssertionError(
+                f"{name}: col {c} dtype split spark={sv.dtype} oracle={ov.dtype} "
+                f"— the driver's textual hash treats 310 != 310.0; "
+                f"CAST the oracle (or the Spark column) so both sides agree"
+            )
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
             sv = sv.astype("float64")
             ov = ov.astype("float64")
@@ -70,6 +84,28 @@ def test_harness_catches_negative_zero():
 
 
 QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_no_hugeint_columns(name, duck):
+    """DESCRIBE-sweep every registered oracle for HUGEINT output columns.
+
+    DuckDB types SUM(<integer>) as HUGEINT, which duckdb.df() materializes
+    as float64 — so the driver's textual hash compares 310.0 against
+    Spark's 310 (bigint) and fails even though values match (the round-10
+    red-row class). Planning is enough to catch it: DESCRIBE never
+    executes, so the sweep is cheap and runs on every oracle.
+    """
+    q = QUERIES[name]
+    if q.oracle is None:
+        pytest.skip("rows-only query, no oracle SQL")
+    desc = duck.execute(f"DESCRIBE {q.oracle}").fetchall()
+    bad = [(col, typ) for col, typ, *_ in desc if "HUGEINT" in typ.upper()]
+    assert not bad, (
+        f"{name}: oracle emits HUGEINT column(s) {bad} — duckdb.df() turns "
+        f"these into float64 and the driver hash fails vs Spark bigint; "
+        f"wrap in CAST(... AS BIGINT)"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
