@@ -1278,6 +1278,244 @@ def _pos_delete_referenced_paths(
     return refs
 
 
+# changelog windows cut lineage (localCheckpoint) once this many
+# unioned pieces accumulate — each snapshot contributes at most two
+_CHANGELOG_CHECKPOINT_EVERY = 16
+
+
+def _eq_delete_key_ranges(
+    eq_entries: list[dict], cols: list[str]
+) -> list[dict | None]:
+    """Per equality-delete entry, the key range its parquet FOOTER
+    stats prove it can touch: ``{col: (min, max) | None}`` (None =
+    no provable bound for that column → full range). Footer-only
+    reads, no Spark job. An unreadable footer yields ``None`` for the
+    whole entry (conservative: touches everything). Parquet truncated
+    binary stats remain valid bounds (min truncated down, max
+    incremented up), so pruning against them never loses a match."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return [None] * len(eq_entries)
+    out: list[dict | None] = []
+    for ent in eq_entries:
+        path = ent["path"]
+        local = path[7:] if path.startswith("file://") else path
+        try:
+            md = pq.read_metadata(local)
+        except Exception:
+            out.append(None)
+            continue
+        names = list(md.schema.names)
+        ranges: dict = {}
+        for c in cols:
+            if c not in names:
+                ranges[c] = None
+                continue
+            ci = names.index(c)
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            ranges[c] = (lo, hi) if ok and lo is not None else None
+        out.append(ranges)
+    return out
+
+
+def _prune_eq_candidates(
+    meta: dict, survivors: list[dict], new_eq: list[dict]
+) -> list[dict]:
+    """The surviving prior data files a set of NEW equality-delete
+    files can actually shrink: sequence-gated (a delete applies only
+    when its seq > the data file's) and bounds-pruned — a data file
+    whose Appendix-D bounds for the equality columns are provably
+    disjoint from every new delete file's footer-stat key range
+    cannot lose a row. Undecodable bounds on either side keep the
+    file (conservative). This is what makes the changelog's
+    equality-delete branch O(files the keys touch), not O(table)."""
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        decode_bound,
+    )
+
+    fields = {
+        f["name"]: f for f in _current_schema(meta)["fields"]
+    }
+    by_id = {int(f["id"]): f["name"] for f in fields.values()}
+
+    # group the new delete entries by equality column set; resolve
+    # each set's footer key ranges once
+    groups: dict[tuple, list[dict]] = {}
+    for e in new_eq:
+        groups.setdefault(tuple(sorted(e["equality_ids"])), []).append(e)
+    ranged: list[tuple[list[str], list[dict], list[dict | None]]] = []
+    for ids, ents in groups.items():
+        try:
+            cols = [by_id[i] for i in ids]
+        except KeyError:
+            # unknown equality field: cannot reason about bounds
+            return list(survivors)
+        ranged.append((cols, ents, _eq_delete_key_ranges(ents, cols)))
+
+    def _kv(pairs, key):
+        for p in pairs or []:
+            if int(p["key"]) == key:
+                return p["value"]
+        return None
+
+    def _file_bounds(d: dict, col: str):
+        f = fields.get(col)
+        if f is None or not isinstance(f["type"], str):
+            return None
+        blo = _kv(d.get("lower_bounds"), int(f["id"]))
+        bhi = _kv(d.get("upper_bounds"), int(f["id"]))
+        if blo is None or bhi is None:
+            return None
+        try:
+            vlo = decode_bound(f["type"], blo)
+            vhi = decode_bound(f["type"], bhi)
+        except Exception:
+            return None
+        if vlo is None or vhi is None:
+            return None
+        return (vlo, vhi)
+
+    kept: list[dict] = []
+    for d in survivors:
+        touched = False
+        for cols, ents, rngs in ranged:
+            for ent, rng in zip(ents, rngs):
+                if ent["seq"] <= d["seq"]:
+                    continue  # sequence-gated: cannot apply
+                if rng is None:
+                    touched = True
+                    break
+                overlap = True
+                for c in cols:
+                    kr = rng.get(c)
+                    fb = _file_bounds(d, c)
+                    if kr is None or fb is None:
+                        continue  # no provable bound: may overlap
+                    try:
+                        if kr[0] > fb[1] or kr[1] < fb[0]:
+                            overlap = False
+                            break
+                    except TypeError:
+                        continue  # incomparable types: keep
+                if overlap:
+                    touched = True
+                    break
+            if touched:
+                break
+        if touched:
+            kept.append(d)
+    return kept
+
+
+def _eq_deleted_rows(
+    spark: SparkSession,
+    meta: dict,
+    schema,
+    candidates: list[dict],
+    prev_pos: list[dict],
+    prev_eq: list[dict],
+    new_eq: list[dict],
+) -> DataFrame | None:
+    """Rows the NEW equality-delete files erase, computed DIRECTLY: the
+    prior-state before-image of the candidate files (prior deletes
+    applied — already-deleted rows never re-report) semi-joined
+    against the new delete files' key sets, sequence-gated
+    (``eseq > dseq``). One scan of the candidate files per equality
+    column set — no full-table before/after ``exceptAll``. With
+    several column sets, each set consumes the rows the earlier sets
+    did not match, so a row matching two sets reports once."""
+    from pyspark.sql import functions as F
+
+    if not candidates or not new_eq:
+        return None
+    before = read_entries_with_deletes(
+        spark,
+        meta,
+        schema,
+        candidates,
+        prev_pos,
+        prev_eq,
+        position_cols=("__cl_path", "__cl_pos"),
+    ).drop("__cl_pos")
+    slk = spark.createDataFrame(
+        [(d["orig"], d["seq"]) for d in candidates],
+        "__cl_path string, __cl_dseq long",
+    )
+    before = before.join(F.broadcast(slk), "__cl_path", "inner").drop(
+        "__cl_path"
+    )
+
+    by_id = {
+        int(f["id"]): f["name"] for f in _current_schema(meta)["fields"]
+    }
+    sets: dict[tuple, list[dict]] = {}
+    for d in new_eq:
+        ids = tuple(sorted(d["equality_ids"]))
+        if not ids:
+            raise NotImplementedError(
+                "iceberg changelog: equality delete file without "
+                "equality_ids"
+            )
+        sets.setdefault(ids, []).append(d)
+
+    pieces: list[DataFrame] = []
+    remaining = before
+    items = sorted(sets.items())
+    for si, (ids, dels) in enumerate(items):
+        try:
+            cols = [by_id[i] for i in ids]
+        except KeyError as e:
+            raise NotImplementedError(
+                f"iceberg changelog: equality delete on unknown "
+                f"field id {e}"
+            ) from None
+        eq_schema = T.StructType(
+            [T.StructField(c, schema[c].dataType, True) for c in cols]
+        )
+        edel = (
+            spark.read.schema(eq_schema)
+            .parquet(*[d["path"] for d in dels])
+            .select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__ebn"),
+            )
+        )
+        elk = spark.createDataFrame(
+            [(_basename(d["orig"]), d["seq"]) for d in dels],
+            "__ebn string, __eseq long",
+        )
+        edel = edel.join(F.broadcast(elk), "__ebn", "inner").drop(
+            "__ebn"
+        )
+        cond = F.col("__eseq") > F.col("d.__cl_dseq")
+        for c in cols:
+            cond = cond & F.col(f"d.{c}").eqNullSafe(
+                F.col(f"__eq_{c}")
+            )
+        pieces.append(
+            remaining.alias("d").join(edel, cond, "left_semi")
+        )
+        if si + 1 < len(items):
+            remaining = remaining.alias("d").join(
+                edel, cond, "left_anti"
+            )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(*schema.fieldNames())
+
+
 def read_iceberg_changes(
     spark: SparkSession,
     table_path: str,
@@ -1301,8 +1539,11 @@ def read_iceberg_changes(
       same-snapshot deletes applied) as INSERTs.
     - ``delete`` snapshots (merge-on-read DML) evaluate only the NEW
       delete files against the prior state — positional/DV deletes
-      prune to their referenced data files; already-deleted rows
-      never re-report (the before-image applies the prior deletes).
+      prune to their referenced data files; equality deletes
+      sequence-gate + bounds-prune candidate files against the delete
+      files' footer key ranges and semi-join the keys directly (no
+      full-table before/after); already-deleted rows never re-report
+      (the before-image applies the prior deletes).
     - ``overwrite`` / ``rollback`` snapshots NET the two sides
       (``exceptAll`` both ways), so a copy-on-write rewrite that
       carries 990 of 1000 rows unchanged reports only the 10 real
@@ -1386,13 +1627,11 @@ def read_iceberg_changes(
         )
 
         # the files whose VISIBLE rows can have shrunk: removed files,
-        # plus surviving files a new delete file can touch
+        # plus surviving files a new positional delete references
+        # (equality deletes are evaluated DIRECTLY below — never via a
+        # full-table before/after)
         affected = list(removed_data)
-        if new_eq:
-            # equality deletes: sequence-gated against every earlier
-            # file — conservative: all surviving prior files
-            affected += [e for e in prev_d if e["orig"] in cur_orig]
-        elif new_pos:
+        if new_pos:
             refs = _pos_delete_referenced_paths(new_pos)
             if refs is None:
                 affected += [e for e in prev_d if e["orig"] in cur_orig]
@@ -1403,11 +1642,11 @@ def read_iceberg_changes(
                     if e["orig"] in cur_orig and e["orig"] in refs
                 ]
         dels = None
+        aff_orig = {e["orig"] for e in affected}
         if affected:
             before = read_entries_with_deletes(
                 spark, meta, schema, affected, prev_p, prev_e
             )
-            aff_orig = {e["orig"] for e in affected}
             after_files = [e for e in cur_d if e["orig"] in aff_orig]
             if after_files:
                 after = read_entries_with_deletes(
@@ -1416,6 +1655,30 @@ def read_iceberg_changes(
                 dels = before.exceptAll(after)
             else:
                 dels = before
+        if new_eq:
+            # new equality deletes: evaluate the keys directly against
+            # the prior state — candidate files are sequence-gated and
+            # bounds-pruned against the delete files' footer key
+            # ranges, then a seq-gated semi-join emits the erased
+            # rows. IO stays O(files the keys touch), never O(table).
+            # Files already in `affected` are covered by the
+            # before/after diff above (whose after-image applies the
+            # new eq deletes too), so they are excluded here.
+            survivors = [
+                e
+                for e in prev_d
+                if e["orig"] in cur_orig and e["orig"] not in aff_orig
+            ]
+            cand = _prune_eq_candidates(meta, survivors, new_eq)
+            eq_dels = _eq_deleted_rows(
+                spark, meta, schema, cand, prev_p, prev_e, new_eq
+            )
+            if eq_dels is not None:
+                dels = (
+                    eq_dels
+                    if dels is None
+                    else dels.unionByName(eq_dels)
+                )
 
         if op in ("overwrite", "rollback") and ins is not None \
                 and dels is not None:
@@ -1429,6 +1692,15 @@ def read_iceberg_changes(
             pieces.append(_tag(ins, "INSERT", ordinal, s_id))
         if dels is not None:
             pieces.append(_tag(dels, "DELETE", ordinal, s_id))
+        # bound plan growth: a long-history window otherwise builds one
+        # giant union/exceptAll chain whose analysis cost is linear in
+        # snapshot count — cut lineage every K pieces so a
+        # thousand-commit table stays plannable
+        if len(pieces) >= _CHANGELOG_CHECKPOINT_EVERY:
+            merged = pieces[0]
+            for p in pieces[1:]:
+                merged = merged.unionByName(p)
+            pieces = [merged.localCheckpoint(eager=True)]
         prev_state = cur_state
         prev_id = s_id
 
