@@ -296,6 +296,117 @@ def delta_conditional_merge(spark, sf_dir):
 
 
 @register(
+    "delta_conditional_cdf",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    src AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'O'
+    ),
+    matched AS (
+      SELECT b.k, b.price AS t_price, s.price AS s_price, b.status
+      FROM base b JOIN src s ON b.k = s.k AND b.status = s.status
+    ),
+    changes AS (
+      SELECT 'delete' AS change_type, status, t_price AS price
+      FROM matched WHERE s_price > 150000
+      UNION ALL
+      SELECT 'update_preimage', status, t_price
+      FROM matched WHERE s_price <= 150000
+      UNION ALL
+      SELECT 'update_postimage', status, t_price + s_price
+      FROM matched WHERE s_price <= 150000
+      UNION ALL
+      SELECT 'delete', b.status, b.price FROM base b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM src s WHERE s.k = b.k AND s.status = b.status
+      ) AND b.k % 10 = 1
+      UNION ALL
+      SELECT 'insert', s.status, s.price FROM src s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM base b WHERE b.k = s.k AND b.status = s.status
+      )
+    )
+    SELECT change_type, status, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM changes GROUP BY change_type, status
+    ORDER BY change_type, status
+    """,
+    doc="CDF after a PARTITIONED CONDITIONAL merge (VERDICT r10 "
+    "item 6 — both lifted refusals in one row): a table partitioned "
+    "by o_orderstatus takes one merge whose source touches only the "
+    "'O' partition, with a matched-delete threshold clause, a "
+    "matched-update clause, and a not-matched-by-source delete that "
+    "reaches rows in partitions the batch never touches (minted "
+    "pids), all with change_data=True. The Change Data Feed read "
+    "then aggregates per change type and partition — update-clause "
+    "rows emit pre/post images, both delete flavors emit pre-images "
+    "with their typed partition column re-attached, inserts emit "
+    "insert. The oracle restates the clause algebra + CDF emission "
+    "contract as SQL set operations.",
+)
+def delta_conditional_cdf(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta_cdf
+    from optimus_any2any_spark.streaming.delta_table import (
+        merge_delta_batch,
+    )
+
+    t = _fixture_dir("delta_ccdf", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    v0 = merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000, partition_by=["status"],
+    )
+    src = o.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderstatus") == "O")
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    v1 = merge_delta_batch(
+        spark, src, t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000, change_data=True,
+        when_matched=[
+            ("delete", "s.price > 150000"),
+            ("update", None, {"price": "t.price + s.price"}),
+        ],
+        when_not_matched_by_source=[("delete", "t.k % 10 = 1")],
+    )
+    if v1 <= v0:  # empty inputs: no conditional-merge commit to read
+        return spark.createDataFrame(
+            [],
+            "change_type string, status string, n_rows long, "
+            "sum_price double",
+        )
+    cdf = read_delta_cdf(spark, t, v1 - 1, v1)
+    return (
+        cdf.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("change_type", "status")
+    )
+
+
+@register(
     "delta_update_where",
     oracle=f"""
     WITH base AS (

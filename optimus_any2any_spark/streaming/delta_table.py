@@ -1953,10 +1953,16 @@ def merge_delta_batch(
     row), first matching clause wins, no-clause rows pass through
     UNCHANGED (not upserted), and unmatched source rows always insert
     (whenNotMatchedInsertAll). ``when_not_matched_by_source`` scans
-    every live row by definition, so it is unpartitioned-only (a
-    partitioned full-table clause would defeat the partition-pruned
-    merge contract — refused by name); schema evolution does not
-    compose with clauses yet (refused by name). ``change_data=True``
+    every live row by definition — on a partitioned table that means
+    every live FILE participates (the full scan is inherent to the
+    clause, exactly as delta-spark runs it): files route to their own
+    partition's pid, and live partitions the batch does not touch
+    mint fresh pids whose typed values cast from the log's
+    partitionValues strings (the reader's own typing rule).
+    ``merge_schema=True`` composes with clauses: the batch evolves
+    first, so clause conditions/values may reference the new columns
+    on both sides (pre-evolution target rows read them as null).
+    ``change_data=True``
     composes: update-clause rows emit update_preimage/postimage,
     delete-clause rows emit delete, inserts emit insert, pass-through
     rows emit nothing. The commitInfo records the clause predicates
@@ -1972,11 +1978,6 @@ def merge_delta_batch(
             when_matched, when_not_matched_by_source, key_col,
             when_not_matched=when_not_matched,
         )
-        if merge_schema:
-            raise ValueError(
-                "delta merge: merge_schema does not compose with "
-                "conditional clauses"
-            )
 
     exists = os.path.isdir(_log_dir(table_path))
     state = replay_log(spark, table_path) if exists else {
@@ -2102,13 +2103,6 @@ def merge_delta_batch(
             "delta merge: the merge key cannot be a partition column "
             "(every key group would be a one-row partition)"
         )
-    if when_not_matched_by_source and part_cols:
-        raise NotImplementedError(
-            "delta merge: when_not_matched_by_source scans every "
-            "live row and is unpartitioned-only (a partitioned "
-            "full-table clause would defeat partition pruning)"
-        )
-
     w = Window.partitionBy(key_col, *part_cols).orderBy(
         F.col(ts_col).desc()
     )
@@ -2210,9 +2204,10 @@ def merge_delta_batch(
             for r in krows
         }
 
-    if when_not_matched_by_source and not pstats:
-        # empty source, unpartitioned (enforced above): the clause
-        # pass still needs the one () partition to route through
+    if when_not_matched_by_source and not pstats and not part_cols:
+        # empty source, unpartitioned: the clause pass still needs
+        # the one () partition to route through (a partitioned empty
+        # source routes through minted live-partition pids below)
         pstats = {
             (): {"n": 0, "keys": [], "kmin": None, "kmax": None,
                  "has_null": False}
@@ -2252,22 +2247,46 @@ def merge_delta_batch(
         if hit:
             hit_by_pid[pid_of[pt]] = hit
             hit_paths.extend(e["path"] for e in hit)
+    # the write loop keys partitionValues by pid (minted NMBS pids
+    # have no typed batch tuple)
+    pv_of_pid: dict[int, dict] = {
+        pid_of[pt]: pv_str_of[pt] for pt in ptuples
+    }
+    minted: list[tuple[tuple, int]] = []  # (pv string tuple, pid)
     if when_not_matched_by_source and state["live"]:
         # the clause touches every live row by definition: no file is
-        # prunable (key stats say nothing about NOT-matched rows)
-        entries_all = [
-            _entry_from_add(p, a, phys(key_col))
-            for p, a in sorted(state["live"].items())
-        ]
-        hit_by_pid = {0: entries_all}
-        hit_paths = [e["path"] for e in entries_all]
+        # prunable (key stats say nothing about NOT-matched rows).
+        # Each file routes to ITS OWN partition's pid; live partitions
+        # the batch does not touch mint fresh pids.
+        pid_by_str = {
+            tuple(pv_str_of[pt].get(phys(c)) for c in part_cols):
+                pid_of[pt]
+            for pt in ptuples
+        }
+        next_pid = len(ptuples)
+        hit_by_pid = {}
+        hit_paths = []
+        for pv_key, pairs in sorted(live_by_pv.items(), key=str):
+            pid = pid_by_str.get(pv_key)
+            if pid is None:
+                pid = next_pid
+                next_pid += 1
+                minted.append((pv_key, pid))
+                pv_of_pid[pid] = {
+                    phys(c): v for c, v in zip(part_cols, pv_key)
+                }
+            entries = [
+                _entry_from_add(p, a, phys(key_col)) for p, a in pairs
+            ]
+            hit_by_pid[pid] = entries
+            hit_paths.extend(e["path"] for e in entries)
 
     # attach __pid to batch rows. A batch touching ONE partition
     # (including every unpartitioned merge) needs no routing at all —
     # constant pid, no broadcast join, and (below) a plain write
     # instead of the dynamic-partition write with its per-task sort
     # (~1s on the benched sf0.1 merge).
-    single = len(ptuples) == 1
+    single = len(ptuples) + len(minted) == 1
     if part_cols:
         pid_schema = T.StructType(
             [latest.schema[c] for c in part_cols]
@@ -2278,6 +2297,27 @@ def merge_delta_batch(
         )
     else:
         pid_df = None
+    # constraint re-attachment needs partition values for EVERY pid;
+    # minted pids type their values by casting the log's
+    # partitionValues strings — the reader's own typing rule. Batch
+    # pids keep their exact typed values (pid_df), so batch-row
+    # routing never rides a string round-trip.
+    pid_df_all = pid_df
+    if minted and part_cols:
+        mint_schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in part_cols]
+            + [T.StructField("__pid", T.IntegerType(), False)]
+        )
+        mint_df = spark.createDataFrame(
+            [pv + (pid,) for pv, pid in minted], mint_schema
+        ).select(
+            *[
+                F.col(c).cast(latest.schema[c].dataType).alias(c)
+                for c in part_cols
+            ],
+            "__pid",
+        )
+        pid_df_all = pid_df.unionByName(mint_df)
     if single or not part_cols:
         latest_p = latest.select(*data_cols).withColumn(
             "__pid", F.lit(0).cast("int")
@@ -2394,8 +2434,10 @@ def merge_delta_batch(
             )
 
             merged_ck = merged
-            if pid_df is not None:
-                merged_ck = merged.join(F.broadcast(pid_df), "__pid")
+            if pid_df_all is not None:
+                merged_ck = merged.join(
+                    F.broadcast(pid_df_all), "__pid"
+                )
             _ck(state["meta"], merged_ck.drop("__pid"), "merge")
         else:
             merged = (
@@ -2460,7 +2502,7 @@ def merge_delta_batch(
         if mapped:
             out_df = _to_phys(out_df, data_cols, pfields)
         out_df.write.mode("overwrite").parquet(tmp)
-        pv = pv_str_of[ptuples[0]]
+        pv = pv_of_pid[0]
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
@@ -2481,7 +2523,7 @@ def merge_delta_batch(
         )
         for pdir in sorted(_glob.glob(os.path.join(tmp, "__pid=*"))):
             pid = int(os.path.basename(pdir).split("=", 1)[1])
-            pv = pv_str_of[ptuples[pid]]
+            pv = pv_of_pid[pid]
             for part in sorted(
                 _glob.glob(os.path.join(pdir, "part-*.parquet"))
             ):
@@ -2534,8 +2576,8 @@ def merge_delta_batch(
                 "_change_type", F.lit("insert")
             )
         # re-attach the typed partition columns from the pid lookup
-        if pid_df is not None:
-            changes = changes.join(F.broadcast(pid_df), "__pid")
+        if pid_df_all is not None:
+            changes = changes.join(F.broadcast(pid_df_all), "__pid")
         changes_all = changes.select(*latest.columns, "_change_type")
         if mapped:  # cdc parquet carries physical names, like data
             changes_all = _to_phys(

@@ -542,11 +542,6 @@ def merge_iceberg_batch(
             when_matched, when_not_matched_by_source, key_col,
             when_not_matched=when_not_matched,
         )
-        if when_not_matched_by_source and pspec:
-            raise NotImplementedError(
-                "iceberg merge: when_not_matched_by_source scans "
-                "every live row and is unpartitioned-only"
-            )
         if pspec:
             # a clause assigning a partition SOURCE column would put
             # rewritten rows in files whose manifest tuple disagrees
@@ -665,7 +660,10 @@ def merge_iceberg_batch(
             }
             for r in krows
         }
-    if when_not_matched_by_source and not pstats:
+    if when_not_matched_by_source and not pstats and not pspec:
+        # empty source, unpartitioned: the clause pass still routes
+        # through the one () partition (partitioned tables mint their
+        # pids from the affected rows' transform tuples below)
         pstats = {
             (): {"n": 0, "keys": [], "kmin": None, "kmax": None,
                  "has_null": False}
@@ -936,7 +934,13 @@ def merge_iceberg_batch(
         )
 
     cur0 = None
-    if pspec and has_foreign_hit and hit_entries:
+    if pspec and hit_entries and (
+        has_foreign_hit or when_not_matched_by_source
+    ):
+        # when_not_matched_by_source touches every live row, so rows
+        # may land in current-spec partitions the batch does not
+        # touch — the same pid-space extension partition evolution
+        # needs (one distinct aggregate over the affected rows)
         cur0 = _read_hit_files()
         for r in _with_pvs(cur0).select(*pv_cols).distinct().collect():
             pt = tuple(r[c] for c in pv_cols)

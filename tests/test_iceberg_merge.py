@@ -834,13 +834,6 @@ class TestIcebergConditionalMerge:
         src = spark.createDataFrame(
             [(1, "p1", 1, 1)], "k long, pt string, val long, ts long"
         )
-        with pytest.raises(
-            NotImplementedError, match="unpartitioned-only"
-        ):
-            merge_iceberg_batch(
-                spark, src, t, "k", "ts",
-                when_not_matched_by_source=[("delete", None)],
-            )
         with pytest.raises(ValueError, match="partition source"):
             merge_iceberg_batch(
                 spark, src, t, "k", "ts",
@@ -856,6 +849,58 @@ class TestIcebergConditionalMerge:
             for r in read_iceberg(spark, t).collect()
         )
         assert got == [(1, "p1", 11), (2, "p2", 20)]
+
+    def test_partitioned_nmbs_across_partitions(self, spark, tmp_path):
+        """VERDICT r10 item 6 (Iceberg twin): partitioned
+        not-matched-by-source reaches rows in live partitions the
+        batch never touches via the pid-space extension."""
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "p1", 10, 0), (2, "p1", 20, 0),
+             (3, "p2", 30, 0), (4, "p3", 41, 0)],
+            "k long, pt string, val long, ts long",
+        )
+        merge_iceberg_batch(
+            spark, base, t, "k", "ts", batch_id=0,
+            partition_by=["pt"],
+        )
+        src = spark.createDataFrame(
+            [(1, "p1", 100, 1)], "k long, pt string, val long, ts long"
+        )
+        merge_iceberg_batch(
+            spark, src, t, "k", "ts", batch_id=1,
+            when_matched=[("update", None, {"val": "s.val"})],
+            when_not_matched_by_source=[("delete", "t.val % 2 = 1")],
+        )
+        got = sorted(
+            (r.k, r.pt, r.val)
+            for r in read_iceberg(spark, t).collect()
+        )
+        # k=4 lives in p3, a partition the batch never touched
+        assert got == [(1, "p1", 100), (2, "p1", 20), (3, "p2", 30)]
+
+    def test_partitioned_nmbs_empty_source(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "p1", 10, 0), (3, "p2", 30, 0)],
+            "k long, pt string, val long, ts long",
+        )
+        merge_iceberg_batch(
+            spark, base, t, "k", "ts", batch_id=0,
+            partition_by=["pt"],
+        )
+        empty = spark.createDataFrame(
+            [], "k long, pt string, val long, ts long"
+        )
+        merge_iceberg_batch(
+            spark, empty, t, "k", "ts", batch_id=1,
+            when_not_matched_by_source=[("delete", "t.val >= 30")],
+        )
+        got = sorted(
+            (r.k, r.pt, r.val)
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, "p1", 10)]
 
     def test_insert_only_clause_no_hits(self, spark, tmp_path):
         t = str(tmp_path / "t")
