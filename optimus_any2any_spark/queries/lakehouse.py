@@ -1876,6 +1876,97 @@ def iceberg_spec_evolution_merge(spark, sf_dir):
 
 
 @register(
+    "iceberg_delete_after_evolve",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS k, event_type AS etype, value
+      FROM events WHERE event_id % 3 <> 0
+    ),
+    live AS (
+      SELECT * FROM base WHERE k % 7 <> 0 AND k % 11 <> 3
+    ),
+    src AS (
+      SELECT k, etype, value + 10.0 AS value
+      FROM base WHERE k % 5 = 1
+    ),
+    merged AS (
+      SELECT k, etype, value FROM live WHERE k % 5 <> 1
+      UNION ALL SELECT k, etype, value FROM src
+    )
+    SELECT etype, COUNT(*) AS n_rows, {o_dsum('value')} AS sum_value
+    FROM merged GROUP BY etype ORDER BY etype
+    """,
+    doc="Row-level DELETES after PARTITION EVOLUTION (VERDICT r10 "
+    "item 7 — the delete-writers-compose-with-evolved-specs gate): "
+    "the table is created days(ts)-partitioned, evolved to "
+    "identity(event_type), then takes an EQUALITY delete "
+    "(delete_iceberg_keys — global delete files carry an empty "
+    "partition record stamped under an appended UNPARTITIONED spec, "
+    "never the partitioned default), a DELETION-VECTOR positional "
+    "delete (delete_iceberg_positions use_deletion_vectors=True — "
+    "Puffin blobs against files living under the OLD spec), and a "
+    "latest-wins merge whose source re-inserts some deleted keys "
+    "(sequence gating must keep the re-inserts alive while the "
+    "deletes keep gating older files). The oracle is the same "
+    "delete+upsert algebra grouped by the new partition column.",
+)
+def iceberg_delete_after_evolve(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_keys,
+        delete_iceberg_positions,
+        merge_iceberg_batch,
+        set_iceberg_partition_spec,
+    )
+
+    t = _fixture_dir("iceberg_delevolve", sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value"),
+        F.col("ts"),
+        F.lit(0).cast("long").alias("rts"),
+    )
+    base = ev.filter(F.col("k") % 3 != 0)
+    merge_iceberg_batch(
+        spark, base, t, "k", "rts", batch_id=0,
+        target_rows_per_file=4000, partition_by=["days(ts)"],
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "etype string, n_rows long, sum_value double"
+        )
+    set_iceberg_partition_spec(spark, t, ["etype"])
+    delete_iceberg_keys(
+        spark, t, "k", base.filter(F.col("k") % 7 == 0).select("k")
+    )
+    delete_iceberg_positions(
+        spark, t, "k",
+        base.filter(F.col("k") % 11 == 3).select("k"),
+        use_deletion_vectors=True,
+    )
+    upd = (
+        base.filter(F.col("k") % 5 == 1)
+        .withColumn("value", F.col("value") + F.lit(10.0))
+        .withColumn("rts", F.lit(1).cast("long"))
+    )
+    merge_iceberg_batch(
+        spark, upd, t, "k", "rts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("etype")
+    )
+
+
+@register(
     "iceberg_conditional_merge",
     oracle=f"""
     WITH base AS (

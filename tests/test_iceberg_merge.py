@@ -674,6 +674,53 @@ class TestPartitionEvolution:
         )
         assert got == exp
 
+    def test_eq_delete_after_evolve(self, spark, tmp_path):
+        """VERDICT r10 item 7: a global equality delete on a table
+        whose default spec evolved mid-history — the delete manifest
+        stamps an appended UNPARTITIONED spec, never the partitioned
+        default."""
+        t = str(tmp_path / "t")
+        self._mk_day_table(spark, t)
+        set_iceberg_partition_spec(spark, t, ["etype"])
+        delete_iceberg_keys(
+            spark, t, "k",
+            spark.createDataFrame([(5,), (6,)], "k long"),
+        )
+        got = sorted(r.k for r in read_iceberg(spark, t).collect())
+        assert got == [k for k in range(1, 13) if k not in (5, 6)]
+
+    def test_dv_delete_after_evolve_then_merge(self, spark, tmp_path):
+        """DV positional deletes against old-spec files compose with
+        a later merge; sequence gating keeps a re-inserted key alive
+        while the delete keeps gating the older file."""
+        import datetime
+
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_positions,
+        )
+
+        t = str(tmp_path / "t")
+        self._mk_day_table(spark, t)
+        set_iceberg_partition_spec(spark, t, ["etype"])
+        delete_iceberg_positions(
+            spark, t, "k",
+            spark.createDataFrame([(4,), (8,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        src = spark.createDataFrame(
+            [(4, "d1", -4, datetime.datetime(2024, 1, 2), 1)],
+            "k long, etype string, val long, ts timestamp_ntz, seq long",
+        )
+        merge_iceberg_batch(spark, src, t, "k", "seq", batch_id=1)
+        got = sorted(
+            (r.k, r.val) for r in read_iceberg(spark, t).collect()
+        )
+        exp = sorted(
+            [(k, 10 * k) for k in range(1, 13) if k not in (4, 8)]
+            + [(4, -4)]
+        )
+        assert got == exp
+
     def test_unknown_spec_id_refused(self, spark, tmp_path):
         import json as _json
 
