@@ -3296,6 +3296,141 @@ def _ident(key: str) -> bool:
     return bool(re.fullmatch(r"[A-Za-z_]\w*", key))
 
 
+def _tostream_rows(df: DataFrame) -> DataFrame:
+    """Native ``tostream`` as the FINAL pipe stage (VERDICT r10
+    item 8): the streamed form of each record, one canonical-JSON
+    event text per output row in jq's ``value`` ragged-output
+    representation — exactly the shape the jq-binary path emits for
+    the same program, so the two paths stay interchangeable.
+
+    Probed 1.6 (see tests): events are, in document order,
+    ``[path, leaf]`` for every present leaf — where a LEAF is a
+    scalar OR an empty container (``{"a":{}}`` → ``[["a"],{}]``) —
+    plus a CLOSING event ``[path_of_last_child]`` after each
+    NON-EMPTY container's descendants (top level included:
+    ``{"d":3}`` → ``[["d"],3]`` then ``[["d"]]``); a scalar or empty
+    container at the top emits one ``[[], value]`` event and no
+    close.
+
+    The static schema makes the event set enumerable at compile time
+    — the same finite-path argument as ``[paths]`` — with presence
+    (the engine's canonical to_json serialization drops nulls, so
+    null leaves are ABSENT, matching the bytes the binary path feeds
+    jq) and each container's last-present-child decided by CASE
+    chains at runtime. Pure Column work: build the candidate event
+    texts, drop the absent ones, explode.
+
+    Fail-closed gates (binary path): arrays/maps anywhere (numeric
+    path elements, dynamic cardinality — same as ``[paths]``) and
+    fractional/decimal leaves (Spark's to_json renders ``1.0E20``
+    where jq reprints ``100000000000000000000`` — a textual
+    divergence this native must not ship)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    def _leaf_json(col: Column) -> Column:
+        # to_json only takes containers: wrap, serialize, strip the
+        # brackets — identical bytes to the binary path's to_json
+        # record serialization for every allowed leaf type
+        j = F.to_json(F.array(col))
+        return j.substr(F.lit(2), F.length(j) - F.lit(2))
+
+    def _path_text(path: list[str]) -> str:
+        return _json.dumps(path, ensure_ascii=False,
+                           separators=(",", ":"))
+
+    def _close_text(
+        path: list[str], pres: list[tuple[str, Column]]
+    ) -> Column:
+        # the EVENT is [path]: '[[' + elements + ',' + <last present
+        # child name> + ']]'
+        prefix = "[[" + "".join(
+            _json.dumps(p, ensure_ascii=False) + "," for p in path
+        )
+        last = None
+        for name, p in pres:  # reversed chain: later children win
+            lit = F.lit(_json.dumps(name, ensure_ascii=False))
+            last = F.when(p, lit) if last is None else (
+                F.when(p, lit).otherwise(last)
+            )
+        return F.concat(F.lit(prefix), last, F.lit("]]"))
+
+    def walk(
+        path: list[str], col: Column, dt
+    ) -> tuple[Column, list[Column]]:
+        """Returns (present, ordered candidate events)."""
+        if isinstance(dt, (T.ArrayType, T.MapType, T.BinaryType)):
+            raise JQUnsupported(
+                "jq: tostream through arrays/maps emits numeric "
+                "path elements — binary path"
+            )
+        if isinstance(dt, (T.FractionalType, T.DecimalType)):
+            raise JQUnsupported(
+                "jq: tostream over fractional leaves (to_json vs jq "
+                "number re-printing diverge) — binary path"
+            )
+        if isinstance(dt, T.StructType):
+            pres_self = col.isNotNull()
+            child_events: list[Column] = []
+            pres: list[tuple[str, Column]] = []
+            for f in dt.fields:
+                p, evs = walk(
+                    path + [f.name], col.getField(f.name), f.dataType
+                )
+                pres.append((f.name, p))
+                child_events.extend(evs)
+            any_p = F.lit(False)
+            for _, p in pres:
+                any_p = any_p | p
+            events = [
+                F.when(
+                    pres_self & ~any_p,
+                    F.lit("[" + _path_text(path) + ",{}]"),
+                )
+            ]
+            events += child_events
+            if pres:
+                events.append(
+                    F.when(
+                        pres_self & any_p, _close_text(path, pres)
+                    )
+                )
+            return pres_self, events
+        pres_self = col.isNotNull()
+        ev = F.when(
+            pres_self,
+            F.concat(
+                F.lit("[" + _path_text(path) + ","),
+                _leaf_json(col),
+                F.lit("]"),
+            ),
+        )
+        return pres_self, [ev]
+
+    fields = [
+        f for f in df.schema.fields
+        if not f.name.startswith(_VAR_PREFIX)
+    ]
+    child_events = []
+    pres: list[tuple[str, Column]] = []
+    for f in fields:
+        p, evs = walk([f.name], F.col("`" + f.name + "`"), f.dataType)
+        pres.append((f.name, p))
+        child_events.extend(evs)
+    any_p = F.lit(False)
+    for _, p in pres:
+        any_p = any_p | p
+    events = [F.when(~any_p, F.lit("[[],{}]"))]
+    events += child_events
+    if pres:
+        events.append(F.when(any_p, _close_text([], pres)))
+    arr = F.filter(
+        F.array(*events), lambda x: x.isNotNull()
+    )
+    return df.select(F.explode(arr).alias("value"))
+
+
 def translate_jq(df: DataFrame, program: str) -> DataFrame:
     """Compile a JQ-subset program to DataFrame operations.
 
@@ -3344,9 +3479,20 @@ def translate_jq(df: DataFrame, program: str) -> DataFrame:
             fused.append(st)
             i += 1
     out = df
-    for stage in fused:
+    for si, stage in enumerate(fused):
         if not stage:
             continue
+        if stage == ["tostream"]:
+            # tostream emits bare array values — native only as the
+            # FINAL stage, where the events ARE the program output in
+            # the engine's ragged `value` representation (the same
+            # shape the binary path returns)
+            if any(fused[si + 1:]):
+                raise JQUnsupported(
+                    "jq: tostream mid-pipe (bare-value stream "
+                    "consumers) — binary path"
+                )
+            return _tostream_rows(out)
         out = _apply_pipe_stage(out, stage)
     var_cols = [c for c in out.columns if c.startswith(_VAR_PREFIX)]
     if var_cols:

@@ -589,3 +589,119 @@ def test_recursive_descent_getpath_equal_jq_binary(spark, rows, program):
         if ln.strip()
     ]
     assert _norm_rec(got) == _norm_rec(expect), (program, rows)
+
+
+# --- native tostream (VERDICT r10 item 8) ---------------------------------
+
+_ALPHABET = "abXé9 _-"
+
+_TS_SCHEMA = (
+    "id long, s string, n struct<t:string,u:long>, "
+    "m struct<p:struct<q:boolean>,r:long>"
+)
+
+_TS_RECORDS = st.lists(
+    st.fixed_dictionaries(
+        {
+            "id": st.one_of(st.none(), st.integers(-5, 5)),
+            "s": st.one_of(st.none(), st.text(_ALPHABET, max_size=4)),
+            "n": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {
+                        "t": st.one_of(
+                            st.none(), st.text(_ALPHABET, max_size=3)
+                        ),
+                        "u": st.one_of(st.none(), st.integers(0, 9)),
+                    }
+                ),
+            ),
+            "m": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {
+                        "p": st.one_of(
+                            st.none(),
+                            st.fixed_dictionaries(
+                                {
+                                    "q": st.one_of(
+                                        st.none(), st.booleans()
+                                    )
+                                }
+                            ),
+                        ),
+                        "r": st.one_of(st.none(), st.integers(0, 9)),
+                    }
+                ),
+            ),
+        }
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+# no object-construction stages here: `{id, n}` creates EXPLICIT
+# nulls in jq while the native record model reads null as absent —
+# the documented pre-existing relaxation of that stage, not a
+# tostream property (tostream itself sees only the canonical
+# null-dropped serialization on both paths)
+_TS_PROGRAMS = st.sampled_from(
+    [
+        "tostream",
+        "del(.s) | tostream",
+        "del(.m) | tostream",
+        "del(.s, .m) | tostream",
+        "select(.id != null) | tostream",
+    ]
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_TS_RECORDS, program=_TS_PROGRAMS)
+def test_tostream_equal_jq_binary(spark, rows, program):
+    """Native tostream (final-stage) vs the jq binary over the same
+    canonical (null-dropping) serialization; events compared as
+    parsed values, order-insensitively across records."""
+    df = spark.createDataFrame(
+        [
+            (
+                r["id"],
+                r["s"],
+                r["n"] and (r["n"]["t"], r["n"]["u"]),
+                r["m"]
+                and (
+                    r["m"]["p"] and (r["m"]["p"]["q"],),
+                    r["m"]["r"],
+                ),
+            )
+            for r in rows
+        ],
+        _TS_SCHEMA,
+    )
+    out_df = translate_jq(df, program)
+    assert out_df.columns == ["value"], "tostream emits value rows"
+    got = [json.loads(r["value"]) for r in out_df.collect()]
+
+    def clean(v):
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items() if x is not None}
+        return v
+
+    canonical = [clean(r) for r in rows]
+    out = subprocess.run(
+        ["jq", "-c", ".[] | " + program],
+        input=json.dumps(canonical).encode(),
+        stdout=subprocess.PIPE,
+        check=True,
+    )
+    expect = [
+        json.loads(ln)
+        for ln in out.stdout.decode().splitlines()
+        if ln.strip()
+    ]
+    norm = lambda evs: sorted(json.dumps(e) for e in evs)  # noqa: E731
+    assert norm(got) == norm(expect), (program, rows)

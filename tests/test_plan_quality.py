@@ -746,3 +746,16 @@ class TestRound10Plans:
         assert r.num_broadcast_joins >= 1, r.text
         assert "batchevalpython" not in r.text.lower(), r.text
         assert r.num_nested_loop_joins == 0, r.text
+
+
+class TestJqTostream:
+    def test_tostream_python_free_single_scan(self, spark):
+        # native tostream: pure Column CASE/concat work + one explode —
+        # no jq binary (mapInPandas/BatchEvalPython), no join, no
+        # shuffle beyond the final orderBy's range exchange
+        r = report(spark, "q_jq_tostream")
+        low = r.text.lower()
+        assert "batchevalpython" not in low, r.text
+        assert "mapinpandas" not in low, r.text
+        assert "generate explode" in low or "explode" in low, r.text
+        assert r.num_nested_loop_joins == 0, r.text
