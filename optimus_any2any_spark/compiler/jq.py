@@ -2290,7 +2290,26 @@ class _ExprParser:
             self.next()
             self.expect("(")
             ntok = self.next()
-            if not re.fullmatch(r"-?\d+", ntok):
+            n_col = None
+            if re.fullmatch(r"\$\w+", ntok):
+                # DYNAMIC count (VERDICT r10 missing-item 2): a bound
+                # int variable — the 1.6 quirks apply per-row (probed:
+                # limit(.n; f) with n=0 emits ONE element, n<0 or
+                # null emits the whole stream)
+                if ntok in self.bindings:
+                    n_col, nkind = self.bindings[ntok]
+                elif _VAR_PREFIX + ntok[1:] in self.df.columns:
+                    hid = _VAR_PREFIX + ntok[1:]
+                    n_col = F.col("`" + hid + "`")
+                    nkind = _kind_of_dtype(self.df.schema[hid].dataType)
+                else:
+                    raise JQUnsupported(f"jq: unbound {ntok}")
+                if nkind != "int":
+                    raise JQUnsupported(
+                        "jq: dynamic limit count must be provably "
+                        f"integer-kinded, got {nkind!r} — binary path"
+                    )
+            elif not re.fullmatch(r"-?\d+", ntok):
                 raise JQUnsupported("jq: limit needs a literal count")
             self.expect(";")
             ptok = self.next()
@@ -2309,8 +2328,16 @@ class _ExprParser:
                 raise JQUnsupported(
                     f"jq: limit over kind {kind!r} outside the native subset"
                 )
-            n = int(ntok)
             src = _path_col(ptok)
+            if n_col is not None:
+                # probed 1.6 row-wise: >=1 slices, 0 emits one,
+                # negative/null pass the whole stream
+                return (
+                    F.when(n_col >= 1, F.slice(src, F.lit(1), n_col))
+                    .when(n_col == 0, F.slice(src, 1, 1))
+                    .otherwise(src)
+                ), kind
+            n = int(ntok)
             if n < 0:  # jq 1.6: negative limit passes the whole stream
                 return src, kind
             return F.slice(src, 1, max(n, 1)), kind
@@ -3296,7 +3323,11 @@ def _ident(key: str) -> bool:
     return bool(re.fullmatch(r"[A-Za-z_]\w*", key))
 
 
-def _tostream_rows(df: DataFrame) -> DataFrame:
+def _tostream_rows(
+    df: DataFrame,
+    keep: str = "all",
+    collect_array: bool = False,
+) -> DataFrame:
     """Native ``tostream`` as the FINAL pipe stage (VERDICT r10
     item 8): the streamed form of each record, one canonical-JSON
     event text per output row in jq's ``value`` ragged-output
@@ -3319,6 +3350,13 @@ def _tostream_rows(df: DataFrame) -> DataFrame:
     jq) and each container's last-present-child decided by CASE
     chains at runtime. Pure Column work: build the candidate event
     texts, drop the absent ones, explode.
+
+    ``keep`` = ``"leaves"`` / ``"closes"`` compiles the
+    ``tostream | select(length == 2 / 1)`` idiom by splitting the
+    candidate set at compile time (probed: leaf events — empty
+    containers included — have length 2, closing events length 1).
+    ``collect_array=True`` renders ``[tostream]``: one canonical JSON
+    array of the events per record instead of exploded rows.
 
     Fail-closed gates (binary path): arrays/maps anywhere (numeric
     path elements, dynamic cardinality — same as ``[paths]``) and
@@ -3358,8 +3396,8 @@ def _tostream_rows(df: DataFrame) -> DataFrame:
 
     def walk(
         path: list[str], col: Column, dt
-    ) -> tuple[Column, list[Column]]:
-        """Returns (present, ordered candidate events)."""
+    ) -> tuple[Column, list[tuple[Column, bool]]]:
+        """Returns (present, ordered (candidate event, is_close))."""
         if isinstance(dt, (T.ArrayType, T.MapType, T.BinaryType)):
             raise JQUnsupported(
                 "jq: tostream through arrays/maps emits numeric "
@@ -3372,7 +3410,7 @@ def _tostream_rows(df: DataFrame) -> DataFrame:
             )
         if isinstance(dt, T.StructType):
             pres_self = col.isNotNull()
-            child_events: list[Column] = []
+            child_events: list[tuple[Column, bool]] = []
             pres: list[tuple[str, Column]] = []
             for f in dt.fields:
                 p, evs = walk(
@@ -3384,16 +3422,22 @@ def _tostream_rows(df: DataFrame) -> DataFrame:
             for _, p in pres:
                 any_p = any_p | p
             events = [
-                F.when(
-                    pres_self & ~any_p,
-                    F.lit("[" + _path_text(path) + ",{}]"),
+                (
+                    F.when(
+                        pres_self & ~any_p,
+                        F.lit("[" + _path_text(path) + ",{}]"),
+                    ),
+                    False,  # empty-container LEAF event (length 2)
                 )
             ]
             events += child_events
             if pres:
                 events.append(
-                    F.when(
-                        pres_self & any_p, _close_text(path, pres)
+                    (
+                        F.when(
+                            pres_self & any_p, _close_text(path, pres)
+                        ),
+                        True,
                     )
                 )
             return pres_self, events
@@ -3406,13 +3450,13 @@ def _tostream_rows(df: DataFrame) -> DataFrame:
                 F.lit("]"),
             ),
         )
-        return pres_self, [ev]
+        return pres_self, [(ev, False)]
 
     fields = [
         f for f in df.schema.fields
         if not f.name.startswith(_VAR_PREFIX)
     ]
-    child_events = []
+    child_events: list[tuple[Column, bool]] = []
     pres: list[tuple[str, Column]] = []
     for f in fields:
         p, evs = walk([f.name], F.col("`" + f.name + "`"), f.dataType)
@@ -3421,13 +3465,26 @@ def _tostream_rows(df: DataFrame) -> DataFrame:
     any_p = F.lit(False)
     for _, p in pres:
         any_p = any_p | p
-    events = [F.when(~any_p, F.lit("[[],{}]"))]
+    events = [(F.when(~any_p, F.lit("[[],{}]")), False)]
     events += child_events
     if pres:
-        events.append(F.when(any_p, _close_text([], pres)))
+        events.append((F.when(any_p, _close_text([], pres)), True))
+    if keep == "leaves":
+        events = [e for e in events if not e[1]]
+    elif keep == "closes":
+        events = [e for e in events if e[1]]
+    if not events:
+        out = df.select(F.lit(None).cast("string").alias("value"))
+        return out.filter(F.col("value").isNotNull())
     arr = F.filter(
-        F.array(*events), lambda x: x.isNotNull()
+        F.array(*[e for e, _ in events]), lambda x: x.isNotNull()
     )
+    if collect_array:
+        return df.select(
+            F.concat(
+                F.lit("["), F.array_join(arr, ","), F.lit("]")
+            ).alias("value")
+        )
     return df.select(F.explode(arr).alias("value"))
 
 
@@ -3484,15 +3541,34 @@ def translate_jq(df: DataFrame, program: str) -> DataFrame:
             continue
         if stage == ["tostream"]:
             # tostream emits bare array values — native only as the
-            # FINAL stage, where the events ARE the program output in
-            # the engine's ragged `value` representation (the same
+            # FINAL stage (optionally followed by the leaf/close
+            # length filter), where the events ARE the program output
+            # in the engine's ragged `value` representation (the same
             # shape the binary path returns)
-            if any(fused[si + 1:]):
-                raise JQUnsupported(
-                    "jq: tostream mid-pipe (bare-value stream "
-                    "consumers) — binary path"
+            rest = [s for s in fused[si + 1:] if s]
+            if not rest:
+                return _tostream_rows(out)
+            if len(rest) == 1 and rest[0][:4] == [
+                "select", "(", "length", "=="
+            ] and rest[0][4:] in (["1", ")"], ["2", ")"]):
+                # probed 1.6: length==2 keeps the leaf events
+                # (including empty-container leaves), length==1 the
+                # closing events — compile-time candidate split
+                return _tostream_rows(
+                    out,
+                    keep="leaves" if rest[0][4] == "2" else "closes",
                 )
-            return _tostream_rows(out)
+            raise JQUnsupported(
+                "jq: tostream mid-pipe (bare-value stream "
+                "consumers) — binary path"
+            )
+        if stage == ["[", "tostream", "]"] and not any(
+            fused[si + 1:]
+        ):
+            # [tostream] as the whole final stage: ONE canonical JSON
+            # array of the events per record
+            ev = _tostream_rows(out, collect_array=True)
+            return ev
         out = _apply_pipe_stage(out, stage)
     var_cols = [c for c in out.columns if c.startswith(_VAR_PREFIX)]
     if var_cols:
@@ -4010,7 +4086,7 @@ def _resolve_path_dtype(df: DataFrame, ptok: str):
 
 
 def _apply_fanout(
-    df: DataFrame, ptok: str, limit_n: int | None
+    df: DataFrame, ptok: str, limit_n: int | Column | None
 ) -> DataFrame:
     """``.path[]`` fan-out: emit each array ELEMENT as its own record
     (jq generator iteration → relational explode). ``limit_n``
@@ -4033,7 +4109,13 @@ def _apply_fanout(
             "records) outside the native subset"
         )
     src = _path_col(ptok)
-    if limit_n is not None:
+    if isinstance(limit_n, Column):
+        src = (
+            F.when(limit_n >= 1, F.slice(src, F.lit(1), limit_n))
+            .when(limit_n == 0, F.slice(src, 1, 1))
+            .otherwise(src)
+        )
+    elif limit_n is not None:
         src = F.slice(src, 1, limit_n)
     vnames = [c for c in df.columns if c.startswith(_VAR_PREFIX)]
     return df.select(
@@ -4134,6 +4216,25 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                 raise JQUnsupported("jq: limit needs (n; generator)")
             ntoks, gen = semis
             if (
+                len(ntoks) == 1
+                and re.fullmatch(r"\$\w+", ntoks[0])
+                and _VAR_PREFIX + ntoks[0][1:] in df.columns
+            ):
+                # DYNAMIC count from a bound variable: the probed 1.6
+                # row-wise quirks (0 → one element, negative/null →
+                # whole stream) compile into the slice CASE; explode's
+                # drop-empty matches the generator emitting nothing
+                nc = F.col("`" + _VAR_PREFIX + ntoks[0][1:] + "`")
+                nkind = _kind_of_dtype(
+                    df.schema[_VAR_PREFIX + ntoks[0][1:]].dataType
+                )
+                if nkind != "int":
+                    raise JQUnsupported(
+                        "jq: dynamic limit count must be provably "
+                        f"integer-kinded, got {nkind!r} — binary path"
+                    )
+                n_lit = nc
+            elif (
                 len(ntoks) != 1
                 or not re.fullmatch(r"\d+", ntoks[0])
                 or int(ntoks[0]) <= 0
@@ -4143,7 +4244,8 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
                     "(jq 1.6's limit(n<=0) behavior is its own bug "
                     "class — binary)"
                 )
-            n_lit = int(ntoks[0])
+            else:
+                n_lit = int(ntoks[0])
         if not (
             len(gen) == 3
             and gen[0].startswith(".")

@@ -652,6 +652,9 @@ _TS_PROGRAMS = st.sampled_from(
         "del(.m) | tostream",
         "del(.s, .m) | tostream",
         "select(.id != null) | tostream",
+        "tostream | select(length == 2)",
+        "tostream | select(length == 1)",
+        "[tostream]",
     ]
 )
 

@@ -2167,3 +2167,124 @@ class TestDynamicGetpath:
         with pytest.raises(JQUnsupported):
             translate_jq(df, ".[] | {v: getpath([.k])}")
         del rows, prog
+
+
+class TestTostreamNative:
+    """VERDICT r10 item 8: native tostream (final stage) + variants,
+    deterministic pins on the probed 1.6 edge semantics."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a", (2, None)),
+                (2, None, (None, None)),
+                (None, None, None),
+            ],
+            "id long, name string, meta struct<x:long,y:string>",
+        )
+
+    def test_events_and_closes(self, spark):
+        vals = sorted(
+            r["value"]
+            for r in translate_jq(self._df(spark), "tostream").collect()
+        )
+        assert vals == sorted(
+            [
+                # record 1: id, name, meta.x, close meta at x, top close
+                '[["id"],1]', '[["name"],"a"]', '[["meta","x"],2]',
+                '[["meta","x"]]', '[["meta"]]',
+                # record 2: id, empty-meta leaf, top close at meta
+                '[["id"],2]', '[["meta"],{}]', '[["meta"]]',
+                # record 3: everything absent
+                "[[],{}]",
+            ]
+        )
+
+    def test_leaf_and_close_filters(self, spark):
+        df = self._df(spark)
+        leaves = sorted(
+            r["value"]
+            for r in translate_jq(
+                df, "tostream | select(length == 2)"
+            ).collect()
+        )
+        assert '[["meta"],{}]' in leaves and "[[],{}]" in leaves
+        assert all("]]" != v[-2:] or v.endswith("}]") for v in leaves)
+        closes = sorted(
+            r["value"]
+            for r in translate_jq(
+                df, "tostream | select(length == 1)"
+            ).collect()
+        )
+        assert closes == sorted(
+            ['[["meta","x"]]', '[["meta"]]', '[["meta"]]']
+        )
+
+    def test_collected_stream(self, spark):
+        df = spark.createDataFrame([(3,)], "id long")
+        got = translate_jq(df, "[tostream]").collect()
+        assert [r["value"] for r in got] == ['[[["id"],3],[["id"]]]']
+
+    def test_midpipe_and_fractional_refuse(self, spark):
+        df = self._df(spark)
+        with pytest.raises(JQUnsupported, match="mid-pipe"):
+            translate_jq(df, "tostream | length")
+        dfd = df.sparkSession.createDataFrame([(1.5,)], "x double")
+        with pytest.raises(JQUnsupported, match="fractional"):
+            translate_jq(dfd, "tostream")
+
+
+class TestDynamicLimit:
+    """VERDICT r10 missing-item 2: non-literal limit counts — bound
+    int variables, reproducing the probed jq 1.6 row-wise quirks
+    (0 emits ONE element, negative/null the whole stream)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, 0, ["a", "b", "c"]),
+                (2, 2, ["a", "b", "c"]),
+                (3, -2, ["a", "b"]),
+                (4, None, ["a", "b"]),
+                (5, 9, ["a"]),
+            ],
+            "id long, n long, ws array<string>",
+        )
+
+    def test_expression_level(self, spark):
+        prog = ".[] | .n as $k | {id, head: [limit($k; .ws[])]}"
+        got = {
+            r["id"]: r["head"]
+            for r in translate_jq(self._df(spark), prog).collect()
+        }
+        assert got == {
+            1: ["a"],            # n=0: the 1.6 one-element bug
+            2: ["a", "b"],
+            3: ["a", "b"],       # negative: whole stream
+            4: ["a", "b"],       # null: whole stream
+            5: ["a"],
+        }
+
+    def test_stage_level_fanout(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, 0, [(1,), (2,)]),
+                (2, 1, [(3,), (4,)]),
+                (3, None, [(5,)]),
+            ],
+            "id long, n long, objs array<struct<g:long>>",
+        )
+        prog = ".[] | .n as $k | limit($k; .objs[])"
+        got = sorted(
+            r["g"] for r in translate_jq(df, prog).collect()
+        )
+        assert got == [1, 3, 5]  # one for n=0, first for n=1, all null
+
+    def test_non_int_count_refuses(self, spark):
+        df = spark.createDataFrame(
+            [("x", ["a"])], "n string, ws array<string>"
+        )
+        with pytest.raises(JQUnsupported, match="integer-kinded"):
+            translate_jq(
+                df, ".[] | .n as $k | {h: [limit($k; .ws[])]}"
+            )
