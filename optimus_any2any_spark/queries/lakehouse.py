@@ -1876,6 +1876,80 @@ def iceberg_spec_evolution_merge(spark, sf_dir):
 
 
 @register(
+    "iceberg_merge_schema_evolve",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    src AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+      SELECT k, price, CAST(NULL AS VARCHAR) AS status
+      FROM base WHERE k % 3 <> 0
+      UNION ALL SELECT k, price, status FROM src
+    )
+    SELECT status, COUNT(*) AS n_rows, {o_dsum('price')} AS sum_price
+    FROM merged GROUP BY status ORDER BY status
+    """,
+    doc="Iceberg SCHEMA EVOLUTION on the merge path (spec §Schema "
+    "Evolution — the Delta mergeSchema twin, done the Iceberg way): "
+    "a second merge whose batch carries a NEW column commits an "
+    "appended optional field with a fresh column id under a new "
+    "schema-id that becomes current-schema-id; pre-evolution data "
+    "files read the new column as null, matched rows take the "
+    "widened batch row, unmatched batch rows insert with it. The "
+    "oracle states the widened latest-wins upsert as SQL set "
+    "algebra, grouped by the evolved column (null group = "
+    "pre-evolution survivors).",
+)
+def iceberg_merge_schema_evolve(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import read_iceberg
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        merge_iceberg_batch,
+    )
+
+    t = _fixture_dir("iceberg_msevolve", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    merge_iceberg_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "status string, n_rows long, sum_price double"
+        )
+    src = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        F.lit(1).cast("long").alias("ts"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    merge_iceberg_batch(
+        spark, src, t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000, merge_schema=True,
+    )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
     "iceberg_delete_after_evolve",
     oracle=f"""
     WITH base AS (

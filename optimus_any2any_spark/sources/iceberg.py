@@ -2254,16 +2254,47 @@ def write_iceberg_commit(
         prior_manifests + [new_entry],
     )
 
-    # 4. table metadata + version hint
-    fields = [
-        {
-            "id": i + 1,
-            "name": f.name,
-            "required": False,
-            "type": _spark_type_to_iceberg(f.dataType),
+    # 4. table metadata + version hint. An EXISTING table's schema
+    # metadata (schemas, current-schema-id, last-column-id — the
+    # evolved state a merge_schema merge may have committed) is
+    # PRESERVED verbatim when the df matches it; rebuilding ids from
+    # the df would silently regress an evolved table. A mismatched df
+    # refuses — appends don't evolve schemas, merges do.
+    prev_schemas = None
+    if prev is not None:
+        prev_cur = _current_schema(prev)
+        prev_names = [f["name"] for f in prev_cur["fields"]]
+        if prev_names != [f.name for f in df.schema.fields]:
+            raise ValueError(
+                "iceberg append: df columns "
+                f"{[f.name for f in df.schema.fields]} != table "
+                f"schema {prev_names} — appends do not evolve "
+                "schemas (merge with merge_schema=True does)"
+            )
+        prev_schemas = {
+            "schema": prev_cur,
+            "schemas": list(
+                prev.get("schemas") or [prev_cur]
+            ),
+            "current-schema-id": int(
+                prev.get("current-schema-id", 0)
+            ),
+            "last-column-id": int(
+                prev.get("last-column-id")
+                or len(prev_cur["fields"])
+            ),
         }
-        for i, f in enumerate(df.schema.fields)
-    ]
+        fields = prev_cur["fields"]
+    else:
+        fields = [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _spark_type_to_iceberg(f.dataType),
+            }
+            for i, f in enumerate(df.schema.fields)
+        ]
     snapshots = (prev.get("snapshots") if prev else None) or []
     ts_ms = snapshot_timestamp_ms(prev)
     if lineage:
@@ -2284,12 +2315,22 @@ def write_iceberg_commit(
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, table_path)),
         "location": table_path,
         "last-updated-ms": ts_ms,
-        "last-column-id": len(fields),
-        "schema": {"type": "struct", "schema-id": 0, "fields": fields},
-        "schemas": [
+        "last-column-id": (
+            prev_schemas["last-column-id"]
+            if prev_schemas
+            else len(fields)
+        ),
+        "schema": (
+            prev_schemas["schema"]
+            if prev_schemas
+            else {"type": "struct", "schema-id": 0, "fields": fields}
+        ),
+        "schemas": prev_schemas["schemas"] if prev_schemas else [
             {"type": "struct", "schema-id": 0, "fields": fields}
         ],
-        "current-schema-id": 0,
+        "current-schema-id": (
+            prev_schemas["current-schema-id"] if prev_schemas else 0
+        ),
         "partition-spec": [],
         # a fresh table takes the declared identity spec; appends to an
         # existing table PRESERVE its spec (this metadata dict is
@@ -2320,7 +2361,13 @@ def write_iceberg_commit(
                 else [{"spec-id": 0, "fields": []}]
             )
         ),
-        "default-spec-id": 0,
+        # appends preserve an evolved default spec (a fresh table's
+        # declared spec is spec 0)
+        "default-spec-id": (
+            int(prev.get("default-spec-id", 0))
+            if prev is not None and not parsed_spec
+            else 0
+        ),
         # spec-required sort-order metadata: order 0 = unsorted; a
         # compaction with key_col appends a real order (and preserves
         # whatever orders the table already declared)

@@ -445,10 +445,22 @@ def merge_iceberg_batch(
     when_matched: list | None = None,
     when_not_matched: list | None = None,
     when_not_matched_by_source: list | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """One file-level MERGE commit as a new Iceberg snapshot; returns
     the committed (or already-current, on an idempotent skip) metadata
     version.
+
+    ``merge_schema=True`` is the Delta mergeSchema twin, done the
+    Iceberg way (spec §Schema Evolution): batch columns not in the
+    table APPEND as optional fields with fresh column ids
+    (``last-column-id`` advances), recorded as a NEW schema in
+    ``schemas`` with a fresh ``schema-id`` that becomes
+    ``current-schema-id`` — pre-evolution data files read the new
+    columns as null. Table columns missing from the batch null-fill.
+    Without it, any column mismatch raises. A widening merge whose
+    batch deduplicates to zero rows still commits the evolved schema
+    as a data-free metadata version (ALTER TABLE ADD COLUMN).
 
     ``partition_by`` (first commit only) creates an IDENTITY-
     partitioned table; later merges read the spec from the metadata.
@@ -591,11 +603,84 @@ def merge_iceberg_batch(
                     return prev_version
                 break
 
+    evolved = False
     if set(schema.fieldNames()) != set(batch.columns):
-        raise ValueError(
-            f"iceberg merge: batch columns {sorted(batch.columns)} != "
-            f"table schema {sorted(schema.fieldNames())}"
-        )
+        if not merge_schema:
+            raise ValueError(
+                f"iceberg merge: batch columns {sorted(batch.columns)}"
+                f" != table schema {sorted(schema.fieldNames())} "
+                "(pass merge_schema=True to evolve)"
+            )
+        if lineage:
+            raise NotImplementedError(
+                "iceberg merge: merge_schema on a row-lineage table "
+                "is beyond this writer"
+            )
+        table_cols = set(schema.fieldNames())
+        extra = [c for c in batch.columns if c not in table_cols]
+        missing = [
+            c for c in schema.fieldNames() if c not in batch.columns
+        ]
+        if key_col in missing or any(
+            p["src"] in missing for p in pspec
+        ):
+            raise ValueError(
+                "iceberg merge: batch must carry the merge key and "
+                "every partition source column"
+            )
+        if extra:
+            from optimus_any2any_spark.sources.iceberg import (
+                _spark_type_to_iceberg,
+            )
+
+            last_id = int(
+                meta.get("last-column-id")
+                or (max(by_id) if by_id else 0)
+            )
+            new_fields = []
+            for c in extra:
+                last_id += 1
+                new_fields.append(
+                    {
+                        "id": last_id,
+                        "name": c,
+                        "required": False,
+                        "type": _spark_type_to_iceberg(
+                            batch.schema[c].dataType
+                        ),
+                    }
+                )
+            old_schemas = list(
+                meta.get("schemas")
+                or ([meta["schema"]] if meta.get("schema") else [])
+            )
+            new_sid = (
+                max(
+                    int(s.get("schema-id", 0)) for s in old_schemas
+                )
+                + 1
+                if old_schemas
+                else 1
+            )
+            new_schema = {
+                "type": "struct",
+                "schema-id": new_sid,
+                "fields": list(cur_schema["fields"]) + new_fields,
+            }
+            meta = dict(meta)
+            meta["schemas"] = old_schemas + [new_schema]
+            meta["current-schema-id"] = new_sid
+            if "schema" in meta:  # v1 mirror
+                meta["schema"] = new_schema
+            meta["last-column-id"] = last_id
+            schema = iceberg_spark_schema(meta)
+            cur_schema = new_schema
+            by_id = {int(f["id"]): f for f in cur_schema["fields"]}
+            evolved = True
+        for c in missing:
+            batch = batch.withColumn(
+                c, F.lit(None).cast(schema[c].dataType)
+            )
     batch = batch.select(*schema.fieldNames())
     fid, ice_t = _key_field(meta, key_col)
 
@@ -616,7 +701,25 @@ def merge_iceberg_batch(
     if n_total == 0 and not when_not_matched_by_source:
         # (an EMPTY source with when_not_matched_by_source is still a
         # full clause evaluation: every live row is unmatched)
-        return prev_version
+        if not evolved:
+            return prev_version
+        # a widening merge whose batch dedupes to zero rows is still
+        # a legal schema-change commit: a data-free metadata version
+        # carrying the evolved schemas (ALTER TABLE ADD COLUMN — the
+        # same no-snapshot shape as set_iceberg_partition_spec)
+        version = prev_version + 1
+        meta = dict(meta)
+        meta["last-updated-ms"] = snapshot_timestamp_ms(meta)
+        path = os.path.join(md, f"v{version}.metadata.json")
+        tmpp = path + ".tmp"
+        with open(tmpp, "w") as f:
+            f.write(json.dumps(meta, indent=2))
+        os.replace(tmpp, path)
+        tmph = hint + ".tmp"
+        with open(tmph, "w") as f:
+            f.write(str(version))
+        os.replace(tmph, hint)
+        return version
 
     # per-partition batch key stats: ONE job for ALL touched
     # partitions (mirrors merge_delta_batch)

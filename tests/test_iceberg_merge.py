@@ -674,6 +674,87 @@ class TestPartitionEvolution:
         )
         assert got == exp
 
+    def test_merge_schema_widens_and_nullfills(self, spark, tmp_path):
+        """Iceberg schema evolution on the merge path (the Delta
+        mergeSchema twin): new columns append with fresh field ids
+        under a new schema-id; pre-evolution files read them null;
+        a narrower later batch null-fills."""
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+            write_iceberg_commit,
+        )
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, 10.0, 0), (2, 20.0, 0)], "k long, price double, ts long"
+        )
+        merge_iceberg_batch(spark, base, t, "k", "ts", batch_id=0)
+        wide = spark.createDataFrame(
+            [(2, 99.0, 1, "hot"), (9, 90.0, 1, "new")],
+            "k long, price double, ts long, tag string",
+        )
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            merge_iceberg_batch(spark, wide, t, "k", "ts", batch_id=1)
+        merge_iceberg_batch(
+            spark, wide, t, "k", "ts", batch_id=1, merge_schema=True
+        )
+        got = sorted(
+            (r.k, r.tag) for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, None), (2, "hot"), (9, "new")]
+        meta = load_table_metadata(t)
+        assert meta["current-schema-id"] == 1
+        assert meta["last-column-id"] == 4
+        assert [
+            (f["id"], f["name"])
+            for f in meta["schemas"][-1]["fields"]
+        ] == [(1, "k"), (2, "price"), (3, "ts"), (4, "tag")]
+        # narrower batch null-fills; full-schema append preserves the
+        # evolved metadata; mismatched append refuses
+        narrow = spark.createDataFrame(
+            [(1, 11.0, 2)], "k long, price double, ts long"
+        )
+        merge_iceberg_batch(
+            spark, narrow, t, "k", "ts", batch_id=2, merge_schema=True
+        )
+        app = spark.createDataFrame(
+            [(50, 5.0, 3, "app")],
+            "k long, price double, ts long, tag string",
+        )
+        write_iceberg_commit(app, t)
+        meta = load_table_metadata(t)
+        assert meta["current-schema-id"] == 1
+        assert read_iceberg(spark, t).count() == 4
+        with pytest.raises(ValueError, match="do not evolve"):
+            write_iceberg_commit(narrow, t)
+
+    def test_merge_schema_empty_batch_still_evolves(
+        self, spark, tmp_path
+    ):
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+        )
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, 10.0, 0)], "k long, price double, ts long"
+        )
+        merge_iceberg_batch(spark, base, t, "k", "ts", batch_id=0)
+        empty = spark.createDataFrame(
+            [], "k long, price double, ts long, extra long"
+        )
+        v = merge_iceberg_batch(
+            spark, empty, t, "k", "ts", batch_id=1, merge_schema=True
+        )
+        meta = load_table_metadata(t)
+        assert v == int(
+            open(t + "/metadata/version-hint.text").read()
+        )
+        assert [f["name"] for f in meta["schemas"][-1]["fields"]] == [
+            "k", "price", "ts", "extra",
+        ]
+        assert read_iceberg(spark, t).count() == 1  # data-free commit
+
     def test_eq_delete_after_evolve(self, spark, tmp_path):
         """VERDICT r10 item 7: a global equality delete on a table
         whose default spec evolved mid-history — the delete manifest
