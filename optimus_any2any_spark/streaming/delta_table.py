@@ -1986,11 +1986,6 @@ def merge_delta_batch(
     phys, mapped, pfields = _phys_of(state["meta"])
     rt = _row_tracking_of(state["meta"])
     if rt is not None:
-        if merge_schema:
-            raise NotImplementedError(
-                "delta merge: merge_schema on a row-tracking table "
-                "is beyond this writer"
-            )
         if mapped:
             raise NotImplementedError(
                 "delta row tracking: column-mapped tables are "

