@@ -4136,6 +4136,13 @@ def _apply_stage(df: DataFrame, toks: list[str]) -> DataFrame:
         return df.filter(parser._truthy(cond, ckind))
     if toks == ["."]:
         return df
+    if toks == ["fromstream", "(", "tostream", ")"]:
+        # the canonical stream round-trip IS the identity (probed 1.6:
+        # objects, empties, null values all reassemble exactly); note
+        # `{"a":null}` round-trips to itself in raw jq while the
+        # record model reads the null as absent — the same canonical-
+        # serialization relaxation both paths already share
+        return df
     # fused `.field | capture(re)` (built by translate_jq's peephole)
     if (
         len(toks) >= 6

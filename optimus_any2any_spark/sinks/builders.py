@@ -76,7 +76,28 @@ def oss_sink(df: DataFrame, cfg: Config):
 
 @register_sink("S3")
 def s3_sink(df: DataFrame, cfg: Config):
-    """ext/s3/sink.go:36."""
+    """ext/s3/sink.go:36 — S3__CREDENTIALS (JSON key id + secret +
+    optional session token, ext/s3/util.go) resolve through
+    S3__PROVIDER (``aws`` static | ``tiktok`` temporary-STS exchange,
+    internal/ext/auth/aws/tiktok_provider.go) into the session's
+    fs.s3a.* Hadoop configuration before the write. S3__TRANSPORT is
+    the injectable HTTP seam (no network in the sandbox)."""
+    c = cfg.for_component("S3")
+    creds_json = c.get("credentials")
+    if creds_json:
+        from optimus_any2any_spark.sinks.aws_auth import (
+            apply_s3_hadoop_conf,
+            resolve_s3_credentials,
+        )
+
+        creds = resolve_s3_credentials(
+            creds_json,
+            provider=c.get("provider", "aws"),
+            transport=cfg.values.get("S3__TRANSPORT"),
+        )
+        apply_s3_hadoop_conf(
+            df.sparkSession, creds, region=c.get("region")
+        )
     return _file_family(df, cfg, "S3")
 
 

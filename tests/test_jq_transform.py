@@ -2288,3 +2288,21 @@ class TestDynamicLimit:
             translate_jq(
                 df, ".[] | .n as $k | {h: [limit($k; .ws[])]}"
             )
+
+
+class TestFromstreamTostream:
+    def test_roundtrip_is_identity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", (2,)), (2, None, None)],
+            "id long, name string, meta struct<x:long>",
+        )
+        out = translate_jq(df, ".[] | fromstream(tostream)")
+        key = lambda r: str(sorted(r.asDict(recursive=True).items()))  # noqa: E731
+        assert sorted(out.collect(), key=key) == sorted(
+            df.collect(), key=key
+        )
+
+    def test_general_fromstream_stays_binary(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(JQUnsupported):
+            translate_jq(df, "fromstream(.[])")

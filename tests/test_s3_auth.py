@@ -1,0 +1,172 @@
+"""S3 credential providers (ext/s3/sink.go:44-51, ext/s3/util.go,
+internal/ext/auth/aws/tiktok_provider.go): JSON credential parsing,
+the static default, and the TikTok temporary-STS exchange — protocol
+bytes verified against an injected transport (no network in the
+sandbox, the oauth2/sf_auth seam discipline)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from optimus_any2any_spark.sinks.aws_auth import (
+    TIKTOK_CREDS_URL,
+    TIKTOK_TOKEN_URL,
+    parse_credentials,
+    resolve_s3_credentials,
+    tiktok_temporary_credentials,
+)
+
+CREDS = json.dumps(
+    {"aws_access_key_id": "AK", "aws_secret_access_key": "SK"}
+)
+
+
+class TestParseCredentials:
+    def test_required_fields(self):
+        with pytest.raises(ValueError, match="missing AWS access key"):
+            parse_credentials(json.dumps({"aws_access_key_id": "AK"}))
+        with pytest.raises(ValueError, match="missing AWS access key"):
+            parse_credentials(
+                json.dumps({"aws_secret_access_key": "SK"})
+            )
+
+    def test_optional_session_token(self):
+        got = parse_credentials(CREDS)
+        assert got == {
+            "access_key_id": "AK",
+            "secret_access_key": "SK",
+            "session_token": None,
+        }
+        got = parse_credentials(
+            json.dumps(
+                {
+                    "aws_access_key_id": "AK",
+                    "aws_secret_access_key": "SK",
+                    "aws_session_token": "TOK",
+                }
+            )
+        )
+        assert got["session_token"] == "TOK"
+
+
+def _fake_transport(calls):
+    def transport(url, data, headers):
+        calls.append((url, data, headers))
+        if url == TIKTOK_TOKEN_URL:
+            return 200, json.dumps(
+                {"access_token": "at123", "token_type": "Bearer"}
+            )
+        if url == TIKTOK_CREDS_URL:
+            assert headers["Authorization"] == "Bearer at123"
+            assert headers["x-tt-target-idc"] == "useast1a"
+            body = json.loads(data)
+            assert body == {"username": "CK", "password": "CS"}
+            return 200, json.dumps(
+                {
+                    "data": {
+                        "access_key_id": "TMPAK",
+                        "secret_key": "TMPSK",
+                        "session_token": "TMPST",
+                    }
+                }
+            )
+        raise AssertionError(url)
+
+    return transport
+
+
+class TestTikTokExchange:
+    def test_two_step_exchange(self):
+        calls = []
+        got = tiktok_temporary_credentials(
+            "CK", "CS", transport=_fake_transport(calls)
+        )
+        assert got == {
+            "access_key_id": "TMPAK",
+            "secret_access_key": "TMPSK",
+            "session_token": "TMPST",
+        }
+        # token request: form-encoded client-credentials grant
+        url, data, headers = calls[0]
+        assert url == TIKTOK_TOKEN_URL
+        assert (
+            headers["Content-Type"]
+            == "application/x-www-form-urlencoded"
+        )
+        assert b"grant_type=client_credentials" in data
+        assert b"client_key=CK" in data
+
+    def test_error_paths(self):
+        def bad_token(url, data, headers):
+            return 401, json.dumps({"error": "denied"})
+
+        with pytest.raises(RuntimeError, match="401 response"):
+            tiktok_temporary_credentials("CK", "CS", transport=bad_token)
+
+        def no_data(url, data, headers):
+            if url == TIKTOK_TOKEN_URL:
+                return 200, json.dumps(
+                    {"access_token": "x", "token_type": "Bearer"}
+                )
+            return 200, json.dumps({})
+
+        with pytest.raises(RuntimeError, match="data not found"):
+            tiktok_temporary_credentials("CK", "CS", transport=no_data)
+
+
+class TestResolveDispatch:
+    def test_static_default(self):
+        got = resolve_s3_credentials(CREDS, provider="aws")
+        assert got["access_key_id"] == "AK"
+
+    def test_tiktok_provider(self):
+        calls = []
+        got = resolve_s3_credentials(
+            json.dumps(
+                {
+                    "aws_access_key_id": "CK",
+                    "aws_secret_access_key": "CS",
+                }
+            ),
+            provider="TikTok",
+            transport=_fake_transport(calls),
+        )
+        assert got["access_key_id"] == "TMPAK"
+        assert len(calls) == 2
+
+
+class TestHadoopConfApplication:
+    def test_temporary_and_simple_providers(self, spark):
+        from optimus_any2any_spark.sinks.aws_auth import (
+            apply_s3_hadoop_conf,
+        )
+
+        hc = spark.sparkContext._jsc.hadoopConfiguration()
+        apply_s3_hadoop_conf(
+            spark,
+            {
+                "access_key_id": "TMPAK",
+                "secret_access_key": "TMPSK",
+                "session_token": "TMPST",
+            },
+            region="ap-southeast-1",
+        )
+        assert hc.get("fs.s3a.access.key") == "TMPAK"
+        assert hc.get("fs.s3a.session.token") == "TMPST"
+        assert "TemporaryAWSCredentialsProvider" in hc.get(
+            "fs.s3a.aws.credentials.provider"
+        )
+        assert hc.get("fs.s3a.endpoint.region") == "ap-southeast-1"
+        apply_s3_hadoop_conf(
+            spark,
+            {
+                "access_key_id": "AK",
+                "secret_access_key": "SK",
+                "session_token": None,
+            },
+        )
+        assert "SimpleAWSCredentialsProvider" in hc.get(
+            "fs.s3a.aws.credentials.provider"
+        )
