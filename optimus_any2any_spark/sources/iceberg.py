@@ -50,6 +50,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from optimus_any2any_spark.formats.puffin import (
+    DV_V1,
+    read_puffin_footer,
+)
 from optimus_any2any_spark.formats.avrobin import (
     read_container,
     write_container,
@@ -504,11 +508,6 @@ def _puffin_dv_ref(
     reader's executor-side decode consumes. Non-Puffin referenced
     entries and unknown Puffin blob types refuse by name — a DV the
     reader cannot decode must never silently delete nothing."""
-    from optimus_any2any_spark.formats.puffin import (
-        DV_V1,
-        read_puffin_footer,
-    )
-
     fmt_name = str(df_.get("file_format") or "").upper()
     rel = df_.get("file_path")
     if fmt_name != "PUFFIN" and not str(rel).endswith(".puffin"):
@@ -943,6 +942,46 @@ def read_iceberg_metadata(
     )
 
 
+def encode_bound(iceberg_type: str, v) -> bytes | None:
+    """Appendix-D single-value bound serialization (shared with the
+    writers in streaming/iceberg_table, which re-exports these —
+    defined HERE so manifest pruning works inside the pure-python
+    data-source runner without a by-name runtime import)."""
+    import struct
+
+    if v is None:
+        return None
+    if iceberg_type == "int":
+        return struct.pack("<i", v)
+    if iceberg_type == "long":
+        return struct.pack("<q", v)
+    if iceberg_type == "double":
+        return struct.pack("<d", float(v))
+    if iceberg_type == "float":
+        return struct.pack("<f", float(v))
+    if iceberg_type == "string":
+        return str(v).encode()
+    return None  # unbounded type: no stats, conservatively affected
+
+
+def decode_bound(iceberg_type: str, b: bytes | None):
+    import struct
+
+    if b is None:
+        return None
+    if iceberg_type == "int":
+        return struct.unpack("<i", b)[0]
+    if iceberg_type == "long":
+        return struct.unpack("<q", b)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", b)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", b)[0]
+    if iceberg_type == "string":
+        return b.decode()
+    return None
+
+
 def _prune_by_bounds(
     meta: dict, data: list[dict], col: str, lo, hi
 ) -> list[dict]:
@@ -950,10 +989,6 @@ def _prune_by_bounds(
     predicate cannot match (or that are provably all-null for the
     column — a range predicate never matches null). Entries without
     decodable bounds are conservatively kept."""
-    from optimus_any2any_spark.streaming.iceberg_table import (
-        decode_bound,
-    )
-
     field = next(
         (
             f
@@ -1338,10 +1373,6 @@ def _prune_eq_candidates(
     cannot lose a row. Undecodable bounds on either side keep the
     file (conservative). This is what makes the changelog's
     equality-delete branch O(files the keys touch), not O(table)."""
-    from optimus_any2any_spark.streaming.iceberg_table import (
-        decode_bound,
-    )
-
     fields = {
         f["name"]: f for f in _current_schema(meta)["fields"]
     }

@@ -45,9 +45,13 @@ import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 
 from optimus_any2any_spark.formats import avrobin as _avro
+from optimus_any2any_spark.formats import puffin as _puffin
+from optimus_any2any_spark.formats import roaring as _roaring
 from optimus_any2any_spark.sources import iceberg as _ice
 
 _cloudpickle.register_pickle_by_value(_avro)
+_cloudpickle.register_pickle_by_value(_roaring)
+_cloudpickle.register_pickle_by_value(_puffin)
 _cloudpickle.register_pickle_by_value(_ice)
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 
@@ -210,3 +214,298 @@ class IcebergTailDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType):
         return IcebergTailStreamReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Changelog stream: the CDC twin of the append tail
+
+
+class _ChangeUnit(InputPartition):
+    """One changelog work unit: an added file (INSERT events) or an
+    affected data file + the delete entries that gate it (DELETE
+    events), with the change-metadata values baked in."""
+
+    def __init__(
+        self,
+        kind: str,
+        path: str,
+        orig: str,
+        seq: int,
+        ordinal: int,
+        sid: int,
+        prior_pos: list | None = None,
+        prior_eq: list | None = None,
+        new_pos: list | None = None,
+        new_eq: list | None = None,
+    ):
+        self.kind = kind
+        self.path = path
+        self.orig = orig
+        self.seq = seq
+        self.ordinal = ordinal
+        self.sid = sid
+        self.prior_pos = prior_pos or []
+        self.prior_eq = prior_eq or []
+        self.new_pos = new_pos or []
+        self.new_eq = new_eq or []
+
+
+def _pos_erased(ent: dict, orig: str) -> set[int]:
+    """Positions a positional-delete entry (delete parquet or Puffin
+    DV) erases from the data file ``orig`` — pure python."""
+    dv = ent.get("dv")
+    if dv:
+        if dv["referenced"] != orig:
+            return set()
+        local = ent["path"]
+        local = local[7:] if local.startswith("file://") else local
+        blob = _puffin.read_puffin_blob(local, dv["offset"], dv["size"])
+        return set(_puffin.dv_puffin_blob_decode(blob))
+    import pyarrow.parquet as pq
+
+    local = ent["path"]
+    local = local[7:] if local.startswith("file://") else local
+    t = pq.read_table(local, columns=["file_path", "pos"])
+    fps = t.column("file_path").to_pylist()
+    poss = t.column("pos").to_pylist()
+    return {p for fp, p in zip(fps, poss) if fp == orig}
+
+
+def _eq_keysets(ents: list[dict]) -> list[tuple[list[str], set]]:
+    """(columns, key-tuple set) per equality-delete entry — the entry
+    carries its resolved column names (driver-side) as ``eq_cols``."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for ent in ents:
+        cols = ent["eq_cols"]
+        local = ent["path"]
+        local = local[7:] if local.startswith("file://") else local
+        t = pq.read_table(local, columns=cols)
+        lists = [t.column(c).to_pylist() for c in cols]
+        out.append((cols, set(zip(*lists)) if lists else set()))
+    return out
+
+
+class IcebergChangesStreamReader(IcebergTailStreamReader):
+    """``readStream.format("iceberg_changes")`` — incremental CDC over
+    an Iceberg table's snapshot lineage, the Structured Streaming twin
+    of :func:`sources.iceberg.read_iceberg_changes`.
+
+    Per micro-batch: ``append`` snapshots emit their added files' rows
+    as INSERT events; ``delete`` snapshots (merge-on-read DML —
+    positional, Puffin DV, equality) evaluate only the NEW delete
+    files against the prior state, pruned exactly like the batch
+    reader (positional refs; sequence-gate + footer-bounds for
+    equality via ``_prune_eq_candidates``) — already-deleted rows
+    never re-report; ``replace`` (compaction) emits nothing.
+    ``overwrite``/``rollback`` snapshots FAIL the stream by name: a
+    copy-on-write rewrite needs the batch reader's exceptAll netting,
+    which has no bounded pure-python equivalent in the data-source
+    runner. All evaluation is pyarrow + the pure-python Puffin/Roaring
+    codecs — no SparkSession exists inside a DataSourceStreamReader.
+
+    Output schema: the table columns plus ``_change_type``
+    (INSERT / DELETE), ``_change_ordinal`` (snapshot position within
+    the micro-batch window) and ``_commit_snapshot_id``."""
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        meta = _load_meta(self.table_path)
+        snaps = meta.get("snapshots") or []
+        lo = self._pos_after(snaps, start)
+        hi = self._pos_after(snaps, end)
+        window = snaps[lo:hi]
+        by_id = {}
+        sch = None
+        if "schemas" in meta:
+            sid_ = meta.get("current-schema-id", 0)
+            sch = next(
+                (
+                    s
+                    for s in meta["schemas"]
+                    if s.get("schema-id") == sid_
+                ),
+                meta["schemas"][0],
+            )
+        else:
+            sch = meta["schema"]
+        by_id = {int(f["id"]): f["name"] for f in sch["fields"]}
+
+        prev_sid = snaps[lo - 1]["snapshot-id"] if lo > 0 else None
+        prev_state = (
+            _ice._snapshot_entries(self.table_path, meta, prev_sid)
+            if prev_sid is not None
+            else ([], [], [])
+        )
+        out: list[InputPartition] = []
+        for ordinal, snap in enumerate(window):
+            s_id = snap["snapshot-id"]
+            op = (snap.get("summary") or {}).get(
+                "operation", "append"
+            )
+            cur_state = _ice._snapshot_entries(
+                self.table_path, meta, s_id
+            )
+            if op == "replace":
+                prev_state = cur_state
+                continue
+            if op == "append":
+                prev_orig = {e["orig"] for e in prev_state[0]}
+                for e in cur_state[0]:
+                    if e["orig"] not in prev_orig:
+                        out.append(
+                            _ChangeUnit(
+                                "insert", e["path"], e["orig"],
+                                e["seq"], ordinal, s_id,
+                            )
+                        )
+                prev_state = cur_state
+                continue
+            if op != "delete":
+                raise ValueError(
+                    f"iceberg_changes: snapshot {s_id} is {op!r} — "
+                    "rewrite netting needs the batch changelog "
+                    "reader (read_iceberg_changes)"
+                )
+            prev_d, prev_p, prev_e = prev_state
+            cur_d, cur_p, cur_e = cur_state
+            prev_keys = {
+                _ice._delete_entry_key(e) for e in prev_p + prev_e
+            }
+            new_pos = [
+                e
+                for e in cur_p
+                if _ice._delete_entry_key(e) not in prev_keys
+            ]
+            new_eq = [
+                e
+                for e in cur_e
+                if _ice._delete_entry_key(e) not in prev_keys
+            ]
+            for ents in (prev_e, new_eq):
+                for e in ents:
+                    e["eq_cols"] = [
+                        by_id[i] for i in e["equality_ids"]
+                    ]
+            affected: dict[str, dict] = {}
+            if new_pos:
+                refs = _ice._pos_delete_referenced_paths(new_pos)
+                for e in prev_d:
+                    if refs is None or e["orig"] in refs:
+                        affected[e["orig"]] = e
+            if new_eq:
+                cand = _ice._prune_eq_candidates(
+                    meta,
+                    [
+                        e
+                        for e in prev_d
+                        if e["orig"] not in affected
+                    ],
+                    new_eq,
+                )
+                for e in cand:
+                    affected[e["orig"]] = e
+            for e in affected.values():
+                fseq = e["seq"]
+                out.append(
+                    _ChangeUnit(
+                        "delete", e["path"], e["orig"], fseq,
+                        ordinal, s_id,
+                        prior_pos=[
+                            p for p in prev_p if p["seq"] >= fseq
+                        ],
+                        prior_eq=[
+                            q for q in prev_e if q["seq"] > fseq
+                        ],
+                        new_pos=[
+                            p for p in new_pos if p["seq"] >= fseq
+                        ],
+                        new_eq=[
+                            q for q in new_eq if q["seq"] > fseq
+                        ],
+                    )
+                )
+            prev_state = cur_state
+        return out
+
+    def read(self, partition: _ChangeUnit) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        local = partition.path
+        local = local[7:] if local.startswith("file://") else local
+        table = pq.read_table(local)
+        cols = {
+            name: table.column(name).to_pylist()
+            for name in table.column_names
+        }
+        data_fields = [
+            f.name
+            for f in self.schema_.fields
+            if f.name
+            not in (
+                "_change_type", "_change_ordinal",
+                "_commit_snapshot_id",
+            )
+        ]
+
+        def row(i: int, ctype: str) -> tuple:
+            return tuple(
+                cols[f][i] if f in cols else None
+                for f in data_fields
+            ) + (ctype, partition.ordinal, partition.sid)
+
+        if partition.kind == "insert":
+            for i in range(table.num_rows):
+                yield row(i, "INSERT")
+            return
+
+        def matches_eq(eq_sets, i) -> bool:
+            for cols_, keys in eq_sets:
+                if (
+                    tuple(
+                        cols.get(c, [None] * table.num_rows)[i]
+                        for c in cols_
+                    )
+                    in keys
+                ):
+                    return True
+            return False
+
+        prior_positions: set[int] = set()
+        for ent in partition.prior_pos:
+            prior_positions |= _pos_erased(ent, partition.orig)
+        prior_eq_sets = _eq_keysets(partition.prior_eq)
+        new_positions: set[int] = set()
+        for ent in partition.new_pos:
+            new_positions |= _pos_erased(ent, partition.orig)
+        new_eq_sets = _eq_keysets(partition.new_eq)
+
+        for i in range(table.num_rows):
+            if i in prior_positions or matches_eq(prior_eq_sets, i):
+                continue  # already deleted: never re-report
+            if i in new_positions or matches_eq(new_eq_sets, i):
+                yield row(i, "DELETE")
+
+
+class IcebergChangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_changes"
+
+    def schema(self):
+        base = IcebergTailDataSource(self.options).schema()
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField(
+                    "_change_ordinal", T.IntegerType(), False
+                ),
+                T.StructField(
+                    "_commit_snapshot_id", T.LongType(), False
+                ),
+            ]
+        )
+
+    def streamReader(self, schema: T.StructType):
+        return IcebergChangesStreamReader(schema, self.options)

@@ -64,6 +64,8 @@ from optimus_any2any_spark.formats.footer_stats import (
 )
 from optimus_any2any_spark.sources.iceberg import (
     _localize,
+    decode_bound,
+    encode_bound,
     _meta_dir,
     _puffin_dv_ref,
     advance_main_ref,
@@ -217,36 +219,9 @@ def manifest_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
 # ---------------------------------------------------------------------------
 # single-value serialization (spec Appendix D) for bounds
 
-def encode_bound(iceberg_type: str, v) -> bytes | None:
-    if v is None:
-        return None
-    if iceberg_type == "int":
-        return struct.pack("<i", v)
-    if iceberg_type == "long":
-        return struct.pack("<q", v)
-    if iceberg_type == "double":
-        return struct.pack("<d", float(v))
-    if iceberg_type == "float":
-        return struct.pack("<f", float(v))
-    if iceberg_type == "string":
-        return str(v).encode()
-    return None  # unbounded type: no stats, conservatively affected
-
-
-def decode_bound(iceberg_type: str, b: bytes | None):
-    if b is None:
-        return None
-    if iceberg_type == "int":
-        return struct.unpack("<i", b)[0]
-    if iceberg_type == "long":
-        return struct.unpack("<q", b)[0]
-    if iceberg_type == "double":
-        return struct.unpack("<d", b)[0]
-    if iceberg_type == "float":
-        return struct.unpack("<f", b)[0]
-    if iceberg_type == "string":
-        return b.decode()
-    return None
+# encode_bound / decode_bound moved to sources/iceberg.py (the manifest
+# pruning that uses them must run inside the pure-python data-source
+# runner); re-exported here for the writers and every existing caller.
 
 
 def _per_file_key_stats(
