@@ -458,3 +458,4 @@ class DeltaCdfDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType):
         return DeltaCdfStreamReader(schema, self.options)
+
