@@ -3235,3 +3235,202 @@ def delta_skipping_read(spark, sf_dir):
         F.max("k").alias("max_k"),
         dsum(F.col("price")).alias("sum_price"),
     )
+
+
+@register(
+    "iceberg_changes_stream",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    second AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    changes AS (
+      SELECT 'INSERT' AS change_type, price FROM base
+      UNION ALL SELECT 'INSERT', price FROM second
+      UNION ALL
+      SELECT 'DELETE', price FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT 'DELETE', price FROM second WHERE k % 7 = 0
+    )
+    SELECT change_type, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM changes GROUP BY change_type ORDER BY change_type
+    """,
+    doc="STREAMING CDC source over an Iceberg table "
+    "(readStream.format('iceberg_changes'), "
+    "sources/iceberg_stream.py — the Structured Streaming twin of "
+    "read_iceberg_changes): two append snapshots then an equality "
+    "delete, consumed with trigger(availableNow) into parquet via a "
+    "checkpoint. Appends emit INSERT events from their added files; "
+    "the delete snapshot emits DELETE pre-images evaluated PURELY "
+    "(pyarrow + Puffin/Roaring codecs — no SparkSession exists "
+    "inside a DataSourceStreamReader) against candidate files pruned "
+    "by positional refs / sequence gates / footer key bounds, so "
+    "streaming CDC IO is O(touched files) per micro-batch at 100 TB. "
+    "Offsets are stable snapshot ids (checkpoint-safe across "
+    "history expiration). The oracle states the same event algebra "
+    "as SQL set operations.",
+)
+def iceberg_changes_stream(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        write_iceberg_commit,
+    )
+    from optimus_any2any_spark.sources.iceberg_stream import (
+        IcebergChangesDataSource,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_keys,
+    )
+
+    spark.dataSource.register(IcebergChangesDataSource)
+    root = _fixture_dir("iceberg_chstream", sf_dir)
+    t = os.path.join(root, "tbl")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    empty_out = spark.createDataFrame(
+        [], "change_type string, n_rows long, sum_price double"
+    )
+    if o.isEmpty():
+        return empty_out
+    write_iceberg_commit(o.filter(F.col("k") % 4 != 0), t)
+    write_iceberg_commit(
+        o.filter(F.col("k") % 4 == 0).withColumn(
+            "price", F.col("price") + F.lit(1000.0)
+        ),
+        t,
+    )
+    delete_iceberg_keys(
+        spark, t, "k", o.select("k").filter(F.col("k") % 7 == 0)
+    )
+    q = (
+        spark.readStream.format("iceberg_changes")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    got = spark.read.parquet(out)
+    return (
+        got.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "delta_cdf_stream",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    src AS (
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    changes AS (
+      SELECT 'insert' AS change_type, price FROM base
+      UNION ALL
+      SELECT 'update_preimage', b.price FROM base b
+      JOIN src s ON b.k = s.k
+      UNION ALL
+      SELECT 'update_postimage', s.price FROM base b
+      JOIN src s ON b.k = s.k
+      UNION ALL
+      SELECT 'insert', s.price FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)
+    )
+    SELECT change_type, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM changes GROUP BY change_type ORDER BY change_type
+    """,
+    doc="STREAMING Change Data Feed source over a Delta table "
+    "(readStream.format('delta_cdf'), sources/delta_stream.py — the "
+    "Structured Streaming twin of read_delta_cdf): a creating merge "
+    "then an instrumented merge (change_data=True), consumed with "
+    "trigger(availableNow) into parquet via a checkpoint. Commits "
+    "with cdc actions stream their _change_data parquet "
+    "(pre/post-images, deletes); append-only commits synthesize "
+    "insert rows from their add files — exactly the batch reader's "
+    "contract; a rewrite without change data fails the stream by "
+    "name. Offsets ARE log versions. The oracle states the same "
+    "event algebra as SQL set operations.",
+)
+def delta_cdf_stream(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta_stream import (
+        DeltaCdfDataSource,
+    )
+    from optimus_any2any_spark.streaming.delta_table import (
+        merge_delta_batch,
+    )
+
+    spark.dataSource.register(DeltaCdfDataSource)
+    root = _fixture_dir("delta_cdfstream", sf_dir)
+    t = os.path.join(root, "tbl")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    merge_delta_batch(
+        spark, base, t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    empty_out = spark.createDataFrame(
+        [], "change_type string, n_rows long, sum_price double"
+    )
+    if not os.path.isdir(os.path.join(t, "_delta_log")):
+        return empty_out
+    src = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    merge_delta_batch(
+        spark, src, t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000, change_data=True,
+    )
+    q = (
+        spark.readStream.format("delta_cdf")
+        .option("path", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    got = spark.read.parquet(out)
+    return (
+        got.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("change_type")
+    )
