@@ -3108,6 +3108,99 @@ def _dml_where(
     return version
 
 
+def enable_delta_row_tracking(
+    spark: SparkSession, table_path: str
+) -> int:
+    """Enable ROW TRACKING on an EXISTING table — the BACKFILL the
+    merge reader used to refuse (PROTOCOL.md Row Tracking; delta-spark
+    ``ALTER TABLE ... SET TBLPROPERTIES('delta.enableRowTracking' =
+    'true')`` plus its backfill job). Done the protocol's cheap way:
+    ONE metadata commit that upgrades the protocol to v7
+    (rowTracking + domainMetadata writer features), records the
+    materialized column names in the configuration, and RE-COMMITS
+    every live add action with a fresh ``baseRowId`` reservation and
+    ``defaultRowCommitVersion`` = the backfill version
+    (``dataChange: false`` — zero data IO; ids derive from baseRowId +
+    position exactly like fresh writes). Reservation sizes come from
+    each add's ``stats.numRecords``, falling back to a driver-side
+    parquet footer read. Idempotent: an already-enabled table returns
+    its current version."""
+    import uuid as _uuid
+
+    state = replay_log(spark, table_path)
+    if state["meta"] is None:
+        raise ValueError(
+            f"delta row tracking: no table at {table_path}"
+        )
+    if _row_tracking_of(state["meta"]) is not None:
+        return state["version"]
+    if _phys_of(state["meta"])[1]:
+        raise NotImplementedError(
+            "delta row tracking: column-mapped tables are beyond "
+            "this writer"
+        )
+    version = state["version"] + 1
+    meta2 = dict(state["meta"])
+    conf = dict(meta2.get("configuration") or {})
+    conf["delta.enableRowTracking"] = "true"
+    suffix = str(
+        _uuid.uuid5(_uuid.NAMESPACE_URL, f"{table_path}|rowid")
+    )
+    conf["delta.rowTracking.materializedRowIdColumnName"] = (
+        f"_row-id-col-{suffix}"
+    )
+    conf[
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    ] = f"_row-commit-version-col-{suffix}"
+    meta2["configuration"] = conf
+    prev_protocol = state.get("protocol") or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    features = set(prev_protocol.get("writerFeatures") or [])
+    features |= {"rowTracking", "domainMetadata"}
+    protocol = {
+        "minReaderVersion": int(
+            prev_protocol.get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(features),
+    }
+    actions: list[dict] = [
+        {"protocol": protocol},
+        {"metaData": meta2},
+    ]
+    base = 0
+    for p, a in sorted(state["live"].items()):
+        n = None
+        st = a.get("stats")
+        if st:
+            try:
+                n = int(json.loads(st).get("numRecords"))
+            except (ValueError, TypeError):
+                n = None
+        if n is None:
+            import pyarrow.parquet as _pq
+
+            n = int(
+                _pq.read_metadata(
+                    os.path.join(table_path, p)
+                ).num_rows
+            )
+        a2 = dict(a)
+        a2["baseRowId"] = base
+        a2["defaultRowCommitVersion"] = version
+        a2["dataChange"] = False
+        base += n
+        actions.append({"add": a2})
+    actions.append(_rt_domain_action(base - 1))
+    _commit(
+        _log_dir(table_path), version, actions,
+        operation="ROW TRACKING BACKFILL",
+    )
+    return version
+
+
 def purge_deletion_vectors(
     spark: SparkSession,
     table_path: str,

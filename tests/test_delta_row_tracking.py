@@ -321,3 +321,48 @@ class TestMergeSchemaComposes:
         }
         assert rows[1] == ("A2", None)
         assert rows[2] == ("B", "hot")
+
+
+class TestBackfill:
+    def test_enable_on_existing_table(self, spark, tmp_path):
+        """Backfill (PROTOCOL.md Row Tracking enablement on an
+        existing table): one metadata commit re-states every live add
+        with a baseRowId reservation + defaultRowCommitVersion
+        (dataChange false, zero data IO); ids derive immediately and
+        every later writer preserves/mints as on a born-tracking
+        table."""
+        from optimus_any2any_spark.sources.delta import replay_log
+        from optimus_any2any_spark.streaming.delta_table import (
+            enable_delta_row_tracking,
+        )
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(1, 6)],
+            "k long, v string, ts long",
+        )
+        merge_delta_batch(spark, base, t, "k", "ts", batch_id=0)
+        v = enable_delta_row_tracking(spark, t)
+        assert enable_delta_row_tracking(spark, t) == v  # idempotent
+        rows = _rt(spark, t)
+        assert [r[1] for r in rows] == [0, 1, 2, 3, 4]
+        assert {r[2] for r in rows} == {v}
+        assert _hwm(spark, t) == 4
+        st = replay_log(spark, t)
+        assert st["protocol"]["minWriterVersion"] == 7
+        assert "rowTracking" in st["protocol"]["writerFeatures"]
+        # post-backfill merge: matched keeps, insert mints fresh
+        src = spark.createDataFrame(
+            [(2, "V2", 1), (9, "v9", 1)], "k long, v string, ts long"
+        )
+        merge_delta_batch(spark, src, t, "k", "ts", batch_id=1)
+        after = {k: i for k, i, _ in _rt(spark, t)}
+        assert after[2] == 1 and after[9] > 4
+
+    def test_enable_missing_table_raises(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.delta_table import (
+            enable_delta_row_tracking,
+        )
+
+        with pytest.raises(ValueError, match="no _delta_log"):
+            enable_delta_row_tracking(spark, str(tmp_path / "nope"))
