@@ -1898,3 +1898,50 @@ class TestConditionalInsertClauses:
                 spark, src, str(t), "k", "ts",
                 when_not_matched=[("insert", None, {})],
             )
+
+
+class TestEvolvedSchemaDmlComposes:
+    def test_dml_and_cdf_on_evolved_table(self, spark, tmp_path):
+        """After a merge_schema evolution, UPDATE/DELETE WHERE
+        referencing the NEW column and the CDF read compose."""
+        from optimus_any2any_spark.sources.delta import read_delta_cdf
+        from optimus_any2any_spark.streaming.delta_table import (
+            delete_delta_where,
+            update_delta_where,
+        )
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, 10.0 * i, 0) for i in range(1, 7)],
+            "k long, price double, ts long",
+        )
+        merge_delta_batch(spark, base, str(t), "k", "ts", batch_id=0)
+        wide = spark.createDataFrame(
+            [(9, 90.0, 1, "hot")],
+            "k long, price double, ts long, tag string",
+        )
+        merge_delta_batch(
+            spark, wide, str(t), "k", "ts", batch_id=1,
+            merge_schema=True,
+        )
+        update_delta_where(
+            spark, str(t), {"tag": "'cold'"}, where="k % 2 = 0",
+            change_data=True,
+        )
+        delete_delta_where(spark, str(t), "tag = 'hot'")
+        got = sorted(
+            (r.k, r.tag) for r in read_delta(spark, str(t)).collect()
+        )
+        assert got == [
+            (1, None), (2, "cold"), (3, None),
+            (4, "cold"), (5, None), (6, "cold"),
+        ]
+        cdf = sorted(
+            (r._change_type, r.k)
+            for r in read_delta_cdf(spark, str(t), 1, 2).collect()
+        )
+        assert cdf == [
+            ("update_postimage", 2), ("update_postimage", 4),
+            ("update_postimage", 6), ("update_preimage", 2),
+            ("update_preimage", 4), ("update_preimage", 6),
+        ]

@@ -1081,3 +1081,49 @@ class TestIcebergConditionalMerge:
         )
         # k=2 deleted; k=50 inserted (default insert-all)
         assert got == [(1, 10), (3, 30), (4, 40), (50, 5)]
+
+
+class TestEvolvedSchemaDmlComposes:
+    def test_dml_compaction_changelog_on_evolved_table(
+        self, spark, tmp_path
+    ):
+        """After a merge_schema evolution, the whole write/read
+        surface composes: UPDATE/DELETE WHERE referencing the NEW
+        column, keyed compaction, and the changelog scan."""
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_changes,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            compact_iceberg,
+            delete_iceberg_where,
+            update_iceberg_where,
+        )
+
+        t = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, 10.0 * i, 0) for i in range(1, 7)],
+            "k long, price double, ts long",
+        )
+        merge_iceberg_batch(spark, base, t, "k", "ts", batch_id=0)
+        wide = spark.createDataFrame(
+            [(9, 90.0, 1, "hot")],
+            "k long, price double, ts long, tag string",
+        )
+        merge_iceberg_batch(
+            spark, wide, t, "k", "ts", batch_id=1, merge_schema=True
+        )
+        update_iceberg_where(
+            spark, t, {"tag": "'cold'"}, where="k % 2 = 0"
+        )
+        delete_iceberg_where(spark, t, "tag = 'hot'")
+        got = sorted(
+            (r.k, r.tag) for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [
+            (1, None), (2, "cold"), (3, None),
+            (4, "cold"), (5, None), (6, "cold"),
+        ]
+        compact_iceberg(spark, t, key_col="k")
+        assert read_iceberg(spark, t).count() == 6
+        ch = read_iceberg_changes(spark, t)
+        assert "tag" in ch.columns and ch.count() > 0
