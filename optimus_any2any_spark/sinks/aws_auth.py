@@ -45,8 +45,14 @@ def _default_transport(
     import urllib.request
 
     req = urllib.request.Request(url, data=data, headers=headers, method="POST")
-    with urllib.request.urlopen(req) as resp:  # noqa: S310
-        return resp.status, resp.read().decode()
+    try:
+        with urllib.request.urlopen(req) as resp:  # noqa: S310
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        # Return (status, body) so callers surface the reference's
+        # "<status> response when ..." message instead of a bare
+        # HTTPError — urlopen raises on every non-2xx.
+        return e.code, e.read().decode(errors="replace")
 
 
 def parse_credentials(creds_json: str) -> dict:
@@ -89,11 +95,19 @@ def tiktok_client_token(
             "Cache-Control": "no-cache",
         },
     )
-    payload = json.loads(text)
     if status != 200:
+        # Status first: a non-JSON error body (HTML 502, proxy page)
+        # must surface the HTTP failure, not a JSONDecodeError.
         raise RuntimeError(
             f"{status} response when getting client token: {text[:500]}"
         )
+    try:
+        payload = json.loads(text)
+    except ValueError as e:
+        raise RuntimeError(
+            f"non-JSON 200 response when getting client token: "
+            f"{text[:500]}"
+        ) from e
     if "access_token" not in payload:
         raise RuntimeError("access_token not found in response")
     if "token_type" not in payload:
@@ -123,12 +137,21 @@ def tiktok_temporary_credentials(
             "Authorization": token,
         },
     )
-    payload = json.loads(text)
     if status != 200:
+        try:
+            detail = repr(json.loads(text).get("error"))
+        except ValueError:
+            detail = text[:500]
         raise RuntimeError(
-            f"{status} response when getting temporary creds: "
-            f"{payload.get('error')!r}"
+            f"{status} response when getting temporary creds: {detail}"
         )
+    try:
+        payload = json.loads(text)
+    except ValueError as e:
+        raise RuntimeError(
+            f"non-JSON 200 response when getting temporary creds: "
+            f"{text[:500]}"
+        ) from e
     data = payload.get("data")
     if not isinstance(data, dict):
         raise RuntimeError("data not found in response")

@@ -2302,6 +2302,27 @@ def write_iceberg_commit(
                 f"schema {prev_names} — appends do not evolve "
                 "schemas (merge with merge_schema=True does)"
             )
+        # Names matching is not enough: a type-drifted df would write
+        # parquet files that silently disagree with the (preserved)
+        # field types the readers trust.
+        drift = []
+        for f, pf in zip(df.schema.fields, prev_cur["fields"]):
+            try:
+                got = _spark_type_to_iceberg(f.dataType)
+            except NotImplementedError:
+                continue  # nested type: name match is the best check
+            if got != pf["type"]:
+                drift.append((f.name, got, pf["type"]))
+        if drift:
+            raise ValueError(
+                "iceberg append: df column types drifted from the "
+                "table schema — "
+                + ", ".join(
+                    f"{n}: df={got!r} != table={want!r}"
+                    for n, got, want in drift
+                )
+                + " (appends do not evolve schemas)"
+            )
         prev_schemas = {
             "schema": prev_cur,
             "schemas": list(

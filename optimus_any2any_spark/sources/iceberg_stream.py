@@ -384,9 +384,18 @@ class IcebergChangesStreamReader(IcebergTailStreamReader):
             ]
             for ents in (prev_e, new_eq):
                 for e in ents:
-                    e["eq_cols"] = [
-                        by_id[i] for i in e["equality_ids"]
-                    ]
+                    try:
+                        e["eq_cols"] = [
+                            by_id[i] for i in e["equality_ids"]
+                        ]
+                    except KeyError as ke:
+                        # Match the batch reader's named refusal —
+                        # not a bare KeyError that kills the stream.
+                        raise NotImplementedError(
+                            "iceberg_changes: equality delete on "
+                            f"unknown field id {ke.args[0]} (absent "
+                            "from the current schema)"
+                        ) from None
             affected: dict[str, dict] = {}
             if new_pos:
                 refs = _ice._pos_delete_referenced_paths(new_pos)

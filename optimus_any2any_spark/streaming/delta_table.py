@@ -3158,6 +3158,15 @@ def enable_delta_row_tracking(
         "minWriterVersion": 2,
     }
     features = set(prev_protocol.get("writerFeatures") or [])
+    # A legacy-versioned protocol (minWriterVersion 2-6) implies writer
+    # features by NUMBER; the v7 upgrade must list them explicitly or
+    # external writers silently stop enforcing appendOnly/invariants/
+    # checkConstraints/CDF/generated/identity on this table.
+    old_w = int(prev_protocol.get("minWriterVersion", 2))
+    if old_w < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if old_w >= v:
+                features.update(feats)
     features |= {"rowTracking", "domainMetadata"}
     protocol = {
         "minReaderVersion": int(

@@ -359,6 +359,52 @@ class TestBackfill:
         after = {k: i for k, i, _ in _rt(spark, t)}
         assert after[2] == 1 and after[9] > 4
 
+    def test_enable_preserves_legacy_implied_features(
+        self, spark, tmp_path
+    ):
+        """A legacy-versioned protocol (minWriterVersion 4, e.g. a
+        generated-columns table) implies appendOnly/invariants/
+        checkConstraints/changeDataFeed/generatedColumns by NUMBER;
+        the v7 row-tracking upgrade must list them explicitly or
+        external writers silently stop enforcing them
+        (PROTOCOL.md: Table Features upgrade rule)."""
+        from optimus_any2any_spark.streaming.delta_table import (
+            enable_delta_row_tracking,
+        )
+
+        t = str(tmp_path / "t")
+        create_delta_table(
+            spark, t,
+            "k long, v string, ts long, day string",
+            generated={
+                "day": (
+                    "date_format(timestamp_seconds(ts), 'yyyy-MM-dd')"
+                )
+            },
+        )
+        df = spark.createDataFrame(
+            [(1, "a", 0)], "k long, v string, ts long"
+        )
+        merge_delta_batch(spark, df, t, "k", "ts", batch_id=0)
+        st0 = replay_log(spark, t)
+        assert st0["protocol"]["minWriterVersion"] == 4
+        enable_delta_row_tracking(spark, t)
+        st = replay_log(spark, t)
+        assert st["protocol"]["minWriterVersion"] == 7
+        feats = set(st["protocol"]["writerFeatures"])
+        assert {
+            "appendOnly", "invariants", "checkConstraints",
+            "changeDataFeed", "generatedColumns",
+            "rowTracking", "domainMetadata",
+        } <= feats
+        # the generated column still enforces after the upgrade
+        bad = spark.createDataFrame(
+            [(2, "b", 0, "2099-01-01")],
+            "k long, v string, ts long, day string",
+        )
+        with pytest.raises(ValueError, match="generat"):
+            merge_delta_batch(spark, bad, t, "k", "ts", batch_id=1)
+
     def test_enable_missing_table_raises(self, spark, tmp_path):
         from optimus_any2any_spark.streaming.delta_table import (
             enable_delta_row_tracking,

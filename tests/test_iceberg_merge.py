@@ -727,6 +727,14 @@ class TestPartitionEvolution:
         assert read_iceberg(spark, t).count() == 4
         with pytest.raises(ValueError, match="do not evolve"):
             write_iceberg_commit(narrow, t)
+        # same NAMES but drifted TYPES must refuse too — else the
+        # parquet silently disagrees with the table's field types
+        drifted = spark.createDataFrame(
+            [(51, 5, 3, "app")],
+            "k long, price int, ts long, tag string",
+        )
+        with pytest.raises(ValueError, match="types drifted"):
+            write_iceberg_commit(drifted, t)
 
     def test_merge_schema_empty_batch_still_evolves(
         self, spark, tmp_path

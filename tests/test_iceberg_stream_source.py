@@ -239,6 +239,48 @@ class TestIcebergChangesSource:
             ("INSERT", 1, "a"), ("INSERT", 2, "b"), ("INSERT", 3, "c"),
         ]
 
+    def test_eq_delete_unknown_field_id_named_refusal(
+        self, spark, tmp_path
+    ):
+        """An equality delete referencing a field id absent from the
+        current schema must raise the batch reader's named
+        NotImplementedError, not a bare KeyError."""
+        import json
+        import os
+
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergChangesStreamReader,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a"), (2, "b")]), t)
+        delete_iceberg_keys(
+            spark, t, "id", spark.createDataFrame([(2,)], "id long")
+        )
+        # simulate a dropped column: re-id the schema fields so the
+        # delete's equality id (1 = "id") no longer resolves
+        md = os.path.join(t, "metadata")
+        hint = int(open(os.path.join(md, "version-hint.text")).read())
+        mpath = os.path.join(md, f"v{hint}.metadata.json")
+        meta = json.load(open(mpath))
+        schemas = meta.get("schemas") or []
+        if meta.get("schema"):
+            schemas = schemas + [meta["schema"]]
+        for sch in schemas:
+            for f in sch["fields"]:
+                f["id"] += 100
+        json.dump(meta, open(mpath, "w"))
+        reader = IcebergChangesStreamReader(None, {"path": t})
+        with pytest.raises(
+            NotImplementedError, match="unknown field id"
+        ):
+            reader.partitions(
+                reader.initialOffset(), reader.latestOffset()
+            )
+
     def test_dv_delete_and_never_rereport(self, chg, tmp_path):
         from optimus_any2any_spark.streaming.iceberg_table import (
             delete_iceberg_keys,

@@ -115,6 +115,61 @@ class TestTikTokExchange:
         with pytest.raises(RuntimeError, match="data not found"):
             tiktok_temporary_credentials("CK", "CS", transport=no_data)
 
+    def test_non_json_error_body_surfaces_status(self):
+        """An HTML 502 / proxy page must raise the reference's
+        '<status> response ...' error, not a JSONDecodeError."""
+
+        def html_502(url, data, headers):
+            return 502, "<html>Bad Gateway</html>"
+
+        with pytest.raises(RuntimeError, match="502 response.*Gateway"):
+            tiktok_temporary_credentials("CK", "CS", transport=html_502)
+
+        def creds_html_500(url, data, headers):
+            if url == TIKTOK_TOKEN_URL:
+                return 200, json.dumps(
+                    {"access_token": "x", "token_type": "Bearer"}
+                )
+            return 500, "<html>oops</html>"
+
+        with pytest.raises(RuntimeError, match="500 response.*oops"):
+            tiktok_temporary_credentials(
+                "CK", "CS", transport=creds_html_500
+            )
+
+    def test_non_json_200_named_error(self):
+        def junk_200(url, data, headers):
+            return 200, "not json"
+
+        with pytest.raises(RuntimeError, match="non-JSON 200"):
+            tiktok_temporary_credentials("CK", "CS", transport=junk_200)
+
+    def test_default_transport_returns_http_error_body(self):
+        """urlopen raises HTTPError on non-2xx; the transport must
+        convert it to (status, body) so the status!=200 branches are
+        reachable on the real network path."""
+        import io
+        import urllib.error
+        import urllib.request
+        from unittest import mock
+
+        from optimus_any2any_spark.sinks.aws_auth import (
+            _default_transport,
+        )
+
+        err = urllib.error.HTTPError(
+            TIKTOK_TOKEN_URL, 403, "Forbidden", {},
+            io.BytesIO(b'{"error":"denied"}'),
+        )
+        with mock.patch.object(
+            urllib.request, "urlopen", side_effect=err
+        ):
+            status, body = _default_transport(
+                TIKTOK_TOKEN_URL, b"x", {}
+            )
+        assert status == 403
+        assert "denied" in body
+
 
 class TestResolveDispatch:
     def test_static_default(self):
