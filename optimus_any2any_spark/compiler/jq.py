@@ -3488,12 +3488,32 @@ def _tostream_rows(
     return df.select(F.explode(arr).alias("value"))
 
 
+_TOKENS_CACHE: dict[str, tuple[str, ...]] = {}
+_TOKENS_CACHE_MAX = 512
+
+
+def _program_tokens(program: str) -> list[str]:
+    """Tokenize + def-inline once per distinct program text — both
+    passes are pure functions of the source, and repeated
+    translate_jq calls (per micro-batch, per sink write) re-pay them
+    otherwise. Returns a fresh list: downstream stages slice and
+    mutate their own copies."""
+    key = program.strip()
+    toks = _TOKENS_CACHE.get(key)
+    if toks is None:
+        if len(_TOKENS_CACHE) >= _TOKENS_CACHE_MAX:
+            _TOKENS_CACHE.clear()
+        toks = tuple(_inline_defs(_tokenize(key)))
+        _TOKENS_CACHE[key] = toks
+    return list(toks)
+
+
 def translate_jq(df: DataFrame, program: str) -> DataFrame:
     """Compile a JQ-subset program to DataFrame operations.
 
     Raises :class:`JQUnsupported` for programs outside the subset.
     """
-    toks = _inline_defs(_tokenize(program.strip()))
+    toks = _program_tokens(program)
     stages = _split_top(toks, "|")
     # Leading '.[]' iterates the batch array — the DataFrame already is
     # the record stream, so it is the identity here.

@@ -606,5 +606,19 @@ class Template:
         return F.concat(*cols) if len(cols) > 1 else cols[0].cast("string")
 
 
+_TEMPLATE_CACHE: dict[str, Template] = {}
+_TEMPLATE_CACHE_MAX = 512
+
+
 def compile_template(source: str) -> Template:
-    return Template(source)
+    """Parse-once per distinct template text: Template objects are
+    immutable after __init__ (render/column/field_refs only read
+    self.parts), and per-record-templated sinks re-compile the same
+    source on every write — the parse is pure, so share it."""
+    t = _TEMPLATE_CACHE.get(source)
+    if t is None:
+        if len(_TEMPLATE_CACHE) >= _TEMPLATE_CACHE_MAX:
+            _TEMPLATE_CACHE.clear()
+        t = Template(source)
+        _TEMPLATE_CACHE[source] = t
+    return t

@@ -2306,3 +2306,34 @@ class TestFromstreamTostream:
         df = spark.createDataFrame([(1,)], "id long")
         with pytest.raises(JQUnsupported):
             translate_jq(df, "fromstream(.[])")
+
+
+class TestProgramTokenCache:
+    def test_one_tokenize_per_distinct_program(self, monkeypatch):
+        import optimus_any2any_spark.compiler.jq as jq
+
+        jq._TOKENS_CACHE.clear()
+        calls = []
+        orig = jq._tokenize
+
+        def counting(src):
+            calls.append(src)
+            return orig(src)
+
+        monkeypatch.setattr(jq, "_tokenize", counting)
+        t1 = jq._program_tokens(".a | .b")
+        t2 = jq._program_tokens(".a | .b")
+        t3 = jq._program_tokens("  .a | .b  ")  # strip-normalized
+        assert t1 == t2 == t3 == [".a", "|", ".b"]
+        assert calls == [".a | .b"]
+        # cached copies are independent lists (stages mutate slices)
+        t1.append("x")
+        assert jq._program_tokens(".a | .b") == [".a", "|", ".b"]
+
+    def test_cache_bounded(self):
+        import optimus_any2any_spark.compiler.jq as jq
+
+        jq._TOKENS_CACHE.clear()
+        for i in range(jq._TOKENS_CACHE_MAX + 5):
+            jq._program_tokens(f".f{i}")
+        assert len(jq._TOKENS_CACHE) <= jq._TOKENS_CACHE_MAX

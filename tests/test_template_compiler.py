@@ -150,3 +150,34 @@ class TestColumnBackend:
             assert py == col, tmpl
         assert compile_template('[[ default "D" .zero ]]').render(rows[0]) == "D"
         assert compile_template('[[ default "D" .seven ]]').render(rows[0]) == "7"
+
+
+class TestCompileCache:
+    def test_one_parse_per_distinct_text(self, monkeypatch):
+        """Per-record-templated sinks re-compile the same source every
+        write; the compile must be paid once per distinct text."""
+        import optimus_any2any_spark.compiler.template as tc
+
+        tc._TEMPLATE_CACHE.clear()
+        parses = []
+        orig = tc.Template.__init__
+
+        def counting(self, source):
+            parses.append(source)
+            orig(self, source)
+
+        monkeypatch.setattr(tc.Template, "__init__", counting)
+        a1 = tc.compile_template("x-[[ .k ]]")
+        a2 = tc.compile_template("x-[[ .k ]]")
+        b = tc.compile_template("y-[[ .k ]]")
+        assert a1 is a2 and a1 is not b
+        assert parses == ["x-[[ .k ]]", "y-[[ .k ]]"]
+        assert a1.render({"k": 7}) == "x-7"
+
+    def test_cache_bounded(self):
+        import optimus_any2any_spark.compiler.template as tc
+
+        tc._TEMPLATE_CACHE.clear()
+        for i in range(tc._TEMPLATE_CACHE_MAX + 5):
+            tc.compile_template(f"t{i}")
+        assert len(tc._TEMPLATE_CACHE) <= tc._TEMPLATE_CACHE_MAX
