@@ -2471,6 +2471,167 @@ def delta_row_tracking(spark, sf_dir):
 
 
 @register(
+    "delta_mapped_row_tracking",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    cutoff AS (
+      SELECT CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) AS c
+      FROM orders
+    ),
+    s1 AS (
+      SELECT k, price, ROW_NUMBER() OVER (ORDER BY k) - 1 AS rid
+      FROM base WHERE k <= (SELECT c FROM cutoff)
+    ),
+    s2 AS (
+      SELECT k, price,
+             (SELECT COUNT(*) FROM s1)
+             + ROW_NUMBER() OVER (ORDER BY k) - 1 AS rid
+      FROM base WHERE k > (SELECT c FROM cutoff)
+    ),
+    allr AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+    upd AS (
+      SELECT k,
+             CASE WHEN k % 10 = 1 THEN price + 1000.0
+                  ELSE price END AS price,
+             rid,
+             CAST(CASE WHEN k % 10 = 1 THEN 2 ELSE 1 END
+                  AS BIGINT) AS cv
+      FROM allr
+    ),
+    final AS (SELECT * FROM upd WHERE k % 9 <> 0)
+    SELECT cv AS commit_version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS sum_rid,
+           {o_dsum('price')} AS sum_price
+    FROM final GROUP BY cv ORDER BY cv
+    """,
+    doc="COLUMN MAPPING × ROW TRACKING composed (the r11 VERDICT "
+    "composition gap, lifted): the fixture is a delta-spark-style "
+    "columnMapping.mode=name table (physical col-uuid parquet "
+    "names); enable_delta_row_tracking BACKFILLS it in one metadata "
+    "commit (ids = position order over the sorted live files), then "
+    "UPDATE WHERE keeps ids and bumps _row_commit_version and "
+    "DELETE WHERE drops rows without moving survivor ids. "
+    "Materialized lineage columns are NOT part of the logical "
+    "schema, so their configured names pass the storage boundary "
+    "verbatim while data columns ride the logical→physical walk "
+    "(tests/test_delta_row_tracking.py::TestMappedRowTracking).",
+    bench=False,
+)
+def delta_mapped_row_tracking(spark, sf_dir):
+    import glob as _glob
+    import json as _json
+
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import (
+        read_delta_row_tracking,
+    )
+    from optimus_any2any_spark.streaming.delta_table import (
+        delete_delta_where,
+        enable_delta_row_tracking,
+        update_delta_where,
+    )
+
+    t = _fixture_dir("delta_mapped_rt", sf_dir)
+    pk, pp = "col-5b1fd8e3", "col-a940c77f"
+    o = load(spark, sf_dir, "orders")
+    max_k = o.agg(F.max("o_orderkey")).collect()[0][0]
+    cutoff = int(max_k // 2) if max_k is not None else 0
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias(pk),
+        F.col("o_totalprice").alias(pp),
+    )
+    os.makedirs(t, exist_ok=True)
+    adds = []
+    # two range-split, k-sorted single-file adds: the backfill's
+    # position-order id assignment restates as ROW_NUMBER() per half
+    for i, cond in enumerate(
+        [F.col(pk) <= cutoff, F.col(pk) > cutoff]
+    ):
+        half = (
+            base.filter(cond)
+            .repartitionByRange(1, pk)
+            .sortWithinPartitions(pk)
+        )
+        tmpd = os.path.join(t, f"_tmp{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        parts = sorted(_glob.glob(os.path.join(tmpd, "part-*.parquet")))
+        if not parts:  # empty half (degenerate inputs): no file
+            shutil.rmtree(tmpd)
+            continue
+        rel = f"part-00000-{i}-mapped.parquet"
+        os.replace(parts[0], os.path.join(t, rel))
+        shutil.rmtree(tmpd)
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(t, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    fields = [
+        {
+            "name": n,
+            "type": ty,
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": pn,
+            },
+        }
+        for i, (n, ty, pn) in enumerate(
+            [("k", "long", pk), ("price", "double", pp)]
+        )
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "mapped-rt-orders",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "2",
+                },
+            }
+        },
+    ] + adds
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, "%020d.json" % 0), "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    enable_delta_row_tracking(spark, t)          # version 1: backfill
+    update_delta_where(                           # version 2
+        spark, t, {"price": "price + 1000.0"}, where="k % 10 = 1"
+    )
+    delete_delta_where(spark, t, "k % 9 = 0")     # version 3
+    snap = read_delta_row_tracking(spark, t)
+    return (
+        snap.groupBy(
+            F.col("_row_commit_version").alias("commit_version")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").alias("sum_rid"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("commit_version")
+    )
+
+
+@register(
     "delta_restore_read",
     oracle=f"""
     WITH base AS (

@@ -960,6 +960,9 @@ def read_delta_row_tracking(
         raise ValueError(
             "delta read: row tracking is not enabled on this table"
         )
+    cmap = column_mapping(meta)
+    phys = (lambda c: cmap.get(c, c)) if cmap else (lambda c: c)
+    pfields = physical_fields(meta) if cmap else None
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     data_schema = T.StructType(
@@ -979,12 +982,14 @@ def read_delta_row_tracking(
     cur = _read_files_dv_aware(
         spark, table_path, data_schema, paths, live,
         basename_col="__bn" if part_cols else None,
+        pfields=pfields,
         row_tracking=rt,
     )
     if part_cols:
+        # partitionValues are keyed by PHYSICAL names on mapped tables
         pv_of = {
             p.rsplit("/", 1)[-1]: tuple(
-                (a.get("partitionValues") or {}).get(c)
+                (a.get("partitionValues") or {}).get(phys(c))
                 for c in part_cols
             )
             for p, a in live.items()

@@ -247,11 +247,6 @@ def _read_files_dv_aware(
         dv_positions_df,
     )
 
-    if row_tracking is not None and pfields is not None:
-        raise NotImplementedError(
-            "delta row tracking: column-mapped tables are beyond "
-            "this writer"
-        )
     read_schema = (
         _phys_schema(data_schema, pfields) if pfields is not None
         else data_schema
@@ -274,7 +269,10 @@ def _read_files_dv_aware(
     if pfields is not None:
         # mapped tables: parquet carries physical names (all nesting
         # levels) — cast back to the logical schema the caller's
-        # algebra runs on
+        # algebra runs on. Row-tracking materialized columns are NOT
+        # part of the logical schema, so column mapping never applies
+        # to them: their configured names ARE the parquet names, and
+        # they pass through the logical re-select verbatim.
         df = df.select(
             *[
                 F.col("`" + pfields[f.name].name + "`")
@@ -282,6 +280,14 @@ def _read_files_dv_aware(
                 .alias(f.name)
                 for f in data_schema.fields
             ],
+            *(
+                [
+                    F.col("`" + row_tracking[0] + "`"),
+                    F.col("`" + row_tracking[1] + "`"),
+                ]
+                if row_tracking is not None
+                else []
+            ),
             F.col("_metadata").alias("_metadata"),
         )
     bn = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
@@ -294,6 +300,10 @@ def _read_files_dv_aware(
             bn.alias("__dv_bn"),
             F.col("_metadata.row_index").alias("__dv_pos"),
         )
+        if pfields is not None:
+            # the mapped re-select materialized _metadata as a plain
+            # struct column — drop it now that bn/pos are captured
+            df = df.drop("_metadata")
         rt_rows = []
         for p in paths:
             a = live[p]
@@ -1518,10 +1528,10 @@ def compact_delta(
         else:
             out_df = out_df.coalesce(n_files)
         if mapped:
-            out_df = _to_phys(
-                out_df, data_cols, pfields,
-                keep=("__zv",) if zorder_by else (),
-            )
+            keep_ = ("__zv",) if zorder_by else ()
+            if rt is not None:
+                keep_ = keep_ + rt
+            out_df = _to_phys(out_df, data_cols, pfields, keep=keep_)
         if zorder_by:
             out_df = out_df.drop("__zv")
         out_df.write.mode("overwrite").parquet(tmp)
@@ -1544,10 +1554,10 @@ def compact_delta(
         if zorder_by:
             out_df = out_df.sortWithinPartitions("__pid", "__zv")
         if mapped:
-            out_df = _to_phys(
-                out_df, data_cols, pfields,
-                keep=("__pid", "__zv") if zorder_by else ("__pid",),
-            )
+            keep_ = ("__pid", "__zv") if zorder_by else ("__pid",)
+            if rt is not None:
+                keep_ = keep_ + rt
+            out_df = _to_phys(out_df, data_cols, pfields, keep=keep_)
         if zorder_by:
             out_df = out_df.drop("__zv")
         (
@@ -1985,12 +1995,6 @@ def merge_delta_batch(
     }
     phys, mapped, pfields = _phys_of(state["meta"])
     rt = _row_tracking_of(state["meta"])
-    if rt is not None:
-        if mapped:
-            raise NotImplementedError(
-                "delta row tracking: column-mapped tables are "
-                "beyond this writer"
-            )
     version = state["version"] + 1
     if (
         batch_id is not None
@@ -2495,7 +2499,10 @@ def merge_delta_batch(
             n_files, F.col(key_col)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, pfields)
+            out_df = _to_phys(
+                out_df, data_cols, pfields,
+                keep=rt if rt is not None else (),
+            )
         out_df.write.mode("overwrite").parquet(tmp)
         pv = pv_of_pid[0]
         for part in sorted(
@@ -2510,7 +2517,10 @@ def merge_delta_batch(
             n_files, F.col("__pid"), F.col(key_col)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, pfields, keep=("__pid",))
+            out_df = _to_phys(
+                out_df, data_cols, pfields,
+                keep=("__pid", *rt) if rt is not None else ("__pid",),
+            )
         (
             out_df.write.partitionBy("__pid")
             .mode("overwrite")
@@ -2950,7 +2960,10 @@ def _dml_where(
             n_files, F.col(data_cols[0])
         )
         if mapped:
-            body = _to_phys(body, data_cols, pfields)
+            body = _to_phys(
+                body, data_cols, pfields,
+                keep=rt if rt is not None else (),
+            )
     else:
         pid_lk = spark.createDataFrame(
             [(bn, pid_of[pv_of[bn]]) for bn in touched_bn],
@@ -2970,7 +2983,10 @@ def _dml_where(
             )
         )
         if mapped:
-            body = _to_phys(body, data_cols, pfields, keep=("__pid",))
+            body = _to_phys(
+                body, data_cols, pfields,
+                keep=("__pid", *rt) if rt is not None else ("__pid",),
+            )
 
     tmp = os.path.join(table_path, f"_tmp-dml-v{version}")
     op = "UPDATE" if set_exprs else "DELETE"
@@ -3134,11 +3150,6 @@ def enable_delta_row_tracking(
         )
     if _row_tracking_of(state["meta"]) is not None:
         return state["version"]
-    if _phys_of(state["meta"])[1]:
-        raise NotImplementedError(
-            "delta row tracking: column-mapped tables are beyond "
-            "this writer"
-        )
     version = state["version"] + 1
     meta2 = dict(state["meta"])
     conf = dict(meta2.get("configuration") or {})
@@ -3282,11 +3293,6 @@ def purge_deletion_vectors(
     ]
 
     rt = _row_tracking_of(state["meta"])
-    if rt is not None and mapped:
-        raise NotImplementedError(
-            "delta row tracking: column-mapped tables are beyond "
-            "this writer"
-        )
     read_schema = (
         _phys_schema(data_schema, pfields) if mapped else data_schema
     )
@@ -3401,7 +3407,10 @@ def purge_deletion_vectors(
             else kept.coalesce(n_files)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, pfields)
+            out_df = _to_phys(
+                out_df, data_cols, pfields,
+                keep=rt if rt is not None else (),
+            )
         out_df.write.mode("overwrite").parquet(tmp)
         pv = next(
             iter(dv_adds.values())
@@ -3425,7 +3434,10 @@ def purge_deletion_vectors(
         )
         out_df = kept.repartitionByRange(n_files, *range_cols)
         if mapped:
-            out_df = _to_phys(out_df, data_cols, pfields, keep=("__pid",))
+            out_df = _to_phys(
+                out_df, data_cols, pfields,
+                keep=("__pid", *rt) if rt is not None else ("__pid",),
+            )
         (
             out_df.write.partitionBy("__pid")
             .mode("overwrite")
@@ -3927,7 +3939,10 @@ def delete_delta_keys(
             n_files, F.col(key_col)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, pfields)
+            out_df = _to_phys(
+                out_df, data_cols, pfields,
+                keep=rt if rt is not None else (),
+            )
         out_df.write.mode("overwrite").parquet(tmp)
         pv = {phys(c): v for c, v in zip(part_cols, ptuples[0])}
         for part in sorted(
@@ -3942,7 +3957,10 @@ def delete_delta_keys(
             n_files, F.col("__pid"), F.col(key_col)
         )
         if mapped:
-            out_df = _to_phys(out_df, data_cols, pfields, keep=("__pid",))
+            out_df = _to_phys(
+                out_df, data_cols, pfields,
+                keep=("__pid", *rt) if rt is not None else ("__pid",),
+            )
         (
             out_df.write.partitionBy("__pid")
             .mode("overwrite")

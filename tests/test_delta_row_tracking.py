@@ -412,3 +412,229 @@ class TestBackfill:
 
         with pytest.raises(ValueError, match="no _delta_log"):
             enable_delta_row_tracking(spark, str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# Column mapping × row tracking (the r11 VERDICT composition gap):
+# delta-spark composes both features — materialized row-tracking
+# columns are NOT part of the logical schema, so their configured
+# names ARE the parquet names (no physicalName translation), while
+# data columns ride the usual logical→physical walk.
+
+RID = "_row-id-col-fixture"
+RCV = "_row-commit-version-col-fixture"
+PK, PV = "col-mapped-k", "col-mapped-v"
+
+
+def _write_foreign_mapped_tracked(spark, t):
+    """A mapped + row-tracking table the way delta-spark lays it out:
+    physical data column names in the parquet; one REWRITTEN file
+    carrying the materialized lineage columns, one fresh file without
+    them (ids derive from baseRowId + position)."""
+    import glob as _glob
+    import shutil
+
+    os.makedirs(t, exist_ok=True)
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": PK}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": PV}},
+        ],
+    })
+    actions = [
+        {"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 7,
+            "writerFeatures": [
+                "columnMapping", "domainMetadata", "rowTracking",
+            ],
+        }},
+        {"metaData": {
+            "id": "cm-rt-test",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName": RID,
+                ("delta.rowTracking."
+                 "materializedRowCommitVersionColumnName"): RCV,
+            },
+        }},
+        {"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 9}),
+            "removed": False,
+        }},
+    ]
+    # file 0: REWRITTEN under row tracking — materialized lineage
+    df0 = spark.createDataFrame(
+        [(1, "a", 0, 0), (2, "b", 1, 0)],
+        f"`{PK}` long, `{PV}` string, `{RID}` long, `{RCV}` long",
+    )
+    # file 1: fresh append — no materialized columns; ids derive
+    df1 = spark.createDataFrame(
+        [(3, "c"), (4, "d")], f"`{PK}` long, `{PV}` string"
+    )
+    for gi, (df, base, dcv) in enumerate(
+        [(df0, 0, 1), (df1, 5, 2)]
+    ):
+        tmp = os.path.join(t, f"_tmp{gi}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        rel = f"part-0000{gi}-foreign.parquet"
+        os.replace(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(t, rel),
+        )
+        shutil.rmtree(tmp)
+        actions.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(t, rel)),
+            "modificationTime": 0, "dataChange": True,
+            "baseRowId": base, "defaultRowCommitVersion": dcv,
+            "stats": json.dumps({"numRecords": 2,
+                                 "minValues": {PK: 1},
+                                 "maxValues": {PK: 4},
+                                 "nullCount": {PK: 0}}),
+        }})
+    log = os.path.join(t, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, "%020d.json" % 0), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+class TestMappedRowTracking:
+    def test_foreign_mapped_tracked_reads(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write_foreign_mapped_tracked(spark, t)
+        rows = _rt(spark, t)
+        # rewritten file: materialized ids; fresh file: derived
+        assert rows == [(1, 0, 0), (2, 1, 0), (3, 5, 2), (4, 6, 2)]
+        got = sorted(
+            (r.k, r.v) for r in read_delta(spark, t).collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    def test_foreign_merge_keeps_and_mints(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        _write_foreign_mapped_tracked(spark, t)
+        src = spark.createDataFrame(
+            [(2, "B2", 1), (9, "v9", 1)], "k long, v string, ts long"
+        )
+        with pytest.raises(ValueError, match="merge_schema"):
+            merge_delta_batch(spark, src, t, "k", "ts", batch_id=1)
+        src = src.drop("ts")
+        # the fixture table has no ts column — merge on (k, v) shape
+        src = spark.createDataFrame(
+            [(2, "B2"), (9, "v9")], "k long, v string"
+        )
+        merge_delta_batch(
+            spark, src.withColumn("ts", F.col("k")),
+            t, "k", "ts", batch_id=1, merge_schema=True,
+        )
+        ids = {k: (i, cv) for k, i, cv in _rt(spark, t)}
+        assert ids[2][0] == 1          # matched row KEEPS its id
+        assert ids[9][0] > 9           # insert mints above watermark
+        assert ids[1] == (0, 0) and ids[3] == (5, 2)
+
+    def test_enable_on_mapped_then_full_surface(self, spark, tmp_path):
+        """Backfill-enable row tracking on an EXISTING mapped table,
+        then exercise merge / CoW delete / compact on it."""
+        import tests.test_delta_column_mapping as cmfix
+        from optimus_any2any_spark.streaming.delta_table import (
+            enable_delta_row_tracking,
+        )
+
+        t = str(tmp_path / "t")
+        cmfix._write_mapped_table(spark, t)
+        v = enable_delta_row_tracking(spark, t)
+        st = replay_log(spark, t)
+        assert "columnMapping" in st["protocol"]["writerFeatures"]
+        rows = _rt(spark, t)
+        assert [r[1] for r in rows] == [0, 1, 2]
+        assert {r[2] for r in rows} == {v}
+        # merge: matched keeps id, insert mints fresh
+        src = spark.createDataFrame(
+            [(2, "B2"), (9, "v9")], "k long, v string"
+        ).withColumn("ts", F.col("k"))
+        merge_delta_batch(
+            spark, src, t, "k", "ts", batch_id=1, merge_schema=True
+        )
+        ids = {k: i for k, i, _ in _rt(spark, t)}
+        assert ids[2] == 1 and ids[9] > 2
+        # CoW delete: survivors keep ids
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        ids2 = {k: i for k, i, _ in _rt(spark, t)}
+        assert 1 not in ids2 and ids2[2] == 1 and ids2[3] == ids[3]
+        # compact: every surviving row's id AND commit version carry
+        before = _rt(spark, t)
+        compact_delta(spark, t, target_rows_per_file=10**6, key_col="k")
+        assert _rt(spark, t) == before
+        # parquet carries PHYSICAL names + raw materialized columns
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        live = replay_log(spark, t)["live"]
+        names = set()
+        for p in live:
+            names |= set(
+                pq.read_schema(os.path.join(t, p)).names
+            )
+        assert "k" not in names and "v" not in names
+        rid = replay_log(spark, t)["meta"]["configuration"][
+            "delta.rowTracking.materializedRowIdColumnName"
+        ]
+        assert rid in names
+
+    def test_mapped_dv_delete_then_purge(self, spark, tmp_path):
+        import tests.test_delta_column_mapping as cmfix
+        from optimus_any2any_spark.streaming.delta_table import (
+            enable_delta_row_tracking,
+        )
+
+        t = str(tmp_path / "t")
+        cmfix._write_mapped_table(spark, t)
+        enable_delta_row_tracking(spark, t)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        rows = _rt(spark, t)
+        assert [(r[0], r[1]) for r in rows] == [(1, 0), (3, 2)]
+        purge_deletion_vectors(spark, t, key_col="k")
+        assert [(r[0], r[1]) for r in _rt(spark, t)] == [(1, 0), (3, 2)]
+        st = replay_log(spark, t)
+        assert not any(
+            a.get("deletionVector") for a in st["live"].values()
+        )
+
+    def test_mapped_update_where_keeps_id_bumps_cv(
+        self, spark, tmp_path
+    ):
+        import tests.test_delta_column_mapping as cmfix
+        from optimus_any2any_spark.streaming.delta_table import (
+            enable_delta_row_tracking,
+        )
+
+        t = str(tmp_path / "t")
+        cmfix._write_mapped_table(spark, t)
+        enable_delta_row_tracking(spark, t)
+        before = {k: (i, cv) for k, i, cv in _rt(spark, t)}
+        v = update_delta_where(
+            spark, t, {"v": "'UPD'"}, where="k = 2"
+        )
+        after = {k: (i, cv) for k, i, cv in _rt(spark, t)}
+        assert after[2][0] == before[2][0]  # id survives the update
+        assert after[2][1] == v             # cv is the update commit
+        assert after[1] == before[1] and after[3] == before[3]
+        got = {r.k: r.v for r in read_delta(spark, t).collect()}
+        assert got[2] == "UPD"
