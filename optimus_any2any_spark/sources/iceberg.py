@@ -226,9 +226,10 @@ def _refuse_v3_constructs(meta: dict) -> None:
     tables after a format bump). Actual v3 constructs guard-raise BY
     NAME, never mis-read:
 
-    - row lineage (``row-lineage`` / ``next-row-id``; per-row
-      ``_row_id`` synthesis from ``first_row_id`` inheritance is a
-      whole bookkeeping layer this reader does not implement),
+    - table encryption, default values, new v3 types (below) —
+      row lineage is FULLY read (explicit per-entry first_row_id
+      and the spec's manifest-level inheritance rule both resolve
+      in _snapshot_entries),
     - table encryption (``encryption-keys``),
     - column default values (``initial-default`` / ``write-default``
       on any schema field — ignoring ``initial-default`` would
@@ -251,10 +252,11 @@ def _refuse_v3_constructs(meta: dict) -> None:
     # row lineage (next-row-id / first_row_id) NO LONGER refuses:
     # plain reads ignore it safely (data files are unaffected), and
     # read_iceberg(row_lineage=True) synthesizes _row_id /
-    # _last_updated_sequence_number per the spec. Lineage tables
+    # _last_updated_sequence_number per the spec — including tables
     # whose entries rely on manifest-level first_row_id INHERITANCE
-    # (rather than explicit per-entry values) refuse by name in the
-    # lineage read itself.
+    # (null per-entry values resolve in _snapshot_entries from the
+    # snapshot's first-row-id + manifest row counts). Only a lineage
+    # read under a snapshot with NO first-row-id still refuses.
     if meta.get("encryption-keys"):
         raise NotImplementedError(
             "iceberg v3: table encryption is beyond this reader"
@@ -447,8 +449,30 @@ def _snapshot_entries(
     pos_del: list[dict] = []
     eq_del: list[dict] = []
     _puffin_footers: dict = {}  # one footer parse per Puffin file
+    # v3 row-lineage first_row_id INHERITANCE (spec "Row Lineage"):
+    # a data manifest with null first_row_id is assigned the
+    # snapshot's first-row-id plus the added+existing row counts of
+    # the preceding null-first_row_id data manifests in list order;
+    # a data file entry with null first_row_id is assigned the
+    # manifest's first_row_id plus the record_count of the preceding
+    # null-first_row_id entries in that manifest. Counts come from
+    # the manifest-list row when present, else are recomputed from
+    # the entries (added_rows_count + existing_rows_count is exactly
+    # the non-deleted record_count total).
+    _sfri = snap.get("first-row-id")
+    rl_running = int(_sfri) if _sfri is not None else None
     for m in manifests:
         m_seq = m.get("sequence_number")
+        is_data_manifest = int(m.get("content") or 0) == 0
+        m_first = m.get("first_row_id")
+        if (
+            is_data_manifest
+            and m_first is None
+            and rl_running is not None
+        ):
+            m_first = rl_running
+        rl_ent_acc = 0   # ids consumed by assigned entries
+        rl_live_rows = 0  # added+existing record_count (counts fallback)
         _, entries = read_container(
             _localize(table_path, m["manifest_path"])
         )
@@ -456,6 +480,8 @@ def _snapshot_entries(
             if int(e.get("status") or 0) == _STATUS_DELETED:
                 continue
             df_ = e["data_file"]
+            if is_data_manifest and int(df_.get("content") or 0) == 0:
+                rl_live_rows += int(df_.get("record_count") or 0)
             seq = e.get("sequence_number")
             if seq is None:
                 seq = m_seq if m_seq is not None else 0
@@ -474,6 +500,14 @@ def _snapshot_entries(
                 "first_row_id": df_.get("first_row_id"),
             }
             content = int(df_.get("content") or 0)
+            if (
+                ent["first_row_id"] is None
+                and content == 0
+                and is_data_manifest
+                and m_first is not None
+            ):
+                ent["first_row_id"] = m_first + rl_ent_acc
+                rl_ent_acc += int(df_.get("record_count") or 0)
             if int(m.get("content") or 0) == 1 or content in (1, 2):
                 # delete manifest / delete data file
                 if (
@@ -497,6 +531,18 @@ def _snapshot_entries(
                     pos_del.append(ent)
             else:
                 data.append(ent)
+        if (
+            is_data_manifest
+            and m.get("first_row_id") is None
+            and rl_running is not None
+        ):
+            a = m.get("added_rows_count")
+            x = m.get("existing_rows_count")
+            rl_running += (
+                int(a) + int(x)
+                if a is not None and x is not None
+                else rl_live_rows
+            )
     return data, pos_del, eq_del
 
 
@@ -718,10 +764,13 @@ def read_iceberg(
             d["orig"] for d in data if d.get("first_row_id") is None
         ]
         if missing:
+            # inheritance (_snapshot_entries) already resolved every
+            # null it could — a residue means the snapshot itself
+            # lacks first-row-id, so ids are unassignable
             raise NotImplementedError(
-                "iceberg v3: row-lineage read over entries relying "
-                "on manifest-level first_row_id INHERITANCE is "
-                f"beyond this reader — data files {missing[:3]}"
+                "iceberg v3: data files without first_row_id under a "
+                "snapshot that declares no first-row-id — row ids "
+                f"are unassignable for {missing[:3]}"
             )
         # files REWRITTEN by maintenance carry MATERIALIZED lineage
         # columns (the spec's preservation mechanism); files that
@@ -1798,8 +1847,66 @@ _MANIFEST_FILE_SCHEMA = {
         # v2: data-sequence number, inherited by the manifest's entries
         {"name": "sequence_number", "type": ["null", "long"],
          "default": None, "field-id": 515},
+        # v3 row lineage: the starting _row_id for rows added by this
+        # manifest's ADDED files (null = inherit from the snapshot);
+        # the row counts drive the manifest-level inheritance walk
+        {"name": "added_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 512},
+        {"name": "existing_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 513},
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 520},
     ],
 }
+
+
+def _preserve_manifest_lineage(
+    table_path: str, prev_meta: dict, prior_manifests: list[dict]
+) -> None:
+    """Spec v3 preservation rule (Row Lineage): a manifest row
+    re-emitted into a NEW manifest list must carry its ASSIGNED
+    ``first_row_id`` explicitly — inheritance is only defined under
+    the snapshot that ADDED the manifest, so a null cannot survive
+    into a later list without shifting every derived row id. Resolves
+    in place (walking the previous snapshot's inheritance exactly like
+    ``_snapshot_entries``); a no-op on non-lineage tables."""
+    if prev_meta.get("next-row-id") is None:
+        return
+    sid = prev_meta.get("current-snapshot-id")
+    snap = next(
+        (
+            s
+            for s in prev_meta.get("snapshots") or []
+            if s["snapshot-id"] == sid
+        ),
+        None,
+    )
+    first = snap.get("first-row-id") if snap else None
+    running = int(first) if first is not None else None
+    for m in prior_manifests:
+        if int(m.get("content") or 0) != 0:
+            continue
+        if (
+            m.get("first_row_id") is not None
+            or running is None
+            or m.get("added_snapshot_id") != sid
+        ):
+            continue
+        m["first_row_id"] = running
+        a = m.get("added_rows_count")
+        x = m.get("existing_rows_count")
+        if a is not None and x is not None:
+            running += int(a) + int(x)
+        else:
+            _, entries = read_container(
+                _localize(table_path, m["manifest_path"])
+            )
+            running += sum(
+                int(e["data_file"].get("record_count") or 0)
+                for e in entries
+                if int(e.get("status") or 0) != _STATUS_DELETED
+                and int(e["data_file"].get("content") or 0) == 0
+            )
 
 # delete-manifest entries (v2): data_file carries content (1 =
 # position deletes, 2 = equality deletes) and equality_ids
@@ -1850,6 +1957,95 @@ _DELETE_ENTRY_SCHEMA = {
         },
     ],
 }
+
+
+def make_lineage_inherited(table_path: str) -> None:
+    """FIXTURE TRANSFORMER: rewrite a row-lineage table this module's
+    writer produced into the INHERITANCE-RELIANT layout foreign v3
+    writers (iceberg-java) produce — data-file entries carry NULL
+    ``first_row_id``, and each snapshot's manifest list carries an
+    EXPLICIT (preserved) ``first_row_id`` for manifests added by
+    earlier snapshots and NULL plus ``added_rows_count`` /
+    ``existing_rows_count`` for the manifests that snapshot added.
+    Reading the result exercises the spec's first_row_id inheritance
+    rule (Iceberg spec v3, Row Lineage) end-to-end; the derived ids
+    must equal the pre-transformation explicit ones."""
+    from optimus_any2any_spark.formats.avrobin import write_container
+
+    meta = load_table_metadata(table_path)
+    if meta.get("next-row-id") is None:
+        raise ValueError(
+            "make_lineage_inherited: not a row-lineage table "
+            "(no next-row-id)"
+        )
+    mls = [
+        (s, _localize(table_path, s["manifest-list"]))
+        for s in meta.get("snapshots") or []
+        if s.get("manifest-list")
+    ]
+    # pass 1: record each data manifest's ASSIGNED first_row_id (the
+    # min of its explicit entry values — this writer assigns them
+    # contiguously in entry order) and its added-row total, then null
+    # the entries so readers must re-derive by inheritance.
+    assigned: dict[str, int] = {}
+    added_rows: dict[str, int] = {}
+    seen: set[str] = set()
+    for _s, ml_path in mls:
+        _, manifests = read_container(ml_path)
+        for m in manifests:
+            mp = m["manifest_path"]
+            if int(m.get("content") or 0) != 0 or mp in seen:
+                continue
+            seen.add(mp)
+            local = _localize(table_path, mp)
+            schema, entries = read_container(local)
+            firsts, rows = [], 0
+            for e in entries:
+                if int(e.get("status") or 0) == _STATUS_DELETED:
+                    continue
+                df_ = e["data_file"]
+                if int(df_.get("content") or 0) != 0:
+                    continue
+                rows += int(df_.get("record_count") or 0)
+                if df_.get("first_row_id") is not None:
+                    firsts.append(int(df_["first_row_id"]))
+                df_["first_row_id"] = None
+            if not firsts:
+                continue
+            assigned[mp] = min(firsts)
+            added_rows[mp] = rows
+            write_container(local, schema, entries)
+    # pass 2: manifest lists — a manifest the snapshot itself added
+    # goes NULL (readers inherit from the snapshot's first-row-id),
+    # a prior manifest keeps its assigned value explicitly (the
+    # spec's preservation rule for rewritten manifest lists).
+    for s, ml_path in mls:
+        schema, manifests = read_container(ml_path)
+        names = {f["name"] for f in schema["fields"]}
+        for nm, fid in (
+            ("added_rows_count", 512),
+            ("existing_rows_count", 513),
+            ("first_row_id", 520),
+        ):
+            if nm not in names:
+                schema["fields"].append(
+                    {"name": nm, "type": ["null", "long"],
+                     "default": None, "field-id": fid}
+                )
+        for m in manifests:
+            mp = m["manifest_path"]
+            m.setdefault("added_rows_count", None)
+            m.setdefault("existing_rows_count", None)
+            m.setdefault("first_row_id", None)
+            if int(m.get("content") or 0) != 0 or mp not in assigned:
+                continue
+            if m.get("added_snapshot_id") == s["snapshot-id"]:
+                m["first_row_id"] = None
+                m["added_rows_count"] = added_rows[mp]
+                m["existing_rows_count"] = 0
+            else:
+                m["first_row_id"] = assigned[mp]
+        write_container(ml_path, schema, manifests)
 
 
 def write_iceberg_delete_commit(
@@ -2033,6 +2229,7 @@ def write_iceberg_delete_commit(
         )
     for r in prior_manifests:
         r.setdefault("sequence_number", None)
+    _preserve_manifest_lineage(table_path, prev, prior_manifests)
     ml_rel = (
         f"metadata/snap-{snapshot_id}-1-"
         f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|dml{version}')}.avro"
@@ -2277,8 +2474,16 @@ def write_iceberg_commit(
         # outranks it (a re-inserted row must stay alive)
         "sequence_number": seq,
     }
+    if lineage:
+        # the manifest-level assignment, written explicitly so later
+        # manifest lists can re-emit this row verbatim
+        new_entry["first_row_id"] = first_row_base
+        new_entry["added_rows_count"] = next_row_id - first_row_base
+        new_entry["existing_rows_count"] = 0
     for r in prior_manifests:
         r.setdefault("sequence_number", None)
+    if prev is not None:
+        _preserve_manifest_lineage(table_path, prev, prior_manifests)
     write_container(
         os.path.join(table_path, ml_rel),
         _MANIFEST_FILE_SCHEMA,

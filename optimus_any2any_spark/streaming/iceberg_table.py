@@ -67,6 +67,7 @@ from optimus_any2any_spark.sources.iceberg import (
     decode_bound,
     encode_bound,
     _meta_dir,
+    _preserve_manifest_lineage as _ice_preserve_manifest_lineage,
     _puffin_dv_ref,
     advance_main_ref,
     append_snapshot_log,
@@ -172,6 +173,14 @@ MANIFEST_FILE_SCHEMA = {
         # (a merge's new files must outrank earlier equality deletes)
         {"name": "sequence_number", "type": ["null", "long"],
          "default": None, "field-id": 515},
+        # v3 row lineage: preserved manifest-level assignment (see
+        # sources.iceberg._preserve_manifest_lineage)
+        {"name": "added_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 512},
+        {"name": "existing_rows_count", "type": ["null", "long"],
+         "default": None, "field-id": 513},
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 520},
     ],
 }
 
@@ -1309,6 +1318,7 @@ def merge_iceberg_batch(
         )
     for r in carried:
         r.setdefault("sequence_number", None)
+    _ice_preserve_manifest_lineage(table_path, meta, carried)
     ml_rows = list(carried) + foreign_ml_rows + [
         {
             "manifest_path": manifest_rel,
@@ -1540,6 +1550,7 @@ def delete_iceberg_keys(
         )
     for r in prior_manifests:
         r.setdefault("sequence_number", None)
+    _ice_preserve_manifest_lineage(table_path, meta, prior_manifests)
     ml_rel = (
         "metadata/"
         f"snap-{snapshot_id}-1-"
@@ -1930,6 +1941,7 @@ def _commit_delete_manifest(
     caller keys (predicates) into the snapshot summary."""
     from optimus_any2any_spark.sources.iceberg import (
         _MANIFEST_FILE_SCHEMA,
+        _preserve_manifest_lineage,
     )
 
     md = _meta_dir(table_path)
@@ -1945,6 +1957,7 @@ def _commit_delete_manifest(
         )
     for r in prior_manifests:
         r.setdefault("sequence_number", None)
+    _preserve_manifest_lineage(table_path, meta, prior_manifests)
     ml_rel = (
         "metadata/"
         f"snap-{snapshot_id}-1-"
@@ -2992,6 +3005,7 @@ def compact_iceberg(
     )
     for r in carried:
         r.setdefault("sequence_number", None)
+    _ice_preserve_manifest_lineage(table_path, meta, carried)
     ml_rows = list(carried) + [
         {
             "manifest_path": manifest_rel,
