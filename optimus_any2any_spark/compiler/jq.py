@@ -740,6 +740,32 @@ class _ExprParser:
         equivalent on any input the reference accepted.
         """
         name = self.next()
+        if name == "until":
+            # `EXPR | until(cond; update)` — the piped subject is the
+            # iteration seed (closed-form subset)
+            return self._compile_until(subject, kind)
+        if name == "while":
+            raise JQUnsupported(
+                "jq: bare while emits a stream — only the "
+                "[while(...)] collected form is native"
+            )
+        if name == "repeat":
+            raise JQUnsupported(
+                "jq: bare repeat never terminates in jq 1.6 — only "
+                "[limit(n; repeat(f))] is native"
+            )
+        if name == "[" and self.peek() in ("while", "limit"):
+            # `EXPR | [while(cond; update)]` / `| [limit(n;
+            # repeat(f))]` — re-parse the bracket primary with '.'
+            # bound to the piped subject (path-sourced limit under a
+            # bound '.' refuses inside parse_bracket)
+            self.i -= 1
+            old = dict(self.bindings)
+            self.bindings["."] = (subject, kind)
+            try:
+                return self.parse_atom()
+            finally:
+                self.bindings = old
         if name == "(":
             # `| ( expr )` — grouped pipe target (the shape inlined
             # zero-arg defs produce): evaluate expr with '.' bound to
@@ -1899,6 +1925,24 @@ class _ExprParser:
             return self.parse_if()
         if t == "try":
             return self.parse_try()
+        if t == "until":
+            subj = self.bindings.get(".")
+            if subj is None:
+                raise JQUnsupported(
+                    "jq: until over the record object (numeric "
+                    "conditions error in jq) — binary path"
+                )
+            return self._compile_until(*subj)
+        if t == "repeat":
+            raise JQUnsupported(
+                "jq: bare repeat never terminates in jq 1.6 — only "
+                "[limit(n; repeat(f))] is native"
+            )
+        if t == "while":
+            raise JQUnsupported(
+                "jq: bare while emits a stream — only the "
+                "[while(...)] collected form is native"
+            )
         if t == "reduce":
             return self.parse_reduce_foreach("reduce")
         if t == "foreach":
@@ -1986,6 +2030,215 @@ class _ExprParser:
         if len(vals) > 3:
             raise JQUnsupported("jq: range takes at most 3 args")
         return _jq_range_values(vals)
+
+    # ---- until / [while] closed forms (VERDICT r11 item 5) --------
+    #
+    # The provable bounded-iteration subset: condition `. CMP bound`
+    # (bound = integer literal or provably-int $var) and update
+    # `. +|- <positive integer literal>`. Integer arithmetic makes the
+    # closed forms EXACT (n steps of `+ S` is `+ n*S` bit-for-bit);
+    # fractional inputs/steps stay on the binary. Directions that
+    # cannot terminate compile to raise_error branches — jq 1.6 hangs
+    # there, so no program that ever produced output hits them.
+    # Probed 1.6 edges (see tests/test_jq_transform.py):
+    #   null >= L is FALSE for every L (null sorts below numbers),
+    #   null < L is TRUE; null + S == S but null - S ERRORS;
+    #   `until` returns the input untouched when the condition already
+    #   holds; `[while]` emits the input first (null included).
+
+    _ITER_CMPS = (">=", ">", "<=", "<")
+
+    def _iter_bound(self, btok: str) -> Column:
+        if re.fullmatch(r"-?\d+", btok or ""):
+            return F.lit(int(btok)).cast("long")
+        if (btok or "").startswith("$"):
+            if btok in self.bindings:
+                c, k = self.bindings[btok]
+            elif _VAR_PREFIX + btok[1:] in self.df.columns:
+                hid = _VAR_PREFIX + btok[1:]
+                c = F.col("`" + hid + "`")
+                k = _kind_of_dtype(self.df.schema[hid].dataType)
+            else:
+                raise JQUnsupported(f"jq: unbound {btok}")
+            if k != "int":
+                raise JQUnsupported(
+                    "jq: until/while bound must be provably integer "
+                    f"— got {k!r}, binary path"
+                )
+            return c.cast("long")
+        raise JQUnsupported(
+            f"jq: until/while bound {btok!r} outside the "
+            "literal/variable subset — binary path"
+        )
+
+    def _iter_spec(self) -> tuple[str, Column, int, int]:
+        """Parse ``(COND; UPDATE)``: returns
+        ``(cmp_op, bound_col, sign, step)``."""
+        self.expect("(")
+        cond_toks, _ = self._capture_until((";",))
+        upd_toks, _ = self._capture_until((")",))
+        if (
+            len(cond_toks) != 3
+            or cond_toks[0] != "."
+            or cond_toks[1] not in self._ITER_CMPS
+        ):
+            raise JQUnsupported(
+                "jq: until/while condition outside the "
+                "`. CMP bound` closed-form subset — binary path"
+            )
+        bound = self._iter_bound(cond_toks[2])
+        if (
+            len(upd_toks) != 3
+            or upd_toks[0] != "."
+            or upd_toks[1] not in ("+", "-")
+            or not re.fullmatch(r"[1-9]\d*", upd_toks[2] or "")
+        ):
+            raise JQUnsupported(
+                "jq: until/while update outside the "
+                "`. +|- <positive integer>` closed-form subset — "
+                "binary path"
+            )
+        return (
+            cond_toks[1],
+            bound,
+            1 if upd_toks[1] == "+" else -1,
+            int(upd_toks[2]),
+        )
+
+    def _compile_until(
+        self, subject: Column, kind
+    ) -> tuple[Column, str]:
+        op, bound, sign, step = self._iter_spec()
+        if kind != "int":
+            raise JQUnsupported(
+                f"jq: until over kind {kind!r} — binary path"
+            )
+        x = subject.cast("long")
+        S = F.lit(step).cast("long")
+        err = F.raise_error(
+            F.lit(
+                "jq until: non-terminating for this input "
+                "(native closed form)"
+            )
+        ).cast("long")
+        if sign > 0 and op in (">=", ">"):
+            Lp = bound if op == ">=" else bound + F.lit(1)
+
+            def closed(v: Column) -> Column:
+                n = F.greatest(
+                    F.lit(0).cast("long"), F.ceil((Lp - v) / S)
+                )
+                return v + n * S
+
+            # null: the condition is false (null < numbers), one
+            # update makes it S (null + S == S), then closed form
+            return (
+                F.when(subject.isNull(), closed(S)).otherwise(
+                    closed(x)
+                ),
+                "int",
+            )
+        if sign < 0 and op in ("<=", "<"):
+            Lp = bound if op == "<=" else bound - F.lit(1)
+
+            def closed(v: Column) -> Column:
+                n = F.greatest(
+                    F.lit(0).cast("long"), F.ceil((v - Lp) / S)
+                )
+                return v - n * S
+
+            # null: the condition already holds → null untouched
+            return (
+                F.when(
+                    subject.isNull(), F.lit(None).cast("long")
+                ).otherwise(closed(x)),
+                "int",
+            )
+        if sign > 0:  # op <= or <: terminates only if already true
+            Lp = bound if op == "<=" else bound - F.lit(1)
+            return (
+                F.when(subject.isNull(), F.lit(None).cast("long"))
+                .when(x <= Lp, x)
+                .otherwise(err),
+                "int",
+            )
+        # sign < 0, op >= or >: terminates only if already true
+        # (null - S errors in jq → the null branch raises too)
+        Lp = bound if op == ">=" else bound + F.lit(1)
+        return (
+            F.when(subject.isNotNull() & (x >= Lp), x).otherwise(err),
+            "int",
+        )
+
+    def _compile_while_array(
+        self, subject: Column, kind
+    ) -> tuple[Column, str]:
+        op, bound, sign, step = self._iter_spec()
+        if kind != "int":
+            raise JQUnsupported(
+                f"jq: [while] over kind {kind!r} — binary path"
+            )
+        x = subject.cast("long")
+        S = F.lit(step).cast("long")
+        empty = F.array().cast("array<bigint>")
+        err = F.raise_error(
+            F.lit(
+                "jq while: non-terminating for this input "
+                "(native closed form)"
+            )
+        ).cast("array<bigint>")
+        if sign > 0 and op in ("<", "<="):
+            Lp = bound - F.lit(1) if op == "<" else bound
+
+            def seq(v: Column) -> Column:
+                last = v + S * F.floor((Lp - v) / S).cast("long")
+                return F.when(
+                    v <= Lp, F.sequence(v, last, S)
+                ).otherwise(empty)
+
+            # null: emitted first (null < numbers ⇒ condition holds),
+            # then null + S == S continues the stream
+            return (
+                F.when(
+                    subject.isNull(),
+                    F.concat(
+                        F.array(F.lit(None).cast("long")), seq(S)
+                    ),
+                ).otherwise(seq(x)),
+                "complex_num",
+            )
+        if sign < 0 and op in (">", ">="):
+            Lp = bound + F.lit(1) if op == ">" else bound
+
+            def seq(v: Column) -> Column:
+                last = v - S * F.floor((v - Lp) / S).cast("long")
+                return F.when(
+                    v >= Lp,
+                    F.sequence(v, last, F.lit(-step).cast("long")),
+                ).otherwise(empty)
+
+            # null: condition false (null < numbers) → empty stream
+            return (
+                F.when(subject.isNull(), empty).otherwise(seq(x)),
+                "complex_num",
+            )
+        if sign > 0:  # op > or >=: emits forever once true
+            Lp = bound + F.lit(1) if op == ">" else bound
+            return (
+                F.when(subject.isNull() | (x < Lp), empty).otherwise(
+                    err
+                ),
+                "complex_num",
+            )
+        # sign < 0, op < or <=: emits forever once true; null emits
+        # itself then errors on null - S in jq
+        Lp = bound - F.lit(1) if op == "<" else bound
+        return (
+            F.when(subject.isNotNull() & (x > Lp), empty).otherwise(
+                err
+            ),
+            "complex_num",
+        )
 
     def _paths_array(self, leaf_only: bool) -> Column:
         """``[paths]`` / ``[leaf_paths]`` of the record as
@@ -2312,6 +2565,46 @@ class _ExprParser:
             elif not re.fullmatch(r"-?\d+", ntok):
                 raise JQUnsupported("jq: limit needs a literal count")
             self.expect(";")
+            if self.peek() == "repeat":
+                # [limit(n; repeat(f))]: jq 1.6's builtin repeat does
+                # NOT iterate (probed: '2 | [limit(4; repeat(. * 3))]'
+                # → [6,6,6,6]; fixed in 1.7) — every element is f(.)
+                # applied ONCE, so the collected form is array_repeat.
+                # The 1.6 limit quirks apply: n == 0 emits ONE
+                # element; n < 0 never terminates (refuse by name).
+                if n_col is not None:
+                    raise JQUnsupported(
+                        "jq: dynamic limit over repeat — a negative "
+                        "count never terminates in jq 1.6, binary "
+                        "path"
+                    )
+                n = int(ntok)
+                if n < 0:
+                    raise JQUnsupported(
+                        "jq: limit(<0; repeat(f)) never terminates "
+                        "in jq 1.6 — refusing"
+                    )
+                self.next()
+                self.expect("(")
+                upd_toks, _ = self._capture_until((")",))
+                self.expect(")")
+                self.expect("]")
+                sub = _ExprParser(
+                    list(upd_toks), self.df, dict(self.bindings)
+                )
+                val, vkind = sub.parse_full()
+                arr_kind = {
+                    "int": "complex_num",
+                    "number": "complex_num",
+                    "string": "complex_str",
+                    "boolean": "complex_bool",
+                }.get(vkind)
+                if arr_kind is None:
+                    raise JQUnsupported(
+                        f"jq: repeat body kind {vkind!r} outside the "
+                        "native subset — binary path"
+                    )
+                return F.array_repeat(val, max(n, 1)), arr_kind
             ptok = self.next()
             self.expect("[")
             self.expect("]")
@@ -2319,6 +2612,13 @@ class _ExprParser:
             self.expect("]")
             if not (ptok.startswith(".") and ptok != "."):
                 raise JQUnsupported(f"jq: limit source {ptok!r}")
+            if "." in self.bindings:
+                # inside a map/pipe scope the path would read the
+                # RECORD, not the bound value — mis-read, refuse
+                raise JQUnsupported(
+                    "jq: path-sourced limit under a bound '.' — "
+                    "binary path"
+                )
             kind = self._path_kind(ptok)
             if (
                 not (isinstance(kind, tuple) and kind[0] == "complex_obj")
@@ -2341,6 +2641,19 @@ class _ExprParser:
             if n < 0:  # jq 1.6: negative limit passes the whole stream
                 return src, kind
             return F.slice(src, 1, max(n, 1)), kind
+        if self.peek() == "while":
+            # [while(cond; update)] over the current '.' — the
+            # closed-form subset (see _compile_while_array)
+            self.next()
+            subj = self.bindings.get(".")
+            if subj is None:
+                raise JQUnsupported(
+                    "jq: [while] over the record object (numeric "
+                    "conditions error in jq) — binary path"
+                )
+            col, kind = self._compile_while_array(*subj)
+            self.expect("]")
+            return col, kind
         if self.peek() == "range":
             # [range(a)] / [range(a;b)] / [range(a;b;c)]: the sequence
             # is record-independent, computed at compile time with jq

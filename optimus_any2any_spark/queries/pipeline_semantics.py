@@ -614,6 +614,67 @@ def q_jq_generator_limit(spark, sf_dir):
 
 
 @register(
+    "q_jq_until",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderkey % 40 AS q FROM orders
+    ),
+    c AS (
+      SELECT k,
+             q + 7 * GREATEST(
+               0, CAST(CEIL((50 - q) / 7.0) AS BIGINT)
+             ) AS q2,
+             CAST(FLOOR((11 - (k % 10)) / 3.0) AS BIGINT) + 1 AS wn,
+             k % 10 AS m,
+             k % 5 AS f
+      FROM src
+    )
+    SELECT k,
+           q2 AS q,
+           wn,
+           CAST(wn * m + (3 * wn * (wn - 1)) / 2 AS BIGINT) AS ws,
+           2 * (f + 11) AS r0
+    FROM c ORDER BY k
+    """,
+    doc="Native jq until / [while] / limit(n; repeat(f)) (VERDICT "
+    "r11 item 5): the provable bounded-iteration subset — "
+    "`. CMP bound` conditions with `. +|- <positive int>` updates — "
+    "compiles to EXACT integer closed forms (`until(. >= 50; . + 7)` "
+    "is arithmetic-progression algebra, `[while(. < 12; . + 3)]` is "
+    "F.sequence, and jq 1.6's repeat does not iterate — probed — so "
+    "`[limit(2; repeat(f))]` is array_repeat of f(.)). Directions "
+    "that cannot terminate compile to raise_error branches (jq hangs "
+    "there); fractional steps, `. * k` updates and `==` conditions "
+    "stay on the binary by name. One program exercises all three "
+    "through |=, grouped pipes and array aggregation; plan pinned "
+    "Python-free in tests/test_jq_transform.py.",
+    bench=True,
+)
+def q_jq_until(spark, sf_dir):
+    from optimus_any2any_spark.compiler.jq import translate_jq
+
+    d = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 40).alias("q"),
+    )
+    prog = (
+        ".[] | .q |= until(. >= 50; . + 7) "
+        "| .w = (.k % 10 | [while(. < 12; . + 3)]) "
+        "| .r = (.k % 5 | [limit(2; repeat(. + 11))]) "
+        "| {k, q, wn: (.w | length), ws: (.w | add), "
+        "r0: (.r | add)}"
+    )
+    out = translate_jq(d, prog)
+    return out.select(
+        "k",
+        F.col("q").cast("long").alias("q"),
+        F.col("wn").cast("long").alias("wn"),
+        F.col("ws").cast("long").alias("ws"),
+        F.col("r0").cast("long").alias("r0"),
+    ).orderBy("k")
+
+
+@register(
     "q_jq_capture_stage",
     oracle="""
     SELECT 'user' || CAST(doc_id AS VARCHAR) AS user_part,

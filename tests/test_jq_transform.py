@@ -2337,3 +2337,130 @@ class TestProgramTokenCache:
         for i in range(jq._TOKENS_CACHE_MAX + 5):
             jq._program_tokens(f".f{i}")
         assert len(jq._TOKENS_CACHE) <= jq._TOKENS_CACHE_MAX
+
+
+class TestUntilWhileRepeat:
+    """until / [while] closed forms + jq 1.6's non-iterating repeat
+    (VERDICT r11 item 5): the provable bounded-iteration subset —
+    `. CMP bound` conditions with `. +|- <positive int>` updates —
+    compiles to EXACT integer closed forms (arithmetic-progression
+    algebra / F.sequence); everything else stays on the binary.
+    Every edge here is probed against jq 1.6 in-line."""
+
+    NROWS = [{"n": 5}, {"n": 12}, {"n": 0}, {"n": None},
+             {"n": -7}, {"n": 19}, {"n": 20}, {"n": 25}]
+
+    @pytest.fixture(scope="class")
+    def ndf(self, spark):
+        return spark.createDataFrame(
+            [(r["n"],) for r in self.NROWS], "n long"
+        )
+
+    @staticmethod
+    def _drop_nulls(o):
+        # the engine's canonical serialization drops null values — the
+        # SAME relaxation every native feature shares (module doc)
+        if isinstance(o, dict):
+            return {
+                k: TestUntilWhileRepeat._drop_nulls(v)
+                for k, v in o.items()
+                if v is not None
+            }
+        if isinstance(o, list):
+            return [TestUntilWhileRepeat._drop_nulls(v) for v in o]
+        return o
+
+    DIFF_PROGRAMS = [
+        '{r: (.n | until(. >= 10; . + 2))}',
+        '{r: (.n | until(. > 10; . + 3))}',
+        '{r: (.n | until(. <= -2; . - 4))}',   # null → null (cond holds)
+        '{r: (.n | until(. < 0; . - 1))}',
+        '{r: (.n | [while(. < 20; . + 4)])}',
+        '{r: (.n | [while(. <= 20; . + 7)])}',  # null → [null, 7, 14]
+        '{r: (.n | [while(. > 0; . - 3)])}',    # null → []
+        '{r: (.n | [while(. >= 2; . - 5)])}',
+        '{r: (.n | [limit(0; repeat(. + 1))])}',  # 1.6: 0 emits ONE
+        '{r: (.n | [limit(3; repeat(tostring))])}',
+        '.n |= until(. >= 9; . + 2)',
+        '.n |= until(. >= 9; . + 2) | .n |= until(. >= 50; . + 10)',
+        '{a: (.n | until(. >= 3; . + 1)),'
+        ' b: (.n | [while(. < 8; . + 3)])}',
+        '.n as $n | {r: (0 | until(. >= $n; . + 3))}',  # $var bound
+    ]
+
+    @pytest.mark.parametrize("program", DIFF_PROGRAMS)
+    def test_differential_vs_binary(self, ndf, program):
+        exp = []
+        for r in self.NROWS:
+            out = subprocess.run(
+                ["jq", "-c", program], input=json.dumps(r).encode(),
+                stdout=subprocess.PIPE, check=True, timeout=10,
+            )
+            exp.append(json.loads(out.stdout))
+        got = [
+            json.loads(x) for x in translate_jq(ndf, program)
+            .toJSON().collect()
+        ]
+        assert (
+            [self._drop_nulls(e) for e in exp]
+            == [self._drop_nulls(g) for g in got]
+        ), program
+
+    def test_repeat_is_non_iterating_in_16(self, ndf, spark):
+        # jq 1.6's builtin repeat does NOT iterate (probed:
+        # `2 | [limit(4; repeat(. * 3))]` → [6,6,6,6]); every element
+        # is f(.) applied once — fixed in 1.7, but 1.6 is the binary
+        # the reference ships
+        df = spark.createDataFrame([(5,), (12,), (-7,)], "n long")
+        prog = '{r: (.n | [limit(4; repeat(. * 3))])}'
+        exp = []
+        for v in (5, 12, -7):
+            out = subprocess.run(
+                ["jq", "-c", prog], input=json.dumps({"n": v}).encode(),
+                stdout=subprocess.PIPE, check=True, timeout=10,
+            )
+            exp.append(json.loads(out.stdout))
+        got = [
+            json.loads(x)
+            for x in translate_jq(df, prog).toJSON().collect()
+        ]
+        assert exp == got
+        assert exp[0] == {"r": [15, 15, 15, 15]}
+
+    def test_non_terminating_branch_raises(self, spark):
+        # jq hangs on `15 | until(. < 0; . + 1)` — the native closed
+        # form fails LOUDLY instead of silently mis-deriving
+        df = spark.createDataFrame([(15,)], "n long")
+        with pytest.raises(Exception, match="non-terminating"):
+            translate_jq(
+                df, '{r: (.n | until(. < 0; . + 1))}'
+            ).collect()
+        # ... while terminating rows of the same program still work
+        df2 = spark.createDataFrame([(-3,)], "n long")
+        assert translate_jq(
+            df2, '{r: (.n | until(. < 0; . + 1))}'
+        ).collect()[0].r == -3
+
+    def test_refusals_by_name(self, ndf):
+        with pytest.raises(JQUnsupported, match="repeat"):
+            translate_jq(ndf, '{r: (.n | [limit(-2; repeat(. + 1))])}')
+        with pytest.raises(JQUnsupported, match="closed-form"):
+            translate_jq(ndf, '{r: (.n | until(. >= 10; . * 2))}')
+        with pytest.raises(JQUnsupported, match="closed-form"):
+            translate_jq(ndf, '{r: (.n | until(. == 10; . + 1))}')
+        with pytest.raises(JQUnsupported, match="bare while"):
+            translate_jq(ndf, '{r: (.n | while(. < 9; . + 1))}')
+        with pytest.raises(JQUnsupported, match="bare repeat"):
+            translate_jq(ndf, '{r: (.n | repeat(. + 1))}')
+        with pytest.raises(JQUnsupported, match="record object"):
+            translate_jq(ndf, '{r: until(. >= 10; . + 2)}')
+
+    def test_plan_is_python_free(self, ndf):
+        out = translate_jq(
+            ndf,
+            '{a: (.n | until(. >= 10; . + 2)),'
+            ' b: (.n | [while(. < 20; . + 4)]),'
+            ' c: (.n | [limit(3; repeat(. + 1))])}',
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "MapInPandas" not in plan
