@@ -257,3 +257,76 @@ class TestRuneDelimiters:
         ) if out.is_dir() else out.read_text()
         assert "x\ty" in text
         assert "a\tb" in text
+
+
+class TestSmtpGroupSizeGuard:
+    """VERDICT r11 item 6: the SMTP sink's grouped content collects to
+    the driver — a mis-routed large dataset must fail loudly BEFORE
+    the collect, not OOM it. Caps: SMTP__MAX_GROUP_BYTES (per-group
+    content) and SMTP__MAX_GROUPS (distinct emails)."""
+
+    def _cfg(self, src, extra, sent):
+        from optimus_any2any_spark.config import Config
+
+        cfg = Config.from_env(
+            env_args=[
+                f"FILE__SOURCE_URI=file://{src}",
+                "SMTP__ADDRESS_TO=x@example.com",
+                "SMTP__SUBJECT=report",
+                *extra,
+            ],
+            environ={},
+        )
+        cfg.values["SMTP__TRANSPORT"] = sent.append
+        return cfg
+
+    def test_oversized_group_refuses_by_name(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        src = tmp_path / "big.json"
+        src.write_text(
+            "".join('{"v": "%s"}\n' % ("x" * 200) for _ in range(20))
+        )
+        sent = []
+        cfg = self._cfg(src, ["SMTP__MAX_GROUP_BYTES=1000"], sent)
+        with _pytest.raises(ValueError, match="SMTP__MAX_GROUP_BYTES"):
+            Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        assert sent == []  # nothing was sent before the refusal
+
+    def test_too_many_groups_refuses_by_name(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        src = tmp_path / "many.json"
+        src.write_text(
+            "".join('{"team": "t%d"}\n' % i for i in range(5))
+        )
+        sent = []
+        cfg = self._cfg(
+            src,
+            [
+                "SMTP__ADDRESS_TO=[[ .team ]]@example.com",
+                "SMTP__MAX_GROUPS=3",
+            ],
+            sent,
+        )
+        with _pytest.raises(ValueError, match="SMTP__MAX_GROUPS"):
+            Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        assert sent == []
+
+    def test_under_cap_still_sends(self, spark, tmp_path):
+        from optimus_any2any_spark.pipeline import Pipeline
+
+        src = tmp_path / "ok.json"
+        src.write_text('{"v": "hello"}\n')
+        sent = []
+        cfg = self._cfg(
+            src,
+            ["SMTP__MAX_GROUP_BYTES=1000", "SMTP__MAX_GROUPS=3"],
+            sent,
+        )
+        Pipeline(spark, "FILE", ["SMTP"], cfg).run()
+        assert len(sent) == 1 and "hello" in sent[0]["attachment"]
