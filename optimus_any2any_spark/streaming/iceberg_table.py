@@ -924,6 +924,14 @@ def merge_iceberg_batch(
                 e2["sequence_number"] = _eff_seq(mi["__entry"], m)
                 survivors.append((e2, msid))
 
+    if lineage:
+        # inheritance-reliant tables: resolve the ids BEFORE any entry
+        # re-lists under a new manifest (reader-identical walk)
+        _resolve_entry_lineage(
+            table_path, meta,
+            hit_entries + [e2 for e2, _sid in survivors],
+        )
+
     version = prev_version + 1
     snapshot_id = version
     fmt = int(meta.get("format-version", 1))
@@ -971,9 +979,9 @@ def merge_iceberg_batch(
         for e in hit_entries:
             if e["data_file"].get("first_row_id") is None:
                 raise NotImplementedError(
-                    "iceberg merge: row-lineage rewrite over entries "
-                    "relying on manifest-level first_row_id "
-                    "INHERITANCE is beyond this writer — data file "
+                    "iceberg merge: row-lineage rewrite over a data "
+                    "file whose first_row_id is unassignable even by "
+                    "inheritance — "
                     f"{e['data_file']['file_path']!r}"
                 )
         ext = T.StructType(
@@ -1924,6 +1932,37 @@ def _global_delete_spec_id(meta: dict) -> int:
     return new_sid
 
 
+def _resolve_entry_lineage(
+    table_path: str, meta: dict, entries: list[dict]
+) -> None:
+    """Materialize inherited ``first_row_id`` on RAW manifest entries
+    (data files only) before a rewrite re-lists them: under the NEW
+    manifest a null would mis-inherit from the new snapshot's
+    first-row-id, shifting every derived row id. One reader-identical
+    metadata walk (sources.iceberg._snapshot_entries resolves the
+    spec's inheritance) fills the values in place; entries that stay
+    null afterwards are genuinely unassignable and the callers'
+    guards refuse by name."""
+    missing = [
+        e
+        for e in entries
+        if int(e["data_file"].get("content") or 0) == 0
+        and e["data_file"].get("first_row_id") is None
+    ]
+    if not missing:
+        return
+    from optimus_any2any_spark.sources.iceberg import (
+        _snapshot_entries,
+    )
+
+    data, _pd, _ed = _snapshot_entries(table_path, meta)
+    by_path = {d["orig"]: d.get("first_row_id") for d in data}
+    for e in missing:
+        fri = by_path.get(e["data_file"]["file_path"])
+        if fri is not None:
+            e["data_file"]["first_row_id"] = int(fri)
+
+
 def _commit_delete_manifest(
     spark, table_path, meta, snaps, manifest_rel, version, snapshot_id,
     seq, app_id, batch_id, fmt_floor,
@@ -2710,6 +2749,11 @@ def compact_iceberg(
                 e2["sequence_number"] = _eff_seq(e, m)
                 survivors.append(e2)
 
+    if lineage:
+        _resolve_entry_lineage(
+            table_path, meta, hit_entries + survivors
+        )
+
     version = prev_version + 1
     snapshot_id = version
     fmt = int(meta.get("format-version", 1))
@@ -2738,9 +2782,9 @@ def compact_iceberg(
         for e in hit_entries:
             if e["data_file"].get("first_row_id") is None:
                 raise NotImplementedError(
-                    "iceberg optimize: row-lineage compaction over "
-                    "entries relying on manifest-level first_row_id "
-                    "INHERITANCE is beyond this writer — data file "
+                    "iceberg optimize: row-lineage compaction over a "
+                    "data file whose first_row_id is unassignable "
+                    "even by inheritance — "
                     f"{e['data_file']['file_path']!r}"
                 )
         read_schema = T.StructType(

@@ -413,3 +413,47 @@ class TestInheritance:
             NotImplementedError, match="unassignable"
         ):
             read_iceberg(spark, t, row_lineage=True).collect()
+
+    def test_inheritance_composes_with_cow_merge(
+        self, spark, tmp_path
+    ):
+        """A CoW merge over an inheritance-reliant table resolves the
+        ids first (reader-identical walk), materializes them in the
+        rewritten files, and re-lists survivors with EXPLICIT values
+        (the spec's preservation rule for EXISTING entries)."""
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]),
+            t, row_lineage=True,
+        )
+        write_iceberg_commit(
+            _one_file(spark, [(4, "d", 0), (5, "e", 0)]), t
+        )
+        self._foreignize(t)
+        src = spark.createDataFrame(
+            [(2, "B2", 1), (9, "v9", 1)], "k long, v string, ts long"
+        )
+        merge_iceberg_batch(spark, src, t, "k", "ts", batch_id=1)
+        got = _lineage(spark, t)
+        ids = {k: rid for k, rid, _ in got}
+        assert ids[2] == 1          # matched row KEEPS its id
+        assert ids[1] == 0 and ids[3] == 2
+        assert ids[4] == 3 and ids[5] == 4  # survivors untouched
+        assert ids[9] >= 5          # insert mints above watermark
+
+    def test_inheritance_composes_with_compaction(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t,
+            row_lineage=True,
+        )
+        write_iceberg_commit(_one_file(spark, [(3, "c", 0)]), t)
+        write_iceberg_commit(_one_file(spark, [(4, "d", 0)]), t)
+        self._foreignize(t)
+        before = _lineage(spark, t)
+        assert compact_iceberg(
+            spark, t, target_rows_per_file=1000, key_col="k"
+        )
+        assert _lineage(spark, t) == before
