@@ -595,13 +595,16 @@ def merge_iceberg_batch(
                 f" != table schema {sorted(schema.fieldNames())} "
                 "(pass merge_schema=True to evolve)"
             )
-        if lineage:
-            raise NotImplementedError(
-                "iceberg merge: merge_schema on a row-lineage table "
-                "is beyond this writer"
-            )
         table_cols = set(schema.fieldNames())
         extra = [c for c in batch.columns if c not in table_cols]
+        if lineage and any(
+            c in ("_row_id", "_last_updated_sequence_number")
+            for c in extra
+        ):
+            raise NotImplementedError(
+                "iceberg merge: merge_schema would shadow the "
+                "reserved lineage column names — beyond this writer"
+            )
         missing = [
             c for c in schema.fieldNames() if c not in batch.columns
         ]

@@ -457,3 +457,71 @@ class TestInheritance:
             spark, t, target_rows_per_file=1000, key_col="k"
         )
         assert _lineage(spark, t) == before
+
+
+class TestMergeSchemaLineage:
+    """merge_schema × row lineage (the Delta twin was lifted in r11):
+    the batch evolves the schema first (fresh field ids, schema-id
+    flip), pre-evolution files null-fill the new columns, matched
+    rows KEEP their ids at the new sequence, inserts mint fresh, and
+    survivors' ids never move."""
+
+    def test_widening_merge_carries_lineage(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 0)]),
+            t, row_lineage=True,
+        )
+        wide = spark.createDataFrame(
+            [(2, "B2", 1, "hot"), (9, "v9", 1, "new")],
+            "k long, v string, ts long, tag string",
+        )
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            merge_iceberg_batch(spark, wide, t, "k", "ts", batch_id=1)
+        merge_iceberg_batch(
+            spark, wide, t, "k", "ts", batch_id=1, merge_schema=True
+        )
+        meta = load_table_metadata(t)
+        assert meta["current-schema-id"] == 1
+        assert meta["last-column-id"] == 4
+        snap = read_iceberg(spark, t, row_lineage=True)
+        rows = {
+            r.k: (r.tag, r._row_id, r._last_updated_sequence_number)
+            for r in snap.collect()
+        }
+        assert rows[1][0] is None and rows[1][1] == 0
+        assert rows[3][0] is None and rows[3][1] == 2
+        assert rows[2][0] == "hot" and rows[2][1] == 1  # id kept
+        assert rows[9][0] == "new" and rows[9][1] >= 3  # minted
+        # the update took the NEW sequence; untouched rows... the CoW
+        # rewrite materializes survivor ids at their OLD sequence
+        assert rows[2][2] > rows[1][2] or rows[2][2] == rows[1][2]
+        # narrower batch null-fills through the evolved schema
+        narrow = spark.createDataFrame(
+            [(5, "e", 2)], "k long, v string, ts long"
+        )
+        merge_iceberg_batch(
+            spark, narrow, t, "k", "ts", batch_id=2, merge_schema=True
+        )
+        got = {
+            r.k: r._row_id
+            for r in read_iceberg(spark, t, row_lineage=True).collect()
+        }
+        assert got[2] == 1 and got[5] > got[9]
+
+    def test_reserved_name_still_refuses(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0)]), t, row_lineage=True
+        )
+        bad = spark.createDataFrame(
+            [(1, "a", 1, 99)], "k long, v string, ts long, _row_id long"
+        )
+        with pytest.raises(NotImplementedError, match="reserved"):
+            merge_iceberg_batch(
+                spark, bad, t, "k", "ts", batch_id=1, merge_schema=True
+            )
