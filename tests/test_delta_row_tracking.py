@@ -638,3 +638,34 @@ class TestMappedRowTracking:
         assert after[1] == before[1] and after[3] == before[3]
         got = {r.k: r.v for r in read_delta(spark, t).collect()}
         assert got[2] == "UPD"
+
+    def test_mapped_tracked_survives_checkpoints(self, spark, tmp_path):
+        """Classic AND v2 checkpoints round-trip the composed state:
+        baseRowId/defaultRowCommitVersion ride the re-stated adds,
+        the delta.rowTracking domain keeps the watermark, and the
+        column-mapping metadata survives the metaData re-statement."""
+        import tests.test_delta_column_mapping as cmfix
+        from optimus_any2any_spark.streaming.delta_table import (
+            enable_delta_row_tracking,
+            write_checkpoint_v2,
+        )
+
+        t = str(tmp_path / "t")
+        cmfix._write_mapped_table(spark, t)
+        enable_delta_row_tracking(spark, t)
+        before = _rt(spark, t)
+        hwm0 = _hwm(spark, t)
+        _write_checkpoint(spark, t, replay_log(spark, t)["version"])
+        assert _rt(spark, t) == before and _hwm(spark, t) == hwm0
+        # a post-checkpoint merge still keeps/mints correctly
+        src = spark.createDataFrame(
+            [(2, "B2"), (9, "v9")], "k long, v string"
+        ).withColumn("ts", F.col("k"))
+        merge_delta_batch(
+            spark, src, t, "k", "ts", batch_id=1, merge_schema=True
+        )
+        ids = {k: i for k, i, _ in _rt(spark, t)}
+        assert ids[2] == 1 and ids[9] > hwm0
+        write_checkpoint_v2(spark, t, replay_log(spark, t)["version"])
+        after = _rt(spark, t)
+        assert {k: i for k, i, _ in after} == ids
