@@ -2724,6 +2724,89 @@ def delta_mapped_row_tracking(spark, sf_dir):
 
 
 @register(
+    "delta_shallow_clone",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    cloned AS (  -- the clone diverges: update + insert
+      SELECT k,
+             CASE WHEN k % 10 = 1 THEN price + 1000.0
+                  ELSE price END AS price
+      FROM base
+      UNION ALL
+      SELECT o_orderkey AS k, o_totalprice / 2 AS price
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    labelled AS (
+      SELECT 'clone' AS side, k, price FROM cloned
+      UNION ALL
+      SELECT 'source' AS side, k, price FROM base
+    )
+    SELECT side, k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM labelled GROUP BY side, k_mod ORDER BY side, k_mod
+    """,
+    doc="Delta SHALLOW CLONE (delta-spark CREATE TABLE ... SHALLOW "
+    "CLONE): commit 0 of the clone re-states the source's live adds "
+    "with ABSOLUTE paths — zero data copy (the clone directory holds "
+    "only a log); a post-clone merge (update + insert) lands new "
+    "files in the clone's own directory under table-token names "
+    "(never colliding with source basenames) and the SOURCE reads "
+    "back untouched. Both sides aggregate side-by-side; vacuum "
+    "isolation, DV conversion, row-tracking and column-mapping "
+    "compositions pinned in tests/test_delta_clone.py.",
+    bench=False,
+)
+def delta_shallow_clone(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        merge_delta_batch,
+        shallow_clone_delta,
+    )
+
+    src_t = _fixture_dir("delta_clone_src", sf_dir)
+    tgt_t = _fixture_dir("delta_clone_tgt", sf_dir)
+    base = _orders_kv(spark, sf_dir, 0).filter(F.col("k") % 4 != 0)
+    merge_delta_batch(
+        spark, base, src_t, "k", "ts", batch_id=0,
+        target_rows_per_file=4000,
+    )
+    if not os.path.isdir(os.path.join(src_t, "_delta_log")):
+        return spark.createDataFrame(
+            [], "side string, k_mod long, n_rows long, "
+            "sum_price double"
+        )
+    shallow_clone_delta(spark, src_t, tgt_t)
+    upd = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 10 == 1
+    ).withColumn("price", F.col("price") + F.lit(1000.0))
+    ins = _orders_kv(spark, sf_dir, 1).filter(
+        F.col("k") % 20 == 0
+    ).withColumn("price", F.col("price") / F.lit(2))
+    merge_delta_batch(
+        spark, upd.unionByName(ins), tgt_t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    both = read_delta(spark, tgt_t).withColumn(
+        "side", F.lit("clone")
+    ).unionByName(
+        read_delta(spark, src_t).withColumn("side", F.lit("source"))
+    )
+    return (
+        both.groupBy("side", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("side", "k_mod")
+    )
+
+
+@register(
     "delta_restore_read",
     oracle=f"""
     WITH base AS (

@@ -215,6 +215,17 @@ def _to_phys(
     )
 
 
+def _file_token(table_path: str) -> str:
+    """8-hex table-unique fragment in new data-file names: keeps a
+    SHALLOW CLONE's writes from ever colliding with the source's
+    (absolute-path) file basenames — the readers' DV anti-joins and
+    pid-routing joins key files by basename, and their collision
+    guards would otherwise refuse the first post-clone rewrite."""
+    import uuid
+
+    return uuid.uuid5(uuid.NAMESPACE_URL, table_path).hex[:8]
+
+
 def _read_files_dv_aware(
     spark: SparkSession,
     table_path: str,
@@ -1539,7 +1550,8 @@ def compact_delta(
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
-            rel = f"part-{version:05d}-{file_seq:04d}-compact.parquet"
+            rel = (f"part-{version:05d}-{file_seq:04d}-"
+                    f"{_file_token(table_path)}-compact.parquet")
             file_seq += 1
             _put_data(part, os.path.join(table_path, rel))
             new_files.append((rel, pv))
@@ -1571,7 +1583,8 @@ def compact_delta(
             for part in sorted(
                 _glob.glob(os.path.join(pdir, "part-*.parquet"))
             ):
-                rel = f"part-{version:05d}-{file_seq:04d}-compact.parquet"
+                rel = (f"part-{version:05d}-{file_seq:04d}-"
+                    f"{_file_token(table_path)}-compact.parquet")
                 file_seq += 1
                 _put_data(part, os.path.join(table_path, rel))
                 new_files.append((rel, pv))
@@ -2508,7 +2521,8 @@ def merge_delta_batch(
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
-            rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
+            rel = (f"part-{version:05d}-{file_seq:04d}-"
+                    f"{_file_token(table_path)}-merge.parquet")
             file_seq += 1
             _put_data(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
@@ -2532,7 +2546,8 @@ def merge_delta_batch(
             for part in sorted(
                 _glob.glob(os.path.join(pdir, "part-*.parquet"))
             ):
-                rel = f"part-{version:05d}-{file_seq:04d}-merge.parquet"
+                rel = (f"part-{version:05d}-{file_seq:04d}-"
+                    f"{_file_token(table_path)}-merge.parquet")
                 file_seq += 1
                 _put_data(part, os.path.join(table_path, rel))
                 new_adds.append({"path": rel, "partitionValues": pv})
@@ -3001,7 +3016,8 @@ def _dml_where(
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
-            rel = f"part-{version:05d}-{file_seq:04d}-{tag}.parquet"
+            rel = (f"part-{version:05d}-{file_seq:04d}-"
+                f"{_file_token(table_path)}-{tag}.parquet")
             file_seq += 1
             _put_data(part, os.path.join(table_path, rel))
             new_files.append((rel, pv))
@@ -3221,6 +3237,106 @@ def enable_delta_row_tracking(
     return version
 
 
+def shallow_clone_delta(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE (delta-spark ``CREATE TABLE ... SHALLOW CLONE``):
+    a NEW table whose commit 0 re-states the source snapshot's live
+    adds with ABSOLUTE paths into the source directory — zero data
+    copy. Later writes land in the clone's own directory (file names
+    carry a table-unique token, so they never collide with source
+    basenames) and never touch the source; VACUUM only scans the
+    clone's directory, so source files are structurally out of reach.
+    The metaData copies schema/partitioning/configuration under a
+    FRESH table id; the protocol and the ``delta.rowTracking`` domain
+    (watermark) carry, so row ids stay stable across the clone
+    boundary. DV descriptors convert to absolute ``p``-storage form.
+    Time travel on the clone starts at the clone (version 0), exactly
+    like delta-spark. ``version=`` clones a historical source
+    snapshot (CLONE ... VERSION AS OF)."""
+    import uuid as _uuid
+
+    from optimus_any2any_spark.formats.roaring import z85_decode
+
+    state = replay_log(spark, source_path, version=version)
+    if state["meta"] is None:
+        raise ValueError(
+            f"delta clone: no table at {source_path}"
+        )
+    if os.path.isdir(_log_dir(target_path)):
+        raise ValueError(
+            f"delta clone: table already exists at {target_path}"
+        )
+    src_abs = os.path.abspath(source_path)
+    meta2 = dict(state["meta"])
+    meta2["id"] = str(
+        _uuid.uuid5(_uuid.NAMESPACE_URL, f"{target_path}|clone")
+    )
+    actions: list[dict] = [
+        {
+            "protocol": state.get("protocol")
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        },
+        {"metaData": meta2},
+    ]
+    for p, a in sorted(state["live"].items()):
+        a2 = dict(a)
+        a2["path"] = (
+            p if p.startswith("/") else os.path.join(src_abs, p)
+        )
+        a2["dataChange"] = True
+        dv = a2.get("deletionVector")
+        if dv:
+            st_ = dv["storageType"]
+            if st_ == "u":
+                enc = dv["pathOrInlineDv"]
+                prefix, uid_txt = enc[:-20], enc[-20:]
+                uid = _uuid.UUID(bytes=z85_decode(uid_txt))
+                rel = f"deletion_vector_{uid}.bin"
+                fpath = (
+                    os.path.join(src_abs, prefix, rel)
+                    if prefix
+                    else os.path.join(src_abs, rel)
+                )
+                a2["deletionVector"] = {
+                    **dv, "storageType": "p", "pathOrInlineDv": fpath,
+                }
+            elif st_ == "p" and not dv["pathOrInlineDv"].startswith(
+                ("/", "file://")
+            ):
+                a2["deletionVector"] = {
+                    **dv,
+                    "pathOrInlineDv": os.path.join(
+                        src_abs, dv["pathOrInlineDv"]
+                    ),
+                }
+            # inline ('i') descriptors carry their bytes — verbatim
+        actions.append({"add": a2})
+    for dom, conf in sorted((state.get("domains") or {}).items()):
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": conf,
+                    "removed": False,
+                }
+            }
+        )
+    os.makedirs(target_path, exist_ok=True)
+    _commit(
+        _log_dir(target_path), 0, actions,
+        operation="CLONE",
+        operation_params={
+            "source": src_abs,
+            "sourceVersion": str(state["version"]),
+        },
+    )
+    return 0
+
+
 def purge_deletion_vectors(
     spark: SparkSession,
     table_path: str,
@@ -3418,7 +3534,8 @@ def purge_deletion_vectors(
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
-            rel = f"part-{version:05d}-{file_seq:04d}-purge.parquet"
+            rel = (f"part-{version:05d}-{file_seq:04d}-"
+                    f"{_file_token(table_path)}-purge.parquet")
             file_seq += 1
             _put_data(part, os.path.join(table_path, rel))
             new_files.append((rel, pv))
@@ -3448,7 +3565,8 @@ def purge_deletion_vectors(
             for part in sorted(
                 _glob.glob(os.path.join(pdir, "part-*.parquet"))
             ):
-                rel = f"part-{version:05d}-{file_seq:04d}-purge.parquet"
+                rel = (f"part-{version:05d}-{file_seq:04d}-"
+                    f"{_file_token(table_path)}-purge.parquet")
                 file_seq += 1
                 _put_data(part, os.path.join(table_path, rel))
                 new_files.append((rel, pv_of_pid[pid]))
@@ -3948,7 +4066,8 @@ def delete_delta_keys(
         for part in sorted(
             _glob.glob(os.path.join(tmp, "part-*.parquet"))
         ):
-            rel = f"part-{version:05d}-{file_seq:04d}-delete.parquet"
+            rel = (f"part-{version:05d}-{file_seq:04d}-"
+                    f"{_file_token(table_path)}-delete.parquet")
             file_seq += 1
             _put_data(part, os.path.join(table_path, rel))
             new_adds.append({"path": rel, "partitionValues": pv})
@@ -3972,7 +4091,8 @@ def delete_delta_keys(
             for part in sorted(
                 _glob.glob(os.path.join(pdir, "part-*.parquet"))
             ):
-                rel = f"part-{version:05d}-{file_seq:04d}-delete.parquet"
+                rel = (f"part-{version:05d}-{file_seq:04d}-"
+                    f"{_file_token(table_path)}-delete.parquet")
                 file_seq += 1
                 _put_data(part, os.path.join(table_path, rel))
                 new_adds.append({"path": rel, "partitionValues": pv})
