@@ -2724,6 +2724,85 @@ def delta_mapped_row_tracking(spark, sf_dir):
 
 
 @register(
+    "iceberg_wap_publish",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    staged AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    labelled AS (
+      SELECT 'before' AS phase, k, price FROM base
+      UNION ALL
+      SELECT 'after' AS phase, k, price FROM base
+      UNION ALL
+      SELECT 'after' AS phase, k, price FROM staged
+    )
+    SELECT phase, k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM labelled GROUP BY phase, k_mod ORDER BY phase, k_mod
+    """,
+    doc="Iceberg WAP — write-audit-publish (spark.wap.branch + "
+    "fast_forward): the staged append lands on a BRANCH ref (the "
+    "snapshot list grows, refs advance, current-snapshot-id stays), "
+    "so the PRE-publish main read sees only the base; "
+    "publish_iceberg_branch fast-forwards main (parent-snapshot-id "
+    "ancestor walk — divergent histories refuse) and the POST read "
+    "sees base + staged. Main-advancing writers refuse by name while "
+    "a branch holds unpublished commits (single-flight WAP keeps the "
+    "snapshot list linear for the changelog/stream readers) — "
+    "tests/test_iceberg_wap.py. Both phases aggregate side-by-side: "
+    "the 'before' frame is pinned at plan time, exactly like a real "
+    "audit query running against main mid-WAP.",
+    bench=False,
+)
+def iceberg_wap_publish(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        publish_iceberg_branch,
+    )
+
+    t = _fixture_dir("iceberg_wap", sf_dir)
+    o = load(spark, sf_dir, "orders")
+
+    def _slice(mod):
+        return o.filter(F.col("o_orderkey") % 3 == mod).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    write_iceberg_commit(_slice(0), t)
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "phase string, k_mod long, n_rows long, "
+            "sum_price double"
+        )
+    write_iceberg_commit(_slice(1), t, branch="audit")
+    before = read_iceberg(spark, t).withColumn(
+        "phase", F.lit("before")
+    )
+    publish_iceberg_branch(spark, t, "audit", drop_branch=True)
+    after = read_iceberg(spark, t).withColumn("phase", F.lit("after"))
+    both = before.unionByName(after)
+    return (
+        both.groupBy("phase", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("phase", "k_mod")
+    )
+
+
+@register(
     "delta_shallow_clone",
     oracle=f"""
     WITH base AS (

@@ -1861,7 +1861,10 @@ _MANIFEST_FILE_SCHEMA = {
 
 
 def _preserve_manifest_lineage(
-    table_path: str, prev_meta: dict, prior_manifests: list[dict]
+    table_path: str,
+    prev_meta: dict,
+    prior_manifests: list[dict],
+    base_sid: int | None = None,
 ) -> None:
     """Spec v3 preservation rule (Row Lineage): a manifest row
     re-emitted into a NEW manifest list must carry its ASSIGNED
@@ -1872,7 +1875,10 @@ def _preserve_manifest_lineage(
     ``_snapshot_entries``); a no-op on non-lineage tables."""
     if prev_meta.get("next-row-id") is None:
         return
-    sid = prev_meta.get("current-snapshot-id")
+    sid = (
+        base_sid if base_sid is not None
+        else prev_meta.get("current-snapshot-id")
+    )
     snap = next(
         (
             s
@@ -2076,6 +2082,7 @@ def write_iceberg_delete_commit(
     hint = os.path.join(md, "version-hint.text")
     prev_version = int(open(hint).read().strip())
     prev = load_table_metadata(table_path, version=prev_version)
+    _refuse_unpublished_branches(prev)
     version = prev_version + 1
     snapshot_id = version
     seq = version
@@ -2302,11 +2309,36 @@ def _spark_type_to_iceberg(dt: T.DataType) -> str:
     raise NotImplementedError(f"iceberg fixture writer: type {dt}")
 
 
+def _refuse_unpublished_branches(meta: dict | None) -> None:
+    """WAP single-flight discipline: while a branch ref points at
+    commits main has not published, a main-advancing write would make
+    the snapshot LIST diverge from main's lineage — and the
+    changelog/stream readers treat list order as history. Refuse by
+    name; publish_iceberg_branch (or drop_iceberg_ref) clears it."""
+    if not meta:
+        return
+    refs = meta.get("refs") or {}
+    cur = meta.get("current-snapshot-id")
+    ids = [s["snapshot-id"] for s in meta.get("snapshots") or []]
+    cpos = ids.index(cur) if cur in ids else -1
+    for name, r in refs.items():
+        if name == "main" or (r.get("type") or "branch") != "branch":
+            continue
+        sid = r.get("snapshot-id")
+        if sid in ids and ids.index(sid) > cpos:
+            raise ValueError(
+                f"iceberg: branch {name!r} has unpublished commits — "
+                "publish_iceberg_branch (or drop_iceberg_ref) before "
+                "writing to main"
+            )
+
+
 def write_iceberg_commit(
     df: DataFrame,
     table_path: str,
     partition_by: list[str] | None = None,
     row_lineage: bool = False,
+    branch: str | None = None,
 ) -> int:
     """Append one snapshot in the v1 HadoopCatalog layout; returns the
     new metadata version. Unpartitioned data, append-only — enough
@@ -2323,7 +2355,17 @@ def write_iceberg_commit(
     before it), the metadata's ``next-row-id`` advances by the total
     added records, and the format version floors at 3. Row-id
     assignment is pure driver bookkeeping over the record counts the
-    commit already collects — zero extra jobs."""
+    commit already collects — zero extra jobs.
+
+    ``branch="name"`` is the WRITE half of WAP (write-audit-publish,
+    Iceberg's spark.wap.branch): the snapshot appends on top of the
+    BRANCH head (created from the main head on first use), the
+    ``refs`` map advances the branch, and ``current-snapshot-id`` /
+    ``refs.main`` stay put — main readers see nothing until
+    ``publish_iceberg_branch`` fast-forwards. While a branch has
+    unpublished commits, main-advancing writers refuse by name
+    (single-flight WAP discipline keeps the snapshot list a linear
+    history, which the changelog/stream readers rely on)."""
     from optimus_any2any_spark.sources.iceberg_transforms import (
         parse_spec_item,
         partition_field_name,
@@ -2448,15 +2490,30 @@ def write_iceberg_commit(
         entries,
     )
 
-    # 3. manifest list = prior snapshot's manifests + the new one
+    # 3. manifest list = BASE snapshot's manifests + the new one.
+    # The base is the branch head for WAP writes, else the main head.
+    base_sid = None
+    if prev is not None:
+        base_sid = prev.get("current-snapshot-id")
+        if base_sid == -1:
+            base_sid = None
+        if branch is not None:
+            r = (prev.get("refs") or {}).get(branch)
+            if r is not None:
+                if (r.get("type") or "branch") != "branch":
+                    raise ValueError(
+                        f"iceberg append: ref {branch!r} is a tag, "
+                        "not a branch"
+                    )
+                base_sid = r.get("snapshot-id")
+        else:
+            _refuse_unpublished_branches(prev)
     prior_manifests: list[dict] = []
-    if prev is not None and prev.get("current-snapshot-id") not in (
-        None, -1,
-    ):
+    if prev is not None and base_sid is not None:
         snap = next(
             s
             for s in prev["snapshots"]
-            if s["snapshot-id"] == prev["current-snapshot-id"]
+            if s["snapshot-id"] == base_sid
         )
         _, prior_manifests = read_container(
             _localize(table_path, snap["manifest-list"])
@@ -2483,7 +2540,9 @@ def write_iceberg_commit(
     for r in prior_manifests:
         r.setdefault("sequence_number", None)
     if prev is not None:
-        _preserve_manifest_lineage(table_path, prev, prior_manifests)
+        _preserve_manifest_lineage(
+            table_path, prev, prior_manifests, base_sid=base_sid
+        )
     write_container(
         os.path.join(table_path, ml_rel),
         _MANIFEST_FILE_SCHEMA,
@@ -2562,6 +2621,10 @@ def write_iceberg_commit(
         "manifest-list": ml_rel,
         "summary": {"operation": "append"},
     }
+    if prev is not None and base_sid is not None:
+        # lineage pointer (publish walks it for the fast-forward
+        # ancestor check)
+        new_snap["parent-snapshot-id"] = base_sid
     if lineage:
         new_snap["first-row-id"] = first_row_base
     if fmt >= 2:
@@ -2639,15 +2702,32 @@ def write_iceberg_commit(
             else 0
         ),
         "properties": (prev.get("properties") if prev else None) or {},
-        "current-snapshot-id": snapshot_id,
+        # a branch write leaves main (and therefore every default
+        # reader) exactly where it was
+        "current-snapshot-id": (
+            prev.get("current-snapshot-id")
+            if branch is not None and prev is not None
+            else snapshot_id
+        ),
         "snapshots": snapshots,
     }
     if prev and prev.get("refs"):
         meta["refs"] = prev["refs"]  # tags/branches survive appends
     if lineage:
         meta["next-row-id"] = next_row_id
-    append_snapshot_log(meta, prev, ts_ms, snapshot_id)
-    advance_main_ref(meta, snapshot_id)
+    if branch is not None:
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {
+            "snapshot-id": snapshot_id, "type": "branch",
+        }
+        meta["refs"] = refs
+        if prev is None:
+            # first commit of a fresh table straight onto a branch:
+            # main has no head yet — current-snapshot-id stays unset
+            meta["current-snapshot-id"] = -1
+    else:
+        append_snapshot_log(meta, prev, ts_ms, snapshot_id)
+        advance_main_ref(meta, snapshot_id)
     if fmt >= 2:
         meta["last-sequence-number"] = seq
     path = os.path.join(md, f"v{version}.metadata.json")

@@ -68,6 +68,7 @@ from optimus_any2any_spark.sources.iceberg import (
     encode_bound,
     _meta_dir,
     _preserve_manifest_lineage as _ice_preserve_manifest_lineage,
+    _refuse_unpublished_branches,
     _puffin_dv_ref,
     advance_main_ref,
     append_snapshot_log,
@@ -484,6 +485,7 @@ def merge_iceberg_batch(
     # into the rewrite, batch rows replacing a matched key KEEP that
     # row's id (the spec's update contract), inserts derive fresh ids
     # from the new entries' first_row_id
+    _refuse_unpublished_branches(meta)
     lineage = meta.get("next-row-id") is not None
     specs = meta.get("partition-specs") or []
     default_spec = next(
@@ -1428,6 +1430,7 @@ def delete_iceberg_keys(
         raise ValueError(f"iceberg delete: no table at {table_path}")
     prev_version = int(open(hint).read().strip())
     meta = load_table_metadata(table_path, version=prev_version)
+    _refuse_unpublished_branches(meta)
     snaps = meta.get("snapshots") or []
     if batch_id is not None:
         for sn in reversed(snaps):
@@ -1667,6 +1670,7 @@ def delete_iceberg_positions(
         raise ValueError(f"iceberg delete: no table at {table_path}")
     prev_version = int(open(hint).read().strip())
     meta = load_table_metadata(table_path, version=prev_version)
+    _refuse_unpublished_branches(meta)
     snaps = meta.get("snapshots") or []
     if batch_id is not None:
         for sn in reversed(snaps):
@@ -1986,6 +1990,7 @@ def _commit_delete_manifest(
         _preserve_manifest_lineage,
     )
 
+    _refuse_unpublished_branches(meta)
     md = _meta_dir(table_path)
     hint = os.path.join(md, "version-hint.text")
     prior_manifests: list[dict] = []
@@ -2564,6 +2569,7 @@ def compact_iceberg(
     # physical columns in the rewritten files (the spec's rewrite
     # contract) — the lineage read coalesces them over the derived
     # first_row_id + position values
+    _refuse_unpublished_branches(meta)
     lineage = meta.get("next-row-id") is not None
     schema = iceberg_spark_schema(meta)
     by_id = _current_schema_fields(meta)
@@ -3368,6 +3374,83 @@ def set_iceberg_ref(
     meta = dict(meta)
     refs = dict(meta.get("refs") or {})
     refs[name] = {"snapshot-id": int(snapshot_id), "type": ref_type}
+    meta["refs"] = refs
+    version = prev_version + 1
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
+
+
+def publish_iceberg_branch(
+    spark: SparkSession,
+    table_path: str,
+    branch: str,
+    drop_branch: bool = False,
+) -> int:
+    """The PUBLISH half of WAP (Iceberg ``fast_forward``): advance
+    ``current-snapshot-id`` / ``refs.main`` to the branch head as a
+    data-free metadata version — the audited snapshots become main
+    history atomically. Fast-forward only: the current main head must
+    be an ancestor of the branch head (walked via
+    ``parent-snapshot-id``); anything else is a divergent history
+    this writer refuses rather than merges. ``drop_branch=True``
+    also removes the branch ref (the classic wap-branch cleanup).
+    Publishing a branch already at main is a no-op (no version
+    burn)."""
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg publish: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    refs = dict(meta.get("refs") or {})
+    r = refs.get(branch)
+    if r is None or (r.get("type") or "branch") != "branch":
+        raise ValueError(
+            f"iceberg publish: no branch {branch!r} "
+            f"(known refs: {sorted(refs) or 'none'})"
+        )
+    head = int(r["snapshot-id"])
+    cur = meta.get("current-snapshot-id")
+    if cur == -1:
+        cur = None
+    if head == cur and not drop_branch:
+        return prev_version
+    by_id = {
+        s["snapshot-id"]: s for s in meta.get("snapshots") or []
+    }
+    if head != cur:
+        sid, seen = head, set()
+        while (
+            sid is not None and sid != cur and sid not in seen
+        ):
+            seen.add(sid)
+            sid = by_id.get(sid, {}).get("parent-snapshot-id")
+        if sid != cur:
+            raise ValueError(
+                "iceberg publish: not a fast-forward — main is not "
+                f"an ancestor of branch {branch!r} head {head}"
+            )
+    meta = dict(meta)
+    if head != cur:
+        meta["current-snapshot-id"] = head
+        ts_ms = snapshot_timestamp_ms(meta)
+        meta["last-updated-ms"] = ts_ms
+        append_snapshot_log(
+            meta, {"snapshot-log": meta.get("snapshot-log")},
+            ts_ms, head,
+        )
+        advance_main_ref(meta, head)
+        refs = dict(meta.get("refs") or refs)
+    if drop_branch:
+        refs.pop(branch, None)
     meta["refs"] = refs
     version = prev_version + 1
     path = os.path.join(md, f"v{version}.metadata.json")

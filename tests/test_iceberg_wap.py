@@ -1,0 +1,163 @@
+"""Iceberg WAP — write-audit-publish (spark.wap.branch +
+fast_forward): branch-targeted appends stay invisible to main until
+publish_iceberg_branch fast-forwards; main-advancing writers refuse
+while a branch holds unpublished commits (single-flight discipline
+keeps the snapshot list a linear history)."""
+
+from __future__ import annotations
+
+import pytest
+
+from optimus_any2any_spark.sources.iceberg import (
+    load_table_metadata,
+    read_iceberg,
+    read_iceberg_changes,
+    write_iceberg_commit,
+)
+from optimus_any2any_spark.streaming.iceberg_table import (
+    compact_iceberg,
+    delete_iceberg_keys,
+    drop_iceberg_ref,
+    merge_iceberg_batch,
+    publish_iceberg_branch,
+)
+
+
+def _rows(spark, vals):
+    return spark.createDataFrame(vals, "id long, v string")
+
+
+def _read(spark, t, **kw):
+    return sorted(
+        (r.id, r.v) for r in read_iceberg(spark, t, **kw).collect()
+    )
+
+
+class TestWapFlow:
+    def test_branch_write_audit_publish(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a"), (2, "b")]), t)
+        write_iceberg_commit(
+            _rows(spark, [(3, "c")]), t, branch="audit"
+        )
+        # main (and every default reader) sees NOTHING yet
+        assert _read(spark, t) == [(1, "a"), (2, "b")]
+        assert read_iceberg_changes(spark, t).count() == 2
+        # the branch read sees the staged data
+        assert _read(spark, t, ref="audit") == [
+            (1, "a"), (2, "b"), (3, "c"),
+        ]
+        meta = load_table_metadata(t)
+        assert meta["refs"]["audit"]["type"] == "branch"
+        # publish: main fast-forwards atomically
+        publish_iceberg_branch(spark, t, "audit", drop_branch=True)
+        assert _read(spark, t) == [(1, "a"), (2, "b"), (3, "c")]
+        assert "audit" not in (load_table_metadata(t).get("refs") or {})
+        # the changelog now reports the published snapshot's inserts
+        assert read_iceberg_changes(spark, t).count() == 3
+
+    def test_branch_commits_stack(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t, branch="w")
+        write_iceberg_commit(_rows(spark, [(3, "c")]), t, branch="w")
+        assert _read(spark, t) == [(1, "a")]
+        assert _read(spark, t, ref="w") == [
+            (1, "a"), (2, "b"), (3, "c"),
+        ]
+        publish_iceberg_branch(spark, t, "w")
+        assert _read(spark, t) == [(1, "a"), (2, "b"), (3, "c")]
+        # publish again: no-op, no version burn
+        v = publish_iceberg_branch(spark, t, "w")
+        assert publish_iceberg_branch(spark, t, "w") == v
+
+    def test_main_writers_refuse_while_unpublished(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a"), (2, "b")]), t)
+        write_iceberg_commit(_rows(spark, [(3, "c")]), t, branch="w")
+        with pytest.raises(ValueError, match="unpublished"):
+            write_iceberg_commit(_rows(spark, [(9, "z")]), t)
+        with pytest.raises(ValueError, match="unpublished"):
+            merge_iceberg_batch(
+                spark,
+                spark.createDataFrame(
+                    [(1, "A", 1)], "id long, v string, ts long"
+                ),
+                t, "id", "ts", batch_id=1,
+            )
+        with pytest.raises(ValueError, match="unpublished"):
+            delete_iceberg_keys(
+                spark, t, "id",
+                spark.createDataFrame([(1,)], "id long"),
+            )
+        with pytest.raises(ValueError, match="unpublished"):
+            compact_iceberg(spark, t, target_rows_per_file=10)
+        # dropping the branch clears the gate
+        drop_iceberg_ref(spark, t, "w")
+        write_iceberg_commit(_rows(spark, [(9, "z")]), t)
+        assert _read(spark, t) == [(1, "a"), (2, "b"), (9, "z")]
+
+    def test_publish_guards(self, spark, tmp_path):
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        with pytest.raises(ValueError, match="no branch"):
+            publish_iceberg_branch(spark, t, "nope")
+        # a tag is not publishable
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_ref,
+        )
+
+        set_iceberg_ref(spark, t, "v1", ref_type="tag")
+        with pytest.raises(ValueError, match="no branch"):
+            publish_iceberg_branch(spark, t, "v1")
+
+    def test_post_publish_lifecycle(self, spark, tmp_path):
+        """After publish the table is an ordinary linear table: MoR
+        delete, merge and the changelog all run."""
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a"), (2, "b")]), t)
+        write_iceberg_commit(
+            _rows(spark, [(3, "c"), (4, "d")]), t, branch="w"
+        )
+        publish_iceberg_branch(spark, t, "w", drop_branch=True)
+        delete_iceberg_keys(
+            spark, t, "id", spark.createDataFrame([(2,)], "id long")
+        )
+        assert _read(spark, t) == [(1, "a"), (3, "c"), (4, "d")]
+        ch = sorted(
+            (r._change_type, r.id)
+            for r in read_iceberg_changes(spark, t).collect()
+        )
+        assert ch == [
+            ("DELETE", 2),
+            ("INSERT", 1), ("INSERT", 2),
+            ("INSERT", 3), ("INSERT", 4),
+        ]
+
+    def test_lineage_table_branch_write(self, spark, tmp_path):
+        """Row lineage composes: branch appends consume global
+        next-row-id, so published ids are unique and ordered."""
+        t = str(tmp_path / "tbl")
+        df1 = (
+            spark.createDataFrame(
+                [(1, "a", 0), (2, "b", 0)], "k long, v string, ts long"
+            ).repartitionByRange(1, "k").sortWithinPartitions("k")
+        )
+        write_iceberg_commit(df1, t, row_lineage=True)
+        df2 = (
+            spark.createDataFrame(
+                [(3, "c", 0)], "k long, v string, ts long"
+            ).repartitionByRange(1, "k")
+        )
+        write_iceberg_commit(df2, t, branch="w")
+        publish_iceberg_branch(spark, t, "w", drop_branch=True)
+        got = sorted(
+            (r.k, r._row_id)
+            for r in read_iceberg(
+                spark, t, row_lineage=True
+            ).collect()
+        )
+        assert got == [(1, 0), (2, 1), (3, 2)]
+        assert load_table_metadata(t)["next-row-id"] == 3
