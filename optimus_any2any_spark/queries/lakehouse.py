@@ -2724,6 +2724,202 @@ def delta_mapped_row_tracking(spark, sf_dir):
 
 
 @register(
+    "delta_convert_in_place",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             CAST(o_orderkey % 3 AS VARCHAR) AS part
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    kept AS (SELECT * FROM base WHERE part <> '1'),
+    merged AS (
+      -- survivors the batch does not touch
+      SELECT k, price, part FROM kept WHERE k % 10 <> 1
+      UNION ALL
+      -- the update slice: matched rows update, rows the DELETE
+      -- removed RE-INSERT (merge inserts unmatched batch rows)
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price,
+             CAST(o_orderkey % 3 AS VARCHAR) AS part
+      FROM orders
+      WHERE o_orderkey % 10 = 1 AND o_orderkey % 4 <> 0
+      UNION ALL
+      SELECT o_orderkey AS k, o_totalprice / 2 AS price,
+             CAST(o_orderkey % 3 AS VARCHAR) AS part
+      FROM orders
+      WHERE o_orderkey % 20 = 0 AND o_orderkey % 10 <> 1
+    )
+    SELECT part, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM merged GROUP BY part ORDER BY part
+    """,
+    doc="CONVERT TO DELTA (delta-spark's in-place migration): a "
+    "hive-partitioned parquet directory becomes a Delta table as "
+    "driver-side metadata work — commit 0 registers every file with "
+    "footer-read record counts and directory-parsed partitionValues "
+    "(colliding task basenames rename in place, still zero data "
+    "copy). The full writer surface then applies: DELETE WHERE "
+    "drops partition '1', a merge updates and inserts, and the "
+    "registered bytes never moved. The 100 TB story: migration cost "
+    "is O(files) driver metadata, not O(bytes).",
+    bench=False,
+)
+def delta_convert_in_place(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.delta import read_delta
+    from optimus_any2any_spark.streaming.delta_table import (
+        convert_parquet_to_delta,
+        delete_delta_where,
+        merge_delta_batch,
+    )
+
+    d = _fixture_dir("delta_convert", sf_dir)
+    base = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 != 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).cast("long").alias("ts"),
+        (F.col("o_orderkey") % 3).cast("string").alias("part"),
+    )
+    if base.isEmpty():
+        return spark.createDataFrame(
+            [], "part string, n_rows long, sum_price double"
+        )
+    base.write.partitionBy("part").parquet(d)
+    convert_parquet_to_delta(
+        spark, d, partition_by=["part string"]
+    )
+    delete_delta_where(spark, d, "part = '1'")
+    upd = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 10 == 1)
+        & (F.col("o_orderkey") % 4 != 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        (F.col("o_orderkey") % 3).cast("string").alias("part"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    ins = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 20 == 0)
+        & (F.col("o_orderkey") % 10 != 1)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") / F.lit(2)).alias("price"),
+        (F.col("o_orderkey") % 3).cast("string").alias("part"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    merge_delta_batch(
+        spark, upd.unionByName(ins), d, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    snap = read_delta(spark, d)
+    return (
+        snap.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("part")
+    )
+
+
+@register(
+    "iceberg_add_files",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ),
+    kept AS (SELECT * FROM base WHERE k % 9 <> 0),
+    merged AS (
+      SELECT k, price FROM kept WHERE k % 10 <> 1
+      UNION ALL
+      -- update slice: matched rows update, MoR-deleted ones
+      -- RE-INSERT (merge inserts unmatched batch rows)
+      SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price
+      FROM orders
+      WHERE o_orderkey % 10 = 1 AND o_orderkey % 4 <> 0
+      UNION ALL
+      SELECT o_orderkey AS k, o_totalprice / 2 AS price
+      FROM orders
+      WHERE o_orderkey % 20 = 0 AND o_orderkey % 10 <> 1
+    )
+    SELECT k % 10 AS k_mod, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM merged GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Iceberg add_files (the Spark procedure): existing parquet "
+    "registers into the table as one append snapshot — absolute-path "
+    "manifest entries, footer-read record counts, zero data movement "
+    "and zero Spark jobs. Merge-on-read DELETE then vectors over the "
+    "registered files and a merge updates/inserts on top; the "
+    "original bytes never moved. Twin of delta_convert_in_place.",
+    bench=False,
+)
+def iceberg_add_files(spark, sf_dir):
+    import glob as _glob
+
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        add_iceberg_files,
+        read_iceberg,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_where,
+        merge_iceberg_batch,
+    )
+
+    lake = _fixture_dir("iceberg_addfiles_lake", sf_dir)
+    t = _fixture_dir("iceberg_addfiles_tbl", sf_dir)
+    base = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 != 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    if base.isEmpty():
+        return spark.createDataFrame(
+            [], "k_mod long, n_rows long, sum_price double"
+        )
+    base.repartition(4).write.parquet(lake)
+    files = sorted(_glob.glob(os.path.join(lake, "*.parquet")))
+    add_iceberg_files(spark, t, files)
+    delete_iceberg_where(spark, t, "k % 9 = 0")
+    upd = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 10 == 1)
+        & (F.col("o_orderkey") % 4 != 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("price"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    ins = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 20 == 0)
+        & (F.col("o_orderkey") % 10 != 1)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") / F.lit(2)).alias("price"),
+        F.lit(1).cast("long").alias("ts"),
+    )
+    batch = upd.unionByName(ins)
+    merge_iceberg_batch(
+        spark,
+        batch.select("k", "price", "ts"),
+        t, "k", "ts", batch_id=1, target_rows_per_file=4000,
+    )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_wap_publish",
     oracle=f"""
     WITH base AS (

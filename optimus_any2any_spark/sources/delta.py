@@ -1117,7 +1117,9 @@ def read_delta(
         else []
     )
     out = None
-    for key, paths in sorted(groups.items()):
+    # key=str: partition tuples may hold None (hive default
+    # partition) alongside strings, which plain tuple sort rejects
+    for key, paths in sorted(groups.items(), key=lambda kv: str(kv)):
         df = spark.read.schema(data_schema).parquet(*paths)
         df = df.select(
             *[

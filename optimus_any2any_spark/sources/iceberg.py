@@ -2339,6 +2339,7 @@ def write_iceberg_commit(
     partition_by: list[str] | None = None,
     row_lineage: bool = False,
     branch: str | None = None,
+    add_files: list[str] | None = None,
 ) -> int:
     """Append one snapshot in the v1 HadoopCatalog layout; returns the
     new metadata version. Unpartitioned data, append-only — enough
@@ -2417,39 +2418,82 @@ def write_iceberg_commit(
         else version
     )
 
-    # 1. data files
-    tmp = os.path.join(table_path, f"_tmp-ice-v{version}")
-    df.write.mode("overwrite").parquet(tmp)
-    data_rel: list[str] = []
-    for i, part in enumerate(
-        sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
-    ):
-        rel = f"data/{version:05d}-{i:04d}.parquet"
-        os.replace(part, os.path.join(table_path, rel))
-        data_rel.append(rel)
-    shutil.rmtree(tmp)
-    counts = {
-        os.path.basename(r): 0 for r in data_rel
-    }
-    if data_rel:
-        from pyspark.sql import functions as F
+    # 1. data files. ``add_files`` is the METADATA-ONLY registration
+    # path (Spark's add_files procedure / the migration story at
+    # scale): existing parquet files enter the table as absolute-path
+    # entries with footer-read record counts — zero data movement,
+    # zero Spark jobs.
+    if add_files is not None:
+        import pyarrow.parquet as _pq
 
-        for row in (
-            spark.read.parquet(
-                *[os.path.join(table_path, r) for r in data_rel]
+        if partition_by:
+            raise NotImplementedError(
+                "iceberg add_files: partitioned registration is "
+                "beyond this writer (unpartitioned tables only)"
             )
-            .withColumn("__f", F.input_file_name())
-            .groupBy("__f")
-            .count()
-            .collect()
+        if prev is not None:
+            dspec = next(
+                (
+                    s
+                    for s in prev.get("partition-specs") or []
+                    if s.get("spec-id")
+                    == int(prev.get("default-spec-id", 0))
+                ),
+                None,
+            )
+            if dspec and dspec.get("fields"):
+                raise NotImplementedError(
+                    "iceberg add_files: the table is partitioned — "
+                    "registration is unpartitioned-only"
+                )
+        data_rel = []
+        counts = {}
+        seen_bn: set[str] = set()
+        for f in add_files:
+            ap = os.path.abspath(f)
+            bn = os.path.basename(ap)
+            if bn in seen_bn:
+                raise NotImplementedError(
+                    "iceberg add_files: two files share the basename "
+                    f"{bn!r} — stats/delete joins key by basename"
+                )
+            seen_bn.add(bn)
+            data_rel.append(ap)
+            counts[bn] = int(_pq.read_metadata(ap).num_rows)
+    else:
+        tmp = os.path.join(table_path, f"_tmp-ice-v{version}")
+        df.write.mode("overwrite").parquet(tmp)
+        data_rel = []
+        for i, part in enumerate(
+            sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
         ):
-            counts[row["__f"].rsplit("/", 1)[-1]] = row["count"]
+            rel = f"data/{version:05d}-{i:04d}.parquet"
+            os.replace(part, os.path.join(table_path, rel))
+            data_rel.append(rel)
+        shutil.rmtree(tmp)
+        counts = {
+            os.path.basename(r): 0 for r in data_rel
+        }
+        if data_rel:
+            from pyspark.sql import functions as F
+
+            for row in (
+                spark.read.parquet(
+                    *[os.path.join(table_path, r) for r in data_rel]
+                )
+                .withColumn("__f", F.input_file_name())
+                .groupBy("__f")
+                .count()
+                .collect()
+            ):
+                counts[row["__f"].rsplit("/", 1)[-1]] = row["count"]
     # an empty frame (e.g. the partitioned-table bootstrap) still
     # writes one zero-row part file — drop it rather than listing a
     # rowless entry in the manifest
     empty = [r for r in data_rel if counts[os.path.basename(r)] == 0]
     for r in empty:
-        os.remove(os.path.join(table_path, r))
+        if add_files is None:  # registered foreign files are NOT ours
+            os.remove(os.path.join(table_path, r))
     data_rel = [r for r in data_rel if r not in empty]
 
     # 2. manifest for this snapshot's added files
@@ -2740,3 +2784,21 @@ def write_iceberg_commit(
         f.write(str(version))
     os.replace(tmph, hint)
     return version
+
+
+def add_iceberg_files(
+    spark: SparkSession, table_path: str, files: list[str]
+) -> int:
+    """Spark's ``add_files`` procedure — register EXISTING parquet
+    files into an (unpartitioned) Iceberg table as one append
+    snapshot: absolute-path manifest entries with footer-read record
+    counts, zero data movement and zero Spark jobs. This is the
+    migration story at scale: a 100 TB parquet lake enters the table
+    as driver-side metadata work. The files' schema must match the
+    table's by name AND type (the append guard); a fresh table
+    bootstraps its schema from the files. Row lineage composes (the
+    registered rows take fresh ids from next-row-id)."""
+    if not files:
+        raise ValueError("iceberg add_files: no files given")
+    df = spark.read.parquet(*[os.path.abspath(f) for f in files])
+    return write_iceberg_commit(df, table_path, add_files=files)

@@ -3237,6 +3237,166 @@ def enable_delta_row_tracking(
     return version
 
 
+def convert_parquet_to_delta(
+    spark: SparkSession,
+    directory: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """CONVERT TO DELTA (delta-spark's in-place migration): commit 0
+    written INTO the existing parquet directory registers every data
+    file as an add action — zero data movement, footer-read record
+    counts, zero Spark jobs beyond one schema inference. The 100 TB
+    migration story: a parquet lake becomes a Delta table as
+    driver-side metadata work, and every writer here (merge, DML,
+    OPTIMIZE, DV deletes) then applies.
+
+    ``partition_by`` names the hive-partition directory levels in
+    nesting order (``col=value`` components); values parse from the
+    directory names into partitionValues strings exactly as Delta
+    stores them (``__HIVE_DEFAULT_PARTITION__`` → null), and readers
+    re-type them from the schema — the same typing rule as every
+    partitioned write. Entries may carry an explicit type
+    (``"part string"`` — delta-spark's ``PARTITIONED BY (part
+    STRING)``), which overrides Spark's directory-name type
+    inference; a bare name keeps the inferred type."""
+    import urllib.parse as _up
+    import uuid as _uuid_mod
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(_log_dir(directory)):
+        raise ValueError(
+            f"delta convert: {directory} is already a Delta table"
+        )
+    part_cols: list[str] = []
+    part_types: dict[str, T.DataType] = {}
+    for item in partition_by or []:
+        bits = item.split()
+        part_cols.append(bits[0])
+        if len(bits) > 1:
+            part_types[bits[0]] = T.StructType.fromDDL(
+                item
+            ).fields[0].dataType
+    files: list[tuple[str, dict]] = []
+    for root, _dirs, names in sorted(os.walk(directory)):
+        rel_root = os.path.relpath(root, directory)
+        comps = [] if rel_root == "." else rel_root.split(os.sep)
+        pv: dict[str, str | None] = {}
+        for c in comps:
+            if "=" in c:
+                k, v = c.split("=", 1)
+                pv[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _up.unquote(v)
+                )
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            rel = n if rel_root == "." else f"{rel_root}/{n}"
+            files.append((rel, pv))
+    # Spark's partitioned writes reuse one task's file name across
+    # partition directories, so hive layouts routinely repeat
+    # basenames — and this engine's DV/pid joins key files by
+    # basename. De-collide IN PLACE: an os.rename inside the same
+    # directory is metadata-only (still zero data copy), prefixing a
+    # short hash of the partition path.
+    seen: dict[str, int] = {}
+    for rel, _pv in files:
+        bn = rel.rsplit("/", 1)[-1]
+        seen[bn] = seen.get(bn, 0) + 1
+    renamed: list[tuple[str, dict]] = []
+    for rel, pv in files:
+        bn = rel.rsplit("/", 1)[-1]
+        if seen[bn] > 1 and "/" in rel:
+            sub = rel.rsplit("/", 1)[0]
+            tok = _uuid_mod.uuid5(
+                _uuid_mod.NAMESPACE_URL, sub
+            ).hex[:8]
+            new_rel = f"{sub}/{tok}-{bn}"
+            os.rename(
+                os.path.join(directory, rel),
+                os.path.join(directory, new_rel),
+            )
+            renamed.append((new_rel, pv))
+        else:
+            renamed.append((rel, pv))
+    files = renamed
+    if not files:
+        raise ValueError(
+            f"delta convert: no parquet files under {directory}"
+        )
+    bad = [
+        pv for _r, pv in files if sorted(pv) != sorted(part_cols)
+    ]
+    if bad:
+        raise ValueError(
+            "delta convert: directory layout does not match "
+            f"partition_by={part_cols} (found partition keys "
+            f"{sorted(set(k for pv in bad for k in pv))})"
+        )
+    schema = spark.read.parquet(directory).schema
+    if part_types:
+        # explicit partition types override directory-name inference
+        # (delta-spark requires the explicit schema for this reason)
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, part_types.get(f.name, f.dataType),
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+        )
+    missing = [c for c in part_cols if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(
+            f"delta convert: partition columns {missing} not "
+            "discovered in the directory layout"
+        )
+    import uuid as _uuid
+
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(
+                    _uuid.uuid5(
+                        _uuid.NAMESPACE_URL, f"{directory}|convert"
+                    )
+                ),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": {},
+            }
+        },
+    ]
+    for rel, pv in files:
+        full = os.path.join(directory, rel)
+        n = int(_pq.read_metadata(full).num_rows)
+        if n == 0:
+            continue  # a rowless file adds nothing (and stays put)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": dict(pv),
+                    "size": os.path.getsize(full),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": n}),
+                }
+            }
+        )
+    _commit(
+        _log_dir(directory), 0, actions,
+        operation="CONVERT",
+        operation_params={"partitionBy": json.dumps(part_cols)},
+    )
+    return 0
+
+
 def shallow_clone_delta(
     spark: SparkSession,
     source_path: str,
