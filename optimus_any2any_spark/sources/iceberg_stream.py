@@ -160,6 +160,15 @@ class IcebergTailStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         meta = _load_meta(self.table_path)
         snaps = meta.get("snapshots") or []
+        # cap at the MAIN head: snapshots past current-snapshot-id are
+        # a WAP branch's UNPUBLISHED commits (write_iceberg_commit
+        # branch=...) — streaming them would leak un-audited data;
+        # publish_iceberg_branch moves the head and they flow then
+        cur = meta.get("current-snapshot-id")
+        if cur not in (None, -1):
+            ids = [s["snapshot-id"] for s in snaps]
+            if cur in ids:
+                snaps = snaps[: ids.index(cur) + 1]
         return {
             "sid": snaps[-1]["snapshot-id"] if snaps else None
         }

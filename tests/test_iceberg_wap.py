@@ -161,3 +161,44 @@ class TestWapFlow:
         )
         assert got == [(1, 0), (2, 1), (3, 2)]
         assert load_table_metadata(t)["next-row-id"] == 3
+
+
+class TestWapStreams:
+    def test_stream_never_leaks_unpublished(self, spark, tmp_path):
+        """iceberg_tail caps its offset window at the MAIN head:
+        unpublished branch snapshots are invisible to the stream and
+        flow only after publish."""
+        import time
+
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailDataSource,
+        )
+
+        spark.dataSource.register(IcebergTailDataSource)
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t, branch="w")
+
+        def run():
+            q = (
+                spark.readStream.format("iceberg_tail")
+                .option("path", t)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            time.sleep(0.2)
+
+        run()
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == [1]  # the staged snapshot did NOT stream
+        publish_iceberg_branch(spark, t, "w", drop_branch=True)
+        run()
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == [1, 2]  # delivered exactly once, after publish
