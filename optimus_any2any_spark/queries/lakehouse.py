@@ -2920,6 +2920,98 @@ def iceberg_add_files(spark, sf_dir):
 
 
 @register(
+    "iceberg_rewrite_manifests",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    s2 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    s3 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 = 2
+    ),
+    -- the eq delete lands BETWEEN s2 and s3: k%5=0 rows from s1/s2
+    -- erase, s3's arrive later and stay (sequence gating)
+    live AS (
+      SELECT * FROM s1 WHERE k % 5 <> 0
+      UNION ALL SELECT * FROM s2 WHERE k % 5 <> 0
+      UNION ALL SELECT * FROM s3
+    )
+    SELECT k % 10 AS k_mod, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM live GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="rewrite_manifests (Iceberg manifest compaction): three "
+    "appends + a mid-history equality delete leave four manifests; "
+    "the rewrite merges the data manifests into ONE per spec — pure "
+    "driver metadata work (planning on a million-file table drops "
+    "from O(manifests) avro opens to O(specs)). Entries re-list "
+    "EXISTING with their ORIGINAL sequence numbers explicit, so the "
+    "delete's seq-gate still erases exactly the pre-delete rows and "
+    "never the post-delete append; the replace snapshot is silent in "
+    "the changelog/streams (tests/test_iceberg_rewrite_manifests.py).",
+    bench=False,
+)
+def iceberg_rewrite_manifests(spark, sf_dir):
+    from optimus_any2any_spark.formats.avrobin import read_container
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        _localize,
+        load_table_metadata,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_where,
+        rewrite_iceberg_manifests,
+    )
+
+    t = _fixture_dir("iceberg_rewritem", sf_dir)
+    o = load(spark, sf_dir, "orders")
+
+    def _slice(mod):
+        return o.filter(F.col("o_orderkey") % 3 == mod).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    write_iceberg_commit(_slice(0), t)
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "k_mod long, n_rows long, sum_price double"
+        )
+    write_iceberg_commit(_slice(1), t)
+    delete_iceberg_where(spark, t, "k % 5 = 0")
+    write_iceberg_commit(_slice(2), t)
+    rewrite_iceberg_manifests(spark, t)
+    # the merge really happened: one data manifest remains
+    meta = load_table_metadata(t)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, ml = read_container(_localize(t, cur["manifest-list"]))
+    n_data = sum(1 for m in ml if int(m.get("content") or 0) == 0)
+    if n_data > 1:  # degenerate inputs may leave 0 (empty appends)
+        raise AssertionError(
+            f"rewrite_manifests left {n_data} data manifests"
+        )
+    snap = read_iceberg(spark, t)
+    return (
+        snap.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
     "iceberg_wap_publish",
     oracle=f"""
     WITH base AS (

@@ -3115,6 +3115,181 @@ def compact_iceberg(
     return version
 
 
+def rewrite_iceberg_manifests(
+    spark: SparkSession,
+    table_path: str,
+    min_manifests: int = 2,
+) -> int | None:
+    """``rewrite_manifests`` (Iceberg's manifest compaction): merge
+    the current snapshot's DATA manifests into ONE manifest per
+    partition spec — pure driver metadata work, zero data IO. On a
+    long-lived table every commit adds a manifest, and planning cost
+    is O(manifests) avro opens; after the rewrite it is O(specs).
+    Entries re-list with status EXISTING, their ORIGINAL data
+    sequence numbers EXPLICIT (v2 inheritance would otherwise
+    re-stamp them under the new snapshot and un-gate older delete
+    files), their original snapshot ids kept, and row-lineage
+    first_row_id resolved/preserved. Delete manifests carry verbatim.
+    The commit is a ``replace`` snapshot with no data change — the
+    changelog and the streams emit NOTHING for it. Returns the new
+    metadata version, or None when fewer than ``min_manifests`` data
+    manifests exist (nothing to gain ⇒ no version burn)."""
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(
+            f"iceberg rewrite_manifests: no table at {table_path}"
+        )
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    _refuse_unpublished_branches(meta)
+    snaps = meta.get("snapshots") or []
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id in (None, -1) or not snaps:
+        return None
+    cur = next(s for s in snaps if s["snapshot-id"] == cur_id)
+    _, manifests = read_container(
+        _localize(table_path, cur["manifest-list"])
+    )
+    data_rows = [
+        m for m in manifests if int(m.get("content") or 0) == 0
+    ]
+    if len(data_rows) < min_manifests:
+        return None
+    other_rows = [
+        m for m in manifests if int(m.get("content") or 0) != 0
+    ]
+    version = prev_version + 1
+    snapshot_id = version
+    fmt = int(meta.get("format-version", 1))
+    seq = max(
+        int(meta.get("last-sequence-number", 0)), prev_version
+    ) + 1
+    lineage = meta.get("next-row-id") is not None
+
+    def _eff_seq(e: dict, m: dict) -> int:
+        s = e.get("sequence_number")
+        if s is None:
+            s = m.get("sequence_number")
+        return int(s) if s is not None else 0
+
+    # group by spec id: a manifest serializes ONE partition spec
+    by_spec: dict[int, list[tuple[dict, dict, dict]]] = {}
+    schema_of_spec: dict[int, dict] = {}
+    for m in data_rows:
+        sid = int(m.get("partition_spec_id") or 0)
+        esch, entries = read_container(
+            _localize(table_path, m["manifest_path"])
+        )
+        schema_of_spec.setdefault(sid, esch)
+        for e in entries:
+            if int(e.get("status") or 0) == 2:  # DELETED
+                continue
+            by_spec.setdefault(sid, []).append((e, m, esch))
+    new_rows: list[dict] = []
+    for sid, triples in sorted(by_spec.items()):
+        merged = []
+        for e, m, _esch in triples:
+            e2 = dict(e)
+            e2["status"] = 0  # EXISTING: explicit seq, kept snapshot
+            e2["sequence_number"] = _eff_seq(e, m)
+            merged.append(e2)
+        if lineage:
+            _resolve_entry_lineage(table_path, meta, merged)
+        esch = json.loads(json.dumps(schema_of_spec[sid]))
+        names = {f["name"] for f in esch["fields"]}
+        if "sequence_number" not in names:
+            esch["fields"].append(
+                {"name": "sequence_number",
+                 "type": ["null", "long"],
+                 "default": None, "field-id": 3}
+            )
+        if lineage:
+            # the resolved ids must SERIALIZE — a null under the new
+            # manifest would mis-inherit from this snapshot's base
+            dft = next(
+                f for f in esch["fields"] if f["name"] == "data_file"
+            )["type"]
+            df_names = {f["name"] for f in dft["fields"]}
+            if "first_row_id" not in df_names:
+                dft["fields"].append(
+                    {"name": "first_row_id",
+                     "type": ["null", "long"],
+                     "default": None, "field-id": 142}
+                )
+        rel = (
+            "metadata/"
+            f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|rm{version}s{sid}')}"
+            f"-m0.avro"
+        )
+        write_container(os.path.join(table_path, rel), esch, merged)
+        new_rows.append(
+            {
+                "manifest_path": rel,
+                "manifest_length": os.path.getsize(
+                    os.path.join(table_path, rel)
+                ),
+                "partition_spec_id": sid,
+                "content": 0,
+                "added_snapshot_id": snapshot_id,
+                # entries carry their seqs explicitly; nothing inherits
+                "sequence_number": None,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    int(e["data_file"].get("record_count") or 0)
+                    for e in merged
+                ),
+                "first_row_id": None,
+            }
+        )
+    for r in other_rows:
+        r.setdefault("sequence_number", None)
+    ml_rel = (
+        "metadata/"
+        f"snap-{snapshot_id}-1-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|rml{version}')}"
+        ".avro"
+    )
+    write_container(
+        os.path.join(table_path, ml_rel),
+        MANIFEST_FILE_SCHEMA,
+        new_rows + other_rows,
+    )
+    meta = dict(meta)
+    ts_ms = snapshot_timestamp_ms(meta)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": ts_ms,
+        "manifest-list": ml_rel,
+        "parent-snapshot-id": cur_id,
+        "summary": {
+            "operation": "replace",
+            "rewritten-manifests": str(len(data_rows)),
+            "added-manifests": str(len(new_rows)),
+        },
+    }
+    if fmt >= 2:
+        new_snap["sequence-number"] = seq
+        meta["last-sequence-number"] = seq
+    if lineage:
+        # no rows added: the id space does not move
+        new_snap["first-row-id"] = int(meta["next-row-id"])
+    meta["snapshots"] = snaps + [new_snap]
+    append_snapshot_log(meta, meta, ts_ms, snapshot_id)
+    advance_main_ref(meta, snapshot_id)
+    meta["current-snapshot-id"] = snapshot_id
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
+
+
 def expire_iceberg_snapshots(
     spark: SparkSession,
     table_path: str,
