@@ -934,18 +934,21 @@ def smtp_sink(df: DataFrame, cfg: Config):
         c.get("max_group_bytes", str(64 * 1024 * 1024))
     )
     max_groups = int(c.get("max_groups", "1000"))
+    # the probe itself is BOUNDED (limit max_groups+1): a one-group-
+    # per-record template explosion must not OOM the guard either
     stats = (
         compiled.groupBy("__group")
-        .agg(F.sum(F.length("v")).alias("__bytes"))
+        .agg(F.sum(F.octet_length("v")).alias("__bytes"))
+        .limit(max_groups + 1)
         .collect()
     )
     if len(stats) > max_groups:
         raise ValueError(
-            f"smtp sink: {len(stats)} distinct email groups exceeds "
-            f"SMTP__MAX_GROUPS={max_groups} — the routing templates "
-            "are splitting the stream into too many emails (each "
-            "group collects to the driver); fix the templates or "
-            "raise the cap"
+            f"smtp sink: more than SMTP__MAX_GROUPS={max_groups} "
+            "distinct email groups — the routing templates are "
+            "splitting the stream into too many emails (each group "
+            "collects to the driver); fix the templates or raise "
+            "the cap"
         )
     over = [
         r for r in stats

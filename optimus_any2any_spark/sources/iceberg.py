@@ -1892,11 +1892,7 @@ def _preserve_manifest_lineage(
     for m in prior_manifests:
         if int(m.get("content") or 0) != 0:
             continue
-        if (
-            m.get("first_row_id") is not None
-            or running is None
-            or m.get("added_snapshot_id") != sid
-        ):
+        if m.get("first_row_id") is not None or running is None:
             continue
         m["first_row_id"] = running
         a = m.get("added_rows_count")
@@ -2309,12 +2305,18 @@ def _spark_type_to_iceberg(dt: T.DataType) -> str:
     raise NotImplementedError(f"iceberg fixture writer: type {dt}")
 
 
-def _refuse_unpublished_branches(meta: dict | None) -> None:
+def _refuse_unpublished_branches(
+    meta: dict | None, allow: str | None = None
+) -> None:
     """WAP single-flight discipline: while a branch ref points at
     commits main has not published, a main-advancing write would make
     the snapshot LIST diverge from main's lineage — and the
-    changelog/stream readers treat list order as history. Refuse by
-    name; publish_iceberg_branch (or drop_iceberg_ref) clears it."""
+    changelog/stream readers treat list order as history. The same
+    rule keeps the WAP flow itself single-flight (``allow`` names the
+    one branch being written or published): a SECOND concurrent
+    branch would leak into stream history when the first publishes.
+    Refuse by name; publish_iceberg_branch (or drop_iceberg_ref)
+    clears it."""
     if not meta:
         return
     refs = meta.get("refs") or {}
@@ -2324,12 +2326,14 @@ def _refuse_unpublished_branches(meta: dict | None) -> None:
     for name, r in refs.items():
         if name == "main" or (r.get("type") or "branch") != "branch":
             continue
+        if allow is not None and name == allow:
+            continue
         sid = r.get("snapshot-id")
         if sid in ids and ids.index(sid) > cpos:
             raise ValueError(
                 f"iceberg: branch {name!r} has unpublished commits — "
                 "publish_iceberg_branch (or drop_iceberg_ref) before "
-                "writing to main"
+                "writing to main or another branch"
             )
 
 
@@ -2448,14 +2452,24 @@ def write_iceberg_commit(
                 )
         data_rel = []
         counts = {}
+        # collision guard spans the files ALREADY in the table too:
+        # stats/delete joins key files by basename, so a second
+        # add_files call bringing a same-named file from another
+        # directory would cross-apply deletions
         seen_bn: set[str] = set()
+        if prev is not None:
+            pdata, _ppd, _ped = _snapshot_entries(table_path, prev)
+            seen_bn.update(
+                d["orig"].rsplit("/", 1)[-1] for d in pdata
+            )
         for f in add_files:
             ap = os.path.abspath(f)
             bn = os.path.basename(ap)
             if bn in seen_bn:
                 raise NotImplementedError(
-                    "iceberg add_files: two files share the basename "
-                    f"{bn!r} — stats/delete joins key by basename"
+                    "iceberg add_files: the basename "
+                    f"{bn!r} is already registered (or repeated in "
+                    "this call) — stats/delete joins key by basename"
                 )
             seen_bn.add(bn)
             data_rel.append(ap)
@@ -2500,9 +2514,30 @@ def write_iceberg_commit(
     lineage = row_lineage or (
         prev is not None and prev.get("next-row-id") is not None
     )
-    first_row_base = (
-        int(prev.get("next-row-id", 0)) if prev is not None else 0
-    ) if lineage else None
+    snap_first_row = None
+    first_row_base = None
+    if lineage:
+        if prev is not None and prev.get("next-row-id") is None:
+            # v3 UPGRADE of a table that already holds rows: this
+            # snapshot assigns ids to EVERY existing row via the
+            # spec's inheritance walk (the prior manifests, still
+            # null, consume 0..E-1 in manifest-list order under this
+            # snapshot's first-row-id = 0), so the NEW files' explicit
+            # ids must start at E — starting them at 0 would collide
+            # with the inherited ids.
+            data0, _pd0, _ed0 = _snapshot_entries(table_path, prev)
+            existing_rows = sum(
+                int(d.get("record_count") or 0) for d in data0
+            )
+            snap_first_row = 0
+            first_row_base = existing_rows
+        else:
+            snap_first_row = (
+                int(prev.get("next-row-id", 0))
+                if prev is not None
+                else 0
+            )
+            first_row_base = snap_first_row
     next_row_id = first_row_base
     manifest_rel = f"metadata/{uuid.uuid5(uuid.NAMESPACE_URL, f'{table_path}|m{version}')}-m0.avro"
     entries = []
@@ -2542,6 +2577,7 @@ def write_iceberg_commit(
         if base_sid == -1:
             base_sid = None
         if branch is not None:
+            _refuse_unpublished_branches(prev, allow=branch)
             r = (prev.get("refs") or {}).get(branch)
             if r is not None:
                 if (r.get("type") or "branch") != "branch":
@@ -2670,7 +2706,7 @@ def write_iceberg_commit(
         # ancestor check)
         new_snap["parent-snapshot-id"] = base_sid
     if lineage:
-        new_snap["first-row-id"] = first_row_base
+        new_snap["first-row-id"] = snap_first_row
     if fmt >= 2:
         new_snap["sequence-number"] = seq
     snapshots = snapshots + [new_snap]

@@ -165,7 +165,11 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         # branch=...) — streaming them would leak un-audited data;
         # publish_iceberg_branch moves the head and they flow then
         cur = meta.get("current-snapshot-id")
-        if cur not in (None, -1):
+        if cur in (None, -1):
+            # no main head at all (a fresh table whose only commits
+            # went straight to a branch): nothing is published
+            snaps = []
+        else:
             ids = [s["snapshot-id"] for s in snaps]
             if cur in ids:
                 snaps = snaps[: ids.index(cur) + 1]
@@ -181,6 +185,14 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         ]
         out: list[InputPartition] = []
         for snap in window:
+            op = (snap.get("summary") or {}).get(
+                "operation", "append"
+            )
+            if op == "replace":
+                # physical rewrite (compaction / rewrite_manifests):
+                # adds no logical rows — the tail stream skips it,
+                # exactly like the changes reader
+                continue
             for f in _added_files(self.table_path, snap):
                 out.append(_IceFile(f))
         return out

@@ -3195,13 +3195,19 @@ def enable_delta_row_tracking(
             if old_w >= v:
                 features.update(feats)
     features |= {"rowTracking", "domainMetadata"}
+    old_r = int(prev_protocol.get("minReaderVersion", 1))
     protocol = {
-        "minReaderVersion": int(
-            prev_protocol.get("minReaderVersion", 1)
-        ),
+        "minReaderVersion": old_r,
         "minWriterVersion": 7,
         "writerFeatures": sorted(features),
     }
+    if old_r >= 3:
+        # readerFeatures is REQUIRED at reader >= 3 — dropping it
+        # (e.g. a deletionVectors table's) would let external readers
+        # resurrect DV-deleted rows
+        protocol["readerFeatures"] = sorted(
+            set(prev_protocol.get("readerFeatures") or [])
+        )
     actions: list[dict] = [
         {"protocol": protocol},
         {"metaData": meta2},

@@ -3592,6 +3592,10 @@ def publish_iceberg_branch(
             f"iceberg publish: no branch {branch!r} "
             f"(known refs: {sorted(refs) or 'none'})"
         )
+    # single-flight: publishing THIS branch while another holds
+    # unpublished commits would bake the other branch's un-audited
+    # snapshots into the positional stream history
+    _refuse_unpublished_branches(meta, allow=branch)
     head = int(r["snapshot-id"])
     cur = meta.get("current-snapshot-id")
     if cur == -1:

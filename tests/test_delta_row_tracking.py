@@ -669,3 +669,32 @@ class TestMappedRowTracking:
         write_checkpoint_v2(spark, t, replay_log(spark, t)["version"])
         after = _rt(spark, t)
         assert {k: i for k, i, _ in after} == ids
+
+    def test_enable_keeps_reader_features(self, spark, tmp_path):
+        """Review finding: the v7 upgrade dropped readerFeatures —
+        a DV table (reader 3) must keep 'deletionVectors' listed or
+        external readers resurrect deleted rows."""
+        from optimus_any2any_spark.streaming.delta_table import (
+            enable_delta_row_tracking,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"v{i}", 0) for i in range(1, 6)],
+            "k long, v string, ts long",
+        )
+        merge_delta_batch(spark, df, t, "k", "ts", batch_id=0)
+        delete_delta_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long"),
+            use_deletion_vectors=True,
+        )
+        st0 = replay_log(spark, t)
+        assert st0["protocol"]["minReaderVersion"] == 3
+        assert "deletionVectors" in st0["protocol"]["readerFeatures"]
+        enable_delta_row_tracking(spark, t)
+        st = replay_log(spark, t)
+        assert st["protocol"]["minReaderVersion"] == 3
+        assert "deletionVectors" in st["protocol"]["readerFeatures"]
+        assert "rowTracking" in st["protocol"]["writerFeatures"]
+        # the DV still applies through the tracked read
+        assert [k for k, _i, _c in _rt(spark, t)] == [1, 3, 4, 5]

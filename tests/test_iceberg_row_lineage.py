@@ -525,3 +525,47 @@ class TestMergeSchemaLineage:
             merge_iceberg_batch(
                 spark, bad, t, "k", "ts", batch_id=1, merge_schema=True
             )
+
+
+class TestLineageUpgrade:
+    def test_enable_on_populated_table_assigns_unique_ids(
+        self, spark, tmp_path
+    ):
+        """Turning row lineage ON over existing rows: the upgrade
+        snapshot assigns ids to EVERY existing row via inheritance
+        (priors consume 0..E-1 under first-row-id 0) and the new
+        files start at E — ids collide with nothing (review finding:
+        starting new files at 0 silently duplicated ids)."""
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+        )
+
+        t = str(tmp_path / "t")
+        write_iceberg_commit(
+            _one_file(spark, [(1, "a", 0), (2, "b", 0)]), t
+        )  # NO lineage
+        write_iceberg_commit(
+            _one_file(spark, [(3, "c", 0), (4, "d", 0)]), t,
+            row_lineage=True,
+        )  # the v3 upgrade commit
+        got = _lineage(spark, t)
+        ids = [rid for _k, rid, _s in got]
+        assert sorted(ids) == [0, 1, 2, 3]  # unique, dense
+        assert dict((k, r) for k, r, _ in got) == {
+            1: 0, 2: 1, 3: 2, 4: 3,
+        }
+        meta = load_table_metadata(t)
+        assert meta["next-row-id"] == 4
+        assert meta["snapshots"][-1]["first-row-id"] == 0
+        # a later append preserves the upgrade assignment explicitly
+        write_iceberg_commit(_one_file(spark, [(5, "e", 0)]), t)
+        got2 = dict(
+            (k, r) for k, r, _ in _lineage(spark, t)
+        )
+        assert got2 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+        # and a MoR delete never moves them
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(2,)], "k long")
+        )
+        got3 = dict((k, r) for k, r, _ in _lineage(spark, t))
+        assert got3 == {1: 0, 3: 2, 4: 3, 5: 4}

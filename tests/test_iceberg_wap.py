@@ -202,3 +202,117 @@ class TestWapStreams:
         run()
         got = sorted(r.id for r in spark.read.parquet(out).collect())
         assert got == [1, 2]  # delivered exactly once, after publish
+
+
+class TestWapSingleFlight:
+    def test_second_branch_refuses(self, spark, tmp_path):
+        """Review finding: two concurrent branches would leak — the
+        first publish bakes the OTHER branch's snapshots into main's
+        positional history. One unpublished branch at a time."""
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t, branch="a")
+        with pytest.raises(ValueError, match="unpublished"):
+            write_iceberg_commit(
+                _rows(spark, [(3, "c")]), t, branch="b"
+            )
+        # the SAME branch keeps stacking fine
+        write_iceberg_commit(_rows(spark, [(4, "d")]), t, branch="a")
+        publish_iceberg_branch(spark, t, "a", drop_branch=True)
+        assert _read(spark, t) == [(1, "a"), (2, "b"), (4, "d")]
+
+    def test_fresh_table_branch_streams_nothing(self, spark, tmp_path):
+        """Review finding: current-snapshot-id == -1 bypassed the
+        stream's main-head cap — a fresh table whose only commits are
+        on a branch must stream NOTHING before publish."""
+        import time
+
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailDataSource,
+        )
+
+        spark.dataSource.register(IcebergTailDataSource)
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        write_iceberg_commit(
+            _rows(spark, [(1, "a")]), t, branch="w"
+        )
+
+        def run():
+            q = (
+                spark.readStream.format("iceberg_tail")
+                .option("path", t)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            time.sleep(0.2)
+
+        run()
+        import glob as _g
+        import os as _os
+        files = [
+            f for f in _g.glob(_os.path.join(out, "*.parquet"))
+            if _os.path.getsize(f) > 0
+        ]
+        got = (
+            sorted(r.id for r in spark.read.parquet(out).collect())
+            if files
+            else []
+        )
+        assert got == []
+        publish_iceberg_branch(spark, t, "w")
+        run()
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == [1]
+
+    def test_tail_stream_skips_replace_snapshots(self, spark, tmp_path):
+        """Review finding: the tail stream raised on 'replace'
+        snapshots — a running stream crossing a compaction or
+        rewrite_manifests died. It now skips them (no logical rows),
+        like the changes reader."""
+        import time
+
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailDataSource,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            compact_iceberg,
+            rewrite_iceberg_manifests,
+        )
+
+        spark.dataSource.register(IcebergTailDataSource)
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t)
+
+        def run():
+            q = (
+                spark.readStream.format("iceberg_tail")
+                .option("path", t)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            time.sleep(0.2)
+
+        run()
+        assert compact_iceberg(
+            spark, t, target_rows_per_file=1000, key_col="id"
+        )
+        assert rewrite_iceberg_manifests(spark, t, min_manifests=1)
+        write_iceberg_commit(_rows(spark, [(3, "c")]), t)
+        run()  # crosses the replace snapshots without dying
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == [1, 2, 3]  # rewritten rows never re-deliver

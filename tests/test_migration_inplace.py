@@ -186,3 +186,28 @@ class TestIcebergAddFiles:
         assert got[0] == (1, 0)
         assert {rid for _i, rid in got[1:]} == {1, 2}
         assert load_table_metadata(t)["next-row-id"] == 3
+
+    def test_cross_call_basename_collision_refuses(
+        self, spark, tmp_path
+    ):
+        """Review finding: the collision guard must span files
+        ALREADY registered — two copied exports share part names."""
+        import shutil
+
+        t = str(tmp_path / "tbl")
+        a = str(tmp_path / "a")
+        spark.createDataFrame(
+            [(1, "a")], "id long, v string"
+        ).coalesce(1).write.parquet(a)
+        fa = sorted(glob.glob(os.path.join(a, "*.parquet")))
+        add_iceberg_files(spark, t, fa)
+        b = str(tmp_path / "b")
+        os.makedirs(b)
+        # same basename, different directory (a copied export)
+        shutil.copy(fa[0], os.path.join(b, os.path.basename(fa[0])))
+        with pytest.raises(
+            NotImplementedError, match="already registered"
+        ):
+            add_iceberg_files(
+                spark, t, glob.glob(os.path.join(b, "*.parquet"))
+            )
