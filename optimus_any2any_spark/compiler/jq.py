@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import re
 import subprocess
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any, Iterator
 
@@ -3801,7 +3802,7 @@ def _tostream_rows(
     return df.select(F.explode(arr).alias("value"))
 
 
-_TOKENS_CACHE: dict[str, tuple[str, ...]] = {}
+_TOKENS_CACHE: "OrderedDict[str, tuple[str, ...]]" = OrderedDict()
 _TOKENS_CACHE_MAX = 512
 
 
@@ -3809,15 +3810,19 @@ def _program_tokens(program: str) -> list[str]:
     """Tokenize + def-inline once per distinct program text — both
     passes are pure functions of the source, and repeated
     translate_jq calls (per micro-batch, per sink write) re-pay them
-    otherwise. Returns a fresh list: downstream stages slice and
-    mutate their own copies."""
+    otherwise. LRU-evicts one entry at a time past the cap so a
+    workload cycling >512 distinct programs keeps its hot set instead
+    of thrashing to a zero hit rate on a wholesale clear. Returns a
+    fresh list: downstream stages slice and mutate their own copies."""
     key = program.strip()
     toks = _TOKENS_CACHE.get(key)
     if toks is None:
-        if len(_TOKENS_CACHE) >= _TOKENS_CACHE_MAX:
-            _TOKENS_CACHE.clear()
+        while len(_TOKENS_CACHE) >= _TOKENS_CACHE_MAX:
+            _TOKENS_CACHE.popitem(last=False)
         toks = tuple(_inline_defs(_tokenize(key)))
         _TOKENS_CACHE[key] = toks
+    else:
+        _TOKENS_CACHE.move_to_end(key)
     return list(toks)
 
 

@@ -28,6 +28,7 @@ import hashlib
 import json
 import re
 import uuid as _uuid
+from collections import OrderedDict
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any
@@ -606,7 +607,7 @@ class Template:
         return F.concat(*cols) if len(cols) > 1 else cols[0].cast("string")
 
 
-_TEMPLATE_CACHE: dict[str, Template] = {}
+_TEMPLATE_CACHE: "OrderedDict[str, Template]" = OrderedDict()
 _TEMPLATE_CACHE_MAX = 512
 
 
@@ -614,11 +615,15 @@ def compile_template(source: str) -> Template:
     """Parse-once per distinct template text: Template objects are
     immutable after __init__ (render/column/field_refs only read
     self.parts), and per-record-templated sinks re-compile the same
-    source on every write — the parse is pure, so share it."""
+    source on every write — the parse is pure, so share it. LRU
+    eviction (one entry at a time past the cap) keeps the hot set
+    when a workload cycles through >512 distinct templates."""
     t = _TEMPLATE_CACHE.get(source)
     if t is None:
-        if len(_TEMPLATE_CACHE) >= _TEMPLATE_CACHE_MAX:
-            _TEMPLATE_CACHE.clear()
+        while len(_TEMPLATE_CACHE) >= _TEMPLATE_CACHE_MAX:
+            _TEMPLATE_CACHE.popitem(last=False)
         t = Template(source)
         _TEMPLATE_CACHE[source] = t
+    else:
+        _TEMPLATE_CACHE.move_to_end(source)
     return t

@@ -104,3 +104,33 @@ def test_rotation_orders_by_verification_age():
     ks = list(all_queries())
     ages = [latest.get(n, 0) for n in ks]
     assert ages == sorted(ages), "registry not ordered by verification age"
+
+
+def test_rotation_never_strands_a_row():
+    """VERDICT r12 item 8: with the driver verifying the first W rows
+    per round, oldest-first rotation must re-verify EVERY row within
+    ceil(N/W) rounds — no row may be stranded by a future reorder.
+    Simulated against the real _rotation_order with the live registry
+    size and the driver's observed window (50)."""
+    import math
+
+    from optimus_any2any_spark.queries import _rotation_order, all_queries
+
+    names = list(all_queries())
+    window = 50
+    budget = math.ceil(len(names) / window)
+    latest: dict[str, int] = {}  # start: nothing ever verified
+    last_round: dict[str, int] = {}
+    for rnd in range(1, budget + 2 * budget + 1):
+        order = _rotation_order(names, latest)
+        for n in order[:window]:
+            latest[n] = rnd
+            last_round[n] = rnd
+    # after the warm-up cycle, every row was verified at least once
+    assert set(last_round) == set(names)
+    # and in steady state no row's last check is older than the cycle
+    final = max(last_round.values())
+    stalest = min(last_round.values())
+    assert final - stalest < budget, (
+        f"row stranded {final - stalest} rounds with cycle budget {budget}"
+    )

@@ -2338,6 +2338,35 @@ class TestProgramTokenCache:
             jq._program_tokens(f".f{i}")
         assert len(jq._TOKENS_CACHE) <= jq._TOKENS_CACHE_MAX
 
+    def test_lru_keeps_hot_entries_past_cap(self, monkeypatch):
+        """Cycling >cap distinct programs must evict one-at-a-time
+        (LRU), not wholesale-clear: a hot program touched every round
+        stays cached through the churn (VERDICT r12 item 7)."""
+        import optimus_any2any_spark.compiler.jq as jq
+
+        jq._TOKENS_CACHE.clear()
+        calls = []
+        orig = jq._tokenize
+
+        def counting(src):
+            calls.append(src)
+            return orig(src)
+
+        monkeypatch.setattr(jq, "_tokenize", counting)
+        hot = ".hot"
+        jq._program_tokens(hot)
+        # Churn 3x the cap in cold programs, re-touching the hot one
+        # between batches so LRU keeps it resident.
+        for batch in range(3):
+            for i in range(jq._TOKENS_CACHE_MAX - 2):
+                jq._program_tokens(f".cold_{batch}_{i}")
+            jq._program_tokens(hot)
+        assert calls.count(hot) == 1  # never evicted, never re-parsed
+        assert len(jq._TOKENS_CACHE) <= jq._TOKENS_CACHE_MAX
+        # And eviction is incremental: the cache stays full, not
+        # collapsed to a handful of survivors after a clear.
+        assert len(jq._TOKENS_CACHE) == jq._TOKENS_CACHE_MAX
+
 
 class TestUntilWhileRepeat:
     """until / [while] closed forms + jq 1.6's non-iterating repeat

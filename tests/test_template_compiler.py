@@ -181,3 +181,27 @@ class TestCompileCache:
         for i in range(tc._TEMPLATE_CACHE_MAX + 5):
             tc.compile_template(f"t{i}")
         assert len(tc._TEMPLATE_CACHE) <= tc._TEMPLATE_CACHE_MAX
+
+    def test_lru_keeps_hot_entries_past_cap(self, monkeypatch):
+        """Cycling >cap distinct templates must evict LRU-style, not
+        wholesale-clear: a template touched every round survives the
+        churn with exactly one parse (VERDICT r12 item 7)."""
+        import optimus_any2any_spark.compiler.template as tc
+
+        tc._TEMPLATE_CACHE.clear()
+        parses = []
+        orig = tc.Template.__init__
+
+        def counting(self, source):
+            parses.append(source)
+            orig(self, source)
+
+        monkeypatch.setattr(tc.Template, "__init__", counting)
+        hot = "hot-[[ .k ]]"
+        tc.compile_template(hot)
+        for batch in range(3):
+            for i in range(tc._TEMPLATE_CACHE_MAX - 2):
+                tc.compile_template(f"cold-{batch}-{i}")
+            tc.compile_template(hot)
+        assert parses.count(hot) == 1
+        assert len(tc._TEMPLATE_CACHE) == tc._TEMPLATE_CACHE_MAX
