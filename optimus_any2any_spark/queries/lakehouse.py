@@ -2920,6 +2920,102 @@ def iceberg_add_files(spark, sf_dir):
 
 
 @register(
+    "iceberg_add_files_partitioned",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             nullif(substr(o_orderpriority, 1, 1), '5') AS prio
+      FROM orders
+    ),
+    alive AS (
+      SELECT * FROM base WHERE prio IS NULL OR prio <> '3'
+    ),
+    upd AS (
+      SELECT k, price + 500.0 AS price, prio
+      FROM base WHERE k % 7 = 1
+    ),
+    merged AS (
+      SELECT a.k, a.price, a.prio FROM alive a
+      WHERE a.k NOT IN (SELECT k FROM upd)
+      UNION ALL
+      SELECT * FROM upd
+    ),
+    sel AS (
+      SELECT * FROM merged WHERE prio >= '1' AND prio <= '4'
+    )
+    SELECT prio, COUNT(*) AS n_rows, {o_dsum('price')} AS sum_price
+    FROM sel GROUP BY prio ORDER BY prio
+    """,
+    doc="Partitioned add_files (VERDICT r12 item 1): a hive-layout "
+    "lake (prio=1/part-*.parquet, __HIVE_DEFAULT_PARTITION__ for "
+    "null) registers into a partitioned Iceberg table — identity "
+    "values derive from the path into partition-tupled manifest "
+    "entries, O(files) driver metadata, zero data movement. The "
+    "reader serves the column via the identity-constant projection "
+    "(spec Column Projection: hive files don't contain it), "
+    "key_range on the partition column prunes whole partitions "
+    "(migrated files have no column stats — the tuple IS the "
+    "bound), and MoR delete + merge compose on top.",
+    bench=False,
+)
+def iceberg_add_files_partitioned(spark, sf_dir):
+    import glob as _glob
+
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        add_iceberg_files,
+        read_iceberg,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_where,
+        merge_iceberg_batch,
+    )
+
+    lake = _fixture_dir("iceberg_paddfiles_lake", sf_dir)
+    t = _fixture_dir("iceberg_paddfiles_tbl", sf_dir)
+    prio = F.substring(F.col("o_orderpriority"), 1, 1)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).cast("long").alias("ts"),
+        F.when(prio == "5", F.lit(None).cast("string"))
+        .otherwise(prio)
+        .alias("prio"),
+    )
+    if base.isEmpty():
+        return spark.createDataFrame(
+            [], "prio string, n_rows long, sum_price double"
+        )
+    base.repartition(2).write.partitionBy("prio").parquet(lake)
+    files = sorted(
+        _glob.glob(os.path.join(lake, "*", "*.parquet"))
+    )
+    add_iceberg_files(spark, t, files, partition_schema=["prio string"])
+    # partition-level MoR delete, then a merge whose updates ride the
+    # partition routing and whose prio-3 keys re-insert as not-matched
+    delete_iceberg_where(spark, t, "prio = '3'")
+    upd = base.filter(F.col("k") % 7 == 1).select(
+        "k",
+        (F.col("price") + F.lit(500.0)).alias("price"),
+        F.lit(1).cast("long").alias("ts"),
+        "prio",
+    )
+    merge_iceberg_batch(
+        spark, upd, t, "k", "ts", batch_id=1,
+        target_rows_per_file=4000,
+    )
+    snap = read_iceberg(spark, t, key_range=("prio", "1", "4"))
+    return (
+        snap.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("prio")
+    )
+
+
+@register(
     "iceberg_rewrite_manifests",
     oracle=f"""
     WITH s1 AS (

@@ -498,6 +498,11 @@ def _snapshot_entries(
                 "record_count": df_.get("record_count"),
                 # v3 row lineage: _row_id = first_row_id + position
                 "first_row_id": df_.get("first_row_id"),
+                # identity-constant projection + partition pruning:
+                # the manifest partition tuple, keyed by partition
+                # field name, under the manifest's spec
+                "partition": dict(df_.get("partition") or {}),
+                "spec_id": m.get("partition_spec_id"),
             }
             content = int(df_.get("content") or 0)
             if (
@@ -1031,13 +1036,148 @@ def decode_bound(iceberg_type: str, b: bytes | None):
     return None
 
 
+def _identity_spec_fields(meta: dict) -> dict[int, list[tuple[str, str]]]:
+    """Per partition-spec-id, the IDENTITY fields as ``(partition
+    field name, source column name)`` pairs — the spec's Column
+    Projection constants map: for an identity partition field, a
+    row's source-column value IS the manifest entry's partition tuple
+    value. That rule is what makes hive-layout files registered by
+    ``add_iceberg_files`` readable (the partition column lives in the
+    directory name, not the file), and it is value-identical for
+    files that do carry the column (a file under partition ``p``
+    contains exactly ``p``'s rows). Non-identity fields and fields
+    whose source column left the current schema contribute nothing."""
+    by_id = {
+        int(f["id"]): f for f in _current_schema(meta)["fields"]
+    }
+    out: dict[int, list[tuple[str, str]]] = {}
+    for spec in meta.get("partition-specs") or []:
+        fields: list[tuple[str, str]] = []
+        for pf in spec.get("fields") or []:
+            if str(pf.get("transform") or "") != "identity":
+                continue
+            src = by_id.get(int(pf["source-id"]))
+            if src is None or not isinstance(src["type"], str):
+                continue
+            fields.append(
+                (pf.get("name") or src["name"], src["name"])
+            )
+        out[int(spec.get("spec-id") or 0)] = fields
+    return out
+
+
+def _entry_identity_consts(
+    meta: dict, id_specs: dict[int, list[tuple[str, str]]], ent: dict
+) -> dict[str, object]:
+    """One data entry's identity constants: ``{source column:
+    partition value}`` under the entry's manifest spec (default spec
+    when the manifest-list row carries none — the v1 fallback)."""
+    p = ent.get("partition") or {}
+    if not p:
+        return {}
+    sid = ent.get("spec_id")
+    if sid is None:
+        sid = int(meta.get("default-spec-id", 0))
+    return {
+        src: p[name]
+        for name, src in id_specs.get(int(sid), [])
+        if name in p
+    }
+
+
+def _identity_consts_by_basename(
+    meta: dict, data: list[dict]
+) -> dict[str, dict[str, object]]:
+    """Basename-keyed identity constants over a data entry set; empty
+    when no entry carries identity partition values (the common
+    unpartitioned case — zero plan impact there)."""
+    id_specs = _identity_spec_fields(meta)
+    if not any(id_specs.values()):
+        return {}
+    out: dict[str, dict[str, object]] = {}
+    for d in data:
+        m = _entry_identity_consts(meta, id_specs, d)
+        if m:
+            out[_basename(d["orig"])] = m
+    return out
+
+
+def _substitute_identity_consts(
+    spark: SparkSession,
+    df: DataFrame,
+    consts: dict[str, dict[str, object]],
+    data: list[dict],
+    schema,
+    bn_col: str,
+) -> DataFrame:
+    """Apply the identity-constant projection: replace each identity
+    partition source column with the row's file-level partition value
+    through ONE broadcast join keyed on ``bn_col`` (the lookup is
+    O(files) — a few MB even at 100 TB file counts). Files without a
+    constant for a column (older unpartitioned spec) keep their file
+    values via a per-column presence flag, so a null partition value
+    substitutes as a real null rather than falling through."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(
+        {
+            c
+            for m in consts.values()
+            for c in m
+            if c in schema.fieldNames()
+        }
+    )
+    if not cols:
+        return df
+    ftypes = {f.name: f.dataType for f in schema.fields}
+    lk_fields = [T.StructField(bn_col, T.StringType(), False)]
+    for c in cols:
+        lk_fields.append(T.StructField(f"__pc_{c}", ftypes[c], True))
+        lk_fields.append(
+            T.StructField(f"__pcs_{c}", T.BooleanType(), False)
+        )
+    rows = []
+    seen: set[str] = set()
+    for d in data:
+        bn = _basename(d["orig"])
+        if bn in seen:
+            continue
+        seen.add(bn)
+        m = consts.get(bn, {})
+        row: list[object] = [bn]
+        for c in cols:
+            row.append(m.get(c))
+            row.append(c in m)
+        rows.append(tuple(row))
+    lk = spark.createDataFrame(rows, T.StructType(lk_fields))
+    out = df.join(F.broadcast(lk), bn_col, "left")
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(f"__pcs_{c}"), F.col(f"__pc_{c}")
+            ).otherwise(F.col(c)),
+        )
+    return out.drop(
+        *[f"__pc_{c}" for c in cols], *[f"__pcs_{c}" for c in cols]
+    )
+
+
 def _prune_by_bounds(
     meta: dict, data: list[dict], col: str, lo, hi
 ) -> list[dict]:
     """Drop data entries whose Appendix-D bounds PROVE the range
     predicate cannot match (or that are provably all-null for the
     column — a range predicate never matches null). Entries without
-    decodable bounds are conservatively kept."""
+    decodable bounds are conservatively kept.
+
+    When ``col`` is an IDENTITY partition source, the entry's
+    partition tuple value is authoritative (every row in the file has
+    exactly that value — the Column Projection constant), so it
+    decides inclusion outright: this is Iceberg's partition pruning,
+    and the only pruning available for hive-migrated files, which
+    carry no per-column bounds at all."""
+    id_specs = _identity_spec_fields(meta)
     field = next(
         (
             f
@@ -1058,6 +1198,18 @@ def _prune_by_bounds(
 
     kept: list[dict] = []
     for d in data:
+        consts = _entry_identity_consts(meta, id_specs, d)
+        if col in consts:
+            v = consts[col]
+            if v is None:
+                continue  # null partition: range never matches
+            try:
+                if v < lo or v > hi:
+                    continue  # whole file provably outside the range
+            except TypeError:
+                pass  # incomparable types: keep conservatively
+            kept.append(d)
+            continue
         nulls = _kv(d.get("null_value_counts"), fid)
         n = d.get("record_count")
         if (
@@ -1119,17 +1271,25 @@ def read_entries_with_deletes(
                 position_cols[0], F.lit(None).cast("string")
             ).withColumn(position_cols[1], F.lit(None).cast("long"))
         return out
+    consts = _identity_consts_by_basename(meta, data)
     if not pos_del and not eq_del and not position_cols:
         out = spark.read.schema(schema).parquet(
             *[d["path"] for d in data]
         )
-        if basename_col:
+        if basename_col or consts:
+            bn = basename_col or "__bn"
             out = out.select(
                 "*",
                 F.element_at(
                     F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias(basename_col),
+                ).alias(bn),
             )
+            if consts:
+                out = _substitute_identity_consts(
+                    spark, out, consts, data, schema, bn
+                )
+            if not basename_col:
+                out = out.drop(bn)
         return out
     df = (
         spark.read.schema(schema)
@@ -1144,6 +1304,10 @@ def read_entries_with_deletes(
         )
         .drop("__fp")
     )
+    if consts:
+        df = _substitute_identity_consts(
+            spark, df, consts, data, schema, "__bn"
+        )
     lk = spark.createDataFrame(
         [(_basename(d["orig"]), d["orig"], d["seq"]) for d in data],
         "__bn string, __orig string, __dseq long",
@@ -1281,6 +1445,8 @@ def read_iceberg_appends(
     and is NOT an append stream, so it raises — the same honesty rule
     as ``read_delta_appends``. ``from_snapshot_id=None`` starts from
     the beginning of history."""
+    from pyspark.sql import functions as F
+
     meta = load_table_metadata(table_path)
     schema = iceberg_spark_schema(meta)
     snaps = meta.get("snapshots") or []
@@ -1298,7 +1464,7 @@ def read_iceberg_appends(
             )
         start = ids.index(from_snapshot_id) + 1
     window = snaps[start:ids.index(to_snapshot_id) + 1]
-    files: list[str] = []
+    files: list[dict] = []
     for snap in window:
         op = (snap.get("summary") or {}).get("operation", "append")
         if op not in ("append",):
@@ -1318,12 +1484,36 @@ def read_iceberg_appends(
                     int(e.get("status") or 0) == 1  # ADDED
                     and e.get("snapshot_id") == snap["snapshot-id"]
                 ):
+                    df_ = e["data_file"]
                     files.append(
-                        _localize(table_path, e["data_file"]["file_path"])
+                        {
+                            "path": _localize(
+                                table_path, df_["file_path"]
+                            ),
+                            "orig": df_["file_path"],
+                            "partition": dict(
+                                df_.get("partition") or {}
+                            ),
+                            "spec_id": m.get("partition_spec_id"),
+                        }
                     )
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    out = spark.read.schema(schema).parquet(
+        *[d["path"] for d in files]
+    )
+    consts = _identity_consts_by_basename(meta, files)
+    if consts:
+        out = out.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__bn"),
+        )
+        out = _substitute_identity_consts(
+            spark, out, consts, files, schema, "__bn"
+        ).drop("__bn")
+    return out
 
 
 def _delete_entry_key(ent: dict) -> tuple:
@@ -2337,6 +2527,54 @@ def _refuse_unpublished_branches(
             )
 
 
+def _hive_partition_values(
+    path: str, part_fields: list[tuple[str, str, str]]
+) -> dict[str, object]:
+    """Identity partition values of one hive-layout file, derived from
+    its ``src=value`` directory segments (Spark's ``add_files``
+    procedure does the same walk). ``__HIVE_DEFAULT_PARTITION__`` is
+    hive's null marker; values are percent-decoded (hive escapes
+    ``/``, ``=`` etc. in partition values) and parsed to the source
+    column's Iceberg type — unparseable values refuse rather than
+    registering a tuple that disagrees with the path."""
+    from urllib.parse import unquote
+
+    segs: dict[str, str] = {}
+    for seg in os.path.dirname(os.path.abspath(path)).split(os.sep):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            segs[k] = unquote(v)
+    out: dict[str, object] = {}
+    for pname, src, t in part_fields:
+        if src not in segs:
+            raise ValueError(
+                f"iceberg add_files: file {path!r} has no "
+                f"'{src}=...' path segment for the table's identity "
+                "partition field"
+            )
+        raw = segs[src]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[pname] = None
+            continue
+        try:
+            if t in ("int", "long"):
+                out[pname] = int(raw)
+            elif t in ("float", "double"):
+                out[pname] = float(raw)
+            elif t == "boolean":
+                if raw.lower() not in ("true", "false"):
+                    raise ValueError(raw)
+                out[pname] = raw.lower() == "true"
+            else:
+                out[pname] = raw
+        except ValueError:
+            raise ValueError(
+                f"iceberg add_files: cannot parse path value "
+                f"{src}={raw!r} as iceberg {t}"
+            ) from None
+    return out
+
+
 def write_iceberg_commit(
     df: DataFrame,
     table_path: str,
@@ -2344,6 +2582,7 @@ def write_iceberg_commit(
     row_lineage: bool = False,
     branch: str | None = None,
     add_files: list[str] | None = None,
+    add_partition_schema: list[str] | None = None,
 ) -> int:
     """Append one snapshot in the v1 HadoopCatalog layout; returns the
     new metadata version. Unpartitioned data, append-only — enough
@@ -2378,6 +2617,11 @@ def write_iceberg_commit(
 
     spark = df.sparkSession
     parsed_spec: list[tuple[str, str]] = []
+    if add_partition_schema and add_files is None:
+        raise ValueError(
+            "iceberg commit: add_partition_schema only applies to "
+            "add_files registration"
+        )
     if partition_by:
         if not df.isEmpty():
             raise NotImplementedError(
@@ -2427,15 +2671,27 @@ def write_iceberg_commit(
     # scale): existing parquet files enter the table as absolute-path
     # entries with footer-read record counts — zero data movement,
     # zero Spark jobs.
+    add_part_fields: list[tuple[str, str, str]] = []  # (pname, src, type)
     if add_files is not None:
         import pyarrow.parquet as _pq
 
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            _AVRO_PRIM,
+        )
+
         if partition_by:
             raise NotImplementedError(
-                "iceberg add_files: partitioned registration is "
-                "beyond this writer (unpartitioned tables only)"
+                "iceberg add_files: partition_by is the empty-df "
+                "bootstrap — declare hive partition columns with "
+                "add_partition_schema instead"
             )
         if prev is not None:
+            if add_partition_schema:
+                raise ValueError(
+                    "iceberg add_files: add_partition_schema is the "
+                    "fresh-table bootstrap only — an existing table "
+                    "already declares its spec"
+                )
             dspec = next(
                 (
                     s
@@ -2446,12 +2702,61 @@ def write_iceberg_commit(
                 None,
             )
             if dspec and dspec.get("fields"):
-                raise NotImplementedError(
-                    "iceberg add_files: the table is partitioned — "
-                    "registration is unpartitioned-only"
-                )
+                # partitioned registration: values derive from the
+                # files' hive path segments, so only IDENTITY fields
+                # (whose value IS the path value) are derivable
+                by_fid = {
+                    int(f["id"]): f
+                    for f in _current_schema(prev)["fields"]
+                }
+                for pf in dspec["fields"]:
+                    tr = str(pf.get("transform") or "")
+                    if tr != "identity":
+                        raise NotImplementedError(
+                            "iceberg add_files: partition transform "
+                            f"{tr!r} cannot be derived from a hive "
+                            "path — identity specs only"
+                        )
+                    src = by_fid.get(int(pf["source-id"]))
+                    if (
+                        src is None
+                        or not isinstance(src["type"], str)
+                        or src["type"] not in _AVRO_PRIM
+                    ):
+                        raise NotImplementedError(
+                            "iceberg add_files: partition source "
+                            f"type {(src or {}).get('type')!r} is "
+                            "beyond the identity registration"
+                        )
+                    add_part_fields.append(
+                        (
+                            pf.get("name") or src["name"],
+                            src["name"],
+                            src["type"],
+                        )
+                    )
+        elif add_partition_schema:
+            # fresh-table bootstrap of an identity-partitioned table
+            # from a hive layout: '"col type"' items, like
+            # convert_parquet_to_delta's partition schema
+            for item in add_partition_schema:
+                toks = item.strip().split()
+                if len(toks) != 2:
+                    raise ValueError(
+                        "iceberg add_files: add_partition_schema "
+                        f"item {item!r} is not 'name type'"
+                    )
+                nm, t = toks
+                if t not in _AVRO_PRIM:
+                    raise NotImplementedError(
+                        "iceberg add_files: partition type "
+                        f"{t!r} is beyond the identity registration "
+                        f"({sorted(_AVRO_PRIM)})"
+                    )
+                add_part_fields.append((nm, nm, t))
         data_rel = []
         counts = {}
+        add_pvals: dict[str, dict[str, object]] = {}  # basename → tuple
         # collision guard spans the files ALREADY in the table too:
         # stats/delete joins key files by basename, so a second
         # add_files call bringing a same-named file from another
@@ -2474,6 +2779,10 @@ def write_iceberg_commit(
             seen_bn.add(bn)
             data_rel.append(ap)
             counts[bn] = int(_pq.read_metadata(ap).num_rows)
+            if add_part_fields:
+                add_pvals[bn] = _hive_partition_values(
+                    ap, add_part_fields
+                )
     else:
         tmp = os.path.join(table_path, f"_tmp-ice-v{version}")
         df.write.mode("overwrite").parquet(tmp)
@@ -2545,7 +2854,11 @@ def write_iceberg_commit(
         dfe = {
             "file_path": rel,
             "file_format": "PARQUET",
-            "partition": {},
+            "partition": (
+                add_pvals.get(os.path.basename(rel), {})
+                if add_part_fields
+                else {}
+            ),
             "record_count": int(counts[os.path.basename(rel)]),
             "file_size_in_bytes": os.path.getsize(
                 os.path.join(table_path, rel)
@@ -2563,9 +2876,19 @@ def write_iceberg_commit(
                 "data_file": dfe,
             }
         )
+    if add_part_fields:
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            manifest_entry_schema,
+        )
+
+        add_manifest_schema = manifest_entry_schema(
+            [(pn, t) for pn, _src, t in add_part_fields]
+        )
+    else:
+        add_manifest_schema = _MANIFEST_ENTRY_SCHEMA
     write_container(
         os.path.join(table_path, manifest_rel),
-        _MANIFEST_ENTRY_SCHEMA,
+        add_manifest_schema,
         entries,
     )
 
@@ -2604,7 +2927,13 @@ def write_iceberg_commit(
         "manifest_length": os.path.getsize(
             os.path.join(table_path, manifest_rel)
         ),
-        "partition_spec_id": 0,
+        # a partitioned registration's entries live under the table's
+        # default spec (readers key the constants map off this id)
+        "partition_spec_id": (
+            int(prev.get("default-spec-id", 0))
+            if prev is not None and add_part_fields
+            else 0
+        ),
         "content": 0,
         "added_snapshot_id": snapshot_id,
         # v2 sequence inheritance: a file appended AFTER a delete
@@ -2638,7 +2967,15 @@ def write_iceberg_commit(
     prev_schemas = None
     if prev is not None:
         prev_cur = _current_schema(prev)
-        prev_names = [f["name"] for f in prev_cur["fields"]]
+        # a partitioned registration's files carry the table schema
+        # MINUS the identity partition columns (hive layout: the value
+        # lives in the directory name) — a file that also contains a
+        # partition column would be ambiguous and fails the same check
+        _add_psrcs = {src for _pn, src, _t in add_part_fields}
+        prev_fields_cmp = [
+            f for f in prev_cur["fields"] if f["name"] not in _add_psrcs
+        ]
+        prev_names = [f["name"] for f in prev_fields_cmp]
         if prev_names != [f.name for f in df.schema.fields]:
             raise ValueError(
                 "iceberg append: df columns "
@@ -2650,7 +2987,7 @@ def write_iceberg_commit(
         # parquet files that silently disagree with the (preserved)
         # field types the readers trust.
         drift = []
-        for f, pf in zip(df.schema.fields, prev_cur["fields"]):
+        for f, pf in zip(df.schema.fields, prev_fields_cmp):
             try:
                 got = _spark_type_to_iceberg(f.dataType)
             except NotImplementedError:
@@ -2691,6 +3028,35 @@ def write_iceberg_commit(
             }
             for i, f in enumerate(df.schema.fields)
         ]
+        if add_part_fields:
+            # hive-layout bootstrap: the declared partition columns
+            # join the table schema (they are real columns — their
+            # values just live in the manifests, not the files)
+            clash = [
+                src
+                for _pn, src, _t in add_part_fields
+                if src in df.columns
+            ]
+            if clash:
+                raise ValueError(
+                    f"iceberg add_files: partition columns {clash} "
+                    "are also present in the data files — a hive "
+                    "layout keeps them in the path only"
+                )
+            for _pn, src, t in add_part_fields:
+                fields.append(
+                    {
+                        "id": len(fields) + 1,
+                        "name": src,
+                        "required": False,
+                        "type": t,
+                    }
+                )
+            # the declared identity spec becomes spec 0 through the
+            # same metadata block as the partition_by bootstrap
+            parsed_spec = [
+                ("identity", src) for _pn, src, _t in add_part_fields
+            ]
     snapshots = (prev.get("snapshots") if prev else None) or []
     ts_ms = snapshot_timestamp_ms(prev)
     if lineage:
@@ -2823,18 +3189,67 @@ def write_iceberg_commit(
 
 
 def add_iceberg_files(
-    spark: SparkSession, table_path: str, files: list[str]
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    partition_schema: list[str] | None = None,
 ) -> int:
     """Spark's ``add_files`` procedure — register EXISTING parquet
-    files into an (unpartitioned) Iceberg table as one append
-    snapshot: absolute-path manifest entries with footer-read record
-    counts, zero data movement and zero Spark jobs. This is the
-    migration story at scale: a 100 TB parquet lake enters the table
-    as driver-side metadata work. The files' schema must match the
-    table's by name AND type (the append guard); a fresh table
-    bootstraps its schema from the files. Row lineage composes (the
-    registered rows take fresh ids from next-row-id)."""
+    files into an Iceberg table as one append snapshot: absolute-path
+    manifest entries with footer-read record counts, zero data
+    movement and zero Spark jobs. This is the migration story at
+    scale: a 100 TB parquet lake enters the table as driver-side
+    metadata work. The files' schema must match the table's by name
+    AND type (the append guard); a fresh table bootstraps its schema
+    from the files. Row lineage composes (the registered rows take
+    fresh ids from next-row-id).
+
+    PARTITIONED hive layouts (``dt=2026-01-01/part-*.parquet``)
+    register too: identity partition values derive from each file's
+    ``src=value`` path segments (percent-decoded,
+    ``__HIVE_DEFAULT_PARTITION__`` → null) and land as
+    partition-tupled manifest entries under the table's spec — the
+    reader's identity-constant projection then serves the column from
+    the manifest, since hive files don't physically contain it.
+    ``partition_schema=['"dt string"', ...]``-style ``"name type"``
+    items declare the spec when bootstrapping a FRESH table (an
+    existing table's default spec governs; non-identity transforms
+    refuse by name — a hive path can't encode them).
+
+    Spark's partitioned writes reuse one task's file name across
+    partition directories, so hive layouts routinely repeat
+    basenames — and this engine's stats/delete joins key files by
+    basename. Same-call collisions de-collide IN PLACE exactly like
+    ``convert_parquet_to_delta``: an ``os.rename`` inside the same
+    directory is metadata-only (still zero data copy), prefixing a
+    short hash of the directory. Cross-call collisions (a copied
+    export re-registered from elsewhere) still refuse — those are a
+    genuine identity ambiguity, not a naming artifact."""
     if not files:
         raise ValueError("iceberg add_files: no files given")
-    df = spark.read.parquet(*[os.path.abspath(f) for f in files])
-    return write_iceberg_commit(df, table_path, add_files=files)
+    paths = [os.path.abspath(f) for f in files]
+    n_by_bn: dict[str, int] = {}
+    for p in paths:
+        bn = os.path.basename(p)
+        n_by_bn[bn] = n_by_bn.get(bn, 0) + 1
+    if any(c > 1 for c in n_by_bn.values()):
+        decollided = []
+        for p in paths:
+            bn = os.path.basename(p)
+            if n_by_bn[bn] > 1:
+                tok = uuid.uuid5(
+                    uuid.NAMESPACE_URL, os.path.dirname(p)
+                ).hex[:8]
+                np = os.path.join(os.path.dirname(p), f"{tok}-{bn}")
+                os.rename(p, np)
+                decollided.append(np)
+            else:
+                decollided.append(p)
+        paths = decollided
+    df = spark.read.parquet(*paths)
+    return write_iceberg_commit(
+        df,
+        table_path,
+        add_files=paths,
+        add_partition_schema=partition_schema,
+    )

@@ -820,6 +820,9 @@ def merge_iceberg_batch(
     del_manifests: list[tuple[dict, int, bool]] = []
     hit_entries: list[dict] = []
     hit_seqs: list[int] = []   # effective data-sequence per hit entry
+    hit_sids: list[int] = []   # manifest spec id per hit entry (the
+    # identity-constant projection keys off it — migrated hive files
+    # carry their partition column only in the manifest tuple)
     has_foreign_hit = False    # any hit under a non-default spec
     survivors: list[tuple[dict, int]] = []  # (entry, its spec id)
     untouched_seqs: list[int] = []  # live data entries NOT rewritten
@@ -916,6 +919,7 @@ def merge_iceberg_batch(
             for hh in hits:
                 hit_entries.append(hh["__entry"])
                 hit_seqs.append(_eff_seq(hh["__entry"], m))
+                hit_sids.append(msid)
                 if foreign_spec:
                     has_foreign_hit = True
             for mi in misses:
@@ -972,8 +976,12 @@ def merge_iceberg_batch(
                 "orig": e["data_file"]["file_path"],
                 "seq": s,
                 "equality_ids": [],
+                "partition": dict(
+                    e["data_file"].get("partition") or {}
+                ),
+                "spec_id": sid,
             }
-            for e, s in zip(hit_entries, hit_seqs)
+            for e, s, sid in zip(hit_entries, hit_seqs, hit_sids)
         ]
         if not lineage:
             return _rewd(
@@ -2694,6 +2702,7 @@ def compact_iceberg(
     del_manifests: list[tuple[dict, int, bool]] = []
     hit_entries: list[dict] = []
     hit_seqs: list[int] = []
+    hit_sids: list[int] = []
     hit_pids: list[int] = []
     survivors: list[dict] = []
     untouched_seqs: list[int] = []  # live data entries NOT rewritten
@@ -2751,6 +2760,7 @@ def compact_iceberg(
             for e, pid in hits:
                 hit_entries.append(e)
                 hit_seqs.append(_eff_seq(e, m))
+                hit_sids.append(int(m.get("partition_spec_id") or 0))
                 hit_pids.append(pid)
                 total_rows += int(e["data_file"]["record_count"])
             for e in misses:
@@ -2816,8 +2826,12 @@ def compact_iceberg(
                 "orig": e["data_file"]["file_path"],
                 "seq": s,
                 "equality_ids": [],
+                "partition": dict(
+                    e["data_file"].get("partition") or {}
+                ),
+                "spec_id": sid,
             }
-            for e, s in zip(hit_entries, hit_seqs)
+            for e, s, sid in zip(hit_entries, hit_seqs, hit_sids)
         ],
         pos_del,
         eq_del,

@@ -187,6 +187,209 @@ class TestIcebergAddFiles:
         assert {rid for _i, rid in got[1:]} == {1, 2}
         assert load_table_metadata(t)["next-row-id"] == 3
 
+    def test_partitioned_hive_layout_registers(self, spark, tmp_path):
+        """VERDICT r12 item 1: a hive-layout lake (dt=.../part-*)
+        registers into a partitioned Iceberg table — identity values
+        derive from the path, land as partition-tupled manifest
+        entries, and the reader serves the column via the
+        identity-constant projection (the files never contain it)."""
+        lake = str(tmp_path / "lake")
+        src = spark.createDataFrame(
+            [(i, f"v{i}", ["a", "b", None][i % 3]) for i in range(12)],
+            "k long, v string, dt string",
+        )
+        src.write.partitionBy("dt").parquet(lake)
+        files = sorted(
+            glob.glob(os.path.join(lake, "*", "*.parquet"))
+        )
+        n_files = len(files)
+        t = str(tmp_path / "tbl")
+        add_iceberg_files(spark, t, files, partition_schema=["dt string"])
+        got = sorted(
+            [(r.k, r.dt) for r in read_iceberg(spark, t).collect()],
+            key=str,
+        )
+        want = sorted([(r.k, r.dt) for r in src.collect()], key=str)
+        assert got == want  # null partition included
+        # zero data movement: same file count in the lake (same-dir
+        # de-collision renames allowed), nothing copied into the table
+        assert (
+            len(glob.glob(os.path.join(lake, "*", "*.parquet")))
+            == n_files
+        )
+        assert glob.glob(os.path.join(t, "data", "*.parquet")) == []
+        meta = load_table_metadata(t)
+        spec = meta["partition-specs"][0]
+        assert [f["transform"] for f in spec["fields"]] == ["identity"]
+
+    def test_partitioned_pruning_reads_only_matching_files(
+        self, spark, tmp_path
+    ):
+        """Bounds-pruning pin over the migrated table: hive files have
+        no column stats, so the identity partition tuple must drive
+        the skip — key_range on the partition column reads ONLY the
+        matching partition's files."""
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(i, ["a", "b", "c"][i % 3]) for i in range(12)],
+            "k long, dt string",
+        ).write.partitionBy("dt").parquet(lake)
+        files = sorted(
+            glob.glob(os.path.join(lake, "*", "*.parquet"))
+        )
+        t = str(tmp_path / "tbl")
+        add_iceberg_files(spark, t, files, partition_schema=["dt string"])
+        out = read_iceberg(spark, t, key_range=("dt", "b", "b"))
+        read_files = out.inputFiles()
+        assert read_files and all("dt=b" in f for f in read_files)
+        assert sorted(r.k for r in out.collect()) == [1, 4, 7, 10]
+        # a typed (long) partition prunes numerically, not textually
+        lake2 = str(tmp_path / "lake2")
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(12)], "k long, p long"
+        ).write.partitionBy("p").parquet(lake2)
+        t2 = str(tmp_path / "tbl2")
+        add_iceberg_files(
+            spark,
+            t2,
+            sorted(glob.glob(os.path.join(lake2, "*", "*.parquet"))),
+            partition_schema=["p long"],
+        )
+        out2 = read_iceberg(spark, t2, key_range=("p", 2, 9))
+        assert all("p=2" in f for f in out2.inputFiles())
+        assert sorted(r.k for r in out2.collect()) == [2, 5, 8, 11]
+
+    def test_partitioned_dml_and_second_registration(
+        self, spark, tmp_path
+    ):
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(i, f"v{i}", 0, ["a", "b", None][i % 3]) for i in range(12)],
+            "k long, v string, ts long, dt string",
+        ).write.partitionBy("dt").parquet(lake)
+        t = str(tmp_path / "tbl")
+        add_iceberg_files(
+            spark,
+            t,
+            sorted(glob.glob(os.path.join(lake, "*", "*.parquet"))),
+            partition_schema=["dt string"],
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_where,
+        )
+
+        delete_iceberg_where(spark, t, "dt = 'b'")
+        assert sorted(
+            {r.dt for r in read_iceberg(spark, t).collect()}, key=str
+        ) == [None, "a"]
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(0, "Z", 1, "a"), (99, "new", 1, None)],
+                "k long, v string, ts long, dt string",
+            ),
+            t, "k", "ts", batch_id=1,
+        )
+        got = {r.k: (r.v, r.dt) for r in read_iceberg(spark, t).collect()}
+        assert got[0] == ("Z", "a") and got[99] == ("new", None)
+        # a later hive export registers into the now-partitioned table
+        # under its existing spec (no partition_schema)
+        lake2 = str(tmp_path / "lake2")
+        spark.createDataFrame(
+            [(100, "w", 0, "c")], "k long, v string, ts long, dt string"
+        ).write.partitionBy("dt").parquet(lake2)
+        add_iceberg_files(
+            spark,
+            t,
+            sorted(glob.glob(os.path.join(lake2, "*", "*.parquet"))),
+        )
+        assert (
+            read_iceberg(spark, t)
+            .filter("dt = 'c'")
+            .count()
+            == 1
+        )
+
+    def test_partitioned_lineage_composes(self, spark, tmp_path):
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(i, ["a", "b"][i % 2]) for i in range(4)],
+            "k long, dt string",
+        ).write.partitionBy("dt").parquet(lake)
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame([], "k long, dt string"),
+            t,
+            partition_by=["dt"],
+            row_lineage=True,
+        )
+        add_iceberg_files(
+            spark, t, sorted(glob.glob(os.path.join(lake, "*", "*.parquet")))
+        )
+        rows = read_iceberg(spark, t, row_lineage=True).collect()
+        assert sorted(r._row_id for r in rows) == [0, 1, 2, 3]
+        assert all(r.dt in ("a", "b") for r in rows)
+        assert load_table_metadata(t)["next-row-id"] == 4
+
+    def test_partitioned_guards(self, spark, tmp_path):
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(1, "a")], "k long, dt string"
+        ).write.partitionBy("dt").parquet(lake)
+        files = sorted(glob.glob(os.path.join(lake, "*", "*.parquet")))
+        # partition type beyond the identity registration
+        with pytest.raises(NotImplementedError, match="partition type"):
+            add_iceberg_files(
+                spark, str(tmp_path / "t1"), files,
+                partition_schema=["dt date"],
+            )
+        # declared partition column missing from every file path
+        with pytest.raises(ValueError, match="no 'region=.*' path"):
+            add_iceberg_files(
+                spark, str(tmp_path / "t2"), files,
+                partition_schema=["region string"],
+            )
+        # unparseable path value for the declared type
+        with pytest.raises(ValueError, match="cannot parse path value"):
+            add_iceberg_files(
+                spark, str(tmp_path / "t3"), files,
+                partition_schema=["dt long"],
+            )
+        # partition_schema on an existing table
+        t4 = str(tmp_path / "t4")
+        write_iceberg_commit(
+            spark.createDataFrame([(1, "x")], "k long, dt string"), t4
+        )
+        with pytest.raises(ValueError, match="fresh-table bootstrap"):
+            add_iceberg_files(
+                spark, t4, files, partition_schema=["dt string"]
+            )
+        # non-identity default spec cannot derive from a hive path
+        t5 = str(tmp_path / "t5")
+        write_iceberg_commit(
+            spark.createDataFrame([], "k long, dt string"),
+            t5,
+            partition_by=["bucket(4, k)"],
+        )
+        with pytest.raises(NotImplementedError, match="identity specs"):
+            add_iceberg_files(spark, t5, files)
+        # files that physically contain the declared partition column
+        flat = str(tmp_path / "flat")
+        spark.createDataFrame(
+            [(1, "a")], "k long, dt string"
+        ).coalesce(1).write.parquet(flat)
+        # fake a hive segment above the flat files
+        hive = str(tmp_path / "hive" / "dt=a")
+        os.makedirs(os.path.dirname(hive), exist_ok=True)
+        os.rename(flat, hive)
+        with pytest.raises(ValueError, match="also present in the data"):
+            add_iceberg_files(
+                spark,
+                str(tmp_path / "t6"),
+                sorted(glob.glob(os.path.join(hive, "*.parquet"))),
+                partition_schema=["dt string"],
+            )
+
     def test_cross_call_basename_collision_refuses(
         self, spark, tmp_path
     ):
