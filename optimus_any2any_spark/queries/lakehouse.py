@@ -3016,6 +3016,73 @@ def iceberg_add_files_partitioned(spark, sf_dir):
 
 
 @register(
+    "iceberg_default_values_read",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             CASE o_orderkey % 3
+               WHEN 0 THEN 'LEGACY'  -- pre-evolution file: initial-default
+               WHEN 1 THEN 'NEW'     -- append omitted the column: write-default
+               ELSE 'GOLD'           -- append supplied it explicitly
+             END AS segment
+      FROM orders
+    )
+    SELECT segment, COUNT(*) AS n_rows, {o_dsum('price')} AS sum_price
+    FROM tagged GROUP BY segment ORDER BY segment
+    """,
+    doc="Iceberg v3 column default values (VERDICT r12 item 2): a "
+    "v2 table evolves ADD COLUMN segment WITH initial-default "
+    "'LEGACY' / write-default 'NEW' (pure metadata commit, format "
+    "floors at 3). Pre-evolution rows read 'LEGACY' (their files "
+    "lack the column — the reader projects initial-default per the "
+    "spec), an append omitting the column materializes 'NEW' into "
+    "its files (write-default is a writer fill), and an append "
+    "supplying the column keeps its values. "
+    "tests/test_iceberg_default_values.py pins the foreign-layout "
+    "metadata, physical-null, and nested-refusal corners.",
+    bench=False,
+)
+def iceberg_default_values_read(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        add_iceberg_column_with_default,
+        read_iceberg,
+        write_iceberg_commit,
+    )
+
+    t = _fixture_dir("iceberg_dflt_tbl", sf_dir)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    if base.isEmpty():
+        return spark.createDataFrame(
+            [], "segment string, n_rows long, sum_price double"
+        )
+    write_iceberg_commit(base.filter(F.col("k") % 3 == 0), t)
+    add_iceberg_column_with_default(
+        t, "segment string", initial_default="LEGACY",
+        write_default="NEW",
+    )
+    write_iceberg_commit(base.filter(F.col("k") % 3 == 1), t)
+    write_iceberg_commit(
+        base.filter(F.col("k") % 3 == 2).withColumn(
+            "segment", F.lit("GOLD")
+        ),
+        t,
+    )
+    return (
+        read_iceberg(spark, t)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
     "iceberg_rewrite_manifests",
     oracle=f"""
     WITH s1 AS (
@@ -3108,6 +3175,178 @@ def iceberg_rewrite_manifests(spark, sf_dir):
 
 
 @register(
+    "iceberg_orphan_sweep",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 6 <> 0
+    ),
+    live AS (SELECT * FROM base WHERE k % 11 <> 0)
+    SELECT k % 10 AS k_mod, COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM live GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="remove_orphan_files (VERDICT r12 item 6): crashed-write "
+    "junk planted in data/ + an abandoned _tmp-ice staging dir sweep "
+    "out (grace-period-aged, dry-run verified first), while every "
+    "file the metadata references — including the MoR delete's "
+    "files — survives and the post-sweep read equals the logical "
+    "state. tests/test_iceberg_orphan_files.py pins live/foreign/"
+    "branch protection and the grace window.",
+    bench=False,
+)
+def iceberg_orphan_sweep(spark, sf_dir):
+    import time as _time
+
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        delete_iceberg_where,
+        remove_iceberg_orphan_files,
+    )
+
+    t = _fixture_dir("iceberg_orphans_tbl", sf_dir)
+    base = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 6 != 0
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    if base.isEmpty():
+        return spark.createDataFrame(
+            [], "k_mod long, n_rows long, sum_price double"
+        )
+    write_iceberg_commit(base, t)
+    delete_iceberg_where(spark, t, "k % 11 = 0")
+    # plant crash debris: a junk data file + an abandoned staging dir
+    old = _time.time() - 4 * 86400
+    junk = os.path.join(t, "data", "orphan-crashed.parquet")
+    with open(junk, "wb") as f:
+        f.write(b"junk")
+    os.utime(junk, (old, old))
+    tmpd = os.path.join(t, "_tmp-ice-v99")
+    os.makedirs(tmpd, exist_ok=True)
+    j2 = os.path.join(tmpd, "part-dead.parquet")
+    with open(j2, "wb") as f:
+        f.write(b"junk")
+    os.utime(j2, (old, old))
+    listed = remove_iceberg_orphan_files(spark, t, dry_run=True)
+    swept = remove_iceberg_orphan_files(spark, t)
+    assert sorted(listed) == sorted(swept) and len(swept) == 2
+    return (
+        read_iceberg(spark, t)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "iceberg_wap_multibranch",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    s1 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    s2 AS (
+      SELECT o_orderkey AS k, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 4 = 2
+    ),
+    labelled AS (
+      SELECT 'p1_staged' AS phase, k, price FROM base
+      UNION ALL
+      SELECT 'p2_pub_a' AS phase, k, price FROM base
+      UNION ALL
+      SELECT 'p2_pub_a' AS phase, k, price FROM s1
+      UNION ALL
+      SELECT 'p3_final' AS phase, k, price FROM base
+      UNION ALL
+      SELECT 'p3_final' AS phase, k, price FROM s1
+      UNION ALL
+      SELECT 'p3_final' AS phase, k, price FROM s2
+    )
+    SELECT phase, k % 10 AS k_mod,
+           COUNT(*) AS n_rows,
+           {o_dsum('price')} AS sum_price
+    FROM labelled GROUP BY phase, k_mod ORDER BY phase, k_mod
+    """,
+    doc="Multi-branch WAP (VERDICT r12 item 5): TWO branches stage "
+    "concurrently off the same main head — per-branch heads in "
+    "refs, both invisible to main (phase 1 sees only the base; "
+    "readers window by the main-ancestry chain, not list position). "
+    "Publishing branch A is a fast-forward (phase 2); branch B's "
+    "base is now stale, so its publish refuses (divergent histories "
+    "never merge), it re-stages on the new head and publishes "
+    "(phase 3). The orphaned first B snapshot stays in the metadata "
+    "list but never enters reads, the changelog, or the streams — "
+    "tests/test_iceberg_wap.py pins the two-branch stream-leak "
+    "case.",
+    bench=False,
+)
+def iceberg_wap_multibranch(spark, sf_dir):
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        read_iceberg,
+        write_iceberg_commit,
+    )
+    from optimus_any2any_spark.streaming.iceberg_table import (
+        drop_iceberg_ref,
+        publish_iceberg_branch,
+    )
+
+    t = _fixture_dir("iceberg_wap_mb", sf_dir)
+    o = load(spark, sf_dir, "orders")
+
+    def _slice(mod):
+        return o.filter(F.col("o_orderkey") % 4 == mod).select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+
+    write_iceberg_commit(_slice(0), t)
+    if not os.path.isdir(os.path.join(t, "metadata")):
+        return spark.createDataFrame(
+            [], "phase string, k_mod long, n_rows long, "
+            "sum_price double"
+        )
+    write_iceberg_commit(_slice(1), t, branch="audit_a")
+    write_iceberg_commit(_slice(2), t, branch="audit_b")
+    p1 = read_iceberg(spark, t).withColumn("phase", F.lit("p1_staged"))
+    publish_iceberg_branch(spark, t, "audit_a", drop_branch=True)
+    p2 = read_iceberg(spark, t).withColumn("phase", F.lit("p2_pub_a"))
+    # audit_b's base predates audit_a's publish — not a fast-forward;
+    # re-stage it on the new head and publish
+    try:
+        publish_iceberg_branch(spark, t, "audit_b")
+        raise AssertionError("divergent publish must refuse")
+    except ValueError:
+        pass
+    drop_iceberg_ref(spark, t, "audit_b")
+    write_iceberg_commit(_slice(2), t, branch="audit_b")
+    publish_iceberg_branch(spark, t, "audit_b", drop_branch=True)
+    p3 = read_iceberg(spark, t).withColumn("phase", F.lit("p3_final"))
+    both = p1.unionByName(p2).unionByName(p3)
+    return (
+        both.groupBy("phase", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("phase", "k_mod")
+    )
+
+
+@register(
     "iceberg_wap_publish",
     oracle=f"""
     WITH base AS (
@@ -3136,9 +3375,9 @@ def iceberg_rewrite_manifests(spark, sf_dir):
     "so the PRE-publish main read sees only the base; "
     "publish_iceberg_branch fast-forwards main (parent-snapshot-id "
     "ancestor walk — divergent histories refuse) and the POST read "
-    "sees base + staged. Main-advancing writers refuse by name while "
-    "a branch holds unpublished commits (single-flight WAP keeps the "
-    "snapshot list linear for the changelog/stream readers) — "
+    "sees base + staged. Readers window history by the main-ancestry "
+    "chain (iceberg_main_chain), so staged snapshots never reach "
+    "main reads, the changelog, or the streams — "
     "tests/test_iceberg_wap.py. Both phases aggregate side-by-side: "
     "the 'before' frame is pinned at plan time, exactly like a real "
     "audit query running against main mid-WAP.",

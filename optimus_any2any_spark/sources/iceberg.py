@@ -226,14 +226,15 @@ def _refuse_v3_constructs(meta: dict) -> None:
     tables after a format bump). Actual v3 constructs guard-raise BY
     NAME, never mis-read:
 
-    - table encryption, default values, new v3 types (below) —
-      row lineage is FULLY read (explicit per-entry first_row_id
-      and the spec's manifest-level inheritance rule both resolve
-      in _snapshot_entries),
     - table encryption (``encryption-keys``),
-    - column default values (``initial-default`` / ``write-default``
-      on any schema field — ignoring ``initial-default`` would
-      null-fill rows that the spec says carry the default),
+    - column default values on NESTED fields or of unsupported value
+      types (top-level primitive ``initial-default``/``write-default``
+      — boolean/int/long/float/double/string/date/decimal — are READ:
+      the reader fills ``initial-default`` for files that physically
+      lack the column, and appends fill ``write-default`` when the df
+      omits it; row lineage is FULLY read too, explicit per-entry
+      first_row_id and the spec's manifest-level inheritance rule
+      both resolve in _snapshot_entries),
     - new v3 types (``timestamp_ns``, ``variant``, ``geometry``…)
       raise from the type mapper with the type name.
 
@@ -265,22 +266,90 @@ def _refuse_v3_constructs(meta: dict) -> None:
         [meta["schema"]] if meta.get("schema") else []
     )
     for s in schemas:
-        _refuse_default_values(s.get("fields") or [])
+        _validate_default_values(s.get("fields") or [])
 
 
-def _refuse_default_values(fields: list) -> None:
-    """Walk EVERY type node — structs, any depth of list nesting, and
-    map key/value types — so an ``initial-default``/``write-default``
-    on a struct field nested anywhere in the schema refuses by name
-    instead of silently null-filling (ADVICE r8)."""
+def _default_value_of(ice_t, raw):
+    """Parse a JSON single-value serialized default (spec Appendix D)
+    into the Python value the Spark row machinery consumes. Supported:
+    the primitive types whose serialization is unambiguous; everything
+    else (uuid, binary/fixed, timestamps, nested types) refuses BY
+    NAME — a misparsed default would silently corrupt every
+    pre-evolution row."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if ice_t == "boolean":
+        if not isinstance(raw, bool):
+            raise NotImplementedError(
+                f"iceberg v3: boolean default {raw!r} is not a JSON "
+                "boolean"
+            )
+        return raw
+    if ice_t in ("int", "long"):
+        if isinstance(raw, bool) or not isinstance(raw, int):
+            raise NotImplementedError(
+                f"iceberg v3: {ice_t} default {raw!r} is not a JSON "
+                "integer"
+            )
+        return int(raw)
+    if ice_t in ("float", "double"):
+        if isinstance(raw, bool) or not isinstance(raw, (int, float)):
+            raise NotImplementedError(
+                f"iceberg v3: {ice_t} default {raw!r} is not a JSON "
+                "number"
+            )
+        return float(raw)
+    if ice_t == "string":
+        if not isinstance(raw, str):
+            raise NotImplementedError(
+                f"iceberg v3: string default {raw!r} is not a JSON "
+                "string"
+            )
+        return raw
+    if ice_t == "date":
+        try:
+            return _dt.date.fromisoformat(raw)
+        except (TypeError, ValueError):
+            raise NotImplementedError(
+                f"iceberg v3: date default {raw!r} is not an ISO "
+                "date string"
+            ) from None
+    if isinstance(ice_t, str) and ice_t.startswith("decimal("):
+        try:
+            return _dec.Decimal(str(raw))
+        except _dec.InvalidOperation:
+            raise NotImplementedError(
+                f"iceberg v3: decimal default {raw!r} does not parse"
+            ) from None
+    raise NotImplementedError(
+        f"iceberg v3: default values for type {ice_t!r} are beyond "
+        "this reader"
+    )
+
+
+def _validate_default_values(fields: list) -> None:
+    """Top-level primitive defaults must PARSE at metadata-load time
+    (so a read never half-applies them); defaults on struct fields
+    nested anywhere in the schema — any depth of struct/list/map
+    nesting — still refuse by name instead of silently null-filling
+    (ADVICE r8)."""
+    for f in fields:
+        for key in ("initial-default", "write-default"):
+            if f.get(key) is not None:
+                _default_value_of(f.get("type"), f[key])
+        _refuse_default_values_in_type(f.get("type"))
+
+
+def _refuse_nested_default_values(fields: list) -> None:
     for f in fields:
         if (
             f.get("initial-default") is not None
             or f.get("write-default") is not None
         ):
             raise NotImplementedError(
-                "iceberg v3: column default values "
-                f"(field {f.get('name')!r}) are beyond this reader"
+                "iceberg v3: column default values on NESTED field "
+                f"{f.get('name')!r} are beyond this reader"
             )
         _refuse_default_values_in_type(f.get("type"))
 
@@ -290,7 +359,7 @@ def _refuse_default_values_in_type(t) -> None:
         return
     kind = t.get("type")
     if kind == "struct":
-        _refuse_default_values(t.get("fields") or [])
+        _refuse_nested_default_values(t.get("fields") or [])
     elif kind == "list":
         _refuse_default_values_in_type(t.get("element"))
     elif kind == "map":
@@ -1102,6 +1171,54 @@ def _identity_consts_by_basename(
     return out
 
 
+def _reader_default_fills(meta: dict) -> dict[str, object]:
+    """Current-schema top-level ``initial-default`` values, parsed —
+    the fill the spec mandates for rows in files written BEFORE the
+    column existed. Empty below format v3 (defaults are a v3
+    construct)."""
+    if int(meta.get("format-version", 1)) < 3:
+        return {}
+    out: dict[str, object] = {}
+    for f in _current_schema(meta)["fields"]:
+        if f.get("initial-default") is not None:
+            out[f["name"]] = _default_value_of(
+                f["type"], f["initial-default"]
+            )
+    return out
+
+
+def _projection_consts(
+    meta: dict, data: list[dict]
+) -> dict[str, dict[str, object]]:
+    """Per-basename constants the read must project over the raw
+    parquet columns: identity partition values (always authoritative)
+    plus ``initial-default`` fills for files whose FOOTER schema lacks
+    a defaulted column. The footer check is a metadata-only read and
+    runs only on default-carrying (v3) tables — a file that contains
+    the column keeps its stored values, nulls included (the spec
+    fills ONLY missing columns)."""
+    consts = _identity_consts_by_basename(meta, data)
+    fills = _reader_default_fills(meta)
+    if fills:
+        import pyarrow.parquet as _pq
+
+        for d in data:
+            try:
+                names = set(_pq.read_schema(d["path"]).names)
+            except OSError:
+                continue  # unreadable file: the data read will raise
+            missing = {
+                c: v for c, v in fills.items() if c not in names
+            }
+            if missing:
+                m = consts.setdefault(_basename(d["orig"]), {})
+                for c, v in missing.items():
+                    # identity constants outrank defaults (a
+                    # partition value IS the column value)
+                    m.setdefault(c, v)
+    return consts
+
+
 def _substitute_identity_consts(
     spark: SparkSession,
     df: DataFrame,
@@ -1271,7 +1388,7 @@ def read_entries_with_deletes(
                 position_cols[0], F.lit(None).cast("string")
             ).withColumn(position_cols[1], F.lit(None).cast("long"))
         return out
-    consts = _identity_consts_by_basename(meta, data)
+    consts = _projection_consts(meta, data)
     if not pos_del and not eq_del and not position_cols:
         out = spark.read.schema(schema).parquet(
             *[d["path"] for d in data]
@@ -1455,15 +1572,25 @@ def read_iceberg_appends(
         raise ValueError(
             f"iceberg: snapshot {to_snapshot_id} not in table metadata"
         )
+    # ancestry window, not list slice: unpublished WAP-branch
+    # snapshots interleave the list but are not appends to main
+    chain = iceberg_main_chain(meta, to_snapshot_id)
+    cids = [s["snapshot-id"] for s in chain]
     start = 0
     if from_snapshot_id is not None:
-        if from_snapshot_id not in ids:
+        if from_snapshot_id not in cids:
+            if from_snapshot_id in ids:
+                raise ValueError(
+                    f"iceberg: snapshot {from_snapshot_id} is not an "
+                    f"ancestor of {to_snapshot_id} — no linear "
+                    "append window between them"
+                )
             raise ValueError(
                 f"iceberg: snapshot {from_snapshot_id} not in table "
                 "metadata"
             )
-        start = ids.index(from_snapshot_id) + 1
-    window = snaps[start:ids.index(to_snapshot_id) + 1]
+        start = cids.index(from_snapshot_id) + 1
+    window = chain[start:]
     files: list[dict] = []
     for snap in window:
         op = (snap.get("summary") or {}).get("operation", "append")
@@ -1502,7 +1629,7 @@ def read_iceberg_appends(
     out = spark.read.schema(schema).parquet(
         *[d["path"] for d in files]
     )
-    consts = _identity_consts_by_basename(meta, files)
+    consts = _projection_consts(meta, files)
     if consts:
         out = out.select(
             "*",
@@ -1836,15 +1963,26 @@ def read_iceberg_changes(
         raise ValueError(
             f"iceberg: snapshot {to_snapshot_id} not in table metadata"
         )
+    # history = the main-ancestry chain ending at `to`, NOT list
+    # order: snapshots staged on unpublished WAP branches live in the
+    # list but are not changes until published
+    chain = iceberg_main_chain(meta, to_snapshot_id)
+    cids = [s["snapshot-id"] for s in chain]
     start = 0
     if from_snapshot_id is not None:
-        if from_snapshot_id not in ids:
+        if from_snapshot_id not in cids:
+            if from_snapshot_id in ids:
+                raise ValueError(
+                    f"iceberg: snapshot {from_snapshot_id} is not an "
+                    f"ancestor of {to_snapshot_id} — no linear "
+                    "changelog window between them"
+                )
             raise ValueError(
                 f"iceberg: snapshot {from_snapshot_id} not in table "
                 "metadata"
             )
-        start = ids.index(from_snapshot_id) + 1
-    window = snaps[start:ids.index(to_snapshot_id) + 1]
+        start = cids.index(from_snapshot_id) + 1
+    window = chain[start:]
 
     def _tag(df: DataFrame, change: str, ordinal: int, sid: int):
         return df.select(
@@ -1855,7 +1993,7 @@ def read_iceberg_changes(
         )
 
     pieces: list[DataFrame] = []
-    prev_id = ids[start - 1] if start > 0 else None
+    prev_id = cids[start - 1] if start > 0 else None
     prev_state = (
         _snapshot_entries(table_path, meta, prev_id)
         if prev_id is not None
@@ -2495,19 +2633,71 @@ def _spark_type_to_iceberg(dt: T.DataType) -> str:
     raise NotImplementedError(f"iceberg fixture writer: type {dt}")
 
 
+def _chain_authoritative(meta: dict) -> bool:
+    """True when EVERY snapshot except the list head carries a
+    ``parent-snapshot-id`` — then the parent walk is the table's real
+    history and list order is just storage. Legacy tables written
+    before parent stamping (their merge/DML snapshots carry no
+    pointer) are NOT authoritative: for them list order remains
+    history and the WAP discipline stays single-flight."""
+    snaps = meta.get("snapshots") or []
+    return all(
+        s.get("parent-snapshot-id") is not None for s in snaps[1:]
+    )
+
+
+def iceberg_main_chain(
+    meta: dict, head: int | None = None
+) -> list[dict]:
+    """The snapshots that ARE history up to ``head`` (default: the
+    main head), oldest→newest. On an authoritative table this is the
+    ``parent-snapshot-id`` ancestor walk — snapshots staged on
+    unpublished WAP branches (or orphaned by a dropped branch) are in
+    the LIST but not on the chain, and every changelog/stream/appends
+    window must skip them. The walk ends at the genesis or at a
+    parent expired out of the metadata (history before that point is
+    gone — same contract as snapshot expiration). Legacy tables fall
+    back to the list prefix ending at ``head``, which under their
+    single-flight discipline is identical."""
+    snaps = meta.get("snapshots") or []
+    if head is None:
+        head = meta.get("current-snapshot-id")
+    if head is None or head == -1 or not snaps:
+        return []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if head not in by_id:
+        raise ValueError(
+            f"iceberg: snapshot {head} not in table metadata"
+        )
+    if not _chain_authoritative(meta):
+        ids = [s["snapshot-id"] for s in snaps]
+        return snaps[: ids.index(head) + 1]
+    chain: list[dict] = []
+    sid, seen = head, set()
+    while sid is not None and sid in by_id and sid not in seen:
+        seen.add(sid)
+        chain.append(by_id[sid])
+        sid = by_id[sid].get("parent-snapshot-id")
+    return list(reversed(chain))
+
+
 def _refuse_unpublished_branches(
     meta: dict | None, allow: str | None = None
 ) -> None:
-    """WAP single-flight discipline: while a branch ref points at
-    commits main has not published, a main-advancing write would make
-    the snapshot LIST diverge from main's lineage — and the
-    changelog/stream readers treat list order as history. The same
-    rule keeps the WAP flow itself single-flight (``allow`` names the
-    one branch being written or published): a SECOND concurrent
-    branch would leak into stream history when the first publishes.
-    Refuse by name; publish_iceberg_branch (or drop_iceberg_ref)
-    clears it."""
+    """WAP staging discipline. On an AUTHORITATIVE table (every
+    snapshot parent-stamped) this is a no-op: readers window by the
+    main-ancestry chain, so any number of branches can stage
+    concurrently and main can advance while they do — nothing
+    unpublished ever reaches a stream. On a LEGACY table (pre-stamp
+    merge snapshots, where list order is history) the single-flight
+    rule stands: while a branch ref points at commits main has not
+    published, a main-advancing write or a second branch would leak
+    into stream history. ``allow`` names the one branch being written
+    or published. Refuse by name; publish_iceberg_branch (or
+    drop_iceberg_ref) clears it."""
     if not meta:
+        return
+    if _chain_authoritative(meta):
         return
     refs = meta.get("refs") or {}
     cur = meta.get("current-snapshot-id")
@@ -2525,6 +2715,36 @@ def _refuse_unpublished_branches(
                 "publish_iceberg_branch (or drop_iceberg_ref) before "
                 "writing to main or another branch"
             )
+
+
+def _apply_write_defaults(df: DataFrame, prev: dict) -> DataFrame:
+    """v3 ``write-default``: a df omitting a defaulted column appends
+    with the default MATERIALIZED (the spec's writer contract — the
+    new files physically contain the value, so readers never confuse
+    it with ``initial-default``, which fills only pre-evolution
+    files). Columns the df does supply pass through untouched."""
+    from pyspark.sql import functions as F
+
+    cur = _current_schema(prev)
+    missing = [
+        f
+        for f in cur["fields"]
+        if f.get("write-default") is not None
+        and f["name"] not in df.columns
+    ]
+    if not missing:
+        return df
+    for f in missing:
+        v = _default_value_of(f["type"], f["write-default"])
+        df = df.withColumn(
+            f["name"],
+            F.lit(v).cast(_iceberg_type_to_spark(f["type"])),
+        )
+    order = [
+        f["name"] for f in cur["fields"] if f["name"] in df.columns
+    ]
+    extras = [c for c in df.columns if c not in order]
+    return df.select(*order, *extras)
 
 
 def _hive_partition_values(
@@ -2652,6 +2872,10 @@ def write_iceberg_commit(
         if prev_version
         else None
     )
+    if prev is not None and add_files is None:
+        # v3 write-default: fill columns the df omits BEFORE the data
+        # write, so the new files physically carry the value
+        df = _apply_write_defaults(df, prev)
     version = prev_version + 1
     snapshot_id = version  # deterministic, unique per commit
     # v2 tables (anything that has taken a row-level delete) must NOT
@@ -3176,6 +3400,93 @@ def write_iceberg_commit(
         advance_main_ref(meta, snapshot_id)
     if fmt >= 2:
         meta["last-sequence-number"] = seq
+    path = os.path.join(md, f"v{version}.metadata.json")
+    tmpp = path + ".tmp"
+    with open(tmpp, "w") as f:
+        f.write(json.dumps(meta, indent=2))
+    os.replace(tmpp, path)
+    tmph = hint + ".tmp"
+    with open(tmph, "w") as f:
+        f.write(str(version))
+    os.replace(tmph, hint)
+    return version
+
+
+def add_iceberg_column_with_default(
+    table_path: str,
+    column: str,
+    initial_default=None,
+    write_default=None,
+) -> int:
+    """v3 schema evolution — ADD COLUMN with default values: appends
+    the ``"name type"`` column to the current schema carrying
+    ``initial-default`` (the value readers project for every
+    pre-evolution row — their files lack the column) and
+    ``write-default`` (the value writers materialize when an append
+    omits the column). Pure metadata commit: a new schema (fresh
+    schema-id, fresh field id past last-column-id), format-version
+    floored at 3, zero data IO. Defaults serialize per the spec's
+    JSON single-value rules (date → ISO string, decimal → string) and
+    must round-trip through the reader's parser — unsupported types
+    refuse by name, never half-apply."""
+    import datetime as _dt
+    import decimal as _dec
+
+    toks = column.strip().split(None, 1)
+    if len(toks) != 2:
+        raise ValueError(
+            f"iceberg add column: {column!r} is not 'name type'"
+        )
+    name, ice_t = toks[0], toks[1].strip()
+    md = _meta_dir(table_path)
+    hint = os.path.join(md, "version-hint.text")
+    if not os.path.exists(hint):
+        raise ValueError(f"iceberg add column: no table at {table_path}")
+    prev_version = int(open(hint).read().strip())
+    meta = load_table_metadata(table_path, version=prev_version)
+    cur = _current_schema(meta)
+    if any(f["name"] == name for f in cur["fields"]):
+        raise ValueError(
+            f"iceberg add column: {name!r} already in the schema"
+        )
+
+    def _ser(v):
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return str(v)
+        return v
+
+    field = {
+        "id": int(meta.get("last-column-id") or len(cur["fields"])) + 1,
+        "name": name,
+        "required": False,
+        "type": ice_t,
+    }
+    for key, v in (
+        ("initial-default", initial_default),
+        ("write-default", write_default),
+    ):
+        if v is not None:
+            sv = _ser(v)
+            _default_value_of(ice_t, sv)  # refuse-by-name gate
+            field[key] = sv
+    schemas = list(meta.get("schemas") or [cur])
+    new_sid = max(
+        [int(s.get("schema-id") or 0) for s in schemas], default=0
+    ) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_sid,
+        "fields": list(cur["fields"]) + [field],
+    }
+    meta = dict(meta)
+    meta["schemas"] = schemas + [new_schema]
+    meta["current-schema-id"] = new_sid
+    meta["schema"] = new_schema
+    meta["last-column-id"] = field["id"]
+    meta["format-version"] = max(3, int(meta.get("format-version", 1)))
+    version = prev_version + 1
     path = os.path.join(md, f"v{version}.metadata.json")
     tmpp = path + ".tmp"
     with open(tmpp, "w") as f:

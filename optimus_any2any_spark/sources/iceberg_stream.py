@@ -139,18 +139,34 @@ class IcebergTailStreamReader(DataSourceStreamReader):
     # snapshots once history cleanup shifts positions; an id that has
     # left the lineage raises instead, matching delta_stream's
     # missing-commit error.
-    def _pos_after(self, snaps: list[dict], off: dict) -> int:
+    def _chain(self, meta: dict) -> list[dict]:
+        """The snapshots that are PUBLISHED history, oldest→newest:
+        the main-ancestry walk (iceberg_main_chain). Snapshots staged
+        on unpublished WAP branches sit in the metadata list but are
+        NOT on the chain — windowing by the chain is what keeps every
+        un-audited branch commit out of the stream, for any number of
+        concurrent branches (the r12 single-branch head cap,
+        generalized)."""
+        cur = meta.get("current-snapshot-id")
+        if cur in (None, -1):
+            # no main head at all (a fresh table whose only commits
+            # went straight to a branch): nothing is published
+            return []
+        return _ice.iceberg_main_chain(meta, cur)
+
+    def _pos_after(self, chain: list[dict], off: dict) -> int:
         if "pos" in off:  # legacy checkpoint form
             return int(off["pos"])
         sid = off.get("sid")
         if sid is None:
             return 0
-        ids = [s["snapshot-id"] for s in snaps]
+        ids = [s["snapshot-id"] for s in chain]
         if sid not in ids:
             raise ValueError(
                 f"iceberg_tail: snapshot {sid} is no longer in the "
-                "table lineage (expired?) — cannot resume without a "
-                "gap; restart the stream from a fresh checkpoint"
+                "table's main lineage (expired?) — cannot resume "
+                "without a gap; restart the stream from a fresh "
+                "checkpoint"
             )
         return ids.index(sid) + 1
 
@@ -158,30 +174,16 @@ class IcebergTailStreamReader(DataSourceStreamReader):
         return {"sid": self.start_sid}
 
     def latestOffset(self) -> dict:
-        meta = _load_meta(self.table_path)
-        snaps = meta.get("snapshots") or []
-        # cap at the MAIN head: snapshots past current-snapshot-id are
-        # a WAP branch's UNPUBLISHED commits (write_iceberg_commit
-        # branch=...) — streaming them would leak un-audited data;
-        # publish_iceberg_branch moves the head and they flow then
-        cur = meta.get("current-snapshot-id")
-        if cur in (None, -1):
-            # no main head at all (a fresh table whose only commits
-            # went straight to a branch): nothing is published
-            snaps = []
-        else:
-            ids = [s["snapshot-id"] for s in snaps]
-            if cur in ids:
-                snaps = snaps[: ids.index(cur) + 1]
+        chain = self._chain(_load_meta(self.table_path))
         return {
-            "sid": snaps[-1]["snapshot-id"] if snaps else None
+            "sid": chain[-1]["snapshot-id"] if chain else None
         }
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         meta = _load_meta(self.table_path)
-        snaps = meta.get("snapshots") or []
-        window = snaps[
-            self._pos_after(snaps, start):self._pos_after(snaps, end)
+        chain = self._chain(meta)
+        window = chain[
+            self._pos_after(chain, start):self._pos_after(chain, end)
         ]
         out: list[InputPartition] = []
         for snap in window:
@@ -332,10 +334,10 @@ class IcebergChangesStreamReader(IcebergTailStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         meta = _load_meta(self.table_path)
-        snaps = meta.get("snapshots") or []
-        lo = self._pos_after(snaps, start)
-        hi = self._pos_after(snaps, end)
-        window = snaps[lo:hi]
+        chain = self._chain(meta)
+        lo = self._pos_after(chain, start)
+        hi = self._pos_after(chain, end)
+        window = chain[lo:hi]
         by_id = {}
         sch = None
         if "schemas" in meta:
@@ -352,7 +354,7 @@ class IcebergChangesStreamReader(IcebergTailStreamReader):
             sch = meta["schema"]
         by_id = {int(f["id"]): f["name"] for f in sch["fields"]}
 
-        prev_sid = snaps[lo - 1]["snapshot-id"] if lo > 0 else None
+        prev_sid = chain[lo - 1]["snapshot-id"] if lo > 0 else None
         prev_state = (
             _ice._snapshot_entries(self.table_path, meta, prev_sid)
             if prev_sid is not None

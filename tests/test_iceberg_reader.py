@@ -224,17 +224,31 @@ class TestIcebergSnapshots:
         ):
             read_iceberg(spark, t, row_lineage=True).collect()
 
-    def test_v3_column_defaults_refused_by_name(self, spark, tmp_path):
+    def test_v3_column_defaults_unparseable_refused_by_name(
+        self, spark, tmp_path
+    ):
+        """r13: SUPPORTED top-level primitive defaults now read
+        (tests/test_iceberg_default_values.py); a default whose JSON
+        value does not parse as the field's type still refuses by
+        name — never half-apply."""
         t = str(tmp_path / "tbl")
         write_iceberg_commit(_rows(spark, [(1, "a", 0.5)]), t)
         md = os.path.join(t, "metadata", "v1.metadata.json")
         meta = json.loads(open(md).read())
         meta["format-version"] = 3
         schemas = meta.get("schemas") or [meta["schema"]]
+        # a string default on a string field is fine now
         schemas[0]["fields"][1]["initial-default"] = "zz"
         with open(md, "w") as f:
             f.write(json.dumps(meta))
-        with pytest.raises(NotImplementedError, match="default values"):
+        assert read_iceberg(spark, t).count() == 1
+        # a non-number default on a double field refuses by name
+        schemas[0]["fields"][2]["initial-default"] = "zz"
+        with open(md, "w") as f:
+            f.write(json.dumps(meta))
+        with pytest.raises(
+            NotImplementedError, match="not a JSON number"
+        ):
             read_iceberg(spark, t)
 
     def test_v3_defaults_nested_in_map_and_list_refused(

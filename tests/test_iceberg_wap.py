@@ -1,8 +1,11 @@
 """Iceberg WAP — write-audit-publish (spark.wap.branch +
 fast_forward): branch-targeted appends stay invisible to main until
-publish_iceberg_branch fast-forwards; main-advancing writers refuse
-while a branch holds unpublished commits (single-flight discipline
-keeps the snapshot list a linear history)."""
+publish_iceberg_branch fast-forwards. On authoritative tables (every
+snapshot parent-stamped) MULTIPLE branches stage concurrently and
+main advances alongside them — readers/streams window history by the
+main-ancestry chain (iceberg_main_chain), never list position.
+Legacy tables (pre-stamp merge snapshots) keep the r12 single-flight
+refusals."""
 
 from __future__ import annotations
 
@@ -71,27 +74,70 @@ class TestWapFlow:
         v = publish_iceberg_branch(spark, t, "w")
         assert publish_iceberg_branch(spark, t, "w") == v
 
-    def test_main_writers_refuse_while_unpublished(
+    def test_main_writers_advance_while_branch_staged(
         self, spark, tmp_path
     ):
+        """Multi-branch WAP (VERDICT r12 item 5): on an authoritative
+        table (every snapshot parent-stamped) main keeps advancing
+        while a branch stages — readers window by the MAIN-ANCESTRY
+        chain, so the staged snapshot never appears in main reads or
+        the changelog until published."""
         t = str(tmp_path / "tbl")
-        write_iceberg_commit(_rows(spark, [(1, "a"), (2, "b")]), t)
+
+        def _tsrows(vals):
+            return spark.createDataFrame(
+                vals, "id long, v string, ts long"
+            )
+
+        write_iceberg_commit(_tsrows([(1, "a", 0), (2, "b", 0)]), t)
+        write_iceberg_commit(_tsrows([(3, "c", 0)]), t, branch="w")
+        write_iceberg_commit(_tsrows([(9, "z", 0)]), t)  # main
+        assert _read(spark, t) == [(1, "a"), (2, "b"), (9, "z")]
+        merge_iceberg_batch(
+            spark, _tsrows([(1, "A", 1)]), t, "id", "ts", batch_id=1,
+        )
+        delete_iceberg_keys(
+            spark, t, "id",
+            spark.createDataFrame([(2,)], "id long"),
+        )
+        assert _read(spark, t) == [(1, "A"), (9, "z")]
+        # the changelog never mentions the staged branch row
+        assert all(
+            r.id != 3
+            for r in read_iceberg_changes(spark, t).collect()
+        )
+        # the branch still holds its staged view (pre-main-advance)
+        assert _read(spark, t, ref="w") == [
+            (1, "a"), (2, "b"), (3, "c"),
+        ]
+        # main advanced past the branch base: a fast-forward publish
+        # is no longer possible — refuse, never merge histories
+        with pytest.raises(ValueError, match="not a fast-forward"):
+            publish_iceberg_branch(spark, t, "w")
+        drop_iceberg_ref(spark, t, "w")
+        assert _read(spark, t) == [(1, "A"), (9, "z")]
+
+    def test_legacy_table_stays_single_flight(self, spark, tmp_path):
+        """A table whose history predates parent stamping (list order
+        IS history there) keeps the r12 single-flight refusals: strip
+        the parent pointers to simulate the legacy layout."""
+        import json
+        import os
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t)
+        md = os.path.join(t, "metadata")
+        hint = int(open(os.path.join(md, "version-hint.text")).read())
+        p = os.path.join(md, f"v{hint}.metadata.json")
+        meta = json.loads(open(p).read())
+        for s in meta["snapshots"]:
+            s.pop("parent-snapshot-id", None)
+        with open(p, "w") as f:
+            f.write(json.dumps(meta))
         write_iceberg_commit(_rows(spark, [(3, "c")]), t, branch="w")
         with pytest.raises(ValueError, match="unpublished"):
             write_iceberg_commit(_rows(spark, [(9, "z")]), t)
-        with pytest.raises(ValueError, match="unpublished"):
-            merge_iceberg_batch(
-                spark,
-                spark.createDataFrame(
-                    [(1, "A", 1)], "id long, v string, ts long"
-                ),
-                t, "id", "ts", batch_id=1,
-            )
-        with pytest.raises(ValueError, match="unpublished"):
-            delete_iceberg_keys(
-                spark, t, "id",
-                spark.createDataFrame([(1,)], "id long"),
-            )
         with pytest.raises(ValueError, match="unpublished"):
             compact_iceberg(spark, t, target_rows_per_file=10)
         # dropping the branch clears the gate
@@ -203,23 +249,128 @@ class TestWapStreams:
         got = sorted(r.id for r in spark.read.parquet(out).collect())
         assert got == [1, 2]  # delivered exactly once, after publish
 
+    def test_stream_never_leaks_two_branches(self, spark, tmp_path):
+        """Two concurrent branches + a main advance: the stream
+        windows by the main-ancestry CHAIN, so it delivers main's
+        rows while both branches stage, then each branch's rows only
+        as its publish lands them on main — and never the orphaned
+        snapshot of a dropped branch."""
+        import time
 
-class TestWapSingleFlight:
-    def test_second_branch_refuses(self, spark, tmp_path):
-        """Review finding: two concurrent branches would leak — the
-        first publish bakes the OTHER branch's snapshots into main's
-        positional history. One unpublished branch at a time."""
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailDataSource,
+        )
+
+        spark.dataSource.register(IcebergTailDataSource)
+        t = str(tmp_path / "tbl")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t, branch="x")
+        write_iceberg_commit(_rows(spark, [(3, "c")]), t, branch="y")
+        write_iceberg_commit(_rows(spark, [(4, "d")]), t)  # main
+
+        def run():
+            q = (
+                spark.readStream.format("iceberg_tail")
+                .option("path", t)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            time.sleep(0.2)
+
+        run()
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == [1, 4]  # neither staged branch leaked
+        # x's base predates main's advance: drop it (orphan stays in
+        # the metadata list but never on the chain)
+        drop_iceberg_ref(spark, t, "x")
+        write_iceberg_commit(_rows(spark, [(5, "e")]), t, branch="y2")
+        run()
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == [1, 4]
+        publish_iceberg_branch(spark, t, "y2", drop_branch=True)
+        run()
+        got = sorted(r.id for r in spark.read.parquet(out).collect())
+        assert got == [1, 4, 5]  # published rows only; orphan 2 never
+
+
+class TestWapMultiBranch:
+    def test_two_branches_stage_concurrently(self, spark, tmp_path):
+        """VERDICT r12 item 5: per-branch heads in refs, independent
+        staging. Publishing the first is a fast-forward; the second —
+        now based on a stale main — refuses (divergent histories are
+        never merged) and re-stages on the new head."""
         t = str(tmp_path / "tbl")
         write_iceberg_commit(_rows(spark, [(1, "a")]), t)
         write_iceberg_commit(_rows(spark, [(2, "b")]), t, branch="a")
-        with pytest.raises(ValueError, match="unpublished"):
-            write_iceberg_commit(
-                _rows(spark, [(3, "c")]), t, branch="b"
-            )
-        # the SAME branch keeps stacking fine
+        write_iceberg_commit(_rows(spark, [(3, "c")]), t, branch="b")
+        # both stack independently; main sees neither
         write_iceberg_commit(_rows(spark, [(4, "d")]), t, branch="a")
+        assert _read(spark, t) == [(1, "a")]
+        assert _read(spark, t, ref="a") == [
+            (1, "a"), (2, "b"), (4, "d"),
+        ]
+        assert _read(spark, t, ref="b") == [(1, "a"), (3, "c")]
+        assert read_iceberg_changes(spark, t).count() == 1
         publish_iceberg_branch(spark, t, "a", drop_branch=True)
         assert _read(spark, t) == [(1, "a"), (2, "b"), (4, "d")]
+        # b's base predates a's publish: not a fast-forward
+        with pytest.raises(ValueError, match="not a fast-forward"):
+            publish_iceberg_branch(spark, t, "b")
+        drop_iceberg_ref(spark, t, "b")
+        # re-staged on the new main head, b publishes cleanly
+        write_iceberg_commit(_rows(spark, [(5, "e")]), t, branch="b")
+        publish_iceberg_branch(spark, t, "b", drop_branch=True)
+        assert _read(spark, t) == [
+            (1, "a"), (2, "b"), (4, "d"), (5, "e"),
+        ]
+        # the changelog never saw the ORPHANED first b-snapshot
+        ch = sorted(
+            r.id for r in read_iceberg_changes(spark, t).collect()
+        )
+        assert ch == [1, 2, 4, 5]
+
+    def test_sequential_branches_publish_independently(
+        self, spark, tmp_path
+    ):
+        """A branch created AFTER another published fast-forwards on
+        top of it — overlapping branch lifetimes, linear publishes."""
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t, branch="a")
+        publish_iceberg_branch(spark, t, "a", drop_branch=True)
+        write_iceberg_commit(_rows(spark, [(3, "c")]), t, branch="b")
+        publish_iceberg_branch(spark, t, "b", drop_branch=True)
+        assert _read(spark, t) == [(1, "a"), (2, "b"), (3, "c")]
+        assert read_iceberg_changes(spark, t).count() == 3
+
+    def test_expire_protects_unpublished_branch_chain(
+        self, spark, tmp_path
+    ):
+        """Snapshot expiration keeps the whole unpublished ancestor
+        closure of a branch alive — expiring a mid-branch snapshot
+        would break the publish fast-forward walk."""
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            expire_iceberg_snapshots,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t)
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t)
+        write_iceberg_commit(_rows(spark, [(3, "c")]), t, branch="w")
+        write_iceberg_commit(_rows(spark, [(4, "d")]), t, branch="w")
+        expire_iceberg_snapshots(spark, t, keep_last=1)
+        # both staged branch snapshots survived the expiry
+        publish_iceberg_branch(spark, t, "w", drop_branch=True)
+        assert _read(spark, t) == [
+            (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+        ]
 
     def test_fresh_table_branch_streams_nothing(self, spark, tmp_path):
         """Review finding: current-snapshot-id == -1 bypassed the
