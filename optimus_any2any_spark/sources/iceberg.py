@@ -1105,42 +1105,108 @@ def decode_bound(iceberg_type: str, b: bytes | None):
     return None
 
 
-def _identity_spec_fields(meta: dict) -> dict[int, list[tuple[str, str]]]:
+# identity partition source types whose manifest-tuple values this
+# reader can turn into the Spark column value. The Avro container
+# decodes logical types as their PHYSICAL representation (date as int
+# days, timestamps as long micros, decimal as big-endian unscaled
+# bytes) — _decode_partition_const converts. Types outside this set
+# (uuid, fixed, binary, time) are skipped entirely: their files keep
+# their stored column values (value-identical per the projection
+# rule), which is also the pre-substitution behavior.
+_CONST_RAW = {"int", "long", "string", "double", "float", "boolean"}
+
+
+def _decodable_partition_type(ice_t: str) -> bool:
+    return (
+        ice_t in _CONST_RAW
+        or ice_t in ("date", "timestamp", "timestamptz", "timestamp_ns")
+        or ice_t.startswith("decimal(")
+    )
+
+
+def _decode_partition_const(ice_t: str, v):
+    """Manifest partition tuple value → the Python value Spark's row
+    construction expects for the column's read type (spec: Column
+    Projection; Avro logical-type physical forms)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None or ice_t in _CONST_RAW:
+        return v
+    if ice_t == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    if ice_t == "timestamptz":
+        return _dt.datetime(
+            1970, 1, 1, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(microseconds=int(v))
+    if ice_t == "timestamp":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(v)
+        )
+    if ice_t == "timestamp_ns":  # v3; Spark timestamps are micros
+        return _dt.datetime(
+            1970, 1, 1, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(microseconds=int(v) // 1000)
+    if ice_t.startswith("decimal("):
+        scale = int(ice_t[:-1].split(",")[1])
+        unscaled = (
+            int.from_bytes(v, "big", signed=True)
+            if isinstance(v, (bytes, bytearray))
+            else int(v)
+        )
+        return _dec.Decimal(unscaled).scaleb(-scale)
+    raise NotImplementedError(
+        f"iceberg: identity partition constant of type {ice_t!r}"
+    )
+
+
+def _identity_spec_fields(
+    meta: dict,
+) -> dict[int, list[tuple[str, str, str]]]:
     """Per partition-spec-id, the IDENTITY fields as ``(partition
-    field name, source column name)`` pairs — the spec's Column
-    Projection constants map: for an identity partition field, a
-    row's source-column value IS the manifest entry's partition tuple
-    value. That rule is what makes hive-layout files registered by
-    ``add_iceberg_files`` readable (the partition column lives in the
-    directory name, not the file), and it is value-identical for
-    files that do carry the column (a file under partition ``p``
-    contains exactly ``p``'s rows). Non-identity fields and fields
-    whose source column left the current schema contribute nothing."""
+    field name, source column name, iceberg type)`` triples — the
+    spec's Column Projection constants map: for an identity partition
+    field, a row's source-column value IS the manifest entry's
+    partition tuple value. That rule is what makes hive-layout files
+    registered by ``add_iceberg_files`` readable (the partition
+    column lives in the directory name, not the file), and it is
+    value-identical for files that do carry the column (a file under
+    partition ``p`` contains exactly ``p``'s rows). Non-identity
+    fields, fields whose source column left the current schema, and
+    source types without a partition-constant decoding contribute
+    nothing (their files' stored values remain authoritative)."""
     by_id = {
         int(f["id"]): f for f in _current_schema(meta)["fields"]
     }
-    out: dict[int, list[tuple[str, str]]] = {}
+    out: dict[int, list[tuple[str, str, str]]] = {}
     for spec in meta.get("partition-specs") or []:
-        fields: list[tuple[str, str]] = []
+        fields: list[tuple[str, str, str]] = []
         for pf in spec.get("fields") or []:
             if str(pf.get("transform") or "") != "identity":
                 continue
             src = by_id.get(int(pf["source-id"]))
-            if src is None or not isinstance(src["type"], str):
+            if (
+                src is None
+                or not isinstance(src["type"], str)
+                or not _decodable_partition_type(src["type"])
+            ):
                 continue
             fields.append(
-                (pf.get("name") or src["name"], src["name"])
+                (pf.get("name") or src["name"], src["name"],
+                 src["type"])
             )
         out[int(spec.get("spec-id") or 0)] = fields
     return out
 
 
 def _entry_identity_consts(
-    meta: dict, id_specs: dict[int, list[tuple[str, str]]], ent: dict
+    meta: dict, id_specs: dict[int, list[tuple[str, str, str]]],
+    ent: dict
 ) -> dict[str, object]:
     """One data entry's identity constants: ``{source column:
-    partition value}`` under the entry's manifest spec (default spec
-    when the manifest-list row carries none — the v1 fallback)."""
+    decoded partition value}`` under the entry's manifest spec
+    (default spec when the manifest-list row carries none — the v1
+    fallback)."""
     p = ent.get("partition") or {}
     if not p:
         return {}
@@ -1148,8 +1214,8 @@ def _entry_identity_consts(
     if sid is None:
         sid = int(meta.get("default-spec-id", 0))
     return {
-        src: p[name]
-        for name, src in id_specs.get(int(sid), [])
+        src: _decode_partition_const(ice_t, p[name])
+        for name, src, ice_t in id_specs.get(int(sid), [])
         if name in p
     }
 
@@ -1187,6 +1253,38 @@ def _reader_default_fills(meta: dict) -> dict[str, object]:
     return out
 
 
+# footer column-name cache for the default-fill check: iceberg data
+# files are immutable (writers never rewrite a path in place), so one
+# footer read per path per process suffices — the changelog walks
+# overlapping entry sets up to 3x per snapshot and would otherwise
+# re-fetch the same footers every call. Bounded LRU, same discipline
+# as the jq/template compile caches.
+_FOOTER_NAMES_CACHE: "OrderedDict[str, frozenset | None]" = (
+    __import__("collections").OrderedDict()
+)
+_FOOTER_NAMES_CAP = 65536
+
+
+def _footer_column_names(path: str) -> frozenset | None:
+    """Top-level column names of one parquet footer, or None when the
+    file is unreadable (the data read will raise with the real
+    error). Cached per path — metadata-only, a few hundred bytes."""
+    c = _FOOTER_NAMES_CACHE
+    if path in c:
+        c.move_to_end(path)
+        return c[path]
+    import pyarrow.parquet as _pq
+
+    try:
+        names = frozenset(_pq.read_schema(path).names)
+    except OSError:
+        return None  # transient: do NOT cache unreadable
+    c[path] = names
+    if len(c) > _FOOTER_NAMES_CAP:
+        c.popitem(last=False)
+    return names
+
+
 def _projection_consts(
     meta: dict, data: list[dict]
 ) -> dict[str, dict[str, object]]:
@@ -1200,12 +1298,9 @@ def _projection_consts(
     consts = _identity_consts_by_basename(meta, data)
     fills = _reader_default_fills(meta)
     if fills:
-        import pyarrow.parquet as _pq
-
         for d in data:
-            try:
-                names = set(_pq.read_schema(d["path"]).names)
-            except OSError:
+            names = _footer_column_names(d["path"])
+            if names is None:
                 continue  # unreadable file: the data read will raise
             missing = {
                 c: v for c, v in fills.items() if c not in names
@@ -2639,7 +2734,18 @@ def _chain_authoritative(meta: dict) -> bool:
     history and list order is just storage. Legacy tables written
     before parent stamping (their merge/DML snapshots carry no
     pointer) are NOT authoritative: for them list order remains
-    history and the WAP discipline stays single-flight."""
+    history and the WAP discipline stays single-flight.
+
+    Tables CREATED by this writer carry ``optimus.parent-stamped``
+    in their properties and are authoritative by construction — the
+    structural heuristic below cannot tell a legitimate second
+    genesis (the first MAIN commit after a branch-first bootstrap,
+    which per spec has no parent) from a legacy unstamped snapshot,
+    and would demote such a table to list-order history, leaking the
+    unpublished branch into changelog/stream windows."""
+    props = meta.get("properties") or {}
+    if str(props.get("optimus.parent-stamped", "")).lower() == "true":
+        return True
     snaps = meta.get("snapshots") or []
     return all(
         s.get("parent-snapshot-id") is not None for s in snaps[1:]
@@ -2785,6 +2891,13 @@ def _hive_partition_values(
                 if raw.lower() not in ("true", "false"):
                     raise ValueError(raw)
                 out[pname] = raw.lower() == "true"
+            elif t == "date":
+                import datetime as _dt
+
+                out[pname] = (
+                    _dt.date.fromisoformat(raw)
+                    - _dt.date(1970, 1, 1)
+                ).days  # Avro physical form: int days-from-epoch
             else:
                 out[pname] = raw
         except ValueError:
@@ -2945,7 +3058,10 @@ def write_iceberg_commit(
                     if (
                         src is None
                         or not isinstance(src["type"], str)
-                        or src["type"] not in _AVRO_PRIM
+                        or (
+                            src["type"] not in _AVRO_PRIM
+                            and src["type"] != "date"
+                        )
                     ):
                         raise NotImplementedError(
                             "iceberg add_files: partition source "
@@ -2971,11 +3087,11 @@ def write_iceberg_commit(
                         f"item {item!r} is not 'name type'"
                     )
                 nm, t = toks
-                if t not in _AVRO_PRIM:
+                if t not in _AVRO_PRIM and t != "date":
                     raise NotImplementedError(
                         "iceberg add_files: partition type "
                         f"{t!r} is beyond the identity registration "
-                        f"({sorted(_AVRO_PRIM)})"
+                        f"({sorted(_AVRO_PRIM) + ['date']})"
                     )
                 add_part_fields.append((nm, nm, t))
         data_rel = []
@@ -3106,7 +3222,12 @@ def write_iceberg_commit(
         )
 
         add_manifest_schema = manifest_entry_schema(
-            [(pn, t) for pn, _src, t in add_part_fields]
+            # date rides as its Avro physical form (int days), same
+            # as the transform writers' avro_type_of_result
+            [
+                (pn, "int" if t == "date" else t)
+                for pn, _src, t in add_part_fields
+            ]
         )
     else:
         add_manifest_schema = _MANIFEST_ENTRY_SCHEMA
@@ -3371,7 +3492,21 @@ def write_iceberg_commit(
             if prev is not None
             else 0
         ),
-        "properties": (prev.get("properties") if prev else None) or {},
+        # tables CREATED by this writer are marked parent-stamped at
+        # birth: every later snapshot records its parent (or is a
+        # genuine genesis, e.g. the first main commit after a
+        # branch-first bootstrap), so ancestry — never list order —
+        # is history. Without the mark, a branch-first bootstrap's
+        # second (main) commit has no parent and the heuristic in
+        # _chain_authoritative would demote the table to list-order
+        # history, leaking the unpublished branch snapshot into the
+        # changelog/streams. Pre-existing tables keep whatever
+        # properties they have (the heuristic governs them).
+        "properties": (
+            (prev.get("properties") or {})
+            if prev is not None
+            else {"optimus.parent-stamped": "true"}
+        ),
         # a branch write leaves main (and therefore every default
         # reader) exactly where it was
         "current-snapshot-id": (
@@ -3543,6 +3678,7 @@ def add_iceberg_files(
     for p in paths:
         bn = os.path.basename(p)
         n_by_bn[bn] = n_by_bn.get(bn, 0) + 1
+    renamed: list[tuple[str, str]] = []  # (new, original)
     if any(c > 1 for c in n_by_bn.values()):
         decollided = []
         for p in paths:
@@ -3553,14 +3689,25 @@ def add_iceberg_files(
                 ).hex[:8]
                 np = os.path.join(os.path.dirname(p), f"{tok}-{bn}")
                 os.rename(p, np)
+                renamed.append((np, p))
                 decollided.append(np)
             else:
                 decollided.append(p)
         paths = decollided
-    df = spark.read.parquet(*paths)
-    return write_iceberg_commit(
-        df,
-        table_path,
-        add_files=paths,
-        add_partition_schema=partition_schema,
-    )
+    # registration can still refuse (schema mismatch, cross-call
+    # basename collision, unparseable hive path value) — a failed
+    # call must leave the SOURCE lake untouched, so the de-collision
+    # renames revert before the error propagates
+    try:
+        df = spark.read.parquet(*paths)
+        return write_iceberg_commit(
+            df,
+            table_path,
+            add_files=paths,
+            add_partition_schema=partition_schema,
+        )
+    except BaseException:
+        for np, orig in renamed:
+            if os.path.exists(np) and not os.path.exists(orig):
+                os.rename(np, orig)
+        raise

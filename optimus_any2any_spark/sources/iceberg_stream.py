@@ -74,9 +74,36 @@ def _load_meta(table_path: str) -> dict:
         return json.loads(f.read())
 
 
-def _added_files(table_path: str, snap: dict) -> list[str]:
-    """Data files ADDED by one snapshot (spec incremental append
-    scan); raises on non-append snapshots."""
+def _file_consts(
+    meta: dict,
+    id_specs: dict,
+    fills: dict,
+    path: str,
+    ent: dict,
+) -> dict:
+    """Column constants one streamed file must project — identity
+    partition values (authoritative, override stored columns) plus
+    v3 ``initial-default`` fills for files whose footer lacks the
+    column. Mirrors the batch reader's ``_projection_consts`` so a
+    table reads IDENTICALLY in batch and stream (hive-migrated
+    partition columns, defaulted columns)."""
+    consts = _ice._entry_identity_consts(meta, id_specs, ent)
+    if fills:
+        local = path[7:] if path.startswith("file://") else path
+        names = _ice._footer_column_names(local)
+        if names is None:
+            return consts  # unreadable file: the data read raises
+        for c, v in fills.items():
+            if c not in names:
+                consts.setdefault(c, v)
+    return consts
+
+
+def _added_files(
+    table_path: str, snap: dict, meta: dict
+) -> list[tuple[str, dict]]:
+    """``(data file, column constants)`` ADDED by one snapshot (spec
+    incremental append scan); raises on non-append snapshots."""
     read_container = _avro.read_container
     _localize = _ice._localize
 
@@ -86,7 +113,9 @@ def _added_files(table_path: str, snap: dict) -> list[str]:
             f"iceberg_tail: snapshot {snap['snapshot-id']} is {op!r} — "
             "the append stream contract is broken"
         )
-    files: list[str] = []
+    id_specs = _ice._identity_spec_fields(meta)
+    fills = _ice._reader_default_fills(meta)
+    files: list[tuple[str, dict]] = []
     _, manifests = read_container(
         _localize(table_path, snap["manifest-list"])
     )
@@ -99,15 +128,37 @@ def _added_files(table_path: str, snap: dict) -> list[str]:
                 int(e.get("status") or 0) == 1
                 and e.get("snapshot_id") == snap["snapshot-id"]
             ):
+                path = _localize(
+                    table_path, e["data_file"]["file_path"]
+                )
+                ent = {
+                    "partition": dict(
+                        e["data_file"].get("partition") or {}
+                    ),
+                    "spec_id": m.get("partition_spec_id"),
+                }
                 files.append(
-                    _localize(table_path, e["data_file"]["file_path"])
+                    (path, _file_consts(meta, id_specs, fills,
+                                        path, ent))
                 )
     return files
 
 
+class _ConstCol:
+    """Constant pseudo-column: any index returns the value (identity
+    partition / default fill overlay in the stream readers)."""
+
+    def __init__(self, v):
+        self.v = v
+
+    def __getitem__(self, _i):
+        return self.v
+
+
 class _IceFile(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, consts: dict | None = None):
         self.path = path
+        self.consts = consts or {}
 
 
 class IcebergTailStreamReader(DataSourceStreamReader):
@@ -195,8 +246,10 @@ class IcebergTailStreamReader(DataSourceStreamReader):
                 # adds no logical rows — the tail stream skips it,
                 # exactly like the changes reader
                 continue
-            for f in _added_files(self.table_path, snap):
-                out.append(_IceFile(f))
+            for f, consts in _added_files(
+                self.table_path, snap, meta
+            ):
+                out.append(_IceFile(f, consts))
         return out
 
     def read(self, partition: _IceFile) -> Iterator[tuple]:
@@ -207,6 +260,8 @@ class IcebergTailStreamReader(DataSourceStreamReader):
             name: table.column(name).to_pylist()
             for name in table.column_names
         }
+        for c, v in partition.consts.items():
+            cols[c] = _ConstCol(v)
         fields = [f.name for f in self.schema_.fields]
         for i in range(table.num_rows):
             yield tuple(cols[f][i] if f in cols else None for f in fields)
@@ -260,6 +315,7 @@ class _ChangeUnit(InputPartition):
         prior_eq: list | None = None,
         new_pos: list | None = None,
         new_eq: list | None = None,
+        consts: dict | None = None,
     ):
         self.kind = kind
         self.path = path
@@ -271,6 +327,7 @@ class _ChangeUnit(InputPartition):
         self.prior_eq = prior_eq or []
         self.new_pos = new_pos or []
         self.new_eq = new_eq or []
+        self.consts = consts or {}
 
 
 def _pos_erased(ent: dict, orig: str) -> set[int]:
@@ -360,6 +417,14 @@ class IcebergChangesStreamReader(IcebergTailStreamReader):
             if prev_sid is not None
             else ([], [], [])
         )
+        id_specs = _ice._identity_spec_fields(meta)
+        fills = _ice._reader_default_fills(meta)
+
+        def _consts(ent: dict) -> dict:
+            return _file_consts(
+                meta, id_specs, fills, ent["path"], ent
+            )
+
         out: list[InputPartition] = []
         for ordinal, snap in enumerate(window):
             s_id = snap["snapshot-id"]
@@ -380,6 +445,7 @@ class IcebergChangesStreamReader(IcebergTailStreamReader):
                             _ChangeUnit(
                                 "insert", e["path"], e["orig"],
                                 e["seq"], ordinal, s_id,
+                                consts=_consts(e),
                             )
                         )
                 prev_state = cur_state
@@ -455,6 +521,7 @@ class IcebergChangesStreamReader(IcebergTailStreamReader):
                         new_eq=[
                             q for q in new_eq if q["seq"] > fseq
                         ],
+                        consts=_consts(e),
                     )
                 )
             prev_state = cur_state
@@ -470,6 +537,11 @@ class IcebergChangesStreamReader(IcebergTailStreamReader):
             name: table.column(name).to_pylist()
             for name in table.column_names
         }
+        # identity/default constants overlay BEFORE row building AND
+        # eq-delete matching — a delete keyed on a hive-derived
+        # partition column must compare the path value, not None
+        for c, v in partition.consts.items():
+            cols[c] = _ConstCol(v)
         data_fields = [
             f.name
             for f in self.schema_.fields

@@ -3902,7 +3902,6 @@ def rollback_iceberg(
     ts_ms = snapshot_timestamp_ms(meta)
     snap = {
         "snapshot-id": new_snap_id,
-        "parent-snapshot-id": cur_id,
         "timestamp-ms": ts_ms,
         "sequence-number": seq,
         "summary": {
@@ -3910,6 +3909,10 @@ def rollback_iceberg(
             "rolled-back-to": str(snapshot_id),
         },
     }
+    # omit the key entirely for a None/-1 head: an explicit null
+    # parent would demote a heuristic-governed table to list-order
+    # history (_chain_authoritative)
+    _stamp_parent_snapshot(snap, meta)
     if ml is not None:
         snap["manifest-list"] = ml
     else:  # v1 inline-manifests form

@@ -262,3 +262,69 @@ class TestDefaultsCompose:
             f.write("2")
         with pytest.raises(NotImplementedError, match="NESTED field"):
             read_iceberg(spark, t)
+
+
+class TestReviewR13Pins:
+    def test_footer_cache_hits(self, spark, tmp_path, monkeypatch):
+        """Review finding: the default-fill footer check re-read every
+        parquet footer on each call (O(window x files) in changelog
+        builds). One footer read per path per process."""
+        import pyarrow.parquet as pq
+
+        from optimus_any2any_spark.sources import iceberg as ice
+
+        t = _mk(spark, tmp_path, [(1, "a")], "k long, v string")
+        add_iceberg_column_with_default(
+            t, "segment string", initial_default="LEGACY"
+        )
+        read_iceberg(spark, t).collect()  # warm the cache
+        calls = {"n": 0}
+        real = pq.read_schema
+
+        def counting(path, *a, **kw):
+            calls["n"] += 1
+            return real(path, *a, **kw)
+
+        monkeypatch.setattr(pq, "read_schema", counting)
+        got = sorted(
+            (r.k, r.segment)
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, "LEGACY")]
+        assert calls["n"] == 0  # every footer served from the cache
+
+    def test_default_fill_streams(self, spark, tmp_path):
+        """Review finding: the stream readers yielded None for
+        defaulted columns absent from pre-evolution files — batch and
+        stream must agree."""
+        import time
+
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailDataSource,
+        )
+
+        spark.dataSource.register(IcebergTailDataSource)
+        t = _mk(spark, tmp_path, [(1, "a")], "k long, v string")
+        add_iceberg_column_with_default(
+            t, "segment string", initial_default="LEGACY",
+            write_default="NEW",
+        )
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.format("iceberg_tail")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+        got = sorted(
+            (r.k, r.segment)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(1, "LEGACY")]

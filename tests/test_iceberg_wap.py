@@ -133,6 +133,11 @@ class TestWapFlow:
         meta = json.loads(open(p).read())
         for s in meta["snapshots"]:
             s.pop("parent-snapshot-id", None)
+        # a true legacy table was written before the creation-time
+        # authoritative mark existed — strip that too
+        (meta.get("properties") or {}).pop(
+            "optimus.parent-stamped", None
+        )
         with open(p, "w") as f:
             f.write(json.dumps(meta))
         write_iceberg_commit(_rows(spark, [(3, "c")]), t, branch="w")
@@ -467,3 +472,67 @@ class TestWapMultiBranch:
         run()  # crosses the replace snapshots without dying
         got = sorted(r.id for r in spark.read.parquet(out).collect())
         assert got == [1, 2, 3]  # rewritten rows never re-deliver
+
+
+class TestReviewR13Pins:
+    def test_branch_first_bootstrap_never_leaks(self, spark, tmp_path):
+        """Review finding: a FRESH table whose first commit targets a
+        branch, followed by a main write, produced a parentless main
+        snapshot that flipped the table to list-order history — the
+        unpublished branch row leaked into the changelog. The
+        creation-time ``optimus.parent-stamped`` mark keeps ancestry
+        authoritative, so the chain is [main] and nothing leaks."""
+        from optimus_any2any_spark.sources.iceberg import (
+            _chain_authoritative,
+            iceberg_main_chain,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t, branch="w")
+        write_iceberg_commit(_rows(spark, [(2, "b")]), t)
+        meta = load_table_metadata(t)
+        assert _chain_authoritative(meta)
+        chain = [s["snapshot-id"] for s in iceberg_main_chain(meta)]
+        assert chain == [meta["current-snapshot-id"]]
+        assert _read(spark, t) == [(2, "b")]
+        got = sorted(
+            (r.id, r.v)
+            for r in read_iceberg_changes(spark, t)
+            .select("id", "v")
+            .collect()
+        )
+        assert got == [(2, "b")]  # the staged (1,'a') never appears
+        # main advanced past the branch head: publish is no longer a
+        # fast-forward and refuses (real Iceberg's fast_forward
+        # contract); dropping the divergent branch stays available
+        with pytest.raises(ValueError, match="fast-forward"):
+            publish_iceberg_branch(spark, t, "w")
+        drop_iceberg_ref(spark, t, "w")
+        assert _read(spark, t) == [(2, "b")]
+
+    def test_rollback_omits_null_parent(self, spark, tmp_path):
+        """Review finding: rollback stamped ``parent-snapshot-id:
+        None`` when the main head was unset, which permanently demoted
+        heuristic-governed tables to list-order history. The key must
+        be OMITTED, never explicitly null."""
+        import json
+        import os
+
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            rollback_iceberg,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_rows(spark, [(1, "a")]), t, branch="w")
+        md = os.path.join(t, "metadata")
+        hint = int(open(os.path.join(md, "version-hint.text")).read())
+        meta = json.loads(
+            open(os.path.join(md, f"v{hint}.metadata.json")).read()
+        )
+        s1 = meta["snapshots"][0]["snapshot-id"]
+        assert meta.get("current-snapshot-id") in (None, -1)
+        rollback_iceberg(spark, t, s1)
+        meta2 = load_table_metadata(t)
+        rolled = meta2["snapshots"][-1]
+        assert rolled["summary"]["operation"] == "rollback"
+        assert "parent-snapshot-id" not in rolled

@@ -337,10 +337,17 @@ class TestIcebergAddFiles:
             [(1, "a")], "k long, dt string"
         ).write.partitionBy("dt").parquet(lake)
         files = sorted(glob.glob(os.path.join(lake, "*", "*.parquet")))
-        # partition type beyond the identity registration
+        # partition type beyond the identity registration (date IS
+        # supported since the hive-date extension; binary is not)
         with pytest.raises(NotImplementedError, match="partition type"):
             add_iceberg_files(
                 spark, str(tmp_path / "t1"), files,
+                partition_schema=["dt binary"],
+            )
+        # date-typed declaration over non-date path values refuses
+        with pytest.raises(ValueError, match="cannot parse path value"):
+            add_iceberg_files(
+                spark, str(tmp_path / "t1b"), files,
                 partition_schema=["dt date"],
             )
         # declared partition column missing from every file path
@@ -414,3 +421,157 @@ class TestIcebergAddFiles:
             add_iceberg_files(
                 spark, t, glob.glob(os.path.join(b, "*.parquet"))
             )
+
+
+class TestReviewR13Pins:
+    def test_hive_date_partition_migration(self, spark, tmp_path):
+        """Review finding: identity partition constants of logical
+        types reached Spark as raw Avro physical values and crashed
+        row construction. ``dt=YYYY-MM-DD/`` lakes (the most common
+        hive layout) now register with a DATE-typed partition column:
+        path values parse to int days in the manifest, reads decode
+        them back to dates."""
+        import datetime
+
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [
+                (1, "a", datetime.date(2026, 1, 1)),
+                (2, "b", datetime.date(2026, 1, 1)),
+                (3, "c", datetime.date(2026, 1, 2)),
+            ],
+            "k long, v string, dt date",
+        ).write.partitionBy("dt").parquet(lake)
+        files = sorted(
+            glob.glob(os.path.join(lake, "dt=*", "*.parquet"))
+        )
+        t = str(tmp_path / "tbl")
+        add_iceberg_files(
+            spark, t, files, partition_schema=["dt date"]
+        )
+        got = sorted(
+            (r.k, r.dt) for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [
+            (1, datetime.date(2026, 1, 1)),
+            (2, datetime.date(2026, 1, 1)),
+            (3, datetime.date(2026, 1, 2)),
+        ]
+        # partition pruning over the derived date constants
+        sub = read_iceberg(
+            spark, t,
+            key_range=("dt", datetime.date(2026, 1, 2),
+                       datetime.date(2026, 1, 2)),
+        )
+        assert sorted(r.k for r in sub.collect()) == [3]
+
+    def test_decode_partition_const_types(self):
+        """Foreign-table partition constants: Avro physical form →
+        the Python value Spark's row construction expects."""
+        import datetime
+        import decimal
+
+        from optimus_any2any_spark.sources.iceberg import (
+            _decode_partition_const,
+        )
+
+        assert _decode_partition_const("date", 20089) == datetime.date(
+            1970, 1, 1
+        ) + datetime.timedelta(days=20089)
+        ts = _decode_partition_const("timestamptz", 86_400_000_000)
+        assert ts == datetime.datetime(
+            1970, 1, 2, tzinfo=datetime.timezone.utc
+        )
+        nt = _decode_partition_const("timestamp", 1_000_000)
+        assert nt == datetime.datetime(1970, 1, 1, 0, 0, 1)
+        d = _decode_partition_const(
+            "decimal(9,2)", (12345).to_bytes(3, "big", signed=True)
+        )
+        assert d == decimal.Decimal("123.45")
+        assert _decode_partition_const("long", 7) == 7
+        assert _decode_partition_const("date", None) is None
+
+    def test_failed_registration_leaves_lake_untouched(
+        self, spark, tmp_path
+    ):
+        """Review finding: the same-call basename de-collision renamed
+        source files BEFORE validation, so a refused registration
+        left the lake permanently mutated. Renames must revert when
+        the commit refuses."""
+        d1 = str(tmp_path / "a")
+        d2 = str(tmp_path / "b")
+        spark.createDataFrame(
+            [(1, "x")], "k long, v string"
+        ).coalesce(1).write.parquet(d1)
+        spark.createDataFrame(
+            [(2, "y")], "k long, v string"
+        ).coalesce(1).write.parquet(d2)
+        f1 = sorted(glob.glob(os.path.join(d1, "*.parquet")))[0]
+        f2 = sorted(glob.glob(os.path.join(d2, "*.parquet")))[0]
+        # same basename in both dirs → de-collision renames kick in
+        bn = os.path.basename(f1)
+        f2b = os.path.join(d2, bn)
+        os.rename(f2, f2b)
+        # force a refusal AFTER the renames: partition_schema against
+        # an EXISTING table is the fresh-bootstrap-only error
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame([(9, "z")], "k long, v string"), t
+        )
+        with pytest.raises(ValueError, match="fresh-table bootstrap"):
+            add_iceberg_files(
+                spark, t, [f1, f2b],
+                partition_schema=["k long"],
+            )
+        assert os.path.exists(f1) and os.path.exists(f2b)
+        # no de-collision residue left behind in either directory
+        assert not glob.glob(os.path.join(d1, "*-part-*"))
+        assert not glob.glob(os.path.join(d2, "*-part-*"))
+        # a successful retry still works afterwards
+        t2 = str(tmp_path / "tbl2")
+        add_iceberg_files(spark, t2, [f1, f2b])
+        assert read_iceberg(spark, t2).count() == 2
+
+    def test_hive_partition_column_streams(self, spark, tmp_path):
+        """Review finding: the stream readers yielded None for
+        columns absent from the data file — a hive-migrated partition
+        column must stream with its path-derived value, identical to
+        the batch read."""
+        import time
+
+        from optimus_any2any_spark.sources.iceberg_stream import (
+            IcebergTailDataSource,
+        )
+
+        spark.dataSource.register(IcebergTailDataSource)
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p2")],
+            "k long, v string, prio string",
+        ).write.partitionBy("prio").parquet(lake)
+        files = sorted(
+            glob.glob(os.path.join(lake, "prio=*", "*.parquet"))
+        )
+        t = str(tmp_path / "tbl")
+        add_iceberg_files(
+            spark, t, files, partition_schema=["prio string"]
+        )
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            spark.readStream.format("iceberg_tail")
+            .option("path", t)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        time.sleep(0.2)
+        got = sorted(
+            (r.k, r.prio)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(1, "p1"), (2, "p2")]
