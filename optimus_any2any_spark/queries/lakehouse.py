@@ -3016,6 +3016,70 @@ def iceberg_add_files_partitioned(spark, sf_dir):
 
 
 @register(
+    "iceberg_add_files_hive_date",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS dt,
+             o_totalprice AS price
+      FROM orders
+    )
+    SELECT dt, COUNT(*) AS n_rows, {o_dsum('price')} AS sum_price
+    FROM base
+    WHERE dt BETWEEN DATE '1996-01-01' AND DATE '1996-12-01'
+    GROUP BY dt ORDER BY dt
+    """,
+    doc="DATE-typed hive migration (review r13): a dt=YYYY-MM-01/ "
+    "lake registers through add_iceberg_files with partition_schema "
+    "['dt date'] — path values parse to int days in the manifest "
+    "tuples (the Avro physical form), reads decode them back via "
+    "the identity-constant projection, and key_range over the date "
+    "column prunes whole month partitions (the tuple IS the bound; "
+    "migrated files carry no dt column at all). The most common "
+    "real-world lake layout: date-partitioned event logs.",
+    bench=False,
+)
+def iceberg_add_files_hive_date(spark, sf_dir):
+    import datetime as _dt
+    import glob as _glob
+
+    from optimus_any2any_spark.queries.util import dsum
+    from optimus_any2any_spark.sources.iceberg import (
+        add_iceberg_files,
+        read_iceberg,
+    )
+
+    lake = _fixture_dir("iceberg_hivedate_lake", sf_dir)
+    t = _fixture_dir("iceberg_hivedate_tbl", sf_dir)
+    base = load(spark, sf_dir, "orders").select(
+        F.trunc(F.to_date(F.col("o_orderdate")), "month").alias("dt"),
+        F.col("o_totalprice").alias("price"),
+    )
+    if base.isEmpty():
+        return spark.createDataFrame(
+            [], "dt date, n_rows long, sum_price double"
+        )
+    base.repartition(2).write.partitionBy("dt").parquet(lake)
+    files = sorted(
+        _glob.glob(os.path.join(lake, "*", "*.parquet"))
+    )
+    add_iceberg_files(spark, t, files, partition_schema=["dt date"])
+    snap = read_iceberg(
+        spark, t,
+        key_range=(
+            "dt", _dt.date(1996, 1, 1), _dt.date(1996, 12, 1)
+        ),
+    )
+    return (
+        snap.groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("price")).alias("sum_price"),
+        )
+        .orderBy("dt")
+    )
+
+
+@register(
     "iceberg_default_values_read",
     oracle=f"""
     WITH tagged AS (
