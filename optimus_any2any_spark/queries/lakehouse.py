@@ -3080,6 +3080,64 @@ def iceberg_add_files_hive_date(spark, sf_dir):
 
 
 @register(
+    "iceberg_partitions_metadata",
+    oracle="""
+    WITH base AS (
+      SELECT nullif(substr(o_orderpriority, 1, 1), '5') AS prio
+      FROM orders
+    )
+    SELECT prio, COUNT(*) AS record_count
+    FROM base GROUP BY prio ORDER BY prio NULLS FIRST
+    """,
+    doc="Iceberg `partitions` metadata table (spec inspection "
+    "surface, Spark's tbl.partitions): per live partition tuple, "
+    "data record/file totals plus gating delete-file counts — the "
+    "skew/compaction surface at 100 TB. Driver-side metadata decode "
+    "over the manifest entries (identity constants decode to their "
+    "logical values first). The oracle checks the record counts per "
+    "partition against a plain GROUP BY; file counts are physical "
+    "layout and pytest-pinned instead.",
+    bench=False,
+)
+def iceberg_partitions_metadata(spark, sf_dir):
+    import glob as _glob
+
+    from optimus_any2any_spark.sources.iceberg import (
+        add_iceberg_files,
+        read_iceberg_metadata,
+    )
+
+    lake = _fixture_dir("iceberg_pmeta_lake", sf_dir)
+    t = _fixture_dir("iceberg_pmeta_tbl", sf_dir)
+    prio = F.substring(F.col("o_orderpriority"), 1, 1)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(prio == "5", F.lit(None).cast("string"))
+        .otherwise(prio)
+        .alias("prio"),
+    )
+    if base.isEmpty():
+        return spark.createDataFrame(
+            [], "prio string, record_count long"
+        )
+    base.repartition(2).write.partitionBy("prio").parquet(lake)
+    files = sorted(
+        _glob.glob(os.path.join(lake, "*", "*.parquet"))
+    )
+    add_iceberg_files(
+        spark, t, files, partition_schema=["prio string"]
+    )
+    return (
+        read_iceberg_metadata(spark, t, "partitions")
+        .select(
+            F.col("partition")["prio"].alias("prio"),
+            F.col("record_count"),
+        )
+        .orderBy(F.col("prio").asc_nulls_first())
+    )
+
+
+@register(
     "iceberg_default_values_read",
     oracle=f"""
     WITH tagged AS (

@@ -1059,9 +1059,80 @@ def read_iceberg_metadata(
         return spark.createDataFrame(
             rows, "content int, file_path string, record_count long"
         )
+    if kind == "partitions":
+        # the spec's partitions inspection table: per live partition
+        # tuple, data file/record totals plus gating delete-file
+        # counts — the skew/compaction surface (a 100 TB table's hot
+        # partitions show up here before they show up as stragglers).
+        # Values render as strings keyed by partition field name
+        # (identity constants decode first, so dt=2026-01-01 prints
+        # as the date, not int days); the unpartitioned table is one
+        # row with an empty map.
+        data, pos_del, eq_del = _snapshot_entries(table_path, meta)
+        id_specs = _identity_spec_fields(meta)
+        typed = {
+            sid: {name: ice_t for name, _src, ice_t in fields}
+            for sid, fields in id_specs.items()
+        }
+
+        def _pkey(e: dict) -> tuple[int, tuple]:
+            sid = e.get("spec_id")
+            if sid is None:
+                sid = int(meta.get("default-spec-id", 0))
+            sid = int(sid)
+            p = e.get("partition") or {}
+            tmap = typed.get(sid, {})
+            vals = []
+            for name in sorted(p):
+                v = p[name]
+                if name in tmap:
+                    v = _decode_partition_const(tmap[name], v)
+                vals.append(
+                    (name, None if v is None else str(v))
+                )
+            return sid, tuple(vals)
+
+        agg: dict[tuple, list[int]] = {}
+        for e in data:
+            k = _pkey(e)
+            a = agg.setdefault(k, [0, 0, 0, 0])
+            a[0] += int(e.get("record_count") or 0)
+            a[1] += 1
+        for e in pos_del:
+            agg.setdefault(_pkey(e), [0, 0, 0, 0])[2] += 1
+        for e in eq_del:
+            agg.setdefault(_pkey(e), [0, 0, 0, 0])[3] += 1
+        rows = [
+            (
+                dict(vals),
+                sid,
+                a[0],
+                a[1],
+                a[2],
+                a[3],
+            )
+            for (sid, vals), a in sorted(
+                agg.items(),
+                # nulls first within a field, stable across specs
+                key=lambda kv: (
+                    kv[0][0],
+                    tuple(
+                        (n, v is not None, v or "")
+                        for n, v in kv[0][1]
+                    ),
+                ),
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition map<string,string>, spec_id int, "
+            "record_count long, file_count long, "
+            "position_delete_file_count long, "
+            "equality_delete_file_count long",
+        )
     raise ValueError(
         f"iceberg metadata table: unknown kind {kind!r} (snapshots / "
-        "history / refs / manifests / files)"
+        "history / refs / manifests / files / partitions)"
     )
 
 

@@ -836,3 +836,78 @@ class TestSortOrders:
             len([o for o in meta["sort-orders"] if o["order-id"] != 0])
             == 1
         )
+
+
+class TestPartitionsMetadataTable:
+    def test_partitions_counts_and_deletes(self, spark, tmp_path):
+        """`partitions` metadata table: per-tuple data record/file
+        totals; delete files count against their gating partition."""
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+            write_iceberg_commit,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame(
+                [], "k long, v string, ts long, p string"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [
+                    (1, "a", 0, "x"),
+                    (2, "b", 0, "x"),
+                    (3, "c", 0, "y"),
+                ],
+                "k long, v string, ts long, p string",
+            ),
+            t, "k", "ts", batch_id=1,
+        )
+        rows = {
+            tuple(sorted(r.partition.items())): (
+                r.record_count, r.file_count
+            )
+            for r in read_iceberg_metadata(
+                spark, t, "partitions"
+            ).collect()
+        }
+        assert rows[(("p", "x"),)][0] == 2
+        assert rows[(("p", "y"),)][0] == 1
+        assert all(fc >= 1 for _rc, fc in rows.values())
+        # a MoR delete adds a delete file; record_count tracks DATA
+        # entries (the spec's data_record_count), so it is unchanged
+        # until a rewrite erases the rows physically
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        got = read_iceberg_metadata(spark, t, "partitions").collect()
+        assert sum(
+            r.position_delete_file_count + r.equality_delete_file_count
+            for r in got
+        ) >= 1
+
+    def test_unpartitioned_single_row(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+            write_iceberg_commit,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b")], "k long, v string"
+            ),
+            t,
+        )
+        got = read_iceberg_metadata(spark, t, "partitions").collect()
+        assert len(got) == 1
+        assert got[0].partition == {}
+        assert got[0].record_count == 2
