@@ -224,6 +224,13 @@ def transform_column(
     serialized-bytes has no Catalyst builtin; it runs as an
     Arrow-batched pandas UDF)."""
     if transform == "identity":
+        if src_ice_type == "date":
+            # the manifest partition record stores the Avro PHYSICAL
+            # form (int days-from-epoch); readers decode back via
+            # _decode_partition_const — same convention as day()
+            return F.datediff(col, F.to_date(F.lit(_EPOCH))).cast(
+                "int"
+            )
         return col
     if transform in _TEMPORAL:
         if src_ice_type == "date":

@@ -393,7 +393,7 @@ def _parse_pspec(
                 "beyond this writer"
             )
         if tr == "identity":
-            if t not in _AVRO_PRIM:
+            if t not in _AVRO_PRIM and t != "date":
                 raise NotImplementedError(
                     f"iceberg {verb}: partition source type {t!r} "
                     "is beyond the identity writer"

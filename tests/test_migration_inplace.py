@@ -575,3 +575,68 @@ class TestReviewR13Pins:
             for r in spark.read.parquet(out).collect()
         )
         assert got == [(1, "p1"), (2, "p2")]
+
+    def test_merge_into_migrated_date_table(self, spark, tmp_path):
+        """The post-migration user journey: a dt=DATE/ hive lake
+        registers, then merge_iceberg_batch writes into the
+        date-identity-partitioned table — identity date tuples ride
+        as int days (Avro physical form) and read back as dates."""
+        import datetime
+
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+        )
+
+        d1 = datetime.date(2026, 1, 1)
+        d2 = datetime.date(2026, 1, 2)
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(1, "a", 0, d1), (2, "b", 0, d1), (3, "c", 0, d2)],
+            "k long, v string, ts long, dt date",
+        ).write.partitionBy("dt").parquet(lake)
+        files = sorted(
+            glob.glob(os.path.join(lake, "dt=*", "*.parquet"))
+        )
+        t = str(tmp_path / "tbl")
+        add_iceberg_files(
+            spark, t, files, partition_schema=["dt date"]
+        )
+        # a merge writes THROUGH the date identity spec: one update,
+        # one insert into a brand-new date partition
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1, d1), (9, "z", 1, datetime.date(2026, 2, 1))],
+                "k long, v string, ts long, dt date",
+            ),
+            t, "k", "ts", batch_id=1,
+        )
+        got = sorted(
+            (r.k, r.v, r.dt)
+            for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [
+            (1, "a", d1),
+            (2, "B", d1),
+            (3, "c", d2),
+            (9, "z", datetime.date(2026, 2, 1)),
+        ]
+        # pruning still works over the mixed migrated+written files
+        sub = read_iceberg(spark, t, key_range=("dt", d2, d2))
+        assert sorted(r.k for r in sub.collect()) == [3]
+        # partitions metadata decodes the int-days tuples to dates
+        parts = {
+            r.partition["dt"]: r.record_count
+            for r in read_iceberg_metadata(
+                spark, t, "partitions"
+            ).collect()
+        }
+        assert parts["2026-01-01"] == 2
+        assert parts["2026-02-01"] == 1
+        # delete in one date partition leaves the others untouched
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(3,)], "k long")
+        )
+        assert sorted(
+            r.k for r in read_iceberg(spark, t).collect()
+        ) == [1, 2, 9]
