@@ -924,7 +924,11 @@ def read_iceberg_metadata(
       added_snapshot_id;
     - ``files``: content, file_path, file_format, record_count,
       file_size_in_bytes (current snapshot; delete files included
-      with their spec content codes).
+      with their spec content codes);
+    - ``partitions``: per live partition tuple (values rendered as
+      strings, identity constants decoded first), spec_id, data
+      record/file totals and gating position/equality delete-file
+      counts — the skew/compaction inspection surface.
 
     All driver-side metadata decode (KB–MB of JSON/Avro — the same
     scale every Iceberg client pays), emitted as a DataFrame so the
@@ -1190,7 +1194,10 @@ _CONST_RAW = {"int", "long", "string", "double", "float", "boolean"}
 def _decodable_partition_type(ice_t: str) -> bool:
     return (
         ice_t in _CONST_RAW
-        or ice_t in ("date", "timestamp", "timestamptz", "timestamp_ns")
+        or ice_t in (
+            "date", "timestamp", "timestamptz",
+            "timestamp_ns", "timestamptz_ns",
+        )
         or ice_t.startswith("decimal(")
     )
 
@@ -1214,7 +1221,11 @@ def _decode_partition_const(ice_t: str, v):
         return _dt.datetime(1970, 1, 1) + _dt.timedelta(
             microseconds=int(v)
         )
-    if ice_t == "timestamp_ns":  # v3; Spark timestamps are micros
+    if ice_t == "timestamp_ns":  # v3 tz-LESS; Spark stores micros
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(v) // 1000
+        )
+    if ice_t == "timestamptz_ns":  # v3 instant variant
         return _dt.datetime(
             1970, 1, 1, tzinfo=_dt.timezone.utc
         ) + _dt.timedelta(microseconds=int(v) // 1000)
@@ -1330,7 +1341,7 @@ def _reader_default_fills(meta: dict) -> dict[str, object]:
 # overlapping entry sets up to 3x per snapshot and would otherwise
 # re-fetch the same footers every call. Bounded LRU, same discipline
 # as the jq/template compile caches.
-_FOOTER_NAMES_CACHE: "OrderedDict[str, frozenset | None]" = (
+_FOOTER_NAMES_CACHE: "OrderedDict[tuple, frozenset]" = (
     __import__("collections").OrderedDict()
 )
 _FOOTER_NAMES_CAP = 65536
@@ -1339,18 +1350,31 @@ _FOOTER_NAMES_CAP = 65536
 def _footer_column_names(path: str) -> frozenset | None:
     """Top-level column names of one parquet footer, or None when the
     file is unreadable (the data read will raise with the real
-    error). Cached per path — metadata-only, a few hundred bytes."""
+    error). Cached per (path, size, mtime) — a same-path rebuild
+    (fixtures rmtree + recreate deterministic file names) must never
+    serve the old footer's shape; the stat is ~100× cheaper than the
+    footer read it saves."""
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+    except OSError:
+        return None
+    key = (path, st.st_size, st.st_mtime_ns)
     c = _FOOTER_NAMES_CACHE
-    if path in c:
-        c.move_to_end(path)
-        return c[path]
+    if key in c:
+        c.move_to_end(key)
+        return c[key]
     import pyarrow.parquet as _pq
 
     try:
         names = frozenset(_pq.read_schema(path).names)
-    except OSError:
-        return None  # transient: do NOT cache unreadable
-    c[path] = names
+    except (OSError, ValueError):
+        # ValueError covers pyarrow's ArrowInvalid (corrupt footer):
+        # defer to the executor data read for the real error.
+        # Transient: do NOT cache unreadable.
+        return None
+    c[key] = names
     if len(c) > _FOOTER_NAMES_CAP:
         c.popitem(last=False)
     return names
@@ -3750,26 +3774,28 @@ def add_iceberg_files(
         bn = os.path.basename(p)
         n_by_bn[bn] = n_by_bn.get(bn, 0) + 1
     renamed: list[tuple[str, str]] = []  # (new, original)
-    if any(c > 1 for c in n_by_bn.values()):
-        decollided = []
-        for p in paths:
-            bn = os.path.basename(p)
-            if n_by_bn[bn] > 1:
-                tok = uuid.uuid5(
-                    uuid.NAMESPACE_URL, os.path.dirname(p)
-                ).hex[:8]
-                np = os.path.join(os.path.dirname(p), f"{tok}-{bn}")
-                os.rename(p, np)
-                renamed.append((np, p))
-                decollided.append(np)
-            else:
-                decollided.append(p)
-        paths = decollided
-    # registration can still refuse (schema mismatch, cross-call
-    # basename collision, unparseable hive path value) — a failed
-    # call must leave the SOURCE lake untouched, so the de-collision
-    # renames revert before the error propagates
+    # anything past this point can fail (a rename itself, schema
+    # mismatch, cross-call basename collision, unparseable hive path
+    # value) — a failed call must leave the SOURCE lake untouched, so
+    # every performed rename reverts before the error propagates
     try:
+        if any(c > 1 for c in n_by_bn.values()):
+            decollided = []
+            for p in paths:
+                bn = os.path.basename(p)
+                if n_by_bn[bn] > 1:
+                    tok = uuid.uuid5(
+                        uuid.NAMESPACE_URL, os.path.dirname(p)
+                    ).hex[:8]
+                    np = os.path.join(
+                        os.path.dirname(p), f"{tok}-{bn}"
+                    )
+                    os.rename(p, np)
+                    renamed.append((np, p))
+                    decollided.append(np)
+                else:
+                    decollided.append(p)
+            paths = decollided
         df = spark.read.parquet(*paths)
         return write_iceberg_commit(
             df,

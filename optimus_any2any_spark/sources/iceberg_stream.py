@@ -100,10 +100,16 @@ def _file_consts(
 
 
 def _added_files(
-    table_path: str, snap: dict, meta: dict
+    table_path: str,
+    snap: dict,
+    meta: dict,
+    id_specs: dict | None = None,
+    fills: dict | None = None,
 ) -> list[tuple[str, dict]]:
     """``(data file, column constants)`` ADDED by one snapshot (spec
-    incremental append scan); raises on non-append snapshots."""
+    incremental append scan); raises on non-append snapshots.
+    ``id_specs``/``fills`` are meta-derived — pass them when calling
+    per snapshot of a window so they compute once per planning call."""
     read_container = _avro.read_container
     _localize = _ice._localize
 
@@ -113,8 +119,10 @@ def _added_files(
             f"iceberg_tail: snapshot {snap['snapshot-id']} is {op!r} — "
             "the append stream contract is broken"
         )
-    id_specs = _ice._identity_spec_fields(meta)
-    fills = _ice._reader_default_fills(meta)
+    if id_specs is None:
+        id_specs = _ice._identity_spec_fields(meta)
+    if fills is None:
+        fills = _ice._reader_default_fills(meta)
     files: list[tuple[str, dict]] = []
     _, manifests = read_container(
         _localize(table_path, snap["manifest-list"])
@@ -237,6 +245,8 @@ class IcebergTailStreamReader(DataSourceStreamReader):
             self._pos_after(chain, start):self._pos_after(chain, end)
         ]
         out: list[InputPartition] = []
+        id_specs = _ice._identity_spec_fields(meta)
+        fills = _ice._reader_default_fills(meta)
         for snap in window:
             op = (snap.get("summary") or {}).get(
                 "operation", "append"
@@ -247,7 +257,7 @@ class IcebergTailStreamReader(DataSourceStreamReader):
                 # exactly like the changes reader
                 continue
             for f, consts in _added_files(
-                self.table_path, snap, meta
+                self.table_path, snap, meta, id_specs, fills
             ):
                 out.append(_IceFile(f, consts))
         return out

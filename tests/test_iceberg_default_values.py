@@ -328,3 +328,34 @@ class TestReviewR13Pins:
             for r in spark.read.parquet(out).collect()
         )
         assert got == [(1, "LEGACY")]
+
+    def test_footer_cache_not_stale_across_rebuild(
+        self, spark, tmp_path
+    ):
+        """Review finding: a path-keyed footer cache served the OLD
+        footer shape after a fixture-style rmtree+rebuild reused the
+        same file names — the default fill would then override real
+        stored values. The cache keys on (path, size, mtime)."""
+        import shutil
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame([(1, "a")], "k long, v string"), t
+        )
+        add_iceberg_column_with_default(
+            t, "segment string", initial_default="LEGACY"
+        )
+        assert [
+            r.segment for r in read_iceberg(spark, t).collect()
+        ] == ["LEGACY"]  # cache warms on the column-less file
+        shutil.rmtree(t)
+        # rebuild at the SAME path, now with the column PRESENT in
+        # the (same-named) data file
+        write_iceberg_commit(
+            spark.createDataFrame(
+                [(1, "a", "REAL")], "k long, v string, segment string"
+            ),
+            t,
+        )
+        got = [r.segment for r in read_iceberg(spark, t).collect()]
+        assert got == ["REAL"]  # stored value, never the stale fill

@@ -490,6 +490,12 @@ class TestReviewR13Pins:
         assert d == decimal.Decimal("123.45")
         assert _decode_partition_const("long", 7) == 7
         assert _decode_partition_const("date", None) is None
+        # v3 nanosecond variants: timestamp_ns is the tz-LESS type
+        ns = _decode_partition_const("timestamp_ns", 1_500)
+        assert ns == datetime.datetime(1970, 1, 1, 0, 0, 0, 1)
+        assert ns.tzinfo is None
+        tzns = _decode_partition_const("timestamptz_ns", 1_500)
+        assert tzns.tzinfo is datetime.timezone.utc
 
     def test_failed_registration_leaves_lake_untouched(
         self, spark, tmp_path
