@@ -3323,6 +3323,7 @@ def expire_iceberg_snapshots(
     table_path: str,
     keep_last: int = 1,
     older_than=None,
+    now_ms: int | None = None,
 ) -> list[str]:
     """``expire_snapshots``: drop all but the newest ``keep_last``
     snapshots from the table metadata and DELETE every file (manifest
@@ -3340,7 +3341,13 @@ def expire_iceberg_snapshots(
     AGE-based expiration — Iceberg's ``expireOlderThan`` composed with
     ``retainLast``: only snapshots whose ``timestamp-ms`` is strictly
     before the cutoff expire, and the newest ``keep_last`` are always
-    retained regardless of age."""
+    retained regardless of age.
+
+    Refs carrying the spec's ``max-ref-age-ms`` (``set_iceberg_ref``)
+    age out FIRST: a non-main ref whose pointed-at snapshot is older
+    than its limit (vs ``now_ms``, default wall clock) is dropped in
+    the same expiration commit, releasing its snapshots to the
+    ordinary retention rules — Iceberg's bounded-life tags."""
     if keep_last < 1:
         raise ValueError("iceberg expire: keep_last must be >= 1")
     md = _meta_dir(table_path)
@@ -3365,8 +3372,30 @@ def expire_iceberg_snapshots(
         s["snapshot-id"] for s in iceberg_main_chain(meta)
     ]
     main_ids = set(_chain_ids)
+    # max-ref-age-ms: aged-out non-main refs drop BEFORE protection,
+    # so their snapshots fall through to the ordinary retention rules
+    live_refs = dict(meta.get("refs") or {})
+    aged_out: list[str] = []
+    if any(
+        r.get("max-ref-age-ms") is not None
+        for n, r in live_refs.items()
+        if n != "main"
+    ):
+        if now_ms is None:
+            import time as _time
+
+            now_ms = int(_time.time() * 1000)
+        for name, r in list(live_refs.items()):
+            mra = r.get("max-ref-age-ms")
+            if name == "main" or mra is None:
+                continue
+            head = by_sid.get(int(r["snapshot-id"]))
+            ts = int((head or {}).get("timestamp-ms") or 0)
+            if int(now_ms) - ts > int(mra):
+                aged_out.append(name)
+                del live_refs[name]
     protected: set[int] = set()
-    for r in (meta.get("refs") or {}).values():
+    for r in live_refs.values():
         sid = int(r["snapshot-id"])
         protected.add(sid)
         while (
@@ -3400,7 +3429,23 @@ def expire_iceberg_snapshots(
         ]
     else:
         expired = candidates
+    if not expired and not aged_out:
+        return []
     if not expired:
+        # only refs aged out this run: persist the ref drop as its
+        # own metadata version (no files to delete)
+        meta = dict(meta)
+        meta["refs"] = live_refs
+        version = prev_version + 1
+        path = os.path.join(md, f"v{version}.metadata.json")
+        tmpp = path + ".tmp"
+        with open(tmpp, "w") as f:
+            f.write(json.dumps(meta, indent=2))
+        os.replace(tmpp, path)
+        tmph = hint + ".tmp"
+        with open(tmph, "w") as f:
+            f.write(str(version))
+        os.replace(tmph, hint)
         return []
     expired_ids = {s["snapshot-id"] for s in expired}
     keep = [s for s in snaps if s["snapshot-id"] not in expired_ids]
@@ -3450,6 +3495,8 @@ def expire_iceberg_snapshots(
             gone.append(ref)
     meta = dict(meta)
     meta["snapshots"] = keep
+    if aged_out:
+        meta["refs"] = live_refs
     kept_ids = {s["snapshot-id"] for s in keep}
     if meta.get("snapshot-log"):
         meta["snapshot-log"] = [
@@ -3693,6 +3740,7 @@ def set_iceberg_ref(
     name: str,
     snapshot_id: int | None = None,
     ref_type: str = "tag",
+    max_ref_age_ms: int | None = None,
 ) -> int:
     """CREATE TAG / CREATE BRANCH (spec "Snapshot References"): record
     ``refs[name] = {snapshot-id, type}`` in the table metadata as a
@@ -3701,7 +3749,13 @@ def set_iceberg_ref(
     ``expire_iceberg_snapshots`` until the ref is dropped — the
     retention contract that makes tags a durable audit surface.
     Writers keep ``refs.main`` in step with ``current-snapshot-id``
-    (``advance_main_ref``)."""
+    (``advance_main_ref``).
+
+    ``max_ref_age_ms`` stores the spec's ``max-ref-age-ms``: during
+    snapshot expiration, a non-main ref older than this (measured
+    from the timestamp of the snapshot it points to) is DROPPED and
+    its snapshots become ordinary expiry candidates — bounded-life
+    tags (`RETAIN n DAYS`) without a manual drop step."""
     if ref_type not in ("tag", "branch"):
         raise ValueError(
             f"iceberg ref: type must be tag or branch, not {ref_type!r}"
@@ -3724,7 +3778,14 @@ def set_iceberg_ref(
         )
     meta = dict(meta)
     refs = dict(meta.get("refs") or {})
-    refs[name] = {"snapshot-id": int(snapshot_id), "type": ref_type}
+    ref: dict = {"snapshot-id": int(snapshot_id), "type": ref_type}
+    if max_ref_age_ms is not None:
+        if int(max_ref_age_ms) <= 0:
+            raise ValueError(
+                "iceberg ref: max_ref_age_ms must be positive"
+            )
+        ref["max-ref-age-ms"] = int(max_ref_age_ms)
+    refs[name] = ref
     meta["refs"] = refs
     version = prev_version + 1
     path = os.path.join(md, f"v{version}.metadata.json")

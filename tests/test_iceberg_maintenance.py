@@ -911,3 +911,100 @@ class TestPartitionsMetadataTable:
         assert len(got) == 1
         assert got[0].partition == {}
         assert got[0].record_count == 2
+
+
+class TestMaxRefAge:
+    """Spec max-ref-age-ms: bounded-life refs age out during snapshot
+    expiration, releasing their snapshots to ordinary retention."""
+
+    def test_aged_tag_drops_and_releases(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        set_iceberg_ref(
+            spark, t, "audit-v1", ref_type="tag",
+            max_ref_age_ms=1000,
+        )
+        write_iceberg_commit(_kv(spark, [(2, "b", 0)]).coalesce(1), t)
+        meta = load_table_metadata(t)
+        assert meta["refs"]["audit-v1"]["max-ref-age-ms"] == 1000
+        s1_ts = int(meta["snapshots"][0]["timestamp-ms"])
+        # young ref: protected, nothing expires
+        gone = expire_iceberg_snapshots(
+            spark, t, keep_last=1, now_ms=s1_ts + 500
+        )
+        assert gone == []
+        assert "audit-v1" in load_table_metadata(t)["refs"]
+        # aged past the limit: the ref drops and the tagged snapshot
+        # expires under keep_last=1 in the SAME run
+        gone = expire_iceberg_snapshots(
+            spark, t, keep_last=1, now_ms=s1_ts + 5000
+        )
+        assert gone  # the released snapshot's files were reclaimed
+        meta = load_table_metadata(t)
+        assert "audit-v1" not in (meta.get("refs") or {})
+        assert len(meta["snapshots"]) == 1
+        assert _snap(spark, t) == [(1, "a"), (2, "b")]
+
+    def test_ref_only_aging_persists(self, spark, tmp_path):
+        """A run where the aged ref points AT the retained snapshot:
+        no snapshot expires, but the ref drop still commits."""
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        set_iceberg_ref(
+            spark, t, "old-tag", ref_type="tag", max_ref_age_ms=10
+        )
+        meta = load_table_metadata(t)
+        ts = int(meta["snapshots"][0]["timestamp-ms"])
+        gone = expire_iceberg_snapshots(
+            spark, t, keep_last=1, now_ms=ts + 999_999
+        )
+        assert gone == []
+        meta = load_table_metadata(t)
+        assert "old-tag" not in (meta.get("refs") or {})
+        assert len(meta["snapshots"]) == 1  # current stays
+
+    def test_no_limit_means_forever(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        set_iceberg_ref(spark, t, "keep-me", ref_type="tag")
+        write_iceberg_commit(_kv(spark, [(2, "b", 0)]).coalesce(1), t)
+        meta = load_table_metadata(t)
+        ts = int(meta["snapshots"][0]["timestamp-ms"])
+        expire_iceberg_snapshots(
+            spark, t, keep_last=1, now_ms=ts + 10**12
+        )
+        assert "keep-me" in load_table_metadata(t)["refs"]
+        assert len(load_table_metadata(t)["snapshots"]) == 2
+
+    def test_validation(self, spark, tmp_path):
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            set_iceberg_ref,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(_kv(spark, [(1, "a", 0)]).coalesce(1), t)
+        with pytest.raises(ValueError, match="positive"):
+            set_iceberg_ref(
+                spark, t, "bad", ref_type="tag", max_ref_age_ms=0
+            )
