@@ -928,7 +928,12 @@ def read_iceberg_metadata(
     - ``partitions``: per live partition tuple (values rendered as
       strings, identity constants decoded first), spec_id, data
       record/file totals and gating position/equality delete-file
-      counts — the skew/compaction inspection surface.
+      counts — the skew/compaction inspection surface;
+    - ``entries``: the live manifest entries of the current snapshot
+      (content code, file path, effective sequence number, record
+      count, partition tuple as strings) — the debugging surface for
+      delete-gating questions ("which files does this delete still
+      gate?"), one row per live entry.
 
     All driver-side metadata decode (KB–MB of JSON/Avro — the same
     scale every Iceberg client pays), emitted as a DataFrame so the
@@ -1134,9 +1139,53 @@ def read_iceberg_metadata(
             "position_delete_file_count long, "
             "equality_delete_file_count long",
         )
+    if kind == "entries":
+        data, pos_del, eq_del = _snapshot_entries(table_path, meta)
+        id_specs = _identity_spec_fields(meta)
+        typed = {
+            sid: {name: ice_t for name, _src, ice_t in fields}
+            for sid, fields in id_specs.items()
+        }
+
+        def _pstr(e: dict) -> dict:
+            sid = e.get("spec_id")
+            if sid is None:
+                sid = int(meta.get("default-spec-id", 0))
+            tmap = typed.get(int(sid), {})
+            out = {}
+            for name, v in sorted((e.get("partition") or {}).items()):
+                if name in tmap:
+                    v = _decode_partition_const(tmap[name], v)
+                out[name] = None if v is None else str(v)
+            return out
+
+        rows = []
+        for content, ents in ((0, data), (1, pos_del), (2, eq_del)):
+            for e in ents:
+                c = content
+                if content == 1 and e.get("equality_ids"):
+                    c = 2
+                rows.append(
+                    (
+                        c,
+                        e["orig"],
+                        int(e["seq"]),
+                        (
+                            None
+                            if e.get("record_count") is None
+                            else int(e["record_count"])
+                        ),
+                        _pstr(e),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, sequence_number long, "
+            "record_count long, partition map<string,string>",
+        )
     raise ValueError(
         f"iceberg metadata table: unknown kind {kind!r} (snapshots / "
-        "history / refs / manifests / files / partitions)"
+        "history / refs / manifests / files / partitions / entries)"
     )
 
 

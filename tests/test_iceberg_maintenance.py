@@ -1008,3 +1008,65 @@ class TestMaxRefAge:
             set_iceberg_ref(
                 spark, t, "bad", ref_type="tag", max_ref_age_ms=0
             )
+
+
+class TestEntriesMetadataTable:
+    def test_entries_sequence_and_partition(self, spark, tmp_path):
+        """`entries`: live manifest entries with effective sequence
+        numbers — a MoR delete's entry outranks the data files it
+        gates (seq inheritance), partition tuples render decoded."""
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+            write_iceberg_commit,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            delete_iceberg_keys,
+            merge_iceberg_batch,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame(
+                [], "k long, v string, ts long, p string"
+            ),
+            t,
+            partition_by=["p"],
+        )
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(1, "a", 0, "x"), (2, "b", 0, "y")],
+                "k long, v string, ts long, p string",
+            ),
+            t, "k", "ts", batch_id=1,
+        )
+        delete_iceberg_keys(
+            spark, t, "k", spark.createDataFrame([(1,)], "k long")
+        )
+        ents = read_iceberg_metadata(spark, t, "entries").collect()
+        data = [e for e in ents if e.content == 0]
+        dels = [e for e in ents if e.content in (1, 2)]
+        assert len(data) >= 2 and len(dels) >= 1
+        assert {e.partition.get("p") for e in data} == {"x", "y"}
+        # the delete entry's sequence outranks every data entry it
+        # gates (v2 sequence-number ordering)
+        assert max(e.sequence_number for e in dels) > min(
+            e.sequence_number for e in data
+        )
+        assert all(
+            e.record_count >= 1 for e in data
+        )
+
+    def test_entries_empty_table(self, spark, tmp_path):
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+            write_iceberg_commit,
+        )
+
+        t = str(tmp_path / "tbl")
+        write_iceberg_commit(
+            spark.createDataFrame([], "k long, v string"), t
+        )
+        assert (
+            read_iceberg_metadata(spark, t, "entries").count() == 0
+        )
