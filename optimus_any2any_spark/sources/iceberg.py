@@ -3042,6 +3042,24 @@ def _hive_partition_values(
                     _dt.date.fromisoformat(raw)
                     - _dt.date(1970, 1, 1)
                 ).days  # Avro physical form: int days-from-epoch
+            elif t in ("timestamp", "timestamptz"):
+                import datetime as _dt
+
+                # Spark hive layouts render timestamps as
+                # 'yyyy-MM-dd HH:mm:ss[.ffffff]' (tz-free wall
+                # clock; the UTC-pinned session makes timestamptz
+                # values UTC instants). Physical form: long micros.
+                dt = _dt.datetime.fromisoformat(raw)
+                if dt.tzinfo is not None:
+                    dt = dt.astimezone(_dt.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                d = dt - _dt.datetime(1970, 1, 1)
+                out[pname] = (
+                    d.days * 86_400_000_000
+                    + d.seconds * 1_000_000
+                    + d.microseconds
+                )  # exact integer micros, no float round-trip
             else:
                 out[pname] = raw
         except ValueError:
@@ -3204,7 +3222,8 @@ def write_iceberg_commit(
                         or not isinstance(src["type"], str)
                         or (
                             src["type"] not in _AVRO_PRIM
-                            and src["type"] != "date"
+                            and src["type"]
+                            not in ("date", "timestamp", "timestamptz")
                         )
                     ):
                         raise NotImplementedError(
@@ -3231,11 +3250,13 @@ def write_iceberg_commit(
                         f"item {item!r} is not 'name type'"
                     )
                 nm, t = toks
-                if t not in _AVRO_PRIM and t != "date":
+                if t not in _AVRO_PRIM and t not in (
+                    "date", "timestamp", "timestamptz"
+                ):
                     raise NotImplementedError(
                         "iceberg add_files: partition type "
                         f"{t!r} is beyond the identity registration "
-                        f"({sorted(_AVRO_PRIM) + ['date']})"
+                        f"({sorted(_AVRO_PRIM) + ['date', 'timestamp', 'timestamptz']})"
                     )
                 add_part_fields.append((nm, nm, t))
         data_rel = []
@@ -3365,13 +3386,15 @@ def write_iceberg_commit(
             manifest_entry_schema,
         )
 
+        from optimus_any2any_spark.sources.iceberg_transforms import (
+            avro_type_of_result as _avro_t,
+        )
+
         add_manifest_schema = manifest_entry_schema(
-            # date rides as its Avro physical form (int days), same
-            # as the transform writers' avro_type_of_result
-            [
-                (pn, "int" if t == "date" else t)
-                for pn, _src, t in add_part_fields
-            ]
+            # logical types ride as their Avro physical form (date →
+            # int days, timestamps → long micros), same mapping as
+            # the transform writers
+            [(pn, _avro_t(t)) for pn, _src, t in add_part_fields]
         )
     else:
         add_manifest_schema = _MANIFEST_ENTRY_SCHEMA

@@ -231,6 +231,9 @@ def transform_column(
             return F.datediff(col, F.to_date(F.lit(_EPOCH))).cast(
                 "int"
             )
+        if src_ice_type in ("timestamp", "timestamptz"):
+            # long epoch micros, the timestamps' physical form
+            return _epoch_micros(col, src_ice_type)
         return col
     if transform in _TEMPORAL:
         if src_ice_type == "date":
@@ -310,14 +313,20 @@ def _bucket_column(col: Column, src_ice_type: str, n: int) -> Column:
 
 def spark_type_of_result(res_ice_type: str) -> str:
     """Spark DDL type of a transform's partition value as this writer
-    materializes it (day → int days-from-epoch)."""
+    materializes it (day → int days-from-epoch, timestamps → long
+    epoch micros)."""
     return {
         "int": "int", "date": "int", "long": "long", "string": "string",
         "double": "double", "float": "float", "boolean": "boolean",
+        "timestamp": "long", "timestamptz": "long",
     }[res_ice_type]
 
 
 def avro_type_of_result(res_ice_type: str) -> str:
     """Avro primitive backing a transform's partition value in the
     manifest entry's partition record."""
-    return "int" if res_ice_type == "date" else res_ice_type
+    if res_ice_type == "date":
+        return "int"
+    if res_ice_type in ("timestamp", "timestamptz"):
+        return "long"
+    return res_ice_type

@@ -393,7 +393,9 @@ def _parse_pspec(
                 "beyond this writer"
             )
         if tr == "identity":
-            if t not in _AVRO_PRIM and t != "date":
+            if t not in _AVRO_PRIM and t not in (
+                "date", "timestamp", "timestamptz"
+            ):
                 raise NotImplementedError(
                     f"iceberg {verb}: partition source type {t!r} "
                     "is beyond the identity writer"

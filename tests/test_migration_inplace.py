@@ -646,3 +646,54 @@ class TestReviewR13Pins:
         assert sorted(
             r.k for r in read_iceberg(spark, t).collect()
         ) == [1, 2, 9]
+
+    def test_hive_timestamp_partition_migration(self, spark, tmp_path):
+        """Identity timestamp/timestamptz hive partitions: path values
+        ('yyyy-MM-dd HH:mm:ss') parse to exact long micros, reads
+        decode back, and a merge writes through the spec."""
+        import datetime
+
+        from optimus_any2any_spark.sources.iceberg import (
+            read_iceberg_metadata,
+        )
+
+        t1 = datetime.datetime(2026, 1, 1, 12, 30, 0)
+        t2 = datetime.datetime(2026, 1, 1, 13, 0, 0)
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(1, "a", 0, t1), (2, "b", 0, t1), (3, "c", 0, t2)],
+            "k long, v string, ts long, evt timestamp_ntz",
+        ).write.partitionBy("evt").parquet(lake)
+        files = sorted(
+            glob.glob(os.path.join(lake, "evt=*", "*.parquet"))
+        )
+        t = str(tmp_path / "tbl")
+        add_iceberg_files(
+            spark, t, files, partition_schema=["evt timestamp"]
+        )
+        got = sorted(
+            (r.k, r.evt) for r in read_iceberg(spark, t).collect()
+        )
+        assert got == [(1, t1), (2, t1), (3, t2)]
+        # prune to one hour partition
+        sub = read_iceberg(spark, t, key_range=("evt", t2, t2))
+        assert sorted(r.k for r in sub.collect()) == [3]
+        # merge through the timestamp identity spec
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1, t1)],
+                "k long, v string, ts long, evt timestamp_ntz",
+            ),
+            t, "k", "ts", batch_id=1,
+        )
+        got = {r.k: (r.v, r.evt) for r in read_iceberg(spark, t).collect()}
+        assert got[2] == ("B", t1) and len(got) == 3
+        # partitions metadata renders decoded timestamps
+        parts = {
+            r.partition["evt"]: r.record_count
+            for r in read_iceberg_metadata(
+                spark, t, "partitions"
+            ).collect()
+        }
+        assert parts[str(t1)] == 2
