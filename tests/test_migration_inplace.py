@@ -697,3 +697,94 @@ class TestReviewR13Pins:
             ).collect()
         }
         assert parts[str(t1)] == 2
+
+    def test_round13_lifecycle_composition(self, spark, tmp_path):
+        """The round's features composed end-to-end: DATE-hive
+        migration -> WAP branch write + publish -> bounded-life tag ->
+        expiration with ref aging -> orphan sweep -> inspection
+        tables, with batch reads consistent throughout."""
+        import datetime
+
+        from optimus_any2any_spark.sources.iceberg import (
+            load_table_metadata,
+            read_iceberg_metadata,
+        )
+        from optimus_any2any_spark.streaming.iceberg_table import (
+            expire_iceberg_snapshots,
+            publish_iceberg_branch,
+            remove_iceberg_orphan_files,
+            set_iceberg_ref,
+        )
+
+        d1 = datetime.date(2026, 1, 1)
+        d2 = datetime.date(2026, 1, 2)
+        lake = str(tmp_path / "lake")
+        spark.createDataFrame(
+            [(1, "a", 0, d1), (2, "b", 0, d2)],
+            "k long, v string, ts long, dt date",
+        ).write.partitionBy("dt").parquet(lake)
+        t = str(tmp_path / "tbl")
+        add_iceberg_files(
+            spark, t,
+            sorted(glob.glob(os.path.join(lake, "dt=*", "*.parquet"))),
+            partition_schema=["dt date"],
+        )
+        # WAP: stage on a branch, audit, publish
+        write_iceberg_commit(
+            spark.createDataFrame(
+                [(3, "c", 0, d2)], "k long, v string, ts long, dt date"
+            ),
+            t, branch="audit",
+        )
+        assert read_iceberg(spark, t).count() == 2  # staged invisible
+        assert read_iceberg(spark, t, ref="audit").count() == 3
+        publish_iceberg_branch(spark, t, "audit", drop_branch=True)
+        assert read_iceberg(spark, t).count() == 3
+        # bounded-life tag on the published state, then more commits
+        set_iceberg_ref(
+            spark, t, "nightly", ref_type="tag", max_ref_age_ms=1000
+        )
+        merge_iceberg_batch(
+            spark,
+            spark.createDataFrame(
+                [(2, "B", 1, d2)], "k long, v string, ts long, dt date"
+            ),
+            t, "k", "ts", batch_id=1,
+        )
+        meta = load_table_metadata(t)
+        tag_ts = int(
+            next(
+                s for s in meta["snapshots"]
+                if s["snapshot-id"]
+                == meta["refs"]["nightly"]["snapshot-id"]
+            )["timestamp-ms"]
+        )
+        # expire with the tag aged out: ref drops, history trims
+        expire_iceberg_snapshots(
+            spark, t, keep_last=1, now_ms=tag_ts + 10_000
+        )
+        meta = load_table_metadata(t)
+        assert "nightly" not in (meta.get("refs") or {})
+        assert len(meta["snapshots"]) == 1
+        # orphan sweep finds nothing unexpected (grace 0, dry run)
+        orphans = remove_iceberg_orphan_files(
+            spark, t, older_than=0, dry_run=True
+        )
+        assert orphans == []
+        # final state consistent, inspection surfaces agree
+        got = {r.k: r.v for r in read_iceberg(spark, t).collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
+        parts = {}
+        for r in read_iceberg_metadata(spark, t, "partitions").collect():
+            # rows without a dt tuple: the global delete spec AND the
+            # plain-append branch write (write_iceberg_commit does not
+            # partition-route; its files carry the column physically —
+            # known interop wart, tracked for the next round)
+            key = r.partition.get("dt", "<untupled>")
+            parts[key] = parts.get(key, 0) + r.record_count
+        assert parts["2026-01-01"] == 1
+        assert parts["2026-01-02"] >= 1
+        ents = read_iceberg_metadata(spark, t, "entries").collect()
+        assert sum(
+            e.record_count for e in ents if e.content == 0
+        ) >= 3
