@@ -29,6 +29,8 @@ the copy-on-write shape.
 
 from __future__ import annotations
 
+from optimus_any2any_spark.localrel import local_rows_df
+
 import json
 import os
 
@@ -219,7 +221,7 @@ def delta_history(spark: SparkSession, table_path: str) -> DataFrame:
                 None if ci is None else ci.get("engineInfo"),
             )
         )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "version long, timestamp long, operation string, "
         "operation_parameters string, engine_info string",
@@ -806,7 +808,7 @@ def dv_positions_df(spark: SparkSession, dv_rows: list[tuple]):
     # must be visible there
     globals().setdefault("pandas", pandas)
 
-    dv_df = spark.createDataFrame(
+    dv_df = local_rows_df(spark, 
         dv_rows,
         "__dv_bn string, __st string, __inline string, "
         "__fpath string, __off long, __size long",
@@ -1000,7 +1002,7 @@ def read_delta_row_tracking(
                 "the partition re-attach join would misattribute rows"
             )
         type_of = {f.name: f.dataType for f in schema.fields}
-        lk = spark.createDataFrame(
+        lk = local_rows_df(spark, 
             [(bn,) + pv_of[bn] for bn in sorted(pv_of)],
             T.StructType(
                 [T.StructField("__bn", T.StringType(), False)]

@@ -41,6 +41,8 @@ path (MERGE targets the Delta log — streaming/delta_table.py).
 
 from __future__ import annotations
 
+from optimus_any2any_spark.localrel import local_rows_df
+
 import glob as _glob
 import json
 import os
@@ -699,7 +701,7 @@ def _puffin_dv_positions_df(spark: SparkSession, dv_del: list[dict]):
         )
         for d in dv_del
     ]
-    ddf = spark.createDataFrame(
+    ddf = local_rows_df(spark, 
         rows,
         "file_path string, __ppath string, __off long, __size long, "
         "__pseq long",
@@ -867,7 +869,7 @@ def read_iceberg(
             position_cols=("__rl_fp", "__rl_pos"),
         )
         if data:
-            lk = spark.createDataFrame(
+            lk = local_rows_df(spark, 
                 [
                     (d["orig"], int(d["first_row_id"]), int(d["seq"]))
                     for d in data
@@ -942,7 +944,7 @@ def read_iceberg_metadata(
     snaps = meta.get("snapshots") or []
     by_id = {s["snapshot-id"]: s for s in snaps}
     if kind == "snapshots":
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [
                 (
                     int(s.get("timestamp-ms") or 0),
@@ -975,7 +977,7 @@ def read_iceberg_metadata(
             }
             for s in snaps
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [
                 (
                     int(e["timestamp-ms"]),
@@ -1000,7 +1002,7 @@ def read_iceberg_metadata(
             "is_current_ancestor boolean",
         )
     if kind == "refs":
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             [
                 (name, r.get("type"), int(r["snapshot-id"]))
                 for name, r in sorted(
@@ -1041,7 +1043,7 @@ def read_iceberg_metadata(
                     ),
                 )
             )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "path string, length long, partition_spec_id int, "
             "content int, added_snapshot_id long",
@@ -1065,7 +1067,7 @@ def read_iceberg_metadata(
                         ),
                     )
                 )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows, "content int, file_path string, record_count long"
         )
     if kind == "partitions":
@@ -1132,7 +1134,7 @@ def read_iceberg_metadata(
                 ),
             )
         ]
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "partition map<string,string>, spec_id int, "
             "record_count long, file_count long, "
@@ -1178,7 +1180,7 @@ def read_iceberg_metadata(
                         _pstr(e),
                     )
                 )
-        return spark.createDataFrame(
+        return local_rows_df(spark, 
             rows,
             "content int, file_path string, sequence_number long, "
             "record_count long, partition map<string,string>",
@@ -1505,7 +1507,7 @@ def _substitute_identity_consts(
             row.append(m.get(c))
             row.append(c in m)
         rows.append(tuple(row))
-    lk = spark.createDataFrame(rows, T.StructType(lk_fields))
+    lk = local_rows_df(spark, rows, T.StructType(lk_fields))
     out = df.join(F.broadcast(lk), bn_col, "left")
     for c in cols:
         out = out.withColumn(
@@ -1593,6 +1595,48 @@ def _prune_by_bounds(
     return kept
 
 
+def _pos_delete_rows_df(spark: SparkSession, pos_del: list[dict]):
+    """Every ``(file_path, pos, __pseq)`` row the given positional-
+    delete entries assert — parquet pos-delete files (spec field ids
+    2147483546/2147483545, delete-file sequence attached via a
+    broadcast basename lookup) unioned with v3 deletion vectors (the
+    Puffin blob slices decode on EXECUTORS via an Arrow-batched pandas
+    UDF — the descriptor frame is O(DV'd files), the exploded
+    positions are the only data moved). Returns None when there are
+    no positional deletes."""
+    from pyspark.sql import functions as F
+
+    dv_del = [d for d in pos_del if d.get("dv")]
+    pq_del = [d for d in pos_del if not d.get("dv")]
+    pdel = None
+    if pq_del:
+        pd_schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType(), True),
+                T.StructField("pos", T.LongType(), True),
+            ]
+        )
+        pdel = (
+            spark.read.schema(pd_schema)
+            .parquet(*[d["path"] for d in pq_del])
+            .select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dbn"),
+            )
+        )
+        plk = local_rows_df(spark, 
+            [(_basename(d["orig"]), d["seq"]) for d in pq_del],
+            "__dbn string, __pseq long",
+        )
+        pdel = pdel.join(F.broadcast(plk), "__dbn", "inner").drop("__dbn")
+    if dv_del:
+        dvdf = _puffin_dv_positions_df(spark, dv_del)
+        pdel = dvdf if pdel is None else pdel.unionByName(dvdf)
+    return pdel
+
+
 def read_entries_with_deletes(
     spark: SparkSession,
     meta: dict,
@@ -1664,7 +1708,7 @@ def read_entries_with_deletes(
         df = _substitute_identity_consts(
             spark, df, consts, data, schema, "__bn"
         )
-    lk = spark.createDataFrame(
+    lk = local_rows_df(spark, 
         [(_basename(d["orig"]), d["orig"], d["seq"]) for d in data],
         "__bn string, __orig string, __dseq long",
     )
@@ -1672,42 +1716,7 @@ def read_entries_with_deletes(
     if not basename_col:
         df = df.drop("__bn")
 
-    dv_del = [d for d in pos_del if d.get("dv")]
-    pq_del = [d for d in pos_del if not d.get("dv")]
-    pdel = None
-    if pq_del:
-        # positional delete files: (file_path, pos) rows, spec field
-        # ids 2147483546/2147483545; attach each delete file's seq via
-        # the same basename lookup
-        pd_schema = T.StructType(
-            [
-                T.StructField("file_path", T.StringType(), True),
-                T.StructField("pos", T.LongType(), True),
-            ]
-        )
-        pdel = (
-            spark.read.schema(pd_schema)
-            .parquet(*[d["path"] for d in pq_del])
-            .select(
-                "*",
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__dbn"),
-            )
-        )
-        plk = spark.createDataFrame(
-            [(_basename(d["orig"]), d["seq"]) for d in pq_del],
-            "__dbn string, __pseq long",
-        )
-        pdel = pdel.join(F.broadcast(plk), "__dbn", "inner").drop("__dbn")
-    if dv_del:
-        # v3 deletion vectors: the Puffin blob slices decode on
-        # EXECUTORS (Arrow-batched pandas UDF — the descriptor frame
-        # is O(DV'd files), the exploded positions are the only data
-        # moved), then apply through the SAME seq-gated anti-join as
-        # positional delete rows
-        dvdf = _puffin_dv_positions_df(spark, dv_del)
-        pdel = dvdf if pdel is None else pdel.unionByName(dvdf)
+    pdel = _pos_delete_rows_df(spark, pos_del)
     if pdel is not None:
         df = df.alias("d").join(
             pdel.alias("x"),
@@ -1758,7 +1767,7 @@ def read_entries_with_deletes(
                     ).alias("__ebn"),
                 )
             )
-            elk = spark.createDataFrame(
+            elk = local_rows_df(spark, 
                 [(_basename(d["orig"]), d["seq"]) for d in dels],
                 "__ebn string, __eseq long",
             )
@@ -2082,13 +2091,28 @@ def _eq_deleted_rows(
         prev_eq,
         position_cols=("__cl_path", "__cl_pos"),
     ).drop("__cl_pos")
-    slk = spark.createDataFrame(
+    slk = local_rows_df(spark, 
         [(d["orig"], d["seq"]) for d in candidates],
         "__cl_path string, __cl_dseq long",
     )
     before = before.join(F.broadcast(slk), "__cl_path", "inner").drop(
         "__cl_path"
     )
+    return _eq_deleted_from_before(spark, meta, schema, before, new_eq)
+
+
+def _eq_deleted_from_before(
+    spark: SparkSession,
+    meta: dict,
+    schema,
+    before: DataFrame,
+    new_eq: list[dict],
+) -> DataFrame:
+    """The equality-delete semi-join core of :func:`_eq_deleted_rows`,
+    over an already-built before-image carrying ``__cl_dseq`` (each
+    row's data-file sequence) — reusable for rows whose before-image
+    the positional branch already read."""
+    from pyspark.sql import functions as F
 
     by_id = {
         int(f["id"]): f["name"] for f in _current_schema(meta)["fields"]
@@ -2127,7 +2151,7 @@ def _eq_deleted_rows(
                 ).alias("__ebn"),
             )
         )
-        elk = spark.createDataFrame(
+        elk = local_rows_df(spark, 
             [(_basename(d["orig"]), d["seq"]) for d in dels],
             "__ebn string, __eseq long",
         )
@@ -2277,49 +2301,101 @@ def read_iceberg_changes(
         # plus surviving files a new positional delete references
         # (equality deletes are evaluated DIRECTLY below — never via a
         # full-table before/after)
-        affected = list(removed_data)
+        # surviving files a new positional/DV delete references: their
+        # erased rows are identified DIRECTLY by (path, pos) — one
+        # read of the prior state semi-joined against the new delete
+        # rows, never a before/after exceptAll (which read the same
+        # files twice and paid two whole-row aggregation shuffles)
+        pos_hit: list[dict] = []
         if new_pos:
             refs = _pos_delete_referenced_paths(new_pos)
             if refs is None:
-                affected += [e for e in prev_d if e["orig"] in cur_orig]
+                pos_hit = [
+                    e for e in prev_d if e["orig"] in cur_orig
+                ]
             else:
-                affected += [
+                pos_hit = [
                     e
                     for e in prev_d
                     if e["orig"] in cur_orig and e["orig"] in refs
                 ]
         dels = None
-        aff_orig = {e["orig"] for e in affected}
-        if affected:
-            before = read_entries_with_deletes(
-                spark, meta, schema, affected, prev_p, prev_e
+        if removed_data:
+            # files the snapshot removed outright: every visible prior
+            # row is a delete pre-image (overwrite netting below
+            # cancels the carried ones against the added files)
+            dels = read_entries_with_deletes(
+                spark, meta, schema, removed_data, prev_p, prev_e
             )
-            after_files = [e for e in cur_d if e["orig"] in aff_orig]
-            if after_files:
-                after = read_entries_with_deletes(
-                    spark, meta, schema, after_files, cur_p, cur_e
+        rem_before = None  # pos-hit rows that survived the new deletes
+        if pos_hit:
+            before = read_entries_with_deletes(
+                spark,
+                meta,
+                schema,
+                pos_hit,
+                prev_p,
+                prev_e,
+                position_cols=("__cl_path", "__cl_pos"),
+            )
+            slk = local_rows_df(spark, 
+                [(d["orig"], d["seq"]) for d in pos_hit],
+                "__cl_path string, __cl_dseq long",
+            )
+            before = before.join(
+                F.broadcast(slk), "__cl_path", "inner"
+            )
+            pos_rows = _pos_delete_rows_df(spark, new_pos)
+            cond = (
+                (F.col("d.__cl_path") == F.col("x.file_path"))
+                & (F.col("d.__cl_pos") == F.col("x.pos"))
+                & (F.col("x.__pseq") >= F.col("d.__cl_dseq"))
+            )
+            hit_rows = before.alias("d").join(
+                pos_rows.alias("x"), cond, "left_semi"
+            )
+            hit_rows = hit_rows.select(*schema.fieldNames())
+            dels = (
+                hit_rows
+                if dels is None
+                else dels.unionByName(hit_rows)
+            )
+            if new_eq:
+                # rows the pos deletes did NOT erase are still
+                # equality-delete candidates (their before-image is
+                # already in hand — no second read)
+                rem_before = (
+                    before.alias("d")
+                    .join(pos_rows.alias("x"), cond, "left_anti")
+                    .drop("__cl_path", "__cl_pos")
                 )
-                dels = before.exceptAll(after)
-            else:
-                dels = before
         if new_eq:
             # new equality deletes: evaluate the keys directly against
             # the prior state — candidate files are sequence-gated and
             # bounds-pruned against the delete files' footer key
             # ranges, then a seq-gated semi-join emits the erased
             # rows. IO stays O(files the keys touch), never O(table).
-            # Files already in `affected` are covered by the
-            # before/after diff above (whose after-image applies the
-            # new eq deletes too), so they are excluded here.
+            # Files in `pos_hit` are covered via rem_before above.
+            pos_hit_orig = {e["orig"] for e in pos_hit}
             survivors = [
                 e
                 for e in prev_d
-                if e["orig"] in cur_orig and e["orig"] not in aff_orig
+                if e["orig"] in cur_orig
+                and e["orig"] not in pos_hit_orig
             ]
             cand = _prune_eq_candidates(meta, survivors, new_eq)
             eq_dels = _eq_deleted_rows(
                 spark, meta, schema, cand, prev_p, prev_e, new_eq
             )
+            if rem_before is not None:
+                eq_rem = _eq_deleted_from_before(
+                    spark, meta, schema, rem_before, new_eq
+                )
+                eq_dels = (
+                    eq_rem
+                    if eq_dels is None
+                    else eq_dels.unionByName(eq_rem)
+                )
             if eq_dels is not None:
                 dels = (
                     eq_dels
@@ -2331,10 +2407,45 @@ def read_iceberg_changes(
                 and dels is not None:
             # net the rewrite: rows a copy-on-write carried over
             # appear on both sides and cancel; real updates survive
-            # as DELETE pre-image + INSERT post-image
-            ins_net = ins.exceptAll(dels)
-            dels = dels.exceptAll(ins)
-            ins = ins_net
+            # as DELETE pre-image + INSERT post-image. Computed as ONE
+            # signed-count aggregation rather than exceptAll both ways:
+            # Catalyst rewrites each exceptAll to union+aggregate+
+            # generate, so the pair evaluated the ins and dels subtrees
+            # (full file reads + delete anti-joins) TWICE each; the
+            # fused form reads each side once and one hash aggregate
+            # yields both directions (net>0 = surviving INSERT copies,
+            # net<0 = surviving DELETE copies — exactly the multiset
+            # differences exceptAll defines).
+            cols = schema.fieldNames()
+            u = ins.select(
+                *cols, F.lit(1).alias("__sgn")
+            ).unionByName(
+                dels.select(*cols, F.lit(-1).alias("__sgn"))
+            )
+            net = (
+                u.groupBy(*cols)
+                .agg(F.sum("__sgn").alias("__net"))
+                .filter(F.col("__net") != 0)
+            )
+            pieces.append(
+                net.select(
+                    *cols,
+                    F.when(F.col("__net") > 0, F.lit("INSERT"))
+                    .otherwise(F.lit("DELETE"))
+                    .alias("_change_type"),
+                    F.lit(ordinal).cast("int").alias("_change_ordinal"),
+                    F.lit(s_id).cast("long").alias(
+                        "_commit_snapshot_id"
+                    ),
+                    F.explode(
+                        F.array_repeat(
+                            F.lit(1),
+                            F.abs(F.col("__net")).cast("int"),
+                        )
+                    ).alias("__rep"),
+                ).drop("__rep")
+            )
+            ins = dels = None
         if ins is not None:
             pieces.append(_tag(ins, "INSERT", ordinal, s_id))
         if dels is not None:
@@ -2653,7 +2764,7 @@ def write_iceberg_delete_commit(
     entries = []
     os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
     if pos_deletes:
-        pdf = spark.createDataFrame(
+        pdf = local_rows_df(spark, 
             list(pos_deletes), "file_path string, pos long"
         ).orderBy("file_path", "pos")
         tmp = os.path.join(table_path, f"_tmp-del-v{version}")
@@ -2692,7 +2803,7 @@ def write_iceberg_delete_commit(
                 "the schema"
             )
         spark_schema = iceberg_spark_schema(prev)
-        edf = spark.createDataFrame(
+        edf = local_rows_df(spark, 
             list(rows),
             T.StructType(
                 [

@@ -58,6 +58,8 @@ on object stores is the log store's problem, per the Delta paper
 
 from __future__ import annotations
 
+from optimus_any2any_spark.localrel import local_rows_df
+
 import glob as _glob
 import json
 import os
@@ -334,7 +336,7 @@ def _read_files_dv_aware(
                     int(a["defaultRowCommitVersion"]),
                 )
             )
-        lk = spark.createDataFrame(
+        lk = local_rows_df(spark, 
             rt_rows, "__dv_bn string, __rt_base long, __rt_dcv long"
         )
         df = (
@@ -1504,7 +1506,7 @@ def compact_delta(
                 "delta optimize: compacted files share a basename — "
                 "the pid routing join would misattribute rows"
             )
-        rel_pid = spark.createDataFrame(
+        rel_pid = local_rows_df(spark, 
             bn_src,
             T.StructType(
                 [
@@ -2304,7 +2306,7 @@ def merge_delta_batch(
             [latest.schema[c] for c in part_cols]
             + [T.StructField("__pid", T.IntegerType(), False)]
         )
-        pid_df = spark.createDataFrame(
+        pid_df = local_rows_df(spark, 
             [pt + (pid_of[pt],) for pt in ptuples], pid_schema
         )
     else:
@@ -2320,7 +2322,7 @@ def merge_delta_batch(
             [T.StructField(c, T.StringType(), True) for c in part_cols]
             + [T.StructField("__pid", T.IntegerType(), False)]
         )
-        mint_df = spark.createDataFrame(
+        mint_df = local_rows_df(spark, 
             [pv + (pid,) for pv, pid in minted], mint_schema
         ).select(
             *[
@@ -2368,7 +2370,7 @@ def merge_delta_batch(
                 "delta merge: affected files share a basename — the "
                 "pid routing join would misattribute rows"
             )
-        rel_pid = spark.createDataFrame(
+        rel_pid = local_rows_df(spark, 
             bn_pid_rows,
             T.StructType(
                 [
@@ -2867,7 +2869,7 @@ def _dml_where(
             row_tracking=rt,
         )
         if part_cols:
-            lk = spark.createDataFrame(
+            lk = local_rows_df(spark, 
                 [
                     (bn,) + pv_of[bn]
                     for bn in sorted(
@@ -2980,7 +2982,7 @@ def _dml_where(
                 keep=rt if rt is not None else (),
             )
     else:
-        pid_lk = spark.createDataFrame(
+        pid_lk = local_rows_df(spark, 
             [(bn, pid_of[pv_of[bn]]) for bn in touched_bn],
             T.StructType(
                 [
@@ -3634,7 +3636,7 @@ def purge_deletion_vectors(
                     int(a["defaultRowCommitVersion"]),
                 )
             )
-        rlk = spark.createDataFrame(
+        rlk = local_rows_df(spark, 
             rt_rows, "__dv_bn string, __rt_base long, __rt_dcv long"
         )
         kept = (
@@ -3657,7 +3659,7 @@ def purge_deletion_vectors(
     if single:
         kept = kept.drop("__dv_pos", "__dv_bn")
     else:
-        pid_lk = spark.createDataFrame(
+        pid_lk = local_rows_df(spark, 
             bn_pid,
             T.StructType(
                 [
@@ -4009,7 +4011,7 @@ def _delete_via_dv(
                     )
                     for bn in pv_of
                 ]
-                pvdf = spark.createDataFrame(
+                pvdf = local_rows_df(spark, 
                     pv_rows,
                     T.StructType(
                         [T.StructField("__bn", T.StringType(), False)]
@@ -4188,7 +4190,7 @@ def delete_delta_keys(
                 "delta delete: affected files share a basename — the "
                 "pid routing join would misattribute rows"
             )
-        rel_pid = spark.createDataFrame(
+        rel_pid = local_rows_df(spark, 
             bn_pid_rows,
             T.StructType(
                 [
@@ -4273,7 +4275,7 @@ def delete_delta_keys(
         # partitionValues strings through the table schema (the same
         # rule the snapshot reader applies)
         if part_cols:
-            pid_typed = spark.createDataFrame(
+            pid_typed = local_rows_df(spark, 
                 [(pid_of[pt],) + pt for pt in ptuples],
                 T.StructType(
                     [T.StructField("__pid", T.IntegerType(), False)]

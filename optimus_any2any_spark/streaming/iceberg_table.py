@@ -43,6 +43,8 @@ tables. Single writer per table path, as with the other two targets.
 
 from __future__ import annotations
 
+from optimus_any2any_spark.localrel import local_rows_df
+
 import glob as _glob
 import json
 import os
@@ -1023,7 +1025,7 @@ def merge_iceberg_batch(
             spark, meta, ext, files, pos_del, eq_del,
             position_cols=("__rl_fp", "__rl_pos"),
         )
-        rl = spark.createDataFrame(
+        rl = local_rows_df(spark, 
             [
                 (
                     e["data_file"]["file_path"],
@@ -1080,7 +1082,7 @@ def merge_iceberg_batch(
             f"{pv_cols[i]} {spark_type_of_result(pspec[i]['res_type'])}"
             for i in range(len(pspec))
         )
-        pid_df = spark.createDataFrame(
+        pid_df = local_rows_df(spark, 
             [pt + (pid_of[pt],) for pt in ptuples],
             f"{pid_ddl}, __pid int",
         )
@@ -2357,7 +2359,7 @@ def update_iceberg_where(
             f"{pv_cols[i]} {spark_type_of_result(pspec[i]['res_type'])}"
             for i in range(len(pspec))
         )
-        pid_df = spark.createDataFrame(
+        pid_df = local_rows_df(spark, 
             [pt + (pid_of[pt],) for pt in ptuples],
             f"{pid_ddl}, __pid int",
         )
@@ -2854,7 +2856,7 @@ def compact_iceberg(
         position_cols=("__rl_fp", "__rl_pos") if lineage else None,
     )
     if lineage:
-        rl_lk = spark.createDataFrame(
+        rl_lk = local_rows_df(spark, 
             [
                 (
                     e["data_file"]["file_path"],
@@ -2928,7 +2930,7 @@ def compact_iceberg(
             new_rel.append(rel)
             pt_of_rel[rel] = ptuples[0]
     else:
-        pid_lk = spark.createDataFrame(
+        pid_lk = local_rows_df(spark, 
             bn_pid, "__bn string, __pid int"
         )
         cur = cur.join(F.broadcast(pid_lk), "__bn", "inner").drop(
