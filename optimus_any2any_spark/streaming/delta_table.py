@@ -3918,17 +3918,21 @@ def _delete_via_dv(
         )
         n_matched = matched.count()
         if n_matched + prior_card <= _MAX_DRIVER_KEYS:
-            grouped: dict[str, set] = {}
-            for r in positions.collect():
-                grouped.setdefault(r["__bn"], set()).add(int(r["__pos"]))
-            per_file = [
-                {
-                    "__bn": bn,
-                    "__blob": dv_blob(sorted(ps)),
-                    "__card": len(ps),
-                }
-                for bn, ps in grouped.items()
-            ]
+            # Arrow toPandas, not collect(): the pickled-row path
+            # materializes a Row object per position (measured ~0.5 s
+            # of pure driver CPU at ~70k positions); the Arrow path
+            # lands the same data as two numpy columns
+            pos_pdf = positions.toPandas()
+            per_file = []
+            for bn, grp in pos_pdf.groupby("__bn", sort=False):
+                ps = sorted(set(int(p) for p in grp["__pos"]))
+                per_file.append(
+                    {
+                        "__bn": bn,
+                        "__blob": dv_blob(ps),
+                        "__card": len(ps),
+                    }
+                )
         else:
 
             def _encode_file_dv(pdf):
