@@ -143,7 +143,10 @@ def bpe_merge_steps(
         _drop_blocks(cur_ids)  # nxt is materialized: parent state free
         cur, cur_ids = nxt, new_ids
     _drop_blocks(cur_ids)
-    return spark.createDataFrame(
+    from optimus_any2any_spark.localrel import local_rows_df
+
+    return local_rows_df(
+        spark,
         merge_rows,
         T.StructType([
             T.StructField("step", T.IntegerType(), False),

@@ -2017,9 +2017,12 @@ def mix_by_source_weights(spark, sf_dir):
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    weights = d.sparkSession.createDataFrame(
+    from optimus_any2any_spark.localrel import local_rows_df
+
+    weights = local_rows_df(
+        d.sparkSession,
         [("src0", 3), ("src1", 2), ("src2", 1), ("src3", 1), ("src4", 1)],
-        ["source", "weight"],
+        "source string, weight bigint",
     )
     w = Window.partitionBy("source").orderBy(
         F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")).cast("binary")),
@@ -4010,8 +4013,10 @@ _MIX_TOTAL_PARTS = sum(p for _, p in _MIX_PARTS)
 )
 def mix_token_budget_plan(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    parts = d.sparkSession.createDataFrame(
-        _MIX_PARTS, ["source", "part"]
+    from optimus_any2any_spark.localrel import local_rows_df
+
+    parts = local_rows_df(
+        d.sparkSession, _MIX_PARTS, "source string, part bigint"
     )
     avail = (
         d.join(F.broadcast(parts), "source")
