@@ -2458,7 +2458,7 @@ def read_iceberg_changes(
             merged = pieces[0]
             for p in pieces[1:]:
                 merged = merged.unionByName(p)
-            pieces = [merged.localCheckpoint(eager=True)]
+            pieces = [merged.localCheckpoint(eager=False)]
         prev_state = cur_state
         prev_id = s_id
 

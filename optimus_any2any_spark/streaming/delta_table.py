@@ -1867,7 +1867,7 @@ def _apply_merge_clauses(
     )
     if want_changes:
         # four consumers below — evaluate the join once
-        base = base.localCheckpoint(eager=True)
+        base = base.localCheckpoint(eager=False)
     target_rows = base.filter(F.col("__keep")).select(
         *data_cols, "__pid",
         *([carry_cols[0], carry_cols[1]] if carry_cols else []),
@@ -2124,7 +2124,7 @@ def merge_delta_batch(
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_total = latest.count()
     if n_total > 0:
@@ -2477,7 +2477,7 @@ def merge_delta_batch(
                 pre_src.alias("cur")
                 .join(bk, touch, "inner")
                 .drop("__bk", "__bpid")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
 
     if conditional and when_not_matched is not None and not hit_paths:
@@ -2953,7 +2953,7 @@ def _dml_where(
         pre_src = cur
         if rt is not None:  # CDF rows are logical — no lineage cols
             pre_src = cur.drop("__rt_id", "__rt_cv")
-        pre = pre_src.filter(hit).localCheckpoint(eager=True)
+        pre = pre_src.filter(hit).localCheckpoint(eager=False)
 
     if rt is not None:
         out = out.withColumnRenamed(
@@ -4127,7 +4127,7 @@ def delete_delta_keys(
         [f for f in schema.fields if f.name not in part_cols]
     )
     type_of = {f.name: f.dataType for f in schema.fields}
-    kdf = keys.select(key_col).distinct().localCheckpoint(eager=True)
+    kdf = keys.select(key_col).distinct().localCheckpoint(eager=False)
     kstats = kdf.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(key_col).alias("kmin"),

@@ -698,7 +698,7 @@ def merge_iceberg_batch(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_total = latest.count()
     if n_total == 0 and not when_not_matched_by_source:
@@ -1482,7 +1482,7 @@ def delete_iceberg_keys(
     # _MAX_DELETE_FILE_ROWS the key set is range-partitioned and each
     # range lands as its own content=2 entry; the anti-join reader
     # consumes any number of them.
-    kdf = kdf.localCheckpoint(eager=True)
+    kdf = kdf.localCheckpoint(eager=False)
     n_keys = int(kdf.count())
     if n_keys == 0:
         return prev_version
@@ -1710,7 +1710,7 @@ def delete_iceberg_positions(
             F.col(key_col).cast(schema[key_col].dataType).alias(key_col)
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     krow = kdf.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1758,7 +1758,7 @@ def delete_iceberg_positions(
     # orderBy feeding coalesce) makes the per-file sort a guarantee
     # rather than an artifact of coalesce's partition-order concat
     # (ADVICE r8).
-    matching = matching.localCheckpoint(eager=True)
+    matching = matching.localCheckpoint(eager=False)
     n_pos = matching.count()
     if n_pos == 0:  # no row matched: burn no version
         return prev_version
@@ -2149,7 +2149,7 @@ def delete_iceberg_where(
             F.col("__del_fp").alias("file_path"),
             F.col("__del_pos").alias("pos"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_pos = matching.count()
     if n_pos == 0:
@@ -2263,7 +2263,7 @@ def update_iceberg_where(
     )
     pred = F.expr(where) if where else F.lit(True)
     hit = F.coalesce(pred, F.lit(False))
-    matched = cur.filter(hit).localCheckpoint(eager=True)
+    matched = cur.filter(hit).localCheckpoint(eager=False)
     n_upd = matched.count()
     if n_upd == 0:
         return None
