@@ -75,11 +75,33 @@ def perceptron_train(
     a (bucket, weight) table ordered by bucket — the model artifact a
     scoring pass broadcasts. ``label`` must evaluate to ±1."""
     spark = df.sparkSession
-    feat = hashed_features(
-        df, text_col, id_col, label, n_buckets
-    ).persist()
-    w = spark.createDataFrame([], "h long, w long")
-    for _ in range(epochs):
+    # feat is re-read per epoch keyed by doc_id (margins aggregation +
+    # misclassified semi-join), so persist it hash-partitioned on
+    # doc_id: every epoch's doc-keyed operator then reuses the cached
+    # partitioning instead of exchanging feat again. The repartition
+    # moves the already-aggregated (doc, y, h, cnt) rows, not the
+    # token stream.
+    feat = (
+        hashed_features(df, text_col, id_col, label, n_buckets)
+        .repartition(F.col("doc_id"))
+        .persist()
+    )
+    if epochs <= 0:
+        return spark.createDataFrame([], "h long, w long").select(
+            F.col("h").alias("bucket"), F.col("w").alias("weight")
+        )
+    # Epoch 1 runs against w=0: every margin is 0, so every doc is
+    # misclassified and the update is the plain feature aggregate —
+    # the same constant-fold the SQL oracle's w1 CTE expresses. This
+    # drops a broadcast build, a doc-keyed aggregation and a full
+    # semi-join from the first epoch with a bit-identical trajectory.
+    w = (
+        feat.groupBy("h")
+        .agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
+        .filter(F.col("w") != 0)
+        .persist()
+    )
+    for _ in range(epochs - 1):
         # every doc in the training set HAS feature rows (docs are
         # derived from feat), so margins carry y directly — no
         # doc-roster join, one doc-keyed aggregation per epoch
