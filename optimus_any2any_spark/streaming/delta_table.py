@@ -3787,7 +3787,7 @@ def purge_deletion_vectors(
 def _delete_via_dv(
     spark, table_path, key_col, kdf, state, hits, version,
     app_id, batch_id, change_data, part_cols, data_schema, type_of,
-    schema, phys=None, mapped=False, pfields=None,
+    schema, phys=None, mapped=False, pfields=None, n_keys=None,
 ):
     """Merge-on-read DELETE: matching row positions per affected file
     become deletion vectors; files are RE-ADDED with DV descriptors,
@@ -3874,8 +3874,12 @@ def _delete_via_dv(
         )
     )
     nk = kdf.select(F.col(key_col).alias("__nk"))
+    # the caller already knows the distinct key count — re-counting
+    # kdf here was a whole redundant job per DV delete commit
+    if n_keys is None:
+        n_keys = kdf.count()
     matched = cur.join(
-        F.broadcast(nk) if kdf.count() <= _MAX_DRIVER_KEYS else nk,
+        F.broadcast(nk) if n_keys <= _MAX_DRIVER_KEYS else nk,
         F.col(key_col).eqNullSafe(F.col("__nk")),
         "inner",
     ).drop("__nk")
@@ -4128,20 +4132,33 @@ def delete_delta_keys(
     )
     type_of = {f.name: f.dataType for f in schema.fields}
     kdf = keys.select(key_col).distinct().localCheckpoint(eager=False)
-    kstats = kdf.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(key_col).alias("kmin"),
-        F.max(key_col).alias("kmax"),
-        F.max(F.col(key_col).isNull().cast("int")).alias("null_key"),
-    ).collect()[0]
-    if kstats["n"] == 0:
+    # One bounded probe replaces the stats aggregate + full collect:
+    # limit(cap+1) tells us in a single job whether the distinct key
+    # set fits on the driver, and when it does the rows ARE the key
+    # list (n / null-flag derived locally; _affected's key_list branch
+    # never reads kmin/kmax). Only an over-cap key set pays the stats
+    # aggregate, whose collected bytes stay O(1).
+    probe = kdf.limit(_MAX_DRIVER_KEYS + 1).collect()
+    n_keys = len(probe)
+    if n_keys == 0:
         return state["version"]
-    has_null = bool(kstats["null_key"])
     key_list = None
-    if kstats["n"] <= _MAX_DRIVER_KEYS:
-        key_list = sorted(
-            r[0] for r in kdf.collect() if r[0] is not None
-        )
+    kmin = kmax = None
+    if n_keys <= _MAX_DRIVER_KEYS:
+        has_null = any(r[0] is None for r in probe)
+        key_list = sorted(r[0] for r in probe if r[0] is not None)
+    else:
+        kstats = kdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(key_col).alias("kmin"),
+            F.max(key_col).alias("kmax"),
+            F.max(F.col(key_col).isNull().cast("int")).alias(
+                "null_key"
+            ),
+        ).collect()[0]
+        n_keys = kstats["n"]
+        has_null = bool(kstats["null_key"])
+        kmin, kmax = kstats["kmin"], kstats["kmax"]
 
     # ---- single-job partitioned delete ------------------------------
     # DELETE keys are not partition-scoped, so pruning is a flat pass
@@ -4156,9 +4173,7 @@ def delete_delta_keys(
         pv = a.get("partitionValues") or {}
         pt = tuple(pv.get(phys(c)) for c in part_cols)
         e = _entry_from_add(p, a, phys(key_col))
-        h, _miss = _affected(
-            [e], key_list, kstats["kmin"], kstats["kmax"], has_null
-        )
+        h, _miss = _affected([e], key_list, kmin, kmax, has_null)
         if h:
             hits.append((p, pt))
             hit_rows_total += max(e["rows"], 0)
@@ -4169,7 +4184,7 @@ def delete_delta_keys(
         return _delete_via_dv(
             spark, table_path, key_col, kdf, state, hits, version,
             app_id, batch_id, change_data, part_cols, data_schema,
-            type_of, schema, phys, mapped, pfields,
+            type_of, schema, phys, mapped, pfields, n_keys=n_keys,
         )
 
     ptuples = sorted({pt for _, pt in hits}, key=str)

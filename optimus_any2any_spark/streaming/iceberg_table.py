@@ -1712,19 +1712,32 @@ def delete_iceberg_positions(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    krow = kdf.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(key_col).alias("kmin"),
-        F.max(key_col).alias("kmax"),
-    ).collect()[0]
-    if krow["n"] == 0:
+    # One bounded probe replaces the stats aggregate in the common
+    # driver-sized case: limit(cap+1) both answers "does the distinct
+    # key set fit" and, when it does, yields the rows to derive
+    # n/kmin/kmax locally (NaN ordered greatest, exactly Spark's
+    # float ordering). Only an over-cap key set pays the aggregate.
+    probe = kdf.limit(_MAX_DRIVER_KEYS + 1).collect()
+    n_keys = len(probe)
+    if n_keys == 0:
         return prev_version
+    if n_keys <= _MAX_DRIVER_KEYS:
+        nonnull = [r[0] for r in probe if r[0] is not None]
+        ordk = lambda v: (isinstance(v, float) and v != v, v)  # noqa: E731
+        kmin = min(nonnull, key=ordk) if nonnull else None
+        kmax = max(nonnull, key=ordk) if nonnull else None
+    else:
+        krow = kdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(key_col).alias("kmin"),
+            F.max(key_col).alias("kmax"),
+        ).collect()[0]
+        n_keys = krow["n"]
+        kmin, kmax = krow["kmin"], krow["kmax"]
 
     data, pos_del, eq_del = _snapshot_entries(table_path, meta)
-    if krow["kmin"] is not None:
-        data = _prune_by_bounds(
-            meta, data, key_col, krow["kmin"], krow["kmax"]
-        )
+    if kmin is not None:
+        data = _prune_by_bounds(meta, data, key_col, kmin, kmax)
     if not data:
         return prev_version
     # guarded names: the table schema may itself have file_path/pos
@@ -1734,7 +1747,7 @@ def delete_iceberg_positions(
     )
     matching = (
         cur.join(F.broadcast(kdf), key_col, "left_semi")
-        if krow["n"] <= _MAX_DRIVER_KEYS
+        if n_keys <= _MAX_DRIVER_KEYS
         else cur.join(kdf, key_col, "left_semi")
     ).select(
         F.col("__del_fp").alias("file_path"),
