@@ -52,7 +52,22 @@ from zoneinfo import ZoneInfo
 
 from pyspark.sql import types as T
 
-__all__ = ["footer_file_stats", "kind_of_spark_type", "kind_of_iceberg_type"]
+__all__ = [
+    "footer_file_stats",
+    "kind_of_spark_type",
+    "kind_of_iceberg_type",
+    "norm_float_zero",
+]
+
+
+def norm_float_zero(v):
+    """Canonicalize -0.0 to +0.0 (numerically equal, sign-ambiguous in
+    parquet footers); everything else passes through. The Spark
+    fallback aggregates apply this to their float min/max so footer
+    and fallback stats are interchangeable byte-for-byte."""
+    if isinstance(v, float) and v == 0.0:
+        return 0.0
+    return v
 
 
 def kind_of_spark_type(dt: T.DataType):
@@ -101,9 +116,19 @@ def _convert(kind, v, tz: str):
     if kind == "float":
         if not isinstance(v, float):
             raise ValueError("float stat not float")
-        if math.isnan(v) or v == 0.0:  # NaN poisons; ±0.0 order differs
-            raise ValueError("NaN/signed-zero float bound")
-        return v
+        if math.isnan(v):  # NaN poisons footer min/max ordering
+            raise ValueError("NaN float bound")
+        # A ±0.0 bound is sign-ambiguous (parquet writers adjust a
+        # +0.0 min to -0.0 / a -0.0 max to +0.0 per PARQUET-1246, and
+        # Spark's own min/max keeps whichever equal zero it saw
+        # first), but the two zeros compare EQUAL in every consumer —
+        # stats-JSON pruning, Iceberg bound evaluation, query
+        # predicates — so both the footer path and the Spark-aggregate
+        # fallback canonicalize to +0.0 (norm_float_zero) and the
+        # values are provably interchangeable. Rejecting zero bounds
+        # outright forced a full re-scan of every commit whose floats
+        # merely touch 0.0.
+        return 0.0 if v == 0.0 else v
     if kind == "string":
         if not isinstance(v, str):
             raise ValueError("string stat not decoded")

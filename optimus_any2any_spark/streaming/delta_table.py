@@ -71,6 +71,7 @@ from pyspark.sql import types as T
 
 from optimus_any2any_spark.formats.footer_stats import (
     footer_file_stats,
+    norm_float_zero,
     kind_of_spark_type,
 )
 from optimus_any2any_spark.sources.delta import _log_dir, replay_log
@@ -668,7 +669,10 @@ def _collect_file_stats(
             "nullCount": {},
         }
         for c in stat_cols:
-            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            mn, mx = (
+                norm_float_zero(r[f"__mn_{c}"]),
+                norm_float_zero(r[f"__mx_{c}"]),
+            )
             if mn is not None:
                 st["minValues"][c] = mn
                 st["maxValues"][c] = mx

@@ -63,6 +63,7 @@ from optimus_any2any_spark.formats.avrobin import (
 from optimus_any2any_spark.formats.footer_stats import (
     footer_file_stats,
     kind_of_iceberg_type,
+    norm_float_zero,
 )
 from optimus_any2any_spark.sources.iceberg import (
     _localize,
@@ -295,8 +296,12 @@ def _per_file_key_stats(
     return {
         r["__f"].rsplit("/", 1)[-1]: {
             "rows": int(r["rows"]),
-            "min_key": r["min_key"] if key_col is not None else None,
-            "max_key": r["max_key"] if key_col is not None else None,
+            "min_key": norm_float_zero(r["min_key"])
+            if key_col is not None
+            else None,
+            "max_key": norm_float_zero(r["max_key"])
+            if key_col is not None
+            else None,
             "n_null": int(r["n_null"]) if key_col is not None else 0,
         }
         for r in rows
@@ -2543,8 +2548,8 @@ def _per_file_multi_stats(
             "rows": int(r["rows"]),
             "cols": {
                 n: (
-                    r[f"__mn_{n}"],
-                    r[f"__mx_{n}"],
+                    norm_float_zero(r[f"__mn_{n}"]),
+                    norm_float_zero(r[f"__mx_{n}"]),
                     int(r[f"__nn_{n}"]),
                 )
                 for n, _ in cols

@@ -14,6 +14,7 @@ import datetime
 import decimal
 import glob
 import json
+import math
 import os
 
 import pytest
@@ -189,6 +190,52 @@ class TestDeltaFooterStats:
         import math
 
         assert math.isnan(st["maxValues"]["f"])
+
+    def test_zero_float_bounds_stay_on_footer_path(self, spark, tmp_path):
+        """A ±0.0 float bound is sign-ambiguous in footers but the two
+        zeros compare equal everywhere stats are consumed, so the fast
+        path canonicalizes to +0.0 instead of forcing a full re-scan
+        of the commit. Footer and fallback must agree exactly."""
+        table = str(tmp_path / "zero")
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("f", T.DoubleType()),
+            ]
+        )
+        spark.createDataFrame(
+            [(1, 0.0), (2, -0.0), (3, 7.5)], schema
+        ).coalesce(1).write.mode("overwrite").parquet(table)
+        rels = [
+            os.path.basename(p)
+            for p in glob.glob(f"{table}/part-*.parquet")
+        ]
+        ft = footer_file_stats(
+            [os.path.join(table, r) for r in rels],
+            ["f"],
+            {"f": kind_of_spark_type(T.DoubleType())},
+        )
+        assert ft is not None, "zero bound must not force the fallback"
+        got = ft[rels[0]]
+        assert got["min"]["f"] == 0.0
+        assert math.copysign(1.0, got["min"]["f"]) == 1.0  # +0.0, not -0.0
+        assert got["max"]["f"] == 7.5
+        # the wrapper (footer path) and a forced fallback agree
+        st = _collect_file_stats(spark, table, rels, "k", schema)[rels[0]]
+        assert st["minValues"]["f"] == 0.0
+        assert math.copysign(1.0, st["minValues"]["f"]) == 1.0
+        import optimus_any2any_spark.streaming.delta_table as _dt
+
+        orig = _dt.footer_file_stats
+        _dt.footer_file_stats = lambda *a, **k: None
+        try:
+            fb = _collect_file_stats(spark, table, rels, "k", schema)[
+                rels[0]
+            ]
+        finally:
+            _dt.footer_file_stats = orig
+        assert fb == st
+        assert math.copysign(1.0, fb["minValues"]["f"]) == 1.0
 
     def test_zero_row_file_absent(self, spark, tmp_path):
         """Zero-row parts contribute no stats entry (callers delete
