@@ -89,16 +89,21 @@ def bpe_merge_steps(
     # trio, cf. ALS/GraphX):
     #  * each step's winner is a ONE-row model — collect it (k-row-
     #    model collect, like centroids) and apply it as literals;
-    #  * localCheckpoint(eager=True) per step TRUNCATES the logical
-    #    plan — a persist() alone leaves the analyzed plan growing
-    #    with every nested select, and analysis cost turns
-    #    exponential past ~10 steps (measured: step 14 took 12x
-    #    step 5 under the r4 shape);
+    #  * localCheckpoint per step TRUNCATES the logical plan — a
+    #    persist() alone leaves the analyzed plan growing with every
+    #    nested select, and analysis cost turns exponential past ~10
+    #    steps (measured: step 14 took 12x step 5 under the r4 shape).
+    #    The checkpoint is LAZY: the next step's pair-count collect is
+    #    a global top-k (every partition computes), so it materializes
+    #    the checkpoint as a side effect — an eager checkpoint here
+    #    was a whole duplicate pass over the vocabulary per step;
     #  * the superseded step's checkpoint blocks are unpersisted
     #    explicitly (via the JavaSparkContext persistent-RDD map —
     #    a checkpointed frame's blocks are not in the SQL cache
-    #    manager), so a 30k-merge run pins exactly ONE vocabulary
-    #    snapshot instead of 30k.
+    #    manager) — but only AFTER the step built on them has
+    #    materialized (a truncated-lineage frame cannot recompute
+    #    dropped blocks), so a 30k-merge run pins at most TWO
+    #    vocabulary snapshots instead of 30k.
     spark = df.sparkSession
     sc = spark.sparkContext
 
@@ -113,8 +118,9 @@ def bpe_merge_steps(
                 jrdd.unpersist(False)
 
     before = _pinned_ids()
-    cur = cur.localCheckpoint(eager=True)
+    cur = cur.localCheckpoint(eager=False)
     cur_ids = _pinned_ids() - before
+    prev_ids: set[int] = set()
     merge_rows: list[tuple] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -123,6 +129,10 @@ def bpe_merge_steps(
             .limit(1)
             .collect()
         )
+        # the top-k collect materialized cur's checkpoint (global
+        # sort: every partition computed) — its parent is now free
+        _drop_blocks(prev_ids)
+        prev_ids = set()
         if not top:
             break  # vocabulary fully merged: no pair left
         r = top[0]
@@ -138,10 +148,11 @@ def bpe_merge_steps(
                 F.lit(f"<{r['l']}><{r['r']}>"),
                 F.lit(f"<{r['l']}{r['r']}>"),
             ).alias("seq"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         new_ids = _pinned_ids() - before
-        _drop_blocks(cur_ids)  # nxt is materialized: parent state free
+        prev_ids = cur_ids  # dropped after nxt materializes next loop
         cur, cur_ids = nxt, new_ids
+    _drop_blocks(prev_ids)
     _drop_blocks(cur_ids)
     from optimus_any2any_spark.localrel import local_rows_df
 
