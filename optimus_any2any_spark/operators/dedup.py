@@ -418,7 +418,7 @@ def connected_components(
                     F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # the check runs on the materialized round — no lineage re-run;
         # stale checkpoint blocks are released by the ContextCleaner

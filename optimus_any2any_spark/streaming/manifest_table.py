@@ -197,7 +197,7 @@ def merge_batch(
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     stats = latest.agg(
         F.count(F.lit(1)).alias("n"),

@@ -221,7 +221,7 @@ def upsert_to_parquet(
         # commit.
         if fs.exists(staging):
             fs.delete(staging, True)
-        merged.localCheckpoint(eager=True).write.parquet(path + "__staging")
+        merged.localCheckpoint(eager=False).write.parquet(path + "__staging")
         if fs.exists(jpath):
             fs.delete(jpath, True)
         fs.rename(staging, jpath)
@@ -326,7 +326,7 @@ def upsert_to_parquet_partitioned(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
             .withColumn("bucket", bucket_of(F.col(key_col)))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         affected = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
         if fs.exists(jpath):
@@ -356,7 +356,7 @@ def upsert_to_parquet_partitioned(
             merged = latest
         # stage ONLY the affected buckets, then swap each dir; the
         # metadata-only renames are the commit
-        merged.localCheckpoint(eager=True).write.partitionBy(
+        merged.localCheckpoint(eager=False).write.partitionBy(
             "bucket"
         ).parquet(staging)
         for b in affected:
@@ -520,7 +520,7 @@ def streaming_minhash_dedup(
                     ),
                 ),
             )
-            .localCheckpoint(eager=True)  # cut lineage; read twice below
+            .localCheckpoint(eager=False)  # cut lineage; read twice below
         )
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(store_path)
@@ -550,10 +550,10 @@ def streaming_minhash_dedup(
             .distinct()
         )
         if verify_threshold is not None:
-            pairs = pairs.localCheckpoint(eager=True)
+            pairs = pairs.localCheckpoint(eager=False)
             new_texts = batch.select(
                 F.col(id_col).alias("id"), F.col(text_col).alias("text")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             tpath = jvm.org.apache.hadoop.fs.Path(text_store)
             if fs.exists(tpath):
                 corpus = (
@@ -661,7 +661,7 @@ def streaming_passage_dedup(
                 F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
             )
             .withColumn("h", F.md5(F.col("chunk").cast("binary")))
-            .localCheckpoint(eager=True)  # feeds first-occ, flags, store
+            .localCheckpoint(eager=False)  # feeds first-occ, flags, store
         )
         first = exploded.groupBy("h").agg(
             F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("__f")
@@ -674,7 +674,7 @@ def streaming_passage_dedup(
             fresh = first.join(known, "h", "left_anti")
         else:
             fresh = first
-        fresh = fresh.localCheckpoint(eager=True)  # flags join + store
+        fresh = fresh.localCheckpoint(eager=False)  # flags join + store
         flagged = exploded.join(fresh, "h", "left").select(
             F.col(id_col),
             "chunk_idx",
