@@ -29,6 +29,16 @@ SCALE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # PySpark 4 wraps EVERY DataFrame/Column API call in an error-context
+    # decorator that, per call, fetches the active session, reads a conf
+    # over py4j, walks the Python stack, and sets/clears a JVM thread-local
+    # (errors/utils.py _with_origin) — ~3 extra py4j round-trips per API
+    # call, measured at ~0.5-1s of pure driver latency per lakehouse
+    # commit (601 wrapped calls in one MERGE lifecycle). The only loss is
+    # the "user code line" context frame in error messages; exception
+    # types and messages are unchanged. This is driver-side overhead paid
+    # at ANY cluster scale, not a local-mode tune.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     # INT64 micros, not the deprecated INT96: Iceberg's spec REQUIRES
     # int64 timestamps, and INT96 chunks carry no usable footer

@@ -1372,13 +1372,28 @@ def _with_zorder_value(
     zdf = cur
     for c, q, bounds in zip(zorder_by, qcols, all_bounds):
         zdf = zdf.withColumn(q, _as_double(c))
-        b = F.lit(0)
-        last = None
-        for bd in bounds:  # drop duplicate quantiles (skewed data)
-            if last is not None and bd == last:
-                continue
-            last = bd
-            b = b + F.when(F.col(q) > F.lit(bd), 1).otherwise(0)
+        # drop duplicate quantiles (skewed data); the bucket id is the
+        # count of distinct bounds strictly below the value. Built as
+        # ONE aggregate over an array literal instead of a chain of
+        # n_buckets when()/otherwise() Columns: the old shape cost ~4
+        # py4j round-trips per bound (~2,000 per ZORDER call, ~0.4 s of
+        # pure driver latency) and produced an expression tree whose
+        # analysis cost scaled with the bucket count. Null values yield
+        # null comparisons -> IF takes the else branch -> bucket 0,
+        # exactly as the when-chain did.
+        dedup: list[float] = []
+        for bd in bounds:
+            if not dedup or bd != dedup[-1]:
+                dedup.append(bd)
+        if dedup:
+            b = F.aggregate(
+                F.lit(dedup),
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(F.col(q) > x, 1).otherwise(0),
+            )
+        else:
+            b = F.lit(0)
         zdf = zdf.withColumn(q, b.cast("long"))
     zv = F.lit(0).cast("long")
     for bit in range(bits):
