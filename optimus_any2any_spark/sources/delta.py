@@ -808,11 +808,19 @@ def dv_positions_df(spark: SparkSession, dv_rows: list[tuple]):
     # must be visible there
     globals().setdefault("pandas", pandas)
 
-    dv_df = local_rows_df(spark, 
+    dv_df = local_rows_df(spark,
         dv_rows,
         "__dv_bn string, __st string, __inline string, "
         "__fpath string, __off long, __size long",
     )
+    # one decode task PER DESCRIPTOR ROW spins one Python worker per
+    # vector (~30-50 ms each for a few-KB blob — measured 1.5 s of a
+    # 29-file delete commit). Slice by compressed-vector bytes instead:
+    # ~1 MB of Roaring per task keeps executor-side parallelism for
+    # big vector sets while a metadata-scale set decodes in one task.
+    total_sz = sum(int(r[5]) for r in dv_rows)
+    n_slices = max(1, min(len(dv_rows), total_sz // (1 << 20) + 1))
+    dv_df = dv_df.coalesce(n_slices)
 
     # ship the codec module BY VALUE: python workers do not have the
     # repo on PYTHONPATH (the same gotcha as the streaming sources)

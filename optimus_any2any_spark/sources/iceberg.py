@@ -701,10 +701,19 @@ def _puffin_dv_positions_df(spark: SparkSession, dv_del: list[dict]):
         )
         for d in dv_del
     ]
-    ddf = local_rows_df(spark, 
+    ddf = local_rows_df(spark,
         rows,
         "file_path string, __ppath string, __off long, __size long, "
         "__pseq long",
+    )
+    # one decode task per descriptor row spins one Python worker per
+    # vector; slice by compressed-blob bytes (~1 MB per task) instead,
+    # keeping executor parallelism for big vector sets while a
+    # metadata-scale set decodes in one task (Delta twin in
+    # sources/delta.py dv_positions_df).
+    total_sz = sum(int(r[3]) for r in rows)
+    ddf = ddf.coalesce(
+        max(1, min(len(rows), total_sz // (1 << 20) + 1))
     )
 
     # ship the codec modules BY VALUE: python workers do not have the

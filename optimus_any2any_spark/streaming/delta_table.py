@@ -3924,28 +3924,21 @@ def _delete_via_dv(
         dv_blob = _roaring.dv_blob
 
         # encode placement is a latency/scale trade with the SAME
-        # one-shuffle plan either way: small deletes (bounded by the
-        # matched count, known from the persisted frame) collect raw
+        # one-shuffle plan either way: small deletes collect raw
         # positions and encode on the driver — no Python-worker spin-up
         # on the common interactive path; big deletes encode per file
         # on EXECUTORS via applyInPandas so only pre-compressed blobs
         # (≤ ~rows_per_file/8 bytes each) ever cross to the driver,
-        # which is what removed the old 5M-row cap.
-        prior_card = sum(
-            int(
-                (state["live"][p].get("deletionVector") or {}).get(
-                    "cardinality", 0
-                )
-            )
-            for p in hit_paths
-        )
-        n_matched = matched.count()
-        if n_matched + prior_card <= _MAX_DRIVER_KEYS:
-            # Arrow toPandas, not collect(): the pickled-row path
-            # materializes a Row object per position (measured ~0.5 s
-            # of pure driver CPU at ~70k positions); the Arrow path
-            # lands the same data as two numpy columns
-            pos_pdf = positions.toPandas()
+        # which is what removed the old 5M-row cap. ONE bounded probe
+        # decides the placement AND fetches the positions when they
+        # fit: limit(cap+1) short-circuits, so the driver holds at most
+        # cap+1 (bn, pos) rows — the old shape ran a full
+        # matched.count() job first and then re-fetched the same rows.
+        # Arrow toPandas, not collect(): the pickled-row path
+        # materializes a Row object per position (measured ~0.5 s of
+        # pure driver CPU at ~70k positions).
+        pos_pdf = positions.limit(_MAX_DRIVER_KEYS + 1).toPandas()
+        if len(pos_pdf) <= _MAX_DRIVER_KEYS:
             per_file = []
             for bn, grp in pos_pdf.groupby("__bn", sort=False):
                 ps = sorted(set(int(p) for p in grp["__pos"]))
