@@ -2145,7 +2145,26 @@ def merge_delta_batch(
         .drop("__rn")
         .localCheckpoint(eager=False)
     )
-    n_total = latest.count()
+    # the grouped key-stats aggregate doubles as the checkpoint's
+    # materializer AND yields n_total (sum of per-partition n) — the
+    # old shape ran a separate full count job first. Exact key LISTS
+    # (the sharper per-partition file pruner) are recovered by one
+    # extra collect only when the batch fits the driver cap, where
+    # that collect is cheap; an over-cap backfill commit saves a
+    # whole pass. (Iceberg twin: merge_iceberg_batch.)
+    gstats = (
+        latest.groupBy(*part_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(key_col).alias("kmin"),
+            F.max(key_col).alias("kmax"),
+            F.max(F.col(key_col).isNull().cast("int")).alias(
+                "null_key"
+            ),
+        )
+        .collect()
+    )
+    n_total = sum(int(r["n"]) for r in gstats)
     if n_total > 0:
         # CHECK constraints gate every row the merge ADDS (rows
         # re-written from affected files already satisfied them)
@@ -2213,19 +2232,7 @@ def merge_delta_batch(
                 "kmax": nn[-1] if nn else None,
                 "has_null": len(nn) < len(vals),
             }
-    else:  # too many keys for the driver: one grouped stats aggregate
-        krows = (
-            latest.groupBy(*part_cols)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(key_col).alias("kmin"),
-                F.max(key_col).alias("kmax"),
-                F.max(F.col(key_col).isNull().cast("int")).alias(
-                    "null_key"
-                ),
-            )
-            .collect()
-        )
+    else:  # too many keys for the driver: reuse the grouped aggregate
         pstats = {
             tuple(r[c] for c in part_cols): {
                 "n": r["n"],
@@ -2234,7 +2241,8 @@ def merge_delta_batch(
                 "kmax": r["kmax"],
                 "has_null": bool(r["null_key"]),
             }
-            for r in krows
+            for r in gstats
+            if r["n"]
         }
 
     if when_not_matched_by_source and not pstats and not part_cols:

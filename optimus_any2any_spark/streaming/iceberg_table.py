@@ -705,7 +705,26 @@ def merge_iceberg_batch(
         .drop("__rn")
         .localCheckpoint(eager=False)
     )
-    n_total = latest.count()
+    # the grouped key-stats aggregate doubles as the checkpoint's
+    # materializer AND yields n_total (sum of per-partition n) — the
+    # old shape ran a separate full count job first. Exact key LISTS
+    # (the sharper per-partition file pruner) are recovered by one
+    # extra collect only when the batch fits the driver cap, where
+    # that collect is cheap; an over-cap backfill commit saves a
+    # whole pass.
+    gstats = (
+        latest.groupBy(*pv_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(key_col).alias("kmin"),
+            F.max(key_col).alias("kmax"),
+            F.max(F.col(key_col).isNull().cast("int")).alias(
+                "null_key"
+            ),
+        )
+        .collect()
+    )
+    n_total = sum(int(r["n"]) for r in gstats)
     if n_total == 0 and not when_not_matched_by_source:
         # (an EMPTY source with when_not_matched_by_source is still a
         # full clause evaluation: every live row is unmatched)
@@ -749,18 +768,6 @@ def merge_iceberg_batch(
                 "has_null": len(nn) < len(vals),
             }
     else:
-        krows = (
-            latest.groupBy(*pv_cols)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(key_col).alias("kmin"),
-                F.max(key_col).alias("kmax"),
-                F.max(F.col(key_col).isNull().cast("int")).alias(
-                    "null_key"
-                ),
-            )
-            .collect()
-        )
         pstats = {
             tuple(r[c] for c in pv_cols): {
                 "n": r["n"],
@@ -769,7 +776,8 @@ def merge_iceberg_batch(
                 "kmax": r["kmax"],
                 "has_null": bool(r["null_key"]),
             }
-            for r in krows
+            for r in gstats
+            if r["n"]
         }
     if when_not_matched_by_source and not pstats and not pspec:
         # empty source, unpartitioned: the clause pass still routes
