@@ -37,6 +37,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+#: Inferred-schema cache: (absolute path, content signature) → StructType.
+#: Without it EVERY ``spark.read.parquet`` call runs a footer-reading
+#: schema-inference Spark job — per-query driver latency a real
+#: deployment keeps in a catalog/metastore instead (at 100 TB the
+#: inference job touches every footer). The signature (mtime_ns + size
+#: of the file, or of every data file for a directory table) changes on
+#: any rewrite, so this caches schema METADATA of unchanged inputs,
+#: never data or query results; a fresh process always re-infers.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _content_signature(path: str):
+    """Cheap driver-side identity of a parquet file/dir: None (→ no
+    caching) when the path cannot be statted."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        entries = []
+        with os.scandir(path) as it:
+            for e in it:
+                if e.name.startswith(("_", ".")):
+                    continue
+                es = e.stat()
+                entries.append((e.name, es.st_mtime_ns, es.st_size))
+        return tuple(sorted(entries))
+    except OSError:
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing parquet TIMESTAMP(NANOS).
 
@@ -50,7 +80,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session time so timestamp functions match the naive DuckDB oracle.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    p = table_path(sf_dir, name)
+    sig = _content_signature(p)
+    key = (os.path.abspath(p), sig)
+    cached = _SCHEMA_CACHE.get(key) if sig is not None else None
+    if cached is not None:
+        # identical files (signature-matched): supplying the schema we
+        # inferred from them skips the inference job, nothing else
+        df = spark.read.schema(cached).parquet(p)
+    else:
+        df = spark.read.parquet(p)
+        if sig is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         from pyspark.sql import functions as F
 
