@@ -324,6 +324,10 @@ def minhash_dedup_pairs(
         minhash_signatures(sh, num_hashes), num_hashes, bands
     ).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    # (A candidate-id semi-filter on sizes was tried in r14 — it cuts
+    # the sizes exchange to candidate scale but adds a union+distinct
+    # shuffle pair per consumer that costs more than it saves: wall
+    # 1.65 → 2.96 s at sf0.1. Reverted.)
     # The a side is filtered map-side by the broadcast(cand) join below;
     # the b side would otherwise shuffle the WHOLE corpus shingle table
     # into the (id, shingle) join, so semi-filter it to candidate docs

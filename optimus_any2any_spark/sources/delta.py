@@ -240,6 +240,47 @@ def table_constraints(meta: dict | None) -> dict[str, str]:
     }
 
 
+def constraint_violation_aggs(meta: dict | None):
+    """Per-constraint violation-count aggregate COLUMNS, for writers
+    that fold CHECK validation into an aggregate job they already run
+    (one fewer driver action per commit — the standalone
+    :func:`check_delta_constraints` pays a full batch pass of its
+    own). Returns ``(names, agg_cols)``; zero columns when the table
+    declares no constraints. Aggregate alias ``__ck<i>`` pairs with
+    ``names[i]``; pass the collected totals to
+    :func:`raise_constraint_violations`. Violation rule identical to
+    the standalone check: false AND null violate."""
+    constraints = table_constraints(meta)
+    names = sorted(constraints)
+    aggs = [
+        F.count(
+            F.when(
+                ~F.coalesce(
+                    F.expr(constraints[n]).cast("boolean"),
+                    F.lit(False),
+                ),
+                1,
+            )
+        ).alias(f"__ck{i}")
+        for i, n in enumerate(names)
+    ]
+    return names, aggs
+
+
+def raise_constraint_violations(
+    meta: dict | None, names: list[str], totals: list[int], verb: str
+) -> None:
+    """Raise exactly as :func:`check_delta_constraints` does, from
+    violation counts a caller summed out of its own aggregate."""
+    constraints = table_constraints(meta)
+    for n, bad in zip(names, totals):
+        if bad:
+            raise ValueError(
+                f"delta {verb}: CHECK constraint {n!r} "
+                f"({constraints[n]}) violated by {bad} row(s)"
+            )
+
+
 def check_delta_constraints(
     meta: dict | None, batch: DataFrame, verb: str
 ) -> None:

@@ -199,10 +199,13 @@ class FileSource:
         # null every position. localCheckpoint materializes the marked
         # text (MEMORY_AND_DISK, spillable) so later jobs reuse these
         # exact partitions.
+        # lazy: the stats collect right below is the first action and
+        # materializes the checkpoint — an eager pre-pass would read
+        # the files twice (same invariant as the lakehouse writers)
         marked = (
             text.withColumn("__pid", F.spark_partition_id())
             .withColumn("__mid", F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         stats = (
             marked.groupBy("__pid", "__file")

@@ -2152,6 +2152,20 @@ def merge_delta_batch(
     # extra collect only when the batch fits the driver cap, where
     # that collect is cheap; an over-cap backfill commit saves a
     # whole pass. (Iceberg twin: merge_iceberg_batch.)
+    # CHECK-constraint violation counts ride the SAME aggregate (rows
+    # the merge ADDS must satisfy them; rows re-written from affected
+    # files already did) — the old standalone check paid a second full
+    # batch pass whenever the table declared constraints.
+    from optimus_any2any_spark.sources.delta import (
+        constraint_violation_aggs,
+        raise_constraint_violations,
+    )
+
+    ck_names, ck_aggs = (
+        constraint_violation_aggs(state["meta"])
+        if state["meta"] is not None
+        else ([], [])
+    )
     gstats = (
         latest.groupBy(*part_cols)
         .agg(
@@ -2161,18 +2175,21 @@ def merge_delta_batch(
             F.max(F.col(key_col).isNull().cast("int")).alias(
                 "null_key"
             ),
+            *ck_aggs,
         )
         .collect()
     )
     n_total = sum(int(r["n"]) for r in gstats)
-    if n_total > 0:
-        # CHECK constraints gate every row the merge ADDS (rows
-        # re-written from affected files already satisfied them)
-        from optimus_any2any_spark.sources.delta import (
-            check_delta_constraints,
+    if n_total > 0 and ck_names:
+        raise_constraint_violations(
+            state["meta"],
+            ck_names,
+            [
+                sum(int(r[f"__ck{i}"] or 0) for r in gstats)
+                for i in range(len(ck_names))
+            ],
+            "merge",
         )
-
-        check_delta_constraints(state["meta"], latest, "merge")
     if n_total == 0 and not when_not_matched_by_source:
         # (an EMPTY source with when_not_matched_by_source is still a
         # full clause evaluation: every live row is unmatched)
