@@ -3419,22 +3419,22 @@ def write_iceberg_commit(
             os.replace(part, os.path.join(table_path, rel))
             data_rel.append(rel)
         shutil.rmtree(tmp)
-        counts = {
-            os.path.basename(r): 0 for r in data_rel
-        }
-        if data_rel:
-            from pyspark.sql import functions as F
+        # per-file row counts come from the parquet FOOTERS (pyarrow,
+        # driver-side, O(footer) I/O) — the old shape re-read every
+        # just-written file through Spark (a schema-INFERENCE job plus
+        # a full groupBy(input_file_name) scan, i.e. O(written bytes)
+        # of extra read per commit; the add_files branch above always
+        # used footers). Only record_count feeds the manifest entries.
+        import pyarrow.parquet as _wpq
 
-            for row in (
-                spark.read.parquet(
-                    *[os.path.join(table_path, r) for r in data_rel]
-                )
-                .withColumn("__f", F.input_file_name())
-                .groupBy("__f")
-                .count()
-                .collect()
-            ):
-                counts[row["__f"].rsplit("/", 1)[-1]] = row["count"]
+        counts = {
+            os.path.basename(r): int(
+                _wpq.read_metadata(
+                    os.path.join(table_path, r)
+                ).num_rows
+            )
+            for r in data_rel
+        }
     # an empty frame (e.g. the partitioned-table bootstrap) still
     # writes one zero-row part file — drop it rather than listing a
     # rowless entry in the manifest
