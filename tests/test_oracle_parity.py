@@ -1,11 +1,23 @@
 """Local replica of the driver's t2 correctness gate.
 
-Runs every registered query on Spark and its DuckDB oracle at sf0.01,
+Runs registered queries on Spark and their DuckDB oracles at sf0.01,
 sorts columns by name and rows by value (the driver's order-insensitive
 value-hash), and requires exact equality.
+
+Default scope (VERDICT r13 item 2 — the full 197-query sweep made the
+suite overrun the grading driver's verify window): every benched query
+PLUS the leading 70 of the registry's rotation order, which is
+unverified-first then stalest-verified-first — exactly the window the
+driver itself samples — so coverage rotates across rounds the same way
+the driver's does. ``SPARK_GRAFT_ORACLE_FULL=1`` runs all queries (the
+pre-round full gate; CI budget permitting, always prefer it before
+shipping operator changes). The cheap DESCRIBE sweep still covers every
+oracle unconditionally.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -85,6 +97,16 @@ def test_harness_catches_negative_zero():
 
 QUERIES = all_queries()
 
+if os.environ.get("SPARK_GRAFT_ORACLE_FULL") == "1":
+    EXEC_NAMES = sorted(QUERIES)
+else:
+    # benched rows + the driver-shaped rotation window (registry order
+    # is unverified-first, stalest-verified-first — pinned by
+    # test_driver_contract.py::test_rotation_orders_by_verification_age)
+    _core = {n for n, q in QUERIES.items() if q.bench}
+    _core.update(list(QUERIES)[:70])
+    EXEC_NAMES = sorted(_core)
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_no_hugeint_columns(name, duck):
@@ -108,7 +130,7 @@ def test_oracle_no_hugeint_columns(name, duck):
     )
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", EXEC_NAMES)
 def test_query_matches_oracle(name, spark, duck):
     q = QUERIES[name]
     sdf = q.spark(spark, SF_DIR).toPandas()
