@@ -653,7 +653,11 @@ def _collect_file_stats(
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
         ]
     per_file = (
-        spark.read.parquet(*[os.path.join(table_path, r) for r in new_rel])
+        # explicit schema: the files were written with data_schema this
+        # commit — inferring it back costs one extra footer-reading job
+        # per fallback trigger
+        spark.read.schema(data_schema)
+        .parquet(*[os.path.join(table_path, r) for r in new_rel])
         .select(*stat_cols)
         .withColumn("__f", F.input_file_name())
         .groupBy("__f")

@@ -258,20 +258,62 @@ def merge_batch(
             raise IOError(f"data file move failed: {rel}")
         new_rel.append(rel)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-    per_file = (
-        spark.read.parquet(*[f"{path}/{r}" for r in new_rel])
-        .select(key_col)
-        .withColumn("__f", F.input_file_name())
-        .groupBy("__f")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(key_col).alias("min_key"),
-            F.max(key_col).alias("max_key"),
-            F.max(F.col(key_col).isNull().cast("int")).alias("has_null"),
-        )
-        .collect()
+    # stats for the manifest come from the parquet FOOTERS when every
+    # value is provably exact (zero data I/O over files this commit
+    # just wrote — the same contract as the Delta/Iceberg writers,
+    # formats/footer_stats.py); the Spark aggregate below is the
+    # fallback, which additionally paid a schema-INFERENCE job because
+    # the read passed no schema. Both sides normalize ±0.0 so they
+    # stay interchangeable.
+    from optimus_any2any_spark.formats.footer_stats import (
+        footer_file_stats,
+        kind_of_spark_type,
+        norm_float_zero,
     )
-    by_name = {r["__f"].rsplit("/", 1)[-1]: r for r in per_file}
+
+    by_name: dict[str, dict] = {}
+    ft = footer_file_stats(
+        [f"{path}/{r}" for r in new_rel],
+        [key_col],
+        {key_col: kind_of_spark_type(merged.schema[key_col].dataType)},
+        session_tz=spark.conf.get("spark.sql.session.timeZone", "UTC"),
+    )
+    if ft is not None:
+        by_name = {
+            name: {
+                "rows": s["rows"],
+                "min_key": s["min"].get(key_col),
+                "max_key": s["max"].get(key_col),
+                "has_null": s["nulls"].get(key_col, 0) > 0,
+            }
+            for name, s in ft.items()
+        }
+    else:
+        per_file = (
+            spark.read.schema(merged.schema)
+            .parquet(*[f"{path}/{r}" for r in new_rel])
+            .select(key_col)
+            .withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(key_col).alias("min_key"),
+                F.max(key_col).alias("max_key"),
+                F.max(F.col(key_col).isNull().cast("int")).alias(
+                    "has_null"
+                ),
+            )
+            .collect()
+        )
+        by_name = {
+            r["__f"].rsplit("/", 1)[-1]: {
+                "rows": r["rows"],
+                "min_key": norm_float_zero(r["min_key"]),
+                "max_key": norm_float_zero(r["max_key"]),
+                "has_null": r["has_null"],
+            }
+            for r in per_file
+        }
     new_entries = []
     for rel in new_rel:
         r = by_name.get(rel.rsplit("/", 1)[-1])
